@@ -1,13 +1,719 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators._
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.plans.TableOrder
+
+/** Driver contract — one entry per operator in SURVEY.md §2.
+  *
+  * Conventions shared with the DuckDB oracles (SURVEY.md §6): every
+  * computed column aliased identically on both sides; every query ends in
+  * a total ORDER BY; floating-point aggregates go through
+  * `sum(cast(x as decimal))` then back to double so both engines sum
+  * exactly; rounding applied identically.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact cross-engine double sum: decimal-sum then back to double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // Shared fragment: the staged "incoming" batch merged into orders by the
+  // q_merge_* family (updates for keys %5, brand-new keys from %7 shifted
+  // by 10M — mirrors MoveDataToMainTable's matched/unmatched split).
+  private def incomingOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    // +/- exact-double constants: no rounding, so both engines produce
+    // bit-identical incoming prices (round(x*k, 2) has cross-engine
+    // half-case hazards).
+    val upd = o.filter(col("o_orderkey") % 5 === 0).select(
+      col("o_orderkey"),
+      lit("U").as("o_orderstatus"),
+      (col("o_totalprice") + 1000.0).as("o_totalprice"))
+    val ins = o.filter(col("o_orderkey") % 7 === 0).select(
+      (col("o_orderkey") + 10000000L).as("o_orderkey"),
+      lit("N").as("o_orderstatus"),
+      (col("o_totalprice") - 500.0).as("o_totalprice"))
+    upd.unionByName(ins)
+  }
+
+  private def destOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── §2A Relational ETL core ────────────────────────────────────────
+
+    "q_filtered_read" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")) && col("l_quantity") < 25)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_conditional_mapping" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "F" &&
+          col("o_totalprice") >= 200000 &&
+          col("o_orderpriority").contains("URGENT") &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_denorm_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val withNation = Denormalize.resolve(sup, t(s, dir, "nation"),
+        Seq("s_nationkey" -> "n_nationkey"),
+        Seq("n_name" -> "nation_name", "n_regionkey" -> "__rk"))
+      Denormalize.resolve(withNation, t(s, dir, "region"),
+        Seq("__rk" -> "r_regionkey"), Seq("r_name" -> "region_name"))
+        .select(col("s_suppkey"), col("s_name"), col("nation_name"), col("region_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "q_string_agg" -> ((s, dir) => {
+      val cust = Denormalize.resolve(t(s, dir, "customer"), t(s, dir, "nation"),
+        Seq("c_nationkey" -> "n_nationkey"), Seq("n_name" -> "n_name"))
+      ListColumns.pack(cust, Seq("n_name"), col("c_name"), "customer_list")
+        .join(cust.groupBy("n_name").agg(count(lit(1)).as("n_customers")), Seq("n_name"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      PivotOps.toWide(
+        t(s, dir, "events"), Seq("user_id"), "event_type",
+        sum(col("value").cast("decimal(30,6)")).cast("double"),
+        Seq("click", "error", "purchase", "signup", "view"))
+        .select(col("user_id"),
+          round(col("click"), 2).as("v_click"), round(col("error"), 2).as("v_error"),
+          round(col("purchase"), 2).as("v_purchase"), round(col("signup"), 2).as("v_signup"),
+          round(col("view"), 2).as("v_view"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_correlated_lookup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("top_orderkey"),
+          col("o_totalprice").as("top_totalprice"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_explode_relations" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
+    "q_merge_upsert" -> ((s, dir) => {
+      Merge.upsert(destOrders(s, dir), incomingOrders(s, dir), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_update_existing" -> ((s, dir) => {
+      Merge.updateExisting(destOrders(s, dir), incomingOrders(s, dir), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_insert_missing" -> ((s, dir) => {
+      Merge.insertMissing(destOrders(s, dir), incomingOrders(s, dir), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.keepFirst(t(s, dir, "lineitem"), Seq("l_orderkey"),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "q_delete_excess" -> ((s, dir) => {
+      val incoming = t(s, dir, "orders").filter(col("o_totalprice") > 350000)
+        .select(col("o_custkey").as("c_custkey"))
+      Merge.deleteExcess(t(s, dir, "customer"), incoming, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_flag_missing" -> ((s, dir) => {
+      val incoming = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      Merge.flagMissing(t(s, dir, "customer"), incoming, Seq("c_custkey"), "__active")
+        .select(col("c_custkey"), col("__active").cast("int").as("is_active"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_surrogate_ids" -> ((s, dir) => {
+      SurrogateKeys.assign(t(s, dir, "documents"),
+        Seq(col("n_chars"), col("doc_id")), "new_id", startAt = 1001L)
+        .select(col("doc_id"), col("new_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_fk_by_name" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val named = Denormalize.resolve(t(s, dir, "customer"), nation,
+        Seq("c_nationkey" -> "n_nationkey"), Seq("n_name" -> "nation_name"))
+        .select("c_custkey", "nation_name")
+      Denormalize.resolve(named, nation,
+        Seq("nation_name" -> "n_name"), Seq("n_nationkey" -> "resolved_key"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_create_missing_refs" -> ((s, dir) => {
+      val dim = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      Denormalize.missingRefs(
+        t(s, dir, "customer").select(col("c_custkey")), "c_custkey", dim, "o_custkey")
+        .withColumn("new_ref_id", concat(lit("REF-"), col("c_custkey").cast("string")))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_default_values" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        coalesce(when(col("c_name") === "", null).otherwise(col("c_name")), lit("UNKNOWN"))
+          .as("name_filled"),
+        when(col("c_acctbal") < 0, lit("DELINQUENT")).otherwise(col("c_mktsegment"))
+          .as("segment"),
+        concat(lit("CUST-"), col("c_custkey").cast("string")).as("ext_id"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_propagate_variants" -> ((s, dir) => {
+      val withNote = t(s, dir, "lineitem")
+        .withColumn("ship_note", when(col("l_returnflag") === "N", null)
+          .otherwise(col("l_returnflag")))
+      Propagate.fillFromParent(withNote, Seq("l_orderkey"),
+        col("l_linenumber") === 1, Seq("ship_note"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("ship_note"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_distinct_count" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"), count(lit(1)).as("n_lines"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    "q_assortment_pairs" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+        .join(broadcast(t(s, dir, "customer")), col("user_id") === col("c_custkey"))
+        .select(col("user_id"), col("event_type"), col("c_mktsegment"))
+        .distinct()
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    "q_rollup_hierarchy" -> ((s, dir) => {
+      val joined = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      joined.rollup(col("r_name"), col("n_name"))
+        .agg(round(dsum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_table_order" -> ((s, dir) => {
+      val ordered = TableOrder.order(Tables.All)
+      s.createDataFrame(ordered.zipWithIndex.map { case (n, i) => (i + 1, n) })
+        .toDF("position", "table_name")
+        .orderBy(col("position"))
+    }),
+
+    // ── §2B Analytics / bench headliners ───────────────────────────────
+
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(dsum(col("l_quantity")), 2).as("sum_qty"),
+          round(dsum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(dsum((col("l_extendedprice") * (lit(1) - col("l_discount"))), 6), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val cutoff = lit("1998-03-15").cast("timestamp")
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_join5" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem").filter(col("l_suppkey") <= 10)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_rev",
+          sum(col("l_extendedprice").cast("decimal(30,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+          col("running_rev"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
+    "q_window_tumbling" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(dsum(col("value"), 6), 2).as("total_value"))
+        .orderBy(col("hour_bucket"), col("event_type"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sessions = t(s, dir, "events")
+        .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("__new", when(col("__prev").isNull ||
+          col("ts").cast("double") - col("__prev").cast("double") > 1800.0, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ── §2C LLM-training-data operators (SQL-expressible subset) ───────
+
+    "q_dedup_exact_docs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_text_quality" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(txt).as("n_tokens"),
+        TextFunctions.vocabHits(txt, TextFunctions.Stopwords).as("stop_hits"),
+        TextFunctions.stopwordRatio(txt, TextFunctions.Stopwords).as("stop_ratio"),
+        TextFunctions.qualityScore(txt).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("pred_lang"),
+        (TextFunctions.langId(col("text")) === col("lang")).cast("int").as("is_match"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_embed_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val pairs = emb.join(broadcast(queriesDf), col("vec_id") =!= col("query_id"))
+        .withColumn("cos_sim", round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      pairs.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+
+    "q_filtered_read" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_conditional_mapping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus <> 'F' AND o_totalprice >= 200000
+        |  AND o_orderpriority LIKE '%URGENT%'
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_denorm_join" ->
+      """SELECT s_suppkey, s_name, n_name AS nation_name, r_name AS region_name
+        |FROM supplier
+        |LEFT JOIN nation ON s_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_name,
+        |  string_agg('"' || c_name || '"', ',' ORDER BY '"' || c_name || '"') AS customer_list,
+        |  count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(30,6))) AS DOUBLE), 2) AS v_click,
+        |  round(CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(30,6))) AS DOUBLE), 2) AS v_error,
+        |  round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(30,6))) AS DOUBLE), 2) AS v_purchase,
+        |  round(CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(30,6))) AS DOUBLE), 2) AS v_signup,
+        |  round(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(30,6))) AS DOUBLE), 2) AS v_view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_correlated_lookup" ->
+      """SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_explode_relations" ->
+      """SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |FROM documents
+        |WHERE doc_id < 200
+        |ORDER BY doc_id, token""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH dest AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |incoming AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice - 500.0
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT coalesce(d.o_orderkey, i.o_orderkey) AS o_orderkey,
+        |  d.o_custkey AS o_custkey,
+        |  coalesce(i.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
+        |  coalesce(i.o_totalprice, d.o_totalprice) AS o_totalprice
+        |FROM dest d FULL OUTER JOIN incoming i ON d.o_orderkey = i.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_update_existing" ->
+      """WITH dest AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |incoming AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice - 500.0
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT d.o_orderkey AS o_orderkey, d.o_custkey AS o_custkey,
+        |  coalesce(i.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
+        |  coalesce(i.o_totalprice, d.o_totalprice) AS o_totalprice
+        |FROM dest d LEFT JOIN incoming i ON d.o_orderkey = i.o_orderkey
+        |ORDER BY 1""".stripMargin,
+
+    "q_insert_missing" ->
+      """WITH incoming AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice - 500.0
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT i.o_orderkey, i.o_orderstatus, i.o_totalprice
+        |FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM orders d WHERE d.o_orderkey = i.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT l_orderkey, l_partkey, l_quantity
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn FROM lineitem)
+        |WHERE rn = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_delete_excess" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_totalprice > 350000 AND o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_flag_missing" ->
+      """SELECT c_custkey,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM orders
+        |    WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
+        |  THEN 1 ELSE 0 END AS INTEGER) AS is_active
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_surrogate_ids" ->
+      """SELECT doc_id,
+        |  CAST(1000 + row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS new_id
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_fk_by_name" ->
+      """SELECT c_custkey, n_name AS nation_name, n_nationkey AS resolved_key
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_create_missing_refs" ->
+      """SELECT DISTINCT c_custkey, 'REF-' || c_custkey AS new_ref_id
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_default_values" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_name, ''), 'UNKNOWN') AS name_filled,
+        |  CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS segment,
+        |  'CUST-' || c_custkey AS ext_id
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_propagate_variants" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(nullif(l_returnflag, 'N'),
+        |    max(CASE WHEN l_linenumber = 1 THEN nullif(l_returnflag, 'N') END)
+        |      OVER (PARTITION BY l_orderkey)) AS ship_note
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_distinct_count" ->
+      """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q_assortment_pairs" ->
+      """SELECT DISTINCT user_id, event_type, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type IN ('purchase', 'signup')
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_rollup_hierarchy" ->
+      """SELECT r_name, n_name,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_join5" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM lineitem
+        |WHERE l_suppkey <= 10
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q_window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+        |  event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_dedup_exact_docs" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x IN ('the','a','of','and','in','to','is'))) END AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(stop_hits AS INTEGER) AS stop_hits,
+        |  round(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
+        |  round(0.5 * least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0
+        |    + 0.3 * least(CAST(stop_hits AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0)
+        |    + 0.2 * (CASE WHEN len(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END), 4) AS quality
+        |FROM base
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |hits AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(tk, x -> x IN ('the','a','and','of','is'))) AS h_en,
+        |    len(list_filter(tk, x -> x IN ('el','la','los','de','y'))) AS h_es,
+        |    len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS h_de,
+        |    len(list_filter(tk, x -> x IN ('le','la','les','et','est'))) AS h_fr
+        |  FROM toks),
+        |pred AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'unknown'
+        |      WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+        |      WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+        |      WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+        |      ELSE 'fr' END AS pred_lang
+        |  FROM hits)
+        |SELECT doc_id, pred_lang,
+        |  CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS INTEGER) AS is_match
+        |FROM pred
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_embed_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(
+        |      list_aggregate(list_apply(list_zip(q.q_emb, e.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      / (sqrt(list_aggregate(list_apply(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |         * sqrt(list_aggregate(list_apply(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+        |      4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, vec_id) AS rk FROM pairs)
+        |SELECT query_id, vec_id AS neighbor_id, cos_sim
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin
+  )
 }

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for training-data pipelines.
+  *
+  * All pure `org.apache.spark.sql.functions` compositions (incl. SQL
+  * higher-order functions) — fully codegen'd, no UDFs, so they stay inside
+  * WholeStageCodegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty string → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens found in `vocab` (stopword hits, language markers). */
+  def vocabHits(text: Column, vocab: Seq[String]): Column = {
+    val set = array(vocab.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t)))
+  }
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    round(vocabHits(text, stopwords).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double"), 4)
+
+  /** Default English-ish stopword list used by quality scoring. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Composite quality score in [0,1]: rewards reasonable length and
+    * natural stopword density. Deterministic, SQL-expressible (mirrored in
+    * the DuckDB oracle).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok, lit(200.0)) / lit(200.0)
+    val stopRatio = vocabHits(text, Stopwords).cast("double") / greatest(nTok, lit(1.0))
+    val charScore = when(length(text).between(100, 2000), lit(1.0)).otherwise(lit(0.0))
+    round(lit(0.5) * lenScore + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.2) * charScore, 4)
+  }
+
+  /** Language-marker sets for the n-gram/stopword-overlap language-ID
+    * heuristic.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** Predicted language = marker set with the most hits; ties break in
+    * `LangMarkers` declaration order; zero hits everywhere → "unknown".
+    */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (lang, markers) => lang -> vocabHits(text, markers) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldLeft[Option[Column]](None) { case (acc, (lang, h)) =>
+      Some(acc match {
+        case None => when(h === best && best > 0, lit(lang))
+        case Some(c) => c.when(h === best && best > 0, lit(lang))
+      })
+    }.get.otherwise(lit("unknown"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pack 1:N relations into delimited list columns and back.
+  *
+  * Source side the reference emits `STUFF((SELECT ',"'+x+'"' ... FOR XML
+  * PATH('')),1,1,'')` — a comma-separated, double-quoted list per outer row
+  * (EcomSourceReader.cs:336 Shops, :348 ParentGroups, :393 Groups, :434
+  * VariantOptions). Destination side it splits those lists back into
+  * relation rows with `SplitOnComma` (EcomDestinationWriter.cs:1508) and
+  * per-element reference rows (:1413 groups, :2013 parent groups).
+  *
+  * Spark-native: pack = groupBy(key).agg(array_join(array_sort(collect_list)))
+  * — one shuffle, map-side partial aggregation, deterministic order via the
+  * sort (SQL Server's FOR XML PATH order is undefined; we pin it).
+  * Unpack = split + explode — narrow, no shuffle.
+  */
+object ListColumns {
+
+  /** Sorted, quoted, comma-joined list of `value` per `keys` row. */
+  def pack(df: DataFrame, keys: Seq[String], value: Column, as: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(array_join(array_sort(collect_list(concat(lit("\""), value, lit("\"")))), ",").as(as))
+
+  /** Split a delimited list column into one row per element. */
+  def unpack(df: DataFrame, listCol: Column, delimiter: String, as: String): DataFrame =
+    df.withColumn(as, explode(split(listCol, java.util.regex.Pattern.quote(delimiter))))
+
+  /** Split with element position (relation-sorting columns like
+    * GroupSorting travel as parallel lists in the reference).
+    */
+  def unpackWithPos(df: DataFrame, listCol: Column, delimiter: String,
+                    posAs: String, as: String): DataFrame = {
+    val exploded = posexplode(split(listCol, java.util.regex.Pattern.quote(delimiter)))
+    df.select(col("*"), exploded.as(Seq(posAs, as)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Staged-import merge semantics, Spark-first.
+  *
+  * The reference buffers incoming rows into temp tables and then merges
+  * them into the live tables: UPDATE matched rows, INSERT unmatched, with
+  * `updateOnly` / `insertOnly` switches (EcomDestinationWriter.cs:3165
+  * `MoveDataToMainTables`, :3220 `MoveDataToMainTable`), plus full-sync
+  * deletes of destination rows missing from the import
+  * (EcomDestinationWriter.cs:3067 `DeleteExcessFromMainTable`) or a
+  * soft-hide flag instead (`hideDeactivatedProducts`).
+  *
+  * Here each mode is a declarative join the optimizer can reorder, prune
+  * and (for small incoming batches) broadcast. All joins shuffle on the
+  * business key only once; at 100 TB both sides hash-partition on `keys`
+  * and AQE converts to broadcast when the incoming batch is small.
+  */
+object Merge {
+
+  /** UPDATE matched + INSERT unmatched (MoveDataToMainTable with both
+    * flags false). Incoming values win for matched rows; destination rows
+    * with no incoming match pass through; incoming rows with no match are
+    * inserted. Full outer join on the key, `coalesce(incoming, dest)` per
+    * non-key column.
+    */
+  def upsert(dest: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val in = incoming.select(incoming.columns.map(c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"__in_$c")): _*)
+    val joined = dest.join(in, keys, "full_outer")
+    val merged = dest.columns.map { c =>
+      if (keys.contains(c)) col(c)
+      else if (incoming.columns.contains(c)) coalesce(col(s"__in_$c"), col(c)).as(c)
+      else col(c)
+    }
+    joined.select(merged: _*)
+  }
+
+  /** updateOnly: matched destination rows get incoming values; unmatched
+    * incoming rows are DISCARDED, unmatched destination rows unchanged.
+    */
+  def updateExisting(dest: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val in = incoming.select(incoming.columns.map(c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"__in_$c")): _*)
+    val joined = dest.join(in, keys, "left_outer")
+    val merged = dest.columns.map { c =>
+      if (keys.contains(c)) col(c)
+      else if (incoming.columns.contains(c)) coalesce(col(s"__in_$c"), col(c)).as(c)
+      else col(c)
+    }
+    joined.select(merged: _*)
+  }
+
+  /** insertOnly: incoming rows whose key is NOT already in dest. */
+  def insertMissing(dest: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(dest.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Full-sync delete set: destination rows absent from the import
+    * (the rows DeleteExcessFromMainTable would delete).
+    */
+  def deleteExcess(dest: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    dest.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Soft-hide variant: keep all destination rows, flag whether each still
+    * exists in the import (hideDeactivatedProducts semantics).
+    */
+  def flagMissing(dest: DataFrame, incoming: DataFrame, keys: Seq[String],
+                  flagCol: String): DataFrame = {
+    val present = incoming.select(keys.map(col): _*).distinct()
+      .withColumn("__present", lit(1))
+    dest.join(present, keys, "left_outer")
+      .withColumn(flagCol, col("__present").isNotNull)
+      .drop("__present")
+  }
+}
