@@ -5,8 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators._
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.plans.TableOrder
+import graft.dedup.NearDup
+import graft.similarity.Knn
+import graft.multimodal.Multimodal
+import graft.streaming.EventPipeline
 
 /** Driver contract — one entry per operator in SURVEY.md §2.
   *
@@ -369,16 +373,61 @@ object SparkEntry {
 
     "q_embed_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queriesDf = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val pairs = emb.join(broadcast(queriesDf), col("vec_id") =!= col("query_id"))
-        .withColumn("cos_sim", round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-      pairs.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= 5)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    "q_session_window" -> ((s, dir) => {
+      EventPipeline.sessionAgg(t(s, dir, "events"), "30 minutes")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ── §2C rows-only operators (ScalaTest oracles; see SURVEY.md §6) ──
+
+    "q_doc_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Fingerprint.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_minhash_lsh" -> ((s, dir) => {
+      NearDup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleLen = 3, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_simhash" -> ((s, dir) => {
+      NearDup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      NearDup.ngramJaccard(docs, pairs, "doc_id", "text", shingleLen = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_embed_neardup" -> ((s, dir) => {
+      NearDup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.25, nBits = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
+      Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10), centroids, k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    "q_multimodal_features" -> ((s, dir) => {
+      Multimodal.decodeFeatures(Multimodal.withPayload(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -641,6 +690,24 @@ object SparkEntry {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_dedup_exact_docs" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

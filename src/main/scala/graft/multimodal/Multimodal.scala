@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * with batch feature extraction.
+  *
+  * Design (brief-mandated): media travels as a `binary` column with a
+  * typed metadata struct; decode/feature-extract runs per-partition in
+  * bounded batches (the JVM mirror of Arrow-batched pandas UDFs). The
+  * actual image/audio codecs are NOT in this environment, so the decode
+  * kernel is a clearly-marked deterministic STUB — everything around it
+  * (schema, batching, partitioning, null handling) is the real plumbing
+  * a codec would drop into.
+  */
+object Multimodal {
+
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false))), nullable = false)))
+
+  /** Wrap documents as media rows: payload = UTF-8 bytes of the text
+    * (stand-in for real image/audio bytes), metadata derived
+    * deterministically.
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("text/plain").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        col("source"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height")).as("meta"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("byte_histogram", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("feat", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** STUB decode kernel — deterministic fake standing in for a codec.
+    * A real deployment swaps only this function (same byte[]-in,
+    * features-out shape a JNI/FFI codec binding would have).
+    */
+  private[multimodal] def decodeStub(payload: Array[Byte]): (Long, Array[Long], Array[Float]) = {
+    var checksum = 1125899906842597L
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      checksum = 31L * checksum + b
+      hist(b >>> 5) += 1
+      i += 1
+    }
+    val feat = Array.tabulate(8)(j =>
+      if (payload.length == 0) 0.0f else hist(j).toFloat / payload.length)
+    (checksum, hist, feat)
+  }
+
+  /** Per-partition batched feature extraction over payload rows.
+    * `batchSize` bounds the rows decoded per inner batch — the knob a
+    * real codec needs to cap native-memory use per task (mirrors Arrow
+    * batch sizing for pandas UDFs).
+    */
+  def decodeFeatures(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    val rdd = payloads.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val docId = r.getLong(0)
+            val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+            val (checksum, hist, feat) = decodeStub(payload)
+            Row(docId, checksum, hist.toSeq, feat.toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event queries.
+  *
+  * The reference is batch-only ETL; a modern pipeline runs the same
+  * aggregations continuously. Each transform here takes ANY events
+  * DataFrame — batch or streaming — so the logic is written once and the
+  * ScalaTest suite proves stream output == batch output on the same rows
+  * (the Structured Streaming unification contract).
+  */
+object EventPipeline {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling-window counts/sums per event type. On a stream, callers
+    * add `.withWatermark("ts", ...)` upstream to bound state.
+    */
+  def tumblingAgg(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Session windows per user with a 30-minute inactivity gap — the
+    * built-in session_window keeps per-user state in the state store
+    * (on a stream, watermark bounds it; in batch it degenerates to a
+    * grouped agg).
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Streaming reader over a parquet directory with the events schema
+    * (file-source streaming; each new file is a micro-batch).
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+}

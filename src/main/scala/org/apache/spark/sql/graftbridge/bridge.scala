@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. `ExpressionUtils` is `private[sql]` in
+  * Spark 4, so this shim lives under the org.apache.spark.sql package —
+  * the standard pattern for third-party Catalyst extensions (the pre-4.0
+  * equivalents were the public `new Column(expr)` / `col.expr`).
+  */
+object bridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.plans.TableOrder
+
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokens handles empty / whitespace-only / multi-space text") {
+    val df = Seq("", "   ", "a  b\tc", " x ").toDF("t")
+    val out = df.select(TextFunctions.tokenCount(col("t"))).as[Int].collect()
+    assert(out === Array(0, 0, 3, 1))
+  }
+
+  test("vocabHits and stopwordRatio count exact token matches") {
+    val df = Seq("the cat the hat", "thecat").toDF("t")
+    val hits = df.select(TextFunctions.vocabHits(col("t"), Seq("the"))).as[Int].collect()
+    assert(hits === Array(2, 0))
+  }
+
+  test("langId picks marker-majority language, unknown on no hits") {
+    val df = Seq("the cat and the dog", "el perro y la casa", "zzz qqq").toDF("t")
+    val out = df.select(TextFunctions.langId(col("t"))).as[String].collect()
+    assert(out === Array("en", "es", "unknown"))
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val df = Seq("", "the " * 300, "word").toDF("t")
+    val out = df.select(TextFunctions.qualityScore(col("t"))).as[Double].collect()
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("fingerprint: equal strings equal, different differ, codegen path works") {
+    val df = Seq("hello world", "hello world", "hello worlds").toDF("t")
+    val out = df.select(Fingerprint.fingerprint(col("t"))).as[Long].collect()
+    assert(out(0) === out(1))
+    assert(out(0) !== out(2))
+  }
+
+  test("minhash signature: identical texts identical, near texts mostly agree") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    val b = a.replace("w10", "CHANGED")
+    val df = Seq(("a1", a), ("a2", a), ("b", b)).toDF("id", "t")
+    val sigs = df.select(col("id"), MinHash.minhashSignature(col("t"), 64, 3))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(sigs("a1") === sigs("a2"))
+    val agree = sigs("a1").zip(sigs("b")).count { case (x, y) => x == y } / 64.0
+    assert(agree > 0.5 && agree < 1.0) // ~jaccard of the two shingle sets
+  }
+
+  test("simhash: identical = hamming 0, near texts within small hamming") {
+    val a = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val b = a.replace("tok25", "other")
+    val df = Seq(("a", a), ("b", b)).toDF("id", "t")
+    val out = df.select(col("id"), SimHash.simhash(col("t"))).as[(String, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(out("a") ^ out("b")) <= 8)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val out = df.select(round(VectorFunctions.cosine(col("a"), col("b")), 6)).as[Double].collect()
+    assert(out === Array(1.0, 0.0))
+  }
+
+  test("TableOrder: parents precede children, deterministic, cycles throw") {
+    val order = TableOrder.order(graft.sources.Tables.All)
+    def idx(t: String) = order.indexOf(t)
+    assert(idx("region") < idx("nation"))
+    assert(idx("nation") < idx("customer") && idx("nation") < idx("supplier"))
+    assert(idx("orders") < idx("lineitem") && idx("customer") < idx("orders"))
+    assert(order === TableOrder.order(graft.sources.Tables.All))
+    intercept[IllegalArgumentException] {
+      TableOrder.order(Seq("a", "b"), Map("a" -> Set("b"), "b" -> Set("a")))
+    }
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Knn
+import graft.sources.Tables
+
+class KnnSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings").cache()
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("bruteForceTopK returns k neighbors per query, self excluded, sorted by cos") {
+    val out = Knn.bruteForceTopK(emb, queries, k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === 25)
+    assert(out.forall { case (q, n, _) => q != n })
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.length === 5)
+    }
+  }
+
+  test("ivfTopK with all buckets probed equals brute force") {
+    val centroids = Knn.trainCentroids(emb, nCentroids = 4, iters = 1).cache()
+    val ivf = Knn.ivfTopK(emb, queries, centroids, k = 5, nProbe = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val bf = Knn.bruteForceTopK(emb, queries, k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ivf === bf)
+  }
+
+  test("ivfTopK with nProbe=2 of 4 keeps reasonable recall") {
+    val centroids = Knn.trainCentroids(emb, nCentroids = 4, iters = 1).cache()
+    val ivf = Knn.ivfTopK(emb, queries, centroids, k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = Knn.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+}

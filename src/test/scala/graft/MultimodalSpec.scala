@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("withPayload produces binary payload + typed metadata") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = Multimodal.withPayload(docs)
+    assert(p.schema("payload").dataType.typeName === "binary")
+    val row = p.filter(col("doc_id") === 0)
+      .select(col("meta.n_bytes"), length(col("payload")).cast("long")).as[(Long, Long)].head()
+    assert(row._1 === row._2)
+  }
+
+  test("decodeFeatures: deterministic, histogram sums to byte count, feat normalized") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val feats = Multimodal.decodeFeatures(Multimodal.withPayload(docs), batchSize = 7)
+    val rows = feats.select(col("doc_id"), col("checksum"),
+      aggregate(col("byte_histogram"), lit(0L), (a, b) => a + b).as("hist_sum"),
+      round(aggregate(col("feat"), lit(0.0), (a, b) => a + b.cast("double")), 3).as("feat_sum"))
+      .join(Multimodal.withPayload(docs).select(col("doc_id"), col("meta.n_bytes")), Seq("doc_id"))
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, histSum, featSum, nBytes) =>
+      assert(histSum === nBytes)
+      assert(math.abs(featSum - 1.0) < 0.01)
+    }
+    // determinism: run twice, same checksums
+    val again = Multimodal.decodeFeatures(Multimodal.withPayload(docs))
+      .select("doc_id", "checksum").as[(Long, Long)].collect().toMap
+    val first = feats.select("doc_id", "checksum").as[(Long, Long)].collect().toMap
+    assert(first === again)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def dest = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("id", "name", "amount")
+
+  private def incoming = Seq(
+    (2L, "B2", 22.0), (4L, "d", 40.0)
+  ).toDF("id", "name", "amount")
+
+  test("Merge.upsert updates matched, inserts unmatched, keeps rest") {
+    val out = Merge.upsert(dest, incoming, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(out === Array((1L, "a", 10.0), (2L, "B2", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("Merge.updateExisting discards unmatched incoming") {
+    val out = Merge.updateExisting(dest, incoming, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(out === Array((1L, "a", 10.0), (2L, "B2", 22.0), (3L, "c", 30.0)))
+  }
+
+  test("Merge.insertMissing returns only new keys") {
+    val out = Merge.insertMissing(dest, incoming, Seq("id"))
+      .as[(Long, String, Double)].collect()
+    assert(out === Array((4L, "d", 40.0)))
+  }
+
+  test("Merge.deleteExcess finds dest rows absent from incoming") {
+    val out = Merge.deleteExcess(dest, incoming, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(out.map(_._1) === Array(1L, 3L))
+  }
+
+  test("Merge.flagMissing flags presence without dropping rows") {
+    val out = Merge.flagMissing(dest, incoming, Seq("id"), "present")
+      .orderBy("id").select("id", "present").as[(Long, Boolean)].collect()
+    assert(out === Array((1L, false), (2L, true), (3L, false)))
+  }
+
+  test("Merge.upsert with partial incoming columns keeps dest values") {
+    val slim = Seq((2L, "B2")).toDF("id", "name")
+    val out = Merge.upsert(dest, slim, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(out(1) === ((2L, "B2", 20.0))) // amount untouched
+  }
+
+  test("Dedup.keepFirst keeps deterministic first per key") {
+    val df = Seq((1L, 2, "x"), (1L, 1, "y"), (2L, 5, "z")).toDF("k", "ord", "v")
+    val out = Dedup.keepFirst(df, Seq("k"), Seq(col("ord")))
+      .orderBy("k").as[(Long, Int, String)].collect()
+    assert(out === Array((1L, 1, "y"), (2L, 5, "z")))
+  }
+
+  test("ListColumns pack → unpackWithPos round-trips") {
+    val df = Seq((1, "b"), (1, "a"), (2, "c")).toDF("k", "v")
+    val packed = ListColumns.pack(df, Seq("k"), col("v"), "vs")
+    val p = packed.orderBy("k").as[(Int, String)].collect()
+    assert(p === Array((1, "\"a\",\"b\""), (2, "\"c\"")))
+    val unpacked = ListColumns.unpackWithPos(packed, col("vs"), ",", "pos", "item")
+      .select(col("k"), col("pos"), translate(col("item"), "\"", "").as("item"))
+      .orderBy("k", "pos").as[(Int, Int, String)].collect()
+    assert(unpacked === Array((1, 0, "a"), (1, 1, "b"), (2, 0, "c")))
+  }
+
+  test("PivotOps.toLong drops null cells and inverts toWide") {
+    val kv = Seq((1, "x", 5.0), (1, "y", 6.0), (2, "x", 7.0)).toDF("k", "f", "v")
+    val wide = PivotOps.toWide(kv, Seq("k"), "f", first(col("v")), Seq("x", "y"))
+    val long = PivotOps.toLong(wide, Seq("k"), Seq("x", "y"), "f", "v")
+      .orderBy("k", "f").as[(Int, String, Double)].collect()
+    assert(long === Array((1, "x", 5.0), (1, "y", 6.0), (2, "x", 7.0)))
+  }
+
+  test("Propagate.fillFromParent inherits parent values on null children") {
+    val df = Seq(
+      (1L, 1, Some("P")), (1L, 2, None), (1L, 3, Some("own")),
+      (2L, 1, None), (2L, 2, None)
+    ).toDF("k", "line", "note")
+    val out = Propagate.fillFromParent(df, Seq("k"), col("line") === 1, Seq("note"))
+      .orderBy("k", "line").as[(Long, Int, Option[String])].collect()
+    assert(out === Array(
+      (1L, 1, Some("P")), (1L, 2, Some("P")), (1L, 3, Some("own")),
+      (2L, 1, None), (2L, 2, None)))
+  }
+
+  test("SurrogateKeys.assign is dense, ordered, deterministic") {
+    val df = Seq(("c", 3), ("a", 1), ("b", 2)).toDF("name", "x")
+    val out = SurrogateKeys.assign(df, Seq(col("name")), "id", startAt = 100L)
+      .select("name", "id").orderBy("id").as[(String, Long)].collect()
+    assert(out === Array(("a", 100L), ("b", 101L), ("c", 102L)))
+  }
+
+  test("Denormalize.resolve broadcasts and missingRefs finds gaps") {
+    val facts = Seq((1, "US"), (2, "DE"), (3, "XX")).toDF("id", "cc")
+    val dim = Seq(("US", "United States"), ("DE", "Germany")).toDF("code", "cname")
+    val resolved = Denormalize.resolve(facts, dim, Seq("cc" -> "code"), Seq("cname" -> "country"))
+      .orderBy("id").select("id", "country").as[(Int, Option[String])].collect()
+    assert(resolved === Array((1, Some("United States")), (2, Some("Germany")), (3, None)))
+    val missing = Denormalize.missingRefs(facts, "cc", dim, "code").as[String].collect()
+    assert(missing === Array("XX"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventPipeline
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSuite {
+
+  private def mkEv(id: Long, minute: Int, user: Long, typ: String): Ev =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, typ, id * 1.5, "{}")
+
+  private val events = Seq(
+    mkEv(1, 0, 1, "click"), mkEv(2, 5, 1, "click"), mkEv(3, 50, 1, "view"),
+    mkEv(4, 2, 2, "purchase"), mkEv(5, 59, 2, "click"))
+
+  test("streaming tumblingAgg over MemoryStream equals batch on same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(events)
+    val q = EventPipeline.tumblingAgg(stream.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete").format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = EventPipeline.tumblingAgg(events.toDF())
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionAgg groups by 30-minute inactivity gap") {
+    import spark.implicits._
+    val out = EventPipeline.sessionAgg(events.toDF())
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Long)].collect()
+    // user 1: events at 10:00,10:05 (one session) then 10:50 (new session)
+    // user 2: 10:02, then 10:59 (new session)
+    assert(out.map(r => (r._1, r._3)).toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("file-source readStream matches the events schema") {
+    val df = EventPipeline.readStream(spark, sf)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq === EventPipeline.eventSchema.fieldNames.toSeq)
+  }
+}
