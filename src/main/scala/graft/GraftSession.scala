@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned session factory for the graft engine.
+  *
+  * Centralizes the conf the engine relies on so every entry point (Verify,
+  * Bench, tests, user code) runs the same way:
+  * - AQE on: runtime coalescing of shuffle partitions, skew-join
+  *   splitting, and dynamic broadcast conversion — the knobs that keep
+  *   the same plans healthy from sf0.001 to 100 TB.
+  * - shuffle.partitions sized to the machine locally; on a real cluster
+  *   AQE's coalescing makes the static value a ceiling, not a tuning
+  *   problem.
+  * - UTC session timezone (oracle parity + sane timestamp semantics).
+  */
+object GraftSession {
+
+  def builder(cpus: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def create(cpus: Int): SparkSession = {
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

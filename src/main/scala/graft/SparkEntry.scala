@@ -414,7 +414,7 @@ object SparkEntry {
 
     "q_embed_neardup" -> ((s, dir) => {
       NearDup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        minCosine = 0.25, nBits = 16)
+        minCosine = 0.25, nBits = 32)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -52,19 +52,21 @@ object NearDup {
                    threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val sigs = base.select(col("id"),
-      MinHash.minhashSignature(col("text"), numHashes, shingleLen).as("sig"))
-    val cand = bucketPairs(bandBuckets(sigs, bands, rows), Seq("band", "bucket"))
+    // ONE pass over the text computes both sketches; persisted because the
+    // table feeds the band explode and both sides of the verification
+    // joins (without persist the sketch would be recomputed three times).
+    // At 100 TB this is the natural "signature table" an LSH dedup job
+    // would checkpoint anyway: numHashes*8 B + shingle set per doc.
+    val features = docs.select(col(idCol).as("id"),
+      MinHash.minhashSignature(col(textCol), numHashes, shingleLen).as("sig"),
+      shingles(col(textCol), shingleLen).as("sset")).persist()
+    val cand = bucketPairs(bandBuckets(features, bands, rows), Seq("band", "bucket"))
 
-    val sigA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
-    val sigB = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
-    val sets = base.select(col("id"), shingles(col("text"), shingleLen).as("sset"))
-    val setA = sets.select(col("id").as("id_a"), col("sset").as("set_a"))
-    val setB = sets.select(col("id").as("id_b"), col("sset").as("set_b"))
-
-    cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
-      .join(setA, Seq("id_a")).join(setB, Seq("id_b"))
+    val featA = features.select(col("id").as("id_a"),
+      col("sig").as("sig_a"), col("sset").as("set_a"))
+    val featB = features.select(col("id").as("id_b"),
+      col("sig").as("sig_b"), col("sset").as("set_b"))
+    cand.join(featA, Seq("id_a")).join(featB, Seq("id_b"))
       .withColumn("est_jaccard", round(
         size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
           x => x)).cast("double") / numHashes, 4))
@@ -82,7 +84,7 @@ object NearDup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val withHash = docs.select(col(idCol).as("id"),
-      SimHash.simhash(col(textCol)).as("sh"))
+      SimHash.simhash(col(textCol)).as("sh")).persist()
     val chunked = withHash.select(col("id"),
       posexplode(expr("transform(sequence(0, 3), c -> (shiftright(sh, c * 16) & 65535))"))
         .as(Seq("chunk", "key")))

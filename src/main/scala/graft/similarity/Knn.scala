@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -10,11 +10,13 @@ import graft.functions.VectorFunctions
   *
   * Brute force is the correctness baseline: broadcast the (small) query
   * set, one scan of the corpus, per-query top-k via window — no corpus
-  * self-join, no driver collect. IVF is the scale path: assign every
-  * vector to its nearest coarse centroid (broadcast centroids, map-side),
-  * store bucketed; queries probe only `nProbe` buckets, so a 100 TB
-  * corpus scan becomes an `nProbe/nCentroids` partial scan, and the
-  * bucket id is a partition-prunable column when persisted.
+  * self-join, no driver collect. IVF is the scale path: the coarse
+  * centroid table is tiny BY CONSTRUCTION (hundreds of rows), so it is
+  * collected once and folded into a literal expression — centroid
+  * assignment is then a pure map over the corpus (zero shuffle, zero
+  * join), and the bucket id becomes a partition-prunable column when the
+  * index is persisted. Queries probe only `nProbe` buckets, turning a
+  * full scan into an nProbe/nCentroids partial scan.
   */
 object Knn {
 
@@ -29,62 +31,78 @@ object Knn {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
   }
 
-  /** Deterministic coarse centroids: seed = every (n/nCentroids)-th
-    * vector by id order, then `iters` Lloyd rounds, all as DataFrame ops
-    * (assignment is a broadcast-join argmin, update a groupBy avg — no
-    * driver-side math over the corpus).
+  /** Local centroid table: (centroid_id, vector). Tiny by construction. */
+  type Centroids = Array[(Int, Array[Float])]
+
+  /** `argmin_c ||v - c||²` as a pure map expression: one struct per
+    * centroid (squared L2 distance, id), `array_min` picks the smallest
+    * with deterministic id tie-break. ||v||² is constant per row and
+    * dropped: argmin needs only `-2·v·c + ||c||²` (the ||c||² term is
+    * precomputed on the driver).
     */
-  def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 2): DataFrame = {
+  private def nearestCentroid(vec: Column, cents: Centroids): Column = {
+    val scored = cents.map { case (id, c) =>
+      val cLit = typedlit(c.toSeq)
+      val cNorm2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct(lit(-2.0) * VectorFunctions.dot(vec, cLit) + lit(cNorm2), lit(id))
+    }
+    // array() normalizes struct field names to col1/col2
+    array_min(array(scored: _*)).getField("col2")
+  }
+
+  /** Deterministic coarse centroids: seed = every (n/nCentroids)-th
+    * vector by id order, then `iters` Lloyd rounds. Assignment is the
+    * map-side expression above; the mean update is one shuffle of
+    * (centroid, dim) partial sums; the tiny result is collected per round.
+    */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 2): Centroids = {
     val n = corpus.count()
     val step = math.max(1L, n / nCentroids)
-    var centroids = corpus
+    var centroids: Centroids = corpus
       .filter(col("vec_id") % step === 0).orderBy(col("vec_id")).limit(nCentroids)
-      .select(row_number().over(Window.orderBy(col("vec_id"))).cast("int").as("centroid_id"),
-        col("embedding").as("centroid"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Float](1).toArray) }
     for (_ <- 1 to iters) {
-      val assigned = assign(corpus, centroids)
-      centroids = assigned.join(corpus, Seq("vec_id"))
-        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      centroids = corpus
+        .select(nearestCentroid(col("embedding"), centroids).as("centroid_id"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("centroid_id"), col("dim"))
         .agg(avg(col("v")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m").cast("float")).as("centroid"))
+        .collect()
+        .groupBy(_.getInt(0)).toArray
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat))
+        }.sortBy(_._1)
     }
     centroids
   }
 
-  /** (vec_id, centroid_id) assignment: argmin L2 over broadcast centroids. */
-  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("__dist"), col("centroid_id"))
-    corpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__dist",
-        VectorFunctions.dot(col("embedding"), col("embedding"))
-          - lit(2.0) * VectorFunctions.dot(col("embedding"), col("centroid"))
-          + VectorFunctions.dot(col("centroid"), col("centroid")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("vec_id"), col("centroid_id"))
-  }
+  /** (vec_id, centroid_id) assignment — pure map, no shuffle. */
+  def assign(corpus: DataFrame, centroids: Centroids): DataFrame =
+    corpus.select(col("vec_id"),
+      nearestCentroid(col("embedding"), centroids).as("centroid_id"))
 
   /** IVF top-k: probe the `nProbe` nearest centroid buckets per query,
     * exact cosine within the probed buckets only.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: Centroids,
               k: Int, nProbe: Int = 2): DataFrame = {
-    val bucketed = corpus.join(assign(corpus, centroids), Seq("vec_id"))
+    val bucketed = corpus.withColumn("centroid_id",
+      nearestCentroid(col("embedding"), centroids))
 
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__dist"), col("centroid_id"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("__dist",
-        VectorFunctions.dot(col("q_emb"), col("q_emb"))
-          - lit(2.0) * VectorFunctions.dot(col("q_emb"), col("centroid"))
-          + VectorFunctions.dot(col("centroid"), col("centroid")))
-      .withColumn("__rk", row_number().over(probeW))
-      .filter(col("__rk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+    // nProbe nearest centroids per query — computed the same map-side way,
+    // one exploded row per probed bucket.
+    val probeIds = (vec: Column) => {
+      val scored = centroids.map { case (id, c) =>
+        val cNorm2 = c.map(x => x.toDouble * x.toDouble).sum
+        struct(lit(-2.0) * VectorFunctions.dot(vec, typedlit(c.toSeq)) + lit(cNorm2), lit(id))
+      }
+      slice(transform(array_sort(array(scored: _*)), s => s.getField("col2")), 1, nProbe)
+    }
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probeIds(col("embedding"))).as("centroid_id"))
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     bucketed.join(broadcast(probes), Seq("centroid_id"))

@@ -21,7 +21,7 @@ class KnnSpec extends SparkSuite {
   }
 
   test("ivfTopK with all buckets probed equals brute force") {
-    val centroids = Knn.trainCentroids(emb, nCentroids = 4, iters = 1).cache()
+    val centroids = Knn.trainCentroids(emb, nCentroids = 4, iters = 1)
     val ivf = Knn.ivfTopK(emb, queries, centroids, k = 5, nProbe = 4)
       .as[(Long, Long, Double)].collect().toSet
     val bf = Knn.bruteForceTopK(emb, queries, k = 5)
@@ -30,7 +30,7 @@ class KnnSpec extends SparkSuite {
   }
 
   test("ivfTopK with nProbe=2 of 4 keeps reasonable recall") {
-    val centroids = Knn.trainCentroids(emb, nCentroids = 4, iters = 1).cache()
+    val centroids = Knn.trainCentroids(emb, nCentroids = 4, iters = 1)
     val ivf = Knn.ivfTopK(emb, queries, centroids, k = 5, nProbe = 2)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val bf = Knn.bruteForceTopK(emb, queries, k = 5)
