@@ -348,7 +348,8 @@ object SparkEntry {
 
     "q_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -718,7 +719,9 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS INTEGER) AS n_bpe_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

@@ -18,6 +18,16 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style subword-ish segmentation: letter runs, digit runs, and
+    * individual punctuation each count as one token — the pre-tokenizer
+    * split most BPE vocabularies apply before merges, which makes this a
+    * deterministic, regex-only LLM token-count estimate.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Count of tokens found in `vocab` (stopword hits, language markers). */
   def vocabHits(text: Column, vocab: Seq[String]): Column = {
     val set = array(vocab.map(lit): _*)

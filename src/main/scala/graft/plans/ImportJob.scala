@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{Dedup, Merge}
+import org.apache.spark.sql.functions.col
+
+/** Multi-table staged import, executed in dependency order.
+  *
+  * This is the Spark-native analog of the reference's job runner:
+  * `EcomProvider.RunJob` (EcomProvider.cs:934) iterates the job's table
+  * mappings — ordered by `OrderTablesInJob` (:819) so referenced tables
+  * land before referencing ones — writes each source into a temp table,
+  * then merges into the live table (`MoveDataToMainTables`,
+  * EcomDestinationWriter.cs:3165) honoring update-only / insert-only
+  * switches, optional in-batch dedup (:1042), and full-sync
+  * delete/deactivate of rows missing from the import (:3067).
+  *
+  * Here "temp table → merge" becomes a declarative dataframe merge per
+  * table; the caller persists results wherever they live (parquet/
+  * iceberg/delta writers all consume the returned frames).
+  */
+object ImportJob {
+
+  sealed trait MergeMode
+  case object Upsert extends MergeMode
+  case object UpdateOnly extends MergeMode
+  case object InsertOnly extends MergeMode
+
+  /** One table's import spec.
+    *
+    * @param dedupKeys     discard in-batch duplicates on these keys
+    *                      (keep-first under `dedupOrder`), like
+    *                      discardDuplicates
+    * @param deleteExcess  full-sync: drop destination rows missing from
+    *                      the incoming batch
+    * @param flagMissing   soft-sync: keep missing rows but set this
+    *                      boolean column false (hideDeactivatedProducts)
+    */
+  case class TableSpec(
+      table: String,
+      keys: Seq[String],
+      mode: MergeMode = Upsert,
+      dedupKeys: Seq[String] = Nil,
+      dedupOrder: Seq[String] = Nil,
+      deleteExcess: Boolean = false,
+      flagMissing: Option[String] = None)
+
+  /** Run the job: for each spec (in dependency order), merge `incoming`
+    * into `dest` and return the resulting frames keyed by table name.
+    */
+  def run(specs: Seq[TableSpec],
+          dest: String => DataFrame,
+          incoming: String => DataFrame,
+          deps: Map[String, Set[String]] = TableOrder.StarSchemaDeps): Map[String, DataFrame] = {
+    val ordered = TableOrder.order(specs.map(_.table), deps)
+    val byName = specs.map(s => s.table -> s).toMap
+    ordered.map { table =>
+      val spec = byName(table)
+      val in0 = incoming(table)
+      val in = if (spec.dedupKeys.nonEmpty)
+        Dedup.keepFirst(in0, spec.dedupKeys,
+          (if (spec.dedupOrder.nonEmpty) spec.dedupOrder else spec.dedupKeys).map(col))
+      else in0
+      val d = dest(table)
+      var out = spec.mode match {
+        case Upsert => Merge.upsert(d, in, spec.keys)
+        case UpdateOnly => Merge.updateExisting(d, in, spec.keys)
+        case InsertOnly => d.unionByName(Merge.insertMissing(d, in, spec.keys), allowMissingColumns = true)
+      }
+      if (spec.deleteExcess)
+        out = out.join(in.select(spec.keys.map(col): _*).distinct(), spec.keys, "left_semi")
+      spec.flagMissing.foreach { flag =>
+        out = Merge.flagMissing(out, in, spec.keys, flag)
+      }
+      table -> out
+    }.toMap
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.plans.ImportJob
+import graft.plans.ImportJob._
+
+class ImportJobSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("run merges tables in dependency order with per-table modes") {
+    val destTables = Map(
+      "nation" -> Seq((1, "US"), (2, "DE")).toDF("nid", "nname"),
+      "customer" -> Seq((10L, 1, 100.0), (11L, 2, 50.0)).toDF("cid", "nid", "bal"))
+    val incomingTables = Map(
+      "nation" -> Seq((2, "Germany"), (3, "FR")).toDF("nid", "nname"),
+      "customer" -> Seq((11L, 2, 75.0), (11L, 2, 999.0), (12L, 3, 10.0))
+        .toDF("cid", "nid", "bal"))
+
+    val out = ImportJob.run(
+      Seq(
+        TableSpec("customer", keys = Seq("cid"), dedupKeys = Seq("cid"),
+          dedupOrder = Seq("bal")),
+        TableSpec("nation", keys = Seq("nid"))),
+      dest = destTables, incoming = incomingTables)
+
+    val nations = out("nation").orderBy("nid").as[(Int, String)].collect()
+    assert(nations === Array((1, "US"), (2, "Germany"), (3, "FR")))
+    // dedup kept bal=75 (first by bal order), upsert applied it
+    val custs = out("customer").orderBy("cid").as[(Long, Int, Double)].collect()
+    assert(custs === Array((10L, 1, 100.0), (11L, 2, 75.0), (12L, 3, 10.0)))
+  }
+
+  test("deleteExcess + flagMissing shape the synced output") {
+    val d = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val in = Seq((2, "B")).toDF("id", "v")
+    val synced = ImportJob.run(
+      Seq(TableSpec("part", keys = Seq("id"), deleteExcess = true)),
+      _ => d, _ => in)("part").orderBy("id").as[(Int, String)].collect()
+    assert(synced === Array((2, "B")))
+
+    val flagged = ImportJob.run(
+      Seq(TableSpec("part", keys = Seq("id"), flagMissing = Some("active"))),
+      _ => d, _ => in)("part").orderBy("id")
+      .select("id", "active").as[(Int, Boolean)].collect()
+    assert(flagged === Array((1, false), (2, true), (3, false)))
+  }
+
+  test("insertOnly keeps destination rows untouched and appends new keys") {
+    val d = Seq((1, "a")).toDF("id", "v")
+    val in = Seq((1, "CHANGED"), (2, "new")).toDF("id", "v")
+    val out = ImportJob.run(
+      Seq(TableSpec("region", keys = Seq("id"), mode = InsertOnly)),
+      _ => d, _ => in)("region").orderBy("id").as[(Int, String)].collect()
+    assert(out === Array((1, "a"), (2, "new")))
+  }
+}
