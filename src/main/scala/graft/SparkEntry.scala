@@ -315,11 +315,29 @@ object SparkEntry {
     }),
 
     "q_window_tumbling" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
-          .as("hour_bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), round(dsum(col("value"), 6), 2).as("total_value"))
+      // same transform the streaming pipeline runs (EventPipeline is
+      // batch/stream-agnostic; StreamingSpec proves stream == batch)
+      EventPipeline.tumblingAgg(t(s, dir, "events"), "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+          col("event_type"), col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy(col("hour_bucket"), col("event_type"))
+    }),
+
+    "q_salted_agg" -> ((s, dir) => {
+      Salt.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue",
+        distributor = col("l_orderkey"))
+        .select(col("l_returnflag"), round(col("revenue"), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_clean_relations" -> ((s, dir) => {
+      val validParents = t(s, dir, "orders").filter(col("o_totalprice") <= 400000)
+        .select(col("o_orderkey").as("l_orderkey"))
+      t(s, dir, "lineitem")
+        .join(validParents, Seq("l_orderkey"), "left_anti")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     "q_sessionize" -> ((s, dir) => {
@@ -673,6 +691,20 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_clean_relations" ->
+      """SELECT l_orderkey, l_linenumber
+        |FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_totalprice <= 400000 AND o_orderkey = l_orderkey)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

@@ -40,15 +40,26 @@ object Knn {
     * dropped: argmin needs only `-2·v·c + ||c||²` (the ||c||² term is
     * precomputed on the driver).
     */
-  private def nearestCentroid(vec: Column, cents: Centroids): Column = {
-    val scored = cents.map { case (id, c) =>
-      val cLit = typedlit(c.toSeq)
-      val cNorm2 = c.map(x => x.toDouble * x.toDouble).sum
-      struct(lit(-2.0) * VectorFunctions.dot(vec, cLit) + lit(cNorm2), lit(id))
-    }
-    // array() normalizes struct field names to col1/col2
-    array_min(array(scored: _*)).getField("col2")
+  /** (distance², id) structs for every centroid, as a CONSTANT-SIZE
+    * expression tree: the centroid matrix travels as three array
+    * literals and the scoring loop is a higher-order `transform`, so
+    * codegen cost does not grow with nCentroids×dim (an unrolled
+    * per-centroid expression took seconds of janino compilation per
+    * action at 8×64 already).
+    */
+  private def centroidScores(vec: Column, cents: Centroids): Column = {
+    val cVecs = typedlit(cents.map(_._2.toSeq).toSeq)
+    val cIds = typedlit(cents.map(_._1).toSeq)
+    val cNorm2 = typedlit(cents.map(_._2.map(x => x.toDouble * x.toDouble).sum).toSeq)
+    transform(sequence(lit(1), lit(cents.length)), j =>
+      struct(lit(-2.0) * VectorFunctions.dot(vec, element_at(cVecs, j))
+          + element_at(cNorm2, j),
+        element_at(cIds, j)))
   }
+
+  private def nearestCentroid(vec: Column, cents: Centroids): Column =
+    // array of struct normalizes field names to col1/col2
+    array_min(centroidScores(vec, cents)).getField("col2")
 
   /** Deterministic coarse centroids: seed = every (n/nCentroids)-th
     * vector by id order, then `iters` Lloyd rounds. Assignment is the
@@ -65,8 +76,12 @@ object Knn {
       .map { case (r, i) => (i + 1, r.getSeq[Float](1).toArray) }
     for (_ <- 1 to iters) {
       centroids = corpus
+        // assignment in its own projection BELOW the explode — in one
+        // select with posexplode it would land above the Generate node
+        // and re-score every vector once per exploded dimension
         .select(nearestCentroid(col("embedding"), centroids).as("centroid_id"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
+          col("embedding"))
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("centroid_id"), col("dim"))
         .agg(avg(col("v")).as("m"))
         .collect()
@@ -93,13 +108,9 @@ object Knn {
 
     // nProbe nearest centroids per query — computed the same map-side way,
     // one exploded row per probed bucket.
-    val probeIds = (vec: Column) => {
-      val scored = centroids.map { case (id, c) =>
-        val cNorm2 = c.map(x => x.toDouble * x.toDouble).sum
-        struct(lit(-2.0) * VectorFunctions.dot(vec, typedlit(c.toSeq)) + lit(cNorm2), lit(id))
-      }
-      slice(transform(array_sort(array(scored: _*)), s => s.getField("col2")), 1, nProbe)
-    }
+    val probeIds = (vec: Column) =>
+      slice(transform(array_sort(centroidScores(vec, centroids)),
+        s => s.getField("col2")), 1, nProbe)
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(probeIds(col("embedding"))).as("centroid_id"))
