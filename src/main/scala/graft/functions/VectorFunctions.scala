@@ -19,4 +19,24 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Unit-normalize (L2); zero vectors pass through unchanged. */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, a).otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
+  }
+
+  /** Symmetric int8 quantization against the vector's own max-abs scale —
+    * the storage shape ANN indexes ship at scale (4× smaller than float32).
+    * Returns struct(scale, q: array<tinyint>); dequantize with q*scale.
+    */
+  def quantizeInt8(a: Column): Column = {
+    val maxAbs = aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    struct(scale.as("scale"),
+      transform(a, x => round(x.cast("double") / scale, 0).cast("tinyint")).as("q"))
+  }
+
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"), q => (q.cast("double") * qs.getField("scale")).cast("float"))
 }

@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Sink, Tables}
+
+class SinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("writePartitioned lays out hive-style dirs and reads prune") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val docs = Tables.load(spark, sf, "documents")
+    Sink.writePartitioned(docs, s"$dir/docs", Seq("lang"))
+    val langs = new java.io.File(s"$dir/docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(langs.nonEmpty && langs.forall(_.startsWith("lang=")))
+    val back = spark.read.parquet(s"$dir/docs").filter(col("lang") === "en")
+    assert(back.count() === docs.filter(col("lang") === "en").count())
+  }
+
+  test("repartitionForWrite sizes output partitions") {
+    val df = spark.range(1000).toDF("id")
+    assert(Sink.repartitionForWrite(df, 1000, 100).rdd.getNumPartitions === 10)
+    assert(Sink.repartitionForWrite(df, 10, 100).rdd.getNumPartitions === 1)
+  }
+
+  test("vector normalize and int8 quantize round-trip") {
+    import graft.functions.VectorFunctions._
+    val df = Seq(
+      Tuple1(Array(3.0f, 4.0f)),
+      Tuple1(Array(0.0f, 0.0f))
+    ).toDF("v")
+    val n = df.select(l2Normalize(col("v"))).as[Seq[Float]].collect()
+    assert(math.abs(n(0)(0) - 0.6f) < 1e-6 && math.abs(n(0)(1) - 0.8f) < 1e-6)
+    assert(n(1) === Seq(0.0f, 0.0f))
+    val rt = df.select(dequantizeInt8(quantizeInt8(col("v")))).as[Seq[Float]].collect()
+    rt(0).zip(Seq(3.0f, 4.0f)).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 0.05f)
+    }
+  }
+}
