@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
 import graft.operators.{Dedup, Merge}
 import org.apache.spark.sql.functions.col
 
@@ -35,6 +36,9 @@ object ImportJob {
     *                      the incoming batch
     * @param flagMissing   soft-sync: keep missing rows but set this
     *                      boolean column false (hideDeactivatedProducts)
+    * @param expectSchema  validate the incoming frame up front
+    *                      (ValidateDestinationSettings analog) — fails the
+    *                      job with the full problem list before any work
     */
   case class TableSpec(
       table: String,
@@ -43,7 +47,8 @@ object ImportJob {
       dedupKeys: Seq[String] = Nil,
       dedupOrder: Seq[String] = Nil,
       deleteExcess: Boolean = false,
-      flagMissing: Option[String] = None)
+      flagMissing: Option[String] = None,
+      expectSchema: Option[StructType] = None)
 
   /** Run the job: for each spec (in dependency order), merge `incoming`
     * into `dest` and return the resulting frames keyed by table name.
@@ -56,7 +61,9 @@ object ImportJob {
     val byName = specs.map(s => s.table -> s).toMap
     ordered.map { table =>
       val spec = byName(table)
-      val in0 = incoming(table)
+      val in0 = spec.expectSchema
+        .map(SchemaCheck.validate(incoming(table), _))
+        .getOrElse(incoming(table))
       val in = if (spec.dedupKeys.nonEmpty)
         Dedup.keepFirst(in0, spec.dedupKeys,
           (if (spec.dedupOrder.nonEmpty) spec.dedupOrder else spec.dedupKeys).map(col))

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.plans.{JobMetrics, SchemaCheck}
+import graft.plans.SchemaCheck._
+
+class PlansSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val expected = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  test("SchemaCheck passes compatible frames case-insensitively") {
+    val df = Seq((1L, "a")).toDF("ID", "Name")
+    assert(SchemaCheck.problems(df, expected).isEmpty)
+    SchemaCheck.validate(df, expected) // no throw
+  }
+
+  test("SchemaCheck reports every problem at once") {
+    val df = Seq((1, "a", true)).toDF("id", "extra", "flag")
+    val ps = SchemaCheck.problems(df, expected, allowExtra = false)
+    assert(ps.collect { case TypeMismatch("id", _, _) => 1 }.nonEmpty)
+    assert(ps.collect { case MissingColumn("name", _) => 1 }.nonEmpty)
+    assert(ps.collect { case UnexpectedColumn(n) => n }.toSet === Set("extra", "flag"))
+    val err = intercept[IllegalArgumentException] {
+      SchemaCheck.validate(df, expected, allowExtra = false)
+    }
+    assert(err.getMessage.contains("missing column 'name'"))
+  }
+
+  test("JobMetrics.observed collects counts during the action") {
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c")).toDF("id", "name")
+    val (obsDf, obs) = JobMetrics.observed(df, "import_customer", Seq("id"))
+    obsDf.write.mode("overwrite").format("noop").save()
+    val row = obs.get
+    assert(row("rows") === 3L)
+    assert(row("null_id") === 1L)
+  }
+}
