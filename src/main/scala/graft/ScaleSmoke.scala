@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.NearDup
+import graft.similarity.Knn
+import graft.sources.Tables
+
+/** Scale-ramp smoke: replicate the sf0.1 corpora ×N with shifted ids
+  * (unique keys, same content distribution) into /tmp, then time the
+  * scale-critical pipelines at 1× and N×. Near-linear growth = the plan
+  * shapes hold; superlinear growth = a hidden quadratic/recompute.
+  * Prints one line per measurement.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = GraftSession.create(32)
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_scale"
+
+    def replicate(name: String, idCol: String): String = {
+      val df = Tables.load(spark, base, name)
+      val n = df.count()
+      val copies = (0 until mult).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * (n + 1))))
+      val path = s"$out/$name"
+      copies.reduce(_ unionByName _).write.mode("overwrite").parquet(path)
+      path
+    }
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    val docs1 = Tables.load(spark, base, "documents")
+    val emb1 = Tables.load(spark, base, "embeddings")
+    val docsN = spark.read.parquet(replicate("documents", "doc_id"))
+    val embN = spark.read.parquet(replicate("embeddings", "vec_id"))
+    println(s"[scale] corpora: docs ${docs1.count()} -> ${docsN.count()}, " +
+      s"emb ${emb1.count()} -> ${embN.count()}")
+
+    time("minhash 1x")(NearDup.minhashPairs(docs1, "doc_id", "text", threshold = 0.6).count())
+    time(s"minhash ${mult}x")(NearDup.minhashPairs(docsN, "doc_id", "text", threshold = 0.6).count())
+    time("simhash 1x")(NearDup.simhashPairs(docs1, "doc_id", "text").count())
+    time(s"simhash ${mult}x")(NearDup.simhashPairs(docsN, "doc_id", "text").count())
+    val q1 = emb1.filter(col("vec_id") < 10)
+    time("ivf 1x") {
+      val c = Knn.trainCentroids(emb1, 16, 1)
+      Knn.ivfTopK(emb1, q1, c, 5, 2).count()
+    }
+    time(s"ivf ${mult}x") {
+      val c = Knn.trainCentroids(embN, 16, 1)
+      Knn.ivfTopK(embN, embN.filter(col("vec_id") < 10), c, 5, 2).count()
+    }
+    time("brute topk 1x")(Knn.bruteForceTopK(emb1, q1, 5).count())
+    time(s"brute topk ${mult}x")(
+      Knn.bruteForceTopK(embN, embN.filter(col("vec_id") < 10), 5).count())
+    spark.stop()
+  }
+}
