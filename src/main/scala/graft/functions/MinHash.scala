@@ -3,8 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -47,9 +46,12 @@ private[functions] object Hash64 {
   * Documents with fewer than `shingleLen` tokens contribute one shingle
   * (the whole document); empty documents yield `Long.MaxValue` everywhere
   * (never collide with real content).
+  *
+  * Codegen emits a call to the static [[SketchKernels]] kernel, so the
+  * projection stays inside WholeStageCodegen.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, shingleLen: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes > 0 && shingleLen > 0)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -57,29 +59,12 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleLen: Int)
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"minhash requires string, got ${child.dataType}")
 
-  private lazy val seeds: Array[Long] = Array.tabulate(numHashes)(i => Hash64.mix(i.toLong))
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.minhash(input.asInstanceOf[UTF8String], numHashes, shingleLen)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = Hash64.tokenize(input.asInstanceOf[UTF8String])
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    if (toks.nonEmpty) {
-      val nShingles = math.max(1, toks.length - shingleLen + 1)
-      var s = 0
-      while (s < nShingles) {
-        val shingle = toks.slice(s, math.min(s + shingleLen, toks.length)).mkString(" ")
-        val bytes = shingle.getBytes("UTF-8")
-        val base = Hash64.fnv1a(bytes, 0, bytes.length)
-        var i = 0
-        while (i < numHashes) {
-          val h = Hash64.mix(base ^ seeds(i))
-          if (h < sig(i)) sig(i) = h
-          i += 1
-        }
-        s += 1
-      }
-    }
-    new GenericArrayData(sig)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.minhash($c, $numHashes, $shingleLen);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)

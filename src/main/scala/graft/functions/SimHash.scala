@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -12,34 +12,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * ±1 per bit position, the sign of each tally becomes the output bit.
   * Near-identical documents land within a small Hamming distance.
   *
-  * Same one-pass, no-explode design as [[MinHashSignature]].
+  * Same one-pass, no-explode design as [[MinHashSignature]]; codegen
+  * calls the static [[SketchKernels]] kernel.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"simhash requires string, got ${child.dataType}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = Hash64.tokenize(input.asInstanceOf[UTF8String])
-    val tally = new Array[Int](64)
-    var t = 0
-    while (t < toks.length) {
-      val bytes = toks(t).getBytes("UTF-8")
-      val h = Hash64.mix(Hash64.fnv1a(bytes, 0, bytes.length))
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
-        b += 1
-      }
-      t += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (tally(b) > 0) out |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SketchKernels.simhash(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.simhash($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

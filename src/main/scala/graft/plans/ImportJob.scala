@@ -26,6 +26,11 @@ object ImportJob {
   case object Upsert extends MergeMode
   case object UpdateOnly extends MergeMode
   case object InsertOnly extends MergeMode
+  /** The DeleteIncomingItems job mode: incoming keys are REMOVED from the
+    * destination (EcomProvider.cs:1022 -> DeleteExistingFromMainTable,
+    * EcomDestinationWriter.cs:3116).
+    */
+  case object DeleteIncoming extends MergeMode
 
   /** One table's import spec.
     *
@@ -39,6 +44,14 @@ object ImportJob {
     * @param expectSchema  validate the incoming frame up front
     *                      (ValidateDestinationSettings analog) — fails the
     *                      job with the full problem list before any work
+    * @param constants     inject fixed-value columns missing from the
+    *                      incoming frame (ScriptType.Constant shop-id
+    *                      injection, EcomProvider.cs:980)
+    * @param post          post-merge transform hook (the reference's
+    *                      UpdateProductRelatedProducts /
+    *                      UpdateVariantFieldsInProducts pass,
+    *                      EcomProvider.cs:1013-1016 — compose
+    *                      graft.operators.Propagate here)
     */
   case class TableSpec(
       table: String,
@@ -48,7 +61,9 @@ object ImportJob {
       dedupOrder: Seq[String] = Nil,
       deleteExcess: Boolean = false,
       flagMissing: Option[String] = None,
-      expectSchema: Option[StructType] = None)
+      expectSchema: Option[StructType] = None,
+      constants: Map[String, String] = Map.empty,
+      post: DataFrame => DataFrame = identity)
 
   /** Run the job: for each spec (in dependency order), merge `incoming`
     * into `dest` and return the resulting frames keyed by table name.
@@ -61,9 +76,13 @@ object ImportJob {
     val byName = specs.map(s => s.table -> s).toMap
     ordered.map { table =>
       val spec = byName(table)
+      val withConsts = spec.constants.foldLeft(incoming(table)) { case (df, (c, v)) =>
+        if (df.columns.map(_.toLowerCase).contains(c.toLowerCase)) df
+        else df.withColumn(c, org.apache.spark.sql.functions.lit(v))
+      }
       val in0 = spec.expectSchema
-        .map(SchemaCheck.validate(incoming(table), _))
-        .getOrElse(incoming(table))
+        .map(SchemaCheck.validate(withConsts, _))
+        .getOrElse(withConsts)
       val in = if (spec.dedupKeys.nonEmpty)
         Dedup.keepFirst(in0, spec.dedupKeys,
           (if (spec.dedupOrder.nonEmpty) spec.dedupOrder else spec.dedupKeys).map(col))
@@ -73,13 +92,14 @@ object ImportJob {
         case Upsert => Merge.upsert(d, in, spec.keys)
         case UpdateOnly => Merge.updateExisting(d, in, spec.keys)
         case InsertOnly => d.unionByName(Merge.insertMissing(d, in, spec.keys), allowMissingColumns = true)
+        case DeleteIncoming => Merge.deleteExcess(d, in, spec.keys)
       }
       if (spec.deleteExcess)
         out = out.join(in.select(spec.keys.map(col): _*).distinct(), spec.keys, "left_semi")
       spec.flagMissing.foreach { flag =>
         out = Merge.flagMissing(out, in, spec.keys, flag)
       }
-      table -> out
+      table -> spec.post(out)
     }.toMap
   }
 }

@@ -44,6 +44,23 @@ class ImportJobSpec extends SparkSuite {
     assert(flagged === Array((1, false), (2, true), (3, false)))
   }
 
+  test("deleteIncoming removes matched keys; constants inject missing columns") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val in = Seq(Tuple1(2)).toDF("id")
+    val out = ImportJob.run(
+      Seq(TableSpec("part", keys = Seq("id"), mode = DeleteIncoming)),
+      _ => d, _ => in)("part").as[(Int, String)].collect()
+    assert(out === Array((1, "a")))
+
+    val withConst = ImportJob.run(
+      Seq(TableSpec("part", keys = Seq("id"), constants = Map("v" -> "SHOP1"),
+        post = df => df.filter(col("id") >= 1))),
+      _ => d, _ => Seq(Tuple1(3)).toDF("id"))("part")
+      .orderBy("id").as[(Int, String)].collect()
+    assert(withConst === Array((1, "a"), (2, "b"), (3, "SHOP1")))
+  }
+
   test("insertOnly keeps destination rows untouched and appends new keys") {
     val d = Seq((1, "a")).toDF("id", "v")
     val in = Seq((1, "CHANGED"), (2, "new")).toDF("id", "v")
