@@ -98,13 +98,36 @@ object Knn {
     corpus.select(col("vec_id"),
       nearestCentroid(col("embedding"), centroids).as("centroid_id"))
 
+  /** Persist the IVF index: corpus written as parquet partitioned by
+    * centroid bucket. Probing then reads ONLY the probed buckets'
+    * directories — partition pruning at the filesystem level, the layout
+    * that turns a 100 TB index scan into an nProbe/nCentroids directory
+    * read.
+    */
+  def writeIndex(corpus: DataFrame, centroids: Centroids, path: String): Unit =
+    graft.sources.Sink.writePartitioned(
+      corpus.withColumn("centroid_id", nearestCentroid(col("embedding"), centroids)),
+      path, Seq("centroid_id"))
+
+  /** Top-k against a persisted index: bucket filter prunes partitions. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, centroids: Centroids, k: Int,
+                  nProbe: Int = 2): DataFrame =
+    ivfTopKImpl(spark.read.parquet(path), queries, centroids, k, nProbe,
+      preBucketed = true)
+
   /** IVF top-k: probe the `nProbe` nearest centroid buckets per query,
     * exact cosine within the probed buckets only.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: Centroids,
-              k: Int, nProbe: Int = 2): DataFrame = {
-    val bucketed = corpus.withColumn("centroid_id",
-      nearestCentroid(col("embedding"), centroids))
+              k: Int, nProbe: Int = 2): DataFrame =
+    ivfTopKImpl(corpus, queries, centroids, k, nProbe, preBucketed = false)
+
+  private def ivfTopKImpl(corpus: DataFrame, queries: DataFrame, centroids: Centroids,
+                          k: Int, nProbe: Int, preBucketed: Boolean): DataFrame = {
+    val bucketed = if (preBucketed) corpus
+      else corpus.withColumn("centroid_id",
+        nearestCentroid(col("embedding"), centroids))
 
     // nProbe nearest centroids per query — computed the same map-side way,
     // one exploded row per probed bucket.

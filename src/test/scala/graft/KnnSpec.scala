@@ -29,6 +29,19 @@ class KnnSpec extends SparkSuite {
     assert(ivf === bf)
   }
 
+  test("persisted index search equals in-memory IVF and prunes partitions") {
+    val centroids = Knn.trainCentroids(emb, nCentroids = 4, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    Knn.writeIndex(emb, centroids, path)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("centroid_id=")) && dirs.length > 1)
+    val fromIndex = Knn.searchIndex(spark, path, queries, centroids, k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val inMem = Knn.ivfTopK(emb, queries, centroids, k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(fromIndex === inMem)
+  }
+
   test("ivfTopK with nProbe=2 of 4 keeps reasonable recall") {
     val centroids = Knn.trainCentroids(emb, nCentroids = 4, iters = 1)
     val ivf = Knn.ivfTopK(emb, queries, centroids, k = 5, nProbe = 2)
