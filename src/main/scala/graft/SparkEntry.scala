@@ -7,7 +7,7 @@ import graft.sources.Tables
 import graft.operators._
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.plans.TableOrder
-import graft.dedup.NearDup
+import graft.dedup.{Clusters, NearDup}
 import graft.similarity.Knn
 import graft.multimodal.Multimodal
 import graft.streaming.EventPipeline
@@ -188,6 +188,21 @@ object SparkEntry {
         t(s, dir, "customer").select(col("c_custkey")), "c_custkey", dim, "o_custkey")
         .withColumn("new_ref_id", concat(lit("REF-"), col("c_custkey").cast("string")))
         .orderBy(col("c_custkey"))
+    }),
+
+    "q_fk_fallback" -> ((s, dir) => {
+      // the writer's lookup ladder: resolve by key when present (even
+      // orderkeys), else fall back to the business-name string
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 2 === 0, col("o_custkey")).as("cust_key_maybe"),
+        concat(lit("Customer#"), lpad(col("o_custkey").cast("string"), 9, "0"))
+          .as("cust_name"))
+      Denormalize.resolveWithFallback(o, t(s, dir, "customer"),
+        Seq("cust_key_maybe" -> "c_custkey", "cust_name" -> "c_name"),
+        take = "c_custkey" -> "resolved_key")
+        .select(col("o_orderkey"), col("resolved_key"))
+        .orderBy(col("o_orderkey"))
     }),
 
     "q_default_values" -> ((s, dir) => {
@@ -444,6 +459,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = NearDup.minhashPairs(docs, "doc_id", "text", threshold = 0.6)
+        .select(col("id_a"), col("id_b"))
+      Clusters.canonicalize(docs.select(col("doc_id").as("id")), pairs)
+        .orderBy(col("id"))
+    }),
+
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.decodeFeatures(Multimodal.withPayload(t(s, dir, "documents")))
         .orderBy(col("doc_id"))
@@ -589,6 +612,16 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_fk_fallback" ->
+      """SELECT o_orderkey, coalesce(c1.c_custkey, c2.c_custkey) AS resolved_key
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END AS k,
+        |        'Customer#' || lpad(CAST(o_custkey AS VARCHAR), 9, '0') AS nm
+        |      FROM orders) o
+        |LEFT JOIN customer c1 ON o.k = c1.c_custkey
+        |LEFT JOIN customer c2 ON o.nm = c2.c_name
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_default_values" ->
       """SELECT c_custkey,

@@ -34,6 +34,29 @@ object Denormalize {
     df.join(broadcast(slim), cond, "left_outer").select(kept: _*)
   }
 
+  /** Priority-ordered fallback resolution: try each (dfCol → dimCol) key
+    * pair in order, first hit wins. This is the writer's product lookup
+    * ladder — by id, then by number, then by name
+    * (EcomDestinationWriter.cs:3984 `GetExistingProduct`, :1292
+    * `HandleProductIdFoundByNumber`, manufacturer by name :4146). Each
+    * rung is one broadcast left join; `coalesce` picks the
+    * highest-priority match.
+    */
+  def resolveWithFallback(df: DataFrame, dim: DataFrame,
+                          fallbacks: Seq[(String, String)],
+                          take: (String, String)): DataFrame = {
+    val (takeCol, takeAs) = take
+    val resolved = fallbacks.zipWithIndex.foldLeft(df) { case (acc, ((l, r), i)) =>
+      val slim = dim.select(dim(r).as(s"__fb_key_$i"), dim(takeCol).as(s"__fb_take_$i"))
+      acc.join(broadcast(slim), acc(l) === slim(s"__fb_key_$i"), "left_outer")
+        .drop(s"__fb_key_$i")
+    }
+    resolved
+      .withColumn(takeAs,
+        coalesce(fallbacks.indices.map(i => col(s"__fb_take_$i")): _*))
+      .drop(fallbacks.indices.map(i => s"__fb_take_$i"): _*)
+  }
+
   /** Names present in `df(nameCol)` but absent from `dim(dimNameCol)`:
     * the referenced rows the writer would fabricate
     * (EcomDestinationWriter.cs:2267 AddNewVariantOptionGroup).
