@@ -379,6 +379,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_normalized" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(TextFunctions.normalizeForDedup(col("text")).as("__norm"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          round(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 2).as("median_chars"),
+          round(expr("percentile(CAST(n_chars AS DOUBLE), 0.9)"), 2).as("p90_chars"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
     "q_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
@@ -780,6 +798,22 @@ object SparkEntry {
         |FROM documents
         |GROUP BY text
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_normalized" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |  ' +', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT source,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 2) AS median_chars,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 2) AS p90_chars,
+        |  count(*) AS n_docs
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

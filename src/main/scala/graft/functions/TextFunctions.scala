@@ -18,6 +18,14 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Canonical form for normalization-insensitive dedup: lowercase,
+    * strip non-alphanumerics, collapse whitespace. Catches duplicates
+    * that differ only in casing/punctuation/spacing — the first rung of
+    * an LLM-corpus dedup ladder, before MinHash handles real edits.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** BPE-style subword-ish segmentation: letter runs, digit runs, and
     * individual punctuation each count as one token — the pre-tokenizer
     * split most BPE vocabularies apply before merges, which makes this a
