@@ -837,9 +837,11 @@ object SparkEntry {
         |  CAST(n_tokens AS INTEGER) AS n_tokens,
         |  CAST(stop_hits AS INTEGER) AS stop_hits,
         |  round(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
-        |  round(0.5 * least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0
-        |    + 0.3 * least(CAST(stop_hits AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0)
-        |    + 0.2 * (CASE WHEN len(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.0 END), 4) AS quality
+        |  CAST(least(n_tokens, 200) * 25
+        |    + least(floor(CAST(stop_hits AS DOUBLE) * 15000.0
+        |        / greatest(CAST(n_tokens AS DOUBLE), 1.0)), 3000.0)
+        |    + (CASE WHEN len(text) BETWEEN 100 AND 2000 THEN 2000 ELSE 0 END)
+        |    AS INTEGER) AS quality
         |FROM base
         |ORDER BY doc_id""".stripMargin,
 

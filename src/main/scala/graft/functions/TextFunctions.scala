@@ -49,17 +49,23 @@ object TextFunctions {
   /** Default English-ish stopword list used by quality scoring. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
-  /** Composite quality score in [0,1]: rewards reasonable length and
-    * natural stopword density. Deterministic, SQL-expressible (mirrored in
-    * the DuckDB oracle).
+  /** Composite quality score in basis points [0,10000]: rewards
+    * reasonable length and natural stopword density. Integer-exact by
+    * construction — the fractional form of this score lands on
+    * round-half boundaries (its components step in 1/400ths), where
+    * Spark's BigDecimal-of-shortest-string rounding and DuckDB's
+    * binary-double rounding disagree; basis points sidestep rounding
+    * entirely (floor of an exact integer-valued double division is
+    * bit-identical cross-engine).
     */
   def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val lenScore = least(nTok, lit(200.0)) / lit(200.0)
-    val stopRatio = vocabHits(text, Stopwords).cast("double") / greatest(nTok, lit(1.0))
-    val charScore = when(length(text).between(100, 2000), lit(1.0)).otherwise(lit(0.0))
-    round(lit(0.5) * lenScore + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
-      lit(0.2) * charScore, 4)
+    val nTok = tokenCount(text)
+    val hits = vocabHits(text, Stopwords)
+    val lenBp = least(nTok, lit(200)) * 25
+    val stopBp = least(floor(hits.cast("double") * 15000.0 /
+      greatest(nTok, lit(1)).cast("double")), lit(3000.0))
+    val charBp = when(length(text).between(100, 2000), lit(2000)).otherwise(lit(0))
+    (lenBp.cast("double") + stopBp + charBp.cast("double")).cast("int").as("quality")
   }
 
   /** Language-marker sets for the n-gram/stopword-overlap language-ID

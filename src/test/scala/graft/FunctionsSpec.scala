@@ -25,10 +25,11 @@ class FunctionsSpec extends SparkSuite {
     assert(out === Array("en", "es", "unknown"))
   }
 
-  test("qualityScore stays in [0,1]") {
+  test("qualityScore stays in [0,10000] basis points") {
     val df = Seq("", "the " * 300, "word").toDF("t")
-    val out = df.select(TextFunctions.qualityScore(col("t"))).as[Double].collect()
-    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+    val out = df.select(TextFunctions.qualityScore(col("t"))).as[Int].collect()
+    assert(out.forall(q => q >= 0 && q <= 10000))
+    assert(out(0) === 0)
   }
 
   test("fingerprint: equal strings equal, different differ, codegen path works") {
