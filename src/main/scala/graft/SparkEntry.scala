@@ -29,6 +29,21 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(30,$scale)")).cast("double")
 
+  /** Decimal sum rounded IN DECIMAL (exact HALF_UP), then to double.
+    * round(double, n) is a cross-engine hazard whenever the true value
+    * lands on a decimal half boundary (common for money sums with few
+    * decimals): Spark rounds the shortest decimal string, DuckDB the
+    * binary value. Rounding while still decimal is exact in both.
+    */
+  private def dsumRound(c: Column, sumScale: Int, outScale: Int): Column =
+    round(sum(c.cast(s"decimal(30,$sumScale)")), outScale).cast("double")
+
+  /** Deterministic 4-dp ratio: floor(x*10^4 + 0.5)/10^4 over exact
+    * integer-valued doubles — no string-representation dependence.
+    */
+  private def ratio4(num: Column, den: Column): Column =
+    (floor(num.cast("double") * 10000.0 / den.cast("double") + 0.5) / 10000.0)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -99,12 +114,12 @@ object SparkEntry {
     "q_pivot" -> ((s, dir) => {
       PivotOps.toWide(
         t(s, dir, "events"), Seq("user_id"), "event_type",
-        sum(col("value").cast("decimal(30,6)")).cast("double"),
+        round(sum(col("value").cast("decimal(30,6)")), 2).cast("double"),
         Seq("click", "error", "purchase", "signup", "view"))
         .select(col("user_id"),
-          round(col("click"), 2).as("v_click"), round(col("error"), 2).as("v_error"),
-          round(col("purchase"), 2).as("v_purchase"), round(col("signup"), 2).as("v_signup"),
-          round(col("view"), 2).as("v_view"))
+          col("click").as("v_click"), col("error").as("v_error"),
+          col("purchase").as("v_purchase"), col("signup").as("v_signup"),
+          col("view").as("v_view"))
         .orderBy(col("user_id"))
     }),
 
@@ -248,7 +263,7 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       joined.rollup(col("r_name"), col("n_name"))
-        .agg(round(dsum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(dsumRound(col("o_totalprice"), 2, 2).as("revenue"), count(lit(1)).as("n_orders"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
@@ -272,11 +287,11 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(dsum(col("l_quantity")), 2).as("sum_qty"),
-          round(dsum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(dsum((col("l_extendedprice") * (lit(1) - col("l_discount"))), 6), 2)
+          dsumRound(col("l_quantity"), 2, 2).as("sum_qty"),
+          dsumRound(col("l_extendedprice"), 2, 2).as("sum_base_price"),
+          dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 6, 2)
             .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          (floor(avg(col("l_quantity")) * 10000.0 + 0.5) / 10000.0).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -289,7 +304,7 @@ object SparkEntry {
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .filter(col("l_shipdate") > cutoff)
         .groupBy(col("o_orderkey"), col("o_orderpriority"))
-        .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2)
+        .agg(dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 6, 2)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
@@ -310,7 +325,7 @@ object SparkEntry {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
-        .agg(round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2)
+        .agg(dsumRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 6, 2)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -334,7 +349,9 @@ object SparkEntry {
       // batch/stream-agnostic; StreamingSpec proves stream == batch)
       EventPipeline.tumblingAgg(t(s, dir, "events"), "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
-          col("event_type"), col("n_events"), round(col("total_value"), 2).as("total_value"))
+          col("event_type"), col("n_events"),
+          col("total_value").cast("decimal(30,6)"))
+        .withColumn("total_value", round(col("total_value"), 2).cast("double"))
         .orderBy(col("hour_bucket"), col("event_type"))
     }),
 
@@ -342,7 +359,8 @@ object SparkEntry {
       Salt.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"),
         col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue",
         distributor = col("l_orderkey"))
-        .select(col("l_returnflag"), round(col("revenue"), 2).as("revenue"))
+        .select(col("l_returnflag"),
+          round(col("revenue").cast("decimal(30,6)"), 2).cast("double").as("revenue"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -528,11 +546,11 @@ object SparkEntry {
 
     "q_pivot" ->
       """SELECT user_id,
-        |  round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(30,6))) AS DOUBLE), 2) AS v_click,
-        |  round(CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(30,6))) AS DOUBLE), 2) AS v_error,
-        |  round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(30,6))) AS DOUBLE), 2) AS v_purchase,
-        |  round(CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(30,6))) AS DOUBLE), 2) AS v_signup,
-        |  round(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(30,6))) AS DOUBLE), 2) AS v_view
+        |  CAST(round(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(30,6))), 2) AS DOUBLE) AS v_click,
+        |  CAST(round(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(30,6))), 2) AS DOUBLE) AS v_error,
+        |  CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(30,6))), 2) AS DOUBLE) AS v_purchase,
+        |  CAST(round(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(30,6))), 2) AS DOUBLE) AS v_signup,
+        |  CAST(round(sum(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(30,6))), 2) AS DOUBLE) AS v_view
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
@@ -671,7 +689,7 @@ object SparkEntry {
 
     "q_rollup_hierarchy" ->
       """SELECT r_name, n_name,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS revenue,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -687,10 +705,10 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_base_price,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_disc_price,
+        |  floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -699,7 +717,7 @@ object SparkEntry {
 
     "q3_top_orders" ->
       """SELECT o_orderkey, o_orderpriority,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -712,7 +730,7 @@ object SparkEntry {
 
     "q5_join5" ->
       """SELECT n_name,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -738,14 +756,14 @@ object SparkEntry {
     "q_window_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
         |  event_type, count(*) AS n_events,
-        |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
@@ -836,7 +854,7 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(n_tokens AS INTEGER) AS n_tokens,
         |  CAST(stop_hits AS INTEGER) AS stop_hits,
-        |  round(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
+        |  floor(CAST(stop_hits AS DOUBLE) * 10000.0 / greatest(CAST(n_tokens AS DOUBLE), 1.0) + 0.5) / 10000.0 AS stop_ratio,
         |  CAST(least(n_tokens, 200) * 25
         |    + least(floor(CAST(stop_hits AS DOUBLE) * 15000.0
         |        / greatest(CAST(n_tokens AS DOUBLE), 1.0)), 3000.0)
