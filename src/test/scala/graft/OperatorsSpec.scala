@@ -96,6 +96,18 @@ class OperatorsSpec extends SparkSuite {
     assert(out === Array(("a", 100L), ("b", 101L), ("c", 102L)))
   }
 
+  test("ColumnRules: mergedValue concatenates in order, defaults fill blanks") {
+    val df = Seq((Some("a"), Some("b")), (None, Some("x")), (None, None))
+      .toDF("c1", "c2")
+    val out = df.select(
+      ColumnRules.mergedValue(Seq(col("c1"), col("c2"))).as("m"),
+      ColumnRules.withDefault(col("c1"), "DEF").as("d"),
+      ColumnRules.prefixedId("ImportedPRICE", lit(7)).as("p"))
+      .as[(String, String, String)].collect()
+    assert(out === Array(("ab", "a", "ImportedPRICE7"), ("x", "DEF", "ImportedPRICE7"),
+      ("", "DEF", "ImportedPRICE7")))
+  }
+
   test("Denormalize.resolve broadcasts and missingRefs finds gaps") {
     val facts = Seq((1, "US"), (2, "DE"), (3, "XX")).toDF("id", "cc")
     val dim = Seq(("US", "United States"), ("DE", "Germany")).toDF("code", "cname")
