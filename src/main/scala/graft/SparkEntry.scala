@@ -503,6 +503,19 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_corpus_clean" -> ((s, dir) => {
+      graft.pipelines.CorpusClean.run(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_bp"), col("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_multimodal_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.withPayload(t(s, dir, "documents").filter(col("doc_id") < 100)))
+        .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.decodeFeatures(Multimodal.withPayload(t(s, dir, "documents")))
         .orderBy(col("doc_id"))

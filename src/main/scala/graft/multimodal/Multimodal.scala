@@ -67,6 +67,25 @@ object Multimodal {
     (checksum, hist, feat)
   }
 
+  /** Frame sampling: every `stride`-th fixed-size chunk of the payload
+    * (stand-in for video frame extraction — a real decoder swaps into
+    * the chunking exactly like decodeStub). One output row per sampled
+    * frame, bounded by `maxFrames` so a pathological payload can't
+    * explode a task.
+    */
+  def sampleFrames(payloads: DataFrame, frameBytes: Int = 64, stride: Int = 4,
+                   maxFrames: Int = 16): DataFrame =
+    payloads.select(col("doc_id"),
+      posexplode(slice(split_payload(col("payload"), frameBytes, stride), 1, maxFrames))
+        .as(Seq("frame_idx", "frame")))
+
+  private def split_payload(payload: org.apache.spark.sql.Column, frameBytes: Int,
+                            stride: Int): org.apache.spark.sql.Column = {
+    val nFrames = floor(length(payload) / (frameBytes * stride)).cast("int")
+    transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+      i => payload.substr(lit(1) + i * frameBytes * stride, lit(frameBytes)))
+  }
+
   /** Per-partition batched feature extraction over payload rows.
     * `batchSize` bounds the rows decoded per inner batch — the knob a
     * real codec needs to cap native-memory use per task (mirrors Arrow

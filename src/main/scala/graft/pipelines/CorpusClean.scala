@@ -1,0 +1,59 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.{Clusters, NearDup}
+import graft.functions.TextFunctions
+
+/** End-to-end training-corpus cleaning: the composed pipeline a 100 TB
+  * pretraining-data job runs, built entirely from graft operators.
+  *
+  * quality/lang annotate (one map pass) → quality floor filter →
+  * exact dedup on the normalized form (one shuffle) → MinHash-LSH
+  * near-dup clustering → keep each cluster's canonical doc. Every stage
+  * is a narrow transform or a single keyed shuffle; nothing is
+  * corpus-quadratic.
+  */
+object CorpusClean {
+
+  case class Config(
+      minQualityBp: Int = 3000,
+      languages: Set[String] = Set.empty, // empty = keep all
+      shingleLen: Int = 3,
+      jaccardThreshold: Double = 0.8)
+
+  /** Returns the cleaned corpus: original columns + quality_bp,
+    * pred_lang. Dropped: below-floor quality, out-of-scope languages,
+    * normalized exact dups (min doc_id wins), near-dup cluster
+    * non-canonicals.
+    */
+  def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val annotated = docs
+      .withColumn("quality_bp", TextFunctions.qualityScore(col("text")))
+      .withColumn("pred_lang", TextFunctions.langId(col("text")))
+
+    val qualityKept = annotated.filter(col("quality_bp") >= cfg.minQualityBp)
+    val langKept = if (cfg.languages.isEmpty) qualityKept
+      else qualityKept.filter(col("pred_lang").isin(cfg.languages.toSeq: _*))
+
+    // exact dedup on the canonical text form, min doc_id survives
+    val normKeep = langKept
+      .withColumn("__norm", TextFunctions.normalizeForDedup(col("text")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__norm"))
+          .orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .drop("__norm", "__rn")
+
+    // near-dup clusters over the survivors; keep canonical members only
+    val pairs = NearDup.minhashPairs(normKeep, "doc_id", "text",
+      shingleLen = cfg.shingleLen, threshold = cfg.jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val canon = Clusters.canonicalize(
+      normKeep.select(col("doc_id").as("id")), pairs)
+      .filter(col("id") === col("canonical_id"))
+      .select(col("id").as("doc_id"))
+
+    normKeep.join(canon, Seq("doc_id"), "left_semi")
+  }
+}
