@@ -23,13 +23,28 @@ object Clusters {
     * @param pairs columns `id_a`, `id_b`
     */
   def canonicalize(ids: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both directions from ONE pass over pairs (a union of two selects
+    // would compute the — possibly expensive — pair lineage twice when
+    // the persist materializes)
+    val edges = pairs.select(explode(expr(
+        "array(named_struct('src', id_a, 'dst', id_b), " +
+          "named_struct('src', id_b, 'dst', id_a))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    var labels = ids.select(col("id"), col("id").as("label")).persist()
+    // propagate ONLY over nodes that touch an edge — every other id is
+    // trivially its own canonical. The loop's state is ∝ |edge nodes|
+    // (the near-dup minority), not |corpus|: at 100 TB that's the
+    // difference between iterating over a pair table and re-shuffling
+    // the whole corpus id set every round.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
+    // labels only ever decrease, so sum(label) is strictly monotone until
+    // the fixpoint — one cheap aggregate per round instead of a
+    // join-and-compare convergence check
+    var prevSum = Option.empty[Long]
+    var converged = false
+    while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src").as("id"))
@@ -38,14 +53,16 @@ object Clusters {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
-        .filter(col("label") =!= col("__old")).count()
+      val s = next.agg(sum(col("label"))).head.getLong(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
-    labels.withColumnRenamed("label", "canonical_id")
+    ids.join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("canonical_id"))
   }
 
   /** Convenience: ids to DROP (non-canonical members of some cluster). */

@@ -37,6 +37,9 @@ object CorpusClean {
       else qualityKept.filter(col("pred_lang").isin(cfg.languages.toSeq: _*))
 
     // exact dedup on the canonical text form, min doc_id survives
+    // persisted: feeds the minhash sketches, the cluster id set AND the
+    // final semi-join — its lineage (annotate + dedup window) would
+    // otherwise recompute for each consumer
     val normKeep = langKept
       .withColumn("__norm", TextFunctions.normalizeForDedup(col("text")))
       .withColumn("__rn", row_number().over(
@@ -44,6 +47,7 @@ object CorpusClean {
           .orderBy(col("doc_id"))))
       .filter(col("__rn") === 1)
       .drop("__norm", "__rn")
+      .persist()
 
     // near-dup clusters over the survivors; keep canonical members only
     val pairs = NearDup.minhashPairs(normKeep, "doc_id", "text",
