@@ -503,6 +503,14 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val benchmark = docs.filter(col("doc_id") % 50 === 0)
+      graft.dedup.Decontaminate.overlaps(
+        docs.filter(col("doc_id") % 50 =!= 0), benchmark, "doc_id", "text", n = 8)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
+
     "q_corpus_clean" -> ((s, dir) => {
       graft.pipelines.CorpusClean.run(t(s, dir, "documents"))
         .select(col("doc_id"), col("quality_bp"), col("pred_lang"))

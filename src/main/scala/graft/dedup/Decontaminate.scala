@@ -1,0 +1,46 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination: find training documents sharing long
+  * n-grams with an evaluation set (the published GPT-3/LLaMA hygiene
+  * step: any training doc containing a benchmark n-gram is flagged).
+  *
+  * Shape: explode each side to hashed n-grams — 8-byte keys, never the
+  * n-gram text — and hash-join on the key. The benchmark side is small
+  * (eval sets are), so the join broadcasts; the corpus side is one
+  * narrow explode, no corpus shuffle at all.
+  */
+object Decontaminate {
+
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, as: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    df.select(col(idCol).as(as), explode(array_distinct(grams)).as("__g"))
+      .select(col(as), xxhash64(col("__g")).as("gram_hash"))
+  }
+
+  /** (corpus_id, bench_id, n_shared_grams) for every contaminated pair. */
+  def overlaps(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+               textCol: String, n: Int = 13): DataFrame = {
+    val c = gramHashes(corpus, idCol, textCol, n, "corpus_id")
+    val b = gramHashes(benchmark, idCol, textCol, n, "bench_id")
+    c.join(broadcast(b), Seq("gram_hash"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Corpus ids to drop: any doc sharing ≥ `minShared` n-grams with any
+    * benchmark doc.
+    */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                      textCol: String, n: Int = 13, minShared: Int = 1): DataFrame =
+    overlaps(corpus, benchmark, idCol, textCol, n)
+      .filter(col("n_shared_grams") >= minShared)
+      .select(col("corpus_id")).distinct()
+}

@@ -48,6 +48,25 @@ class NearDupSpec extends SparkSuite {
     assert(out(1)._3 === 0.0)
   }
 
+  test("Decontaminate flags corpus docs sharing long n-grams with a benchmark") {
+    import graft.dedup.Decontaminate
+    val trainBase = (0 until 30).map(i => s"t$i").mkString(" ")
+    val benchText = (0 until 30).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, trainBase),
+      (2L, s"prefix $benchText suffix"), // contains the benchmark verbatim
+      (3L, (0 until 30).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val hits = Decontaminate.overlaps(corpus, bench, "doc_id", "text", n = 13)
+      .as[(Long, Long, Long)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSet === Set((2L, 100L)))
+    assert(hits.head._3 === (30 - 13 + 1)) // every benchmark 13-gram present
+    val drops = Decontaminate.contaminatedIds(corpus, bench, "doc_id", "text", n = 13)
+      .as[Long].collect()
+    assert(drops === Array(2L))
+  }
+
   test("embeddingPairs finds planted near-identical vectors") {
     val vecs = Seq(
       (0L, Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)),
