@@ -1,18 +1,27 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import scala.collection.mutable
 
 /** Near-duplicate cluster canonicalization.
   *
   * LSH pipelines emit PAIRS; a training-data dedup job needs CLUSTERS —
   * each connected component of the pair graph keeps one canonical
-  * representative (min id) and drops the rest. Min-label propagation over
-  * the edge list: every round each node adopts the smallest label in its
-  * neighborhood; converges in O(component diameter) rounds, and near-dup
-  * components are shallow by construction (they are cliques-ish around a
-  * shared template). Each round is one shuffle of the edge join; labels
-  * persisted per round, convergence checked with an observable count.
+  * representative (min id) and drops the rest.
+  *
+  * Two execution paths, switched on the measured pair count:
+  * - **Local union-find** (the normal case): near-dup edges are a tiny
+  *   minority of the corpus, so the pair list collects to the driver and
+  *   a path-compressed union-find resolves components exactly; the
+  *   (node → canonical) map broadcasts back. One collect, one broadcast
+  *   join — no iteration overhead at all.
+  * - **Distributed min-label propagation** (edge sets too big to
+  *   collect): each round every edge-touching node adopts the smallest
+  *   label in its neighborhood; converges in O(component diameter)
+  *   rounds (near-dup components are shallow). State ∝ |edge nodes|, not
+  *   |corpus|; convergence checked with a monotone sum aggregate.
   */
 object Clusters {
 
@@ -22,26 +31,60 @@ object Clusters {
     * @param ids   one column `id`
     * @param pairs columns `id_a`, `id_b`
     */
-  def canonicalize(ids: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def canonicalize(ids: DataFrame, pairs: DataFrame, maxIters: Int = 10,
+                   maxLocalEdges: Long = 10000000L): DataFrame = {
+    val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).persist()
+    val nPairs = p.count()
+    val mapping =
+      if (nPairs <= maxLocalEdges) localUnionFind(p)
+      else propagate(p, maxIters)
+    val out = ids.join(broadcastIfLocal(mapping, nPairs <= maxLocalEdges), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("__canon"), col("id")).as("canonical_id"))
+    out
+  }
+
+  private def broadcastIfLocal(mapping: DataFrame, isLocal: Boolean): DataFrame =
+    if (isLocal) broadcast(mapping) else mapping
+
+  /** Exact components on the driver: path-compressed union-find keeping
+    * the minimum id as each set's root.
+    */
+  private def localUnionFind(pairs: DataFrame): DataFrame = {
+    val parent = mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != root) {
+        val nxt = parent.getOrElse(cur, cur); parent(cur) = root; cur = nxt
+      }
+      root
+    }
+    val rows = pairs.collect()
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val resolved = parent.keys.toArray.map(k => Row(k, find(k)))
+    pairs.sparkSession.createDataFrame(
+      pairs.sparkSession.sparkContext.parallelize(resolved.toSeq, 1),
+      StructType(Seq(StructField("id", LongType, false), StructField("__canon", LongType, false))))
+  }
+
+  /** Distributed fallback for edge sets too large to collect. */
+  private def propagate(pairs: DataFrame, maxIters: Int): DataFrame = {
     // both directions from ONE pass over pairs (a union of two selects
-    // would compute the — possibly expensive — pair lineage twice when
-    // the persist materializes)
+    // would compute the pair lineage twice at persist time)
     val edges = pairs.select(explode(expr(
         "array(named_struct('src', id_a, 'dst', id_b), " +
           "named_struct('src', id_b, 'dst', id_a))")).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    // propagate ONLY over nodes that touch an edge — every other id is
-    // trivially its own canonical. The loop's state is ∝ |edge nodes|
-    // (the near-dup minority), not |corpus|: at 100 TB that's the
-    // difference between iterating over a pair table and re-shuffling
-    // the whole corpus id set every round.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
     var iter = 0
     // labels only ever decrease, so sum(label) is strictly monotone until
-    // the fixpoint — one cheap aggregate per round instead of a
-    // join-and-compare convergence check
+    // the fixpoint — one cheap aggregate per round
     var prevSum = Option.empty[Long]
     var converged = false
     while (!converged && iter < maxIters) {
@@ -61,8 +104,7 @@ object Clusters {
       iter += 1
     }
     edges.unpersist()
-    ids.join(labels, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("label"), col("id")).as("canonical_id"))
+    labels.withColumnRenamed("label", "__canon")
   }
 
   /** Convenience: ids to DROP (non-canonical members of some cluster). */

@@ -18,6 +18,16 @@ class ClustersSpec extends SparkSuite {
     assert(dups === Array(2L, 3L, 4L, 7L))
   }
 
+  test("distributed propagation path agrees with local union-find") {
+    val ids = (1L to 8L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val local = Clusters.canonicalize(ids, pairs).orderBy("id")
+      .as[(Long, Long)].collect()
+    val dist = Clusters.canonicalize(ids, pairs, maxLocalEdges = 0L).orderBy("id")
+      .as[(Long, Long)].collect()
+    assert(dist === local)
+  }
+
   test("resolveWithFallback prefers earlier rungs") {
     val facts = Seq(
       (1L, Some(10), "alpha"),   // key hit → rung 1
