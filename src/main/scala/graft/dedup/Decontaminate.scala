@@ -17,12 +17,15 @@ object Decontaminate {
 
   private def gramHashes(df: DataFrame, idCol: String, textCol: String,
                          n: Int, as: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val grams = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-    df.select(col(idCol).as(as), explode(array_distinct(grams)).as("__g"))
-      .select(col(as), xxhash64(col("__g")).as("gram_hash"))
+    // hash each token ONCE, then every n-gram key is a polynomial
+    // combine over the token-hash window — no per-gram string building,
+    // O(tokens) hash work per doc instead of O(tokens × n) bytes
+    val tokHashes = transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
+    val grams = when(size(tokHashes) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), size(tokHashes) - n),
+        i => aggregate(slice(tokHashes, i + 1, lit(n)), lit(0L),
+          (acc, h) => xxhash64(acc, h))))
+    df.select(col(idCol).as(as), explode(array_distinct(grams)).as("gram_hash"))
   }
 
   /** (corpus_id, bench_id, n_shared_grams) for every contaminated pair. */
