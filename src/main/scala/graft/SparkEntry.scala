@@ -267,6 +267,20 @@ object SparkEntry {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
+    "q_sql_api" -> ((s, dir) => {
+      // the SQL entry path: same engine driven through spark.sql with
+      // registered views — correlated EXISTS + scalar subquery
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment,
+          |  (SELECT count(*) FROM v_orders WHERE o_custkey = c_custkey) AS n_orders
+          |FROM v_customer
+          |WHERE EXISTS (SELECT 1 FROM v_orders
+          |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     "q_json_extract" -> ((s, dir) => {
       t(s, dir, "events")
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
@@ -718,6 +732,14 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_sql_api" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
