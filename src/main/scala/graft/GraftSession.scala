@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 256 MB scan splits: on a 100 TB corpus the default 128 MB doubles
+      // the task count for sequential parquet scans; AQE still coalesces
+      // small post-shuffle partitions independently of this.
+      .config("spark.sql.files.maxPartitionBytes", "256m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

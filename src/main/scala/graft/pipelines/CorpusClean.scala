@@ -39,14 +39,18 @@ object CorpusClean {
     // exact dedup on the canonical text form, min doc_id survives
     // persisted: feeds the minhash sketches, the cluster id set AND the
     // final semi-join — its lineage (annotate + dedup window) would
-    // otherwise recompute for each consumer
+    // otherwise recompute for each consumer. The dedup key is the
+    // 128-bit md5 of the canonical form, not the form itself: the
+    // dedup shuffle then moves 16 bytes per row instead of the document
+    // text (and 128 bits stays collision-safe at 100 TB corpus sizes,
+    // unlike a 64-bit hash).
     val normKeep = langKept
-      .withColumn("__norm", TextFunctions.normalizeForDedup(col("text")))
+      .withColumn("__normh", md5(TextFunctions.normalizeForDedup(col("text"))))
       .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__norm"))
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__normh"))
           .orderBy(col("doc_id"))))
       .filter(col("__rn") === 1)
-      .drop("__norm", "__rn")
+      .drop("__normh", "__rn")
       .persist()
 
     // near-dup clusters over the survivors; keep canonical members only
