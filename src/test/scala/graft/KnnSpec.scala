@@ -42,6 +42,17 @@ class KnnSpec extends SparkSuite {
     assert(fromIndex === inMem)
   }
 
+  test("bucket filter on the persisted index reaches PartitionFilters") {
+    val centroids = Knn.trainCentroids(emb, nCentroids = 4, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf2").toString + "/index"
+    Knn.writeIndex(emb, centroids, path)
+    val plan = spark.read.parquet(path)
+      .filter(col("centroid_id") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"expected partition pruning in plan:\n$plan")
+  }
+
   test("ivfTopK with nProbe=2 of 4 keeps reasonable recall") {
     val centroids = Knn.trainCentroids(emb, nCentroids = 4, iters = 1)
     val ivf = Knn.ivfTopK(emb, queries, centroids, k = 5, nProbe = 2)
