@@ -24,6 +24,20 @@ object ListColumns {
     df.groupBy(keys.map(col): _*)
       .agg(array_join(array_sort(collect_list(concat(lit("\""), value, lit("\"")))), ",").as(as))
 
+  /** Pack ordered by a separate sort column — the reference emits
+    * parallel list columns that must align element-for-element (Groups
+    * ordered with GroupSorting, Shops with ShopSorting:
+    * EcomSourceReader.cs:393,399,336,340). Calling this twice with the
+    * same `order` (once for the value, once for the sort key itself)
+    * yields aligned lists.
+    */
+  def packOrdered(df: DataFrame, keys: Seq[String], value: Column,
+                  order: Column, as: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(order.as("o"), value.as("v")))),
+          s => concat(lit("\""), s.getField("v").cast("string"), lit("\""))), ",").as(as))
+
   /** Split a delimited list column into one row per element. */
   def unpack(df: DataFrame, listCol: Column, delimiter: String, as: String): DataFrame =
     df.withColumn(as, explode(split(listCol, java.util.regex.Pattern.quote(delimiter))))

@@ -69,6 +69,17 @@ class OperatorsSpec extends SparkSuite {
     assert(unpacked === Array((1, 0, "a"), (1, 1, "b"), (2, 0, "c")))
   }
 
+  test("packOrdered aligns parallel lists by the shared sort column") {
+    val df = Seq((1, "g2", 20), (1, "g1", 10), (2, "g9", 5)).toDF("k", "g", "sortv")
+    val names = ListColumns.packOrdered(df, Seq("k"), col("g"), col("sortv"), "groups")
+    val sorts = ListColumns.packOrdered(df, Seq("k"), col("sortv"), col("sortv"), "sorting")
+    val joined = names.join(sorts, Seq("k")).orderBy("k")
+      .as[(Int, String, String)].collect()
+    assert(joined === Array(
+      (1, "\"g1\",\"g2\"", "\"10\",\"20\""),
+      (2, "\"g9\"", "\"5\"")))
+  }
+
   test("PivotOps.toLong drops null cells and inverts toWide") {
     val kv = Seq((1, "x", 5.0), (1, "y", 6.0), (2, "x", 7.0)).toDF("k", "f", "v")
     val wide = PivotOps.toWide(kv, Seq("k"), "f", first(col("v")), Seq("x", "y"))

@@ -18,6 +18,34 @@ class SinkSpec extends SparkSuite {
     assert(back.count() === docs.filter(col("lang") === "en").count())
   }
 
+  test("co-bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    val o = Tables.load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Sink.writeBucketed(o, "b_orders", "o_orderkey", 4, Some("o_orderkey"))
+    Sink.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4, Some("o_orderkey"))
+    // force sort-merge (tiny tables would broadcast) and check the
+    // bucketed layout removes the shuffle
+    val joined = spark.table("b_orders").hint("merge")
+      .join(spark.table("b_lineitem").hint("merge"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed join:\n$plan")
+    assert(joined.count() === l.count())
+  }
+
   test("repartitionForWrite sizes output partitions") {
     val df = spark.range(1000).toDF("id")
     assert(Sink.repartitionForWrite(df, 1000, 100).rdd.getNumPartitions === 10)
