@@ -411,6 +411,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_chunk_docs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.chunkTokens(col("text"), size = 64, overlap = 16))
+            .as("chunk"))
+        .select(col("doc_id"), col("chunk"),
+          TextFunctions.tokenCount(col("chunk")).as("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk"))
+    }),
+
     "q_dedup_normalized" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(TextFunctions.normalizeForDedup(col("text")).as("__norm"))
@@ -859,6 +869,20 @@ object SparkEntry {
         |FROM documents
         |GROUP BY text
         |ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |  unnest(list_transform(
+        |    range(CAST(CASE WHEN len(toks) <= 64 THEN 1
+        |      ELSE ceil((len(toks) - 64) / 48.0) + 1 END AS BIGINT)),
+        |    i -> array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' '))) AS chunk
+        |  FROM t)
+        |SELECT doc_id, chunk,
+        |  CAST(len(string_split_regex(chunk, '\s+')) AS INTEGER) AS n_chunk_tokens
+        |FROM c
+        |ORDER BY doc_id, chunk""".stripMargin,
 
     "q_dedup_normalized" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -68,6 +68,22 @@ object TextFunctions {
     (lenBp.cast("double") + stopBp + charBp.cast("double")).cast("int").as("quality")
   }
 
+  /** Context-window chunking: fixed-size token windows with overlap —
+    * the packing step that turns documents into training sequences.
+    * Chunk i covers tokens [i·(size−overlap), i·(size−overlap)+size);
+    * documents shorter than `size` yield one chunk.
+    */
+  def chunkTokens(text: Column, size: Int, overlap: Int): Column = {
+    require(size > overlap && overlap >= 0)
+    val step = size - overlap
+    val toks = tokens(text)
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nc = when(n <= size, lit(1))
+      .otherwise(ceil((n - size).cast("double") / step) + 1).cast("int")
+    transform(sequence(lit(0), nc - 1),
+      i => array_join(slice(toks, i * step + 1, lit(size)), " "))
+  }
+
   /** Language-marker sets for the n-gram/stopword-overlap language-ID
     * heuristic.
     */
