@@ -344,6 +344,27 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    "q_growth_mom" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .join(broadcast(Denormalize.resolve(t(s, dir, "customer"), t(s, dir, "nation"),
+          Seq("c_nationkey" -> "n_nationkey"), Seq("n_regionkey" -> "__rk"))
+          .select(col("c_custkey"), col("__rk"))), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "region")), col("__rk") === col("r_regionkey"))
+        .groupBy(col("r_name"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(30,2)")), 2).cast("double")
+          .as("revenue"))
+      val w = Window.partitionBy(col("r_name")).orderBy(col("month"))
+      monthly
+        .withColumn("__prev", lag(col("revenue"), 1).over(w))
+        .withColumn("growth_bp",
+          when(col("__prev").isNull, null).otherwise(
+            floor((col("revenue") - col("__prev")) / col("__prev") * 10000.0 + 0.5)
+              .cast("long")))
+        .select(col("r_name"), col("month"), col("revenue"), col("growth_bp"))
+        .orderBy(col("r_name"), col("month"))
+    }),
+
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
@@ -793,6 +814,23 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_growth_mom" ->
+      """WITH monthly AS (
+        |  SELECT r_name, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, month, revenue,
+        |  CAST(CASE WHEN lag(revenue) OVER w IS NULL THEN NULL
+        |    ELSE floor((revenue - lag(revenue) OVER w) / lag(revenue) OVER w
+        |      * 10000.0 + 0.5) END AS BIGINT) AS growth_bp
+        |FROM monthly
+        |WINDOW w AS (PARTITION BY r_name ORDER BY month)
+        |ORDER BY r_name, month""".stripMargin,
 
     "q_window_running" ->
       """SELECT l_suppkey,
