@@ -53,6 +53,19 @@ class KnnSpec extends SparkSuite {
       s"expected partition pruning in plan:\n$plan")
   }
 
+  test("top-k over int8-quantized vectors matches exact top-k closely") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions.col
+    val quantized = emb.select(col("vec_id"),
+      dequantizeInt8(quantizeInt8(col("embedding"))).as("embedding"))
+    val qTop = Knn.bruteForceTopK(quantized, quantized.filter(col("vec_id") < 5), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Knn.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (qTop intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall")
+  }
+
   test("ivfTopK with nProbe=2 of 4 keeps reasonable recall") {
     val centroids = Knn.trainCentroids(emb, nCentroids = 4, iters = 1)
     val ivf = Knn.ivfTopK(emb, queries, centroids, k = 5, nProbe = 2)
