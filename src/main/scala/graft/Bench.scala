@@ -2,6 +2,13 @@ package graft
 
 /** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR,
   * prints ONE JSON line with per-query wall-clock seconds.
+  *
+  * Each query runs twice and the WARM (second) time is reported: ambient
+  * load on a shared box dominates cold single-shots, and warm numbers are
+  * the ones comparable round-over-round. Cold times ride along in
+  * `queries_cold`. A query that throws is recorded as -1 in BOTH maps and
+  * listed in `failed` — a regression must be visible in the JSON, not a
+  * suspiciously fast total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -13,19 +20,27 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach(fn => fn(spark, sfDir).count())
     graft.sources.Tables.All.foreach(t =>
       graft.sources.Tables.load(spark, sfDir, t).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries are independent: drop their persisted intermediates so 50
-      // queries' caches don't accumulate into storage-eviction churn
-      spark.catalog.clearCache()
-      name -> dt
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+      finally spark.catalog.clearCache() // queries are independent: no
+      // cross-query persisted blocks accumulating into eviction churn
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = timeOne(fn)
+      val warm = if (cold >= 0) timeOne(fn) else -1.0
+      (name, cold, warm)
+    }
+    def jmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map(r => r._1 -> r._3))
+    val cold = jmap(results.map(r => r._1 -> r._2))
+    val failed = results.filter(_._3 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,6 +28,11 @@ object GraftSession {
       // the task count for sequential parquet scans; AQE still coalesces
       // small post-shuffle partitions independently of this.
       .config("spark.sql.files.maxPartitionBytes", "256m")
+      // testdata events.ts is TIMESTAMP(NANOS) parquet, which the
+      // vectorized reader rejects; read nanos as long session-wide (set
+      // HERE, once — Tables.load mutating it per-call was a side effect
+      // on unrelated reads)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

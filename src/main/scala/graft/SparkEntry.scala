@@ -384,9 +384,7 @@ object SparkEntry {
       // batch/stream-agnostic; StreamingSpec proves stream == batch)
       EventPipeline.tumblingAgg(t(s, dir, "events"), "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
-          col("event_type"), col("n_events"),
-          col("total_value").cast("decimal(30,6)"))
-        .withColumn("total_value", round(col("total_value"), 2).cast("double"))
+          col("event_type"), col("n_events"), col("total_value"))
         .orderBy(col("hour_bucket"), col("event_type"))
     }),
 
@@ -394,8 +392,7 @@ object SparkEntry {
       Salt.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"),
         col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue",
         distributor = col("l_orderkey"))
-        .select(col("l_returnflag"),
-          round(col("revenue").cast("decimal(30,6)"), 2).cast("double").as("revenue"))
+        .select(col("l_returnflag"), col("revenue"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -570,7 +567,16 @@ object SparkEntry {
     }),
 
     "q_multimodal_features" -> ((s, dir) => {
+      // project driver-comparable SCALARS: the raw byte_histogram/feat
+      // arrays are kept for library users, but the verification row is
+      // (checksum, hashed histogram, quantized feature mass) so the
+      // driver's column-sorting comparator never sees an array column
       Multimodal.decodeFeatures(Multimodal.withPayload(t(s, dir, "documents")))
+        .select(col("doc_id"), col("checksum"),
+          xxhash64(col("byte_histogram")).as("hist_hash"),
+          floor(aggregate(col("feat"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")) * 10000.0 + 0.5).cast("long")
+            .as("feat_mass_bp"))
         .orderBy(col("doc_id"))
     })
   )
@@ -918,7 +924,8 @@ object SparkEntry {
         |    i -> array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' '))) AS chunk
         |  FROM t)
         |SELECT doc_id, chunk,
-        |  CAST(len(string_split_regex(chunk, '\s+')) AS INTEGER) AS n_chunk_tokens
+        |  CAST(CASE WHEN len(trim(chunk)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(chunk), '\s+')) END AS INTEGER) AS n_chunk_tokens
         |FROM c
         |ORDER BY doc_id, chunk""".stripMargin,
 

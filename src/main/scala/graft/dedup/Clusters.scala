@@ -31,15 +31,29 @@ object Clusters {
     * @param ids   one column `id`
     * @param pairs columns `id_a`, `id_b`
     */
+  /** The returned mapping is MATERIALIZED (persisted + counted) and every
+    * intermediate cache is released before returning; the caller releases
+    * the result with `unpersist()`/`clearCache()` when done. The mapping
+    * is two longs per id — tiny next to the corpus.
+    *
+    * `maxLocalEdges` = 1M: collected edge rows cost ~100 B each on the
+    * driver heap (GenericRow + two boxed longs), so the local path tops
+    * out around ~100 MB driver memory — a safe default; raise it only
+    * with driver heap to spare. Beyond the gate the distributed
+    * min-label propagation runs instead.
+    */
   def canonicalize(ids: DataFrame, pairs: DataFrame, maxIters: Int = 10,
-                   maxLocalEdges: Long = 10000000L): DataFrame = {
+                   maxLocalEdges: Long = 1000000L): DataFrame = {
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).persist()
     val nPairs = p.count()
-    val mapping =
-      if (nPairs <= maxLocalEdges) localUnionFind(p)
-      else propagate(p, maxIters)
-    val out = ids.join(broadcastIfLocal(mapping, nPairs <= maxLocalEdges), Seq("id"), "left_outer")
+    val isLocal = nPairs <= maxLocalEdges
+    val mapping = if (isLocal) localUnionFind(p) else propagate(p, maxIters)
+    val out = ids.join(broadcastIfLocal(mapping, isLocal), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("__canon"), col("id")).as("canonical_id"))
+      .persist()
+    out.count() // materialize so upstream caches can be released NOW
+    p.unpersist()
+    if (!isLocal) mapping.unpersist() // propagate returns a persisted frame
     out
   }
 
@@ -66,8 +80,11 @@ object Clusters {
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
     val resolved = parent.keys.toArray.map(k => Row(k, find(k)))
+    // parallelize across slices so a big mapping doesn't funnel the
+    // broadcast build (or any downstream shuffle) through one partition
+    val slices = math.max(1, resolved.length / 250000)
     pairs.sparkSession.createDataFrame(
-      pairs.sparkSession.sparkContext.parallelize(resolved.toSeq, 1),
+      pairs.sparkSession.sparkContext.parallelize(resolved.toSeq, slices),
       StructType(Seq(StructField("id", LongType, false), StructField("__canon", LongType, false))))
   }
 

@@ -42,9 +42,15 @@ object TextFunctions {
     size(filter(tokens(text), t => array_contains(set, t)))
   }
 
+  /** 4-dp stopword ratio as floor(hits·10⁴/tokens + 0.5)/10⁴ — the same
+    * arithmetic DuckDB's oracle runs. round(double, 4) is NOT used here:
+    * Spark rounds the shortest decimal string while DuckDB rounds the
+    * binary value, and ratios like 1/800 land exactly on the half
+    * boundary where they disagree.
+    */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
-    round(vocabHits(text, stopwords).cast("double") /
-      greatest(tokenCount(text), lit(1)).cast("double"), 4)
+    floor(vocabHits(text, stopwords).cast("double") * 10000.0 /
+      greatest(tokenCount(text), lit(1)).cast("double") + 0.5) / 10000.0
 
   /** Default English-ish stopword list used by quality scoring. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")

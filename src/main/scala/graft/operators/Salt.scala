@@ -24,12 +24,37 @@ object Salt {
     * depends on it).
     */
   def saltedSum(df: DataFrame, keys: Seq[String], value: Column, as: String,
-                distributor: Column, buckets: Int = 16): DataFrame = {
+                distributor: Column, buckets: Int = 16, outScale: Int = 2): DataFrame = {
     val partial = df
       .withColumn("__salt", pmod(hash(distributor), lit(buckets)))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(value.cast("decimal(30,6)")).as("__partial"))
+    // round while still DECIMAL (exact HALF_UP), THEN cast to double —
+    // a double round-trip before rounding can land a half-cent sum just
+    // below the boundary and flip the last digit vs an exact engine
     partial.groupBy(keys.map(col): _*)
-      .agg(sum(col("__partial")).cast("double").as(as))
+      .agg(round(sum(col("__partial")), outScale).cast("double").as(as))
+  }
+
+  /** Exact skew-spread distinct count. A plain two-phase partial sum
+    * cannot skew (sum combines map-side); exact COUNT(DISTINCT v) is the
+    * aggregate that genuinely funnels a hot key through one reducer
+    * (its state is the value SET — non-combinable without moving the
+    * values). The salt is derived from the VALUE, so each distinct value
+    * lands in exactly one (key, salt) bucket: per-bucket distinct sets
+    * are disjoint and the per-key total is the exact sum of bucket
+    * counts. Mirrors the reference's per-product variant counting
+    * (ProductVariantsCountDictionary, EcomDestinationWriter.cs:37,
+    * CountProductVariantGroups :4478) at hot-product scale.
+    */
+  def saltedCountDistinct(df: DataFrame, keys: Seq[String], value: Column,
+                          as: String, buckets: Int = 16): DataFrame = {
+    val partial = df
+      .withColumn("__v", value)
+      .withColumn("__salt", pmod(xxhash64(col("__v")), lit(buckets)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count_distinct(col("__v")).as("__partial"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(as))
   }
 }

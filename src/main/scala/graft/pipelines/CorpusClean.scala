@@ -26,6 +26,14 @@ object CorpusClean {
     * pred_lang. Dropped: below-floor quality, out-of-scope languages,
     * normalized exact dups (min doc_id wins), near-dup cluster
     * non-canonicals.
+    *
+    * The returned frame is MATERIALIZED (persisted + counted) and every
+    * intermediate cache — the dedup survivors, the LSH pair set, the
+    * cluster mapping — is released before returning, so a session running
+    * many pipelines doesn't accumulate storage blocks. The caller
+    * releases the result with `unpersist()`/`clearCache()`; a production
+    * 100 TB run would instead stream the result straight to its sink and
+    * skip the final persist.
     */
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val annotated = docs
@@ -53,15 +61,22 @@ object CorpusClean {
       .drop("__normh", "__rn")
       .persist()
 
-    // near-dup clusters over the survivors; keep canonical members only
+    // near-dup clusters over the survivors; keep canonical members only.
+    // minhashPairs and canonicalize each return MATERIALIZED frames and
+    // free their own intermediates; both are released here once consumed.
     val pairs = NearDup.minhashPairs(normKeep, "doc_id", "text",
       shingleLen = cfg.shingleLen, threshold = cfg.jaccardThreshold)
-      .select(col("id_a"), col("id_b"))
-    val canon = Clusters.canonicalize(
-      normKeep.select(col("doc_id").as("id")), pairs)
+    val mapping = Clusters.canonicalize(
+      normKeep.select(col("doc_id").as("id")), pairs.select(col("id_a"), col("id_b")))
+    val canon = mapping
       .filter(col("id") === col("canonical_id"))
       .select(col("id").as("doc_id"))
 
-    normKeep.join(canon, Seq("doc_id"), "left_semi")
+    val out = normKeep.join(canon, Seq("doc_id"), "left_semi").persist()
+    out.count() // materialize, then release everything upstream
+    pairs.unpersist()
+    mapping.unpersist()
+    normKeep.unpersist()
+    out
   }
 }

@@ -21,9 +21,9 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(All.contains(name), s"unknown table: $name")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    // reader rejects; read nanos as long and convert to micros timestamp.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.ts is TIMESTAMP(NANOS) parquet; GraftSession sets
+    // spark.sql.legacy.parquet.nanosAsLong once so the nanos column
+    // arrives as long — converted to micros timestamp here.
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

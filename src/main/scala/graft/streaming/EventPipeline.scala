@@ -25,7 +25,10 @@ object EventPipeline {
   def tumblingAgg(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
     events.groupBy(window(col("ts"), windowLength), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+        // round in DECIMAL (exact HALF_UP) before the double cast: a
+        // double round-trip first can flip the last digit on half-cent
+        // sums vs an exact-decimal engine
+        round(sum(col("value").cast("decimal(30,6)")), 2).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
