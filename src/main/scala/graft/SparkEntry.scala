@@ -171,6 +171,39 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_delete_excess_scoped" -> ((s, dir) => {
+      // one-scope partial import: only nations present in the batch are
+      // candidates for deletion (EcomDestinationWriter.cs:3067-3091)
+      val cust = t(s, dir, "customer")
+      val incoming = cust.filter(col("c_acctbal") > 5000 && col("c_nationkey") < 10)
+        .select(col("c_custkey"), col("c_nationkey"))
+      Merge.deleteExcessScoped(cust, incoming, Seq("c_custkey"), Seq("c_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_assortment_rebuild" -> ((s, dir) => {
+      // permission pairs = high-balance customers per segment; assortment
+      // products = parts the segment bought at max quantity; existing
+      // rows = the users' own purchased parts. Rebuilt rows activate,
+      // stale existing rows deactivate (AssortmentHandler.cs:116, :272).
+      val cust = t(s, dir, "customer")
+      val users = cust.filter(col("c_acctbal") > 9950)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("seg"))
+      val sold = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      val productPairs = sold.filter(col("l_quantity") === 50)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("l_partkey").as("part_key"))
+      val existing = users.join(sold, col("o_custkey") === col("user_id"))
+        .select(col("user_id"), col("l_partkey").as("part_key")).distinct()
+      Assortments.rebuildWithFlag(existing, users, productPairs, "seg",
+        Seq("user_id", "part_key"), "__active")
+        .select(col("user_id"), col("part_key"),
+          col("__active").cast("int").as("is_active"))
+        .orderBy(col("user_id"), col("part_key"))
+    }),
+
     "q_flag_missing" -> ((s, dir) => {
       val incoming = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("c_custkey"))
@@ -393,6 +426,15 @@ object SparkEntry {
         col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue",
         distributor = col("l_orderkey"))
         .select(col("l_returnflag"), col("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_salted_distinct" -> ((s, dir) => {
+      // the aggregate where salting EARNS its keep: exact COUNT(DISTINCT)
+      // is non-combinable (state = the value set), so a hot key funnels
+      // all its values through one reducer without the value-derived salt
+      Salt.saltedCountDistinct(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_partkey"), "n_parts")
         .orderBy(col("l_returnflag"))
     }),
 
@@ -694,6 +736,51 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_totalprice > 350000 AND o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_delete_excess_scoped" ->
+      """WITH incoming AS (
+        |  SELECT c_custkey, c_nationkey FROM customer
+        |  WHERE c_acctbal > 5000 AND c_nationkey < 10)
+        |SELECT c_custkey, c_name, c_nationkey
+        |FROM customer c
+        |WHERE c_nationkey IN (SELECT c_nationkey FROM incoming)
+        |  AND NOT EXISTS (SELECT 1 FROM incoming i WHERE i.c_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_assortment_rebuild" ->
+      """WITH users AS (
+        |  SELECT c_custkey AS user_id, c_mktsegment AS seg
+        |  FROM customer WHERE c_acctbal > 9950),
+        |perm AS (
+        |  SELECT DISTINCT c_mktsegment AS seg, l_partkey AS part_key
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_quantity = 50),
+        |rebuilt AS (
+        |  SELECT DISTINCT u.user_id, p.part_key
+        |  FROM users u JOIN perm p ON u.seg = p.seg),
+        |existing AS (
+        |  SELECT DISTINCT u.user_id, l_partkey AS part_key
+        |  FROM users u
+        |  JOIN orders ON o_custkey = u.user_id
+        |  JOIN lineitem ON l_orderkey = o_orderkey),
+        |alls AS (
+        |  SELECT user_id, part_key FROM existing
+        |  UNION
+        |  SELECT user_id, part_key FROM rebuilt)
+        |SELECT a.user_id, a.part_key,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM rebuilt r
+        |    WHERE r.user_id = a.user_id AND r.part_key = a.part_key)
+        |  THEN 1 ELSE 0 END AS INTEGER) AS is_active
+        |FROM alls a
+        |ORDER BY user_id, part_key""".stripMargin,
+
+    "q_salted_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_flag_missing" ->
       """SELECT c_custkey,

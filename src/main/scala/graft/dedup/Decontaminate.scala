@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.GramHash
 
 /** Benchmark decontamination: find training documents sharing long
   * n-grams with an evaluation set (the published GPT-3/LLaMA hygiene
@@ -16,17 +16,12 @@ import graft.functions.TextFunctions
 object Decontaminate {
 
   private def gramHashes(df: DataFrame, idCol: String, textCol: String,
-                         n: Int, as: String): DataFrame = {
-    // hash each token ONCE, then every n-gram key is a polynomial
-    // combine over the token-hash window — no per-gram string building,
-    // O(tokens) hash work per doc instead of O(tokens × n) bytes
-    val tokHashes = transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
-    val grams = when(size(tokHashes) < n, array().cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(0), size(tokHashes) - n),
-        i => aggregate(slice(tokHashes, i + 1, lit(n)), lit(0L),
-          (acc, h) => xxhash64(acc, h))))
-    df.select(col(idCol).as(as), explode(array_distinct(grams)).as("gram_hash"))
-  }
+                         n: Int, as: String): DataFrame =
+    // one-pass rolling-polynomial gram keys (GramHashKeys): each token
+    // hashed once, each gram key O(1) from the previous — true O(tokens)
+    // per doc, no per-position slice allocation
+    df.select(col(idCol).as(as),
+      explode(array_distinct(GramHash.gramHashes(col(textCol), n))).as("gram_hash"))
 
   /** (corpus_id, bench_id, n_shared_grams) for every contaminated pair. */
   def overlaps(corpus: DataFrame, benchmark: DataFrame, idCol: String,

@@ -34,6 +34,38 @@ object SketchKernels {
     new GenericArrayData(sig)
   }
 
+  /** Rolling polynomial n-gram keys — see GramHashKeys for the contract.
+    * O(tokens) total: each token hashed once, each gram key derived from
+    * the previous in O(1) via H(i+1) = (H(i) − h[i]·B^(n−1))·B + h[i+n].
+    */
+  def gramHashes(input: UTF8String, n: Int): ArrayData = {
+    val toks = Hash64.tokenize(input)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val h = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes("UTF-8")
+      h(i) = Hash64.mix(Hash64.fnv1a(b, 0, b.length))
+      i += 1
+    }
+    val B = 0x9e3779b97f4a7c15L // odd => multiplication by B is a bijection mod 2^64
+    var bn1 = 1L // B^(n-1)
+    i = 0
+    while (i < n - 1) { bn1 *= B; i += 1 }
+    val out = new Array[Long](toks.length - n + 1)
+    var acc = 0L
+    i = 0
+    while (i < n) { acc = acc * B + h(i); i += 1 }
+    out(0) = Hash64.mix(acc)
+    var s = 1
+    while (s <= toks.length - n) {
+      acc = (acc - h(s - 1) * bn1) * B + h(s + n - 1)
+      out(s) = Hash64.mix(acc)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash — see SimHash64 for the contract. */
   def simhash(input: UTF8String): Long = {
     val toks = Hash64.tokenize(input)

@@ -63,6 +63,26 @@ object Merge {
   def deleteExcess(dest: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     dest.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
+  /** SCOPED full-sync delete set: only destination rows whose scope
+    * value appears in the incoming batch are delete candidates. The
+    * reference applies exactly this guard so a one-language / one-shop
+    * import deletes only that scope's rows instead of wiping every other
+    * language (EcomDestinationWriter.cs:3067-3091 `GetExtraConditions`,
+    * `GetDeleteFromSpecificLanguageExtraCondition`). An unscoped
+    * full-sync on a partial import is the classic data-loss bug this
+    * prevents.
+    *
+    * The scope set is a distinct over the batch — tiny — so the
+    * membership join broadcasts; the key anti-join is the same single
+    * keyed shuffle as [[deleteExcess]].
+    */
+  def deleteExcessScoped(dest: DataFrame, incoming: DataFrame, keys: Seq[String],
+                         scopeCols: Seq[String]): DataFrame = {
+    val scopes = incoming.select(scopeCols.map(col): _*).distinct()
+    dest.join(broadcast(scopes), scopeCols, "left_semi")
+      .join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+  }
+
   /** Soft-hide variant: keep all destination rows, flag whether each still
     * exists in the import (hideDeactivatedProducts semantics).
     */

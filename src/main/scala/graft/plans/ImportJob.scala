@@ -39,6 +39,11 @@ object ImportJob {
     *                      discardDuplicates
     * @param deleteExcess  full-sync: drop destination rows missing from
     *                      the incoming batch
+    * @param deleteExcessScope scope columns for deleteExcess: only rows
+    *                      whose scope value appears in the batch are
+    *                      dropped, so a partial (one-language/one-shop)
+    *                      import can't wipe other scopes
+    *                      (EcomDestinationWriter.cs:3067-3091)
     * @param flagMissing   soft-sync: keep missing rows but set this
     *                      boolean column false (hideDeactivatedProducts)
     * @param expectSchema  validate the incoming frame up front
@@ -60,6 +65,7 @@ object ImportJob {
       dedupKeys: Seq[String] = Nil,
       dedupOrder: Seq[String] = Nil,
       deleteExcess: Boolean = false,
+      deleteExcessScope: Seq[String] = Nil,
       flagMissing: Option[String] = None,
       expectSchema: Option[StructType] = None,
       constants: Map[String, String] = Map.empty,
@@ -95,7 +101,14 @@ object ImportJob {
         case DeleteIncoming => Merge.deleteExcess(d, in, spec.keys)
       }
       if (spec.deleteExcess)
-        out = out.join(in.select(spec.keys.map(col): _*).distinct(), spec.keys, "left_semi")
+        out =
+          if (spec.deleteExcessScope.nonEmpty) {
+            // scoped: rows outside the batch's scopes survive untouched;
+            // in-scope rows survive only if their key is in the batch
+            val deleteSet = Merge.deleteExcessScoped(out, in, spec.keys, spec.deleteExcessScope)
+            out.join(deleteSet.select(spec.keys.map(col): _*).distinct(), spec.keys, "left_anti")
+          } else
+            out.join(in.select(spec.keys.map(col): _*).distinct(), spec.keys, "left_semi")
       spec.flagMissing.foreach { flag =>
         out = Merge.flagMissing(out, in, spec.keys, flag)
       }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.Merge
 
@@ -22,7 +23,11 @@ object StreamingImport {
       .foreachBatch((batch: DataFrame, _: Long) => upsertBatch(batch, destPath, keys))
       .start()
 
-  /** One micro-batch merge (also directly callable for batch backfill). */
+  /** One micro-batch merge (also directly callable for batch backfill).
+    * NOTE: rewrites the whole destination — use [[upsertBatchPartitioned]]
+    * for any destination big enough to partition (i.e., all of them at
+    * scale); this unpartitioned form is only for small dimension tables.
+    */
   def upsertBatch(batch: DataFrame, destPath: String, keys: Seq[String]): Unit = {
     val spark = batch.sparkSession
     val destExists = new java.io.File(destPath).exists()
@@ -33,4 +38,41 @@ object StreamingImport {
     // (localCheckpoint materializes; cached-parquet re-read can't occur)
     merged.localCheckpoint(true).write.mode("overwrite").parquet(destPath)
   }
+
+  /** Partition-scoped micro-batch merge: cost O(touched partitions), not
+    * O(|dest|). Only the partitions present in the batch are read
+    * (partition-pruned scan), merged, and swapped (dynamic partition
+    * overwrite) — a 100 TB destination with a day-partitioned layout
+    * rewrites one day per batch, and untouched partitions' files are
+    * never opened or replaced. The reference stages only incoming rows
+    * per batch (CreateTempTables, EcomDestinationWriter.cs:234); this is
+    * the partitioned-parquet equivalent (a table format with ACID MERGE
+    * slots in unchanged).
+    */
+  def upsertBatchPartitioned(batch: DataFrame, destPath: String,
+                             keys: Seq[String], partCol: String): Unit = {
+    val spark = batch.sparkSession
+    val destExists = new java.io.File(destPath).exists()
+    // the batch's touched partition values: one distinct over a
+    // micro-batch, bounded by the batch's partition spread — driver-safe
+    val touched = batch.select(partCol).distinct().collect().map(_.get(0))
+    val merged = if (destExists && touched.nonEmpty) {
+      val dest = spark.read.parquet(destPath)
+        .filter(col(partCol).isin(touched: _*)) // prunes to touched dirs
+      Merge.upsert(dest, batch, keys)
+    } else batch
+    merged.localCheckpoint(true).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(destPath)
+  }
+
+  def startPartitioned(stream: DataFrame, destPath: String, keys: Seq[String],
+                       partCol: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        upsertBatchPartitioned(batch, destPath, keys, partCol))
+      .start()
 }

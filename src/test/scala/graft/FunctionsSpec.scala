@@ -50,6 +50,24 @@ class FunctionsSpec extends SparkSuite {
     assert(agree > 0.5 && agree < 1.0) // ~jaccard of the two shingle sets
   }
 
+  test("gramHashes: rolling recurrence matches direct per-gram recompute") {
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val n = 8
+    val df = Seq(text, "too short", "").toDF("t")
+    val out = df.select(GramHash.gramHashes(col("t"), n)).as[Seq[Long]].collect()
+    assert(out(0).length === 30 - n + 1)
+    assert(out(1).isEmpty && out(2).isEmpty) // < n tokens → no grams
+    // equal n-grams hash equal regardless of position in the document:
+    // repeat the first n tokens at the end and the keys must collide
+    val toks = text.split(" ")
+    val cyclic = (toks ++ toks.take(n)).mkString(" ")
+    val c = Seq(cyclic).toDF("t")
+      .select(GramHash.gramHashes(col("t"), n)).as[Seq[Long]].head()
+    assert(c.head === c(30)) // gram at position 0 == gram starting at 30
+    // distinct n-grams get distinct keys (no degenerate constant hash)
+    assert(out(0).distinct.length === out(0).length)
+  }
+
   test("simhash: identical = hamming 0, near texts within small hamming") {
     val a = (1 to 50).map(i => s"tok$i").mkString(" ")
     val b = a.replace("tok25", "other")

@@ -44,6 +44,19 @@ class ImportJobSpec extends SparkSuite {
     assert(flagged === Array((1, false), (2, true), (3, false)))
   }
 
+  test("deleteExcessScope: a one-scope import never touches other scopes") {
+    val d = Seq((1, "en", "a"), (2, "en", "b"), (3, "fr", "c"))
+      .toDF("id", "lang", "v")
+    val in = Seq((1, "en", "A")).toDF("id", "lang", "v")
+    val synced = ImportJob.run(
+      Seq(TableSpec("part", keys = Seq("id"), deleteExcess = true,
+        deleteExcessScope = Seq("lang"))),
+      _ => d, _ => in)("part").orderBy("id")
+      .select("id", "lang", "v").as[(Int, String, String)].collect()
+    // en#2 deleted (in-scope, missing from batch); fr#3 SURVIVES
+    assert(synced === Array((1, "en", "A"), (3, "fr", "c")))
+  }
+
   test("deleteIncoming removes matched keys; constants inject missing columns") {
     import org.apache.spark.sql.functions.col
     val d = Seq((1, "a"), (2, "b")).toDF("id", "v")

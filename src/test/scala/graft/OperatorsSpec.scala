@@ -38,6 +38,49 @@ class OperatorsSpec extends SparkSuite {
     assert(out.map(_._1) === Array(1L, 3L))
   }
 
+  test("Merge.deleteExcessScoped deletes only inside the batch's scopes") {
+    // dest rows in 3 scopes; the batch touches scopes "en" and "de" only
+    val d = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"), (5L, "fr"))
+      .toDF("id", "lang")
+    val in = Seq((1L, "en"), (6L, "de")).toDF("id", "lang")
+    val del = Merge.deleteExcessScoped(d, in, Seq("id"), Seq("lang"))
+      .select("id").as[Long].collect().sorted
+    // id 2 (en, not in batch) and 3 (de, not in batch) die;
+    // fr rows 4 and 5 SURVIVE — their scope was never imported
+    assert(del === Array(2L, 3L))
+    // unscoped deleteExcess would also have wiped the fr rows
+    val unscoped = Merge.deleteExcess(d, in, Seq("id"))
+      .select("id").as[Long].collect().sorted
+    assert(unscoped === Array(2L, 3L, 4L, 5L))
+  }
+
+  test("Assortments.rebuildWithFlag activates rebuilt rows, deactivates stale") {
+    val users = Seq((10L, "A"), (11L, "A"), (12L, "B"))
+      .toDF("user_id", "seg")
+    val prods = Seq(("A", 100L), ("A", 101L), ("B", 200L))
+      .toDF("seg", "part_key")
+    val existing = Seq((10L, 100L), (10L, 999L)) // 999 is stale
+      .toDF("user_id", "part_key")
+    val out = Assortments.rebuildWithFlag(existing, users, prods, "seg",
+      Seq("user_id", "part_key"), "active")
+      .orderBy("user_id", "part_key")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out === Array(
+      (10L, 100L, true), (10L, 101L, true), (10L, 999L, false),
+      (11L, 100L, true), (11L, 101L, true), (12L, 200L, true)))
+  }
+
+  test("Salt.saltedCountDistinct equals plain countDistinct") {
+    val df = Seq((1, 10), (1, 10), (1, 11), (1, 12), (2, 10), (2, 10))
+      .toDF("k", "v")
+    val salted = Salt.saltedCountDistinct(df, Seq("k"), col("v"), "n", buckets = 4)
+      .orderBy("k").as[(Int, Long)].collect()
+    val plain = df.groupBy("k").agg(countDistinct(col("v")).as("n"))
+      .orderBy("k").as[(Int, Long)].collect()
+    assert(salted === plain)
+    assert(salted === Array((1, 3L), (2, 1L)))
+  }
+
   test("Merge.flagMissing flags presence without dropping rows") {
     val out = Merge.flagMissing(dest, incoming, Seq("id"), "present")
       .orderBy("id").select("id", "present").as[(Long, Boolean)].collect()

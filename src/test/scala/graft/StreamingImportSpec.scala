@@ -25,6 +25,33 @@ class StreamingImportSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("upsertBatchPartitioned rewrites ONLY the touched partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_simport3")
+    val dest = s"$dir/dest"
+    val seed = Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+      .toDF("id", "v", "part")
+    StreamingImport.upsertBatchPartitioned(seed, dest, Seq("id"), "part")
+
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dest/part=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val p2Before = files("p2")
+
+    // batch touches only partition p1
+    val batch = Seq((2L, "B2", "p1"), (4L, "d", "p1")).toDF("id", "v", "part")
+    StreamingImport.upsertBatchPartitioned(batch, dest, Seq("id"), "part")
+
+    // untouched partition: same files, same mtimes — never rewritten
+    assert(files("p2") === p2Before)
+    val out = spark.read.parquet(dest).orderBy("id")
+      .select("id", "v", "part").as[(Long, String, String)].collect()
+    assert(out === Array((1L, "a", "p1"), (2L, "B2", "p1"),
+      (3L, "c", "p2"), (4L, "d", "p1")))
+  }
+
   test("upsertBatch doubles as batch backfill") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_simport2")
