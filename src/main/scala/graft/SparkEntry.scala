@@ -424,7 +424,7 @@ object SparkEntry {
     "q_salted_agg" -> ((s, dir) => {
       Salt.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"),
         col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue",
-        distributor = col("l_orderkey"))
+        distributor = col("l_orderkey"), outScale = Some(2))
         .select(col("l_returnflag"), col("revenue"))
         .orderBy(col("l_returnflag"))
     }),

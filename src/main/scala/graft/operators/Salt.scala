@@ -24,16 +24,20 @@ object Salt {
     * depends on it).
     */
   def saltedSum(df: DataFrame, keys: Seq[String], value: Column, as: String,
-                distributor: Column, buckets: Int = 16, outScale: Int = 2): DataFrame = {
+                distributor: Column, buckets: Int = 16,
+                outScale: Option[Int] = None): DataFrame = {
     val partial = df
       .withColumn("__salt", pmod(hash(distributor), lit(buckets)))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(value.cast("decimal(30,6)")).as("__partial"))
-    // round while still DECIMAL (exact HALF_UP), THEN cast to double —
-    // a double round-trip before rounding can land a half-cent sum just
-    // below the boundary and flip the last digit vs an exact engine
-    partial.groupBy(keys.map(col): _*)
-      .agg(round(sum(col("__partial")), outScale).cast("double").as(as))
+    // rounding is OPT-IN (presentation concern, not aggregate semantics);
+    // when requested it happens while still DECIMAL (exact HALF_UP), THEN
+    // casts to double — a double round-trip before rounding can land a
+    // half-cent sum just below the boundary and flip the last digit vs an
+    // exact engine
+    val total = sum(col("__partial"))
+    val out = outScale.fold(total.cast("double"))(s => round(total, s).cast("double"))
+    partial.groupBy(keys.map(col): _*).agg(out.as(as))
   }
 
   /** Exact skew-spread distinct count. A plain two-phase partial sum

@@ -104,9 +104,14 @@ object ImportJob {
         out =
           if (spec.deleteExcessScope.nonEmpty) {
             // scoped: rows outside the batch's scopes survive untouched;
-            // in-scope rows survive only if their key is in the batch
+            // in-scope rows survive only if their key is in the batch.
+            // The anti-join must carry key AND scope columns: a key that
+            // exists in several scopes (one product row per language) may
+            // be deletable in the imported scope while its siblings in
+            // untouched scopes must survive.
             val deleteSet = Merge.deleteExcessScoped(out, in, spec.keys, spec.deleteExcessScope)
-            out.join(deleteSet.select(spec.keys.map(col): _*).distinct(), spec.keys, "left_anti")
+            val delCols = (spec.keys ++ spec.deleteExcessScope).distinct
+            out.join(deleteSet.select(delCols.map(col): _*).distinct(), delCols, "left_anti")
           } else
             out.join(in.select(spec.keys.map(col): _*).distinct(), spec.keys, "left_semi")
       spec.flagMissing.foreach { flag =>

@@ -19,11 +19,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Load one star-schema table. NOTE: the `events` table's `ts` column
+    * is TIMESTAMP(NANOS) parquet, readable only when
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — `GraftSession.builder`
+    * sets it at session build (it is a static conf, not settable
+    * per-call on a live session). An externally-built session without it
+    * fails in the vectorized reader, so fail fast here with the cause.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(All.contains(name), s"unknown table: $name")
-    // events.ts is TIMESTAMP(NANOS) parquet; GraftSession sets
-    // spark.sql.legacy.parquet.nanosAsLong once so the nanos column
-    // arrives as long — converted to micros timestamp here.
+    if (name == "events")
+      require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+        "events.parquet stores TIMESTAMP(NANOS): build the session with " +
+          "graft.GraftSession.builder (sets spark.sql.legacy.parquet.nanosAsLong=true, " +
+          "a static conf that cannot be set on a live session)")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

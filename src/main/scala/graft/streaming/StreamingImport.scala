@@ -48,6 +48,19 @@ object StreamingImport {
     * per batch (CreateTempTables, EcomDestinationWriter.cs:234); this is
     * the partitioned-parquet equivalent (a table format with ACID MERGE
     * slots in unchanged).
+    *
+    * CONTRACT: `partCol` must be IMMUTABLE per key (the usual case —
+    * ingest day, tenant, language). If a key can MOVE partitions (late
+    * correction re-dating an event), the stale row in its old partition
+    * is outside the pruned read and would survive as a duplicate — use
+    * [[upsertBatchRelocating]] for that, which pays one column-pruned
+    * key scan to find and rewrite stale partitions too.
+    *
+    * The destination is read with the batch's explicit schema so the
+    * partition column keeps its declared type: inference from directory
+    * names would silently turn a string partCol with numeric/date-shaped
+    * values ('01', '2024-01-01') into int/date, breaking the merge
+    * coalesce and re-materializing paths under different names.
     */
   def upsertBatchPartitioned(batch: DataFrame, destPath: String,
                              keys: Seq[String], partCol: String): Unit = {
@@ -57,7 +70,7 @@ object StreamingImport {
     // micro-batch, bounded by the batch's partition spread — driver-safe
     val touched = batch.select(partCol).distinct().collect().map(_.get(0))
     val merged = if (destExists && touched.nonEmpty) {
-      val dest = spark.read.parquet(destPath)
+      val dest = spark.read.schema(batch.schema).parquet(destPath)
         .filter(col(partCol).isin(touched: _*)) // prunes to touched dirs
       Merge.upsert(dest, batch, keys)
     } else batch
@@ -65,6 +78,62 @@ object StreamingImport {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(destPath)
+  }
+
+  /** Partition-change-safe variant of [[upsertBatchPartitioned]]: also
+    * deletes stale copies of batch keys that live in OTHER partitions
+    * (a late correction moving an event to a new day). Finds the stale
+    * partitions with one column-pruned scan of (keys, partCol) over the
+    * destination — cheap relative to data rewrite, and the only way to
+    * learn where a moved key used to live without a key→partition index.
+    * The rewrite set is still partition-scoped: touched ∪ stale-bearing
+    * partitions, each swapped atomically by dynamic partition overwrite.
+    */
+  def upsertBatchRelocating(batch: DataFrame, destPath: String,
+                            keys: Seq[String], partCol: String): Unit = {
+    val spark = batch.sparkSession
+    val destExists = new java.io.File(destPath).exists()
+    val touched = batch.select(partCol).distinct().collect().map(_.get(0))
+    if (destExists && touched.nonEmpty) {
+      val destAll = spark.read.schema(batch.schema).parquet(destPath)
+      // partitions (outside the touched set) still holding a batch key:
+      // column-pruned scan — parquet reads only key + partition columns
+      val stale = destAll
+        .filter(!col(partCol).isin(touched: _*))
+        .join(batch.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .select(partCol).distinct().collect().map(_.get(0))
+      val readSet = touched ++ stale
+      val dest = destAll.filter(col(partCol).isin(readSet: _*))
+      // within the read set: batch rows win; a dest row whose key is in
+      // the batch but whose partition differs is the stale copy — drop it
+      val cleaned = dest.join(
+        batch.select((keys :+ partCol).map(col): _*).distinct()
+          .withColumnRenamed(partCol, "__new_part"),
+        keys, "left_outer")
+        .filter(col("__new_part").isNull || col("__new_part") === col(partCol))
+        .drop("__new_part")
+      val merged = Merge.upsert(cleaned, batch, keys).localCheckpoint(true)
+      // a stale partition whose every row moved away produces NO output
+      // rows, so dynamic overwrite would never replace it — drop the
+      // now-empty partition directories explicitly (merged is already
+      // materialized by the checkpoint, so the read is finished)
+      val kept = merged.select(partCol).distinct().collect().map(_.get(0)).toSet
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      stale.filterNot(kept).foreach { v =>
+        val dir = new org.apache.hadoop.fs.Path(
+          destPath, s"$partCol=" + java.net.URLEncoder.encode(String.valueOf(v), "UTF-8"))
+        fs.delete(dir, true)
+      }
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(destPath)
+    } else
+      batch.localCheckpoint(true).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(destPath)
   }
 
   def startPartitioned(stream: DataFrame, destPath: String, keys: Seq[String],

@@ -57,6 +57,22 @@ class ImportJobSpec extends SparkSuite {
     assert(synced === Array((1, "en", "A"), (3, "fr", "c")))
   }
 
+  test("deleteExcessScope: same key in two scopes — only the in-scope copy dies") {
+    // the canonical one-language import: product #2 exists in BOTH en and
+    // fr; the en batch omits it, so en#2 must die but fr#2 must survive
+    val d = Seq((1, "en", "a"), (2, "en", "b"), (2, "fr", "b-fr"), (3, "fr", "c"))
+      .toDF("id", "lang", "v")
+    val in = Seq((1, "en", "A")).toDF("id", "lang", "v")
+    // keys deliberately EXCLUDE the scope column — the delete set must
+    // still carry (id, lang), else deleting en#2 also wipes fr#2
+    val synced = ImportJob.run(
+      Seq(TableSpec("part", keys = Seq("id"), deleteExcess = true,
+        deleteExcessScope = Seq("lang"))),
+      _ => d, _ => in)("part").orderBy("id", "lang")
+      .select("id", "lang", "v").as[(Int, String, String)].collect()
+    assert(synced === Array((1, "en", "A"), (2, "fr", "b-fr"), (3, "fr", "c")))
+  }
+
   test("deleteIncoming removes matched keys; constants inject missing columns") {
     import org.apache.spark.sql.functions.col
     val d = Seq((1, "a"), (2, "b")).toDF("id", "v")

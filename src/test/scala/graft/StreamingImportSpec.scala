@@ -52,6 +52,47 @@ class StreamingImportSpec extends SparkSuite {
       (3L, "c", "p2"), (4L, "d", "p1")))
   }
 
+  test("upsertBatchRelocating drops the stale copy when a key moves partition") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_simport4")
+    val dest = s"$dir/dest"
+    val seed = Seq((1L, "a", "d1"), (2L, "b", "d2"), (3L, "c", "d2"))
+      .toDF("id", "v", "part")
+    StreamingImport.upsertBatchRelocating(seed, dest, Seq("id"), "part")
+
+    // late correction: id=2 moves d2 -> d1
+    val batch = Seq((2L, "B2", "d1")).toDF("id", "v", "part")
+    StreamingImport.upsertBatchRelocating(batch, dest, Seq("id"), "part")
+    val out = spark.read.parquet(dest).orderBy("id")
+      .select("id", "v", "part").as[(Long, String, String)].collect()
+    // no duplicate id=2: the d2 copy is gone, the d1 copy is current
+    assert(out === Array((1L, "a", "d1"), (2L, "B2", "d1"), (3L, "c", "d2")))
+
+    // move the ONLY row of a partition: the emptied directory must go
+    // away too (dynamic overwrite alone would leave the stale file)
+    val batch2 = Seq((3L, "C3", "d1")).toDF("id", "v", "part")
+    StreamingImport.upsertBatchRelocating(batch2, dest, Seq("id"), "part")
+    val out2 = spark.read.parquet(dest).orderBy("id")
+      .select("id", "v", "part").as[(Long, String, String)].collect()
+    assert(out2 === Array((1L, "a", "d1"), (2L, "B2", "d1"), (3L, "C3", "d1")))
+    assert(!new java.io.File(s"$dest/part=d2").exists())
+  }
+
+  test("partition column type is pinned, not re-inferred from directory names") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_simport5")
+    val dest = s"$dir/dest"
+    // string partition values that LOOK numeric — inference would read
+    // them back as int and the merge coalesce would type-mismatch
+    val seed = Seq((1L, "a", "01"), (2L, "b", "02")).toDF("id", "v", "part")
+    StreamingImport.upsertBatchPartitioned(seed, dest, Seq("id"), "part")
+    val batch = Seq((2L, "B2", "02"), (3L, "c", "01")).toDF("id", "v", "part")
+    StreamingImport.upsertBatchPartitioned(batch, dest, Seq("id"), "part")
+    val out = spark.read.schema(seed.schema).parquet(dest).orderBy("id")
+      .select("id", "v", "part").as[(Long, String, String)].collect()
+    assert(out === Array((1L, "a", "01"), (2L, "B2", "02"), (3L, "c", "01")))
+  }
+
   test("upsertBatch doubles as batch backfill") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_simport2")
