@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators._
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
-import graft.plans.TableOrder
+import graft.plans.{Quarantine, TableOrder}
 import graft.dedup.{Clusters, NearDup}
 import graft.similarity.Knn
 import graft.multimodal.Multimodal
@@ -120,6 +120,17 @@ object SparkEntry {
           col("click").as("v_click"), col("error").as("v_error"),
           col("purchase").as("v_purchase"), col("signup").as("v_signup"),
           col("view").as("v_view"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_pivot_dynamic" -> ((s, dir) => {
+      // column set DISCOVERED from the rows (GetProductCategoryFields →
+      // PIVOT, EcomSourceReader.cs:56-81,267-279), not declared — the
+      // DuckDB oracle discovers its columns with a dynamic PIVOT too
+      PivotOps.toWideDynamic(
+        t(s, dir, "events"), Seq("user_id"), "event_type",
+        round(sum(col("value").cast("decimal(30,6)")), 2).cast("double"),
+        maxColumns = 100)
         .orderBy(col("user_id"))
     }),
 
@@ -262,6 +273,17 @@ object SparkEntry {
           .as("segment"),
         concat(lit("CUST-"), col("c_custkey").cast("string")).as("ext_id"))
         .orderBy(col("c_custkey"))
+    }),
+
+    "q_quarantine" -> ((s, dir) => {
+      // SkipFailingRows (EcomProvider.cs:247): rows failing validation
+      // are diverted with a reason list instead of failing the job
+      val (_, q) = Quarantine.split(t(s, dir, "orders"), Seq(
+        "price_high" -> (col("o_totalprice") < 300000),
+        "low_prio" -> !col("o_orderpriority").contains("LOW")))
+      q.select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"), col("quarantine_reason"))
+        .orderBy(col("o_orderkey"))
     }),
 
     "q_propagate_variants" -> ((s, dir) => {
@@ -669,6 +691,12 @@ object SparkEntry {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    "q_pivot_dynamic" ->
+      """WITH p AS (SELECT user_id, event_type, CAST(value AS DECIMAL(30,6)) AS v FROM events),
+        |w AS (SELECT * FROM (PIVOT p ON event_type USING sum(v)))
+        |SELECT user_id, CAST(round(COLUMNS(c -> c <> 'user_id'), 2) AS DOUBLE)
+        |FROM w ORDER BY user_id""".stripMargin,
+
     "q_correlated_lookup" ->
       """SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_totalprice
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
@@ -825,6 +853,17 @@ object SparkEntry {
         |  'CUST-' || c_custkey AS ext_id
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_quarantine" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority,
+        |  concat_ws(',',
+        |    CASE WHEN NOT coalesce(o_totalprice < 300000, FALSE) THEN 'price_high' END,
+        |    CASE WHEN NOT coalesce(o_orderpriority NOT LIKE '%LOW%', FALSE) THEN 'low_prio' END
+        |  ) AS quarantine_reason
+        |FROM orders
+        |WHERE NOT coalesce(o_totalprice < 300000, FALSE)
+        |   OR NOT coalesce(o_orderpriority NOT LIKE '%LOW%', FALSE)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_propagate_variants" ->
       """SELECT l_orderkey, l_linenumber,

@@ -22,6 +22,32 @@ object PivotOps {
              agg: Column, values: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).pivot(keyCol, values).agg(agg)
 
+  /** Dynamic pivot: column set DISCOVERED from the data, the way the
+    * reference discovers `ProductCategory|<cat>|<field>` columns from the
+    * EcomProductCategoryFieldValue rows themselves (GetProductCategoryFields,
+    * EcomSourceReader.cs:56-81, applied :267-279). Two passes: a distinct
+    * scan finds the value set (sorted, so the output schema is
+    * deterministic for a given dataset), then the same single-shuffle
+    * pivot as [[toWide]].
+    *
+    * `maxColumns` is a hard cap, not a silent truncation: pivoting an
+    * unbounded key column into the schema is how a bad feed turns into a
+    * million-column table, so exceeding the cap fails with the count.
+    * The discovery collect is bounded by the cap (limit cap+1) — at
+    * 100 TB the distinct runs distributed and only ≤cap+1 values ever
+    * reach the driver.
+    */
+  def toWideDynamic(df: DataFrame, keys: Seq[String], keyCol: String,
+                    agg: Column, maxColumns: Int = 1000): DataFrame = {
+    val values = df.select(col(keyCol).cast("string")).distinct()
+      .filter(col(keyCol).isNotNull) // a null key never becomes a column
+      .orderBy(col(keyCol)).limit(maxColumns + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(values.size <= maxColumns,
+      s"pivot on $keyCol discovered more than $maxColumns distinct values")
+    df.groupBy(keys.map(col): _*).pivot(keyCol, values).agg(agg)
+  }
+
   /** Wide → key/value rows via stack(); null cells dropped, mirroring the
     * reference writing only present field values.
     */

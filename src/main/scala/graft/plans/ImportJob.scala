@@ -52,6 +52,13 @@ object ImportJob {
     * @param constants     inject fixed-value columns missing from the
     *                      incoming frame (ScriptType.Constant shop-id
     *                      injection, EcomProvider.cs:980)
+    * @param rowRules      permissive row validation (SkipFailingRows,
+    *                      EcomProvider.cs:247): rows failing any
+    *                      (reason, predicate) rule are diverted to a
+    *                      quarantine frame — returned by [[run]] under
+    *                      `<table>__quarantined` with a reason column —
+    *                      instead of failing the job; passing rows
+    *                      continue into the merge
     * @param post          post-merge transform hook (the reference's
     *                      UpdateProductRelatedProducts /
     *                      UpdateVariantFieldsInProducts pass,
@@ -69,6 +76,7 @@ object ImportJob {
       flagMissing: Option[String] = None,
       expectSchema: Option[StructType] = None,
       constants: Map[String, String] = Map.empty,
+      rowRules: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       post: DataFrame => DataFrame = identity)
 
   /** Run the job: for each spec (in dependency order), merge `incoming`
@@ -80,15 +88,20 @@ object ImportJob {
           deps: Map[String, Set[String]] = TableOrder.StarSchemaDeps): Map[String, DataFrame] = {
     val ordered = TableOrder.order(specs.map(_.table), deps)
     val byName = specs.map(s => s.table -> s).toMap
-    ordered.map { table =>
+    ordered.flatMap { table =>
       val spec = byName(table)
       val withConsts = spec.constants.foldLeft(incoming(table)) { case (df, (c, v)) =>
         if (df.columns.map(_.toLowerCase).contains(c.toLowerCase)) df
         else df.withColumn(c, org.apache.spark.sql.functions.lit(v))
       }
-      val in0 = spec.expectSchema
+      val checked = spec.expectSchema
         .map(SchemaCheck.validate(withConsts, _))
         .getOrElse(withConsts)
+      val (in0, quarantined) =
+        if (spec.rowRules.nonEmpty) {
+          val (v, q) = Quarantine.split(checked, spec.rowRules)
+          (v, Some(q))
+        } else (checked, None)
       val in = if (spec.dedupKeys.nonEmpty)
         Dedup.keepFirst(in0, spec.dedupKeys,
           (if (spec.dedupOrder.nonEmpty) spec.dedupOrder else spec.dedupKeys).map(col))
@@ -117,7 +130,8 @@ object ImportJob {
       spec.flagMissing.foreach { flag =>
         out = Merge.flagMissing(out, in, spec.keys, flag)
       }
-      table -> spec.post(out)
+      Seq(table -> spec.post(out)) ++
+        quarantined.map(q => s"${table}__quarantined" -> q)
     }.toMap
   }
 }

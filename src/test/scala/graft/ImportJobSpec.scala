@@ -90,6 +90,27 @@ class ImportJobSpec extends SparkSuite {
     assert(withConst === Array((1, "a"), (2, "b"), (3, "SHOP1")))
   }
 
+  test("rowRules divert failing rows to <table>__quarantined, job keeps going") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1, Option(10.0), Option("a"))).toDF("id", "price", "v")
+    val in = Seq(
+      (2, Option(5.0), Option("b")),   // valid
+      (3, Option(-1.0), None),         // fails both rules
+      (5, None: Option[Double], Option("e"))) // null predicate => quarantined
+      .toDF("id", "price", "v")
+    val out = ImportJob.run(
+      Seq(TableSpec("part", keys = Seq("id"), rowRules = Seq(
+        "price_pos" -> (col("price") > 0),
+        "v_present" -> col("v").isNotNull))),
+      _ => d, _ => in)
+    val merged = out("part").orderBy("id")
+      .select("id").as[Int].collect()
+    assert(merged === Array(1, 2)) // only the valid incoming row merged
+    val quarantined = out("part__quarantined").orderBy("id")
+      .select("id", "quarantine_reason").as[(Int, String)].collect()
+    assert(quarantined === Array((3, "price_pos,v_present"), (5, "price_pos")))
+  }
+
   test("insertOnly keeps destination rows untouched and appends new keys") {
     val d = Seq((1, "a")).toDF("id", "v")
     val in = Seq((1, "CHANGED"), (2, "new")).toDF("id", "v")

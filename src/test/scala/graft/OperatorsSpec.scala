@@ -131,6 +131,19 @@ class OperatorsSpec extends SparkSuite {
     assert(long === Array((1, "x", 5.0), (1, "y", 6.0), (2, "x", 7.0)))
   }
 
+  test("PivotOps.toWideDynamic discovers columns, ignores null keys, enforces cap") {
+    val kv = Seq((1, Some("x"), 5.0), (1, Some("y"), 6.0), (2, Some("x"), 7.0),
+      (2, None, 9.0)).toDF("k", "f", "v")
+    val wide = PivotOps.toWideDynamic(kv, Seq("k"), "f", first(col("v")))
+    assert(wide.columns.toSeq === Seq("k", "x", "y")) // sorted, no null column
+    val rows = wide.orderBy("k").as[(Int, Option[Double], Option[Double])].collect()
+    assert(rows === Array((1, Some(5.0), Some(6.0)), (2, Some(7.0), None)))
+    val err = intercept[IllegalArgumentException] {
+      PivotOps.toWideDynamic(kv, Seq("k"), "f", first(col("v")), maxColumns = 1)
+    }
+    assert(err.getMessage.contains("more than 1"))
+  }
+
   test("Propagate.fillFromParent inherits parent values on null children") {
     val df = Seq(
       (1L, 1, Some("P")), (1L, 2, None), (1L, 3, Some("own")),
