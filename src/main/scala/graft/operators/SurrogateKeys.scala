@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Sequential surrogate-id assignment for keyless incoming rows.
   *
@@ -12,21 +11,43 @@ import org.apache.spark.sql.types.LongType
   * A driver counter is a scale bottleneck; the Spark-native contract is
   * `maxExisting + dense sequence under a deterministic total order`.
   *
-  * Implementation: range-repartition + in-partition sort on the order key,
-  * then `zipWithIndex` (two distributed passes, no single-partition window
-  * — `row_number() OVER (ORDER BY ...)` would funnel 100 TB through one
-  * task). Result is identical to the single-partition window, without the
-  * bottleneck.
+  * Implementation: range-repartition + in-partition sort on the order
+  * key, then dense ids from per-partition offsets — pass 1 collects
+  * (count, base) per partition (numPartitions tuples on the driver, not
+  * data), pass 2 adds `offset[pid] + local index` as a column expression.
+  * Everything stays a DataFrame: no `rdd.zipWithIndex` Row round-trip
+  * out of Tungsten, the id projection is codegen'd, and there is no
+  * single-partition window (`row_number() OVER (ORDER BY ...)` would
+  * funnel 100 TB through one task). The local index comes from
+  * `monotonically_increasing_id`, which counts sequentially within each
+  * partition (partition id in the upper bits, per-partition record
+  * number in the lower) — subtracting the partition's minimum yields the
+  * dense in-partition rank without any exchange.
+  *
+  * `orderBy` must be a total order (ties would make any
+  * recompute-between-passes nondeterministic — same contract the
+  * zipWithIndex formulation had).
   */
 object SurrogateKeys {
 
   def assign(df: DataFrame, orderBy: Seq[Column], idCol: String,
              startAt: Long = 1L): DataFrame = {
     val sorted = df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*)
-    val schema = sorted.schema.add(idCol, LongType, nullable = false)
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (startAt + i))
-    }
-    df.sparkSession.createDataFrame(indexed, schema)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val stats = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("cnt"), min(col("__mid")).as("base"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (stats.isEmpty) return df.withColumn(idCol, lit(startAt))
+    val offsets = stats.scanLeft(0L)(_ + _._2).init
+    val offsetByPid = stats.map(_._1).zip(offsets).toMap
+    val baseByPid = stats.map(s => s._1 -> s._3).toMap
+    sorted
+      .withColumn(idCol,
+        lit(startAt) + element_at(typedlit(offsetByPid), col("__pid")) +
+          (col("__mid") - element_at(typedlit(baseByPid), col("__pid"))))
+      .drop("__pid", "__mid")
   }
 }

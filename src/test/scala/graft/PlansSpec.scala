@@ -28,6 +28,22 @@ class PlansSpec extends SparkSuite {
     assert(err.getMessage.contains("missing column 'name'"))
   }
 
+  test("SurrogateKeys.assign stays in Tungsten: no RDD scan, codegen present") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("c", 30.0), ("a", 10.0), ("b", 20.0)).toDF("name", "bal")
+    val out = graft.operators.SurrogateKeys.assign(df, Seq(col("name")), "sk", 100L)
+    val rows = out.collect().map(r => (r.getAs[String]("name"), r.getAs[Long]("sk")))
+      .sortBy(_._2)
+    assert(rows === Array(("a", 100L), ("b", 101L), ("c", 102L)))
+    // executed AFTER the action (on `out` itself) so AQE has finalized
+    val physical = out.queryExecution.executedPlan.toString
+    // the old formulation rebuilt the frame from RDD[Row] — that shows up
+    // as an ExistingRDD scan and kills codegen for everything downstream
+    assert(!physical.contains("ExistingRDD"), physical)
+    // "*(n)" is the WholeStageCodegen marker in the simple plan string
+    assert(physical.contains("*(1)"), physical)
+  }
+
   test("JobMetrics.observed collects counts during the action") {
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c")).toDF("id", "name")
     val (obsDf, obs) = JobMetrics.observed(df, "import_customer", Seq("id"))
