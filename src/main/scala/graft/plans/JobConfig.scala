@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/** Serializable job settings + schema round-trip.
+  *
+  * The reference serializes its provider settings to XML inside the job
+  * file (`EcomProvider.cs:772` Serialize / `:481` constructor-from-node)
+  * and snapshots the destination schema so a later run can detect and
+  * undo source-schema drift (`GetOriginalDestinationSchema` :293-430,
+  * `OverwriteSourceSchemaToOriginal` :459). Spark-native equivalent: a
+  * JSON-round-trippable [[JobConfig]] that lowers to
+  * [[ImportJob.TableSpec]]s, plus a schema snapshot (Spark's own
+  * `StructType.json`), a drift report, and a conform-to-original
+  * projection.
+  *
+  * Only the declarative subset is serialized: `rowRules` / `post` hooks
+  * are code, not configuration (the reference's equivalents live in the
+  * provider assembly, not the settings XML either).
+  */
+case class TableConfig(
+    table: String,
+    keys: Seq[String],
+    mode: String = "upsert",
+    dedupKeys: Seq[String] = Nil,
+    dedupOrder: Seq[String] = Nil,
+    deleteExcess: Boolean = false,
+    deleteExcessScope: Seq[String] = Nil,
+    flagMissing: Option[String] = None,
+    constants: Map[String, String] = Map.empty,
+    expectSchema: Option[String] = None) { // StructType.json snapshot
+
+  def toSpec: ImportJob.TableSpec = ImportJob.TableSpec(
+    table = table,
+    keys = keys,
+    mode = mode match {
+      case "upsert" => ImportJob.Upsert
+      case "updateOnly" => ImportJob.UpdateOnly
+      case "insertOnly" => ImportJob.InsertOnly
+      case "deleteIncoming" => ImportJob.DeleteIncoming
+      case other => throw new IllegalArgumentException(s"unknown mode: $other")
+    },
+    dedupKeys = dedupKeys,
+    dedupOrder = dedupOrder,
+    deleteExcess = deleteExcess,
+    deleteExcessScope = deleteExcessScope,
+    flagMissing = flagMissing,
+    expectSchema = expectSchema.map(DataType.fromJson(_).asInstanceOf[StructType]),
+    constants = constants)
+}
+
+case class JobConfig(tables: Seq[TableConfig])
+
+object JobConfig {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  def toJson(cfg: JobConfig): String = Serialization.writePretty(cfg)
+
+  def fromJson(json: String): JobConfig = Serialization.read[JobConfig](json)
+
+  def toSpecs(cfg: JobConfig): Seq[ImportJob.TableSpec] = cfg.tables.map(_.toSpec)
+
+  /** Schema drift between a snapshotted original and the current frame:
+    * what a re-run would see changed (the check the reference runs before
+    * offering OverwriteSourceSchemaToOriginal). Names compared
+    * case-insensitively like the rest of the engine.
+    */
+  case class SchemaDrift(added: Seq[String], removed: Seq[String],
+                         retyped: Seq[(String, String, String)]) {
+    def isEmpty: Boolean = added.isEmpty && removed.isEmpty && retyped.isEmpty
+    def describe: String =
+      (added.map(c => s"added '$c'") ++
+        removed.map(c => s"removed '$c'") ++
+        retyped.map { case (c, o, n) => s"'$c' retyped $o -> $n" }).mkString("; ")
+  }
+
+  def drift(original: StructType, current: StructType): SchemaDrift = {
+    val orig = original.fields.map(f => f.name.toLowerCase -> f).toMap
+    val cur = current.fields.map(f => f.name.toLowerCase -> f).toMap
+    SchemaDrift(
+      added = current.fields.toSeq.collect {
+        case f if !orig.contains(f.name.toLowerCase) => f.name },
+      removed = original.fields.toSeq.collect {
+        case f if !cur.contains(f.name.toLowerCase) => f.name },
+      retyped = original.fields.toSeq.flatMap { f =>
+        cur.get(f.name.toLowerCase).collect {
+          case c if c.dataType != f.dataType =>
+            (f.name, f.dataType.simpleString, c.dataType.simpleString)
+        }
+      })
+  }
+
+  /** Conform a drifted frame back to the original schema
+    * (OverwriteSourceSchemaToOriginal, EcomProvider.cs:459): original
+    * column order, original types (cast), dropped columns restored as
+    * typed nulls, added columns discarded.
+    */
+  def overwriteToOriginal(df: DataFrame, original: StructType): DataFrame = {
+    val present = df.columns.map(_.toLowerCase).toSet
+    df.select(original.fields.toSeq.map { f =>
+      if (present.contains(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+}

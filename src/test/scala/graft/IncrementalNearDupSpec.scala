@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.dedup.{IncrementalNearDup, NearDup}
+
+case class Doc(doc_id: Long, text: String)
+
+/** The incremental LSH index must emit EXACTLY the pair set the batch
+  * run finds on the same corpus — fed through a MemoryStream in
+  * micro-batches that split duplicate pairs across batch boundaries.
+  */
+class IncrementalNearDupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs: Seq[Doc] = {
+    val base = (0 until 20).map { i =>
+      Doc(i.toLong, (0 until 40).map(j => s"w${(i * 7 + j * 13) % 97}").mkString(" "))
+    }
+    base ++ Seq(
+      Doc(100L, base(3).text),                                  // exact dup of 3
+      Doc(101L, base(5).text.replace("w68 ", "w68 EXTRA ")),    // near dup of 5
+      Doc(102L, (0 until 40).map(j => s"z$j").mkString(" ")))   // unrelated
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+  test("incremental over MemoryStream equals the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_inclsh")
+    val (indexDir, pairsDir, ckpt) = (s"$dir/index", s"$dir/pairs", s"$dir/ckpt")
+
+    val stream = MemoryStream[Doc]
+    val q = IncrementalNearDup.start(stream.toDF(), "doc_id", "text",
+      indexDir, pairsDir, ckpt, threshold = 0.5)
+    try {
+      // batch 1 holds doc 3 and 5; their duplicates 100/101 arrive LATER —
+      // the new×old path is what's under test
+      stream.addData(docs.take(10): _*)
+      q.processAllAvailable()
+      stream.addData(docs.slice(10, 20): _*)
+      q.processAllAvailable()
+      stream.addData(docs.drop(20): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val incremental = pairSet(spark.read.parquet(pairsDir))
+    val batch = NearDup.minhashPairs(docs.toDF(), "doc_id", "text", threshold = 0.5)
+    val expected = pairSet(batch)
+    batch.unpersist()
+    assert(incremental === expected)
+    assert(expected.exists(p => p._1 == 3L && p._2 == 100L && p._3 == 1.0))
+    assert(expected.exists(p => p._1 == 5L && p._2 == 101L))
+  }
+
+  test("already-indexed ids are skipped, not re-paired") {
+    val dir = Files.createTempDirectory("graft_inclsh2")
+    val indexDir = s"$dir/index"
+    val first = IncrementalNearDup.processBatch(
+      docs.take(5).toDF(), "doc_id", "text", indexDir, threshold = 0.5)
+    val firstBatchRun = NearDup.minhashPairs(
+      docs.take(5).toDF(), "doc_id", "text", threshold = 0.5)
+    assert(pairSet(first) === pairSet(firstBatchRun))
+    firstBatchRun.unpersist()
+    // re-deliver doc 3 together with its exact dup: only the NEW doc pairs
+    val redelivered = IncrementalNearDup.processBatch(
+      Seq(Doc(3L, docs(3).text), Doc(100L, docs(3).text)).toDF(),
+      "doc_id", "text", indexDir, threshold = 0.5)
+    val got = pairSet(redelivered).map(p => (p._1, p._2))
+    redelivered.unpersist()
+    // doc 3 was skipped as already-indexed: every pair involves the NEW
+    // doc 100 (no re-pairing of old docs among themselves)
+    assert(got.nonEmpty && got.forall(_._2 == 100L))
+    assert(got.contains((3L, 100L)))
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.types._
-import graft.plans.{JobMetrics, SchemaCheck}
+import graft.plans.{JobConfig, JobMetrics, SchemaCheck, TableConfig}
 import graft.plans.SchemaCheck._
 
 class PlansSpec extends SparkSuite {
@@ -42,6 +42,44 @@ class PlansSpec extends SparkSuite {
     assert(!physical.contains("ExistingRDD"), physical)
     // "*(n)" is the WholeStageCodegen marker in the simple plan string
     assert(physical.contains("*(1)"), physical)
+  }
+
+  test("JobConfig round-trips through JSON and lowers to runnable specs") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val cfg = JobConfig(Seq(
+      TableConfig("customer", keys = Seq("id"), mode = "upsert",
+        dedupKeys = Seq("id"), dedupOrder = Seq("name"),
+        deleteExcess = true, deleteExcessScope = Seq("lang"),
+        flagMissing = Some("active"), constants = Map("shop" -> "S1"),
+        expectSchema = Some(schema.json)),
+      TableConfig("nation", keys = Seq("nid"), mode = "insertOnly")))
+    val back = JobConfig.fromJson(JobConfig.toJson(cfg))
+    assert(back === cfg)
+    val specs = JobConfig.toSpecs(back)
+    assert(specs.head.mode === graft.plans.ImportJob.Upsert)
+    assert(specs.head.expectSchema === Some(schema))
+    assert(specs(1).mode === graft.plans.ImportJob.InsertOnly)
+  }
+
+  test("JobConfig.drift reports added/removed/retyped; overwriteToOriginal undoes drift") {
+    val original = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("qty", IntegerType)))
+    val drifted = Seq((1, "a", "extra")).toDF("id", "name", "note") // qty gone, note added, id retyped
+    val d = JobConfig.drift(original, drifted.schema)
+    assert(d.added === Seq("note"))
+    assert(d.removed === Seq("qty"))
+    assert(d.retyped === Seq(("id", "bigint", "int")))
+    assert(d.describe.contains("retyped"))
+
+    val conformed = JobConfig.overwriteToOriginal(drifted, original)
+    assert(conformed.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      original.fields.map(f => (f.name, f.dataType)).toSeq)
+    val row = conformed.as[(Option[Long], Option[String], Option[Int])].head()
+    assert(row === ((Some(1L), Some("a"), None)))
+    assert(JobConfig.drift(original, conformed.schema).isEmpty)
   }
 
   test("JobMetrics.observed collects counts during the action") {
