@@ -1,16 +1,77 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
 /** Plan audit main: prints the formatted physical plan of selected
   * queries so pushdown/broadcast/codegen can be reviewed (SURVEY.md §5).
+  *
+  * Besides `SparkEntry.queries` names, accepts STAGE audit names for the
+  * expensive family — the eager pipelines (minhashPairs, canonicalize)
+  * materialize internally, so their load-bearing stages are exposed here
+  * as lazy frames whose plans show the claimed shuffle structure:
+  * `lsh_candidates`, `decontaminate_overlaps`, `ann_assign`,
+  * `ann_probe`, `clusters_mapping_join`, `corpus_quality_stage`.
   */
 object Explain {
+
+  def stageAudits(dir: String): Map[String, SparkSession => DataFrame] = Map(
+    "lsh_candidates" -> (s =>
+      graft.dedup.NearDup.minhashCandidates(
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
+    "decontaminate_overlaps" -> { s =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.dedup.Decontaminate.overlaps(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 8)
+    },
+    "ann_assign" -> { s =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = graft.similarity.Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
+      graft.similarity.Knn.assign(emb, cents)
+    },
+    "ann_probe" -> { s =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = graft.similarity.Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
+      graft.similarity.Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10), cents,
+        k = 5, nProbe = 2)
+    },
+    "clusters_mapping_join" -> { s =>
+      // the apply side of canonicalize: corpus ids ⟕ broadcast mapping
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id").as("id"))
+      val mapping = s.range(100).select(col("id"), (col("id") % 7).as("__canon"))
+      ids.join(broadcast(mapping), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("__canon"), col("id")).as("canonical_id"))
+    },
+    "corpus_dedup_stage" -> { s =>
+      // CorpusClean's annotate → quality floor → normalized exact dedup
+      // (its only corpus-wide shuffle before the LSH stage)
+      import graft.functions.TextFunctions
+      Tables.load(s, dir, "documents")
+        .withColumn("quality_bp", TextFunctions.qualityScore(col("text")))
+        .withColumn("pred_lang", TextFunctions.langId(col("text")))
+        .filter(col("quality_bp") >= 3000)
+        .withColumn("__normh", md5(TextFunctions.normalizeForDedup(col("text"))))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__normh"))
+            .orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+        .drop("__normh", "__rn")
+    })
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.create(8)
-    val names = if (args.nonEmpty) args.toSeq else Seq("q_filtered_read", "q1_agg", "q3_top_orders", "q5_join5")
+    val audits = stageAudits(dir)
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_filtered_read", "q1_agg", "q3_top_orders", "q5_join5")
     names.foreach { n =>
       println(s"\n================ $n ================")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      audits.get(n) match {
+        case Some(f) => f(spark).explain("formatted")
+        case None => SparkEntry.queries(n)(spark, dir).explain("formatted")
+      }
     }
     spark.stop()
   }

@@ -82,6 +82,46 @@ class PlansSpec extends SparkSuite {
     assert(JobConfig.drift(original, conformed.schema).isEmpty)
   }
 
+  // ── enforced scale invariants for the expensive family (SURVEY.md §5) ──
+
+  private def docsDf = (0 until 30).map { i =>
+    (i.toLong, (0 until 30).map(j => s"w${(i * 5 + j * 11) % 83}").mkString(" "))
+  }.toDF("doc_id", "text")
+
+  private def shuffleKeys(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(df.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSeq
+
+  test("LSH candidate stage: ONE bucket-key shuffle + one pair-dedup shuffle") {
+    val cand = graft.dedup.NearDup.minhashCandidates(docsDf, "doc_id", "text")
+    val keys = shuffleKeys(cand)
+    assert(keys.length === 2, cand.queryExecution.executedPlan.toString)
+    assert(keys.count(k => k.contains("bucket")) === 1, keys)
+    assert(keys.count(k => k.contains("id_a") && k.contains("id_b")) === 1, keys)
+  }
+
+  test("decontamination: benchmark broadcast, zero corpus-side shuffle") {
+    val bench = docsDf.filter($"doc_id" % 10 === 0)
+    val ov = graft.dedup.Decontaminate.overlaps(
+      docsDf.filter($"doc_id" % 10 =!= 0), bench, "doc_id", "text", n = 5)
+    val plan = ov.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val keys = shuffleKeys(ov)
+    // the only shuffle is the post-join aggregate over MATCHED rows —
+    // the corpus reaches the broadcast join without any Exchange
+    assert(keys.length === 1 && keys.head.contains("corpus_id"), plan)
+  }
+
+  test("IVF centroid assignment is a pure map: zero exchanges") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
+    val cents = graft.similarity.Knn.trainCentroids(vecs, nCentroids = 2, iters = 1)
+    val plan = graft.similarity.Knn.assign(vecs, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("JobMetrics.observed collects counts during the action") {
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c")).toDF("id", "name")
     val (obsDf, obs) = JobMetrics.observed(df, "import_customer", Seq("id"))
