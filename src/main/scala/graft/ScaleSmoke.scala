@@ -15,6 +15,7 @@ import graft.sources.Tables
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val section = args.drop(1).headOption.getOrElse("all") // all | dedup | relational
     val spark = GraftSession.create(32)
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/graft_scale"
@@ -34,29 +35,62 @@ object ScaleSmoke {
       println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
 
-    val docs1 = Tables.load(spark, base, "documents")
-    val emb1 = Tables.load(spark, base, "embeddings")
-    val docsN = spark.read.parquet(replicate("documents", "doc_id"))
-    val embN = spark.read.parquet(replicate("embeddings", "vec_id"))
-    println(s"[scale] corpora: docs ${docs1.count()} -> ${docsN.count()}, " +
-      s"emb ${emb1.count()} -> ${embN.count()}")
+    if (section == "all" || section == "dedup") {
+      val docs1 = Tables.load(spark, base, "documents")
+      val emb1 = Tables.load(spark, base, "embeddings")
+      val docsN = spark.read.parquet(replicate("documents", "doc_id"))
+      val embN = spark.read.parquet(replicate("embeddings", "vec_id"))
+      println(s"[scale] corpora: docs ${docs1.count()} -> ${docsN.count()}, " +
+        s"emb ${emb1.count()} -> ${embN.count()}")
 
-    time("minhash 1x")(NearDup.minhashPairs(docs1, "doc_id", "text", threshold = 0.6).count())
-    time(s"minhash ${mult}x")(NearDup.minhashPairs(docsN, "doc_id", "text", threshold = 0.6).count())
-    time("simhash 1x")(NearDup.simhashPairs(docs1, "doc_id", "text").count())
-    time(s"simhash ${mult}x")(NearDup.simhashPairs(docsN, "doc_id", "text").count())
-    val q1 = emb1.filter(col("vec_id") < 10)
-    time("ivf 1x") {
-      val c = Knn.trainCentroids(emb1, 16, 1)
-      Knn.ivfTopK(emb1, q1, c, 5, 2).count()
+      time("minhash 1x")(NearDup.minhashPairs(docs1, "doc_id", "text", threshold = 0.6).count())
+      time(s"minhash ${mult}x")(NearDup.minhashPairs(docsN, "doc_id", "text", threshold = 0.6).count())
+      time("simhash 1x")(NearDup.simhashPairs(docs1, "doc_id", "text").count())
+      time(s"simhash ${mult}x")(NearDup.simhashPairs(docsN, "doc_id", "text").count())
+      val q1 = emb1.filter(col("vec_id") < 10)
+      time("ivf 1x") {
+        val c = Knn.trainCentroids(emb1, 16, 1)
+        Knn.ivfTopK(emb1, q1, c, 5, 2).count()
+      }
+      time(s"ivf ${mult}x") {
+        val c = Knn.trainCentroids(embN, 16, 1)
+        Knn.ivfTopK(embN, embN.filter(col("vec_id") < 10), c, 5, 2).count()
+      }
+      time("brute topk 1x")(Knn.bruteForceTopK(emb1, q1, 5).count())
+      time(s"brute topk ${mult}x")(
+        Knn.bruteForceTopK(embN, embN.filter(col("vec_id") < 10), 5).count())
     }
-    time(s"ivf ${mult}x") {
-      val c = Knn.trainCentroids(embN, 16, 1)
-      Knn.ivfTopK(embN, embN.filter(col("vec_id") < 10), c, 5, 2).count()
+
+    if (section == "all" || section == "relational") {
+      // relational ramp: the fact tables (orders, lineitem) replicated
+      // ×mult with a CONSISTENT orderkey shift so per-copy join
+      // cardinality is preserved; dimensions stay 1× (they broadcast —
+      // exactly the 100 TB shape, where facts grow and dims don't).
+      // Queries must scale ∝ fact size: superlinear = a dim join started
+      // shuffling or an agg lost its partial phase.
+      spark.catalog.clearCache()
+      val ordersBase = Tables.load(spark, base, "orders")
+      val shift = ordersBase.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+      def replicateFact(name: String, keyCol: String): Unit = {
+        val df = Tables.load(spark, base, name)
+        (0 until mult).map(i => df.withColumn(keyCol, col(keyCol) + lit(i * shift)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      }
+      replicateFact("orders", "o_orderkey")
+      replicateFact("lineitem", "l_orderkey")
+      Seq("region", "nation", "customer", "supplier", "part").foreach { nm =>
+        Tables.load(spark, base, nm).write.mode("overwrite").parquet(s"$out/$nm.parquet")
+      }
+      println(s"[scale] facts: orders ${ordersBase.count()} x$mult, " +
+        s"lineitem ${Tables.load(spark, base, "lineitem").count()} x$mult")
+      for (q <- Seq("q1_agg", "q3_top_orders", "q5_join5",
+          "q_merge_upsert", "q_correlated_lookup")) {
+        time(s"$q 1x")(SparkEntry.queries(q)(spark, base).count())
+        time(s"$q ${mult}x")(SparkEntry.queries(q)(spark, out).count())
+        spark.catalog.clearCache()
+      }
     }
-    time("brute topk 1x")(Knn.bruteForceTopK(emb1, q1, 5).count())
-    time(s"brute topk ${mult}x")(
-      Knn.bruteForceTopK(embN, embN.filter(col("vec_id") < 10), 5).count())
     spark.stop()
   }
 }
