@@ -563,6 +563,28 @@ object SparkEntry {
 
     // ── §2C rows-only operators (ScalaTest oracles; see SURVEY.md §6) ──
 
+    "q_pii_redact" -> ((s, dir) => {
+      // C4/RefinedWeb-style PII scrubbing: pure regexp_replace, codegen'd.
+      // The corpus text is synthetic, so deterministic PII is CONSTRUCTED
+      // per doc (both engines build the identical string) then redacted.
+      val withPii = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 10.0."), col("doc_id") % 256,
+            lit(".7 tel 555-123-4567")).as("text_pii"))
+      withPii.select(col("doc_id"),
+        TextFunctions.redactPii(col("text_pii")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_repetition" -> ((s, dir) => {
+      // Gopher/RefinedWeb repetition rule: top-bigram share per doc
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.topBigramFractionBp(col("text")).as("top_bigram_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_doc_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), Fingerprint.fingerprint(col("text")).as("fp"))
@@ -1070,6 +1092,31 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or 10.0.'
+        |       || (doc_id % 256) || '.7 tel 555-123-4567' AS text_pii
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text_pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n,
+        |        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |      FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, n, bg, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+        |a AS (SELECT doc_id,
+        |        CAST(floor(max(cnt) * 10000.0 / (max(n) - 1) + 0.5) AS BIGINT) AS top_bigram_bp
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, top_bigram_bp
+        |FROM documents LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -90,6 +90,50 @@ object TextFunctions {
       i => array_join(slice(toks, i * step + 1, lit(size)), " "))
   }
 
+  /** PII redaction patterns (email, IPv4, simple phone shapes) — kept to
+    * the regex subset valid in BOTH Java regex and RE2 so the DuckDB
+    * oracle can run the identical patterns. The published corpus-hygiene
+    * recipe (C4/RefinedWeb-style scrubbing) is regex substitution: it
+    * stays codegen'd `regexp_replace`, no UDF.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b" -> "<PHONE>")
+
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Top-bigram fraction in basis points: the share of a document's
+    * bigrams taken by its single most frequent bigram — the repetition
+    * signal from the published Gopher/RefinedWeb quality rules (high =
+    * boilerplate/looping text). Computed per-array with higher-order
+    * functions (no explode, no shuffle): sort the bigrams, then one
+    * `aggregate` fold finds the longest equal run — O(n log n) per row
+    * (NOT the naive O(distinct·n) count-per-distinct), so long documents
+    * stay cheap. Documents with <2 tokens yield NULL.
+    */
+  def topBigramFractionBp(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val bigrams = transform(sequence(lit(0), n - 2),
+      i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))
+    val maxRun = aggregate(array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(run, acc.getField("best")).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(n < 2, lit(null).cast("long")).otherwise(
+      floor(maxRun.cast("double") * 10000.0 / (n - 1).cast("double") + 0.5)
+        .cast("long"))
+  }
+
   /** Language-marker sets for the n-gram/stopword-overlap language-ID
     * heuristic.
     */

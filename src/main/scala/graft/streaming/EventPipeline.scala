@@ -43,6 +43,19 @@ object EventPipeline {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming exact dedup — the streaming twin of `q_dedup_exact`
+    * (discardDuplicates, EcomDestinationWriter.cs:1042) for a continuous
+    * feed: duplicate keys arriving within the watermark are dropped,
+    * and the dedup state store stays BOUNDED by the watermark instead of
+    * growing with the stream's lifetime (`dropDuplicatesWithinWatermark`
+    * evicts key state once the event-time watermark passes it). In batch
+    * the same call degenerates to a plain dropDuplicates.
+    */
+  def dedupedStream(events: DataFrame, keys: Seq[String], tsCol: String = "ts",
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming reader over a parquet directory with the events schema
     * (file-source streaming; each new file is a micro-batch).
     */

@@ -85,6 +85,31 @@ class FunctionsSpec extends SparkSuite {
     assert(out === Array(1.0, 0.0))
   }
 
+  test("redactPii scrubs emails, IPv4s, and phone shapes; leaves clean text alone") {
+    import org.apache.spark.sql.functions.col
+    val out = Seq(
+      "mail me at jo.doe+x@sub.example.org today",
+      "server 192.168.1.254 port 80",
+      "call 555-123-4567 or 555 1234 5678",
+      "nothing sensitive here 12345")
+      .toDF("t").select(TextFunctions.redactPii(col("t"))).as[String].collect()
+    assert(out(0) === "mail me at <EMAIL> today")
+    assert(out(1) === "server <IP> port 80")
+    assert(out(2) === "call <PHONE> or <PHONE>")
+    assert(out(3) === "nothing sensitive here 12345")
+  }
+
+  test("topBigramFractionBp: uniform text low, looping text high, short text null") {
+    import org.apache.spark.sql.functions.col
+    val out = Seq(
+      "a b c d e",          // 4 distinct bigrams of 4 -> 2500 bp
+      "spam ham spam ham spam ham spam", // 'spam ham' 3 of 6 -> 5000 bp
+      "one")                // <2 tokens -> null
+      .toDF("t").select(TextFunctions.topBigramFractionBp(col("t")))
+      .as[Option[Long]].collect()
+    assert(out === Array(Some(2500L), Some(5000L), None))
+  }
+
   test("TableOrder: parents precede children, deterministic, cycles throw") {
     val order = TableOrder.order(graft.sources.Tables.All)
     def idx(t: String) = order.indexOf(t)

@@ -46,6 +46,24 @@ class StreamingSpec extends SparkSuite {
     assert(out.map(r => (r._1, r._3)).toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
   }
 
+  test("dedupedStream drops duplicate keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventPipeline.dedupedStream(stream.toDF(), Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData(mkEv(1, 0, 1, "click"), mkEv(2, 5, 1, "view"),
+        mkEv(1, 0, 1, "click")) // in-batch duplicate
+      q.processAllAvailable()
+      stream.addData(mkEv(2, 6, 1, "view"), mkEv(3, 7, 2, "click")) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids === Array(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("file-source readStream matches the events schema") {
     val df = EventPipeline.readStream(spark, sf)
     assert(df.isStreaming)
