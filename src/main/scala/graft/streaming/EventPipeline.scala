@@ -48,13 +48,16 @@ object EventPipeline {
     * feed: duplicate keys arriving within the watermark are dropped,
     * and the dedup state store stays BOUNDED by the watermark instead of
     * growing with the stream's lifetime (`dropDuplicatesWithinWatermark`
-    * evicts key state once the event-time watermark passes it). In batch
-    * the same call degenerates to a plain dropDuplicates.
+    * evicts key state once the event-time watermark passes it). On a
+    * batch frame the operator is not defined in Spark, so this falls
+    * back to plain `dropDuplicates` — same visible semantics, letting
+    * the one pipeline definition serve both modes.
     */
   def dedupedStream(events: DataFrame, keys: Seq[String], tsCol: String = "ts",
                     watermark: String = "1 hour"): DataFrame =
-    events.withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(keys)
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
 
   /** Streaming reader over a parquet directory with the events schema
     * (file-source streaming; each new file is a micro-batch).

@@ -122,6 +122,20 @@ class PlansSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("IVF probe: probes broadcast, corpus never shuffles before the join") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
+    val cents = graft.similarity.Knn.trainCentroids(vecs, nCentroids = 2, iters = 1)
+    val probe = graft.similarity.Knn.ivfTopK(vecs, vecs.filter($"vec_id" < 3), cents,
+      k = 2, nProbe = 1)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val keys = shuffleKeys(probe)
+    // the only shuffle feeds the per-query top-k window — keyed on
+    // query_id, bounded by |queries|·bucket size, never corpus-wide
+    assert(keys.length === 1 && keys.head.contains("query_id"), plan)
+  }
+
   test("JobMetrics.observed collects counts during the action") {
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c")).toDF("id", "name")
     val (obsDf, obs) = JobMetrics.observed(df, "import_customer", Seq("id"))

@@ -62,6 +62,11 @@ class StreamingSpec extends SparkSuite {
         .as[Long].collect().sorted
       assert(ids === Array(1L, 2L, 3L))
     } finally q.stop()
+    // same call on a BATCH frame degenerates to plain exact dedup
+    val batchIds = EventPipeline.dedupedStream(
+      Seq(mkEv(1, 0, 1, "a"), mkEv(1, 0, 1, "a"), mkEv(2, 1, 1, "b")).toDF(),
+      Seq("event_id")).select("event_id").as[Long].collect().sorted
+    assert(batchIds === Array(1L, 2L))
   }
 
   test("file-source readStream matches the events schema") {
