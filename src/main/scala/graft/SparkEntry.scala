@@ -563,6 +563,19 @@ object SparkEntry {
 
     // ── §2C rows-only operators (ScalaTest oracles; see SURVEY.md §6) ──
 
+    "q_mixture_sample" -> ((s, dir) => {
+      // deterministic mixture weighting (GPT-3/LLaMA-style source
+      // epochs): hash-sampled, reproducible across runs and partitionings.
+      // The portable multiplicative hash here lets DuckDB verify the
+      // sampling logic; the library default is xxhash64 (MixtureSpec).
+      val u = (col("doc_id") % 1048573L * 2654435761L % 1000000L)
+        .cast("double") / 1000000.0
+      graft.pipelines.Mixture.sample(t(s, dir, "documents"), "source",
+        Map("src0" -> 2.25, "src1" -> 0.5, "src2" -> 1.0, "src3" -> 0.25), u)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     "q_pii_redact" -> ((s, dir) => {
       // C4/RefinedWeb-style PII scrubbing: pure regexp_replace, codegen'd.
       // The corpus text is synthetic, so deterministic PII is CONSTRUCTED
@@ -1092,6 +1105,19 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  (((doc_id % 1048573) * 2654435761) % 1000000) / 1000000.0 AS u,
+        |  CAST(CASE source WHEN 'src0' THEN 2.25 WHEN 'src1' THEN 0.5
+        |       WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.25 ELSE 0.0 END AS DOUBLE) AS rate
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, u, rate, CAST(floor(rate) AS INT) AS nfull FROM d),
+        |x AS (SELECT doc_id, source, nfull, u, rate,
+        |        unnest(range(0, nfull + 1)) AS epoch FROM e)
+        |SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+        |FROM x WHERE epoch < nfull OR u < rate - nfull
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "q_pii_redact" ->
       """WITH p AS (SELECT doc_id,

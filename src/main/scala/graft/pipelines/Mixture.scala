@@ -1,0 +1,53 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-data mixture construction.
+  *
+  * Pretraining mixtures weight sources differently (the published
+  * GPT-3/LLaMA recipes sample Wikipedia several epochs while
+  * downsampling web crawl). At 100 TB the sampling must be
+  * reproducible — same mixture from every run and cluster size — so the
+  * keep decision is a pure hash of the document id, not an RNG: no
+  * state, no seed-per-partition coupling, and a doc's fate never
+  * changes when partitioning does.
+  *
+  * A rate r ≤ 1 keeps a hash-uniform r-fraction of the source; r > 1
+  * replicates ⌊r⌋ full epochs and hash-samples the fractional epoch.
+  * Output rows carry a 0-based `epoch` column (downstream shuffling by
+  * (id, epoch) interleaves the copies). Everything is a narrow
+  * projection + filter — rejected documents never shuffle.
+  */
+object Mixture {
+
+  /** Uniform [0,1) from the id: xxhash64 folded to 6 decimal digits.
+    * Library default; any deterministic uniform column can replace it
+    * (the oracle query uses a portable multiplicative hash both engines
+    * can compute).
+    */
+  def uniformHash(id: Column, salt: Long = 0L): Column =
+    pmod(xxhash64(id, lit(salt)), lit(1000000L)).cast("double") / 1000000.0
+
+  /** Apply per-source rates; sources absent from `rates` are dropped.
+    * `u` must be uniform in [0,1) and deterministic per row.
+    */
+  def sample(df: DataFrame, sourceCol: String, rates: Map[String, Double],
+             u: Column): DataFrame = {
+    require(rates.values.forall(_ >= 0), "rates must be non-negative")
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    val fullEpochs = floor(rate).cast("int")
+    df.withColumn("__u", u)
+      .withColumn("__full", fullEpochs)
+      .withColumn("__frac", rate - col("__full"))
+      .withColumn("epoch", explode(sequence(lit(0), col("__full"))))
+      .filter(col("epoch") < col("__full") || col("__u") < col("__frac"))
+      .drop("__u", "__full", "__frac")
+  }
+
+  def sample(df: DataFrame, sourceCol: String, idCol: String,
+             rates: Map[String, Double]): DataFrame =
+    sample(df, sourceCol, rates, uniformHash(col(idCol)))
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipelines.Mixture
+
+class MixtureSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+
+  test("hash sampling is deterministic and approximates the rates") {
+    val rates = Map("s0" -> 0.5, "s1" -> 0.1, "s2" -> 1.0)
+    val once = Mixture.sample(docs, "src", "id", rates)
+    val twice = Mixture.sample(docs, "src", "id", rates)
+    val a = once.select("id", "epoch").as[(Long, Int)].collect().sorted
+    assert(a === twice.select("id", "epoch").as[(Long, Int)].collect().sorted)
+
+    val bySrc = once.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(math.abs(bySrc("s0") - 500) < 60)  // 1000 × 0.5
+    assert(math.abs(bySrc("s1") - 100) < 40)  // 1000 × 0.1
+    assert(bySrc("s2") === 1000L)             // rate 1.0 keeps all, exactly
+    assert(!bySrc.contains("s3"))             // unlisted source dropped
+  }
+
+  test("rates above 1 replicate whole epochs plus a hash-sampled fraction") {
+    val out = Mixture.sample(docs, "src", "id", Map("s0" -> 2.25))
+    val perDoc = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    // every s0 doc appears 2 or 3 times; fraction with 3 ≈ 0.25
+    assert(perDoc.values.forall(n => n == 2L || n == 3L))
+    val share3 = perDoc.values.count(_ == 3L).toDouble / perDoc.size
+    assert(math.abs(share3 - 0.25) < 0.08)
+    // epochs are dense 0..n-1 per doc
+    val epochs = out.filter($"id" === perDoc.keys.head)
+      .select("epoch").as[Int].collect().sorted
+    assert(epochs === (0 until epochs.length).toArray)
+  }
+}
