@@ -563,6 +563,18 @@ object SparkEntry {
 
     // ── §2C rows-only operators (ScalaTest oracles; see SURVEY.md §6) ──
 
+    "q_pack_sequences" -> ((s, dir) => {
+      // concat-and-chop training-sequence packing, one window per source
+      val withTok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipelines.Mixture.packSequences(withTok, "source", "doc_id",
+        "n_tokens", budget = 256)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("seq_id"), col("seq_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_mixture_sample" -> ((s, dir) => {
       // deterministic mixture weighting (GPT-3/LLaMA-style source
       // epochs): hash-sampled, reproducible across runs and partitionings.
@@ -1105,6 +1117,20 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT doc_id, source, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(tok_before / 256) AS INT) AS seq_id,
+        |  CAST(tok_before % 256 AS INT) AS seq_pos
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "q_mixture_sample" ->
       """WITH d AS (SELECT doc_id, source,

@@ -50,4 +50,25 @@ object Mixture {
   def sample(df: DataFrame, sourceCol: String, idCol: String,
              rates: Map[String, Double]): DataFrame =
     sample(df, sourceCol, rates, uniformHash(col(idCol)))
+
+  /** Training-sequence packing: concatenate documents in deterministic
+    * order and chop into `budget`-token sequences at document
+    * boundaries — each doc lands in the sequence its cumulative START
+    * offset falls into (greedy fill; a sequence may overrun by at most
+    * one document, the standard concat-and-chop packing). The window
+    * partitions by `groupCol` so packing runs distributed — one
+    * partition per source/shard, never a global single-partition sort.
+    * Output adds `seq_id` (per group, 0-based) and `seq_pos` (token
+    * offset within the sequence).
+    */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+                    tokenCountCol: String, budget: Int): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col(tokenCountCol)).over(w), lit(0L))
+    df.withColumn("seq_id", floor(before / budget).cast("int"))
+      .withColumn("seq_pos", (before % budget).cast("int"))
+  }
 }

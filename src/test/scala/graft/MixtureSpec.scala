@@ -22,6 +22,19 @@ class MixtureSpec extends SparkSuite {
     assert(!bySrc.contains("s3"))             // unlisted source dropped
   }
 
+  test("packSequences fills budget in order, overruns only at doc boundaries") {
+    val d = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), // 3rd starts at 200 -> seq 0 (overrun)
+      (4L, "a", 100L),                                   // starts 300 -> seq 1
+      (5L, "b", 50L), (6L, "b", 300L))                   // b packs independently
+      .toDF("id", "src", "n")
+    val out = Mixture.packSequences(d, "src", "id", "n", budget = 256)
+      .select("id", "seq_id", "seq_pos").as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 0, 0), (2L, 0, 100), (3L, 0, 200),
+      (4L, 1, 44), (5L, 0, 0), (6L, 0, 50)))
+  }
+
   test("rates above 1 replicate whole epochs plus a hash-sampled fraction") {
     val out = Mixture.sample(docs, "src", "id", Map("s0" -> 2.25))
     val perDoc = out.groupBy("id").count().as[(Long, Long)].collect().toMap
