@@ -563,6 +563,18 @@ object SparkEntry {
 
     // ── §2C rows-only operators (ScalaTest oracles; see SURVEY.md §6) ──
 
+    "q_hierarchy_closure" -> ((s, dir) => {
+      // multi-level group-tree flattening (ParentGroups,
+      // EcomSourceReader.cs:348): synthetic binary tree parent=id/2 over
+      // doc ids, closed by iterative doubling (log-depth self-joins)
+      val edges = t(s, dir, "documents")
+        .select(col("doc_id").as("child"),
+          floor(col("doc_id") / 2).cast("long").as("parent"))
+        .filter(col("child") > 0)
+      Hierarchy.closure(edges, "child", "parent")
+        .orderBy(col("child"), col("ancestor"))
+    }),
+
     "q_pack_sequences" -> ((s, dir) => {
       // concat-and-chop training-sequence packing, one window per source
       val withTok = t(s, dir, "documents")
@@ -1117,6 +1129,16 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q_hierarchy_closure" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS child, doc_id // 2 AS parent FROM documents WHERE doc_id > 0),
+        |c AS (
+        |  SELECT child, parent AS ancestor, 1 AS depth FROM e
+        |  UNION ALL
+        |  SELECT c.child, e.parent, c.depth + 1 FROM c JOIN e ON c.ancestor = e.child)
+        |SELECT child, ancestor, depth FROM c
+        |ORDER BY child, ancestor""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,

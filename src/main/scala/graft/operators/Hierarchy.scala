@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hierarchy flattening: transitive closure of a parent-child edge set.
+  *
+  * The reference maintains a multi-level group tree (ParentGroups packed
+  * lists, EcomSourceReader.cs:348; UpdateGroupRelations,
+  * EcomDestinationWriter.cs:4495) and its relation table effectively
+  * stores ancestor links. Spark-native closure: ITERATIVE DOUBLING —
+  * each round joins the known path set with itself, so reachable path
+  * length doubles per round and a depth-D tree closes in ⌈log₂ D⌉
+  * self-joins instead of D BFS rounds (at 100 TB each round is one
+  * keyed shuffle; log rounds beat linear rounds by the same factor).
+  *
+  * Returns (child, ancestor, depth): depth = edge count along the
+  * (unique, in a tree) path; on a DAG the MINIMUM depth per pair is
+  * kept. `maxDepth` bounds the iteration against cycles.
+  */
+object Hierarchy {
+
+  def closure(edges: DataFrame, childCol: String, parentCol: String,
+              maxDepth: Int = 64): DataFrame = {
+    val base = edges.select(col(childCol).cast("long").as("child"),
+      col(parentCol).cast("long").as("ancestor"))
+      .filter(col("child") =!= col("ancestor"))
+      .withColumn("depth", lit(1)).persist()
+    var paths = base
+    // fixpoint = pair count AND total depth both stable (count alone
+    // would miss a later-found SHORTER path to an existing pair on DAGs)
+    var stats = {
+      val r = base.agg(count(lit(1)), sum(col("depth"))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var reach = 1
+    while (reach < maxDepth) {
+      val hops = paths.select(col("ancestor").as("__mid"), col("child"),
+          col("depth").as("__d1"))
+        .join(paths.select(col("child").as("__mid"), col("ancestor"),
+          col("depth").as("__d2")), Seq("__mid"))
+        .select(col("child"), col("ancestor"), (col("__d1") + col("__d2")).as("depth"))
+      val next = paths.unionByName(hops)
+        .groupBy(col("child"), col("ancestor"))
+        .agg(min(col("depth")).as("depth"))
+        .persist()
+      val r = next.agg(count(lit(1)), sum(col("depth"))).head
+      val nextStats = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      if (nextStats == stats) { next.unpersist(); reach = maxDepth }
+      else {
+        if (paths ne base) paths.unpersist()
+        paths = next; stats = nextStats; reach *= 2
+      }
+    }
+    if (paths ne base) base.unpersist()
+    paths
+  }
+
+  /** Roll a per-node measure up to every ancestor (each ancestor's total
+    * over its full subtree, itself included).
+    */
+  def subtreeAgg(nodes: DataFrame, edges: DataFrame, idCol: String,
+                 valueCol: String, childCol: String, parentCol: String,
+                 as: String = "subtree_total", maxDepth: Int = 64): DataFrame = {
+    val cl = closure(edges, childCol, parentCol, maxDepth)
+    val contrib = nodes.select(col(idCol).cast("long").as("node"),
+      col(valueCol).as("__v"))
+    val descendants = cl.select(col("ancestor").as("node"), col("child").as("member"))
+      .unionByName(contrib.select(col("node"), col("node").as("member")))
+    val out = descendants
+      .join(contrib.select(col("node").as("member"), col("__v")), Seq("member"))
+      .groupBy(col("node"))
+      .agg(sum(col("__v")).as(as))
+      .persist()
+    out.count() // materialize BEFORE releasing the closure it reads
+    cl.unpersist()
+    out
+  }
+}

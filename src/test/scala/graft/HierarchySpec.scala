@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Hierarchy
+
+class HierarchySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("closure of a chain yields every (descendant, ancestor, depth) pair") {
+    // 5 -> 4 -> 3 -> 2 -> 1
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("c", "p")
+    val cl = Hierarchy.closure(edges, "c", "p")
+    val got = cl.as[(Long, Long, Int)].collect().toSet
+    cl.unpersist()
+    val expected = (for {
+      child <- 2 to 5; anc <- 1 until child
+    } yield (child.toLong, anc.toLong, child - anc)).toSet
+    assert(got === expected)
+  }
+
+  test("closure converges on cycles instead of looping") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("c", "p")
+    val cl = Hierarchy.closure(edges, "c", "p", maxDepth = 32)
+    val got = cl.as[(Long, Long, Int)].collect().toSet
+    cl.unpersist()
+    // reachability semantics: each node reaches the other (depth 1) and
+    // itself around the cycle (depth 2); fixpoint, no infinite loop
+    assert(got === Set((1L, 2L, 1), (2L, 1L, 1), (1L, 1L, 2), (2L, 2L, 2)))
+  }
+
+  test("subtreeAgg sums every node's full subtree including itself") {
+    //      1
+    //    2   3
+    //  4
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L)).toDF("c", "p")
+    val nodes = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("id", "v")
+    val out = Hierarchy.subtreeAgg(nodes, edges, "id", "v", "c", "p")
+    val got = out.as[(Long, Double)].collect().toMap
+    out.unpersist()
+    assert(got === Map(1L -> 100.0, 2L -> 60.0, 3L -> 30.0, 4L -> 40.0))
+  }
+}
