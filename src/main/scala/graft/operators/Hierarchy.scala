@@ -22,10 +22,15 @@ object Hierarchy {
 
   def closure(edges: DataFrame, childCol: String, parentCol: String,
               maxDepth: Int = 64): DataFrame = {
+    // localCheckpoint per round, NOT persist: the doubling recurrence
+    // would otherwise embed every prior round's plan inside the next
+    // (lineage doubles per round), and Catalyst re-analysis comes to
+    // dominate wall-clock after a few rounds. Checkpointing keeps each
+    // round's plan flat; blocks are freed by the ContextCleaner.
     val base = edges.select(col(childCol).cast("long").as("child"),
       col(parentCol).cast("long").as("ancestor"))
       .filter(col("child") =!= col("ancestor"))
-      .withColumn("depth", lit(1)).persist()
+      .withColumn("depth", lit(1)).localCheckpoint(true)
     var paths = base
     // fixpoint = pair count AND total depth both stable (count alone
     // would miss a later-found SHORTER path to an existing pair on DAGs)
@@ -43,16 +48,12 @@ object Hierarchy {
       val next = paths.unionByName(hops)
         .groupBy(col("child"), col("ancestor"))
         .agg(min(col("depth")).as("depth"))
-        .persist()
+        .localCheckpoint(true)
       val r = next.agg(count(lit(1)), sum(col("depth"))).head
       val nextStats = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      if (nextStats == stats) { next.unpersist(); reach = maxDepth }
-      else {
-        if (paths ne base) paths.unpersist()
-        paths = next; stats = nextStats; reach *= 2
-      }
+      if (nextStats == stats) reach = maxDepth
+      else { paths = next; stats = nextStats; reach *= 2 }
     }
-    if (paths ne base) base.unpersist()
     paths
   }
 
