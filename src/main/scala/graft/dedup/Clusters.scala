@@ -97,8 +97,12 @@ object Clusters {
           "named_struct('src', id_b, 'dst', id_a))")).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
+    // localCheckpoint per round, not persist: each round's plan would
+    // otherwise nest every previous round's (lineage grows per
+    // iteration and Catalyst re-analysis starts to dominate — the same
+    // fix as Hierarchy.closure's doubling loop)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var iter = 0
     // labels only ever decrease, so sum(label) is strictly monotone until
     // the fixpoint — one cheap aggregate per round
@@ -112,11 +116,10 @@ object Clusters {
       val next = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       val s = next.agg(sum(col("label"))).head.getLong(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)
-      labels.unpersist()
       labels = next
       iter += 1
     }
