@@ -37,9 +37,17 @@ object TextFunctions {
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
 
   /** Count of tokens found in `vocab` (stopword hits, language markers). */
-  def vocabHits(text: Column, vocab: Seq[String]): Column = {
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    vocabHitsT(tokens(text), vocab)
+
+  /** Tokens-column variant: callers that need several vocab counts (the
+    * quality + language annotate pass) tokenize ONCE and reuse — each
+    * `tokens()` call is a regex split of the whole document, and the
+    * naive compose re-splits per metric.
+    */
+  def vocabHitsT(toks: Column, vocab: Seq[String]): Column = {
     val set = array(vocab.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(set, t)))
+    size(filter(toks, t => array_contains(set, t)))
   }
 
   /** 4-dp stopword ratio as floor(hits·10⁴/tokens + 0.5)/10⁴ — the same
@@ -64,9 +72,14 @@ object TextFunctions {
     * entirely (floor of an exact integer-valued double division is
     * bit-identical cross-engine).
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text)
-    val hits = vocabHits(text, Stopwords)
+  def qualityScore(text: Column): Column = qualityScoreT(tokens(text), text)
+
+  /** Tokens-column variant of [[qualityScore]] — same arithmetic, shared
+    * tokenization.
+    */
+  def qualityScoreT(toks: Column, text: Column): Column = {
+    val nTok = size(toks)
+    val hits = vocabHitsT(toks, Stopwords)
     val lenBp = least(nTok, lit(200)) * 25
     val stopBp = least(floor(hits.cast("double") * 15000.0 /
       greatest(nTok, lit(1)).cast("double")), lit(3000.0))
@@ -146,8 +159,11 @@ object TextFunctions {
   /** Predicted language = marker set with the most hits; ties break in
     * `LangMarkers` declaration order; zero hits everywhere → "unknown".
     */
-  def langId(text: Column): Column = {
-    val hits = LangMarkers.map { case (lang, markers) => lang -> vocabHits(text, markers) }
+  def langId(text: Column): Column = langIdT(tokens(text))
+
+  /** Tokens-column variant of [[langId]] — shared tokenization. */
+  def langIdT(toks: Column): Column = {
+    val hits = LangMarkers.map { case (lang, markers) => lang -> vocabHitsT(toks, markers) }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     hits.foldLeft[Option[Column]](None) { case (acc, (lang, h)) =>
       Some(acc match {

@@ -36,9 +36,14 @@ object CorpusClean {
     * skip the final persist.
     */
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // tokenize ONCE into a column; quality + language both read it (the
+    // compose-by-column form would re-run the regex split per metric —
+    // higher-order-function expressions sit outside codegen CSE)
     val annotated = docs
-      .withColumn("quality_bp", TextFunctions.qualityScore(col("text")))
-      .withColumn("pred_lang", TextFunctions.langId(col("text")))
+      .withColumn("__toks", TextFunctions.tokens(col("text")))
+      .withColumn("quality_bp", TextFunctions.qualityScoreT(col("__toks"), col("text")))
+      .withColumn("pred_lang", TextFunctions.langIdT(col("__toks")))
+      .drop("__toks")
 
     val qualityKept = annotated.filter(col("quality_bp") >= cfg.minQualityBp)
     val langKept = if (cfg.languages.isEmpty) qualityKept
