@@ -59,6 +59,14 @@ object ImportJob {
     *                      `<table>__quarantined` with a reason column —
     *                      instead of failing the job; passing rows
     *                      continue into the merge
+    * @param pre           incoming-side transform applied after
+    *                      quarantine and before dedup/merge — the
+    *                      reference's source-row processing slot
+    *                      (FK-by-name resolution, surrogate ids, value
+    *                      rules run on the staged rows BEFORE the move
+    *                      to main tables; incoming-only columns like a
+    *                      business-key name exist only here, the merge
+    *                      keeps destination columns)
     * @param post          post-merge transform hook (the reference's
     *                      UpdateProductRelatedProducts /
     *                      UpdateVariantFieldsInProducts pass,
@@ -77,6 +85,7 @@ object ImportJob {
       expectSchema: Option[StructType] = None,
       constants: Map[String, String] = Map.empty,
       rowRules: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      pre: DataFrame => DataFrame = identity,
       post: DataFrame => DataFrame = identity)
 
   /** Run the job: for each spec (in dependency order), merge `incoming`
@@ -102,10 +111,11 @@ object ImportJob {
           val (v, q) = Quarantine.split(checked, spec.rowRules)
           (v, Some(q))
         } else (checked, None)
+      val in1 = spec.pre(in0)
       val in = if (spec.dedupKeys.nonEmpty)
-        Dedup.keepFirst(in0, spec.dedupKeys,
+        Dedup.keepFirst(in1, spec.dedupKeys,
           (if (spec.dedupOrder.nonEmpty) spec.dedupOrder else spec.dedupKeys).map(col))
-      else in0
+      else in1
       val d = dest(table)
       var out = spec.mode match {
         case Upsert => Merge.upsert(d, in, spec.keys)
