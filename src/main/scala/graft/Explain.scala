@@ -44,6 +44,13 @@ object Explain {
       ids.join(broadcast(mapping), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("__canon"), col("id")).as("canonical_id"))
     },
+    "surrogate_assign" -> { s =>
+      // id assignment must stay in Tungsten: no ExistingRDD scan, the
+      // offset arithmetic is a codegen'd projection (PlansSpec enforces)
+      graft.operators.SurrogateKeys.assign(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq(col("doc_id")), "sk", 1000L)
+    },
     "corpus_dedup_stage" -> { s =>
       // CorpusClean's annotate → quality floor → normalized exact dedup
       // (its only corpus-wide shuffle before the LSH stage)
