@@ -17,8 +17,12 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native fused expression ([[CosineSim]]): one
+    * allocation-free pass for a·b, ‖a‖², ‖b‖² instead of three
+    * zip_with+aggregate folds (the ANN/near-dup inner kernel). Null on
+    * null/mismatched/zero-norm inputs, matching the HOF formulation.
+    */
+  def cosine(a: Column, b: Column): Column = CosineSim(a, b)
 
   /** Unit-normalize (L2); zero vectors pass through unchanged. */
   def l2Normalize(a: Column): Column = {
