@@ -16,10 +16,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * allocation-free pass ([[VectorKernels.cosine]]) and stays inside
   * WholeStageCodegen via a static kernel call.
   *
-  * Null/edge parity with the HOF version: null input array → null;
-  * mismatched lengths → null (zip_with pads with null and poisons the
-  * sum); zero-norm input → null (Spark double division by zero is
-  * null).
+  * Null/edge semantics: null input array → null; mismatched lengths →
+  * null (the HOF version's zip_with pads with null and poisons the
+  * sum); zero-norm input → null — deliberately SAFER than the HOF
+  * formulation it replaced, whose division THROWS
+  * SparkArithmeticException under Spark 4's default ANSI mode when a
+  * zero vector appears (a single all-zero embedding would kill a
+  * whole-corpus job).
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 

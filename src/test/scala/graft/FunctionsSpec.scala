@@ -110,6 +110,39 @@ class FunctionsSpec extends SparkSuite {
     assert(out === Array(Some(2500L), Some(5000L), None))
   }
 
+  test("native cosine matches the HOF formulation incl. null/mismatch/zero edges") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val hofCosine = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      VectorFunctions.dot(a, b) / (VectorFunctions.norm(a) * VectorFunctions.norm(b))
+    val normal = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),         // identical -> 1
+      (Array(1f, 0f), Array(0f, 1f)),                 // orthogonal -> 0
+      (Array(0.3f, -1.7f, 2.2f), Array(1.1f, 0.4f, -0.6f)))
+      .toDF("a", "b")
+    val both = normal.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      hofCosine(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, h) => assert(n === h) } // bit-identical fold order
+    assert(math.abs(both(0)._1 - 1.0) < 1e-12)
+
+    val edges = Seq(
+      (Array(0f, 0f), Array(1f, 2f)),                 // zero norm
+      (Array(1f, 2f, 3f), Array(1f, 2f)),             // length mismatch
+      (null.asInstanceOf[Array[Float]], Array(1f)))   // null input
+      .toDF("a", "b")
+    val nat = edges.select(VectorFunctions.cosine(col("a"), col("b")))
+      .as[Option[Double]].collect()
+    assert(nat.forall(_.isEmpty)) // all null, no exception
+    // the replaced HOF formulation DIES on the zero-norm row under
+    // Spark 4 ANSI mode — the native expression returning null is the fix
+    val thrown = intercept[Exception] {
+      edges.limit(1).select(hofCosine(col("a"), col("b"))).collect()
+    }
+    assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"))
+  }
+
   test("TableOrder: parents precede children, deterministic, cycles throw") {
     val order = TableOrder.order(graft.sources.Tables.All)
     def idx(t: String) = order.indexOf(t)
