@@ -451,6 +451,19 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q_distinct_approx" -> ((s, dir) => {
+      // the 100 TB cheap path next to exact distinct: HyperLogLog++
+      // sketches combine map-side (mergeable state, no value shuffle),
+      // so a hot key costs the same as a cold one. rows-only: HLL
+      // estimates are engine-specific; DistinctApproxSpec bounds the
+      // relative error against the exact count instead.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_salted_distinct" -> ((s, dir) => {
       // the aggregate where salting EARNS its keep: exact COUNT(DISTINCT)
       // is non-combinable (state = the value set), so a hot key funnels
