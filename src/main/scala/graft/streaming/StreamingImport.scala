@@ -144,4 +144,25 @@ object StreamingImport {
       .foreachBatch((batch: DataFrame, _: Long) =>
         upsertBatchPartitioned(batch, destPath, keys, partCol))
       .start()
+
+  /** Continuous import with row-level error tolerance: each micro-batch
+    * is split by `rowRules` (SkipFailingRows on a stream — the
+    * [[graft.plans.Quarantine]] semantics), valid rows upsert into the
+    * destination, failing rows append to `quarantinePath` with their
+    * reason column so the feed keeps flowing while bad rows stay
+    * inspectable.
+    */
+  def startWithQuarantine(stream: DataFrame, destPath: String, keys: Seq[String],
+                          rowRules: Seq[(String, org.apache.spark.sql.Column)],
+                          quarantinePath: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (valid, bad) = graft.plans.Quarantine.split(batch, rowRules)
+        upsertBatch(valid, destPath, keys)
+        bad.write.mode("append").parquet(quarantinePath)
+        ()
+      }
+      .start()
 }

@@ -93,6 +93,29 @@ class StreamingImportSpec extends SparkSuite {
     assert(out === Array((1L, "a", "01"), (2L, "B2", "02"), (3L, "c", "01")))
   }
 
+  test("startWithQuarantine diverts failing rows and keeps importing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_simport6")
+    val (dest, quar) = (s"$dir/dest", s"$dir/quarantine")
+    val stream = MemoryStream[KV]
+    val q = StreamingImport.startWithQuarantine(stream.toDF(), dest, Seq("id"),
+      rowRules = Seq("id_positive" -> (col("id") > 0), "v_nonempty" -> (col("v") =!= "")),
+      quar, s"$dir/ckpt")
+    try {
+      stream.addData(KV(1, "a"), KV(-2, "bad"))
+      q.processAllAvailable()
+      stream.addData(KV(3, "c"), KV(-4, ""))
+      q.processAllAvailable()
+      val ok = spark.read.parquet(dest).orderBy("id").as[KV].collect()
+      assert(ok === Array(KV(1, "a"), KV(3, "c")))
+      val bad = spark.read.parquet(quar).orderBy("id")
+        .select("id", "quarantine_reason").as[(Long, String)].collect()
+      assert(bad === Array((-4L, "id_positive,v_nonempty"), (-2L, "id_positive")))
+    } finally q.stop()
+  }
+
   test("upsertBatch doubles as batch backfill") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_simport2")
