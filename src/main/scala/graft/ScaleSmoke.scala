@@ -61,6 +61,21 @@ object ScaleSmoke {
         Knn.bruteForceTopK(embN, embN.filter(col("vec_id") < 10), 5).count())
     }
 
+    if (section == "all" || section == "hierarchy") {
+      // closure ramp: binary trees of n and mult·n nodes. Depth grows
+      // only log(mult), so doubling rounds grow by ~log2(log growth) —
+      // near-flat round count with ∝-size per-round work.
+      import graft.operators.Hierarchy
+      def tree(n: Long) = spark.range(1, n)
+        .selectExpr("id AS child", "id DIV 2 AS parent")
+      for (n <- Seq(5000L, 5000L * mult)) {
+        time(s"closure n=$n") {
+          val cl = Hierarchy.closure(tree(n), "child", "parent")
+          val c = cl.count(); cl.unpersist(); c
+        }
+      }
+    }
+
     if (section == "all" || section == "relational") {
       // relational ramp: the fact tables (orders, lineitem) replicated
       // ×mult with a CONSISTENT orderkey shift so per-copy join
