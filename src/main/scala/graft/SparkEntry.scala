@@ -600,6 +600,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dataset_split" -> ((s, dir) => {
+      // reproducible train/val/test assignment — portable hash so the
+      // oracle verifies the bucketing logic cross-engine
+      val u = (col("doc_id") % 1048573L * 2654435761L % 1000000L)
+        .cast("double") / 1000000.0
+      graft.pipelines.Mixture.split(t(s, dir, "documents"), u,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_mixture_sample" -> ((s, dir) => {
       // deterministic mixture weighting (GPT-3/LLaMA-style source
       // epochs): hash-sampled, reproducible across runs and partitionings.
@@ -1166,6 +1177,16 @@ object SparkEntry {
         |  CAST(floor(tok_before / 256) AS INT) AS seq_id,
         |  CAST(tok_before % 256 AS INT) AS seq_pos
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_dataset_split" ->
+      """WITH d AS (SELECT doc_id,
+        |  (((doc_id % 1048573) * 2654435761) % 1000000) / 1000000.0 AS u
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train'
+        |       WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_mixture_sample" ->
       """WITH d AS (SELECT doc_id, source,

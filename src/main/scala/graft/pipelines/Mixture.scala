@@ -51,6 +51,40 @@ object Mixture {
              rates: Map[String, Double]): DataFrame =
     sample(df, sourceCol, rates, uniformHash(col(idCol)))
 
+  /** Deterministic dataset split (train/val/test): ordered
+    * (label, fraction) buckets over a uniform hash — every row gets the
+    * first label whose cumulative fraction exceeds its `u`, so the
+    * assignment is reproducible, disjoint, exhaustive, and stable under
+    * repartitioning (a doc never migrates between splits across runs —
+    * the property that keeps eval sets uncontaminated).
+    */
+  def split(df: DataFrame, u: Column, fractions: Seq[(String, Double)],
+            as: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0))
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    // cumulative boundaries in EXACT decimal, then to double: the double
+    // fold 0.8+0.1 is 0.9000000000000001 while an engine parsing the
+    // literal '0.9' gets the nearest double BELOW it — a boundary row
+    // would switch splits between engines/configs
+    val cum = fractions.map(f => java.math.BigDecimal.valueOf(f._2))
+      .scanLeft(java.math.BigDecimal.ZERO)(_.add(_)).tail.map(_.doubleValue())
+    val label = fractions.init.zip(cum.init)
+      .foldLeft[Option[Column]](None) { case (acc, ((l, _), c)) =>
+        Some(acc match {
+          case None => when(u < c, lit(l))
+          case Some(w) => w.when(u < c, lit(l))
+        })
+      }
+      .map(_.otherwise(lit(fractions.last._1)))
+      .getOrElse(lit(fractions.last._1))
+    df.withColumn(as, label)
+  }
+
+  def split(df: DataFrame, idCol: String,
+            fractions: Seq[(String, Double)]): DataFrame =
+    split(df, uniformHash(col(idCol)), fractions)
+
   /** Training-sequence packing: concatenate documents in deterministic
     * order and chop into `budget`-token sequences at document
     * boundaries — each doc lands in the sequence its cumulative START

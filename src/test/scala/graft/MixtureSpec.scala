@@ -22,6 +22,18 @@ class MixtureSpec extends SparkSuite {
     assert(!bySrc.contains("s3"))             // unlisted source dropped
   }
 
+  test("split is deterministic, disjoint-exhaustive, and near the fractions") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val once = Mixture.split(docs, "id", fr)
+    assert(once.select("id", "split").as[(Long, String)].collect().sorted ===
+      Mixture.split(docs, "id", fr).select("id", "split").as[(Long, String)].collect().sorted)
+    val counts = once.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 4000L) // exhaustive, no row dropped
+    assert(math.abs(counts("train") - 3200) < 150)
+    assert(math.abs(counts("val") - 400) < 100)
+    assert(math.abs(counts("test") - 400) < 100)
+  }
+
   test("packSequences fills budget in order, overruns only at doc boundaries") {
     val d = Seq(
       (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), // 3rd starts at 200 -> seq 0 (overrun)
