@@ -162,6 +162,29 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_cdc_apply" -> ((s, dir) => {
+      // change-feed application: latest change per key wins, tombstones
+      // delete — the event-sourced form of the reference's staged sync
+      val o = t(s, dir, "orders")
+      val u1 = o.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey"),
+        lit("U1").as("o_orderstatus"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit(1).as("version"), lit("U").as("op"))
+      val u2 = o.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey"),
+        lit("U2").as("o_orderstatus"), (col("o_totalprice") + 2000.0).as("o_totalprice"),
+        lit(2).as("version"), lit("U").as("op"))
+      val d3 = o.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(3).as("version"), lit("D").as("op"))
+      val ins = o.filter(col("o_orderkey") % 13 === 0).select(
+        (col("o_orderkey") + 20000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), (col("o_totalprice") - 500.0).as("o_totalprice"),
+        lit(1).as("version"), lit("I").as("op"))
+      val changes = u1.unionByName(u2).unionByName(d3).unionByName(ins)
+      Merge.applyCdc(destOrders(s, dir), changes, Seq("o_orderkey"), "version", "op")
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_insert_missing" -> ((s, dir) => {
       Merge.insertMissing(destOrders(s, dir), incomingOrders(s, dir), Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))
@@ -821,6 +844,35 @@ object SparkEntry {
         |  coalesce(i.o_totalprice, d.o_totalprice) AS o_totalprice
         |FROM dest d LEFT JOIN incoming i ON d.o_orderkey = i.o_orderkey
         |ORDER BY 1""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH dest AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'U1' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+        |         1 AS version, 'U' AS op FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U2', o_totalprice + 2000.0, 2, 'U' FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 3, 'D' FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, 'N', o_totalprice - 500.0, 1, 'I'
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |latest AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |  FROM changes) WHERE rn = 1),
+        |ups AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest WHERE op <> 'D'),
+        |merged AS (
+        |  SELECT coalesce(d.o_orderkey, u.o_orderkey) AS o_orderkey,
+        |    d.o_custkey AS o_custkey,
+        |    coalesce(u.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
+        |    coalesce(u.o_totalprice, d.o_totalprice) AS o_totalprice
+        |  FROM dest d FULL OUTER JOIN ups u ON d.o_orderkey = u.o_orderkey)
+        |SELECT m.o_orderkey, m.o_custkey, m.o_orderstatus, m.o_totalprice
+        |FROM merged m
+        |LEFT JOIN (SELECT o_orderkey FROM latest WHERE op = 'D') t
+        |  ON m.o_orderkey = t.o_orderkey
+        |WHERE t.o_orderkey IS NULL
+        |ORDER BY m.o_orderkey""".stripMargin,
 
     "q_insert_missing" ->
       """WITH incoming AS (

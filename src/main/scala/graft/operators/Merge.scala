@@ -83,6 +83,32 @@ object Merge {
       .join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
   }
 
+  /** Apply a CDC change feed: the modern form of the reference's staged
+    * sync (MoveDataToMainTable upsert + DeleteExistingFromMainTable,
+    * EcomDestinationWriter.cs:3220,3116) when the source emits
+    * per-row change events instead of full snapshots. Per key, only the
+    * LATEST change (by `orderCol`, ties broken by the same column list
+    * order) applies: a delete op removes the row, anything else upserts
+    * the change's values. One keyed dedup shuffle over the (small)
+    * change feed + the standard merge joins — the destination never
+    * shuffles more than a plain upsert.
+    *
+    * @param orderCol version/sequence column on `changes` — highest wins
+    * @param opCol    operation column on `changes`; rows with value
+    *                 `deleteOp` are tombstones
+    */
+  def applyCdc(dest: DataFrame, changes: DataFrame, keys: Seq[String],
+               orderCol: String, opCol: String,
+               deleteOp: String = "D"): DataFrame = {
+    val latest = Dedup.keepFirst(changes, keys, Seq(col(orderCol).desc))
+    val tombstones = latest.filter(col(opCol) === deleteOp)
+      .select(keys.map(col): _*)
+    val upserts = latest.filter(col(opCol) =!= deleteOp)
+      .drop(opCol, orderCol)
+    upsert(dest, upserts, keys)
+      .join(tombstones, keys, "left_anti")
+  }
+
   /** Soft-hide variant: keep all destination rows, flag whether each still
     * exists in the import (hideDeactivatedProducts semantics).
     */

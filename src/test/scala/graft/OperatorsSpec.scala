@@ -81,6 +81,19 @@ class OperatorsSpec extends SparkSuite {
     assert(salted === Array((1, 3L), (2, 1L)))
   }
 
+  test("Merge.applyCdc: latest change per key wins, tombstones delete") {
+    val dest = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)).toDF("id", "v", "x")
+    val changes = Seq(
+      (1, Option("a1"), Option(10.0), 1, "U"),
+      (1, Option("a2"), Option(20.0), 2, "U"), // higher version wins
+      (2, None: Option[String], None: Option[Double], 5, "D"), // tombstone
+      (4, Option("d"), Option(4.0), 1, "I"))   // insert
+      .toDF("id", "v", "x", "ver", "op")
+    val out = Merge.applyCdc(dest, changes, Seq("id"), "ver", "op")
+      .orderBy("id").as[(Int, String, Double)].collect()
+    assert(out === Array((1, "a2", 20.0), (3, "c", 3.0), (4, "d", 4.0)))
+  }
+
   test("Merge.flagMissing flags presence without dropping rows") {
     val out = Merge.flagMissing(dest, incoming, Seq("id"), "present")
       .orderBy("id").select("id", "present").as[(Long, Boolean)].collect()
