@@ -134,6 +134,22 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // point-in-time lookup: each event sees the user's latest purchase
+      // value at-or-before its timestamp (DuckDB verifies with a native
+      // ASOF LEFT JOIN; Spark side is the one-shuffle union-sort carry)
+      val ev = t(s, dir, "events")
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+      val l = ev.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOf.joinAsOf(l, r, Seq("user_id"), "ts", Seq("pval"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          round(col("asof_pval").cast("decimal(30,6)"), 2).cast("double")
+            .as("last_purchase"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_correlated_lookup" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
@@ -802,6 +818,16 @@ object SparkEntry {
         |w AS (SELECT * FROM (PIVOT p ON event_type USING sum(v)))
         |SELECT user_id, CAST(round(COLUMNS(c -> c <> 'user_id'), 2) AS DOUBLE)
         |FROM w ORDER BY user_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (SELECT event_id, user_id, ts, value FROM events)
+        |SELECT l.event_id, l.user_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  CAST(round(CAST(r.pval AS DECIMAL(30,6)), 2) AS DOUBLE) AS last_purchase
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_correlated_lookup" ->
       """SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_totalprice

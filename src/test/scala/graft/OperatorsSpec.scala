@@ -81,6 +81,22 @@ class OperatorsSpec extends SparkSuite {
     assert(salted === Array((1, 3L), (2, 1L)))
   }
 
+  test("AsOf.joinAsOf: inclusive latest-at-or-before per key, null before first") {
+    val l = Seq((1L, 5, "e1"), (1L, 10, "e2"), (1L, 20, "e3"), (2L, 7, "e4"))
+      .toDF("k", "t", "name")
+    val r = Seq((1L, 10, 100.0), (1L, 15, 150.0), (2L, 9, 900.0))
+      .toDF("k", "t", "price")
+    val out = AsOf.joinAsOf(l, r, Seq("k"), "t", Seq("price"))
+      .orderBy("k", "t")
+      .select("k", "t", "name", "asof_price")
+      .as[(Long, Int, String, Option[Double])].collect()
+    assert(out === Array(
+      (1L, 5, "e1", None),           // before any right row
+      (1L, 10, "e2", Some(100.0)),   // equal ts is INCLUSIVE
+      (1L, 20, "e3", Some(150.0)),   // latest at-or-before wins
+      (2L, 7, "e4", None)))          // other key unaffected
+  }
+
   test("Merge.applyCdc: latest change per key wins, tombstones delete") {
     val dest = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)).toDF("id", "v", "x")
     val changes = Seq(
