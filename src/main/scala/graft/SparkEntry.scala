@@ -178,6 +178,26 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_scd2" -> ((s, dir) => {
+      // history-preserving merge: changed keys close their open row and
+      // append a new one; unchanged and absent keys pass through
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val dest = o.withColumn("valid_from", lit("2020-01-01"))
+        .withColumn("valid_to", lit(null).cast("string"))
+        .withColumn("is_current", lit(true))
+      val changedIn = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      val sameIn = o.filter(col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 3 === 0)
+      val newIn = o.filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), (col("o_totalprice") - 500.0).as("o_totalprice"))
+      Scd.applyType2(dest, changedIn.unionByName(sameIn).unionByName(newIn),
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"), "2024-06-01")
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    }),
+
     "q_cdc_apply" -> ((s, dir) => {
       // change-feed application: latest change per key wins, tombstones
       // delete — the event-sourced form of the reference's staged sync
@@ -870,6 +890,34 @@ object SparkEntry {
         |  coalesce(i.o_totalprice, d.o_totalprice) AS o_totalprice
         |FROM dest d LEFT JOIN incoming i ON d.o_orderkey = i.o_orderkey
         |ORDER BY 1""".stripMargin,
+
+    "q_scd2" ->
+      """WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |incoming AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 5 <> 0 AND o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice - 500.0
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |j AS (SELECT s.o_orderkey AS sk, s.o_orderstatus AS ss, s.o_totalprice AS sp,
+        |             i.o_orderkey AS ik, i.o_orderstatus AS ist, i.o_totalprice AS ip
+        |      FROM snap s FULL OUTER JOIN incoming i ON s.o_orderkey = i.o_orderkey)
+        |SELECT sk AS o_orderkey, ss AS o_orderstatus, sp AS o_totalprice,
+        |       '2020-01-01' AS valid_from, NULL AS valid_to, TRUE AS is_current
+        |FROM j WHERE sk IS NOT NULL AND (ik IS NULL OR
+        |  (ss IS NOT DISTINCT FROM ist AND sp IS NOT DISTINCT FROM ip))
+        |UNION ALL
+        |SELECT sk, ss, sp, '2020-01-01', '2024-06-01', FALSE
+        |FROM j WHERE sk IS NOT NULL AND ik IS NOT NULL
+        |  AND (ss IS DISTINCT FROM ist OR sp IS DISTINCT FROM ip)
+        |UNION ALL
+        |SELECT ik, ist, ip, '2024-06-01', NULL, TRUE
+        |FROM j WHERE ik IS NOT NULL AND (sk IS NULL OR
+        |  (ss IS DISTINCT FROM ist OR sp IS DISTINCT FROM ip))
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH dest AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),

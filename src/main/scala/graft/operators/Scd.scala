@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2: history-preserving merge.
+  *
+  * The reference's merge overwrites matched rows in place
+  * (MoveDataToMainTable, EcomDestinationWriter.cs:3220); warehouse users
+  * of the same import need the history-keeping variant — when a tracked
+  * attribute changes, the open row is CLOSED (valid_to = batch time,
+  * current = false) and a new open row is appended, so every past state
+  * stays queryable as-of its interval.
+  *
+  * Shape: one full-outer join of the CURRENT slice against the batch on
+  * the business key (history rows never join — they pass through
+  * untouched), then three disjoint projections (kept / closed / new)
+  * unioned. Null-safe comparison (`<=>`) on the tracked columns, so
+  * null→value and value→null both count as changes.
+  *
+  * Contract: `dest` columns = keys ++ attributes ++ (fromCol, toCol,
+  * curCol); `incoming` columns = keys ++ attributes (a current
+  * snapshot of those keys).
+  */
+object Scd {
+
+  def applyType2(dest: DataFrame, incoming: DataFrame, keys: Seq[String],
+                 compareCols: Seq[String], batchTs: String,
+                 fromCol: String = "valid_from", toCol: String = "valid_to",
+                 curCol: String = "is_current"): DataFrame = {
+    val attrs = dest.columns.toSeq.filterNot(c =>
+      keys.contains(c) || c == fromCol || c == toCol || c == curCol)
+    require(incoming.columns.toSet == (keys ++ attrs).toSet,
+      s"incoming must carry exactly keys ++ attributes: ${(keys ++ attrs).sorted}")
+    require(compareCols.forall(attrs.contains), "compareCols must be attributes")
+
+    val cur = dest.filter(col(curCol))
+    val hist = dest.filter(!col(curCol))
+    val inTagged = incoming.select(keys.map(col) ++
+      attrs.map(c => col(c).as(s"__in_$c")) :+ lit(1).as("__in_present"): _*)
+    val j = cur.withColumn("__cur_present", lit(1))
+      .join(inTagged, keys, "full_outer")
+    val changed = col("__in_present").isNotNull && col("__cur_present").isNotNull &&
+      compareCols.map(c => !(col(c) <=> col(s"__in_$c"))).reduce(_ || _)
+
+    val destCols = dest.columns.toSeq
+    val tsLit = lit(batchTs).cast(dest.schema(toCol).dataType)
+    val kept = j.filter(col("__cur_present").isNotNull &&
+        (col("__in_present").isNull || !changed))
+      .select(destCols.map(col): _*)
+    val closed = j.filter(changed)
+      .select(destCols.map {
+        case c if c == toCol => tsLit.as(toCol)
+        case c if c == curCol => lit(false).as(curCol)
+        case c => col(c)
+      }: _*)
+    val opened = j.filter(col("__in_present").isNotNull &&
+        (col("__cur_present").isNull || changed))
+      .select(destCols.map {
+        case c if c == fromCol => lit(batchTs).cast(dest.schema(fromCol).dataType).as(fromCol)
+        case c if c == toCol => lit(null).cast(dest.schema(toCol).dataType).as(toCol)
+        case c if c == curCol => lit(true).as(curCol)
+        case c if attrs.contains(c) => col(s"__in_$c").as(c)
+        case c => col(c)
+      }: _*)
+    hist.unionByName(kept).unionByName(closed).unionByName(opened)
+  }
+}

@@ -81,6 +81,26 @@ class OperatorsSpec extends SparkSuite {
     assert(salted === Array((1, 3L), (2, 1L)))
   }
 
+  test("Scd.applyType2: changed keys close+reopen, history rows untouched") {
+    val dest = Seq(
+      (1, "a", "2019-01-01", Some("2020-01-01"), false), // history row
+      (1, "a2", "2020-01-01", None, true),
+      (2, "b", "2020-01-01", None, true),
+      (3, "c", "2020-01-01", None, true))
+      .toDF("id", "v", "valid_from", "valid_to", "is_current")
+    val incoming = Seq((1, "a3"), (2, "b"), (4, "d")).toDF("id", "v")
+    val out = Scd.applyType2(dest, incoming, Seq("id"), Seq("v"), "2024-06-01")
+      .orderBy("id", "valid_from")
+      .as[(Int, String, String, Option[String], Boolean)].collect()
+    assert(out === Array(
+      (1, "a", "2019-01-01", Some("2020-01-01"), false), // untouched history
+      (1, "a2", "2020-01-01", Some("2024-06-01"), false), // closed
+      (1, "a3", "2024-06-01", None, true),                // reopened
+      (2, "b", "2020-01-01", None, true),                 // unchanged
+      (3, "c", "2020-01-01", None, true),                 // absent from batch
+      (4, "d", "2024-06-01", None, true)))                // new key
+  }
+
   test("AsOf.joinAsOf: inclusive latest-at-or-before per key, null before first") {
     val l = Seq((1L, 5, "e1"), (1L, 10, "e2"), (1L, 20, "e3"), (2L, 7, "e4"))
       .toDF("k", "t", "name")
