@@ -134,6 +134,22 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "q_range_join" -> ((s, dir) => {
+      // interval containment as an EQUI-join on bucket ids (hash join +
+      // in-bucket verify) instead of the nested-loop BETWEEN Spark
+      // would plan; 'promo' overlaps 'mid'/'high' so rows can multi-match
+      import s.implicits._
+      val bands = Seq(
+        (0L, 99999L, "low"), (100000L, 299999L, "mid"),
+        (300000L, 999999L, "high"), (250000L, 350000L, "promo"))
+        .toDF("lo", "hi", "tier")
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice")).cast("long").as("price_l"))
+      RangeJoin.byBucket(orders, bands, "price_l", "lo", "hi", bucketWidth = 50000L)
+        .select(col("o_orderkey"), col("price_l"), col("tier"))
+        .orderBy(col("o_orderkey"), col("tier"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // point-in-time lookup: each event sees the user's latest purchase
       // value at-or-before its timestamp (DuckDB verifies with a native
@@ -838,6 +854,15 @@ object SparkEntry {
         |w AS (SELECT * FROM (PIVOT p ON event_type USING sum(v)))
         |SELECT user_id, CAST(round(COLUMNS(c -> c <> 'user_id'), 2) AS DOUBLE)
         |FROM w ORDER BY user_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH bands(lo, hi, tier) AS (VALUES
+        |  (0, 99999, 'low'), (100000, 299999, 'mid'),
+        |  (300000, 999999, 'high'), (250000, 350000, 'promo')),
+        |l AS (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_l FROM orders)
+        |SELECT l.o_orderkey, l.price_l, b.tier
+        |FROM l JOIN bands b ON l.price_l BETWEEN b.lo AND b.hi
+        |ORDER BY o_orderkey, tier""".stripMargin,
 
     "q_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS pval FROM events

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: left rows matched to right rows whose
+  * [lo, hi] interval contains the left value — price-band
+  * classification, time-interval enrichment, IP-range lookup.
+  *
+  * Spark plans a naive `l.v BETWEEN r.lo AND r.hi` as
+  * BroadcastNestedLoopJoin (every left row probes every right row —
+  * |L|·|R| comparisons even when the broadcast fits). The scale shape
+  * here is BUCKETIZATION: each right interval explodes into the
+  * fixed-width buckets it overlaps, the join becomes an EQUI-join on
+  * the bucket id (hash join, shuffle on bucket), and the exact BETWEEN
+  * predicate verifies inside the bucket. Explode factor =
+  * ⌈interval span / bucketWidth⌉, so pick `bucketWidth` near the
+  * typical interval length — each left row then probes ~1-2 buckets of
+  * candidates instead of all |R|.
+  *
+  * Inner-join semantics over numeric (long-compatible) bounds;
+  * intervals are inclusive on both ends and may overlap (a left row
+  * matches every containing interval).
+  */
+object RangeJoin {
+
+  def byBucket(left: DataFrame, right: DataFrame, valueCol: String,
+               loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val leftB = left.withColumn("__bucket",
+      floor(col(valueCol).cast("double") / bucketWidth).cast("long"))
+    val rightB = right.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol).cast("double") / bucketWidth).cast("long"),
+        floor(col(hiCol).cast("double") / bucketWidth).cast("long"))))
+    leftB.join(rightB, Seq("__bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}

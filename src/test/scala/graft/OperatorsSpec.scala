@@ -81,6 +81,19 @@ class OperatorsSpec extends SparkSuite {
     assert(salted === Array((1, 3L), (2, 1L)))
   }
 
+  test("RangeJoin.byBucket: inclusive bounds, overlaps multi-match, wide intervals span buckets") {
+    val l = Seq((1L, 0L), (2L, 10L), (3L, 25L), (4L, 99L)).toDF("id", "v")
+    val r = Seq((0L, 10L, "a"), (10L, 30L, "b"), (0L, 100L, "wide"))
+      .toDF("lo", "hi", "band")
+    val out = RangeJoin.byBucket(l, r, "v", "lo", "hi", bucketWidth = 7L)
+      .select("id", "band").as[(Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, "a"), (1L, "wide"),
+      (2L, "a"), (2L, "b"), (2L, "wide"), // v=10 on both inclusive bounds
+      (3L, "b"), (3L, "wide"),
+      (4L, "wide")))
+  }
+
   test("Scd.applyType2: changed keys close+reopen, history rows untouched") {
     val dest = Seq(
       (1, "a", "2019-01-01", Some("2020-01-01"), false), // history row
