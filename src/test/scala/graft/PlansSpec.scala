@@ -136,6 +136,26 @@ class PlansSpec extends SparkSuite {
     assert(keys.length === 1 && keys.head.contains("query_id"), plan)
   }
 
+  test("as-of join: one keyed shuffle, no join operator, no pair explosion") {
+    import org.apache.spark.sql.functions.col
+    val l = (1L to 50L).map(i => (i % 5, i.toInt, s"e$i")).toDF("k", "t", "name")
+    val r = (1L to 20L).map(i => (i % 5, i.toInt * 2, i.toDouble)).toDF("k", "t", "price")
+    val out = graft.operators.AsOf.joinAsOf(l, r, Seq("k"), "t", Seq("price"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan) // union-sort carry, not a join at all
+    assert(shuffleKeys(out).length === 1, plan)
+  }
+
+  test("range join plans as a hash join on buckets, not a nested loop") {
+    import org.apache.spark.sql.functions.col
+    val l = (1L to 100L).map(i => (i, i * 7 % 100)).toDF("id", "v")
+    val r = Seq((0L, 30L, "a"), (30L, 60L, "b"), (60L, 100L, "c")).toDF("lo", "hi", "band")
+    val out = graft.operators.RangeJoin.byBucket(l, r, "v", "lo", "hi", 25L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(plan.contains("Join"), plan) // equi join on the bucket id
+  }
+
   test("JobMetrics.observed collects counts during the action") {
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c")).toDF("id", "name")
     val (obsDf, obs) = JobMetrics.observed(df, "import_customer", Seq("id"))
