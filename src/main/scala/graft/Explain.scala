@@ -44,6 +44,23 @@ object Explain {
       ids.join(broadcast(mapping), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("__canon"), col("id")).as("canonical_id"))
     },
+    "asof_join_stage" -> { s =>
+      val ev = Tables.load(s, dir, "events")
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+      graft.operators.AsOf.joinAsOf(
+        ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        r, Seq("user_id"), "ts", Seq("pval"))
+    },
+    "range_join_stage" -> { s =>
+      import s.implicits._
+      val bands = Seq((0L, 99999L, "low"), (100000L, 299999L, "mid"),
+        (300000L, 999999L, "high")).toDF("lo", "hi", "tier")
+      graft.operators.RangeJoin.byBucket(
+        Tables.load(s, dir, "orders").select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("price_l")),
+        bands, "price_l", "lo", "hi", 50000L)
+    },
     "surrogate_assign" -> { s =>
       // id assignment must stay in Tungsten: no ExistingRDD scan, the
       // offset arithmetic is a codegen'd projection (PlansSpec enforces)

@@ -34,7 +34,11 @@ object AsOf {
     require(payloadCols.nonEmpty, "as-of join needs right payload columns")
     val leftExtra = left.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
     val payloadStruct = struct(payloadCols.map(col): _*)
-    val taggedRight = right.select(
+    // a right row with a null timestamp can never be "at or before"
+    // anything — but nulls sort FIRST, so unfiltered it would carry into
+    // every left row; left rows with null ts sort first themselves and
+    // naturally get null payloads
+    val taggedRight = right.filter(col(tsCol).isNotNull).select(
       (keys.map(col) :+ col(tsCol) :+ payloadStruct.as("__p")) ++
         leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         lit(0).as("__side"): _*)

@@ -28,6 +28,28 @@ class NullRobustnessSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("asof join: null-ts right rows never match, null-ts left rows get null payload") {
+    import graft.operators.AsOf
+    val l = Seq((1L, Option(10), "e1"), (1L, None: Option[Int], "e0"))
+      .toDF("k", "t", "name")
+    val r = Seq((1L, Option(5), 50.0), (1L, None: Option[Int], 999.0))
+      .toDF("k", "t", "price")
+    val out = AsOf.joinAsOf(l, r, Seq("k"), "t", Seq("price"))
+      .select("name", "asof_price").as[(String, Option[Double])].collect().toMap
+    assert(out("e1") === Some(50.0)) // real right row wins, not the null-ts one
+    assert(out("e0") === None)       // null-ts left row has no "before"
+  }
+
+  test("applyCdc: null version sorts last, real versions win") {
+    import graft.operators.Merge
+    val dest = Seq((1, "a")).toDF("id", "v")
+    val changes = Seq((1, Option("new"), Option(2)), (1, Option("ghost"), None: Option[Int]))
+      .toDF("id", "v", "ver").withColumn("op", org.apache.spark.sql.functions.lit("U"))
+    val out = Merge.applyCdc(dest, changes, Seq("id"), "ver", "op")
+      .as[(Int, String)].collect()
+    assert(out === Array((1, "new"))) // version 2 beats the null-version row
+  }
+
   test("text functions return null/zero on null input, not exceptions") {
     val out = docsWithNull.select(
       TextFunctions.tokenCount(col("text")).as("tc"),
