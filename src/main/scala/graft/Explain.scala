@@ -12,7 +12,8 @@ import graft.sources.Tables
   * materialize internally, so their load-bearing stages are exposed here
   * as lazy frames whose plans show the claimed shuffle structure:
   * `lsh_candidates`, `decontaminate_overlaps`, `ann_assign`,
-  * `ann_probe`, `clusters_mapping_join`, `corpus_quality_stage`.
+  * `ann_probe`, `clusters_mapping_join`, `corpus_dedup_stage`,
+  * `asof_join_stage`, `range_join_stage`, `surrogate_assign`.
   */
 object Explain {
 
@@ -70,11 +71,15 @@ object Explain {
     },
     "corpus_dedup_stage" -> { s =>
       // CorpusClean's annotate → quality floor → normalized exact dedup
-      // (its only corpus-wide shuffle before the LSH stage)
+      // (its only corpus-wide shuffle before the LSH stage) — the SAME
+      // shared-tokens form run() executes, so the audit records what
+      // production runs
       import graft.functions.TextFunctions
       Tables.load(s, dir, "documents")
-        .withColumn("quality_bp", TextFunctions.qualityScore(col("text")))
-        .withColumn("pred_lang", TextFunctions.langId(col("text")))
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .withColumn("quality_bp", TextFunctions.qualityScoreT(col("__toks"), col("text")))
+        .withColumn("pred_lang", TextFunctions.langIdT(col("__toks")))
+        .drop("__toks")
         .filter(col("quality_bp") >= 3000)
         .withColumn("__normh", md5(TextFunctions.normalizeForDedup(col("text"))))
         .withColumn("__rn", row_number().over(

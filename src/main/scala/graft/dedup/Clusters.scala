@@ -53,7 +53,8 @@ object Clusters {
       .persist()
     out.count() // materialize so upstream caches can be released NOW
     p.unpersist()
-    if (!isLocal) mapping.unpersist() // propagate returns a persisted frame
+    if (!isLocal) // propagate returns a checkpointed frame — free its blocks
+      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(mapping)
     out
   }
 
@@ -120,6 +121,10 @@ object Clusters {
       val s = next.agg(sum(col("label"))).head.getLong(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)
+      // free the superseded round's checkpoint blocks NOW — Dataset
+      // .unpersist doesn't touch them, and waiting for driver GC lets
+      // one labels snapshot per round pile up in executor storage
+      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(labels)
       labels = next
       iter += 1
     }

@@ -16,9 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * allocation-free pass ([[VectorKernels.cosine]]) and stays inside
   * WholeStageCodegen via a static kernel call.
   *
-  * Null/edge semantics: null input array → null; mismatched lengths →
-  * null (the HOF version's zip_with pads with null and poisons the
-  * sum); zero-norm input → null — deliberately SAFER than the HOF
+  * Null/edge semantics: null input array → null; a null ELEMENT →
+  * null; mismatched lengths → null (the HOF version's zip_with pads
+  * with null and poisons the sum the same way); zero-norm input →
+  * null — deliberately SAFER than the HOF
   * formulation it replaced, whose division THROWS
   * SparkArithmeticException under Spark 4's default ANSI mode when a
   * zero vector appears (a single all-zero embedding would kill a

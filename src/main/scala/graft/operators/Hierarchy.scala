@@ -51,8 +51,16 @@ object Hierarchy {
         .localCheckpoint(true)
       val r = next.agg(count(lit(1)), sum(col("depth"))).head
       val nextStats = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      if (nextStats == stats) reach = maxDepth
-      else { paths = next; stats = nextStats; reach *= 2 }
+      if (nextStats == stats) {
+        // converged: the freshly-built round duplicates `paths` — free it
+        org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(next)
+        reach = maxDepth
+      } else {
+        // free the superseded round's checkpoint blocks eagerly (GC
+        // would get there eventually; large closures shouldn't wait)
+        org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(paths)
+        paths = next; stats = nextStats; reach *= 2
+      }
     }
     paths
   }

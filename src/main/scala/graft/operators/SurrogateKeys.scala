@@ -14,19 +14,22 @@ import org.apache.spark.sql.functions._
   * Implementation: range-repartition + in-partition sort on the order
   * key, then dense ids from per-partition offsets — pass 1 collects
   * (count, base) per partition (numPartitions tuples on the driver, not
-  * data), pass 2 adds `offset[pid] + local index` as a column expression.
-  * Everything stays a DataFrame: no `rdd.zipWithIndex` Row round-trip
-  * out of Tungsten, the id projection is codegen'd, and there is no
+  * data), pass 2 adds `offset[pid] + local index` as a codegen'd column
+  * expression over `spark_partition_id` / `monotonically_increasing_id`
+  * (which counts sequentially within each partition). No
+  * `rdd.zipWithIndex` Row round-trip out of Tungsten, and no
   * single-partition window (`row_number() OVER (ORDER BY ...)` would
-  * funnel 100 TB through one task). The local index comes from
-  * `monotonically_increasing_id`, which counts sequentially within each
-  * partition (partition id in the upper bits, per-partition record
-  * number in the lower) — subtracting the partition's minimum yields the
-  * dense in-partition rank without any exchange.
+  * funnel 100 TB through one task).
   *
-  * `orderBy` must be a total order (ties would make any
-  * recompute-between-passes nondeterministic — same contract the
-  * zipWithIndex formulation had).
+  * DETERMINISM: the sorted frame is persisted before pass 1 and the
+  * result is materialized (localCheckpoint) before the cache is
+  * released, so both passes read the SAME range exchange. Without the
+  * pin, each action re-executes `repartitionByRange`, whose boundary
+  * sampling is seeded per physical RDD — boundary rows could land in
+  * different partitions between the stats pass and the id pass,
+  * yielding duplicate/skipped ids at real partition sizes.
+  *
+  * `orderBy` must be a total order (dense ids follow it exactly).
   */
 object SurrogateKeys {
 
@@ -35,19 +38,26 @@ object SurrogateKeys {
     val sorted = df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-    val stats = sorted.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("cnt"), min(col("__mid")).as("base"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    if (stats.isEmpty) return df.withColumn(idCol, lit(startAt))
-    val offsets = stats.scanLeft(0L)(_ + _._2).init
-    val offsetByPid = stats.map(_._1).zip(offsets).toMap
-    val baseByPid = stats.map(s => s._1 -> s._3).toMap
-    sorted
-      .withColumn(idCol,
-        lit(startAt) + element_at(typedlit(offsetByPid), col("__pid")) +
-          (col("__mid") - element_at(typedlit(baseByPid), col("__pid"))))
-      .drop("__pid", "__mid")
+      .persist()
+    try {
+      val stats = sorted.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("cnt"), min(col("__mid")).as("base"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      if (stats.isEmpty) return df.withColumn(idCol, lit(startAt))
+      val offsets = stats.scanLeft(0L)(_ + _._2).init
+      val offsetByPid = stats.map(_._1).zip(offsets).toMap
+      val baseByPid = stats.map(s => s._1 -> s._3).toMap
+      sorted
+        .withColumn(idCol,
+          lit(startAt) + element_at(typedlit(offsetByPid), col("__pid")) +
+            (col("__mid") - element_at(typedlit(baseByPid), col("__pid"))))
+        .drop("__pid", "__mid")
+        // materialize from the pinned cache BEFORE releasing it — a lazy
+        // result would re-run the range exchange after unpersist and see
+        // different partition boundaries than the collected stats
+        .localCheckpoint(true)
+    } finally sorted.unpersist()
   }
 }

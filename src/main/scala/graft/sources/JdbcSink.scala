@@ -34,8 +34,13 @@ object JdbcSink {
   }
 
   private def tableExists(conn: Connection, table: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-    try rs.next() finally rs.close()
+    // unquoted identifiers fold per-database (Derby/Oracle upper,
+    // Postgres lower) — probe each folding rather than assuming one
+    val md = conn.getMetaData
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+      val rs = md.getTables(null, null, t, null)
+      try rs.next() finally rs.close()
+    }
   }
 
   /** Stage + merge `df` into `table` on `keys`: matched rows get the

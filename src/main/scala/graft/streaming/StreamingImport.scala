@@ -121,9 +121,11 @@ object StreamingImport {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       stale.filterNot(kept).foreach { v =>
-        val dir = new org.apache.hadoop.fs.Path(
-          destPath, s"$partCol=" + java.net.URLEncoder.encode(String.valueOf(v), "UTF-8"))
-        fs.delete(dir, true)
+        // Spark's own partition-path escaping (NOT URL encoding — a
+        // space stays a space in Hive layout, '+' would miss the dir)
+        val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(String.valueOf(v))
+        fs.delete(new org.apache.hadoop.fs.Path(destPath, s"$partCol=$escaped"), true)
       }
       merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

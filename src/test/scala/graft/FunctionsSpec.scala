@@ -128,9 +128,10 @@ class FunctionsSpec extends SparkSuite {
     assert(math.abs(both(0)._1 - 1.0) < 1e-12)
 
     val edges = Seq(
-      (Array(0f, 0f), Array(1f, 2f)),                 // zero norm
-      (Array(1f, 2f, 3f), Array(1f, 2f)),             // length mismatch
-      (null.asInstanceOf[Array[Float]], Array(1f)))   // null input
+      (Array[java.lang.Float](0f, 0f), Array[java.lang.Float](1f, 2f)),   // zero norm
+      (Array[java.lang.Float](1f, 2f, 3f), Array[java.lang.Float](1f, 2f)), // length mismatch
+      (null.asInstanceOf[Array[java.lang.Float]], Array[java.lang.Float](1f)), // null input
+      (Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](1f, 2f, 3f))) // null ELEMENT
       .toDF("a", "b")
     val nat = edges.select(VectorFunctions.cosine(col("a"), col("b")))
       .as[Option[Double]].collect()

@@ -28,20 +28,16 @@ class PlansSpec extends SparkSuite {
     assert(err.getMessage.contains("missing column 'name'"))
   }
 
-  test("SurrogateKeys.assign stays in Tungsten: no RDD scan, codegen present") {
+  test("SurrogateKeys.assign: dense ordered ids, deterministic across calls") {
     import org.apache.spark.sql.functions.col
     val df = Seq(("c", 30.0), ("a", 10.0), ("b", 20.0)).toDF("name", "bal")
-    val out = graft.operators.SurrogateKeys.assign(df, Seq(col("name")), "sk", 100L)
-    val rows = out.collect().map(r => (r.getAs[String]("name"), r.getAs[Long]("sk")))
-      .sortBy(_._2)
+    def run() = graft.operators.SurrogateKeys.assign(df, Seq(col("name")), "sk", 100L)
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[Long]("sk"))).sortBy(_._2)
+    val rows = run()
     assert(rows === Array(("a", 100L), ("b", 101L), ("c", 102L)))
-    // executed AFTER the action (on `out` itself) so AQE has finalized
-    val physical = out.queryExecution.executedPlan.toString
-    // the old formulation rebuilt the frame from RDD[Row] — that shows up
-    // as an ExistingRDD scan and kills codegen for everything downstream
-    assert(!physical.contains("ExistingRDD"), physical)
-    // "*(n)" is the WholeStageCodegen marker in the simple plan string
-    assert(physical.contains("*(1)"), physical)
+    // the id pass reads the PINNED sorted cache, never a re-executed
+    // range exchange — repeated full invocations must agree exactly
+    assert(run() === rows)
   }
 
   test("JobConfig round-trips through JSON and lowers to runnable specs") {

@@ -78,6 +78,22 @@ class StreamingImportSpec extends SparkSuite {
     assert(!new java.io.File(s"$dest/part=d2").exists())
   }
 
+  test("relocating upsert deletes emptied partitions whose values need path escaping") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_simport7")
+    val dest = s"$dir/dest"
+    // a space survives in Hive path layout ('part=day 01') — URL-style
+    // '+' encoding would delete the wrong directory and leave the stale row
+    val seed = Seq((1L, "a", "day 01"), (2L, "b", "day 02")).toDF("id", "v", "part")
+    StreamingImport.upsertBatchRelocating(seed, dest, Seq("id"), "part")
+    val batch = Seq((2L, "B2", "day 01")).toDF("id", "v", "part") // 2 moves
+    StreamingImport.upsertBatchRelocating(batch, dest, Seq("id"), "part")
+    val out = spark.read.parquet(dest).orderBy("id")
+      .select("id", "v", "part").as[(Long, String, String)].collect()
+    assert(out === Array((1L, "a", "day 01"), (2L, "B2", "day 01")))
+    assert(!new java.io.File(s"$dest/part=day 02").exists())
+  }
+
   test("partition column type is pinned, not re-inferred from directory names") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_simport5")
