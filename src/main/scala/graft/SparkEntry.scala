@@ -788,6 +788,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    "q_multimodal_neardup" -> ((s, dir) => {
+      // the multimodal dedup loop closed end-to-end: payload → batched
+      // stub decode → stub-embedding near-dup (sign-bit LSH + cosine
+      // verify). The 8-bin histogram features are deliberately coarse,
+      // so the query bounds itself to a doc subset and a tight cosine —
+      // a real encoder swaps into decodeStub and widens both.
+      val feats = Multimodal.decodeFeatures(
+        Multimodal.withPayload(t(s, dir, "documents").filter(col("doc_id") < 100)))
+      graft.dedup.NearDup.embeddingPairs(
+        feats.select(col("doc_id"), col("feat")), "doc_id", "feat",
+        minCosine = 0.9999, nBits = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_multimodal_features" -> ((s, dir) => {
       // project driver-comparable SCALARS: the raw byte_histogram/feat
       // arrays are kept for library users, but the verification row is

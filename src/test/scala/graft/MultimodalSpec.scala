@@ -16,6 +16,22 @@ class MultimodalSpec extends SparkSuite {
     assert(row._1 === row._2)
   }
 
+  test("multimodal near-dup: identical payloads pair at cosine 1.0 end-to-end") {
+    import graft.dedup.NearDup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 22L),
+      (2L, "alpha beta gamma delta", "en", "s", 22L), // identical payload
+      (3L, "zzz yyy xxx www", "en", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.decodeFeatures(Multimodal.withPayload(docs))
+    val pairs = NearDup.embeddingPairs(
+      feats.select(col("doc_id"), col("feat")), "doc_id", "feat",
+      minCosine = 0.9999, nBits = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 === 1.0)
+  }
+
   test("decodeFeatures: deterministic, histogram sums to byte count, feat normalized") {
     val docs = Tables.load(spark, sf, "documents").limit(50)
     val feats = Multimodal.decodeFeatures(Multimodal.withPayload(docs), batchSize = 7)
