@@ -65,6 +65,90 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("asof join equals the naive per-row latest-at-or-before on random data") {
+    import graft.operators.AsOf
+    val leftGen = Gen.listOfN(15, for {
+      k <- Gen.chooseNum(0L, 3L); t <- Gen.chooseNum(0, 50)
+    } yield (k, t))
+    val rightGen = Gen.listOfN(10, for {
+      k <- Gen.chooseNum(0L, 3L); t <- Gen.chooseNum(0, 50)
+    } yield (k, t))
+    for ((lRows, rRows0) <- samples(leftGen, 4).zip(samples(rightGen, 4).reverse)) {
+      // right must be unique per (k, t): keep max payload as tiebreak
+      val rRows = rRows0.groupBy(identity).keys.toList
+        .map { case (k, t) => (k, t, k * 1000.0 + t) }
+      val l = lRows.toDF("k", "t")
+      val r = rRows.toDF("k", "t", "price")
+      val got = AsOf.joinAsOf(l, r, Seq("k"), "t", Seq("price"))
+        .select("k", "t", "asof_price")
+        .as[(Long, Int, Option[Double])].collect().sorted
+      val naive = lRows.map { case (k, t) =>
+        val cands = rRows.filter(rr => rr._1 == k && rr._2 <= t)
+        (k, t, if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+      }.sorted
+      assert(got.toSeq === naive)
+    }
+  }
+
+  test("range join equals the naive cross-filter on random data") {
+    import graft.operators.RangeJoin
+    val valGen = Gen.listOfN(20, Gen.chooseNum(0L, 100L))
+    val bandGen = Gen.listOfN(6, for {
+      lo <- Gen.chooseNum(0L, 90L); span <- Gen.chooseNum(0L, 40L)
+    } yield (lo, lo + span))
+    for ((vals, bands0) <- samples(valGen, 4).zip(samples(bandGen, 4).reverse)) {
+      val bands = bands0.zipWithIndex.map { case ((lo, hi), i) => (lo, hi, s"b$i") }
+      val l = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val r = bands.toDF("lo", "hi", "band")
+      for (w <- Seq(3L, 17L, 100L)) { // bucket width must not affect results
+        val got = RangeJoin.byBucket(l, r, "v", "lo", "hi", w)
+          .select("id", "band").as[(Long, String)].collect().toSet
+        val naive = (for {
+          (v, i) <- vals.zipWithIndex
+          (lo, hi, b) <- bands if v >= lo && v <= hi
+        } yield (i.toLong, b)).toSet
+        assert(got === naive, s"width $w")
+      }
+    }
+  }
+
+  test("hierarchy closure equals naive BFS reachability on random forests") {
+    import graft.operators.Hierarchy
+    val edgeGen = Gen.listOfN(12, for {
+      c <- Gen.chooseNum(2L, 20L); p <- Gen.chooseNum(1L, 19L) if p < c
+    } yield (c, p))
+    for (edges0 <- samples(edgeGen, 4)) {
+      // one parent per child (tree/forest), like the reference group tree
+      val edges = edges0.groupBy(_._1).map(_._2.head).toList
+      val cl = Hierarchy.closure(edges.toDF("c", "p"), "c", "p")
+      val got = cl.as[(Long, Long, Int)].collect().toSet
+      cl.unpersist()
+      val parent = edges.toMap
+      val naive = parent.keys.flatMap { start =>
+        Iterator.iterate(Option(start))(_.flatMap(parent.get))
+          .drop(1).takeWhile(_.isDefined).zipWithIndex
+          .map { case (anc, d) => (start, anc.get, d + 1) }.toList
+      }.toSet
+      assert(got === naive)
+    }
+  }
+
+  test("applyCdc is idempotent: re-applying the same feed changes nothing") {
+    import graft.operators.Merge
+    for ((destRows, chRows) <- samples(rowsGen, 4).zip(samples(rowsGen, 4).reverse)) {
+      val dest = Dedup.keepFirst(
+        destRows.toDF("id", "name", "amount"), Seq("id"), Seq(col("name"), col("amount")))
+      val changes = Dedup.keepFirst(
+        chRows.toDF("id", "name", "amount"), Seq("id"), Seq(col("name"), col("amount")))
+        .withColumn("ver", lit(1))
+        .withColumn("op", when(col("id") % 4 === 0, lit("D")).otherwise(lit("U")))
+      val once = Merge.applyCdc(dest, changes, Seq("id"), "ver", "op")
+      val twice = Merge.applyCdc(once, changes, Seq("id"), "ver", "op")
+      assert(once.orderBy("id", "name", "amount").collect().toSeq ===
+        twice.orderBy("id", "name", "amount").collect().toSeq)
+    }
+  }
+
   test("TableOrder output is a permutation respecting every dependency") {
     val tablesGen = Gen.someOf(graft.sources.Tables.All).map(_.toList)
     for (tables <- samples(tablesGen, 20)) {
