@@ -114,6 +114,36 @@ object IncrementalNearDup {
     verified
   }
 
+  /** Compact the append-only index: every micro-batch appends small
+    * files to sigs/bands, so file count grows with batch count and the
+    * per-batch pruned reads slow down over time. Rewrites both tables
+    * into `targetFiles` files each (bands repartitioned BY bucket so
+    * the postings for one bucket co-locate — the read pattern every
+    * batch runs). Atomic-enough for a paused stream: rewrite to a temp
+    * dir, then swap; run between batches (the operational complement a
+    * table format would give for free).
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+                   targetFiles: Int = 8): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def swapIn(name: String)(write: String => Unit): Unit = {
+      val tmp = s"$indexDir/__compact_$name"
+      write(tmp)
+      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
+      fs.delete(live, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    }
+    swapIn("sigs") { tmp =>
+      spark.read.parquet(s"$indexDir/sigs").localCheckpoint(true)
+        .repartition(targetFiles).write.parquet(tmp)
+    }
+    swapIn("bands") { tmp =>
+      spark.read.parquet(s"$indexDir/bands").localCheckpoint(true)
+        .repartition(targetFiles, col("band"), col("bucket")).write.parquet(tmp)
+    }
+  }
+
   /** Continuous LSH maintenance: each micro-batch's verified pairs are
     * appended to `pairsDir`, its sketches to the index.
     */

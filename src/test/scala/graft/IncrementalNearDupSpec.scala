@@ -54,6 +54,31 @@ class IncrementalNearDupSpec extends SparkSuite {
     assert(expected.exists(p => p._1 == 5L && p._2 == 101L))
   }
 
+  test("compactIndex shrinks file count and changes nothing semantically") {
+    val dir = Files.createTempDirectory("graft_inclsh3")
+    val indexDir = s"$dir/index"
+    // several small batches -> many small files
+    docs.grouped(6).foreach { g =>
+      IncrementalNearDup.processBatch(g.toDF(), "doc_id", "text", indexDir,
+        threshold = 0.5).unpersist()
+    }
+    def files(sub: String) = new java.io.File(s"$indexDir/$sub")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    def content(sub: String) = spark.read.parquet(s"$indexDir/$sub")
+      .collect().map(_.toString).sorted.toSeq
+    val (sigsBefore, bandsBefore) = (content("sigs"), content("bands"))
+    assert(files("sigs") > 2)
+    IncrementalNearDup.compactIndex(spark, indexDir, targetFiles = 2)
+    assert(files("sigs") === 2 && files("bands") === 2)
+    assert(content("sigs") === sigsBefore)
+    assert(content("bands") === bandsBefore)
+    // the compacted index still serves incremental batches
+    val more = IncrementalNearDup.processBatch(
+      Seq(Doc(900L, docs(3).text)).toDF(), "doc_id", "text", indexDir,
+      threshold = 0.5)
+    assert(pairSet(more).exists(p => (p._1, p._2) == ((3L, 900L)) && p._3 == 1.0))
+  }
+
   test("already-indexed ids are skipped, not re-paired") {
     val dir = Files.createTempDirectory("graft_inclsh2")
     val indexDir = s"$dir/index"

@@ -75,4 +75,22 @@ class KnnSpec extends SparkSuite {
     val recall = (ivf intersect bf).size.toDouble / bf.size
     assert(recall >= 0.3, s"recall $recall")
   }
+
+  test("sampled centroid training keeps recall at a fraction of the cost") {
+    // coarse quantizers need the density shape, not every vector: train
+    // on a deterministic 30% hash-sample, search with the full corpus
+    val sampled = Knn.trainCentroids(emb, nCentroids = 4, iters = 1,
+      sampleFraction = 0.3)
+    assert(sampled.nonEmpty)
+    val ivf = Knn.ivfTopK(emb, queries, sampled, k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = Knn.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"recall $recall")
+    // training is reproducible: the hash-sample is partitioning-stable
+    val again = Knn.trainCentroids(emb, nCentroids = 4, iters = 1,
+      sampleFraction = 0.3)
+    assert(sampled.map(_._2.toSeq) === again.map(_._2.toSeq))
+  }
 }
