@@ -214,6 +214,30 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("valid_from"))
     }),
 
+    "q_scd2_feed" -> ((s, dir) => {
+      // SCD2 materialized from a multi-version change feed: each change
+      // opens its own interval, the open dest row closes at the key's
+      // first change, a trailing delete leaves no current row
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val dest = o.withColumn("valid_from", lit("2020-01-01"))
+        .withColumn("valid_to", lit(null).cast("string"))
+        .withColumn("is_current", lit(true))
+      val c1 = o.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey"),
+        lit("U1").as("o_orderstatus"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit("2024-01-01").as("ts"), lit("U").as("op"))
+      val c2 = o.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey"),
+        lit("U2").as("o_orderstatus"), (col("o_totalprice") + 2000.0).as("o_totalprice"),
+        lit("2024-02-01").as("ts"), lit("U").as("op"))
+      val c3 = o.filter(col("o_orderkey") % 20 === 0).select(col("o_orderkey"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit("2024-03-01").as("ts"), lit("D").as("op"))
+      Scd.applyType2Feed(dest, c1.unionByName(c2).unionByName(c3),
+        Seq("o_orderkey"), "ts", "op")
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    }),
+
     "q_cdc_apply" -> ((s, dir) => {
       // change-feed application: latest change per key wins, tombstones
       // delete — the event-sourced form of the reference's staged sync
@@ -929,6 +953,29 @@ object SparkEntry {
         |  coalesce(i.o_totalprice, d.o_totalprice) AS o_totalprice
         |FROM dest d LEFT JOIN incoming i ON d.o_orderkey = i.o_orderkey
         |ORDER BY 1""".stripMargin,
+
+    "q_scd2_feed" ->
+      """WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, 'U1' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+        |         '2024-01-01' AS ts, 'U' AS op FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U2', o_totalprice + 2000.0, '2024-02-01', 'U'
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, '2024-03-01', 'D'
+        |  FROM orders WHERE o_orderkey % 20 = 0),
+        |v AS (SELECT *, lead(ts) OVER (PARTITION BY o_orderkey ORDER BY ts) AS next_ts
+        |      FROM changes),
+        |f AS (SELECT o_orderkey, min(ts) AS first_ts FROM changes GROUP BY 1)
+        |SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice,
+        |       '2020-01-01' AS valid_from, f.first_ts AS valid_to,
+        |       f.first_ts IS NULL AS is_current
+        |FROM snap s LEFT JOIN f USING (o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, ts, next_ts, next_ts IS NULL
+        |FROM v WHERE op <> 'D'
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
 
     "q_scd2" ->
       """WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -65,4 +65,55 @@ object Scd {
       }: _*)
     hist.unionByName(kept).unionByName(closed).unionByName(opened)
   }
+
+  /** SCD Type 2 from a CHANGE FEED: unlike [[applyType2]] (one snapshot
+    * per call), the batch may carry several versions of a key, each with
+    * its own event time — every non-delete change becomes a history
+    * interval [its ts, next change's ts), the key's last change stays
+    * current unless it is a delete, and the previously-open destination
+    * row closes at the key's FIRST change. One window over the feed
+    * (lead per key) + the same current-slice join as applyType2; the
+    * feed is trusted (no attribute comparison — standard CDC→SCD2
+    * materialization).
+    *
+    * Contract: `changes` columns = keys ++ attrs ++ (tsCol, opCol);
+    * at most one change per (keys, tsCol).
+    */
+  def applyType2Feed(dest: DataFrame, changes: DataFrame, keys: Seq[String],
+                     tsCol: String, opCol: String, deleteOp: String = "D",
+                     fromCol: String = "valid_from", toCol: String = "valid_to",
+                     curCol: String = "is_current"): DataFrame = {
+    val attrs = dest.columns.toSeq.filterNot(c =>
+      keys.contains(c) || c == fromCol || c == toCol || c == curCol)
+    require(changes.columns.toSet == (keys ++ attrs :+ tsCol :+ opCol).toSet,
+      s"changes must carry exactly keys ++ attributes ++ ($tsCol, $opCol)")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val withNext = changes.withColumn("__next_ts", lead(col(tsCol), 1).over(w))
+    val destCols = dest.columns.toSeq
+    val toType = dest.schema(toCol).dataType
+    val versions = withNext.filter(col(opCol) =!= deleteOp)
+      .select(destCols.map {
+        case c if c == fromCol => col(tsCol).cast(dest.schema(fromCol).dataType).as(fromCol)
+        case c if c == toCol => col("__next_ts").cast(toType).as(toCol)
+        case c if c == curCol => col("__next_ts").isNull.as(curCol)
+        case c => col(c)
+      }: _*)
+
+    val firstTs = changes.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("__first_ts"))
+    val cur = dest.filter(col(curCol))
+    val hist = dest.filter(!col(curCol))
+    val joined = cur.join(firstTs, keys, "left_outer")
+    val kept = joined.filter(col("__first_ts").isNull)
+      .select(destCols.map(col): _*)
+    val closed = joined.filter(col("__first_ts").isNotNull)
+      .select(destCols.map {
+        case c if c == toCol => col("__first_ts").cast(toType).as(toCol)
+        case c if c == curCol => lit(false).as(curCol)
+        case c => col(c)
+      }: _*)
+    hist.unionByName(kept).unionByName(closed).unionByName(versions)
+  }
 }

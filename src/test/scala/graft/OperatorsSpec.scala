@@ -114,6 +114,26 @@ class OperatorsSpec extends SparkSuite {
       (4, "d", "2024-06-01", None, true)))                // new key
   }
 
+  test("Scd.applyType2Feed: multi-version chains, delete leaves no current row") {
+    val dest = Seq((1, "a", "t0", None: Option[String], true),
+      (2, "b", "t0", None: Option[String], true))
+      .toDF("id", "v", "valid_from", "valid_to", "is_current")
+    val changes = Seq(
+      (1, Option("a1"), "t1", "U"), (1, Option("a2"), "t2", "U"),
+      (1, None: Option[String], "t3", "D"), // trailing delete
+      (3, Option("c1"), "t1", "U"))         // new key
+      .toDF("id", "v", "ts", "op")
+    val out = Scd.applyType2Feed(dest, changes, Seq("id"), "ts", "op")
+      .orderBy("id", "valid_from")
+      .as[(Int, String, String, Option[String], Boolean)].collect()
+    assert(out === Array(
+      (1, "a", "t0", Some("t1"), false),  // open row closed at first change
+      (1, "a1", "t1", Some("t2"), false),
+      (1, "a2", "t2", Some("t3"), false), // closed by the delete, no current
+      (2, "b", "t0", None, true),         // untouched key
+      (3, "c1", "t1", None, true)))       // new key current
+  }
+
   test("AsOf.joinAsOf: inclusive latest-at-or-before per key, null before first") {
     val l = Seq((1L, 5, "e1"), (1L, 10, "e2"), (1L, 20, "e3"), (2L, 7, "e4"))
       .toDF("k", "t", "name")
