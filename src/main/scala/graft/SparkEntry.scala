@@ -799,6 +799,14 @@ object SparkEntry {
         .orderBy(col("corpus_id"), col("bench_id"))
     }),
 
+    "q_shared_passages" -> ((s, dir) => {
+      // repeated verbatim passages ACROSS documents (token-granular
+      // exact-substring dedup): doc pairs sharing any 8-token gram
+      graft.dedup.Decontaminate.selfOverlaps(
+        t(s, dir, "documents"), "doc_id", "text", n = 8, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_corpus_clean" -> ((s, dir) => {
       graft.pipelines.CorpusClean.run(t(s, dir, "documents"))
         .select(col("doc_id"), col("quality_bp"), col("pred_lang"))

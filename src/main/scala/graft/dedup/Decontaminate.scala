@@ -41,4 +41,32 @@ object Decontaminate {
     overlaps(corpus, benchmark, idCol, textCol, n)
       .filter(col("n_shared_grams") >= minShared)
       .select(col("corpus_id")).distinct()
+
+  /** Corpus SELF-overlap: document pairs sharing ≥ `minShared` exact
+    * `n`-token passages — the published repeated-passage dedup signal
+    * (long verbatim spans duplicated across training documents). The
+    * token-granular Spark shape of the suffix-array approach: both
+    * "sides" are the corpus, so nothing broadcasts — instead each
+    * distinct gram key becomes a bucket (ONE shuffle on the 8-byte gram
+    * hash), pairs enumerate strictly inside buckets (capped at
+    * `maxBucket` members — a gram shared by thousands of docs is
+    * boilerplate whose full pair list adds nothing), and the pair count
+    * aggregation is proportional to true overlap output.
+    */
+  def selfOverlaps(corpus: DataFrame, idCol: String, textCol: String,
+                   n: Int = 13, maxBucket: Int = 1000,
+                   minShared: Int = 1): DataFrame = {
+    val grams = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(GramHash.gramHashes(col(textCol), n))).as("g"))
+    val buckets = grams.groupBy(col("g"))
+      .agg(slice(array_sort(collect_set(col("id"))), 1, maxBucket).as("members"))
+      .filter(size(col("members")) > 1)
+    buckets.select(explode(expr(
+        "flatten(transform(members, (a, i) -> " +
+          "transform(slice(members, i + 2, size(members)), " +
+          "b -> named_struct('id_a', a, 'id_b', b))))")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
 }

@@ -67,6 +67,21 @@ class NearDupSpec extends SparkSuite {
     assert(drops === Array(2L))
   }
 
+  test("selfOverlaps finds the planted shared passage, counts its grams") {
+    import graft.dedup.Decontaminate
+    val passage = (0 until 20).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"intro ${passage} outro"),
+      (2L, s"different start ${passage} different end"),
+      (3L, (0 until 30).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Decontaminate.selfOverlaps(corpus, "doc_id", "text", n = 13)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    // a 20-token passage carries 20-13+1 = 8 shared 13-grams
+    assert(pairs.head._3 === 8L)
+  }
+
   test("embeddingPairs finds planted near-identical vectors") {
     val vecs = Seq(
       (0L, Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)),
