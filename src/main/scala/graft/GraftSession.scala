@@ -20,6 +20,10 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
+      // SQL surface for the custom sketch expressions (graft_minhash,
+      // graft_simhash, graft_fingerprint, graft_gram_hashes,
+      // graft_cosine) — registered via SparkSessionExtensions
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

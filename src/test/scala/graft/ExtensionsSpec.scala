@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Fingerprint, MinHash, SimHash, VectorFunctions}
+
+/** The SQL surface registered via SparkSessionExtensions must agree
+  * exactly with the Column API over the same expressions.
+  */
+class ExtensionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("sql sketch functions equal the column api") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa")).toDF("id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+
+    val viaSql = spark.sql(
+      """SELECT id, graft_minhash(text, 16, 2) AS mh, graft_simhash(text) AS sh,
+        |  graft_fingerprint(text) AS fp, graft_gram_hashes(text, 2) AS gh
+        |FROM ext_docs ORDER BY id""".stripMargin).collect()
+    val viaApi = docs.select(col("id"),
+      MinHash.minhashSignature(col("text"), 16, 2).as("mh"),
+      SimHash.simhash(col("text")).as("sh"),
+      Fingerprint.fingerprint(col("text")).as("fp"),
+      graft.functions.GramHash.gramHashes(col("text"), 2).as("gh"))
+      .orderBy("id").collect()
+    assert(viaSql.map(_.toString).toSeq === viaApi.map(_.toString).toSeq)
+  }
+
+  test("graft_cosine in sql equals the column api incl. null edges") {
+    val vecs = Seq(
+      (1L, Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (2L, Array(0f, 0f), Array(1f, 2f))).toDF("id", "a", "b")
+    vecs.createOrReplaceTempView("ext_vecs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_cosine(a, b) AS c FROM ext_vecs ORDER BY id")
+      .as[(Long, Option[Double])].collect()
+    val viaApi = vecs.select(col("id"), VectorFunctions.cosine(col("a"), col("b")))
+      .orderBy("id").as[(Long, Option[Double])].collect()
+    assert(viaSql === viaApi)
+    assert(viaSql(0)._2.exists(c => math.abs(c - 1.0) < 1e-12))
+    assert(viaSql(1)._2.isEmpty)
+  }
+
+  test("non-literal parameters fail with an actionable message") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash('x', CAST(rand()*10 AS INT), 3)").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+}
