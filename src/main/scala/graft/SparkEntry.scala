@@ -687,6 +687,29 @@ object SparkEntry {
         .orderBy(col("child"), col("ancestor"))
     }),
 
+    "q_token_histogram" -> ((s, dir) => {
+      // corpus profiling: token-count distribution per source in
+      // fixed-width buckets — the stats pass every mixture design starts
+      // from (engine-portable floor-bucketing, no width_bucket needed)
+      t(s, dir, "documents")
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy(col("source"), floor(col("n") / 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("bucket"))
+    }),
+
+    "q_token_budget" -> ((s, dir) => {
+      // per-source token-budget cap: keep docs in doc_id order while the
+      // source's running total fits — the cap side of mixture building
+      val withTok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipelines.Mixture.capTokenBudget(withTok, "source", "doc_id",
+        "n_tokens", budget = 500L)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_pack_sequences" -> ((s, dir) => {
       // concat-and-chop training-sequence packing, one window per source
       val withTok = t(s, dir, "documents")
@@ -1383,6 +1406,29 @@ object SparkEntry {
         |  SELECT c.child, e.parent, c.depth + 1 FROM c JOIN e ON c.ancestor = e.child)
         |SELECT child, ancestor, depth FROM c
         |ORDER BY child, ancestor""".stripMargin,
+
+    "q_token_histogram" ->
+      """WITH t AS (SELECT source,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT source, CAST(floor(n / 10) AS BIGINT) AS bucket,
+        |       count(*) AS n_docs
+        |FROM t GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens FROM w
+        |WHERE cum <= 500
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,

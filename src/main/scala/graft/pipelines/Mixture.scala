@@ -85,6 +85,23 @@ object Mixture {
             fractions: Seq[(String, Double)]): DataFrame =
     split(df, uniformHash(col(idCol)), fractions)
 
+  /** Per-group token-budget capping: keep documents (in deterministic
+    * order) while the group's RUNNING total stays within `budget` —
+    * "take at most N tokens per source", the mixture-construction cap
+    * that pairs with [[sample]]'s rates. Window per group (distributed),
+    * a doc is kept iff its own cumulative total still fits.
+    */
+  def capTokenBudget(df: DataFrame, groupCol: String, orderCol: String,
+                     tokenCountCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__cum", sum(col(tokenCountCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Training-sequence packing: concatenate documents in deterministic
     * order and chop into `budget`-token sequences at document
     * boundaries — each doc lands in the sequence its cumulative START

@@ -34,6 +34,18 @@ class MixtureSpec extends SparkSuite {
     assert(math.abs(counts("test") - 400) < 100)
   }
 
+  test("capTokenBudget keeps prefix docs per group within the budget") {
+    val d = Seq(
+      (1L, "a", 800L), (2L, "a", 900L), (3L, "a", 400L), (4L, "a", 100L),
+      (5L, "b", 1500L), (6L, "b", 600L))
+      .toDF("id", "src", "n")
+    val out = Mixture.capTokenBudget(d, "src", "id", "n", budget = 2000L)
+      .select("id").as[Long].collect().sorted
+    // a: 800+900=1700 ok, +400=2100 drops 3 AND everything after (prefix
+    // semantics — 4 would fit alone but the cap is a running prefix)
+    assert(out === Array(1L, 2L, 5L))
+  }
+
   test("packSequences fills budget in order, overruns only at doc boundaries") {
     val d = Seq(
       (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), // 3rd starts at 200 -> seq 0 (overrun)
