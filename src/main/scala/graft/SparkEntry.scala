@@ -572,6 +572,54 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q_topk_per_group" -> ((s, dir) => {
+      // best-N-per-category: rank window + filter so the rank-limit
+      // pushdown (WindowGroupLimit) keeps only each task's local top-k
+      // per group ahead of the shuffle — PlansSpec asserts the partial
+      // node so the pushdown can't silently regress
+      TopK.perGroup(t(s, dir, "customer"), Seq("c_nationkey"),
+        Seq(col("c_acctbal").desc, col("c_custkey").asc), k = 5)
+        .select(col("c_nationkey"), col("rank_in_group").cast("long").as("rank_in_group"),
+          col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_nationkey"), col("rank_in_group"))
+    }),
+
+    "q_heavy_hitters" -> ((s, dir) => {
+      // bounded-state exact frequent keys over a deterministic hot-key
+      // profile: 30% of lineitem rows collapse onto 7 hot keys, the rest
+      // stay near-unique — phi is relative, so the answer (the 7 hot
+      // keys) is scale-stable while candidate state stays O(capacity)
+      val keyed = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 < 3, col("l_orderkey") % 7)
+          .otherwise(col("l_orderkey")).as("k"))
+      HeavyHitters.frequentKeys(keyed, col("k"), phi = 0.001)
+        .orderBy(col("hh_key"))
+    }),
+
+    "q_event_outliers" -> ((s, dir) => {
+      // per-user z-score anomaly flags over event values. Moments are
+      // exact decimal sums (order-independent), the z arithmetic is the
+      // SAME double expression as the oracle (IEEE ops are deterministic
+      // given identical inputs + order), and the filter compares the
+      // ROUNDED z so boundary membership agrees cross-engine.
+      val e = t(s, dir, "events")
+      val dv = col("value").cast("decimal(18,6)")
+      val stats = e.groupBy(col("user_id")).agg(
+        count(lit(1)).as("__n"), sum(dv).as("__s"), sum(dv * dv).as("__s2"))
+      e.join(stats, Seq("user_id"))
+        .withColumn("__mean", col("__s").cast("double") / col("__n").cast("double"))
+        .withColumn("__var",
+          col("__s2").cast("double") / col("__n").cast("double") -
+            col("__mean") * col("__mean"))
+        .filter(col("__var") > 1e-12)
+        .withColumn("z",
+          floor((col("value") - col("__mean")) / sqrt(col("__var")) * 10000.0 + 0.5)
+            / 10000.0)
+        .filter(abs(col("z")) > 2.0)
+        .select(col("event_id"), col("user_id"), col("value"), col("z"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_clean_relations" -> ((s, dir) => {
       val validParents = t(s, dir, "orders").filter(col("o_totalprice") <= 400000)
         .select(col("o_orderkey").as("l_orderkey"))
@@ -917,6 +965,47 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey) AS rank_in_group
+        |  FROM customer)
+        |SELECT c_nationkey, rank_in_group, c_custkey, c_acctbal FROM r
+        |WHERE rank_in_group <= 5
+        |ORDER BY c_nationkey, rank_in_group""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH k AS (SELECT CAST(CASE WHEN l_orderkey % 10 < 3
+        |    THEN l_orderkey % 7 ELSE l_orderkey END AS VARCHAR) AS hh_key
+        |  FROM lineitem),
+        |n AS (SELECT count(*) AS total FROM k)
+        |SELECT hh_key, count(*) AS n_rows
+        |FROM k, n
+        |GROUP BY hh_key, n.total
+        |HAVING count(*) >= ceil(0.001 * n.total)
+        |ORDER BY hh_key""".stripMargin,
+
+    "q_event_outliers" ->
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS sv,
+        |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sv2
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CAST(sv2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+        |  FROM s),
+        |z AS (
+        |  SELECT e.event_id, e.user_id, e.value,
+        |    floor((e.value - m.mean) / sqrt(m.var) * 10000.0 + 0.5) / 10000.0 AS z
+        |  FROM events e JOIN m USING (user_id)
+        |  WHERE m.var > 1e-12)
+        |SELECT event_id, user_id, value, z FROM z
+        |WHERE abs(z) > 2.0
+        |ORDER BY event_id""".stripMargin,
 
     "q_pivot_dynamic" ->
       """WITH p AS (SELECT user_id, event_type, CAST(value AS DECIMAL(30,6)) AS v FROM events),
