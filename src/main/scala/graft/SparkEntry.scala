@@ -620,6 +620,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_interval_join" -> ((s, dir) => {
+      // funnel attribution: purchases joined to same-user views in the
+      // preceding 30 minutes — batch twin of the watermarked
+      // stream-stream join (StreamingSpec proves stream == batch)
+      val e = t(s, dir, "events")
+      EventPipeline.intervalJoin(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"), "30 minutes")
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          col("purchase_value"))
+        .orderBy(col("view_id"), col("purchase_id"))
+    }),
+
     "q_clean_relations" -> ((s, dir) => {
       val validParents = t(s, dir, "orders").filter(col("o_totalprice") <= 400000)
         .select(col("o_orderkey").as("l_orderkey"))
@@ -965,6 +978,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     "q_topk_per_group" ->
       """WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,

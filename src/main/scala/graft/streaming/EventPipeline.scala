@@ -59,6 +59,37 @@ object EventPipeline {
       events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Stream-stream interval join: each purchase attributed to the same
+    * user's views in the preceding `within` window — the continuous twin
+    * of funnel attribution. On streams BOTH sides carry watermarks and
+    * the join predicate time-bounds purchase_ts against view_ts, which is
+    * exactly what Structured Streaming needs to EVICT join state (a
+    * buffered view can be dropped once the purchase-side watermark passes
+    * view_ts + within; without the bound, state grows with the stream's
+    * lifetime). Batch frames run the identical condition directly, so one
+    * definition serves both modes and the spec proves stream == batch.
+    */
+  def intervalJoin(views: DataFrame, purchases: DataFrame,
+                   within: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = views.select(col("event_id").as("view_id"), col("user_id"),
+      col("ts").as("view_ts"))
+    val r = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("__p_user"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    val streaming = views.isStreaming || purchases.isStreaming
+    val (lw, rw) =
+      if (streaming) (l.withWatermark("view_ts", watermark),
+        r.withWatermark("purchase_ts", watermark))
+      else (l, r)
+    lw.join(rw,
+      col("user_id") === col("__p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Streaming reader over a parquet directory with the events schema
     * (file-source streaming; each new file is a micro-batch).
     */

@@ -69,6 +69,36 @@ class StreamingSpec extends SparkSuite {
     assert(batchIds === Array(1L, 2L))
   }
 
+  test("stream-stream intervalJoin over MemoryStreams equals batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(mkEv(1, 0, 1, "view"), mkEv(2, 5, 1, "view"),
+      mkEv(3, 2, 2, "view"), mkEv(4, 40, 1, "view"))
+    val purchases = Seq(mkEv(10, 20, 1, "purchase"), // joins views 1 and 2
+      mkEv(11, 50, 1, "purchase"),                   // joins view 4 only (45m > 30m past view 2)
+      mkEv(12, 59, 2, "purchase"))                   // 57m past view 3: no match
+    val vStream = MemoryStream[Ev]
+    val pStream = MemoryStream[Ev]
+    val q = EventPipeline.intervalJoin(vStream.toDF(), pStream.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ij_out").start()
+    try {
+      // split across micro-batches so the join must BUFFER view state
+      vStream.addData(views.take(2)); pStream.addData(purchases.take(1))
+      q.processAllAvailable()
+      vStream.addData(views.drop(2)); pStream.addData(purchases.drop(1))
+      q.processAllAvailable()
+      val streamed = spark.table("ij_out")
+        .select("user_id", "view_id", "purchase_id", "purchase_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = EventPipeline.intervalJoin(views.toDF(), purchases.toDF())
+        .select("user_id", "view_id", "purchase_id", "purchase_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.map(r => (r._2, r._3)) ===
+        Set((1L, 10L), (2L, 10L), (4L, 11L)))
+    } finally q.stop()
+  }
+
   test("file-source readStream matches the events schema") {
     val df = EventPipeline.readStream(spark, sf)
     assert(df.isStreaming)
