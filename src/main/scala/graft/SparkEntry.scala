@@ -620,6 +620,32 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_incremental_agg" -> ((s, dir) => {
+      // incremental view maintenance: the per-status aggregate is kept
+      // current by folding the staged batch's CDC form (retraction of the
+      // old row + insert of the new) into the state table — the oracle
+      // aggregates the fully-merged table, so hash-equality proves
+      // fold(state, delta) == recompute-the-world
+      val dest = destOrders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val inc = incomingOrders(s, dir)
+      val retract = dest.join(inc.select("o_orderkey"), Seq("o_orderkey"), "left_semi")
+        .select(col("o_orderstatus"), col("o_totalprice"), lit("D").as("op"))
+      val insert = inc.select(col("o_orderstatus"), col("o_totalprice"), lit("I").as("op"))
+      val state = IncrementalAgg.init(dest, Seq("o_orderstatus"), col("o_totalprice"))
+      IncrementalAgg.foldCdc(state, retract.unionByName(insert),
+        Seq("o_orderstatus"), col("o_totalprice"), col("op"))
+        .select(col("o_orderstatus"), col("n_rows"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_profile" -> ((s, dir) => {
+      // per-column import profile: rows/nulls/distincts as joinable rows
+      Profile.summarize(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("col_name"))
+    }),
+
     "q_interval_join" -> ((s, dir) => {
       // funnel attribution: purchases joined to same-user views in the
       // preceding 30 minutes — batch twin of the watermarked
@@ -978,6 +1004,43 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_incremental_agg" ->
+      """WITH dest AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |incoming AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice - 500.0
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |merged AS (
+        |  SELECT coalesce(d.o_orderkey, i.o_orderkey) AS o_orderkey,
+        |    coalesce(i.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
+        |    coalesce(i.o_totalprice, d.o_totalprice) AS o_totalprice
+        |  FROM dest d FULL OUTER JOIN incoming i ON d.o_orderkey = i.o_orderkey)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_null,
+        |  count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*),
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END),
+        |  count(DISTINCT o_custkey) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+        |  count(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+        |  count(DISTINCT o_orderpriority) FROM orders
+        |ORDER BY col_name""".stripMargin,
 
     "q_interval_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IncrementalAgg, Profile}
+
+class IncrementalProfileSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("foldCdc(state, feed) == init(final table) on a random-ish feed") {
+    val base = (1 to 300).map(i => (s"k${i % 11}", (i * 37 % 500) / 100.0))
+    // feed: delete 40 existing rows (exact old values), insert 60 new
+    val deletes = base.take(40).map { case (k, v) => (k, v, "D") }
+    val inserts = (1 to 60).map(i => (s"k${i % 13}", (i * 91 % 700) / 100.0, "I"))
+    val finalRows = base.drop(40) ++ inserts.map { case (k, v, _) => (k, v) }
+
+    val state = IncrementalAgg.init(base.toDF("k", "v"), Seq("k"), $"v")
+    val folded = IncrementalAgg.foldCdc(state,
+      (deletes ++ inserts).toDF("k", "v", "op"), Seq("k"), $"v", $"op")
+      .select($"k", $"n_rows", $"total".cast("double"))
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    val direct = IncrementalAgg.init(finalRows.toDF("k", "v"), Seq("k"), $"v")
+      .select($"k", $"n_rows", $"total".cast("double"))
+      .as[(String, Long, Double)].collect().map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(folded === direct)
+  }
+
+  test("foldCdc removes fully-deleted keys and is idempotent over empty feeds") {
+    val state = IncrementalAgg.init(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v"), Seq("k"), $"v")
+    val afterDelete = IncrementalAgg.foldCdc(state,
+      Seq(("a", 1.0, "D"), ("a", 2.0, "D")).toDF("k", "v", "op"),
+      Seq("k"), $"v", $"op")
+    assert(afterDelete.select("k").as[String].collect().toSeq === Seq("b"))
+    // second fold of an empty feed changes nothing (schema is stable too)
+    val again = IncrementalAgg.foldCdc(afterDelete,
+      Seq.empty[(String, Double, String)].toDF("k", "v", "op"),
+      Seq("k"), $"v", $"op")
+    assert(again.schema === afterDelete.schema)
+    assert(again.as[(String, Long, java.math.BigDecimal)].collect().toSet ===
+      afterDelete.as[(String, Long, java.math.BigDecimal)].collect().toSet)
+  }
+
+  test("Profile.summarize counts rows, nulls, distincts per column") {
+    val df = Seq(
+      (Some(1), Some("x")), (Some(1), None), (Some(2), Some("y")), (None, Some("y"))
+    ).toDF("a", "b")
+    val got = Profile.summarize(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map("a" -> ((4L, 1L, 2L)), "b" -> ((4L, 1L, 2L))))
+    // approx path: exact null/row counts, sketched distincts within 2%
+    val approx = Profile.summarize(df, Seq("a", "b"), approxDistinct = true)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(approx === Map("a" -> ((4L, 1L)), "b" -> ((4L, 1L))))
+  }
+
+  test("Profile exact pass is ONE aggregate, approx pass has no Expand") {
+    val df = (1 to 50).map(i => (i % 7, s"s${i % 5}")).toDF("a", "b")
+    val exactPlan = Profile.summarize(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), exactPlan) // documented cost of exact
+    val approxPlan = Profile.summarize(df, Seq("a", "b"), approxDistinct = true)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), approxPlan) // single mergeable pass
+  }
+}
