@@ -15,6 +15,7 @@ import graft.functions._
   *   graft_simhash(text)                        -> bigint
   *   graft_fingerprint(text)                    -> bigint
   *   graft_gram_hashes(text, n)                 -> array<bigint>
+  *   graft_char_gram_hashes(text, n)            -> array<bigint>
   *   graft_cosine(a, b)                         -> double
   *
   * Activated by `GraftSession.builder` (spark.sql.extensions also works
@@ -44,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_gram_hashes(text, n)")
         GramHashKeys(args.head, intLit(args(1), "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_gram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashKeys].getName, "graft_char_gram_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_char_gram_hashes(text, n)")
+        CharGramHashKeys(args.head, intLit(args(1), "n"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),

@@ -917,6 +917,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_shared_passages_char" -> ((s, dir) => {
+      // the char-granular twin: shared spans matched on NORMALIZED
+      // character 40-grams, so a verbatim passage pairs up across
+      // case/whitespace/tokenization differences (below-token
+      // granularity — the remaining gap to suffix-array extents is
+      // maximal-span reporting, not detection)
+      graft.dedup.Decontaminate.selfOverlapsChar(
+        t(s, dir, "documents"), "doc_id", "text", n = 40, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_corpus_clean" -> ((s, dir) => {
       graft.pipelines.CorpusClean.run(t(s, dir, "documents"))
         .select(col("doc_id"), col("quality_bp"), col("pred_lang"))

@@ -55,9 +55,33 @@ object Decontaminate {
     */
   def selfOverlaps(corpus: DataFrame, idCol: String, textCol: String,
                    n: Int = 13, maxBucket: Int = 1000,
-                   minShared: Int = 1): DataFrame = {
-    val grams = corpus.select(col(idCol).as("id"),
-      explode(array_distinct(GramHash.gramHashes(col(textCol), n))).as("g"))
+                   minShared: Int = 1): DataFrame =
+    pairsFromGrams(corpus.select(col(idCol).as("id"),
+        explode(array_distinct(GramHash.gramHashes(col(textCol), n))).as("g")),
+      maxBucket, minShared)
+
+  /** Character-granular self-overlap: shared passages detected on
+    * NORMALIZED char n-grams (lowercase, collapsed whitespace), so a
+    * verbatim span matches across tokenization, case and formatting
+    * differences — the below-token-granularity shared-passage signal
+    * (suffix arrays find maximal extents; this finds the same pairs at
+    * fixed granularity with one shuffle and no index build). Same capped
+    * bucket-pair shape as the token form; `n` counts characters
+    * (n=40 ≈ a sentence fragment).
+    */
+  def selfOverlapsChar(corpus: DataFrame, idCol: String, textCol: String,
+                       n: Int = 40, maxBucket: Int = 1000,
+                       minShared: Int = 1): DataFrame =
+    pairsFromGrams(corpus.select(col(idCol).as("id"),
+        explode(array_distinct(GramHash.charGramHashes(col(textCol), n))).as("g")),
+      maxBucket, minShared)
+
+  /** Shared pair machinery: each distinct gram key is a bucket (ONE
+    * shuffle on the 8-byte hash), pairs enumerate strictly inside
+    * capped buckets, and the count aggregation is ∝ true overlap.
+    */
+  private def pairsFromGrams(grams: DataFrame, maxBucket: Int,
+                             minShared: Int): DataFrame = {
     val buckets = grams.groupBy(col("g"))
       .agg(slice(array_sort(collect_set(col("id"))), 1, maxBucket).as("members"))
       .filter(size(col("members")) > 1)

@@ -45,10 +45,39 @@ case class GramHashKeys(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Character-granular rolling n-gram keys: the same O(1)-per-position
+  * polynomial as [[GramHashKeys]] over NORMALIZED code units (lowercase,
+  * collapsed whitespace) instead of word tokens — shared-passage
+  * detection below token granularity, without a suffix array. Texts
+  * shorter than n normalized chars yield an empty array.
+  */
+case class CharGramHashKeys(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"char_gram_hashes requires string, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.charGramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.charGramHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashKeys =
+    copy(child = newChild)
+}
+
 object GramHash {
   /** Column API: array of 64-bit keys, one per word n-gram (with
     * repeats — wrap in `array_distinct` for set semantics).
     */
   def gramHashes(text: Column, n: Int): Column =
     exprs.toColumn(GramHashKeys(exprs.toExpr(text), n))
+
+  /** Column API: array of 64-bit keys, one per normalized char n-gram. */
+  def charGramHashes(text: Column, n: Int): Column =
+    exprs.toColumn(CharGramHashKeys(exprs.toExpr(text), n))
 }

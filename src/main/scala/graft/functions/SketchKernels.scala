@@ -66,6 +66,49 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** Rolling polynomial CHARACTER n-gram keys — the char-granular twin of
+    * [[gramHashes]] (see CharGramHashKeys). Normalizes as it scans
+    * (lowercase, whitespace runs collapse to one space, leading/trailing
+    * trimmed) so a shared passage matches across case and formatting
+    * differences, then rolls the same O(1)-per-position polynomial over
+    * the normalized code units. O(chars) total, one output key per
+    * normalized position.
+    */
+  def charGramHashes(input: UTF8String, n: Int): ArrayData = {
+    val raw = input.toString
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(Character.toLowerCase(c))
+      }
+      i += 1
+    }
+    val len = sb.length
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val B = 0x9e3779b97f4a7c15L
+    var bn1 = 1L
+    i = 0
+    while (i < n - 1) { bn1 *= B; i += 1 }
+    val out = new Array[Long](len - n + 1)
+    var acc = 0L
+    i = 0
+    while (i < n) { acc = acc * B + Hash64.mix(sb.charAt(i).toLong); i += 1 }
+    out(0) = Hash64.mix(acc)
+    var s = 1
+    while (s <= len - n) {
+      acc = (acc - Hash64.mix(sb.charAt(s - 1).toLong) * bn1) * B +
+        Hash64.mix(sb.charAt(s + n - 1).toLong)
+      out(s) = Hash64.mix(acc)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash — see SimHash64 for the contract. */
   def simhash(input: UTF8String): Long = {
     val toks = Hash64.tokenize(input)

@@ -16,13 +16,15 @@ class ExtensionsSpec extends SparkSuite {
 
     val viaSql = spark.sql(
       """SELECT id, graft_minhash(text, 16, 2) AS mh, graft_simhash(text) AS sh,
-        |  graft_fingerprint(text) AS fp, graft_gram_hashes(text, 2) AS gh
+        |  graft_fingerprint(text) AS fp, graft_gram_hashes(text, 2) AS gh,
+        |  graft_char_gram_hashes(text, 8) AS cgh
         |FROM ext_docs ORDER BY id""".stripMargin).collect()
     val viaApi = docs.select(col("id"),
       MinHash.minhashSignature(col("text"), 16, 2).as("mh"),
       SimHash.simhash(col("text")).as("sh"),
       Fingerprint.fingerprint(col("text")).as("fp"),
-      graft.functions.GramHash.gramHashes(col("text"), 2).as("gh"))
+      graft.functions.GramHash.gramHashes(col("text"), 2).as("gh"),
+      graft.functions.GramHash.charGramHashes(col("text"), 8).as("cgh"))
       .orderBy("id").collect()
     assert(viaSql.map(_.toString).toSeq === viaApi.map(_.toString).toSeq)
   }

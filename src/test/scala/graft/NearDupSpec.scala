@@ -82,6 +82,29 @@ class NearDupSpec extends SparkSuite {
     assert(pairs.head._3 === 8L)
   }
 
+  test("selfOverlapsChar matches passages across case/whitespace, counts grams") {
+    import graft.dedup.Decontaminate
+    val passage = "The Quick Brown Fox Jumps Over The Extremely Lazy Dog Tonight"
+    val corpus = Seq(
+      (1L, s"intro   ${passage}   outro"),
+      // same passage, different case and whitespace — token-exact dedup
+      // misses this without normalization; char grams normalize inline
+      (2L, s"prefix ${passage.toUpperCase.replace(" ", "  ")} suffix"),
+      (3L, "completely unrelated filler text that shares nothing at all here"))
+      .toDF("doc_id", "text")
+    val pairs = Decontaminate.selfOverlapsChar(corpus, "doc_id", "text", n = 40)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    // the normalized passage is 61 chars → at least 61-40+1 = 22 shared
+    // 40-grams (doc 1's surrounding spaces normalize into the span, so
+    // boundary grams can add a few more)
+    assert(pairs.head._3 >= 22L)
+    // short texts yield no grams, no crash
+    val empty = Decontaminate.selfOverlapsChar(
+      Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text"), "doc_id", "text", n = 40)
+    assert(empty.count() === 0L)
+  }
+
   test("embeddingPairs finds planted near-identical vectors") {
     val vecs = Seq(
       (0L, Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)),
