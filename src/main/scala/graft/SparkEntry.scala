@@ -421,6 +421,24 @@ object SparkEntry {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      // non-hierarchical multi-grain aggregation in ONE pass: per-nation,
+      // per-priority, and per-(nation, priority) revenue — the grains a
+      // reporting sync materializes separately; GROUPING SETS shares the
+      // joined input via a single Expand instead of three scans
+      val joined = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      joined.groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("o_orderpriority")),
+          Seq(col("n_name"), col("o_orderpriority"))),
+        col("n_name"), col("o_orderpriority"))
+        .agg(dsumRound(col("o_totalprice"), 2, 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     "q_sql_api" -> ((s, dir) => {
       // the SQL entry path: same engine driven through spark.sql with
       // registered views — correlated EXISTS + scalar subquery
@@ -1406,6 +1424,16 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT n_name, o_orderpriority,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+        |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_sql_api" ->
       """SELECT c_custkey, c_mktsegment,

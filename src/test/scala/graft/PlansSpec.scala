@@ -152,6 +152,30 @@ class PlansSpec extends SparkSuite {
     assert(plan.contains("Join"), plan) // equi join on the bucket id
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Spark 4 injects a bloom-filter runtime filter on the fact side of a
+    // shuffle join whose dim side is selectively filtered — at cluster
+    // scale this prunes fact rows BEFORE the shuffle. The default
+    // application-side threshold (10 GB scan) is exactly right for 100 TB
+    // and never fires on test data, so this test lowers the thresholds to
+    // prove the engine's sessions get the rewrite when sizes warrant it.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.get(k))
+    try {
+      conf.set(keys(0), "-1") // force a shuffle join: bloom needs non-broadcast
+      conf.set(keys(1), "0")
+      val orders = graft.sources.Tables.load(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      val plan = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"), plan)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("JobMetrics.observed collects counts during the action") {
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c")).toDF("id", "name")
     val (obsDf, obs) = JobMetrics.observed(df, "import_customer", Seq("id"))
