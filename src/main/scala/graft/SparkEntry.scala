@@ -738,6 +738,23 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q_percentiles_approx" -> ((s, dir) => {
+      // the 100 TB cheap path next to q_percentiles' exact interpolation:
+      // approx_percentile's quantile summaries are MERGEABLE state that
+      // combines map-side — a skewed source costs the same as a uniform
+      // one, and accuracy is a knob. rows-only: sketch results are
+      // engine-specific; DistinctApproxSpec bounds the error vs exact.
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          approx_percentile(col("n_chars").cast("double"), lit(0.5), lit(2500))
+            .as("median_chars_approx"),
+          approx_percentile(col("n_chars").cast("double"), lit(0.9), lit(2500))
+            .as("p90_chars_approx"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
     "q_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
@@ -813,6 +830,13 @@ object SparkEntry {
       graft.pipelines.Mixture.capTokenBudget(withTok, "source", "doc_id",
         "n_tokens", budget = 500L)
         .orderBy(col("doc_id"))
+    }),
+
+    "q_cooccurrence" -> ((s, dir) => {
+      // collocation mining: adjacent-pair PMI ratios over the corpus
+      graft.pipelines.Collocations.pmi(t(s, dir, "documents"), "text",
+        minPairCount = 2L)
+        .orderBy(col("w1"), col("w2"))
     }),
 
     "q_pack_sequences" -> ((s, dir) => {
@@ -1642,6 +1666,28 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens FROM w
         |WHERE cum <= 500
         |ORDER BY doc_id""".stripMargin,
+
+    "q_cooccurrence" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |tt AS (SELECT toks FROM t WHERE len(toks) >= 2),
+        |uni AS (SELECT w, count(*) AS n_w
+        |  FROM (SELECT unnest(toks) AS w FROM tt) GROUP BY w),
+        |n AS (SELECT sum(n_w) AS n_total FROM uni),
+        |bi AS (SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2])) AS bg FROM tt),
+        |bic AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+        |    count(*) AS n_ab
+        |  FROM bi GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT b.w1, b.w2, b.n_ab,
+        |  floor(CAST(b.n_ab AS DOUBLE) * CAST(n.n_total AS DOUBLE) /
+        |    (CAST(a.n_w AS DOUBLE) * CAST(c.n_w AS DOUBLE)) * 10000.0
+        |    + 0.5) / 10000.0 AS pmi_ratio
+        |FROM bic b
+        |JOIN uni a ON b.w1 = a.w
+        |JOIN uni c ON b.w2 = c.w
+        |CROSS JOIN n
+        |ORDER BY b.w1, b.w2""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
