@@ -76,6 +76,42 @@ object ScaleSmoke {
       }
     }
 
+    if (section == "all" || section == "frequency") {
+      // profiling-family ramp: heavy hitters must stay ∝ input with
+      // CONSTANT candidate state (Misra–Gries capacity is fixed, so the
+      // candidate set cannot grow with data); collocations ∝ input with
+      // vocabulary-bounded aggregate state; top-k per group ∝ input with
+      // O(groups × k) shuffle rows.
+      import graft.operators.{HeavyHitters, TopK}
+      spark.catalog.clearCache()
+      val li1 = Tables.load(spark, base, "lineitem")
+      val liN = {
+        val n = li1.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+        (0 until mult).map(i =>
+            li1.withColumn("l_orderkey", col("l_orderkey") + lit(i * n)))
+          .reduce(_ unionByName _)
+      }
+      def hotKeyed(df: DataFrame) = df.select(
+        when(col("l_orderkey") % 10 < 3, col("l_orderkey") % 7)
+          .otherwise(col("l_orderkey")).as("k"))
+      time("heavy hitters 1x")(
+        HeavyHitters.frequentKeys(hotKeyed(li1), col("k"), 0.001).count())
+      time(s"heavy hitters ${mult}x")(
+        HeavyHitters.frequentKeys(hotKeyed(liN), col("k"), 0.001).count())
+      val docs1 = Tables.load(spark, base, "documents")
+      val docsN = (0 until mult).map(i =>
+          docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+      time("collocations 1x")(
+        graft.pipelines.Collocations.pmi(docs1, "text").count())
+      time(s"collocations ${mult}x")(
+        graft.pipelines.Collocations.pmi(docsN, "text").count())
+      time("topk per group 1x")(TopK.perGroup(li1, Seq("l_suppkey"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc), 5).count())
+      time(s"topk per group ${mult}x")(TopK.perGroup(liN, Seq("l_suppkey"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc), 5).count())
+    }
+
     if (section == "all" || section == "relational") {
       // relational ramp: the fact tables (orders, lineitem) replicated
       // ×mult with a CONSISTENT orderkey shift so per-copy join
