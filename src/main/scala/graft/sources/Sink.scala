@@ -35,4 +35,41 @@ object Sink {
     */
   def repartitionForWrite(df: DataFrame, totalRows: Long, targetRows: Long): DataFrame =
     df.repartition(math.max(1, math.ceil(totalRows.toDouble / targetRows).toInt))
+
+  /** Compact a FLAT parquet directory's accumulated small files (the
+    * steady-state debris of micro-batch appends) into ~`targetBytes`
+    * outputs. `coalesce` (narrow, no shuffle) merges read-splits; the
+    * rewrite lands in a sibling temp dir first, then swaps in — readers
+    * racing the swap see old-or-new, and a crash leaves the original
+    * intact (directory-level swap; a lake table format makes this
+    * transactional via manifests, which is out of scope here).
+    * Partitioned layouts should compact per partition directory.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    def parquetFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val dir = new java.io.File(path)
+    require(dir.isDirectory, s"not a directory: $path")
+    require(!Option(dir.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.contains("=")),
+      s"$path is hive-partitioned; compact each partition directory")
+    val before = parquetFiles(dir)
+    val totalBytes = before.map(_.length()).sum
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new java.io.File(path + "__compact_tmp")
+    spark.read.parquet(path).coalesce(parts)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+    val old = new java.io.File(path + "__compact_old")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (old.exists()) rm(old)
+    require(dir.renameTo(old) && tmp.renameTo(dir),
+      s"compaction swap failed for $path; original is at ${old.getPath}")
+    rm(old)
+    (before.length, parquetFiles(dir).length)
+  }
 }

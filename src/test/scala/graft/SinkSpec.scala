@@ -46,6 +46,23 @@ class SinkSpec extends SparkSuite {
     assert(joined.count() === l.count())
   }
 
+  test("compact merges small files and preserves the data") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.repartition(40).write.parquet(dir) // simulate micro-batch debris
+    val (before, after) = Sink.compact(spark, dir)
+    assert(before === 40 && after < before, s"$before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    assert(back.agg(sum("doc_id")).head.getLong(0) ===
+      docs.agg(sum("doc_id")).head.getLong(0))
+    // partitioned layouts are refused with an actionable message
+    val pdir = Files.createTempDirectory("graft_compact_p").toString + "/p"
+    Sink.writePartitioned(Tables.load(spark, sf, "documents"), pdir, Seq("lang"))
+    val err = intercept[IllegalArgumentException](Sink.compact(spark, pdir))
+    assert(err.getMessage.contains("partition"))
+  }
+
   test("repartitionForWrite sizes output partitions") {
     val df = spark.range(1000).toDF("id")
     assert(Sink.repartitionForWrite(df, 1000, 100).rdd.getNumPartitions === 10)
