@@ -970,6 +970,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_training_pipeline" -> ((s, dir) => {
+      // the capstone composition: clean → decontaminate → sample →
+      // split → pack, end-to-end (TrainingDataSpec holds the invariants;
+      // rows-only: the composition inherits each stage's oracle)
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), col("text"))
+      val (out, _) = graft.pipelines.TrainingData.prepare(docs, bench)
+      out.orderBy(col("doc_id"), col("epoch"))
+    }),
+
     "q_corpus_clean" -> ((s, dir) => {
       graft.pipelines.CorpusClean.run(t(s, dir, "documents"))
         .select(col("doc_id"), col("quality_bp"), col("pred_lang"))

@@ -1,0 +1,83 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Decontaminate
+import graft.functions.TextFunctions
+
+/** The full training-data preparation pipeline, composed end-to-end from
+  * graft operators — the capstone run a pretraining data job executes:
+  *
+  *   clean (quality floor + exact/near dedup, CorpusClean)
+  *   → decontaminate against the benchmark/eval set (broadcast, no
+  *     corpus shuffle)
+  *   → mixture-sample per source (deterministic hash rates, epoch
+  *     replication)
+  *   → reproducible train/val/test split (hash-bucketed, drift-free)
+  *   → token counting → concat-and-chop sequence packing of the TRAIN
+  *     slice (per-source windows, never a global sort)
+  *
+  * Every stage is a narrow transform, a single keyed shuffle, or a
+  * broadcast join; the composition inherits each operator's 100 TB shape.
+  * Stage counts come from ONE action per materialized stage boundary
+  * (the same materialize-then-release contract CorpusClean uses).
+  */
+object TrainingData {
+
+  case class Config(
+      clean: CorpusClean.Config = CorpusClean.Config(),
+      decontaminateN: Int = 13,
+      rates: Map[String, Double] = Map.empty, // empty = keep all at 1.0
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      packBudget: Int = 2048)
+
+  case class Metrics(input: Long, cleaned: Long, decontaminated: Long,
+                     sampled: Long, trainPacked: Long)
+
+  /** Returns (prepared frame, stage metrics). The frame carries
+    * doc_id, source, split, epoch, n_tokens, and — for train rows —
+    * seq_id/seq_pos packing coordinates (null for val/test, which are
+    * never packed: eval sets stay document-shaped).
+    */
+  def prepare(docs: DataFrame, benchmark: DataFrame,
+              cfg: Config = Config()): (DataFrame, Metrics) = {
+    require(cfg.rates.values.forall(r => r >= 0 && r < 16),
+      "per-source rates must be in [0, 16) — the epoch tiebreaker packs " +
+        "epoch into 4 bits of the packing order")
+    val input = docs.count()
+
+    val cleaned = CorpusClean.run(docs, cfg.clean) // materialized by contract
+    val nCleaned = cleaned.count()
+
+    val dirty = Decontaminate.contaminatedIds(cleaned, benchmark,
+      "doc_id", "text", n = cfg.decontaminateN)
+    val decon = cleaned.join(dirty.withColumnRenamed("corpus_id", "doc_id"),
+      Seq("doc_id"), "left_anti").persist()
+    val nDecon = decon.count()
+    cleaned.unpersist()
+
+    val sampled = (if (cfg.rates.isEmpty) decon.withColumn("epoch", lit(0))
+      else Mixture.sample(decon, "source", "doc_id", cfg.rates))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .select(col("doc_id"), col("source"), col("epoch"), col("n_tokens"))
+    val split = Mixture.split(sampled, "doc_id", cfg.fractions).persist()
+    val nSampled = split.count()
+    decon.unpersist()
+
+    // pack ONLY the train slice, per source; (doc_id, epoch) makes the
+    // packing order unique when replication duplicates a doc
+    val train = Mixture.packSequences(
+      split.filter(col("split") === cfg.fractions.head._1)
+        .withColumn("__ord", col("doc_id") * 16 + col("epoch")),
+      "source", "__ord", "n_tokens", cfg.packBudget)
+      .drop("__ord")
+    val eval = split.filter(col("split") =!= cfg.fractions.head._1)
+      .withColumn("seq_id", lit(null).cast("int"))
+      .withColumn("seq_pos", lit(null).cast("int"))
+    val out = train.unionByName(eval).persist()
+    val nTrain = out.filter(col("seq_id").isNotNull).count()
+    split.unpersist()
+    (out, Metrics(input, nCleaned, nDecon, nSampled, nTrain))
+  }
+}
