@@ -638,6 +638,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_fuzzy_match" -> ((s, dir) => {
+      // fuzzy business-key resolution: feed names with the 3rd char
+      // dropped resolve back to the reference dimension by edit
+      // distance — segment-blocked (PassJoin), never |L|·|R|
+      val dim = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val feed = dim.select(col("n_nationkey").as("feed_key"),
+        concat(substring(col("n_name"), 1, 2), substring(col("n_name"), 4, 100))
+          .as("feed_name"))
+      FuzzyJoin.byEditDistance(feed, dim, "feed_name", "n_name", maxDist = 1)
+        .select(col("feed_key"), col("feed_name"), col("n_nationkey"),
+          col("n_name"), col("edit_dist"))
+        .orderBy(col("feed_key"), col("n_nationkey"))
+    }),
+
     "q_incremental_agg" -> ((s, dir) => {
       // incremental view maintenance: the per-status aggregate is kept
       // current by folding the staged batch's CDC form (retraction of the
@@ -1068,6 +1082,14 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH feed AS (SELECT n_nationkey AS feed_key,
+        |  substr(n_name, 1, 2) || substr(n_name, 4) AS feed_name FROM nation)
+        |SELECT f.feed_key, f.feed_name, n.n_nationkey, n.n_name,
+        |  CAST(levenshtein(f.feed_name, n.n_name) AS INT) AS edit_dist
+        |FROM feed f JOIN nation n ON levenshtein(f.feed_name, n.n_name) <= 1
+        |ORDER BY feed_key, n_nationkey""".stripMargin,
 
     "q_incremental_agg" ->
       """WITH dest AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.FuzzyJoin
+
+class FuzzyJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def naive(left: Seq[(Long, String)], right: Seq[(Long, String)],
+                    d: Int): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    (for {
+      (li, ls) <- left; (ri, rs) <- right
+      dist = lev(ls, rs) if dist <= d && ls.length > d && rs.length > d
+    } yield (li, ri, dist)).toSet
+  }
+
+  test("byEditDistance equals the naive cross join on random-ish strings") {
+    val alphabet = "abcde"
+    def word(seed: Long, len: Int): String =
+      (0 until len).map(i => alphabet(((seed * 31 + i * 17) % 5).toInt.abs)).mkString
+    val rightRows = (1L to 60L).map(i => (i, word(i, 6 + (i % 5).toInt)))
+    val leftRows = (1L to 80L).map { i =>
+      val base = word(i % 60 + 1, 6 + ((i % 60 + 1) % 5).toInt)
+      // mutate: drop a char / substitute / keep verbatim / unrelated
+      val s = (i % 4) match {
+        case 0 => base.patch((i % base.length).toInt, "", 1) // deletion
+        case 1 => base.updated((i % base.length).toInt, 'z') // substitution
+        case 2 => base
+        case _ => word(i + 1000, 7)
+      }
+      (i, s)
+    }
+    for (d <- Seq(1, 2)) {
+      val got = FuzzyJoin.byEditDistance(
+        leftRows.toDF("lid", "lname"), rightRows.toDF("rid", "rname"),
+        "lname", "rname", d)
+        .select("lid", "rid", "edit_dist")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = naive(leftRows, rightRows, d)
+      assert(got === want, s"d=$d: missing=${want -- got} extra=${got -- want}")
+      assert(want.nonEmpty)
+    }
+  }
+
+  test("short strings are excluded per contract; identical strings match at 0") {
+    val l = Seq((1L, "ab"), (2L, "paris")).toDF("lid", "lname")
+    val r = Seq((10L, "ab"), (20L, "paris")).toDF("rid", "rname")
+    val got = FuzzyJoin.byEditDistance(l, r, "lname", "rname", maxDist = 2)
+      .select("lid", "rid", "edit_dist").as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((2L, 20L, 0))) // "ab" shorter than d+1=3 → excluded
+  }
+}
