@@ -638,6 +638,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_except_intersect" -> ((s, dir) => {
+      // set-algebra surface: customer cohorts by order year — retained
+      // (both years) vs churned (1996 only), via INTERSECT / EXCEPT
+      val o = t(s, dir, "orders")
+      def cohort(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey")).distinct()
+      cohort(1996).intersect(cohort(1997))
+        .withColumn("cohort", lit("retained"))
+        .unionByName(cohort(1996).except(cohort(1997))
+          .withColumn("cohort", lit("churned")))
+        .orderBy(col("cohort"), col("o_custkey"))
+    }),
+
     "q_fuzzy_match" -> ((s, dir) => {
       // fuzzy business-key resolution: feed names with the 3rd char
       // dropped resolve back to the reference dimension by edit
@@ -1082,6 +1095,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_except_intersect" ->
+      """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1996),
+        |y97 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1997)
+        |SELECT o_custkey, 'retained' AS cohort
+        |FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+        |UNION ALL
+        |SELECT o_custkey, 'churned' AS cohort
+        |FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+        |ORDER BY cohort, o_custkey""".stripMargin,
 
     "q_fuzzy_match" ->
       """WITH feed AS (SELECT n_nationkey AS feed_key,
