@@ -638,6 +638,36 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_window_ranks" -> ((s, dir) => {
+      // distribution-rank window family per group: percent_rank /
+      // cume_dist are exact integer-ratio divisions (IEEE-deterministic
+      // cross-engine), ntile is integer — all per-nation, never a
+      // global single-partition window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    }),
+
+    "q_stratified_sample" -> ((s, dir) => {
+      // deterministic stratified sampling: exactly k docs per source,
+      // chosen by a portable hash order (reproducible across runs,
+      // engines, and partitionings) — TopK's rank-limit pushdown keeps
+      // the per-stratum selection map-side
+      val hashed = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % 1048573L * 2654435761L % 1000000L).as("__h"))
+      TopK.perGroup(hashed, Seq("source"),
+        Seq(col("__h").asc, col("doc_id").asc), k = 10)
+        .select(col("source"), col("doc_id"),
+          col("rank_in_group").cast("long").as("rank_in_group"))
+        .orderBy(col("source"), col("rank_in_group"))
+    }),
+
     "q_except_intersect" -> ((s, dir) => {
       // set-algebra surface: customer cohorts by order year — retained
       // (both years) vs churned (1996 only), via INTERSECT / EXCEPT
@@ -1095,6 +1125,26 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_window_ranks" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  doc_id % 1048573 * 2654435761 % 1000000 AS hh FROM documents),
+        |r AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id)
+        |    AS rank_in_group
+        |  FROM h)
+        |SELECT source, doc_id, rank_in_group FROM r
+        |WHERE rank_in_group <= 10
+        |ORDER BY source, rank_in_group""".stripMargin,
 
     "q_except_intersect" ->
       """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
