@@ -89,4 +89,16 @@ object FuzzyJoin {
       .withColumn("edit_dist", levenshtein(col(leftCol), col(rightCol)))
       .filter(col("edit_dist") <= maxDist)
   }
+
+  /** Resolution form: each left row gets its single BEST right match
+    * (lowest edit distance, ties broken by `tieBreak` for determinism) —
+    * the semantic a key-resolution ladder needs, composed from the
+    * segment join + a rank-limit window over the (small) candidate set.
+    */
+  def resolveBest(left: DataFrame, right: DataFrame,
+                  leftCol: String, rightCol: String, maxDist: Int,
+                  leftKeys: Seq[String], tieBreak: String): DataFrame =
+    TopK.perGroup(byEditDistance(left, right, leftCol, rightCol, maxDist),
+      leftKeys, Seq(col("edit_dist").asc, col(tieBreak).asc), k = 1)
+      .drop("rank_in_group")
 }

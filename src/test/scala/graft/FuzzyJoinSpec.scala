@@ -55,6 +55,26 @@ class FuzzyJoinSpec extends SparkSuite {
     }
   }
 
+  test("resolveBest keeps one lowest-distance match per left row") {
+    val l = Seq((1L, "parris"), (2L, "londn")).toDF("lid", "lname")
+    val r = Seq((10L, "paris"), (11L, "parrish"), (20L, "london"))
+      .toDF("rid", "rname")
+    val got = FuzzyJoin.resolveBest(l, r, "lname", "rname", maxDist = 2,
+      Seq("lid"), tieBreak = "rid")
+      .select("lid", "rid", "edit_dist").as[(Long, Long, Int)].collect().toSet
+    // "parris" → paris(1) beats parrish(1)? both dist 1 → tie broken by rid
+    assert(got === Set((1L, 10L, 1), (2L, 20L, 1)))
+  }
+
+  test("candidate join is an equi join, never a nested loop") {
+    val l = Seq((1L, "abcdef")).toDF("lid", "lname")
+    val r = Seq((2L, "abcdxf")).toDF("rid", "rname")
+    val plan = FuzzyJoin.byEditDistance(l, r, "lname", "rname", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+
   test("short strings are excluded per contract; identical strings match at 0") {
     val l = Seq((1L, "ab"), (2L, "paris")).toDF("lid", "lname")
     val r = Seq((10L, "ab"), (20L, "paris")).toDF("rid", "rname")
