@@ -638,6 +638,32 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_funnel_steps" -> ((s, dir) => {
+      // ordered conversion funnel per user: first view, first click
+      // within 6h of that view, first purchase within 6h of that click —
+      // chained conditional min-aggregates over grouped passes, no
+      // self-join explosion over the raw event stream
+      val e = t(s, dir, "events")
+      val win = expr("INTERVAL 6 HOURS")
+      val perUser = e.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      val withClick = e.join(perUser, Seq("user_id"))
+        .groupBy(col("user_id"), col("t_view")).agg(
+          min(when(col("event_type") === "click" && col("ts") >= col("t_view")
+            && col("ts") <= col("t_view") + win, col("ts"))).as("t_click"))
+      val withPurchase = e.join(withClick, Seq("user_id"))
+        .groupBy(col("user_id"), col("t_view"), col("t_click")).agg(
+          min(when(col("event_type") === "purchase" && col("ts") >= col("t_click")
+            && col("ts") <= col("t_click") + win, col("ts"))).as("t_purchase"))
+      withPurchase.select(
+        when(col("t_purchase").isNotNull, "purchased")
+          .when(col("t_click").isNotNull, "clicked")
+          .when(col("t_view").isNotNull, "viewed")
+          .otherwise("none").as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    }),
+
     "q_window_ranks" -> ((s, dir) => {
       // distribution-rank window family per group: percent_rank /
       // cume_dist are exact integer-ratio divisions (IEEE-deterministic
@@ -1125,6 +1151,34 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, v.t_view,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts >= v.t_view
+        |      AND e.ts <= v.t_view + INTERVAL 6 HOUR
+        |      THEN e.ts END) AS t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  GROUP BY e.user_id, v.t_view),
+        |p AS (
+        |  SELECT e.user_id, c.t_view, c.t_click,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t_click
+        |      AND e.ts <= c.t_click + INTERVAL 6 HOUR
+        |      THEN e.ts END) AS t_purchase
+        |  FROM events e JOIN c USING (user_id)
+        |  GROUP BY e.user_id, c.t_view, c.t_click)
+        |SELECT CASE WHEN t_purchase IS NOT NULL THEN 'purchased'
+        |            WHEN t_click IS NOT NULL THEN 'clicked'
+        |            WHEN t_view IS NOT NULL THEN 'viewed'
+        |            ELSE 'none' END AS stage,
+        |  count(*) AS n_users
+        |FROM p
+        |GROUP BY stage
+        |ORDER BY stage""".stripMargin,
 
     "q_window_ranks" ->
       """SELECT c_nationkey, c_custkey, c_acctbal,

@@ -63,6 +63,24 @@ class SinkSpec extends SparkSuite {
     assert(err.getMessage.contains("partition"))
   }
 
+  test("schema evolution: mergeSchema read + conform recovers a stable frame") {
+    // a source adds a column mid-feed (the drift JobConfig.drift reports);
+    // mergeSchema unions the file schemas, overwriteToOriginal conforms
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "name").write.parquet(dir)
+    Seq((2L, "b", 99)).toDF("id", "name", "extra")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "name", "extra"))
+    assert(merged.count() === 2)
+    val original = Seq((0L, "")).toDF("id", "name").schema
+    val drift = graft.plans.JobConfig.drift(original, merged.schema)
+    assert(drift.added === Seq("extra"))
+    val conformed = graft.plans.JobConfig.overwriteToOriginal(merged, original)
+    assert(conformed.columns.toSeq === Seq("id", "name"))
+    assert(conformed.count() === 2)
+  }
+
   test("repartitionForWrite sizes output partitions") {
     val df = spark.range(1000).toDF("id")
     assert(Sink.repartitionForWrite(df, 1000, 100).rdd.getNumPartitions === 10)
