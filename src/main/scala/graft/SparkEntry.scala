@@ -638,6 +638,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_quantile_binning" -> ((s, dir) => {
+      // equal-population price bands: floored exact-quartile boundaries
+      // (one tiny aggregate) + broadcast CASE assignment — never a
+      // global ntile window through one ordered partition
+      val o = t(s, dir, "orders")
+      val (binned, _) = Binning.quantileBins(o, col("o_totalprice"),
+        Seq(0.25, 0.5, 0.75), as = "price_band")
+      binned.groupBy(col("price_band")).agg(
+        count(lit(1)).as("n_orders"),
+        dsumRound(col("o_totalprice"), 2, 2).as("revenue"))
+        .orderBy(col("price_band"))
+    }),
+
     "q_funnel_steps" -> ((s, dir) => {
       // ordered conversion funnel per user: first view, first click
       // within 6h of that view, first purchase within 6h of that click —
@@ -1151,6 +1164,21 @@ object SparkEntry {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_quantile_binning" ->
+      """WITH b AS (SELECT
+        |  CAST(floor(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25)) AS BIGINT) AS b1,
+        |  CAST(floor(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50)) AS BIGINT) AS b2,
+        |  CAST(floor(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75)) AS BIGINT) AS b3
+        |  FROM orders)
+        |SELECT CAST(CASE WHEN o_totalprice < b1 THEN 0
+        |            WHEN o_totalprice < b2 THEN 1
+        |            WHEN o_totalprice < b3 THEN 2 ELSE 3 END AS BIGINT) AS price_band,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders, b
+        |GROUP BY price_band
+        |ORDER BY price_band""".stripMargin,
 
     "q_funnel_steps" ->
       """WITH v AS (

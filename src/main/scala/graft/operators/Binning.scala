@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quantile binning — equal-population bucketing of a numeric column
+  * (feature binning / price-band segmentation) in the shape that scales:
+  * a global `ntile` window would funnel the whole table through one
+  * ordered partition, so instead boundaries come from ONE aggregate pass
+  * (exact interpolated percentiles — a few doubles on the driver,
+  * data-size-independent), and assignment is a broadcast codegen'd CASE
+  * in a second narrow pass.
+  *
+  * Boundaries are FLOORED to integers: bucket membership then compares a
+  * value against an integer constant, so an engine computing the
+  * interpolated boundary a last-ulp differently still bins every row
+  * identically (the cross-engine boundary-safety rule SURVEY.md §6
+  * applies to data, not just output).
+  */
+object Binning {
+
+  /** Add `as` = bucket index (0..probs.size) using floored exact-quantile
+    * boundaries at `probs` (ascending, in (0,1)). Returns the frame and
+    * the boundaries used.
+    */
+  def quantileBins(df: DataFrame, value: Column, probs: Seq[Double],
+                   as: String = "bucket"): (DataFrame, Seq[Long]) = {
+    require(probs.nonEmpty && probs == probs.sorted &&
+      probs.forall(p => p > 0 && p < 1), s"bad probs: $probs")
+    val arr = probs.mkString("array(", ",", ")")
+    // one tiny aggregate: collect k doubles, floor to stable ints
+    val row = df.select(value.as("__bin_v"))
+      .agg(expr(s"percentile(CAST(__bin_v AS DOUBLE), $arr)").as("bs"))
+      .head()
+    val boundaries = row.getSeq[Double](0).map(math.floor(_).toLong)
+    val bucket = boundaries.zipWithIndex.foldRight(lit(boundaries.size)) {
+      case ((b, i), acc) => when(value < b, lit(i)).otherwise(acc)
+    }
+    (df.withColumn(as, bucket.cast("long")), boundaries)
+  }
+}

@@ -55,6 +55,18 @@ class IncrementalProfileSpec extends SparkSuite {
     assert(approx === Map("a" -> ((4L, 1L)), "b" -> ((4L, 1L))))
   }
 
+  test("quantileBins splits into near-equal buckets with floored boundaries") {
+    import graft.operators.Binning
+    val df = (1 to 1000).map(i => i.toDouble + 0.5).toDF("v")
+    val (binned, bounds) = Binning.quantileBins(df, $"v", Seq(0.25, 0.5, 0.75))
+    // interpolated quartiles of 1.5..1000.5 are 251.25 / 501.0 / 750.75
+    assert(bounds === Seq(251L, 501L, 750L))
+    val sizes = binned.groupBy("bucket").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes.keySet === Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.forall(n => n >= 245 && n <= 255), sizes)
+  }
+
   test("Profile exact pass is ONE aggregate, approx pass has no Expand") {
     val df = (1 to 50).map(i => (i % 7, s"s${i % 5}")).toDF("a", "b")
     val exactPlan = Profile.summarize(df, Seq("a", "b"))
