@@ -651,6 +651,23 @@ object SparkEntry {
         .orderBy(col("price_band"))
     }),
 
+    "q_moving_window" -> ((s, dir) => {
+      // time-RANGE frame (not row-count): each purchase's trailing-7-day
+      // per-user spend — the window kind row frames can't express when
+      // events are irregularly spaced; decimal sum for exact cross-engine
+      // totals, count for the frame-membership check
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-7L * 24 * 3600, 0L)
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(sum(col("value").cast("decimal(30,6)")).over(w), 2)
+            .cast("double").as("spend_7d"),
+          count(lit(1)).over(w).as("n_7d"))
+        .select(col("event_id"), col("user_id"), col("spend_7d"), col("n_7d"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_funnel_steps" -> ((s, dir) => {
       // ordered conversion funnel per user: first view, first click
       // within 6h of that view, first purchase within 6h of that click —
@@ -1179,6 +1196,18 @@ object SparkEntry {
         |FROM orders, b
         |GROUP BY price_band
         |ORDER BY price_band""".stripMargin,
+
+    "q_moving_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(round(sum(CAST(value AS DECIMAL(30,6))) OVER w, 2) AS DOUBLE)
+        |    AS spend_7d,
+        |  count(*) OVER w AS n_7d
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_funnel_steps" ->
       """WITH v AS (
