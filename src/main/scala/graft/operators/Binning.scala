@@ -19,18 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Binning {
 
-  /** Add `as` = bucket index (0..probs.size) using floored exact-quantile
+  /** Add `as` = bucket index (0..probs.size) using floored quantile
     * boundaries at `probs` (ascending, in (0,1)). Returns the frame and
     * the boundaries used.
+    *
+    * `approx = true` (the 100 TB path) computes boundaries with
+    * `approx_percentile`: its quantile-summary state is bounded and
+    * merges map-side. `approx = false` uses exact interpolated
+    * `percentile` — whose aggregation state is the FULL value multiset,
+    * fine at dimension scale and for oracle parity, an OOM at corpus
+    * scale. Both paths emit a few doubles to the driver either way.
     */
   def quantileBins(df: DataFrame, value: Column, probs: Seq[Double],
-                   as: String = "bucket"): (DataFrame, Seq[Long]) = {
+                   as: String = "bucket",
+                   approx: Boolean = false): (DataFrame, Seq[Long]) = {
     require(probs.nonEmpty && probs == probs.sorted &&
       probs.forall(p => p > 0 && p < 1), s"bad probs: $probs")
     val arr = probs.mkString("array(", ",", ")")
+    val agg = if (approx) s"approx_percentile(CAST(__bin_v AS DOUBLE), $arr, 10000)"
+      else s"percentile(CAST(__bin_v AS DOUBLE), $arr)"
     // one tiny aggregate: collect k doubles, floor to stable ints
     val row = df.select(value.as("__bin_v"))
-      .agg(expr(s"percentile(CAST(__bin_v AS DOUBLE), $arr)").as("bs"))
+      .agg(expr(agg).as("bs"))
       .head()
     val boundaries = row.getSeq[Double](0).map(math.floor(_).toLong)
     val bucket = boundaries.zipWithIndex.foldRight(lit(boundaries.size)) {

@@ -61,6 +61,14 @@ class IncrementalProfileSpec extends SparkSuite {
     val (binned, bounds) = Binning.quantileBins(df, $"v", Seq(0.25, 0.5, 0.75))
     // interpolated quartiles of 1.5..1000.5 are 251.25 / 501.0 / 750.75
     assert(bounds === Seq(251L, 501L, 750L))
+    // the bounded-state approx path lands on the same floored boundaries
+    // for this well-separated data (its summary state merges map-side —
+    // the 100 TB path; exact percentile state is the full multiset)
+    val (_, approxBounds) = Binning.quantileBins(df, $"v",
+      Seq(0.25, 0.5, 0.75), approx = true)
+    approxBounds.zip(bounds).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= 1L, s"$a vs $e")
+    }
     val sizes = binned.groupBy("bucket").count()
       .as[(Long, Long)].collect().toMap
     assert(sizes.keySet === Set(0L, 1L, 2L, 3L))
