@@ -12,27 +12,48 @@ import org.apache.spark.sql.functions._
   *
   * Two phases, both with hard state bounds:
   *
-  *  1. Candidate generation: a Misra–Gries summary per partition
-  *     (capacity-bounded map, the classic frequent-items algorithm;
-  *     Misra & Gries 1982, mergeability per Agarwal et al., "Mergeable
-  *     Summaries", PODS 2012). A key with global count C > n/(capacity+1)
-  *     must exceed its share n_p/(capacity+1) in at least one partition
-  *     (pigeonhole over C = Σc_p, n = Σn_p), and Misra–Gries retains any
-  *     key whose partition count beats n_p/(capacity+1) — so the union of
-  *     per-partition summaries has NO false negatives for the φ-heavy set
-  *     whenever φ > 1/(capacity+1).
-  *  2. Exact verification: the (small) candidate set broadcast-semi-joins
-  *     back onto the source and only candidate rows are counted exactly.
-  *     False positives from phase 1 die here, so the result is EXACT —
-  *     identical to the naive full GROUP BY — while the only shuffle
-  *     carries candidate-key rows.
+  *  1. Candidate generation: Misra–Gries summaries (capacity-bounded
+  *     maps; Misra & Gries 1982) computed per partition, then REDUCED by
+  *     weighted MG merges — summaries are formally mergeable with the
+  *     SAME εn error bound (Agarwal et al., "Mergeable Summaries", PODS
+  *     2012), so the reduction tree (per-partition → 32-way → driver)
+  *     ends in ONE summary of `capacity` entries regardless of how many
+  *     input partitions a 100 TB scan has. Total undercount ≤
+  *     n/(capacity+1), so any key with count ≥ phi·n keeps a positive
+  *     residual and survives whenever phi > 1/(capacity+1) — no false
+  *     negatives.
+  *  2. Exact verification: the (≤ capacity) candidate set broadcast-
+  *     semi-joins back onto the source and only candidate rows are
+  *     counted exactly. False positives from phase 1 die here, so the
+  *     result is EXACT — identical to the naive full GROUP BY — while
+  *     the only shuffle carries candidate-key rows.
   *
-  * State math at scale: candidates ≤ tasks × capacity keys (32 × 1024 at
-  * local[32]; ~1M strings ≈ tens of MB at 1000 executors) — collected and
-  * re-broadcast, both sides bounded and independent of data volume.
   * Null keys are ignored (a null never forms a frequency class).
   */
 object HeavyHitters {
+
+  /** Weighted Misra–Gries fold: absorb (key, weight) entries into a map
+    * of at most `capacity` entries. On overflow, subtract the minimum
+    * count from every entry and drop the zeros — each subtraction of δ
+    * consumes ≥ δ·(capacity+1) stream mass, so any key's total
+    * undercount is ≤ totalWeight/(capacity+1).
+    */
+  private def mgFold(it: Iterator[(String, Long)],
+                     capacity: Int): Iterator[(String, Long)] = {
+    val counts = mutable.HashMap.empty[String, Long]
+    it.foreach { case (k, w) =>
+      counts.update(k, counts.getOrElse(k, 0L) + w)
+      if (counts.size > capacity) {
+        val min = counts.valuesIterator.min
+        val dead = mutable.ArrayBuffer.empty[String]
+        counts.foreach { case (kk, c) =>
+          if (c <= min) dead += kk else counts.update(kk, c - min)
+        }
+        dead.foreach(counts.remove)
+      }
+    }
+    counts.iterator
+  }
 
   /** Keys of `key` occurring in at least `phi` fraction of non-null rows
     * (count >= ceil(phi * n)), with exact counts. Output columns:
@@ -44,41 +65,30 @@ object HeavyHitters {
     require(phi > 0.0 && phi < 1.0, s"phi must be in (0,1), got $phi")
     require(phi * (capacity + 1) > 1.0,
       s"capacity $capacity too small for phi=$phi: need capacity+1 > 1/phi " +
-        "or heavy keys can be evicted from every per-partition summary")
+        "or heavy keys can lose their entire residual across the merges")
 
     val keyed = df.select(key.cast("string").as("hh_key"))
       .filter(col("hh_key").isNotNull)
     val session = keyed.sparkSession
     import session.implicits._
 
-    // Phase 1: per-partition Misra–Gries. Decrement-all eviction is
-    // amortized O(1)/row (every decrement cancels one prior increment).
-    val candidateKeys = keyed.as[String].mapPartitions { it =>
-      val counts = mutable.HashMap.empty[String, Long]
-      while (it.hasNext) {
-        val k = it.next()
-        counts.get(k) match {
-          case Some(c) => counts.update(k, c + 1L)
-          case None =>
-            if (counts.size < capacity) counts.update(k, 1L)
-            else {
-              val dead = mutable.ArrayBuffer.empty[String]
-              counts.foreach { case (kk, c) =>
-                if (c == 1L) dead += kk else counts.update(kk, c - 1L)
-              }
-              dead.foreach(counts.remove)
-            }
-        }
-      }
-      counts.keysIterator
-    }.distinct().collect() // bounded: ≤ tasks × capacity
+    // Reduction tree: per-partition MG (unit weights) → ≤32-way weighted
+    // MG merge → one driver merge over ≤ 32·capacity entries. Every
+    // level is capacity-bounded, independent of input partition count.
+    val perPartition = keyed.as[String]
+      .mapPartitions(it => mgFold(it.map((_, 1L)), capacity))
+    val reduced = perPartition
+      .repartition(32)
+      .mapPartitions(it => mgFold(it, capacity))
+      .collect() // ≤ 32 × capacity weighted entries
+    val candidateKeys = mgFold(reduced.iterator, capacity).map(_._1).toSeq
 
     // Phase 2: exact counts for candidates only. n is a separate narrow
     // scan (no shuffle); at scale the scans are the cheap part — the win
     // is that no full-cardinality aggregation state ever exists.
     val n = keyed.count()
     val threshold = math.ceil(phi * n).toLong
-    val candidates = candidateKeys.toSeq.toDF("hh_key")
+    val candidates = candidateKeys.toDF("hh_key")
     keyed
       .join(broadcast(candidates), Seq("hh_key"), "left_semi")
       .groupBy(col("hh_key"))
