@@ -32,8 +32,12 @@ object Collocations {
   def pmi(docs: DataFrame, textCol: String, minPairCount: Long = 2L): DataFrame = {
     val toks = docs.select(TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
+    // persist the VOCABULARY-sized unigram table: the grand total and
+    // both pair joins read it, so the corpus is scanned twice in all
+    // (unigrams, bigrams) instead of three times
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      .persist()
     val total = uni.agg(sum(col("n_w")).as("n_total"))
     val bi = toks.select(explode(expr(
         "transform(sequence(0, size(toks) - 2), " +
@@ -41,7 +45,7 @@ object Collocations {
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
-    bi
+    val out = bi
       .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"))
       .crossJoin(broadcast(total))
@@ -49,5 +53,9 @@ object Collocations {
         (floor(col("n_ab").cast("double") * col("n_total").cast("double") /
           (col("n_w1").cast("double") * col("n_w2").cast("double")) * 10000.0
           + 0.5) / 10000.0).as("pmi_ratio"))
+      .persist()
+    out.count() // materialize (pair-set-sized), then release the unigrams
+    uni.unpersist()
+    out // caller releases (unpersist()/clearCache) — CorpusClean contract
   }
 }
