@@ -28,12 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** `direction`: "backward" (latest right at-or-before, the default),
+    * "forward" (earliest right at-or-after), or "nearest" (whichever of
+    * the two is closer in time; exact ties prefer backward). All three
+    * share the single-shuffle union-sort shape — nearest runs two frames
+    * over ONE sorted union, not two joins.
+    */
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payloadCols: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               direction: String = "backward"): DataFrame = {
     require(payloadCols.nonEmpty, "as-of join needs right payload columns")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val leftExtra = left.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
-    val payloadStruct = struct(payloadCols.map(col): _*)
+    // carry the right timestamp inside the payload struct: forward/nearest
+    // need the matched row's distance, and backward gets it for free
+    val payloadStruct = struct((col(tsCol).as("__rts") +:
+      payloadCols.map(col)): _*)
     // a right row with a null timestamp can never be "at or before"
     // anything — but nulls sort FIRST, so unfiltered it would carry into
     // every left row; left rows with null ts sort first themselves and
@@ -43,17 +55,49 @@ object AsOf {
         leftExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         lit(0).as("__side"): _*)
     val nullPayload = lit(null).cast(
-      org.apache.spark.sql.types.StructType(payloadCols.map(c => right.schema(c))))
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__rts",
+          right.schema(tsCol).dataType) +:
+          payloadCols.map(c => right.schema(c))))
     val taggedLeft = left.select(
       (keys.map(col) :+ col(tsCol) :+ nullPayload.as("__p")) ++
         leftExtra.map(col) :+
         lit(1).as("__side"): _*)
-    // right (side 0) sorts BEFORE left (side 1) at equal ts => inclusive
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = taggedRight.unionByName(taggedLeft)
-      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    // right (side 0) sorts BEFORE left (side 1) at equal ts => the
+    // backward frame is inclusive; the forward frame starting ONE ROW
+    // after current would exclude an equal-ts right row, but backward
+    // already matches it at distance 0, so nearest stays correct — and
+    // pure forward gets inclusivity by looking from the current row
+    // backwards-in-frame terms: we instead run the forward frame from
+    // unbounded following down to current row with first(ignoreNulls),
+    // which sees an equal-ts right row only if it sorts AFTER the left
+    // row — so for pure forward we re-sort with left first at equal ts.
+    val base = Window.partitionBy(keys.map(col): _*)
+    val union = taggedRight.unionByName(taggedLeft)
+    val carried = direction match {
+      case "backward" =>
+        val w = base.orderBy(col(tsCol), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        union.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      case "forward" =>
+        // left (1) before right (0) at equal ts ⇒ equal-ts right is in
+        // the [current, following] frame ⇒ inclusive forward
+        val w = base.orderBy(col(tsCol), col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        union.withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+      case "nearest" =>
+        val ord = base.orderBy(col(tsCol), col("__side"))
+        val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val back = last(col("__p"), ignoreNulls = true).over(wb)
+        val fwd = first(col("__p"), ignoreNulls = true).over(wf)
+        // distances in epoch units; ties prefer backward
+        val db = col(tsCol).cast("double") - back.getField("__rts").cast("double")
+        val df_ = fwd.getField("__rts").cast("double") - col(tsCol).cast("double")
+        union.withColumn("__p",
+          when(back.isNull, fwd).when(fwd.isNull, back)
+            .when(df_ < db, fwd).otherwise(back))
+    }
     payloadCols.foldLeft(carried.filter(col("__side") === 1)) {
       case (df, c) => df.withColumn(s"$prefix$c", col("__p").getField(c))
     }.drop("__p", "__side")

@@ -87,6 +87,36 @@ class PropertiesSpec extends AnyFunSuite {
         (k, t, if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
       }.sorted
       assert(got.toSeq === naive)
+
+      // forward: earliest at-or-after
+      val gotF = AsOf.joinAsOf(l, r, Seq("k"), "t", Seq("price"),
+        direction = "forward")
+        .select("k", "t", "asof_price")
+        .as[(Long, Int, Option[Double])].collect().sorted
+      val naiveF = lRows.map { case (k, t) =>
+        val cands = rRows.filter(rr => rr._1 == k && rr._2 >= t)
+        (k, t, if (cands.isEmpty) None else Some(cands.minBy(_._2)._3))
+      }.sorted
+      assert(gotF.toSeq === naiveF)
+
+      // nearest: closer of the two, exact ties prefer backward
+      val gotN = AsOf.joinAsOf(l, r, Seq("k"), "t", Seq("price"),
+        direction = "nearest")
+        .select("k", "t", "asof_price")
+        .as[(Long, Int, Option[Double])].collect().sorted
+      val naiveN = lRows.map { case (k, t) =>
+        val back = rRows.filter(rr => rr._1 == k && rr._2 <= t)
+          .sortBy(_._2).lastOption
+        val fwd = rRows.filter(rr => rr._1 == k && rr._2 >= t)
+          .sortBy(_._2).headOption
+        val pick = (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (f._2 - t < t - b._2) Some(f) else Some(b)
+          case (b, f) => b.orElse(f)
+        }
+        (k, t, pick.map(_._3))
+      }.sorted
+      assert(gotN.toSeq === naiveN)
     }
   }
 
