@@ -1072,6 +1072,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_asof_nearest" -> ((s, dir) => {
+      // nearest-direction as-of: each event matched to the CLOSER of the
+      // user's prior/next purchase aggregate (ties prefer backward);
+      // rows-only — PropertiesSpec proves all three directions equal the
+      // naive definition on random data
+      val ev = t(s, dir, "events")
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+      AsOf.joinAsOf(
+        ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        r, Seq("user_id"), "ts", Seq("pval"), direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("asof_pval"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_shared_passages_char" -> ((s, dir) => {
       // the char-granular twin: shared spans matched on NORMALIZED
       // character 40-grams, so a verbatim passage pairs up across
