@@ -81,21 +81,27 @@ object AsOf {
         union.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       case "forward" =>
         // left (1) before right (0) at equal ts ⇒ equal-ts right is in
-        // the [current, following] frame ⇒ inclusive forward
+        // the [current, following] frame ⇒ inclusive forward. A null-ts
+        // left row sorts to the partition head where the forward frame
+        // spans everything — guard it to the contractual null payload.
         val w = base.orderBy(col(tsCol), col("__side").desc)
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        union.withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+        union.withColumn("__p", when(col(tsCol).isNull, nullPayload)
+          .otherwise(first(col("__p"), ignoreNulls = true).over(w)))
       case "nearest" =>
         val ord = base.orderBy(col(tsCol), col("__side"))
         val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         val back = last(col("__p"), ignoreNulls = true).over(wb)
         val fwd = first(col("__p"), ignoreNulls = true).over(wf)
-        // distances in epoch units; ties prefer backward
+        // distances in epoch units; ties prefer backward. Null-ts left
+        // rows guarded as in forward (their backward carry is null but
+        // the forward frame would otherwise match the earliest right).
         val db = col(tsCol).cast("double") - back.getField("__rts").cast("double")
         val df_ = fwd.getField("__rts").cast("double") - col(tsCol).cast("double")
         union.withColumn("__p",
-          when(back.isNull, fwd).when(fwd.isNull, back)
+          when(col(tsCol).isNull, nullPayload)
+            .when(back.isNull, fwd).when(fwd.isNull, back)
             .when(df_ < db, fwd).otherwise(back))
     }
     payloadCols.foldLeft(carried.filter(col("__side") === 1)) {

@@ -34,7 +34,9 @@ object Binning {
                    as: String = "bucket",
                    approx: Boolean = false): (DataFrame, Seq[Long]) = {
     require(probs.nonEmpty && probs == probs.sorted &&
-      probs.forall(p => p > 0 && p < 1), s"bad probs: $probs")
+      probs.distinct == probs &&
+      probs.forall(p => p > 0 && p < 1),
+      s"probs must be strictly ascending in (0,1): $probs")
     val arr = probs.mkString("array(", ",", ")")
     val agg = if (approx) s"approx_percentile(CAST(__bin_v AS DOUBLE), $arr, 10000)"
       else s"percentile(CAST(__bin_v AS DOUBLE), $arr)"
@@ -42,6 +44,8 @@ object Binning {
     val row = df.select(value.as("__bin_v"))
       .agg(expr(agg).as("bs"))
       .head()
+    require(!row.isNullAt(0),
+      "quantileBins: input has no non-null values to compute boundaries from")
     val boundaries = row.getSeq[Double](0).map(math.floor(_).toLong)
     val bucket = boundaries.zipWithIndex.foldRight(lit(boundaries.size)) {
       case ((b, i), acc) => when(value < b, lit(i)).otherwise(acc)

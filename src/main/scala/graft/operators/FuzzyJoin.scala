@@ -36,8 +36,12 @@ object FuzzyJoin {
     val k = maxDist + 1 // number of segments
 
     // right side: k segments per string; PassJoin length split — the
-    // first (k - L%k) segments get floor(L/k) chars, the rest one more
+    // first (k - L%k) segments get floor(L/k) chars, the rest one more.
+    // Row identities (__lrow/__rrow) make the candidate dedup collapse
+    // multi-segment matches of the SAME row pair without also collapsing
+    // genuinely duplicate input rows (whole-row distinct would).
     val r = right
+      .withColumn("__rrow", monotonically_increasing_id())
       .filter(length(col(rightCol)) >= k)
       .withColumn("__rlen", length(col(rightCol)))
       .withColumn("__seg", explode(expr(
@@ -61,6 +65,7 @@ object FuzzyJoin {
     // which can only fail the segment equality — never a false negative,
     // since a TRUE match's segment lies fully inside the left string
     val l = left
+      .withColumn("__lrow", monotonically_increasing_id())
       .filter(length(col(leftCol)) >= k)
       .withColumn("__llen", length(col(leftCol)))
       .withColumn("__cand", explode(expr(
@@ -85,7 +90,8 @@ object FuzzyJoin {
     l.join(r, l("__L") === r("__rlen") && l("__i") === r("__i") &&
         l("__txt") === r("__txt"))
       .drop("__L", "__i", "__txt", "__llen", "__rlen")
-      .distinct() // several segments may match the same pair
+      .dropDuplicates("__lrow", "__rrow") // several segments, same pair
+      .drop("__lrow", "__rrow")
       .withColumn("edit_dist", levenshtein(col(leftCol), col(rightCol)))
       .filter(col("edit_dist") <= maxDist)
   }

@@ -38,8 +38,8 @@ object HeavyHitters {
     * consumes ≥ δ·(capacity+1) stream mass, so any key's total
     * undercount is ≤ totalWeight/(capacity+1).
     */
-  private def mgFold(it: Iterator[(String, Long)],
-                     capacity: Int): Iterator[(String, Long)] = {
+  private[graft] def mgFold(it: Iterator[(String, Long)],
+                            capacity: Int): Iterator[(String, Long)] = {
     val counts = mutable.HashMap.empty[String, Long]
     it.foreach { case (k, w) =>
       counts.update(k, counts.getOrElse(k, 0L) + w)

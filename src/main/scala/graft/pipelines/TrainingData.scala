@@ -61,7 +61,12 @@ object TrainingData {
       else Mixture.sample(decon, "source", "doc_id", cfg.rates))
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
       .select(col("doc_id"), col("source"), col("epoch"), col("n_tokens"))
-    val split = Mixture.split(sampled, "doc_id", cfg.fractions).persist()
+    // DISTINCT salt from Mixture.sample's (0): with the same hash, a
+    // fractional-rate source's keep-decision (u < rate) and the split
+    // assignment (u < 0.9 → train) would be fully correlated and val/test
+    // would never see that source
+    val split = Mixture.split(sampled,
+      Mixture.uniformHash(col("doc_id"), salt = 7L), cfg.fractions).persist()
     val nSampled = split.count()
     decon.unpersist()
 

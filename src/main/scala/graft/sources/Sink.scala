@@ -39,12 +39,14 @@ object Sink {
   /** Compact a FLAT parquet directory's accumulated small files (the
     * steady-state debris of micro-batch appends) into ~`targetBytes`
     * outputs. `coalesce` (narrow, no shuffle) merges read-splits; the
-    * rewrite lands in a sibling temp dir first, then swaps in — readers
-    * racing the swap see old-or-new, and a crash leaves the original
-    * intact (directory-level swap; a lake table format makes this
-    * transactional via manifests, which is out of scope here).
-    * Partitioned layouts should compact per partition directory.
-    * Returns (filesBefore, filesAfter).
+    * rewrite lands in a sibling temp dir first, then swaps in via two
+    * renames. NOT transactional: a reader racing the swap can hit a
+    * brief path-not-found between the renames, and a crash in that
+    * window leaves the data at `<path>__compact_old` (recover by
+    * renaming it back); a failed second rename is rolled back
+    * automatically. A lake table format makes this atomic via
+    * manifests, which is out of scope here. Partitioned layouts should
+    * compact per partition directory. Returns (filesBefore, filesAfter).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L << 20): (Int, Int) = {
@@ -67,8 +69,15 @@ object Sink {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
     if (old.exists()) rm(old)
-    require(dir.renameTo(old) && tmp.renameTo(dir),
-      s"compaction swap failed for $path; original is at ${old.getPath}")
+    require(dir.renameTo(old),
+      s"compaction swap failed for $path; original left in place, rewrite at ${tmp.getPath}")
+    if (!tmp.renameTo(dir)) {
+      val rolledBack = old.renameTo(dir) // try to restore the original
+      throw new IllegalStateException(
+        s"compaction swap-in failed for $path; original " +
+          (if (rolledBack) "restored" else s"at ${old.getPath}") +
+          s", rewrite at ${tmp.getPath}")
+    }
     rm(old)
     (before.length, parquetFiles(dir).length)
   }

@@ -24,29 +24,22 @@ object StreamingFrequency {
   case class CandidateOut(shard: Int, key: String, residual: Long,
                           shard_total: Long)
 
-  /** Fold new keys into one shard's MG summary (same eviction rule as
-    * the batch kernel: subtract the minimum, drop zeros).
+  /** Fold new keys into one shard's MG summary, REUSING the batch
+    * operator's weighted kernel (the prior summary's entries enter as
+    * weights — the standard mergeable-summaries fold), so the eviction
+    * rule and its error bound live in exactly one place.
     */
   private[graft] def updateShard(capacity: Int)(
       shard: Int, rows: Iterator[Keyed],
       state: GroupState[MgState]): Iterator[CandidateOut] = {
     val prev = state.getOption.getOrElse(MgState(Map.empty, 0L))
-    val counts = collection.mutable.HashMap[String, Long](prev.counts.toSeq: _*)
-    var total = prev.total
-    rows.foreach { r =>
-      total += 1L
-      counts.update(r.key, counts.getOrElse(r.key, 0L) + 1L)
-      if (counts.size > capacity) {
-        val min = counts.valuesIterator.min
-        val dead = collection.mutable.ArrayBuffer.empty[String]
-        counts.foreach { case (k, c) =>
-          if (c <= min) dead += k else counts.update(k, c - min)
-        }
-        dead.foreach(counts.remove)
-      }
-    }
-    state.update(MgState(counts.toMap, total))
-    counts.iterator.map { case (k, c) => CandidateOut(shard, k, c, total) }
+    var batchRows = 0L
+    val unit = rows.map { r => batchRows += 1L; (r.key, 1L) }
+    val merged = graft.operators.HeavyHitters
+      .mgFold(prev.counts.iterator ++ unit, capacity).toMap
+    val total = prev.total + batchRows
+    state.update(MgState(merged, total))
+    merged.iterator.map { case (k, c) => CandidateOut(shard, k, c, total) }
   }
 
   /** Continuous candidate stream: emits each touched shard's full
@@ -57,7 +50,9 @@ object StreamingFrequency {
                  capacity: Int = 1023): Dataset[CandidateOut] = {
     val session = events.sparkSession
     import session.implicits._
-    events.select(pmod(xxhash64(col(keyCol)), lit(shards)).cast("int").as("shard"),
+    events
+      .filter(col(keyCol).isNotNull) // match the batch operator's contract
+      .select(pmod(xxhash64(col(keyCol)), lit(shards)).cast("int").as("shard"),
         col(keyCol).cast("string").as("key"))
       .as[Keyed]
       .groupByKey(_.shard)

@@ -75,6 +75,26 @@ class FuzzyJoinSpec extends SparkSuite {
     assert(plan.contains("Join"), plan)
   }
 
+  test("duplicate input rows each produce their own match (naive parity)") {
+    val l = Seq("acme corp", "acme corp").toDF("lname") // no distinguishing id
+    val r = Seq("acme corp.").toDF("rname")
+    val got = FuzzyJoin.byEditDistance(l, r, "lname", "rname", maxDist = 1)
+    assert(got.count() === 2L) // whole-row distinct would collapse to 1
+  }
+
+  test("forward/nearest as-of give null payloads for null-ts left rows") {
+    import graft.operators.AsOf
+    val l = Seq((1L, Some(10)), (2L, None)).toDF("k", "t")
+      .select($"k", $"t".cast("int").as("t"))
+    val r = Seq((1L, 5, 1.0), (1L, 15, 2.0), (2L, 7, 9.0)).toDF("k", "t", "price")
+    for (d <- Seq("forward", "nearest")) {
+      val out = AsOf.joinAsOf(l, r, Seq("k"), "t", Seq("price"), direction = d)
+        .select("k", "asof_price").as[(Long, Option[Double])].collect().toMap
+      assert(out(2L).isEmpty, s"direction=$d must not match a null-ts left row")
+      assert(out(1L).nonEmpty)
+    }
+  }
+
   test("short strings are excluded per contract; identical strings match at 0") {
     val l = Seq((1L, "ab"), (2L, "paris")).toDF("lid", "lname")
     val r = Seq((10L, "ab"), (20L, "paris")).toDF("rid", "rname")

@@ -69,6 +69,13 @@ class IncrementalProfileSpec extends SparkSuite {
     approxBounds.zip(bounds).foreach { case (a, e) =>
       assert(math.abs(a - e) <= 1L, s"$a vs $e")
     }
+    // degenerate inputs fail with actionable messages, not NPEs
+    val empty = Seq.empty[Double].toDF("v")
+    val err = intercept[IllegalArgumentException](
+      Binning.quantileBins(empty, $"v", Seq(0.5)))
+    assert(err.getMessage.contains("no non-null values"))
+    intercept[IllegalArgumentException](
+      Binning.quantileBins(df, $"v", Seq(0.5, 0.5)))
     val sizes = binned.groupBy("bucket").count()
       .as[(Long, Long)].collect().toMap
     assert(sizes.keySet === Set(0L, 1L, 2L, 3L))

@@ -24,6 +24,8 @@ class StreamingFrequencySpec extends SparkSuite {
       .queryName("freq_out").start()
     try {
       stream.addData(rows.take(n / 2)); q.processAllAvailable()
+      stream.addData(null.asInstanceOf[String]) // ignored, like the batch op
+      q.processAllAvailable()
       stream.addData(rows.drop(n / 2)); q.processAllAvailable()
       // latest snapshot per shard = rows carrying that shard's max total
       val emitted = spark.table("freq_out")
@@ -31,6 +33,7 @@ class StreamingFrequencySpec extends SparkSuite {
           .over(org.apache.spark.sql.expressions.Window.partitionBy("shard")))
         .filter($"shard_total" === $"__max")
       val candidates = emitted.select("key").as[String].collect().toSet
+      assert(!candidates.contains(null)) // null keys never become candidates
 
       val phi = 0.06
       val thr = math.ceil(phi * n).toLong
