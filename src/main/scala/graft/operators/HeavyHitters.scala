@@ -75,18 +75,36 @@ object HeavyHitters {
     // Reduction tree: per-partition MG (unit weights) → ≤32-way weighted
     // MG merge → one driver merge over ≤ 32·capacity entries. Every
     // level is capacity-bounded, independent of input partition count.
+    // Partition row totals ride the same rows (marker=true) so n needs
+    // no second scan — an accumulator would overcount on task retries.
     val perPartition = keyed.as[String]
-      .mapPartitions(it => mgFold(it.map((_, 1L)), capacity))
+      .mapPartitions { it =>
+        var nP = 0L
+        val counted = it.map { k => nP += 1L; (k, 1L) }
+        // mgFold drains `counted` fully before returning, so nP is final
+        val summary = mgFold(counted, capacity)
+          .map { case (k, w) => (k, w, false) }.toList
+        (("", nP, true) :: summary).iterator
+      }
     val reduced = perPartition
       .repartition(32)
-      .mapPartitions(it => mgFold(it, capacity))
-      .collect() // ≤ 32 × capacity weighted entries
-    val candidateKeys = mgFold(reduced.iterator, capacity).map(_._1).toSeq
+      .mapPartitions { it =>
+        var totals = 0L
+        val entries = it.filter { e =>
+          if (e._3) { totals += e._2; false } else true
+        }
+        val summary = mgFold(entries.map(e => (e._1, e._2)), capacity)
+          .map { case (k, w) => (k, w, false) }.toList
+        (("", totals, true) :: summary).iterator
+      }
+      .collect() // ≤ 32 × (capacity + 1) weighted entries
+    val n = reduced.filter(_._3).map(_._2).sum
+    val candidateKeys = mgFold(
+      reduced.iterator.filter(!_._3).map(e => (e._1, e._2)), capacity)
+      .map(_._1).toSeq
 
-    // Phase 2: exact counts for candidates only. n is a separate narrow
-    // scan (no shuffle); at scale the scans are the cheap part — the win
-    // is that no full-cardinality aggregation state ever exists.
-    val n = keyed.count()
+    // Phase 2: exact counts for candidates only — the second and final
+    // scan; no full-cardinality aggregation state ever exists.
     val threshold = math.ceil(phi * n).toLong
     val candidates = candidateKeys.toDF("hh_key")
     keyed
