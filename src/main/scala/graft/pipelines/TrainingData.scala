@@ -30,7 +30,11 @@ object TrainingData {
       rates: Map[String, Double] = Map.empty, // empty = keep all at 1.0
       fractions: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-      packBudget: Int = 2048)
+      packBudget: Int = 2048,
+      // Some(salt): pack in deterministic HASH order (document mixing —
+      // neighbors in a sequence come from across the corpus) instead of
+      // doc_id order; None keeps corpus order
+      packShuffleSalt: Option[Long] = None)
 
   case class Metrics(input: Long, cleaned: Long, decontaminated: Long,
                      sampled: Long, trainPacked: Long)
@@ -71,10 +75,15 @@ object TrainingData {
     decon.unpersist()
 
     // pack ONLY the train slice, per source; (doc_id, epoch) makes the
-    // packing order unique when replication duplicates a doc
+    // packing order unique when replication duplicates a doc, and the
+    // optional salt swaps corpus order for reproducible shuffled mixing
+    val baseOrd = col("doc_id") * 16 + col("epoch")
+    // struct order key: hash first, unique baseOrd as collision tiebreak
+    val ord = cfg.packShuffleSalt.fold(baseOrd)(salt =>
+      struct(xxhash64(baseOrd, lit(salt)), baseOrd))
     val train = Mixture.packSequences(
       split.filter(col("split") === cfg.fractions.head._1)
-        .withColumn("__ord", col("doc_id") * 16 + col("epoch")),
+        .withColumn("__ord", ord),
       "source", "__ord", "n_tokens", cfg.packBudget)
       .drop("__ord")
     val eval = split.filter(col("split") =!= cfg.fractions.head._1)

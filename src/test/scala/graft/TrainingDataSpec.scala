@@ -50,5 +50,19 @@ class TrainingDataSpec extends SparkSuite {
       assert(m2 === m)
       assert(out2.exceptAll(out).count() === 0 && out.exceptAll(out2).count() === 0)
     } finally out2.unpersist()
+
+    // shuffled packing: same doc set and budgets, different neighbors —
+    // and itself deterministic across runs
+    val shuffledCfg = cfg.copy(packShuffleSalt = Some(11L))
+    val (s1, _) = TrainingData.prepare(docs, bench, shuffledCfg)
+    val (s2, _) = TrainingData.prepare(docs, bench, shuffledCfg)
+    try {
+      assert(s1.select("doc_id", "epoch").exceptAll(
+        out.select("doc_id", "epoch")).count() === 0) // same rows survive
+      assert(s1.exceptAll(s2).count() === 0 && s2.exceptAll(s1).count() === 0)
+      val maxPos = s1.filter($"seq_pos".isNotNull)
+        .agg(max("seq_pos")).head.getInt(0)
+      assert(maxPos >= 0 && maxPos < 128) // budget still bounds positions
+    } finally { s1.unpersist(); s2.unpersist() }
   }
 }
