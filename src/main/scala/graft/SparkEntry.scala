@@ -1098,6 +1098,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_shared_extents" -> ((s, dir) => {
+      // MAXIMAL shared-passage extents: where each duplicated span sits
+      // and how long it is — the full suffix-array-style signal (pair +
+      // position + length), built from positional grams merged by the
+      // gaps-and-islands window; rows-only — NearDupSpec proves exact
+      // boundaries on planted spans
+      graft.dedup.Decontaminate.selfOverlapExtents(
+        t(s, dir, "documents"), "doc_id", "text", n = 8, minLength = 10)
+        .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+    }),
+
     "q_training_pipeline" -> ((s, dir) => {
       // the capstone composition: clean → decontaminate → sample →
       // split → pack, end-to-end (TrainingDataSpec holds the invariants;

@@ -48,9 +48,9 @@ object Decontaminate {
     * token-granular Spark shape of the suffix-array approach: both
     * "sides" are the corpus, so nothing broadcasts — instead each
     * distinct gram key becomes a bucket (ONE shuffle on the 8-byte gram
-    * hash), pairs enumerate strictly inside buckets (capped at
-    * `maxBucket` members — a gram shared by thousands of docs is
-    * boilerplate whose full pair list adds nothing), and the pair count
+    * hash), pairs enumerate strictly inside buckets (grams in more than
+    * `maxBucket` docs are boilerplate and are dropped with bounded
+    * aggregation state — see [[pairsFromGrams]]), and the pair count
     * aggregation is proportional to true overlap output.
     */
   def selfOverlaps(corpus: DataFrame, idCol: String, textCol: String,
@@ -76,15 +76,102 @@ object Decontaminate {
         explode(array_distinct(GramHash.charGramHashes(col(textCol), n))).as("g")),
       maxBucket, minShared)
 
+  /** MAXIMAL shared-passage extents: for each document pair, the longest
+    * runs of consecutive shared `n`-grams, reported as
+    * (id_a, id_b, start_a, start_b, length) with token-granular
+    * positions — the full suffix-array-style signal ([[selfOverlaps]]
+    * reports pair + gram count only; this answers WHERE the duplicated
+    * span sits and HOW LONG it is, which is what span-level dedup and
+    * contamination audits act on).
+    *
+    * Shape: grams keep their token position (`posexplode`), (id, pos)
+    * packs into one long so the bucket builder stays the bounded
+    * aggregate, pairs enumerate inside capped gram buckets exactly like
+    * [[selfOverlaps]], and runs merge WITHOUT any per-pair loop: two hits
+    * belong to the same aligned span iff they share the alignment offset
+    * `pos_b - pos_a` AND their positions are consecutive — the classic
+    * gaps-and-islands window (`pos_a - row_number()` is constant within a
+    * run). One keyed shuffle for buckets + one window shuffle on pairs.
+    *
+    * Contract: ids must be non-negative and < 2^41, positions < 2^22
+    * (docs beyond 4M grams should be chunked first — see `q_chunk_docs`).
+    * `length` is in tokens: run-of-grams + n - 1.
+    */
+  def selfOverlapExtents(corpus: DataFrame, idCol: String, textCol: String,
+                         n: Int = 13, maxBucket: Int = 1000,
+                         minLength: Int = 0): DataFrame =
+    extentsFromGrams(corpus.select(col(idCol).cast("long").as("id"),
+        posexplode(GramHash.gramHashes(col(textCol), n)).as(Seq("pos", "g"))),
+      n, maxBucket, minLength)
+
+  /** Character-granular twin of [[selfOverlapExtents]]: spans on the
+    * NORMALIZED text (lowercase, collapsed whitespace — the coordinates
+    * refer to the normalized form), `length` in normalized characters.
+    */
+  def selfOverlapExtentsChar(corpus: DataFrame, idCol: String, textCol: String,
+                             n: Int = 40, maxBucket: Int = 1000,
+                             minLength: Int = 0): DataFrame =
+    extentsFromGrams(corpus.select(col(idCol).cast("long").as("id"),
+        posexplode(GramHash.charGramHashes(col(textCol), n)).as(Seq("pos", "g"))),
+      n, maxBucket, minLength)
+
+  private val PosBits = 22 // positions < 4M per doc; ids < 2^41
+
+  private def extentsFromGrams(grams: DataFrame, n: Int, maxBucket: Int,
+                               minLength: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = grams.select(col("g"),
+      (shiftleft(col("id"), PosBits) + col("pos")).as("m"))
+    // bounded bucket build — same over-cap drop semantics as selfOverlaps
+    // (cap counts gram OCCURRENCES here: positions, not just docs)
+    val buckets = packed.groupBy(col("g"))
+      .agg(graft.functions.BoundedDistinct.boundedDistinct(col("m"), maxBucket + 1).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val hits = buckets.select(explode(expr(
+        "flatten(transform(members, (a, i) -> " +
+          "transform(slice(members, i + 2, size(members)), " +
+          "b -> named_struct('a', a, 'b', b))))")).as("p"))
+      .select(
+        shiftrightunsigned(col("p.a"), PosBits).as("id_a"),
+        col("p.a").bitwiseAND((1L << PosBits) - 1).as("pos_a"),
+        shiftrightunsigned(col("p.b"), PosBits).as("id_b"),
+        col("p.b").bitwiseAND((1L << PosBits) - 1).as("pos_b"))
+      .filter(col("id_a") < col("id_b")) // drop within-doc self-pairs
+    // members are sorted by packed value, so a < b can still be the same
+    // doc (within-doc repetition) — those are repetition, not cross-doc
+    // passages; id_a < id_b keeps exactly the cross-doc hits
+    val w = Window.partitionBy(col("id_a"), col("id_b"),
+      (col("pos_b") - col("pos_a")).as("delta")).orderBy(col("pos_a"))
+    hits
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("pos_b") - col("pos_a")).as("delta"), col("island"))
+      .agg(min(col("pos_a")).cast("int").as("start_a"),
+        min(col("pos_b")).cast("int").as("start_b"),
+        (max(col("pos_a")) - min(col("pos_a")) + n).cast("int").as("length"))
+      .filter(col("length") >= minLength)
+      .select("id_a", "id_b", "start_a", "start_b", "length")
+  }
+
   /** Shared pair machinery: each distinct gram key is a bucket (ONE
     * shuffle on the 8-byte hash), pairs enumerate strictly inside
     * capped buckets, and the count aggregation is ∝ true overlap.
+    *
+    * The bucket builder's aggregation state is STRUCTURALLY bounded:
+    * [[graft.functions.BoundedDistinctSet]] keeps ≤ maxBucket+1 ids per
+    * gram at every stage (update, partial, merge) — a boilerplate gram
+    * present in 50M docs costs the same buffer as one in 50. A result of
+    * exactly maxBucket+1 members is an exact witness that the gram
+    * exceeds the cap; such grams are boilerplate (license headers,
+    * normalization artifacts) whose pairs the cap was discarding anyway,
+    * so they are dropped entirely — pair output stays ∝ true passage
+    * overlap, and no skewed straggler can form.
     */
   private def pairsFromGrams(grams: DataFrame, maxBucket: Int,
                              minShared: Int): DataFrame = {
     val buckets = grams.groupBy(col("g"))
-      .agg(slice(array_sort(collect_set(col("id"))), 1, maxBucket).as("members"))
-      .filter(size(col("members")) > 1)
+      .agg(graft.functions.BoundedDistinct.boundedDistinct(col("id"), maxBucket + 1).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
     buckets.select(explode(expr(
         "flatten(transform(members, (a, i) -> " +
           "transform(slice(members, i + 2, size(members)), " +

@@ -105,6 +105,90 @@ class NearDupSpec extends SparkSuite {
     assert(empty.count() === 0L)
   }
 
+  test("selfOverlaps drops boilerplate grams; aggregation state stays bounded") {
+    import graft.dedup.Decontaminate
+    // 200 docs share a boilerplate footer (license-header analogue); its
+    // gram buckets hold 200 members — over maxBucket=50, so the grams are
+    // boilerplate by definition and must be dropped WITHOUT ever building
+    // a 200-member aggregation buffer. Two docs share a unique passage.
+    val footer = (0 until 15).map(i => s"f$i").mkString(" ")
+    val passage = (0 until 20).map(i => s"p$i").mkString(" ")
+    val boiler = (0 until 200).map(i => (i.toLong, s"doc $i body ${(0 until 13).map(j => s"u${i}x$j").mkString(" ")} $footer"))
+    val pair = Seq((500L, s"alpha $passage omega"), (501L, s"beta $passage gamma"))
+    val corpus = (boiler ++ pair).toDF("doc_id", "text")
+    val out = Decontaminate.selfOverlaps(corpus, "doc_id", "text", n = 13, maxBucket = 50)
+    val plan = out.queryExecution.executedPlan.toString
+    // the bucket builder is the bounded aggregate, not collect_set
+    assert(plan.contains("bounded_distinct"), plan)
+    assert(!plan.contains("collect_set"), plan)
+    val pairs = out.as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((500L, 501L)))
+    assert(pairs.head._3 === 8L) // 20-13+1 grams of the unique passage
+  }
+
+  test("BoundedDistinctSet: buffer never exceeds limit; matches collect_set under cap") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    import graft.functions.BoundedDistinctSet
+    val agg = BoundedDistinctSet(BoundReference(0, LongType, nullable = true), limit = 11)
+    val buf = agg.createAggregationBuffer()
+    // 50k distinct values through one buffer: peak state is the cap, not
+    // the distinct count (this is the collect_set failure mode, removed)
+    var i = 49999L
+    while (i >= 0) {
+      agg.update(buf, InternalRow(i))
+      assert(buf.size <= 11)
+      i -= 1
+    }
+    assert(buf.size === 11)
+    // keep-smallest: the survivors are exactly 0..10
+    assert(agg.deserialize(agg.serialize(buf)).toArray === (0L to 10L).toArray)
+    // merge two capped buffers re-caps: still the global smallest
+    val other = agg.createAggregationBuffer()
+    (100000L to 100020L).foreach(v => agg.update(other, InternalRow(v)))
+    val merged = agg.merge(buf, other)
+    assert(merged.size === 11)
+    assert(merged.toArray === (0L to 10L).toArray)
+    // under the cap, result == slice(array_sort(collect_set(...)))
+    val df = Seq(3L, 1L, 2L, 3L, 1L).toDF("id")
+    val bounded = df.agg(graft.functions.BoundedDistinct.boundedDistinct($"id", 11))
+      .head.getSeq[Long](0)
+    val classic = df.agg(slice(array_sort(collect_set($"id")), 1, 11)).head.getSeq[Long](0)
+    assert(bounded === classic && bounded === Seq(1L, 2L, 3L))
+  }
+
+  test("selfOverlapExtents reports ONE maximal span with exact boundaries") {
+    import graft.dedup.Decontaminate
+    val passage = (0 until 40).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"i0 i1 i2 i3 i4 $passage o0 o1 o2 o3 o4"), // passage at token 5
+      (2L, s"${(0 until 10).map(i => s"j$i").mkString(" ")} $passage k0 k1"), // at token 10
+      (3L, (0 until 50).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ext = Decontaminate.selfOverlapExtents(corpus, "doc_id", "text", n = 13)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    // a 40-token passage = 28 consecutive shared 13-grams = ONE island
+    assert(ext.length === 1)
+    assert(ext.head === ((1L, 2L, 5, 10, 40)))
+  }
+
+  test("selfOverlapExtents separates discontiguous spans and within-doc repeats") {
+    import graft.dedup.Decontaminate
+    val span1 = (0 until 15).map(i => s"a$i").mkString(" ")
+    val span2 = (0 until 15).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$span1 x0 x1 x2 $span2"),                 // spans at 0 and 18
+      (2L, s"y0 $span2 y1 y2 y3 y4 $span1"))           // span2 at 1, span1 at 20
+      .toDF("doc_id", "text")
+    val ext = Decontaminate.selfOverlapExtents(corpus, "doc_id", "text", n = 13)
+      .as[(Long, Long, Int, Int, Int)].collect().sortBy(_._3)
+    // two separate maximal extents, never merged across the gap
+    assert(ext.length === 2)
+    assert(ext(0) === ((1L, 2L, 0, 20, 15))) // span1
+    assert(ext(1) === ((1L, 2L, 18, 1, 15))) // span2
+  }
+
   test("embeddingPairs finds planted near-identical vectors") {
     val vecs = Seq(
       (0L, Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)),
