@@ -71,7 +71,9 @@ object ScaleSmoke {
       for (n <- Seq(5000L, 5000L * mult)) {
         time(s"closure n=$n") {
           val cl = Hierarchy.closure(tree(n), "child", "parent")
-          val c = cl.count(); cl.unpersist(); c
+          val c = cl.count()
+          org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(cl)
+          c
         }
       }
     }

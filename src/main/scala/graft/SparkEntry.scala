@@ -1075,8 +1075,9 @@ object SparkEntry {
     "q_asof_nearest" -> ((s, dir) => {
       // nearest-direction as-of: each event matched to the CLOSER of the
       // user's prior/next purchase aggregate (ties prefer backward);
-      // rows-only — PropertiesSpec proves all three directions equal the
-      // naive definition on random data
+      // oracle = two native DuckDB ASOF joins + distance CASE, and
+      // PropertiesSpec proves all three directions equal the naive
+      // definition on random data
       val ev = t(s, dir, "events")
       val r = ev.filter(col("event_type") === "purchase")
         .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
@@ -1413,6 +1414,29 @@ object SparkEntry {
         |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
         |  CAST(round(CAST(r.pval AS DECIMAL(30,6)), 2) AS DOUBLE) AS last_purchase
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // nearest = the closer of DuckDB's native backward (>=) and forward
+    // (<=) ASOF joins; exact ties prefer backward. Distances in epoch
+    // seconds (doubles) — ts values carry no sub-microsecond component
+    // (verified), so both engines compare identical doubles.
+    "q_asof_nearest" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (SELECT event_id, user_id, ts FROM events),
+        |b AS (SELECT l.event_id, r.ts AS bts, r.pval AS bval
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.ts AS fts, r.pval AS fval
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT l.event_id, l.user_id,
+        |  CASE WHEN l.ts IS NULL THEN NULL
+        |       WHEN b.bts IS NULL THEN f.fval
+        |       WHEN f.fts IS NULL THEN b.bval
+        |       WHEN (epoch(f.fts) - epoch(l.ts)) < (epoch(l.ts) - epoch(b.bts))
+        |         THEN f.fval
+        |       ELSE b.bval END AS asof_pval
+        |FROM l LEFT JOIN b ON l.event_id = b.event_id
+        |       LEFT JOIN f ON l.event_id = f.event_id
         |ORDER BY l.event_id""".stripMargin,
 
     "q_correlated_lookup" ->

@@ -67,6 +67,51 @@ object Multimodal {
     (checksum, hist, feat)
   }
 
+  /** REAL image decode (PNG/JPEG/GIF/BMP via javax.imageio — pure JVM,
+    * no FFI): the production codec for image payloads, dropping into the
+    * [[decodeFeatures]] swap-in point with the same byte[]-in,
+    * features-out shape as [[decodeStub]]. Features are deterministic
+    * pixel statistics:
+    *   - checksum: rolling hash over the raw (encoded) payload bytes
+    *   - byte_histogram: 8-bucket LUMINANCE histogram (ITU-R BT.601
+    *     integer weights, bucket = luma >>> 5)
+    *   - feat: [meanR, meanG, meanB, meanLuma (all /255), width, height,
+    *     darkest-bucket share, brightest-bucket share]
+    * Undecodable payloads raise (quarantine upstream — the plumbing's
+    * null handling already routes empty payloads around the codec).
+    */
+  private[graft] def decodeImage(payload: Array[Byte]): (Long, Array[Long], Array[Float]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var checksum = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { checksum = 31L * checksum + (payload(i) & 0xff); i += 1 }
+    val hist = new Array[Long](8)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >>> 16) & 0xff
+        val g = (rgb >>> 8) & 0xff
+        val b = rgb & 0xff
+        val luma = (r * 299 + g * 587 + b * 114) / 1000
+        sr += r; sg += g; sb += b; sl += luma
+        hist(luma >>> 5) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    val feat = Array(
+      sr / n / 255f, sg / n / 255f, sb / n / 255f, sl / n / 255f,
+      w.toFloat, h.toFloat, hist(0) / n, hist(7) / n)
+    (checksum, hist, feat)
+  }
+
   /** Frame sampling: every `stride`-th fixed-size chunk of the payload
     * (stand-in for video frame extraction — a real decoder swaps into
     * the chunking exactly like decodeStub). One output row per sampled
@@ -89,9 +134,12 @@ object Multimodal {
   /** Per-partition batched feature extraction over payload rows.
     * `batchSize` bounds the rows decoded per inner batch — the knob a
     * real codec needs to cap native-memory use per task (mirrors Arrow
-    * batch sizing for pandas UDFs).
+    * batch sizing for pandas UDFs). `codec` is the swap-in point:
+    * [[decodeStub]] by default, [[decodeImage]] for real image payloads
+    * (any byte[] => (checksum, histogram, features) kernel slots in).
     */
-  def decodeFeatures(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodeFeatures(payloads: DataFrame, batchSize: Int = 64,
+                     codec: Array[Byte] => (Long, Array[Long], Array[Float]) = decodeStub): DataFrame = {
     val spark = payloads.sparkSession
     val rdd = payloads.select(col("doc_id"), col("payload")).rdd
       .mapPartitions { it =>
@@ -99,7 +147,7 @@ object Multimodal {
           batch.iterator.map { r =>
             val docId = r.getLong(0)
             val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-            val (checksum, hist, feat) = decodeStub(payload)
+            val (checksum, hist, feat) = codec(payload)
             Row(docId, checksum, hist.toSeq, feat.toSeq)
           }
         }

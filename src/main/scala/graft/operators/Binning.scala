@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   * interpolated boundary a last-ulp differently still bins every row
   * identically (the cross-engine boundary-safety rule SURVEY.md §6
   * applies to data, not just output).
+  *
+  * CAVEATS of the floor rule (both inherent to cross-engine binning, not
+  * to this implementation):
+  *   - if the exact interpolated percentile lands within one ulp of an
+  *     integer (plausible with 2-decimal money values), two engines can
+  *     floor to ADJACENT longs and shift that bin edge — when comparing
+  *     engines, compare the emitted `boundaries` first; row assignment
+  *     agrees whenever the boundaries do;
+  *   - two probs whose percentiles floor to the SAME integer yield an
+  *     empty bucket (no value can fall between equal boundaries). Bucket
+  *     INDEXES stay stable — bucket i is always "probs(i-1) ≤ v <
+  *     probs(i)" — which is why duplicates are kept rather than
+  *     collapsed. Boundaries are asserted non-decreasing (always true
+  *     for ascending probs; the assert guards engine bugs, not inputs).
   */
 object Binning {
 
@@ -47,6 +61,8 @@ object Binning {
     require(!row.isNullAt(0),
       "quantileBins: input has no non-null values to compute boundaries from")
     val boundaries = row.getSeq[Double](0).map(math.floor(_).toLong)
+    require(boundaries.zip(boundaries.tail).forall { case (a, b) => a <= b },
+      s"quantileBins: floored boundaries must be non-decreasing, got $boundaries")
     val bucket = boundaries.zipWithIndex.foldRight(lit(boundaries.size)) {
       case ((b, i), acc) => when(value < b, lit(i)).otherwise(acc)
     }

@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   *     maps; Misra & Gries 1982) computed per partition, then REDUCED by
   *     weighted MG merges — summaries are formally mergeable with the
   *     SAME εn error bound (Agarwal et al., "Mergeable Summaries", PODS
-  *     2012), so the reduction tree (per-partition → 32-way → driver)
-  *     ends in ONE summary of `capacity` entries regardless of how many
-  *     input partitions a 100 TB scan has. Total undercount ≤
-  *     n/(capacity+1), so any key with count ≥ phi·n keeps a positive
-  *     residual and survives whenever phi > 1/(capacity+1) — no false
-  *     negatives.
+  *     2012). The reduction tree is `treeAggregate(depth = 2)`: its
+  *     fan-in derives from the scan's own partition count (≈√P merge
+  *     tasks appear only when P is large; small scans reduce straight to
+  *     the driver with no extra exchange), and it ends in ONE summary of
+  *     `capacity` entries regardless of how many input partitions a
+  *     100 TB scan has. Total undercount ≤ n/(capacity+1), so any key
+  *     with count ≥ phi·n keeps a positive residual and survives
+  *     whenever phi > 1/(capacity+1) — no false negatives.
   *  2. Exact verification: the (≤ capacity) candidate set broadcast-
   *     semi-joins back onto the source and only candidate rows are
   *     counted exactly. False positives from phase 1 die here, so the
@@ -32,26 +34,32 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Weighted Misra–Gries fold: absorb (key, weight) entries into a map
-    * of at most `capacity` entries. On overflow, subtract the minimum
-    * count from every entry and drop the zeros — each subtraction of δ
-    * consumes ≥ δ·(capacity+1) stream mass, so any key's total
-    * undercount is ≤ totalWeight/(capacity+1).
+  /** Absorb one weighted entry into a Misra–Gries summary of at most
+    * `capacity` entries. On overflow, subtract the minimum count from
+    * every entry and drop the zeros — each subtraction of δ consumes
+    * ≥ δ·(capacity+1) stream mass, so any key's total undercount is
+    * ≤ totalWeight/(capacity+1).
+    */
+  private[graft] def mgAbsorb(counts: mutable.HashMap[String, Long],
+                              k: String, w: Long, capacity: Int): Unit = {
+    counts.update(k, counts.getOrElse(k, 0L) + w)
+    if (counts.size > capacity) {
+      val min = counts.valuesIterator.min
+      val dead = mutable.ArrayBuffer.empty[String]
+      counts.foreach { case (kk, c) =>
+        if (c <= min) dead += kk else counts.update(kk, c - min)
+      }
+      dead.foreach(counts.remove)
+    }
+  }
+
+  /** Weighted Misra–Gries fold of a whole (key, weight) stream — the
+    * shared kernel (the streaming operator folds through it too).
     */
   private[graft] def mgFold(it: Iterator[(String, Long)],
                             capacity: Int): Iterator[(String, Long)] = {
     val counts = mutable.HashMap.empty[String, Long]
-    it.foreach { case (k, w) =>
-      counts.update(k, counts.getOrElse(k, 0L) + w)
-      if (counts.size > capacity) {
-        val min = counts.valuesIterator.min
-        val dead = mutable.ArrayBuffer.empty[String]
-        counts.foreach { case (kk, c) =>
-          if (c <= min) dead += kk else counts.update(kk, c - min)
-        }
-        dead.foreach(counts.remove)
-      }
-    }
+    it.foreach { case (k, w) => mgAbsorb(counts, k, w, capacity) }
     counts.iterator
   }
 
@@ -72,36 +80,25 @@ object HeavyHitters {
     val session = keyed.sparkSession
     import session.implicits._
 
-    // Reduction tree: per-partition MG (unit weights) → ≤32-way weighted
-    // MG merge → one driver merge over ≤ 32·capacity entries. Every
-    // level is capacity-bounded, independent of input partition count.
-    // Partition row totals ride the same rows (marker=true) so n needs
-    // no second scan — an accumulator would overcount on task retries.
-    val perPartition = keyed.as[String]
-      .mapPartitions { it =>
-        var nP = 0L
-        val counted = it.map { k => nP += 1L; (k, 1L) }
-        // mgFold drains `counted` fully before returning, so nP is final
-        val summary = mgFold(counted, capacity)
-          .map { case (k, w) => (k, w, false) }.toList
-        (("", nP, true) :: summary).iterator
-      }
-    val reduced = perPartition
-      .repartition(32)
-      .mapPartitions { it =>
-        var totals = 0L
-        val entries = it.filter { e =>
-          if (e._3) { totals += e._2; false } else true
-        }
-        val summary = mgFold(entries.map(e => (e._1, e._2)), capacity)
-          .map { case (k, w) => (k, w, false) }.toList
-        (("", totals, true) :: summary).iterator
-      }
-      .collect() // ≤ 32 × (capacity + 1) weighted entries
-    val n = reduced.filter(_._3).map(_._2).sum
-    val candidateKeys = mgFold(
-      reduced.iterator.filter(!_._3).map(e => (e._1, e._2)), capacity)
-      .map(_._1).toSeq
+    // Reduction tree via treeAggregate: per-row MG updates per partition,
+    // then weighted MG merges (summaries are formally mergeable with the
+    // same εn bound — Agarwal PODS'12). treeAggregate derives its fan-in
+    // from the RDD's OWN partition count: ≤ ~√P merge tasks appear only
+    // when P is large (a 100k-task scan never funnels all summaries to
+    // the driver), and a small scan reduces straight to the driver with
+    // NO extra exchange — the fan-in is never a hardcoded constant.
+    // Every level carries ≤ capacity entries + the row total (totals
+    // ride the aggregate value — an accumulator would overcount on task
+    // retries).
+    val (summary, n) = keyed.as[String].rdd.treeAggregate(
+      (mutable.HashMap.empty[String, Long], 0L))(
+      seqOp = { case ((m, c), k) => mgAbsorb(m, k, 1L, capacity); (m, c + 1L) },
+      combOp = { case ((m1, c1), (m2, c2)) =>
+        m2.foreach { case (k, w) => mgAbsorb(m1, k, w, capacity) }
+        (m1, c1 + c2)
+      },
+      depth = 2)
+    val candidateKeys = summary.keys.toSeq
 
     // Phase 2: exact counts for candidates only — the second and final
     // scan; no full-cardinality aggregation state ever exists.

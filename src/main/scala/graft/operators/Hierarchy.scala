@@ -82,7 +82,10 @@ object Hierarchy {
       .agg(sum(col("__v")).as(as))
       .persist()
     out.count() // materialize BEFORE releasing the closure it reads
-    cl.unpersist()
+    // cl is a localCheckpoint'ed frame: Dataset.unpersist would clear
+    // CacheManager entries only, leaking the checkpoint RDD blocks until
+    // driver GC — free them the way the closure loop itself does
+    org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(cl)
     out
   }
 }

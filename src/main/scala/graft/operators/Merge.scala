@@ -87,8 +87,11 @@ object Merge {
     * sync (MoveDataToMainTable upsert + DeleteExistingFromMainTable,
     * EcomDestinationWriter.cs:3220,3116) when the source emits
     * per-row change events instead of full snapshots. Per key, only the
-    * LATEST change (by `orderCol`, ties broken by the same column list
-    * order) applies: a delete op removes the row, anything else upserts
+    * LATEST change (by `orderCol`; equal versions break ties by op then
+    * every attribute column in name order, so repeated runs over the
+    * same feed always apply the SAME change — a version-only window
+    * would resolve equal-version changes nondeterministically) applies:
+    * a delete op removes the row, anything else upserts
     * the change's values. One keyed dedup shuffle over the (small)
     * change feed + the standard merge joins — the destination never
     * shuffles more than a plain upsert.
@@ -100,7 +103,10 @@ object Merge {
   def applyCdc(dest: DataFrame, changes: DataFrame, keys: Seq[String],
                orderCol: String, opCol: String,
                deleteOp: String = "D"): DataFrame = {
-    val latest = Dedup.keepFirst(changes, keys, Seq(col(orderCol).desc))
+    val tiebreak = changes.columns
+      .filterNot(c => keys.contains(c) || c == orderCol).sorted
+      .map(c => col(c).asc_nulls_last).toSeq
+    val latest = Dedup.keepFirst(changes, keys, col(orderCol).desc +: tiebreak)
     val tombstones = latest.filter(col(opCol) === deleteOp)
       .select(keys.map(col): _*)
     val upserts = latest.filter(col(opCol) =!= deleteOp)

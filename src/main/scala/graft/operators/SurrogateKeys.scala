@@ -21,13 +21,16 @@ import org.apache.spark.sql.functions._
   * single-partition window (`row_number() OVER (ORDER BY ...)` would
   * funnel 100 TB through one task).
   *
-  * DETERMINISM: the sorted frame is persisted before pass 1 and the
-  * result is materialized (localCheckpoint) before the cache is
-  * released, so both passes read the SAME range exchange. Without the
-  * pin, each action re-executes `repartitionByRange`, whose boundary
-  * sampling is seeded per physical RDD — boundary rows could land in
-  * different partitions between the stats pass and the id pass,
-  * yielding duplicate/skipped ids at real partition sizes.
+  * DETERMINISM: the sorted frame is EAGERLY local-checkpointed before
+  * pass 1 and the result is materialized (localCheckpoint) before the
+  * input's blocks are freed, so both passes read the SAME range
+  * exchange. A checkpoint, not a persist: cached blocks lost under
+  * memory pressure silently RECOMPUTE — re-executing
+  * `repartitionByRange`, whose boundary sampling is seeded per physical
+  * RDD, so boundary rows could land in different partitions between the
+  * stats pass and the id pass, silently duplicating/skipping ids. A
+  * checkpoint truncates lineage: a lost block fails the job loudly
+  * instead.
   *
   * `orderBy` must be a total order (dense ids follow it exactly).
   */
@@ -38,7 +41,7 @@ object SurrogateKeys {
     val sorted = df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
-      .persist()
+      .localCheckpoint(true) // eager + lineage-truncating: see DETERMINISM
     try {
       val stats = sorted.groupBy(col("__pid"))
         .agg(count(lit(1)).as("cnt"), min(col("__mid")).as("base"))
@@ -54,10 +57,9 @@ object SurrogateKeys {
           lit(startAt) + element_at(typedlit(offsetByPid), col("__pid")) +
             (col("__mid") - element_at(typedlit(baseByPid), col("__pid"))))
         .drop("__pid", "__mid")
-        // materialize from the pinned cache BEFORE releasing it — a lazy
-        // result would re-run the range exchange after unpersist and see
-        // different partition boundaries than the collected stats
+        // materialize from the pinned checkpoint BEFORE freeing it — a
+        // lazy result would have nothing to read once the blocks are gone
         .localCheckpoint(true)
-    } finally sorted.unpersist()
+    } finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(sorted)
   }
 }

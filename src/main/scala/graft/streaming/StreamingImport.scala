@@ -60,7 +60,11 @@ object StreamingImport {
     * partition column keeps its declared type: inference from directory
     * names would silently turn a string partCol with numeric/date-shaped
     * values ('01', '2024-01-01') into int/date, breaking the merge
-    * coalesce and re-materializing paths under different names.
+    * coalesce and re-materializing paths under different names. Because
+    * the batch schema DRIVES the read, a batch missing destination
+    * columns would silently rewrite touched partitions without them —
+    * permanent data loss — so schema narrowing fails fast instead
+    * ([[requireNoNarrowing]]).
     */
   def upsertBatchPartitioned(batch: DataFrame, destPath: String,
                              keys: Seq[String], partCol: String): Unit = {
@@ -70,6 +74,7 @@ object StreamingImport {
     // micro-batch, bounded by the batch's partition spread — driver-safe
     val touched = batch.select(partCol).distinct().collect().map(_.get(0))
     val merged = if (destExists && touched.nonEmpty) {
+      requireNoNarrowing(batch, destPath)
       val dest = spark.read.schema(batch.schema).parquet(destPath)
         .filter(col(partCol).isin(touched: _*)) // prunes to touched dirs
       Merge.upsert(dest, batch, keys)
@@ -78,6 +83,22 @@ object StreamingImport {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(destPath)
+  }
+
+  /** Fail fast if the batch schema NARROWS the destination: the pruned
+    * read uses the batch's schema (to pin partCol's type against
+    * directory-name re-inference), so any destination column absent from
+    * the batch would vanish from every rewritten partition. One footer
+    * read per micro-batch — negligible next to the partition rewrite.
+    */
+  private def requireNoNarrowing(batch: DataFrame, destPath: String): Unit = {
+    val destCols = batch.sparkSession.read.parquet(destPath).schema.map(_.name)
+    val have = batch.columns.map(_.toLowerCase).toSet
+    val missing = destCols.filterNot(c => have.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"batch schema is missing destination columns ${missing.mkString(", ")} — " +
+        "rewriting touched partitions would drop them permanently; align the " +
+        "batch projection with the destination (or migrate the destination first)")
   }
 
   /** Partition-change-safe variant of [[upsertBatchPartitioned]]: also
@@ -95,6 +116,7 @@ object StreamingImport {
     val destExists = new java.io.File(destPath).exists()
     val touched = batch.select(partCol).distinct().collect().map(_.get(0))
     if (destExists && touched.nonEmpty) {
+      requireNoNarrowing(batch, destPath)
       val destAll = spark.read.schema(batch.schema).parquet(destPath)
       // partitions (outside the touched set) still holding a batch key:
       // column-pruned scan — parquet reads only key + partition columns

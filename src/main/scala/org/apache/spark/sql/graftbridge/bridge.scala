@@ -23,4 +23,13 @@ object bridge {
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** Flush pending listener-bus events (test support: stage/job counting
+    * listeners see all events from completed actions before asserting).
+    * `listenerBus` is private[spark]; this shim lives in a spark
+    * subpackage for the same reason the Column bridge does.
+    */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext,
+                           timeoutMs: Long = 30000): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
 }

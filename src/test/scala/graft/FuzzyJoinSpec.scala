@@ -82,6 +82,57 @@ class FuzzyJoinSpec extends SparkSuite {
     assert(got.count() === 2L) // whole-row distinct would collapse to 1
   }
 
+  test("tight multi-match-aware windows cut candidate keys vs loose ±d windows") {
+    val alphabet = "abcde"
+    def word(seed: Long, len: Int): String =
+      (0 until len).map(i => alphabet(((seed * 31 + i * 17) % 5).toInt.abs)).mkString
+    val words = (1L to 50L).map(i => (i, word(i, 6 + (i % 7).toInt)))
+    val d = 2
+    val k = d + 1
+    // the round-3 loose window: p ∈ [max(0, st−d), st+d], truncated-overhang
+    // positions (p ≥ l) dropped by the length filter
+    def looseCount(l: Int): Long =
+      (math.max(k, l - d) to (l + d)).map { L =>
+        (0 to d).map { i =>
+          val st = i * (L / k) + math.max(0, i - (k - L % k))
+          (math.max(0, st - d) to (st + d)).count(p => p < l).toLong
+        }.sum
+      }.sum
+    val loose = words.map(w => looseCount(w._2.length)).sum
+    val tight = graft.operators.FuzzyJoin
+      .leftCandidates(words.toDF("lid", "lname"), "lname", d).count()
+    // the paper's window is ~min(2i, 2(d−i))+1 wide vs 2d+1: expect well
+    // under 60% of the loose key volume (exactness is proven separately)
+    assert(tight < loose * 6 / 10, s"tight=$tight loose=$loose")
+  }
+
+  test("caller row ids keep results exact under forced nondeterministic repartition") {
+    val alphabet = "abcde"
+    def word(seed: Long, len: Int): String =
+      (0 until len).map(i => alphabet(((seed * 31 + i * 17) % 5).toInt.abs)).mkString
+    val rightRows = (1L to 40L).map(i => (i, word(i, 6 + (i % 5).toInt)))
+    val leftRows = (1L to 60L).map { i =>
+      val base = word(i % 40 + 1, 6 + ((i % 40 + 1) % 5).toInt)
+      val s = (i % 3) match {
+        case 0 => base.patch((i % base.length).toInt, "", 1)
+        case 1 => base.updated((i % base.length).toInt, 'z')
+        case _ => base
+      }
+      (i, s)
+    }
+    // round-robin repartition is the canonical nondeterministic upstream;
+    // caller-supplied unique ids make pair identity independent of it
+    val got = FuzzyJoin.byEditDistance(
+      leftRows.toDF("lid", "lname").repartition(7),
+      rightRows.toDF("rid", "rname").repartition(5),
+      "lname", "rname", maxDist = 2,
+      leftRowId = Some("lid"), rightRowId = Some("rid"))
+      .select("lid", "rid", "edit_dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === naive(leftRows, rightRows, 2))
+    assert(got.nonEmpty)
+  }
+
   test("forward/nearest as-of give null payloads for null-ts left rows") {
     import graft.operators.AsOf
     val l = Seq((1L, Some(10)), (2L, None)).toDF("k", "t")

@@ -42,4 +42,63 @@ class JdbcSinkSpec extends SparkSuite {
       .as[(Long, String, String)].collect().sortBy(r => (r._1, r._2))
     assert(out === Array((1L, "en", "one"), (1L, "fr", "UN!"), (2L, "en", "two")))
   }
+
+  // ── dialect matrix: only Derby is installable here (verified: no H2/
+  // HSQLDB jars in the image), so the other dialects are pinned at the
+  // SQL-generation + folding level — the layer where lowercase-folding
+  // and bracket-quoting bugs live ──
+
+  import graft.sources.JdbcDialects
+
+  test("dialects fold identifiers per their catalogs and pick by URL") {
+    assert(JdbcDialects.derby.fold("Dest") === "DEST")
+    assert(JdbcDialects.postgresStyle.fold("Dest") === "dest")
+    assert(JdbcDialects.sqlServerStyle.fold("Dest") === "Dest")
+    assert(JdbcDialects.forUrl("jdbc:postgresql://h/db") === JdbcDialects.postgresStyle)
+    assert(JdbcDialects.forUrl("jdbc:sqlserver://h;db") === JdbcDialects.sqlServerStyle)
+    assert(JdbcDialects.forUrl(url) === JdbcDialects.derby)
+  }
+
+  test("tableExists probes the dialect's folding (lowercase catalogs included)") {
+    // Derby folds unquoted CREATEs to UPPER; a created-lowercase-QUOTED
+    // table simulates what a lowercase-folding catalog stores, and the
+    // probe must still find it when asked for the mixed-case name
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.createStatement().executeUpdate("CREATE TABLE \"folded_probe\" (i INT)")
+      assert(JdbcSink.tableExists(conn, "folded_probe", JdbcDialects.postgresStyle))
+      // a mixed-case name still resolves through the cross-folding fallback
+      assert(JdbcSink.tableExists(conn, "Folded_Probe", JdbcDialects.derby))
+      assert(!JdbcSink.tableExists(conn, "no_such_table", JdbcDialects.derby))
+    } finally conn.close()
+  }
+
+  test("postgres-style dialect emits LIKE-create and ANSI MERGE with lowercase-safe quoting") {
+    val d = JdbcDialects.postgresStyle
+    assert(d.createLikeSql("dest", "dest_STAGE") === "CREATE TABLE dest (LIKE dest_STAGE)")
+    val m = d.mergeSql("dest", "stage", Seq("Id", "Name"), Seq("Id"))
+    assert(m === """MERGE INTO dest t USING stage s ON (t."Id" = s."Id") """ +
+      """WHEN MATCHED THEN UPDATE SET "Name" = s."Name" """ +
+      """WHEN NOT MATCHED THEN INSERT ("Id", "Name") VALUES (s."Id", s."Name")""")
+  }
+
+  test("sqlserver-style dialect (the reference's target) emits bracket quoting and SELECT INTO") {
+    val d = JdbcDialects.sqlServerStyle
+    assert(d.createLikeSql("Dest", "Dest_STAGE") ===
+      "SELECT * INTO Dest FROM Dest_STAGE WHERE 1 = 0")
+    val m = d.mergeSql("Dest", "Stage", Seq("Id", "Qty"), Seq("Id"))
+    assert(m === "MERGE INTO Dest t USING Stage s ON (t.[Id] = s.[Id]) " +
+      "WHEN MATCHED THEN UPDATE SET [Qty] = s.[Qty] " +
+      "WHEN NOT MATCHED THEN INSERT ([Id], [Qty]) VALUES (s.[Id], s.[Qty]);")
+  }
+
+  test("explicit dialect override runs the full protocol (derby semantics)") {
+    val seed = Seq((1L, 5)).toDF("id", "n")
+    JdbcSink.upsert(seed, url, "DEST3", Seq("id"), dialect = JdbcDialects.derby)
+    JdbcSink.upsert(Seq((1L, 6), (2L, 7)).toDF("id", "n"), url, "DEST3", Seq("id"),
+      dialect = JdbcDialects.derby)
+    val out = JdbcSource.load(spark, url, "DEST3")
+      .as[(Long, Int)].collect().sortBy(_._1)
+    assert(out === Array((1L, 6), (2L, 7)))
+  }
 }

@@ -51,4 +51,29 @@ class MultimodalSpec extends SparkSuite {
     val first = feats.select("doc_id", "checksum").as[(Long, Long)].collect().toMap
     assert(first === again)
   }
+
+  test("decodeImage decodes a real 2x2 PNG to known pixel features") {
+    import java.awt.image.BufferedImage
+    // red, green, blue, white — every channel mean is exactly 0.5
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+    val (_, hist, feat) = Multimodal.decodeImage(png)
+    assert(feat(0) === 0.5f && feat(1) === 0.5f && feat(2) === 0.5f) // mean RGB
+    assert(feat(4) === 2f && feat(5) === 2f) // decoded dimensions
+    // BT.601 integer lumas: red 76→bucket 2, green 149→4, blue 29→0,
+    // white 255→7
+    assert(hist.toSeq === Seq(1L, 0L, 1L, 0L, 1L, 0L, 0L, 1L))
+    assert(feat(7) === 0.25f) // brightest-bucket share = the white pixel
+
+    // and through the batched plumbing via the codec swap-in point
+    import spark.implicits._
+    val df = Seq((1L, png), (2L, png)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeFeatures(df, batchSize = 1, codec = Multimodal.decodeImage)
+      .select("doc_id", "feat").as[(Long, Seq[Float])].collect().toMap
+    assert(out(1L) === out(2L) && out(1L)(3) === feat(3))
+  }
 }

@@ -55,6 +55,56 @@ class TopKFrequencySpec extends SparkSuite {
     assert(got.keySet === Set("hotA", "hotB", "hotC"))
   }
 
+  test("HeavyHitters: weighted MG merge stays exact across 200+ simulated partitions") {
+    // the mergeable-summaries claim treeAggregate's reduction rests on:
+    // 250 per-partition summaries, weighted-merged through an
+    // intermediate tree level, never lose a heavy key (Agarwal PODS'12)
+    val nParts = 250
+    val rng = new scala.util.Random(7)
+    val partitions = (0 until nParts).map { p =>
+      (0 until 200).map { _ =>
+        val u = rng.nextInt(100)
+        if (u < 30) "hot1" else if (u < 45) "hot2" else s"cold${rng.nextInt(300)}"
+      }
+    }
+    val capacity = 19
+    val perPart = partitions.map(rows =>
+      HeavyHitters.mgFold(rows.iterator.map((_, 1L)), capacity).toList)
+    // 32-way intermediate merges, then one driver merge — the tree shape
+    val level1 = perPart.grouped(32).map(group =>
+      HeavyHitters.mgFold(group.flatten.iterator, capacity).toList).toList
+    val candidates = HeavyHitters.mgFold(level1.flatten.iterator, capacity)
+      .map(_._1).toSet
+    val n = nParts * 200
+    val exact = partitions.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val phi = 0.1 // requires capacity+1 > 10 — holds
+    val heavy = exact.filter(_._2 >= math.ceil(phi * n).toLong).keySet
+    // no false negatives at any tree level: every truly heavy key survives
+    assert(heavy.subsetOf(candidates), s"lost heavy keys: ${heavy -- candidates}")
+    assert(heavy === Set("hot1", "hot2"))
+  }
+
+  test("HeavyHitters: small inputs skip the intermediate merge exchange") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    val df = Seq.fill(100)("a").toDF("k").repartition(4)
+    df.count() // materialize the input exchange outside the window
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        stages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // phase 1 (summaries + driver merge) runs eagerly inside this call
+      val out = HeavyHitters.frequentKeys(df, $"k", phi = 0.5, capacity = 8)
+      org.apache.spark.sql.graftbridge.bridge.waitListenerBusEmpty(spark.sparkContext)
+      // 4 scan partitions: input exchange map + one treeAggregate result
+      // stage — an intermediate merge level would add a third stage
+      assert(stages.get === 2, s"expected scan+result stages only, got ${stages.get}")
+      assert(out.as[(String, Long)].collect().toMap === Map("a" -> 100L))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("HeavyHitters ignores null keys and rejects an unsafe capacity") {
     val df = Seq(Some("a"), Some("a"), Some("a"), None, Some("b")).toDF("k")
     val got = HeavyHitters.frequentKeys(df, $"k", phi = 0.5, capacity = 8)
