@@ -134,6 +134,20 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "q_unpivot" -> ((s, dir) => {
+      // wide → key/value rows (stack): the destination-side inverse of
+      // q_pivot, the reference writing pivoted category columns back as
+      // field-value rows (EcomDestinationWriter.cs:2376
+      // WriteCategoyFieldValues). Narrow transform, no shuffle — the
+      // total ORDER BY here is oracle-compare convention only.
+      PivotOps.toLong(
+        t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_discount", "l_tax"), "metric", "amount")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // interval containment as an EQUI-join on bucket ids (hash join +
       // in-bucket verify) instead of the nested-loop BETWEEN Spark
@@ -439,6 +453,22 @@ object SparkEntry {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    "q_cube" -> ((s, dir) => {
+      // full lattice over (nation, priority): grouping sets plus the
+      // grand total — one Expand pass like q_grouping_sets; grouping()
+      // flags disambiguate a real NULL key from a rolled-up one
+      val joined = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      joined.cube(col("n_name"), col("o_orderpriority"))
+        .agg(grouping(col("n_name")).cast("int").as("g_nation"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+          dsumRound(col("o_totalprice"), 2, 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("g_nation"), col("g_priority"),
+          col("n_name").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
     "q_sql_api" -> ((s, dir) => {
       // the SQL entry path: same engine driven through spark.sql with
       // registered views — correlated EXISTS + scalar subquery
@@ -549,6 +579,32 @@ object SparkEntry {
         .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
           col("running_rev"))
         .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
+    "q_window_count_distinct" -> ((s, dir) => {
+      // running DISTINCT-user count per event type — the one window
+      // aggregate Spark does not support directly (COUNT(DISTINCT) OVER).
+      // Composition: a first-occurrence flag (lag over user-major order)
+      // then a running sum in time order. Both windows share the SAME
+      // partition keys, so the plan is ONE exchange on event_type with
+      // two in-partition sorts — the flag needs no second shuffle. The
+      // oracle runs DuckDB's native COUNT(DISTINCT ... ) OVER, a genuinely
+      // independent algorithm for the same semantics.
+      val byUser = Window.partitionBy(col("event_type"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+      val byTime = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").filter(col("user_id") % 7 === 0)
+        .withColumn("__first", when(
+          lag(col("user_id"), 1).over(byUser).isNull.or(
+            lag(col("user_id"), 1).over(byUser) =!= col("user_id")), 1L)
+          .otherwise(0L))
+        .withColumn("distinct_users", sum(col("__first")).over(byTime))
+        .select(col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          col("distinct_users"))
+        .orderBy(col("event_type"), col("ts_str"), col("event_id"))
     }),
 
     "q_window_tumbling" -> ((s, dir) => {
@@ -823,6 +879,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      // incremental-ingest dedup: drop batch docs whose text was already
+      // ingested (history = the even-id half). The bloom gate means only
+      // might-contain rows pay the exact anti-join; misses flow through
+      // shuffle-free — the 100 TB incremental-batch shape. Output ==
+      // plain left_anti exactly (the join corrects false positives).
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
+      Dedup.againstHistory(docs, history, Seq("text"), expectedItems = 100000L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_chunk_docs" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -898,6 +967,24 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    "q_vector_quantize" -> ((s, dir) => {
+      // int8 storage codes for the ANN index (4× smaller than float32):
+      // per-vector max-abs scale + integer codes. Output is
+      // integer-exact: the scale in fixed-point basis points and two
+      // integer code aggregates — both engines replay the same IEEE
+      // floor(x/scale + 0.5) formula, so codes match bit-for-bit
+      // (KnnSpec separately bounds quantized-search recall ≥ 0.8).
+      import graft.functions.VectorFunctions.quantizeInt8
+      t(s, dir, "embeddings")
+        .withColumn("qs", quantizeInt8(col("embedding")))
+        .select(col("vec_id"),
+          floor(col("qs.scale") * 10000.0 + 0.5).cast("long").as("scale_e4"),
+          aggregate(col("qs.q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          aggregate(col("qs.q"), lit(0L), (a, x) => a + x.cast("long") * x.cast("long"))
+            .as("q_norm2"))
+        .orderBy(col("vec_id"))
     }),
 
     "q_session_window" -> ((s, dir) => {
@@ -1028,10 +1115,16 @@ object SparkEntry {
     }),
 
     "q_ngram_jaccard" -> ((s, dir) => {
+      // exact 3-gram Jaccard over given pairs. Output is the integer
+      // intersect/union sizes (hash-exact cross-engine; the ratio is
+      // theirs to derive) — Jaccard over 64-bit hashed shingles equals
+      // Jaccard over the shingle strings the DuckDB oracle builds, modulo
+      // negligible collisions.
       val docs = t(s, dir, "documents")
       val pairs = docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
       NearDup.ngramJaccard(docs, pairs, "doc_id", "text", shingleLen = 3)
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -2090,6 +2183,125 @@ object SparkEntry {
         |    ORDER BY cos_sim DESC, vec_id) AS rk FROM pairs)
         |SELECT query_id, vec_id AS neighbor_id, cos_sim
         |FROM ranked WHERE rk <= 5
-        |ORDER BY query_id, neighbor_id""".stripMargin
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey <= 2000)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS amount FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q_cube" ->
+      """SELECT n_name, o_orderpriority,
+        |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, o_orderpriority)
+        |ORDER BY g_nation, g_priority, n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_window_count_distinct" ->
+      // DuckDB's NATIVE distinct window aggregate — an independent
+      // algorithm for the semantics the Spark side composes from a
+      // first-occurrence flag + running sum
+      """SELECT event_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  count(DISTINCT user_id) OVER (PARTITION BY event_type
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS distinct_users
+        |FROM events WHERE user_id % 7 = 0
+        |ORDER BY event_type, ts_str, event_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 2 = 0 AND h.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_vector_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs / 127.0 END AS scale,
+        |    list_transform(embedding, x -> CAST(floor(
+        |      CAST(x AS DOUBLE) / (CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs / 127.0 END)
+        |      + 0.5) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |  CAST(floor(scale * 10000.0 + 0.5) AS BIGINT) AS scale_e4,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      // shingle STRINGS here vs 64-bit shingle hashes on the Spark side:
+      // set sizes agree modulo negligible hash collisions
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |        i -> array_to_string(t[i:i+2], ' ')) END) AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b,
+        |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT) AS n_union
+        |FROM documents a
+        |JOIN documents b ON b.doc_id = a.doc_id + 1
+        |JOIN sets sa ON sa.doc_id = a.doc_id
+        |JOIN sets sb ON sb.doc_id = b.doc_id
+        |WHERE a.doc_id % 2 = 0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_decontaminate" ->
+      // 8-token gram STRINGS vs the Spark side's rolling 64-bit gram
+      // hashes; distinct-gram join semantics are identical
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 8)
+        |SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+        |  count(*) AS n_shared_grams
+        |FROM grams c JOIN grams b ON c.g = b.g
+        |WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+        |GROUP BY corpus_id, bench_id
+        |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "q_shared_passages" ->
+      // maxBucket = 1000 cannot bind at oracle scale (500 docs), so the
+      // capped Spark output equals this uncapped self-join exactly
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 8)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_grams
+        |FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY id_a, id_b
+        |HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

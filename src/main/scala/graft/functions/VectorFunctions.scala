@@ -33,12 +33,17 @@ object VectorFunctions {
   /** Symmetric int8 quantization against the vector's own max-abs scale —
     * the storage shape ANN indexes ship at scale (4× smaller than float32).
     * Returns struct(scale, q: array<tinyint>); dequantize with q*scale.
+    * Levels are `floor(x/scale + 0.5)` (half toward +inf) rather than
+    * decimal `round`: pure IEEE ops, so any engine replaying the formula
+    * reproduces the codes bit-identically — decimal rounding of a double
+    * is engine-dependent on half boundaries. Range stays in [-127, 127]
+    * (the minimum −|max| maps to floor(−126.5) = −127).
     */
   def quantizeInt8(a: Column): Column = {
     val maxAbs = aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
     val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
     struct(scale.as("scale"),
-      transform(a, x => round(x.cast("double") / scale, 0).cast("tinyint")).as("q"))
+      transform(a, x => floor(x.cast("double") / scale + 0.5).cast("tinyint")).as("q"))
   }
 
   def dequantizeInt8(qs: Column): Column =

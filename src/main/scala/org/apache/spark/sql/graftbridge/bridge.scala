@@ -32,4 +32,11 @@ object bridge {
   def waitListenerBusEmpty(sc: org.apache.spark.SparkContext,
                            timeoutMs: Long = 30000): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMs)
+
+  /** The shuffle-dependency id a submitted stage writes (None for result
+    * stages) — `private[spark]`; test support for counting DISTINCT
+    * shuffles a pipeline actually executes.
+    */
+  def shuffleDepId(si: org.apache.spark.scheduler.StageInfo): Option[Int] =
+    si.shuffleDepId
 }

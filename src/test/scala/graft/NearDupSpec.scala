@@ -43,7 +43,8 @@ class NearDupSpec extends SparkSuite {
   test("ngramJaccard: identical 1.0, disjoint 0.0") {
     val pairs = Seq((3L, 100L), (3L, 102L)).toDF("id_a", "id_b")
     val out = NearDup.ngramJaccard(corpus, pairs, "doc_id", "text")
-      .orderBy("id_b").as[(Long, Long, Double)].collect()
+      .orderBy("id_b").select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
     assert(out(0)._3 === 1.0)
     assert(out(1)._3 === 0.0)
   }

@@ -266,4 +266,33 @@ class OperatorsSpec extends SparkSuite {
     val missing = Denormalize.missingRefs(facts, "cc", dim, "code").as[String].collect()
     assert(missing === Array("XX"))
   }
+
+  test("Dedup.againstHistory == plain left_anti; nulls survive; gate in plan") {
+    val batch = ((0 until 400).map(i => (i.toLong, s"key${i % 150}")) :+
+      (9999L, null.asInstanceOf[String])).toDF("row_id", "k")
+    val history = (0 until 150).filter(_ % 3 == 0).map(i => s"key$i").toDF("k")
+    val got = Dedup.againstHistory(batch, history, Seq("k"), expectedItems = 1000)
+    val want = batch.join(history, Seq("k"), "left_anti")
+    assert(got.select("row_id").as[Long].collect().sorted ===
+      want.select("row_id").as[Long].collect().sorted)
+    // the null-keyed row is never a duplicate under SQL equality
+    assert(got.filter(col("row_id") === 9999L).count() === 1)
+    // the bloom gate is actually in the plan (local relations above get
+    // constant-folded, so assert on a range-derived frame): the misses
+    // branch is a JOIN-FREE filter on !might_contain — only bloom hits
+    // reach the anti join
+    val big = spark.range(1000).select(col("id"),
+      concat(lit("key"), col("id") % 150).as("k"))
+    val gated = Dedup.againstHistory(big, history, Seq("k"), expectedItems = 1000)
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(gated.count() === big.join(history, Seq("k"), "left_anti").count())
+  }
+
+  test("Dedup.againstHistory: empty history is identity, full history empties") {
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("row_id", "k")
+    val empty = Seq.empty[String].toDF("k")
+    assert(Dedup.againstHistory(batch, empty, Seq("k"), 100).count() === 2)
+    assert(Dedup.againstHistory(batch, batch.select("k"), Seq("k"), 100).count() === 0)
+  }
 }

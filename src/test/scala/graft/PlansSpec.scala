@@ -176,6 +176,40 @@ class PlansSpec extends SparkSuite {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("capstone TrainingData.prepare executes a bounded number of distinct shuffles") {
+    // The capstone composes clean → decontaminate → sample → split → pack
+    // with materialize-then-release stage boundaries. Its cost model is
+    // "sum of the audited parts" — which holds only if composition adds
+    // no hidden exchanges. This counts DISTINCT shuffle dependencies
+    // actually executed end-to-end (listener on shuffleDepId) and bounds
+    // them: the pipeline's keyed operations (normalized dedup, LSH bucket
+    // + pair + cluster stages, decontaminate agg, per-source packing
+    // window) plus one small agg per stage-metric count. A regression
+    // that, say, loses a broadcast to a shuffle join or re-sorts per
+    // stage shows up as extra dependencies here.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val bench = docs.filter($"doc_id" % 25 === 0).select($"doc_id", $"text")
+    val rates = docs.select("source").distinct().as[String].collect()
+      .map(_ -> 1.0).toMap
+    val shuffles = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        org.apache.spark.sql.graftbridge.bridge.shuffleDepId(s.stageInfo)
+          .foreach(id => shuffles.add(id))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (out, _) = graft.pipelines.TrainingData.prepare(docs, bench,
+        graft.pipelines.TrainingData.Config(rates = rates, packBudget = 128))
+      out.write.mode("overwrite").format("noop").save()
+      out.unpersist()
+      org.apache.spark.sql.graftbridge.bridge.waitListenerBusEmpty(spark.sparkContext)
+      info(s"capstone distinct shuffles: ${shuffles.size}")
+      assert(shuffles.size <= 24, s"capstone shuffle count grew: ${shuffles.size}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("JobMetrics.observed collects counts during the action") {
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c")).toDF("id", "name")
     val (obsDf, obs) = JobMetrics.observed(df, "import_customer", Seq("id"))
