@@ -29,10 +29,12 @@ object ScaleSmoke {
       copies.reduce(_ unionByName _).write.mode("overwrite").parquet(path)
       path
     }
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name: $secs%.2f s ($n rows)")
+      secs
     }
 
     if (section == "all" || section == "dedup") {
@@ -139,10 +141,59 @@ object ScaleSmoke {
         s"lineitem ${Tables.load(spark, base, "lineitem").count()} x$mult")
       for (q <- Seq("q1_agg", "q3_top_orders", "q5_join5",
           "q_merge_upsert", "q_correlated_lookup")) {
-        time(s"$q 1x")(SparkEntry.queries(q)(spark, base).count())
-        time(s"$q ${mult}x")(SparkEntry.queries(q)(spark, out).count())
+        val t1 = time(s"$q 1x")(SparkEntry.queries(q)(spark, base).count())
+        val tN = time(s"$q ${mult}x")(SparkEntry.queries(q)(spark, out).count())
+        // scaling exponent e: t ∝ (fact size)^e. e ≈ 1 = linear (the plan
+        // shape held), e < 1 = fixed overhead amortizing, e > 1 = a
+        // broadcast/partial-agg lost or a quadratic crept in.
+        println(f"[scale] $q exponent: ${math.log(tN / t1) / math.log(mult)}%.2f")
         spark.catalog.clearCache()
       }
+    }
+
+    if (section == "all" || section == "skew") {
+      // AQE skew handling: collapse 30% of lineitem onto ONE orderkey and
+      // join to orders WITHOUT broadcast (forced shuffle join). At 100 TB
+      // this is the join a salting rewrite or AQE's skew split must save;
+      // assert the final adaptive plan actually split the skewed
+      // partition (skew=true on the SortMergeJoin) — the runtime
+      // re-plan the engine's sessions rely on (GraftSession leaves AQE
+      // on; thresholds here are lowered only to make test data "big").
+      val li = Tables.load(spark, base, "lineitem")
+      val ord = Tables.load(spark, base, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      // materialize the skewed fact as MANY files first: AQE splits a
+      // skewed reduce partition at MAP-OUTPUT granularity, so a
+      // single-mapper input (one small parquet file = one scan task)
+      // structurally cannot split — a test-scale artifact only; at
+      // 100 TB the scan runs thousands of mappers
+      li.select(
+          when(col("l_orderkey") % 10 < 3, lit(42L))
+            .otherwise(col("l_orderkey")).as("l_orderkey"),
+          col("l_extendedprice"))
+        .repartition(32).write.mode("overwrite").parquet(s"$out/skew_fact")
+      val hot = spark.read.parquet(s"$out/skew_fact")
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .map(k => k -> spark.conf.get(k))
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        val joined = hot.join(ord, col("l_orderkey") === col("o_orderkey"))
+        // execute THIS queryExecution (count() would plan its own copy and
+        // leave this one un-finalized), then read the final adaptive plan
+        val qe = joined.queryExecution
+        time("skew join (AQE split)")(qe.toRdd.count())
+        val plan = qe.executedPlan.toString
+        val split = plan.contains("skew=true")
+        println(s"[scale] AQE skew-join split applied: $split")
+        assert(split, "AQE did not split the skewed join partition:\n" + plan.take(3000))
+      } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
     }
     spark.stop()
   }

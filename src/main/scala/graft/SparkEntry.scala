@@ -2287,6 +2287,53 @@ object SparkEntry {
         |GROUP BY corpus_id, bench_id
         |ORDER BY corpus_id, bench_id""".stripMargin,
 
+    "q_shared_passages_char" ->
+      // the char-granular twin: DuckDB normalizes the same way the
+      // kernel does (lowercase, whitespace runs → one space, trimmed)
+      // and joins 40-char gram STRINGS vs the kernel's rolling hashes
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(s) - 38), i -> substr(s, i, 40)))) AS g
+        |  FROM norm WHERE len(s) >= 40)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_grams
+        |FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY id_a, id_b
+        |HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_shared_extents" ->
+      // positional 8-token gram self-join + the SAME gaps-and-islands
+      // merge (pos_a - row_number() constant within an aligned run),
+      // written over gram strings and explicit positions
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |pg AS (
+        |  SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
+        |  FROM toks WHERE len(t) >= 8),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g FROM pg),
+        |hits AS (
+        |  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT id_a, id_b, pos_b - pos_a AS delta, pos_a, pos_b,
+        |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_b - pos_a
+        |      ORDER BY pos_a) AS island
+        |  FROM hits),
+        |ext AS (
+        |  SELECT id_a, id_b,
+        |    CAST(min(pos_a) AS INTEGER) AS start_a,
+        |    CAST(min(pos_b) AS INTEGER) AS start_b,
+        |    CAST(max(pos_a) - min(pos_a) + 8 AS INTEGER) AS length
+        |  FROM runs GROUP BY id_a, id_b, delta, island)
+        |SELECT id_a, id_b, start_a, start_b, length
+        |FROM ext WHERE length >= 10
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
     "q_shared_passages" ->
       // maxBucket = 1000 cannot bind at oracle scale (500 docs), so the
       // capped Spark output equals this uncapped self-join exactly
