@@ -66,21 +66,51 @@ object Dedup {
     */
   def againstHistory(df: DataFrame, history: DataFrame, keys: Seq[String],
                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bloomBytes = buildKeyBloom(history, keys, expectedItems, fpp)
+    if (bloomBytes == null) df // empty history: nothing to dedup against
+    else gateByBloom(df, history, keys, bloomBytes)
+  }
+
+  private def keyHash(d: DataFrame, keys: Seq[String]) =
+    XxHash64(keys.map(k => exprs.toExpr(d(k))), 42L)
+
+  /** One mergeable-aggregate pass over `history`: a serialized bloom
+    * filter of xxhash64(keys), `numBits/8` bytes to the driver. The
+    * bytes are `org.apache.spark.util.sketch.BloomFilter` format —
+    * driver-mergeable across calls built with the SAME
+    * (expectedItems, fpp), which is how the streaming twin maintains
+    * one filter incrementally. Null on empty input.
+    */
+  def buildKeyBloom(history: DataFrame, keys: Seq[String],
+                    expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     require(keys.nonEmpty && expectedItems > 0 && fpp > 0 && fpp < 1)
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    def keyHash(d: DataFrame) = XxHash64(keys.map(k => exprs.toExpr(d(k))), 42L)
-    val bloomBytes = history
-      .select(exprs.toColumn(new BloomFilterAggregate(keyHash(history),
+    history
+      .select(exprs.toColumn(new BloomFilterAggregate(keyHash(history, keys),
         Literal(expectedItems), Literal(numBits), 0, 0)
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
-    if (bloomBytes == null) return df // empty history: nothing to dedup against
+  }
+
+  /** The gate itself, given a prebuilt bloom that is a SUPERSET of
+    * `history`'s keys (extra entries cost a needless exact check; a
+    * missing entry would let a duplicate through — the invariant the
+    * caller owns). Bloom misses pass with zero shuffle; hits resolve
+    * exactly via semi-then-anti: `history` is scanned ONCE column-pruned
+    * against the (small) candidate key set — never aggregated wholesale
+    * into an anti-join build side — and AQE picks broadcast for the
+    * small sides at runtime.
+    */
+  def gateByBloom(df: DataFrame, history: DataFrame, keys: Seq[String],
+                  bloomBytes: Array[Byte]): DataFrame = {
     val mightContain = exprs.toColumn(
-      BloomFilterMightContain(Literal(bloomBytes), keyHash(df)))
+      BloomFilterMightContain(Literal(bloomBytes), keyHash(df, keys)))
     val misses = df.filter(!mightContain)
     val hits = df.filter(mightContain)
-      .join(history.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    misses.unionByName(hits)
+    val candKeys = hits.select(keys.map(col): _*).distinct()
+    val matched = history.select(keys.map(col): _*)
+      .join(candKeys, keys, "left_semi").distinct()
+    misses.unionByName(hits.join(matched, keys, "left_anti"))
   }
 }

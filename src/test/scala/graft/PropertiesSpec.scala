@@ -65,6 +65,26 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("againstHistory equals plain left_anti on random batch/history splits") {
+    val gen = Gen.listOfN(120, Gen.zip(Gen.choose(0L, 40L), Gen.choose(0, 3)))
+    for ((pairs, i) <- samples(gen, 4).zipWithIndex) {
+      // keys collide heavily on purpose; route ~half the rows to history
+      val all = pairs.zipWithIndex.map { case ((k, r), j) => (j.toLong, s"key$k$r") }
+      val batch = all.filter(_._1 % 2 == 0).toDF("row_id", "k")
+      val history = all.filter(_._1 % 2 == 1).map(_._2).toDF("k")
+      // tiny bloom for sample i=0 forces a high fpp — the exact join must
+      // still correct every false positive
+      val expected = if (i == 0) 2L else 1000L
+      val got = Dedup.againstHistory(batch, history, Seq("k"), expected)
+        .select("row_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted
+      val want = batch.join(history, Seq("k"), "left_anti")
+        .select("row_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted
+      assert(got === want)
+    }
+  }
+
   test("asof join equals the naive per-row latest-at-or-before on random data") {
     import graft.operators.AsOf
     val leftGen = Gen.listOfN(15, for {
