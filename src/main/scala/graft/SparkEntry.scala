@@ -134,6 +134,20 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "q_table_checksum" -> ((s, dir) => {
+      // sync validation: row counts match ⇏ content matches. Per-group
+      // order-independent 60-bit digest sums — source and destination
+      // compare content without a sort or a second data movement.
+      // The double price goes through decimal(18,2) because double→string
+      // FORMATTING is engine-divergent (the digest contract).
+      Profile.groupChecksum(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price_d")),
+        Seq("l_returnflag"), Seq("l_orderkey", "l_linenumber", "price_d"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_unpivot" -> ((s, dir) => {
       // wide → key/value rows (stack): the destination-side inverse of
       // q_pivot, the reference writing pivoted category columns back as
@@ -2184,6 +2198,17 @@ object SparkEntry {
         |SELECT query_id, vec_id AS neighbor_id, cos_sim
         |FROM ranked WHERE rk <= 5
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_table_checksum" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
+        |    CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR))),
+        |    1, 15) AS BIGINT) AS DECIMAL(38,0)))
+        |    % 4611686018427387904 AS BIGINT) AS content_checksum
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_unpivot" ->
       """WITH src AS (

@@ -91,4 +91,24 @@ class IncrementalProfileSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!approxPlan.contains("Expand"), approxPlan) // single mergeable pass
   }
+
+  test("groupChecksum: order/partitioning-independent, any row change moves it") {
+    val rows = (1 to 200).map(i => (s"g${i % 3}", i.toLong, s"v$i"))
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Profile.groupChecksum(df, Seq("g"), Seq("id", "v"))
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    val base = sums(rows.toDF("g", "id", "v"))
+    // same rows, reversed arrival order, different partitioning
+    assert(sums(rows.reverse.toDF("g", "id", "v").repartition(7)) === base)
+    // one changed value in one group moves ONLY that group's checksum
+    val mutated = sums(rows.updated(17, ("g0", 18L, "vX")).toDF("g", "id", "v"))
+    assert(mutated.map(_._1) === base.map(_._1))
+    assert(mutated.zip(base).count { case (m, b) => m._3 != b._3 } === 1)
+    // null and the empty string digest differently
+    val a = Profile.groupChecksum(Seq(("g", Option.empty[String])).toDF("g", "v"),
+      Seq("g"), Seq("v")).select("content_checksum").as[Long].head()
+    val b = Profile.groupChecksum(Seq(("g", Option(""))).toDF("g", "v"),
+      Seq("g"), Seq("v")).select("content_checksum").as[Long].head()
+    assert(a !== b)
+  }
 }
