@@ -604,17 +604,10 @@ object SparkEntry {
       // two in-partition sorts — the flag needs no second shuffle. The
       // oracle runs DuckDB's native COUNT(DISTINCT ... ) OVER, a genuinely
       // independent algorithm for the same semantics.
-      val byUser = Window.partitionBy(col("event_type"))
-        .orderBy(col("user_id"), col("ts"), col("event_id"))
-      val byTime = Window.partitionBy(col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "events").filter(col("user_id") % 7 === 0)
-        .withColumn("__first", when(
-          lag(col("user_id"), 1).over(byUser).isNull.or(
-            lag(col("user_id"), 1).over(byUser) =!= col("user_id")), 1L)
-          .otherwise(0L))
-        .withColumn("distinct_users", sum(col("__first")).over(byTime))
+      RunningDistinct.countDistinct(
+        t(s, dir, "events").filter(col("user_id") % 7 === 0),
+        Seq("event_type"), "user_id", Seq(col("ts"), col("event_id")),
+        as = "distinct_users")
         .select(col("event_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
           col("distinct_users"))

@@ -50,6 +50,25 @@ class NullRobustnessSpec extends SparkSuite {
     assert(out === Array((1, "new"))) // version 2 beats the null-version row
   }
 
+  test("runningCountDistinct: nulls not counted, equals naive running set size") {
+    import graft.operators.RunningDistinct
+    val rows = Seq[(String, Option[Long], Long)](
+      ("a", Some(1L), 1), ("a", None, 2), ("a", Some(2L), 3), ("a", Some(1L), 4),
+      ("a", None, 5), ("a", Some(3L), 6),
+      ("b", None, 1), ("b", None, 2), ("b", Some(9L), 3))
+    val got = RunningDistinct.countDistinct(
+      rows.toDF("g", "u", "t"), Seq("g"), "u", Seq(col("t")))
+      .orderBy("g", "t").select("g", "t", "n_distinct")
+      .as[(String, Long, Long)].collect().toSeq
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._3)
+      sorted.indices.map { i =>
+        (g, sorted(i)._3, sorted.take(i + 1).flatMap(_._2).distinct.size.toLong)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === want)
+  }
+
   test("text functions return null/zero on null input, not exceptions") {
     val out = docsWithNull.select(
       TextFunctions.tokenCount(col("text")).as("tc"),
