@@ -61,6 +61,18 @@ object ScaleSmoke {
       time("brute topk 1x")(Knn.bruteForceTopK(emb1, q1, 5).count())
       time(s"brute topk ${mult}x")(
         Knn.bruteForceTopK(embN, embN.filter(col("vec_id") < 10), 5).count())
+
+      // bloom-gated incremental dedup: batch grows ×mult against a FIXED
+      // history (the incremental-ingest shape) — cost must scale with the
+      // batch; the history contributes one bloom build per call and one
+      // column-pruned semi scan for the candidate sliver, never a
+      // wholesale aggregate into a join build side
+      import graft.operators.Dedup
+      val hist = docs1.select(col("text"))
+      time("bloom dedup 1x")(
+        Dedup.againstHistory(docs1, hist, Seq("text"), 1000000L).count())
+      time(s"bloom dedup ${mult}x")(
+        Dedup.againstHistory(docsN, hist, Seq("text"), 1000000L).count())
     }
 
     if (section == "all" || section == "hierarchy") {
