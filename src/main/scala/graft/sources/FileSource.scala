@@ -58,7 +58,8 @@ object FileSource {
     val opts = options ++ Map(
       "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
     val full = withCorrupt(schema)
-    val headerLine = schema.fieldNames.mkString(options.getOrElse("sep", ","))
+    val headerLine = schema.fieldNames.mkString(
+      options.getOrElse("sep", options.getOrElse("delimiter", ",")))
     val lines = spark.read.text(path)
     val data = if (header) lines.filter(col("value") =!= headerLine) else lines
     splitParsed(data, schema, v => from_csv(v, full, opts))
