@@ -92,6 +92,29 @@ class IncrementalProfileSpec extends SparkSuite {
     assert(!approxPlan.contains("Expand"), approxPlan) // single mergeable pass
   }
 
+  test("incrementally maintained checksum == recompute after a CDC feed") {
+    // sync validation at streaming speed: the digest is a plain decimal
+    // sum, so IncrementalAgg keeps (n_rows, digest total) current under
+    // inserts/deletes — no rescan of the fact table
+    val base = (1 to 150).map(i => (s"g${i % 4}", i.toLong, s"v$i"))
+    val deletes = base.take(30).map { case (g, id, v) => (g, id, v, "D") }
+    val inserts = (151 to 190).map(i => (s"g${i % 4}", i.toLong, s"v$i", "I"))
+    val finalRows = base.drop(30) ++ inserts.map { case (g, id, v, _) => (g, id, v) }
+
+    val digest = Profile.rowDigest(Seq("id", "v"))
+    val state0 = IncrementalAgg.init(base.toDF("g", "id", "v"), Seq("g"), digest)
+    val state1 = IncrementalAgg.foldCdc(state0,
+      (deletes ++ inserts).toDF("g", "id", "v", "op"), Seq("g"), digest, col("op"))
+    val maintained = state1.select(col("g"), col("n_rows"),
+      (col("total").cast("decimal(38,0)") % lit(4611686018427387904L))
+        .cast("long").as("content_checksum"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    val recomputed = Profile.groupChecksum(
+      finalRows.toDF("g", "id", "v"), Seq("g"), Seq("id", "v"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(maintained === recomputed)
+  }
+
   test("groupChecksum: order/partitioning-independent, any row change moves it") {
     val rows = (1 to 200).map(i => (s"g${i % 3}", i.toLong, s"v$i"))
     def sums(df: org.apache.spark.sql.DataFrame) =
