@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators._
-import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
+import graft.functions.{Fingerprint, GramHash, TextFunctions, VectorFunctions}
 import graft.plans.{Quarantine, TableOrder}
 import graft.dedup.{Clusters, NearDup}
 import graft.similarity.Knn
@@ -1172,6 +1172,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_gram_novelty" -> ((s, dir) => {
+      // per-doc boilerplate score: how many of a doc's distinct 8-grams
+      // appear in at least one OTHER document — the per-document
+      // aggregate complement of q_shared_passages (pair detection).
+      // Shape: df aggregation and the grams⨝df join share the gram-hash
+      // partitioning (no extra exchange between them), then one doc_id
+      // aggregate; docs under 8 tokens have no grams and are absent.
+      val grams = t(s, dir, "documents").select(col("doc_id"),
+        explode(array_distinct(GramHash.gramHashes(col("text"), 8))).as("g"))
+      val df = grams.groupBy(col("g")).agg(count(lit(1)).as("gram_df"))
+      grams.join(df, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("gram_df") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_asof_nearest" -> ((s, dir) => {
       // nearest-direction as-of: each event matched to the CLOSER of the
       // user's prior/next purchase aggregate (ties prefer backward);
@@ -2304,6 +2321,22 @@ object SparkEntry {
         |WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
         |GROUP BY corpus_id, bench_id
         |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "q_gram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 8),
+        |df AS (SELECT g, count(*) AS gram_df FROM grams GROUP BY g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |FROM grams JOIN df USING (g)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_shared_passages_char" ->
       // the char-granular twin: DuckDB normalizes the same way the
