@@ -129,4 +129,28 @@ object SketchKernels {
     while (b < 64) { if (tally(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** Distinct-set |A∩B| and |A∪B| of two long-array SETS in ONE sorted
+    * merge pass, packed as (nInter << 32) | nUnion — the LSH-verify
+    * inner kernel ([[SetOverlapCounts]]). The compose-from-builtins form
+    * (`array_intersect` + `array_union`) builds two hash sets AND two
+    * result arrays per pair just to take their sizes; this allocates
+    * two primitive copies, sorts, and counts. Duplicate elements within
+    * a side are counted once (set semantics, same as the builtins).
+    */
+  def overlapCounts(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    java.util.Arrays.sort(x)
+    java.util.Arrays.sort(y)
+    var i = 0; var j = 0; var inter = 0; var union = 0
+    while (i < x.length || j < y.length) {
+      if (i < x.length && i > 0 && x(i) == x(i - 1)) i += 1 // in-side dup
+      else if (j < y.length && j > 0 && y(j) == y(j - 1)) j += 1
+      else if (j >= y.length || (i < x.length && x(i) < y(j))) { union += 1; i += 1 }
+      else if (i >= x.length || y(j) < x(i)) { union += 1; j += 1 }
+      else { inter += 1; union += 1; i += 1; j += 1 }
+    }
+    (inter.toLong << 32) | union.toLong
+  }
 }

@@ -144,6 +144,29 @@ class FunctionsSpec extends SparkSuite {
     assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"))
   }
 
+  test("SetOverlapCounts == array_intersect/array_union sizes on random sets") {
+    import graft.functions.SetOverlap
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map { _ =>
+      // overlapping ranges + in-side duplicates: set semantics must hold
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq.empty[Long])) :+ ((Seq(1L, 1L, 1L), Seq.empty[Long]))
+    val df = rows.toDF("a", "b")
+      .withColumn("p", SetOverlap.packedCounts(col("a"), col("b")))
+      .select(
+        SetOverlap.interCount(col("p")).as("ki"),
+        SetOverlap.unionCount(col("p")).as("ku"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("bi"),
+        size(array_union(col("a"), col("b"))).cast("long").as("bu"))
+    assert(df.filter(col("ki") =!= col("bi") || col("ku") =!= col("bu")).count() === 0)
+    // null input → null, like the builtins
+    val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(SetOverlap.packedCounts(col("a"), col("b")).as("p"))
+    assert(n.filter(col("p").isNull).count() === 1)
+  }
+
   test("TableOrder: parents precede children, deterministic, cycles throw") {
     val order = TableOrder.order(graft.sources.Tables.All)
     def idx(t: String) = order.indexOf(t)
