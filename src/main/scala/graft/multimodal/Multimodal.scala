@@ -112,6 +112,75 @@ object Multimodal {
     (checksum, hist, feat)
   }
 
+  /** REAL audio decode (WAV/AIFF/AU PCM via javax.sound.sampled — pure
+    * JVM, no FFI): the production codec for audio payloads, dropping into
+    * the [[decodeFeatures]] swap-in point with the same byte[]-in,
+    * features-out shape as [[decodeStub]]/[[decodeImage]]. The container
+    * is decoded to canonical 16-bit signed PCM (any source bit depth /
+    * endianness), channels mix to mono, and the features are
+    * deterministic sample statistics:
+    *   - checksum: rolling hash over the raw (encoded) payload bytes
+    *   - byte_histogram: 8-bucket |amplitude| histogram (bucket =
+    *     |s16| >>> 12, top bucket saturating)
+    *   - feat: [rms, zeroCrossingRate (per sample), peak, meanAbs
+    *     (all /full-scale), durationSeconds, sampleRateHz, nChannels,
+    *     silenceRatio (|s| < 1% full scale)]
+    * Undecodable payloads raise (quarantine upstream, like the image
+    * codec). Compressed formats (MP3 etc.) have no JVM-builtin SPI — they
+    * stay behind the documented stub until a codec lib is available.
+    */
+  private[graft] def decodeAudioWav(payload: Array[Byte]): (Long, Array[Long], Array[Float]) = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    var checksum = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { checksum = 31L * checksum + (payload(i) & 0xff); i += 1 }
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val src = in.getFormat
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, src.getSampleRate,
+        16, src.getChannels, src.getChannels * 2, src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(fmt, in)
+      val bytes = pcm.readAllBytes()
+      val ch = fmt.getChannels
+      val nFrames = bytes.length / (2 * ch)
+      val hist = new Array[Long](8)
+      var sumSq = 0.0; var sumAbs = 0.0; var peak = 0
+      var crossings = 0L; var silent = 0L; var prevSign = 0
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0
+        var c = 0
+        while (c < ch) { // little-endian interleaved frames, mixed to mono
+          val base = 2 * (f * ch + c)
+          acc += (bytes(base + 1) << 8) | (bytes(base) & 0xff)
+          c += 1
+        }
+        val s = acc / ch
+        val a = math.abs(s)
+        hist(math.min(7, a >>> 12)) += 1L
+        sumSq += s.toDouble * s; sumAbs += a
+        if (a > peak) peak = a
+        if (a < 328) silent += 1
+        val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+        if (prevSign != 0 && sign != 0 && sign != prevSign) crossings += 1
+        if (sign != 0) prevSign = sign
+        f += 1
+      }
+      val n = math.max(1, nFrames).toDouble
+      val full = 32768.0
+      val feat = Array(
+        (math.sqrt(sumSq / n) / full).toFloat,
+        (crossings / n).toFloat,
+        (peak / full).toFloat,
+        (sumAbs / n / full).toFloat,
+        (nFrames / fmt.getSampleRate.toDouble).toFloat,
+        fmt.getSampleRate,
+        ch.toFloat,
+        (silent / n).toFloat)
+      (checksum, hist, feat)
+    } finally in.close()
+  }
+
   /** Frame sampling: every `stride`-th fixed-size chunk of the payload
     * (stand-in for video frame extraction — a real decoder swaps into
     * the chunking exactly like decodeStub). One output row per sampled

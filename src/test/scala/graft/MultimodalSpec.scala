@@ -76,4 +76,37 @@ class MultimodalSpec extends SparkSuite {
       .select("doc_id", "feat").as[(Long, Seq[Float])].collect().toMap
     assert(out(1L) === out(2L) && out(1L)(3) === feat(3))
   }
+
+  test("decodeAudioWav decodes a synthesized sine WAV to known signal features") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 0.5 s of a 1 kHz sine at half full scale, 16-bit mono PCM @ 8 kHz
+    val rate = 8000; val freq = 1000; val nFrames = 4000; val amp = 16384
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = math.round(amp * math.sin(2 * math.Pi * freq * i / rate)).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val (_, hist, feat) = Multimodal.decodeAudioWav(wav)
+    assert(math.abs(feat(0) - 0.5f / math.sqrt(2).toFloat) < 0.01f) // RMS = A/sqrt(2)
+    assert(math.abs(feat(1) - 2f * freq / rate) < 0.01f) // ZCR = 2f/rate per sample
+    assert(math.abs(feat(2) - 0.5f) < 0.01f) // peak = A
+    assert(feat(4) === 0.5f && feat(5) === rate.toFloat && feat(6) === 1f)
+    assert(hist.sum === nFrames.toLong && hist(5) === 0L && hist(6) === 0L
+      && hist(7) === 0L) // |s| <= 16384 never reaches buckets 5-7
+
+    // and through the batched plumbing via the codec swap-in point
+    import spark.implicits._
+    val df = Seq((1L, wav), (2L, wav)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeFeatures(df, batchSize = 1, codec = Multimodal.decodeAudioWav)
+      .select("doc_id", "feat").as[(Long, Seq[Float])].collect().toMap
+    assert(out(1L) === out(2L) && out(1L)(0) === feat(0))
+  }
 }
