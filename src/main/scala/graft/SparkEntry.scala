@@ -833,6 +833,45 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_incremental_join" -> ((s, dir) => {
+      // materialized-JOIN maintenance: the orders⨝customer view is kept
+      // current by dirty-set partial recompute (IncrementalJoin.maintain
+      // — state never shuffles, snapshots key-pruned by the delta); the
+      // oracle joins the FINAL tables, so hash-equality proves
+      // maintain(state, deltas) == recompute-the-world. Old snapshots
+      // and CDC feeds derive deterministically from the current tables:
+      // %97 orders are the batch's inserts, %89 moved to another
+      // customer (key-CHANGING update: old key on the D row, new on the
+      // I row), fabricated +30M ids are full deletes, %13 customers
+      // changed balance.
+      val aNew = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("custkey"), col("o_totalprice"))
+      val bNew = t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+        col("c_name"), col("c_acctbal"))
+      val aIns = aNew.filter(col("o_orderkey") % 97 === 0)
+      val aMovedNew = aNew.filter(col("o_orderkey") % 97 =!= 0
+        && col("o_orderkey") % 89 === 0)
+      val aMovedOld = aMovedNew
+        .withColumn("custkey", pmod(col("custkey") + 7, lit(1500L)) + 1)
+        .withColumn("o_totalprice", col("o_totalprice") - 100.0)
+      val aDeleted = aNew.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+      val aOld = aNew.filter(col("o_orderkey") % 97 =!= 0
+          && col("o_orderkey") % 89 =!= 0)
+        .unionByName(aMovedOld).unionByName(aDeleted)
+      val bChangedNew = bNew.filter(col("custkey") % 13 === 0)
+      val bChangedOld = bChangedNew.withColumn("c_acctbal", col("c_acctbal") - 50.0)
+      val bOld = bNew.filter(col("custkey") % 13 =!= 0).unionByName(bChangedOld)
+      val deltaA = aMovedOld.unionByName(aDeleted).withColumn("op", lit("D"))
+        .unionByName(aIns.unionByName(aMovedNew).withColumn("op", lit("I")))
+      val deltaB = bChangedOld.withColumn("op", lit("D"))
+        .unionByName(bChangedNew.withColumn("op", lit("I")))
+      val state = IncrementalJoin.joinOf(aOld, bOld, Seq("custkey"))
+      IncrementalJoin.maintain(state, aNew, deltaA, bNew, deltaB,
+        Seq("custkey"), "o_orderkey", "custkey")
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_profile" -> ((s, dir) => {
       // per-column import profile: rows/nulls/distincts as joinable rows
       Profile.summarize(t(s, dir, "orders"),
@@ -1439,6 +1478,11 @@ object SparkEntry {
         |FROM merged
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_incremental_join" ->
+      """SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_name, c_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_profile" ->
       """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
