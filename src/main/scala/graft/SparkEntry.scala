@@ -983,6 +983,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q_token_gini" -> ((s, dir) => {
+      // per-doc vocabulary concentration: token total n and Σc² over
+      // per-token counts, kept as EXACT integers — Simpson/Gini
+      // concentration (Σc²/n², the repetition complement of diversity)
+      // derives at read time with no cross-engine float hazard.
+      // Boilerplate scores high, diverse prose low. Zero-token docs are
+      // absent (nothing to score). Shape: one (doc_id, tok) aggregate
+      // then one doc_id aggregate — both partial-agg friendly.
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(col("c") * col("c")).as("ssq_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
@@ -2179,6 +2197,16 @@ object SparkEntry {
         |      FROM c GROUP BY 1)
         |SELECT doc_id, top_bigram_bp
         |FROM documents LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_token_gini" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE trim(text) <> ''),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c * c) AS BIGINT) AS ssq_tokens
+        |FROM c GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
