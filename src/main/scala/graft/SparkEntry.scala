@@ -242,6 +242,29 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("valid_from"))
     }),
 
+    "q_scd2_snapshot" -> ((s, dir) => {
+      // time travel over the Type 2 history: the as-of read at an
+      // instant BEFORE the merge reconstructs the pre-merge table
+      // exactly — the oracle is literally SELECT .. FROM orders.
+      // Filter-only over the history (no join, no shuffle).
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val dest = o.withColumn("valid_from", lit("2020-01-01"))
+        .withColumn("valid_to", lit(null).cast("string"))
+        .withColumn("is_current", lit(true))
+      val changedIn = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      val sameIn = o.filter(col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 3 === 0)
+      val newIn = o.filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), (col("o_totalprice") - 500.0).as("o_totalprice"))
+      val merged = Scd.applyType2(dest,
+        changedIn.unionByName(sameIn).unionByName(newIn),
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"), "2024-06-01")
+      Scd.snapshotAsOf(merged, "2022-06-01").orderBy(col("o_orderkey"))
+    }),
+
     "q_scd2_feed" -> ((s, dir) => {
       // SCD2 materialized from a multi-version change feed: each change
       // opens its own interval, the open dest row closes at the key's
@@ -1659,6 +1682,10 @@ object SparkEntry {
         |  coalesce(i.o_totalprice, d.o_totalprice) AS o_totalprice
         |FROM dest d LEFT JOIN incoming i ON d.o_orderkey = i.o_orderkey
         |ORDER BY 1""".stripMargin,
+
+    "q_scd2_snapshot" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_scd2_feed" ->
       """WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -66,6 +66,22 @@ object Scd {
     hist.unionByName(kept).unionByName(closed).unionByName(opened)
   }
 
+  /** Time travel over a Type 2 history: the table as it stood at `ts` —
+    * rows whose validity interval covers the instant, business columns
+    * only (the as-of read every SCD2 consumer runs). Filter-only: no
+    * join, no shuffle; at scale the predicate partition-prunes when the
+    * history is laid out by `curCol` or a `toCol`-derived month.
+    * q_scd2_snapshot proves the reconstruction is exact: the as-of read
+    * at a pre-merge instant hash-matches the original table.
+    */
+  def snapshotAsOf(dest: DataFrame, ts: String,
+                   fromCol: String = "valid_from", toCol: String = "valid_to",
+                   curCol: String = "is_current"): DataFrame = {
+    val t = lit(ts)
+    dest.filter(col(fromCol) <= t && (col(toCol).isNull || col(toCol) > t))
+      .drop(fromCol, toCol, curCol)
+  }
+
   /** SCD Type 2 from a CHANGE FEED: unlike [[applyType2]] (one snapshot
     * per call), the batch may carry several versions of a key, each with
     * its own event time — every non-delete change becomes a history
