@@ -583,6 +583,50 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    "q_basket_affinity" -> ((s, dir) => {
+      // market-basket pair support: parts co-purchased in one order —
+      // the affinity signal behind "customers also bought". Self
+      // equi-join on the ORDER key, so pair work is bounded by basket
+      // size (never all-parts quadratic); exact integer supports (n_ab,
+      // n_a, n_b) — lift derives at read time with no float hazard;
+      // total order (count desc, then pair) makes the top-100 stable
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val supp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      pairs
+        .join(supp.select(col("l_partkey").as("part_a"), col("n").as("n_a")),
+          Seq("part_a"))
+        .join(supp.select(col("l_partkey").as("part_b"), col("n").as("n_b")),
+          Seq("part_b"))
+        .filter(col("n_ab") >= 2)
+        .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+        .limit(100)
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"))
+    }),
+
+    "q_cohort_retention" -> ((s, dir) => {
+      // classic cohort retention matrix: customers bucketed by
+      // first-order month, tracked by month offset — two keyed
+      // aggregates + one join back on the customer-sized first-order
+      // table (broadcast at dim scale); months as portable yyyy-MM
+      // strings, offsets as exact month-index ints (no interval math)
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("m"))
+      val first = o.groupBy(col("o_custkey"))
+        .agg(min(col("mi")).as("cmi"), min(col("m")).as("cohort"))
+      o.join(first, Seq("o_custkey"))
+        .groupBy(col("cohort"),
+          (col("mi") - col("cmi")).cast("long").as("month_offset"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy(col("cohort"), col("month_offset"))
+    }),
+
     "q_growth_mom" -> ((s, dir) => {
       val monthly = t(s, dir, "orders")
         .join(broadcast(Denormalize.resolve(t(s, dir, "customer"), t(s, dir, "nation"),
@@ -1984,6 +2028,34 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_basket_affinity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |supp AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1)
+        |SELECT part_a, part_b, n_ab, sa.n AS n_a, sb.n AS n_b
+        |FROM pairs
+        |JOIN supp sa ON part_a = sa.l_partkey
+        |JOIN supp sb ON part_b = sb.l_partkey
+        |WHERE n_ab >= 2
+        |ORDER BY n_ab DESC, part_a, part_b
+        |LIMIT 100""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH o AS (SELECT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+        |    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS m FROM orders),
+        |f AS (SELECT o_custkey, min(mi) AS cmi, min(m) AS cohort
+        |      FROM o GROUP BY o_custkey)
+        |SELECT cohort, CAST(mi - cmi AS BIGINT) AS month_offset,
+        |  count(DISTINCT o.o_custkey) AS n_customers
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY cohort, month_offset
+        |ORDER BY cohort, month_offset""".stripMargin,
 
     "q_growth_mom" ->
       """WITH monthly AS (

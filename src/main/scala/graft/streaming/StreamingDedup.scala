@@ -37,7 +37,12 @@ class StreamingDedup(destPath: String, keys: Seq[String], order: Seq[Column],
 
   @transient private var bloom: BloomFilter = _
 
-  private def destExists = new java.io.File(destPath).exists()
+  // destination probe through the Hadoop FS API — the destination is
+  // HDFS/S3 in a real deployment, not the driver's local disk
+  private def destExists(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(destPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   private def merge(bytes: Array[Byte]): Unit = if (bytes != null) {
     val b = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
@@ -47,7 +52,7 @@ class StreamingDedup(destPath: String, keys: Seq[String], order: Seq[Column],
   /** One micro-batch (also directly callable for batch backfill). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    if (bloom == null && destExists)
+    if (bloom == null && destExists(spark))
       merge(Dedup.buildKeyBloom(spark.read.parquet(destPath),
         keys, expectedItems, fpp))
     val inBatch = Dedup.keepFirst(batch, keys, order)
