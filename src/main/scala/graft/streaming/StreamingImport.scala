@@ -15,6 +15,13 @@ import graft.operators.Merge
   */
 object StreamingImport {
 
+  // destination probe through the Hadoop FS API — the destination is
+  // HDFS/S3 in a real deployment, not the driver's local disk
+  private[streaming] def pathExists(df: DataFrame, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def start(stream: DataFrame, destPath: String, keys: Seq[String],
             checkpoint: String): StreamingQuery =
     stream.writeStream
@@ -30,7 +37,7 @@ object StreamingImport {
     */
   def upsertBatch(batch: DataFrame, destPath: String, keys: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    val destExists = new java.io.File(destPath).exists()
+    val destExists = pathExists(batch, destPath)
     val merged = if (destExists)
       Merge.upsert(spark.read.parquet(destPath), batch, keys)
     else batch
@@ -69,7 +76,7 @@ object StreamingImport {
   def upsertBatchPartitioned(batch: DataFrame, destPath: String,
                              keys: Seq[String], partCol: String): Unit = {
     val spark = batch.sparkSession
-    val destExists = new java.io.File(destPath).exists()
+    val destExists = pathExists(batch, destPath)
     // the batch's touched partition values: one distinct over a
     // micro-batch, bounded by the batch's partition spread — driver-safe
     val touched = batch.select(partCol).distinct().collect().map(_.get(0))
@@ -113,7 +120,7 @@ object StreamingImport {
   def upsertBatchRelocating(batch: DataFrame, destPath: String,
                             keys: Seq[String], partCol: String): Unit = {
     val spark = batch.sparkSession
-    val destExists = new java.io.File(destPath).exists()
+    val destExists = pathExists(batch, destPath)
     val touched = batch.select(partCol).distinct().collect().map(_.get(0))
     if (destExists && touched.nonEmpty) {
       requireNoNarrowing(batch, destPath)
