@@ -900,6 +900,28 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_sync_diff" -> ((s, dir) => {
+      // sync reconciliation: WHICH keys drifted between source and
+      // destination — missing / extra / differs via one full-outer join
+      // of (key, 60-bit digest) pairs; content columns never shuffle.
+      // The destination derives deterministically: %97 rows never
+      // arrived, %89 rows drifted in price, +30M ids are spurious
+      // extras. The oracle compares CONTENT directly (IS DISTINCT
+      // FROM), so hash-equality also proves the digest reduction loses
+      // nothing.
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val dst = src.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(src.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 30000000L))
+      Reconcile.diffKeys(src, dst, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_incremental_join" -> ((s, dir) => {
       // materialized-JOIN maintenance: the orders⨝customer view is kept
       // current by dirty-set partial recompute (IncrementalJoin.maintain
@@ -1563,6 +1585,31 @@ object SparkEntry {
         |FROM merged
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_sync_diff" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |dst AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT coalesce(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+        |  CASE WHEN d.o_orderkey IS NULL THEN 'missing'
+        |       WHEN s.o_orderkey IS NULL THEN 'extra'
+        |       WHEN s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+        |         OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
+        |         THEN 'differs' END AS status
+        |FROM src s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey
+        |WHERE CASE WHEN d.o_orderkey IS NULL THEN 'missing'
+        |       WHEN s.o_orderkey IS NULL THEN 'extra'
+        |       WHEN s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+        |         OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
+        |         THEN 'differs' END IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_incremental_join" ->
       """SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_name, c_acctbal
