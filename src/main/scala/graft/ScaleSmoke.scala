@@ -163,6 +163,62 @@ object ScaleSmoke {
       }
     }
 
+    if (section == "all" || section == "incremental") {
+      // materialized-join maintenance ramp: cost must track the DELTA,
+      // not the view. State = (orders ×mult) ⨝ customer on parquet;
+      // deltas of 1/1000 and 1/100 of the fact vs the full recompute.
+      // maintain never shuffles the state (broadcast anti) and its
+      // fresh join is delta-sized — the recompute pays the full
+      // fact-side shuffle every time. Delta times must be well under
+      // the recompute and ~flat in delta size (scan-dominated);
+      // StreamingJoin's bucketed state bounds even the scan.
+      import graft.operators.IncrementalJoin
+      spark.catalog.clearCache()
+      val ordersBase = Tables.load(spark, base, "orders")
+      val shift2 = ordersBase.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+      // FACT ⨝ FACT (orders ⨝ lineitem): the join class where
+      // maintenance matters — the recompute pays two fact-sized
+      // shuffles every run, maintain pays none (state and snapshots
+      // scan but never shuffle; dirty sets broadcast). A dim join
+      // would be a strawman: its recompute broadcasts and wins by
+      // construction. Snapshots/state/deltas live on parquet like
+      // production tables — deriving a delta by re-scanning an
+      // in-memory union would charge the fact scan to the maintenance
+      // being measured.
+      (0 until mult).map(i =>
+          ordersBase.withColumn("o_orderkey", col("o_orderkey") + lit(i * shift2)))
+        .reduce(_ unionByName _)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/ij_a")
+      val aNew = spark.read.parquet(s"$out/ij_a")
+      val liBase = Tables.load(spark, base, "lineitem")
+      (0 until mult).map(i =>
+          liBase.withColumn("l_orderkey", col("l_orderkey") + lit(i * shift2)))
+        .reduce(_ unionByName _)
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("l_id"),
+          col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+        .write.mode("overwrite").parquet(s"$out/ij_b")
+      val bNew = spark.read.parquet(s"$out/ij_b")
+      IncrementalJoin.joinOf(aNew, bNew, Seq("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$out/ij_state")
+      val state = spark.read.parquet(s"$out/ij_state")
+      val emptyB = bNew.filter(lit(false)).withColumn("op", lit("I"))
+      val tFull = time(s"incr-join full recompute ${mult}x")(
+        IncrementalJoin.joinOf(aNew, bNew, Seq("o_orderkey")).count())
+      var tSmall = 0.0
+      for (modN <- Seq(100, 1000)) {
+        aNew.filter(col("o_orderkey") % modN === 0)
+          .withColumn("op", lit("I"))
+          .write.mode("overwrite").parquet(s"$out/ij_delta")
+        val deltaA = spark.read.parquet(s"$out/ij_delta")
+        val tD = time(s"incr-join maintain delta=1/$modN")(
+          IncrementalJoin.maintain(state, aNew, deltaA, bNew, emptyB,
+            Seq("o_orderkey"), "o_orderkey", "l_id").count())
+        if (modN == 1000) tSmall = tD
+      }
+      println(f"[scale] maintain(1/1000) / recompute: ${tSmall / tFull}%.2f")
+    }
+
     if (section == "all" || section == "skew") {
       // AQE skew handling: collapse 30% of lineitem onto ONE orderkey and
       // join to orders WITHOUT broadcast (forced shuffle join). At 100 TB
