@@ -17,6 +17,7 @@ import graft.functions._
   *   graft_gram_hashes(text, n)                 -> array<bigint>
   *   graft_char_gram_hashes(text, n)            -> array<bigint>
   *   graft_cosine(a, b)                         -> double
+  *   graft_set_overlap(a, b)                    -> bigint (inter<<32|union)
   *
   * Activated by `GraftSession.builder` (spark.sql.extensions also works
   * for externally-launched sessions:
@@ -73,6 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cosine(a, b)")
         CosineSim(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_set_overlap"),
+      new ExpressionInfo(classOf[SetOverlapCounts].getName, "graft_set_overlap"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_set_overlap(a, b)")
+        SetOverlapCounts(args.head, args(1))
       }))
   }
 }

@@ -44,6 +44,30 @@ class ExtensionsSpec extends SparkSuite {
     assert(viaSql(1)._2.isEmpty)
   }
 
+  test("graft_set_overlap in sql equals the column api and the builtin composition") {
+    val sets = Seq(
+      (1L, Array(1L, 2L, 3L), Array(2L, 3L, 4L)),
+      (2L, Array.empty[Long], Array(7L, 7L)),
+      (3L, Array(5L, 5L, 6L), Array(5L, 6L))).toDF("id", "a", "b")
+    sets.createOrReplaceTempView("ext_sets")
+    val viaSql = spark.sql(
+      """SELECT id, graft_set_overlap(a, b) >> 32 AS inter,
+        |  graft_set_overlap(a, b) & 4294967295 AS uni
+        |FROM ext_sets ORDER BY id""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSeq
+    val packed = graft.functions.SetOverlap.packedCounts(col("a"), col("b"))
+    val viaApi = sets.select(col("id"),
+      graft.functions.SetOverlap.interCount(packed).as("inter"),
+      graft.functions.SetOverlap.unionCount(packed).as("uni"))
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val viaBuiltin = sets.select(col("id"),
+      size(array_intersect(col("a"), col("b"))).cast("long"),
+      size(array_union(col("a"), col("b"))).cast("long"))
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql === viaBuiltin)
+  }
+
   test("non-literal parameters fail with an actionable message") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_minhash('x', CAST(rand()*10 AS INT), 3)").collect()

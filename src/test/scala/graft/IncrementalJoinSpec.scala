@@ -47,6 +47,34 @@ class IncrementalJoinSpec extends SparkSuite {
     }
   }
 
+  test("null join keys never pair and never corrupt maintenance") {
+    // rows can move between null and real keys; null never joins (SQL
+    // inner-join semantics), and a null-keyed dirty row must still
+    // retire its old pairs
+    val toA = (s: Seq[(Long, Option[String], String)]) => s.toDF("aid", "k", "av")
+    val toB = (s: Seq[(Long, Option[String], String)]) => s.toDF("bid", "k", "bv")
+    val aOld = Seq((1L, Some("k1"), "a1"), (2L, Option.empty[String], "a2"),
+      (3L, Some("k2"), "a3"))
+    val b = toB(Seq((10L, Some("k1"), "b1"), (11L, Option.empty[String], "b2"),
+      (12L, Some("k2"), "b3")))
+    val aNew = Seq((1L, Some("k1"), "a1"), (2L, Some("k2"), "a2'"),
+      (3L, Option.empty[String], "a3'"), (4L, Option.empty[String], "a4"))
+    val deltaA = Seq(
+      (2L, Option.empty[String], "a2", "D"), (2L, Some("k2"), "a2'", "I"),
+      (3L, Some("k2"), "a3", "D"), (3L, Option.empty[String], "a3'", "I"),
+      (4L, Option.empty[String], "a4", "I"))
+      .toDF("aid", "k", "av", "op")
+    val emptyB = Seq.empty[(Long, Option[String], String, String)]
+      .toDF("bid", "k", "bv", "op")
+    val state = IncrementalJoin.joinOf(toA(aOld), b, Seq("k"))
+    val maintained = IncrementalJoin.maintain(state, toA(aNew), deltaA,
+      b, emptyB, Seq("k"), "aid", "bid")
+    assert(canon(maintained) ===
+      canon(IncrementalJoin.joinOf(toA(aNew), b, Seq("k"))))
+    // and the null-keyed rows produced no pairs at all
+    assert(!maintained.select("aid").as[Long].collect().contains(3L))
+  }
+
   test("one-sided empty delta is a no-op passthrough") {
     val a = Seq((1L, "x", "a1"), (2L, "y", "a2")).toDF("aid", "k", "av")
     val b = Seq((10L, "x", "b1"), (11L, "x", "b2")).toDF("bid", "k", "bv")
