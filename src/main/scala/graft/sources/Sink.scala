@@ -81,4 +81,37 @@ object Sink {
     rm(old)
     (before.length, parquetFiles(dir).length)
   }
+
+  /** Per-partition compaction over a hive-partitioned layout: each leaf
+    * partition directory compacts independently through [[compact]], so
+    * the unit of work (and of the non-transactional swap window) stays
+    * one partition — never the whole table. Partitions already at
+    * `maxFiles` or fewer are skipped without reading data (steady-state
+    * micro-batch destinations have mostly-clean partitions; only the
+    * hot ones pay). Returns (partitionsCompacted, filesBefore,
+    * filesAfter) summed over compacted partitions.
+    */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                         targetBytes: Long = 128L << 20,
+                         maxFiles: Int = 4): (Int, Int, Int) = {
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"not a directory: $path")
+    def leaves(d: java.io.File): Seq[java.io.File] = {
+      val subs = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.contains("="))
+      if (subs.isEmpty) Seq(d) else subs.toSeq.flatMap(leaves)
+    }
+    val parts = leaves(root).filter(_ != root)
+    require(parts.nonEmpty, s"$path has no partition directories; use compact")
+    var done = 0; var before = 0; var after = 0
+    parts.foreach { p =>
+      val nFiles = Option(p.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (nFiles > maxFiles) {
+        val (b, a) = compact(spark, p.getPath, targetBytes)
+        done += 1; before += b; after += a
+      }
+    }
+    (done, before, after)
+  }
 }

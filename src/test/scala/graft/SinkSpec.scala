@@ -63,6 +63,31 @@ class SinkSpec extends SparkSuite {
     assert(err.getMessage.contains("partition"))
   }
 
+  test("compactPartitioned collapses only the debris-heavy partitions") {
+    val dir = Files.createTempDirectory("graft_compact_hv").toString + "/t"
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text")
+    // one hot partition with 20-file debris, the rest written clean
+    val hot = docs.filter(col("lang") === "en").repartition(20)
+    val clean = docs.filter(col("lang") =!= "en").coalesce(1)
+    hot.write.partitionBy("lang").parquet(dir)
+    clean.write.mode("append").partitionBy("lang").parquet(dir)
+    def files(lang: String) =
+      new java.io.File(s"$dir/lang=$lang").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val cleanLang = clean.select("lang").distinct()
+      .as[String].collect().head
+    val cleanBefore = files(cleanLang)
+    val (nParts, before, after) = Sink.compactPartitioned(spark, dir)
+    assert(nParts === 1 && before === 20 && after < before,
+      s"$nParts parts, $before -> $after")
+    assert(files(cleanLang) === cleanBefore, "clean partition untouched")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    assert(back.agg(sum("doc_id")).head.getLong(0) ===
+      docs.agg(sum("doc_id")).head.getLong(0))
+  }
+
   test("schema evolution: mergeSchema read + conform recovers a stable frame") {
     // a source adds a column mid-feed (the drift JobConfig.drift reports);
     // mergeSchema unions the file schemas, overwriteToOriginal conforms
