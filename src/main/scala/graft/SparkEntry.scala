@@ -585,19 +585,24 @@ object SparkEntry {
 
     "q_basket_affinity" -> ((s, dir) => {
       // market-basket pair support: parts co-purchased in one order —
-      // the affinity signal behind "customers also bought". Self
-      // equi-join on the ORDER key, so pair work is bounded by basket
-      // size (never all-parts quadratic); exact integer supports (n_ab,
-      // n_a, n_b) — lift derives at read time with no float hazard;
-      // total order (count desc, then pair) makes the top-100 stable
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      // the affinity signal behind "customers also bought". ONE keyed
+      // shuffle builds sorted distinct baskets (collect_set state
+      // bounded by basket size), pairs enumerate INSIDE each basket
+      // (never a self-join re-shuffle, never all-parts quadratic), and
+      // per-part supports fall out of the same basket table; exact
+      // integer supports (n_ab, n_a, n_b) — lift derives at read time
+      // with no float hazard; total order makes the top-100 stable
+      val baskets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      val pairs = baskets.select(explode(expr(
+          "flatten(transform(parts, (a, i) -> " +
+            "transform(slice(parts, i + 2, size(parts)), " +
+            "b -> named_struct('part_a', a, 'part_b', b))))")).as("p"))
+        .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
         .agg(count(lit(1)).as("n_ab"))
-      val supp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      val supp = baskets.select(explode(col("parts")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
       pairs
         .join(supp.select(col("l_partkey").as("part_a"), col("n").as("n_a")),
           Seq("part_a"))
