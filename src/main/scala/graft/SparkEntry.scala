@@ -583,6 +583,36 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    "q_trend_slope" -> ((s, dir) => {
+      // per-region monthly revenue TREND: least-squares slope from
+      // exact moment sums (n, Σx, Σy, Σxy, Σx²) — x the integer month
+      // index, y the exact decimal month revenue, so both engines carry
+      // IDENTICAL exact numerator/denominator into one double division
+      // (the PMI-ratio determinism trick applied to regression); two
+      // aggregates over months, dims broadcast
+      val monthly = t(s, dir, "orders")
+        .join(broadcast(Denormalize.resolve(t(s, dir, "customer"),
+          t(s, dir, "nation"),
+          Seq("c_nationkey" -> "n_nationkey"), Seq("n_regionkey" -> "__rk"))
+          .select(col("c_custkey"), col("__rk"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "region")), col("__rk") === col("r_regionkey"))
+        .groupBy(col("r_name"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("x"))
+        .agg(sum(col("o_totalprice").cast("decimal(30,2)")).as("y"))
+      monthly.groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("r_name"),
+          floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * 10000.0 + 0.5).cast("long").as("slope_bp"))
+        .orderBy(col("r_name"))
+    }),
+
     "q_basket_affinity" -> ((s, dir) => {
       // market-basket pair support: parts co-purchased in one order —
       // the affinity signal behind "customers also bought". ONE keyed
@@ -2080,6 +2110,26 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_trend_slope" ->
+      """WITH monthly AS (
+        |  SELECT r_name,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,2))) AS y
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT r_name, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM monthly GROUP BY r_name)
+        |SELECT r_name,
+        |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+        |    AS slope_bp
+        |FROM m ORDER BY r_name""".stripMargin,
 
     "q_basket_affinity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
