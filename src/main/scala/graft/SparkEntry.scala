@@ -1227,6 +1227,21 @@ object SparkEntry {
         .orderBy(col("w1"), col("w2"))
     }),
 
+    "q_sample_weighted" -> ((s, dir) => {
+      // quality-weighted sampling: per-row rate from a document signal
+      // (length here; any quality score slots in) — long docs replicate
+      // up to 2 epochs, short ones hash-downsample; portable hash +
+      // pure-IEEE rate arithmetic so the oracle replays the decision
+      val d = t(s, dir, "documents")
+      pipelines.Mixture.sampleWeighted(
+        d.select(col("doc_id"), col("n_chars")),
+        least(lit(2.0), col("n_chars") / 500.0),
+        (col("doc_id") % 1048573L * 2654435761L % 1000000L).cast("double")
+          / 1000000.0)
+        .select(col("doc_id"), col("epoch").cast("long").as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     "q_pack_sequences" -> ((s, dir) => {
       // concat-and-chop training-sequence packing, one window per source
       val withTok = t(s, dir, "documents")
@@ -2337,6 +2352,20 @@ object SparkEntry {
         |JOIN uni c ON b.w2 = c.w
         |CROSS JOIN n
         |ORDER BY b.w1, b.w2""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id, least(2.0, n_chars / 500.0) AS rate,
+        |    (doc_id % 1048573 * 2654435761 % 1000000) / 1000000.0 AS u
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, rate, u, CAST(floor(rate) AS INT) AS fullep,
+        |    unnest(range(CAST(floor(rate) AS INT) + 1)) AS epoch
+        |  FROM d)
+        |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch
+        |FROM e
+        |WHERE epoch < fullep OR u < rate - fullep
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,

@@ -29,6 +29,21 @@ object Mixture {
   def uniformHash(id: Column, salt: Long = 0L): Column =
     pmod(xxhash64(id, lit(salt)), lit(1000000L)).cast("double") / 1000000.0
 
+  /** Per-ROW rates — quality-weighted sampling (the published data
+    * recipes upsample by document quality, not just by source): `rate`
+    * is any deterministic non-negative column (r ≤ 1 hash-keeps an
+    * r-fraction, r > 1 replicates ⌊r⌋ epochs + hash-samples the
+    * fractional one). `u` must be uniform in [0,1) and deterministic
+    * per row. Narrow projection + filter; rejected rows never shuffle.
+    */
+  def sampleWeighted(df: DataFrame, rate: Column, u: Column): DataFrame =
+    df.withColumn("__u", u)
+      .withColumn("__full", floor(rate).cast("int"))
+      .withColumn("__frac", rate - col("__full"))
+      .withColumn("epoch", explode(sequence(lit(0), col("__full"))))
+      .filter(col("epoch") < col("__full") || col("__u") < col("__frac"))
+      .drop("__u", "__full", "__frac")
+
   /** Apply per-source rates; sources absent from `rates` are dropped.
     * `u` must be uniform in [0,1) and deterministic per row.
     */
@@ -38,13 +53,7 @@ object Mixture {
     val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
       when(col(sourceCol) === s, lit(r)).otherwise(acc)
     }
-    val fullEpochs = floor(rate).cast("int")
-    df.withColumn("__u", u)
-      .withColumn("__full", fullEpochs)
-      .withColumn("__frac", rate - col("__full"))
-      .withColumn("epoch", explode(sequence(lit(0), col("__full"))))
-      .filter(col("epoch") < col("__full") || col("__u") < col("__frac"))
-      .drop("__u", "__full", "__frac")
+    sampleWeighted(df, rate, u)
   }
 
   def sample(df: DataFrame, sourceCol: String, idCol: String,
