@@ -957,6 +957,25 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_change_feed" -> ((s, dir) => {
+      // CDC feed GENERATION from two snapshots (sources that only
+      // publish snapshots — the reference's import model): digest
+      // compare names the changed keys (16 B/row shuffle), full content
+      // moves only for the delta; D carries the old version, I the new,
+      // updates lower to D+I — the feed every incremental consumer eats
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val dst = src.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(src.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 30000000L))
+      Reconcile.changeFeed(src, dst, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+        .orderBy(col("o_orderkey"), col("op"))
+    }),
+
     "q_incremental_join" -> ((s, dir) => {
       // materialized-JOIN maintenance: the orders⨝customer view is kept
       // current by dirty-set partial recompute (IncrementalJoin.maintain
@@ -1635,6 +1654,30 @@ object SparkEntry {
         |FROM merged
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_change_feed" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |dst AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice, 'D' AS op
+        |FROM src s LEFT JOIN dst d ON s.o_orderkey = d.o_orderkey
+        |WHERE d.o_orderkey IS NULL
+        |  OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+        |  OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
+        |UNION ALL
+        |SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice, 'I'
+        |FROM dst d LEFT JOIN src s ON d.o_orderkey = s.o_orderkey
+        |WHERE s.o_orderkey IS NULL
+        |  OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
+        |  OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
+        |ORDER BY o_orderkey, op""".stripMargin,
 
     "q_sync_diff" ->
       """WITH src AS (

@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object Reconcile {
 
+  /** Generate the CDC feed that turns `oldDf` into `newDf`: deletes
+    * carry the old version, inserts the new, updates lower to
+    * delete+insert — exactly the feed shape every incremental consumer
+    * here eats ([[IncrementalAgg.foldCdc]], [[IncrementalJoin]],
+    * [[Merge.applyCdc]], [[Scd.applyType2Feed]]), closing the loop for
+    * sources that only publish snapshots (the reference's import model:
+    * each sync IS a snapshot).
+    *
+    * Scale shape: the digest compare ([[diffKeys]]) decides WHO changed
+    * with a 16-byte/row shuffle; full content then moves ONLY for the
+    * changed keys, fetched by semi joins the optimizer broadcasts when
+    * the drift is small (the healthy-sync case).
+    */
+  def changeFeed(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                 contentCols: Seq[String], opCol: String = "op"): DataFrame = {
+    val diff = diffKeys(oldDf, newDf, keys, contentCols)
+    val dels = oldDf.join(
+      diff.filter(col("status").isin("missing", "differs"))
+        .select(keys.map(col): _*), keys, "left_semi")
+      .withColumn(opCol, lit("D"))
+    val ins = newDf.join(
+      diff.filter(col("status").isin("extra", "differs"))
+        .select(keys.map(col): _*), keys, "left_semi")
+      .withColumn(opCol, lit("I"))
+    dels.unionByName(ins)
+  }
+
   def diffKeys(src: DataFrame, dst: DataFrame, keys: Seq[String],
                contentCols: Seq[String]): DataFrame = {
     val s = src.select(keys.map(col) :+
