@@ -13,7 +13,8 @@ import graft.sources.Tables
   * as lazy frames whose plans show the claimed shuffle structure:
   * `lsh_candidates`, `decontaminate_overlaps`, `ann_assign`,
   * `ann_probe`, `clusters_mapping_join`, `corpus_dedup_stage`,
-  * `asof_join_stage`, `range_join_stage`, `surrogate_assign`.
+  * `asof_join_stage`, `range_join_stage`, `surrogate_assign`,
+  * `incremental_join_stage`, `zorder_write_stage`.
   */
 object Explain {
 
@@ -68,6 +69,29 @@ object Explain {
       graft.operators.SurrogateKeys.assign(
         Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
         Seq(col("doc_id")), "sk", 1000L)
+    },
+    "incremental_join_stage" -> { s =>
+      // maintain's union: state branch must show broadcast anti joins
+      // only (no Exchange between the state scan and the Union) —
+      // PLANS.md q_incremental_join; enforced in IncrementalJoinSpec
+      val a = Tables.load(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("custkey"), col("o_totalprice"))
+      val b = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val state = graft.operators.IncrementalJoin.joinOf(a, b, Seq("custkey"))
+      val deltaA = a.filter(col("o_orderkey") % 1000 === 0)
+      graft.operators.IncrementalJoin.maintain(state, a, deltaA, b,
+        b.filter(lit(false)), Seq("custkey"), "o_orderkey", "custkey")
+    },
+    "zorder_write_stage" -> { s =>
+      // the pre-write frame: ONE range exchange on the interleaved key,
+      // rank assignment a codegen'd fold (no join, no second pass)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value"))
+      val ranks = graft.sources.Layout.equiDepthRanks(ev, Seq("user_id", "value"))
+      ev.withColumn("__z", graft.sources.Layout.zOrderKey(ranks))
+        .repartitionByRange(16, col("__z"))
+        .sortWithinPartitions("__z")
     },
     "corpus_dedup_stage" -> { s =>
       // CorpusClean's annotate → quality floor → normalized exact dedup
