@@ -32,6 +32,63 @@ object IncrementalAgg {
         // pin the state type so every fold round-trips the same schema
         sum(value.cast("decimal(30,6)")).cast("decimal(38,6)").as("total"))
 
+  /** Bounded MAX (or MIN) maintenance under deletes — the aggregate
+    * [[foldCdc]] deliberately excludes, made maintainable with CAPPED
+    * state: per key keep the `k` LARGEST values (with multiplicity) as
+    * a sorted array. Inserts merge in; a delete of a kept value removes
+    * one copy; a delete BELOW the kept range is provably irrelevant to
+    * the maximum and is ignored. The array may shrink to a top-j
+    * (j < k) prefix — still exact — and only when deletes exhaust it
+    * entirely while rows remain does the key need a rebuild, flagged in
+    * `needs_rebuild` (the standard partial-recompute IVM design: the
+    * caller re-derives JUST those keys from the fact table; a key's
+    * rebuild probability after d deletes is ~(d/n)^k).
+    *
+    * State per key: `n_rows` (exact, like foldCdc) + `topk`
+    * array<double> descending. `max = topk[0]` whenever the array is
+    * non-empty. Aggregation state is bounded by k + the key's DELTA
+    * width, never the key's history. For MIN, negate values going in
+    * and out.
+    */
+  def initTopK(df: DataFrame, keys: Seq[String], value: Column,
+               k: Int = 16): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        slice(sort_array(collect_list(value.cast("double")), asc = false),
+          1, k).as("topk"))
+
+  def foldCdcTopK(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                  value: Column, op: Column, k: Int = 16): DataFrame = {
+    val kc = keys.map(col)
+    // per (key, value): copies available (kept state + batch inserts)
+    // minus batch deletes, clamped at zero — a negative net means the
+    // deletes refer to copies below the kept range (irrelevant to max)
+    val present = state.select(kc :+ explode(col("topk")).as("__v"): _*)
+      .withColumn("__m", lit(1L))
+    val ins = delta.filter(op === "I")
+      .select(kc :+ value.cast("double").as("__v"): _*)
+      .withColumn("__m", lit(1L))
+    val dels = delta.filter(op === "D")
+      .select(kc :+ value.cast("double").as("__v"): _*)
+      .withColumn("__m", lit(-1L))
+    val merged = present.unionByName(ins).unionByName(dels)
+      .groupBy(kc :+ col("__v"): _*)
+      .agg(greatest(sum(col("__m")), lit(0L)).as("__net"))
+      .filter(col("__net") > 0)
+      .groupBy(kc: _*)
+      .agg(slice(sort_array(flatten(collect_list(
+        array_repeat(col("__v"), col("__net").cast("int")))), asc = false),
+        1, k).as("topk"))
+    // row counts fold exactly like foldCdc
+    val counts = foldCdc(
+      state.select(kc :+ col("n_rows") :+ lit(null).cast("decimal(38,6)")
+        .as("total"): _*),
+      delta, keys, lit(0), op).drop("total")
+    counts.join(merged, keys, "left_outer")
+      .withColumn("needs_rebuild",
+        (col("topk").isNull || size(col("topk")) === 0) && col("n_rows") > 0)
+  }
+
   /** Fold a CDC batch into the state. `op` holds "I" (insert) or "D"
     * (delete of a previously-inserted row, with the SAME value the
     * insert carried). Updates arrive as D(old) + I(new). The fold is one

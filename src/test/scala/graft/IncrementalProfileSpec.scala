@@ -40,6 +40,56 @@ class IncrementalProfileSpec extends SparkSuite {
       afterDelete.as[(String, Long, java.math.BigDecimal)].collect().toSet)
   }
 
+  test("foldCdcTopK: exact max under deletes, rebuild flagged only when exhausted") {
+    val k = 8
+    val base = for { g <- 0 until 4; i <- 1 to 50 }
+      yield (s"g$g", ((i * 17 + g) % 97).toDouble)
+    val df = base.toDF("g", "v")
+    val state = IncrementalAgg.initTopK(df, Seq("g"), $"v", k)
+
+    // g0: delete its entire kept top-k (exhausts the array -> rebuild);
+    // g1: delete 5 arbitrary rows + insert a new maximum;
+    // g2: untouched; g3: deletes below the kept range only
+    val g0 = base.filter(_._1 == "g0").map(_._2).sorted.reverse
+    val keptG0 = state.filter($"g" === "g0").select(explode($"topk"))
+      .as[Double].collect().toSeq
+    val g1 = base.filter(_._1 == "g1").map(_._2)
+    val g3Low = base.filter(_._1 == "g3").map(_._2).sorted.take(5)
+    val feed = (
+      keptG0.map(v => ("g0", v, "D")) ++
+      g1.take(5).map(v => ("g1", v, "D")) ++
+      Seq(("g1", 500.0, "I")) ++
+      g3Low.map(v => ("g3", v, "D"))
+    ).toDF("g", "v", "op")
+
+    val folded = IncrementalAgg.foldCdcTopK(state, feed, Seq("g"), $"v", $"op", k)
+      .select($"g", $"n_rows", $"topk", $"needs_rebuild")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getSeq[Double](2)).getOrElse(Seq.empty),
+          r.getBoolean(3)))).toMap
+
+    // final truth per group
+    val finalRows = base.filterNot { case (g, v) =>
+      (g == "g0" && keptG0.contains(v)) || // note: contains-by-value is
+        (g == "g1" && g1.take(5).contains(v)) || // how the feed was built
+        (g == "g3" && g3Low.contains(v))
+    } :+ (("g1", 500.0))
+    // value-equality deletion is ambiguous row-wise but max only needs
+    // the multiset, and the feed deleted exact existing values
+    assert(folded("g0")._3, "g0 exhausted its kept range")
+    assert(!folded("g1")._3 && !folded("g2")._3 && !folded("g3")._3)
+    for (g <- Seq("g1", "g2", "g3")) {
+      val expectMax = finalRows.filter(_._1 == g).map(_._2).max
+      assert(folded(g)._2.head === expectMax, s"$g max")
+      assert(folded(g)._2 === folded(g)._2.sorted.reverse, s"$g sorted desc")
+    }
+    // rebuild path: re-derive the flagged key from the final table
+    val rebuilt = IncrementalAgg.initTopK(
+      finalRows.toDF("g", "v").filter($"g" === "g0"), Seq("g"), $"v", k)
+      .select(explode($"topk")).as[Double].collect()
+    assert(rebuilt.head === finalRows.filter(_._1 == "g0").map(_._2).max)
+  }
+
   test("Profile.summarize counts rows, nulls, distincts per column") {
     val df = Seq(
       (Some(1), Some("x")), (Some(1), None), (Some(2), Some("y")), (None, Some("y"))
