@@ -210,6 +210,28 @@ class PlansSpec extends SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("basket affinity executes within its shuffle budget (baskets, pairs, supports)") {
+    // the in-basket shape's claim: ONE keyed shuffle for baskets, one
+    // per aggregate downstream, support joins broadcast — a regression
+    // to the self-join form would re-shuffle the (order, part) table
+    // and show up as extra dependencies here
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    val shuffles = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        org.apache.spark.sql.graftbridge.bridge.shuffleDepId(s.stageInfo)
+          .foreach(id => shuffles.add(id))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("q_basket_affinity")(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+      org.apache.spark.sql.graftbridge.bridge.waitListenerBusEmpty(spark.sparkContext)
+      info(s"basket affinity distinct shuffles: ${shuffles.size}")
+      assert(shuffles.size <= 4, s"basket shuffle count grew: ${shuffles.size}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("JobMetrics.observed collects counts during the action") {
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "c")).toDF("id", "name")
     val (obsDf, obs) = JobMetrics.observed(df, "import_customer", Seq("id"))

@@ -199,6 +199,34 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("changeFeed: apply(old, feed) reproduces new on random snapshot pairs") {
+    import graft.operators.Reconcile
+    // mutation plan: drop ids, perturb values, add fresh ids — all from
+    // seeded generators so failures replay
+    val mutGen = for {
+      rows <- Gen.listOfN(40, for {
+        id <- Gen.chooseNum(1L, 60L)
+        v <- Gen.chooseNum(0, 500).map(_.toDouble)
+      } yield (id, v))
+      dropMod <- Gen.chooseNum(2, 6)
+      bumpMod <- Gen.chooseNum(2, 6)
+    } yield (rows.distinctBy(_._1), dropMod, bumpMod)
+    for ((rows, dropMod, bumpMod) <- samples(mutGen, 8)) {
+      val oldDf = rows.toDF("id", "v")
+      val newRows = rows.filter(_._1 % dropMod != 0)
+        .map { case (id, v) => if (id % bumpMod == 0) (id, v + 1000) else (id, v) } ++
+        (101L to 110L).map(i => (i, i.toDouble))
+      val newDf = newRows.toDF("id", "v")
+      val feed = Reconcile.changeFeed(oldDf, newDf, Seq("id"), Seq("v"))
+      val applied = oldDf
+        .join(feed.filter($"op" === "D").select("id"), Seq("id"), "left_anti")
+        .unionByName(feed.filter($"op" === "I").drop("op"))
+      assert(applied.orderBy("id", "v").collect().toSeq ===
+        newDf.orderBy("id", "v").collect().toSeq,
+        s"dropMod=$dropMod bumpMod=$bumpMod")
+    }
+  }
+
   test("TableOrder output is a permutation respecting every dependency") {
     val tablesGen = Gen.someOf(graft.sources.Tables.All).map(_.toList)
     for (tables <- samples(tablesGen, 20)) {
