@@ -1015,6 +1015,40 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_minmax_maintain" -> ((s, dir) => {
+      // MAX maintained under a delete-bearing CDC feed via the capped
+      // top-k state (foldCdcTopK) — the aggregate plain folds can't
+      // keep. Updates MOVE rows across groups (old status retracted,
+      // 'U' inserted), so kept ranges shrink on one side and grow on
+      // the other; any group whose kept range exhausts takes the
+      // partial-recompute branch (usually none). Oracle = recompute
+      // max over the fully-merged table — hash-equality proves the
+      // bounded state loses nothing.
+      val dest = destOrders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val inc = incomingOrders(s, dir)
+      val retract = dest
+        .join(inc.select("o_orderkey"), Seq("o_orderkey"), "left_semi")
+        .select(col("o_orderstatus"), col("o_totalprice"), lit("D").as("op"))
+      val insert = inc.select(col("o_orderstatus"), col("o_totalprice"),
+        lit("I").as("op"))
+      val state = IncrementalAgg.initTopK(dest, Seq("o_orderstatus"),
+        col("o_totalprice"), k = 8)
+      val folded = IncrementalAgg.foldCdcTopK(state,
+        retract.unionByName(insert), Seq("o_orderstatus"),
+        col("o_totalprice"), col("op"), k = 8)
+      val merged = Merge.upsert(dest, inc, Seq("o_orderkey"))
+      val ok = folded.filter(!col("needs_rebuild"))
+        .select(col("o_orderstatus"), col("n_rows"),
+          element_at(col("topk"), 1).as("max_price"))
+      val rebuilt = merged
+        .join(folded.filter(col("needs_rebuild")).select("o_orderstatus"),
+          Seq("o_orderstatus"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), max(col("o_totalprice")).as("max_price"))
+      ok.unionByName(rebuilt).orderBy(col("o_orderstatus"))
+    }),
+
     "q_profile" -> ((s, dir) => {
       // per-column import profile: rows/nulls/distincts as joinable rows
       Profile.summarize(t(s, dir, "orders"),
@@ -1708,6 +1742,24 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_name, c_acctbal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_minmax_maintain" ->
+      """WITH dest AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |incoming AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', o_totalprice - 500.0
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |merged AS (
+        |  SELECT coalesce(d.o_orderkey, i.o_orderkey) AS o_orderkey,
+        |    coalesce(i.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
+        |    coalesce(i.o_totalprice, d.o_totalprice) AS o_totalprice
+        |  FROM dest d FULL OUTER JOIN incoming i ON d.o_orderkey = i.o_orderkey)
+        |SELECT o_orderstatus, count(*) AS n_rows, max(o_totalprice) AS max_price
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_profile" ->
       """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
