@@ -18,6 +18,7 @@ import graft.functions._
   *   graft_char_gram_hashes(text, n)            -> array<bigint>
   *   graft_cosine(a, b)                         -> double
   *   graft_set_overlap(a, b)                    -> bigint (inter<<32|union)
+  *   graft_jaro_winkler(a, b)                   -> double
   *
   * Activated by `GraftSession.builder` (spark.sql.extensions also works
   * for externally-launched sessions:
@@ -81,6 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_set_overlap(a, b)")
         SetOverlapCounts(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "graft_jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaro_winkler(a, b)")
+        JaroWinklerSim(args.head, args(1))
       }))
   }
 }

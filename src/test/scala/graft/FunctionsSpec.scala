@@ -167,6 +167,34 @@ class FunctionsSpec extends SparkSuite {
     assert(n.filter(col("p").isNull).count() === 1)
   }
 
+  test("jaro-winkler matches the published reference vectors") {
+    import graft.functions.JaroWinkler
+    // Winkler's canonical census pairs + structural edges
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611), ("DIXON", "DICKSONX", 0.8133),
+      ("JELLYFISH", "SMELLYFISH", 0.8963), ("DWAYNE", "DUANE", 0.84),
+      ("same", "same", 1.0), ("", "", 1.0), ("abc", "", 0.0),
+      ("abc", "xyz", 0.0))
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(JaroWinkler.jaroWinkler(col("a"), col("b")).as("s"))
+    val got = df.as[Double].collect()
+    cases.map(_._3).zip(got).foreach { case (want, g) =>
+      assert(math.abs(g - want) < 5e-4, s"$g vs $want")
+    }
+    // symmetric
+    val sym = cases.map { case (a, b, _) => (b, a) }.toDF("a", "b")
+      .select(JaroWinkler.jaroWinkler(col("a"), col("b")).as("s"))
+      .as[Double].collect()
+    assert(sym.zip(got).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+    // null propagates; SQL registration agrees with the column API
+    val viaSql = spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA')")
+      .as[Double].head()
+    assert(math.abs(viaSql - 0.9611) < 5e-4)
+    val n = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(JaroWinkler.jaroWinkler(col("a"), col("b")).as("s"))
+    assert(n.filter(col("s").isNull).count() === 1)
+  }
+
   test("TableOrder: parents precede children, deterministic, cycles throw") {
     val order = TableOrder.order(graft.sources.Tables.All)
     def idx(t: String) = order.indexOf(t)
