@@ -380,6 +380,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_name_match" -> ((s, dir) => {
+      // the fuzzy tier of resolve-by-name: Jaro–Winkler scores over
+      // real varied name pairs (each customer vs the next key's name —
+      // shared prefix, diverging digits), reported in floored basis
+      // points so a last-ulp engine difference can't flip a row; the
+      // oracle runs DuckDB's NATIVE jaro_winkler_similarity — an
+      // independent implementation agreeing on every pair
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val d = c.select((col("c_custkey") - 1).as("c_custkey"),
+        col("c_name").as("next_name"))
+      c.join(d, Seq("c_custkey"))
+        .select(col("c_custkey"),
+          floor(graft.functions.JaroWinkler.jaroWinkler(
+            col("c_name"), col("next_name")) * 10000.0 + 0.5)
+            .cast("long").as("sim_bp"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q_fk_by_name" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
       val named = Denormalize.resolve(t(s, dir, "customer"), nation,
@@ -2087,6 +2105,13 @@ object SparkEntry {
         |  CAST(1000 + row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS new_id
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_name_match" ->
+      """SELECT c.c_custkey,
+        |  CAST(floor(jaro_winkler_similarity(c.c_name, d.c_name) * 10000 + 0.5)
+        |    AS BIGINT) AS sim_bp
+        |FROM customer c JOIN customer d ON d.c_custkey = c.c_custkey + 1
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "q_fk_by_name" ->
       """SELECT c_custkey, n_name AS nation_name, n_nationkey AS resolved_key
