@@ -1096,6 +1096,22 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "q_debounce" -> ((s, dir) => {
+      // alert suppression: per (user, event_type), keep an event only
+      // ≥30 min after the LAST KEPT one — running scan with reset
+      // (Debounce.suppress), which neither windows nor gap-sessions
+      // express; the oracle replays it as a DuckDB RECURSIVE CTE
+      // stepping row-by-row per key — an independent formulation
+      // agreeing on every kept event at microsecond precision
+      Debounce.suppress(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts")),
+        Seq("user_id", "event_type"), "ts",
+        minGapMicros = 30L * 60 * 1000000, tiebreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val sessions = t(s, dir, "events")
@@ -2344,6 +2360,27 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_totalprice <= 400000 AND o_orderkey = l_orderkey)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_debounce" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |keep AS (
+        |  SELECT user_id, event_type, event_id, ts, rn,
+        |    ts AS last_kept, TRUE AS kept
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.event_id, e.ts, e.rn,
+        |    CASE WHEN e.ts >= k.last_kept + INTERVAL 30 MINUTE
+        |         THEN e.ts ELSE k.last_kept END,
+        |    e.ts >= k.last_kept + INTERVAL 30 MINUTE
+        |  FROM ev e JOIN keep k
+        |    ON e.user_id = k.user_id AND e.event_type = k.event_type
+        |   AND e.rn = k.rn + 1)
+        |SELECT event_id, user_id, event_type FROM keep WHERE kept
+        |ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

@@ -295,4 +295,24 @@ class OperatorsSpec extends SparkSuite {
     assert(Dedup.againstHistory(batch, empty, Seq("k"), 100).count() === 2)
     assert(Dedup.againstHistory(batch, batch.select("k"), Seq("k"), 100).count() === 0)
   }
+
+  test("Debounce.suppress: reset-on-keep semantics, not gap-sessionization") {
+    import graft.operators.Debounce
+    // minutes 0, 5, 9, 14 with a 10-min gap: debounce keeps {0, 14}
+    // (14 is ≥10 past the last KEPT at 0); gap-sessions would merge all
+    // four (every adjacent gap < 10) and keep only {0}
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val df = Seq((1L, "u1", ts(0)), (2L, "u1", ts(5)), (3L, "u1", ts(9)),
+      (4L, "u1", ts(14)), (5L, "u2", ts(3)))
+      .toDF("event_id", "user_id", "ts")
+    val kept = Debounce.suppress(df, Seq("user_id"), "ts",
+      minGapMicros = 10L * 60 * 1000000, tiebreak = Seq("event_id"))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L, 5L))
+    // exactly-at-gap boundary keeps (>= semantics)
+    val edge = Seq((1L, "u", ts(0)), (2L, "u", ts(10)))
+      .toDF("event_id", "user_id", "ts")
+    assert(Debounce.suppress(edge, Seq("user_id"), "ts",
+      10L * 60 * 1000000).count() === 2)
+  }
 }
