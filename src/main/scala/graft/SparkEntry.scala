@@ -1096,6 +1096,22 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "q_rate_limit" -> ((s, dir) => {
+      // throttled sampling: at most 3 events per (user, type, hour) —
+      // the log-volume cap next to q_debounce's gap suppression; plain
+      // rank window, so WindowGroupLimit pushes the per-group cap
+      // map-side ahead of the shuffle (same plan family as TopK)
+      val w = Window.partitionBy(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_debounce" -> ((s, dir) => {
       // alert suppression: per (user, event_type), keep an event only
       // ≥30 min after the LAST KEPT one — running scan with reset
@@ -2360,6 +2376,15 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_totalprice <= 400000 AND o_orderkey = l_orderkey)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rate_limit" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, event_type,
+        |        date_trunc('hour', ts) ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_id, user_id, event_type FROM r WHERE rn <= 3
+        |ORDER BY event_id""".stripMargin,
 
     "q_debounce" ->
       """WITH RECURSIVE ev AS (
