@@ -77,6 +77,35 @@ class MultimodalSpec extends SparkSuite {
     assert(out(1L) === out(2L) && out(1L)(3) === feat(3))
   }
 
+  test("splitMjpegFrames: real JPEG frames out of a synthesized MJPEG stream") {
+    import java.awt.image.BufferedImage
+    // six frames with distinct brightness so decoded features identify them
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 4; y <- 0 until 4)
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+      baos.toByteArray
+    }
+    val frames = (0 until 6).map(i => jpeg(i * 40))
+    val mjpeg = frames.reduce(_ ++ _)
+
+    val all = Multimodal.splitMjpegFrames(mjpeg)
+    assert(all.size === 6)
+    assert(all.zip(frames).forall { case (a, b) => a.sameElements(b) },
+      "each split frame is byte-identical to its source JPEG")
+    // strided sampling: every 2nd frame
+    val strided = Multimodal.splitMjpegFrames(mjpeg, stride = 2)
+    assert(strided.size === 3)
+    assert(strided.zip(Seq(0, 2, 4)).forall { case (f, i) =>
+      f.sameElements(frames(i)) })
+    // each sampled frame decodes through the REAL image codec
+    val lumas = strided.map(f => Multimodal.decodeImage(f)._3(3))
+    assert(lumas === lumas.sorted, s"brightness increases across frames: $lumas")
+    assert(Multimodal.splitMjpegFrames(mjpeg, maxFrames = 2).size === 2)
+  }
+
   test("decodeAudioWav decodes a synthesized sine WAV to known signal features") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // 0.5 s of a 1 kHz sine at half full scale, 16-bit mono PCM @ 8 kHz
