@@ -51,7 +51,15 @@ object IncrementalJoin {
     */
   def maintain(state: DataFrame, aNew: DataFrame, deltaA: DataFrame,
                bNew: DataFrame, deltaB: DataFrame,
-               joinKeys: Seq[String], aIdCol: String, bIdCol: String): DataFrame = {
+               joinKeys: Seq[String], aIdCol: String, bIdCol: String,
+               broadcastDirty: Boolean = true): DataFrame = {
+    // broadcastDirty = true is the steady-state contract (deltas are
+    // batch-sized); for a BACKFILL-sized delta the forced broadcast
+    // would exhaust the driver — pass false and AQE picks the join
+    // strategy instead (the state then pays one keyed shuffle, which a
+    // backfill has to pay somewhere anyway)
+    val hint: DataFrame => DataFrame =
+      if (broadcastDirty) broadcast(_: DataFrame) else identity
     val dirtyA = deltaA.select(col(aIdCol)).distinct()
     val dirtyB = deltaB.select(col(bIdCol)).distinct()
     val dirtyKeys = deltaA.select(joinKeys.map(col): _*)
