@@ -82,6 +82,38 @@ object Sink {
     (before.length, parquetFiles(dir).length)
   }
 
+  /** Retention/vacuum for hive-partitioned layouts: drop partitions
+    * whose VALUE sorts strictly below `cutoff` (ingest-day / month
+    * layouts — exactly the values Hive-style dirs encode as strings, so
+    * lexicographic compare on zero-padded dates is chronological).
+    * Directory-level deletes only: no file is ever opened, the cost is
+    * one listing — the operation a 100 TB day-partitioned destination
+    * runs nightly. Values are unescaped through Spark's own partition
+    *-path rules before comparing (a space-bearing value compares as
+    * itself, not its escaped form). Returns the dropped values.
+    */
+  def expirePartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+                       partCol: String, cutoff: String): Seq[String] = {
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"not a directory: $path")
+    val prefix = s"$partCol="
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    require(parts.nonEmpty, s"$path has no $prefix partition directories")
+    val dropped = parts.flatMap { d =>
+      val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(d.getName.stripPrefix(prefix))
+      if (value < cutoff) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(d)
+        Some(value)
+      } else None
+    }
+    dropped.toSeq.sorted
+  }
+
   /** Per-partition compaction over a hive-partitioned layout: each leaf
     * partition directory compacts independently through [[compact]], so
     * the unit of work (and of the non-transactional swap window) stays

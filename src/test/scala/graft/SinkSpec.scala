@@ -88,6 +88,20 @@ class SinkSpec extends SparkSuite {
       docs.agg(sum("doc_id")).head.getLong(0))
   }
 
+  test("expirePartitions drops only below-cutoff partition dirs, never opens files") {
+    val dir = Files.createTempDirectory("graft_expire").toString + "/t"
+    val rows = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-15"), (3L, "2024-02-01"),
+      (4L, "2024-03-01")).toDF("id", "day")
+    Sink.writePartitioned(rows, dir, Seq("day"))
+    val dropped = Sink.expirePartitions(spark, dir, "day", "2024-02-01")
+    assert(dropped === Seq("2024-01-01", "2024-01-15"))
+    val back = spark.read.parquet(dir)
+    assert(back.select("id").as[Long].collect().sorted.toSeq === Seq(3L, 4L))
+    // second run: nothing left to expire
+    assert(Sink.expirePartitions(spark, dir, "day", "2024-02-01").isEmpty)
+  }
+
   test("schema evolution: mergeSchema read + conform recovers a stable frame") {
     // a source adds a column mid-feed (the drift JobConfig.drift reports);
     // mergeSchema unions the file schemas, overwriteToOriginal conforms
