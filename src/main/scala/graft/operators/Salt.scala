@@ -40,6 +40,36 @@ object Salt {
     partial.groupBy(keys.map(col): _*).agg(out.as(as))
   }
 
+  /** Skew-spread equi-join: the manual fallback for the joins AQE can't
+    * re-split (AQE only splits SORT-MERGE reduce partitions — a
+    * shuffled-hash join, a join inside a cached/reused exchange, or a
+    * build running with AQE disabled still funnels a hot key through
+    * one task). The big side salts each row into one of `buckets`
+    * sub-keys from its whole-row hash; the small side replicates
+    * `buckets`× so every (key, salt) bucket holds a complete copy —
+    * output EXACTLY equals the plain join (OperatorsSpec proves it,
+    * duplicates included) while the hot key's probe work spreads over
+    * `buckets` tasks. Cost: small side shuffles `buckets`× its size —
+    * use for big⨝medium where medium is too large to broadcast but far
+    * smaller than big (the classic salting trade).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 buckets: Int = 16): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    // rand salt, NOT a row hash: a hot key's rows are often literally
+    // identical (the skew case!), so any content hash would pin them
+    // all to one bucket. The salt value is semantically irrelevant —
+    // every bucket holds a full small-side copy, so each big row joins
+    // its matches exactly once under ANY assignment, including a task
+    // retry re-rolling it.
+    val bigSalted = big.withColumn("__salt", (rand(7) * buckets).cast("int"))
+    val smallRep = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    bigSalted.join(smallRep, keys :+ "__salt")
+      .drop("__salt")
+      .select((big.columns ++ small.columns.filterNot(keys.contains)).map(col): _*)
+  }
+
   /** Exact skew-spread distinct count. A plain two-phase partial sum
     * cannot skew (sum combines map-side); exact COUNT(DISTINCT v) is the
     * aggregate that genuinely funnels a hot key through one reducer

@@ -296,6 +296,28 @@ class OperatorsSpec extends SparkSuite {
     assert(Dedup.againstHistory(batch, batch.select("k"), Seq("k"), 100).count() === 0)
   }
 
+  test("saltedJoin == plain join exactly, duplicates included, hot key spread") {
+    import graft.operators.Salt
+    // hot key 7 with duplicate rows on BOTH sides (multiset semantics)
+    val big = ((1 to 500).map(_ => (7L, "hot")) ++
+      (1L to 300L).map(i => (i, s"b$i")) :+ ((8L, "dupA")) :+ ((8L, "dupA")))
+      .toDF("k", "bv")
+    val small = (Seq((7L, "s7"), (7L, "s7x"), (8L, "s8")) ++
+      (1L to 100L).map(i => (i, s"s$i"))).toDF("k", "sv")
+    val salted = Salt.saltedJoin(big, small, Seq("k"), buckets = 8)
+    val plain = big.join(small, Seq("k"))
+      .select((big.columns ++ Seq("sv")).map(col): _*)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().toSeq
+    assert(canon(salted) === canon(plain))
+    // the hot key's IDENTICAL rows actually spread (the rand salt —
+    // a content hash would pin all 500 copies to one bucket)
+    val spread = big.filter($"k" === 7L)
+      .withColumn("__salt", (rand(7) * 8).cast("int"))
+      .select("__salt").distinct().count()
+    assert(spread >= 4, s"hot key spread over $spread buckets")
+  }
+
   test("Debounce.suppress: reset-on-keep semantics, not gap-sessionization") {
     import graft.operators.Debounce
     // minutes 0, 5, 9, 14 with a 10-min gap: debounce keeps {0, 14}
