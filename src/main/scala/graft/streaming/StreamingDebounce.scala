@@ -32,10 +32,19 @@ object StreamingDebounce {
       key: (Long, String), events: Iterator[Ev],
       state: GroupState[Kept]): Iterator[Ev] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    // flatMapGroupsWithState does NOT drop late data itself (the
+    // watermark only gates state timeout) — drop sub-watermark events
+    // HERE, or an event arriving after its key's state was evicted
+    // could land inside a suppression window whose state is gone and
+    // be wrongly kept. With this guard the eviction is semantics-free
+    // by construction.
+    val wmMicros =
+      try state.getCurrentWatermarkMs() * 1000L catch { case _: Throwable => Long.MinValue }
     var lastKept = state.getOption.map(_.lastKeptMicros).getOrElse(Long.MinValue)
     val kept = events.toSeq.sortBy(e => (micros(e.ts), e.event_id)).filter { e =>
       val t = micros(e.ts)
-      val keep = lastKept == Long.MinValue || t >= lastKept + gapMicros
+      val keep = t >= wmMicros &&
+        (lastKept == Long.MinValue || t >= lastKept + gapMicros)
       if (keep) lastKept = t
       keep
     }

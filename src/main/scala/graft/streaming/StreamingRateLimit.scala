@@ -29,13 +29,22 @@ object StreamingRateLimit {
       key: (Long, String), events: Iterator[Ev],
       state: GroupState[WindowCount]): Iterator[Ev] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    // drop sub-watermark events explicitly: flatMapGroupsWithState
+    // passes late data through, and a late event after its window's
+    // state was evicted would restart the count and breach the cap
+    val wmMicros =
+      try state.getCurrentWatermarkMs() * 1000L catch { case _: Throwable => Long.MinValue }
     var cur = state.getOption.getOrElse(WindowCount(Long.MinValue, 0))
     val kept = events.toSeq.sortBy(e => (micros(e.ts), e.event_id)).filter { e =>
-      val w = micros(e.ts) / windowMicros * windowMicros
-      if (w != cur.windowStartMicros) cur = WindowCount(w, 0)
-      val keep = cur.n < maxPerWindow
-      if (keep) cur = cur.copy(n = cur.n + 1)
-      keep
+      val t = micros(e.ts)
+      if (t < wmMicros) false // late: must not touch the live window either
+      else {
+        val w = t / windowMicros * windowMicros
+        if (w != cur.windowStartMicros) cur = WindowCount(w, 0)
+        val keep = cur.n < maxPerWindow
+        if (keep) cur = cur.copy(n = cur.n + 1)
+        keep
+      }
     }
     if (cur.windowStartMicros != Long.MinValue) {
       state.update(cur)

@@ -50,6 +50,31 @@ class StreamingDebounceSpec extends SparkSuite {
     assert(streamed === batchKept)
   }
 
+  test("late events below the watermark are dropped, never wrongly kept") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sdb_late")
+    val stream = MemoryStream[Ev]
+    // zero-delay watermark: it advances to each batch's max event time
+    val out = StreamingDebounce.suppress(
+      stream.toDS().withWatermark("ts", "0 seconds").as[Ev], Gap)
+    val q = out.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // batch 1: keep min 0; watermark advances to ~min 50
+      stream.addData(Ev(1, "view", 1, ts(0)), Ev(1, "view", 2, ts(50)))
+      q.processAllAvailable()
+      // batch 2: a LATE event at min 5 — inside the suppression window
+      // of the kept min-0 event; without the in-function guard a state
+      // eviction could let it through. It must never appear.
+      stream.addData(Ev(1, "view", 3, ts(5)), Ev(1, "view", 4, ts(65)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/out")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 2L, 4L), s"late event 3 must be dropped: $kept")
+  }
+
   test("batch frames run the same definition without a watermark") {
     val kept = StreamingDebounce.suppress(
       Seq(Ev(9, "view", 1, ts(0)), Ev(9, "view", 2, ts(5)),
