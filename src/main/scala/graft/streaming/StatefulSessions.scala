@@ -28,7 +28,14 @@ object StatefulSessions {
       state.remove()
       return Iterator(SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
     }
-    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+    // drop sub-watermark events: flatMapGroupsWithState passes late
+    // data through (the watermark only gates the timeout), and a late
+    // event arriving after its session timed out and flushed would
+    // open a spurious second session for the same activity
+    val wmMs =
+      try state.getCurrentWatermarkMs() catch { case _: Throwable => Long.MinValue }
+    val sorted = events.toSeq.filter(_.ts.getTime >= wmMs)
+      .sortBy(e => (e.ts.getTime, e.event_type))
     var cur = state.getOption
     val closed = Seq.newBuilder[SessionOut]
     sorted.foreach { e =>
