@@ -743,6 +743,20 @@ object SparkEntry {
         .orderBy(col("hour_bucket"), col("event_type"))
     }),
 
+    "q_salted_join" -> ((s, dir) => {
+      // the manual skew join (rand salt + replicated build side) proven
+      // EXACT at table scale: the oracle runs the PLAIN join, so
+      // hash-equality shows salting is pure mechanics with zero
+      // semantic residue
+      Salt.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        Seq("l_orderkey"), buckets = 8)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q_salted_agg" -> ((s, dir) => {
       Salt.saltedSum(t(s, dir, "lineitem"), Seq("l_returnflag"),
         col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue",
@@ -2362,6 +2376,11 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag,
