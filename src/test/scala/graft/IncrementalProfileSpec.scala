@@ -90,6 +90,39 @@ class IncrementalProfileSpec extends SparkSuite {
     assert(rebuilt.head === finalRows.filter(_._1 == "g0").map(_._2).max)
   }
 
+  test("foldCdcTopK property: maintained max == truth on random feeds (rebuilds honored)") {
+    def rng(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    for (seed <- Seq(3L, 19L, 77L)) {
+      val r = rng(seed)
+      val base = (1 to 240).map { i =>
+        (s"g${r.next().abs % 6}", (r.next().abs % 1000).toDouble) }
+      // delete a random 40% (exact existing rows), insert 60 fresh
+      val (deleted, kept) = base.partition(_ => r.next().abs % 5 < 2)
+      val inserts = (1 to 60).map { _ =>
+        (s"g${r.next().abs % 6}", (r.next().abs % 1000).toDouble) }
+      val finalRows = kept ++ inserts
+      val feed = (deleted.map { case (g, v) => (g, v, "D") } ++
+        inserts.map { case (g, v) => (g, v, "I") }).toDF("g", "v", "op")
+
+      val k = 4 // small k so rebuilds actually trigger
+      val folded = IncrementalAgg.foldCdcTopK(
+        IncrementalAgg.initTopK(base.toDF("g", "v"), Seq("g"), $"v", k),
+        feed, Seq("g"), $"v", $"op", k)
+        .collect().map(row => row.getString(0) ->
+          ((Option(row.getSeq[Double](2)).getOrElse(Seq.empty),
+            row.getBoolean(3)))).toMap
+      val truth = finalRows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      for ((g, maxV) <- truth) {
+        val (topk, rebuild) = folded(g)
+        if (!rebuild) assert(topk.head === maxV, s"seed $seed group $g")
+        else assert(truth.contains(g), s"seed $seed rebuild flag on live key $g")
+      }
+      // fully-deleted keys leave the state; live keys all present
+      assert(folded.keySet === truth.keySet, s"seed $seed key sets diverge")
+    }
+  }
+
   test("Profile.summarize counts rows, nulls, distincts per column") {
     val df = Seq(
       (Some(1), Some("x")), (Some(1), None), (Some(2), Some("y")), (None, Some("y"))
