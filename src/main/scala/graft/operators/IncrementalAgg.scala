@@ -46,16 +46,19 @@ object IncrementalAgg {
     *
     * State per key: `n_rows` (exact, like foldCdc) + `topk`
     * array<double> descending. `max = topk[0]` whenever the array is
-    * non-empty. Aggregation state is bounded by k + the key's DELTA
-    * width, never the key's history. For MIN, negate values going in
-    * and out.
+    * non-empty. Aggregation state is bounded by k COPIES at every
+    * stage — init, fold, and rebuild all run on the
+    * [[graft.functions.BoundedTopKMultiset]] aggregate, so a hot key's
+    * history never materializes (a `collect_list`-then-slice would
+    * buffer every row of the key before capping). For MIN, negate
+    * values going in and out.
     */
   def initTopK(df: DataFrame, keys: Seq[String], value: Column,
                k: Int = 16): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        slice(sort_array(collect_list(value.cast("double")), asc = false),
-          1, k).as("topk"))
+        graft.functions.BoundedTopK.topKDesc(value.cast("double"), k)
+          .as("topk"))
 
   def foldCdcTopK(state: DataFrame, delta: DataFrame, keys: Seq[String],
                   value: Column, op: Column, k: Int = 16): DataFrame = {
@@ -76,9 +79,10 @@ object IncrementalAgg {
       .agg(greatest(sum(col("__m")), lit(0L)).as("__net"))
       .filter(col("__net") > 0)
       .groupBy(kc: _*)
-      .agg(slice(sort_array(flatten(collect_list(
-        array_repeat(col("__v"), col("__net").cast("int")))), asc = false),
-        1, k).as("topk"))
+      // weighted bounded top-k: state caps at k copies — never
+      // materializes array_repeat(v, net) for a value with a huge net
+      .agg(graft.functions.BoundedTopK.topKDescWeighted(
+        col("__v"), col("__net"), k).as("topk"))
     // row counts fold exactly like foldCdc
     val counts = foldCdc(
       state.select(kc :+ col("n_rows") :+ lit(null).cast("decimal(38,6)")

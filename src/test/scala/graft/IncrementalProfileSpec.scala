@@ -123,6 +123,62 @@ class IncrementalProfileSpec extends SparkSuite {
     }
   }
 
+  test("BoundedTopKMultiset: buffer never exceeds k copies through a 1M-row hot key") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.DoubleType
+    import graft.functions.BoundedTopKMultiset
+    val k = 8
+    val agg = BoundedTopKMultiset(
+      BoundReference(0, DoubleType, nullable = true), Literal(1L), k)
+    val buf = agg.createAggregationBuffer()
+    // one million rows of one key through ONE buffer: peak state is the
+    // cap, not the row count (the collect_list failure mode, removed)
+    var i = 0
+    while (i < 1000000) {
+      agg.update(buf, InternalRow((i % 997).toDouble))
+      assert(buf.total <= k)
+      i += 1
+    }
+    // partial-serialize stays capped too: ≤ k entries of 16 bytes
+    assert(agg.serialize(buf).length <= 4 + 16 * k)
+    // survivors are the k largest WITH multiplicity (996 recurs ~1003×)
+    def arr(b: graft.functions.TopKMultisetBuffer): Seq[Double] =
+      agg.eval(b).asInstanceOf[GenericArrayData].toDoubleArray().toSeq
+    assert(arr(buf) === Seq.fill(k)(996.0))
+    // merge of two capped buffers re-caps to the global top-k
+    val other = agg.createAggregationBuffer()
+    Seq(2000.0, 1500.0, 997.5).foreach(v => agg.update(other, InternalRow(v)))
+    val merged = agg.merge(agg.deserialize(agg.serialize(buf)), other)
+    assert(merged.total === k)
+    assert(arr(merged) === Seq(2000.0, 1500.0, 997.5) ++ Seq.fill(k - 3)(996.0))
+  }
+
+  test("initTopK runs on the bounded aggregate and matches the classic formula") {
+    val base = (1 to 400).map(i => (s"g${i % 5}", ((i * 31 + 7) % 113).toDouble))
+    val df = base.toDF("g", "v")
+    val k = 6
+    val bounded = IncrementalAgg.initTopK(df, Seq("g"), $"v", k)
+    // plan shape: no collect_list anywhere — a hot key can't buffer its history
+    val plan = bounded.queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_topk"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    val got = bounded.select($"g", $"topk").as[(String, Seq[Double])]
+      .collect().toMap
+    val classic = df.groupBy("g")
+      .agg(slice(sort_array(collect_list($"v"), asc = false), 1, k).as("topk"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got === classic)
+    // weighted path: pre-counted (value, net) rows == expanded multiset
+    val weighted = Seq(("a", 5.0, 3L), ("a", 9.0, 1L), ("a", 1.0, 10L))
+      .toDF("g", "v", "n")
+      .groupBy("g")
+      .agg(graft.functions.BoundedTopK.topKDescWeighted($"v", $"n", 5).as("topk"))
+      .select("topk").as[Seq[Double]].head()
+    assert(weighted === Seq(9.0, 5.0, 5.0, 5.0, 1.0))
+  }
+
   test("Profile.summarize counts rows, nulls, distincts per column") {
     val df = Seq(
       (Some(1), Some("x")), (Some(1), None), (Some(2), Some("y")), (None, Some("y"))
