@@ -16,7 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * ladder next to [[graft.operators.FuzzyJoin]]'s exact edit distance).
   *
   * Standard definition: matches within a ⌊max(|a|,|b|)/2⌋−1 window,
-  * half-transposition penalty, prefix boost p=0.1 capped at 4 chars.
+  * half-transposition penalty, prefix boost p=0.1 capped at 4 chars and
+  * applied only when the Jaro score exceeds 0.7 — Winkler's boost
+  * threshold, which rapidfuzz (and therefore DuckDB's
+  * jaro_winkler_similarity, the q_name_match oracle) also applies;
+  * dissimilar pairs keep their raw Jaro score.
   * Null input → null; two empty strings → 1.0; one empty → 0.0.
   * Stays inside WholeStageCodegen via the static kernel call.
   */
@@ -88,6 +92,7 @@ object JaroWinkler {
     }
     val jaro = (m.toDouble / a.length + m.toDouble / b.length +
       (m - t / 2.0) / m) / 3.0
+    if (jaro <= 0.7) return jaro // Winkler boost threshold
     var prefix = 0
     while (prefix < math.min(4, math.min(a.length, b.length)) &&
       a.charAt(prefix) == b.charAt(prefix)) prefix += 1

@@ -44,8 +44,8 @@ object Salt {
     * re-split (AQE only splits SORT-MERGE reduce partitions — a
     * shuffled-hash join, a join inside a cached/reused exchange, or a
     * build running with AQE disabled still funnels a hot key through
-    * one task). The big side salts each row into one of `buckets`
-    * sub-keys from its whole-row hash; the small side replicates
+    * one task). The big side assigns each row a uniform RANDOM bucket
+    * (not a content hash — see the inline note); the small side replicates
     * `buckets`× so every (key, salt) bucket holds a complete copy —
     * output EXACTLY equals the plain join (OperatorsSpec proves it,
     * duplicates included) while the hot key's probe work spreads over

@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SaveMode}
-import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Output-side helpers: layout-aware writes.
   *
@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * pruning skips whole directories) and bucketing for the high-cardinality
   * join/agg keys (co-located joins skip the shuffle). At 100 TB the
   * partition/bucket layout IS the index.
+  *
+  * All directory maintenance (compact/expire) goes through the Hadoop
+  * FileSystem API, so the same calls work against HDFS/S3A destinations,
+  * not just local disk — the filesystems a 100 TB table actually lives on.
   */
 object Sink {
 
@@ -36,6 +40,16 @@ object Sink {
   def repartitionForWrite(df: DataFrame, totalRows: Long, targetRows: Long): DataFrame =
     df.repartition(math.max(1, math.ceil(totalRows.toDouble / targetRows).toInt))
 
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def ls(fs: FileSystem, dir: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    if (fs.exists(dir)) fs.listStatus(dir) else Array.empty
+
+  private def parquetFiles(fs: FileSystem, dir: Path): Array[Path] =
+    ls(fs, dir).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+
   /** Compact a FLAT parquet directory's accumulated small files (the
     * steady-state debris of micro-batch appends) into ~`targetBytes`
     * outputs. `coalesce` (narrow, no shuffle) merges read-splits; the
@@ -45,41 +59,36 @@ object Sink {
     * window leaves the data at `<path>__compact_old` (recover by
     * renaming it back); a failed second rename is rolled back
     * automatically. A lake table format makes this atomic via
-    * manifests, which is out of scope here. Partitioned layouts should
+    * manifests, which is out of scope here — and on S3A the "renames"
+    * are copies, widening the window. Partitioned layouts should
     * compact per partition directory. Returns (filesBefore, filesAfter).
     */
-  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+  def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20): (Int, Int) = {
-    def parquetFiles(d: java.io.File): Array[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val dir = new java.io.File(path)
-    require(dir.isDirectory, s"not a directory: $path")
-    require(!Option(dir.listFiles()).getOrElse(Array.empty)
-        .exists(f => f.isDirectory && f.getName.contains("=")),
+    val dfs = fs(spark, path)
+    val dir = new Path(path)
+    require(dfs.exists(dir) && dfs.getFileStatus(dir).isDirectory,
+      s"not a directory: $path")
+    require(!ls(dfs, dir).exists(s => s.isDirectory && s.getPath.getName.contains("=")),
       s"$path is hive-partitioned; compact each partition directory")
-    val before = parquetFiles(dir)
-    val totalBytes = before.map(_.length()).sum
+    val before = ls(dfs, dir).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = before.map(_.getLen).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new java.io.File(path + "__compact_tmp")
+    val tmp = new Path(path + "__compact_tmp")
     spark.read.parquet(path).coalesce(parts)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-    val old = new java.io.File(path + "__compact_old")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    if (old.exists()) rm(old)
-    require(dir.renameTo(old),
-      s"compaction swap failed for $path; original left in place, rewrite at ${tmp.getPath}")
-    if (!tmp.renameTo(dir)) {
-      val rolledBack = old.renameTo(dir) // try to restore the original
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new Path(path + "__compact_old")
+    if (dfs.exists(old)) dfs.delete(old, true)
+    require(dfs.rename(dir, old),
+      s"compaction swap failed for $path; original left in place, rewrite at $tmp")
+    if (!dfs.rename(tmp, dir)) {
+      val rolledBack = dfs.rename(old, dir) // try to restore the original
       throw new IllegalStateException(
         s"compaction swap-in failed for $path; original " +
-          (if (rolledBack) "restored" else s"at ${old.getPath}") +
-          s", rewrite at ${tmp.getPath}")
+          (if (rolledBack) "restored" else s"at $old") + s", rewrite at $tmp")
     }
-    rm(old)
-    (before.length, parquetFiles(dir).length)
+    dfs.delete(old, true)
+    (before.length, parquetFiles(dfs, dir).length)
   }
 
   /** Retention/vacuum for hive-partitioned layouts: drop partitions
@@ -88,26 +97,27 @@ object Sink {
     * lexicographic compare on zero-padded dates is chronological).
     * Directory-level deletes only: no file is ever opened, the cost is
     * one listing — the operation a 100 TB day-partitioned destination
-    * runs nightly. Values are unescaped through Spark's own partition
-    *-path rules before comparing (a space-bearing value compares as
-    * itself, not its escaped form). Returns the dropped values.
+    * runs nightly (against HDFS/S3A via the Hadoop FS API, same as the
+    * streaming path probes). Values are unescaped through Spark's own
+    * partition-path rules before comparing (a space-bearing value
+    * compares as itself, not its escaped form). Returns the dropped
+    * values.
     */
-  def expirePartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+  def expirePartitions(spark: SparkSession, path: String,
                        partCol: String, cutoff: String): Seq[String] = {
-    val root = new java.io.File(path)
-    require(root.isDirectory, s"not a directory: $path")
+    val dfs = fs(spark, path)
+    val root = new Path(path)
+    require(dfs.exists(root) && dfs.getFileStatus(root).isDirectory,
+      s"not a directory: $path")
     val prefix = s"$partCol="
-    val parts = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    val parts = ls(dfs, root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
     require(parts.nonEmpty, s"$path has no $prefix partition directories")
     val dropped = parts.flatMap { d =>
       val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(d.getName.stripPrefix(prefix))
+        .unescapePathName(d.getPath.getName.stripPrefix(prefix))
       if (value < cutoff) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(d)
+        dfs.delete(d.getPath, true)
         Some(value)
       } else None
     }
@@ -123,24 +133,24 @@ object Sink {
     * hot ones pay). Returns (partitionsCompacted, filesBefore,
     * filesAfter) summed over compacted partitions.
     */
-  def compactPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+  def compactPartitioned(spark: SparkSession, path: String,
                          targetBytes: Long = 128L << 20,
                          maxFiles: Int = 4): (Int, Int, Int) = {
-    val root = new java.io.File(path)
-    require(root.isDirectory, s"not a directory: $path")
-    def leaves(d: java.io.File): Seq[java.io.File] = {
-      val subs = Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.contains("="))
-      if (subs.isEmpty) Seq(d) else subs.toSeq.flatMap(leaves)
+    val dfs = fs(spark, path)
+    val root = new Path(path)
+    require(dfs.exists(root) && dfs.getFileStatus(root).isDirectory,
+      s"not a directory: $path")
+    def leaves(d: Path): Seq[Path] = {
+      val subs = ls(dfs, d)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (subs.isEmpty) Seq(d) else subs.toSeq.flatMap(s => leaves(s.getPath))
     }
     val parts = leaves(root).filter(_ != root)
     require(parts.nonEmpty, s"$path has no partition directories; use compact")
     var done = 0; var before = 0; var after = 0
     parts.foreach { p =>
-      val nFiles = Option(p.listFiles()).getOrElse(Array.empty)
-        .count(f => f.isFile && f.getName.endsWith(".parquet"))
-      if (nFiles > maxFiles) {
-        val (b, a) = compact(spark, p.getPath, targetBytes)
+      if (parquetFiles(dfs, p).length > maxFiles) {
+        val (b, a) = compact(spark, p.toString, targetBytes)
         done += 1; before += b; after += a
       }
     }

@@ -59,11 +59,26 @@ class StreamingJoin(statePath: String, joinKeys: Seq[String], aIdCol: String,
           .unionByName(fresh)
       } else fresh
     val pinned = out.localCheckpoint(true) // cut lineage: read+overwrite race
-    try pinned.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BucketCol)
-      .parquet(statePath)
-    finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(pinned)
+    try {
+      pinned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BucketCol)
+        .parquet(statePath)
+      // dynamic overwrite only rewrites partitions PRESENT in the output:
+      // a delete-only batch that empties a bucket (no survivors, no fresh
+      // rows) writes nothing for it, and its dead rows would survive.
+      // Drop those bucket dirs explicitly (idempotent under crash-replay:
+      // reprocessing the batch re-derives the same empty set).
+      val written = pinned.select(col(BucketCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      val emptied = dirtyBuckets.filterNot(written)
+      if (emptied.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(statePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach(b => fs.delete(
+          new org.apache.hadoop.fs.Path(root, s"$BucketCol=$b"), true))
+      }
+    } finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(pinned)
   }
 
   /** The maintained view, bucket column dropped. */

@@ -174,7 +174,11 @@ class FunctionsSpec extends SparkSuite {
       ("MARTHA", "MARHTA", 0.9611), ("DIXON", "DICKSONX", 0.8133),
       ("JELLYFISH", "SMELLYFISH", 0.8963), ("DWAYNE", "DUANE", 0.84),
       ("same", "same", 1.0), ("", "", 1.0), ("abc", "", 0.0),
-      ("abc", "xyz", 0.0))
+      ("abc", "xyz", 0.0),
+      // boost gate: shared prefix but jaro ≤ 0.7 keeps the RAW jaro
+      // (Winkler threshold — DuckDB/rapidfuzz values, checked directly)
+      ("AB", "ABXXXXXXXXXXXXXXXXXXXX", 0.6970), ("abcdef", "abzzzz", 0.5556),
+      ("prefix", "przzzzzzzzzz", 0.5))
     val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
       .select(JaroWinkler.jaroWinkler(col("a"), col("b")).as("s"))
     val got = df.as[Double].collect()

@@ -79,6 +79,32 @@ class StreamingJoinSpec extends SparkSuite {
       canon(IncrementalJoin.joinOf(expect, dim, Seq("k"))))
   }
 
+  test("delete-only batch that empties a bucket drops the bucket dir, not just skips it") {
+    val dir = Files.createTempDirectory("graft_sjoin4")
+    val state = s"$dir/state"
+    val nBuckets = 4
+    val sj = new StreamingJoin(state, Seq("k"), "id", nBuckets = nBuckets)
+    val ids = (1L to 20L)
+    sj.processBatch(ids.map(i => Cdc(i, s"k${i % 5}", s"a$i", "I", 1)).toDF(),
+      dim, Seq(col("ts").desc))
+    // delete EVERY id of one bucket (bucket = pmod(xxhash64(id), n), same
+    // derivation as the operator) so survivors and fresh are both empty
+    val bucketOfId = spark.range(1, 21)
+      .select($"id", pmod(xxhash64($"id"), lit(nBuckets.toLong)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val victimBucket = bucketOfId(1L)
+    val victims = ids.filter(bucketOfId(_) == victimBucket)
+    assert(victims.nonEmpty && victims.size < ids.size)
+    sj.processBatch(victims.map(i => Cdc(i, s"k${i % 5}", s"a$i", "D", 2)).toDF(),
+      dim, Seq(col("ts").desc))
+    // dead rows are gone from the view (pre-fix they survived: dynamic
+    // overwrite wrote nothing for the bucket and the old files remained)
+    val remaining = sj.read(spark).select("id").as[Long].collect().toSet
+    assert(remaining === ids.toSet -- victims)
+    // and the emptied bucket directory itself is dropped
+    assert(!new java.io.File(s"$state/__jbucket=$victimBucket").exists())
+  }
+
   test("crash-replay idempotence: reprocessing the same batch is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_sjoin3")
