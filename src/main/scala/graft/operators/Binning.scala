@@ -24,12 +24,16 @@ import org.apache.spark.sql.functions._
   *     floor to ADJACENT longs and shift that bin edge — when comparing
   *     engines, compare the emitted `boundaries` first; row assignment
   *     agrees whenever the boundaries do;
-  *   - two probs whose percentiles floor to the SAME integer yield an
-  *     empty bucket (no value can fall between equal boundaries). Bucket
-  *     INDEXES stay stable — bucket i is always "probs(i-1) ≤ v <
-  *     probs(i)" — which is why duplicates are kept rather than
-  *     collapsed. Boundaries are asserted non-decreasing (always true
-  *     for ascending probs; the assert guards engine bugs, not inputs).
+  *   - two probs whose percentiles floor to the SAME integer would
+  *     yield an empty bucket (no value can fall between equal
+  *     boundaries). By default this THROWS with the colliding
+  *     boundaries named — a silent empty price band is a data bug the
+  *     caller should see. Passing `allowCollapsed = true` keeps the
+  *     duplicates instead, with stable indexes — bucket i is always
+  *     "probs(i-1) ≤ v < probs(i)" — for callers whose downstream
+  *     contract fixes the bucket count. Boundaries are also asserted
+  *     non-decreasing (always true for ascending probs; that assert
+  *     guards engine bugs, not inputs).
   */
 object Binning {
 
@@ -46,7 +50,8 @@ object Binning {
     */
   def quantileBins(df: DataFrame, value: Column, probs: Seq[Double],
                    as: String = "bucket",
-                   approx: Boolean = false): (DataFrame, Seq[Long]) = {
+                   approx: Boolean = false,
+                   allowCollapsed: Boolean = false): (DataFrame, Seq[Long]) = {
     require(probs.nonEmpty && probs == probs.sorted &&
       probs.distinct == probs &&
       probs.forall(p => p > 0 && p < 1),
@@ -63,6 +68,11 @@ object Binning {
     val boundaries = row.getSeq[Double](0).map(math.floor(_).toLong)
     require(boundaries.zip(boundaries.tail).forall { case (a, b) => a <= b },
       s"quantileBins: floored boundaries must be non-decreasing, got $boundaries")
+    require(allowCollapsed || boundaries.distinct == boundaries,
+      s"quantileBins: floored boundaries collide ($boundaries) — the bucket " +
+        "between equal boundaries can hold no value. Use fewer or more-" +
+        "separated probs, or pass allowCollapsed = true to keep the " +
+        "duplicate boundaries (stable bucket indexes, empty bucket).")
     val bucket = boundaries.zipWithIndex.foldRight(lit(boundaries.size)) {
       case ((b, i), acc) => when(value < b, lit(i)).otherwise(acc)
     }

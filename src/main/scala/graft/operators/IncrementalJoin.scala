@@ -68,19 +68,19 @@ object IncrementalJoin {
     // replacement pairs: current snapshots, key-pruned to the touched
     // join keys, joined once, kept only where a dirty row participates
     // (clean-by-clean pairs under a touched key are already in state)
-    val freshA = aNew.join(broadcast(dirtyKeys), joinKeys, "left_semi")
-    val freshB = bNew.join(broadcast(dirtyKeys), joinKeys, "left_semi")
+    val freshA = aNew.join(hint(dirtyKeys), joinKeys, "left_semi")
+    val freshB = bNew.join(hint(dirtyKeys), joinKeys, "left_semi")
     val fresh = joinOf(freshA, freshB, joinKeys)
-      .join(broadcast(dirtyA.withColumn("__da", lit(1))), Seq(aIdCol), "left")
-      .join(broadcast(dirtyB.withColumn("__db", lit(1))), Seq(bIdCol), "left")
+      .join(hint(dirtyA.withColumn("__da", lit(1))), Seq(aIdCol), "left")
+      .join(hint(dirtyB.withColumn("__db", lit(1))), Seq(bIdCol), "left")
       .filter(col("__da").isNotNull || col("__db").isNotNull)
       .drop("__da", "__db")
 
     // survivors: state pairs touching NO dirty id — two broadcast anti
     // joins (AND of NOTs == NOT of the OR), zero state-side shuffle
     val survivors = state
-      .join(broadcast(dirtyA), Seq(aIdCol), "left_anti")
-      .join(broadcast(dirtyB), Seq(bIdCol), "left_anti")
+      .join(hint(dirtyA), Seq(aIdCol), "left_anti")
+      .join(hint(dirtyB), Seq(bIdCol), "left_anti")
       .select(state.columns.map(col): _*) // USING joins reorder; pin schema
 
     survivors.unionByName(fresh.select(survivors.columns.map(col): _*))

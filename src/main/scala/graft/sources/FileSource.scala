@@ -28,7 +28,14 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *  - CSV `header=true` drops every line equal to the constructed header
   *    (schema names joined by the delimiter) — a data row identical to
   *    the header is indistinguishable from one, and header lines can
-  *    appear mid-stream when many files concatenate.
+  *    appear mid-stream when many files concatenate. Pass
+  *    `headerPerFile = true` to drop at most ONE header-equal line per
+  *    input file instead (`input_file_name` + per-file rank): data rows
+  *    equal to the header then survive. That mode assumes every file
+  *    actually carries a header (a headerless file whose data contains a
+  *    header-lookalike loses that one row — the two cases are
+  *    byte-identical, no reader can split them) and costs one shuffle on
+  *    the file name, which the default scan-only filter avoids.
   */
 object FileSource {
 
@@ -53,7 +60,8 @@ object FileSource {
     */
   def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
                         header: Boolean = true,
-                        options: Map[String, String] = Map.empty)
+                        options: Map[String, String] = Map.empty,
+                        headerPerFile: Boolean = false)
       : (DataFrame, DataFrame) = {
     val opts = options ++ Map(
       "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
@@ -61,7 +69,22 @@ object FileSource {
     val headerLine = schema.fieldNames.mkString(
       options.getOrElse("sep", options.getOrElse("delimiter", ",")))
     val lines = spark.read.text(path)
-    val data = if (header) lines.filter(col("value") =!= headerLine) else lines
+    val data =
+      if (header && headerPerFile) {
+        // one header-equal line dropped PER FILE: header-equal lines are
+        // byte-identical, so ranking them arbitrarily within their file
+        // and dropping rank 1 removes exactly the file's header while
+        // sparing data rows that merely look like it
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(input_file_name(), col("value") === headerLine)
+          .orderBy(col("value"))
+        lines.withColumn("__hdr_rn",
+            when(col("value") === headerLine, row_number().over(w)).otherwise(0))
+          .filter(col("__hdr_rn") =!= 1)
+          .drop("__hdr_rn")
+      }
+      else if (header) lines.filter(col("value") =!= headerLine)
+      else lines
     splitParsed(data, schema, v => from_csv(v, full, opts))
   }
 

@@ -47,6 +47,28 @@ class FileSourceSpec extends SparkSuite {
     assert(bad.filter(col("raw_record").contains("not json")).count() === 1)
   }
 
+  test("headerPerFile: a data row equal to the header survives, one header dropped per file") {
+    // schema whose header line is also a plausible data row
+    val s = StructType(Seq(StructField("1", LongType), StructField("x", StringType)))
+    val dir = Files.createTempDirectory("graft_filesrc_hdr").toString
+    // file A: header + a DATA row byte-identical to the header + normal rows
+    Files.write(Paths.get(dir, "a.csv"),
+      Seq("1,x", "1,x", "2,y").mkString("\n").getBytes("UTF-8"))
+    // file B: header + normal row (headers appear mid-stream when files
+    // concatenate — per-file mode must drop each file's own)
+    Files.write(Paths.get(dir, "b.csv"),
+      Seq("1,x", "3,z").mkString("\n").getBytes("UTF-8"))
+    // default mode loses the lookalike row: 3 data rows survive of 4
+    val (goodAll, _) = FileSource.csvWithQuarantine(spark, dir, s, header = true)
+    assert(goodAll.count() === 2) // "2,y" and "3,z" only
+    // per-file mode: exactly one header-equal line dropped per file
+    val (good, bad) = FileSource.csvWithQuarantine(spark, dir, s,
+      header = true, headerPerFile = true)
+    assert(bad.count() === 0)
+    assert(good.orderBy("1").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "x"), (2L, "y"), (3L, "z")))
+  }
+
   test("schema collision with the corrupt column is rejected") {
     val s = StructType(Seq(StructField("__corrupt_record", StringType)))
     intercept[IllegalArgumentException] {

@@ -86,6 +86,38 @@ class IncrementalJoinSpec extends SparkSuite {
     assert(canon(out) === canon(state))
   }
 
+  test("backfill mode (broadcastDirty = false): no forced broadcast, output still exact") {
+    val a = (1 to 400).map(i => (i.toLong, s"k${i % 40}", s"a$i")).toDF("aid", "k", "av")
+    val bOld = (1 to 80).map(i => (i.toLong, s"k${i % 40}", s"b$i"))
+    // backfill-sized delta: EVERY b row is replaced
+    val bNew = bOld.map { case (id, k, v) => (id, k, v + "'") }
+    val deltaB = (bOld.map { case (id, k, v) => (id, k, v, "D") } ++
+      bNew.map { case (id, k, v) => (id, k, v, "I") }).toDF("bid", "k", "bv", "op")
+    val emptyA = Seq.empty[(Long, String, String, String)].toDF("aid", "k", "av", "op")
+    val state = IncrementalJoin.joinOf(a, bOld.toDF("bid", "k", "bv"), Seq("k"))
+    // with the auto-broadcast threshold off, only explicit broadcast()
+    // hints can put a BroadcastExchange in the plan — so its absence
+    // proves the backfill path really dropped the forced hints
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val backfill = IncrementalJoin.maintain(state, a, emptyA,
+        bNew.toDF("bid", "k", "bv"), deltaB, Seq("k"), "aid", "bid",
+        broadcastDirty = false)
+      assert(canon(backfill) ===
+        canon(IncrementalJoin.joinOf(a, bNew.toDF("bid", "k", "bv"), Seq("k"))))
+      assert(!backfill.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"), "backfill must not force broadcasts")
+      // contrast: the steady-state default still forces the dirty-set
+      // broadcasts under the same threshold
+      val steady = IncrementalJoin.maintain(state, a, emptyA,
+        bNew.toDF("bid", "k", "bv"), deltaB, Seq("k"), "aid", "bid")
+      assert(steady.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+    } finally spark.conf.set(key, saved)
+  }
+
   test("state branch is Exchange-free: dirty sets broadcast, state never shuffles") {
     val a = (1 to 500).map(i => (i.toLong, s"k${i % 50}", s"a$i")).toDF("aid", "k", "av")
     val b = (1 to 100).map(i => (i.toLong, s"k${i % 50}", s"b$i")).toDF("bid", "k", "bv")

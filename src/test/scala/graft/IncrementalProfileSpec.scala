@@ -215,6 +215,19 @@ class IncrementalProfileSpec extends SparkSuite {
     assert(err.getMessage.contains("no non-null values"))
     intercept[IllegalArgumentException](
       Binning.quantileBins(df, $"v", Seq(0.5, 0.5)))
+    // collapsed floored boundaries are LOUD by default (a silent empty
+    // bucket is a data bug), recoverable by opting in to stable indexes
+    val narrow = (1 to 100).map(_ => 5.3).toDF("v") // all mass at one value
+    val collide = intercept[IllegalArgumentException](
+      Binning.quantileBins(narrow, $"v", Seq(0.25, 0.75)))
+    assert(collide.getMessage.contains("collide"))
+    val (collapsedDf, collapsedBounds) =
+      Binning.quantileBins(narrow, $"v", Seq(0.25, 0.75), allowCollapsed = true)
+    assert(collapsedBounds === Seq(5L, 5L)) // duplicates kept, indexes stable
+    // every 5.3 lands in the LAST bucket (v >= both boundaries); the
+    // middle bucket [5, 5) is empty by construction
+    assert(collapsedDf.groupBy("bucket").count()
+      .as[(Long, Long)].collect().toMap === Map(2L -> 100L))
     val sizes = binned.groupBy("bucket").count()
       .as[(Long, Long)].collect().toMap
     assert(sizes.keySet === Set(0L, 1L, 2L, 3L))

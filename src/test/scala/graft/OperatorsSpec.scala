@@ -337,4 +337,50 @@ class OperatorsSpec extends SparkSuite {
     assert(Debounce.suppress(edge, Seq("user_id"), "ts",
       10L * 60 * 1000000).count() === 2)
   }
+
+  test("Debounce.suppressChunked == suppress on a bursty hot key, scanned in parallel") {
+    import graft.operators.Debounce
+    def rng(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    val r = rng(41L)
+    val gap = 60L * 1000000 // 1 minute
+    val base = 1700000000000000L
+    // hot key u0: 60 bursts separated by ≥ gap quiet spans, each burst a
+    // dense run of sub-gap steps (incl. exact-boundary steps inside and
+    // between bursts); plus normal keys
+    var t = base
+    val hot = (0 until 60).flatMap { _ =>
+      t += gap + (r.next().abs % (3 * gap)) // quiet span ≥ gap
+      (0 until (1 + (r.next().abs % 20)).toInt).map { _ =>
+        t += r.next().abs % gap // dense step < gap (0 allowed: ties)
+        ("u0", t)
+      }
+    }
+    val cold = (1 to 200).map(i =>
+      (s"u${1 + i % 7}", base + (r.next().abs % (500 * gap))))
+    val df = (hot ++ cold).zipWithIndex.map { case ((u, micros), i) =>
+      val ts = new java.sql.Timestamp(micros / 1000)
+      ts.setNanos((micros % 1000000).toInt * 1000)
+      (i.toLong, u, ts)
+    }.toDF("event_id", "user_id", "ts")
+    def ids(out: org.apache.spark.sql.DataFrame) =
+      out.select("event_id").as[Long].collect().sorted.toSeq
+    val plain = ids(Debounce.suppress(df, Seq("user_id"), "ts", gap,
+      tiebreak = Seq("event_id")))
+    val chunked = ids(Debounce.suppressChunked(df, Seq("user_id"), "ts", gap,
+      tiebreak = Seq("event_id")))
+    assert(chunked === plain)
+    // the hot key really splits: its scan runs as many independent
+    // groups as bursts, not one (the wall-clock fix being claimed)
+    import org.apache.spark.sql.functions.{col => c, floor => fl, unix_micros, min => mn, max => mx, lag, sum => sm}
+    val cells = df.filter(c("user_id") === "u0")
+      .groupBy(fl(unix_micros(c("ts")) / gap).as("cell"))
+      .agg(mn(unix_micros(c("ts"))).as("lo"), mx(unix_micros(c("ts"))).as("hi"))
+      .orderBy("cell").as[(Long, Long, Long)].collect()
+    val nChunks = cells.sliding(2).count {
+      case Array((pc, _, phi), (cc, clo, _)) => cc > pc + 1 || clo - phi >= gap
+      case _ => false
+    } + 1
+    assert(nChunks > 10, s"bursty key should split into many chunks, got $nChunks")
+  }
 }
