@@ -545,9 +545,14 @@ object SparkEntry {
     }),
 
     "q_table_order" -> ((s, dir) => {
-      val ordered = TableOrder.order(Tables.All)
-      s.createDataFrame(ordered.zipWithIndex.map { case (n, i) => (i + 1, n) })
-        .toDF("position", "table_name")
+      // level = longest dependency path (closed form, so the DuckDB
+      // oracle replays it with a recursive CTE); (level, name) is a
+      // deterministic topological serialization — parents always sort
+      // before children because level strictly increases along an edge
+      val lv = plans.TableOrder.levels(Tables.All)
+      val rows = lv.toSeq.sortBy { case (n, l) => (l, n) }.zipWithIndex
+        .map { case ((n, l), i) => (i + 1L, n, l.toLong) }
+      s.createDataFrame(rows).toDF("position", "table_name", "level")
         .orderBy(col("position"))
     }),
 
@@ -1459,6 +1464,30 @@ object SparkEntry {
       val centroids = Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
       Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10), centroids, k = 5, nProbe = 2)
         .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    "q_ann_recall" -> ((s, dir) => {
+      // per-query IVF recall vs exact brute force, hash-checkable: with
+      // iters = 0 the centroids stay at their SEEDS (every step-th
+      // vector by id — a closed form the DuckDB oracle re-derives; one
+      // Lloyd round's distributed avg() is summation-order-dependent,
+      // which is why q_ann_ivf itself stays rows-only). The oracle
+      // replays seeds → assignment → probes → both top-k sets → the
+      // same recall_bp, so the IVF pipeline's SHAPE is oracle-verified
+      // even though the trained-centroid variant can't be.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = Knn.trainCentroids(emb, nCentroids = 8, iters = 0)
+      val k = 5
+      val ivf = Knn.ivfTopK(emb, queries, cents, k = k, nProbe = 2)
+      val brute = Knn.bruteForceTopK(emb, queries, k = k)
+      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hit"), lit(0L)) * 10000L / k).cast("long").as("recall_bp"))
+        .orderBy(col("query_id"))
     }),
 
     "q_dedup_clusters" -> ((s, dir) => {
@@ -2711,6 +2740,84 @@ object SparkEntry {
         |SELECT query_id, vec_id AS neighbor_id, cos_sim
         |FROM ranked WHERE rk <= 5
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_ann_recall" ->
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+        |cents AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+        |         embedding AS c_emb
+        |  FROM embeddings, n
+        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  ORDER BY vec_id LIMIT 8),
+        |scores AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, embedding, cid AS centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores) WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, cid AS centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores WHERE vec_id < 10) WHERE rk <= 2),
+        |ivf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM (
+        |      SELECT p.query_id, a.vec_id AS neighbor_id,
+        |        round(
+        |          list_aggregate(list_apply(list_zip(p.q_emb, a.embedding),
+        |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |          / (sqrt(list_aggregate(list_apply(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |             * sqrt(list_aggregate(list_apply(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+        |          4) AS cos_sim
+        |      FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+        |      WHERE a.vec_id <> p.query_id)) WHERE rk <= 5),
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |        round(
+        |          list_aggregate(list_apply(list_zip(q.embedding, e.embedding),
+        |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |          / (sqrt(list_aggregate(list_apply(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |             * sqrt(list_aggregate(list_apply(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+        |          4) AS cos_sim
+        |      FROM embeddings e
+        |      CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+        |      WHERE e.vec_id <> q.vec_id)) WHERE rk <= 5)
+        |SELECT b.query_id,
+        |  CAST(count(i.neighbor_id) * 10000 / 5 AS BIGINT) AS recall_bp
+        |FROM brute b LEFT JOIN ivf i USING (query_id, neighbor_id)
+        |GROUP BY b.query_id
+        |ORDER BY query_id""".stripMargin,
+
+    "q_table_order" ->
+      """WITH RECURSIVE edges(child, parent) AS (
+        |  SELECT * FROM (VALUES ('nation','region'), ('customer','nation'),
+        |    ('supplier','nation'), ('orders','customer'), ('lineitem','orders'),
+        |    ('lineitem','part'), ('lineitem','supplier'), ('events','customer'),
+        |    ('embeddings','documents')) v(child, parent)
+        |), tabs(t) AS (
+        |  SELECT * FROM (VALUES ('region'),('nation'),('customer'),('supplier'),
+        |    ('part'),('orders'),('lineitem'),('events'),('documents'),('embeddings')) v(t)
+        |), depths AS (
+        |  SELECT t AS tn, 0 AS lvl FROM tabs WHERE t NOT IN (SELECT child FROM edges)
+        |  UNION ALL
+        |  SELECT e.child, d.lvl + 1 FROM depths d JOIN edges e ON e.parent = d.tn
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY level, table_name) AS BIGINT) AS position,
+        |       table_name, level
+        |FROM (SELECT tn AS table_name, CAST(max(lvl) AS BIGINT) AS level
+        |      FROM depths GROUP BY tn)
+        |ORDER BY position""".stripMargin,
 
     "q_table_checksum" ->
       """SELECT l_returnflag, count(*) AS n_rows,

@@ -49,4 +49,26 @@ object TableOrder {
       s"cyclic dependencies among: ${wanted -- out}")
     out.toSeq
   }
+
+  /** Longest-dependency-path depth per table (roots = 0, child =
+    * 1 + max over parents). Sorting by (level, name) is itself a valid
+    * deterministic topological order — and unlike Kahn's queue it is a
+    * CLOSED FORM an independent engine can replay (the q_table_order
+    * oracle re-derives it in DuckDB with a recursive CTE over the same
+    * edge list). Throws on cycles like [[order]].
+    */
+  def levels(tables: Seq[String],
+             deps: Map[String, Set[String]] = StarSchemaDeps): Map[String, Int] = {
+    val wanted = tables.toSet
+    val memo = mutable.Map[String, Int]()
+    val visiting = mutable.Set[String]()
+    def depth(t: String): Int = memo.getOrElseUpdate(t, {
+      require(visiting.add(t), s"cyclic dependencies at $t")
+      val ps = deps.getOrElse(t, Set.empty).filter(wanted)
+      val d = if (ps.isEmpty) 0 else ps.map(depth).max + 1
+      visiting -= t
+      d
+    })
+    tables.map(t => t -> depth(t)).toMap
+  }
 }

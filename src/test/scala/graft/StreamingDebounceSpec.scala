@@ -75,6 +75,31 @@ class StreamingDebounceSpec extends SparkSuite {
     assert(kept === Seq(1L, 2L, 4L), s"late event 3 must be dropped: $kept")
   }
 
+  test("state store bound: keys evict once the watermark passes lastKept + gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sdb_state")
+    val stream = MemoryStream[Ev]
+    val out = StreamingDebounce.suppress(
+      stream.toDS().withWatermark("ts", "0 seconds").as[Ev], Gap)
+    val q = out.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      def stateRows: Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      stream.addData(Ev(1, "view", 1, ts(0)))
+      q.processAllAvailable()
+      assert(stateRows === 1)
+      // two later keys march the watermark far past u1's horizon
+      // (0 + 10min); an engine that never evicts would hold 3 rows
+      stream.addData(Ev(2, "view", 2, ts(60)))
+      q.processAllAvailable()
+      stream.addData(Ev(3, "view", 3, ts(70)))
+      q.processAllAvailable()
+      assert(stateRows === 2,
+        "u1's state must leave the store once the watermark passes its horizon")
+    } finally q.stop()
+  }
+
   test("batch frames run the same definition without a watermark") {
     val kept = StreamingDebounce.suppress(
       Seq(Ev(9, "view", 1, ts(0)), Ev(9, "view", 2, ts(5)),

@@ -47,4 +47,29 @@ class StreamingRateLimitSpec extends SparkSuite {
       .select("event_id").as[Long].collect().sorted.toSeq
     assert(streamed === batchKept)
   }
+
+  test("state store bound: a key's window state evicts once the watermark passes its end") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_srl_state")
+    val stream = MemoryStream[Ev]
+    val out = StreamingRateLimit.limit(
+      stream.toDS().withWatermark("ts", "0 seconds").as[Ev], HourMicros, 2)
+    val q = out.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      def stateRows: Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      stream.addData(Ev(1, "view", 1, ts(1))) // hour-0 window, ends min 60
+      q.processAllAvailable()
+      assert(stateRows === 1)
+      // a later key pushes the watermark to min 200 ≫ u1's window end;
+      // an engine that never evicts would hold 2 rows forever
+      stream.addData(Ev(2, "view", 2, ts(200)))
+      q.processAllAvailable()
+      stream.addData(Ev(2, "view", 3, ts(210)))
+      q.processAllAvailable()
+      assert(stateRows === 1,
+        "u1's rolled-past window state must leave the store")
+    } finally q.stop()
+  }
 }
