@@ -19,6 +19,8 @@ import graft.functions._
   *   graft_cosine(a, b)                         -> double
   *   graft_set_overlap(a, b)                    -> bigint (inter<<32|union)
   *   graft_jaro_winkler(a, b)                   -> double
+  *   graft_bounded_distinct(v, limit)           -> array (agg; state ≤ limit)
+  *   graft_bounded_topk(v, k)                   -> array<double> (agg; k largest w/ mult.)
   *
   * Activated by `GraftSession.builder` (spark.sql.extensions also works
   * for externally-launched sessions:
@@ -89,6 +91,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_jaro_winkler(a, b)")
         JaroWinklerSim(args.head, args(1))
+      }))
+    // the bounded aggregates (state structurally capped per key) — the
+    // analyzer wraps returned AggregateFunctions itself, so these work
+    // anywhere a SQL aggregate does
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bounded_distinct"),
+      new ExpressionInfo(classOf[BoundedDistinctSet].getName, "graft_bounded_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_bounded_distinct(v, limit)")
+        BoundedDistinctSet(args.head, intLit(args(1), "limit"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bounded_topk"),
+      new ExpressionInfo(classOf[BoundedTopKMultiset].getName, "graft_bounded_topk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_bounded_topk(v, k)")
+        BoundedTopKMultiset(args.head,
+          org.apache.spark.sql.catalyst.expressions.Literal(1L),
+          intLit(args(1), "k"))
       }))
   }
 }

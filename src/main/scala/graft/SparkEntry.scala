@@ -1147,6 +1147,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_debounce_chunked" -> ((s, dir) => {
+      // the hot-key-parallel variant: keys split at raw gaps ≥ minGap
+      // (provable reset points) and chunks scan independently. Same
+      // recursive-CTE oracle as q_debounce — the hash match proves the
+      // chunking is an exact refactor of the sequential scan on real
+      // event data at both SFs, not just on the spec's planted feed
+      Debounce.suppressChunked(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts")),
+        Seq("user_id", "event_type"), "ts",
+        minGapMicros = 30L * 60 * 1000000, tiebreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val sessions = t(s, dir, "events")
@@ -2435,6 +2450,27 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "q_debounce" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |keep AS (
+        |  SELECT user_id, event_type, event_id, ts, rn,
+        |    ts AS last_kept, TRUE AS kept
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.event_id, e.ts, e.rn,
+        |    CASE WHEN e.ts >= k.last_kept + INTERVAL 30 MINUTE
+        |         THEN e.ts ELSE k.last_kept END,
+        |    e.ts >= k.last_kept + INTERVAL 30 MINUTE
+        |  FROM ev e JOIN keep k
+        |    ON e.user_id = k.user_id AND e.event_type = k.event_type
+        |   AND e.rn = k.rn + 1)
+        |SELECT event_id, user_id, event_type FROM keep WHERE kept
+        |ORDER BY event_id""".stripMargin,
+
+    "q_debounce_chunked" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, event_type, event_id, ts,
         |    row_number() OVER (PARTITION BY user_id, event_type

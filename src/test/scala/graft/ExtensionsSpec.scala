@@ -68,6 +68,29 @@ class ExtensionsSpec extends SparkSuite {
     assert(viaSql === viaBuiltin)
   }
 
+  test("the bounded aggregates work from sql and match the column api") {
+    val rows = (1 to 300).map(i => (s"g${i % 3}", ((i * 13) % 41).toDouble))
+      .toDF("g", "v")
+    rows.createOrReplaceTempView("ext_agg")
+    val viaSql = spark.sql(
+      """SELECT g, graft_bounded_topk(v, 4) AS topk,
+        |  graft_bounded_distinct(CAST(v AS BIGINT), 5) AS dst
+        |FROM ext_agg GROUP BY g ORDER BY g""".stripMargin)
+      .as[(String, Seq[Double], Seq[Long])].collect().toSeq
+    val viaApi = rows.groupBy("g").agg(
+      graft.functions.BoundedTopK.topKDesc(col("v"), 4).as("topk"),
+      graft.functions.BoundedDistinct.boundedDistinct(
+        col("v").cast("long"), 5).as("dst"))
+      .orderBy("g").as[(String, Seq[Double], Seq[Long])].collect().toSeq
+    assert(viaSql === viaApi)
+    // and both equal the unbounded builtins under the cap
+    val classic = rows.groupBy("g").agg(
+      slice(sort_array(collect_list(col("v")), asc = false), 1, 4).as("topk"),
+      slice(array_sort(collect_set(col("v").cast("long"))), 1, 5).as("dst"))
+      .orderBy("g").as[(String, Seq[Double], Seq[Long])].collect().toSeq
+    assert(viaSql === classic)
+  }
+
   test("non-literal parameters fail with an actionable message") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_minhash('x', CAST(rand()*10 AS INT), 3)").collect()
