@@ -263,6 +263,47 @@ object ScaleSmoke {
         assert(split, "AQE did not split the skewed join partition:\n" + plan.take(3000))
       } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
     }
+
+    if (section == "all" || section == "debounce") {
+      // reset-on-keep suppression on a PATHOLOGICAL key: one device,
+      // mult×100k events in 50-event bursts 2 gaps apart. suppress
+      // streams the whole key through ONE task; suppressChunked scans
+      // one task per burst (gaps ≥ minGap are exact reset points) —
+      // same output, wall-clock ∝ burst count not key volume
+      import graft.operators.Debounce
+      val gapUs = 60L * 1000000
+      val nEv = mult * 100000L
+      val base0 = 1700000000000000L
+      // realistic alert rows carry a payload — it is what makes the
+      // single-task sort+scan of the hot key the stage straggler
+      val payload = repeat(lit("x"), 200)
+      val hotEv = spark.range(nEv).select(
+        lit(1L).as("user_id"), lit("hot").as("event_type"),
+        col("id").as("event_id"),
+        timestamp_micros((col("id") / 50).cast("long") * (2 * gapUs) +
+          pmod(col("id"), lit(50)) * 1000L + lit(base0)).as("ts"),
+        payload.as("props"))
+      val coldEv = spark.range(nEv / 10).select(
+        (col("id") % 500 + 2).as("user_id"), lit("bg").as("event_type"),
+        (col("id") + nEv).as("event_id"),
+        timestamp_micros(col("id") * 31000L + lit(base0)).as("ts"),
+        payload.as("props"))
+      val ev = hotEv.unionByName(coldEv).repartition(64).localCheckpoint(true)
+      try {
+        var nSeq = 0L
+        var nPar = 0L
+        time(s"debounce sequential ${mult}x (hot key = one task)") {
+          nSeq = Debounce.suppress(ev, Seq("user_id", "event_type"), "ts",
+            gapUs, Seq("event_id")).count(); nSeq
+        }
+        time(s"debounce chunked ${mult}x (one task per burst)") {
+          nPar = Debounce.suppressChunked(ev, Seq("user_id", "event_type"), "ts",
+            gapUs, Seq("event_id")).count(); nPar
+        }
+        println(s"[scale] debounce outputs equal: ${nSeq == nPar} ($nSeq)")
+        assert(nSeq == nPar, s"chunked debounce diverged: $nSeq vs $nPar")
+      } finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(ev)
+    }
     spark.stop()
   }
 }
