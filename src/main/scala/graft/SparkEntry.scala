@@ -1280,6 +1280,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_char_entropy" -> ((s, dir) => {
+      // character-level Shannon entropy per document (bits, basis
+      // points) — the is-this-text-or-noise filter signal: near-zero =
+      // repeated-char padding, near-max = base64/hex/binary spill. One
+      // codegen pass per row, zero shuffle (exploding to a row per
+      // CHARACTER would shuffle 100× the corpus at 100 TB)
+      t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          graft.functions.CharEntropy.charEntropyBp(col("text")).as("entropy_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2713,6 +2726,19 @@ object SparkEntry {
         |    AS INTEGER) AS n_bpe_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE length(text) > 0),
+        |counts AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+        |tot AS (
+        |  SELECT doc_id, sum(c) AS n, sum(c * (ln(c) / ln(2))) AS s
+        |  FROM counts GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(floor((ln(n) / ln(2) - s / n) * 10000 + 0.5) AS BIGINT) AS entropy_bp
+        |FROM tot ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       """WITH base AS (

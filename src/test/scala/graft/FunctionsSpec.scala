@@ -199,6 +199,31 @@ class FunctionsSpec extends SparkSuite {
     assert(n.filter(col("s").isNull).count() === 1)
   }
 
+  test("char entropy matches closed forms, counts code points, codegen path works") {
+    import graft.functions.CharEntropy
+    val cases = Seq(
+      ("aaaa", 0L),              // one symbol → 0 bits
+      ("ab", 10000L),            // two equal symbols → 1 bit
+      ("abcd", 20000L),          // four equal symbols → 2 bits
+      ("aab", 9183L),            // log2(3) − 2/3 = 0.91830
+      ("𝄞𝄞a", 9183L), // U+1D11E twice + 'a': 3 CODE POINTS, not 5 UTF-16 units
+      ("", 0L))
+    val df = cases.map(_._1).toDF("t")
+      .select(CharEntropy.charEntropyBp(col("t")).as("e"))
+    assert(df.as[Long].collect().toSeq === cases.map(_._2))
+    // null propagates; whole-stage codegen keeps the expression fused
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(CharEntropy.charEntropyBp(col("t")).as("e"))
+    assert(n.collect().head.isNullAt(0))
+    // over a real scan (a literal local table short-circuits planning)
+    // the expression stays inside whole-stage codegen: the projection
+    // carries the *(n) codegen-stage marker
+    val plan = spark.range(10)
+      .select(CharEntropy.charEntropyBp(col("id").cast("string")).as("e"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("TableOrder: parents precede children, deterministic, cycles throw") {
     val order = TableOrder.order(graft.sources.Tables.All)
     def idx(t: String) = order.indexOf(t)
