@@ -1280,6 +1280,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_word_stats" -> ((s, dir) => {
+      // Gopher-style word-shape signals as EXACT INTEGERS (the float-
+      // free way to ship filter inputs cross-engine): word count, total
+      // word characters (mean word length = total/n, thresholded by the
+      // caller), and words containing an ASCII letter (the "fraction of
+      // words with an alphabetic character" rule). One narrow pass,
+      // no shuffle.
+      import graft.functions.TextFunctions
+      val toks = TextFunctions.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_words"),
+        coalesce(aggregate(transform(toks, t => length(t)), lit(0),
+          (a, x) => a + x), lit(0)).as("word_chars"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).as("alpha_words"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_char_entropy" -> ((s, dir) => {
       // character-level Shannon entropy per document (bits, basis
       // points) — the is-this-text-or-noise filter signal: near-zero =
@@ -2726,6 +2744,20 @@ object SparkEntry {
         |    AS INTEGER) AS n_bpe_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q_word_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(text), '\s+') END AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS INTEGER) AS n_words,
+        |  CAST(coalesce(list_aggregate(list_apply(tk, t -> len(t)), 'sum'), 0)
+        |    AS INTEGER) AS word_chars,
+        |  CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+        |    AS INTEGER) AS alpha_words
+        |FROM toks ORDER BY doc_id""".stripMargin,
 
     "q_char_entropy" ->
       """WITH chars AS (
