@@ -972,6 +972,22 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_drift_psi" -> ((s, dir) => {
+      // distribution drift between two "snapshots" (shipments before /
+      // since 1997) — the validation signal counts and checksums miss:
+      // a row-complete sync whose VALUES shifted. Fixed boundaries keep
+      // bucket assignment integer-exact; the one float op per bucket is
+      // the PSI term, shipped in ppm via the floor rule
+      val li = t(s, dir, "lineitem")
+      val cut = lit("1997-01-01").cast("timestamp")
+      operators.Drift.psi(
+        li.filter(col("l_shipdate") < cut),
+        li.filter(col("l_shipdate") >= cut),
+        col("l_extendedprice"),
+        Seq(20000.0, 40000.0, 60000.0, 80000.0))
+        .orderBy(col("bucket"))
+    }),
+
     "q_sync_diff" -> ((s, dir) => {
       // sync reconciliation: WHICH keys drifted between source and
       // destination — missing / extra / differs via one full-outer join
@@ -1851,6 +1867,34 @@ object SparkEntry {
         |  OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
         |  OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
         |ORDER BY o_orderkey, op""".stripMargin,
+
+    "q_drift_psi" ->
+      """WITH ob AS (
+        |  SELECT CASE WHEN l_extendedprice < 20000 THEN 0
+        |              WHEN l_extendedprice < 40000 THEN 1
+        |              WHEN l_extendedprice < 60000 THEN 2
+        |              WHEN l_extendedprice < 80000 THEN 3
+        |              ELSE 4 END AS bucket
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+        |nb AS (
+        |  SELECT CASE WHEN l_extendedprice < 20000 THEN 0
+        |              WHEN l_extendedprice < 40000 THEN 1
+        |              WHEN l_extendedprice < 60000 THEN 2
+        |              WHEN l_extendedprice < 80000 THEN 3
+        |              ELSE 4 END AS bucket
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'),
+        |oc AS (SELECT bucket, count(*) AS n_old FROM ob GROUP BY bucket),
+        |nc AS (SELECT bucket, count(*) AS n_new FROM nb GROUP BY bucket),
+        |j AS (
+        |  SELECT coalesce(oc.bucket, nc.bucket) AS bucket,
+        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket),
+        |t AS (SELECT sum(n_old) AS to_, sum(n_new) AS tn FROM j)
+        |SELECT bucket, n_old, n_new,
+        |  CAST(floor(((n_new + 0.5) / (tn + 2.5) - (n_old + 0.5) / (to_ + 2.5))
+        |    * ln(((n_new + 0.5) / (tn + 2.5)) / ((n_old + 0.5) / (to_ + 2.5)))
+        |    * 1000000 + 0.5) AS BIGINT) AS psi_ppm
+        |FROM j, t ORDER BY bucket""".stripMargin,
 
     "q_sync_diff" ->
       """WITH src AS (

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two snapshots of a table —
+  * the validation signal row counts and checksums miss: a sync can be
+  * row-complete yet value-shifted (a currency re-scale, a unit bug, a
+  * crawl whose document-length mix moved). The Population Stability
+  * Index is the standard scorecard-monitoring measure:
+  * Σ (pₙ − pₒ) · ln(pₙ / pₒ) over value buckets; < 0.1 stable,
+  * 0.1–0.25 drifting, > 0.25 shifted (published credit-scoring rule of
+  * thumb).
+  *
+  * Scale shape: one partial→final count aggregate per side over FIXED
+  * boundaries (integer-exact bucket assignment — no cross-engine float
+  * risk and no quantile pass), a bucket-count-sized outer join, one
+  * broadcast totals row. Nothing holds per-row state; both snapshots
+  * stream through once.
+  */
+object Drift {
+
+  /** Per-bucket PSI contributions between snapshots.
+    *
+    * Returns (bucket, n_old, n_new, psi_ppm), one row per bucket seen
+    * in EITHER snapshot; `psi_ppm` is the bucket's PSI term in parts
+    * per million (floor(x·1e6 + 0.5) — the cross-engine float rule),
+    * with +0.5 Laplace smoothing per bucket so one-sided-empty buckets
+    * score finite instead of ±∞ (buckets empty on both sides would
+    * contribute exactly 0 and carry no row). Total PSI = Σ psi_ppm/1e6.
+    * Bucket i covers [boundaries(i−1), boundaries(i)); bucket 0 is
+    * everything below the first boundary, bucket k everything at or
+    * above the last.
+    */
+  def psi(oldDf: DataFrame, newDf: DataFrame, value: Column,
+          boundaries: Seq[Double]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be strictly ascending: $boundaries")
+    val bucket = boundaries.zipWithIndex.foldRight(lit(boundaries.size)) {
+      case ((b, i), acc) => when(value < b, lit(i)).otherwise(acc)
+    }.cast("long")
+    def counts(df: DataFrame, as: String) =
+      df.select(bucket.as("bucket")).groupBy("bucket")
+        .agg(count(lit(1)).as(as))
+    val nBuckets = boundaries.size + 1
+    val joined = counts(oldDf, "n_old")
+      .join(counts(newDf, "n_new"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val totals = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    val po = (col("n_old") + lit(0.5)) / (col("__to") + lit(0.5 * nBuckets))
+    val pn = (col("n_new") + lit(0.5)) / (col("__tn") + lit(0.5 * nBuckets))
+    joined.crossJoin(broadcast(totals)) // one row
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        floor((pn - po) * log(pn / po) * 1000000.0 + 0.5)
+          .cast("long").as("psi_ppm"))
+  }
+}

@@ -47,4 +47,29 @@ class ReconcileSpec extends SparkSuite {
     assert(Reconcile.changeFeed(toDf(oldRows), toDf(oldRows),
       Seq("id"), Seq("g", "v")).isEmpty)
   }
+
+  test("Drift.psi: zero on identical snapshots, loud on a planted value shift") {
+    import graft.operators.Drift
+    val bounds = Seq(100.0, 200.0, 300.0)
+    val base = (1 to 4000).map(i => (i.toLong, (i % 400).toDouble)).toDF("id", "v")
+    // identical snapshots: every bucket term is exactly 0 ppm
+    val same = Drift.psi(base, base, $"v", bounds)
+      .select("psi_ppm").as[Long].collect()
+    assert(same.forall(_ == 0L), same.toSeq.toString)
+    // a 2× value re-scale (the unit bug a checksum of the KEY columns
+    // would miss): mass moves up-bucket, PSI crosses the 0.25 alarm
+    val shifted = Drift.psi(base, base.withColumn("v", $"v" * 2), $"v", bounds)
+    val rows = shifted.orderBy("bucket")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L)) // all buckets present
+    // counts are exact: old splits 1000/1000/1000/1000, new 500/500/500/2500
+    assert(rows.map(_._2).toSeq === Seq(1000L, 1000L, 1000L, 1000L))
+    assert(rows.map(_._3).toSeq === Seq(500L, 500L, 500L, 2500L))
+    val totalPsi = rows.map(_._4).sum / 1e6
+    assert(totalPsi > 0.25, s"planted shift must alarm: $totalPsi")
+    // one-sided-empty bucket stays finite (smoothing), never NaN/∞
+    val empt = Drift.psi(base.filter($"v" < 100), base, $"v", bounds)
+      .select("psi_ppm").as[Long].collect()
+    assert(empt.length === 4 && empt.forall(v => v > Long.MinValue))
+  }
 }
