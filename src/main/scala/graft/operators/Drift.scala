@@ -30,7 +30,10 @@ object Drift {
     * contribute exactly 0 and carry no row). Total PSI = Σ psi_ppm/1e6.
     * Bucket i covers [boundaries(i−1), boundaries(i)); bucket 0 is
     * everything below the first boundary, bucket k everything at or
-    * above the last.
+    * above the last. NULL values are excluded on both sides (a CASE
+    * fallthrough would silently pile them into the top bucket); a
+    * null-RATE drift is a row-count signal, not a value-distribution
+    * one — compare counts for that.
     */
   def psi(oldDf: DataFrame, newDf: DataFrame, value: Column,
           boundaries: Seq[Double]): DataFrame = {
@@ -41,7 +44,7 @@ object Drift {
       case ((b, i), acc) => when(value < b, lit(i)).otherwise(acc)
     }.cast("long")
     def counts(df: DataFrame, as: String) =
-      df.select(bucket.as("bucket")).groupBy("bucket")
+      df.filter(value.isNotNull).select(bucket.as("bucket")).groupBy("bucket")
         .agg(count(lit(1)).as(as))
     val nBuckets = boundaries.size + 1
     val joined = counts(oldDf, "n_old")

@@ -71,5 +71,14 @@ class ReconcileSpec extends SparkSuite {
     val empt = Drift.psi(base.filter($"v" < 100), base, $"v", bounds)
       .select("psi_ppm").as[Long].collect()
     assert(empt.length === 4 && empt.forall(v => v > Long.MinValue))
+    // nulls are EXCLUDED, not piled into the top bucket: adding null
+    // values to one side changes nothing
+    val withNulls = base.select($"id",
+      when($"id" % 7 === 0, lit(null)).otherwise($"v").as("v"))
+    val denulled = Drift.psi(base.filter($"id" % 7 =!= 0), base, $"v", bounds)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    val nulled = Drift.psi(withNulls, base, $"v", bounds)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(nulled === denulled)
   }
 }
