@@ -37,18 +37,44 @@ object Drift {
     */
   def psi(oldDf: DataFrame, newDf: DataFrame, value: Column,
           boundaries: Seq[Double]): DataFrame = {
+    val nBuckets = boundaries.size + 1
+    psiFromCounts(bucketCounts(oldDf, value, boundaries, "n_old"),
+      bucketCounts(newDf, value, boundaries, "n_new"), nBuckets)
+  }
+
+  /** Bucket assignment for `boundaries` (see [[psi]]); nulls excluded. */
+  def bucketOf(value: Column, boundaries: Seq[Double]): Column = {
     require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
       boundaries.distinct == boundaries,
       s"boundaries must be strictly ascending: $boundaries")
-    val bucket = boundaries.zipWithIndex.foldRight(lit(boundaries.size)) {
+    boundaries.zipWithIndex.foldRight(lit(boundaries.size)) {
       case ((b, i), acc) => when(value < b, lit(i)).otherwise(acc)
     }.cast("long")
-    def counts(df: DataFrame, as: String) =
-      df.filter(value.isNotNull).select(bucket.as("bucket")).groupBy("bucket")
-        .agg(count(lit(1)).as(as))
-    val nBuckets = boundaries.size + 1
-    val joined = counts(oldDf, "n_old")
-      .join(counts(newDf, "n_new"), Seq("bucket"), "full_outer")
+  }
+
+  /** Per-bucket count frame (bucket, `as`) — the summary [[psiFromCounts]]
+    * scores. This IS a plain grouped count, so it is self-maintainable
+    * under CDC feeds through [[IncrementalAgg.foldCdc]]: keep the bucket
+    * counts current per sync and score drift against a frozen baseline
+    * WITHOUT rescanning either snapshot (ReconcileSpec proves
+    * maintained-counts PSI == two-snapshot PSI).
+    */
+  def bucketCounts(df: DataFrame, value: Column, boundaries: Seq[Double],
+                   as: String = "n"): DataFrame =
+    df.filter(value.isNotNull)
+      .select(bucketOf(value, boundaries).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+
+  /** PSI terms from two (bucket, count) summaries — tiny inputs (one
+    * row per bucket), so drift scoring is free once the counts exist.
+    * `nBuckets` is the TOTAL bucket count (boundaries + 1) so the
+    * Laplace smoothing matches [[psi]] even when some buckets carry no
+    * row. Column contracts: first frame (bucket, n_old), second
+    * (bucket, n_new) — use [[bucketCounts]]' `as` parameter.
+    */
+  def psiFromCounts(oldCounts: DataFrame, newCounts: DataFrame,
+                    nBuckets: Int): DataFrame = {
+    val joined = oldCounts.join(newCounts, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("n_old", "n_new"))
     val totals = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
     val po = (col("n_old") + lit(0.5)) / (col("__to") + lit(0.5 * nBuckets))

@@ -81,4 +81,32 @@ class ReconcileSpec extends SparkSuite {
       .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
     assert(nulled === denulled)
   }
+
+  test("incrementally maintained bucket counts score the same PSI as a rescan") {
+    import graft.operators.{Drift, IncrementalAgg}
+    // bucket counts are plain grouped counts, so a CDC feed keeps them
+    // current through foldCdc (state = nBuckets rows, fold = delta-sized)
+    // and drift scores against a frozen baseline with NO snapshot rescan
+    val bounds = Seq(100.0, 200.0, 300.0)
+    val oldSnap = (1 to 3000).map(i => (i.toLong, (i % 373).toDouble))
+    val deleted = oldSnap.take(500)
+    val inserts = (10001 to 10800).map(i => (i.toLong, 250.0 + (i % 150)))
+    val newSnap = oldSnap.drop(500) ++ inserts
+    val feed = (deleted.map { case (id, v) => (id, v, "D") } ++
+      inserts.map { case (id, v) => (id, v, "I") }).toDF("id", "v", "op")
+
+    val bucketV = Drift.bucketOf($"v", bounds)
+    val state0 = IncrementalAgg.init(
+      oldSnap.toDF("id", "v").select(bucketV.as("bucket")), Seq("bucket"), lit(0))
+    val state1 = IncrementalAgg.foldCdc(state0,
+      feed.select(bucketV.as("bucket"), $"op"), Seq("bucket"), lit(0), $"op")
+    val maintained = Drift.psiFromCounts(
+      state0.select($"bucket", $"n_rows".as("n_old")),
+      state1.select($"bucket", $"n_rows".as("n_new")), bounds.size + 1)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    val rescanned = Drift.psi(oldSnap.toDF("id", "v"), newSnap.toDF("id", "v"),
+      $"v", bounds).orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(maintained === rescanned)
+    assert(maintained.map(_._4).sum > 0, "the planted high-value drift must score")
+  }
 }
