@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -30,10 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * over-cap keys (bucket builders capping membership) detect overflow
   * exactly, never probabilistically.
   *
-  * Supports int / long / string keys (doc-id shapes). Values sort by
-  * Spark semantics (UTF8String binary order for strings), so
-  * `bounded_distinct(id, k)` == `slice(array_sort(collect_set(id)), 1, k)`
-  * whenever the true distinct count ≤ k.
+  * Supports int / long / string keys (doc-id shapes) and STRUCTS of
+  * those (the (id, sketch) pair shape LSH bucket builders carry —
+  * NearDup.simhashPairs). Values sort by Spark semantics: UTF8String
+  * binary order for strings, lexicographic field order with nulls first
+  * for structs — so `bounded_distinct(x, k)` ==
+  * `slice(array_sort(collect_set(x)), 1, k)` whenever the true distinct
+  * count ≤ k (and the k smallest of that sorted set otherwise).
   */
 case class BoundedDistinctSet(
     child: Expression,
@@ -48,25 +51,66 @@ case class BoundedDistinctSet(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case IntegerType | LongType | StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"bounded_distinct supports int/long/string keys, got $other")
+  private def isAtomic(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | StringType => true
+    case _ => false
   }
 
-  @transient private lazy val ordering: Ordering[Any] = (child.dataType match {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case dt if isAtomic(dt) => TypeCheckResult.TypeCheckSuccess
+    case st: StructType if st.fields.nonEmpty && st.fields.forall(f => isAtomic(f.dataType)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bounded_distinct supports int/long/string keys or structs of them, got $other")
+  }
+
+  private def atomicOrdering(dt: DataType): Ordering[Any] = (dt match {
     case IntegerType => Ordering.Int
     case LongType => Ordering.Long
     case StringType => new Ordering[UTF8String] { def compare(a: UTF8String, b: UTF8String): Int = a.compareTo(b) }
   }).asInstanceOf[Ordering[Any]]
 
+  @transient private lazy val ordering: Ordering[Any] = child.dataType match {
+    case st: StructType =>
+      val fields = st.fields.map(f => (f.dataType, atomicOrdering(f.dataType)))
+      new Ordering[Any] {
+        def compare(x: Any, y: Any): Int = {
+          val a = x.asInstanceOf[InternalRow]
+          val b = y.asInstanceOf[InternalRow]
+          var i = 0
+          while (i < fields.length) {
+            val (dt, ord) = fields(i)
+            val an = a.isNullAt(i); val bn = b.isNullAt(i)
+            if (an != bn) return if (an) -1 else 1 // nulls first (Spark asc)
+            if (!an) {
+              val c = ord.compare(a.get(i, dt), b.get(i, dt))
+              if (c != 0) return c
+            }
+            i += 1
+          }
+          0
+        }
+      }
+    case dt => atomicOrdering(dt)
+  }
+
   override def createAggregationBuffer(): java.util.TreeSet[Any] =
     new java.util.TreeSet[Any](ordering)
 
+  /** Stored values must not alias evaluation buffers: an UnsafeRow (or a
+    * UTF8String pointing into one) handed to `update` is overwritten by
+    * the next input row.
+    */
+  private def copyOf(v: Any): Any = v match {
+    case r: InternalRow => r.copy()
+    case s: UTF8String => s.clone()
+    case other => other
+  }
+
   private def add(buf: java.util.TreeSet[Any], v: Any): Unit = {
     // admit-then-trim: never grows past limit entries
-    if (buf.size < limit) { buf.add(v); () }
-    else if (ordering.lt(v, buf.last)) { if (buf.add(v)) buf.pollLast(); () }
+    if (buf.size < limit) { buf.add(copyOf(v)); () }
+    else if (ordering.lt(v, buf.last)) { if (buf.add(copyOf(v))) buf.pollLast(); () }
   }
 
   override def update(buf: java.util.TreeSet[Any], input: InternalRow): java.util.TreeSet[Any] = {
@@ -89,29 +133,70 @@ case class BoundedDistinctSet(
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[Any]): Array[Byte] = child.dataType match {
-    case IntegerType =>
-      val bb = ByteBuffer.allocate(4 + buf.size * 4)
-      bb.putInt(buf.size)
-      val it = buf.iterator(); while (it.hasNext) bb.putInt(it.next().asInstanceOf[Int])
-      bb.array()
-    case LongType =>
-      val bb = ByteBuffer.allocate(4 + buf.size * 8)
-      bb.putInt(buf.size)
-      val it = buf.iterator(); while (it.hasNext) bb.putLong(it.next().asInstanceOf[Long])
-      bb.array()
+  private def atomicBytes(dt: DataType, v: Any): Int = dt match {
+    case IntegerType => 4
+    case LongType => 8
+    case StringType => 4 + v.asInstanceOf[UTF8String].numBytes()
+  }
+
+  private def writeAtomic(bb: ByteBuffer, dt: DataType, v: Any): Unit = dt match {
+    case IntegerType => bb.putInt(v.asInstanceOf[Int]); ()
+    case LongType => bb.putLong(v.asInstanceOf[Long]); ()
     case StringType =>
-      var total = 4
-      val it0 = buf.iterator()
-      while (it0.hasNext) total += 4 + it0.next().asInstanceOf[UTF8String].numBytes()
-      val bb = ByteBuffer.allocate(total)
-      bb.putInt(buf.size)
-      val it = buf.iterator()
-      while (it.hasNext) {
-        val b = it.next().asInstanceOf[UTF8String].getBytes
-        bb.putInt(b.length); bb.put(b)
-      }
-      bb.array()
+      val b = v.asInstanceOf[UTF8String].getBytes
+      bb.putInt(b.length); bb.put(b); ()
+  }
+
+  private def readAtomic(bb: ByteBuffer, dt: DataType): Any = dt match {
+    case IntegerType => bb.getInt
+    case LongType => bb.getLong
+    case StringType =>
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      UTF8String.fromBytes(b)
+  }
+
+  override def serialize(buf: java.util.TreeSet[Any]): Array[Byte] = {
+    child.dataType match {
+      case st: StructType =>
+        var total = 4
+        val it0 = buf.iterator()
+        while (it0.hasNext) {
+          val r = it0.next().asInstanceOf[InternalRow]
+          var i = 0
+          while (i < st.fields.length) {
+            total += 1 // null flag
+            if (!r.isNullAt(i)) total += atomicBytes(st.fields(i).dataType, r.get(i, st.fields(i).dataType))
+            i += 1
+          }
+        }
+        val bb = ByteBuffer.allocate(total)
+        bb.putInt(buf.size)
+        val it = buf.iterator()
+        while (it.hasNext) {
+          val r = it.next().asInstanceOf[InternalRow]
+          var i = 0
+          while (i < st.fields.length) {
+            if (r.isNullAt(i)) bb.put(0.toByte)
+            else {
+              bb.put(1.toByte)
+              writeAtomic(bb, st.fields(i).dataType, r.get(i, st.fields(i).dataType))
+            }
+            i += 1
+          }
+        }
+        bb.array()
+      case dt =>
+        var total = 4
+        val it0 = buf.iterator()
+        while (it0.hasNext) total += atomicBytes(dt, it0.next())
+        val bb = ByteBuffer.allocate(total)
+        bb.putInt(buf.size)
+        val it = buf.iterator()
+        while (it.hasNext) writeAtomic(bb, dt, it.next())
+        bb.array()
+    }
   }
 
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Any] = {
@@ -120,15 +205,19 @@ case class BoundedDistinctSet(
     val buf = createAggregationBuffer()
     var i = 0
     child.dataType match {
-      case IntegerType => while (i < n) { buf.add(bb.getInt); i += 1 }
-      case LongType => while (i < n) { buf.add(bb.getLong); i += 1 }
-      case StringType => while (i < n) {
-        val len = bb.getInt
-        val b = new Array[Byte](len)
-        bb.get(b)
-        buf.add(UTF8String.fromBytes(b))
-        i += 1
-      }
+      case st: StructType =>
+        while (i < n) {
+          val values = new Array[Any](st.fields.length)
+          var j = 0
+          while (j < st.fields.length) {
+            values(j) = if (bb.get() == 0) null else readAtomic(bb, st.fields(j).dataType)
+            j += 1
+          }
+          buf.add(new GenericInternalRow(values))
+          i += 1
+        }
+      case dt =>
+        while (i < n) { buf.add(readAtomic(bb, dt)); i += 1 }
     }
     buf
   }

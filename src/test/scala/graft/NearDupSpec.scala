@@ -159,6 +159,85 @@ class NearDupSpec extends SparkSuite {
     assert(bounded === classic && bounded === Seq(1L, 2L, 3L))
   }
 
+  test("minhash/simhash bucket builders run on the bounded aggregate, not collect_set") {
+    val mh = NearDup.minhashCandidates(corpus, "doc_id", "text")
+    val mhPlan = mh.queryExecution.executedPlan.toString
+    assert(mhPlan.contains("bounded_distinct"), mhPlan)
+    assert(!mhPlan.contains("collect_set"), mhPlan)
+    val sh = NearDup.simhashPairs(corpus, "doc_id", "text")
+    val shPlan = sh.queryExecution.executedPlan.toString
+    assert(shPlan.contains("bounded_distinct"), shPlan)
+    assert(!shPlan.contains("collect_set"), shPlan)
+  }
+
+  test("simhashPairs pair set equals the uncapped collect_set formulation under the cap") {
+    // reference formulation: what the builder computed before the bound —
+    // output must be identical whenever no bucket exceeds maxBucket
+    import graft.functions.SimHash
+    val withHash = corpus.select($"doc_id".as("id"), SimHash.simhash($"text").as("sh"))
+    val chunked = withHash.select(col("id"), col("sh"),
+      posexplode(expr("transform(sequence(0, 3), c -> (shiftright(sh, c * 16) & 65535))"))
+        .as(Seq("chunk", "key")))
+    val classic = chunked.groupBy(col("chunk"), col("key"))
+      .agg(slice(array_sort(collect_set(struct(col("id"), col("sh")))), 1, 2000).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        "flatten(transform(members, (a, i) -> " +
+          "transform(slice(members, i + 2, size(members)), " +
+          "b -> named_struct('id_a', a.id, 'id_b', b.id, " +
+          "'hamming', bit_count(a.sh ^ b.sh)))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .filter(col("hamming") <= 3).dropDuplicates("id_a", "id_b")
+      .as[(Long, Long, Int)].collect().toSet
+    val bounded = NearDup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bounded === classic)
+    assert(bounded.nonEmpty)
+  }
+
+  test("BoundedDistinctSet struct elements: 1M-row hot bucket never exceeds the cap") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.functions.BoundedDistinctSet
+    val st = StructType(Seq(StructField("id", LongType), StructField("sh", LongType)))
+    val limit = 50
+    val agg = BoundedDistinctSet(BoundReference(0, st, nullable = true), limit)
+    val buf = agg.createAggregationBuffer()
+    // one million member rows of ONE (band, bucket) key — the degenerate
+    // corpus shape (millions of identical docs in one LSH bucket). Peak
+    // aggregation state is the cap at every moment, not the bucket size.
+    var i = 999999L
+    while (i >= 0) {
+      agg.update(buf, InternalRow(new GenericInternalRow(Array[Any](i, i * 31L))))
+      assert(buf.size <= limit)
+      i -= 1
+    }
+    assert(buf.size === limit)
+    // partial serialize carries ≤ limit entries: 4-byte count + per row
+    // two (flag + long) fields = 18 bytes
+    val bytes = agg.serialize(buf)
+    assert(bytes.length <= 4 + limit * 18)
+    // survivors are the limit smallest (id, sh) pairs: ids 0..limit-1
+    val revived = agg.deserialize(bytes)
+    val ids = revived.toArray.map(_.asInstanceOf[InternalRow].getLong(0))
+    assert(ids.toSeq === (0L until limit.toLong))
+    // merge of two capped buffers re-caps to the global smallest
+    val other = agg.createAggregationBuffer()
+    agg.update(other, InternalRow(new GenericInternalRow(Array[Any](-1L, 7L))))
+    val merged = agg.merge(revived, other)
+    assert(merged.size === limit)
+    assert(merged.first().asInstanceOf[InternalRow].getLong(0) === -1L)
+    // equality with the classic formulation under the cap (dataframe path)
+    val df = Seq((3L, 30L), (1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "sh")
+    val b = df.agg(graft.functions.BoundedDistinct.boundedDistinct(
+        struct($"id", $"sh"), 10).as("m"))
+      .selectExpr("transform(m, x -> x.id) AS ids").head.getSeq[Long](0)
+    val c = df.agg(slice(array_sort(collect_set(struct($"id", $"sh"))), 1, 10).as("m"))
+      .selectExpr("transform(m, x -> x.id) AS ids").head.getSeq[Long](0)
+    assert(b === c && b === Seq(1L, 2L, 3L))
+  }
+
   test("selfOverlapExtents reports ONE maximal span with exact boundaries") {
     import graft.dedup.Decontaminate
     val passage = (0 until 40).map(i => s"p$i").mkString(" ")
