@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   *     contract fixes the bucket count. Boundaries are also asserted
   *     non-decreasing (always true for ascending probs; that assert
   *     guards engine bugs, not inputs).
+  *
+  * BREAKING CHANGE (round 4→5): collapsed boundaries previously kept
+  * the duplicates silently; they now throw unless `allowCollapsed =
+  * true`. A caller binning degenerate or heavily-skewed data (many ties
+  * at one value) that upgraded across that boundary will start failing
+  * at runtime — that is the intended surfacing of a previously-silent
+  * empty bucket; pass `allowCollapsed = true` to restore the old
+  * behavior unchanged (same indexes, same assignments).
   */
 object Binning {
 

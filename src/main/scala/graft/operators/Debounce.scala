@@ -79,6 +79,8 @@ object Debounce {
                       minGapMicros: Long,
                       tiebreak: Seq[String] = Seq.empty): DataFrame = {
     require(minGapMicros > 0, "minGapMicros must be positive")
+    require(!df.columns.contains("__cell") && !df.columns.contains("__chunk"),
+      "suppressChunked uses temp columns __cell/__chunk; rename them in the input first")
     val kc = keys.map(col)
     val micros = unix_micros(col(tsCol))
     val withCell = df.withColumn("__cell", floor(micros / minGapMicros))

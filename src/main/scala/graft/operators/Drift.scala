@@ -26,8 +26,12 @@ object Drift {
     * in EITHER snapshot; `psi_ppm` is the bucket's PSI term in parts
     * per million (floor(x·1e6 + 0.5) — the cross-engine float rule),
     * with +0.5 Laplace smoothing per bucket so one-sided-empty buckets
-    * score finite instead of ±∞ (buckets empty on both sides would
-    * contribute exactly 0 and carry no row). Total PSI = Σ psi_ppm/1e6.
+    * score finite instead of ±∞. Buckets empty on BOTH sides carry no
+    * row; under the smoothing their term is not exactly 0 when the two
+    * totals differ (pₒ = 0.5/(tₒ+0.5k) ≠ pₙ = 0.5/(tₙ+0.5k)) — it is
+    * ~0 and omitted IDENTICALLY by this frame and the DuckDB oracle, so
+    * the reported total slightly understates PSI by the sum of those
+    * near-zero terms. Total PSI = Σ psi_ppm/1e6.
     * Bucket i covers [boundaries(i−1), boundaries(i)); bucket 0 is
     * everything below the first boundary, bucket k everything at or
     * above the last. NULL values are excluded on both sides (a CASE
