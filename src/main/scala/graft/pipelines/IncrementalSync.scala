@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.operators.{IncrementalAgg, IncrementalJoin, Profile, Reconcile}
+import graft.operators.{Drift, IncrementalAgg, IncrementalJoin, Profile, Reconcile}
 
 /** One incremental warehouse refresh from a snapshot pair — the
   * composed counterpart of the reference's RunJob, which re-derives its
@@ -20,28 +20,59 @@ import graft.operators.{IncrementalAgg, IncrementalJoin, Profile, Reconcile}
   *      ([[Profile.rowDigest]] is a plain decimal sum) — continuous
   *      sync validation without a fact rescan;
   *   4. [[IncrementalJoin.maintain]] — the materialized fact⨝dim view
-  *      absorbs the same feed, state never shuffled.
+  *      absorbs the same feed, state never shuffled;
+  *   5. (optional) [[Drift]] bucket counts fold through the same feed —
+  *      a sync can be row-complete and checksum-stable per surviving
+  *      key yet DISTRIBUTION-shifted (a currency re-scale arrives as
+  *      legitimate updates); the maintained counts score PSI against a
+  *      frozen baseline without ever rescanning a snapshot.
   *
   * IncrementalSyncSpec proves every artifact equals its
   * recompute-the-world form after the refresh.
   */
 object IncrementalSync {
 
-  case class State(agg: DataFrame, checksum: DataFrame, joined: DataFrame)
+  /** Drift monitoring config: `value` is scored into fixed buckets at
+    * `boundaries` ([[Drift.bucketOf]]); [[driftAlarmed]] fires when the
+    * total PSI vs the frozen baseline reaches `alarmPpm` (default
+    * 250000 ppm = 0.25 — the published "population shifted" threshold).
+    */
+  case class DriftSpec(value: Column, boundaries: Seq[Double],
+                       alarmPpm: Long = 250000L)
 
-  /** Derive the three artifacts from scratch (first sync / rebuild). */
+  /** `baseline` is frozen at [[init]]; `counts` stays current through
+    * every [[refresh]]. Both are nBuckets-row frames in the
+    * IncrementalAgg state schema (bucket, n_rows, total).
+    */
+  case class DriftState(spec: DriftSpec, baseline: DataFrame, counts: DataFrame)
+
+  case class State(agg: DataFrame, checksum: DataFrame, joined: DataFrame,
+                   drift: Option[DriftState] = None)
+
+  private def bucketFeed(df: DataFrame, spec: DriftSpec, extra: Seq[Column]): DataFrame =
+    df.filter(spec.value.isNotNull) // Drift.psi excludes nulls; match it
+      .select(Drift.bucketOf(spec.value, spec.boundaries).as("bucket") +: extra: _*)
+
+  /** Derive the artifacts from scratch (first sync / rebuild). */
   def init(snapshot: DataFrame, dim: DataFrame, idCol: String,
            joinKeys: Seq[String], aggKeys: Seq[String], value: Column,
-           contentCols: Seq[String]): State = State(
+           contentCols: Seq[String],
+           driftSpec: Option[DriftSpec] = None): State = State(
     agg = IncrementalAgg.init(snapshot, aggKeys, value),
     checksum = IncrementalAgg.init(snapshot, aggKeys,
       Profile.rowDigest(contentCols)),
-    joined = IncrementalJoin.joinOf(snapshot, dim, joinKeys))
+    joined = IncrementalJoin.joinOf(snapshot, dim, joinKeys),
+    drift = driftSpec.map { sp =>
+      val counts = IncrementalAgg.init(bucketFeed(snapshot, sp, Nil),
+        Seq("bucket"), lit(0))
+      DriftState(sp, counts, counts)
+    })
 
   /** Refresh every artifact from the old→new snapshot diff. Work is
     * bounded by the drift, not the warehouse: one digest-join over the
     * snapshots decides the feed; each maintenance stage is delta-sized
-    * (the join state is scanned, never shuffled).
+    * (the join state is scanned, never shuffled; the drift counts fold
+    * the feed into nBuckets rows).
     */
   def refresh(state: State, oldSnap: DataFrame, newSnap: DataFrame,
               dim: DataFrame, idCol: String, joinKeys: Seq[String],
@@ -57,6 +88,33 @@ object IncrementalSync {
         dim, emptyDim, joinKeys, idCol,
         // dim ids are its join keys here; dim-side deltas are out of
         // scope for a fact refresh (rerun init on dim changes)
-        joinKeys.head))
+        joinKeys.head),
+      drift = state.drift.map { d =>
+        d.copy(counts = IncrementalAgg.foldCdc(d.counts,
+          bucketFeed(feed, d.spec, Seq(col("op"))), Seq("bucket"), lit(0),
+          col("op")))
+      })
+  }
+
+  /** Per-bucket PSI of the maintained counts vs the frozen baseline —
+    * the [[Drift.psiFromCounts]] frame over two nBuckets-row inputs;
+    * no snapshot is touched (score a persisted state and the plan scans
+    * only the two count tables — IncrementalSyncSpec asserts it).
+    */
+  def driftScore(state: State): Option[DataFrame] = state.drift.map { d =>
+    Drift.psiFromCounts(
+      d.baseline.select(col("bucket"), col("n_rows").as("n_old")),
+      d.counts.select(col("bucket"), col("n_rows").as("n_new")),
+      d.spec.boundaries.size + 1)
+  }
+
+  /** True when total PSI vs the baseline has reached `alarmPpm` — the
+    * "this sync moved the distribution" gate a caller checks after
+    * [[refresh]] before promoting the sync. None if drift monitoring
+    * wasn't configured at [[init]].
+    */
+  def driftAlarmed(state: State): Option[Boolean] = driftScore(state).map { s =>
+    s.agg(coalesce(sum(col("psi_ppm")), lit(0L)).as("t")).head.getLong(0) >=
+      state.drift.get.spec.alarmPpm
   }
 }

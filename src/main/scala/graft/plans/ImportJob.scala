@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.StructType
-import graft.operators.{Dedup, Merge}
-import org.apache.spark.sql.functions.col
+import graft.operators.{Dedup, Drift, Merge}
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
 
 /** Multi-table staged import, executed in dependency order.
   *
@@ -31,6 +31,21 @@ object ImportJob {
     * EcomDestinationWriter.cs:3116).
     */
   case object DeleteIncoming extends MergeMode
+
+  /** Post-merge distribution validation for one numeric column: PSI
+    * between the destination BEFORE the merge and the final table, over
+    * fixed `boundaries` buckets ([[graft.operators.Drift]]). The
+    * reference validates every sync structurally (row counts after
+    * MoveDataToMainTables, EcomDestinationWriter.cs:3165); this adds the
+    * signal counts miss — a sync that is row-complete but value-shifted
+    * (currency re-scale, unit bug). Results surface per table as
+    * `<table>__drift` (column, bucket, n_old, n_new, psi_ppm).
+    * `failOnAlarm = true` turns the check into a gate: the job fails
+    * when total PSI reaches `alarmPpm` (forces one eager aggregate over
+    * the two bucket-count summaries — nBuckets rows — per check).
+    */
+  case class DriftCheck(column: String, boundaries: Seq[Double],
+                        alarmPpm: Long = 250000L, failOnAlarm: Boolean = false)
 
   /** One table's import spec.
     *
@@ -67,6 +82,9 @@ object ImportJob {
     *                      to main tables; incoming-only columns like a
     *                      business-key name exist only here, the merge
     *                      keeps destination columns)
+    * @param driftChecks   post-merge [[DriftCheck]]s comparing the
+    *                      pre-merge destination against the final table
+    *                      (after `post`); emitted as `<table>__drift`
     * @param post          post-merge transform hook (the reference's
     *                      UpdateProductRelatedProducts /
     *                      UpdateVariantFieldsInProducts pass,
@@ -86,7 +104,8 @@ object ImportJob {
       constants: Map[String, String] = Map.empty,
       rowRules: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       pre: DataFrame => DataFrame = identity,
-      post: DataFrame => DataFrame = identity)
+      post: DataFrame => DataFrame = identity,
+      driftChecks: Seq[DriftCheck] = Nil)
 
   /** Run the job: for each spec (in dependency order), merge `incoming`
     * into `dest` and return the resulting frames keyed by table name.
@@ -140,8 +159,25 @@ object ImportJob {
       spec.flagMissing.foreach { flag =>
         out = Merge.flagMissing(out, in, spec.keys, flag)
       }
-      Seq(table -> spec.post(out)) ++
-        quarantined.map(q => s"${table}__quarantined" -> q)
+      val finalOut = spec.post(out)
+      val driftFrame = if (spec.driftChecks.isEmpty) None else {
+        val frames = spec.driftChecks.map { c =>
+          c -> Drift.psi(d, finalOut, col(c.column), c.boundaries)
+            .select(lit(c.column).as("column"), col("bucket"),
+              col("n_old"), col("n_new"), col("psi_ppm"))
+        }
+        frames.foreach { case (c, f) =>
+          if (c.failOnAlarm) {
+            val total = f.agg(coalesce(sum(col("psi_ppm")), lit(0L))).head.getLong(0)
+            if (total >= c.alarmPpm) throw new IllegalStateException(
+              s"ImportJob drift alarm: $table.${c.column} total PSI $total ppm" +
+                s" >= ${c.alarmPpm} ppm — the sync moved the distribution")
+          }
+        }
+        Some(s"${table}__drift" -> frames.map(_._2).reduce(_ unionByName _))
+      }
+      Seq(table -> finalOut) ++
+        quarantined.map(q => s"${table}__quarantined" -> q) ++ driftFrame
     }.toMap
   }
 }

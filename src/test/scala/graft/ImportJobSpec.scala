@@ -119,4 +119,38 @@ class ImportJobSpec extends SparkSuite {
       _ => d, _ => in)("region").orderBy("id").as[(Int, String)].collect()
     assert(out === Array((1, "a"), (2, "new")))
   }
+
+  test("driftChecks surface a value re-scale as <table>__drift; failOnAlarm gates") {
+    val d = (1 to 1000).map(i => (i.toLong, (i % 300).toDouble)).toDF("id", "price")
+    // row-complete sync, every key intact — but prices tripled
+    val in = (1 to 1000).map(i => (i.toLong, (i % 300) * 3.0)).toDF("id", "price")
+    val bounds = Seq(100.0, 200.0, 300.0)
+    val out = ImportJob.run(
+      Seq(TableSpec("part", keys = Seq("id"),
+        driftChecks = Seq(DriftCheck("price", bounds)))),
+      _ => d, _ => in)
+    val drift = out("part__drift")
+    assert(drift.columns.toSeq ===
+      Seq("column", "bucket", "n_old", "n_new", "psi_ppm"))
+    val total = drift.agg(org.apache.spark.sql.functions.sum("psi_ppm"))
+      .head.getLong(0)
+    assert(total >= 250000L, s"re-scale must score as shifted, got $total ppm")
+
+    // the same sync with failOnAlarm fails the job loudly
+    val ex = intercept[IllegalStateException] {
+      ImportJob.run(
+        Seq(TableSpec("part", keys = Seq("id"),
+          driftChecks = Seq(DriftCheck("price", bounds, failOnAlarm = true)))),
+        _ => d, _ => in)
+    }
+    assert(ex.getMessage.contains("part.price"))
+
+    // a value-stable sync passes the same gate quietly
+    val stable = ImportJob.run(
+      Seq(TableSpec("part", keys = Seq("id"),
+        driftChecks = Seq(DriftCheck("price", bounds, failOnAlarm = true)))),
+      _ => d, _ => d.withColumn("price", $"price" + 0.1))
+    assert(stable("part__drift").agg(
+      org.apache.spark.sql.functions.sum("psi_ppm")).head.getLong(0) < 100000L)
+  }
 }

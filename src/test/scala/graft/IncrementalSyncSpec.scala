@@ -37,4 +37,54 @@ class IncrementalSyncSpec extends SparkSuite {
     assert(canonJoin(s1.joined) ===
       canonJoin(IncrementalJoin.joinOf(df(newRows), dim, Seq("g"))))
   }
+
+  test("a planted re-scale fires the drift alarm through maintained counts, no rescan") {
+    import graft.pipelines.IncrementalSync.DriftSpec
+    val dim = Seq(("g0", "d0"), ("g1", "d1")).toDF("g", "dv")
+    val oldRows = (1 to 2000).map(i => (i.toLong, s"g${i % 2}", (i % 400).toDouble))
+    // the adversarial sync: every key survives, every row is a legitimate
+    // update — counts and key sets are clean; only the DISTRIBUTION moved
+    val newRows = oldRows.map { case (id, g, v) => (id, g, v * 3.0) }
+    def df(s: Seq[(Long, String, Double)]) = s.toDF("id", "g", "v")
+    val spec = DriftSpec($"v", Seq(100.0, 200.0, 300.0), alarmPpm = 250000L)
+
+    val s0 = IncrementalSync.init(df(oldRows), dim, "id", Seq("g"), Seq("g"),
+      $"v", Seq("g", "v"), Some(spec))
+    assert(IncrementalSync.driftAlarmed(s0) === Some(false)) // baseline == counts
+
+    // persist the state the way a real sync would (state tables live in
+    // the warehouse between syncs), then score FROM the persisted form:
+    // the scoring plan must scan only the two bucket-count tables
+    val dir = java.nio.file.Files.createTempDirectory("drift_state").toString
+    s0.drift.get.counts.write.mode("overwrite").parquet(s"$dir/baseline")
+    val s1 = IncrementalSync.refresh(s0, df(oldRows), df(newRows), dim,
+      "id", Seq("g"), Seq("g"), $"v", Seq("g", "v"))
+    s1.drift.get.counts.write.mode("overwrite").parquet(s"$dir/counts")
+    val persisted = s0.copy(drift = Some(s1.drift.get.copy(
+      baseline = spark.read.parquet(s"$dir/baseline"),
+      counts = spark.read.parquet(s"$dir/counts"))))
+    assert(IncrementalSync.driftAlarmed(persisted) === Some(true))
+    val plan = IncrementalSync.driftScore(persisted).get
+      .queryExecution.executedPlan.toString
+    // every scan reads a bucket-count table (the totals branch re-reads
+    // the joined counts, so each tiny table scans twice); NOTHING reads
+    // a snapshot — no LocalTableScan, no path outside the state dir
+    val scans = plan.split("Scan parquet").length - 1
+    val stateScans = plan.split(java.util.regex.Pattern.quote(dir)).length - 1
+    assert(scans === 4 && stateScans === 4, plan)
+    assert(!plan.contains("LocalTableScan"), plan)
+
+    // maintained counts == a from-scratch init on the new snapshot
+    val directCounts = IncrementalSync.init(df(newRows), dim, "id", Seq("g"),
+      Seq("g"), $"v", Seq("g", "v"), Some(spec)).drift.get.counts
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select($"bucket", $"n_rows").orderBy("bucket").collect().toSeq
+    assert(canon(s1.drift.get.counts) === canon(directCounts))
+
+    // an in-band refresh (values wiggle inside their buckets) stays quiet
+    val quiet = oldRows.map { case (id, g, v) => (id, g, v + 0.25) }
+    val sQuiet = IncrementalSync.refresh(s0, df(oldRows), df(quiet), dim,
+      "id", Seq("g"), Seq("g"), $"v", Seq("g", "v"))
+    assert(IncrementalSync.driftAlarmed(sQuiet) === Some(false))
+  }
 }
