@@ -988,6 +988,22 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "q_drift_profile" -> ((s, dir) => {
+      // table-wide drift: three columns scored in ONE aggregate pass per
+      // snapshot (Profile.summarize's stack-unpivot applied to PSI) —
+      // the whole table's distribution health costs two scans, not 2×cols
+      val li = t(s, dir, "lineitem")
+      val cut = lit("1997-01-01").cast("timestamp")
+      operators.Drift.psiProfile(
+        li.filter(col("l_shipdate") < cut),
+        li.filter(col("l_shipdate") >= cut),
+        Seq(
+          "l_extendedprice" -> Seq(20000.0, 40000.0, 60000.0, 80000.0),
+          "l_quantity" -> Seq(10.0, 20.0, 30.0, 40.0),
+          "l_discount" -> Seq(0.02, 0.04, 0.06, 0.08)))
+        .orderBy(col("col_name"), col("bucket"))
+    }),
+
     "q_sync_diff" -> ((s, dir) => {
       // sync reconciliation: WHICH keys drifted between source and
       // destination — missing / extra / differs via one full-outer join
@@ -1895,6 +1911,38 @@ object SparkEntry {
         |    * ln(((n_new + 0.5) / (tn + 2.5)) / ((n_old + 0.5) / (to_ + 2.5)))
         |    * 1000000 + 0.5) AS BIGINT) AS psi_ppm
         |FROM j, t ORDER BY bucket""".stripMargin,
+
+    // q_drift_profile: independent full-SQL replay, one block per column
+    // (each block is the q_drift_psi oracle specialized to that column's
+    // boundaries), UNION ALL'd — DuckDB recomputes every count and PSI
+    // term from the raw table, sharing nothing with the Spark one-pass
+    // stack formulation
+    "q_drift_profile" -> Seq(
+      ("l_extendedprice", Seq("20000", "40000", "60000", "80000")),
+      ("l_quantity", Seq("10", "20", "30", "40")),
+      ("l_discount", Seq("0.02", "0.04", "0.06", "0.08"))
+    ).map { case (c, bs) =>
+      val caseExpr = bs.zipWithIndex
+        .map { case (b, i) => s"WHEN $c < $b THEN $i" }
+        .mkString("CASE ", " ", s" ELSE ${bs.size} END")
+      val k = bs.size + 1
+      s"""SELECT '$c' AS col_name, bucket, n_old, n_new,
+         |  CAST(floor(((n_new + 0.5) / (tn + 0.5 * $k) - (n_old + 0.5) / (to_ + 0.5 * $k))
+         |    * ln(((n_new + 0.5) / (tn + 0.5 * $k)) / ((n_old + 0.5) / (to_ + 0.5 * $k)))
+         |    * 1000000 + 0.5) AS BIGINT) AS psi_ppm
+         |FROM (
+         |  SELECT coalesce(oc.bucket, nc.bucket) AS bucket,
+         |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+         |  FROM (SELECT $caseExpr AS bucket, count(*) AS n_old FROM lineitem
+         |        WHERE l_shipdate < TIMESTAMP '1997-01-01' AND $c IS NOT NULL
+         |        GROUP BY 1) oc
+         |  FULL OUTER JOIN (SELECT $caseExpr AS bucket, count(*) AS n_new FROM lineitem
+         |        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND $c IS NOT NULL
+         |        GROUP BY 1) nc ON oc.bucket = nc.bucket) j,
+         |  (SELECT sum(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS to_,
+         |          sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS tn
+         |   FROM lineitem WHERE $c IS NOT NULL) t""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bucket"),
 
     "q_sync_diff" ->
       """WITH src AS (

@@ -69,6 +69,62 @@ object Drift {
       .select(bucketOf(value, boundaries).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as(as))
 
+  /** Bucket counts for MANY columns in ONE aggregate pass — table-wide
+    * drift monitoring at the cost of a single scan (the
+    * [[Profile.summarize]] shape: one wide aggregate row, `stack`
+    * unpivots it to (col_name, bucket, n) rows). Per column the counts
+    * equal [[bucketCounts]] exactly (nulls excluded, zero-count buckets
+    * carry no row), so scoring semantics match the single-column path.
+    * nCols × nBuckets count aggregates ride one partial→final
+    * aggregation — no per-column scans, no shuffle beyond the one-row
+    * aggregate.
+    */
+  def profileCounts(df: DataFrame, specs: Seq[(String, Seq[Double])],
+                    as: String = "n"): DataFrame = {
+    require(specs.nonEmpty, "profileCounts needs at least one column spec")
+    specs.foreach { case (c, _) => require(!c.contains("`") && !c.contains("'"),
+      s"unsupported character in column name: $c") }
+    require(specs.map(_._1).distinct == specs.map(_._1),
+      s"duplicate columns in specs: ${specs.map(_._1)}")
+    val aggCols = specs.flatMap { case (c, bounds) =>
+      (0 to bounds.size).map { i =>
+        count(when(col(c).isNotNull && (bucketOf(col(c), bounds) === i), lit(1)))
+          .as(s"__${c}_$i")
+      }
+    }.toList
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val n = specs.map(_._2.size + 1).sum
+    val stackArgs = specs.flatMap { case (c, bounds) =>
+      (0 to bounds.size).map(i => s"'$c', CAST($i AS BIGINT), `__${c}_$i`")
+    }.mkString(", ")
+    one.selectExpr(s"stack($n, $stackArgs) AS (col_name, bucket, $as)")
+      .filter(col(as) > 0)
+  }
+
+  /** Table-wide PSI: per-column drift terms for every spec'd column,
+    * two table scans total (one per snapshot) regardless of column
+    * count. Output (col_name, bucket, n_old, n_new, psi_ppm); per
+    * column the rows equal [[psi]] on that column exactly — the
+    * smoothing uses each column's own bucket count and totals.
+    */
+  def psiProfile(oldDf: DataFrame, newDf: DataFrame,
+                 specs: Seq[(String, Seq[Double])]): DataFrame = {
+    val joined = profileCounts(oldDf, specs, "n_old")
+      .join(profileCounts(newDf, specs, "n_new"), Seq("col_name", "bucket"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val totals = joined.groupBy("col_name")
+      .agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    val nb = specs.foldLeft(lit(null).cast("double")) { case (acc, (c, b)) =>
+      when(col("col_name") === c, lit(0.5 * (b.size + 1))).otherwise(acc)
+    }
+    val po = (col("n_old") + lit(0.5)) / (col("__to") + nb)
+    val pn = (col("n_new") + lit(0.5)) / (col("__tn") + nb)
+    joined.join(broadcast(totals), Seq("col_name")) // nCols rows
+      .select(col("col_name"), col("bucket"), col("n_old"), col("n_new"),
+        floor((pn - po) * log(pn / po) * 1000000.0 + 0.5)
+          .cast("long").as("psi_ppm"))
+  }
+
   /** PSI terms from two (bucket, count) summaries — tiny inputs (one
     * row per bucket), so drift scoring is free once the counts exist.
     * `nBuckets` is the TOTAL bucket count (boundaries + 1) so the

@@ -82,6 +82,39 @@ class ReconcileSpec extends SparkSuite {
     assert(nulled === denulled)
   }
 
+  test("psiProfile: per-column rows equal single-column psi; one aggregate per snapshot") {
+    import graft.operators.Drift
+    val oldSnap = (1 to 3000)
+      .map(i => (i.toLong, (i % 400).toDouble, (i % 37).toDouble,
+        if (i % 11 == 0) null else java.lang.Double.valueOf((i % 9).toDouble)))
+      .toDF("id", "price", "qty", "disc")
+    val newSnap = (1 to 3000)
+      .map(i => (i.toLong, (i % 400) * 2.0, (i % 37).toDouble,
+        if (i % 5 == 0) null else java.lang.Double.valueOf((i % 9).toDouble)))
+      .toDF("id", "price", "qty", "disc")
+    val specs = Seq(
+      "price" -> Seq(100.0, 200.0, 300.0),
+      "qty" -> Seq(10.0, 20.0),
+      "disc" -> Seq(3.0, 6.0))
+    val prof = Drift.psiProfile(oldSnap, newSnap, specs)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select($"bucket", $"n_old", $"n_new", $"psi_ppm")
+        .orderBy("bucket").collect().toSeq
+    specs.foreach { case (c, bounds) =>
+      assert(canon(prof.filter($"col_name" === c)) ===
+        canon(Drift.psi(oldSnap, newSnap, col(c), bounds)), c)
+    }
+    // one-pass shape: 3 columns, still exactly ONE aggregate per
+    // snapshot side for the counts (2 count scans of the input total;
+    // the totals re-derive from the joined counts, not a rescan)
+    val plan = prof.queryExecution.optimizedPlan.toString
+    val aggs = plan.split("Aggregate").length - 1
+    // counts: 2 sides × (partial+final collapse to one Aggregate node
+    // each in the optimized logical plan) + 1 totals groupBy — anything
+    // per-column would show ~2×cols aggregates
+    assert(aggs <= 2 * 2 + 1, s"expected ≤5 aggregates, got $aggs\n$plan")
+  }
+
   test("incrementally maintained bucket counts score the same PSI as a rescan") {
     import graft.operators.{Drift, IncrementalAgg}
     // bucket counts are plain grouped counts, so a CDC feed keeps them
