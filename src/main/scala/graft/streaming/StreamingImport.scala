@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.operators.Merge
+import graft.operators.{Drift, IncrementalAgg, Merge}
 
 /** Continuous staged import: the reference's temp-table → merge cycle
   * (EcomProvider.RunJob per scheduled batch), re-expressed as a
@@ -174,6 +174,73 @@ object StreamingImport {
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: DataFrame, _: Long) =>
         upsertBatchPartitioned(batch, destPath, keys, partCol))
+      .start()
+
+  /** Continuous drift monitoring config for [[startWithDrift]]: the
+    * destination's `value` distribution over fixed [[Drift.bucketOf]]
+    * `boundaries`, maintained as a bucket-count table at `countsPath`.
+    */
+  case class DriftHook(value: Column, boundaries: Seq[Double], countsPath: String)
+
+  /** Fold one upsert micro-batch into the maintained bucket counts.
+    *
+    * The upsert's CDC view is derivable without any extra state: rows
+    * the merge replaces are exactly the destination rows whose key is in
+    * the batch (retract, "D"); every batch row inserts ("I"). Folding
+    * that feed through [[IncrementalAgg.foldCdc]] keeps the counts equal
+    * to a full rescan of the post-merge destination — the streaming twin
+    * of IncrementalSync's drift artifact, state = nBuckets rows
+    * regardless of stream length (StreamingImportSpec proves
+    * cross-micro-batch counts == rescan, and PSI equality with the
+    * batch path follows from [[Drift.psiFromCounts]] being a pure
+    * function of the counts).
+    *
+    * Must run BEFORE the merge overwrites `destPath` (it reads the
+    * pre-merge destination); the fold itself touches the batch and the
+    * replaced keys only — the destination scan is a semi-join against
+    * the batch's keys, column-pruned to keys + value.
+    */
+  private[streaming] def foldDriftCounts(batch: DataFrame, destPath: String,
+                                         keys: Seq[String], hook: DriftHook): Unit = {
+    val spark = batch.sparkSession
+    val bucket = Drift.bucketOf(hook.value, hook.boundaries)
+    val ins = batch.filter(hook.value.isNotNull)
+      .select(bucket.as("bucket"), lit("I").as("op"))
+    val feed = if (pathExists(batch, destPath)) {
+      // retract only keys the merge actually re-values: upsert coalesces
+      // a null batch value back to the destination's, so a null-valued
+      // batch row neither retracts nor inserts
+      val revaluedKeys = batch.filter(hook.value.isNotNull)
+        .select(keys.map(col): _*).distinct()
+      val dels = spark.read.parquet(destPath)
+        .join(revaluedKeys, keys, "left_semi")
+        .filter(hook.value.isNotNull)
+        .select(bucket.as("bucket"), lit("D").as("op"))
+      dels.unionByName(ins)
+    } else ins
+    val state1 = if (pathExists(batch, hook.countsPath))
+      IncrementalAgg.foldCdc(spark.read.parquet(hook.countsPath), feed,
+        Seq("bucket"), lit(0), col("op"))
+    else
+      IncrementalAgg.init(feed.filter(col("op") === "I"), Seq("bucket"), lit(0))
+    // materialize before overwriting the directory being read
+    state1.localCheckpoint(true).write.mode("overwrite").parquet(hook.countsPath)
+  }
+
+  /** [[start]] plus continuous distribution monitoring: after every
+    * micro-batch the maintained bucket counts at `hook.countsPath` equal
+    * a rescan of the destination — score them against a frozen baseline
+    * with [[Drift.psiFromCounts]] at any time, no destination scan.
+    */
+  def startWithDrift(stream: DataFrame, destPath: String, keys: Seq[String],
+                     checkpoint: String, hook: DriftHook): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        foldDriftCounts(batch, destPath, keys, hook)
+        upsertBatch(batch, destPath, keys)
+      }
       .start()
 
   /** Continuous import with row-level error tolerance: each micro-batch

@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.StreamingImport
 
 case class KV(id: Long, v: String)
+case class KD(id: Long, v: Double)
 
 class StreamingImportSpec extends SparkSuite {
 
@@ -22,6 +23,56 @@ class StreamingImportSpec extends SparkSuite {
       q.processAllAvailable()
       val out = spark.read.parquet(dest).orderBy("id").as[KV].collect()
       assert(out === Array(KV(1, "a"), KV(2, "B2"), KV(3, "c")))
+    } finally q.stop()
+  }
+
+  test("drift counts fold across micro-batches; PSI equals the batch path; state stays tiny") {
+    import spark.implicits._
+    import graft.operators.Drift
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_simport_drift")
+    val dest = s"$dir/dest"
+    val bounds = Seq(100.0, 200.0, 300.0)
+    val hook = StreamingImport.DriftHook(
+      org.apache.spark.sql.functions.col("v"), bounds, s"$dir/counts")
+    val stream = MemoryStream[KD]
+    val q = StreamingImport.startWithDrift(
+      stream.toDF(), dest, Seq("id"), s"$dir/ckpt", hook)
+    try {
+      stream.addData((1 to 300).map(i => KD(i.toLong, (i % 400).toDouble)): _*)
+      q.processAllAvailable()
+      // freeze the baseline = the counts after the first sync
+      val baseline = spark.read.parquet(hook.countsPath).collect()
+      val snap1 = spark.read.parquet(dest).as[KD].collect().toSeq
+      // re-value half the keys (upsert CDC: retract old, insert new),
+      // insert fresh keys, then push a hot spike — three micro-batches
+      stream.addData(((1 to 150).map(i => KD(i.toLong, (i % 400) * 3.0)) ++
+        (301 to 400).map(i => KD(i.toLong, 50.0))): _*)
+      q.processAllAvailable()
+      stream.addData((100 to 200).map(i => KD(i.toLong, 999.0)): _*)
+      q.processAllAvailable()
+
+      // maintained counts == a rescan of the final destination
+      val maintained = spark.read.parquet(hook.countsPath)
+        .select($"bucket", $"n_rows").orderBy("bucket")
+        .as[(Long, Long)].collect().toSeq
+      val rescanned = Drift.bucketCounts(spark.read.parquet(dest), $"v", bounds)
+        .orderBy("bucket").as[(Long, Long)].collect().toSeq
+      assert(maintained === rescanned)
+      // state is the bucket table, not the stream: ≤ nBuckets rows
+      assert(maintained.size <= bounds.size + 1)
+
+      // PSI from maintained counts == PSI from rescanning both snapshots
+      def canon(d: org.apache.spark.sql.DataFrame) = d.orderBy("bucket")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val viaCounts = Drift.psiFromCounts(
+        spark.createDataFrame(spark.sparkContext.parallelize(baseline.toSeq),
+          spark.read.parquet(hook.countsPath).schema)
+          .select($"bucket", $"n_rows".as("n_old")),
+        spark.read.parquet(hook.countsPath)
+          .select($"bucket", $"n_rows".as("n_new")), bounds.size + 1)
+      val viaRescan = Drift.psi(snap1.toDF(), spark.read.parquet(dest), $"v", bounds)
+      assert(canon(viaCounts) === canon(viaRescan))
     } finally q.stop()
   }
 
