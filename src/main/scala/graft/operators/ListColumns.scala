@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   * — one shuffle, map-side partial aggregation, deterministic order via the
   * sort (SQL Server's FOR XML PATH order is undefined; we pin it).
   * Unpack = split + explode — narrow, no shuffle.
+  *
+  * HOT-KEY BOUND IS OUTPUT-INHERENT: pack's aggregation state per key is
+  * the key's full element list — but unlike the bucket builders the repo
+  * bounds with [[graft.functions.BoundedDistinctSet]] (where the list is
+  * an INTERMEDIATE a cap can truncate), here the packed list IS the
+  * declared output: a key with 50M relation rows contracts to a
+  * 50M-element string, so no aggregate redesign can hold less state than
+  * that output (the reference has the same bound — its STUFF/FOR XML
+  * PATH subquery materializes the same list per outer row,
+  * EcomSourceReader.cs:336). A key that large is a data-model smell, not
+  * an engine limit: pre-flight with [[Diagnostics.keySkew]] (any
+  * high-`skew_x` key here becomes a proportionally huge output cell) and
+  * keep such relations as rows, or cap them upstream with an explicit
+  * business rule. OperatorsSpec plants a hot key and shows output size
+  * tracks the key's relation count one-for-one.
   */
 object ListColumns {
 

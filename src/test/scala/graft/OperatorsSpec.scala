@@ -194,6 +194,31 @@ class OperatorsSpec extends SparkSuite {
     assert(unpacked === Array((1, 0, "a"), (1, 1, "b"), (2, 0, "c")))
   }
 
+  test("pack's hot-key state is output-inherent: the cell grows one-for-one with the key") {
+    // a planted hot key with 200k relation rows next to normal keys —
+    // the packed cell must carry every element (the list IS the declared
+    // output, so no bounded aggregate could hold less), and keySkew
+    // flags the key pre-flight as the doc contract prescribes
+    val hot = (0 until 200000).map(i => ("hot", f"v$i%06d"))
+    val cold = (0 until 50).map(i => (s"k${i % 5}", f"c$i%06d"))
+    val df = (hot ++ cold).toDF("k", "v").repartition(8)
+    val packed = ListColumns.pack(df, Seq("k"), col("v"), "vs")
+      .withColumn("n_elems", size(split(col("vs"), ",")))
+      .withColumn("cell_len", length(col("vs")))
+    val rows = packed.select("k", "n_elems", "cell_len")
+      .as[(String, Int, Int)].collect()
+      .map { case (k, n, l) => k -> ((n, l)) }.toMap
+    val (hn, hl) = rows("hot")
+    assert(hn === 200000)
+    // every element is "vNNNNNN" = 9 chars quoted + comma: exact size
+    assert(hl === 200000 * 10 - 1)
+    (0 until 5).foreach(i => assert(rows(s"k$i")._1 === 10))
+    // the pre-flight contract: keySkew surfaces the hot key loudly
+    val skew = graft.operators.Diagnostics.keySkew(df, col("k"), phi = 0.01)
+      .filter(col("key") === "hot").select("share_bp").as[Long].collect()
+    assert(skew.length === 1 && skew.head > 9900L) // >99% of all rows
+  }
+
   test("packOrdered aligns parallel lists by the shared sort column") {
     val df = Seq((1, "g2", 20), (1, "g1", 10), (2, "g9", 5)).toDF("k", "g", "sortv")
     val names = ListColumns.packOrdered(df, Seq("k"), col("g"), col("sortv"), "groups")
