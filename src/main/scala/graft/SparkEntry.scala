@@ -1004,6 +1004,21 @@ object SparkEntry {
         .orderBy(col("col_name"), col("bucket"))
     }),
 
+    "q_drift_categorical" -> ((s, dir) => {
+      // categorical drift — the status/priority-mix validation numeric
+      // buckets can't express. Category space bounded BEFORE scoring:
+      // top-3 by old-side count (count desc, value asc — the sf0.01
+      // data plants a real tie at 3003 rows, so the tiebreak is
+      // exercised), tail folds into the OTHER sentinel
+      val o = t(s, dir, "orders")
+      val cut = lit("1997-01-01").cast("timestamp")
+      operators.Drift.psiCategorical(
+        o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut),
+        col("o_orderpriority"), maxCategories = 3)
+        .orderBy(col("category"))
+    }),
+
     "q_sync_diff" -> ((s, dir) => {
       // sync reconciliation: WHICH keys drifted between source and
       // destination — missing / extra / differs via one full-outer join
@@ -1943,6 +1958,39 @@ object SparkEntry {
          |          sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS tn
          |   FROM lineitem WHERE $c IS NOT NULL) t""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bucket"),
+
+    "q_drift_categorical" ->
+      """WITH oldc AS (
+        |  SELECT o_orderpriority AS category, count(*) AS n
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |    AND o_orderpriority IS NOT NULL
+        |  GROUP BY 1),
+        |top AS (SELECT category FROM oldc ORDER BY n DESC, category LIMIT 3),
+        |ob AS (
+        |  SELECT CASE WHEN o_orderpriority IN (SELECT category FROM top)
+        |              THEN o_orderpriority ELSE '__OTHER__' END AS category
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |    AND o_orderpriority IS NOT NULL),
+        |nb AS (
+        |  SELECT CASE WHEN o_orderpriority IN (SELECT category FROM top)
+        |              THEN o_orderpriority ELSE '__OTHER__' END AS category
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderpriority IS NOT NULL),
+        |oc AS (SELECT category, count(*) AS n_old FROM ob GROUP BY 1),
+        |nc AS (SELECT category, count(*) AS n_new FROM nb GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(oc.category, nc.category) AS category,
+        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM oc FULL OUTER JOIN nc ON oc.category = nc.category),
+        |t AS (SELECT sum(n_old) AS to_, sum(n_new) AS tn FROM j)
+        |SELECT category, n_old, n_new,
+        |  CAST(floor(((n_new + 0.5) / (tn + 2.0) - (n_old + 0.5) / (to_ + 2.0))
+        |    * ln(((n_new + 0.5) / (tn + 2.0)) / ((n_old + 0.5) / (to_ + 2.0)))
+        |    * 1000000 + 0.5) AS BIGINT) AS psi_ppm
+        |FROM j, t ORDER BY category""".stripMargin,
 
     "q_sync_diff" ->
       """WITH src AS (

@@ -125,6 +125,51 @@ object Drift {
           .cast("long").as("psi_ppm"))
   }
 
+  /** Categorical drift — the columns numeric buckets can't score
+    * (status codes, priorities, country/language mixes: exactly the
+    * columns a sync validation watches). The category space is BOUNDED
+    * before anything shuffles twice: the top `maxCategories` categories
+    * by OLD-side count (ties broken by category value ascending —
+    * deterministic and oracle-replayable) keep their identity, the
+    * long tail folds into `otherLabel` — so a high-cardinality column
+    * (user agents, referrer URLs) costs one grouped count plus a
+    * distributed top-k (`TakeOrderedAndProject`, never a single-
+    * partition global sort), and the PSI frame stays ≤ maxCategories+1
+    * rows. The driver holds only the top-k label list.
+    *
+    * Returns (category, n_old, n_new, psi_ppm), smoothing k =
+    * |top| + 1 (the OTHER bucket counts whether or not it has rows).
+    * Nulls are excluded like [[psi]]; a category literally named
+    * `otherLabel` would collide — pass a sentinel that cannot occur.
+    */
+  def psiCategorical(oldDf: DataFrame, newDf: DataFrame, value: Column,
+                     maxCategories: Int = 1000,
+                     otherLabel: String = "__OTHER__"): DataFrame = {
+    require(maxCategories > 0, "maxCategories must be positive")
+    val cat = value.cast("string")
+    val top = oldDf.filter(cat.isNotNull)
+      .groupBy(cat.as("category")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("category").asc)
+      .limit(maxCategories) // distributed top-k, bounded driver result
+      .select("category").collect().map(_.getString(0)).toSeq
+    val inTop = if (top.isEmpty) lit(false) else cat.isin(top: _*)
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.filter(cat.isNotNull)
+        .select(when(inTop, cat).otherwise(lit(otherLabel)).as("category"))
+        .groupBy("category").agg(count(lit(1)).as(as))
+    val joined = counts(oldDf, "n_old")
+      .join(counts(newDf, "n_new"), Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val k = top.size + 1
+    val totals = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    val po = (col("n_old") + lit(0.5)) / (col("__to") + lit(0.5 * k))
+    val pn = (col("n_new") + lit(0.5)) / (col("__tn") + lit(0.5 * k))
+    joined.crossJoin(broadcast(totals)) // one row
+      .select(col("category"), col("n_old"), col("n_new"),
+        floor((pn - po) * log(pn / po) * 1000000.0 + 0.5)
+          .cast("long").as("psi_ppm"))
+  }
+
   /** PSI terms from two (bucket, count) summaries — tiny inputs (one
     * row per bucket), so drift scoring is free once the counts exist.
     * `nBuckets` is the TOTAL bucket count (boundaries + 1) so the

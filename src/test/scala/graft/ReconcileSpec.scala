@@ -115,6 +115,35 @@ class ReconcileSpec extends SparkSuite {
     assert(aggs <= 2 * 2 + 1, s"expected ≤5 aggregates, got $aggs\n$plan")
   }
 
+  test("psiCategorical: quiet on identical mixes, loud on a mix shift, tail folds to OTHER") {
+    import graft.operators.Drift
+    val statuses = Seq("OPEN", "SHIPPED", "DONE")
+    val base = (1 to 3000).map(i =>
+      (i.toLong, if (i % 100 == 0) s"RARE_${i % 7}" else statuses(i % 3)))
+      .toDF("id", "status")
+    // identical snapshots: every category term is 0 ppm
+    val same = Drift.psiCategorical(base, base, $"status", maxCategories = 3)
+    assert(same.select("psi_ppm").as[Long].collect().forall(_ === 0L))
+    // the 7 rare statuses fold into ONE OTHER row: ≤ maxCategories+1 rows
+    val rows = same.select("category").as[String].collect().toSet
+    assert(rows === Set("OPEN", "SHIPPED", "DONE", "__OTHER__"))
+    // mix shift: most DONE rows become OPEN — row-complete, key-stable,
+    // numeric-bucket-invisible, but the category mix moved
+    val shifted = base.withColumn("status",
+      when($"status" === "DONE" && $"id" % 4 =!= 0, "OPEN").otherwise($"status"))
+    val psi = Drift.psiCategorical(base, shifted, $"status", maxCategories = 3)
+      .agg(sum("psi_ppm")).head.getLong(0)
+    assert(psi >= 250000L, s"mix shift must score as shifted, got $psi ppm")
+    // nulls excluded, not folded into OTHER
+    val withNulls = base.withColumn("status",
+      when($"id" % 5 === 0, lit(null)).otherwise($"status"))
+    val denulled = Drift.psiCategorical(
+      base.filter($"id" % 5 =!= 0), base, $"status", maxCategories = 3)
+      .orderBy("category").collect().toSeq
+    assert(Drift.psiCategorical(withNulls, base, $"status", maxCategories = 3)
+      .orderBy("category").collect().toSeq === denulled)
+  }
+
   test("incrementally maintained bucket counts score the same PSI as a rescan") {
     import graft.operators.{Drift, IncrementalAgg}
     // bucket counts are plain grouped counts, so a CDC feed keeps them
