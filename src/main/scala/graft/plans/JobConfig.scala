@@ -22,6 +22,20 @@ import org.json4s.jackson.Serialization
   * are code, not configuration (the reference's equivalents live in the
   * provider assembly, not the settings XML either).
   */
+/** Declarative form of [[ImportJob.DriftCheck]] — drift gates are
+  * configuration, not code, so they serialize with the job (the
+  * reference keeps its per-table validation switches in the settings
+  * XML the same way).
+  */
+case class DriftCheckConfig(
+    column: String,
+    boundaries: Seq[Double],
+    alarmPpm: Long = 250000L,
+    failOnAlarm: Boolean = false) {
+  def toCheck: ImportJob.DriftCheck =
+    ImportJob.DriftCheck(column, boundaries, alarmPpm, failOnAlarm)
+}
+
 case class TableConfig(
     table: String,
     keys: Seq[String],
@@ -32,7 +46,8 @@ case class TableConfig(
     deleteExcessScope: Seq[String] = Nil,
     flagMissing: Option[String] = None,
     constants: Map[String, String] = Map.empty,
-    expectSchema: Option[String] = None) { // StructType.json snapshot
+    expectSchema: Option[String] = None, // StructType.json snapshot
+    driftChecks: Seq[DriftCheckConfig] = Nil) {
 
   def toSpec: ImportJob.TableSpec = ImportJob.TableSpec(
     table = table,
@@ -50,7 +65,8 @@ case class TableConfig(
     deleteExcessScope = deleteExcessScope,
     flagMissing = flagMissing,
     expectSchema = expectSchema.map(DataType.fromJson(_).asInstanceOf[StructType]),
-    constants = constants)
+    constants = constants,
+    driftChecks = driftChecks.map(_.toCheck))
 }
 
 case class JobConfig(tables: Seq[TableConfig])

@@ -49,14 +49,19 @@ class PlansSpec extends SparkSuite {
         dedupKeys = Seq("id"), dedupOrder = Seq("name"),
         deleteExcess = true, deleteExcessScope = Seq("lang"),
         flagMissing = Some("active"), constants = Map("shop" -> "S1"),
-        expectSchema = Some(schema.json)),
+        expectSchema = Some(schema.json),
+        driftChecks = Seq(graft.plans.DriftCheckConfig(
+          "bal", Seq(100.0, 200.0), alarmPpm = 100000L, failOnAlarm = true))),
       TableConfig("nation", keys = Seq("nid"), mode = "insertOnly")))
     val back = JobConfig.fromJson(JobConfig.toJson(cfg))
     assert(back === cfg)
     val specs = JobConfig.toSpecs(back)
     assert(specs.head.mode === graft.plans.ImportJob.Upsert)
     assert(specs.head.expectSchema === Some(schema))
+    assert(specs.head.driftChecks === Seq(graft.plans.ImportJob.DriftCheck(
+      "bal", Seq(100.0, 200.0), 100000L, failOnAlarm = true)))
     assert(specs(1).mode === graft.plans.ImportJob.InsertOnly)
+    assert(specs(1).driftChecks.isEmpty)
   }
 
   test("JobConfig.drift reports added/removed/retyped; overwriteToOriginal undoes drift") {
