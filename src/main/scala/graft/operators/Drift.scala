@@ -125,6 +125,25 @@ object Drift {
           .cast("long").as("psi_ppm"))
   }
 
+  /** Categorical bucket assignment over a FROZEN category list: listed
+    * categories keep their identity, everything else folds into
+    * `otherLabel`. Freezing the list is what makes categorical counts
+    * maintainable against a baseline (the top-k of a LIVE snapshot
+    * changes over time; a drift score only means something against
+    * fixed buckets) — get the list from [[psiCategorical]]'s top-k or
+    * from domain knowledge. Nulls pass through as null (callers filter,
+    * matching [[bucketOf]]'s null contract).
+    */
+  def categoricalBucketOf(value: Column, categories: Seq[String],
+                          otherLabel: String = "__OTHER__"): Column = {
+    require(!categories.contains(otherLabel),
+      s"category list collides with the other-label sentinel '$otherLabel'")
+    val cat = value.cast("string")
+    val inList = if (categories.isEmpty) lit(false) else cat.isin(categories: _*)
+    when(cat.isNull, lit(null).cast("string"))
+      .otherwise(when(inList, cat).otherwise(lit(otherLabel)))
+  }
+
   /** Categorical drift — the columns numeric buckets can't score
     * (status codes, priorities, country/language mixes: exactly the
     * columns a sync validation watches). The category space is BOUNDED
@@ -152,10 +171,9 @@ object Drift {
       .orderBy(col("__n").desc, col("category").asc)
       .limit(maxCategories) // distributed top-k, bounded driver result
       .select("category").collect().map(_.getString(0)).toSeq
-    val inTop = if (top.isEmpty) lit(false) else cat.isin(top: _*)
     def counts(df: DataFrame, as: String): DataFrame =
       df.filter(cat.isNotNull)
-        .select(when(inTop, cat).otherwise(lit(otherLabel)).as("category"))
+        .select(categoricalBucketOf(value, top, otherLabel).as("category"))
         .groupBy("category").agg(count(lit(1)).as(as))
     val joined = counts(oldDf, "n_old")
       .join(counts(newDf, "n_new"), Seq("category"), "full_outer")

@@ -32,13 +32,35 @@ import graft.operators.{Drift, IncrementalAgg, IncrementalJoin, Profile, Reconci
   */
 object IncrementalSync {
 
-  /** Drift monitoring config: `value` is scored into fixed buckets at
-    * `boundaries` ([[Drift.bucketOf]]); [[driftAlarmed]] fires when the
-    * total PSI vs the frozen baseline reaches `alarmPpm` (default
-    * 250000 ppm = 0.25 — the published "population shifted" threshold).
+  /** Drift monitoring config: `value` is scored into the FIXED buckets
+    * `bucket` assigns (fixed is what makes a maintained baseline
+    * comparison meaningful); [[driftAlarmed]] fires when total PSI vs
+    * the frozen baseline reaches `alarmPpm` (default 250000 ppm = 0.25
+    * — the published "population shifted" threshold). Build with
+    * [[DriftSpec.numeric]] (boundary buckets) or
+    * [[DriftSpec.categorical]] (frozen category list + OTHER) — both
+    * lower to the same plain-grouped-count state, so the same foldCdc
+    * maintenance serves value distributions and category mixes.
     */
-  case class DriftSpec(value: Column, boundaries: Seq[Double],
+  case class DriftSpec(value: Column, bucket: Column, nBuckets: Int,
                        alarmPpm: Long = 250000L)
+
+  object DriftSpec {
+    def numeric(value: Column, boundaries: Seq[Double],
+                alarmPpm: Long = 250000L): DriftSpec =
+      DriftSpec(value, Drift.bucketOf(value, boundaries),
+        boundaries.size + 1, alarmPpm)
+
+    /** `categories` is the frozen identity list (take it from
+      * [[Drift.psiCategorical]]'s top-k on the baseline snapshot, or
+      * from domain knowledge); the tail folds into the OTHER bucket.
+      */
+    def categorical(value: Column, categories: Seq[String],
+                    alarmPpm: Long = 250000L,
+                    otherLabel: String = "__OTHER__"): DriftSpec =
+      DriftSpec(value, Drift.categoricalBucketOf(value, categories, otherLabel),
+        categories.size + 1, alarmPpm)
+  }
 
   /** `baseline` is frozen at [[init]]; `counts` stays current through
     * every [[refresh]]. Both are nBuckets-row frames in the
@@ -51,7 +73,7 @@ object IncrementalSync {
 
   private def bucketFeed(df: DataFrame, spec: DriftSpec, extra: Seq[Column]): DataFrame =
     df.filter(spec.value.isNotNull) // Drift.psi excludes nulls; match it
-      .select(Drift.bucketOf(spec.value, spec.boundaries).as("bucket") +: extra: _*)
+      .select(spec.bucket.as("bucket") +: extra: _*)
 
   /** Derive the artifacts from scratch (first sync / rebuild). */
   def init(snapshot: DataFrame, dim: DataFrame, idCol: String,
@@ -105,7 +127,7 @@ object IncrementalSync {
     Drift.psiFromCounts(
       d.baseline.select(col("bucket"), col("n_rows").as("n_old")),
       d.counts.select(col("bucket"), col("n_rows").as("n_new")),
-      d.spec.boundaries.size + 1)
+      d.spec.nBuckets)
   }
 
   /** True when total PSI vs the baseline has reached `alarmPpm` — the

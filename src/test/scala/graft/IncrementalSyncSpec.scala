@@ -46,7 +46,7 @@ class IncrementalSyncSpec extends SparkSuite {
     // update — counts and key sets are clean; only the DISTRIBUTION moved
     val newRows = oldRows.map { case (id, g, v) => (id, g, v * 3.0) }
     def df(s: Seq[(Long, String, Double)]) = s.toDF("id", "g", "v")
-    val spec = DriftSpec($"v", Seq(100.0, 200.0, 300.0), alarmPpm = 250000L)
+    val spec = DriftSpec.numeric($"v", Seq(100.0, 200.0, 300.0), alarmPpm = 250000L)
 
     val s0 = IncrementalSync.init(df(oldRows), dim, "id", Seq("g"), Seq("g"),
       $"v", Seq("g", "v"), Some(spec))
@@ -86,5 +86,34 @@ class IncrementalSyncSpec extends SparkSuite {
     val sQuiet = IncrementalSync.refresh(s0, df(oldRows), df(quiet), dim,
       "id", Seq("g"), Seq("g"), $"v", Seq("g", "v"))
     assert(IncrementalSync.driftAlarmed(sQuiet) === Some(false))
+  }
+
+  test("a categorical mix shift fires the same maintained-counts alarm") {
+    import graft.pipelines.IncrementalSync.DriftSpec
+    val dim = Seq(("g0", "d0")).toDF("g", "dv")
+    val statuses = Seq("OPEN", "SHIPPED", "DONE")
+    val oldRows = (1 to 3000).map(i => (i.toLong, "g0",
+      if (i % 150 == 0) s"RARE_${i % 4}" else statuses(i % 3)))
+    // every key survives; only the status MIX moves (DONE mostly → OPEN)
+    val newRows = oldRows.map { case (id, g, s) =>
+      (id, g, if (s == "DONE" && id % 4 != 0) "OPEN" else s) }
+    def df(s: Seq[(Long, String, String)]) = s.toDF("id", "g", "status")
+    // frozen identity list: the three real statuses; RARE_* folds to OTHER
+    val spec = DriftSpec.categorical($"status", statuses, alarmPpm = 250000L)
+
+    val s0 = IncrementalSync.init(df(oldRows), dim, "id", Seq("g"), Seq("g"),
+      lit(0), Seq("g", "status"), Some(spec))
+    assert(IncrementalSync.driftAlarmed(s0) === Some(false))
+    val s1 = IncrementalSync.refresh(s0, df(oldRows), df(newRows), dim,
+      "id", Seq("g"), Seq("g"), lit(0), Seq("g", "status"))
+    assert(IncrementalSync.driftAlarmed(s1) === Some(true))
+    // maintained category counts == a from-scratch init on the new snapshot
+    val direct = IncrementalSync.init(df(newRows), dim, "id", Seq("g"),
+      Seq("g"), lit(0), Seq("g", "status"), Some(spec)).drift.get.counts
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select($"bucket", $"n_rows").orderBy("bucket").collect().toSeq
+    assert(canon(s1.drift.get.counts) === canon(direct))
+    // the state is ≤ nBuckets rows: 3 identities + OTHER
+    assert(canon(s1.drift.get.counts).size <= 4)
   }
 }
