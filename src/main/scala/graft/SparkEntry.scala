@@ -1004,6 +1004,25 @@ object SparkEntry {
         .orderBy(col("col_name"), col("bucket"))
     }),
 
+    "q_drift_corpus" -> ((s, dir) => {
+      // crawl-over-crawl corpus drift for the training-data pipeline:
+      // has the document LENGTH/TOKEN mix of the new crawl moved against
+      // the last one? Derived signals (char count, whitespace token
+      // count) feed the same one-pass psiProfile — two corpus scans
+      // total for any number of signals
+      val d = t(s, dir, "documents").withColumn("n_chars_sig",
+          length(col("text")).cast("double"))
+        .withColumn("n_tokens_sig",
+          size(split(trim(col("text")), "\\s+")).cast("double"))
+      operators.Drift.psiProfile(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        Seq(
+          "n_chars_sig" -> Seq(175.0, 300.0, 420.0),
+          "n_tokens_sig" -> Seq(32.0, 56.0, 76.0)))
+        .orderBy(col("col_name"), col("bucket"))
+    }),
+
     "q_drift_categorical" -> ((s, dir) => {
       // categorical drift — the status/priority-mix validation numeric
       // buckets can't express. Category space bounded BEFORE scoring:
@@ -1957,6 +1976,35 @@ object SparkEntry {
          |  (SELECT sum(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS to_,
          |          sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS tn
          |   FROM lineitem WHERE $c IS NOT NULL) t""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bucket"),
+
+    // q_drift_corpus: same independent per-signal replay as
+    // q_drift_profile, with the signals derived in SQL from the raw text
+    "q_drift_corpus" -> Seq(
+      ("n_chars_sig", "length(text)", Seq("175", "300", "420")),
+      ("n_tokens_sig", "length(regexp_split_to_array(trim(text), '\\s+'))",
+        Seq("32", "56", "76"))
+    ).map { case (name, expr, bs) =>
+      val caseExpr = bs.zipWithIndex
+        .map { case (b, i) => s"WHEN $expr < $b THEN $i" }
+        .mkString("CASE ", " ", s" ELSE ${bs.size} END")
+      val k = bs.size + 1
+      s"""SELECT '$name' AS col_name, bucket, n_old, n_new,
+         |  CAST(floor(((n_new + 0.5) / (tn + 0.5 * $k) - (n_old + 0.5) / (to_ + 0.5 * $k))
+         |    * ln(((n_new + 0.5) / (tn + 0.5 * $k)) / ((n_old + 0.5) / (to_ + 0.5 * $k)))
+         |    * 1000000 + 0.5) AS BIGINT) AS psi_ppm
+         |FROM (
+         |  SELECT coalesce(oc.bucket, nc.bucket) AS bucket,
+         |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+         |  FROM (SELECT $caseExpr AS bucket, count(*) AS n_old FROM documents
+         |        WHERE doc_id % 2 = 0 AND $expr IS NOT NULL
+         |        GROUP BY 1) oc
+         |  FULL OUTER JOIN (SELECT $caseExpr AS bucket, count(*) AS n_new FROM documents
+         |        WHERE doc_id % 2 = 1 AND $expr IS NOT NULL
+         |        GROUP BY 1) nc ON oc.bucket = nc.bucket) j,
+         |  (SELECT sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS to_,
+         |          sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS tn
+         |   FROM documents WHERE $expr IS NOT NULL) t""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bucket"),
 
     "q_drift_categorical" ->

@@ -177,10 +177,25 @@ object StreamingImport {
       .start()
 
   /** Continuous drift monitoring config for [[startWithDrift]]: the
-    * destination's `value` distribution over fixed [[Drift.bucketOf]]
-    * `boundaries`, maintained as a bucket-count table at `countsPath`.
+    * destination's `value` distribution over the FIXED buckets `bucket`
+    * assigns, maintained as a bucket-count table at `countsPath`. Build
+    * with [[DriftHook.numeric]] or [[DriftHook.categorical]] — same
+    * dual as IncrementalSync.DriftSpec (both lower to plain grouped
+    * counts, so one fold maintains either).
     */
-  case class DriftHook(value: Column, boundaries: Seq[Double], countsPath: String)
+  case class DriftHook(value: Column, bucket: Column, countsPath: String)
+
+  object DriftHook {
+    def numeric(value: Column, boundaries: Seq[Double],
+                countsPath: String): DriftHook =
+      DriftHook(value, Drift.bucketOf(value, boundaries), countsPath)
+
+    def categorical(value: Column, categories: Seq[String],
+                    countsPath: String,
+                    otherLabel: String = "__OTHER__"): DriftHook =
+      DriftHook(value, Drift.categoricalBucketOf(value, categories, otherLabel),
+        countsPath)
+  }
 
   /** Fold one upsert micro-batch into the maintained bucket counts.
     *
@@ -203,7 +218,7 @@ object StreamingImport {
   private[streaming] def foldDriftCounts(batch: DataFrame, destPath: String,
                                          keys: Seq[String], hook: DriftHook): Unit = {
     val spark = batch.sparkSession
-    val bucket = Drift.bucketOf(hook.value, hook.boundaries)
+    val bucket = hook.bucket
     val ins = batch.filter(hook.value.isNotNull)
       .select(bucket.as("bucket"), lit("I").as("op"))
     val feed = if (pathExists(batch, destPath)) {

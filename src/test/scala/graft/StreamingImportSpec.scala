@@ -33,7 +33,7 @@ class StreamingImportSpec extends SparkSuite {
     val dir = Files.createTempDirectory("graft_simport_drift")
     val dest = s"$dir/dest"
     val bounds = Seq(100.0, 200.0, 300.0)
-    val hook = StreamingImport.DriftHook(
+    val hook = StreamingImport.DriftHook.numeric(
       org.apache.spark.sql.functions.col("v"), bounds, s"$dir/counts")
     val stream = MemoryStream[KD]
     val q = StreamingImport.startWithDrift(
@@ -73,6 +73,38 @@ class StreamingImportSpec extends SparkSuite {
           .select($"bucket", $"n_rows".as("n_new")), bounds.size + 1)
       val viaRescan = Drift.psi(snap1.toDF(), spark.read.parquet(dest), $"v", bounds)
       assert(canon(viaCounts) === canon(viaRescan))
+    } finally q.stop()
+  }
+
+  test("categorical drift hook maintains the status-mix counts across batches") {
+    import spark.implicits._
+    import graft.operators.Drift
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_simport_catdrift")
+    val dest = s"$dir/dest"
+    val cats = Seq("OPEN", "SHIPPED", "DONE")
+    val hook = StreamingImport.DriftHook.categorical(
+      org.apache.spark.sql.functions.col("v"), cats, s"$dir/counts")
+    val stream = MemoryStream[KV]
+    val q = StreamingImport.startWithDrift(
+      stream.toDF(), dest, Seq("id"), s"$dir/ckpt", hook)
+    try {
+      stream.addData((1 to 300).map(i => KV(i.toLong,
+        if (i % 60 == 0) s"RARE_$i" else cats(i % 3))): _*)
+      q.processAllAvailable()
+      // re-status a third of the keys — the upsert CDC mix move
+      stream.addData((1 to 100).map(i => KV(i.toLong, "OPEN")): _*)
+      q.processAllAvailable()
+      val maintained = spark.read.parquet(hook.countsPath)
+        .select($"bucket", $"n_rows").orderBy("bucket")
+        .as[(String, Long)].collect().toSeq
+      val rescanned = spark.read.parquet(dest)
+        .select(Drift.categoricalBucketOf($"v", cats).as("bucket"))
+        .groupBy("bucket").count().orderBy("bucket")
+        .as[(String, Long)].collect().toSeq
+      assert(maintained === rescanned)
+      assert(maintained.size <= cats.size + 1) // identities + OTHER
+      assert(maintained.exists(_._1 == "__OTHER__"))
     } finally q.stop()
   }
 
