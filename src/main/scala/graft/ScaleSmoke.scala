@@ -304,6 +304,49 @@ object ScaleSmoke {
         assert(nSeq == nPar, s"chunked debounce diverged: $nSeq vs $nPar")
       } finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(ev)
     }
+    if (section == "all" || section == "drift") {
+      // drift scales as pure scans: psiProfile must grow ~linearly in
+      // the snapshot size (one aggregate per side, state = buckets) and
+      // the maintained-counts scoring must be scan-free (constant) at
+      // any corpus size
+      import graft.operators.{Drift, IncrementalAgg}
+      val li1 = Tables.load(spark, base, "lineitem").localCheckpoint(true)
+      val liN = spark.read.parquet(replicate("lineitem", "l_orderkey"))
+        .localCheckpoint(true)
+      val specs = Seq(
+        "l_extendedprice" -> Seq(20000.0, 40000.0, 60000.0, 80000.0),
+        "l_quantity" -> Seq(10.0, 20.0, 30.0, 40.0),
+        "l_discount" -> Seq(0.02, 0.04, 0.06, 0.08))
+      def split(df: DataFrame) = (
+        df.filter(col("l_orderkey") % 2 === 0), df.filter(col("l_orderkey") % 2 === 1))
+      val (o1, n1) = split(li1); val (oN, nN) = split(liN)
+      // warm the codegen/plan caches so 1x isn't first-query-contaminated
+      Drift.psiProfile(o1, n1, specs).count()
+      Drift.psiCategorical(o1, n1, col("l_returnflag"), 2).count()
+      time("psi profile 1x")(Drift.psiProfile(o1, n1, specs).count())
+      time(s"psi profile ${mult}x")(Drift.psiProfile(oN, nN, specs).count())
+      time("psi categorical 1x")(
+        Drift.psiCategorical(o1, n1, col("l_returnflag"), 2).count())
+      time(s"psi categorical ${mult}x")(
+        Drift.psiCategorical(oN, nN, col("l_returnflag"), 2).count())
+      // maintained-counts scoring: counts persisted once, scoring reads
+      // only the two bucket tables — constant regardless of corpus size
+      val bounds = specs.head._2
+      val c0 = IncrementalAgg.init(
+        oN.filter(col("l_extendedprice").isNotNull)
+          .select(Drift.bucketOf(col("l_extendedprice"), bounds).as("bucket")),
+        Seq("bucket"), lit(0)).localCheckpoint(true)
+      val c1 = IncrementalAgg.init(
+        nN.filter(col("l_extendedprice").isNotNull)
+          .select(Drift.bucketOf(col("l_extendedprice"), bounds).as("bucket")),
+        Seq("bucket"), lit(0)).localCheckpoint(true)
+      time(s"psi from maintained counts ${mult}x (scan-free)")(
+        Drift.psiFromCounts(
+          c0.select(col("bucket"), col("n_rows").as("n_old")),
+          c1.select(col("bucket"), col("n_rows").as("n_new")),
+          bounds.size + 1).count())
+    }
+
     spark.stop()
   }
 }
