@@ -1012,8 +1012,11 @@ object SparkEntry {
       // total for any number of signals
       val d = t(s, dir, "documents").withColumn("n_chars_sig",
           length(col("text")).cast("double"))
+        // explicit class, not \s: Java regex \s includes \x0B (vertical
+        // tab), RE2's does not — a pinned class keeps both engines
+        // tokenizing identically on edge whitespace
         .withColumn("n_tokens_sig",
-          size(split(trim(col("text")), "\\s+")).cast("double"))
+          size(split(trim(col("text")), "[ \\t\\n\\r\\f]+")).cast("double"))
       operators.Drift.psiProfile(
         d.filter(col("doc_id") % 2 === 0),
         d.filter(col("doc_id") % 2 === 1),
@@ -1982,7 +1985,8 @@ object SparkEntry {
     // q_drift_profile, with the signals derived in SQL from the raw text
     "q_drift_corpus" -> Seq(
       ("n_chars_sig", "length(text)", Seq("175", "300", "420")),
-      ("n_tokens_sig", "length(regexp_split_to_array(trim(text), '\\s+'))",
+      ("n_tokens_sig",
+        "length(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+'))",
         Seq("32", "56", "76"))
     ).map { case (name, expr, bs) =>
       val caseExpr = bs.zipWithIndex

@@ -30,9 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * over-cap keys (bucket builders capping membership) detect overflow
   * exactly, never probabilistically.
   *
-  * Supports int / long / string keys (doc-id shapes) and STRUCTS of
+  * Supports byte / short / int / long / string / date / timestamp keys
+  * (the id shapes equality-bucketed pipelines carry) and STRUCTS of
   * those (the (id, sketch) pair shape LSH bucket builders carry —
-  * NearDup.simhashPairs). Values sort by Spark semantics: UTF8String
+  * NearDup.simhashPairs). Decimal/binary keys are not supported — map
+  * them to a supported type (cast, xxhash64) before bucketing. Values sort by Spark semantics: UTF8String
   * binary order for strings, lexicographic field order with nulls first
   * for structs — so `bounded_distinct(x, k)` ==
   * `slice(array_sort(collect_set(x)), 1, k)` whenever the true distinct
@@ -52,7 +54,8 @@ case class BoundedDistinctSet(
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
 
   private def isAtomic(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | StringType => true
+    case ByteType | ShortType | IntegerType | LongType | StringType
+         | DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -61,12 +64,15 @@ case class BoundedDistinctSet(
     case st: StructType if st.fields.nonEmpty && st.fields.forall(f => isAtomic(f.dataType)) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"bounded_distinct supports int/long/string keys or structs of them, got $other")
+      "bounded_distinct supports byte/short/int/long/string/date/timestamp " +
+        s"keys or structs of them, got $other")
   }
 
   private def atomicOrdering(dt: DataType): Ordering[Any] = (dt match {
-    case IntegerType => Ordering.Int
-    case LongType => Ordering.Long
+    case ByteType => Ordering.Byte
+    case ShortType => Ordering.Short
+    case IntegerType | DateType => Ordering.Int
+    case LongType | TimestampType | TimestampNTZType => Ordering.Long
     case StringType => new Ordering[UTF8String] { def compare(a: UTF8String, b: UTF8String): Int = a.compareTo(b) }
   }).asInstanceOf[Ordering[Any]]
 
@@ -80,8 +86,11 @@ case class BoundedDistinctSet(
       val cmps: Array[(InternalRow, InternalRow) => Int] =
         st.fields.zipWithIndex.map { case (f, i) =>
           val cmp: (InternalRow, InternalRow) => Int = f.dataType match {
-            case IntegerType => (a, b) => java.lang.Integer.compare(a.getInt(i), b.getInt(i))
-            case LongType => (a, b) => java.lang.Long.compare(a.getLong(i), b.getLong(i))
+            case ByteType => (a, b) => java.lang.Byte.compare(a.getByte(i), b.getByte(i))
+            case ShortType => (a, b) => java.lang.Short.compare(a.getShort(i), b.getShort(i))
+            case IntegerType | DateType => (a, b) => java.lang.Integer.compare(a.getInt(i), b.getInt(i))
+            case LongType | TimestampType | TimestampNTZType =>
+              (a, b) => java.lang.Long.compare(a.getLong(i), b.getLong(i))
             case StringType => (a, b) => a.getUTF8String(i).compareTo(b.getUTF8String(i))
           }
           (a: InternalRow, b: InternalRow) => {
@@ -147,22 +156,29 @@ case class BoundedDistinctSet(
   }
 
   private def atomicBytes(dt: DataType, v: Any): Int = dt match {
-    case IntegerType => 4
-    case LongType => 8
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType | DateType => 4
+    case LongType | TimestampType | TimestampNTZType => 8
     case StringType => 4 + v.asInstanceOf[UTF8String].numBytes()
   }
 
   private def writeAtomic(bb: ByteBuffer, dt: DataType, v: Any): Unit = dt match {
-    case IntegerType => bb.putInt(v.asInstanceOf[Int]); ()
-    case LongType => bb.putLong(v.asInstanceOf[Long]); ()
+    case ByteType => bb.put(v.asInstanceOf[Byte]); ()
+    case ShortType => bb.putShort(v.asInstanceOf[Short]); ()
+    case IntegerType | DateType => bb.putInt(v.asInstanceOf[Int]); ()
+    case LongType | TimestampType | TimestampNTZType =>
+      bb.putLong(v.asInstanceOf[Long]); ()
     case StringType =>
       val b = v.asInstanceOf[UTF8String].getBytes
       bb.putInt(b.length); bb.put(b); ()
   }
 
   private def readAtomic(bb: ByteBuffer, dt: DataType): Any = dt match {
-    case IntegerType => bb.getInt
-    case LongType => bb.getLong
+    case ByteType => bb.get
+    case ShortType => bb.getShort
+    case IntegerType | DateType => bb.getInt
+    case LongType | TimestampType | TimestampNTZType => bb.getLong
     case StringType =>
       val len = bb.getInt
       val b = new Array[Byte](len)

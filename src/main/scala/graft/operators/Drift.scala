@@ -166,17 +166,26 @@ object Drift {
                      otherLabel: String = "__OTHER__"): DataFrame = {
     require(maxCategories > 0, "maxCategories must be positive")
     val cat = value.cast("string")
-    val top = oldDf.filter(cat.isNotNull)
+    // ONE old-side corpus scan: the grouped counts are materialized
+    // (≤ cardinality rows — far below the corpus) and serve BOTH the
+    // top-k selection and the fold-to-OTHER re-aggregation; without the
+    // checkpoint the lazy groupBy would rescan the corpus for each
+    val oldCats = oldDf.filter(cat.isNotNull)
       .groupBy(cat.as("category")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val top = oldCats
       .orderBy(col("__n").desc, col("category").asc)
       .limit(maxCategories) // distributed top-k, bounded driver result
       .select("category").collect().map(_.getString(0)).toSeq
-    def counts(df: DataFrame, as: String): DataFrame =
-      df.filter(cat.isNotNull)
-        .select(categoricalBucketOf(value, top, otherLabel).as("category"))
-        .groupBy("category").agg(count(lit(1)).as(as))
-    val joined = counts(oldDf, "n_old")
-      .join(counts(newDf, "n_new"), Seq("category"), "full_outer")
+    val oldCounts = oldCats
+      .select(categoricalBucketOf(col("category"), top, otherLabel)
+        .as("category"), col("__n"))
+      .groupBy("category").agg(sum(col("__n")).as("n_old"))
+    val newCounts = newDf.filter(cat.isNotNull)
+      .select(categoricalBucketOf(value, top, otherLabel).as("category"))
+      .groupBy("category").agg(count(lit(1)).as("n_new"))
+    val joined = oldCounts
+      .join(newCounts, Seq("category"), "full_outer")
       .na.fill(0L, Seq("n_old", "n_new"))
     val k = top.size + 1
     val totals = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))

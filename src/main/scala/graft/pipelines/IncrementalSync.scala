@@ -85,8 +85,13 @@ object IncrementalSync {
       Profile.rowDigest(contentCols)),
     joined = IncrementalJoin.joinOf(snapshot, dim, joinKeys),
     drift = driftSpec.map { sp =>
+      // MATERIALIZE (nBuckets rows): a lazy plan here would re-read the
+      // snapshot source on every later score — and in the warehouse
+      // pattern the next sync overwrites that path in place, so a lazy
+      // "baseline" would silently track the live data and the alarm
+      // could never fire
       val counts = IncrementalAgg.init(bucketFeed(snapshot, sp, Nil),
-        Seq("bucket"), lit(0))
+        Seq("bucket"), lit(0)).localCheckpoint(true)
       DriftState(sp, counts, counts)
     })
 
@@ -112,9 +117,11 @@ object IncrementalSync {
         // scope for a fact refresh (rerun init on dim changes)
         joinKeys.head),
       drift = state.drift.map { d =>
+        // materialized per refresh (nBuckets rows) so the folded counts
+        // never lazily re-derive through the snapshots they summarize
         d.copy(counts = IncrementalAgg.foldCdc(d.counts,
           bucketFeed(feed, d.spec, Seq(col("op"))), Seq("bucket"), lit(0),
-          col("op")))
+          col("op")).localCheckpoint(true))
       })
   }
 

@@ -41,8 +41,12 @@ object ImportJob {
     * (currency re-scale, unit bug). Results surface per table as
     * `<table>__drift` (column, bucket, n_old, n_new, psi_ppm).
     * `failOnAlarm = true` turns the check into a gate: the job fails
-    * when total PSI reaches `alarmPpm` (forces one eager aggregate over
-    * the two bucket-count summaries — nBuckets rows — per check).
+    * when total PSI reaches `alarmPpm` (one eager aggregate over the
+    * unioned bucket summaries covers every gated check; the merged
+    * table is checkpointed once so the merge never re-executes per
+    * check). A FIRST import into an empty destination skips the checks
+    * entirely — there is no distribution to drift from, and smoothed
+    * PSI against emptiness would alarm on any non-uniform column.
     */
   case class DriftCheck(column: String, boundaries: Seq[Double],
                         alarmPpm: Long = 250000L, failOnAlarm: Boolean = false)
@@ -159,22 +163,37 @@ object ImportJob {
       spec.flagMissing.foreach { flag =>
         out = Merge.flagMissing(out, in, spec.keys, flag)
       }
-      val finalOut = spec.post(out)
-      val driftFrame = if (spec.driftChecks.isEmpty) None else {
-        val frames = spec.driftChecks.map { c =>
-          c -> Drift.psi(d, finalOut, col(c.column), c.boundaries)
+      val outBeforeChecks = spec.post(out)
+      // a first import has no distribution to drift FROM: smoothed PSI
+      // against an empty destination compares the incoming data to a
+      // uniform prior and alarms on any real-world (non-uniform) column,
+      // so drift checks only apply once the destination has rows
+      val doDrift = spec.driftChecks.nonEmpty && !d.isEmpty
+      // gating forces materialization anyway — checkpoint ONCE so the
+      // merge pipeline doesn't re-execute per check (and again when the
+      // caller reads the returned frames)
+      val finalOut =
+        if (doDrift) outBeforeChecks.localCheckpoint(true) else outBeforeChecks
+      val driftFrame = if (!doDrift) None else {
+        val all = spec.driftChecks.map { c =>
+          Drift.psi(d, finalOut, col(c.column), c.boundaries)
             .select(lit(c.column).as("column"), col("bucket"),
               col("n_old"), col("n_new"), col("psi_ppm"))
-        }
-        frames.foreach { case (c, f) =>
-          if (c.failOnAlarm) {
-            val total = f.agg(coalesce(sum(col("psi_ppm")), lit(0L))).head.getLong(0)
+        }.reduce(_ unionByName _)
+        val gated = spec.driftChecks.filter(_.failOnAlarm)
+        if (gated.nonEmpty) {
+          // ONE action computes every gate total from the unioned frame
+          val totals = all.groupBy(col("column"))
+            .agg(coalesce(sum(col("psi_ppm")), lit(0L)).as("t"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          gated.foreach { c =>
+            val total = totals.getOrElse(c.column, 0L)
             if (total >= c.alarmPpm) throw new IllegalStateException(
               s"ImportJob drift alarm: $table.${c.column} total PSI $total ppm" +
                 s" >= ${c.alarmPpm} ppm — the sync moved the distribution")
           }
         }
-        Some(s"${table}__drift" -> frames.map(_._2).reduce(_ unionByName _))
+        Some(s"${table}__drift" -> all)
       }
       Seq(table -> finalOut) ++
         quarantined.map(q => s"${table}__quarantined" -> q) ++ driftFrame

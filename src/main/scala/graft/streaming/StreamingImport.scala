@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, max}
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.{Drift, IncrementalAgg, Merge}
 
@@ -214,9 +214,22 @@ object StreamingImport {
     * pre-merge destination); the fold itself touches the batch and the
     * replaced keys only — the destination scan is a semi-join against
     * the batch's keys, column-pruned to keys + value.
+    *
+    * IDEMPOTENT under foreachBatch's at-least-once replay: the counts
+    * table records the last folded `batchId`, and a batch at or below
+    * it is skipped — without the guard, a crash in the window between
+    * the counts write and the destination write would fold the replayed
+    * batch against the still-pre-merge destination a second time and
+    * corrupt the counts permanently. (Replay after BOTH writes is
+    * harmless either way; the guard closes the in-between window.)
+    *
+    * CONTRACT (same as [[Merge.upsert]]): batch keys are unique. A batch
+    * carrying BOTH a null-valued and a non-null-valued row for one key
+    * would make the merge emit two rows while the fold counts one.
     */
-  private[streaming] def foldDriftCounts(batch: DataFrame, destPath: String,
-                                         keys: Seq[String], hook: DriftHook): Unit = {
+  private[graft] def foldDriftCounts(batch: DataFrame, destPath: String,
+                                     keys: Seq[String], hook: DriftHook,
+                                     batchId: Long): Unit = {
     val spark = batch.sparkSession
     val bucket = hook.bucket
     val ins = batch.filter(hook.value.isNotNull)
@@ -233,13 +246,17 @@ object StreamingImport {
         .select(bucket.as("bucket"), lit("D").as("op"))
       dels.unionByName(ins)
     } else ins
-    val state1 = if (pathExists(batch, hook.countsPath))
-      IncrementalAgg.foldCdc(spark.read.parquet(hook.countsPath), feed,
+    val state1 = if (pathExists(batch, hook.countsPath)) {
+      val existing = spark.read.parquet(hook.countsPath)
+      val applied = existing.agg(max(col("__batch_id"))).head.getLong(0)
+      if (applied >= batchId) return // replayed batch: already folded
+      IncrementalAgg.foldCdc(existing.drop("__batch_id"), feed,
         Seq("bucket"), lit(0), col("op"))
-    else
+    } else
       IncrementalAgg.init(feed.filter(col("op") === "I"), Seq("bucket"), lit(0))
     // materialize before overwriting the directory being read
-    state1.localCheckpoint(true).write.mode("overwrite").parquet(hook.countsPath)
+    state1.withColumn("__batch_id", lit(batchId))
+      .localCheckpoint(true).write.mode("overwrite").parquet(hook.countsPath)
   }
 
   /** [[start]] plus continuous distribution monitoring: after every
@@ -252,8 +269,8 @@ object StreamingImport {
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        foldDriftCounts(batch, destPath, keys, hook)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldDriftCounts(batch, destPath, keys, hook, batchId)
         upsertBatch(batch, destPath, keys)
       }
       .start()

@@ -152,5 +152,15 @@ class ImportJobSpec extends SparkSuite {
       _ => d, _ => d.withColumn("price", $"price" + 0.1))
     assert(stable("part__drift").agg(
       org.apache.spark.sql.functions.sum("psi_ppm")).head.getLong(0) < 100000L)
+
+    // a FIRST import (empty destination) must not trip the gate: there
+    // is no distribution to drift from, and smoothed PSI vs emptiness
+    // would alarm on any non-uniform incoming column
+    val first = ImportJob.run(
+      Seq(TableSpec("part", keys = Seq("id"),
+        driftChecks = Seq(DriftCheck("price", bounds, failOnAlarm = true)))),
+      _ => d.filter($"id" < 0), _ => in)
+    assert(first("part").count() === 1000L)
+    assert(!first.contains("part__drift")) // no check ran, no frame
   }
 }

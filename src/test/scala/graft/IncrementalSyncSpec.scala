@@ -88,6 +88,30 @@ class IncrementalSyncSpec extends SparkSuite {
     assert(IncrementalSync.driftAlarmed(sQuiet) === Some(false))
   }
 
+  test("the drift baseline is frozen at init, not a live view of the snapshot source") {
+    import graft.pipelines.IncrementalSync.DriftSpec
+    val dim = Seq(("g0", "d0")).toDF("g", "dv")
+    val dir = java.nio.file.Files.createTempDirectory("drift_frozen").toString
+    val oldRows = (1 to 2000).map(i => (i.toLong, "g0", (i % 400).toDouble))
+    oldRows.toDF("id", "g", "v").write.parquet(s"$dir/snap")
+    val snap = spark.read.parquet(s"$dir/snap")
+    val spec = DriftSpec.numeric($"v", Seq(100.0, 200.0, 300.0))
+    val s0 = IncrementalSync.init(snap, dim, "id", Seq("g"), Seq("g"),
+      $"v", Seq("g", "v"), Some(spec))
+    // the warehouse pattern: the NEXT sync overwrites the snapshot path
+    // in place — a lazy baseline would silently track the new data and
+    // the alarm could never fire
+    val newRows = oldRows.map { case (id, g, v) => (id, g, v * 3.0) }
+    newRows.toDF("id", "g", "v").write.mode("overwrite").parquet(s"$dir/snap2")
+    val s1 = IncrementalSync.refresh(s0, oldRows.toDF("id", "g", "v"),
+      spark.read.parquet(s"$dir/snap2"), dim, "id", Seq("g"), Seq("g"),
+      $"v", Seq("g", "v"))
+    // overwrite the ORIGINAL baseline source after the refresh
+    newRows.toDF("id", "g", "v").write.mode("overwrite").parquet(s"$dir/snap")
+    // frozen baseline still scores the re-scale loudly
+    assert(IncrementalSync.driftAlarmed(s1) === Some(true))
+  }
+
   test("a categorical mix shift fires the same maintained-counts alarm") {
     import graft.pipelines.IncrementalSync.DriftSpec
     val dim = Seq(("g0", "d0")).toDF("g", "dv")

@@ -76,6 +76,35 @@ class StreamingImportSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("drift fold is idempotent under micro-batch replay (the crash-between-writes window)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_simport_replay")
+    val dest = s"$dir/dest"
+    val hook = StreamingImport.DriftHook.numeric(
+      org.apache.spark.sql.functions.col("v"), Seq(100.0, 200.0), s"$dir/counts")
+    // batch 0 fully committed
+    val b0 = (1 to 200).map(i => (i.toLong, (i % 300).toDouble)).toDF("id", "v")
+    StreamingImport.foldDriftCounts(b0, dest, Seq("id"), hook, batchId = 0L)
+    StreamingImport.upsertBatch(b0, dest, Seq("id"))
+    // batch 1: counts written, then CRASH before the destination write —
+    // foreachBatch replays batch 1 from the start
+    val b1 = (1 to 100).map(i => (i.toLong, (i % 300) + 150.0)).toDF("id", "v")
+    StreamingImport.foldDriftCounts(b1, dest, Seq("id"), hook, batchId = 1L)
+    val afterFirstFold = spark.read.parquet(hook.countsPath)
+      .select($"bucket", $"n_rows").orderBy("bucket").as[(Long, Long)].collect().toSeq
+    // replay: the fold must SKIP (batchId already applied), then the merge lands
+    StreamingImport.foldDriftCounts(b1, dest, Seq("id"), hook, batchId = 1L)
+    StreamingImport.upsertBatch(b1, dest, Seq("id"))
+    val afterReplay = spark.read.parquet(hook.countsPath)
+      .select($"bucket", $"n_rows").orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(afterReplay === afterFirstFold)
+    // and the invariant the guard protects: counts == destination rescan
+    val rescanned = graft.operators.Drift.bucketCounts(
+      spark.read.parquet(dest), $"v", Seq(100.0, 200.0))
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(afterReplay === rescanned)
+  }
+
   test("categorical drift hook maintains the status-mix counts across batches") {
     import spark.implicits._
     import graft.operators.Drift
