@@ -1004,6 +1004,20 @@ object SparkEntry {
         .orderBy(col("col_name"), col("bucket"))
     }),
 
+    "q_drift_ks" -> ((s, dir) => {
+      // KS distance over the SAME bucket counts q_drift_psi scores —
+      // PSI flags ratio moves in thin buckets, KS flags the largest
+      // absolute CDF displacement; both derive from one count summary
+      val li = t(s, dir, "lineitem")
+      val cut = lit("1997-01-01").cast("timestamp")
+      operators.Drift.ks(
+        li.filter(col("l_shipdate") < cut),
+        li.filter(col("l_shipdate") >= cut),
+        col("l_extendedprice"),
+        Seq(20000.0, 40000.0, 60000.0, 80000.0))
+        .orderBy(col("bucket"))
+    }),
+
     "q_drift_corpus" -> ((s, dir) => {
       // crawl-over-crawl corpus drift for the training-data pipeline:
       // has the document LENGTH/TOKEN mix of the new crawl moved against
@@ -1980,6 +1994,41 @@ object SparkEntry {
          |          sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS tn
          |   FROM lineitem WHERE $c IS NOT NULL) t""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bucket"),
+
+    "q_drift_ks" ->
+      """WITH ob AS (
+        |  SELECT CASE WHEN l_extendedprice < 20000 THEN 0
+        |              WHEN l_extendedprice < 40000 THEN 1
+        |              WHEN l_extendedprice < 60000 THEN 2
+        |              WHEN l_extendedprice < 80000 THEN 3
+        |              ELSE 4 END AS bucket
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_extendedprice IS NOT NULL),
+        |nb AS (
+        |  SELECT CASE WHEN l_extendedprice < 20000 THEN 0
+        |              WHEN l_extendedprice < 40000 THEN 1
+        |              WHEN l_extendedprice < 60000 THEN 2
+        |              WHEN l_extendedprice < 80000 THEN 3
+        |              ELSE 4 END AS bucket
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_extendedprice IS NOT NULL),
+        |oc AS (SELECT bucket, count(*) AS n_old FROM ob GROUP BY bucket),
+        |nc AS (SELECT bucket, count(*) AS n_new FROM nb GROUP BY bucket),
+        |j AS (
+        |  SELECT coalesce(oc.bucket, nc.bucket) AS bucket,
+        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket),
+        |c AS (
+        |  SELECT bucket,
+        |    sum(n_old) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_old,
+        |    sum(n_new) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_new
+        |  FROM j),
+        |t AS (SELECT sum(n_old) AS to_, sum(n_new) AS tn FROM j)
+        |SELECT bucket, cum_old, cum_new,
+        |  CAST(floor(abs(CAST(cum_new AS DOUBLE) / CAST(greatest(tn, 1) AS DOUBLE)
+        |    - CAST(cum_old AS DOUBLE) / CAST(greatest(to_, 1) AS DOUBLE)) * 10000 + 0.5)
+        |    AS BIGINT) AS diff_bp
+        |FROM c, t ORDER BY bucket""".stripMargin,
 
     // q_drift_corpus: same independent per-signal replay as
     // q_drift_profile, with the signals derived in SQL from the raw text

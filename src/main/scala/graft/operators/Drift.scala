@@ -125,6 +125,42 @@ object Drift {
           .cast("long").as("psi_ppm"))
   }
 
+  /** Kolmogorov–Smirnov distance over the same fixed buckets [[psi]]
+    * uses — the complementary signal: PSI is RATIO-sensitive (a bucket
+    * going 0.1% → 0.4% scores loudly), KS is MASS-sensitive (the
+    * largest absolute CDF displacement, robust to tail noise). Returns
+    * one row per bucket: cumulative counts plus `diff_bp` =
+    * `floor(|CDFₙ − CDFₒ|·10000 + 0.5)`; the KS statistic is
+    * `max(diff_bp)`. The cumulative window runs over the nBuckets-row
+    * count summary — a single-partition window over a frame that is
+    * buckets-sized BY CONSTRUCTION, never data-sized. Both CDFs divide
+    * exact integer counts as doubles (correctly-rounded IEEE ops on
+    * identical operands — cross-engine deterministic).
+    */
+  def ksFromCounts(oldCounts: DataFrame, newCounts: DataFrame): DataFrame = {
+    val joined = oldCounts.join(newCounts, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = joined.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    joined
+      .withColumn("cum_old", sum(col("n_old")).over(w))
+      .withColumn("cum_new", sum(col("n_new")).over(w))
+      .crossJoin(broadcast(totals)) // one row
+      .select(col("bucket"), col("cum_old"), col("cum_new"),
+        // greatest(total, 1): an empty side yields CDF 0 everywhere
+        // (KS = the other side's mass) instead of NaN rows
+        floor(abs(col("cum_new").cast("double") / greatest(col("__tn"), lit(1L)).cast("double") -
+            col("cum_old").cast("double") / greatest(col("__to"), lit(1L)).cast("double")) * 10000.0
+          + 0.5).cast("long").as("diff_bp"))
+  }
+
+  /** Per-bucket KS rows between two snapshots (see [[ksFromCounts]]). */
+  def ks(oldDf: DataFrame, newDf: DataFrame, value: Column,
+         boundaries: Seq[Double]): DataFrame =
+    ksFromCounts(bucketCounts(oldDf, value, boundaries, "n_old"),
+      bucketCounts(newDf, value, boundaries, "n_new"))
+
   /** Categorical bucket assignment over a FROZEN category list: listed
     * categories keep their identity, everything else folds into
     * `otherLabel`. Freezing the list is what makes categorical counts

@@ -82,6 +82,25 @@ class ReconcileSpec extends SparkSuite {
     assert(nulled === denulled)
   }
 
+  test("ks: zero on identical snapshots, exact on a planted mass move, safe on empty sides") {
+    import graft.operators.Drift
+    val bounds = Seq(100.0, 200.0, 300.0)
+    val base = (1 to 4000).map(i => (i.toLong, (i % 400).toDouble)).toDF("id", "v")
+    val same = Drift.ks(base, base, $"v", bounds)
+    assert(same.select("diff_bp").as[Long].collect().forall(_ === 0L))
+    // move ALL bucket-0 mass (v < 100) up past 300: CDF displacement at
+    // buckets 0..2 is exactly 1000/4000 = 2500 bp, 0 at the top bucket
+    val shifted = base.withColumn("v", when($"v" < 100, $"v" + 300).otherwise($"v"))
+    val ks = Drift.ks(base, shifted, $"v", bounds)
+      .orderBy("bucket").select("bucket", "diff_bp").as[(Long, Long)].collect()
+    assert(ks.toSeq === Seq((0L, 2500L), (1L, 2500L), (2L, 2500L), (3L, 0L)))
+    // KS reads the same counts PSI folds — and an empty side yields the
+    // other side's CDF (no NaN/null rows), max = 10000 bp
+    val empt = Drift.ks(base.filter($"v" < 0), base, $"v", bounds)
+      .select("diff_bp").as[Long].collect()
+    assert(empt.nonEmpty && empt.max === 10000L && empt.forall(_ >= 0L))
+  }
+
   test("psiProfile: per-column rows equal single-column psi; one aggregate per snapshot") {
     import graft.operators.Drift
     val oldSnap = (1 to 3000)
