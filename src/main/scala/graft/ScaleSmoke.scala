@@ -329,6 +329,16 @@ object ScaleSmoke {
         Drift.psiCategorical(o1, n1, col("l_returnflag"), 2).count())
       time(s"psi categorical ${mult}x")(
         Drift.psiCategorical(oN, nN, col("l_returnflag"), 2).count())
+      // high-cardinality categorical: ~600k distinct synthetic "user
+      // agent" labels — the shape the bounded top-k exists for; cost
+      // must stay ~scan-bound (one grouped count + TakeOrderedAndProject
+      // + the fold-to-OTHER re-aggregation of the cached counts)
+      def ua(df: DataFrame) = df.withColumn("ua",
+        concat(lit("ua_"), (col("l_orderkey") % 600000).cast("string")))
+      val (oU, nU) = (ua(oN), ua(nN))
+      time(s"psi categorical high-card ${mult}x (~600k cats -> top 100)")(
+        Drift.psiCategorical(oU, nU, col("ua"), 100).count())
+
       // maintained-counts scoring: counts persisted once, scoring reads
       // only the two bucket tables — constant regardless of corpus size
       val bounds = specs.head._2
