@@ -304,6 +304,27 @@ object ScaleSmoke {
         assert(nSeq == nPar, s"chunked debounce diverged: $nSeq vs $nPar")
       } finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(ev)
     }
+    if (section == "all" || section == "asof") {
+      // ONE hot key with 300k rows per side: a [currentRow,
+      // unboundedFollowing] forward frame is O(n²) here (~9·10¹⁰ frame
+      // updates — hours); the running-frame formulation must finish in
+      // seconds. Correctness is oracle-gated; this guards the PLAN SHAPE.
+      import graft.operators.AsOf
+      import spark.implicits._
+      val n = 300000
+      val right = (0 until n).map(i => ("k", new java.sql.Timestamp(i * 2000L), i))
+        .toDF("key", "ts", "price").repartition(32).localCheckpoint(true)
+      val left = (0 until n).map(i => ("k", new java.sql.Timestamp(i * 2000L + 500L)))
+        .toDF("key", "ts").repartition(32).localCheckpoint(true)
+      for (dir <- Seq("backward", "forward", "nearest")) {
+        val secs = time(s"asof $dir hot-key ${n}x${n}")(
+          AsOf.joinAsOf(left, right, Seq("key"), "ts", Seq("price"),
+            direction = dir).count())
+        assert(secs < 120.0,
+          s"asof $dir took $secs s on a 300k hot key — quadratic frame?")
+      }
+    }
+
     if (section == "all" || section == "drift") {
       // drift scales as pure scans: psiProfile must grow ~linearly in
       // the snapshot size (one aggregate per side, state = buckets) and

@@ -1170,9 +1170,12 @@ object SparkEntry {
     }),
 
     "q_profile" -> ((s, dir) => {
-      // per-column import profile: rows/nulls/distincts as joinable rows
+      // per-column import profile: rows/nulls/distincts as joinable
+      // rows; EXACT distincts requested deliberately (oracle parity —
+      // the default is the HLL scale path)
       Profile.summarize(t(s, dir, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        approxDistinct = false)
         .orderBy(col("col_name"))
     }),
 

@@ -24,11 +24,27 @@ object VectorFunctions {
     */
   def cosine(a: Column, b: Column): Column = CosineSim(a, b)
 
+  /** Bind a per-row SCALAR once and use it inside element-wise lambdas.
+    *
+    * Higher-order-function lambda bodies are re-evaluated PER ELEMENT,
+    * including any whole-array aggregate referenced inside — embedding
+    * `norm(a)` directly in a `transform` lambda makes the pass O(dim²)
+    * per row (each of dim elements re-folds the dim-element reduction).
+    * SQL has no let-expression, but a one-element outer `transform`
+    * IS one: the scalar is evaluated once building the outer array, the
+    * lambda sees it as a bound VARIABLE (O(1) per reference), and
+    * `element_at(..., 1)` unwraps the result. Cost: one 1-element array
+    * per row; the pass is back to O(dim).
+    */
+  private def letBound(scalar: Column)(body: Column => Column): Column =
+    element_at(transform(array(scalar), body), 1)
+
   /** Unit-normalize (L2); zero vectors pass through unchanged. */
-  def l2Normalize(a: Column): Column = {
-    val n = norm(a)
-    when(n === 0.0, a).otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
-  }
+  def l2Normalize(a: Column): Column =
+    letBound(norm(a)) { n =>
+      when(n === 0.0, a)
+        .otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
+    }
 
   /** Symmetric int8 quantization against the vector's own max-abs scale —
     * the storage shape ANN indexes ship at scale (4× smaller than float32).
@@ -39,12 +55,15 @@ object VectorFunctions {
     * is engine-dependent on half boundaries. Range stays in [-127, 127]
     * (the minimum −|max| maps to floor(−126.5) = −127).
     */
-  def quantizeInt8(a: Column): Column = {
-    val maxAbs = aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
-    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
-    struct(scale.as("scale"),
-      transform(a, x => floor(x.cast("double") / scale + 0.5).cast("tinyint")).as("q"))
-  }
+  def quantizeInt8(a: Column): Column =
+    letBound(aggregate(a, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))) { maxAbs =>
+      // scale derives from the bound variable: O(1) per reference, so
+      // it can appear inside the per-element lambda freely
+      val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+      struct(scale.as("scale"),
+        transform(a, x => floor(x.cast("double") / scale + 0.5).cast("tinyint")).as("q"))
+    }
 
   def dequantizeInt8(qs: Column): Column =
     transform(qs.getField("q"), q => (q.cast("double") * qs.getField("scale")).cast("float"))

@@ -31,8 +31,9 @@ object AsOf {
   /** `direction`: "backward" (latest right at-or-before, the default),
     * "forward" (earliest right at-or-after), or "nearest" (whichever of
     * the two is closer in time; exact ties prefer backward). All three
-    * share the single-shuffle union-sort shape — nearest runs two frames
-    * over ONE sorted union, not two joins.
+    * share the single-shuffle union shape — nearest runs two RUNNING
+    * frames (ascending + descending in-partition sorts) over one keyed
+    * exchange, not two joins.
     */
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payloadCols: Seq[String],
@@ -64,39 +65,38 @@ object AsOf {
         leftExtra.map(col) :+
         lit(1).as("__side"): _*)
     // right (side 0) sorts BEFORE left (side 1) at equal ts => the
-    // backward frame is inclusive; the forward frame starting ONE ROW
-    // after current would exclude an equal-ts right row, but backward
-    // already matches it at distance 0, so nearest stays correct — and
-    // pure forward gets inclusivity by looking from the current row
-    // backwards-in-frame terms: we instead run the forward frame from
-    // unbounded following down to current row with first(ignoreNulls),
-    // which sees an equal-ts right row only if it sorts AFTER the left
-    // row — so for pure forward we re-sort with left first at equal ts.
+    // backward frame is inclusive. EVERY carry is a RUNNING
+    // [unboundedPreceding, currentRow] frame: Spark executes that frame
+    // in O(1) per row (one accumulating pass), whereas a
+    // [currentRow, unboundedFollowing] frame is rebuilt from the current
+    // row to the partition end for EVERY row — O(n²) on a hot key, a
+    // silent wall-clock cliff at scale. The forward carry therefore
+    // scans the partition in DESCENDING ts order (last right seen on the
+    // way down = earliest right at-or-after), costing a second in-
+    // partition sort over the SAME keyed exchange instead of a quadratic
+    // frame. Desc order keeps right (0) before left (1) at equal ts, so
+    // forward stays inclusive; backward already matches equal-ts rows.
     val base = Window.partitionBy(keys.map(col): _*)
     val union = taggedRight.unionByName(taggedLeft)
+    val wBack = base.orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = base.orderBy(col(tsCol).desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = direction match {
       case "backward" =>
-        val w = base.orderBy(col(tsCol), col("__side"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        union.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+        union.withColumn("__p", last(col("__p"), ignoreNulls = true).over(wBack))
       case "forward" =>
-        // left (1) before right (0) at equal ts ⇒ equal-ts right is in
-        // the [current, following] frame ⇒ inclusive forward. A null-ts
-        // left row sorts to the partition head where the forward frame
-        // spans everything — guard it to the contractual null payload.
-        val w = base.orderBy(col(tsCol), col("__side").desc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        // a null-ts left row sorts to the desc-scan TAIL where the
+        // running carry holds the earliest right — guard it to the
+        // contractual null payload
         union.withColumn("__p", when(col(tsCol).isNull, nullPayload)
-          .otherwise(first(col("__p"), ignoreNulls = true).over(w)))
+          .otherwise(last(col("__p"), ignoreNulls = true).over(wFwd)))
       case "nearest" =>
-        val ord = base.orderBy(col(tsCol), col("__side"))
-        val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val back = last(col("__p"), ignoreNulls = true).over(wb)
-        val fwd = first(col("__p"), ignoreNulls = true).over(wf)
-        // distances in epoch units; ties prefer backward. Null-ts left
-        // rows guarded as in forward (their backward carry is null but
-        // the forward frame would otherwise match the earliest right).
+        val back = last(col("__p"), ignoreNulls = true).over(wBack)
+        val fwd = last(col("__p"), ignoreNulls = true).over(wFwd)
+        // distances in epoch units; ties prefer backward (an equal-ts
+        // right row is both carries' match at distance 0 — same row
+        // either way). Null-ts left rows guarded as in forward.
         val db = col(tsCol).cast("double") - back.getField("__rts").cast("double")
         val df_ = fwd.getField("__rts").cast("double") - col(tsCol).cast("double")
         union.withColumn("__p",

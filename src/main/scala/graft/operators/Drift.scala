@@ -202,21 +202,32 @@ object Drift {
                      otherLabel: String = "__OTHER__"): DataFrame = {
     require(maxCategories > 0, "maxCategories must be positive")
     val cat = value.cast("string")
-    // ONE old-side corpus scan: the grouped counts are materialized
-    // (≤ cardinality rows — far below the corpus) and serve BOTH the
-    // top-k selection and the fold-to-OTHER re-aggregation; without the
-    // checkpoint the lazy groupBy would rescan the corpus for each
+    // ONE old-side corpus scan: the grouped counts (≤ cardinality rows,
+    // spillable) are cached only long enough to serve BOTH the top-k
+    // selection and the fold-to-OTHER re-aggregation, then RELEASED —
+    // the folded result is ≤ maxCategories+1 rows and returns as a
+    // local relation, so no cardinality-sized storage outlives the call
+    // (an id-like column — cardinality ≈ rows — still pays a data-sized
+    // temporary cache; its top-k is also meaningless: don't drift-score
+    // identifiers)
     val oldCats = oldDf.filter(cat.isNotNull)
       .groupBy(cat.as("category")).agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true)
-    val top = oldCats
-      .orderBy(col("__n").desc, col("category").asc)
-      .limit(maxCategories) // distributed top-k, bounded driver result
-      .select("category").collect().map(_.getString(0)).toSeq
-    val oldCounts = oldCats
-      .select(categoricalBucketOf(col("category"), top, otherLabel)
-        .as("category"), col("__n"))
-      .groupBy("category").agg(sum(col("__n")).as("n_old"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (top, oldFolded) = try {
+      val top = oldCats
+        .orderBy(col("__n").desc, col("category").asc)
+        .limit(maxCategories) // distributed top-k, bounded driver result
+        .select("category").collect().map(_.getString(0)).toSeq
+      val folded = oldCats
+        .select(categoricalBucketOf(col("category"), top, otherLabel)
+          .as("category"), col("__n"))
+        .groupBy("category").agg(sum(col("__n")).as("n_old"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      (top, folded)
+    } finally oldCats.unpersist()
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    val oldCounts = oldFolded.toDF("category", "n_old")
     val newCounts = newDf.filter(cat.isNotNull)
       .select(categoricalBucketOf(value, top, otherLabel).as("category"))
       .groupBy("category").agg(count(lit(1)).as("n_new"))

@@ -15,13 +15,20 @@ import org.apache.spark.sql.functions._
   * makes Spark expand one row replica per distinct aggregate, so the
   * exact profile costs ~cols × one aggregation; `approxDistinct = true`
   * swaps in HyperLogLog++ sketches, which combine map-side in a single
-  * un-expanded pass — the 100 TB default (the null/row counts stay exact
-  * either way).
+  * un-expanded pass (the null/row counts stay exact either way).
+  *
+  * `approxDistinct` DEFAULTS TO TRUE — the scale-safe path must be the
+  * one you get without reading the docs (profiling 50 columns of a
+  * 100 TB table with exact distinct shuffles ~50× the table through
+  * Expand and builds full-cardinality distinct state per column). Pass
+  * `approxDistinct = false` deliberately, for dimension-scale inputs or
+  * oracle-exact comparison. (Flipped in round 6; the one in-repo caller
+  * passes the flag explicitly.)
   */
 object Profile {
 
   def summarize(df: DataFrame, cols: Seq[String],
-                approxDistinct: Boolean = false): DataFrame = {
+                approxDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     cols.foreach(c => require(!c.contains("`") && !c.contains("'"),
       s"unsupported character in column name: $c"))

@@ -5,23 +5,30 @@ import org.apache.spark.sql.functions._
 
 /** Skew-safe two-phase aggregation.
   *
-  * When a group key is heavily skewed (a handful of hot products/groups —
-  * exactly the shape of e-commerce relation tables the reference imports),
-  * a single groupBy funnels the hot key through one reducer. Salting
-  * splits each key into `buckets` sub-keys for a partial aggregate, then
-  * combines partials — the hot key's work spreads over `buckets` tasks.
-  * Results are identical to the direct aggregate because the partial
-  * aggregates run on exact decimal sums (order-independent).
+  * WHICH aggregates need salting: only the ones whose state is
+  * NON-COMBINABLE map-side. A hash-aggregated SUM/COUNT already
+  * combines per map task (each mapper emits ONE row per key), so a hot
+  * key reaches the reducer as at most numMapTasks tiny rows — salting a
+  * plain sum buys nothing and pays an extra shuffle; use a plain
+  * `groupBy().agg(sum)` for those. The genuine skew case is exact
+  * COUNT(DISTINCT) ([[saltedCountDistinct]]) — its state is the value
+  * SET, which cannot combine without moving the values — and the joins
+  * AQE can't re-split ([[saltedJoin]]).
   *
-  * AQE's skew-join splitting covers joins; this covers aggregations,
-  * where AQE does not re-split.
+  * [[saltedSum]] exists as the oracle-checked PROOF of the salting
+  * transform itself (salted == plain, hash-verified by q_salted_agg):
+  * the two-phase decimal rewrite is exactness-preserving, which is the
+  * property saltedCountDistinct's correctness rests on.
   */
 object Salt {
 
-  /** Exact skew-spread sum: decimal partial sums on (keys, salt), then
-    * combine per key. `distributor` picks the salt deterministically from
-    * row content (any well-spread column works; correctness never
-    * depends on it).
+  /** Exact two-phase sum on (keys, salt) — the salting TRANSFORM
+    * demonstrated on an aggregate whose exactness an oracle can check
+    * (see the object note: a plain sum does not NEED salting; its
+    * partial aggregation already combines map-side — this is the
+    * correctness witness for the rewrite, not a perf recommendation).
+    * `distributor` picks the salt deterministically from row content
+    * (any well-spread column works; correctness never depends on it).
     */
   def saltedSum(df: DataFrame, keys: Seq[String], value: Column, as: String,
                 distributor: Column, buckets: Int = 16,

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * Implementation: range-repartition + in-partition sort on the order
   * key, then dense ids from per-partition offsets — pass 1 collects
   * (count, base) per partition (numPartitions tuples on the driver, not
-  * data), pass 2 adds `offset[pid] + local index` as a codegen'd column
-  * expression over `spark_partition_id` / `monotonically_increasing_id`
+  * data), pass 2 adds `offset[pid] + local index` by broadcast-joining
+  * the tiny (pid, offset, base) table on `spark_partition_id` (an O(1)
+  * hash probe per row) against `monotonically_increasing_id`
   * (which counts sequentially within each partition). No
   * `rdd.zipWithIndex` Row round-trip out of Tungsten, and no
   * single-partition window (`row_number() OVER (ORDER BY ...)` would
@@ -50,13 +51,20 @@ object SurrogateKeys {
         .sortBy(_._1)
       if (stats.isEmpty) return df.withColumn(idCol, lit(startAt))
       val offsets = stats.scanLeft(0L)(_ + _._2).init
-      val offsetByPid = stats.map(_._1).zip(offsets).toMap
-      val baseByPid = stats.map(s => s._1 -> s._3).toMap
+      // per-partition (offset, base) as a BROADCAST-joined side table: a
+      // map LITERAL (element_at(typedlit(...), pid)) is a linear scan
+      // per lookup — O(numPartitions) comparisons per ROW, and the
+      // P-entry literal is embedded in every task's plan; the broadcast
+      // hash join is an O(1) probe and ships the table once
+      import sorted.sparkSession.implicits._
+      val adjust = stats.zip(offsets)
+        .map { case ((pid, _, base), off) => (pid, off, base) }
+        .toSeq.toDF("__pid", "__off", "__base")
       sorted
+        .join(broadcast(adjust), Seq("__pid"))
         .withColumn(idCol,
-          lit(startAt) + element_at(typedlit(offsetByPid), col("__pid")) +
-            (col("__mid") - element_at(typedlit(baseByPid), col("__pid"))))
-        .drop("__pid", "__mid")
+          lit(startAt) + col("__off") + (col("__mid") - col("__base")))
+        .drop("__pid", "__mid", "__off", "__base")
         // materialize from the pinned checkpoint BEFORE freeing it — a
         // lazy result would have nothing to read once the blocks are gone
         .localCheckpoint(true)

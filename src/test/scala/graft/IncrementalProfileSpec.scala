@@ -183,7 +183,7 @@ class IncrementalProfileSpec extends SparkSuite {
     val df = Seq(
       (Some(1), Some("x")), (Some(1), None), (Some(2), Some("y")), (None, Some("y"))
     ).toDF("a", "b")
-    val got = Profile.summarize(df, Seq("a", "b"))
+    val got = Profile.summarize(df, Seq("a", "b"), approxDistinct = false)
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got === Map("a" -> ((4L, 1L, 2L)), "b" -> ((4L, 1L, 2L))))
@@ -236,12 +236,16 @@ class IncrementalProfileSpec extends SparkSuite {
 
   test("Profile exact pass is ONE aggregate, approx pass has no Expand") {
     val df = (1 to 50).map(i => (i % 7, s"s${i % 5}")).toDF("a", "b")
-    val exactPlan = Profile.summarize(df, Seq("a", "b"))
+    val exactPlan = Profile.summarize(df, Seq("a", "b"), approxDistinct = false)
       .queryExecution.executedPlan.toString
     assert(exactPlan.contains("Expand"), exactPlan) // documented cost of exact
     val approxPlan = Profile.summarize(df, Seq("a", "b"), approxDistinct = true)
       .queryExecution.executedPlan.toString
     assert(!approxPlan.contains("Expand"), approxPlan) // single mergeable pass
+    // the DEFAULT is the scale-safe approx path (flipped in round 6)
+    val defaultPlan = Profile.summarize(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!defaultPlan.contains("Expand"), defaultPlan)
   }
 
   test("incrementally maintained checksum == recompute after a CDC feed") {
