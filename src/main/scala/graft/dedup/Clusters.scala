@@ -89,7 +89,17 @@ object Clusters {
       StructType(Seq(StructField("id", LongType, false), StructField("__canon", LongType, false))))
   }
 
-  /** Distributed fallback for edge sets too large to collect. */
+  /** Distributed fallback for edge sets too large to collect.
+    *
+    * Each round takes the min over (neighbors' labels, own label, LABEL
+    * OF OWN LABEL) — the pointer-jumping shortcut halves the remaining
+    * label-chain depth per round, so convergence is O(log diameter)
+    * rounds, not O(diameter): a 1000-link chain component (templated
+    * boilerplate docs) converges in ~10 rounds where pure neighbor
+    * propagation needs ~1000. Non-convergence within `maxIters` THROWS
+    * (a partially propagated mapping would silently split real clusters
+    * into several canonicals and ship near-duplicates downstream).
+    */
   private def propagate(pairs: DataFrame, maxIters: Int): DataFrame = {
     // both directions from ONE pass over pairs (a union of two selects
     // would compute the pair lineage twice at persist time)
@@ -114,9 +124,16 @@ object Clusters {
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dlabel")).as("nlabel"))
-      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+      val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jump: label := min(label, label's label) — one
+      // label-table self-join per round buys O(log diameter) convergence
+      val next = stepped.join(
+          stepped.select(col("id").as("label"), col("label").as("__ll")),
+          Seq("label"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"))
         .localCheckpoint(true)
       val s = next.agg(sum(col("label"))).head.getLong(0)
       converged = prevSum.contains(s)
@@ -129,6 +146,13 @@ object Clusters {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(labels)
+      throw new IllegalStateException(
+        s"Clusters.propagate did not converge in $maxIters rounds — the " +
+          "component diameter exceeds 2^rounds even with pointer jumping; " +
+          "raise maxIters (a partial mapping would silently split clusters)")
+    }
     labels.withColumnRenamed("label", "__canon")
   }
 

@@ -117,9 +117,15 @@ object Mixture {
     * offset falls into (greedy fill; a sequence may overrun by at most
     * one document, the standard concat-and-chop packing). The window
     * partitions by `groupCol` so packing runs distributed — one
-    * partition per source/shard, never a global single-partition sort.
-    * Output adds `seq_id` (per group, 0-based) and `seq_pos` (token
-    * offset within the sequence).
+    * partition per group. Output adds `seq_id` (per group, 0-based) and
+    * `seq_pos` (token offset within the sequence).
+    *
+    * HOT-GROUP BOUND (this and [[capTokenBudget]]): one GROUP's rows
+    * stream through one window task. With a handful of sources where
+    * one holds ~90% of the corpus, that task sorts and running-sums the
+    * dominant source alone — wall-clock collapses to one core. Use
+    * [[packSequencesRanged]] / [[capTokenBudgetRanged]] for that shape:
+    * identical output, range-partitioned two-pass cumsum.
     */
   def packSequences(df: DataFrame, groupCol: String, orderCol: String,
                     tokenCountCol: String, budget: Int): DataFrame = {
@@ -130,5 +136,69 @@ object Mixture {
     val before = coalesce(sum(col(tokenCountCol)).over(w), lit(0L))
     df.withColumn("seq_id", floor(before / budget).cast("int"))
       .withColumn("seq_pos", (before % budget).cast("int"))
+  }
+
+  /** The global per-group running sum BEFORE each row, computed without
+    * ever funneling a group through one task: range-repartition on
+    * (group, order) — a dominant group spans many contiguous
+    * partitions — then per-(partition, group) token sums roll into
+    * global offsets via a window over the PARTITION-COUNT-sized stats
+    * frame, and each row's result is its partition offset plus a
+    * partition-local running sum. The checkpoint pins the range
+    * exchange so both passes see identical partitioning (the
+    * SurrogateKeys determinism argument).
+    */
+  private def withRunningBefore(df: DataFrame, groupCol: String,
+                                orderCol: String,
+                                tokenCountCol: String): (DataFrame, DataFrame) = {
+    val W = org.apache.spark.sql.expressions.Window
+    val sorted = df.repartitionByRange(col(groupCol), col(orderCol))
+      .sortWithinPartitions(col(groupCol), col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val statsW = W.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(tokenCountCol)).as("__psum"))
+      .withColumn("__off", coalesce(sum(col("__psum")).over(statsW), lit(0L)))
+      .drop("__psum")
+    val localW = W.partitionBy(col("__pid"), col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val withBefore = sorted.join(broadcast(offsets), Seq("__pid", groupCol))
+      .withColumn("__before",
+        col("__off") + coalesce(sum(col(tokenCountCol)).over(localW), lit(0L)))
+    (sorted, withBefore)
+  }
+
+  /** [[capTokenBudget]] for hot-group corpora: identical kept set,
+    * no single-task group scan. EAGER (returns a materialized frame —
+    * the two-pass cumsum pins its shuffle); `orderCol` should be unique
+    * within a group (ties order arbitrarily in both variants).
+    */
+  def capTokenBudgetRanged(df: DataFrame, groupCol: String, orderCol: String,
+                           tokenCountCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val (sorted, withBefore) = withRunningBefore(df, groupCol, orderCol, tokenCountCol)
+    try withBefore
+      .filter(col("__before") + col(tokenCountCol) <= budget)
+      .drop("__before", "__off", "__pid")
+      .localCheckpoint(true)
+    finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(sorted)
+  }
+
+  /** [[packSequences]] for hot-group corpora: identical (seq_id,
+    * seq_pos) assignment, no single-task group scan. EAGER — see
+    * [[capTokenBudgetRanged]].
+    */
+  def packSequencesRanged(df: DataFrame, groupCol: String, orderCol: String,
+                          tokenCountCol: String, budget: Int): DataFrame = {
+    require(budget > 0)
+    val (sorted, withBefore) = withRunningBefore(df, groupCol, orderCol, tokenCountCol)
+    try withBefore
+      .withColumn("seq_id", floor(col("__before") / budget).cast("int"))
+      .withColumn("seq_pos", (col("__before") % budget).cast("int"))
+      .drop("__before", "__off", "__pid")
+      .localCheckpoint(true)
+    finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(sorted)
   }
 }

@@ -53,8 +53,16 @@ object StatefulSessions {
     cur match {
       case Some(s) =>
         state.update(s)
-        if (state.getOption.isDefined && eventTimeTimeoutAvailable(state))
-          state.setTimeoutTimestamp(s.last + GapMs)
+        if (state.getOption.isDefined && eventTimeTimeoutAvailable(state)) {
+          // clamp: a batch that delivers ONLY sub-watermark events for a
+          // user with stale state would otherwise set a timeout at or
+          // below the current watermark — Spark throws on that, and the
+          // failed batch replays into the same throw (a stuck stream).
+          // Clamped, the stale session times out on the next trigger.
+          val wm = try state.getCurrentWatermarkMs()
+            catch { case _: Throwable => Long.MinValue }
+          state.setTimeoutTimestamp(math.max(s.last + GapMs, wm + 1))
+        }
       case None => state.remove()
     }
     closed.result().iterator
@@ -63,9 +71,14 @@ object StatefulSessions {
   private def eventTimeTimeoutAvailable(state: GroupState[SessionState]): Boolean =
     try { state.getCurrentWatermarkMs(); true } catch { case _: Throwable => false }
 
-  /** Wire the stateful sessionizer over a (batch or streaming) events
-    * Dataset. On a stream add a watermark upstream; closed sessions emit
-    * as state times out.
+  /** Wire the stateful sessionizer over a STREAMING events Dataset (add
+    * a watermark upstream; closed sessions emit as state times out).
+    *
+    * BATCH CAVEAT: batch execution never fires timeouts and discards
+    * state at the end, so each user's final (still-open) session is NOT
+    * emitted — a single-burst user produces zero batch output. For
+    * batch sessionization use the `session_window` aggregation
+    * (EventPipeline's batch twin), which has no open-session notion.
     */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]

@@ -288,10 +288,14 @@ object StreamingImport {
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (valid, bad) = graft.plans.Quarantine.split(batch, rowRules)
         upsertBatch(valid, destPath, keys)
-        bad.write.mode("append").parquet(quarantinePath)
+        // batch-scoped OVERWRITE, not a blind append: the upsert is
+        // replay-idempotent but an append would duplicate the batch's
+        // quarantined rows on every foreachBatch replay. Readers of
+        // quarantinePath see an extra `batch` partition column.
+        bad.write.mode("overwrite").parquet(s"$quarantinePath/batch=$batchId")
         ()
       }
       .start()

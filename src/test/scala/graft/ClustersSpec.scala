@@ -28,6 +28,24 @@ class ClustersSpec extends SparkSuite {
     assert(dist === local)
   }
 
+  test("propagation converges on a deep chain via pointer jumping; non-convergence throws") {
+    // a 200-link chain component: pure neighbor propagation moves the
+    // min label one hop per round (200 rounds); pointer jumping must
+    // converge within the default 10 (2^10 > 200)
+    val n = 200L
+    val ids = (1L to n).toDF("id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Clusters.canonicalize(ids, chain, maxLocalEdges = 0L)
+      .as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L), out.filter(_._2 != 1L).take(5).mkString(","))
+    // a diameter beyond 2^maxIters fails LOUDLY instead of silently
+    // splitting the cluster into several canonicals
+    val ex = intercept[IllegalStateException] {
+      Clusters.canonicalize(ids, chain, maxIters = 3, maxLocalEdges = 0L).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("resolveWithFallback prefers earlier rungs") {
     val facts = Seq(
       (1L, Some(10), "alpha"),   // key hit → rung 1

@@ -79,6 +79,61 @@ class IncrementalNearDupSpec extends SparkSuite {
     assert(pairSet(more).exists(p => (p._1, p._2) == ((3L, 900L)) && p._3 == 1.0))
   }
 
+  test("a replayed micro-batch is idempotent at any crash point") {
+    val dir = Files.createTempDirectory("graft_inclsh4")
+    val indexDir = s"$dir/index"
+    // batch 0 commits fully
+    IncrementalNearDup.processBatch(docs.take(10).toDF(), "doc_id", "text",
+      indexDir, threshold = 0.5, batchTag = Some(0L))
+    // batch 1 CRASHES between the index writes and the pairs write:
+    // sigs/bands batch=1 partitions exist, the pair output was lost
+    val attempt1 = IncrementalNearDup.processBatch(docs.drop(10).toDF(),
+      "doc_id", "text", indexDir, threshold = 0.5, batchTag = Some(1L))
+    val lost = pairSet(attempt1)
+    // foreachBatch replays batch 1 from the start: same-tag partitions
+    // are excluded from the reads and overwritten, so the replay derives
+    // the SAME pairs instead of an empty set (ids "already indexed")
+    val attempt2 = IncrementalNearDup.processBatch(docs.drop(10).toDF(),
+      "doc_id", "text", indexDir, threshold = 0.5, batchTag = Some(1L))
+    assert(pairSet(attempt2) === lost)
+    assert(lost.exists(p => (p._1, p._2) == ((3L, 100L))))
+    // the index holds each id exactly once after the replay
+    val idCounts = spark.read.parquet(s"$indexDir/sigs")
+      .groupBy("id").count().filter($"count" > 1).count()
+    assert(idCounts === 0L)
+    // and the full pair stream equals the batch run over everything
+    // (batch 0's pairs re-derived on a scratch index)
+    val batch0 = IncrementalNearDup.processBatch(docs.take(10).toDF(),
+      "doc_id", "text", s"$dir/scratch", threshold = 0.5)
+    val all = lost ++ pairSet(batch0)
+    val batchRun = NearDup.minhashPairs(docs.toDF(), "doc_id", "text", threshold = 0.5)
+    assert(all === pairSet(batchRun))
+    batchRun.unpersist()
+  }
+
+  test("the bloom gate changes nothing but the index-scan work") {
+    val dir = Files.createTempDirectory("graft_inclsh5")
+    val indexDir = s"$dir/index"
+    IncrementalNearDup.processBatch(docs.take(10).toDF(), "doc_id", "text",
+      indexDir, threshold = 0.5, batchTag = Some(0L))
+    val bloom = graft.operators.Dedup.buildKeyBloom(
+      spark.read.parquet(s"$indexDir/sigs").select("id"), Seq("id"), 10000L)
+    // re-deliver an indexed doc + novel docs, gated vs ungated
+    val batch = (Seq(Doc(3L, docs(3).text)) ++ docs.drop(10)).toDF()
+    val gated = IncrementalNearDup.processBatch(batch, "doc_id", "text",
+      indexDir, threshold = 0.5, batchTag = Some(1L), knownBloom = Some(bloom))
+    val gatedPairs = pairSet(gated)
+    val dir2 = Files.createTempDirectory("graft_inclsh6")
+    IncrementalNearDup.processBatch(docs.take(10).toDF(), "doc_id", "text",
+      s"$dir2/index", threshold = 0.5, batchTag = Some(0L))
+    val ungated = IncrementalNearDup.processBatch(batch, "doc_id", "text",
+      s"$dir2/index", threshold = 0.5, batchTag = Some(1L))
+    assert(gatedPairs === pairSet(ungated))
+    // the re-delivered doc 3 was skipped in both (no (3, x) where x is old)
+    assert(spark.read.parquet(s"$indexDir/sigs")
+      .groupBy("id").count().filter($"count" > 1).count() === 0L)
+  }
+
   test("already-indexed ids are skipped, not re-paired") {
     val dir = Files.createTempDirectory("graft_inclsh2")
     val indexDir = s"$dir/index"

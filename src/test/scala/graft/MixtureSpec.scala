@@ -59,6 +59,29 @@ class MixtureSpec extends SparkSuite {
       (4L, 1, 44), (5L, 0, 0), (6L, 0, 50)))
   }
 
+  test("ranged cap/pack equal the window forms on a hot-group corpus") {
+    // one dominant group (the 90%-web-crawl shape the window variants
+    // funnel through a single task) plus small groups; unique order key
+    val rows = (1 to 20000).map { i =>
+      val src = if (i % 10 == 0) s"s${i % 3}" else "web"
+      (i.toLong, src, (i % 700 + 1).toLong)
+    }
+    val d = rows.toDF("id", "src", "n").repartition(16)
+    val budget = 1000000L
+    val capW = Mixture.capTokenBudget(d, "src", "id", "n", budget)
+      .select("id").as[Long].collect().sorted.toSeq
+    val capR = Mixture.capTokenBudgetRanged(d, "src", "id", "n", budget)
+    assert(capR.select("id").as[Long].collect().sorted.toSeq === capW)
+    org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(capR)
+    val packW = Mixture.packSequences(d, "src", "id", "n", budget = 4096)
+      .select("id", "seq_id", "seq_pos").as[(Long, Int, Int)]
+      .collect().sortBy(_._1).toSeq
+    val packR = Mixture.packSequencesRanged(d, "src", "id", "n", budget = 4096)
+    assert(packR.select("id", "seq_id", "seq_pos").as[(Long, Int, Int)]
+      .collect().sortBy(_._1).toSeq === packW)
+    org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(packR)
+  }
+
   test("rates above 1 replicate whole epochs plus a hash-sampled fraction") {
     val out = Mixture.sample(docs, "src", "id", Map("s0" -> 2.25))
     val perDoc = out.groupBy("id").count().as[(Long, Long)].collect().toMap
