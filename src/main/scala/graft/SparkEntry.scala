@@ -1339,7 +1339,8 @@ object SparkEntry {
       // absent (nothing to score). Shape: one (doc_id, tok) aggregate
       // then one doc_id aggregate — both partial-agg friendly.
       val toks = t(s, dir, "documents").select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("tok"))
+        // pinned class, not \s — see TextFunctions.WhitespaceClass
+        explode(split(trim(col("text")), "[ \\t\\n\\r\\f]+")).as("tok"))
         .filter(col("tok") =!= "")
       toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -2267,8 +2268,14 @@ object SparkEntry {
         |WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
 
+    // CASE guard: an empty/whitespace-only doc yields [''] from
+    // string_split_regex but [] from TextFunctions.tokens — guard like
+    // the other token oracles so parity doesn't depend on the corpus
+    // happening to contain no empty doc in range
     "q_explode_relations" ->
-      """SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      """SELECT doc_id, unnest(
+        |    CASE WHEN len(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END) AS token
         |FROM documents
         |WHERE doc_id < 200
         |ORDER BY doc_id, token""".stripMargin,
@@ -2984,7 +2991,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
         |    ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]'))
         |    AS INTEGER) AS n_bpe_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,

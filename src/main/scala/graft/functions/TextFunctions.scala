@@ -11,10 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization; empty string → empty array. */
+  /** Whitespace tokenization; empty string → empty array.
+    *
+    * The split class is PINNED to `[ \t\n\r\f]` rather than `\s`:
+    * Java regex `\s` includes vertical tab (\x0B), RE2 — which the
+    * DuckDB oracles use — does not, so a `\s+` here would tokenize a
+    * \x0B-bearing document differently in the two engines and break
+    * every token-derived oracle downstream. The explicit class means
+    * the same characters split in both.
+    */
+  val WhitespaceClass = "[ \t\n\r\f]"
+
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+      .otherwise(split(trim(text), WhitespaceClass + "+"))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -31,7 +41,10 @@ object TextFunctions {
     * split most BPE vocabularies apply before merges, which makes this a
     * deterministic, regex-only LLM token-count estimate.
     */
-  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  // \s pinned to the explicit class for the same cross-engine reason
+  // as [[tokens]] (\x0B is "not whitespace" in RE2): without it a
+  // vertical tab counts as punctuation in DuckDB but not in Spark
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))

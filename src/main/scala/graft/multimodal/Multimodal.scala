@@ -211,6 +211,9 @@ object Multimodal {
           seen += 1; start = -1; i += 2
         case 0xFFD8 | 0xFF01 => i += 2 // nested SOI (thumbnail) / TEM
         case x if x >= 0xFFD0 && x <= 0xFFD7 => i += 2 // restart markers
+        case 0xFFFF => i += 1 // fill byte (legal padding) — NOT a segment:
+          // reading the next two bytes as a length would skip a
+          // garbage-derived span and can jump past the frame's real EOI
         case x if (x >> 8) == 0xFF && x != 0xFF00 && i + 3 < payload.length =>
           // length-bearing segment: skip its payload wholesale
           i += 2 + (((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff))
@@ -229,13 +232,18 @@ object Multimodal {
   def sampleFrames(payloads: DataFrame, frameBytes: Int = 64, stride: Int = 4,
                    maxFrames: Int = 16): DataFrame =
     payloads.select(col("doc_id"),
-      posexplode(slice(split_payload(col("payload"), frameBytes, stride), 1, maxFrames))
+      posexplode(split_payload(col("payload"), frameBytes, stride, maxFrames))
         .as(Seq("frame_idx", "frame")))
 
   private def split_payload(payload: org.apache.spark.sql.Column, frameBytes: Int,
-                            stride: Int): org.apache.spark.sql.Column = {
+                            stride: Int, maxFrames: Int): org.apache.spark.sql.Column = {
     val nFrames = floor(length(payload) / (frameBytes * stride)).cast("int")
-    transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+    // the cap clamps the SEQUENCE BOUND, not a downstream slice: a
+    // slice-after-transform would first materialize every frame of a
+    // pathological payload (a 1 GB blob = millions of array elements in
+    // one row's evaluation) before keeping maxFrames of them
+    val capped = least(nFrames, lit(maxFrames))
+    transform(sequence(lit(0), greatest(capped - 1, lit(0))),
       i => payload.substr(lit(1) + i * frameBytes * stride, lit(frameBytes)))
   }
 
@@ -245,6 +253,9 @@ object Multimodal {
     * batch sizing for pandas UDFs). `codec` is the swap-in point:
     * [[decodeStub]] by default, [[decodeImage]] for real image payloads
     * (any byte[] => (checksum, histogram, features) kernel slots in).
+    * Null/empty payloads NEVER reach the codec and emit the no-media
+    * sentinel row (checksum 0, empty arrays) — the real codecs throw on
+    * empty input, and one missing blob must not abort a corpus job.
     */
   def decodeFeatures(payloads: DataFrame, batchSize: Int = 64,
                      codec: Array[Byte] => (Long, Array[Long], Array[Float]) = decodeStub): DataFrame = {
@@ -254,9 +265,15 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
             val docId = r.getLong(0)
-            val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-            val (checksum, hist, feat) = codec(payload)
-            Row(docId, checksum, hist.toSeq, feat.toSeq)
+            // a missing/empty blob never reaches the codec — the real
+            // codecs (ImageIO, AudioSystem) throw on empty input, and
+            // one bad row would fail its task 4 times and abort the job
+            if (r.isNullAt(1) || r.getAs[Array[Byte]](1).isEmpty)
+              Row(docId, 0L, Seq.empty[Long], Seq.empty[Float])
+            else {
+              val (checksum, hist, feat) = codec(r.getAs[Array[Byte]](1))
+              Row(docId, checksum, hist.toSeq, feat.toSeq)
+            }
           }
         }
       }

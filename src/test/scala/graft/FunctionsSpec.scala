@@ -13,6 +13,18 @@ class FunctionsSpec extends SparkSuite {
     assert(out === Array(0, 0, 3, 1))
   }
 
+  test("tokenizer whitespace class matches RE2, not Java \\s (vertical tab)") {
+    // Java \s includes \x0B, RE2's (the DuckDB oracle engine) does not —
+    // the pinned class must treat \x0B as a TOKEN character in Spark so
+    // both engines tokenize identically
+    val df = Seq("a\u000Bb c").toDF("t")
+    val toks = df.select(TextFunctions.tokens(col("t"))).as[Seq[String]].head
+    assert(toks === Seq("a\u000Bb", "c")) // VT stays inside its token
+    // and the BPE pattern counts \x0B as punctuation in BOTH engines
+    val bpe = df.select(TextFunctions.bpeTokenCount(col("t"))).as[Int].head
+    assert(bpe === 4) // a, \x0B, b, c
+  }
+
   test("vocabHits and stopwordRatio count exact token matches") {
     val df = Seq("the cat the hat", "thecat").toDF("t")
     val hits = df.select(TextFunctions.vocabHits(col("t"), Seq("the"))).as[Int].collect()

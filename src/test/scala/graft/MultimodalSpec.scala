@@ -106,6 +106,54 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.splitMjpegFrames(mjpeg, maxFrames = 2).size === 2)
   }
 
+  test("splitMjpegFrames survives fill bytes between markers (legal JPEG padding)") {
+    import java.awt.image.BufferedImage
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 4; y <- 0 until 4)
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+      baos.toByteArray
+    }
+    val f0 = jpeg(40); val f1 = jpeg(200)
+    // inject a fill-byte run (0xFF 0xFF ...) right after f0's SOI marker:
+    // a parser that reads 0xFFFF as a length-bearing segment consumes a
+    // garbage length and can jump past the frame's real EOI
+    val padded = f0.take(2) ++ Array.fill(3)(0xFF.toByte) ++ f0.drop(2)
+    val stream = padded ++ f1
+    val frames = Multimodal.splitMjpegFrames(stream)
+    assert(frames.size === 2, s"fill bytes must not swallow frames, got ${frames.size}")
+    assert(frames(1).sameElements(f1))
+  }
+
+  test("decodeFeatures routes null and empty payloads around a throwing codec") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val img = {
+      val b = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", baos); baos.toByteArray
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, img), Row(2L, null), Row(3L, Array.empty[Byte]))),
+      schema)
+    // decodeImage throws on empty input; the plumbing must not let one
+    // missing blob abort the corpus job
+    val out = Multimodal.decodeFeatures(df, batchSize = 2,
+      codec = Multimodal.decodeImage)
+      .select("doc_id", "checksum").as[(Long, Long)].collect().toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(2L) === 0L && out(3L) === 0L) // no-media sentinel
+    assert(out(1L) !== 0L)
+  }
+
   test("decodeAudioWav decodes a synthesized sine WAV to known signal features") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // 0.5 s of a 1 kHz sine at half full scale, 16-bit mono PCM @ 8 kHz
