@@ -13,8 +13,8 @@ import graft.sources.Tables
   * as lazy frames whose plans show the claimed shuffle structure:
   * `lsh_candidates`, `decontaminate_overlaps`, `ann_assign`,
   * `ann_probe`, `clusters_mapping_join`, `corpus_dedup_stage`,
-  * `asof_join_stage`, `range_join_stage`, `surrogate_assign`,
-  * `incremental_join_stage`, `zorder_write_stage`.
+  * `asof_join_stage`, `asof_nearest_stage`, `range_join_stage`,
+  * `surrogate_assign`, `incremental_join_stage`, `zorder_write_stage`.
   */
 object Explain {
 
@@ -53,6 +53,18 @@ object Explain {
       graft.operators.AsOf.joinAsOf(
         ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
         r, Seq("user_id"), "ts", Seq("pval"))
+    },
+    "asof_nearest_stage" -> { s =>
+      // must show TWO running [unboundedPreceding, currentRow] frames
+      // (asc + desc sorts over one keyed exchange) and NO
+      // [currentRow, unboundedFollowing] frame — the quadratic shape
+      // removed in round 6
+      val ev = Tables.load(s, dir, "events")
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+      graft.operators.AsOf.joinAsOf(
+        ev.select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        r, Seq("user_id"), "ts", Seq("pval"), direction = "nearest")
     },
     "range_join_stage" -> { s =>
       import s.implicits._

@@ -92,17 +92,26 @@ object AsOf {
         union.withColumn("__p", when(col(tsCol).isNull, nullPayload)
           .otherwise(last(col("__p"), ignoreNulls = true).over(wFwd)))
       case "nearest" =>
-        val back = last(col("__p"), ignoreNulls = true).over(wBack)
-        val fwd = last(col("__p"), ignoreNulls = true).over(wFwd)
+        // carries land as COLUMNS first: referencing the window
+        // expression inline in the when-chain would plan one window
+        // expression per reference (4 identical running accumulators
+        // per carry instead of 1)
+        val withCarries = union
+          .withColumn("__back", last(col("__p"), ignoreNulls = true).over(wBack))
+          .withColumn("__fwd", last(col("__p"), ignoreNulls = true).over(wFwd))
         // distances in epoch units; ties prefer backward (an equal-ts
         // right row is both carries' match at distance 0 — same row
         // either way). Null-ts left rows guarded as in forward.
-        val db = col(tsCol).cast("double") - back.getField("__rts").cast("double")
-        val df_ = fwd.getField("__rts").cast("double") - col(tsCol).cast("double")
-        union.withColumn("__p",
+        val db = col(tsCol).cast("double") -
+          col("__back").getField("__rts").cast("double")
+        val df_ = col("__fwd").getField("__rts").cast("double") -
+          col(tsCol).cast("double")
+        withCarries.withColumn("__p",
           when(col(tsCol).isNull, nullPayload)
-            .when(back.isNull, fwd).when(fwd.isNull, back)
-            .when(df_ < db, fwd).otherwise(back))
+            .when(col("__back").isNull, col("__fwd"))
+            .when(col("__fwd").isNull, col("__back"))
+            .when(df_ < db, col("__fwd")).otherwise(col("__back")))
+          .drop("__back", "__fwd")
     }
     payloadCols.foldLeft(carried.filter(col("__side") === 1)) {
       case (df, c) => df.withColumn(s"$prefix$c", col("__p").getField(c))
