@@ -27,6 +27,28 @@ class PropertiesSpec extends AnyFunSuite {
       amt <- Gen.chooseNum(0, 1000).map(_.toDouble)
     } yield (id, name, amt))
 
+  test("bounded_distinct(struct) == slice(array_sort(collect_set)) on random data with null fields") {
+    // the struct-element bounded aggregate must agree with the classic
+    // formulation under the cap — including null FIELD ordering (both
+    // sort nulls first, ascending) and string fields — for any limit
+    val gen = Gen.listOfN(40, for {
+      g <- Gen.chooseNum(0, 2)
+      a <- Gen.option(Gen.chooseNum(0L, 9L))
+      b <- Gen.option(Gen.alphaStr.map(_.take(3)))
+    } yield (g, a, b))
+    for ((rows, limit) <- samples(gen, 5).zip(Seq(1, 2, 5, 100, 3))) {
+      val df = rows.toDF("g", "a", "b")
+      val bounded = df.groupBy("g").agg(
+        graft.functions.BoundedDistinct.boundedDistinct(
+          struct($"a", $"b"), limit).as("m"))
+        .select($"g", $"m".cast("string")).as[(Int, String)].collect().sorted.toSeq
+      val classic = df.groupBy("g").agg(
+        slice(array_sort(collect_set(struct($"a", $"b"))), 1, limit).as("m"))
+        .select($"g", $"m".cast("string")).as[(Int, String)].collect().sorted.toSeq
+      assert(bounded === classic, s"limit=$limit rows=$rows")
+    }
+  }
+
   test("upsert is idempotent: applying the same batch twice changes nothing") {
     for ((destRows, inRows) <- samples(rowsGen, 5).zip(samples(rowsGen, 5).reverse)) {
       {
