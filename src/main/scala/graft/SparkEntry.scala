@@ -1509,6 +1509,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_pack_ranged" -> ((s, dir) => {
+      // the hot-source twin: range-partitioned two-pass cumsum, SAME
+      // oracle SQL as q_pack_sequences — the driver hash-checks that
+      // the scalable formulation reproduces the window form bit-for-bit
+      val withTok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val packed = graft.pipelines.Mixture.packSequencesRanged(withTok,
+        "source", "doc_id", "n_tokens", budget = 256)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("seq_id"), col("seq_pos"))
+        .orderBy(col("doc_id"))
+      packed
+    }),
+
+    "q_token_budget_ranged" -> ((s, dir) => {
+      // hot-source twin of q_token_budget, same oracle — see q_pack_ranged
+      val withTok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipelines.Mixture.capTokenBudgetRanged(withTok, "source",
+        "doc_id", "n_tokens", budget = 500L)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dataset_split" -> ((s, dir) => {
       // reproducible train/val/test assignment — portable hash so the
       // oracle verifies the bucketing logic cross-engine
@@ -2928,6 +2953,35 @@ object SparkEntry {
         |  CAST(floor(tok_before / 256) AS INT) AS seq_id,
         |  CAST(tok_before % 256 AS INT) AS seq_pos
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // INTENTIONALLY the q_pack_sequences / q_token_budget SQL verbatim:
+    // the ranged twins must hash-match the window forms' own oracles
+    "q_pack_ranged" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT doc_id, source, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(tok_before / 256) AS INT) AS seq_id,
+        |  CAST(tok_before % 256 AS INT) AS seq_pos
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_token_budget_ranged" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens FROM w
+        |WHERE cum <= 500
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dataset_split" ->
       """WITH d AS (SELECT doc_id,
