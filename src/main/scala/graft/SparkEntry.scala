@@ -2053,7 +2053,8 @@ object SparkEntry {
         |    sum(n_new) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_new
         |  FROM j),
         |t AS (SELECT sum(n_old) AS to_, sum(n_new) AS tn FROM j)
-        |SELECT bucket, cum_old, cum_new,
+        |SELECT bucket, CAST(cum_old AS BIGINT) AS cum_old,
+        |  CAST(cum_new AS BIGINT) AS cum_new,
         |  CAST(floor(abs(CAST(cum_new AS DOUBLE) / CAST(greatest(tn, 1) AS DOUBLE)
         |    - CAST(cum_old AS DOUBLE) / CAST(greatest(to_, 1) AS DOUBLE)) * 10000 + 0.5)
         |    AS BIGINT) AS diff_bp
