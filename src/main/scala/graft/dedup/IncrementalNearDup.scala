@@ -58,6 +58,17 @@ object IncrementalNearDup {
     fs.exists(p)
   }
 
+  /** A batch write is committed only once its `_SUCCESS` marker exists.
+    * Directory existence is NOT enough: Spark's committer creates the
+    * output directory at job setup, before any task commits — a crash
+    * mid-write leaves the dir present but markerless, and treating that
+    * as committed would silently skip the batch's pairs on replay.
+    */
+  private def committed(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsOf(spark, path)
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+  }
+
   /** Process one batch of new documents: returns the verified pair set
     * involving at least one batch document, and appends the batch's
     * sketches to the index. Documents whose id is already indexed are
@@ -223,10 +234,12 @@ object IncrementalNearDup {
     * `batch=<id>` partitions — every write is an overwrite of the
     * batch's OWN partitions, so foreachBatch's at-least-once replay is
     * idempotent at any crash point: the pairs partition is written LAST
-    * and doubles as the commit marker (a replay that finds it skips the
-    * batch; a replay that doesn't re-derives everything from the
-    * same-tag-excluded index reads). Readers of `pairsDir` see an extra
-    * `batch` partition column.
+    * and its `_SUCCESS` file doubles as the commit marker (a replay that
+    * finds it skips the batch; a replay that doesn't re-derives
+    * everything from the same-tag-excluded index reads — a markerless
+    * dir from a mid-write crash counts as NOT committed, since the
+    * committer creates the dir before any data lands). Readers of
+    * `pairsDir` see an extra `batch` partition column.
     */
   def start(stream: DataFrame, idCol: String, textCol: String,
             indexDir: String, pairsDir: String, checkpoint: String,
@@ -255,7 +268,7 @@ object IncrementalNearDup {
         val spark = batch.sparkSession
         if (bloom == null && pathExists(spark, s"$indexDir/sigs"))
           mergeIds(spark.read.parquet(s"$indexDir/sigs").select("id"))
-        if (pathExists(spark, s"$pairsDir/batch=$batchId")) {
+        if (committed(spark, s"$pairsDir/batch=$batchId")) {
           // replayed, fully committed batch: keep the bloom superset
           // invariant (its ids are in the index) and do nothing else
           mergeIds(batch.select(col(idCol).as("id")))

@@ -17,18 +17,20 @@ import org.apache.spark.sql.functions._
   * swaps in HyperLogLog++ sketches, which combine map-side in a single
   * un-expanded pass (the null/row counts stay exact either way).
   *
-  * `approxDistinct` DEFAULTS TO TRUE — the scale-safe path must be the
-  * one you get without reading the docs (profiling 50 columns of a
-  * 100 TB table with exact distinct shuffles ~50× the table through
-  * Expand and builds full-cardinality distinct state per column). Pass
-  * `approxDistinct = false` deliberately, for dimension-scale inputs or
-  * oracle-exact comparison. (Flipped in round 6; the one in-repo caller
-  * passes the flag explicitly.)
+  * `approxDistinct` has NO DEFAULT — round 6 flipped the old exact
+  * default to the scale-safe HLL path, and that kind of silent semantic
+  * change (exact counts becoming estimates with no compile error) is
+  * exactly what a defaulted flag lets land on external callers. Every
+  * caller now chooses: `true` for the scale path (profiling 50 columns
+  * of a 100 TB table with exact distinct shuffles ~50× the table
+  * through Expand and builds full-cardinality distinct state per
+  * column), `false` for dimension-scale inputs or oracle-exact
+  * comparison.
   */
 object Profile {
 
   def summarize(df: DataFrame, cols: Seq[String],
-                approxDistinct: Boolean = true): DataFrame = {
+                approxDistinct: Boolean): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     cols.foreach(c => require(!c.contains("`") && !c.contains("'"),
       s"unsupported character in column name: $c"))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, lit, max}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.{Drift, IncrementalAgg, Merge}
 
@@ -197,6 +197,49 @@ object StreamingImport {
         countsPath)
   }
 
+  /** Committed versions of the maintained counts: `v=<batchId>` dirs
+    * under `countsPath` holding a `_SUCCESS` marker. Directory existence
+    * alone is NOT a commit — Spark's committer creates the output dir at
+    * job setup, so a crash mid-write leaves the dir with no marker; such
+    * a partial version is invisible here and gets overwritten on replay.
+    */
+  private def committedCountVersions(spark: org.apache.spark.sql.SparkSession,
+                                     countsPath: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(countsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (!n.startsWith("v=")) None
+        else scala.util.Try(n.stripPrefix("v=").toLong).toOption
+          .filter(_ => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      }
+  }
+
+  private def dropCountVersions(spark: org.apache.spark.sql.SparkSession,
+                                countsPath: String, versions: Seq[Long]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(countsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true))
+  }
+
+  /** The maintained drift counts — the LATEST COMMITTED version under
+    * `countsPath` — or None if nothing has been folded yet (no batch
+    * with a non-null monitored value has run). Score with
+    * [[Drift.psiFromCounts]] at any time; never read `countsPath` raw
+    * (it is a version store, not a flat table).
+    */
+  def readDriftCounts(spark: org.apache.spark.sql.SparkSession,
+                      countsPath: String): Option[DataFrame] =
+    committedCountVersions(spark, countsPath) match {
+      case vs if vs.isEmpty => None
+      case vs => Some(spark.read.parquet(s"$countsPath/v=${vs.max}"))
+    }
+
   /** Fold one upsert micro-batch into the maintained bucket counts.
     *
     * The upsert's CDC view is derivable without any extra state: rows
@@ -215,13 +258,20 @@ object StreamingImport {
     * replaced keys only — the destination scan is a semi-join against
     * the batch's keys, column-pruned to keys + value.
     *
-    * IDEMPOTENT under foreachBatch's at-least-once replay: the counts
-    * table records the last folded `batchId`, and a batch at or below
-    * it is skipped — without the guard, a crash in the window between
-    * the counts write and the destination write would fold the replayed
-    * batch against the still-pre-merge destination a second time and
-    * corrupt the counts permanently. (Replay after BOTH writes is
-    * harmless either way; the guard closes the in-between window.)
+    * CRASH-SAFE AND IDEMPOTENT under foreachBatch's at-least-once
+    * replay, at any crash point: each fold writes a NEW version
+    * `countsPath/v=<batchId>` (never overwriting the live state in
+    * place), whose `_SUCCESS` marker is the commit. The previous
+    * committed version is untouched until the new one is fully
+    * committed, so a crash mid-write loses nothing — the replay refolds
+    * from the intact previous version over the half-written dir. A
+    * replayed batch at or below the latest COMMITTED version is skipped
+    * — without that guard, a crash in the window between the counts
+    * commit and the destination write would fold the replayed batch
+    * against the still-pre-merge destination a second time and corrupt
+    * the counts permanently. Superseded versions are pruned after
+    * commit; a crash before the prune leaves an extra old version that
+    * the next pass (or replay) clears — reads always take the max.
     *
     * CONTRACT (same as [[Merge.upsert]]): batch keys are unique. A batch
     * carrying BOTH a null-valued and a non-null-valued row for one key
@@ -231,6 +281,12 @@ object StreamingImport {
                                      keys: Seq[String], hook: DriftHook,
                                      batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val versions = committedCountVersions(spark, hook.countsPath)
+    val applied = if (versions.isEmpty) -1L else versions.max
+    // opportunistic prune: a crash after commit but before cleanup can
+    // leave an older committed version behind — clear it on any pass
+    dropCountVersions(spark, hook.countsPath, versions.filter(_ < applied))
+    if (applied >= batchId) return // replayed batch: already folded
     val bucket = hook.bucket
     val ins = batch.filter(hook.value.isNotNull)
       .select(bucket.as("bucket"), lit("I").as("op"))
@@ -246,17 +302,21 @@ object StreamingImport {
         .select(bucket.as("bucket"), lit("D").as("op"))
       dels.unionByName(ins)
     } else ins
-    val state1 = if (pathExists(batch, hook.countsPath)) {
-      val existing = spark.read.parquet(hook.countsPath)
-      val applied = existing.agg(max(col("__batch_id"))).head.getLong(0)
-      if (applied >= batchId) return // replayed batch: already folded
-      IncrementalAgg.foldCdc(existing.drop("__batch_id"), feed,
+    val state1 = if (applied >= 0)
+      IncrementalAgg.foldCdc(
+        spark.read.parquet(s"${hook.countsPath}/v=$applied"), feed,
         Seq("bucket"), lit(0), col("op"))
-    } else
+    else
       IncrementalAgg.init(feed.filter(col("op") === "I"), Seq("bucket"), lit(0))
-    // materialize before overwriting the directory being read
-    state1.withColumn("__batch_id", lit(batchId))
-      .localCheckpoint(true).write.mode("overwrite").parquet(hook.countsPath)
+    val mat = state1.localCheckpoint(true)
+    // a first feed with no non-null values folds to ZERO rows: don't
+    // commit an empty initial version (readers would score an empty
+    // frame); the next batch re-inits identically — null values never
+    // count. An empty fold of a NON-empty state cannot occur (every
+    // retract pairs with an insert, so the total never shrinks to zero).
+    if (applied < 0 && mat.isEmpty) return
+    mat.write.mode("overwrite").parquet(s"${hook.countsPath}/v=$batchId")
+    dropCountVersions(spark, hook.countsPath, Seq(applied).filter(_ >= 0))
   }
 
   /** [[start]] plus continuous distribution monitoring: after every

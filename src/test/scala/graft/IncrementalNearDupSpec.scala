@@ -111,6 +111,36 @@ class IncrementalNearDupSpec extends SparkSuite {
     batchRun.unpersist()
   }
 
+  test("a markerless pairs dir (crash during the pairs write) is NOT a commit — the batch replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_inclsh6")
+    val (indexDir, pairsDir, ckpt) = (s"$dir/index", s"$dir/pairs", s"$dir/ckpt")
+    // simulate the crash the committer leaves behind: batch 0's pairs
+    // OUTPUT DIRECTORY exists (job setup creates it before any task
+    // commits, possibly with partial task files) but no _SUCCESS landed
+    val partial = new java.io.File(s"$pairsDir/batch=0")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(partial.toPath.resolve("part-crashed.parquet"),
+      Array[Byte](9, 9, 9))
+    val stream = MemoryStream[Doc]
+    val q = IncrementalNearDup.start(stream.toDF(), "doc_id", "text",
+      indexDir, pairsDir, ckpt, threshold = 0.5)
+    try {
+      // the whole corpus in one micro-batch — it gets batchId 0, the
+      // exact id whose debris is on disk; a dir-existence marker would
+      // skip it and lose every pair FOREVER
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(new java.io.File(s"$pairsDir/batch=0/_SUCCESS").exists())
+    val incremental = pairSet(spark.read.parquet(pairsDir))
+    val batch = NearDup.minhashPairs(docs.toDF(), "doc_id", "text", threshold = 0.5)
+    val expected = pairSet(batch)
+    batch.unpersist()
+    assert(incremental === expected)
+    assert(expected.exists(p => p._1 == 3L && p._2 == 100L && p._3 == 1.0))
+  }
+
   test("the bloom gate changes nothing but the index-scan work") {
     val dir = Files.createTempDirectory("graft_inclsh5")
     val indexDir = s"$dir/index"

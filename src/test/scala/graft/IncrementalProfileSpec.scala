@@ -242,10 +242,8 @@ class IncrementalProfileSpec extends SparkSuite {
     val approxPlan = Profile.summarize(df, Seq("a", "b"), approxDistinct = true)
       .queryExecution.executedPlan.toString
     assert(!approxPlan.contains("Expand"), approxPlan) // single mergeable pass
-    // the DEFAULT is the scale-safe approx path (flipped in round 6)
-    val defaultPlan = Profile.summarize(df, Seq("a", "b"))
-      .queryExecution.executedPlan.toString
-    assert(!defaultPlan.contains("Expand"), defaultPlan)
+    // no default: the exact→approx semantic choice is compile-enforced
+    // on every caller (round 7, after the round-6 default flip)
   }
 
   test("incrementally maintained checksum == recompute after a CDC feed") {

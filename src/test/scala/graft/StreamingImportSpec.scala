@@ -41,8 +41,9 @@ class StreamingImportSpec extends SparkSuite {
     try {
       stream.addData((1 to 300).map(i => KD(i.toLong, (i % 400).toDouble)): _*)
       q.processAllAvailable()
+      def counts() = StreamingImport.readDriftCounts(spark, hook.countsPath).get
       // freeze the baseline = the counts after the first sync
-      val baseline = spark.read.parquet(hook.countsPath).collect()
+      val baseline = counts().collect()
       val snap1 = spark.read.parquet(dest).as[KD].collect().toSeq
       // re-value half the keys (upsert CDC: retract old, insert new),
       // insert fresh keys, then push a hot spike — three micro-batches
@@ -53,7 +54,7 @@ class StreamingImportSpec extends SparkSuite {
       q.processAllAvailable()
 
       // maintained counts == a rescan of the final destination
-      val maintained = spark.read.parquet(hook.countsPath)
+      val maintained = counts()
         .select($"bucket", $"n_rows").orderBy("bucket")
         .as[(Long, Long)].collect().toSeq
       val rescanned = Drift.bucketCounts(spark.read.parquet(dest), $"v", bounds)
@@ -67,9 +68,9 @@ class StreamingImportSpec extends SparkSuite {
         .as[(Long, Long, Long, Long)].collect().toSeq
       val viaCounts = Drift.psiFromCounts(
         spark.createDataFrame(spark.sparkContext.parallelize(baseline.toSeq),
-          spark.read.parquet(hook.countsPath).schema)
+          counts().schema)
           .select($"bucket", $"n_rows".as("n_old")),
-        spark.read.parquet(hook.countsPath)
+        counts()
           .select($"bucket", $"n_rows".as("n_new")), bounds.size + 1)
       val viaRescan = Drift.psi(snap1.toDF(), spark.read.parquet(dest), $"v", bounds)
       assert(canon(viaCounts) === canon(viaRescan))
@@ -90,12 +91,13 @@ class StreamingImportSpec extends SparkSuite {
     // foreachBatch replays batch 1 from the start
     val b1 = (1 to 100).map(i => (i.toLong, (i % 300) + 150.0)).toDF("id", "v")
     StreamingImport.foldDriftCounts(b1, dest, Seq("id"), hook, batchId = 1L)
-    val afterFirstFold = spark.read.parquet(hook.countsPath)
+    def counts() = StreamingImport.readDriftCounts(spark, hook.countsPath).get
+    val afterFirstFold = counts()
       .select($"bucket", $"n_rows").orderBy("bucket").as[(Long, Long)].collect().toSeq
     // replay: the fold must SKIP (batchId already applied), then the merge lands
     StreamingImport.foldDriftCounts(b1, dest, Seq("id"), hook, batchId = 1L)
     StreamingImport.upsertBatch(b1, dest, Seq("id"))
-    val afterReplay = spark.read.parquet(hook.countsPath)
+    val afterReplay = counts()
       .select($"bucket", $"n_rows").orderBy("bucket").as[(Long, Long)].collect().toSeq
     assert(afterReplay === afterFirstFold)
     // and the invariant the guard protects: counts == destination rescan
@@ -103,6 +105,103 @@ class StreamingImportSpec extends SparkSuite {
       spark.read.parquet(dest), $"v", Seq(100.0, 200.0))
       .orderBy("bucket").as[(Long, Long)].collect().toSeq
     assert(afterReplay === rescanned)
+  }
+
+  test("an all-null first batch neither crashes the fold nor commits an empty version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_simport_nullfirst")
+    val dest = s"$dir/dest"
+    val hook = StreamingImport.DriftHook.numeric(
+      org.apache.spark.sql.functions.col("v"), Seq(100.0, 200.0), s"$dir/counts")
+    // batch 0: every monitored value null — the old code wrote a
+    // zero-row counts table whose max(__batch_id) NPE'd every later fold
+    val b0 = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double])).toDF("id", "v")
+    StreamingImport.foldDriftCounts(b0, dest, Seq("id"), hook, batchId = 0L)
+    StreamingImport.upsertBatch(b0, dest, Seq("id"))
+    assert(StreamingImport.readDriftCounts(spark, hook.countsPath).isEmpty)
+    // batch 1 must fold normally, not throw
+    val b1 = Seq((2L, Some(50.0)), (3L, Some(150.0))).toDF("id", "v")
+    StreamingImport.foldDriftCounts(b1, dest, Seq("id"), hook, batchId = 1L)
+    StreamingImport.upsertBatch(b1, dest, Seq("id"))
+    val maintained = StreamingImport.readDriftCounts(spark, hook.countsPath).get
+      .select($"bucket", $"n_rows").orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val rescanned = graft.operators.Drift.bucketCounts(
+      spark.read.parquet(dest), $"v", Seq(100.0, 200.0))
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(maintained === rescanned)
+  }
+
+  test("a crash mid-counts-write (version dir without _SUCCESS) is invisible and replayable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_simport_partial")
+    val dest = s"$dir/dest"
+    val hook = StreamingImport.DriftHook.numeric(
+      org.apache.spark.sql.functions.col("v"), Seq(100.0, 200.0), s"$dir/counts")
+    val b0 = (1 to 100).map(i => (i.toLong, i.toDouble * 3)).toDF("id", "v")
+    StreamingImport.foldDriftCounts(b0, dest, Seq("id"), hook, batchId = 0L)
+    StreamingImport.upsertBatch(b0, dest, Seq("id"))
+    val committed = StreamingImport.readDriftCounts(spark, hook.countsPath).get
+      .select($"bucket", $"n_rows").orderBy("bucket").as[(Long, Long)].collect().toSeq
+    // simulate batch 1 crashing mid-write: the committer made the dir
+    // (and even a stray data file) but no _SUCCESS marker landed
+    val partial = new java.io.File(s"${hook.countsPath}/v=1")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(partial.toPath.resolve("part-garbage.parquet"),
+      Array[Byte](1, 2, 3))
+    // the partial version must not shadow the committed state
+    assert(StreamingImport.readDriftCounts(spark, hook.countsPath).get
+      .select($"bucket", $"n_rows").orderBy("bucket").as[(Long, Long)].collect().toSeq
+      === committed)
+    // replay of batch 1 must NOT skip (dir existence is not a commit):
+    // it refolds from v=0 and commits a real v=1 over the debris
+    val b1 = (1 to 50).map(i => (i.toLong, i.toDouble * 3 + 150)).toDF("id", "v")
+    StreamingImport.foldDriftCounts(b1, dest, Seq("id"), hook, batchId = 1L)
+    StreamingImport.upsertBatch(b1, dest, Seq("id"))
+    val maintained = StreamingImport.readDriftCounts(spark, hook.countsPath).get
+      .select($"bucket", $"n_rows").orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val rescanned = graft.operators.Drift.bucketCounts(
+      spark.read.parquet(dest), $"v", Seq(100.0, 200.0))
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(maintained === rescanned)
+  }
+
+  test("a crash between version commit and prune leaves both readable; next pass prunes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_simport_prune")
+    val dest = s"$dir/dest"
+    val hook = StreamingImport.DriftHook.numeric(
+      org.apache.spark.sql.functions.col("v"), Seq(100.0, 200.0), s"$dir/counts")
+    val b0 = (1 to 100).map(i => (i.toLong, i.toDouble * 3)).toDF("id", "v")
+    StreamingImport.foldDriftCounts(b0, dest, Seq("id"), hook, batchId = 0L)
+    StreamingImport.upsertBatch(b0, dest, Seq("id"))
+    val b1 = (101 to 150).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    StreamingImport.foldDriftCounts(b1, dest, Seq("id"), hook, batchId = 1L)
+    StreamingImport.upsertBatch(b1, dest, Seq("id"))
+    val v1 = StreamingImport.readDriftCounts(spark, hook.countsPath).get
+      .select($"bucket", $"n_rows").orderBy("bucket").as[(Long, Long)].collect().toSeq
+    // resurrect v=0 beside v=1 (as if the post-commit prune never ran):
+    // re-create a fully-committed older version by copying v=1's shape
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(s"${hook.countsPath}/v=1")
+    val old = new org.apache.hadoop.fs.Path(s"${hook.countsPath}/v=0")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, old, false,
+      spark.sparkContext.hadoopConfiguration)
+    // reads pick the max committed version — the stale v=0 never shadows
+    assert(StreamingImport.readDriftCounts(spark, hook.countsPath).get
+      .select($"bucket", $"n_rows").orderBy("bucket").as[(Long, Long)].collect().toSeq
+      === v1)
+    // the next fold prunes the leftover and stays correct
+    val b2 = (151 to 180).map(i => (i.toLong, 250.0)).toDF("id", "v")
+    StreamingImport.foldDriftCounts(b2, dest, Seq("id"), hook, batchId = 2L)
+    StreamingImport.upsertBatch(b2, dest, Seq("id"))
+    assert(!new java.io.File(s"${hook.countsPath}/v=0").exists())
+    val maintained = StreamingImport.readDriftCounts(spark, hook.countsPath).get
+      .select($"bucket", $"n_rows").orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val rescanned = graft.operators.Drift.bucketCounts(
+      spark.read.parquet(dest), $"v", Seq(100.0, 200.0))
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(maintained === rescanned)
   }
 
   test("categorical drift hook maintains the status-mix counts across batches") {
@@ -124,7 +223,7 @@ class StreamingImportSpec extends SparkSuite {
       // re-status a third of the keys — the upsert CDC mix move
       stream.addData((1 to 100).map(i => KV(i.toLong, "OPEN")): _*)
       q.processAllAvailable()
-      val maintained = spark.read.parquet(hook.countsPath)
+      val maintained = StreamingImport.readDriftCounts(spark, hook.countsPath).get
         .select($"bucket", $"n_rows").orderBy("bucket")
         .as[(String, Long)].collect().toSeq
       val rescanned = spark.read.parquet(dest)
