@@ -3,10 +3,13 @@ package graft
 /** Benchmark main: runs every SparkEntry query at SPARK_GRAFT_SF_DIR,
   * prints ONE JSON line with per-query wall-clock seconds.
   *
-  * Each query runs twice and the WARM (second) time is reported: ambient
-  * load on a shared box dominates cold single-shots, and warm numbers are
-  * the ones comparable round-over-round. Cold times ride along in
-  * `queries_cold`. A query that throws is recorded as -1 in BOTH maps and
+  * Each query runs once cold, then three warm passes, and the MEDIAN warm
+  * time is reported: ambient load on a shared box dominates single-shots
+  * (observed 10x phantom "regressions" on identical code round-over-round),
+  * and the median of three warm passes is robust to one contended pass in
+  * either direction. Cold times ride along in `queries_cold`, and the raw
+  * warm passes in `queries_warm_runs` so a noisy host is visible in the
+  * artifact itself. A query that throws is recorded as -1 in all maps and
   * listed in `failed` — a regression must be visible in the JSON, not a
   * suspiciously fast total.
   */
@@ -31,16 +34,23 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timeOne(fn)
-      val warm = if (cold >= 0) timeOne(fn) else -1.0
-      (name, cold, warm)
+      val warmRuns =
+        if (cold >= 0) Seq.fill(3)(timeOne(fn)).map(t => if (t < 0) -1.0 else t)
+        else Seq(-1.0, -1.0, -1.0)
+      val median =
+        if (warmRuns.exists(_ < 0)) -1.0 else warmRuns.sorted.apply(1)
+      (name, cold, median, warmRuns)
     }
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._3))
     val cold = jmap(results.map(r => r._1 -> r._2))
+    val runs = results
+      .map(r => "\"" + r._1 + "\":[" + r._4.mkString(",") + "]")
+      .mkString("{", ",", "}")
     val failed = results.filter(_._3 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_warm_runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1777,6 +1777,87 @@ object SparkEntry {
             (acc, x) => acc + x.cast("double")) * 10000.0 + 0.5).cast("long")
             .as("feat_mass_bp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── Lexical indexing / retrieval (sparse complement to embedding ANN) ──
+
+    "q_tfidf" -> ((s, dir) => {
+      // per-doc top-3 terms by quantized TF-IDF (exact BIGINT scoring —
+      // ln(N/df) is libm-hazardous cross-engine; tf·10⁴·N DIV df is not)
+      graft.pipelines.Lexical.tfIdfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank_in_group"))
+    }),
+
+    "q_inverted_index" -> ((s, dir) => {
+      // posting lists for terms in a df band; the band is counted FIRST
+      // so the collect state is ≤ maxDf ids by construction — a
+      // stopword-tier term never buffers a corpus-sized list. Band scales
+      // with the corpus: df ≤ 80% of docs (batch/small/scan-tier terms
+      // saturate the synthetic corpus and fall outside).
+      val docs = t(s, dir, "documents")
+      val n = docs.filter(length(trim(col("text"))) > 0).count()
+      graft.pipelines.Lexical.invertedIndex(docs, "doc_id", "text",
+        minDf = 1, maxDf = n * 8 / 10)
+        .orderBy(col("term"))
+    }),
+
+    "q_lexical_search" -> ((s, dir) => {
+      // keyword retrieval: top-20 docs for a 4-term query, summed
+      // quantized TF-IDF; corpus filters to query-term hits before any
+      // aggregation, global top-k via TakeOrderedAndProject
+      graft.pipelines.Lexical.searchTopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "merge", "vector", "dup"), k = 20)
+        .orderBy(col("rank"))
+    }),
+
+    // ── Sequence audit (feed-completeness pre-flight) ─────────────────
+
+    "q_sequence_gaps" -> ((s, dir) => {
+      // missing l_orderkey ranges (orders with no lineitems): the
+      // completeness audit before a full-sync delete trusts a feed.
+      // Bucketed arithmetic partitioning — never lag() over ONE global
+      // partition (see operators/Sequencing.scala).
+      graft.operators.Sequencing.gaps(t(s, dir, "lineitem"), "l_orderkey")
+        .orderBy(col("gap_start"))
+    }),
+
+    "q_sequence_islands" -> ((s, dir) => {
+      // the dual view: contiguous loaded ranges with distinct-key counts
+      graft.operators.Sequencing.islands(t(s, dir, "lineitem"), "l_orderkey")
+        .orderBy(col("island_start"))
+    }),
+
+    // ── Corpus repetition / filter report ─────────────────────────────
+
+    "q_dup_ngrams" -> ((s, dir) => {
+      // Gopher "duplicated n-gram" repetition stats as exact integers;
+      // per-row sorted-array run-length fold, zero shuffle
+      val st = graft.functions.TextFunctions.dupNgramStats(col("text"), n = 3)
+      t(s, dir, "documents")
+        .filter(graft.functions.TextFunctions.tokenCount(col("text")) >= 3)
+        .select(col("doc_id"), st.getField("n_grams").as("n_grams"),
+          st.getField("dup_occ").as("dup_occ"),
+          st.getField("dup_chars").as("dup_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_gopher_filter" -> ((s, dir) => {
+      // published-rules filter report: per-rule exact-integer flags +
+      // keep bit — the decision table a curation pass materializes
+      val g = graft.functions.TextFunctions.gopherFlags(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), g.getField("n_words").as("n_words"),
+          g.getField("word_chars").as("word_chars"),
+          g.getField("alpha_words").as("alpha_words"),
+          g.getField("stop_hits").as("stop_hits"),
+          g.getField("sym_hits").as("sym_hits"),
+          g.getField("f_words").as("f_words"),
+          g.getField("f_mean_len").as("f_mean_len"),
+          g.getField("f_alpha").as("f_alpha"),
+          g.getField("f_stop").as("f_stop"),
+          g.getField("f_sym").as("f_sym"),
+          g.getField("keep").as("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3410,6 +3491,153 @@ object SparkEntry {
         |FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY id_a, id_b
         |HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_tfidf" ->
+      // identical quantized-ratio scoring: tf·10⁴·N DIV df over BIGINTs —
+      // no ln(), so both engines agree bit-for-bit
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    (t.tf * 10000 * n.n_docs) // d.df AS tfidf_q
+        |  FROM tf t JOIN dfc d USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf_q DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(tfidf_q AS BIGINT) AS tfidf_q, CAST(rk AS INTEGER) AS rank_in_group
+        |FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rank_in_group""".stripMargin,
+
+    "q_inverted_index" ->
+      // 10·df ≤ 8·N is the integer form of df ≤ 0.8N (the Spark side's
+      // n*8/10 band — equivalent for integer df)
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |dfc AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
+        |banded AS (
+        |  SELECT t.doc_id, t.term, d.df
+        |  FROM toks t JOIN dfc d USING (term) CROSS JOIN n
+        |  WHERE d.df >= 1 AND 10 * d.df <= 8 * n.n_docs)
+        |SELECT term, CAST(df AS BIGINT) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM banded GROUP BY term, df
+        |ORDER BY term""".stripMargin,
+
+    "q_lexical_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'merge', 'vector', 'dup')
+        |  GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
+        |sc AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+        |    CAST(sum((t.tf * 10000 * n.n_docs) // d.df) AS BIGINT) AS score_q
+        |  FROM tf t JOIN dfc d USING (term) CROSS JOIN n
+        |  GROUP BY t.doc_id),
+        |r AS (
+        |  SELECT doc_id, n_hit_terms, score_q,
+        |    row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, n_hit_terms, score_q, CAST(rnk AS INTEGER) AS "rank"
+        |FROM r WHERE rnk <= 20
+        |ORDER BY "rank"""".stripMargin,
+
+    "q_sequence_gaps" ->
+      // the textbook single-window form IS the oracle; the Spark side
+      // must reproduce it from bucketed distributed windows
+      """WITH k AS (
+        |  SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |l AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM k)
+        |SELECT CAST(pk + 1 AS BIGINT) AS gap_start, CAST(k - 1 AS BIGINT) AS gap_end,
+        |  CAST(k - pk - 1 AS BIGINT) AS gap_len
+        |FROM l WHERE pk IS NOT NULL AND k > pk + 1
+        |ORDER BY gap_start""".stripMargin,
+
+    "q_sequence_islands" ->
+      """WITH k AS (
+        |  SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |l AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM k),
+        |brk AS (SELECT k, CASE WHEN pk IS NULL OR k > pk + 1 THEN 1 ELSE 0 END AS ni
+        |  FROM l),
+        |grp AS (SELECT k, sum(ni) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS gid
+        |  FROM brk)
+        |SELECT CAST(min(k) AS BIGINT) AS island_start,
+        |  CAST(max(k) AS BIGINT) AS island_end,
+        |  CAST(count(*) AS BIGINT) AS n_keys
+        |FROM grp GROUP BY gid
+        |ORDER BY island_start""".stripMargin,
+
+    "q_dup_ngrams" ->
+      // gram STRINGS + a per-gram count here vs the Spark side's sorted-
+      // array run-length fold; Σc, Σ_{c>1}c and Σ_{c>1}c·len(g) agree
+      // exactly (same join-with-spaces gram text both sides)
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+        |  CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup_chars
+        |FROM c GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_filter" ->
+      // every flag is an exact integer comparison (ratios cross-multiplied)
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE string_split_regex(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_aggregate(list_apply(tk, t -> len(t)), 'sum'), 0)
+        |      AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','in','to','is')))
+        |      AS BIGINT) AS stop_hits,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS sym_hits,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM toks),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS f_words,
+        |    CASE WHEN word_chars >= n_words * 3 AND word_chars <= n_words * 10
+        |      THEN 1 ELSE 0 END AS f_mean_len,
+        |    CASE WHEN alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END AS f_alpha,
+        |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS f_stop,
+        |    CASE WHEN sym_hits * 10 <= n_chars THEN 1 ELSE 0 END AS f_sym
+        |  FROM base)
+        |SELECT doc_id, n_words, word_chars, alpha_words, stop_hits, sym_hits,
+        |  CAST(f_words AS INTEGER) AS f_words,
+        |  CAST(f_mean_len AS INTEGER) AS f_mean_len,
+        |  CAST(f_alpha AS INTEGER) AS f_alpha,
+        |  CAST(f_stop AS INTEGER) AS f_stop,
+        |  CAST(f_sym AS INTEGER) AS f_sym,
+        |  CAST(CASE WHEN f_words + f_mean_len + f_alpha + f_stop + f_sym = 5
+        |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM f
+        |ORDER BY doc_id""".stripMargin
   )
 }

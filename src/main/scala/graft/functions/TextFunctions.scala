@@ -160,6 +160,95 @@ object TextFunctions {
         .cast("long"))
   }
 
+  /** Duplicate word-n-gram statistics — the Gopher/RefinedWeb "fraction
+    * of (characters in) duplicated n-grams" repetition rule, shipped as
+    * EXACT INTEGERS so the thresholding caller (and the DuckDB oracle)
+    * never touches a cross-engine float: for a document's word n-grams,
+    *   n_grams    = total n-gram occurrences,
+    *   dup_occ    = occurrences whose gram appears ≥2 times (Σ_{c>1} c),
+    *   dup_chars  = characters across those occurrences (Σ_{c>1} c·len(g)).
+    *
+    * Same per-row shape as [[topBigramFractionBp]]: sort the gram array,
+    * then ONE `aggregate` run-length fold — O(n log n) per row, zero
+    * explode/shuffle (exploding grams would shuffle n× the corpus), and
+    * the array expression is evaluated once inside the fold (no HOF
+    * re-evaluation blow-up). Documents with < n tokens yield NULL.
+    */
+  def dupNgramStats(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = tokens(text)
+    val cnt = size(toks)
+    val grams = transform(sequence(lit(0), cnt - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    // run-length fold over the sorted grams: a finished run of length r>1
+    // contributes r duplicate occurrences and r·len(gram) duplicate chars;
+    // the finish lambda flushes the final run.
+    val folded = aggregate(array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("occ"), lit(0L).as("chars")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+        val occ = when(!same && acc.getField("run") > 1,
+          acc.getField("occ") + acc.getField("run")).otherwise(acc.getField("occ"))
+        val chars = when(!same && acc.getField("run") > 1,
+          acc.getField("chars") + acc.getField("run") * length(acc.getField("prev")))
+          .otherwise(acc.getField("chars"))
+        struct(x.as("prev"), run.as("run"), occ.as("occ"), chars.as("chars"))
+      },
+      acc => struct(
+        when(acc.getField("run") > 1, acc.getField("occ") + acc.getField("run"))
+          .otherwise(acc.getField("occ")).as("dup_occ"),
+        when(acc.getField("run") > 1,
+          acc.getField("chars") + acc.getField("run") * length(acc.getField("prev")))
+          .otherwise(acc.getField("chars")).as("dup_chars")))
+    when(cnt < n, lit(null))
+      .otherwise(struct((cnt - n + 1).cast("long").as("n_grams"),
+        folded.getField("dup_occ").as("dup_occ"),
+        folded.getField("dup_chars").as("dup_chars")))
+  }
+
+  /** Published-rules document filter (the Gopher paper's heuristics, C4's
+    * symbol rule) as per-rule flags + an overall keep bit — the filter
+    * report a corpus-curation pass materializes before deciding drop
+    * thresholds. Every rule is an EXACT INTEGER comparison (ratios are
+    * cross-multiplied, never divided), so the oracle replays each flag
+    * bit-for-bit:
+    *   f_words:    50 ≤ words ≤ 100000
+    *   f_mean_len: 3 ≤ mean word length ≤ 10   (3n ≤ chars ≤ 10n)
+    *   f_alpha:    ≥80% of words contain an ASCII letter (10a ≥ 8n)
+    *   f_stop:     ≥2 stopword hits
+    *   f_sym:      '#'/'…'-style symbol chars ≤10% of chars (10s ≤ c)
+    * One narrow pass per row, zero shuffle.
+    */
+  def gopherFlags(text: Column): Column = {
+    val toks = tokens(text)
+    val nW = size(toks).cast("long")
+    val wChars = coalesce(aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x), lit(0L))
+    val alphaW = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = vocabHitsT(toks, Stopwords).cast("long")
+    val nChars = length(text).cast("long")
+    // occurrence counts via the replace trick (len delta), exact in both
+    // engines; '...' deltas are always multiples of 3 (non-overlapping
+    // greedy replace), so the division result is an exact small integer.
+    val hashHits = nChars - length(replace(text, lit("#"), lit(""))).cast("long")
+    val dotHits = ((nChars - length(replace(text, lit("..."), lit(""))).cast("long"))
+      / lit(3)).cast("long")
+    val symHits = (hashHits + dotHits).as("sym_hits")
+    val fWords = (nW >= 50 && nW <= 100000).cast("int")
+    val fMean = (wChars >= nW * 3 && wChars <= nW * 10).cast("int")
+    val fAlpha = (alphaW * 10 >= nW * 8).cast("int")
+    val fStop = (stopHits >= 2).cast("int")
+    val fSym = (symHits * 10 <= nChars).cast("int")
+    struct(nW.as("n_words"), wChars.as("word_chars"), alphaW.as("alpha_words"),
+      stopHits.as("stop_hits"), symHits.cast("long").as("sym_hits"),
+      fWords.as("f_words"), fMean.as("f_mean_len"), fAlpha.as("f_alpha"),
+      fStop.as("f_stop"), fSym.as("f_sym"),
+      (fWords === 1 && fMean === 1 && fAlpha === 1 && fStop === 1 && fSym === 1)
+        .cast("int").as("keep"))
+  }
+
   /** Language-marker sets for the n-gram/stopword-overlap language-ID
     * heuristic.
     */

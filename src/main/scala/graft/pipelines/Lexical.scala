@@ -1,0 +1,138 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TopK
+
+/** Lexical indexing + retrieval over a document corpus — the sparse
+  * (term-based) complement to the dense embedding family in
+  * `graft.similarity.Knn`. A training-data pipeline needs both: embedding
+  * ANN finds semantic near-duplicates, lexical TF-IDF finds the
+  * keyword-anchored view (topic audit, targeted corpus slicing, "which
+  * documents are about X" retrieval without an encoder pass).
+  *
+  * Reference tie-in: the provider family resolves rows by NAME tokens
+  * (EcomDestinationWriter.cs:4146, 4524 resolve-by-name ladders); at corpus
+  * scale the same need becomes term-indexed retrieval.
+  *
+  * Scoring is EXACT INTEGER arithmetic end to end: the classic idf uses
+  * `ln(N/df)`, but `ln` is libm-dependent and cross-engine hazardous
+  * (SURVEY §6), so scores here are the quantized ratio form
+  * `tf * 10000 * N DIV df` — a BIGINT expression both engines evaluate
+  * bit-identically, monotone in tf and in N/df (the two axes idf weighting
+  * cares about). Overflow bound: tf ≤ doc tokens (~1e4), N ≤ ~1e12 docs
+  * would be needed to approach 2^63 — document counts at 100 TB (~1e11
+  * docs of 1 KB) stay 100× under the edge.
+  *
+  * Shuffle shape (the 100 TB story):
+  *  - `termFrequencies`: one keyed aggregate on (id, term) — partial
+  *    map-side combine applies, state per key is one long.
+  *  - df: one aggregate on term over the ALREADY (id, term)-distinct tf
+  *    frame (never the raw token stream), so hot terms cost one long of
+  *    state, not a buffered posting list.
+  *  - scoring join tf ⨝ df on term: both sides keyed by term; the df side
+  *    is vocabulary-sized (orders of magnitude under the corpus) and AQE
+  *    broadcasts it when it fits.
+  *  - top-k per doc rides `TopK.perGroup`, so `WindowGroupLimit` keeps k
+  *    rows per doc per map task ahead of the final shuffle.
+  */
+object Lexical {
+
+  /** Exact (id, term, tf) term frequencies — whitespace tokens via the
+    * pinned cross-engine class (TextFunctions.WhitespaceClass).
+    */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-document top-`k` terms by quantized TF-IDF.
+    *
+    * Output: (id, term, tf, df, tfidf_q, rank_in_group) with
+    * `tfidf_q = tf * 10000 * N DIV df` (N = docs with ≥1 token) and a
+    * deterministic (score desc, term asc) rank.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs
+      .filter(TextFunctions.tokenCount(col(textCol)) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(nDocs)) // 1-row totals frame, Drift-style
+      .withColumn("tfidf_q", expr("tf * 10000 * n_docs DIV df"))
+      .drop("n_docs")
+    TopK.perGroup(scored, Seq(idCol),
+      Seq(col("tfidf_q").desc, col("term").asc), k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf_q"), col("rank_in_group"))
+  }
+
+  /** Posting lists for terms inside a document-frequency band.
+    *
+    * The band is the STRUCTURAL state bound: df is counted first (one
+    * long per term), only banded terms join back, so the
+    * `collect_list` that builds a posting buffers at most `maxDf` ids —
+    * a stopword-tier term ("the", df ≈ corpus) never materializes a
+    * corpus-sized list. The join back to the (id, term) frame reuses the
+    * term partitioning of the df aggregate.
+    *
+    * Output: (term, df, postings) — postings a comma-joined numerically
+    * sorted id list, deterministic for the oracle.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long, maxDf: Long): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"bad df band [$minDf, $maxDf]")
+    val termDoc = docs
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    val banded = termDoc
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+    termDoc.join(banded, "term")
+      .groupBy(col("term"), col("df"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col(idCol))), _.cast("string")),
+        ",").as("postings"))
+  }
+
+  /** Top-`k` documents for a bag of query terms, ranked by the summed
+    * quantized TF-IDF of the matching terms. The query terms are a tiny
+    * literal set, so the corpus token stream filters to query-term hits
+    * FIRST (predicate on the exploded term — everything else drops before
+    * any aggregation) and df is computed for the query terms only.
+    *
+    * Output: (id, n_hit_terms, score_q, rank) — deterministic
+    * (score desc, id asc) order.
+    */
+  def searchTopK(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val tf = termFrequencies(docs, idCol, textCol)
+      .filter(col("term").isin(queryTerms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs
+      .filter(TextFunctions.tokenCount(col(textCol)) > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("term_score", expr("tf * 10000 * n_docs DIV df"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("term_score")).as("score_q"))
+    // global top-k = orderBy + limit → TakeOrderedAndProject (per-partition
+    // partial top-k, no global sort, no single-partition window); the rank
+    // window then runs over k rows only.
+    val top = scored.orderBy(col("score_q").desc, col(idCol).asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_q").desc, col(idCol).asc)))
+      .select(col(idCol), col("n_hit_terms"), col("score_q"), col("rank"))
+  }
+}

@@ -122,6 +122,80 @@ class FunctionsSpec extends SparkSuite {
     assert(out === Array(Some(2500L), Some(5000L), None))
   }
 
+  test("dupNgramStats: run-length fold matches hand counts, short text null") {
+    import org.apache.spark.sql.functions.col
+    val st = TextFunctions.dupNgramStats(col("t"), 3)
+    val out = Seq(
+      // "a b c a b c a b" 3-grams: [a b c, b c a, c a b, a b c, b c a, c a b]
+      // every gram count = 2 → n=6, dup_occ=6, dup_chars=6*5=30
+      "a b c a b c a b",
+      "x y z w",  // 2 distinct grams, none duplicated → (2, 0, 0)
+      "p q")      // <3 tokens → null struct
+      .toDF("t")
+      .select(st.getField("n_grams"), st.getField("dup_occ"), st.getField("dup_chars"))
+      .as[(Option[Long], Option[Long], Option[Long])].collect()
+    assert(out(0) === ((Some(6L), Some(6L), Some(30L))))
+    assert(out(1) === ((Some(2L), Some(0L), Some(0L))))
+    assert(out(2) === ((None, None, None)))
+  }
+
+  test("dupNgramStats equals the explode-and-count formulation on random text") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docs = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("id", "t")
+    val st = TextFunctions.dupNgramStats(col("t"), 3)
+    val fold = docs.select(col("id"), st.getField("n_grams").as("n"),
+      st.getField("dup_occ").as("o"), st.getField("dup_chars").as("c"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val naive = docs.select(col("id"), explode(transform(
+        sequence(lit(0), size(TextFunctions.tokens(col("t"))) - 3),
+        i => concat_ws(" ", element_at(TextFunctions.tokens(col("t")), i + 1),
+          element_at(TextFunctions.tokens(col("t")), i + 2),
+          element_at(TextFunctions.tokens(col("t")), i + 3)))).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum("c").as("n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("o"),
+        sum(when(col("c") > 1, col("c") * length(col("g"))).otherwise(0L)).as("cc"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fold === naive)
+  }
+
+  test("gopherFlags: every rule is an exact integer comparison with the stated bounds") {
+    import org.apache.spark.sql.functions.col
+    val g = TextFunctions.gopherFlags(col("t"))
+    def flags(t: String): (Long, Long, Long, Long, Long, Int, Int, Int, Int, Int, Int) =
+      Seq(t).toDF("t").select(
+        g.getField("n_words"), g.getField("word_chars"), g.getField("alpha_words"),
+        g.getField("stop_hits"), g.getField("sym_hits"),
+        g.getField("f_words"), g.getField("f_mean_len"), g.getField("f_alpha"),
+        g.getField("f_stop"), g.getField("f_sym"), g.getField("keep"))
+        .as[(Long, Long, Long, Long, Long, Int, Int, Int, Int, Int, Int)].head()
+
+    // 50 words (boundary), all 4-char alpha, stopword "the" twice, no symbols
+    val good = (Seq.fill(48)("word") ++ Seq("the", "the")).mkString(" ")
+    val fg = flags(good)
+    assert(fg === ((50L, 198L, 50L, 2L, 0L, 1, 1, 1, 1, 1, 1)))
+
+    // too short, mean word length 2, digits only → several rules fail
+    val bad = flags("12 34 56")
+    assert(bad._6 === 0)        // f_words: 3 < 50
+    assert(bad._7 === 0)        // f_mean_len: 2 < 3
+    assert(bad._8 === 0)        // f_alpha: 0 alpha words
+    assert(bad._11 === 0)       // keep
+
+    // symbol rule: '###...' in a 10-char text → 3 hashes + 1 ellipsis = 4
+    // sym hits, 40 > 10 → fail
+    val sym = flags("###...abcd")
+    assert(sym._5 === 4L && sym._10 === 0)
+
+    // empty text: zero everything, short rules fail, symbol rule passes
+    val e = flags("")
+    assert(e._1 === 0L && e._6 === 0 && e._10 === 1 && e._11 === 0)
+  }
+
   test("native cosine matches the HOF formulation incl. null/mismatch/zero edges") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions

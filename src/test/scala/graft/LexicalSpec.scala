@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipelines.Lexical
+
+class LexicalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "banana cherry cherry"),
+    (3L, "apple apple apple durian"),
+    (4L, "cherry"),
+    (5L, ""), // empty doc: no tf rows, not counted in N
+    (6L, "banana unique")).toDF("doc_id", "text")
+
+  test("termFrequencies matches hand counts") {
+    val tf = Lexical.termFrequencies(corpus, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(tf.contains((1L, "apple", 2L)))
+    assert(tf.contains((3L, "apple", 3L)))
+    assert(tf.contains((4L, "cherry", 1L)))
+    assert(!tf.exists(_._1 == 5L)) // empty doc absent
+  }
+
+  test("tfIdfTopK scores with the quantized ratio and ranks deterministically") {
+    // N = 5 docs with tokens. df: apple 2, banana 3, cherry 3, durian 1,
+    // unique 1. score = tf * 10000 * N DIV df.
+    val out = Lexical.tfIdfTopK(corpus, "doc_id", "text", k = 2)
+      .select("doc_id", "term", "tfidf_q", "rank_in_group")
+      .as[(Long, String, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // doc 3: apple tf=3 df=2 → 3*10000*5/2 = 75000; durian 1*10000*5/1 = 50000
+    assert(out(3L).map(r => (r._2, r._3)) ===
+      Seq(("apple", 75000L), ("durian", 50000L)))
+    // doc 1: apple 2*10000*5 DIV 2 = 50000; banana and cherry tie at
+    // 1*10000*5 DIV 3 = 16666 → term-asc tiebreak picks banana
+    assert(out(1L).map(r => (r._2, r._3)) ===
+      Seq(("apple", 50000L), ("banana", 16666L)))
+    // tie in doc 6: banana 1*10000*5 DIV 3 = 16666, unique 50000 — unique first
+    assert(out(6L).head._2 === "unique")
+  }
+
+  test("invertedIndex bands df BEFORE collecting postings") {
+    // band [1, 2]: cherry (df 3) and banana (df 3) are excluded — the
+    // posting collect never sees them
+    val asMap = Lexical.invertedIndex(corpus, "doc_id", "text", minDf = 1, maxDf = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(asMap("apple") === ((2L, "1,3")))
+    assert(asMap("durian") === ((1L, "3")))
+    assert(!asMap.contains("cherry") && !asMap.contains("banana"))
+  }
+
+  test("invertedIndex postings sort numerically, not lexically") {
+    val wide = (Seq((2L, "zz"), (10L, "zz"), (9L, "zz"))).toDF("doc_id", "text")
+    val m = Lexical.invertedIndex(wide, "doc_id", "text", 1, 10)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(m("zz") === "2,9,10") // lexical sort would give "10,2,9"
+  }
+
+  test("searchTopK equals brute-force scoring and breaks ties by id") {
+    val out = Lexical.searchTopK(corpus, "doc_id", "text",
+      Seq("apple", "cherry"), k = 10)
+      .select("doc_id", "score_q", "rank").as[(Long, Long, Int)].collect()
+    // N=5. apple df 2, cherry df 3.
+    // doc1: 2*10000*5/2 + 1*10000*5/3 = 50000+16666 = 66666
+    // doc2: cherry 2*...*5/3 = 33333; doc3: apple 75000; doc4: cherry 16666
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      Seq((3L, 75000L), (1L, 66666L), (2L, 33333L), (4L, 16666L)))
+    assert(out.map(_._3).toSeq === Seq(1, 2, 3, 4))
+  }
+
+  test("searchTopK plans a TakeOrderedAndProject, not a global sort") {
+    val plan = Lexical.searchTopK(corpus, "doc_id", "text", Seq("apple"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k should be TakeOrderedAndProject:\n$plan")
+  }
+}
