@@ -1841,6 +1841,79 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_golden_record" -> ((s, dir) => {
+      // MDM survivorship: three prioritized feeds describe each order;
+      // each golden ATTRIBUTE independently takes the most-preferred
+      // non-null value (tag + exact +priority price offsets make the
+      // winning source observable per cell)
+      val o = t(s, dir, "orders")
+      def src(tag: String, pri: Int, statusNullMod: Int, priceNullMod: Int) =
+        o.select(col("o_orderkey"), lit(pri).as("priority"),
+          when(col("o_orderkey") % statusNullMod =!= 0,
+            concat(lit(tag + ":"), col("o_orderstatus"))).as("status"),
+          when(col("o_orderkey") % priceNullMod =!= 0,
+            col("o_totalprice") + pri).as("price"))
+      val feed = src("A", 3, 3, 2)
+        .unionByName(src("B", 2, 4, 3))
+        .unionByName(src("C", 1, 9999991, 9999993)) // never null
+      graft.operators.Survivorship.goldenRecord(feed,
+        Seq("o_orderkey"), Seq(col("priority")), Seq("status", "price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_benford" -> ((s, dir) => {
+      // first-digit audit on order totals: organic-feed signal per digit
+      graft.operators.Diagnostics.benford(t(s, dir, "orders"), col("o_totalprice"))
+        .orderBy(col("digit"))
+    }),
+
+    "q_fk_orphan_report" -> ((s, dir) => {
+      // referential-integrity audit on a DELIBERATELY corrupted feed:
+      // every 97th order's lineitems point at a shifted (absent) part —
+      // the report quantifies each FK's damage before a sync trusts it
+      val li = t(s, dir, "lineitem").withColumn("l_partkey",
+        when(col("l_orderkey") % 97 === 0, col("l_partkey") + 1000000L)
+          .otherwise(col("l_partkey")))
+      graft.operators.Diagnostics.fkOrphans(li, Seq(
+        ("orders", "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        ("part", "l_partkey", t(s, dir, "part"), "p_partkey"),
+        ("supplier", "l_suppkey", t(s, dir, "supplier"), "s_suppkey")))
+        .orderBy(col("fk_name"))
+    }),
+
+    "q_mad_outliers" -> ((s, dir) => {
+      // robust (median/MAD) outlier summary per event type — the
+      // median-based twin of q_event_outliers' moment z-scores, immune to
+      // the outliers it hunts. DISCRETE lower medians (the (n+1) DIV 2-th
+      // smallest, an actual data value — interpolation formulas differ
+      // across engines in the last ulp; element selection cannot), so
+      // med, mad, and every |x−med| > 3·mad compare are bit-exact in both
+      // engines. Sort-window per event_type; the approx_percentile
+      // sketch (q_percentiles_approx) is the mergeable scale path.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wc = Window.partitionBy(col("event_type"))
+      val withMed = ev
+        .withColumn("__rn", row_number().over(wv))
+        .withColumn("__n", count(lit(1)).over(wc))
+        .withColumn("__med", max(when(col("__rn") === expr("(__n + 1) div 2"),
+          col("value"))).over(wc))
+      val withAdev = withMed.withColumn("__adev", abs(col("value") - col("__med")))
+      val wa = Window.partitionBy(col("event_type")).orderBy(col("__adev"))
+      withAdev
+        .withColumn("__rna", row_number().over(wa))
+        .withColumn("__mad", max(when(col("__rna") === expr("(__n + 1) div 2"),
+          col("__adev"))).over(wc))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("__med")).as("med"),
+          max(col("__mad")).as("mad"),
+          sum((col("__adev") > col("__mad") * 3).cast("long")).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_gopher_filter" -> ((s, dir) => {
       // published-rules filter report: per-rule exact-integer flags +
       // keep bit — the decision table a curation pass materializes
@@ -3638,6 +3711,108 @@ object SparkEntry {
         |  CAST(CASE WHEN f_words + f_mean_len + f_alpha + f_stop + f_sym = 5
         |    THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM f
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_golden_record" ->
+      // with fixed per-source priorities, survivorship IS a coalesce in
+      // priority order — the oracle states it that way; the Spark side
+      // runs the generic one-aggregate max_by operator
+      """WITH a AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 <> 0 THEN 'A:' || o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice + 3 END AS price
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 4 <> 0 THEN 'B:' || o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice + 2 END AS price
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 9999991 <> 0 THEN 'C:' || o_orderstatus END AS status,
+        |    CASE WHEN o_orderkey % 9999993 <> 0 THEN o_totalprice + 1 END AS price
+        |  FROM orders)
+        |SELECT a.o_orderkey,
+        |  coalesce(a.status, b.status, c.status) AS status,
+        |  coalesce(a.price, b.price, c.price) AS price
+        |FROM a JOIN b USING (o_orderkey) JOIN c USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_benford" ->
+      // expected shares are PINNED published basis points in both engines
+      // (runtime log10 would hang the compare on libm's last ulp)
+      """WITH v AS (
+        |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
+        |  WHERE floor(o_totalprice) > 0),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM v),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM c),
+        |e(digit, expected_bp) AS (VALUES
+        |  (1, 3010), (2, 1761), (3, 1249), (4, 969), (5, 792),
+        |  (6, 669), (7, 580), (8, 512), (9, 458))
+        |SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |  CAST(floor(coalesce(c.n, 0) * 10000.0 / greatest(t, 1) + 0.5) AS BIGINT)
+        |    AS share_bp,
+        |  CAST(e.expected_bp AS BIGINT) AS expected_bp,
+        |  CAST(floor(coalesce(c.n, 0) * 10000.0 / greatest(t, 1) + 0.5)
+        |    - e.expected_bp AS BIGINT) AS delta_bp
+        |FROM e LEFT JOIN c USING (digit) CROSS JOIN tot
+        |ORDER BY e.digit""".stripMargin,
+
+    "q_fk_orphan_report" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN l_orderkey % 97 = 0 THEN l_partkey + 1000000
+        |      ELSE l_partkey END AS l_partkey
+        |  FROM lineitem),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM li),
+        |r AS (
+        |  SELECT 'orders' AS fk_name, CAST(count(*) AS BIGINT) AS n_orphans
+        |  FROM li WHERE l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'part', CAST(count(*) AS BIGINT)
+        |  FROM li WHERE l_partkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = li.l_partkey)
+        |  UNION ALL
+        |  SELECT 'supplier', CAST(count(*) AS BIGINT)
+        |  FROM li WHERE l_suppkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = li.l_suppkey))
+        |SELECT fk_name, n_orphans, n_rows,
+        |  CAST(floor(n_orphans * 10000.0 / greatest(n_rows, 1) + 0.5) AS BIGINT)
+        |    AS orphan_bp
+        |FROM r CROSS JOIN tot
+        |ORDER BY fk_name""".stripMargin,
+
+    "q_mad_outliers" ->
+      // DISCRETE lower medians (rank-selected data values, no
+      // interpolation arithmetic) — med, mad, and the 3·mad compare are
+      // bit-exact in both engines
+      """WITH ev AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |m AS (
+        |  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+        |  FROM r GROUP BY event_type),
+        |a AS (
+        |  SELECT r.event_type, r.n, abs(r.value - m.med) AS adev, m.med AS med
+        |  FROM r JOIN m USING (event_type)),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rna
+        |  FROM a),
+        |mm AS (
+        |  SELECT event_type, max(CASE WHEN rna = (n + 1) // 2 THEN adev END) AS mad
+        |  FROM r2 GROUP BY event_type)
+        |SELECT r2.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(r2.med) AS med, max(mm.mad) AS mad,
+        |  CAST(sum(CASE WHEN r2.adev > mm.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM r2 JOIN mm USING (event_type)
+        |GROUP BY r2.event_type
+        |ORDER BY r2.event_type""".stripMargin
   )
 }

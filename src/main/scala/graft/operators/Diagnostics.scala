@@ -34,6 +34,73 @@ object Diagnostics {
           .as("skew_x"))
   }
 
+  /** Benford first-digit audit — the classic "does this numeric feed look
+    * organic?" data-quality signal (fabricated/corrupted feeds drift from
+    * the logarithmic first-digit law). Values floor to integers FIRST so
+    * digit extraction goes through exact integer-to-string rendering
+    * (double formatting is engine-divergent); non-positive values are
+    * excluded. Expected shares are the published Benford basis points as
+    * PINNED constants — computing log10(1+1/d) at runtime would hang a
+    * cross-engine comparison on libm's last ulp.
+    *
+    * Output: one row per digit 1-9 (absent digits count 0):
+    * (digit, n, share_bp, expected_bp, delta_bp). One grouped count (9
+    * groups) + one broadcast totals row.
+    */
+  def benford(df: DataFrame, value: Column): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val expectedBp =
+      Seq(1 -> 3010L, 2 -> 1761L, 3 -> 1249L, 4 -> 969L, 5 -> 792L,
+        6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
+        .toDF("digit", "expected_bp")
+    val counts = df.select(floor(value).cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L)).as("__total"))
+    broadcast(expectedBp).join(counts, Seq("digit"), "left_outer")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        floor(col("n") * 10000.0 / greatest(col("__total"), lit(1L)) + 0.5)
+          .cast("long").as("share_bp"),
+        col("expected_bp"),
+        (floor(col("n") * 10000.0 / greatest(col("__total"), lit(1L)) + 0.5)
+          .cast("long") - col("expected_bp")).as("delta_bp"))
+  }
+
+  /** Referential-integrity report: for each declared FK, how many fact
+    * rows point at a key absent from its dimension — the audit artifact
+    * behind the reference's relation cleanup (CleanRelationsTables,
+    * EcomDestinationWriter.cs:4191) and the pre-flight a full-sync delete
+    * deserves. Null FKs are NOT orphans (SQL reference-integrity
+    * semantics — and a null never equi-matches, so without the explicit
+    * filter an anti join would miscount them as orphans).
+    *
+    * Per FK: one anti join (dimension side reduced to distinct keys —
+    * broadcast when dimension-sized) + one count; the per-FK 1-row
+    * results union into the report. Output:
+    * (fk_name, n_orphans, n_rows, orphan_bp).
+    */
+  def fkOrphans(fact: DataFrame,
+                fks: Seq[(String, String, DataFrame, String)]): DataFrame = {
+    require(fks.nonEmpty)
+    val totals = fact.agg(count(lit(1)).as("n_rows"))
+    val reports = fks.map { case (name, factKey, dim, dimKey) =>
+      fact.select(col(factKey)).filter(col(factKey).isNotNull)
+        .join(dim.select(col(dimKey).as(factKey)).distinct(),
+          Seq(factKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk_name"), col("n_orphans"))
+    }
+    reports.reduce(_ unionByName _)
+      .crossJoin(broadcast(totals))
+      .select(col("fk_name"), col("n_orphans"), col("n_rows"),
+        floor(col("n_orphans") * 10000.0 / greatest(col("n_rows"), lit(1L)) + 0.5)
+          .cast("long").as("orphan_bp"))
+  }
+
   /** Lower bound on an equi-join's output from the heavy keys of BOTH
     * sides: Σ over shared heavy keys of cnt_a × cnt_b, plus each side's
     * row count (any non-heavy match adds at least ~1 row per probe-side

@@ -54,14 +54,34 @@ object Lexical {
     * Output: (id, term, tf, df, tfidf_q, rank_in_group) with
     * `tfidf_q = tf * 10000 * N DIV df` (N = docs with ≥1 token) and a
     * deterministic (score desc, term asc) rank.
+    *
+    * Plan note (audited): the self-contained form tokenizes the corpus
+    * TWICE — the df branch cannot reuse the tf exchange (column pruning
+    * makes the two subtrees differ, so AQE's exchange reuse never fires).
+    * The alternative (df as `count() OVER (PARTITION BY term)`) is one
+    * scan but funnels a stopword-tier term's billions of rows into ONE
+    * window task — skew-fatal at corpus scale, while the agg+join form
+    * keeps every step partially aggregated and mergeable. A production
+    * pipeline materializes `termFrequencies` once as its own table and
+    * feeds [[tfIdfTopKFromTf]], which is both single-scan and skew-safe.
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val tf = termFrequencies(docs, idCol, textCol)
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs
       .filter(TextFunctions.tokenCount(col(textCol)) > 0)
       .agg(count(lit(1)).as("n_docs"))
+    tfIdfTopKFromTf(tf, nDocs, idCol, k)
+  }
+
+  /** The production path: score from a PRE-MATERIALIZED (id, term, tf)
+    * table (one corpus tokenization, persisted once, feeding tf-idf,
+    * search, and the inverted index alike) and a 1-row `n_docs` frame.
+    */
+  def tfIdfTopKFromTf(tf: DataFrame, nDocs: DataFrame, idCol: String,
+                      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(df, "term")
       .crossJoin(broadcast(nDocs)) // 1-row totals frame, Drift-style

@@ -20,6 +20,41 @@ class DiagnosticsSpec extends SparkSuite {
     assert(skew > 2000 && skew < 3000, s"skew_x $skew")
   }
 
+  test("benford counts leading digits with pinned expectations; absent digits report 0") {
+    // 30 values starting with 1, 10 with 2, none with 3..9
+    val vals = (1 to 30).map(i => 100.0 + i) ++ (1 to 10).map(i => 200.0 + i)
+    val rep = Diagnostics.benford(vals.toDF("v"), $"v")
+      .orderBy($"digit")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(rep.map(_._1).toSeq === (1 to 9))
+    val byDigit = rep.map(r => r._1 -> r).toMap
+    assert(byDigit(1)._2 === 30L && byDigit(1)._3 === 7500L)
+    assert(byDigit(2)._2 === 10L && byDigit(2)._3 === 2500L)
+    assert(byDigit(3)._2 === 0L && byDigit(3)._3 === 0L)
+    // delta = share - expected, e.g. digit 1: 7500 - 3010
+    assert(byDigit(1)._5 === 7500L - 3010L)
+    assert(byDigit(9)._5 === 0L - 458L)
+    // non-positive values are excluded entirely
+    val empty = Diagnostics.benford(Seq(-5.0, 0.0).toDF("v"), $"v")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(empty.forall(r => r._2 === 0L && r._3 === 0L))
+  }
+
+  test("fkOrphans counts dangling fact keys per FK; null FKs are not orphans") {
+    val fact = Seq(
+      (1L, Some(10L)), (2L, Some(11L)), (3L, Some(99L)), // 99 dangling
+      (4L, None), (5L, Some(98L))).toDF("ok", "pk") // null not an orphan
+    val dimO = Seq(1L, 2L, 3L, 4L).toDF("o") // 5 dangling on ok
+    val dimP = Seq(10L, 11L).toDF("p")
+    val rep = Diagnostics.fkOrphans(fact, Seq(
+      ("orders", "ok", dimO, "o"), ("part", "pk", dimP, "p")))
+      .orderBy($"fk_name")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rep.toSeq === Seq(
+      ("orders", 1L, 5L, 2000L), // key 5 dangling
+      ("part", 2L, 5L, 4000L))) // 99 and 98 dangling; the null row is not
+  }
+
   test("joinExplosionBound flags the hot-key product, stays quiet when balanced") {
     val hotA = ((1 to 2000).map(_ => 7L) ++ (10001L to 12000L)).toDF("k")
     val hotB = ((1 to 3000).map(_ => 7L) ++ (20001L to 22000L)).toDF("k")
