@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table registry over the driver-generated parquet star schema.
   *
@@ -19,23 +19,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one star-schema table. NOTE: the `events` table's `ts` column
-    * is TIMESTAMP(NANOS) parquet, readable only when
-    * `spark.sql.legacy.parquet.nanosAsLong=true` — `GraftSession.builder`
-    * sets it at session build (it is a static conf, not settable
-    * per-call on a live session). An externally-built session without it
-    * fails in the vectorized reader, so fail fast here with the cause.
+  /** Load one star-schema table, normalizing `events.ts` to a session-tz
+    * TIMESTAMP regardless of how the generator wrote it — the physical
+    * encoding has changed across testdata generations and the engine must
+    * read every vintage identically:
+    *  - TIMESTAMP(NANOS) parquet reads as LongType under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (a static conf
+    *    `GraftSession.builder` sets; it is harmless when unused) →
+    *    truncate to micros and rebuild the timestamp;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ →
+    *    cast to TIMESTAMP (the session is pinned UTC, so wall-clock and
+    *    instant agree and `cast(ts as long)` epoch arithmetic — which
+    *    Spark forbids on NTZ — works downstream);
+    *  - TIMESTAMP(MICROS, adjusted) already reads as TIMESTAMP.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    require(All.contains(name), s"unknown table: $name")
-    if (name == "events")
-      require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-        "events.parquet stores TIMESTAMP(NANOS): build the session with " +
-          "graft.GraftSession.builder (sets spark.sql.legacy.parquet.nanosAsLong=true, " +
-          "a static conf that cannot be set on a live session)")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    require(All.contains(name), s"unknown table: $name")
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => // nanos-as-long vintage
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 }
