@@ -1931,6 +1931,101 @@ object SparkEntry {
           g.getField("f_sym").as("f_sym"),
           g.getField("keep").as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── Time-grid resampling / privacy audit / hybrid retrieval ───────
+
+    "q_resample_ffill" -> ((s, dir) => {
+      // regular 6-hour per-user series forward-filled from the irregular
+      // purchase stream: arithmetic epoch grid (ceil/floor-aligned, so
+      // every grid point has an observation at-or-before it) + one
+      // backward as-of join. Never a driver loop, never a per-key
+      // sequence materialized outside the executors.
+      Resample.forwardFill(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", "value", stepSeconds = 21600L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"), col("grid_epoch"))
+    }),
+
+    "q_k_anonymity" -> ((s, dir) => {
+      // privacy pre-flight: quasi-identifier classes below k=5 — the
+      // rows a release must generalize or suppress. One keyed count.
+      val c = t(s, dir, "customer").withColumn("balance_band",
+        floor(col("c_acctbal") / 1000).cast("long"))
+      Diagnostics.kAnonymityViolations(c,
+        Seq("c_nationkey", "c_mktsegment", "balance_band"), k = 5)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("balance_band"))
+    }),
+
+    "q_k_anonymity_stats" -> ((s, dir) => {
+      // the one-row gate value over the same single grouped count
+      val c = t(s, dir, "customer").withColumn("balance_band",
+        floor(col("c_acctbal") / 1000).cast("long"))
+      Diagnostics.kAnonymityStats(c,
+        Seq("c_nationkey", "c_mktsegment", "balance_band"), k = 5)
+    }),
+
+    "q_hybrid_search" -> ((s, dir) => {
+      // hybrid retrieval: sparse (quantized TF-IDF keyword search) and
+      // dense (cosine top-k; the synthetic corpus aligns vec_id with
+      // doc_id) branches fused by quantized reciprocal-rank fusion —
+      // rank-only fusion needs no cross-scale score calibration
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.pipelines.Lexical.searchTopK(docs, "doc_id", "text",
+        Seq("spark", "merge", "vector", "dup"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val dense = Knn.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.pipelines.Lexical.rrfFuse(Seq(lex, dense), "doc_id",
+        rrfK = 60, topK = 10)
+        .orderBy(col("rank"))
+    }),
+
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup: trained-centroid cells, within-cell cosine pairs,
+      // transitive closure. Trained centroids are structurally
+      // non-replayable in SQL (a Lloyd round's distributed avg is
+      // summation-order-dependent — same reason q_ann_ivf is rows-only),
+      // so this stays rows-only: SemDedupSpec proves equality with the
+      // brute-force formulation on separated clusters, and the shared
+      // closure/cosine kernels are oracle-green via q_dedup_clusters and
+      // q_embed_cosine_topk.
+      val emb = t(s, dir, "embeddings")
+      val cents = Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
+      graft.similarity.SemDedup.dedup(emb, cents, minCosine = 0.25)
+        .orderBy(col("id"))
+    }),
+
+    "q_pit_join" -> ((s, dir) => {
+      // point-in-time join: every order joins the customer-dimension
+      // VERSION valid at its own order date (three deterministic
+      // versions per customer; every 10th customer retires at the last
+      // cut — those late orders must get NULL, not a stale version).
+      // One backward as-of join — never an interval explode.
+      val cust = t(s, dir, "customer")
+      def ts(d: String) = lit(d).cast("timestamp")
+      val v1 = cust.select(col("c_custkey"), ts("1995-01-01").as("valid_from"),
+        ts("1997-01-01").as("valid_to"), col("c_mktsegment").as("segment"))
+      val v2 = cust.select(col("c_custkey"), ts("1997-01-01").as("valid_from"),
+        ts("2000-01-01").as("valid_to"),
+        concat(col("c_mktsegment"), lit("_V2")).as("segment"))
+      val v3 = cust.filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), ts("2000-01-01").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"),
+          concat(col("c_mktsegment"), lit("_V3")).as("segment"))
+      val dim = v1.unionByName(v2).unionByName(v3)
+      val fact = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        col("o_orderdate").cast("timestamp").as("od"))
+      Scd.pitJoin(fact, dim, Seq("c_custkey"), "od", Seq("segment"))
+        .select(col("o_orderkey"),
+          date_format(col("od"), "yyyy-MM-dd").as("od"),
+          col("dim_segment"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -3813,6 +3908,118 @@ object SparkEntry {
         |    AS n_outliers
         |FROM r2 JOIN mm USING (event_type)
         |GROUP BY r2.event_type
-        |ORDER BY r2.event_type""".stripMargin
+        |ORDER BY r2.event_type""".stripMargin,
+
+    "q_resample_ffill" ->
+      // DuckDB epoch() is DOUBLE (fractional seconds) — floor+cast
+      // mirrors Spark's truncating timestamp→long cast. ASOF LEFT JOIN
+      // is the fill; grid bounds replay the same ceil/floor alignment.
+      """WITH obs AS (
+        |  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    max(value) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT key, min(t) AS mn, max(t) AS mx FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT key, unnest(generate_series(
+        |    mn + (21600 - mn % 21600) % 21600, mx - mx % 21600, 21600)) AS t
+        |  FROM b
+        |  WHERE mx - mx % 21600 >= mn + (21600 - mn % 21600) % 21600),
+        |j AS (
+        |  SELECT g.key, g.t, o.v
+        |  FROM grid g ASOF LEFT JOIN obs o ON g.key = o.key AND g.t >= o.t)
+        |SELECT key AS user_id, CAST(t AS BIGINT) AS grid_epoch, v AS value_ff
+        |FROM j ORDER BY user_id, grid_epoch""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment, balance_band,
+        |  CAST(count(*) AS BIGINT) AS class_size
+        |FROM c GROUP BY 1, 2, 3
+        |HAVING count(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment, balance_band""".stripMargin,
+
+    "q_k_anonymity_stats" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bb, count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(floor(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000.0
+        |    / greatest(sum(n), 1) + 0.5) AS BIGINT) AS risk_bp
+        |FROM cls""".stripMargin,
+
+    "q_hybrid_search" ->
+      // both branches replay their own oracle-green formulations
+      // (q_lexical_search / q_embed_cosine_topk) and fuse in integer
+      // RRF; integer sums cast to BIGINT per SURVEY §6
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'merge', 'vector', 'dup') GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
+        |sc AS (
+        |  SELECT t.doc_id, sum((t.tf * 10000 * n.n_docs) // d.df) AS score_q
+        |  FROM tf t JOIN dfc d USING (term) CROSS JOIN n GROUP BY t.doc_id),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rk
+        |  FROM sc ORDER BY score_q DESC, doc_id LIMIT 20),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id,
+        |    round(
+        |      list_aggregate(list_apply(list_zip(q.q_emb, e.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      / (sqrt(list_aggregate(list_apply(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |         * sqrt(list_aggregate(list_apply(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+        |      4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> 0),
+        |dense AS (
+        |  SELECT vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+        |  FROM pairs ORDER BY cos_sim DESC, vec_id LIMIT 20),
+        |u AS (SELECT doc_id, rk FROM lex UNION ALL SELECT doc_id, rk FROM dense),
+        |f AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+        |    CAST(sum(10000 // (60 + rk)) AS BIGINT) AS rrf_q
+        |  FROM u GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, n_lists, rrf_q,
+        |    row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rnk
+        |  FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10)
+        |SELECT doc_id, n_lists, rrf_q, CAST(rnk AS INTEGER) AS "rank"
+        |FROM r ORDER BY "rank"""".stripMargin,
+
+    "q_pit_join" ->
+      // interval-containment LEFT JOIN is the transparent oracle form;
+      // the Spark side must reproduce it from one backward as-of join
+      """WITH dim AS (
+        |  SELECT c_custkey, TIMESTAMP '1995-01-01' AS vf,
+        |    TIMESTAMP '1997-01-01' AS vt, c_mktsegment AS segment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, TIMESTAMP '1997-01-01', TIMESTAMP '2000-01-01',
+        |    c_mktsegment || '_V2' FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, TIMESTAMP '2000-01-01', NULL,
+        |    c_mktsegment || '_V3' FROM customer WHERE c_custkey % 10 <> 0)
+        |SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS od,
+        |  d.segment AS dim_segment
+        |FROM orders o LEFT JOIN dim d
+        |  ON o.o_custkey = d.c_custkey AND d.vf <= o.o_orderdate
+        |  AND (d.vt IS NULL OR d.vt > o.o_orderdate)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -101,6 +101,50 @@ object Diagnostics {
           .cast("long").as("orphan_bp"))
   }
 
+  /** k-anonymity audit — the privacy pre-flight before a dataset leaves
+    * the pipeline (Sweeney 2002): every combination of quasi-identifier
+    * values shared by FEWER than `k` rows is a re-identification risk.
+    * The complement of [[graft.functions.TextFunctions]]-style PII
+    * redaction: redaction scrubs direct identifiers, this audits whether
+    * the remaining columns still single people out.
+    *
+    * One keyed aggregate with partial map-side combine (same cost as any
+    * groupBy — no self-join, no window), then a filter to the violating
+    * classes. The violating set is the actionable artifact: generalize or
+    * suppress exactly these rows. Output: (quasiCols..., class_size),
+    * class_size < k.
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be at least 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
+
+  /** One-row k-anonymity summary: (n_classes, n_violating_classes,
+    * rows_at_risk, risk_bp) — the gate value a release pipeline checks
+    * before [[kAnonymityViolations]]'s detail is worth reading. Derived
+    * from the SAME single grouped count (one shuffle; the class frame is
+    * cardinality-sized, far below the data).
+    */
+  def kAnonymityStats(df: DataFrame, quasiCols: Seq[String],
+                      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be at least 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L))
+          .as("n_violating_classes"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .as("rows_at_risk"),
+        floor(sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+            * 10000.0 / greatest(sum(col("class_size")), lit(1L)) + 0.5)
+          .cast("long").as("risk_bp"))
+  }
+
   /** Lower bound on an equi-join's output from the heavy keys of BOTH
     * sides: Σ over shared heavy keys of cnt_a × cnt_b, plus each side's
     * row count (any non-heavy match adds at least ~1 row per probe-side

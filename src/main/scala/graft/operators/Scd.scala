@@ -132,4 +132,39 @@ object Scd {
       }: _*)
     hist.unionByName(kept).unionByName(closed).unionByName(versions)
   }
+
+  /** Point-in-time join against a Type 2 history: each fact row joins
+    * the dimension version whose validity interval covers the fact's OWN
+    * timestamp — the query [[snapshotAsOf]] can't express (that
+    * reconstructs ONE instant; here every row brings its instant). The
+    * canonical warehouse correctness query: "price/segment/status as it
+    * stood when the order was placed", immune to the
+    * join-current-and-restate bug.
+    *
+    * Shape: ONE backward [[AsOf.joinAsOf]] on `fromCol` (one keyed
+    * exchange, RUNNING-frame carry — never an interval explode or a
+    * per-version equi-join fanout), then the matched version's `toCol`
+    * is checked: a version that CLOSED before the fact's instant (the
+    * key was retired) nulls the payload out rather than shipping a stale
+    * version. With non-overlapping intervals this equals interval-
+    * containment semantics exactly; under overlapping (corrupt)
+    * intervals the latest-starting version wins deterministically.
+    */
+  def pitJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+              factTs: String, payloadCols: Seq[String],
+              fromCol: String = "valid_from", toCol: String = "valid_to",
+              prefix: String = "dim_"): DataFrame = {
+    require(payloadCols.nonEmpty, "pitJoin needs dimension payload columns")
+    val right = dim.select(
+      (keys.map(col) :+ col(fromCol).as(factTs) :+ col(toCol).as("__vt")) ++
+        payloadCols.map(col): _*)
+    val joined = AsOf.joinAsOf(fact, right, keys, factTs,
+      payloadCols :+ "__vt", prefix = "__pit_")
+    val stale = col("__pit___vt").isNotNull && col("__pit___vt") <= col(factTs)
+    payloadCols.foldLeft(joined) { case (df, c) =>
+      df.withColumn(s"$prefix$c",
+          when(stale, lit(null)).otherwise(col(s"__pit_$c")))
+        .drop(s"__pit_$c")
+    }.drop("__pit___vt")
+  }
 }

@@ -155,4 +155,40 @@ object Lexical {
           .orderBy(col("score_q").desc, col(idCol).asc)))
       .select(col(idCol), col("n_hit_terms"), col("score_q"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of ranked lists —
+    * the standard hybrid-retrieval combiner (sparse [[searchTopK]] +
+    * dense [[graft.similarity.Knn]] top-k feed it their rank columns).
+    * RRF needs only RANKS, so branch scores on incomparable scales
+    * (quantized TF-IDF vs cosine) fuse without calibration.
+    *
+    * Scoring is the QUANTIZED integer form `Σ 10000 DIV (rrfK + rank)` —
+    * the classic `Σ 1/(k+rank)` in fixed-point, bit-identical across
+    * engines (SURVEY §6: no float accumulation order to diverge) and
+    * monotone-equivalent for any plausible list length (10000 DIV
+    * (60+rank) stays distinct per rank until rank ≈ 40, and ties break
+    * deterministically by id anyway).
+    *
+    * Each branch is already top-k-sized (k rows, not corpus rows), so the
+    * union is tiny by construction; the fuse is one keyed aggregate and a
+    * `TakeOrderedAndProject` global top-k. Output:
+    * (id, n_lists, rrf_q, rank) — deterministic (rrf_q desc, id asc).
+    */
+  def rrfFuse(branches: Seq[DataFrame], idCol: String, rrfK: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(branches.nonEmpty, "rrfFuse needs at least one ranked branch")
+    require(rrfK >= 1 && topK >= 1, s"bad rrfK=$rrfK / topK=$topK")
+    val u = branches
+      .map(_.select(col(idCol), col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+    val scored = u
+      .withColumn("__contrib", expr(s"10000L div (${rrfK}L + rank)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"), sum(col("__contrib")).as("rrf_q"))
+    val top = scored.orderBy(col("rrf_q").desc, col(idCol).asc).limit(topK)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_q").desc, col(idCol).asc)))
+      .select(col(idCol), col("n_lists"), col("rrf_q"), col("rank"))
+  }
 }

@@ -116,6 +116,14 @@ object Knn {
     corpus.select(col("vec_id"),
       nearestCentroid(col("embedding"), centroids).as("centroid_id"))
 
+  /** The corpus with a `centroid_id` column appended — [[assign]] keeping
+    * every caller column (SemDedup needs the vector riding along with its
+    * bucket). Still a pure map: no shuffle, no join.
+    */
+  def withAssignment(corpus: DataFrame, centroids: Centroids): DataFrame =
+    corpus.withColumn("centroid_id",
+      nearestCentroid(col("embedding"), centroids))
+
   /** Persist the IVF index: corpus written as parquet partitioned by
     * centroid bucket. Probing then reads ONLY the probed buckets'
     * directories — partition pruning at the filesystem level, the layout

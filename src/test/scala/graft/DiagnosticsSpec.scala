@@ -55,6 +55,28 @@ class DiagnosticsSpec extends SparkSuite {
       ("part", 2L, 5L, 4000L))) // 99 and 98 dangling; the null row is not
   }
 
+  test("kAnonymity violations and stats match the naive definition") {
+    // classes: (a,1)×5 safe at k=5, (a,2)×3 violating, (b,1)×1 violating
+    val rows = Seq.fill(5)(("a", 1)) ++ Seq.fill(3)(("a", 2)) ++ Seq(("b", 1))
+    val df = rows.toDF("seg", "band")
+    val viol = Diagnostics.kAnonymityViolations(df, Seq("seg", "band"), k = 5)
+      .orderBy($"seg", $"band").as[(String, Int, Long)].collect().toSeq
+    assert(viol === Seq(("a", 2, 3L), ("b", 1, 1L)))
+
+    val stats = Diagnostics.kAnonymityStats(df, Seq("seg", "band"), k = 5)
+      .as[(Long, Long, Long, Long)].head()
+    // 3 classes, 2 violating, 4 rows at risk of 9 → 4444 bp
+    assert(stats === ((3L, 2L, 4L, 4444L)))
+  }
+
+  test("kAnonymity is clean when every class reaches k") {
+    val df = (Seq.fill(4)(("a", 1)) ++ Seq.fill(4)(("b", 2))).toDF("seg", "band")
+    assert(Diagnostics.kAnonymityViolations(df, Seq("seg", "band"), k = 4).count() === 0L)
+    val stats = Diagnostics.kAnonymityStats(df, Seq("seg", "band"), k = 4)
+      .as[(Long, Long, Long, Long)].head()
+    assert(stats === ((2L, 0L, 0L, 0L)))
+  }
+
   test("joinExplosionBound flags the hot-key product, stays quiet when balanced") {
     val hotA = ((1 to 2000).map(_ => 7L) ++ (10001L to 12000L)).toDF("k")
     val hotB = ((1 to 3000).map(_ => 7L) ++ (20001L to 22000L)).toDF("k")

@@ -76,4 +76,30 @@ class LexicalSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-k should be TakeOrderedAndProject:\n$plan")
   }
+
+  test("rrfFuse sums quantized reciprocal ranks across branches") {
+    // branch A ranks: d1=1, d2=2, d3=3; branch B ranks: d2=1, d4=2
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val out = Lexical.rrfFuse(Seq(a, b), "doc_id", rrfK = 60, topK = 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // contributions: rank1 → 10000/61=163, rank2 → 161, rank3 → 158
+    // d2: 161+163=324 (both lists), d1: 163, d3: 158, d4: 161
+    assert(out === Seq(
+      (2L, 2L, 324L, 1), (1L, 1L, 163L, 2), (4L, 1L, 161L, 3), (3L, 1L, 158L, 4)))
+  }
+
+  test("rrfFuse truncates to topK and breaks score ties by id") {
+    // two docs at identical rank in different branches tie → id order
+    val a = Seq((9L, 1), (5L, 2)).toDF("doc_id", "rank")
+    val b = Seq((7L, 1)).toDF("doc_id", "rank")
+    val out = Lexical.rrfFuse(Seq(a, b), "doc_id", rrfK = 60, topK = 2)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out === Seq((7L, 1L, 163L, 1), (9L, 1L, 163L, 2)))
+
+    val plan = Lexical.rrfFuse(Seq(a, b), "doc_id", topK = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fused top-k should be TakeOrderedAndProject:\n$plan")
+  }
 }

@@ -134,6 +134,53 @@ class OperatorsSpec extends SparkSuite {
       (3, "c1", "t1", None, true)))       // new key current
   }
 
+  test("Scd.pitJoin: each fact row gets its own instant's version; retired keys null") {
+    // key 1: v1 [0,10), v2 [10,20), retired at 20. key 2: v1 [0,∞).
+    val dim = Seq(
+      (1, 0, Option(10), "v1"), (1, 10, Option(20), "v2"),
+      (2, 0, None: Option[Int], "w1"))
+      .toDF("id", "valid_from", "valid_to", "seg")
+    val fact = Seq((1, 5), (1, 10), (1, 19), (1, 25), (2, 99), (3, 1))
+      .toDF("id", "t")
+    val out = Scd.pitJoin(fact, dim, Seq("id"), "t", Seq("seg"))
+      .orderBy("id", "t")
+      .as[(Int, Int, Option[String])].collect()
+    assert(out === Array(
+      (1, 5, Some("v1")),
+      (1, 10, Some("v2")),  // boundary: vf == t is inclusive, v1 excluded
+      (1, 19, Some("v2")),
+      (1, 25, None),        // retired before t → stale version nulled
+      (2, 99, Some("w1")),  // open-ended version
+      (3, 1, None)))        // key never in the dimension
+  }
+
+  test("Scd.pitJoin equals the interval-containment join on random histories") {
+    val rnd = new scala.util.Random(11)
+    // per key: versions at sorted cut points (non-overlapping by
+    // construction), last one open for half the keys
+    val dims = (1 to 40).flatMap { k =>
+      val cuts = Seq.fill(rnd.nextInt(4) + 1)(rnd.nextInt(100)).distinct.sorted
+      val open = k % 2 == 0
+      cuts.zipWithIndex.map { case (c, i) =>
+        val to = if (i + 1 < cuts.length) Option(cuts(i + 1))
+          else if (open) None else Option(c + rnd.nextInt(10) + 1)
+        (k, c, to, s"k$k-v$i")
+      }
+    }
+    val dim = dims.toDF("id", "valid_from", "valid_to", "seg")
+    val fact = Seq.fill(500)((rnd.nextInt(45) + 1, rnd.nextInt(120))).toDF("id", "t")
+    val got = Scd.pitJoin(fact, dim, Seq("id"), "t", Seq("seg"))
+      .orderBy("id", "t", "dim_seg")
+      .as[(Int, Int, Option[String])].collect().toSeq
+    val want = fact.join(dim,
+        fact("id") === dim("id") && dim("valid_from") <= fact("t") &&
+          (dim("valid_to").isNull || dim("valid_to") > fact("t")), "left")
+      .select(fact("id"), col("t"), col("seg").as("dim_seg"))
+      .orderBy("id", "t", "dim_seg")
+      .as[(Int, Int, Option[String])].collect().toSeq
+    assert(got === want)
+  }
+
   test("AsOf.joinAsOf: inclusive latest-at-or-before per key, null before first") {
     val l = Seq((1L, 5, "e1"), (1L, 10, "e2"), (1L, 20, "e3"), (2L, 7, "e4"))
       .toDF("k", "t", "name")

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Resample
+
+class ResampleSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Naive reference: for each key, for each aligned grid point in
+    * [ceil(mn), floor(mx)], the max value among observations at the
+    * latest observed ts ≤ grid point.
+    */
+  private def naive(obs: Seq[(Long, Long, Double)], step: Long): Seq[(Long, Long, Double)] =
+    obs.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val byTs = rows.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._3).max }
+      val ts = byTs.keys.toSeq.sorted
+      val (mn, mx) = (ts.head, ts.last)
+      val start = mn + (step - mn % step) % step
+      val end = mx - mx % step
+      (start to end by step).map { g =>
+        val t = ts.filter(_ <= g).last
+        (k, g, byTs(t))
+      }
+    }.sortBy(r => (r._1, r._2))
+
+  test("forward fill equals the naive per-grid-point definition") {
+    val obs = Seq(
+      (1L, 100L, 1.0), (1L, 130L, 2.0), (1L, 305L, 3.0),
+      (2L, 60L, 9.0), (2L, 61L, 8.0),
+      (3L, 50L, 4.0), (3L, 50L, 7.0), // same-ts tie → max
+      (3L, 240L, 5.0))
+    val out = Resample.forwardFill(obs.toDF("k", "t", "v"), "k", "t", "v",
+        stepSeconds = 60L)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(out === naive(obs, 60L))
+    assert(out.nonEmpty)
+  }
+
+  test("forward fill matches naive on random irregular series") {
+    val rnd = new scala.util.Random(7)
+    val obs = Seq.fill(800)(
+      (rnd.nextInt(5).toLong, rnd.nextInt(100000).toLong, rnd.nextInt(100).toDouble))
+    val out = Resample.forwardFill(obs.toDF("k", "t", "v"), "k", "t", "v",
+        stepSeconds = 3600L)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(out === naive(obs, 3600L))
+  }
+
+  test("grid points are aligned epoch multiples and values are never null") {
+    val obs = Seq((1L, 1001L, 1.0), (1L, 9999L, 2.0))
+    val out = Resample.forwardFill(obs.toDF("k", "t", "v"), "k", "t", "v", 500L)
+    val rows = out.collect()
+    assert(rows.forall(r => r.getLong(1) % 500L == 0))
+    assert(rows.forall(!_.isNullAt(2)))
+    assert(rows.map(_.getLong(1)).min == 1500L) // ceil(1001)
+    assert(rows.map(_.getLong(1)).max == 9500L) // floor(9999)
+  }
+
+  test("a key whose span holds no aligned grid point emits nothing") {
+    val obs = Seq((1L, 1001L, 1.0), (1L, 1400L, 2.0), // no multiple of 500 inside
+      (2L, 500L, 3.0)) // exactly on the grid: one point
+    val out = Resample.forwardFill(obs.toDF("k", "t", "v"), "k", "t", "v", 500L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((2L, 500L, 3.0)))
+  }
+
+  test("a pathological span raises a named error instead of exploding the grid") {
+    val obs = Seq((1L, 0L, 1.0), (1L, Long.MaxValue / 4, 2.0))
+    val e = intercept[Exception] {
+      Resample.forwardFill(obs.toDF("k", "t", "v"), "k", "t", "v", 60L,
+        maxGridPoints = 1000000L).count()
+    }
+    assert(e.getMessage.contains("resample") || e.getCause != null)
+  }
+
+  test("timestamp columns cast to truncated epoch seconds") {
+    val obs = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30.9"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:10:00.0"), 2.0))
+    val out = Resample.forwardFill(obs.toDF("k", "t", "v"), "k", "t", "v", 3600L)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+    // two aligned hours inside the span; epoch alignment is tz-independent
+    assert(out.map(_._3) === Seq(1.0, 1.0))
+    assert(out.size == 2)
+  }
+}
