@@ -378,6 +378,73 @@ object ScaleSmoke {
           bounds.size + 1).count())
     }
 
+    if (section == "all" || section == "retrieval") {
+      // the round-7 tier: lexical ranking must stay scan-bound (keyed
+      // aggs + vocabulary joins), SemDeDup must stay ~linear when
+      // nCentroids scales with the corpus (cells of constant size —
+      // the algorithm's contract), resample must scale with the
+      // OBSERVATION count (the grid is span-bound, not data-bound),
+      // and the PIT join must scale with the fact side
+      import graft.operators.{Resample, Scd}
+      import graft.pipelines.Lexical
+      import graft.similarity.SemDedup
+
+      val docs1 = Tables.load(spark, base, "documents")
+      val docsN = spark.read.parquet(replicate("documents", "doc_id"))
+      val terms = Seq("spark", "merge", "vector", "dup")
+      time("bm25 1x")(Lexical.bm25TopK(docs1, "doc_id", "text", terms, 20).count())
+      time(s"bm25 ${mult}x")(Lexical.bm25TopK(docsN, "doc_id", "text", terms, 20).count())
+      time("tfidf topk 1x")(Lexical.tfIdfTopK(docs1, "doc_id", "text", 3).count())
+      time(s"tfidf topk ${mult}x")(Lexical.tfIdfTopK(docsN, "doc_id", "text", 3).count())
+
+      val emb1 = Tables.load(spark, base, "embeddings")
+      val embN = spark.read.parquet(replicate("embeddings", "vec_id"))
+      // nCentroids ~ sqrt(N): cells stay bounded as the corpus grows
+      time("semdedup 1x") {
+        val c = Knn.trainCentroids(emb1, 45, 1)
+        SemDedup.dedup(emb1, c, 0.25).count()
+      }
+      time(s"semdedup ${mult}x") {
+        val c = Knn.trainCentroids(embN, 140, 1, sampleFraction = 0.3)
+        SemDedup.dedup(embN, c, 0.25).count()
+      }
+
+      // irregular series: obs count ramps ×mult, keys and span fixed —
+      // the grid (span-bound) stays constant, so healthy growth is the
+      // OBS scan + asof sort, never grid explosion
+      def series(n: Long) = spark.range(n).select(
+        (col("id") % 1000).as("k"),
+        (abs(xxhash64(col("id"))) % 10000000L).as("t"),
+        (col("id") % 1000).cast("double").as("v"))
+      time("resample 1x")(
+        Resample.forwardFill(series(600000L), "k", "t", "v", 3600L).count())
+      time(s"resample ${mult}x")(
+        Resample.forwardFill(series(600000L * mult), "k", "t", "v", 3600L).count())
+
+      // PIT join: fact side ramps, the 3-version dimension is fixed
+      val cust = Tables.load(spark, base, "customer")
+      def ts(d: String) = lit(d).cast("timestamp")
+      val dim = cust.select(col("c_custkey"), ts("1995-01-01").as("valid_from"),
+          ts("1997-01-01").as("valid_to"), col("c_mktsegment").as("seg"))
+        .unionByName(cust.select(col("c_custkey"), ts("1997-01-01").as("valid_from"),
+          ts("2000-01-01").as("valid_to"),
+          concat(col("c_mktsegment"), lit("_V2")).as("seg")))
+        .unionByName(cust.filter(col("c_custkey") % 10 =!= 0)
+          .select(col("c_custkey"), ts("2000-01-01").as("valid_from"),
+            lit(null).cast("timestamp").as("valid_to"),
+            concat(col("c_mktsegment"), lit("_V3")).as("seg")))
+      val ord1 = Tables.load(spark, base, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        col("o_orderdate").cast("timestamp").as("od"))
+      val ordN = spark.read.parquet(replicate("orders", "o_orderkey")).select(
+        col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        col("o_orderdate").cast("timestamp").as("od"))
+      time("pit join 1x")(
+        Scd.pitJoin(ord1, dim, Seq("c_custkey"), "od", Seq("seg")).count())
+      time(s"pit join ${mult}x")(
+        Scd.pitJoin(ordN, dim, Seq("c_custkey"), "od", Seq("seg")).count())
+    }
+
     spark.stop()
   }
 }

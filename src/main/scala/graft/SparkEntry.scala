@@ -2000,6 +2000,15 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_bm25_search" -> ((s, dir) => {
+      // BM25 keyword retrieval — the doc-length-normalized ranking
+      // q_lexical_search's raw TF-IDF lacks; exact integer arithmetic
+      // (k1=6/5, b=3/4 cleared of denominators, ratio-form idf)
+      graft.pipelines.Lexical.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "merge", "vector", "dup"), k = 20)
+        .orderBy(col("rank"))
+    }),
+
     "q_pit_join" -> ((s, dir) => {
       // point-in-time join: every order joins the customer-dimension
       // VERSION valid at its own order date (three deterministic
@@ -4000,6 +4009,36 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rnk
         |  FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10)
         |SELECT doc_id, n_lists, rrf_q, CAST(rnk AS INTEGER) AS "rank"
+        |FROM r ORDER BY "rank"""".stripMargin,
+
+    "q_bm25_search" ->
+      // same cleared-denominator integers: DuckDB's intermediates go
+      // HUGEINT, the final sum casts to BIGINT per §6
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
+        |tot AS (SELECT sum(dl) AS t_tokens, count(*) AS n_docs FROM dl),
+        |tf AS (SELECT * FROM tfall
+        |  WHERE term IN ('spark', 'merge', 'vector', 'dup')),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+        |    CAST(sum(
+        |      ((2 * tot.n_docs - 2 * d.df + 1) * 1000 // (2 * d.df + 1)) *
+        |      (22 * tot.t_tokens * t.tf * 10000 //
+        |       (10 * tot.t_tokens * t.tf + 3 * tot.t_tokens
+        |        + 9 * l.dl * tot.n_docs))
+        |    ) AS BIGINT) AS score_q
+        |  FROM tf t JOIN dfc d USING (term) JOIN dl l USING (doc_id)
+        |  CROSS JOIN tot
+        |  GROUP BY t.doc_id),
+        |r AS (
+        |  SELECT doc_id, n_hit_terms, score_q,
+        |    row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+        |  FROM sc ORDER BY score_q DESC, doc_id LIMIT 20)
+        |SELECT doc_id, n_hit_terms, score_q, CAST(rnk AS INTEGER) AS "rank"
         |FROM r ORDER BY "rank"""".stripMargin,
 
     "q_pit_join" ->

@@ -156,6 +156,59 @@ object Lexical {
       .select(col(idCol), col("n_hit_terms"), col("score_q"), col("rank"))
   }
 
+  /** Top-`k` documents for a bag of query terms under BM25 (Robertson &
+    * Walker '94) — the standard lexical ranking, with doc-length
+    * normalization [[searchTopK]]'s raw TF-IDF lacks (a 10k-token page
+    * mentioning the query once no longer outranks a focused paragraph).
+    *
+    * EXACT INTEGER arithmetic throughout, k1 = 1.2 and b = 0.75 as exact
+    * rationals (6/5, 3/4) cleared of denominators:
+    *
+    *   tf_part  = 22·T·tf·10000  DIV  (10·T·tf + 3·T + 9·dl·n)
+    *     [= 10⁴ · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl)), avgdl = T/n]
+    *   idf_q    = ((2n − 2df + 1)·1000)  DIV  (2df + 1)
+    *     [= 10³ · (n − df + ½)/(df + ½), the BM25+ idf ratio — monotone
+    *      in n/df like the tfidf quantization; ln is libm-hazardous]
+    *   score_q  = Σ_terms idf_q · tf_part
+    *
+    * with T = total corpus tokens, n = docs, dl = doc tokens. Overflow:
+    * 22·T·tf·10⁴ needs T·tf ≲ 4·10¹⁴ — T ≈ 10¹³ tokens (100 TB of text)
+    * with tf ≤ 40 fits; beyond that pre-divide T by its gcd with 10⁴ or
+    * drop to DECIMAL(38). The per-doc work is one join against the
+    * query-filtered tf frame + the (dl, totals) frames — same shuffle
+    * shape as [[searchTopK]] plus one dl aggregate reusing the (id, term)
+    * exchange's input scan.
+    *
+    * Output: (id, n_hit_terms, score_q, rank), deterministic
+    * (score desc, id asc).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val tfAll = termFrequencies(docs, idCol, textCol)
+    val dl = tfAll.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("t_tokens"),
+      count(lit(1)).as("n_docs"))
+    val tf = tfAll.filter(col("term").isin(queryTerms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(df, "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(totals))
+      .withColumn("term_score",
+        expr("((2L * n_docs - 2L * df + 1L) * 1000L div (2L * df + 1L)) * " +
+          "(22L * t_tokens * tf * 10000L div " +
+          "(10L * t_tokens * tf + 3L * t_tokens + 9L * dl * n_docs))"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("term_score")).as("score_q"))
+    val top = scored.orderBy(col("score_q").desc, col(idCol).asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_q").desc, col(idCol).asc)))
+      .select(col(idCol), col("n_hit_terms"), col("score_q"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of ranked lists —
     * the standard hybrid-retrieval combiner (sparse [[searchTopK]] +
     * dense [[graft.similarity.Knn]] top-k feed it their rank columns).

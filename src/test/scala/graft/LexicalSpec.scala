@@ -77,6 +77,48 @@ class LexicalSpec extends SparkSuite {
       s"global top-k should be TakeOrderedAndProject:\n$plan")
   }
 
+  test("bm25TopK matches the cleared-denominator integer formula") {
+    // naive reference computed straight from the docstring formula
+    val docs = Seq(
+      (1L, "apple banana apple cherry"), (2L, "banana cherry cherry"),
+      (3L, "apple apple apple durian"), (4L, "cherry"),
+      (6L, "banana unique")).map { case (id, s) => (id, s.split(" ").toSeq) }
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (id, t, g.size.toLong) } }
+    val dl = docs.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val bigT = dl.values.sum
+    val n = docs.size.toLong
+    val terms = Seq("apple", "cherry")
+    val df = terms.map(t => t -> tf.count(_._2 == t).toLong).toMap
+    val want = tf.filter(r => terms.contains(r._2))
+      .groupBy(_._1).map { case (id, rows) =>
+        val score = rows.map { case (_, t, f) =>
+          val idf = (2 * n - 2 * df(t) + 1) * 1000L / (2 * df(t) + 1)
+          val tfp = 22L * bigT * f * 10000L /
+            (10L * bigT * f + 3L * bigT + 9L * dl(id) * n)
+          idf * tfp
+        }.sum
+        (id, rows.size.toLong, score)
+      }.toSeq.sortBy(r => (-r._3, r._1))
+    val got = Lexical.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+      .select("doc_id", "n_hit_terms", "score_q")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("bm25 length normalization outranks the padded doc raw TF-IDF prefers") {
+    // same single query-term hit, one focused doc vs one long padded doc
+    val c = Seq(
+      (1L, "target"),
+      (2L, "target " + Seq.fill(60)("pad").mkString(" "))).toDF("doc_id", "text")
+    val bm = Lexical.bm25TopK(c, "doc_id", "text", Seq("target"), k = 2)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(bm(1L) === 1 && bm(2L) === 2) // short doc wins under BM25
+    val tfidf = Lexical.searchTopK(c, "doc_id", "text", Seq("target"), k = 2)
+      .select("doc_id", "score_q").as[(Long, Long)].collect().toMap
+    assert(tfidf(1L) === tfidf(2L)) // raw TF-IDF can't tell them apart
+  }
+
   test("rrfFuse sums quantized reciprocal ranks across branches") {
     // branch A ranks: d1=1, d2=2, d3=3; branch B ranks: d2=1, d4=2
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
