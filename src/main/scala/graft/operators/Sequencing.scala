@@ -45,7 +45,15 @@ object Sequencing {
     // deterministic expression of the key alone.
     val bounds = keys.agg(min(col("k")), max(col("k"))).head()
     if (bounds.isNullAt(0)) return emptyGaps(spark)
-    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    gapsFromKeys(keys, bounds.getLong(0), bounds.getLong(1), nBuckets)
+  }
+
+  /** [[gaps]] body over pre-derived keys + bounds, so [[islands]] (which
+    * needs the same keys and bounds itself) never rescans the source for
+    * them.
+    */
+  private def gapsFromKeys(keys: DataFrame, mn: Long, mx: Long,
+                           nBuckets: Int): DataFrame = {
     // ceil((span) / nBuckets) without floats; width ≥ 1
     val width = math.max(1L, (mx - mn) / nBuckets + 1L)
 
@@ -80,33 +88,45 @@ object Sequencing {
     * domain ends.
     */
   def islands(df: DataFrame, keyCol: String, nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = df.sparkSession
-    val keys = df.select(col(keyCol).cast("long").as("k")).filter(col("k").isNotNull)
-    val bounds = keys.agg(min(col("k")), max(col("k"))).head()
-    if (bounds.isNullAt(0)) return emptyIslands(spark)
-    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
-    val g = gaps(df, keyCol, nBuckets)
-      .select(col("gap_start"), col("gap_end"))
-    // Island starts: domain min + each gap_end + 1. Island ends: each
-    // gap_start - 1 + domain max. Both frames are gap-sized (audit-scale,
-    // not data-scale); zip them by rank.
-    val starts = g.select((col("gap_end") + 1).as("island_start"))
-      .unionByName(spark.range(1).select(lit(mn).as("island_start")))
-    val ends = g.select((col("gap_start") - 1).as("island_end"))
-      .unionByName(spark.range(1).select(lit(mx).as("island_end")))
-    val ws = Window.orderBy(col("island_start"))
-    val we = Window.orderBy(col("island_end"))
-    val s2 = starts.withColumn("r", row_number().over(ws))
-    val e2 = ends.withColumn("r", row_number().over(we))
-    val islandsDf = s2.join(e2, "r").select(col("island_start"), col("island_end"))
-    // distinct-key count per island: one broadcast range join of the keys
-    // against the (tiny) island frame, then a keyed count.
-    keys.dropDuplicates("k")
-      .join(broadcast(islandsDf),
-        col("k").between(col("island_start"), col("island_end")))
-      .groupBy(col("island_start"), col("island_end"))
-      .agg(count(lit(1)).as("n_keys"))
-      .orderBy(col("island_start"))
+    // distinct ONCE: gap detection is duplicate-insensitive (equal
+    // neighbours produce no gap) and the island counts need distinct keys
+    // anyway — deduping first shrinks every downstream scan, window, and
+    // the final range join to the key-domain size
+    val keys = df.select(col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull).dropDuplicates("k").persist()
+    try {
+      val bounds = keys.agg(min(col("k")), max(col("k"))).head()
+      if (bounds.isNullAt(0)) return emptyIslands(spark)
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val g = gapsFromKeys(keys, mn, mx, nBuckets)
+        .select(col("gap_start"), col("gap_end"))
+      // Island starts: domain min + each gap_end + 1. Island ends: each
+      // gap_start - 1 + domain max. Both frames are gap-sized
+      // (audit-scale, not data-scale); zip them by rank.
+      val starts = g.select((col("gap_end") + 1).as("island_start"))
+        .unionByName(spark.range(1).select(lit(mn).as("island_start")))
+      val ends = g.select((col("gap_start") - 1).as("island_end"))
+        .unionByName(spark.range(1).select(lit(mx).as("island_end")))
+      val ws = Window.orderBy(col("island_start"))
+      val we = Window.orderBy(col("island_end"))
+      val s2 = starts.withColumn("r", row_number().over(ws))
+      val e2 = ends.withColumn("r", row_number().over(we))
+      val islandsDf = s2.join(e2, "r")
+        .select(col("island_start"), col("island_end"))
+      // distinct-key count per island: one broadcast range join of the
+      // (already deduped) keys against the tiny island frame, then a
+      // keyed count — materialized before the finally releases the cache.
+      val out = keys
+        .join(broadcast(islandsDf),
+          col("k").between(col("island_start"), col("island_end")))
+        .groupBy(col("island_start"), col("island_end"))
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("island_start"))
+        .localCheckpoint(true)
+      out
+    } finally keys.unpersist()
   }
 
   private def emptyGaps(spark: SparkSession): DataFrame = {
