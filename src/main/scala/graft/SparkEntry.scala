@@ -1948,6 +1948,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("grid_epoch"))
     }),
 
+    "q_resample_interp" -> ((s, dir) => {
+      // the continuously-varying twin of q_resample_ffill: linear
+      // interpolation between the surrounding observations (two as-of
+      // joins, one fixed IEEE parenthesization both engines replay)
+      Resample.interpolate(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "ts", "value", stepSeconds = 21600L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"), col("grid_epoch"))
+    }),
+
     "q_k_anonymity" -> ((s, dir) => {
       // privacy pre-flight: quasi-identifier classes below k=5 — the
       // rows a release must generalize or suppress. One keyed count.
@@ -3939,6 +3950,37 @@ object SparkEntry {
         |  SELECT g.key, g.t, o.v
         |  FROM grid g ASOF LEFT JOIN obs o ON g.key = o.key AND g.t >= o.t)
         |SELECT key AS user_id, CAST(t AS BIGINT) AS grid_epoch, v AS value_ff
+        |FROM j ORDER BY user_id, grid_epoch""".stripMargin,
+
+    "q_resample_interp" ->
+      // ASOF (backward) + reversed-sign ASOF (forward) recover the
+      // surrounding pair; the interpolation expression keeps the
+      // IDENTICAL parenthesization so every double matches bit-for-bit
+      """WITH obs AS (
+        |  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    max(value) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT key, min(t) AS mn, max(t) AS mx FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT key, unnest(generate_series(
+        |    mn + (21600 - mn % 21600) % 21600, mx - mx % 21600, 21600)) AS t
+        |  FROM b
+        |  WHERE mx - mx % 21600 >= mn + (21600 - mn % 21600) % 21600),
+        |bk AS (
+        |  SELECT g.key, g.t, o.t AS t0, o.v AS v0
+        |  FROM grid g ASOF LEFT JOIN obs o ON g.key = o.key AND g.t >= o.t),
+        |fw AS (
+        |  SELECT g.key, g.t, o.t AS t1, o.v AS v1
+        |  FROM grid g ASOF LEFT JOIN obs o
+        |    ON g.key = o.key AND g.t <= o.t),
+        |j AS (
+        |  SELECT bk.key, bk.t, bk.t0, bk.v0, fw.t1, fw.v1
+        |  FROM bk JOIN fw ON bk.key = fw.key AND bk.t = fw.t)
+        |SELECT key AS user_id, CAST(t AS BIGINT) AS grid_epoch,
+        |  CASE WHEN t1 = t0 THEN v0
+        |    ELSE v0 + (v1 - v0) * (t - t0) / (t1 - t0) END AS value_lerp
         |FROM j ORDER BY user_id, grid_epoch""".stripMargin,
 
     "q_k_anonymity" ->

@@ -39,15 +39,63 @@ object Resample {
   def forwardFill(df: DataFrame, keyCol: String, tsCol: String,
                   valueCol: String, stepSeconds: Long,
                   maxGridPoints: Long = 1L << 20): DataFrame = {
-    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
-    require(maxGridPoints > 0, s"maxGridPoints must be positive, got $maxGridPoints")
-    val obs = df
-      .select(col(keyCol).as("key"), col(tsCol).cast("long").as("t"),
+    val grid = alignedGrid(df, keyCol, tsCol, valueCol, stepSeconds, maxGridPoints)
+    val obs = dedupObs(df, keyCol, tsCol, valueCol)
+    AsOf.joinAsOf(grid, obs, Seq("key"), "t", Seq("v"))
+      .select(col("key"), col("t").as("grid_epoch"),
+        col("asof_v").as("value_ff"))
+  }
+
+  /** (key, grid_epoch, value_lerp): linear interpolation between the
+    * surrounding observations instead of [[forwardFill]]'s
+    * last-value-carried — the resampling mode for continuously-varying
+    * signals (sensor series, prices) where a step function distorts.
+    *
+    * Same grid construction; the surrounding pair comes from TWO as-of
+    * joins (backward for (t0,v0), forward for (t1,v1) — each the
+    * single-keyed-exchange RUNNING-frame shape; never a quadratic
+    * frame). Ceil/floor grid alignment guarantees both neighbours exist
+    * for every grid point. An exact on-grid observation (t0 == t == t1)
+    * short-circuits to its own value, so the divide-by-zero case never
+    * evaluates. The interpolation expression is written in ONE fixed
+    * parenthesization (`v0 + (v1-v0) * (t-t0) / (t1-t0)`) — IEEE ops
+    * are correctly rounded, so an oracle replaying the identical
+    * operand order reproduces every double bit-for-bit.
+    */
+  def interpolate(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, stepSeconds: Long,
+                  maxGridPoints: Long = 1L << 20): DataFrame = {
+    val grid = alignedGrid(df, keyCol, tsCol, valueCol, stepSeconds, maxGridPoints)
+    val obs = dedupObs(df, keyCol, tsCol, valueCol)
+      .withColumn("t0", col("t")).withColumn("t1", col("t"))
+    val back = AsOf.joinAsOf(grid, obs.select(col("key"), col("t"),
+      col("v").as("v0"), col("t0")), Seq("key"), "t", Seq("v0", "t0"))
+    val both = AsOf.joinAsOf(back, obs.select(col("key"), col("t"),
+      col("v").as("v1"), col("t1")), Seq("key"), "t", Seq("v1", "t1"),
+      direction = "forward")
+    both.select(col("key"), col("t").as("grid_epoch"),
+      when(col("asof_t1") === col("asof_t0"), col("asof_v0"))
+        .otherwise(col("asof_v0") +
+          (col("asof_v1") - col("asof_v0")) *
+            (col("t") - col("asof_t0")).cast("double") /
+            (col("asof_t1") - col("asof_t0")).cast("double"))
+        .as("value_lerp"))
+  }
+
+  private def dedupObs(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String): DataFrame =
+    df.select(col(keyCol).as("key"), col(tsCol).cast("long").as("t"),
         col(valueCol).as("v"))
       .filter(col("key").isNotNull && col("t").isNotNull)
       .groupBy(col("key"), col("t"))
       .agg(max(col("v")).as("v"))
 
+  private def alignedGrid(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String, stepSeconds: Long,
+                          maxGridPoints: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    require(maxGridPoints > 0, s"maxGridPoints must be positive, got $maxGridPoints")
+    val obs = dedupObs(df, keyCol, tsCol, valueCol)
     val bounds = obs.groupBy(col("key"))
       .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
       .withColumn("gstart",
@@ -64,12 +112,7 @@ object Resample {
         lit(" (span "), (col("gend") - col("gstart")).cast("string"),
         lit(s"s at step ${stepSeconds}s) — widen stepSeconds, clamp "),
         lit("sentinel timestamps, or raise maxGridPoints"))).cast("long"))
-    val grid = bounds
-      .select(col("key"),
-        explode(sequence(col("gstart"), gendGuarded, lit(stepSeconds))).as("t"))
-
-    AsOf.joinAsOf(grid, obs, Seq("key"), "t", Seq("v"))
-      .select(col("key"), col("t").as("grid_epoch"),
-        col("asof_v").as("value_ff"))
+    bounds.select(col("key"),
+      explode(sequence(col("gstart"), gendGuarded, lit(stepSeconds))).as("t"))
   }
 }

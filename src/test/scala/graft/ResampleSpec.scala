@@ -73,6 +73,46 @@ class ResampleSpec extends SparkSuite {
     assert(e.getMessage.contains("resample") || e.getCause != null)
   }
 
+  test("interpolate draws the line between surrounding observations") {
+    val obs = Seq(
+      (1L, 100L, 10.0), (1L, 200L, 30.0), // grid 150 → 20.0
+      (1L, 500L, 30.0),                   // 300,400 on the 100..500 line? no:
+      // segments are between CONSECUTIVE obs: [200,500] spans 250..450
+      (2L, 50L, 5.0), (2L, 50L, 7.0))     // single instant (tie→max), 1 grid pt
+    val out = Resample.interpolate(obs.toDF("k", "t", "v"), "k", "t", "v", 50L)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val expected = Seq(
+      (1L, 100L, 10.0), (1L, 150L, 20.0), (1L, 200L, 30.0),
+      (1L, 250L, 30.0), (1L, 300L, 30.0), (1L, 350L, 30.0),
+      (1L, 400L, 30.0), (1L, 450L, 30.0), (1L, 500L, 30.0),
+      (2L, 50L, 7.0))
+    assert(out === expected)
+  }
+
+  test("interpolate equals the naive two-neighbour formula on random series") {
+    val rnd = new scala.util.Random(13)
+    val obs = Seq.fill(600)(
+      (rnd.nextInt(4).toLong, rnd.nextInt(50000).toLong, rnd.nextInt(100).toDouble))
+    val step = 1800L
+    val out = Resample.interpolate(obs.toDF("k", "t", "v"), "k", "t", "v", step)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val naive = obs.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val byTs = rows.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._3).max }
+      val ts = byTs.keys.toSeq.sorted
+      val (mn, mx) = (ts.head, ts.last)
+      val start = mn + (step - mn % step) % step
+      val end = mx - mx % step
+      (start to end by step).map { g =>
+        val t0 = ts.filter(_ <= g).last
+        val t1 = ts.filter(_ >= g).head
+        val v = if (t1 == t0) byTs(t0)
+          else byTs(t0) + (byTs(t1) - byTs(t0)) * (g - t0).toDouble / (t1 - t0).toDouble
+        (k, g, v)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(out === naive)
+  }
+
   test("timestamp columns cast to truncated epoch seconds") {
     val obs = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30.9"), 1.0),
