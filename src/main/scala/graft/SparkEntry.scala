@@ -1948,6 +1948,20 @@ object SparkEntry {
         .orderBy(col("user_id"), col("grid_epoch"))
     }),
 
+    "q_quantiles_maintained" -> ((s, dir) => {
+      // percentile report FROM the maintained bucket counts — the same
+      // nBuckets-row state PSI/KS score, so a monitoring pipeline serves
+      // quantiles with zero snapshot rescans; bucket-resolution accuracy
+      // (approx_percentile is the scan-time high-res alternative)
+      val bounds = Seq(20000.0, 40000.0, 60000.0, 80000.0)
+      val counts = operators.Drift.bucketCounts(
+        t(s, dir, "lineitem").filter(col("l_extendedprice").isNotNull),
+        col("l_extendedprice"), bounds, "n")
+      operators.Drift.quantilesFromCounts(counts, bounds,
+        Seq(2500, 5000, 7500, 9000, 9900))
+        .orderBy(col("q_bp"))
+    }),
+
     "q_resample_interp" -> ((s, dir) => {
       // the continuously-varying twin of q_resample_ffill: linear
       // interpolation between the surrounding observations (two as-of
@@ -3951,6 +3965,48 @@ object SparkEntry {
         |  FROM grid g ASOF LEFT JOIN obs o ON g.key = o.key AND g.t >= o.t)
         |SELECT key AS user_id, CAST(t AS BIGINT) AS grid_epoch, v AS value_ff
         |FROM j ORDER BY user_id, grid_epoch""".stripMargin,
+
+    "q_quantiles_maintained" ->
+      // replays bucket assignment, the cum window, and the SAME fixed
+      // interpolation parenthesization; integer window sums cast to
+      // BIGINT per §6
+      """WITH v AS (
+        |  SELECT l_extendedprice AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |bk AS (
+        |  SELECT CASE WHEN x < 20000.0 THEN 0 WHEN x < 40000.0 THEN 1
+        |    WHEN x < 60000.0 THEN 2 WHEN x < 80000.0 THEN 3 ELSE 4 END
+        |    AS bucket
+        |  FROM v),
+        |c AS (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket),
+        |cm AS (
+        |  SELECT bucket, n,
+        |    CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM c),
+        |cm2 AS (
+        |  SELECT bucket, n, cum, cum - n AS cum_before FROM cm),
+        |tot AS (SELECT max(cum) AS total FROM cm2),
+        |qs AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp),
+        |j AS (
+        |  SELECT q.q_bp, c2.bucket,
+        |    CASE WHEN c2.bucket = 0 THEN 20000.0
+        |      WHEN c2.bucket = 1 THEN 20000.0
+        |      WHEN c2.bucket = 2 THEN 40000.0
+        |      WHEN c2.bucket = 3 THEN 60000.0
+        |      ELSE 80000.0 END AS lo,
+        |    CASE WHEN c2.bucket = 0 THEN 20000.0
+        |      WHEN c2.bucket = 1 THEN 40000.0
+        |      WHEN c2.bucket = 2 THEN 60000.0
+        |      WHEN c2.bucket = 3 THEN 80000.0
+        |      ELSE 80000.0 END AS hi,
+        |    c2.n, c2.cum, c2.cum_before, t.total
+        |  FROM qs q CROSS JOIN cm2 c2 CROSS JOIN tot t
+        |  WHERE c2.n > 0 AND c2.cum_before < q.q_bp * t.total / 10000.0
+        |    AND q.q_bp * t.total / 10000.0 <= c2.cum)
+        |SELECT q_bp, CAST(bucket AS BIGINT) AS bucket,
+        |  lo + (hi - lo) * (q_bp * total / 10000.0 - cum_before) / n AS est
+        |FROM j ORDER BY q_bp""".stripMargin,
 
     "q_resample_interp" ->
       // ASOF (backward) + reversed-sign ASOF (forward) recover the

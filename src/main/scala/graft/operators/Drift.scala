@@ -161,6 +161,55 @@ object Drift {
     ksFromCounts(bucketCounts(oldDf, value, boundaries, "n_old"),
       bucketCounts(newDf, value, boundaries, "n_new"))
 
+  /** Approximate quantiles FROM the maintained bucket counts — the
+    * percentile report a monitoring pipeline serves with ZERO snapshot
+    * rescans once [[IncrementalAgg.foldCdc]] keeps the counts current
+    * (the same nBuckets-row state PSI and KS already score). Accuracy is
+    * bucket-resolution (the maintained-state tradeoff); the mergeable
+    * sketch (`approx_percentile`, q_percentiles_approx) is the
+    * higher-resolution scan-time alternative.
+    *
+    * For each requested quantile (basis points), the covering bucket is
+    * the first whose cumulative count reaches `q·N/10⁴`, and the
+    * estimate linearly interpolates between the bucket's boundaries in
+    * ONE fixed parenthesization (`lo + (hi−lo)·(target−cum_before)/n`)
+    * so an oracle replaying the operand order matches bit-for-bit. The
+    * unbounded edge buckets clamp to their finite boundary. All frames
+    * are buckets- or qs-sized — never data-sized.
+    *
+    * Input: `counts` (bucket, n) — [[bucketCounts]] output or its
+    * foldCdc-maintained twin. Output: (q_bp, bucket, est).
+    */
+  def quantilesFromCounts(counts: DataFrame, boundaries: Seq[Double],
+                          qBps: Seq[Int]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries,
+      s"boundaries must be strictly ascending: $boundaries")
+    require(qBps.nonEmpty && qBps.forall(q => q > 0 && q <= 10000),
+      s"quantile basis points must be in (0, 10000]: $qBps")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // single-partition window over ≤ nBuckets+1 rows BY CONSTRUCTION
+    val cum = counts.na.fill(0L, Seq("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("cum_before", col("cum") - col("n"))
+    val totals = cum.agg(coalesce(max(col("cum")), lit(0L)).as("__total"))
+    val bArr = typedlit(boundaries)
+    val lo = when(col("bucket") === 0, lit(boundaries.head))
+      .otherwise(element_at(bArr, col("bucket").cast("int")))
+    val hi = when(col("bucket") >= boundaries.size, lit(boundaries.last))
+      .otherwise(element_at(bArr, col("bucket").cast("int") + 1))
+    val target = col("q_bp") * col("__total") / lit(10000.0)
+    qBps.toDF("q_bp")
+      .crossJoin(broadcast(cum.crossJoin(broadcast(totals)).filter(col("n") > 0)))
+      .filter(col("cum_before") < target && target <= col("cum"))
+      .select(col("q_bp"), col("bucket"),
+        (lo + (hi - lo) * (target - col("cum_before")) / col("n").cast("double"))
+          .as("est"))
+  }
+
   /** Categorical bucket assignment over a FROZEN category list: listed
     * categories keep their identity, everything else folds into
     * `otherLabel`. Freezing the list is what makes categorical counts

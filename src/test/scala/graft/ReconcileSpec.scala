@@ -190,4 +190,38 @@ class ReconcileSpec extends SparkSuite {
     assert(maintained === rescanned)
     assert(maintained.map(_._4).sum > 0, "the planted high-value drift must score")
   }
+
+  test("quantilesFromCounts interpolates inside the covering bucket; edges clamp") {
+    import graft.operators.Drift
+    // boundaries 10/20/30: bucket 1 = [10,20) with 8 rows, bucket 2 =
+    // [20,30) with 2 rows; plus 2 rows below and 2 above the edges
+    val vals = Seq.fill(2)(5.0) ++ (1 to 8).map(i => 10.0 + i) ++
+      Seq(21.0, 22.0) ++ Seq.fill(2)(99.0) // N = 14
+    val bounds = Seq(10.0, 20.0, 30.0)
+    val counts = Drift.bucketCounts(vals.toDF("v"), $"v", bounds, "n")
+    val out = Drift.quantilesFromCounts(counts, bounds, Seq(1000, 5000, 9999))
+      .orderBy($"q_bp").as[(Int, Long, Double)].collect().toSeq
+    // q=1000: target 1.4 → bucket 0 (cum 2) → clamps to lo=hi=10.0
+    // q=5000: target 7.0 → bucket 1 (cum_before 2, n 8, cum 10):
+    //         10 + 10*(7-2)/8 = 16.25
+    // q=9999: target 13.9986 → bucket 3 (≥30): clamps to 30.0
+    assert(out === Seq((1000, 0L, 10.0), (5000, 1L, 16.25), (9999, 3L, 30.0)))
+  }
+
+  test("quantilesFromCounts brackets the exact quantiles at bucket resolution") {
+    import graft.operators.Drift
+    val rnd = new scala.util.Random(5)
+    val vals = Seq.fill(5000)(rnd.nextDouble() * 100)
+    val bounds = (1 until 20).map(_ * 5.0) // 5,10,...,95
+    val counts = Drift.bucketCounts(vals.toDF("v"), $"v", bounds, "n")
+    val qs = Seq(2500, 5000, 7500)
+    val out = Drift.quantilesFromCounts(counts, bounds, qs)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val sorted = vals.sorted
+    for (q <- qs) {
+      val exact = sorted((q / 10000.0 * vals.size).toInt min (vals.size - 1))
+      assert(math.abs(out(q) - exact) <= 5.0 + 1e-9,
+        s"q=$q est=${out(q)} exact=$exact") // within one bucket width
+    }
+  }
 }
