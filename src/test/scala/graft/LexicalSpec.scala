@@ -119,6 +119,13 @@ class LexicalSpec extends SparkSuite {
     assert(tfidf(1L) === tfidf(2L)) // raw TF-IDF can't tell them apart
   }
 
+  test("bm25TopK plans a TakeOrderedAndProject, not a global sort") {
+    val plan = Lexical.bm25TopK(corpus, "doc_id", "text", Seq("apple"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k should be TakeOrderedAndProject:\n$plan")
+  }
+
   test("rrfFuse sums quantized reciprocal ranks across branches") {
     // branch A ranks: d1=1, d2=2, d3=3; branch B ranks: d2=1, d4=2
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
