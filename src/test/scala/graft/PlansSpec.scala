@@ -147,6 +147,38 @@ class PlansSpec extends SparkSuite {
     assert(shuffleKeys(out).length === 1, plan)
   }
 
+  test("PIT join rides the as-of shape: one keyed shuffle, no join operator") {
+    import org.apache.spark.sql.functions.col
+    val fact = (1L to 60L).map(i => (i % 6, i.toInt, s"o$i")).toDF("k", "t", "name")
+    val dim = (0L until 6L).flatMap(k => Seq((k, 0, Option(50), s"v1-$k"),
+      (k, 50, Option.empty[Int], s"v2-$k"))).toDF("k", "valid_from", "valid_to", "seg")
+    val out = graft.operators.Scd.pitJoin(fact, dim, Seq("k"), "t", Seq("seg"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan) // union-sort carry, never a version fanout
+    assert(shuffleKeys(out).length === 1, plan)
+  }
+
+  test("resample: every exchange is keyed, the fill is join-free") {
+    import org.apache.spark.sql.functions.col
+    val obs = (1L to 200L).map(i => (i % 8, (i * 37 % 5000).toInt, i.toDouble))
+      .toDF("k", "t", "v")
+    val out = graft.operators.Resample.forwardFill(obs, "k", "t", "v", 100L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    val keys = shuffleKeys(out)
+    assert(keys.nonEmpty && keys.forall(_.contains("key")), s"$keys\n$plan")
+  }
+
+  test("SemDeDup pairs within cells via an equi join, never a nested loop") {
+    val vecs = (0L until 24L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
+    val cents = graft.similarity.Knn.trainCentroids(vecs, nCentroids = 4, iters = 1)
+    val out = graft.similarity.SemDedup.dedup(vecs, cents, minCosine = 0.9)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("range join plans as a hash join on buckets, not a nested loop") {
     import org.apache.spark.sql.functions.col
     val l = (1L to 100L).map(i => (i, i * 7 % 100)).toDF("id", "v")
