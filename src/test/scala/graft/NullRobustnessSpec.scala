@@ -69,6 +69,35 @@ class NullRobustnessSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("resample ignores null keys/timestamps; null values carry as null") {
+    import graft.operators.Resample
+    val obs = Seq(
+      (Option(1L), Option(100L), Option(1.0)),
+      (Option(1L), Option(300L), None), // a null OBSERVATION at 300
+      (Option(1L), Option(500L), Option(5.0)),
+      (None, Option(200L), Option(9.0)),      // null key: dropped
+      (Option(2L), None, Option(9.0)))        // null ts: dropped
+      .toDF("k", "t", "v")
+    val out = Resample.forwardFill(obs, "k", "t", "v", 100L)
+      .as[(Long, Long, Option[Double])].collect().toSeq.sortBy(r => (r._1, r._2))
+    // key 2 vanishes (no valid obs); key 1's slots 300/400 carry the
+    // NULL observation (it is the latest at-or-before), 500 recovers
+    assert(out === Seq((1L, 100L, Some(1.0)), (1L, 200L, Some(1.0)),
+      (1L, 300L, None), (1L, 400L, None), (1L, 500L, Some(5.0))))
+  }
+
+  test("pitJoin: null fact timestamps and unknown keys get null payloads") {
+    import graft.operators.Scd
+    val dim = Seq((1L, 0, Option(100), "v1")).toDF("k", "valid_from", "valid_to", "seg")
+    val fact = Seq((Option(1L), Option(50)), (Option(1L), None), (Option(9L), Option(50)))
+      .toDF("k", "t")
+    val out = Scd.pitJoin(fact, dim, Seq("k"), "t", Seq("seg"))
+      .as[(Option[Long], Option[Int], Option[String])].collect().toSeq
+      .sortBy(r => (r._1, r._2.map(_.toLong)))
+    assert(out === Seq((Some(1L), None, None), (Some(1L), Some(50), Some("v1")),
+      (Some(9L), Some(50), None)))
+  }
+
   test("text functions return null/zero on null input, not exceptions") {
     val out = docsWithNull.select(
       TextFunctions.tokenCount(col("text")).as("tc"),
