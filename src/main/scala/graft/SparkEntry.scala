@@ -2025,6 +2025,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_embed_whiten" -> ((s, dir) => {
+      // PCA-whitening of the embedding corpus (Jégou & Chum '12) — the
+      // retrieval-quality conditioner ahead of ANN/quantization. One
+      // dense moments pass + driver-side Jacobi eigen (dim×dim, tiny by
+      // construction) + literal-folded pure-map projection. Rows-only:
+      // the eigendecomposition is driver-side numerics SQL can't
+      // replay; WhiteningSpec proves identity covariance, orthonormal
+      // basis, eigen-equation residuals, and bit-determinism.
+      val t8 = graft.similarity.Whitening.fit(
+        t(s, dir, "embeddings"), "embedding", k = 8)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), t8(col("embedding")).as("w"))
+        .select(col("vec_id"), element_at(col("w"), 1).as("w1"),
+          element_at(col("w"), 2).as("w2"), element_at(col("w"), 3).as("w3"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_bm25_search" -> ((s, dir) => {
       // BM25 keyword retrieval — the doc-length-normalized ranking
       // q_lexical_search's raw TF-IDF lacks; exact integer arithmetic
