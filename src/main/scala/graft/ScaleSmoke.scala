@@ -409,6 +409,18 @@ object ScaleSmoke {
         SemDedup.dedup(embN, c, 0.25).count()
       }
 
+      // whitening: the moments pass must scale with rows (state is
+      // dim-bound per partition), the projection is a pure map
+      import graft.similarity.Whitening
+      time("whiten fit+project 1x") {
+        val t = Whitening.fit(emb1, "embedding", 8)
+        emb1.select(t(col("embedding"))).count()
+      }
+      time(s"whiten fit+project ${mult}x") {
+        val t = Whitening.fit(embN, "embedding", 8)
+        embN.select(t(col("embedding"))).count()
+      }
+
       // irregular series: obs count ramps ×mult, keys and span fixed —
       // the grid (span-bound) stays constant, so healthy growth is the
       // OBS scan + asof sort, never grid explosion

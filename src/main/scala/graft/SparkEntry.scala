@@ -2025,6 +2025,32 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_entity_resolution" -> ((s, dir) => {
+      // the MDM loop end-to-end: PassJoin fuzzy pairs → union-find
+      // closure → per-attribute survivorship, over a deterministic
+      // dirty feed (md5 names so only the PLANTED variants are within
+      // distance 1; every 50th entity gets a one-char variant from a
+      // more-preferred source with a null segment). The oracle replays
+      // the whole pipeline: half-prefix blocking (exact for equal-length
+      // distance-1), recursive-CTE closure, window survivorship.
+      val cust = t(s, dir, "customer")
+      val base = cust.select(col("c_custkey").as("ent_id"),
+        md5(col("c_custkey").cast("string")).as("name"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+        lit(1).as("src_rank"))
+      val variants = cust.filter(col("c_custkey") % 50 === 0)
+        .select((col("c_custkey") + 1000000L).as("ent_id"),
+          concat(substring(md5(col("c_custkey").cast("string")), 1, 31),
+            lit("z")).as("name"),
+          lit(null).cast("string").as("segment"),
+          (col("c_acctbal") + 1).as("acctbal"), lit(2).as("src_rank"))
+      graft.pipelines.EntityResolution.resolve(
+        base.unionByName(variants), "ent_id", "name", maxDist = 1,
+        prefCols = Seq(col("src_rank"), col("ent_id")),
+        valueCols = Seq("name", "segment", "acctbal"))
+        .orderBy(col("canonical_id"))
+    }),
+
     "q_embed_whiten" -> ((s, dir) => {
       // PCA-whitening of the embedding corpus (Jégou & Chum '12) — the
       // retrieval-quality conditioner ahead of ANN/quantization. One
@@ -4125,6 +4151,63 @@ object SparkEntry {
         |  FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10)
         |SELECT doc_id, n_lists, rrf_q, CAST(rnk AS INTEGER) AS "rank"
         |FROM r ORDER BY "rank"""".stripMargin,
+
+    "q_entity_resolution" ->
+      // half-prefix blocking is EXACT for equal-length distance ≤ 1
+      // (one substitution leaves one half identical); the closure is
+      // the transparent recursive-CTE transitive reach; survivorship
+      // replays max_by's (non-null, src_rank, id) order per attribute
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey AS ent_id, md5(CAST(c_custkey AS VARCHAR)) AS name,
+        |    c_mktsegment AS segment, c_acctbal AS acctbal, 1 AS src_rank
+        |  FROM customer),
+        |var AS (
+        |  SELECT c_custkey + 1000000 AS ent_id,
+        |    substring(md5(CAST(c_custkey AS VARCHAR)), 1, 31) || 'z' AS name,
+        |    CAST(NULL AS VARCHAR) AS segment, c_acctbal + 1 AS acctbal,
+        |    2 AS src_rank
+        |  FROM customer WHERE c_custkey % 50 = 0),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+        |cand AS (
+        |  SELECT a.ent_id AS id_a, b.ent_id AS id_b, a.name AS na, b.name AS nb
+        |  FROM e a JOIN e b
+        |    ON a.ent_id < b.ent_id
+        |   AND (substring(a.name, 1, 16) = substring(b.name, 1, 16)
+        |     OR substring(a.name, 17, 16) = substring(b.name, 17, 16))),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand WHERE levenshtein(na, nb) <= 1),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        |  WHERE u.b <> r.a),
+        |canon AS (
+        |  SELECT e.ent_id,
+        |    least(e.ent_id, coalesce(min(r.b), e.ent_id)) AS canonical_id
+        |  FROM e LEFT JOIN reach r ON r.a = e.ent_id
+        |  GROUP BY e.ent_id),
+        |t AS (
+        |  SELECT c.canonical_id, e.* FROM e JOIN canon c USING (ent_id)),
+        |sv AS (
+        |  SELECT canonical_id,
+        |    first_value(name) OVER (PARTITION BY canonical_id
+        |      ORDER BY (name IS NOT NULL) DESC, src_rank DESC, ent_id DESC)
+        |      AS name,
+        |    first_value(segment) OVER (PARTITION BY canonical_id
+        |      ORDER BY (segment IS NOT NULL) DESC, src_rank DESC, ent_id DESC)
+        |      AS segment,
+        |    first_value(acctbal) OVER (PARTITION BY canonical_id
+        |      ORDER BY (acctbal IS NOT NULL) DESC, src_rank DESC, ent_id DESC)
+        |      AS acctbal
+        |  FROM t),
+        |g AS (SELECT DISTINCT canonical_id, name, segment, acctbal FROM sv),
+        |sz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM t GROUP BY 1)
+        |SELECT g.canonical_id, g.name, g.segment, g.acctbal, sz.n_members
+        |FROM g JOIN sz USING (canonical_id)
+        |ORDER BY canonical_id""".stripMargin,
 
     "q_bm25_search" ->
       // same cleared-denominator integers: DuckDB's intermediates go
