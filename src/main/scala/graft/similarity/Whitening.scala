@@ -43,7 +43,10 @@ object Whitening {
     // everything projected through it) must be bit-deterministic across
     // runs. Driver memory = numPartitions × dim(dim+3)/2 doubles (17 KB
     // at dim 64) — coalesce a very-wide input first if that ever binds.
-    val parts = emb.select(col(vecCol)).rdd
+    // null VECTORS are excluded (a missing embedding contributes no
+    // moment); null ELEMENTS inside a vector are a schema violation the
+    // ragged-length require below surfaces loudly enough
+    val parts = emb.select(col(vecCol)).filter(col(vecCol).isNotNull).rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val acc = zero.clone()
         var any = false
