@@ -191,6 +191,35 @@ class ReconcileSpec extends SparkSuite {
     assert(maintained.map(_._4).sum > 0, "the planted high-value drift must score")
   }
 
+  test("maintained counts serve the same quantiles as a rescan — zero-rescans percentiles") {
+    import graft.operators.{Drift, IncrementalAgg}
+    val bounds = (1 until 20).map(_ * 20.0)
+    val oldSnap = (1 to 3000).map(i => (i.toLong, (i % 373).toDouble))
+    val inserts = (10001 to 10800).map(i => (i.toLong, 250.0 + (i % 150)))
+    val newSnap = oldSnap.drop(500) ++ inserts
+    val feed = (oldSnap.take(500).map { case (id, v) => (id, v, "D") } ++
+      inserts.map { case (id, v) => (id, v, "I") }).toDF("id", "v", "op")
+    val bucketV = Drift.bucketOf($"v", bounds)
+    val state0 = IncrementalAgg.init(
+      oldSnap.toDF("id", "v").select(bucketV.as("bucket")), Seq("bucket"), lit(0))
+    val state1 = IncrementalAgg.foldCdc(state0,
+      feed.select(bucketV.as("bucket"), $"op"), Seq("bucket"), lit(0), $"op")
+    val qs = Seq(2500, 5000, 9000)
+    val maintained = Drift.quantilesFromCounts(
+      state1.select($"bucket", $"n_rows".as("n")), bounds, qs)
+      .orderBy("q_bp").as[(Int, Long, Double)].collect().toSeq
+    val rescanned = Drift.quantilesFromCounts(
+      Drift.bucketCounts(newSnap.toDF("id", "v"), $"v", bounds, "n"), bounds, qs)
+      .orderBy("q_bp").as[(Int, Long, Double)].collect().toSeq
+    assert(maintained === rescanned)
+    // and the estimates bracket the exact quantiles at bucket resolution
+    val sorted = newSnap.map(_._2).sorted
+    maintained.foreach { case (q, _, est) =>
+      val exact = sorted(((q / 10000.0) * sorted.size).toInt min (sorted.size - 1))
+      assert(math.abs(est - exact) <= 20.0 + 1e-9, s"q=$q est=$est exact=$exact")
+    }
+  }
+
   test("quantilesFromCounts interpolates inside the covering bucket; edges clamp") {
     import graft.operators.Drift
     // boundaries 10/20/30: bucket 1 = [10,20) with 8 rows, bucket 2 =
