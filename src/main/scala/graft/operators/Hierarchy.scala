@@ -38,8 +38,7 @@ object Hierarchy {
       val r = base.agg(count(lit(1)), sum(col("depth"))).head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var reach = 1
-    while (reach < maxDepth) {
+    def round(): (DataFrame, (Long, Long)) = {
       val hops = paths.select(col("ancestor").as("__mid"), col("child"),
           col("depth").as("__d1"))
         .join(paths.select(col("child").as("__mid"), col("ancestor"),
@@ -50,16 +49,36 @@ object Hierarchy {
         .agg(min(col("depth")).as("depth"))
         .localCheckpoint(true)
       val r = next.agg(count(lit(1)), sum(col("depth"))).head
-      val nextStats = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      (next, (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+    }
+    var reach = 1
+    var converged = false
+    while (reach < maxDepth && !converged) {
+      val (next, nextStats) = round()
       if (nextStats == stats) {
         // converged: the freshly-built round duplicates `paths` — free it
         org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(next)
-        reach = maxDepth
+        converged = true
       } else {
         // free the superseded round's checkpoint blocks eagerly (GC
         // would get there eventually; large closures shouldn't wait)
         org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(paths)
         paths = next; stats = nextStats; reach *= 2
+      }
+    }
+    if (!converged) {
+      // the loop hit the bound while still growing: run ONE check round
+      // to tell "fixpoint landed exactly on the bound" from truncation —
+      // a silently partial closure would ship wrong rollups (the same
+      // failure class Clusters.propagate throws on)
+      val (check, checkStats) = round()
+      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(check)
+      if (checkStats != stats) {
+        org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(paths)
+        throw new IllegalStateException(
+          s"hierarchy closure did not converge within maxDepth=$maxDepth " +
+            "(deeper tree or a cycle kept shortening paths) — raise " +
+            "maxDepth, or break the cycle upstream")
       }
     }
     paths

@@ -27,6 +27,20 @@ class HierarchySpec extends SparkSuite {
     assert(got === Set((1L, 2L, 1), (2L, 1L, 1), (1L, 1L, 2), (2L, 2L, 2)))
   }
 
+  test("a chain deeper than maxDepth throws instead of shipping a partial closure") {
+    // depth-9 chain: closure needs reach ≥ 9, maxDepth = 4 truncates
+    val edges = (1L until 10L).map(i => (i + 1, i)).toDF("c", "p")
+    val e = intercept[IllegalStateException] {
+      Hierarchy.closure(edges, "c", "p", maxDepth = 4).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same chain closes fine once the bound covers it — and a bound
+    // the fixpoint lands EXACTLY on does not spuriously throw
+    val full = Hierarchy.closure(edges, "c", "p", maxDepth = 16)
+    assert(full.count() === (9L * 10L) / 2)
+    full.unpersist()
+  }
+
   test("subtreeAgg sums every node's full subtree including itself") {
     //      1
     //    2   3
