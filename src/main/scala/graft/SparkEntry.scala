@@ -2025,6 +2025,32 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_subtree_rollup" -> ((s, dir) => {
+      // closure-based subtree rollup over the star schema's natural
+      // 3-level hierarchy (customer → nation → region, ids
+      // namespace-offset so the node domain is one key space); money in
+      // integer cents so every distributed sum is exact. Upgrades
+      // Hierarchy.subtreeAgg from ScalaTest-only to driver-gated.
+      val nodes = t(s, dir, "region")
+        .select(col("r_regionkey").cast("long").as("node"),
+          lit(0L).as("v_cents"))
+        .unionByName(t(s, dir, "nation")
+          .select((col("n_nationkey") + 100).cast("long").as("node"),
+            lit(0L).as("v_cents")))
+        .unionByName(t(s, dir, "customer")
+          .select((col("c_custkey") + 1000000L).as("node"),
+            round(col("c_acctbal") * 100).cast("long").as("v_cents")))
+      val edges = t(s, dir, "nation")
+        .select((col("n_nationkey") + 100).cast("long").as("child"),
+          col("n_regionkey").cast("long").as("parent"))
+        .unionByName(t(s, dir, "customer")
+          .select((col("c_custkey") + 1000000L).as("child"),
+            (col("c_nationkey") + 100).cast("long").as("parent")))
+      Hierarchy.subtreeAgg(nodes, edges, "node", "v_cents", "child", "parent",
+          as = "subtree_cents")
+        .orderBy(col("node"))
+    }),
+
     "q_entity_resolution" -> ((s, dir) => {
       // the MDM loop end-to-end: PassJoin fuzzy pairs → union-find
       // closure → per-attribute survivorship, over a deterministic
@@ -4151,6 +4177,34 @@ object SparkEntry {
         |  FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10)
         |SELECT doc_id, n_lists, rrf_q, CAST(rnk AS INTEGER) AS "rank"
         |FROM r ORDER BY "rank"""".stripMargin,
+
+    "q_subtree_rollup" ->
+      // recursive-CTE closure + member expansion is the transparent
+      // rollup form; cents keep the sums integer-exact
+      """WITH RECURSIVE nodes AS (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS v
+        |  FROM region
+        |  UNION ALL
+        |  SELECT CAST(100 + n_nationkey AS BIGINT), 0 FROM nation
+        |  UNION ALL
+        |  SELECT 1000000 + c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) FROM customer),
+        |edges AS (
+        |  SELECT CAST(100 + n_nationkey AS BIGINT) AS child,
+        |    CAST(n_regionkey AS BIGINT) AS parent FROM nation
+        |  UNION ALL
+        |  SELECT 1000000 + c_custkey, CAST(100 + c_nationkey AS BIGINT)
+        |  FROM customer),
+        |cl AS (
+        |  SELECT child, parent AS anc FROM edges
+        |  UNION
+        |  SELECT c.child, e.parent FROM cl c JOIN edges e ON c.anc = e.child),
+        |member AS (
+        |  SELECT anc AS node, child AS member FROM cl
+        |  UNION ALL SELECT node, node FROM nodes)
+        |SELECT m.node, CAST(sum(n.v) AS BIGINT) AS subtree_cents
+        |FROM member m JOIN nodes n ON n.node = m.member
+        |GROUP BY m.node ORDER BY m.node""".stripMargin,
 
     "q_entity_resolution" ->
       // half-prefix blocking is EXACT for equal-length distance ≤ 1
