@@ -2025,6 +2025,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_join_explosion" -> ((s, dir) => {
+      // the join pre-flight, driver-gated: lower-bounds a self-join's
+      // blowup from the heavy keys of both sides. The MG candidate
+      // phase is partition-order-dependent but the EXACT verify phase
+      // makes the surviving set identical to the naive GROUP BY
+      // HAVING — so the bound is deterministic and oracle-checkable.
+      val ev = t(s, dir, "events")
+      Diagnostics.joinExplosionBound(ev, col("event_type"), ev,
+        col("event_type"), phi = 0.1)
+    }),
+
     "q_subtree_rollup" -> ((s, dir) => {
       // closure-based subtree rollup over the star schema's natural
       // 3-level hierarchy (customer → nation → region, ids
@@ -4177,6 +4188,23 @@ object SparkEntry {
         |  FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10)
         |SELECT doc_id, n_lists, rrf_q, CAST(rnk AS INTEGER) AS "rank"
         |FROM r ORDER BY "rank"""".stripMargin,
+
+    "q_join_explosion" ->
+      """WITH n AS (
+        |  SELECT count(*) AS total FROM events WHERE event_type IS NOT NULL),
+        |heavy AS (
+        |  SELECT event_type, count(*) AS cnt
+        |  FROM events, n WHERE event_type IS NOT NULL
+        |  GROUP BY event_type, n.total
+        |  HAVING count(*) >= ceil(0.1 * n.total)),
+        |prod AS (
+        |  SELECT CAST(coalesce(sum(a.cnt * b.cnt), 0) AS BIGINT)
+        |      AS heavy_product_rows,
+        |    CAST(count(*) AS BIGINT) AS shared_heavy_keys
+        |  FROM heavy a JOIN heavy b USING (event_type))
+        |SELECT p.heavy_product_rows, p.shared_heavy_keys,
+        |  CAST(c.cnt AS BIGINT) AS rows_a, CAST(c.cnt AS BIGINT) AS rows_b
+        |FROM prod p CROSS JOIN (SELECT count(*) AS cnt FROM events) c""".stripMargin,
 
     "q_subtree_rollup" ->
       // recursive-CTE closure + member expansion is the transparent
