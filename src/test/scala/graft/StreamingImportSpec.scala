@@ -74,6 +74,18 @@ class StreamingImportSpec extends SparkSuite {
           .select($"bucket", $"n_rows".as("n_new")), bounds.size + 1)
       val viaRescan = Drift.psi(snap1.toDF(), spark.read.parquet(dest), $"v", bounds)
       assert(canon(viaCounts) === canon(viaRescan))
+
+      // and the SAME streaming-maintained counts serve quantiles with
+      // zero destination rescans — identical to quantiles from a rescan
+      val qs = Seq(2500, 5000, 9000)
+      val qMaintained = Drift.quantilesFromCounts(
+        counts().select($"bucket", $"n_rows".as("n")), bounds, qs)
+        .orderBy("q_bp").as[(Int, Long, Double)].collect().toSeq
+      val qRescan = Drift.quantilesFromCounts(
+        Drift.bucketCounts(spark.read.parquet(dest), $"v", bounds, "n"),
+        bounds, qs)
+        .orderBy("q_bp").as[(Int, Long, Double)].collect().toSeq
+      assert(qMaintained === qRescan && qMaintained.size === qs.size)
     } finally q.stop()
   }
 
