@@ -2140,6 +2140,104 @@ object SparkEntry {
           date_format(col("od"), "yyyy-MM-dd").as("od"),
           col("dim_segment"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    "q_span_dedup" -> ((s, dir) => {
+      // C4-style duplicated-span REMOVAL with reassembly: every
+      // duplicated 10-token window keeps exactly one corpus-wide copy
+      // (first (doc, position)), docs rebuilt from surviving windows —
+      // the removal complement of q_shared_passages' pair detection
+      graft.dedup.SpanDedup.dedupSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      // the LARGE-benchmark scale path of q_decontaminate: a mergeable
+      // bloom over benchmark grams gates the corpus side (definite
+      // negatives never shuffle), the exact join corrects every false
+      // positive — output == the broadcast form, same oracle
+      val docs = t(s, dir, "documents")
+      val benchmark = docs.filter(col("doc_id") % 50 === 0)
+      graft.dedup.Decontaminate.overlapsBloomGated(
+        docs.filter(col("doc_id") % 50 =!= 0), benchmark, "doc_id", "text",
+        n = 8, expectedGrams = 200000L, fpp = 0.01)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
+
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR (Xie et al. 2023): quantized log-importance of every doc
+      // against the src0 target slice under hashed unigram models —
+      // exact BIGINT dot product of row-local bucket counts with
+      // floor-quantized log-ratio weights (portable md5-prefix buckets)
+      val docs = t(s, dir, "documents")
+      graft.pipelines.Dsir.importanceScores(
+        docs, docs.filter(col("source") === "src0"), "doc_id", "text",
+        nBuckets = 64)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_event_transitions" -> ((s, dir) => {
+      // per-user behavioral transition matrix (Markov counts): which
+      // event type follows which — lag window per user (one keyed
+      // shuffle), then a tiny type×type aggregate; share in exact
+      // integer basis points of the from-type total
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = t(s, dir, "events")
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .select(col("from_type"), col("event_type").as("to_type"))
+      val counts = tr.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      counts.join(totals, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(n * 10000) div n_from").as("share_bp"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    "q_pagerank" -> ((s, dir) => {
+      // fixed-point integer PageRank over the part-transition graph
+      // (consecutive line numbers within an order define src→dst edges,
+      // weighted by transition count): 3 damped rounds of the pinned
+      // BIGINT recurrence — bit-identical across partitionings/engines.
+      // l_partkey joins the sort key because (orderkey, linenumber) has
+      // ties: with partkey in the key the ordered PARTKEY sequence is a
+      // pure function of the row multiset (rows tying on the full key
+      // carry equal partkeys, and swapping equal elements changes no
+      // transition), so both engines derive the identical edge list
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("l_partkey").as("src"), col("dst"))
+        .agg(count(lit(1)).as("weight"))
+      graft.operators.PageRank.rank(edges, iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    "q_vocab_coverage" -> ((s, dir) => {
+      // tokenizer/corpus QA: per-doc out-of-vocabulary mass against the
+      // top-30 corpus terms (count desc, term asc — a total order, so
+      // the vocab set is engine-deterministic); exact integer basis
+      // points, global top-V via TakeOrderedAndProject
+      graft.pipelines.Lexical.vocabCoverage(
+        t(s, dir, "documents"), "doc_id", "text", vocabSize = 30)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_unigram_logloss" -> ((s, dir) => {
+      // CCNet/RedPajama-style perplexity-proxy quality score: mean token
+      // surprisal under the corpus unigram model, floor-quantized per
+      // DISTINCT term, exact BIGINT sums per doc
+      graft.pipelines.Lexical.unigramLogloss(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4339,6 +4437,145 @@ object SparkEntry {
         |FROM orders o LEFT JOIN dim d
         |  ON o.o_custkey = d.c_custkey AND d.vf <= o.o_orderdate
         |  AND (d.vt IS NULL OR d.vt > o.o_orderdate)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_span_dedup" ->
+      // independent replay: window row_number picks the corpus-wide
+      // winner per span text, string_agg reassembles in position order
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+        |    ELSE string_split_regex(trim(text), '[ \t\n\r\f]+') END AS t
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(ceil(len(t)/10.0) AS BIGINT)),
+        |    i -> {'idx': i, 'span': array_to_string(t[(i*10+1):(i*10+10)], ' ')})) AS sp
+        |  FROM toks),
+        |flagged AS (
+        |  SELECT doc_id, CAST(sp.idx AS BIGINT) AS idx, sp.span AS span,
+        |    row_number() OVER (PARTITION BY sp.span ORDER BY doc_id, sp.idx) = 1 AS kept
+        |  FROM spans),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    coalesce(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY idx), '') AS clean_text
+        |  FROM flagged GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_decontaminate_bloom" ->
+      // VERBATIM the q_decontaminate oracle: the bloom gate must not
+      // change the answer, only the shuffle shape
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 8)
+        |SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+        |  count(*) AS n_shared_grams
+        |FROM grams c JOIN grams b ON c.g = b.g
+        |WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+        |GROUP BY corpus_id, bench_id
+        |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      // hashed-unigram DSIR replay: portable md5-prefix buckets, add-one
+      // smoothed log-ratio weights floor-quantized at 10^4, exact BIGINT
+      // per-doc dot product (SURVEY §6: single ln per bucket, psi-family
+      // floor rule)
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |tb AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(tk), 1, 6))::BIGINT % 64 AS b FROM toks),
+        |cq AS (SELECT b, count(*) AS cq FROM tb GROUP BY b),
+        |ct AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src0' GROUP BY b),
+        |tot AS (SELECT CAST((SELECT count(*) FROM tb) AS BIGINT) AS nq,
+        |               CAST((SELECT count(*) FROM tb WHERE source = 'src0') AS BIGINT) AS nt),
+        |w AS (SELECT cq.b,
+        |        CAST(floor(10000.0 * ln(
+        |          CAST((coalesce(ct.ct, 0) + 1) * (tot.nq + 64) AS DOUBLE) /
+        |          CAST((coalesce(cq.cq, 0) + 1) * (tot.nt + 64) AS DOUBLE)) + 0.5) AS BIGINT) AS w
+        |      FROM cq LEFT JOIN ct ON cq.b = ct.b, tot),
+        |dc AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b)
+        |SELECT dc.doc_id, CAST(sum(dc.c * w.w) AS BIGINT) AS dsir_score
+        |FROM dc JOIN w ON dc.b = w.b
+        |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH tr AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        |         event_type AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM tr
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, (c.n * 10000) // t.n_from AS share_bp
+        |FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+
+    "q_pagerank" ->
+      // the pinned integer recurrence unrolled: 3 damped rounds of
+      // (((pr*w) // ow) * 85) // 100 — integer sums are associative, so
+      // both engines agree bit-for-bit regardless of evaluation order
+      """WITH tr AS (
+        |  SELECT l_partkey AS src,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+        |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        |i1 AS (SELECT e.dst AS node, CAST(sum((((p.pr * e.w) // o.ow) * 85) // 100) AS BIGINT) AS infl
+        |       FROM e JOIN p0 p ON e.src = p.node JOIN o ON e.src = o.src GROUP BY e.dst),
+        |p1 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN i1 i ON n.node = i.node),
+        |i2 AS (SELECT e.dst AS node, CAST(sum((((p.pr * e.w) // o.ow) * 85) // 100) AS BIGINT) AS infl
+        |       FROM e JOIN p1 p ON e.src = p.node JOIN o ON e.src = o.src GROUP BY e.dst),
+        |p2 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN i2 i ON n.node = i.node),
+        |i3 AS (SELECT e.dst AS node, CAST(sum((((p.pr * e.w) // o.ow) * 85) // 100) AS BIGINT) AS infl
+        |       FROM e JOIN p2 p ON e.src = p.node JOIN o ON e.src = o.src GROUP BY e.dst),
+        |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
+        |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+        |vocab AS (SELECT term FROM tot ORDER BY n DESC, term ASC LIMIT 30)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS BIGINT) AS n_oov,
+        |  (CAST(sum(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS BIGINT) * 10000)
+        |    // CAST(sum(tf.tf) AS BIGINT) AS oov_bp
+        |FROM tf LEFT JOIN vocab v USING (term)
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+
+    "q_unigram_logloss" ->
+      // per-distinct-term surprisal floor-quantized at 10^4 (single ln —
+      // SURVEY §6 psi-family floor rule), then exact BIGINT sums
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS d FROM c),
+        |l AS (SELECT term, CAST(floor(10000.0 * ln(
+        |        CAST(tot.n + tot.d AS DOUBLE) / CAST(c.c + 1 AS DOUBLE)) + 0.5) AS BIGINT) AS l
+        |      FROM c, tot)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf.tf * l.l) AS BIGINT) AS surprisal_q,
+        |  CAST(sum(tf.tf * l.l) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS mean_surprisal_q
+        |FROM tf JOIN l USING (term)
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
   )
 }

@@ -33,6 +33,38 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** The LARGE-benchmark scale path of [[overlaps]]: when the evaluation
+    * set's gram table is too big to broadcast (a full eval-suite union at
+    * 100 TB corpus scale easily holds 10⁸⁺ grams — past any broadcast
+    * threshold), a plain shuffle join would move EVERY corpus gram. One
+    * mergeable `BloomFilterAggregate` pass over the benchmark grams
+    * builds a bloom of the gram hashes (sized by `expectedGrams`/`fpp`);
+    * corpus grams missing the bloom are definitely-clean (no false
+    * negatives) and never shuffle — only bloom hits (true overlaps +
+    * ~fpp false positives) pay the exact join, which corrects every
+    * false positive. Output == [[overlaps]] EXACTLY (proven in
+    * NearDupSpec); the registered query `q_decontaminate_bloom` is
+    * hash-checked against the same DuckDB oracle as `q_decontaminate`.
+    */
+  def overlapsBloomGated(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 13,
+                         expectedGrams: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val b = gramHashes(benchmark, idCol, textCol, n, "bench_id")
+    val c = gramHashes(corpus, idCol, textCol, n, "corpus_id")
+    val bloom = graft.operators.Dedup.buildKeyBloom(
+      b, Seq("gram_hash"), expectedGrams, fpp)
+    if (bloom == null) // empty benchmark: nothing can be contaminated
+      return c.limit(0).select(col("corpus_id"),
+        lit(null).cast("long").as("bench_id"),
+        lit(0L).as("n_shared_grams")).limit(0)
+    val gated = graft.operators.Dedup
+      .filterByKeyBloom(c, Seq("gram_hash"), bloom)
+    gated.join(b, Seq("gram_hash"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Corpus ids to drop: any doc sharing ≥ `minShared` n-grams with any
     * benchmark doc.
     */

@@ -102,6 +102,17 @@ object Dedup {
     * into an anti-join build side — and AQE picks broadcast for the
     * small sides at runtime.
     */
+  /** The positive-side gate: rows whose xxhash64(keys) MIGHT be in the
+    * bloom. No false negatives — every true member passes; ~fpp
+    * non-members pass too, so the caller must correct survivors with an
+    * exact join (see `Decontaminate.overlapsBloomGated`). Pure filter,
+    * zero shuffle.
+    */
+  def filterByKeyBloom(df: DataFrame, keys: Seq[String],
+                       bloomBytes: Array[Byte]): DataFrame =
+    df.filter(exprs.toColumn(
+      BloomFilterMightContain(Literal(bloomBytes), keyHash(df, keys))))
+
   def gateByBloom(df: DataFrame, history: DataFrame, keys: Seq[String],
                   bloomBytes: Array[Byte]): DataFrame = {
     val mightContain = exprs.toColumn(

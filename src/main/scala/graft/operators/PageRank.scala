@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point integer PageRank (Page et al. 1999) over a weighted
+  * directed edge list — graph-authority scoring for the curation jobs
+  * that need it (crawl-frontier prioritization, co-purchase influence,
+  * near-dup-graph centrality) beyond the reachability family the engine
+  * already has (Hierarchy.closure = transitive reach, Clusters = union
+  * find; neither ranks).
+  *
+  * EXACT-INTEGER determinism: float PageRank is summation-order-
+  * dependent (a shuffle reduce adds contributions in nondeterministic
+  * order), so ranks here are BIGINT micro-units (initial rank = 10⁶)
+  * and every per-edge contribution is the pinned integer form
+  * `(((pr·w) div out_w)·85) div 100` — integer sums are associative, so
+  * the result is bit-identical across partitionings, retries, and
+  * engines (the DuckDB oracle replays the iterations verbatim). The
+  * double floor-div is the DEFINITION here, not an approximation of a
+  * float formula. Damping 0.85 ⇒ per-node base 150 000; dangling-node
+  * mass is dropped (the common simplification — documented, replayed
+  * identically by the oracle).
+  *
+  * Scale shape per iteration: one hash join pr⨝edges on src (pr is
+  * node-sized — AQE broadcasts it when dims allow; at web scale both
+  * sides shuffle on src once) + one keyed aggregate on dst + a left
+  * join back to the node list. Iterations are lineage-checkpointed and
+  * superseded rounds freed eagerly (the Hierarchy.closure idiom).
+  *
+  * Overflow contract: pr·w must stay < 2⁶³ — pr is bounded by
+  * scale·(1 + 0.85·maxInDegreeShare·nNodes), so nodes·scale·maxWeight
+  * ≲ 9·10¹⁸ holds for billions of nodes at moderate edge weights; trim
+  * degenerate hub weights first if beyond.
+  */
+object PageRank {
+
+  /** `edges`: (src long, dst long, weight long > 0). Returns
+    * (node, pr) for every node appearing as src or dst, after `iters`
+    * damped rounds from a flat start of `scale` micro-units.
+    */
+  def rank(edges: DataFrame, iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("weight").cast("long"))
+    val outW = e.groupBy(col("src")).agg(sum(col("weight")).as("__ow"))
+    val ew = e.join(outW, Seq("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val base = scale - (scale * 85L) / 100L // (1-d)·scale in micro-units
+    var pr = nodes.withColumn("pr", lit(scale)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val inflow = ew.join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(((pr * weight) div __ow) * 85) div 100").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      val next = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"), (lit(base) + coalesce(col("__in"), lit(0L))).as("pr"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(pr)
+      pr = next
+    }
+    // the returned frame is its own (eager) checkpoint — the loop inputs
+    // can release their blocks now
+    org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(ew)
+    org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(nodes)
+    pr
+  }
+}

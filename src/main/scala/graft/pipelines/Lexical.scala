@@ -244,4 +244,71 @@ object Lexical {
           .orderBy(col("rrf_q").desc, col(idCol).asc)))
       .select(col(idCol), col("n_lists"), col("rrf_q"), col("rank"))
   }
+
+  /** Vocabulary coverage / OOV audit — the tokenizer-and-corpus QA pass
+    * (a vocabulary trained on last month's crawl applied to this month's:
+    * how much of each document falls outside the top-`vocabSize` terms?).
+    *
+    * Vocabulary = the `vocabSize` most frequent terms (count desc, term
+    * asc tiebreak — a total order, so the vocab set is deterministic
+    * cross-engine). Output per doc: (id, n_tokens, n_oov, oov_bp) with
+    * `oov_bp = (n_oov·10⁴) div n_tokens` — exact integers end to end.
+    *
+    * Shape: term totals from the (id, term)-distinct tf frame (hot terms
+    * cost one long of state), global top-V via orderBy+limit
+    * (`TakeOrderedAndProject` — per-partition partial top-k, never a
+    * single-partition window), then tf ⨝ vocab LEFT join (vocab side is
+    * V rows — broadcast) + one doc aggregate. Blank docs are absent from
+    * the tf frame and so from the output (no 0/0 division row).
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("__n"))
+      .orderBy(col("__n").desc, col("term").asc).limit(vocabSize)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    tf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("(n_oov * 10000) div n_tokens"))
+  }
+
+  /** Unigram cross-entropy quality proxy — the CCNet/RedPajama-style
+    * "perplexity filter" in its engine-portable unigram form: score each
+    * document by its mean token surprisal under the CORPUS unigram model
+    * (gibberish and keyword-stuffed pages score high-surprisal or
+    * degenerate-low; the published pipelines bucket the corpus by the
+    * score and keep the sane middle).
+    *
+    * Cross-engine determinism (SURVEY §6): per-term surprisal is
+    * quantized ONCE — `l(w) = floor(10⁴·ln((N+D)/(c(w)+1)) + 0.5)` over
+    * exact integer N (total tokens), D (distinct terms, the add-one
+    * normalizer), c(w) — and the doc score is the exact BIGINT sum
+    * Σ tf·l(w) with `mean_q = total div n_tokens`; one ln per DISTINCT
+    * term at the PSI family's ppm floor-risk.
+    *
+    * Shape: corpus counts from the tf frame (one term aggregate — hot
+    * terms one long of state), two scalar totals off it, the scoring
+    * join tf ⨝ counts shares the term partitioning, one doc aggregate.
+    */
+  def unigramLogloss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("__c"))
+    val tot = counts.agg(sum(col("__c")).as("__N"),
+      count(lit(1)).as("__D")).head()
+    if (tot.isNullAt(0)) // empty/blank corpus: no tokens, no scores
+      return tf.select(col(idCol), lit(0L).as("n_tokens"),
+        lit(0L).as("surprisal_q"), lit(0L).as("mean_surprisal_q")).limit(0)
+    val n = tot.getLong(0); val d = tot.getLong(1)
+    val scored = tf.join(counts, Seq("term"))
+      .withColumn("__l", floor(lit(10000.0) *
+        log(lit(n + d).cast("double") / (col("__c") + 1L).cast("double")) +
+        lit(0.5)).cast("long"))
+    scored.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("__l")).as("surprisal_q"))
+      .withColumn("mean_surprisal_q", expr("surprisal_q div n_tokens"))
+  }
 }

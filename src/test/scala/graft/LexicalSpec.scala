@@ -151,4 +151,43 @@ class LexicalSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"fused top-k should be TakeOrderedAndProject:\n$plan")
   }
+
+  test("vocabCoverage: oov mass is exactly the non-top-V token mass") {
+    import spark.implicits._
+    // freqs: a=5, b=3, c=2, d=1 -> vocab(2) = {a, b}
+    val docs = Seq(
+      (1L, "a a a b b c"),     // 6 tokens, oov c -> 1
+      (2L, "a a b c d"),       // 5 tokens, oov c d -> 2
+      (3L, "")).toDF("doc_id", "text")
+    val out = graft.pipelines.Lexical.vocabCoverage(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_oov", "oov_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Array((1L, 6L, 1L, 1666L), (2L, 5L, 2L, 4000L)))
+  }
+
+  test("vocabCoverage tiebreak: equal counts resolve by term order") {
+    import spark.implicits._
+    // x and y both occur twice; vocab(1) must pick 'x' (term asc)
+    val docs = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
+    val out = graft.pipelines.Lexical.vocabCoverage(docs, "doc_id", "text", 1)
+      .orderBy("doc_id").select("n_oov").as[Long].collect()
+    assert(out === Array(1L, 1L)) // each doc's 'y' is OOV
+  }
+
+  test("unigramLogloss: closed-form surprisal on a hand corpus") {
+    import spark.implicits._
+    // corpus: c(a)=2, c(b)=1, c(c)=1; N=4, D=3
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    def l(c: Long) =
+      math.floor(10000.0 * StrictMath.log(7.0 / (c + 1.0)) + 0.5).toLong
+    val out = graft.pipelines.Lexical.unigramLogloss(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "surprisal_q", "mean_surprisal_q")
+      .as[(Long, Long, Long, Long)].collect()
+    val d1 = 2L * l(2) + l(1)
+    assert(out === Array((1L, 3L, d1, d1 / 3L), (2L, 1L, l(1), l(1))))
+    // the common-token doc carries LOWER mean surprisal than the rare one
+    assert(out(0)._4 < out(1)._4)
+  }
 }
