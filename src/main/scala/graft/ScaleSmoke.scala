@@ -457,6 +457,53 @@ object ScaleSmoke {
         Scd.pitJoin(ordN, dim, Seq("c_custkey"), "od", Seq("seg")).count())
     }
 
+    if (section == "all" || section == "curation") {
+      // curation tier ramp: span dedup must scale with the token count
+      // (spans shuffle once on their text), DSIR with pure scans (the
+      // scoring pass is shuffle-free), vocab/logloss with the tf frame,
+      // PageRank with the edge count per iteration
+      import graft.dedup.SpanDedup
+      import graft.pipelines.{Dsir, Lexical}
+      import graft.operators.PageRank
+
+      val docs1 = Tables.load(spark, base, "documents")
+      val docsN = spark.read.parquet(replicate("documents", "doc_id"))
+      time("span dedup 1x")(
+        SpanDedup.dedupSpans(docs1, "doc_id", "text", 10).count())
+      time(s"span dedup ${mult}x")(
+        SpanDedup.dedupSpans(docsN, "doc_id", "text", 10).count())
+      val t1 = docs1.filter(col("source") === "src0")
+      // replication keeps source labels, so the target ramps with the corpus
+      val tN = docsN.filter(col("source") === "src0")
+      time("dsir 1x")(
+        Dsir.importanceScores(docs1, t1, "doc_id", "text").count())
+      time(s"dsir ${mult}x")(
+        Dsir.importanceScores(docsN, tN, "doc_id", "text").count())
+      time("vocab coverage 1x")(
+        Lexical.vocabCoverage(docs1, "doc_id", "text", 30).count())
+      time(s"vocab coverage ${mult}x")(
+        Lexical.vocabCoverage(docsN, "doc_id", "text", 30).count())
+      time("unigram logloss 1x")(
+        Lexical.unigramLogloss(docs1, "doc_id", "text").count())
+      time(s"unigram logloss ${mult}x")(
+        Lexical.unigramLogloss(docsN, "doc_id", "text").count())
+
+      val li1 = Tables.load(spark, base, "lineitem")
+      val liN = spark.read.parquet(replicate("lineitem", "l_orderkey"))
+      def edgesOf(li: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"))
+        li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("l_partkey").as("src"), col("dst"))
+          .agg(count(lit(1)).as("weight"))
+      }
+      time("pagerank 1x")(PageRank.rank(edgesOf(li1), 3).count())
+      time(s"pagerank ${mult}x")(PageRank.rank(edgesOf(liN), 3).count())
+    }
+
     spark.stop()
   }
 }

@@ -114,6 +114,29 @@ class PlansSpec extends SparkSuite {
     assert(keys.length === 1 && keys.head.contains("corpus_id"), plan)
   }
 
+  test("DSIR scoring pass is shuffle-free (row-local folds + literal weights)") {
+    val target = docsDf.filter($"doc_id" % 10 === 0)
+    val scored = graft.pipelines.Dsir.importanceScores(
+      docsDf, target, "doc_id", "text", nBuckets = 16)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("span dedup: every exchange is keyed on the span text or the doc id") {
+    val out = graft.dedup.SpanDedup.dedupSpans(docsDf, "doc_id", "text", n = 4)
+    val keys = shuffleKeys(out)
+    assert(keys.nonEmpty && keys.forall(k =>
+      k.contains("span") || k.contains("__id")), keys)
+    assert(keys.length <= 4, keys) // winner agg + join back + doc reassembly
+  }
+
+  test("vocab coverage: distributed top-V, vocabulary broadcast to the tf side") {
+    val out = graft.pipelines.Lexical.vocabCoverage(docsDf, "doc_id", "text", 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan) // never a global sort
+    assert(plan.contains("BroadcastHashJoin"), plan)     // V-row vocab side
+  }
+
   test("IVF centroid assignment is a pure map: zero exchanges") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
