@@ -2238,6 +2238,25 @@ object SparkEntry {
       graft.pipelines.Lexical.unigramLogloss(
         t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    "q_mmr_rerank" -> ((s, dir) => {
+      // diversified retrieval finalizer (MMR, Carbonell & Goldstein
+      // 1998): rows-only — the greedy runs driver-side over the BOUNDED
+      // top-40 candidate set (the Binning-boundaries collect tier);
+      // MmrSpec proves the selection against an independent replay and
+      // its order/partitioning invariance. Candidates come from the
+      // oracle-green brute-force cosine stage.
+      val emb = t(s, dir, "embeddings")
+      val topk = graft.similarity.Knn.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0), k = 40)
+        .withColumn("rel_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      val cands = topk.join(emb, topk("neighbor_id") === emb("vec_id"))
+        .select(col("neighbor_id").as("id"), col("rel_rank"), col("embedding"))
+      graft.similarity.Mmr.rerank(cands, "id", "rel_rank", "embedding", k = 10)
+        .orderBy(col("mmr_rank"))
     })
   )
 

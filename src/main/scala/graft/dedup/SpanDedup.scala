@@ -24,13 +24,12 @@ import org.apache.spark.sql.functions._
   * analogue a training-data pipeline needs instead.
   *
   * Scale shape: one narrow chunking pass (no shuffle), one keyed
-  * aggregate on the span text for the winner (partial map-side min), a
-  * join back on the same key (no extra exchange beyond the agg's), and
-  * one doc-keyed aggregate to reassemble. Aggregation state per span key
-  * is one (doc, idx) struct — never a membership list. At 100 TB the
-  * span JOIN key can be swapped for its 128-bit hash to cut shuffle
-  * width (collision risk ~n²/2¹²⁸); the registered form keys on the text
-  * itself so the oracle compare is collision-free.
+  * aggregate on the span text for the winner (partial map-side min, a
+  * state of one (doc, idx) struct — never a membership list), a join
+  * back on the same key, and one doc-keyed aggregate to reassemble. At
+  * 100 TB the span JOIN key can be swapped for its 128-bit hash to cut
+  * shuffle width (collision risk ~n²/2¹²⁸); the registered form keys on
+  * the text itself so the oracle compare is collision-free.
   *
   * Within-doc duplicate spans dedup too (the second occurrence loses the
   * (doc, idx) tie) — same as C4's corpus-wide rule. The trailing partial
@@ -44,37 +43,34 @@ object SpanDedup {
     */
   private val WS = "[ \\t\\n\\r\\f]+"
 
-  /** (idCol, n_spans, n_kept, clean_text): duplicated `n`-token windows
-    * removed corpus-wide (first (doc, position) occurrence survives),
-    * text reassembled from kept windows joined by single spaces. Blank
-    * documents pass through with 0 spans and empty clean_text.
+  /** (\_\_id, idx, span) rows, one per consecutive `n`-token window;
+    * blank docs surface as one (\_\_id, null, null) row (posexplode_outer)
+    * so reassembly can emit them with zero spans.
     */
-  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
-                 n: Int = 10): DataFrame = {
-    require(n >= 1, "span length must be >= 1")
+  private def spansOf(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
     val toks = df.select(col(idCol).as("__id"),
       when(trim(col(textCol)) === "" || col(textCol).isNull,
         array().cast("array<string>"))
         .otherwise(split(trim(col(textCol)), WS)).as("__toks"))
-    // consecutive n-token windows: span i covers tokens [i*n+1, i*n+n]
-    // (slice is 1-based); ceil-div span count keeps the partial tail
-    val spans = toks.select(col("__id"),
+    // span i covers tokens [i*n+1, i*n+n] (slice is 1-based); ceil-div
+    // span count keeps the partial tail
+    toks.select(col("__id"),
       when(size(col("__toks")) === 0, array().cast("array<string>"))
         .otherwise(transform(
-          // ceil-div span count; the float division is exact (counts ≪ 2^52)
+          // the float division is exact (counts ≪ 2^52)
           sequence(lit(0L),
             floor((size(col("__toks")) + lit(n - 1)) / lit(n)).cast("long") - 1L),
           i => array_join(
             slice(col("__toks"), (i * n + 1).cast("int"), lit(n)), " ")))
         .as("__spans"))
       .select(col("__id"), posexplode_outer(col("__spans")).as(Seq("idx", "span")))
-    // corpus-wide winner per span text: lexicographically-first (doc, idx)
-    val winners = spans.filter(col("span").isNotNull)
-      .groupBy(col("span"))
-      .agg(min(struct(col("__id").as("wid"), col("idx").as("widx"))).as("__w"))
-    val flagged = spans.join(winners, Seq("span"), "left")
-      .withColumn("__kept", col("span").isNotNull &&
-        col("__w.wid") === col("__id") && col("__w.widx") === col("idx"))
+  }
+
+  /** One doc-keyed aggregate: kept spans rejoin in position order;
+    * blank/fully-deduped docs come out with empty clean_text.
+    */
+  private def reassemble(flagged: DataFrame, idCol: String): DataFrame =
     flagged.groupBy(col("__id"))
       .agg(count(col("idx")).as("n_spans"),
         sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -83,5 +79,73 @@ object SpanDedup {
             struct(col("idx"), col("span"))))),
           x => x("span")), " ").as("clean_text"))
       .withColumnRenamed("__id", idCol)
+
+  /** (idCol, n_spans, n_kept, clean_text): duplicated `n`-token windows
+    * removed corpus-wide (first (doc, position) occurrence survives),
+    * text reassembled from kept windows joined by single spaces. Blank
+    * documents pass through with 0 spans and empty clean_text.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 10): DataFrame = {
+    require(n >= 1, "span length must be >= 1")
+    val spans = spansOf(df, idCol, textCol, n)
+    // corpus-wide winner per span text: lexicographically-first (doc, idx)
+    val winners = spans.filter(col("span").isNotNull)
+      .groupBy(col("span"))
+      .agg(min(struct(col("__id").as("wid"), col("idx").as("widx"))).as("__w"))
+    val flagged = spans.join(winners, Seq("span"), "left")
+      .withColumn("__kept", col("span").isNotNull &&
+        col("__w.wid") === col("__id") && col("__w.widx") === col("idx"))
+    reassemble(flagged, idCol)
+  }
+
+  /** Incremental-ingest form: dedup a NEW batch's spans against an
+    * append-only span REGISTRY (every span kept by any earlier batch).
+    * A registry span removes every batch copy; spans new to the
+    * registry dedup in-batch by the same min (doc, idx) winner rule.
+    *
+    * Returns (cleaned, newSpans): append `newSpans` (single `span`
+    * column, distinct) to the registry after a successful write — the
+    * registry only ever grows, so a crash between the two writes
+    * re-derives the identical result on replay (the batch re-runs
+    * against the same registry).
+    *
+    * First-seen-forever semantics: when batches arrive in doc order,
+    * a sequential run equals [[dedupSpans]] over the concatenated
+    * corpus EXACTLY (SpanDedupSpec proves it) — the batch winner IS the
+    * global winner because all earlier ids live in earlier batches.
+    *
+    * Scale shape: ONE mergeable bloom pass over the registry
+    * (`Dedup.buildKeyBloom`); batch spans missing the bloom are
+    * definitely-new and skip the registry entirely — the exact semi
+    * join against the registry reads it ONCE, column-pruned, only for
+    * the (small) bloom-hit candidate set. Work per batch is
+    * O(batch + bloom hits), never O(registry).
+    */
+  def dedupSpansAgainstHistory(batch: DataFrame, registry: DataFrame,
+                               idCol: String, textCol: String, n: Int = 10,
+                               expectedSpans: Long = 1000000L,
+                               fpp: Double = 0.01): (DataFrame, DataFrame) = {
+    require(n >= 1, "span length must be >= 1")
+    val spans = spansOf(batch, idCol, textCol, n)
+    val real = spans.filter(col("span").isNotNull)
+    val bloom = graft.operators.Dedup.buildKeyBloom(
+      registry, Seq("span"), expectedSpans, fpp)
+    val inHistory =
+      if (bloom == null) real.select(col("span")).limit(0)
+      else graft.operators.Dedup
+        .filterByKeyBloom(real.select(col("span")).distinct(), Seq("span"), bloom)
+        .join(registry.select(col("span")), Seq("span"), "left_semi")
+    val withHist = spans.join(inHistory.withColumn("__hist", lit(true)),
+      Seq("span"), "left")
+    val winners = real.join(inHistory, Seq("span"), "left_anti")
+      .groupBy(col("span"))
+      .agg(min(struct(col("__id").as("wid"), col("idx").as("widx"))).as("__w"))
+    val flagged = withHist.join(winners, Seq("span"), "left")
+      .withColumn("__kept", col("span").isNotNull && col("__hist").isNull &&
+        col("__w.wid") === col("__id") && col("__w.widx") === col("idx"))
+    val cleaned = reassemble(flagged, idCol)
+    val newSpans = winners.select(col("span"))
+    (cleaned, newSpans)
   }
 }

@@ -48,6 +48,44 @@ class SpanDedupSpec extends SparkSuite {
     assert(out(1)._4 === "six seven eight")
   }
 
+  test("incremental span dedup: sequential batches == one-shot corpus run") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val (c1, s1) = SpanDedup.dedupSpansAgainstHistory(
+      b1, s1Empty(), "doc_id", "text", n = 10, expectedSpans = 100000L)
+    val reg1 = s1.persist(); reg1.count()
+    val (c2, s2) = SpanDedup.dedupSpansAgainstHistory(
+      b2, reg1, "doc_id", "text", n = 10, expectedSpans = 100000L)
+    val seq = c1.unionByName(c2)
+    val oneShot = SpanDedup.dedupSpans(docs, "doc_id", "text", n = 10)
+    assert(seq.exceptAll(oneShot).isEmpty && oneShot.exceptAll(seq).isEmpty)
+    // the registry is append-only: batch-2 novelties never overlap it
+    assert(s2.join(reg1, Seq("span"), "left_semi").count() === 0)
+    reg1.unpersist()
+  }
+
+  test("incremental span dedup: a registry span removes every batch copy") {
+    import spark.implicits._
+    val reg = Seq("a b").toDF("span")
+    val batch = Seq((5L, "a b c d"), (6L, "a b")).toDF("doc_id", "text")
+    val (cleaned, newSpans) = SpanDedup.dedupSpansAgainstHistory(
+      batch, reg, "doc_id", "text", n = 2, expectedSpans = 10L)
+    val out = cleaned.orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    // even the would-be winner copy of "a b" dies — history owns it
+    assert(out(0) === ((5L, 2L, 1L, "c d")))
+    assert(out(1) === ((6L, 1L, 0L, "")))
+    assert(newSpans.as[String].collect().sorted === Array("c d"))
+  }
+
+  private def s1Empty() = {
+    import spark.implicits._
+    Seq.empty[String].toDF("span")
+  }
+
   test("bloom-gated decontamination equals the broadcast-join form exactly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bench = docs.filter(col("doc_id") % 50 === 0)
