@@ -127,15 +127,37 @@ object SpanDedup {
                                expectedSpans: Long = 1000000L,
                                fpp: Double = 0.01): (DataFrame, DataFrame) = {
     require(n >= 1, "span length must be >= 1")
-    val spans = spansOf(batch, idCol, textCol, n)
-    val real = spans.filter(col("span").isNotNull)
     val bloom = graft.operators.Dedup.buildKeyBloom(
       registry, Seq("span"), expectedSpans, fpp)
-    val inHistory =
-      if (bloom == null) real.select(col("span")).limit(0)
-      else graft.operators.Dedup
-        .filterByKeyBloom(real.select(col("span")).distinct(), Seq("span"), bloom)
-        .join(registry.select(col("span")), Seq("span"), "left_semi")
+    if (bloom == null) { // empty registry: pure in-batch dedup
+      val spans = spansOf(batch, idCol, textCol, n)
+      return dedupGated(spans, idCol,
+        spans.filter(col("span").isNotNull).select(col("span")).limit(0))
+    }
+    dedupSpansGated(batch, registry, idCol, textCol, n, bloom)
+  }
+
+  /** [[dedupSpansAgainstHistory]] with a CALLER-HELD bloom (must be a
+    * SUPERSET of the registry's spans — the streaming twin maintains one
+    * mergeably in O(batch) per batch instead of aggregating the registry
+    * every micro-batch; phantom entries cost a needless exact check,
+    * missing ones would be wrong and are the caller's contract).
+    */
+  def dedupSpansGated(batch: DataFrame, registry: DataFrame,
+                      idCol: String, textCol: String, n: Int,
+                      bloomBytes: Array[Byte]): (DataFrame, DataFrame) = {
+    require(n >= 1, "span length must be >= 1")
+    val spans = spansOf(batch, idCol, textCol, n)
+    val real = spans.filter(col("span").isNotNull)
+    val inHistory = graft.operators.Dedup
+      .filterByKeyBloom(real.select(col("span")).distinct(), Seq("span"), bloomBytes)
+      .join(registry.select(col("span")), Seq("span"), "left_semi")
+    dedupGated(spans, idCol, inHistory)
+  }
+
+  private def dedupGated(spans: DataFrame, idCol: String,
+                         inHistory: DataFrame): (DataFrame, DataFrame) = {
+    val real = spans.filter(col("span").isNotNull)
     val withHist = spans.join(inHistory.withColumn("__hist", lit(true)),
       Seq("span"), "left")
     val winners = real.join(inHistory, Seq("span"), "left_anti")
