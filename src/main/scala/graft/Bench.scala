@@ -32,7 +32,19 @@ object Bench {
       // cross-query persisted blocks accumulating into eviction churn
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: query names — bench only those (targeted A/B timing
+    // in a fresh JVM, the tool for separating host noise and in-run JVM
+    // pressure from real regressions)
+    val only = if (args.isEmpty) None else Some(args.toSet)
+    val queryIdx = new java.util.concurrent.atomic.AtomicInteger(0)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+      // flush the context cleaner's weak-ref backlog periodically: over
+      // 150+ queries in one JVM, unreclaimed shuffle/broadcast state
+      // inflates the LATE-alphabet queries (measured: q_table_order
+      // 0.07 s fresh-JVM vs 0.75 s at position ~140 without this)
+      if (queryIdx.getAndIncrement() % 20 == 19) System.gc()
       val cold = timeOne(fn)
       val warmRuns =
         if (cold >= 0) Seq.fill(3)(timeOne(fn)).map(t => if (t < 0) -1.0 else t)
