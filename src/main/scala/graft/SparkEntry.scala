@@ -2240,6 +2240,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_bpe_train" -> ((s, dir) => {
+      // BPE vocabulary induction (Sennrich et al. 2016): the subword
+      // merge table trained on the corpus' word-frequency frame — all
+      // corpus-scale work is ONE word count; the merge loop is
+      // vocabulary-sized. Rows-only: the loop is iterative and
+      // engine-specific; BpeSpec proves the merge sequence equals the
+      // published algorithm's reference implementation EXACTLY (total
+      // (count desc, pair asc) order makes it partitioning/engine
+      // independent).
+      graft.pipelines.Bpe.train(t(s, dir, "documents"), "text",
+        numMerges = 30)
+        .orderBy(col("rank"))
+    }),
+
+    "q_sample_norepl" -> ((s, dir) => {
+      // fixed-budget quality-weighted sampling (A-Res, Efraimidis &
+      // Spirakis 2006): exactly 100 docs, inclusion ∝ length weight,
+      // reproducible across runs/engines/partitionings; global top-k
+      // via TakeOrderedAndProject
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        (col("doc_id") % 1048573L * 2654435761L % 1000000L).as("__h"))
+      graft.pipelines.Mixture.sampleWithoutReplacement(
+        d, k = 100, greatest(col("n_chars"), lit(1L)), col("__h"),
+        Seq(col("doc_id").asc))
+        .select(col("doc_id"), col("n_chars"), col("priority_q"))
+        .orderBy(col("priority_q"), col("doc_id"))
+    }),
+
     "q_mmr_rerank" -> ((s, dir) => {
       // diversified retrieval finalizer (MMR, Carbonell & Goldstein
       // 1998): rows-only — the greedy runs driver-side over the BOUNDED
@@ -4564,6 +4592,17 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_sample_norepl" ->
+      // the A-Res priority replayed verbatim: one ln per row at a 10^4
+      // floor grain (engine ulp flip risk ~1e-11/row — see Mixture doc)
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  ((doc_id % 1048573) * 2654435761) % 1000000 AS h,
+        |  greatest(n_chars, 1) AS w FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(floor(ln(1000000.0 / (h + 1.0)) * 10000.0 / w + 0.5) AS BIGINT) AS priority_q
+        |FROM d
+        |ORDER BY priority_q, doc_id LIMIT 100""".stripMargin,
 
     "q_vocab_coverage" ->
       """WITH toks AS (

@@ -60,6 +60,39 @@ object Mixture {
              rates: Map[String, Double]): DataFrame =
     sample(df, sourceCol, rates, uniformHash(col(idCol)))
 
+  /** Weighted sampling WITHOUT replacement (A-Res, Efraimidis &
+    * Spirakis 2006): select exactly `k` rows with inclusion probability
+    * ∝ `weight`, deterministically. The reservoir key u^(1/w) becomes
+    * the equivalent priority ln(1/u)/w — take the k SMALLEST — so
+    * higher-weight rows systematically draw lower priorities. The
+    * `sampleWeighted` family is Bernoulli (row-count varies and rates
+    * above 1 replicate); this is the fixed-budget complement: "give me
+    * exactly k docs, quality-weighted".
+    *
+    * Determinism (SURVEY §6): `hash6` must be a deterministic integer in
+    * [0, 10⁶) (the portable multiplicative hash in the registered query;
+    * `uniformHash`-style xxhash in library use). The priority is
+    * quantized ONCE — `floor(ln(10⁶/(h+1))·10⁴ / w + 0.5)` — at a grain
+    * where the engines' ln ulp difference flips a floor with
+    * probability ~10⁻¹¹ per row (a 10⁹-quantized version would be
+    * ~10⁻⁶/row — per-ROW ln needs a coarser floor than the per-bucket
+    * PSI family); quantization ties break by `tieBreak`.
+    *
+    * Shape: one narrow projection + global top-k via orderBy+limit
+    * (`TakeOrderedAndProject` — per-partition partial top-k, no global
+    * sort, no shuffle of rejected rows).
+    */
+  def sampleWithoutReplacement(df: DataFrame, k: Int, weight: Column,
+                               hash6: Column, tieBreak: Seq[Column]): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.withColumn("__prio",
+        floor(log(lit(1000000.0) / (hash6 + lit(1.0))) * lit(10000.0) /
+          weight.cast("double") + lit(0.5)).cast("long"))
+      .orderBy(col("__prio").asc +: tieBreak: _*)
+      .limit(k)
+      .withColumnRenamed("__prio", "priority_q")
+  }
+
   /** Deterministic dataset split (train/val/test): ordered
     * (label, fraction) buckets over a uniform hash — every row gets the
     * first label whose cumulative fraction exceeds its `u`, so the

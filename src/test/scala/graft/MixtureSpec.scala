@@ -94,4 +94,23 @@ class MixtureSpec extends SparkSuite {
       .select("epoch").as[Int].collect().sorted
     assert(epochs === (0 until epochs.length).toArray)
   }
+
+  test("A-Res without replacement: exact k, weight-proportional, stable") {
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 1000L).map(i => (i, if (i <= 500) 10L else 1L))
+    val df = rows.toDF("id", "w")
+      .withColumn("h", col("id") % 1048573L * 2654435761L % 1000000L)
+    val out = Mixture.sampleWithoutReplacement(
+      df, k = 200, col("w"), col("h"), Seq(col("id").asc))
+    val picked = out.select("id").as[Long].collect()
+    assert(picked.length === 200)
+    assert(picked.distinct.length === 200) // without replacement
+    val heavy = picked.count(_ <= 500)
+    // weight-10 rows must dominate a weight-1 population of equal size
+    assert(heavy > 140, s"heavy=$heavy of 200")
+    val again = Mixture.sampleWithoutReplacement(
+      df.repartition(13), k = 200, col("w"), col("h"), Seq(col("id").asc))
+      .select("id").as[Long].collect()
+    assert(again.sorted === picked.sorted)
+  }
 }
