@@ -137,8 +137,13 @@ object Dsir {
                                  textCol: String,
                                  nBuckets: Int = 64): DataFrame = {
     def toArr(counts: DataFrame): Array[Long] = {
-      val m = counts.select(col("b").cast("int"), col("n").cast("long"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // bounded collect: a mistaken data-sized frame must fail loudly,
+      // not pull the corpus onto the driver
+      val rows = counts.select(col("b").cast("int"), col("n").cast("long"))
+        .limit(nBuckets + 1).collect()
+      require(rows.length <= nBuckets,
+        s"count table has more than $nBuckets rows — not a bucket-count table?")
+      val m = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
       require(m.keys.forall(b => b >= 0 && b < nBuckets),
         s"bucket id outside [0, $nBuckets) — counts built with a different nBuckets?")
       Array.tabulate(nBuckets)(i => m.getOrElse(i, 0L))

@@ -60,32 +60,46 @@ class StreamingSpanDedup(cleanedDir: String, registryDir: String,
     out.toByteArray
   }
 
-  /** Registry spans EXCLUDING this batch's own tag (replay must not see
-    * a half-written earlier attempt of itself).
+  /** COMMITTED registry partitions only (batch=* dirs bearing _SUCCESS),
+    * optionally excluding one tag. Reading by explicit committed paths —
+    * not partition discovery — means a crash during the very FIRST
+    * registry write (dir with only _temporary: schema inference throws
+    * on every replay, a stuck stream) and half-written partitions are
+    * both simply invisible, instead of error or phantom input.
     */
-  private def registryNoSelf(spark: SparkSession, batchId: Long): DataFrame = {
-    val raw = spark.read.parquet(registryDir)
-    (if (raw.columns.contains("batch")) raw.filter(col("batch") =!= batchId)
-     else raw).select(col("span"))
+  private def committedRegistryDirs(spark: SparkSession,
+                                    excludeTag: Option[Long]): Seq[String] = {
+    if (!pathExists(spark, registryDir)) return Nil
+    val (f, p) = fs(spark, registryDir)
+    f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => excludeTag.forall(t => st.getPath.getName != s"batch=$t"))
+      .filter(st => f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+  }
+
+  private def registrySpans(spark: SparkSession,
+                            excludeTag: Option[Long]): DataFrame = {
+    val dirs = committedRegistryDirs(spark, excludeTag)
+    if (dirs.isEmpty) emptyRegistry(spark)
+    else spark.read.parquet(dirs: _*).select(col("span"))
   }
 
   /** One micro-batch (directly callable for batch backfill). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val regExists = pathExists(spark, registryDir)
-    if (bloom == null && regExists)
-      mergeSpans(spark.read.parquet(registryDir).select(col("span")))
+    if (bloom == null) mergeSpans(registrySpans(spark, None))
     if (committed(spark, s"$registryDir/batch=$batchId")) {
       // fully committed replay: nothing to write; the start-up rebuild
       // above already covers the bloom superset
       return
     }
     val (cleaned, newSpans) =
-      if (!regExists || bloom == null)
+      if (bloom == null)
         SpanDedup.dedupSpansAgainstHistory(batch,
           emptyRegistry(spark), idCol, textCol, n, expectedSpans, fpp)
       else
-        SpanDedup.dedupSpansGated(batch, registryNoSelf(spark, batchId),
+        SpanDedup.dedupSpansGated(batch, registrySpans(spark, Some(batchId)),
           idCol, textCol, n, bloomBytes)
     // pin both: their lineage reads the registry files the writes below
     // mutate (the IncrementalNearDup recache hazard)

@@ -42,6 +42,22 @@ class StreamingSpanDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("a half-written FIRST registry write cannot wedge the stream") {
+    val dir = Files.createTempDirectory("graft_sspan3")
+    // simulate a crash during the very first registry write: the dir
+    // exists with debris but no committed partition — partition
+    // discovery would throw on schema inference forever
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/reg/batch=0"))
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dir/reg/batch=0/part-garbage"), "")
+    val sd = new StreamingSpanDedup(s"$dir/clean", s"$dir/reg",
+      "doc_id", "text", n = 2, expectedSpans = 10000L)
+    sd.processBatch(docs.toDF("doc_id", "text"), 0L)
+    val got = spark.read.parquet(s"$dir/clean")
+      .select("doc_id", "n_spans", "n_kept", "clean_text")
+    assert(got.exceptAll(oneShot).isEmpty && oneShot.exceptAll(got).isEmpty)
+  }
+
   test("crash replay of a batch is idempotent; restart rebuilds the bloom") {
     val dir = Files.createTempDirectory("graft_sspan2")
     val sd = new StreamingSpanDedup(s"$dir/clean", s"$dir/reg",
