@@ -2240,6 +2240,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_winsorize" -> ((s, dir) => {
+      // per-group winsorization to DISCRETE [p5, p95] cuts — the
+      // distribution-aware tier of the reference's constant default
+      // fill; rank-selected cuts are actual data values, so every
+      // clamped double is bit-exact cross-engine
+      graft.operators.Robust.winsorize(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value", loBp = 500, hiBp = 9500)
+        .orderBy(col("event_id"))
+    }),
+
+    "q_impute_median" -> ((s, dir) => {
+      // per-group median imputation of missing values (nulls planted
+      // deterministically — the feed has none): filled cells take the
+      // group's DISCRETE lower median, an existing value, bit-exact
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          when(col("event_id") % 13 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+      graft.operators.Robust.imputeGroupMedian(ev, Seq("event_type"), "value")
+        .orderBy(col("event_id"))
+    }),
+
+    "q_bigram_logloss" -> ((s, dir) => {
+      // order-2 surprisal: catches locally-incoherent token ORDER that
+      // unigram surprisal misses — the next rung toward KenLM filters
+      graft.pipelines.Lexical.bigramLogloss(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_bpe_train" -> ((s, dir) => {
       // BPE vocabulary induction (Sennrich et al. 2016): the subword
       // merge table trained on the corpus' word-frequency frame — all
@@ -4592,6 +4623,72 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_winsorize" ->
+      // unconditional row_number with NULLS LAST is equivalent to the
+      // Spark side's non-null-gated rank: nulls sort past every real
+      // row, so they can never occupy a cut rank (cut rank <= n)
+      """WITH r AS (
+        |  SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value NULLS LAST) AS rn,
+        |    count(value) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |c AS (
+        |  SELECT *,
+        |    max(CASE WHEN rn = greatest((n * 500 + 9999) // 10000, 1) THEN value END)
+        |      OVER (PARTITION BY event_type) AS lo,
+        |    max(CASE WHEN rn = greatest((n * 9500 + 9999) // 10000, 1) THEN value END)
+        |      OVER (PARTITION BY event_type) AS hi
+        |  FROM r)
+        |SELECT event_id, event_type, value,
+        |  CASE WHEN value IS NULL THEN NULL
+        |       ELSE least(greatest(value, lo), hi) END AS value_w,
+        |  value IS NOT NULL AND value < lo AS clamped_lo,
+        |  value IS NOT NULL AND value > hi AS clamped_hi
+        |FROM c ORDER BY event_id""".stripMargin,
+
+    "q_impute_median" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value NULLS LAST) AS rn,
+        |    count(value) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |m AS (
+        |  SELECT *,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN value END)
+        |      OVER (PARTITION BY event_type) AS med
+        |  FROM r)
+        |SELECT event_id, event_type, value,
+        |  coalesce(value, med) AS value_f,
+        |  value IS NULL AND med IS NOT NULL AS imputed
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    "q_bigram_logloss" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (
+        |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |          i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+        |        FROM toks WHERE len(t) >= 2) q
+        |  GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS s1
+        |        FROM c12 GROUP BY 1),
+        |l AS (SELECT c12.w1, c12.w2,
+        |        CAST(floor(10000.0 * ln(
+        |          CAST(ctx.c1 + ctx.s1 AS DOUBLE) / CAST(c12.c12 + 1 AS DOUBLE)) + 0.5) AS BIGINT) AS l
+        |      FROM c12 JOIN ctx ON c12.w1 = ctx.w1)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(tf.tf * l.l) AS BIGINT) AS surprisal2_q,
+        |  CAST(sum(tf.tf * l.l) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS mean_surprisal2_q
+        |FROM tf JOIN l ON tf.w1 = l.w1 AND tf.w2 = l.w2
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
 
     "q_sample_norepl" ->
       // the A-Res priority replayed verbatim: one ln per row at a 10^4

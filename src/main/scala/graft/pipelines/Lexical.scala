@@ -293,6 +293,45 @@ object Lexical {
     * terms one long of state), two scalar totals off it, the scoring
     * join tf ⨝ counts shares the term partitioning, one doc aggregate.
     */
+  /** Order-2 twin of [[unigramLogloss]]: mean BIGRAM-conditional
+    * surprisal — `P(w₂|w₁)` smoothed add-one over the context's observed
+    * successor set, `l(w₁,w₂) = floor(10⁴·ln((c(w₁·)+S(w₁))/(c(w₁w₂)+1))
+    * + 0.5)` quantized once per DISTINCT bigram, doc score the exact
+    * BIGINT Σ tf·l. Catches locally-incoherent text (plausible words in
+    * implausible order) that unigram surprisal scores as normal — the
+    * next rung toward the KenLM n-gram filters the published pipelines
+    * run. Docs with fewer than two tokens carry no bigrams and are
+    * absent.
+    *
+    * Shape: doc bigram tf from one keyed aggregate; corpus bigram counts
+    * reduce FROM the tf frame (hot bigrams cost one long of state);
+    * context totals from the bigram frame (vocabulary²-bounded); scoring
+    * join shares the (w1, w2) partitioning; one doc aggregate.
+    */
+  def bigramLogloss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val tf = toks.select(col(idCol),
+      explode(transform(sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i.cast("int") + 1).as("w1"),
+          element_at(col("__t"), i.cast("int") + 2).as("w2")))).as("__p"))
+      .groupBy(col(idCol), col("__p.w1"), col("__p.w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c12 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("__c12"))
+    val ctx = c12.groupBy(col("w1"))
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__s1"))
+    val l = c12.join(ctx, Seq("w1"))
+      .withColumn("__l", floor(lit(10000.0) *
+        log((col("__c1") + col("__s1")).cast("double") /
+            (col("__c12") + 1L).cast("double")) + lit(0.5)).cast("long"))
+    tf.join(l, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("__l")).as("surprisal2_q"))
+      .withColumn("mean_surprisal2_q", expr("surprisal2_q div n_bigrams"))
+  }
+
   def unigramLogloss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("__c"))

@@ -190,4 +190,30 @@ class LexicalSpec extends SparkSuite {
     // the common-token doc carries LOWER mean surprisal than the rare one
     assert(out(0)._4 < out(1)._4)
   }
+
+  test("bigramLogloss: closed-form conditional surprisal on a hand corpus") {
+    import spark.implicits._
+    // corpus bigrams: (a,b):2 [doc1x1, doc2x1], (b,a):1, (a,c):1
+    // contexts: a -> c1=3, s1=2 ; b -> c1=1, s1=1
+    val docs = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    def l(c1: Long, s1: Long, c12: Long) =
+      math.floor(10000.0 * StrictMath.log((c1 + s1).toDouble / (c12 + 1.0)) + 0.5).toLong
+    val lab = l(3, 2, 2); val lba = l(1, 1, 1); val lac = l(3, 2, 1)
+    val out = graft.pipelines.Lexical.bigramLogloss(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "surprisal2_q", "mean_surprisal2_q")
+      .as[(Long, Long, Long, Long)].collect()
+    val d1 = lab + lba + lac // doc1 pairs: (a,b),(b,a),(a,c)
+    assert(out === Array((1L, 3L, d1, d1 / 3L), (2L, 1L, lab, lab)))
+  }
+
+  test("bigramLogloss: scrambled word order scores higher than natural order") {
+    import spark.implicits._
+    val natural = (1L to 30L).map(i => (i, "the cat sat on the mat"))
+    // one doc with the same words, implausible order
+    val docs = (natural :+ ((31L, "mat the on sat cat the"))).toDF("doc_id", "text")
+    val out = graft.pipelines.Lexical.bigramLogloss(docs, "doc_id", "text")
+      .select("doc_id", "mean_surprisal2_q").as[(Long, Long)].collect().toMap
+    assert(out(31L) > out(1L))
+  }
 }
