@@ -2240,6 +2240,55 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_contrastive_pairs" -> ((s, dir) => {
+      // (anchor, positive, negative) triplets for retrieval-encoder
+      // training (SimCSE/DPR shape): positives = verified near-dups in
+      // a Jaccard band, negatives = hash-picked docs PROVEN not
+      // near-dup. Rows-only: rides the LSH sketches; ContrastivePairsSpec
+      // proves planted-family anchoring, non-dup negatives, determinism.
+      graft.pipelines.ContrastivePairs.mine(
+        t(s, dir, "documents"), "doc_id", "text",
+        minJbp = 5000, maxJbp = 9900)
+        .orderBy(col("anchor_id"), col("positive_id"))
+    }),
+
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // near-dup cluster canonicalization by QUALITY, not min-id: the
+      // published pipelines keep the best member of each duplicate
+      // group (longest here; any score column slots in) — one keyed
+      // aggregate, winner = max (n_chars, -doc_id) struct
+      t(s, dir, "documents")
+        .groupBy(TextFunctions.normalizeForDedup(col("text")).as("__norm"))
+        .agg(max(struct(col("n_chars").as("nc"),
+          (-col("doc_id")).as("negid"))).as("__w"),
+          count(lit(1)).as("n_copies"))
+        .select((-col("__w.negid")).as("doc_id"),
+          col("__w.nc").as("n_chars"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_source_overlap" -> ((s, dir) => {
+      // cross-source contamination matrix: how many doc pairs share a
+      // verbatim 8-token passage, per (source, source) cell — the
+      // corpus-audit rollup of q_shared_passages' pair detection
+      val docs = t(s, dir, "documents")
+      val pairs = graft.dedup.Decontaminate.selfOverlaps(
+        docs, "doc_id", "text", n = 8, minShared = 1)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(broadcast(src.select(col("doc_id").as("id_a"),
+          col("source").as("__sa"))), Seq("id_a"))
+        .join(broadcast(src.select(col("doc_id").as("id_b"),
+          col("source").as("__sb"))), Seq("id_b"))
+        .select(least(col("__sa"), col("__sb")).as("source_x"),
+          greatest(col("__sa"), col("__sb")).as("source_y"),
+          col("n_shared_grams"))
+        .groupBy(col("source_x"), col("source_y"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n_shared_grams")).as("n_shared_grams"))
+        .orderBy(col("source_x"), col("source_y"))
+    }),
+
     "q_winsorize" -> ((s, dir) => {
       // per-group winsorization to DISCRETE [p5, p95] cuts — the
       // distribution-aware tier of the reference's constant default
@@ -4623,6 +4672,45 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      """WITH g AS (
+        |  SELECT doc_id, n_chars,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars,
+        |    count(*) OVER (PARTITION BY norm) AS n_copies,
+        |    row_number() OVER (PARTITION BY norm ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM g)
+        |SELECT doc_id, n_chars, CAST(n_copies AS BIGINT) AS n_copies
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_source_overlap" ->
+      // same uncapped gram self-join as the q_shared_passages oracle,
+      // rolled up to (source, source) cells with least/greatest
+      // canonicalization
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 8),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT least(da.source, db.source) AS source_x,
+        |    greatest(da.source, db.source) AS source_y, p.ns
+        |  FROM p JOIN documents da ON p.id_a = da.doc_id
+        |         JOIN documents db ON p.id_b = db.doc_id)
+        |SELECT source_x, source_y, count(*) AS n_pairs,
+        |  CAST(sum(ns) AS BIGINT) AS n_shared_grams
+        |FROM s GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
 
     "q_winsorize" ->
       // unconditional row_number with NULLS LAST is equivalent to the
