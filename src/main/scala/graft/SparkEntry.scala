@@ -2240,6 +2240,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_drift_timeline" -> ((s, dir) => {
+      // period-over-period PSI down the event stream (each day scored
+      // against its predecessor): the MONITORING view of drift — the
+      // predecessor join is pure arithmetic on the integer day index
+      // (period+1), no window, no range exchange; all scoring work runs
+      // on the days×buckets count summary
+      operators.Drift.psiSeries(t(s, dir, "events"), col("value"),
+        Seq(50.0, 100.0, 200.0, 350.0),
+        expr("cast(ts as long) div 86400"))
+        .orderBy(col("period"))
+    }),
+
     "q_contrastive_pairs" -> ((s, dir) => {
       // (anchor, positive, negative) triplets for retrieval-encoder
       // training (SimCSE/DPR shape): positives = verified near-dups in
@@ -4672,6 +4684,35 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_drift_timeline" ->
+      // identical po/pn subexpressions and term parenthesization as the
+      // Spark side; per-bucket terms floored THEN summed (exact BIGINT)
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS period,
+        |    CASE WHEN value < 50 THEN 0 WHEN value < 100 THEN 1
+        |         WHEN value < 200 THEN 2 WHEN value < 350 THEN 3
+        |         ELSE 4 END AS bucket
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT period, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(n2.period, o2.period) AS period,
+        |    coalesce(n2.bucket, o2.bucket) AS bucket,
+        |    coalesce(o2.n, 0) AS n_old, coalesce(n2.n, 0) AS n_new
+        |  FROM c n2 FULL OUTER JOIN
+        |    (SELECT period + 1 AS period, bucket, n FROM c) o2
+        |    ON n2.period = o2.period AND n2.bucket = o2.bucket),
+        |t AS (SELECT period, sum(n_old) AS to_, sum(n_new) AS tn FROM j
+        |      GROUP BY period HAVING sum(n_old) > 0 AND sum(n_new) > 0)
+        |SELECT j.period, CAST(t.to_ AS BIGINT) AS n_old,
+        |  CAST(t.tn AS BIGINT) AS n_new,
+        |  CAST(sum(CAST(floor(
+        |    ((j.n_new + 0.5) / (t.tn + 2.5) - (j.n_old + 0.5) / (t.to_ + 2.5))
+        |    * ln(((j.n_new + 0.5) / (t.tn + 2.5)) / ((j.n_old + 0.5) / (t.to_ + 2.5)))
+        |    * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS psi_ppm
+        |FROM j JOIN t ON j.period = t.period
+        |GROUP BY j.period, t.to_, t.tn
+        |ORDER BY j.period""".stripMargin,
 
     "q_dedup_keep_best" ->
       """WITH g AS (

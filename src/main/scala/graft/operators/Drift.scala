@@ -300,6 +300,45 @@ object Drift {
     * row. Column contracts: first frame (bucket, n_old), second
     * (bucket, n_new) — use [[bucketCounts]]' `as` parameter.
     */
+  /** Period-over-period PSI down a TIME SERIES — the monitoring view of
+    * drift (each hour/day scored against its predecessor), where
+    * [[psi]] scores one snapshot pair. `period` must be an INTEGER
+    * period index (e.g. epoch-hour `ts div 3600`): the predecessor join
+    * is then pure arithmetic (`period+1`), no window, no range
+    * exchange. Output: one row per scored period —
+    * (period, n_old, n_new, psi_ppm) with psi_ppm = Σ floored
+    * per-bucket terms (exact integer sum of the same quantized terms
+    * [[psiFromCounts]] ships) — only periods where BOTH sides carry
+    * rows are scored (an empty hour has no distribution to compare).
+    *
+    * Shape: one (period, bucket) count aggregate over the data; the
+    * scoring self-join and totals all run on the periods×buckets
+    * summary — data-sized work is the single count.
+    */
+  def psiSeries(df: DataFrame, value: Column, boundaries: Seq[Double],
+                period: Column): DataFrame = {
+    val nb = boundaries.length + 1
+    val counts = df.filter(value.isNotNull)
+      .groupBy(period.as("period"), bucketOf(value, boundaries).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val joined = counts.select(col("period"), col("bucket"), col("n").as("n_new"))
+      .join(counts.select((col("period") + 1L).as("period"), col("bucket"),
+        col("n").as("n_old")), Seq("period", "bucket"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val totals = joined.groupBy(col("period"))
+      .agg(sum(col("n_old")).as("__to"), sum(col("n_new")).as("__tn"))
+      .filter(col("__to") > 0 && col("__tn") > 0)
+    val po = (col("n_old") + lit(0.5)) / (col("__to") + lit(0.5 * nb))
+    val pn = (col("n_new") + lit(0.5)) / (col("__tn") + lit(0.5 * nb))
+    joined.join(totals, Seq("period")) // summary-sized, shared period key
+      .select(col("period"), col("__to"), col("__tn"),
+        floor((pn - po) * log(pn / po) * 1000000.0 + 0.5)
+          .cast("long").as("__term"))
+      .groupBy(col("period"))
+      .agg(max(col("__to")).as("n_old"), max(col("__tn")).as("n_new"),
+        sum(col("__term")).as("psi_ppm"))
+  }
+
   def psiFromCounts(oldCounts: DataFrame, newCounts: DataFrame,
                     nBuckets: Int): DataFrame = {
     val joined = oldCounts.join(newCounts, Seq("bucket"), "full_outer")

@@ -253,4 +253,29 @@ class ReconcileSpec extends SparkSuite {
         s"q=$q est=${out(q)} exact=$exact") // within one bucket width
     }
   }
+
+  test("psiSeries: only the shifted day alarms; quiet days stay low") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // days 0..5, 400 events each, uniform values — day 5 re-scaled x4
+    val rows = for (d <- 0 to 5; i <- 0 until 400) yield {
+      val v = (i % 100).toDouble + 1.0
+      (d.toLong * 86400L + i, if (d == 5) v * 4 else v)
+    }
+    val ev = rows.toDF("epoch_s", "value")
+    val out = graft.operators.Drift.psiSeries(ev, col("value"),
+      Seq(25.0, 50.0, 75.0, 100.0), expr("epoch_s div 86400"))
+      .orderBy("period")
+      .select("period", "psi_ppm").as[(Long, Long)].collect()
+    // periods 1..5 scored (0 has no predecessor)
+    assert(out.map(_._1) === Array(1L, 2L, 3L, 4L, 5L))
+    out.init.foreach { case (_, ppm) => assert(ppm < 250000, s"quiet day: $ppm") }
+    assert(out.last._2 > 250000, s"shifted day must alarm: ${out.last._2}")
+    // an empty day between two live ones is simply not scored
+    val gappy = rows.filter { case (e, _) => e / 86400 != 2 }.toDF("epoch_s", "value")
+    val p2 = graft.operators.Drift.psiSeries(gappy, col("value"),
+      Seq(25.0, 50.0, 75.0, 100.0), expr("epoch_s div 86400"))
+      .select("period").as[Long].collect().sorted
+    assert(!p2.contains(2L) && !p2.contains(3L)) // neither side of the hole
+  }
 }
