@@ -2240,6 +2240,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dataset_card" -> ((s, dir) => {
+      // one-row corpus datasheet (the summary block of a dataset card):
+      // size, token mass, char bounds, source/lang cardinalities, and
+      // the normalized-dup rate — three bounded aggregates crossJoined
+      // as 1-row broadcasts; the only corpus-keyed shuffle is the
+      // distinct over normalized text (the dup rate needs it)
+      val d = t(s, dir, "documents")
+      val base = d.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("total_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      val cards = d.select(col("source"), col("lang"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"))
+      val uniq = d.select(TextFunctions.normalizeForDedup(col("text")).as("__n"))
+        .distinct().agg(count(lit(1)).as("n_unique"))
+      base.crossJoin(broadcast(cards)).crossJoin(broadcast(uniq))
+        .withColumn("dup_bp", expr("10000 - (n_unique * 10000) div n_docs"))
+    }),
+
     "q_drift_timeline" -> ((s, dir) => {
       // period-over-period PSI down the event stream (each day scored
       // against its predecessor): the MONITORING view of drift — the
@@ -4684,6 +4705,26 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_dataset_card" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(string_split_regex(trim(text), '[ \t\n\r\f]+')) END) AS BIGINT) AS total_tokens,
+        |    CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |    CAST(max(n_chars) AS BIGINT) AS max_chars
+        |  FROM documents),
+        |cards AS (
+        |  SELECT count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT lang) AS n_langs FROM documents),
+        |uniq AS (
+        |  SELECT count(*) AS n_unique FROM (
+        |    SELECT DISTINCT trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) FROM documents))
+        |SELECT n_docs, total_chars, total_tokens, min_chars, max_chars,
+        |  n_sources, n_langs, n_unique,
+        |  10000 - (n_unique * 10000) // n_docs AS dup_bp
+        |FROM base, cards, uniq""".stripMargin,
 
     "q_drift_timeline" ->
       // identical po/pn subexpressions and term parenthesization as the

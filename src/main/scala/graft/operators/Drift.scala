@@ -316,11 +316,19 @@ object Drift {
     * summary — data-sized work is the single count.
     */
   def psiSeries(df: DataFrame, value: Column, boundaries: Seq[Double],
-                period: Column): DataFrame = {
-    val nb = boundaries.length + 1
-    val counts = df.filter(value.isNotNull)
-      .groupBy(period.as("period"), bucketOf(value, boundaries).as("bucket"))
-      .agg(count(lit(1)).as("n"))
+                period: Column): DataFrame =
+    psiSeriesFromCounts(
+      df.filter(value.isNotNull)
+        .groupBy(period.as("period"), bucketOf(value, boundaries).as("bucket"))
+        .agg(count(lit(1)).as("n")),
+      boundaries.length + 1)
+
+  /** [[psiSeries]] from an existing (period, bucket, n) count table —
+    * the summary is PLAIN GROUPED COUNTS, so a stream maintains it with
+    * batch-delta writes and the whole timeline re-scores from state
+    * with zero event rescans (see `streaming.StreamingDriftSeries`).
+    */
+  def psiSeriesFromCounts(counts: DataFrame, nb: Int): DataFrame = {
     val joined = counts.select(col("period"), col("bucket"), col("n").as("n_new"))
       .join(counts.select((col("period") + 1L).as("period"), col("bucket"),
         col("n").as("n_old")), Seq("period", "bucket"), "full_outer")
