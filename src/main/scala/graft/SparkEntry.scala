@@ -2240,6 +2240,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_score_calibrate" -> ((s, dir) => {
+      // cross-source quality-score calibration: raw scores from
+      // different domains are incomparable (web-crawl lengths vs wiki
+      // lengths) — the published fix is within-source PERCENTILE
+      // normalization; exact integer ((rank−1)·10⁴) div (n−1), rank
+      // total-ordered by (score, id); singleton sources pin to 5000
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      val wg = Window.partitionBy(col("source"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("__rk", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wg))
+        .withColumn("pct_bp", when(col("__n") === 1, 5000L)
+          .otherwise(expr("((__rk - 1) * 10000) div (__n - 1)")))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("pct_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dataset_card" -> ((s, dir) => {
       // one-row corpus datasheet (the summary block of a dataset card):
       // size, token mass, char bounds, source/lang cardinalities, and
@@ -4705,6 +4725,17 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_score_calibrate" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |  CASE WHEN n = 1 THEN 5000
+        |       ELSE ((rk - 1) * 10000) // (n - 1) END AS pct_bp
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_dataset_card" ->
       """WITH base AS (

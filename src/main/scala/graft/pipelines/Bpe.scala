@@ -59,10 +59,16 @@ object Bpe {
     * `minCount` (the published frequency floor).
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 2L, checkpointEvery: Int = 5): DataFrame = {
+            minCount: Long = 2L, checkpointEvery: Int = 5,
+            maxWordChars: Int = 200): DataFrame = {
     require(numMerges >= 1 && numMerges <= 5000, "numMerges in [1, 5000]")
     val spark = docs.sparkSession
     var syms = wordCounts(docs, textCol)
+      // merge application is O(len²) per word: a pathological megabyte
+      // "word" (base64 spill, minified JS) would hang a round — the
+      // published trainers cap word length the same way; real words are
+      // orders of magnitude under the cap, so the vocabulary is intact
+      .filter(length(col("word")) <= maxWordChars)
       .select(charSymbols(col("word")).as("s"), col("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
