@@ -2240,6 +2240,73 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_rolling_active" -> ((s, dir) => {
+      // trailing-7-day distinct active users per day (the WAU curve):
+      // the (day, user) DISTINCT frame fans out over 7 day-offsets —
+      // bounded ×7, never a data-sized window — then one distinct count
+      // per day; window-complete days only (the first 6 are partial)
+      val du = t(s, dir, "events")
+        .select(expr("cast(ts as long) div 86400").as("day"), col("user_id"))
+        .distinct()
+      val bounds = du.agg(min(col("day")), max(col("day"))).head()
+      val (d0, d1) = (bounds.getLong(0), bounds.getLong(1))
+      du.select(explode(sequence(col("day"), col("day") + 6L)).as("asof_day"),
+          col("user_id"))
+        .filter(col("asof_day") >= d0 + 6L && col("asof_day") <= d1)
+        .groupBy(col("asof_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy(col("asof_day"))
+    }),
+
+    "q_latency_profile" -> ((s, dir) => {
+      // ship→receipt latency percentiles per ship mode: DISCRETE
+      // rank-selected p50/p90 day counts (exact integers — the
+      // q_mad_outliers element-selection rule), one sort-window per mode
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+      val lat = li.join(o, Seq("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lat"))
+        .filter(col("lat").isNotNull)
+      val wv = Window.partitionBy(col("o_orderpriority")).orderBy(col("lat"))
+      val wg = Window.partitionBy(col("o_orderpriority"))
+      lat.withColumn("__rn", row_number().over(wv))
+        .withColumn("__n", count(lit(1)).over(wg))
+        .withColumn("__p50", max(when(col("__rn") === expr("(__n + 1) div 2"),
+          col("lat"))).over(wg))
+        .withColumn("__p90", max(when(
+          col("__rn") === greatest(expr("(__n * 9000 + 9999) div 10000"), lit(1L)),
+          col("lat"))).over(wg))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), max(col("__p50")).as("p50_days"),
+          max(col("__p90")).as("p90_days"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q_attribution_last_touch" -> ((s, dir) => {
+      // last-touch attribution: every purchase credits the user's most
+      // recent preceding view/click within 24h — ONE backward as-of
+      // join (RUNNING-frame carry), then the window check nulls credits
+      // older than the lookback; the classic marketing-attribution query
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("touch_id")) // dedup exact-ts ties
+        .withColumn("touch_ts", col("ts")) // ride the payload: the
+        // lookback check needs the matched row's time
+      AsOf.joinAsOf(purchases, touches, Seq("user_id"), "ts",
+          Seq("touch_id", "touch_ts"), direction = "backward")
+        .select(col("event_id"), col("user_id"),
+          when(col("asof_touch_ts").isNotNull &&
+            col("ts").cast("long") - col("asof_touch_ts").cast("long") <= 86400L,
+            col("asof_touch_id")).as("credited_touch_id"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_score_calibrate" -> ((s, dir) => {
       // cross-source quality-score calibration: raw scores from
       // different domains are incomparable (web-crawl lengths vs wiki
@@ -4725,6 +4792,48 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_rolling_active" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
+        |  FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
+        |f AS (SELECT du.day + o.off AS asof_day, du.user_id
+        |      FROM du CROSS JOIN range(0, 7) o(off))
+        |SELECT asof_day, count(DISTINCT user_id) AS wau
+        |FROM f, b WHERE asof_day >= b.d0 + 6 AND asof_day <= b.d1
+        |GROUP BY asof_day ORDER BY asof_day""".stripMargin,
+
+    "q_latency_profile" ->
+      // discrete rank-selected p50/p90 (element selection, bit-exact)
+      """WITH lat AS (
+        |  SELECT o.o_orderpriority,
+        |    date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS lat
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |r AS (
+        |  SELECT o_orderpriority, lat,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY lat) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM lat WHERE lat IS NOT NULL)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat END) AS BIGINT) AS p50_days,
+        |  CAST(max(CASE WHEN rn = greatest((n * 9000 + 9999) // 10000, 1) THEN lat END) AS BIGINT) AS p90_days
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_attribution_last_touch" ->
+      // DuckDB's native ASOF LEFT JOIN (backward, inclusive) + the same
+      // 24h lookback null-out
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, max(event_id) AS touch_id FROM events
+        |      WHERE event_type IN ('view', 'click') GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN t.ts IS NOT NULL AND
+        |    CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(t.ts)) AS BIGINT) <= 86400
+        |    THEN t.touch_id END AS credited_touch_id
+        |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_score_calibrate" ->
       """WITH r AS (
