@@ -2240,6 +2240,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_pseudonymize" -> ((s, dir) => {
+      // deterministic pseudonymization — the privacy family's THIRD
+      // member next to redaction (q_pii_redact) and the k-anonymity
+      // gate: stable surrogate tokens (same input → same token, across
+      // runs/engines) via the portable md5 prefix, so joins and
+      // distinct-counts still work on the pseudonymized table while the
+      // raw identifier never leaves; pure narrow map, zero shuffle
+      t(s, dir, "events")
+        .select(col("event_id"),
+          concat(lit("u_"), substring(md5(concat(lit("graft:"),
+            col("user_id"))), 1, 12)).as("user_token"),
+          col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_event_paths" -> ((s, dir) => {
+      // frequent 3-step behavioral paths (sequence mining one rung past
+      // q_event_transitions' order-2): two lag windows over the same
+      // keyed exchange, path counts, deterministic top-20
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("t1", lag(col("event_type"), 2).over(w))
+        .withColumn("t2", lag(col("event_type"), 1).over(w))
+        .filter(col("t1").isNotNull && col("t2").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+
     "q_rolling_active" -> ((s, dir) => {
       // trailing-7-day distinct active users per day (the WAU curve):
       // the (day, user) DISTINCT frame fans out over 7 day-offsets —
@@ -4792,6 +4824,23 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_pseudonymize" ->
+      """SELECT event_id,
+        |  'u_' || substr(md5('graft:' || user_id), 1, 12) AS user_token,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH p AS (
+        |  SELECT lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |         event_type AS t3
+        |  FROM events)
+        |SELECT t1, t2, t3, count(*) AS n
+        |FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
 
     "q_rolling_active" ->
       """WITH du AS (
