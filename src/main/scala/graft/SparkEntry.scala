@@ -1765,6 +1765,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_multimodal_phash" -> ((s, dir) => {
+      // image near-dup via the REAL perceptual hash (published aHash):
+      // deterministic synthesized PNGs in groups of near-identical
+      // gradients (the corpus has no binary media), decoded and hashed
+      // by the all-integer 8×8 luma average-hash, paired through the
+      // same hammingPairs64 bucket machinery text SimHash rides.
+      // Rows-only: engine-specific sketch; MultimodalSpec pins the
+      // kernel (identical collide, edits stay near, inversion far).
+      val payloads = Multimodal.syntheticPngPayloads(
+        t(s, dir, "documents").filter(col("doc_id") < 120).select(col("doc_id")))
+      val hashed = Multimodal.perceptualHashes(payloads,
+        kernel = Multimodal.imageAverageHash)
+      graft.dedup.NearDup.hammingPairs64(hashed, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_multimodal_features" -> ((s, dir) => {
       // project driver-comparable SCALARS: the raw byte_histogram/feat
       // arrays are kept for library users, but the verification row is

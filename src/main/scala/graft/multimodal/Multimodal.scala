@@ -279,4 +279,131 @@ object Multimodal {
       }
     spark.createDataFrame(rdd, featureSchema)
   }
+
+  /** Average-hash over raw payload BYTES (the stub tier of the
+    * perceptual-hash swap-in): 64-bucket byte histogram, bit i set iff
+    * bucket i holds more than its even share — the cross-multiplied
+    * integer compare `hist(i)·64 > n` needs no float mean. Identical
+    * payloads collide exactly; locally-perturbed payloads land within a
+    * small hamming radius.
+    */
+  private[graft] def byteAverageHash(payload: Array[Byte]): Long = {
+    val hist = new Array[Long](64)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xff) >>> 2) += 1; i += 1 }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (hist(b) * 64L > payload.length.toLong) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** REAL image perceptual hash — the published average-hash (aHash):
+    * luminance area-averaged onto an 8×8 grid, bit = cell brighter than
+    * the global mean. All-integer: cell boundaries are floor(k·dim/8)
+    * and the brightness compare is cross-multiplied
+    * (`cellSum·totalN > totalSum·cellN`), so the hash is bit-identical
+    * across JVMs/platforms — no float resampling. Contract: w·h ≤ 16M
+    * pixels (the cross-product stays far inside 2⁶³).
+    *
+    * Same swap-in shape as [[decodeImage]]: near-identical images
+    * (re-encodes, small edits) land within a small hamming radius;
+    * `NearDup.hammingPairs64` pairs them with one bucket shuffle.
+    */
+  private[graft] def imageAverageHash(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    require(w.toLong * h <= 16L * 1024 * 1024, s"image too large: ${w}x$h")
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var totalSum = 0L
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * 8 / w, 7)
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >>> 16) & 0xff) * 299 + ((rgb >>> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val c = cy * 8 + cx
+        cellSum(c) += luma; cellN(c) += 1; totalSum += luma
+        x += 1
+      }
+      y += 1
+    }
+    val totalN = w.toLong * h
+    var hash = 0L
+    var c = 0
+    while (c < 64) {
+      if (cellN(c) > 0 && cellSum(c) * totalN > totalSum * cellN(c))
+        hash |= (1L << c)
+      c += 1
+    }
+    hash
+  }
+
+  /** Deterministic synthetic PNG payloads (doc_id, payload): ids in the
+    * same `groupSize` group render near-identical 32×32 gradients (same
+    * slope, one per-id perturbed cell) — real encoded images for
+    * demonstrating the image-perceptual-hash path end-to-end where the
+    * corpus has no binary media. Pure function of the id.
+    */
+  def syntheticPngPayloads(ids: DataFrame, groupSize: Int = 3): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col("doc_id")).rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      val g = (id / groupSize).toInt
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          val v = ((x * (1 + g % 5) + y * (g % 7)) * 255 /
+            (31 * (1 + g % 5) + 31 * (g % 7) max 1)) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      // per-id small edit: one 4x4 bright patch placed by id
+      val px = (id % 8).toInt * 4
+      var yy = 0
+      while (yy < 4) {
+        var xx = 0
+        while (xx < 4) { img.setRGB(px + xx, yy, 0xffffff); xx += 1 }
+        yy += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      Row(id, baos.toByteArray)
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", org.apache.spark.sql.types.BinaryType, nullable = false))))
+  }
+
+  /** (doc_id, sh) perceptual hashes for a payload frame — the same
+    * batched mapPartitions plumbing as [[decodeFeatures]] ([[byteAverageHash]]
+    * by default; [[imageAverageHash]] for real image payloads). Null or
+    * empty payloads emit hash 0 (the no-media sentinel). Feed the result
+    * straight to `NearDup.hammingPairs64`.
+    */
+  def perceptualHashes(payloads: DataFrame,
+                       kernel: Array[Byte] => Long = byteAverageHash): DataFrame = {
+    val spark = payloads.sparkSession
+    val rdd = payloads.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions(_.map { r =>
+        val docId = r.getLong(0)
+        if (r.isNullAt(1) || r.getAs[Array[Byte]](1).isEmpty) Row(docId, 0L)
+        else Row(docId, kernel(r.getAs[Array[Byte]](1)))
+      })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("sh", LongType, nullable = false))))
+  }
 }

@@ -186,4 +186,49 @@ class MultimodalSpec extends SparkSuite {
       .select("doc_id", "feat").as[(Long, Seq[Float])].collect().toMap
     assert(out(1L) === out(2L) && out(1L)(0) === feat(0))
   }
+
+  test("image average-hash: identical images collide, edits stay near, inversion is far") {
+    import java.awt.image.BufferedImage
+    def png(f: (Int, Int) => Int, w: Int = 32, h: Int = 32): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      baos.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val gradient = (x: Int, y: Int) => gray((x * 255) / 31)
+    val a = Multimodal.imageAverageHash(png(gradient))
+    val b = Multimodal.imageAverageHash(png(gradient)) // bit-identical
+    assert(a === b)
+    // a small local edit: one bright corner cell on the dark side
+    val edited = Multimodal.imageAverageHash(png((x, y) =>
+      if (x < 4 && y < 4) gray(255) else gradient(x, y)))
+    val editDist = java.lang.Long.bitCount(a ^ edited)
+    assert(editDist >= 1 && editDist <= 3, s"edit distance $editDist")
+    // inversion flips the bright/dark structure wholesale
+    val inverted = Multimodal.imageAverageHash(png((x, y) =>
+      gray(255 - (x * 255) / 31)))
+    assert(java.lang.Long.bitCount(a ^ inverted) > 20)
+  }
+
+  test("perceptual-hash near-dup closes end-to-end through hammingPairs64") {
+    import spark.implicits._
+    // identical payload pair + a perturbed copy + unrelated filler
+    val base = ("m" * 200 + "q" * 56).getBytes("UTF-8")
+    val perturbed = base.clone(); perturbed(0) = 'n'.toByte
+    val rows = Seq(
+      (1L, base), (2L, base.clone()), (3L, perturbed),
+      (4L, ("z" * 100 + "a" * 100 + "0" * 56).getBytes("UTF-8")),
+      (5L, Array.empty[Byte]))
+    val hashed = Multimodal.perceptualHashes(
+      rows.toDF("doc_id", "payload"))
+    val pairs = graft.dedup.NearDup.hammingPairs64(hashed, maxHamming = 3)
+      .filter(col("id_a") =!= 5L && col("id_b") =!= 5L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical: hamming 0
+    // the single-byte perturbation stays within the radius of both copies
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (x, y) => x == 4L || y == 4L })
+  }
 }

@@ -137,6 +137,26 @@ class PlansSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)     // V-row vocab side
   }
 
+  test("rolling-active: bounded offset explode, never a data-sized range window") {
+    val df = SparkEntry.queries("q_rolling_active")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan) // the ×7 fan replaces any frame
+    assert(plan.contains("Expand") || plan.contains("Generate"), plan)
+  }
+
+  test("event paths: both lags share ONE window exchange") {
+    val df = SparkEntry.queries("q_event_paths")(spark, sf)
+    val keys = shuffleKeys(df)
+    assert(keys.count(_.contains("user_id")) === 1, keys)
+  }
+
+  test("last-touch attribution rides the as-of carry: no join operator") {
+    val df = SparkEntry.queries("q_attribution_last_touch")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("IVF centroid assignment is a pure map: zero exchanges") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
