@@ -2256,6 +2256,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_boilerplate" -> ((s, dir) => {
+      // template/boilerplate mining: the most document-spanning 5-token
+      // windows (headers, footers, nav text at web scale) — the
+      // detection view whose removal twin is q_span_dedup; sliding
+      // windows (every offset, unlike span dedup's disjoint chunks) so
+      // templates at any alignment surface
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+        .filter(size(col("__t")) >= 5)
+      toks.select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(0), size(col("__t")) - 5),
+            i => array_join(slice(col("__t"), (i + 1).cast("int"), lit(5)), " "))))
+          .as("span"))
+        .groupBy(col("span")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("span").asc)
+        .limit(20)
+    }),
+
     "q_pseudonymize" -> ((s, dir) => {
       // deterministic pseudonymization — the privacy family's THIRD
       // member next to redaction (q_pii_redact) and the k-anonymity
@@ -4840,6 +4858,19 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |spans AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(t) - 3),
+        |      i -> array_to_string(t[i:i+4], ' ')))) AS span
+        |  FROM toks WHERE len(t) >= 5)
+        |SELECT span, count(*) AS df
+        |FROM spans GROUP BY span
+        |ORDER BY df DESC, span ASC LIMIT 20""".stripMargin,
 
     "q_pseudonymize" ->
       """SELECT event_id,
