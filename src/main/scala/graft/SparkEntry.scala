@@ -1843,6 +1843,51 @@ object SparkEntry {
         .orderBy(col("island_start"))
     }),
 
+    // ── Exact-integer per-key recurrences (operators/Recurrences) ─────
+
+    "q_ewma" -> ((s, dir) => {
+      // exponential smoothing of purchase amounts per user, alpha = 1/4,
+      // exact integer recurrence (floor division every step) — the
+      // non-associative fold no window frame can express; ONE keyed
+      // shuffle + secondary sort, O(1) state per user
+      val ev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" &&
+          col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("xq"))
+      Recurrences.ewma(ev, Seq("user_id"), Seq("ts", "event_id"),
+          "xq", num = 1L, den = 4L)
+        .select(col("user_id"), col("event_id"), col("xq"), col("ewma_q"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_cusum" -> ((s, dir) => {
+      // one-sided CUSUM spend alarms per user: s = max(0, s + xq - 4000),
+      // fire at >= 20000 then reset — changepoint detection with
+      // data-dependent reset (the same irreducibly-sequential class)
+      val ev = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("xq"))
+      Recurrences.cusumAlarms(ev, Seq("user_id"), Seq("ts", "event_id"),
+          "xq", target = 4000L, threshold = 20000L)
+        .select(col("user_id"), col("event_id"), col("cusum_q"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_running_balance" -> ((s, dir) => {
+      // clamped stock balance per part: returns restock (+qty), ships
+      // deplete (-qty), level floors at zero from an opening stock of
+      // 500 — the clamp makes every prefix non-associative
+      val mv = t(s, dir, "lineitem").select(
+        col("l_partkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "R", col("l_quantity"))
+          .otherwise(-col("l_quantity")).cast("long").as("dq"))
+      Recurrences.clampedBalance(mv, Seq("l_partkey"),
+          Seq("l_shipdate", "l_orderkey", "l_linenumber"), "dq", init = 500L)
+        .orderBy(col("l_partkey"))
+    }),
+
     // ── Corpus repetition / filter report ─────────────────────────────
 
     "q_dup_ngrams" -> ((s, dir) => {
@@ -4273,6 +4318,66 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_keys
         |FROM grp GROUP BY gid
         |ORDER BY island_start""".stripMargin,
+
+    "q_ewma" ->
+      // the recurrence unrolled as a recursive CTE: integer floor
+      // division (// on non-negative BIGINTs) replays Math.floorDiv
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS xq,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, xq, rn, xq AS ewma_q FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.xq, e.rn,
+        |    CAST((e.xq + 3*r.ewma_q) // 4 AS BIGINT) AS ewma_q
+        |  FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, event_id, xq, ewma_q FROM r
+        |ORDER BY event_id""".stripMargin,
+
+    "q_cusum" ->
+      // state carried as s_next (post-reset) so each recursion step is
+      // one CASE; fired rows surface the pre-reset statistic
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS xq,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_id, rn,
+        |    CASE WHEN greatest(0, xq - 4000) >= 20000
+        |         THEN greatest(0, xq - 4000) ELSE NULL END AS fired,
+        |    CASE WHEN greatest(0, xq - 4000) >= 20000
+        |         THEN 0 ELSE greatest(0, xq - 4000) END AS s_next
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.rn,
+        |    CASE WHEN greatest(0, r.s_next + e.xq - 4000) >= 20000
+        |         THEN greatest(0, r.s_next + e.xq - 4000) ELSE NULL END,
+        |    CASE WHEN greatest(0, r.s_next + e.xq - 4000) >= 20000
+        |         THEN 0 ELSE greatest(0, r.s_next + e.xq - 4000) END
+        |  FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, event_id, CAST(fired AS BIGINT) AS cusum_q
+        |FROM r WHERE fired IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q_running_balance" ->
+      """WITH RECURSIVE mv AS (
+        |  SELECT l_partkey,
+        |    CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+        |              ELSE -l_quantity END AS BIGINT) AS dq,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |                       ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_partkey, rn, greatest(0, 500 + dq) AS b FROM mv WHERE rn = 1
+        |  UNION ALL
+        |  SELECT m.l_partkey, m.rn, greatest(0, r.b + m.dq)
+        |  FROM mv m JOIN r ON m.l_partkey = r.l_partkey AND m.rn = r.rn + 1)
+        |SELECT l_partkey, CAST(max(rn) AS BIGINT) AS n_moves,
+        |  CAST(max_by(b, rn) AS BIGINT) AS balance_q
+        |FROM r GROUP BY l_partkey
+        |ORDER BY l_partkey""".stripMargin,
 
     "q_dup_ngrams" ->
       // gram STRINGS + a per-gram count here vs the Spark side's sorted-

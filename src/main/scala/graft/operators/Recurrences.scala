@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Exact-integer per-key linear recurrences: EWMA smoothing, CUSUM
+  * changepoint alarms, and clamped running balances.
+  *
+  * These are the classic "state that every row rewrites" scans — the
+  * reference's per-row pipeline loops express them trivially
+  * (EcomProvider.cs:849 walks rows in order mutating writer state); a
+  * declarative window cannot, because the frame would have to reference
+  * its own output (EWMA's y_{i-1}, CUSUM's reset-to-zero, a balance's
+  * clamp at the floor). With floor/clamp applied at EVERY step the fold
+  * is non-associative, so no exact parallel prefix exists — the honest
+  * distributed contract is ONE keyed shuffle with secondary sort
+  * ([[org.apache.spark.sql.KeyValueGroupedDataset.flatMapSortedGroups]])
+  * and an O(1)-state scan per key, the same machine as
+  * [[Debounce.suppress]].
+  *
+  * All arithmetic is BIGINT on pre-quantized inputs (callers quantize
+  * doubles via `floor(x*scale + 0.5)` — one IEEE multiply + floor,
+  * deterministic cross-engine), so a DuckDB recursive CTE replays every
+  * step bit-for-bit: these are oracle-checkable recurrences, not
+  * float approximations.
+  *
+  * HOT-KEY WALL-CLOCK BOUND (same as Debounce): each key streams
+  * through one task — O(1) memory, cannot OOM, but a single pathological
+  * key is a straggler. Pre-flight with [[Diagnostics.keySkew]]. Unlike
+  * debounce there is no exact chunking escape hatch: a quiet gap does
+  * not reset EWMA/balance state, so the scan is irreducibly sequential
+  * per key. At 100 TB the keys here are users/parts (bounded per-key
+  * history); a key that genuinely holds 1B rows needs a coarser
+  * pre-aggregation upstream, not a different fold.
+  */
+object Recurrences {
+
+  /** Exponentially-weighted moving average with alpha = num/den, exact:
+    * y_1 = x_1; y_i = (num*x_i + (den-num)*y_{i-1}) / den with
+    * floor division at every step. Appends `outCol` (BIGINT) to every
+    * input row. `xCol` must be a non-null LongType column.
+    */
+  def ewma(df: DataFrame, keys: Seq[String], sortCols: Seq[String],
+           xCol: String, num: Long, den: Long,
+           outCol: String = "ewma_q"): DataFrame = {
+    require(num > 0 && den > num, s"need 0 < num < den, got $num/$den")
+    scanAppend(df, keys, sortCols, xCol, outCol) { () =>
+      var y = 0L; var first = true
+      x => {
+        y = if (first) x else Math.floorDiv(num * x + (den - num) * y, den)
+        first = false
+        Some(y)
+      }
+    }
+  }
+
+  /** One-sided CUSUM drift alarm: s_i = max(0, s_{i-1} + (x_i - target));
+    * when s_i >= threshold the row is EMITTED with the statistic and the
+    * state resets to zero (standard restart-after-signal form). Output =
+    * alarm rows only, input columns + `outCol` = the statistic at the
+    * alarm.
+    */
+  def cusumAlarms(df: DataFrame, keys: Seq[String], sortCols: Seq[String],
+                  xCol: String, target: Long, threshold: Long,
+                  outCol: String = "cusum_q"): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    scanAppend(df, keys, sortCols, xCol, outCol) { () =>
+      var s = 0L
+      x => {
+        s = Math.max(0L, s + (x - target))
+        if (s >= threshold) { val fired = s; s = 0L; Some(fired) }
+        else None
+      }
+    }
+  }
+
+  /** Clamped running balance (stock levels cannot go negative):
+    * b_i = max(floor, b_{i-1} + delta_i), b_0 = `init`. Emits ONE row
+    * per key: keys + `n_moves` + `outCol` (the final balance).
+    */
+  def clampedBalance(df: DataFrame, keys: Seq[String], sortCols: Seq[String],
+                     deltaCol: String, init: Long = 0L, floorAt: Long = 0L,
+                     outCol: String = "balance_q"): DataFrame = {
+    val schema = df.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val xIdx = schema.fieldIndex(deltaCol)
+    val outSchema = StructType(
+      keys.map(schema(_)) :+
+        org.apache.spark.sql.types.StructField("n_moves", LongType, false) :+
+        org.apache.spark.sql.types.StructField(outCol, LongType, false))
+    val grouped = df.groupByKey { r: Row =>
+      keyIdx.map(i => String.valueOf(r.get(i))).mkString("\u0000")
+    }(Encoders.STRING)
+    grouped.flatMapSortedGroups(sortCols.map(col): _*) { (_, it: Iterator[Row]) =>
+      var b = init; var n = 0L; var keyVals: Seq[Any] = null
+      it.foreach { r =>
+        if (keyVals == null) keyVals = keyIdx.map(r.get)
+        b = Math.max(floorAt, b + r.getLong(xIdx)); n += 1
+      }
+      if (keyVals == null) Iterator.empty
+      else Iterator.single(Row.fromSeq(keyVals :+ n :+ b))
+    }(Encoders.row(outSchema))
+  }
+
+  /** The shared machine: one keyed shuffle + secondary sort, an O(1)
+    * long state per group, rows emitted with `outCol` appended when the
+    * step function fires. `mkStep` builds a FRESH step closure per group
+    * (state lives in the closure).
+    */
+  private def scanAppend(df: DataFrame, keys: Seq[String],
+                         sortCols: Seq[String], xCol: String, outCol: String)
+                        (mkStep: () => Long => Option[Long]): DataFrame = {
+    val schema = df.schema
+    require(!schema.fieldNames.contains(outCol),
+      s"output column $outCol already exists in the input")
+    require(schema(xCol).dataType == LongType,
+      s"$xCol must be LongType (quantize doubles first); got ${schema(xCol).dataType}")
+    val keyIdx = keys.map(schema.fieldIndex)
+    val xIdx = schema.fieldIndex(xCol)
+    val outSchema = schema.add(outCol, LongType, nullable = false)
+    val grouped = df.groupByKey { r: Row =>
+      keyIdx.map(i => String.valueOf(r.get(i))).mkString("\u0000")
+    }(Encoders.STRING)
+    grouped.flatMapSortedGroups(sortCols.map(col): _*) { (_, it: Iterator[Row]) =>
+      val step = mkStep()
+      it.flatMap { r =>
+        step(r.getLong(xIdx)).map(v => Row.fromSeq(r.toSeq :+ v))
+      }
+    }(Encoders.row(outSchema))
+  }
+}
