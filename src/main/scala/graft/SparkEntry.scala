@@ -1843,6 +1843,36 @@ object SparkEntry {
         .orderBy(col("island_start"))
     }),
 
+    "q_triangle_count" -> ((s, dir) => {
+      // co-purchase affinity density: triangles in the parts-bought-
+      // together graph, per-node counts (degree-ordered node-iterator,
+      // operators/Graphs.scala — wedge work bounded O(m^1.5))
+      val li = t(s, dir, "lineitem")
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      Graphs.triangleCounts(Graphs.canonicalEdges(pairs, "pa", "pb"))
+        .orderBy(col("node"))
+    }),
+
+    "q_allocate" -> ((s, dir) => {
+      // header-level rebate (10% of the order's cents total) prorated
+      // onto lines by largest remainder: line parts sum EXACTLY to the
+      // header amount; two windows over ONE keyed exchange
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+      val wA = Window.partitionBy(col("l_orderkey"))
+      val withAmt = li.withColumn("rebate_q",
+        call_function("div", sum(col("cents")).over(wA), lit(10L)))
+      Allocate.largestRemainder(withAmt, Seq("l_orderkey"), "cents",
+          "rebate_q", tiebreak = Seq("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("cents"),
+          col("rebate_q"), col("alloc_q"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ── Exact-integer per-key recurrences (operators/Recurrences) ─────
 
     "q_ewma" -> ((s, dir) => {
@@ -4318,6 +4348,52 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_keys
         |FROM grp GROUP BY gid
         |ORDER BY island_start""".stripMargin,
+
+    "q_triangle_count" ->
+      // independent formulation: id-ordered triple join (no degree
+      // orientation) — triangles as undirected node sets are
+      // orientation-invariant, so agreement checks the whole machine
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM nodes GROUP BY node
+        |ORDER BY node""".stripMargin,
+
+    "q_allocate" ->
+      // all quantities non-negative here, so DuckDB's integral // and %
+      // coincide with the operator's floor-division contract
+      """WITH c AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |t AS (
+        |  SELECT l_orderkey, l_linenumber, cents,
+        |    sum(cents) OVER (PARTITION BY l_orderkey) AS tot
+        |  FROM c),
+        |b AS (
+        |  SELECT l_orderkey, l_linenumber, cents,
+        |    CAST(tot // 10 AS BIGINT) AS rebate_q,
+        |    (tot // 10) * cents // tot AS base,
+        |    ((tot // 10) * cents) % tot AS rem
+        |  FROM t),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC, l_linenumber) AS rnk,
+        |    rebate_q - sum(base) OVER (PARTITION BY l_orderkey) AS deficit
+        |  FROM b)
+        |SELECT l_orderkey, l_linenumber, cents, rebate_q,
+        |  CAST(base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc_q
+        |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_ewma" ->
       // the recurrence unrolled as a recursive CTE: integer floor

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact integer allocation (proration): split a per-key integer amount
+  * across the key's rows proportionally to a non-negative integer
+  * weight so the parts SUM EXACTLY to the amount — the
+  * largest-remainder (Hamilton) method. The reference prorates
+  * order-level discounts/charges onto lines the same way a header
+  * rebate lands on order lines (EcomOrder line context,
+  * EcomProvider.cs:849's per-row writer state): naive
+  * `round(amount * w/T)` leaks cents (sums drift from the header
+  * amount); largest-remainder is the published fix.
+  *
+  * Semantics per key: base_i = floor(A*w_i/T), then the D = A - Σbase
+  * leftover units go one each to the D rows with the largest
+  * remainders (A*w_i mod T), ties broken by `tiebreak`. If every
+  * weight is zero the split degrades to equal shares (weight 1).
+  *
+  * Fully declarative — two window functions over ONE hash partitioning
+  * (sum + rank reuse the same exchange; no fold, no state): scales as
+  * a single keyed shuffle, and amounts/weights stay BIGINT throughout
+  * (A*w_i must fit a long: |A| * max w < 2^63 — cents-scale money is
+  * ~10 orders of magnitude below the bound).
+  */
+object Allocate {
+
+  def largestRemainder(df: DataFrame, keys: Seq[String], weightCol: String,
+                       amountCol: String, tiebreak: Seq[String],
+                       outCol: String = "alloc_q"): DataFrame = {
+    require(tiebreak.nonEmpty, "tiebreak columns are required for determinism")
+    val w = Window.partitionBy(keys.map(col): _*)
+    // negative weights make "remainder" meaningless — fail loudly per row
+    val wt = when(col(weightCol) < 0,
+      raise_error(concat(lit(s"Allocate: negative weight in $weightCol: "),
+        col(weightCol)))).otherwise(col(weightCol))
+    val total = sum(wt).over(w)
+    // all-zero weights: equal split (weight 1 over n rows)
+    val n = count(lit(1)).over(w)
+    val w1 = when(total === 0, lit(1L)).otherwise(wt)
+    val t1 = when(total === 0, n).otherwise(total)
+    val amt = col(amountCol)
+    // FLOOR division in pure BIGINT: subtract the non-negative pmod so
+    // integral `div` is exact (no double/decimal round-trip; `/` on
+    // longs is double division and loses exactness past 2^53). Floor
+    // semantics keep negative amounts (refunds) correct: bases round
+    // DOWN, so the deficit stays in [0, n).
+    val prod = amt * w1
+    val rem = pmod(prod, t1)
+    val base = call_function("div", prod - rem, t1)
+    val rankW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(rem.desc +: tiebreak.map(col(_).asc): _*)
+    val deficit = (amt - sum(base).over(w)).cast("long")
+    df.withColumn(outCol,
+      base + when(row_number().over(rankW) <= deficit, 1L).otherwise(0L))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting over an undirected simple graph —
+  * the local-clustering / community-density primitive (co-purchase
+  * affinity graphs, link-farm detection over document hyperlinks).
+  *
+  * Algorithm: the degree-ordered node-iterator (Schank & Wagner,
+  * "Finding, Counting and Listing All Triangles in Large Graphs",
+  * WEA 2005 — the same orientation trick every distributed
+  * implementation uses). Edges are oriented from the endpoint that is
+  * SMALLER in the total order (degree, id); every triangle then has
+  * exactly one "apex" whose two out-edges form the wedge, so each
+  * triangle is generated ONCE, and the wedge count is bounded by
+  * Σ_v d_out(v)² = O(m^1.5) instead of Σ_v d(v)² — a hub with 1M
+  * neighbors generates NO wedges at its own apex unless those
+  * neighbors have even higher rank, which at most √(2m) nodes can.
+  *
+  * Shape: three keyed shuffles (distinct-canonicalize, degree join +
+  * wedge self-join, wedge⋈edge verify) — all equi-joins on graph
+  * keys, no broadcast assumption (the edge list is the big side at
+  * 100 TB), AQE free to pick sort-merge vs shuffled-hash per stage.
+  */
+object Graphs {
+
+  /** Canonical undirected edge list: (u < v), self-loops dropped,
+    * duplicates collapsed. Accepts any integral id columns.
+    */
+  def canonicalEdges(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.filter(col(aCol) =!= col(bCol) && col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .distinct()
+
+  /** Per-node triangle participation counts: one row per node that
+    * closes at least one triangle, `(node, n_tri)`. Input must be a
+    * canonical edge list from [[canonicalEdges]].
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val tri = triangles(edges)
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** All triangles, each ONCE, as (a, b, c) with a < b < c by node id.
+    * Input: canonical edges.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    // total order (deg, id): rank nodes so orientation bounds out-degree
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge low-rank -> high-rank
+    val e = edges
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("hi"))
+    // wedges at the apex: two out-edges of the same low-rank node; the
+    // (x < y) id order dedups the unordered out-pair
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("apex"), col("e1.hi").as("x"), col("e2.hi").as("y"))
+    // close the wedge against the UNDIRECTED canonical edge (x < y holds)
+    // apex relates to x,y by RANK, not id — re-sort the node ids
+    wedges.join(edges, col("x") === col("u") && col("y") === col("v"))
+      .select(array_sort(array(col("apex"), col("x"), col("y"))).as("s"))
+      .select(element_at(col("s"), 1).as("a"), element_at(col("s"), 2).as("b"),
+        element_at(col("s"), 3).as("c"))
+  }
+}

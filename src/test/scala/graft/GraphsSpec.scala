@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graphs
+
+class GraphsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) =
+    Graphs.canonicalEdges(pairs.toDF("a", "b"), "a", "b")
+
+  test("canonicalEdges drops loops, collapses duplicates and directions") {
+    val e = edges((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L))
+      .orderBy("u", "v").as[(Long, Long)].collect()
+    assert(e === Array((1L, 2L), (2L, 3L)))
+  }
+
+  test("one triangle counted once, each node credited") {
+    val out = Graphs.triangleCounts(edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("K4 has four triangles, three per node") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tri = Graphs.triangles(k4).as[(Long, Long, Long)].collect().sorted
+    assert(tri === Array((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    val counts = Graphs.triangleCounts(k4).orderBy("node").as[(Long, Long)].collect()
+    assert(counts === Array((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("triangle-free graph (star + path) yields nothing") {
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (5L, 6L))
+    assert(Graphs.triangleCounts(star).count() === 0L)
+  }
+
+  test("randomized equality with a brute-force reference") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val got = Graphs.triangles(edges(pairs: _*))
+      .as[(Long, Long, Long)].collect().toSet
+    // reference: brute-force over the canonical edge SET
+    val es = pairs.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val want = (for {
+      a <- nodes; b <- nodes if a < b && es((a, b))
+      c <- nodes if b < c && es((b, c)) && es((a, c))
+    } yield (a, b, c)).toSet
+    assert(got === want)
+  }
+
+  test("hub orientation: high-degree node generates no apex wedges") {
+    // star with hub 1 (degree 100) + one closing edge (2,3): exactly
+    // one triangle; the degree orientation makes the LOW-degree
+    // endpoints the apexes, so wedge count stays O(1), not O(deg²)
+    val star = (2L to 101L).map(i => (1L, i))
+    val out = Graphs.triangleCounts(edges(star :+ (2L, 3L): _*))
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+}
