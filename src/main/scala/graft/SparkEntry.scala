@@ -1843,6 +1843,21 @@ object SparkEntry {
         .orderBy(col("island_start"))
     }),
 
+    "q_item_neighbors" -> ((s, dir) => {
+      // item-item collaborative filtering: top-10 cosine neighbors per
+      // part from customer purchase sets, history capped at 50 items
+      // per user BEFORE pairing (similarity/ItemSim.scala — the pair
+      // explosion bound)
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val inter = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .agg(countDistinct(col("l_orderkey")).as("strength"))
+      graft.similarity.ItemSim.neighbors(inter, "user", "item", "strength",
+          k = 10, maxUserItems = 50)
+        .orderBy(col("item"), col("rank"))
+    }),
+
     "q_triangle_count" -> ((s, dir) => {
       // co-purchase affinity density: triangles in the parts-bought-
       // together graph, per-node counts (degree-ordered node-iterator,
@@ -4348,6 +4363,40 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_keys
         |FROM grp GROUP BY gid
         |ORDER BY island_start""".stripMargin,
+
+    "q_item_neighbors" ->
+      // every step exact integers until the one pinned-parenthesization
+      // cosine (sqrt/divide are single correctly-rounded IEEE ops)
+      """WITH inter AS (
+        |  SELECT o_custkey AS u, l_partkey AS i, count(DISTINCT l_orderkey) AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |cap AS (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY s DESC, i) AS r
+        |    FROM inter) WHERE r <= 50),
+        |ni AS (SELECT i, count(*) AS n_i FROM cap GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS lo, b.i AS hi, count(*) AS n_both
+        |  FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT lo AS item, hi AS neighbor, n_both FROM p
+        |  UNION ALL SELECT hi AS item, lo AS neighbor, n_both FROM p),
+        |sc AS (
+        |  SELECT item, neighbor, CAST(n_both AS BIGINT) AS n_both,
+        |    CAST(floor(n_both * 10000.0
+        |      / sqrt(CAST(na.n_i AS DOUBLE) * CAST(nb.n_i AS DOUBLE)) + 0.5)
+        |      AS BIGINT) AS sim_q
+        |  FROM sym JOIN ni na ON sym.item = na.i
+        |    JOIN ni nb ON sym.neighbor = nb.i),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY item
+        |      ORDER BY sim_q DESC, neighbor) AS rnk
+        |  FROM sc)
+        |SELECT item, neighbor, n_both, sim_q, CAST(rnk AS INTEGER) AS "rank"
+        |FROM r WHERE rnk <= 10
+        |ORDER BY item, "rank"""".stripMargin,
 
     "q_triangle_count" ->
       // independent formulation: id-ordered triple join (no degree
