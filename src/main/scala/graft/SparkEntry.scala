@@ -1843,6 +1843,83 @@ object SparkEntry {
         .orderBy(col("island_start"))
     }),
 
+    "q_rfm" -> ((s, dir) => {
+      // RFM segmentation: per-customer recency/frequency/monetary
+      // quintile scores. Scores come from exact arithmetic rank binning
+      // floor((rank-1)*5/n)+1 (NOT SQL ntile's uneven-bucket rule), and
+      // every global rank runs through the range-partitioned two-pass
+      // machine (operators/RunningTotals.scala) — no one-task window.
+      val o = t(s, dir, "orders")
+      val ref = o.agg(max(col("o_orderdate")).as("__ref"),
+        count_distinct(col("o_custkey")).as("__n"))
+      val base = o.groupBy(col("o_custkey")).agg(
+          max(col("o_orderdate")).as("__last"),
+          count(lit(1)).as("frequency"),
+          sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("monetary_q"))
+        .crossJoin(broadcast(ref))
+        .withColumn("recency_days", datediff(col("__ref"), col("__last")).cast("long"))
+      val ranked = RunningTotals.globalRank(
+        RunningTotals.globalRank(
+          RunningTotals.globalRank(base,
+            Seq(col("recency_days").asc, col("o_custkey").asc), "__rr"),
+          Seq(col("frequency").desc, col("o_custkey").asc), "__rf"),
+        Seq(col("monetary_q").desc, col("o_custkey").asc), "__rm")
+      def score(rank: Column, n: Column): Column =
+        (lit(5L) - call_function("div", (rank - 1L) * 5L, n)).cast("int")
+      ranked
+        .withColumn("r_score", score(col("__rr"), col("__n")))
+        .withColumn("f_score", score(col("__rf"), col("__n")))
+        .withColumn("m_score", score(col("__rm"), col("__n")))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_q"), col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_abc_class" -> ((s, dir) => {
+      // ABC inventory classification: parts ranked by revenue, class A
+      // = first 80% of cumulative revenue, B to 95%, C the tail — the
+      // Pareto report every merch team runs. Global cumulative share
+      // through the ranged two-pass cumsum; boundaries compared in
+      // EXACT integers (cum*100 <= tot*80).
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")).as("cents"))
+      val tot = rev.agg(sum(col("cents")).as("__tot"))
+      RunningTotals.globalRunningSum(rev,
+          Seq(col("cents").desc, col("l_partkey").asc), "cents", "cum_cents")
+        .crossJoin(broadcast(tot))
+        .withColumn("abc",
+          when(col("cum_cents") * 100 <= col("__tot") * 80, "A")
+            .when(col("cum_cents") * 100 <= col("__tot") * 95, "B")
+            .otherwise("C"))
+        .select(col("l_partkey"), col("cents"), col("cum_cents"), col("abc"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    "q_churn" -> ((s, dir) => {
+      // weekly churn: users active in ISO week w with no event in w+1
+      // (final week excluded — its successor is unobserved). Rate in
+      // exact integer basis points.
+      val act = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val nxt = act.select(col("user_id"), date_sub(col("wk"), 7).as("wk"))
+      val churned = act.join(nxt, Seq("user_id", "wk"), "left_anti")
+        .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+      val maxWk = act.agg(max(col("wk")).as("__max"))
+      act.groupBy(col("wk")).agg(count(lit(1)).as("n_active"))
+        .join(churned, Seq("wk"), "left")
+        .na.fill(0L, Seq("n_churned"))
+        .crossJoin(broadcast(maxWk))
+        .filter(col("wk") < col("__max"))
+        .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+          col("n_active"), col("n_churned"),
+          call_function("div", col("n_churned") * 10000L, col("n_active"))
+            .as("churn_bp"))
+        .orderBy(col("week"))
+    }),
+
     "q_item_neighbors" -> ((s, dir) => {
       // item-item collaborative filtering: top-10 cosine neighbors per
       // part from customer purchase sets, history capped at 50 items
@@ -4363,6 +4440,78 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_keys
         |FROM grp GROUP BY gid
         |ORDER BY island_start""".stripMargin,
+
+    "q_rfm" ->
+      // scores by the arithmetic bin rule floor((rank-1)*5/n)+1 in BOTH
+      // engines — SQL ntile's uneven-bucket convention differs and is
+      // deliberately not used; plain window ranks here vs the ranged
+      // two-pass rank machine on the Spark side
+      """WITH base AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_o,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS monetary_q
+        |  FROM orders GROUP BY 1),
+        |ref AS (SELECT max(last_o) AS ref_d, count(*) AS n FROM base),
+        |b2 AS (
+        |  SELECT o_custkey, frequency, monetary_q, n,
+        |    CAST(date_diff('day', CAST(last_o AS DATE), CAST(ref_d AS DATE))
+        |      AS BIGINT) AS recency_days
+        |  FROM base, ref),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY recency_days ASC, o_custkey) AS rr,
+        |    row_number() OVER (ORDER BY frequency DESC, o_custkey) AS rf,
+        |    row_number() OVER (ORDER BY monetary_q DESC, o_custkey) AS rm
+        |  FROM b2),
+        |s AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary_q,
+        |    CAST(5 - ((rr-1)*5) // n AS INTEGER) AS r_score,
+        |    CAST(5 - ((rf-1)*5) // n AS INTEGER) AS f_score,
+        |    CAST(5 - ((rm-1)*5) // n AS INTEGER) AS m_score
+        |  FROM r)
+        |SELECT o_custkey, recency_days, frequency, monetary_q,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score*100 + f_score*10 + m_score AS INTEGER) AS rfm
+        |FROM s ORDER BY o_custkey""".stripMargin,
+
+    "q_abc_class" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_partkey, cents,
+        |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cents) OVER () AS tot
+        |  FROM rev)
+        |SELECT l_partkey, cents, CAST(cum AS BIGINT) AS cum_cents,
+        |  CASE WHEN cum*100 <= tot*80 THEN 'A'
+        |       WHEN cum*100 <= tot*95 THEN 'B' ELSE 'C' END AS abc
+        |FROM c ORDER BY l_partkey""".stripMargin,
+
+    "q_churn" ->
+      // both engines truncate to Monday-start ISO weeks
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |churn AS (
+        |  SELECT a.wk, count(*) AS n_churned
+        |  FROM act a LEFT JOIN act b
+        |    ON b.user_id = a.user_id
+        |   AND b.wk = CAST(a.wk + INTERVAL 7 DAY AS DATE)
+        |  WHERE b.user_id IS NULL GROUP BY 1),
+        |mx AS (SELECT max(wk) AS wmax FROM act),
+        |a2 AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_active FROM act GROUP BY 1)
+        |SELECT strftime(a2.wk, '%Y-%m-%d') AS week, n_active,
+        |  CAST(coalesce(churn.n_churned, 0) AS BIGINT) AS n_churned,
+        |  CAST((coalesce(churn.n_churned, 0) * 10000) // n_active AS BIGINT)
+        |    AS churn_bp
+        |FROM a2 LEFT JOIN churn ON a2.wk = churn.wk, mx
+        |WHERE a2.wk < wmax
+        |ORDER BY week""".stripMargin,
 
     "q_item_neighbors" ->
       // every step exact integers until the one pinned-parenthesization

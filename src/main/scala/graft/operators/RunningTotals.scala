@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GLOBAL ordered running totals and ranks without the one-task global
+  * window: `Window.orderBy(...)` with no partition key funnels the
+  * whole frame through a single task — the repo's documented
+  * anti-pattern — yet Pareto/ABC shares, global quantile scores, and
+  * "cumulative % of total" reports genuinely need a total order.
+  *
+  * Same two-pass machine as Mixture's per-group ranged cumsum
+  * (Mixture.withRunningBefore), degenerated to one global group:
+  * range-repartition on the order columns (each partition holds a
+  * contiguous slice of the total order), per-partition subtotals roll
+  * into partition offsets through a window over the
+  * PARTITION-COUNT-sized stats frame (that tiny frame is the only
+  * single-task step), and every row's running value is its partition
+  * offset plus a partition-local running sum. The localCheckpoint pins
+  * the range exchange so both passes see identical partitioning (the
+  * SurrogateKeys determinism argument). EAGER: the result is
+  * materialized; callers get plain columns.
+  */
+object RunningTotals {
+
+  /** Inclusive global running sum of `valueCol` (LongType) in the total
+    * order given by `orderBys` (use `.desc`/`.asc` column expressions;
+    * the order must be TOTAL — add a unique tiebreak).
+    */
+  def globalRunningSum(df: DataFrame, orderBys: Seq[Column], valueCol: String,
+                       outCol: String): DataFrame =
+    run(df, orderBys, col(valueCol), outCol)
+
+  /** Global rank (1-based, dense in row count — row_number semantics)
+    * in the total order given by `orderBys`.
+    */
+  def globalRank(df: DataFrame, orderBys: Seq[Column], outCol: String): DataFrame =
+    run(df, orderBys, lit(1L), outCol)
+
+  private def run(df: DataFrame, orderBys: Seq[Column], value: Column,
+                  outCol: String): DataFrame = {
+    require(!df.columns.exists(c => c == "__pid" || c == "__off" || c == outCol),
+      s"temp columns __pid/__off/$outCol collide with the input")
+    val sorted = df.repartitionByRange(orderBys: _*)
+      .sortWithinPartitions(orderBys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+      .localCheckpoint(true)
+    val statsW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__psum"))
+      .withColumn("__off", coalesce(sum(col("__psum")).over(statsW), lit(0L)))
+      .drop("__psum")
+    val localW = Window.partitionBy(col("__pid")).orderBy(orderBys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = sorted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__off") + sum(col("__v")).over(localW))
+      .drop("__pid", "__off", "__v")
+    try out.localCheckpoint(true)
+    finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(sorted)
+  }
+}

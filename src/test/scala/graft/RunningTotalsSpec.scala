@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RunningTotals
+
+class RunningTotalsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("globalRunningSum equals the single-window form across partitions") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 5000L).map(i => (i, rnd.nextInt(100).toLong))
+    val df = rows.toDF("id", "v").repartition(17)
+    val got = RunningTotals.globalRunningSum(df, Seq(col("v").desc, col("id").asc), "v", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val want = rows.sortBy { case (id, v) => (-v, id) }
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }.tail.toMap
+    assert(got === want)
+  }
+
+  test("globalRank is the exact 1..n row_number in the total order") {
+    val df = Seq((3L, "c"), (1L, "a"), (2L, "b"), (10L, "z")).toDF("v", "s")
+      .repartition(3)
+    val got = RunningTotals.globalRank(df, Seq(col("v").asc), "rnk")
+      .orderBy("rnk").select("s", "rnk").as[(String, Long)].collect()
+    assert(got === Array(("a", 1L), ("b", 2L), ("c", 3L), ("z", 4L)))
+  }
+
+  test("chained calls append independent rank columns") {
+    val df = Seq((1L, 9L), (2L, 5L), (3L, 7L)).toDF("id", "v")
+    val out = RunningTotals.globalRank(
+        RunningTotals.globalRank(df, Seq(col("v").desc), "by_v"),
+        Seq(col("id").asc), "by_id")
+      .orderBy("id").select("by_v", "by_id").as[(Long, Long)].collect()
+    // v ranks: 9 -> 1, 5 -> 3, 7 -> 2; id ranks: 1, 2, 3
+    assert(out === Array((1L, 1L), (3L, 2L), (2L, 3L)))
+  }
+}
