@@ -1781,6 +1781,29 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_audio_segments" -> ((s, dir) => {
+      // audio VAD primitive end-to-end: REAL WAV containers decode to
+      // windowed EXACT-integer energy rows, then gaps-and-islands over
+      // non-silent windows yields speech/tone segments. Rows-only
+      // (binary payload path); AudioSpec pins the planted layout.
+      val payloads = Multimodal.syntheticWavPayloads(
+        t(s, dir, "documents").filter(col("doc_id") < 60).select(col("doc_id")))
+      val prof = Multimodal.audioEnergyProfile(payloads)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("win_idx"))
+      prof.filter(!col("is_silence"))
+        .withColumn("__prev", lag(col("win_idx"), 1).over(w))
+        .withColumn("__new",
+          (col("__prev").isNull || col("win_idx") > col("__prev") + 1).cast("long"))
+        .withColumn("__seg", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("__seg"))
+        .agg(min(col("win_idx")).as("seg_start"), max(col("win_idx")).as("seg_end"),
+          count(lit(1)).as("n_windows"), sum(col("energy_q")).as("energy_q"))
+        .select(col("doc_id"), col("seg_start"), col("seg_end"),
+          col("n_windows"), col("energy_q"))
+        .orderBy(col("doc_id"), col("seg_start"))
+    }),
+
     "q_multimodal_features" -> ((s, dir) => {
       // project driver-comparable SCALARS: the raw byte_histogram/feat
       // arrays are kept for library users, but the verification row is

@@ -406,4 +406,138 @@ object Multimodal {
       StructField("id", LongType, nullable = false),
       StructField("sh", LongType, nullable = false))))
   }
+
+  /** Deterministic WAV payloads (REAL RIFF containers via
+    * javax.sound.sampled) for demonstrating the audio path end-to-end:
+    * per id, alternating silence / square-wave-tone segments whose
+    * lengths are exact multiples of 256 samples — so a 256-sample
+    * analysis window is always purely silent or purely tone, and the
+    * segment layout is a pure function of the id (AudioSpec's oracle
+    * recomputes it). 16-bit mono PCM @ 8 kHz; the square wave keeps
+    * every sample integral (no libm in the payload).
+    */
+  def syntheticWavPayloads(ids: DataFrame, amp: Int = 12000): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col("doc_id")).rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      Row(id, synthWavBytes(id, amp))
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", org.apache.spark.sql.types.BinaryType, nullable = false))))
+  }
+
+  /** Segment lengths IN 256-SAMPLE WINDOWS for [[synthWavBytes]]:
+    * (silence, tone, silence, tone, silence). Exposed so specs can
+    * derive the expected energy/segment layout without decoding.
+    */
+  private[graft] def synthSegmentWindows(id: Long): Seq[(Boolean, Int)] = Seq(
+    (false, 2 + (id % 3).toInt), // leading silence
+    (true, 3 + (id % 2).toInt),  // tone
+    (false, 2),                  // gap
+    (true, 4),                   // tone
+    (false, 1))                  // trailing silence
+
+  private[graft] def synthWavBytes(id: Long, amp: Int = 12000): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val segs = synthSegmentWindows(id)
+    val nFrames = segs.map(_._2).sum * 256
+    val pcm = new Array[Byte](nFrames * 2)
+    var f = 0
+    segs.foreach { case (tone, wins) =>
+      var i = 0
+      while (i < wins * 256) {
+        // square wave, period 32 samples: integral, zero-mean
+        val s = if (!tone) 0 else if ((i / 16) % 2 == 0) amp else -amp
+        pcm(2 * f) = (s & 0xff).toByte
+        pcm(2 * f + 1) = ((s >> 8) & 0xff).toByte
+        f += 1; i += 1
+      }
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Windowed audio energy profile — the VAD-style primitive under
+    * silence trimming / speech segmentation of training audio: the
+    * payload decodes to canonical 16-bit mono PCM (same
+    * javax.sound.sampled conversion as [[decodeAudioWav]]) and every
+    * `windowSamples` window emits ONE row of EXACT integer statistics:
+    *   - energy_q  = Σ s²  (fits a long: 32768² · windowSamples)
+    *   - sum_abs_q = Σ |s|
+    *   - peak_abs  = max |s|
+    *   - is_silence = peak_abs < silenceAmp (pure integer compare — no
+    *     float dB threshold to diverge across engines)
+    * The trailing partial window is emitted with its true n_samples.
+    * Null/empty payloads emit nothing (the no-media contract).
+    * Downstream, gaps-and-islands over `is_silence` turns the rows into
+    * speech/tone segments (see q_audio_segments).
+    */
+  def audioEnergyProfile(payloads: DataFrame, windowSamples: Int = 256,
+                         silenceAmp: Int = 328): DataFrame = {
+    require(windowSamples > 0 && silenceAmp >= 0)
+    val spark = payloads.sparkSession
+    val rdd = payloads.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions(_.flatMap { r =>
+        val docId = r.getLong(0)
+        if (r.isNullAt(1) || r.getAs[Array[Byte]](1).isEmpty) Iterator.empty
+        else {
+          val samples = pcmMonoS16(r.getAs[Array[Byte]](1))
+          samples.grouped(windowSamples).zipWithIndex.map { case (w, idx) =>
+            var e = 0L; var sa = 0L; var peak = 0
+            var i = 0
+            while (i < w.length) {
+              val s = w(i); val a = math.abs(s)
+              e += s.toLong * s; sa += a
+              if (a > peak) peak = a
+              i += 1
+            }
+            Row(docId, idx.toLong, w.length.toLong, e, sa, peak.toLong,
+              peak < silenceAmp)
+          }
+        }
+      })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("win_idx", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("energy_q", LongType, nullable = false),
+      StructField("sum_abs_q", LongType, nullable = false),
+      StructField("peak_abs", LongType, nullable = false),
+      StructField("is_silence", BooleanType, nullable = false))))
+  }
+
+  /** Payload → canonical 16-bit signed mono samples (channels averaged),
+    * the same AudioSystem conversion path as [[decodeAudioWav]].
+    */
+  private[graft] def pcmMonoS16(payload: Array[Byte]): Array[Int] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val src = in.getFormat
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, src.getSampleRate,
+        16, src.getChannels, src.getChannels * 2, src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(fmt, in)
+      val bytes = pcm.readAllBytes()
+      val ch = fmt.getChannels
+      val nFrames = bytes.length / (2 * ch)
+      val out = new Array[Int](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0; var c = 0
+        while (c < ch) {
+          val base = 2 * (f * ch + c)
+          acc += (bytes(base + 1) << 8) | (bytes(base) & 0xff)
+          c += 1
+        }
+        out(f) = acc / ch
+        f += 1
+      }
+      out
+    } finally in.close()
+  }
 }
