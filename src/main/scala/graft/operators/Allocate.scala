@@ -41,7 +41,13 @@ object Allocate {
     val n = count(lit(1)).over(w)
     val w1 = when(total === 0, lit(1L)).otherwise(wt)
     val t1 = when(total === 0, n).otherwise(total)
-    val amt = col(amountCol)
+    // the amount is a PER-KEY quantity carried on every row; a key whose
+    // rows disagree would silently prorate garbage — fail loudly instead
+    // (same exchange: min/max ride the existing per-key window)
+    val amt = when(min(col(amountCol)).over(w) =!= max(col(amountCol)).over(w),
+      raise_error(concat(lit(s"Allocate: $amountCol is not constant within a key "),
+        lit("(it must be the key-level amount on every row)"))))
+      .otherwise(col(amountCol))
     // FLOOR division in pure BIGINT: subtract the non-negative pmod so
     // integral `div` is exact (no double/decimal round-trip; `/` on
     // longs is double division and loses exactness past 2^53). Floor

@@ -48,14 +48,21 @@ object Graphs {
 
   /** All triangles, each ONCE, as (a, b, c) with a < b < c by node id.
     * Input: canonical edges.
+    *
+    * The edge list is referenced FOUR times (degrees, both wedge
+    * sides, the closing probe), so it is localCheckpoint'ed eagerly on
+    * entry — without that, a derived edge list (a distinct over a
+    * pair-enumeration join) would replay its whole upstream per
+    * reference. The pinned artifact is #edges rows, the bounded thing.
     */
   def triangles(edges: DataFrame): DataFrame = {
+    val e0 = edges.localCheckpoint(true)
     // total order (deg, id): rank nodes so orientation bounds out-degree
-    val deg = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node")))
+    val deg = e0.select(col("u").as("node"))
+      .unionAll(e0.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient each edge low-rank -> high-rank
-    val e = edges
+    val e = e0
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
       .select(
@@ -70,7 +77,7 @@ object Graphs {
       .select(col("e1.lo").as("apex"), col("e1.hi").as("x"), col("e2.hi").as("y"))
     // close the wedge against the UNDIRECTED canonical edge (x < y holds)
     // apex relates to x,y by RANK, not id — re-sort the node ids
-    wedges.join(edges, col("x") === col("u") && col("y") === col("v"))
+    wedges.join(e0, col("x") === col("u") && col("y") === col("v"))
       .select(array_sort(array(col("apex"), col("x"), col("y"))).as("s"))
       .select(element_at(col("s"), 1).as("a"), element_at(col("s"), 2).as("b"),
         element_at(col("s"), 3).as("c"))

@@ -40,6 +40,11 @@ object Recurrences {
     * y_1 = x_1; y_i = (num*x_i + (den-num)*y_{i-1}) / den with
     * floor division at every step. Appends `outCol` (BIGINT) to every
     * input row. `xCol` must be a non-null LongType column.
+    *
+    * Overflow bound: the fold computes num·x + (den-num)·y, and y stays
+    * within the observed x range (a weighted mean of inputs), so
+    * |x|·den must fit a long — cents-scale inputs with den ≤ 10⁶ sit
+    * ~6 orders of magnitude under the bound.
     */
   def ewma(df: DataFrame, keys: Seq[String], sortCols: Seq[String],
            xCol: String, num: Long, den: Long,

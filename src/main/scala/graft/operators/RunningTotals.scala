@@ -40,8 +40,8 @@ object RunningTotals {
 
   private def run(df: DataFrame, orderBys: Seq[Column], value: Column,
                   outCol: String): DataFrame = {
-    require(!df.columns.exists(c => c == "__pid" || c == "__off" || c == outCol),
-      s"temp columns __pid/__off/$outCol collide with the input")
+    require(!df.columns.exists(c => c == "__pid" || c == "__off" || c == "__v" || c == outCol),
+      s"temp columns __pid/__off/__v/$outCol collide with the input")
     val sorted = df.repartitionByRange(orderBys: _*)
       .sortWithinPartitions(orderBys: _*)
       .withColumn("__pid", spark_partition_id())

@@ -40,10 +40,14 @@ object ItemSim {
     require(k > 0 && maxUserItems > 1, s"need k>0, maxUserItems>1")
     val capW = Window.partitionBy(col(userCol))
       .orderBy(col(strengthCol).desc, col(itemCol).asc)
+    // referenced three times (item counts + both pair sides): pin the
+    // capped history eagerly — ≤ users·maxUserItems rows by construction,
+    // so the pinned artifact is the bounded thing
     val capped = interactions
       .withColumn("__r", row_number().over(capW))
       .filter(col("__r") <= maxUserItems)
       .select(col(userCol).as("u"), col(itemCol).as("i"))
+      .localCheckpoint(true)
     val nPerItem = capped.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.u") === col("b.u") && col("a.i") < col("b.i"))

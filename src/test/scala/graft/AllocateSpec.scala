@@ -49,6 +49,15 @@ class AllocateSpec extends SparkSuite {
       math.abs(a - (-10.0 * w / 7)) <= 1.0 })
   }
 
+  test("a key with an inconsistent amount fails loudly") {
+    val e = intercept[Exception] {
+      Allocate.largestRemainder(
+        Seq((1L, 1L, 1L, 10L), (1L, 2L, 2L, 11L)).toDF("k", "ln", "w", "amt"),
+        Seq("k"), "w", "amt", Seq("ln")).collect()
+    }
+    assert(e.getMessage.contains("not constant within a key"))
+  }
+
   test("negative weights fail loudly") {
     val e = intercept[Exception] {
       Allocate.largestRemainder(
