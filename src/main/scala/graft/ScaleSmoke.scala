@@ -504,6 +504,79 @@ object ScaleSmoke {
       time(s"pagerank ${mult}x")(PageRank.rank(edgesOf(liN), 3).count())
     }
 
+    if (section == "all" || section == "analytics") {
+      // round-7 analytics tier: recurrences (hot-key wall-clock bound),
+      // allocation (∝ input, one keyed exchange), triangles (disjoint
+      // replicas ⇒ exactly ∝), item-item CF (the history cap must make
+      // a pathological user irrelevant), global running totals (ranged
+      // two-pass, ∝ input with a partitions-sized single-task frame)
+      import graft.operators.{Allocate, Graphs, Recurrences, RunningTotals}
+      import graft.similarity.ItemSim
+
+      // ONE key, 1M sequential rows: the documented irreducible case —
+      // O(1) state, must stream through a single task in seconds, not
+      // OOM or quadratically stall
+      val hot = spark.range(1000000L)
+        .select(lit(1L).as("k"), col("id").as("seq"), (col("id") % 997).as("x"))
+      time("ewma 1M-row hot key")(
+        Recurrences.ewma(hot, Seq("k"), Seq("seq"), "x", 1L, 4L).count())
+      time("cusum 1M-row hot key")(
+        Recurrences.cusumAlarms(hot, Seq("k"), Seq("seq"), "x", 400L, 100000L).count())
+
+      val li1 = Tables.load(spark, base, "lineitem")
+      val liN = {
+        val n = 10000000L
+        (0 until mult).map(i => li1
+            .withColumn("l_orderkey", col("l_orderkey") + lit(i * n))
+            .withColumn("l_partkey", col("l_partkey") + lit(i * n)))
+          .reduce(_ unionByName _)
+      }
+      def alloc(li: DataFrame) = {
+        val c = li.select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+        Allocate.largestRemainder(
+          c.withColumn("amt", call_function("div", sum(col("cents")).over(w), lit(10L))),
+          Seq("l_orderkey"), "cents", "amt", Seq("l_linenumber"))
+      }
+      time("allocate 1x")(alloc(li1).count())
+      time(s"allocate ${mult}x")(alloc(liN).count())
+
+      // disjoint replicas: triangle count must be exactly mult× and the
+      // wall clock ~∝ (the degree orientation keeps wedge work m^1.5
+      // WITHIN each replica, unchanged by replication)
+      def copurchase(li: DataFrame) = {
+        val p = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        Graphs.canonicalEdges(p, "pa", "pb")
+      }
+      val t1 = time("triangles 1x")(Graphs.triangles(copurchase(li1)).count())
+      time(s"triangles ${mult}x")(Graphs.triangles(copurchase(liN)).count())
+
+      // a 200k-item user: uncapped pair work would be 2·10^10 rows; the
+      // cap bounds it at 50²/2 for that user, so the run must complete
+      // in seconds
+      val pathological = spark.range(200000L)
+        .select(lit(999999L).as("u"), col("id").as("i"), lit(1L).as("s"))
+      val normal = spark.range(40000L)
+        .select((col("id") % 2000).as("u"), (col("id") % 300).as("i"), lit(1L).as("s"))
+      time("itemsim 200k-item user (cap 50)")(
+        ItemSim.neighbors(normal.unionByName(pathological).distinct(),
+          "u", "i", "s", k = 10, maxUserItems = 50).count())
+
+      val big = spark.range(20000000L).select(col("id"),
+        (col("id") % 100000).as("v"))
+      time("global running sum 20k rows")(
+        RunningTotals.globalRunningSum(spark.range(20000L)
+            .select(col("id"), (col("id") % 100).as("v")),
+          Seq(col("v").desc, col("id").asc), "v", "cum").count())
+      time("global running sum 20M rows")(
+        RunningTotals.globalRunningSum(big,
+          Seq(col("v").desc, col("id").asc), "v", "cum").count())
+    }
+
     spark.stop()
   }
 }

@@ -1866,6 +1866,38 @@ object SparkEntry {
         .orderBy(col("island_start"))
     }),
 
+    "q_skyline" -> ((s, dir) => {
+      // Pareto frontier (skyline operator, Börzsönyi ICDE'01): parts no
+      // other part beats on BOTH price (min) and size (max). Sort-based:
+      // collapse to price levels, one EXCLUSIVE global running max over
+      // the levels (ranged two-pass — never a one-task window), keep
+      // level maxima that beat every cheaper level.
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("price_q"),
+        col("p_size").cast("long").as("p_size"))
+      val levels = p.groupBy(col("price_q")).agg(max(col("p_size")).as("lvl_max"))
+      val lv = RunningTotals.globalRunningMaxExclusive(levels,
+        Seq(col("price_q").asc), "lvl_max", "excl_max")
+      p.join(lv, Seq("price_q"))
+        .filter(col("p_size") === col("lvl_max") &&
+          (col("excl_max").isNull || col("lvl_max") > col("excl_max")))
+        .select(col("p_partkey"), col("price_q"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_fifo_layers" -> ((s, dir) => {
+      // FIFO lot consumption: returns restock, everything else issues;
+      // cumulative-range overlap turns the sequential ledger walk into
+      // one equi-join (operators/Ledger.scala)
+      val mv = t(s, dir, "lineitem").select(
+        col("l_partkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("q"),
+        (col("l_returnflag") === "R").as("is_receipt"))
+      Ledger.fifoMatch(mv, Seq("l_partkey"),
+          Seq("l_shipdate", "l_orderkey", "l_linenumber"), "q", "is_receipt")
+        .orderBy(col("l_partkey"), col("r_seq"), col("i_seq"))
+    }),
+
     "q_rfm" -> ((s, dir) => {
       // RFM segmentation: per-customer recency/frequency/monetary
       // quintile scores. Scores come from exact arithmetic rank binning
@@ -4463,6 +4495,47 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_keys
         |FROM grp GROUP BY gid
         |ORDER BY island_start""".stripMargin,
+
+    "q_skyline" ->
+      // INDEPENDENT formulation: the quadratic dominance anti-join
+      // (DuckDB's IEJoin makes it feasible at oracle scale) vs the
+      // sort-based level scan on the Spark side
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)
+        |      AS price_q,
+        |    CAST(p_size AS BIGINT) AS p_size
+        |  FROM part)
+        |SELECT p_partkey, price_q, p_size FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p o
+        |  WHERE o.price_q <= p.price_q AND o.p_size >= p.p_size
+        |    AND (o.price_q < p.price_q OR o.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_fifo_layers" ->
+      """WITH r AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER w AS hi,
+        |    row_number() OVER w AS seq
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING)),
+        |i AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER w AS hi,
+        |    row_number() OVER w AS seq
+        |  FROM lineitem WHERE l_returnflag <> 'R'
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT r.l_partkey, CAST(r.seq AS BIGINT) AS r_seq,
+        |  CAST(i.seq AS BIGINT) AS i_seq,
+        |  CAST(least(r.hi, i.hi) - greatest(r.hi - r.q, i.hi - i.q) AS BIGINT)
+        |    AS matched_q
+        |FROM r JOIN i ON r.l_partkey = i.l_partkey
+        | AND r.hi > i.hi - i.q AND i.hi > r.hi - r.q
+        |ORDER BY r.l_partkey, r_seq, i_seq""".stripMargin,
 
     "q_rfm" ->
       // scores by the arithmetic bin rule floor((rank-1)*5/n)+1 in BOTH

@@ -38,6 +38,37 @@ object RunningTotals {
   def globalRank(df: DataFrame, orderBys: Seq[Column], outCol: String): DataFrame =
     run(df, orderBys, lit(1L), outCol)
 
+  /** EXCLUSIVE global running max of `valueCol` (LongType) in the given
+    * total order: each row sees the max over all STRICTLY-PRECEDING
+    * rows (null for the first row — no predecessor). The
+    * strict-predecessor form is what dominance tests (Pareto/skyline)
+    * need; same two-pass machine with the max monoid.
+    */
+  def globalRunningMaxExclusive(df: DataFrame, orderBys: Seq[Column],
+                                valueCol: String, outCol: String): DataFrame = {
+    require(!df.columns.exists(c => c == "__pid" || c == "__off" || c == outCol),
+      s"temp columns __pid/__off/$outCol collide with the input")
+    val sorted = df.repartitionByRange(orderBys: _*)
+      .sortWithinPartitions(orderBys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val statsW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("__pid"))
+      .agg(max(col(valueCol)).as("__pmax"))
+      .withColumn("__off", max(col("__pmax")).over(statsW)) // null for pid 0
+      .drop("__pmax")
+    val localW = Window.partitionBy(col("__pid")).orderBy(orderBys: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // greatest() skips nulls and returns null only when BOTH sides are
+    // null — exactly the no-predecessor semantics wanted here
+    val out = sorted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, greatest(max(col(valueCol)).over(localW), col("__off")))
+      .drop("__pid", "__off")
+    try out.localCheckpoint(true)
+    finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(sorted)
+  }
+
   private def run(df: DataFrame, orderBys: Seq[Column], value: Column,
                   outCol: String): DataFrame = {
     require(!df.columns.exists(c => c == "__pid" || c == "__off" || c == "__v" || c == outCol),

@@ -25,6 +25,19 @@ class RunningTotalsSpec extends SparkSuite {
     assert(got === Array(("a", 1L), ("b", 2L), ("c", 3L), ("z", 4L)))
   }
 
+  test("globalRunningMaxExclusive: strict-predecessor max, null for the first row") {
+    val rnd = new scala.util.Random(9)
+    val rows = (1L to 3000L).map(i => (i, rnd.nextInt(500).toLong))
+    val df = rows.toDF("id", "v").repartition(11)
+    val got = RunningTotals.globalRunningMaxExclusive(df, Seq(col("id").asc), "v", "mx")
+      .select("id", "mx").as[(Long, Option[Long])].collect().toMap
+    var m = Option.empty[Long]
+    rows.foreach { case (id, v) =>
+      assert(got(id) === m, s"id $id")
+      m = Some(m.fold(v)(math.max(_, v)))
+    }
+  }
+
   test("chained calls append independent rank columns") {
     val df = Seq((1L, 9L), (2L, 5L), (3L, 7L)).toDF("id", "v")
     val out = RunningTotals.globalRank(
