@@ -1866,6 +1866,49 @@ object SparkEntry {
         .orderBy(col("island_start"))
     }),
 
+    "q_mixture_alloc" -> ((s, dir) => {
+      // EXACT-N mixture sampling: a 300-doc budget allocated across
+      // sources by largest remainder (parts sum to exactly 300 at every
+      // SF — rate-based sampling can only promise N in expectation),
+      // then each source takes its quota deterministically by the
+      // portable multiplicative hash. Composes Allocate + the hash-
+      // order pick; one window per stage.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val wts = d.groupBy(col("source")).agg(count(lit(1)).as("w"))
+        .withColumn("k", lit(1)).withColumn("amt", lit(300L))
+      val quota = Allocate.largestRemainder(wts, Seq("k"), "w", "amt",
+          tiebreak = Seq("source"), outCol = "n_take")
+        .select(col("source"), col("n_take"))
+      val h = (col("doc_id") % 1048573L) * 2654435761L % 1000000L
+      val rankW = Window.partitionBy(col("source"))
+        .orderBy(h.asc, col("doc_id").asc)
+      d.withColumn("__r", row_number().over(rankW))
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("__r") <= col("n_take"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_langmix" -> ((s, dir) => {
+      // mixed-language-document audit: language-id per 25-token chunk,
+      // then per-doc chunk count / language switches / distinct
+      // languages — the curation signal chunk-level filters need that
+      // whole-doc lang-id (q_lang_id) averages away
+      val docs = t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+      val ch = docs.select(col("doc_id"),
+          posexplode(TextFunctions.chunkTokens(col("text"), size = 25, overlap = 0))
+            .as(Seq("chunk_idx", "chunk")))
+        .withColumn("cl", TextFunctions.langId(col("chunk")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+      ch.withColumn("__prev", lag(col("cl"), 1).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__prev").isNotNull && col("cl") =!= col("__prev"), 1L)
+            .otherwise(0L)).as("n_switches"),
+          countDistinct(col("cl")).as("n_langs"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_skyline" -> ((s, dir) => {
       // Pareto frontier (skyline operator, Börzsönyi ICDE'01): parts no
       // other part beats on BOTH price (min) and size (max). Sort-based:
@@ -4495,6 +4538,74 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_keys
         |FROM grp GROUP BY gid
         |ORDER BY island_start""".stripMargin,
+
+    "q_mixture_alloc" ->
+      // largest-remainder quota replayed in plain SQL over the
+      // source-count table, then the same portable-hash pick
+      """WITH wts AS (
+        |  SELECT source, count(*) AS w FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT source, w, sum(w) OVER () AS tot FROM wts),
+        |b AS (
+        |  SELECT source, w,
+        |    300 * w // tot AS base, (300 * w) % tot AS rem
+        |  FROM t),
+        |q AS (
+        |  SELECT source,
+        |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+        |      <= 300 - sum(base) OVER () THEN 1 ELSE 0 END AS n_take
+        |  FROM b),
+        |r AS (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY (doc_id % 1048573) * 2654435761 % 1000000, doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.source
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE r.rn <= q.n_take
+        |ORDER BY r.doc_id""".stripMargin,
+
+    "q_langmix" ->
+      // marker sets and CASE order mirror TextFunctions.LangMarkers (the
+      // q_lang_id oracle's heuristic) applied per 25-token chunk
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |nc AS (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN len(tk) <= 25 THEN 1
+        |         ELSE CAST(ceil((len(tk) - 25) / 25.0) AS INT) + 1 END AS n
+        |  FROM toks),
+        |ix AS (
+        |  SELECT doc_id, tk, unnest(range(0, n)) AS chunk_idx FROM nc),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    tk[(chunk_idx*25+1):(chunk_idx*25+25)] AS c
+        |  FROM ix),
+        |hits AS (
+        |  SELECT doc_id, chunk_idx,
+        |    len(list_filter(c, x -> x IN ('the','a','and','of','is'))) AS h_en,
+        |    len(list_filter(c, x -> x IN ('el','la','los','de','y'))) AS h_es,
+        |    len(list_filter(c, x -> x IN ('der','die','das','und','ist'))) AS h_de,
+        |    len(list_filter(c, x -> x IN ('le','la','les','et','est'))) AS h_fr
+        |  FROM ch),
+        |pred AS (
+        |  SELECT doc_id, chunk_idx,
+        |    CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'unknown'
+        |      WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+        |      WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+        |      WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+        |      ELSE 'fr' END AS cl
+        |  FROM hits),
+        |lagged AS (
+        |  SELECT doc_id, cl,
+        |    lag(cl) OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS prev
+        |  FROM pred)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND cl <> prev THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_switches,
+        |  CAST(count(DISTINCT cl) AS BIGINT) AS n_langs
+        |FROM lagged GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_skyline" ->
       // INDEPENDENT formulation: the quadratic dominance anti-join
