@@ -1866,6 +1866,32 @@ object SparkEntry {
         .orderBy(col("island_start"))
     }),
 
+    "q_item_neighbors_maintained" -> ((s, dir) => {
+      // the CF model's count tables maintained INCREMENTALLY: orders
+      // divisible by 7 arrive as the delta; changed users' capped sets
+      // diff into ± adjustments (O(changed·cap²), no corpus rescan) and
+      // scoring from the maintained state must equal the full rebuild —
+      // registered against q_item_neighbors' VERBATIM oracle.
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val full = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("item"),
+          col("o_orderkey"))
+      def inter(df: DataFrame) = df.groupBy(col("user"), col("item"))
+        .agg(countDistinct(col("o_orderkey")).as("strength"))
+      val base = full.filter(col("o_orderkey") % 7 =!= 0)
+      val changedUsers = full.filter(col("o_orderkey") % 7 === 0)
+        .select(col("user")).distinct()
+      val oldChanged = inter(base.join(changedUsers, Seq("user"), "left_semi"))
+      val newChanged = inter(full.join(changedUsers, Seq("user"), "left_semi"))
+      val (p0, i0) = graft.similarity.ItemSim.counts(inter(base),
+        "user", "item", "strength", maxUserItems = 50)
+      val (pm, im) = graft.similarity.ItemSim.maintainCounts(p0, i0,
+        oldChanged, newChanged, "user", "item", "strength", maxUserItems = 50)
+      graft.similarity.ItemSim.neighborsFromCounts(pm, im, k = 10)
+        .orderBy(col("item"), col("rank"))
+    }),
+
     "q_mixture_alloc" -> ((s, dir) => {
       // EXACT-N mixture sampling: a 300-doc budget allocated across
       // sources by largest remainder (parts sum to exactly 300 at every
@@ -4719,6 +4745,41 @@ object SparkEntry {
         |FROM a2 LEFT JOIN churn ON a2.wk = churn.wk, mx
         |WHERE a2.wk < wmax
         |ORDER BY week""".stripMargin,
+
+    "q_item_neighbors_maintained" ->
+      // VERBATIM the q_item_neighbors oracle: maintenance must land on
+      // the identical full-rebuild state, so the incremental path hash-
+      // matches the one-shot oracle
+      """WITH inter AS (
+        |  SELECT o_custkey AS u, l_partkey AS i, count(DISTINCT l_orderkey) AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |cap AS (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY s DESC, i) AS r
+        |    FROM inter) WHERE r <= 50),
+        |ni AS (SELECT i, count(*) AS n_i FROM cap GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS lo, b.i AS hi, count(*) AS n_both
+        |  FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT lo AS item, hi AS neighbor, n_both FROM p
+        |  UNION ALL SELECT hi AS item, lo AS neighbor, n_both FROM p),
+        |sc AS (
+        |  SELECT item, neighbor, CAST(n_both AS BIGINT) AS n_both,
+        |    CAST(floor(n_both * 10000.0
+        |      / sqrt(CAST(na.n_i AS DOUBLE) * CAST(nb.n_i AS DOUBLE)) + 0.5)
+        |      AS BIGINT) AS sim_q
+        |  FROM sym JOIN ni na ON sym.item = na.i
+        |    JOIN ni nb ON sym.neighbor = nb.i),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY item
+        |      ORDER BY sim_q DESC, neighbor) AS rnk
+        |  FROM sc)
+        |SELECT item, neighbor, n_both, sim_q, CAST(rnk AS INTEGER) AS "rank"
+        |FROM r WHERE rnk <= 10
+        |ORDER BY item, "rank"""".stripMargin,
 
     "q_item_neighbors" ->
       // every step exact integers until the one pinned-parenthesization

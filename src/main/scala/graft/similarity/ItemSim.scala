@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   * data cannot break. The cap is deterministic: rank by
   * (strength DESC, item ASC).
   *
+  * The model factors through two COUNT TABLES — pair co-occurrence
+  * (lo < hi, n_both) and per-item set sizes (i, n_i) — which are
+  * ADDITIVELY MAINTAINABLE under user-history change ([[maintainCounts]]):
+  * a changed user's old and new capped sets diff into ±1 adjustments,
+  * O(changed_users · cap²) work with NO corpus rescan — the same
+  * persisted-state pattern as IncrementalAgg/Dsir/Drift. Scoring from
+  * counts ([[neighborsFromCounts]]) is count-table-sized.
+  *
   * Shape: one window over user (the cap), one self-join + pair
   * groupBy, two item-count equi-joins (AQE picks broadcast when the
   * item dimension fits), one per-item rank window for top-k (map-side
@@ -30,34 +38,44 @@ import org.apache.spark.sql.functions._
   */
 object ItemSim {
 
-  /** @param interactions (user, item, strength) rows, pre-aggregated
-    *                     (one row per user-item).
-    * @return (item, neighbor, n_both, sim_q, rank) — both directions,
-    *         top `k` neighbors per item.
+  /** Deterministic capped binary history: one (u, i) row per kept
+    * interaction. Pinned eagerly — ≤ users·maxUserItems rows by
+    * construction (referenced by counts + both pair sides).
     */
-  def neighbors(interactions: DataFrame, userCol: String, itemCol: String,
-                strengthCol: String, k: Int, maxUserItems: Int): DataFrame = {
-    require(k > 0 && maxUserItems > 1, s"need k>0, maxUserItems>1")
+  private def cappedSets(interactions: DataFrame, userCol: String,
+                         itemCol: String, strengthCol: String,
+                         maxUserItems: Int): DataFrame = {
     val capW = Window.partitionBy(col(userCol))
       .orderBy(col(strengthCol).desc, col(itemCol).asc)
-    // referenced three times (item counts + both pair sides): pin the
-    // capped history eagerly — ≤ users·maxUserItems rows by construction,
-    // so the pinned artifact is the bounded thing
-    val capped = interactions
+    interactions
       .withColumn("__r", row_number().over(capW))
       .filter(col("__r") <= maxUserItems)
       .select(col(userCol).as("u"), col(itemCol).as("i"))
       .localCheckpoint(true)
-    val nPerItem = capped.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
-    val pairs = capped.as("a").join(capped.as("b"),
+  }
+
+  private def pairCounts(sets: DataFrame): DataFrame =
+    sets.as("a").join(sets.as("b"),
         col("a.u") === col("b.u") && col("a.i") < col("b.i"))
       .groupBy(col("a.i").as("lo"), col("b.i").as("hi"))
       .agg(count(lit(1)).as("n_both"))
+
+  /** The model's state: (pair co-occurrence counts, item set sizes). */
+  def counts(interactions: DataFrame, userCol: String, itemCol: String,
+             strengthCol: String, maxUserItems: Int): (DataFrame, DataFrame) = {
+    require(maxUserItems > 1, "maxUserItems must be > 1")
+    val capped = cappedSets(interactions, userCol, itemCol, strengthCol, maxUserItems)
+    (pairCounts(capped), capped.groupBy(col("i")).agg(count(lit(1)).as("n_i")))
+  }
+
+  /** Top-k cosine neighbors scored from persisted count tables. */
+  def neighborsFromCounts(pairs: DataFrame, items: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
     val sym = pairs.select(col("lo").as("item"), col("hi").as("neighbor"), col("n_both"))
       .unionAll(pairs.select(col("hi").as("item"), col("lo").as("neighbor"), col("n_both")))
     val scored = sym
-      .join(nPerItem.withColumnRenamed("i", "item").withColumnRenamed("n_i", "na"), "item")
-      .join(nPerItem.withColumnRenamed("i", "neighbor").withColumnRenamed("n_i", "nb"), "neighbor")
+      .join(items.withColumnRenamed("i", "item").withColumnRenamed("n_i", "na"), "item")
+      .join(items.withColumnRenamed("i", "neighbor").withColumnRenamed("n_i", "nb"), "neighbor")
       .withColumn("sim_q",
         floor(col("n_both") * 10000.0 /
           sqrt(col("na").cast("double") * col("nb").cast("double")) + 0.5)
@@ -68,5 +86,49 @@ object ItemSim {
       .filter(col("rank") <= k)
       .select(col("item"), col("neighbor"), col("n_both"), col("sim_q"),
         col("rank").cast("int").as("rank"))
+  }
+
+  /** One-shot build: counts + scoring. */
+  def neighbors(interactions: DataFrame, userCol: String, itemCol: String,
+                strengthCol: String, k: Int, maxUserItems: Int): DataFrame = {
+    val (p, n) = counts(interactions, userCol, itemCol, strengthCol, maxUserItems)
+    neighborsFromCounts(p, n, k)
+  }
+
+  /** Fold a user-history delta into persisted counts WITHOUT a corpus
+    * rescan. Inputs are the CHANGED USERS' interaction rows only —
+    * their complete (user, item, strength) history before
+    * (`oldChanged`) and after (`newChanged`) the change; unchanged
+    * users must appear in neither. The cap is re-applied per side, the
+    * two capped sets diff into ±1 item/pair adjustments, and counts
+    * that reach zero leave the tables — so the maintained state is
+    * IDENTICAL to a full rebuild on the new corpus (ItemSimSpec proves
+    * both tables equal the rescan exactly). Work is
+    * O(changed_users · cap²): the cap that bounds the build bounds the
+    * maintenance too.
+    */
+  def maintainCounts(pairs: DataFrame, items: DataFrame,
+                     oldChanged: DataFrame, newChanged: DataFrame,
+                     userCol: String, itemCol: String, strengthCol: String,
+                     maxUserItems: Int): (DataFrame, DataFrame) = {
+    val oldSets = cappedSets(oldChanged, userCol, itemCol, strengthCol, maxUserItems)
+    val newSets = cappedSets(newChanged, userCol, itemCol, strengthCol, maxUserItems)
+    val pairDelta = pairCounts(newSets)
+      .select(col("lo"), col("hi"), col("n_both").as("__d"))
+      .unionAll(pairCounts(oldSets)
+        .select(col("lo"), col("hi"), (-col("n_both")).as("__d")))
+      .groupBy(col("lo"), col("hi")).agg(sum(col("__d")).as("__d"))
+    val itemDelta = newSets.groupBy(col("i")).agg(count(lit(1)).as("__d"))
+      .unionAll(oldSets.groupBy(col("i")).agg((-count(lit(1))).as("__d")))
+      .groupBy(col("i")).agg(sum(col("__d")).as("__d"))
+    val newPairs = pairs.join(pairDelta, Seq("lo", "hi"), "full_outer")
+      .select(col("lo"), col("hi"),
+        (coalesce(col("n_both"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("n_both"))
+      .filter(col("n_both") > 0)
+    val newItems = items.join(itemDelta, Seq("i"), "full_outer")
+      .select(col("i"),
+        (coalesce(col("n_i"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("n_i"))
+      .filter(col("n_i") > 0)
+    (newPairs, newItems)
   }
 }

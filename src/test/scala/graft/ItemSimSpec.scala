@@ -48,6 +48,41 @@ class ItemSimSpec extends SparkSuite {
     assert(out === Set((5L, 7L), (7L, 5L)))
   }
 
+  test("maintainCounts == full rebuild after a user-history delta (incl. cap eviction)") {
+    val rnd = new scala.util.Random(17)
+    val base = (for (u <- 1L to 20L; i <- 1L to 15L if rnd.nextInt(3) == 0)
+      yield (u, i, 1L + rnd.nextInt(5))).toSeq
+    // users 3 and 7 change: user 3 gains two STRONG items (forces cap
+    // eviction at maxUserItems = 4), user 7 loses everything
+    val changed = Set(3L, 7L)
+    val newFull = base.filterNot(r => r._1 == 7L) ++
+      Seq((3L, 100L, 99L), (3L, 101L, 98L))
+    val oldChanged = base.filter(r => changed(r._1))
+    val newChanged = newFull.filter(r => changed(r._1))
+
+    val (p0, i0) = ItemSim.counts(base.toDF("u", "i", "s"), "u", "i", "s", 4)
+    val (pm, im) = ItemSim.maintainCounts(p0, i0,
+      oldChanged.toDF("u", "i", "s"), newChanged.toDF("u", "i", "s"),
+      "u", "i", "s", 4)
+    val (pf, if0) = ItemSim.counts(newFull.toDF("u", "i", "s"), "u", "i", "s", 4)
+
+    assert(pm.as[(Long, Long, Long)].collect().toSet ===
+      pf.as[(Long, Long, Long)].collect().toSet)
+    assert(im.as[(Long, Long)].collect().toSet ===
+      if0.as[(Long, Long)].collect().toSet)
+    // user 7's sole items (if any were unique to it) left the tables
+    val gone = base.filter(_._1 == 7L).map(_._2).toSet --
+      newFull.map(_._2).toSet
+    val liveItems = im.as[(Long, Long)].collect().map(_._1).toSet
+    assert(gone.forall(!liveItems.contains(_)))
+    // and scoring from maintained state == the one-shot build
+    val a = ItemSim.neighborsFromCounts(pm, im, 3)
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    val b = ItemSim.neighbors(newFull.toDF("u", "i", "s"), "u", "i", "s", 3, 4)
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(a === b)
+  }
+
   test("randomized equality with a driver-side reference") {
     val rnd = new scala.util.Random(3)
     val rows = (for (u <- 1L to 40L; i <- 1L to 25L if rnd.nextInt(4) == 0)
