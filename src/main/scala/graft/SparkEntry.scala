@@ -1866,6 +1866,58 @@ object SparkEntry {
         .orderBy(col("island_start"))
     }),
 
+    "q_weighted_percentile" -> ((s, dir) => {
+      // weighted p50/p90 of line price (weight = quantity) per return
+      // flag: discrete weighted-quantile selection (smallest value whose
+      // cumulative weight covers p% of the total) — exact integers end
+      // to end; THREE groups would hot-partition a plain window, so the
+      // cumulative weights run through the per-group RANGED running sum
+      val v = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val cum = RunningTotals.groupedRunningSum(v, Seq("l_returnflag"),
+        Seq(col("cents").asc), "w", "cw")
+      val tot = v.groupBy(col("l_returnflag")).agg(sum(col("w")).as("tw"))
+      cum.join(broadcast(tot), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(when(col("cw") * 100 >= col("tw") * 50, col("cents"))).as("wp50_cents"),
+          min(when(col("cw") * 100 >= col("tw") * 90, col("cents"))).as("wp90_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_corr_matrix" -> ((s, dir) => {
+      // pairwise Pearson correlation of the four line measures from ONE
+      // exact-moment aggregate (the q_trend_slope recipe generalized):
+      // decimal sums are order-independent and exact; the correlation
+      // finish is one pinned-parenthesization double expression, 4-dp
+      // quantized
+      val df = t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("q"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("p"),
+        floor(col("l_discount") * 10000.0 + 0.5).cast("long").as("d"),
+        floor(col("l_tax") * 10000.0 + 0.5).cast("long").as("x"))
+      def S(c: Column) = sum(c.cast("decimal(38,0)"))
+      val vars = Seq("q", "p", "d", "x")
+      val moments = df.agg(count(lit(1)).as("n"),
+        vars.map(v => S(col(v)).as(s"s_$v")) ++
+          (for (a <- vars; b <- vars if a <= b)
+            yield S(col(a) * col(b)).as(s"s_${a}${b}")): _*)
+        .localCheckpoint(true) // one row, referenced once per pair
+      def corr(a: String, b: String): Column = {
+        def D(name: String) = col(name).cast("double")
+        floor((D("n") * D(s"s_$a$b") - D(s"s_$a") * D(s"s_$b")) /
+          sqrt((D("n") * D(s"s_$a$a") - D(s"s_$a") * D(s"s_$a")) *
+            (D("n") * D(s"s_$b$b") - D(s"s_$b") * D(s"s_$b"))) * 10000.0 + 0.5)
+          .cast("long")
+      }
+      (for (a <- vars; b <- vars if a < b)
+        yield moments.select(lit(a).as("var_x"), lit(b).as("var_y"),
+          corr(a, b).as("corr_bp")))
+        .reduce(_ unionAll _)
+        .orderBy(col("var_x"), col("var_y"))
+    }),
+
     "q_item_neighbors_maintained" -> ((s, dir) => {
       // the CF model's count tables maintained INCREMENTALLY: orders
       // divisible by 7 arrive as the delta; changed users' capped sets
@@ -4745,6 +4797,69 @@ object SparkEntry {
         |FROM a2 LEFT JOIN churn ON a2.wk = churn.wk, mx
         |WHERE a2.wk < wmax
         |ORDER BY week""".stripMargin,
+
+    "q_weighted_percentile" ->
+      // plain windows here (3 groups are nothing for a single engine) vs
+      // the per-group RANGED cumsum on the Spark side
+      """WITH v AS (
+        |  SELECT l_returnflag, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+        |      AS cents,
+        |    sum(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, cents, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM v)
+        |SELECT l_returnflag,
+        |  CAST(min(CASE WHEN cw*100 >= tw*50 THEN cents END) AS BIGINT)
+        |    AS wp50_cents,
+        |  CAST(min(CASE WHEN cw*100 >= tw*90 THEN cents END) AS BIGINT)
+        |    AS wp90_cents
+        |FROM c GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q_corr_matrix" -> {
+      // the helper expands the SAME pinned-parenthesization finish per
+      // pair — a computed oracle string, still one SQL text
+      def ce(a: String, b: String) =
+        s"CAST(floor((CAST(n AS DOUBLE)*CAST(s_$a$b AS DOUBLE) " +
+          s"- CAST(s_$a AS DOUBLE)*CAST(s_$b AS DOUBLE)) " +
+          s"/ sqrt((CAST(n AS DOUBLE)*CAST(s_$a$a AS DOUBLE) " +
+          s"- CAST(s_$a AS DOUBLE)*CAST(s_$a AS DOUBLE)) " +
+          s"* (CAST(n AS DOUBLE)*CAST(s_$b$b AS DOUBLE) " +
+          s"- CAST(s_$b AS DOUBLE)*CAST(s_$b AS DOUBLE))) " +
+          s"* 10000.0 + 0.5) AS BIGINT)"
+      val pairs = for (a <- Seq("q", "p", "d", "x"); b <- Seq("q", "p", "d", "x")
+                       if a < b)
+        yield s"SELECT '$a' AS var_x, '$b' AS var_y, ${ce(a, b)} AS corr_bp FROM m"
+      """WITH base AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS p,
+        |    CAST(floor(l_discount*10000 + 0.5) AS BIGINT) AS d,
+        |    CAST(floor(l_tax*10000 + 0.5) AS BIGINT) AS x
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(q AS DECIMAL(38,0))) AS s_q,
+        |    sum(CAST(p AS DECIMAL(38,0))) AS s_p,
+        |    sum(CAST(d AS DECIMAL(38,0))) AS s_d,
+        |    sum(CAST(x AS DECIMAL(38,0))) AS s_x,
+        |    sum(CAST(q*q AS DECIMAL(38,0))) AS s_qq,
+        |    sum(CAST(p*p AS DECIMAL(38,0))) AS s_pp,
+        |    sum(CAST(d*d AS DECIMAL(38,0))) AS s_dd,
+        |    sum(CAST(x*x AS DECIMAL(38,0))) AS s_xx,
+        |    sum(CAST(p*q AS DECIMAL(38,0))) AS s_pq,
+        |    sum(CAST(d*p AS DECIMAL(38,0))) AS s_dp,
+        |    sum(CAST(d*q AS DECIMAL(38,0))) AS s_dq,
+        |    sum(CAST(d*x AS DECIMAL(38,0))) AS s_dx,
+        |    sum(CAST(p*x AS DECIMAL(38,0))) AS s_px,
+        |    sum(CAST(q*x AS DECIMAL(38,0))) AS s_qx
+        |  FROM base)
+        |""".stripMargin +
+        pairs.mkString("", "\nUNION ALL\n", "\nORDER BY var_x, var_y")
+    },
 
     "q_item_neighbors_maintained" ->
       // VERBATIM the q_item_neighbors oracle: maintenance must land on

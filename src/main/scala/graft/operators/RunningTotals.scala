@@ -38,6 +38,40 @@ object RunningTotals {
   def globalRank(df: DataFrame, orderBys: Seq[Column], outCol: String): DataFrame =
     run(df, orderBys, lit(1L), outCol)
 
+  /** Per-GROUP inclusive running sum without funneling a hot group
+    * through one task: range-partition on (group, order) — a dominant
+    * group spans many contiguous partitions — then per-(partition,
+    * group) subtotals roll into offsets exactly as in the global form
+    * (the Mixture.withRunningBefore machine, inclusive variant, made
+    * public). Use when group cardinality is LOW (a per-group window
+    * would hot-partition) but the order is needed exactly.
+    */
+  def groupedRunningSum(df: DataFrame, groupCols: Seq[String],
+                        orderBys: Seq[Column], valueCol: String,
+                        outCol: String): DataFrame = {
+    require(!df.columns.exists(c => c == "__pid" || c == "__off" || c == outCol),
+      s"temp columns __pid/__off/$outCol collide with the input")
+    val gcols = groupCols.map(col)
+    val rangeCols = gcols ++ orderBys
+    val sorted = df.repartitionByRange(rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val statsW = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("__pid") +: gcols: _*)
+      .agg(sum(col(valueCol)).as("__psum"))
+      .withColumn("__off", coalesce(sum(col("__psum")).over(statsW), lit(0L)))
+      .drop("__psum")
+    val localW = Window.partitionBy(col("__pid") +: gcols: _*).orderBy(orderBys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = sorted.join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn(outCol, col("__off") + sum(col(valueCol)).over(localW))
+      .drop("__pid", "__off")
+    try out.localCheckpoint(true)
+    finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(sorted)
+  }
+
   /** EXCLUSIVE global running max of `valueCol` (LongType) in the given
     * total order: each row sees the max over all STRICTLY-PRECEDING
     * rows (null for the first row — no predecessor). The

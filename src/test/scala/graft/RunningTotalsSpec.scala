@@ -38,6 +38,25 @@ class RunningTotalsSpec extends SparkSuite {
     }
   }
 
+  test("groupedRunningSum equals the per-group window form, hot group included") {
+    val rnd = new scala.util.Random(31)
+    // one dominant group (g0 holds 80% of rows) + two small ones
+    val rows = (1L to 4000L).map { i =>
+      val g = if (i % 5 != 0) "g0" else s"g${i % 3 + 1}"
+      (g, i, rnd.nextInt(50).toLong)
+    }
+    val got = RunningTotals.groupedRunningSum(
+        rows.toDF("g", "seq", "v").repartition(13),
+        Seq("g"), Seq(col("seq").asc), "v", "cum")
+      .select("g", "seq", "cum").as[(String, Long, Long)].collect()
+      .map { case (g, s, c) => (g, s) -> c }.toMap
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(_._2).scanLeft(("", 0L, 0L)) { case ((_, _, acc), (_, s, v)) =>
+        (g, s, acc + v) }.tail.map { case (_, s, c) => (g, s) -> c }
+    }
+    assert(got === want)
+  }
+
   test("chained calls append independent rank columns") {
     val df = Seq((1L, 9L), (2L, 5L), (3L, 7L)).toDF("id", "v")
     val out = RunningTotals.globalRank(
