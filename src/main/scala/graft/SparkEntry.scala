@@ -2894,6 +2894,214 @@ object SparkEntry {
         .select(col("neighbor_id").as("id"), col("rel_rank"), col("embedding"))
       graft.similarity.Mmr.rerank(cands, "id", "rel_rank", "embedding", k = 10)
         .orderBy(col("mmr_rank"))
+    }),
+
+    "q_chi_square" -> ((s, dir) => {
+      // Pearson chi-square independence test: nation × market segment —
+      // the classic "is the mix uniform across regions" report. Three
+      // map-side-combinable grouped counts; the grid is the CROSS JOIN
+      // of the two aggregated margins (25×5, broadcast); zero-observed
+      // cells included; exact BIGINT inner term, one pinned double
+      // division per cell, BIGINT sum of quantized terms.
+      Stats.chiSquare(t(s, dir, "customer"), "c_nationkey", "c_mktsegment")
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
+    "q_ab_test" -> ((s, dir) => {
+      // A/B readout in one aggregation pass: deterministic 50/50 split
+      // by the portable multiplicative hash of the customer key; Welch
+      // t on order value (cents) + pooled two-proportion z on the
+      // high-value-order conversion flag. All eight moments ride ONE
+      // agg with map-side combine; the finishes are pinned double
+      // expressions over the single-row frame.
+      val o = t(s, dir, "orders").select(
+        when((col("o_custkey") % 1048573L) * 2654435761L % 1000000L < 500000L,
+          lit(0L)).otherwise(lit(1L)).as("variant"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+        .withColumn("conv",
+          when(col("cents") > 20000000L, lit(1L)).otherwise(lit(0L)))
+      Stats.welchAb(o, "variant", "cents", "conv")
+    }),
+
+    "q_survival_km" -> ((s, dir) => {
+      // Kaplan-Meier customer-lifetime curve: duration = days between a
+      // customer's first and last order; churned (event=1) when the
+      // last order predates the dataset horizon by a year, else
+      // censored. Subjects aggregate to one row per distinct duration
+      // (map-side), at-risk counts are an exclusive cumsum over that
+      // tiny frame, and the product-limit fold is an exact fixed-point
+      // integer recurrence over EVENT TIMES — bounded by the day
+      // resolution, never by subject count.
+      val byCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+          max(to_date(col("o_orderdate"))).as("last_d"))
+      val mx = byCust.agg(max(col("last_d")).as("__mx"))
+      val subj = byCust.crossJoin(broadcast(mx)).select(
+        datediff(col("last_d"), col("first_d")).cast("long").as("duration"),
+        when(datediff(col("__mx"), col("last_d")) >= 365, lit(1L))
+          .otherwise(lit(0L)).as("event"))
+      Stats.kaplanMeier(subj, "duration", "event")
+        .orderBy(col("duration"))
+    }),
+
+    "q_acf" -> ((s, dir) => {
+      // autocorrelation of daily revenue at lags 1..7 — the
+      // seasonality screen run before picking a forecast model. The
+      // fact table collapses to one row per day first (exact cents
+      // sums), so the lag explode and joins touch ~2.4k rows however
+      // large the input; per-lag Pearson from exact decimal moments.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d")))
+          .cast("long"))
+      Stats.acf(daily, "rn", "rev_c", maxLag = 7).orderBy(col("lag"))
+    }),
+
+    "q_seasonal" -> ((s, dir) => {
+      // classical additive decomposition of daily revenue: centered
+      // 7-day MA trend, day-of-week seasonal means of the detrended
+      // series, residual — all EXACT floor-divided integers, so
+      // x = trend + seasonal + resid holds bit-for-bit wherever the
+      // trend window is full. Day-of-week from epoch-day arithmetic
+      // (portable; engine dayofweek() conventions differ).
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+        .withColumn("dow",
+          (datediff(col("d"), to_date(lit("1970-01-01"))) % 7).cast("long"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d")))
+          .cast("long"))
+      Stats.decomposeAdditive(daily, "rn", "dow", "rev_c", window = 7)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("rev_c"),
+          col("trend").as("trend_c"), col("seasonal").as("seasonal_c"),
+          col("resid").as("resid_c"))
+        .orderBy(col("d"))
+    }),
+
+    "q_holt" -> ((s, dir) => {
+      // Holt linear-trend smoothing of monthly revenue per nation
+      // (alpha = beta = 1/4), exact integer recurrence with floor
+      // division pinned on both engines — the level-and-trend
+      // generalization of q_ewma, per-key sequential by nature (ONE
+      // keyed shuffle, O(1) state, ~84 rows per nation after the agg).
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val mon = t(s, dir, "orders")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          trunc(to_date(col("o_orderdate")), "mon").as("month"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+      Recurrences.holt(mon, Seq("nation"), Seq("month"), "rev_c",
+          aNum = 1L, aDen = 4L, bNum = 1L, bDen = 4L)
+        .select(col("nation"), date_format(col("month"), "yyyy-MM").as("month"),
+          col("rev_c"), col("holt_q"))
+        .orderBy(col("nation"), col("month"))
+    }),
+
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      // sorted-neighborhood record-linkage blocking (Hernández-Stolfo
+      // SIGMOD'95): sort by the blocking key, compare only rows within
+      // a w=3 rank window — O(n·w) candidate pairs instead of the n²
+      // all-pairs wall. The global rank runs the range-partitioned
+      // two-pass machine (no one-task window); the window join is a
+      // ×w explode + ONE equi-join on the target rank.
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val ranked = RunningTotals.globalRank(p,
+        Seq(col("p_name").asc, col("p_partkey").asc), "rk")
+      val left = ranked
+        .select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+          col("rk").as("ra"))
+        .withColumn("__i", explode(lit(Array(1L, 2L, 3L))))
+        .withColumn("rk", col("ra") + col("__i"))
+      val right = ranked
+        .select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+          col("rk"))
+      left.join(right, Seq("rk"))
+        .withColumn("sim_bp",
+          floor(graft.functions.JaroWinkler.jaroWinkler(
+            col("a_name"), col("b_name")) * 10000.0 + 0.5).cast("long"))
+        .filter(col("sim_bp") >= 8800L)
+        .select(col("a_key"), col("b_key"), col("sim_bp"))
+        .orderBy(col("a_key"), col("b_key"))
+    }),
+
+    "q_attribution_linear" -> ((s, dir) => {
+      // linear multi-touch attribution: every view/click in the 24h
+      // before a purchase shares the credit EQUALLY, in basis points
+      // that sum to EXACTLY 10000 per conversion (largest-remainder on
+      // equal weights: base = 10000 div n, the 10000 mod n most recent
+      // touches get +1) — rate-based credit can only sum in
+      // expectation. Same-user equi-join + range predicate, two
+      // windows over one purchase-keyed exchange.
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val tch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("touch_id"), col("user_id"),
+          col("ts").as("t_ts"))
+      val j = p.join(tch, Seq("user_id"))
+        .filter(col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+      val byP = Window.partitionBy(col("purchase_id"))
+      j.withColumn("n", count(lit(1)).over(byP))
+        .withColumn("rk", row_number().over(
+          byP.orderBy(col("t_ts").desc, col("touch_id").desc)))
+        .select(col("purchase_id"), col("touch_id"),
+          (expr("10000 DIV n") +
+            when(col("rk") <= pmod(lit(10000L), col("n")), lit(1L))
+              .otherwise(lit(0L))).cast("long").as("credit_bp"))
+        .orderBy(col("purchase_id"), col("touch_id"))
+    }),
+
+    "q_funnel_time" -> ((s, dir) => {
+      // time-to-convert distribution: per user, seconds from the FIRST
+      // view to the first purchase at-or-after it; exact DISCRETE
+      // percentiles by rank selection (the q_mad_outliers rule —
+      // element selection cannot split cross-engine where
+      // interpolation can). Ranks via the range-partitioned global
+      // rank; one conditional aggregate picks all four quantiles.
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val delays = pu.join(v, Seq("user_id"))
+        .filter(col("p_ts") >= col("v_ts"))
+        .groupBy(col("user_id"))
+        .agg((min(col("p_ts")).cast("long") - min(col("v_ts")).cast("long"))
+          .as("delay_s"))
+      val ranked = RunningTotals.globalRank(delays,
+        Seq(col("delay_s").asc, col("user_id").asc), "rk")
+      val n = delays.agg(count(lit(1)).as("n"))
+      def pick(p: Int) = max(when(
+        col("rk") === expr(s"((n - 1) * $p) DIV 100 + 1"), col("delay_s")))
+      ranked.crossJoin(broadcast(n)).agg(
+        max(col("n")).as("n_converted"),
+        pick(25).as("p25_s"), pick(50).as("p50_s"),
+        pick(75).as("p75_s"), pick(90).as("p90_s"))
+    }),
+
+    "q_l_diversity" -> ((s, dir) => {
+      // the privacy gate k-anonymity misses: a class can be large yet
+      // HOMOGENEOUS in the sensitive attribute — everyone in it leaks
+      // the value. Classes whose sensitive diversity < l=3; exact
+      // distinct by requirement (a release gate cannot run on an
+      // estimate); one grouped aggregate, class-sized output.
+      val c = t(s, dir, "customer")
+        .withColumn("balance_band", floor(col("c_acctbal") / 1000).cast("long"))
+        .withColumn("balance_c",
+          floor(col("c_acctbal") * 100.0 + 0.5).cast("long"))
+      Diagnostics.lDiversityViolations(c,
+        Seq("c_nationkey", "c_mktsegment", "balance_band"), "balance_c", l = 3)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("balance_band"))
     })
   )
 
@@ -5899,6 +6107,255 @@ object SparkEntry {
         |  CAST(sum(tf.tf * l.l) AS BIGINT) AS surprisal_q,
         |  CAST(sum(tf.tf * l.l) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS mean_surprisal_q
         |FROM tf JOIN l USING (term)
-        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+
+    "q_chi_square" ->
+      // exact BIGINT inner term (obs·n − na·nb), one pinned double
+      // division per cell, quantized terms sum in BIGINT (CAST per
+      // SURVEY §6 — DuckDB window sums of BIGINT go HUGEINT)
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment, count(*) AS o
+        |               FROM customer GROUP BY 1, 2),
+        |a AS (SELECT c_nationkey, count(*) AS na FROM customer GROUP BY 1),
+        |b AS (SELECT c_mktsegment, count(*) AS nb FROM customer GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM customer),
+        |k AS (SELECT (SELECT count(*) FROM a) AS ka, (SELECT count(*) FROM b) AS kb),
+        |g AS (SELECT a.c_nationkey, b.c_mktsegment,
+        |        COALESCE(cells.o, 0) AS obs, a.na, b.nb, t.n, k.ka, k.kb
+        |      FROM a CROSS JOIN b CROSS JOIN t CROSS JOIN k
+        |      LEFT JOIN cells ON cells.c_nationkey = a.c_nationkey
+        |        AND cells.c_mktsegment = b.c_mktsegment),
+        |u AS (SELECT c_nationkey, c_mktsegment, obs,
+        |        CAST(floor((CAST(obs*n - na*nb AS DOUBLE) * CAST(obs*n - na*nb AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |          * 10000 + 0.5) AS BIGINT) AS term_bp,
+        |        CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof
+        |      FROM g)
+        |SELECT c_nationkey, c_mktsegment, obs, term_bp, dof,
+        |  CAST(sum(term_bp) OVER () AS BIGINT) AS chi2_bp
+        |FROM u ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_ab_test" ->
+      // moments exact (cents² fits BIGINT, sums exact in HUGEINT =
+      // Spark's DECIMAL(38,0)); means exact floor-divided integers;
+      // t and z finishes mirror the Spark parenthesization exactly
+      """WITH o AS (
+        |  SELECT CASE WHEN (o_custkey % 1048573) * 2654435761 % 1000000 < 500000
+        |           THEN 0 ELSE 1 END AS v,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    sum(CASE WHEN v = 0 THEN cents ELSE 0 END) AS s0,
+        |    sum(CASE WHEN v = 1 THEN cents ELSE 0 END) AS s1,
+        |    sum(CASE WHEN v = 0 THEN cents*cents ELSE 0 END) AS ss0,
+        |    sum(CASE WHEN v = 1 THEN cents*cents ELSE 0 END) AS ss1,
+        |    CAST(sum(CASE WHEN v = 0 AND cents > 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN v = 1 AND cents > 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM o)
+        |SELECT n0, n1,
+        |  CAST(s0 // n0 AS BIGINT) AS mean0_q,
+        |  CAST(s1 // n1 AS BIGINT) AS mean1_q,
+        |  CAST(floor(
+        |    (CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE))
+        |    / sqrt(
+        |      ((CAST(n1 AS DOUBLE)*CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+        |        / (CAST(n1 AS DOUBLE)*(CAST(n1 AS DOUBLE) - 1.0))) / CAST(n1 AS DOUBLE)
+        |      + ((CAST(n0 AS DOUBLE)*CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE))
+        |        / (CAST(n0 AS DOUBLE)*(CAST(n0 AS DOUBLE) - 1.0))) / CAST(n0 AS DOUBLE))
+        |    * 10000 + 0.5) AS BIGINT) AS t_bp,
+        |  c0 AS conv0, c1 AS conv1,
+        |  CAST(floor(
+        |    (CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE)/CAST(n0 AS DOUBLE))
+        |    / sqrt(
+        |      ((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+        |      * (1.0 - (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+        |      * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE)))
+        |    * 10000 + 0.5) AS BIGINT) AS z_bp
+        |FROM m""".stripMargin,
+
+    "q_survival_km" ->
+      // the product-limit fold unrolled as a recursive CTE over EVENT
+      // times; every quantity non-negative, so // replays floorDiv
+      """WITH RECURSIVE ev AS (
+        |  SELECT o_custkey,
+        |    CAST(min(o_orderdate) AS DATE) AS first_d,
+        |    CAST(max(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS mxd FROM ev),
+        |subj AS (SELECT CAST(last_d - first_d AS BIGINT) AS duration,
+        |           CASE WHEN mxd - last_d >= 365 THEN 1 ELSE 0 END AS event
+        |         FROM ev, mx),
+        |byt AS (SELECT duration, CAST(sum(event) AS BIGINT) AS d,
+        |          CAST(sum(1 - event) AS BIGINT) AS c
+        |        FROM subj GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM subj),
+        |r0 AS (SELECT duration, d,
+        |         CAST(total - COALESCE(sum(d + c) OVER (ORDER BY duration
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |       FROM byt, tot),
+        |step AS (SELECT duration, n_risk, d,
+        |           row_number() OVER (ORDER BY duration) AS rn
+        |         FROM r0 WHERE d > 0),
+        |r AS (
+        |  SELECT duration, n_risk, d, rn,
+        |    (1000000000 * (n_risk - d)) // n_risk AS surv FROM step WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.duration, s.n_risk, s.d, s.rn,
+        |    (r.surv * (s.n_risk - s.d)) // s.n_risk
+        |  FROM step s JOIN r ON s.rn = r.rn + 1)
+        |SELECT duration, n_risk, d AS n_events, CAST(surv AS BIGINT) AS surv_q
+        |FROM r ORDER BY duration""".stripMargin,
+
+    "q_acf" ->
+      // per-lag Pearson from exact sums; the correlation finish
+      // mirrors the Spark parenthesization exactly
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT x, row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |lags AS (SELECT unnest(range(1, 8)) AS lag),
+        |pairs AS (SELECT lags.lag, a.x AS xv, b.x AS yv
+        |          FROM s a CROSS JOIN lags
+        |          JOIN s b ON b.rn = a.rn + lags.lag),
+        |m AS (SELECT lag, count(*) AS n_pairs,
+        |        sum(xv) AS sx, sum(yv) AS sy, sum(xv*xv) AS sxx,
+        |        sum(yv*yv) AS syy, sum(xv*yv) AS sxy
+        |      FROM pairs GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CAST(floor(
+        |    (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |      * (CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+        |    * 10000 + 0.5) AS BIGINT) AS acf_bp
+        |FROM m ORDER BY lag""".stripMargin,
+
+    "q_seasonal" ->
+      // floor division via pmod-subtract on BOTH engines (DuckDB's //
+      // truncates on negatives — probed, not assumed); the numerators
+      // are exactly divisible so the engine convention cancels out
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT d, rev_c, (d - DATE '1970-01-01') % 7 AS dow,
+        |        row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |tr AS (SELECT d, rev_c, dow,
+        |         CASE WHEN count(*) OVER w = 7 THEN
+        |           CAST((sum(rev_c) OVER w
+        |             - (((sum(rev_c) OVER w) % 7) + 7) % 7) // 7 AS BIGINT)
+        |         END AS trend_c
+        |       FROM s WINDOW w AS (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (SELECT dow,
+        |         CAST((sum(rev_c - trend_c)
+        |           - (((sum(rev_c - trend_c)) % count(*)) + count(*)) % count(*))
+        |           // count(*) AS BIGINT) AS seasonal_c
+        |       FROM tr WHERE trend_c IS NOT NULL GROUP BY dow)
+        |SELECT strftime(tr.d, '%Y-%m-%d') AS d, tr.rev_c, tr.trend_c,
+        |  se.seasonal_c, tr.rev_c - tr.trend_c - se.seasonal_c AS resid_c
+        |FROM tr LEFT JOIN se USING (dow) ORDER BY tr.d""".stripMargin,
+
+    "q_holt" ->
+      // the two-state recurrence unrolled; the level feeds the trend
+      // update within one step, so its floor expression repeats
+      // textually (recursive arms cannot name intermediates); floor
+      // via pmod-subtract — the numerators can go negative
+      """WITH RECURSIVE mon AS (
+        |  SELECT c_nationkey AS nation,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |s AS (SELECT nation, month, rev_c,
+        |        row_number() OVER (PARTITION BY nation ORDER BY month) AS rn
+        |      FROM mon),
+        |r AS (
+        |  SELECT nation, month, rev_c, rn, rev_c AS l, CAST(0 AS BIGINT) AS b
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.nation, s.month, s.rev_c, s.rn,
+        |    ((s.rev_c + 3*(r.l + r.b))
+        |      - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4,
+        |    ((((s.rev_c + 3*(r.l + r.b))
+        |        - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4 - r.l + 3*r.b)
+        |      - (((((s.rev_c + 3*(r.l + r.b))
+        |        - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4 - r.l + 3*r.b) % 4) + 4) % 4) // 4
+        |  FROM s JOIN r ON s.nation = r.nation AND s.rn = r.rn + 1)
+        |SELECT nation, strftime(month, '%Y-%m') AS month, rev_c,
+        |  CAST(l + b AS BIGINT) AS holt_q
+        |FROM r ORDER BY nation, month""".stripMargin,
+
+    "q_sorted_neighborhood" ->
+      // DuckDB's native jaro_winkler_similarity (cross-checks the
+      // codegen Expression, as in q_name_match); the window join is
+      // expressed directly as the rank-difference predicate
+      """WITH r AS (SELECT p_partkey, p_name,
+        |             row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+        |           FROM part),
+        |pairs AS (SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |    CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000 + 0.5)
+        |      AS BIGINT) AS sim_bp
+        |  FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3)
+        |SELECT a_key, b_key, sim_bp FROM pairs
+        |WHERE sim_bp >= 8800 ORDER BY a_key, b_key""".stripMargin,
+
+    "q_attribution_linear" ->
+      // integer credit split: base = 10000 // n, remainder to the most
+      // recent touches — sums to exactly 10000 per purchase
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT event_id AS touch_id, user_id, ts AS t_ts
+        |        FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.purchase_id, tch.touch_id, tch.t_ts
+        |      FROM p JOIN tch ON p.user_id = tch.user_id
+        |        AND tch.t_ts < p.p_ts
+        |        AND tch.t_ts >= p.p_ts - INTERVAL 24 HOUR),
+        |r AS (SELECT purchase_id, touch_id,
+        |        count(*) OVER (PARTITION BY purchase_id) AS n,
+        |        row_number() OVER (PARTITION BY purchase_id
+        |          ORDER BY t_ts DESC, touch_id DESC) AS rk
+        |      FROM j)
+        |SELECT purchase_id, touch_id,
+        |  CAST(10000 // n + CASE WHEN rk <= 10000 % n THEN 1 ELSE 0 END
+        |    AS BIGINT) AS credit_bp
+        |FROM r ORDER BY purchase_id, touch_id""".stripMargin,
+
+    "q_funnel_time" ->
+      // discrete rank-selected percentiles (element selection, not
+      // interpolation); delays from floored epoch seconds on BOTH
+      // sides (floor-then-subtract, mirroring Spark's timestamp→long)
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE user_id IS NOT NULL AND event_type = 'view'
+        |           GROUP BY 1),
+        |pu AS (SELECT user_id, ts AS p_ts FROM events
+        |       WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+        |d AS (SELECT pu.user_id,
+        |        CAST(floor(epoch(min(pu.p_ts))) AS BIGINT)
+        |          - CAST(floor(epoch(min(v.v_ts))) AS BIGINT) AS delay_s
+        |      FROM pu JOIN v ON pu.user_id = v.user_id
+        |      WHERE pu.p_ts >= v.v_ts GROUP BY 1),
+        |r AS (SELECT delay_s,
+        |        row_number() OVER (ORDER BY delay_s, user_id) AS rk
+        |      FROM d),
+        |n AS (SELECT count(*) AS n FROM d)
+        |SELECT max(n.n) AS n_converted,
+        |  max(CASE WHEN rk = ((n.n - 1) * 25) // 100 + 1 THEN delay_s END) AS p25_s,
+        |  max(CASE WHEN rk = ((n.n - 1) * 50) // 100 + 1 THEN delay_s END) AS p50_s,
+        |  max(CASE WHEN rk = ((n.n - 1) * 75) // 100 + 1 THEN delay_s END) AS p75_s,
+        |  max(CASE WHEN rk = ((n.n - 1) * 90) // 100 + 1 THEN delay_s END) AS p90_s
+        |FROM r, n""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS balance_c
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment, balance_band,
+        |  count(*) AS class_size,
+        |  count(DISTINCT balance_c) AS n_sensitive_values
+        |FROM c GROUP BY 1, 2, 3
+        |HAVING count(DISTINCT balance_c) < 3
+        |ORDER BY c_nationkey, c_mktsegment, balance_band""".stripMargin
   )
 }

@@ -145,6 +145,26 @@ object Diagnostics {
           .cast("long").as("risk_bp"))
   }
 
+  /** l-diversity violations (Machanavajjhala ICDE'06): k-anonymity is
+    * not enough when a small class is homogeneous in the SENSITIVE
+    * attribute — every member leaks it even at class_size ≥ k. Returns
+    * the quasi-identifier classes whose sensitive column shows fewer
+    * than `l` distinct values: quasi cols + (class_size,
+    * n_sensitive_values). Distinct counts are EXACT by requirement (a
+    * privacy gate cannot run on an estimate); one grouped aggregate
+    * with a single distinct column — Spark's two-phase
+    * partial-distinct rewrite, no Expand multiplication.
+    */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+                           sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be at least 2, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive_values"))
+      .filter(col("n_sensitive_values") < l)
+  }
+
   /** Lower bound on an equi-join's output from the heavy keys of BOTH
     * sides: Σ over shared heavy keys of cnt_a × cnt_b, plus each side's
     * row count (any non-heavy match adds at least ~1 row per probe-side

@@ -108,6 +108,36 @@ object Recurrences {
     }(Encoders.row(outSchema))
   }
 
+  /** Holt's linear-trend double exponential smoothing, exact:
+    * l_1 = x_1, b_1 = 0; thereafter
+    *   l_i = ⌊(aNum·x_i + (aDen−aNum)·(l+b)) / aDen⌋
+    *   b_i = ⌊(bNum·(l_i − l_{i−1}) + (bDen−bNum)·b) / bDen⌋
+    * (floor division — Math.floorDiv — at every step, so the DuckDB
+    * recursive-CTE oracle replays it bit-for-bit via the pmod-subtract
+    * formula). Appends `outCol` = the fitted one-step value l_i + b_i.
+    * Same machine, two longs of state; the trend term can go negative,
+    * which is why the floor convention must be pinned explicitly on
+    * both engines (truncating `div` would diverge on negatives).
+    */
+  def holt(df: DataFrame, keys: Seq[String], sortCols: Seq[String],
+           xCol: String, aNum: Long, aDen: Long, bNum: Long, bDen: Long,
+           outCol: String = "holt_q"): DataFrame = {
+    require(aNum > 0 && aDen > aNum, s"need 0 < aNum < aDen, got $aNum/$aDen")
+    require(bNum > 0 && bDen > bNum, s"need 0 < bNum < bDen, got $bNum/$bDen")
+    scanAppend(df, keys, sortCols, xCol, outCol) { () =>
+      var l = 0L; var b = 0L; var first = true
+      x => {
+        if (first) { l = x; b = 0L; first = false }
+        else {
+          val lPrev = l
+          l = Math.floorDiv(aNum * x + (aDen - aNum) * (l + b), aDen)
+          b = Math.floorDiv(bNum * (l - lPrev) + (bDen - bNum) * b, bDen)
+        }
+        Some(l + b)
+      }
+    }
+  }
+
   /** The shared machine: one keyed shuffle + secondary sort, an O(1)
     * long state per group, rows emitted with `outCol` appended when the
     * step function fires. `mkStep` builds a FRESH step closure per group
@@ -131,6 +161,35 @@ object Recurrences {
       val step = mkStep()
       it.flatMap { r =>
         step(r.getLong(xIdx)).map(v => Row.fromSeq(r.toSeq :+ v))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Two-input variant of the machine (e.g. Kaplan-Meier's (d, n_risk)
+    * fold): identical shuffle/sort/state contract, the step sees both
+    * LongType columns per row.
+    */
+  private[graft] def scanAppend2(df: DataFrame, keys: Seq[String],
+                                 sortCols: Seq[String], xCol: String,
+                                 yCol: String, outCol: String)
+                                (mkStep: () => (Long, Long) => Option[Long]): DataFrame = {
+    val schema = df.schema
+    require(!schema.fieldNames.contains(outCol),
+      s"output column $outCol already exists in the input")
+    Seq(xCol, yCol).foreach(c => require(schema(c).dataType == LongType,
+      s"$c must be LongType (quantize doubles first); got ${schema(c).dataType}"))
+    val keyIdx = keys.map(schema.fieldIndex)
+    val xIdx = schema.fieldIndex(xCol)
+    val yIdx = schema.fieldIndex(yCol)
+    val outSchema = schema.add(outCol, LongType, nullable = false)
+    val grouped = df.groupByKey { r: Row =>
+      keyIdx.map(i => String.valueOf(r.get(i))).mkString("\u0000")
+    }(Encoders.STRING)
+    grouped.flatMapSortedGroups(sortCols.map(col): _*) { (_, it: Iterator[Row]) =>
+      val step = mkStep()
+      it.flatMap { r =>
+        step(r.getLong(xIdx), r.getLong(yIdx))
+          .map(v => Row.fromSeq(r.toSeq :+ v))
       }
     }(Encoders.row(outSchema))
   }

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Classical statistical tests and series diagnostics as exact-moment
+  * aggregations: chi-square independence, Welch two-sample comparison,
+  * Kaplan-Meier survival, autocorrelation, and additive seasonal
+  * decomposition.
+  *
+  * The reference's analytics tier surfaces these as report queries over
+  * the synced tables (EcomProvider.cs:616 aggregates order statistics
+  * per group for exactly this kind of downstream test); here each one is
+  * ONE exact aggregation pass over the fact table — sums/counts in
+  * BIGINT or DECIMAL(38,0), which are order-independent and therefore
+  * hash-stable — followed by a pinned-parenthesization double finish on
+  * the tiny aggregated frame, quantized to basis points. The 100 TB
+  * shape: the statistic's input moments combine map-side (plain
+  * partial aggregation), the finish touches rows ∝ cells/times/lags,
+  * never ∝ input.
+  *
+  * Integer-window contracts (document per method) follow the repo rule:
+  * quantized inputs must keep every exact product inside BIGINT or the
+  * explicitly-cast decimal; callers above the bound pre-aggregate.
+  */
+object Stats {
+
+  private def D(c: Column): Column = c.cast("double")
+  private def bp(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)).cast("long")
+
+  /** Pearson chi-square test of independence over the `aCol` × `bCol`
+    * contingency table. Returns ONE ROW PER CELL of the full grid
+    * (zero-observed cells included — dropping them understates the
+    * statistic): (a, b, obs, term_bp) plus the grand `chi2_bp` and
+    * `dof` repeated on every row so the output is self-contained.
+    *
+    * Shape: one grouped count per margin + one for the cells (all
+    * combine map-side); the grid is the CROSS JOIN OF THE MARGINS —
+    * both post-aggregation frames, broadcast by construction. Caller
+    * contract: a and b are low-cardinality categoricals (the test is
+    * meaningless otherwise); n·n must fit a long (n < 3·10⁹ — above
+    * that, test a uniform sample; the statistic's power saturates long
+    * before).
+    *
+    * Exactness: obs·n − na·nb is computed in BIGINT (exact), the single
+    * division happens once in double with pinned parenthesization, and
+    * the per-cell quantized terms sum in BIGINT — cross-engine
+    * deterministic end to end.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__o"))
+    val aMar = df.groupBy(col(aCol)).agg(count(lit(1)).as("__na"))
+    val bMar = df.groupBy(col(bCol)).agg(count(lit(1)).as("__nb"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    val aCnt = aMar.agg(count(lit(1)).as("__ka"))
+    val bCnt = bMar.agg(count(lit(1)).as("__kb"))
+    val grid = aMar.crossJoin(broadcast(bMar)).crossJoin(broadcast(tot))
+      .crossJoin(broadcast(aCnt)).crossJoin(broadcast(bCnt))
+      .join(cells, Seq(aCol, bCol), "left")
+      .withColumn("obs", coalesce(col("__o"), lit(0L)))
+    // d = obs·n − na·nb exact in BIGINT; term = d² / (n·na·nb), ONE
+    // double expression with explicit parens replayed by the oracle
+    val d = D(col("obs") * col("__n") - col("__na") * col("__nb"))
+    val term = (d * d) /
+      (D(col("__n")) * D(col("__na")) * D(col("__nb")))
+    val terms = grid.select(col(aCol), col(bCol), col("obs"),
+      bp(term).as("term_bp"),
+      ((col("__ka") - 1) * (col("__kb") - 1)).cast("long").as("dof"))
+    // the grand total rides a window over the CELL GRID — a frame of
+    // |a|·|b| rows by contract, not input-sized
+    terms.withColumn("chi2_bp",
+      sum(col("term_bp")).over(Window.partitionBy(lit(1))))
+  }
+
+  /** Welch's unequal-variance t-test plus a pooled two-proportion
+    * z-test between `variant` 0 and 1, in one row:
+    * (n0, n1, mean0_q, mean1_q, t_bp, conv0, conv1, z_bp).
+    *
+    * `xCol` is the pre-quantized LongType metric (|x| < 3·10⁹ so x²
+    * stays in BIGINT); `convCol` a 0/1 LongType conversion flag. All
+    * five moments per arm (n, Σx, Σx², conversions) come from ONE
+    * aggregation with map-side combine (conditional sums, no second
+    * scan, no shuffle beyond the single global agg); means are exact
+    * floor-divided integers; the t and z finishes are pinned double
+    * expressions over the one-row frame.
+    */
+  def welchAb(df: DataFrame, variantCol: String, xCol: String,
+              convCol: String): DataFrame = {
+    def arm(v: Int, c: Column) = sum(when(col(variantCol) === v, c)
+      .otherwise(lit(0L)).cast("decimal(38,0)"))
+    val x = col(xCol)
+    val m = df.agg(
+      arm(0, lit(1L)).as("__n0"), arm(1, lit(1L)).as("__n1"),
+      arm(0, x).as("__s0"), arm(1, x).as("__s1"),
+      arm(0, x * x).as("__ss0"), arm(1, x * x).as("__ss1"),
+      arm(0, col(convCol)).as("__c0"), arm(1, col(convCol)).as("__c1"))
+    def meanQ(s: Column, n: Column): Column =
+      ((s - pmod(s, n)) / n).cast("long")
+    def variance(n: Column, s: Column, ss: Column): Column =
+      (D(n) * D(ss) - D(s) * D(s)) / (D(n) * (D(n) - lit(1.0)))
+    val (n0, n1) = (col("__n0"), col("__n1"))
+    val (s0, s1) = (col("__s0"), col("__s1"))
+    val t = (D(s1) / D(n1) - D(s0) / D(n0)) /
+      sqrt(variance(n1, s1, col("__ss1")) / D(n1) +
+        variance(n0, s0, col("__ss0")) / D(n0))
+    val p0 = D(col("__c0")) / D(n0)
+    val p1 = D(col("__c1")) / D(n1)
+    val pPool = (D(col("__c0")) + D(col("__c1"))) / (D(n0) + D(n1))
+    val z = (p1 - p0) /
+      sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / D(n0) + lit(1.0) / D(n1)))
+    m.select(
+      n0.cast("long").as("n0"), n1.cast("long").as("n1"),
+      meanQ(s0, n0).as("mean0_q"), meanQ(s1, n1).as("mean1_q"),
+      bp(t).as("t_bp"),
+      col("__c0").cast("long").as("conv0"), col("__c1").cast("long").as("conv1"),
+      bp(z).as("z_bp"))
+  }
+
+  /** Kaplan-Meier product-limit survival estimator, exact in fixed
+    * point. Input: one row per subject with a LongType `durationCol`
+    * (≥ 0) and a 0/1 LongType `eventCol` (1 = event observed, 0 =
+    * censored at that duration). Output: one row per EVENT time —
+    * (duration, n_risk, n_events, surv_q) with surv_q the survival
+    * probability scaled by `scale`, folded as
+    * S ← ⌊S·(n−d)/n⌋ in BIGINT (n·scale must fit a long: subjects
+    * < 9·10⁹ at the default 10⁹ scale).
+    *
+    * Scale shape: subjects aggregate to ONE ROW PER DISTINCT DURATION
+    * (map-side combinable), the at-risk counts are an exclusive
+    * running sum over that tiny frame, and only the product fold is
+    * sequential — inherently so (each step divides by its own risk
+    * set), but it runs over event times, not subjects: bounded by the
+    * time resolution regardless of input size.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String,
+                  scale: Long = 1000000000L): DataFrame = {
+    require(scale > 0)
+    val byT = df.groupBy(col(durationCol).as("duration"))
+      .agg(sum(col(eventCol)).cast("long").as("d"),
+        sum(lit(1L) - col(eventCol)).cast("long").as("c"))
+    val tot = df.agg(count(lit(1)).cast("long").as("__total"))
+    // exclusive running sum over the per-duration frame (tiny by the
+    // distinct-durations contract — a plain ordered window is fine)
+    val w = Window.partitionBy(lit(1)).orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("__total") - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+      .filter(col("d") > 0)
+      .select(col("duration"), col("n_risk"), col("d"))
+      .withColumn("__k", lit(1L))
+    Recurrences.scanAppend2(risk, Seq("__k"), Seq("duration"),
+      "d", "n_risk", "surv_q") { () =>
+      var s = scale
+      (d, n) => {
+        s = Math.floorDiv(s * (n - d), n)
+        Some(s)
+      }
+    }.select(col("duration"), col("n_risk"), col("d").as("n_events"),
+      col("surv_q"))
+  }
+
+  /** Autocorrelation of an evenly-indexed series at lags 1..`maxLag`:
+    * (lag, n_pairs, acf_bp). `rnCol` is a dense 1-based LongType index,
+    * `xCol` the LongType series value (|x| < 3·10⁹ so x·y fits BIGINT
+    * before the decimal sum). Pearson over the (x_t, x_{t+k}) pairs per
+    * lag — the standard sample-ACF-with-per-lag-means variant, which
+    * keeps every moment exact.
+    *
+    * The series is POST-AGGREGATION by contract (e.g. one row per day),
+    * so the lag explode (×maxLag) and the joins run on a frame ∝
+    * series length, never ∝ fact rows.
+    */
+  def acf(series: DataFrame, rnCol: String, xCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1)
+    val left = series.select(col(rnCol).as("__rn"), col(xCol).as("__x"))
+    val right = series.select(col(rnCol).as("__rn2"), col(xCol).as("__y"))
+      .withColumn("lag",
+        explode(lit((1 to maxLag).map(_.toLong).toArray)))
+    def S(c: Column) = sum(c.cast("decimal(38,0)"))
+    val pairs = left.join(right, col("__rn") === col("__rn2") - col("lag"))
+    val m = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      S(col("__x")).as("__sx"), S(col("__y")).as("__sy"),
+      S(col("__x") * col("__x")).as("__sxx"),
+      S(col("__y") * col("__y")).as("__syy"),
+      S(col("__x") * col("__y")).as("__sxy"))
+    val n = D(col("n_pairs"))
+    val r = (n * D(col("__sxy")) - D(col("__sx")) * D(col("__sy"))) /
+      sqrt((n * D(col("__sxx")) - D(col("__sx")) * D(col("__sx"))) *
+        (n * D(col("__syy")) - D(col("__sy")) * D(col("__sy"))))
+    m.select(col("lag"), col("n_pairs"), bp(r).as("acf_bp"))
+  }
+
+  /** Additive seasonal decomposition by centered moving average
+    * (the classical-decomposition recipe STL refines): trend = centered
+    * `window`-point MA (edges null), seasonal = per-`phaseCol` mean of
+    * the detrended values, residual = x − trend − seasonal. All three
+    * components are EXACT floor-divided integers, so the identity
+    * x = trend + seasonal + residual holds bit-for-bit wherever trend
+    * is defined. `window` must be odd.
+    *
+    * Series is post-aggregation by contract (rows ∝ periods); the MA
+    * window and the per-phase means both run on that tiny frame.
+    */
+  def decomposeAdditive(series: DataFrame, rnCol: String, phaseCol: String,
+                        xCol: String, window: Int = 7): DataFrame = {
+    require(window >= 3 && window % 2 == 1, s"window must be odd >= 3, got $window")
+    val half = window / 2
+    // floor division via pmod-subtract: exact for NEGATIVE numerators
+    // too (Spark `div` truncates toward zero; DuckDB replays the same
+    // formula so neither engine's native convention matters)
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = Window.partitionBy(lit(1)).orderBy(col(rnCol))
+      .rowsBetween(-half, half)
+    val trended = series
+      .withColumn("trend",
+        when(count(lit(1)).over(w) === window,
+          fdiv(sum(col(xCol)).over(w), lit(window.toLong))))
+      .withColumn("__detr", col(xCol) - col("trend"))
+    val seasonal = trended.filter(col("__detr").isNotNull)
+      .groupBy(col(phaseCol))
+      .agg(fdiv(sum(col("__detr")), count(lit(1))).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq(phaseCol), "left")
+      .withColumn("resid",
+        col(xCol) - col("trend") - col("seasonal"))
+      .drop("__detr")
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Recurrences, Stats}
+
+class StatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("chiSquare matches the hand-computed 2x2 statistic and fills zero cells") {
+    // classic 2x2: a=yes/no vs b=left/right
+    //            left  right   margin
+    //   yes       20     30      50
+    //   no        30     20      50
+    //            50     50      100
+    // E = 25 everywhere; chi2 = 4 * (5^2/25) = 4.0
+    val rows =
+      Seq.fill(20)(("yes", "l")) ++ Seq.fill(30)(("yes", "r")) ++
+      Seq.fill(30)(("no", "l")) ++ Seq.fill(20)(("no", "r"))
+    val df = rows.toDF("a", "b")
+    val out = Stats.chiSquare(df, "a", "b").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("chi2_bp") == 40000L))
+    assert(out.forall(_.getAs[Long]("dof") == 1L))
+    assert(out.forall(_.getAs[Long]("term_bp") == 10000L)) // each cell contributes 1.0
+
+    // a value pair that never co-occurs must still appear as a zero cell
+    val sparse = Seq(("x", "p"), ("x", "p"), ("y", "q")).toDF("a", "b")
+    val cells = Stats.chiSquare(sparse, "a", "b").collect()
+    assert(cells.length == 4)
+    val zero = cells.find(r => r.getString(0) == "y" && r.getString(1) == "p").get
+    assert(zero.getAs[Long]("obs") == 0L)
+    assert(zero.getAs[Long]("term_bp") > 0L) // (0 - E)^2/E contributes
+  }
+
+  test("welchAb reproduces a textbook two-sample computation") {
+    // variant 0: {10, 20, 30}; variant 1: {20, 40}   (conv: v0 none, v1 one)
+    val df = Seq((0L, 10L, 0L), (0L, 20L, 0L), (0L, 30L, 0L),
+      (1L, 20L, 0L), (1L, 40L, 1L)).toDF("variant", "x", "conv")
+    val r = Stats.welchAb(df, "variant", "x", "conv").head()
+    assert(r.getAs[Long]("n0") == 3L && r.getAs[Long]("n1") == 2L)
+    assert(r.getAs[Long]("mean0_q") == 20L && r.getAs[Long]("mean1_q") == 30L)
+    // v0 var = 100, v1 var = 200; t = 10/sqrt(100/3 + 200/2) = 10/sqrt(133.33)
+    val t = 10.0 / math.sqrt(100.0 / 3.0 + 200.0 / 2.0)
+    assert(r.getAs[Long]("t_bp") == math.floor(t * 10000.0 + 0.5).toLong)
+    assert(r.getAs[Long]("conv0") == 0L && r.getAs[Long]("conv1") == 1L)
+  }
+
+  test("kaplanMeier matches the product-limit definition on a textbook frame") {
+    // durations: events at t=2 (2 of 5 at risk), t=4 (1 of 2); censored at 3
+    val df = Seq((2L, 1L), (2L, 1L), (3L, 0L), (4L, 1L), (5L, 0L))
+      .toDF("duration", "event")
+    val out = Stats.kaplanMeier(df, "duration", "event").orderBy("duration").collect()
+    assert(out.map(_.getAs[Long]("duration")).toSeq == Seq(2L, 4L))
+    val s2 = out(0); val s4 = out(1)
+    assert(s2.getAs[Long]("n_risk") == 5L && s2.getAs[Long]("n_events") == 2L)
+    // S(2) = 3/5 = 0.6
+    assert(s2.getAs[Long]("surv_q") == 600000000L)
+    // at t=4: at risk = 5 - (2 events + 1 censored) = 2, one event
+    assert(s4.getAs[Long]("n_risk") == 2L && s4.getAs[Long]("n_events") == 1L)
+    // S(4) = 0.6 * 1/2 = 0.3
+    assert(s4.getAs[Long]("surv_q") == 300000000L)
+  }
+
+  test("acf is exactly 1 at any lag of a constant-free linear series' self-correlation") {
+    // x_t = t: every lag gives perfectly correlated pairs -> acf_bp = 10000
+    val series = (1L to 50L).map(i => (i, i * 3L + 7L)).toDF("rn", "x")
+    val out = Stats.acf(series, "rn", "x", maxLag = 3).orderBy("lag").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Long]("acf_bp") == 10000L))
+    assert(out.map(_.getAs[Long]("n_pairs")).toSeq == Seq(49L, 48L, 47L))
+  }
+
+  test("decomposeAdditive: exact identity x = trend + seasonal + resid where defined") {
+    // weekly pattern + ramp, with a negative-sum phase to exercise the
+    // floor-division convention on negative numerators
+    val xs = (1 to 42).map { i =>
+      val phase = (i - 1) % 7
+      (i.toLong, phase.toLong, 1000L + i * 10L + Seq(-300L, 0L, 50L, 120L, -80L, 200L, -40L)(phase))
+    }
+    val df = xs.toDF("rn", "phase", "x")
+    val out = Stats.decomposeAdditive(df, "rn", "phase", "x", window = 7).collect()
+    assert(out.length == 42)
+    out.foreach { r =>
+      val trend = Option(r.getAs[Any]("trend"))
+      if (trend.isDefined) {
+        assert(r.getAs[Long]("x") ==
+          r.getAs[Long]("trend") + r.getAs[Long]("seasonal") + r.getAs[Long]("resid"))
+      } else assert(r.isNullAt(r.fieldIndex("resid")))
+    }
+    // edges (first/last 3 rows) have no full window
+    assert(out.count(r => r.isNullAt(r.fieldIndex("trend"))) == 6)
+  }
+
+  test("holt replays a sequential simulation exactly, including negative trend states") {
+    // a collapsing series forces l to fall and b negative — the
+    // floor-division (not truncation) branch must match
+    val xs = Seq(1000L, 900L, 50L, 40L, 30L, 2000L, 10L, 5L, 5L, 5L)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, x) }
+      .toDF("k", "ord", "x")
+    val got = Recurrences.holt(df, Seq("k"), Seq("ord"), "x", 1L, 4L, 1L, 4L)
+      .orderBy("ord").collect().map(_.getAs[Long]("holt_q")).toSeq
+    // sequential replay
+    var l = 0L; var b = 0L; val want = xs.zipWithIndex.map { case (x, i) =>
+      if (i == 0) { l = x; b = 0L }
+      else {
+        val lp = l
+        l = Math.floorDiv(1L * x + 3L * (l + b), 4L)
+        b = Math.floorDiv(1L * (l - lp) + 3L * b, 4L)
+      }
+      l + b
+    }
+    assert(got == want)
+    assert(want.exists(_ < 0) || b < 0, "test data should exercise a negative state")
+  }
+}
