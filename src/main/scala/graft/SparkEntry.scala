@@ -3089,6 +3089,56 @@ object SparkEntry {
         pick(75).as("p75_s"), pick(90).as("p90_s"))
     }),
 
+    "q_cuped" -> ((s, dir) => {
+      // CUPED variance-reduced A/B readout (Deng et al. WSDM'13):
+      // pre-period spend (orders before 1998) is the covariate for the
+      // experiment-period metric — per-customer subjects, θ pooled
+      // across arms, one aggregation pass for all nine moments; the
+      // vr_bp column is corr²(X,Y): the CI-shrink the covariate buys.
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      val pre = o.filter(col("d") < lit("1998-01-01"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("x"))
+      val post = o.filter(col("d") >= lit("1998-01-01"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("y"))
+      val subj = post.join(pre, Seq("o_custkey"), "left")
+        .select(
+          when((col("o_custkey") % 1048573L) * 2654435761L % 1000000L < 500000L,
+            lit(0L)).otherwise(lit(1L)).as("variant"),
+          coalesce(col("x"), lit(0L)).as("x"), col("y"))
+      Stats.cuped(subj, "variant", "x", "y")
+    }),
+
+    "q_ab_test_maintained" -> ((s, dir) => {
+      // the A/B readout maintained INCREMENTALLY: a third of the orders
+      // arrive later as CDC — poisoned placeholder rows (cents+1) sit
+      // in the base state and are retracted (D) exactly when the true
+      // rows insert (I); the folded ONE-ROW moment state feeds the same
+      // finish and must yield the identical readout — registered
+      // against q_ab_test's VERBATIM oracle, so the incremental path
+      // hash-matches the one-shot scan. No fact rescan: the fold
+      // touches the delta only.
+      def shaped(df: DataFrame) = df.select(col("o_orderkey"),
+        when((col("o_custkey") % 1048573L) * 2654435761L % 1000000L < 500000L,
+          lit(0L)).otherwise(lit(1L)).as("variant"),
+        col("cents"),
+        when(col("cents") > 20000000L, lit(1L)).otherwise(lit(0L)).as("conv"))
+      val o = shaped(t(s, dir, "orders").withColumn("cents",
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long")))
+      val late = o.filter(col("o_orderkey") % 3 === 0)
+      val poison = shaped(t(s, dir, "orders")
+        .withColumn("cents",
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long") + 1L)
+        .filter(col("o_orderkey") % 3 === 0))
+      val base = o.filter(col("o_orderkey") % 3 =!= 0).unionByName(poison)
+      val state0 = Stats.abMoments(base, "variant", "cents", "conv")
+      val delta = poison.withColumn("op", lit("D"))
+        .unionByName(late.withColumn("op", lit("I")))
+      Stats.welchFinish(
+        Stats.foldAbMoments(state0, delta, "variant", "cents", "conv", "op"))
+    }),
+
     "q_l_diversity" -> ((s, dir) => {
       // the privacy gate k-anonymity misses: a class can be large yet
       // HOMOGENEOUS in the sensitive attribute — everyone in it leaks
@@ -6345,6 +6395,94 @@ object SparkEntry {
         |  max(CASE WHEN rk = ((n.n - 1) * 75) // 100 + 1 THEN delay_s END) AS p75_s,
         |  max(CASE WHEN rk = ((n.n - 1) * 90) // 100 + 1 THEN delay_s END) AS p90_s
         |FROM r, n""".stripMargin,
+
+    "q_cuped" ->
+      // intermediates named in CTEs (naming does not change the IEEE
+      // values — engines do not reassociate floats); parenthesization
+      // mirrors the Spark expressions exactly
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |            CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |          FROM orders),
+        |pre AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS x
+        |        FROM o WHERE d < DATE '1998-01-01' GROUP BY 1),
+        |ex AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS y
+        |       FROM o WHERE d >= DATE '1998-01-01' GROUP BY 1),
+        |subj AS (SELECT
+        |    CASE WHEN (ex.o_custkey % 1048573) * 2654435761 % 1000000 < 500000
+        |      THEN 0 ELSE 1 END AS v,
+        |    COALESCE(pre.x, 0) AS x, ex.y AS y
+        |  FROM ex LEFT JOIN pre ON ex.o_custkey = pre.o_custkey),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS sx0,
+        |    sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS sx1,
+        |    sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS sy0,
+        |    sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS sy1,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM subj),
+        |d AS (SELECT n0, n1, sx0, sx1, sy0, sy1,
+        |    (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS nn,
+        |    (CAST(sx0 AS DOUBLE) + CAST(sx1 AS DOUBLE)) AS sxd,
+        |    (CAST(sy0 AS DOUBLE) + CAST(sy1 AS DOUBLE)) AS syd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |    CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM m),
+        |c AS (SELECT *, nn*sxxd - sxd*sxd AS sxxc,
+        |    nn*syyd - syd*syd AS syyc, nn*sxyd - sxd*syd AS sxyc
+        |  FROM d),
+        |f AS (SELECT *, sxyc/sxxc AS theta, sxd/nn AS meanx FROM c)
+        |SELECT n0, n1,
+        |  CAST(floor(theta * 10000 + 0.5) AS BIGINT) AS theta_bp,
+        |  CAST(floor((CAST(sy1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+        |      - CAST(sy0 AS DOUBLE)/CAST(n0 AS DOUBLE)) * 100 + 0.5)
+        |    AS BIGINT) AS raw_diff_q,
+        |  CAST(floor(((CAST(sy1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+        |        - theta*(CAST(sx1 AS DOUBLE)/CAST(n1 AS DOUBLE) - meanx))
+        |      - (CAST(sy0 AS DOUBLE)/CAST(n0 AS DOUBLE)
+        |        - theta*(CAST(sx0 AS DOUBLE)/CAST(n0 AS DOUBLE) - meanx)))
+        |      * 100 + 0.5) AS BIGINT) AS adj_diff_q,
+        |  CAST(floor((sxyc*sxyc)/(sxxc*syyc) * 10000 + 0.5) AS BIGINT) AS vr_bp
+        |FROM f""".stripMargin,
+
+    "q_ab_test_maintained" ->
+      // VERBATIM copy of q_ab_test's oracle: the maintained moment
+      // state must reproduce the one-shot readout exactly
+      """WITH o AS (
+        |  SELECT CASE WHEN (o_custkey % 1048573) * 2654435761 % 1000000 < 500000
+        |           THEN 0 ELSE 1 END AS v,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    sum(CASE WHEN v = 0 THEN cents ELSE 0 END) AS s0,
+        |    sum(CASE WHEN v = 1 THEN cents ELSE 0 END) AS s1,
+        |    sum(CASE WHEN v = 0 THEN cents*cents ELSE 0 END) AS ss0,
+        |    sum(CASE WHEN v = 1 THEN cents*cents ELSE 0 END) AS ss1,
+        |    CAST(sum(CASE WHEN v = 0 AND cents > 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN v = 1 AND cents > 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM o)
+        |SELECT n0, n1,
+        |  CAST(s0 // n0 AS BIGINT) AS mean0_q,
+        |  CAST(s1 // n1 AS BIGINT) AS mean1_q,
+        |  CAST(floor(
+        |    (CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE))
+        |    / sqrt(
+        |      ((CAST(n1 AS DOUBLE)*CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+        |        / (CAST(n1 AS DOUBLE)*(CAST(n1 AS DOUBLE) - 1.0))) / CAST(n1 AS DOUBLE)
+        |      + ((CAST(n0 AS DOUBLE)*CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE))
+        |        / (CAST(n0 AS DOUBLE)*(CAST(n0 AS DOUBLE) - 1.0))) / CAST(n0 AS DOUBLE))
+        |    * 10000 + 0.5) AS BIGINT) AS t_bp,
+        |  c0 AS conv0, c1 AS conv1,
+        |  CAST(floor(
+        |    (CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE)/CAST(n0 AS DOUBLE))
+        |    / sqrt(
+        |      ((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+        |      * (1.0 - (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+        |      * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE)))
+        |    * 10000 + 0.5) AS BIGINT) AS z_bp
+        |FROM m""".stripMargin,
 
     "q_l_diversity" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment,

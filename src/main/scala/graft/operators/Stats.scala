@@ -86,15 +86,46 @@ object Stats {
     * expressions over the one-row frame.
     */
   def welchAb(df: DataFrame, variantCol: String, xCol: String,
-              convCol: String): DataFrame = {
-    def arm(v: Int, c: Column) = sum(when(col(variantCol) === v, c)
-      .otherwise(lit(0L)).cast("decimal(38,0)"))
+              convCol: String): DataFrame =
+    welchFinish(abMoments(df, variantCol, xCol, convCol))
+
+  /** The eight A/B moments as a ONE-ROW state table: (__n0, __n1, __s0,
+    * __s1, __ss0, __ss1, __c0, __c1), all DECIMAL(38,0) — exact,
+    * order-independent, and SIGNED-FOLDABLE: [[foldAbMoments]] maintains
+    * this row under a CDC feed and [[welchFinish]] recovers the
+    * identical statistic, so the experiment readout never rescans the
+    * fact history (the IncrementalAgg design applied to test moments).
+    */
+  def abMoments(df: DataFrame, variantCol: String, xCol: String,
+                convCol: String, sign: Column = lit(1L)): DataFrame = {
+    def arm(v: Int, c: Column) = sum((when(col(variantCol) === v, c)
+      .otherwise(lit(0L)) * sign).cast("decimal(38,0)"))
     val x = col(xCol)
-    val m = df.agg(
+    df.agg(
       arm(0, lit(1L)).as("__n0"), arm(1, lit(1L)).as("__n1"),
       arm(0, x).as("__s0"), arm(1, x).as("__s1"),
       arm(0, x * x).as("__ss0"), arm(1, x * x).as("__ss1"),
       arm(0, col(convCol)).as("__c0"), arm(1, col(convCol)).as("__c1"))
+  }
+
+  /** Fold a CDC batch (op = "I"/"D"; a delete carries the same variant/
+    * x/conv the insert did) into the one-row moment state: delta
+    * moments with ±1 sign, then a two-row union summed — exact decimal
+    * algebra, so fold(init(A), feed) == init(A ⊎ feed).
+    */
+  def foldAbMoments(state: DataFrame, delta: DataFrame, variantCol: String,
+                    xCol: String, convCol: String, opCol: String): DataFrame = {
+    val sign = when(col(opCol) === "D", lit(-1L)).otherwise(lit(1L))
+    val d = abMoments(delta, variantCol, xCol, convCol, sign)
+    val cols = Seq("__n0", "__n1", "__s0", "__s1", "__ss0", "__ss1",
+      "__c0", "__c1")
+    state.unionByName(d)
+      .agg(sum(col(cols.head)).cast("decimal(38,0)").as(cols.head),
+        cols.tail.map(c => sum(col(c)).cast("decimal(38,0)").as(c)): _*)
+  }
+
+  /** The t/z finish over the one-row moment state (see [[welchAb]]). */
+  def welchFinish(m: DataFrame): DataFrame = {
     def meanQ(s: Column, n: Column): Column =
       ((s - pmod(s, n)) / n).cast("long")
     def variance(n: Column, s: Column, ss: Column): Column =
@@ -115,6 +146,55 @@ object Stats {
       bp(t).as("t_bp"),
       col("__c0").cast("long").as("conv0"), col("__c1").cast("long").as("conv1"),
       bp(z).as("z_bp"))
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker WSDM'13): the
+    * experiment metric Y adjusted by the pre-period covariate X,
+    * Y' = Y − θ(X − mean(X)) with θ = cov(X,Y)/var(X) pooled across
+    * arms — the published lever that shrinks A/B confidence intervals
+    * without more traffic. One row per SUBJECT in (LongType `xCol`,
+    * `yCol`, 0/1 `variantCol`); |x|,|y| < 3·10⁹ so the cross products
+    * stay in BIGINT before the decimal sums. Output one row:
+    * (n0, n1, theta_bp, raw_diff_q, adj_diff_q, vr_bp) — vr is the
+    * variance-reduction ratio cov²/(varX·varY) = corr²(X,Y), the
+    * fraction of metric variance the covariate removes.
+    *
+    * ONE aggregation pass (map-side combinable): per-arm counts and
+    * sums plus the three global cross moments; the finish is a pinned
+    * double expression over the one-row frame.
+    */
+  def cuped(df: DataFrame, variantCol: String, xCol: String,
+            yCol: String): DataFrame = {
+    def arm(v: Int, c: Column) = sum(when(col(variantCol) === v, c)
+      .otherwise(lit(0L)).cast("decimal(38,0)"))
+    def S(c: Column) = sum(c.cast("decimal(38,0)"))
+    val (x, y) = (col(xCol), col(yCol))
+    val m = df.agg(
+      arm(0, lit(1L)).as("__n0"), arm(1, lit(1L)).as("__n1"),
+      arm(0, x).as("__sx0"), arm(1, x).as("__sx1"),
+      arm(0, y).as("__sy0"), arm(1, y).as("__sy1"),
+      S(x * x).as("__sxx"), S(y * y).as("__syy"), S(x * y).as("__sxy"))
+    val n = D(col("__n0")) + D(col("__n1"))
+    val sx = D(col("__sx0")) + D(col("__sx1"))
+    val sy = D(col("__sy0")) + D(col("__sy1"))
+    val sxxC = n * D(col("__sxx")) - sx * sx
+    val syyC = n * D(col("__syy")) - sy * sy
+    val sxyC = n * D(col("__sxy")) - sx * sy
+    val theta = sxyC / sxxC
+    val meanX = sx / n
+    val m0adj = D(col("__sy0")) / D(col("__n0")) -
+      theta * (D(col("__sx0")) / D(col("__n0")) - meanX)
+    val m1adj = D(col("__sy1")) / D(col("__n1")) -
+      theta * (D(col("__sx1")) / D(col("__n1")) - meanX)
+    val rawDiff = D(col("__sy1")) / D(col("__n1")) -
+      D(col("__sy0")) / D(col("__n0"))
+    val vr = (sxyC * sxyC) / (sxxC * syyC)
+    m.select(
+      col("__n0").cast("long").as("n0"), col("__n1").cast("long").as("n1"),
+      bp(theta).as("theta_bp"),
+      floor(rawDiff * lit(100.0) + lit(0.5)).cast("long").as("raw_diff_q"),
+      floor((m1adj - m0adj) * lit(100.0) + lit(0.5)).cast("long").as("adj_diff_q"),
+      bp(vr).as("vr_bp"))
   }
 
   /** Kaplan-Meier product-limit survival estimator, exact in fixed

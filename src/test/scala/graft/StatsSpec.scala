@@ -46,6 +46,41 @@ class StatsSpec extends SparkSuite {
     assert(r.getAs[Long]("conv0") == 0L && r.getAs[Long]("conv1") == 1L)
   }
 
+  test("foldAbMoments: folded CDC state reproduces the one-shot readout exactly") {
+    val rnd = new scala.util.Random(42)
+    val full = (1 to 400).map { i =>
+      (i.toLong, (rnd.nextInt(2)).toLong, (rnd.nextInt(100000) + 1).toLong)
+    }.map { case (id, v, x) => (id, v, x, if (x > 90000) 1L else 0L) }
+    val fullDf = full.toDF("id", "variant", "x", "conv")
+    // a third of the rows arrive late; poisoned placeholders (x+1) sit
+    // in the base and are retracted when the true rows insert
+    val late = fullDf.filter($"id" % 3 === 0)
+    val poison = late.withColumn("x", $"x" + 1L)
+      .withColumn("conv", when($"x" > 90000L, 1L).otherwise(0L))
+    val base = fullDf.filter($"id" % 3 =!= 0).unionByName(poison)
+    val delta = poison.withColumn("op", lit("D"))
+      .unionByName(late.withColumn("op", lit("I")))
+    val folded = Stats.foldAbMoments(
+      Stats.abMoments(base, "variant", "x", "conv"),
+      delta, "variant", "x", "conv", "op")
+    val got = Stats.welchFinish(folded).collect().head
+    val want = Stats.welchAb(fullDf, "variant", "x", "conv").collect().head
+    assert(got == want)
+  }
+
+  test("cuped: a perfectly explanatory covariate zeroes the adjusted diff") {
+    // Y = 2X exactly; arms imbalanced in X -> raw diff is pure
+    // covariate imbalance, the adjustment removes ALL of it
+    val df = Seq((0L, 10L, 20L), (0L, 20L, 40L), (1L, 30L, 60L), (1L, 40L, 80L))
+      .toDF("variant", "x", "y")
+    val r = Stats.cuped(df, "variant", "x", "y").head()
+    assert(r.getAs[Long]("n0") == 2L && r.getAs[Long]("n1") == 2L)
+    assert(r.getAs[Long]("theta_bp") == 20000L) // theta = 2
+    assert(r.getAs[Long]("vr_bp") == 10000L)    // corr^2 = 1
+    assert(r.getAs[Long]("raw_diff_q") == 4000L) // (70-30) * 100
+    assert(r.getAs[Long]("adj_diff_q") == 0L)
+  }
+
   test("kaplanMeier matches the product-limit definition on a textbook frame") {
     // durations: events at t=2 (2 of 5 at risk), t=4 (1 of 2); censored at 3
     val df = Seq((2L, 1L), (2L, 1L), (3L, 0L), (4L, 1L), (5L, 0L))
