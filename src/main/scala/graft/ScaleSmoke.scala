@@ -577,6 +577,42 @@ object ScaleSmoke {
           Seq(col("v").desc, col("id").asc), "v", "cum").count())
     }
 
+    if (section == "all" || section == "stats") {
+      import graft.operators.Stats
+      // the statistics tier's scale claims: every statistic reduces the
+      // fact table to a tiny aggregated frame FIRST, so 10x input must
+      // cost ~1 aggregation pass more, never 10x finish work.
+      val synth = (n: Long) => spark.range(n).select(
+        (col("id") % 40).cast("string").as("a"),
+        (col("id") % 7).cast("string").as("b"),
+        pmod(col("id") * 2654435761L, lit(100000L)).as("x"))
+        .withColumn("conv", (col("x") > 90000L).cast("long"))
+        .withColumn("variant", (col("x") % 2))
+      time("chi-square 2M rows (40x7 grid)")(
+        Stats.chiSquare(synth(2000000L), "a", "b").count())
+      time(s"chi-square ${mult * 2}M rows")(
+        Stats.chiSquare(synth(2000000L * mult), "a", "b").count())
+      time("welch A/B 2M rows")(
+        Stats.welchAb(synth(2000000L), "variant", "x", "conv").count())
+      time(s"welch A/B ${mult * 2}M rows")(
+        Stats.welchAb(synth(2000000L * mult), "variant", "x", "conv").count())
+      // KM: millions of subjects, bounded distinct durations (0..3650)
+      val subj = (n: Long) => spark.range(n).select(
+        pmod(col("id") * 48271L, lit(3650L)).as("duration"),
+        (col("id") % 5 =!= 0).cast("long").as("event"))
+      time("kaplan-meier 1M subjects")(
+        Stats.kaplanMeier(subj(1000000L), "duration", "event").count())
+      time(s"kaplan-meier ${mult}M subjects")(
+        Stats.kaplanMeier(subj(1000000L * mult), "duration", "event").count())
+      // per-key Holt: 1M rows on ONE key — irreducibly sequential,
+      // must stream through a single task without OOM, like ewma
+      val hot = spark.range(1000000L).select(lit(1L).as("k"),
+        col("id").as("ord"), pmod(col("id") * 1103515245L, lit(100000L)).as("x"))
+      time("holt 1M-row hot key")(
+        graft.operators.Recurrences.holt(hot, Seq("k"), Seq("ord"), "x",
+          1L, 4L, 1L, 4L).count())
+    }
+
     spark.stop()
   }
 }
