@@ -2124,6 +2124,25 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "q_kcore" -> ((s, dir) => {
+      // cohesive-core filter (k-core, Seidman 1983) on the REPEAT
+      // co-purchase graph (pairs bought together in ≥2 distinct orders
+      // — the single-order graph is near-complete and peels nothing):
+      // iterative peel to fixpoint, checkpointed rounds, loud
+      // non-convergence. rows-only: a shrinking fixpoint has no
+      // recursive-CTE form; GraphsSpec proves equality with a
+      // sequential brute-force peel.
+      val li = t(s, dir, "lineitem")
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(countDistinct(col("a.l_orderkey")).as("c"))
+        .filter(col("c") >= 2)
+      Graphs.kCore(Graphs.canonicalEdges(pairs, "pa", "pb"), k = 2)
+        .orderBy(col("node"))
+    }),
+
     "q_allocate" -> ((s, dir) => {
       // header-level rebate (10% of the order's cents total) prorated
       // onto lines by largest remainder: line parts sum EXACTLY to the
@@ -3137,6 +3156,86 @@ object SparkEntry {
         .unionByName(late.withColumn("op", lit("I")))
       Stats.welchFinish(
         Stats.foldAbMoments(state0, delta, "variant", "cents", "conv", "op"))
+    }),
+
+    "q_reorder_point" -> ((s, dir) => {
+      // inventory safety stock: per part, daily-demand mean/variance
+      // over the GLOBAL sales horizon (zero-demand days count — days
+      // with sales alone overstate the mean), lead time 7 days, z=1.65
+      // (~95% service): ROP = mean·L + z·σ·√L. Two keyed aggregates
+      // (map-side combinable) + a broadcast 1-row horizon; pinned
+      // double finish, variance clamped at 0 (float rounding on a
+      // constant series must not reach sqrt as a negative).
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        to_date(col("l_shipdate")).as("d"), col("l_quantity").cast("long").as("q"))
+      val perDay = li.groupBy(col("l_partkey"), col("d"))
+        .agg(sum(col("q")).as("qd"))
+      val days = li.agg(countDistinct(col("d")).as("nd"))
+      val m = perDay.groupBy(col("l_partkey")).agg(
+        count(lit(1)).as("days_sold"),
+        sum(col("qd")).as("total_qty"),
+        sum(col("qd") * col("qd")).as("sqq"))
+        .crossJoin(broadcast(days))
+      def D(c: Column) = c.cast("double")
+      val mean = D(col("total_qty")) / D(col("nd"))
+      val varD = greatest(
+        (D(col("sqq")) - D(col("total_qty")) * D(col("total_qty")) / D(col("nd")))
+          / D(col("nd")), lit(0.0))
+      val rop = mean * lit(7.0) + lit(1.65) * sqrt(varD) * sqrt(lit(7.0))
+      m.select(col("l_partkey"), col("days_sold"), col("total_qty"),
+          floor(rop * 100.0 + 0.5).cast("long").as("rop_q"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    "q_price_elasticity" -> ((s, dir) => {
+      // log-log demand regression per brand: elasticity = OLS slope of
+      // ln(quantity) on ln(retail price) — the econometrics staple.
+      // Both logs floor-quantized at 10⁴ (the psi-family ln rule), so
+      // every moment sum is EXACT integer; one pinned double division
+      // per brand finishes the slope.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      val j = li.join(p, col("l_partkey") === col("p_partkey")).select(
+        col("p_brand"),
+        floor(log(col("p_retailprice").cast("double")) * 10000.0 + 0.5)
+          .cast("long").as("x"),
+        floor(log(col("qty").cast("double")) * 10000.0 + 0.5)
+          .cast("long").as("y"))
+      def S(c: Column) = sum(c.cast("decimal(38,0)"))
+      def D(c: Column) = c.cast("double")
+      val m = j.groupBy(col("p_brand")).agg(count(lit(1)).as("n_items"),
+        S(col("x")).as("sx"), S(col("y")).as("sy"),
+        S(col("x") * col("y")).as("sxy"), S(col("x") * col("x")).as("sxx"))
+      m.select(col("p_brand"), col("n_items"),
+          floor((D(col("n_items")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))) /
+            (D(col("n_items")) * D(col("sxx")) - D(col("sx")) * D(col("sx")))
+            * 10000.0 + 0.5).cast("long").as("elasticity_bp"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q_concordance" -> ((s, dir) => {
+      // KWIC concordance — the corpus-QA view reviewers actually read:
+      // every occurrence of the term with ±2 tokens of context.
+      // Tokenization uses the PINNED whitespace class (the round-6
+      // cross-engine rule); pure map + one generator, no shuffle, no
+      // per-doc state — scales as a scan.
+      val toks = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+        .select(col("doc_id"), split(trim(col("text")),
+          graft.functions.TextFunctions.WhitespaceClass + "+").as("l"))
+      val occ = toks
+        .select(col("doc_id"), col("l"), posexplode(col("l")))
+        .filter(col("col") === "scan")
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("l"))
+      val i = col("pos")
+      val lstart = greatest(i - 2, lit(1L))
+      occ.select(col("doc_id"), col("pos"),
+          array_join(slice(col("l"), lstart.cast("int"),
+            (i - lstart).cast("int")), " ").as("left_ctx"),
+          array_join(slice(col("l"), (i + 1).cast("int"),
+            least(lit(2L), size(col("l")) - i).cast("int")), " ").as("right_ctx"))
+        .orderBy(col("doc_id"), col("pos"))
     }),
 
     "q_l_diversity" -> ((s, dir) => {
@@ -6483,6 +6582,55 @@ object SparkEntry {
         |      * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE)))
         |    * 10000 + 0.5) AS BIGINT) AS z_bp
         |FROM m""".stripMargin,
+
+    "q_reorder_point" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+        |             CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |pd AS (SELECT l_partkey, d, CAST(sum(q) AS BIGINT) AS qd
+        |       FROM li GROUP BY 1, 2),
+        |days AS (SELECT count(DISTINCT d) AS nd FROM li),
+        |m AS (SELECT l_partkey, count(*) AS days_sold,
+        |        CAST(sum(qd) AS BIGINT) AS total_qty,
+        |        CAST(sum(qd*qd) AS BIGINT) AS sqq
+        |      FROM pd GROUP BY 1)
+        |SELECT l_partkey, days_sold, total_qty,
+        |  CAST(floor((CAST(total_qty AS DOUBLE)/CAST(nd AS DOUBLE) * 7.0
+        |    + 1.65 * sqrt(greatest(
+        |        (CAST(sqq AS DOUBLE)
+        |          - CAST(total_qty AS DOUBLE)*CAST(total_qty AS DOUBLE)/CAST(nd AS DOUBLE))
+        |        / CAST(nd AS DOUBLE), 0.0)) * sqrt(7.0))
+        |    * 100 + 0.5) AS BIGINT) AS rop_q
+        |FROM m, days ORDER BY l_partkey""".stripMargin,
+
+    "q_price_elasticity" ->
+      """WITH j AS (
+        |  SELECT p_brand,
+        |    CAST(floor(ln(CAST(p_retailprice AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(l_quantity AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT p_brand, count(*) AS n_items,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |      FROM j GROUP BY 1)
+        |SELECT p_brand, n_items,
+        |  CAST(floor(
+        |    (CAST(n_items AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (CAST(n_items AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |    * 10000 + 0.5) AS BIGINT) AS elasticity_bp
+        |FROM m ORDER BY p_brand""".stripMargin,
+
+    "q_concordance" ->
+      // same pinned whitespace class; DuckDB 1-based list slicing
+      // mirrors Spark's 1-based slice(start, length) exactly
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '[ \t\n\r\f]+') AS l
+        |  FROM documents WHERE trim(text) <> ''),
+        |occ AS (SELECT doc_id, i, len(l) AS n, l
+        |        FROM toks, LATERAL unnest(generate_series(1, len(l))) AS t(i)
+        |        WHERE l[i] = 'scan')
+        |SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  COALESCE(array_to_string(l[greatest(i-2, 1): i-1], ' '), '') AS left_ctx,
+        |  COALESCE(array_to_string(l[i+1 : least(i+2, n)], ' '), '') AS right_ctx
+        |FROM occ ORDER BY doc_id, pos""".stripMargin,
 
     "q_l_diversity" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment,

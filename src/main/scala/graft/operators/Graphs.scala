@@ -34,6 +34,53 @@ object Graphs {
         greatest(col(aCol), col(bCol)).as("v"))
       .distinct()
 
+  /** k-core: the maximal subgraph in which every node has degree ≥ k
+    * (Seidman 1983) — the standard density filter for spam-cluster /
+    * link-farm detection and community trimming: peripheral nodes peel
+    * away, what remains is the cohesive core. Returns the surviving
+    * nodes with their WITHIN-CORE degree: `(node, core_degree)`.
+    *
+    * Algorithm: iterative peeling — drop every node whose current
+    * degree < k, recompute, repeat to fixpoint. Each round is one
+    * grouped count + one semi-join on the edge list (keyed shuffles,
+    * no broadcast assumption); rounds needed = peel depth, usually
+    * O(log n) on social-shaped graphs but Θ(n) on an adversarial
+    * chain, so like [[graft.dedup.Clusters]] the loop localCheckpoints
+    * per round (bounded plan depth) and THROWS past `maxIters` rather
+    * than silently returning an unpeeled supergraph.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1)
+    var cur = edges.select(col("u"), col("v")).localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val deg = cur.select(col("u").as("node"))
+        .unionAll(cur.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+        .localCheckpoint(true)
+      val next = cur
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint(true)
+      // fixpoint when no edge peeled this round (edge count is the
+      // cheap monotone invariant — it strictly decreases until done)
+      done = next.count() == cur.count()
+      cur = next
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"Graphs.kCore did not reach a fixpoint in $maxIters rounds — " +
+          "adversarially deep peel (e.g. a long chain); raise maxIters " +
+          "(a partial peel would overstate the core)")
+    cur.select(col("u").as("node"))
+      .unionAll(cur.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Per-node triangle participation counts: one row per node that
     * closes at least one triangle, `(node, n_tri)`. Input must be a
     * canonical edge list from [[canonicalEdges]].

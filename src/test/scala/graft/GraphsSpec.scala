@@ -50,6 +50,40 @@ class GraphsSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("kCore equals a sequential brute-force peel on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3; k <- Seq(2, 3)) {
+      val pairs = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val got = Graphs.kCore(edges(pairs: _*), k)
+        .as[(Long, Long)].collect().toMap
+      // sequential reference peel
+      var es = pairs.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      var changed = true
+      while (changed) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val keep = deg.collect { case (n, d) if d >= k => n }.toSet
+        val next = es.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != es.size
+        es = next
+      }
+      val want = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got === want, s"trial $trial k=$k")
+    }
+  }
+
+  test("kCore peels a chain entirely at k=2 and throws when rounds are capped") {
+    // a 12-node path: every 2-core peel removes only the two endpoints
+    // per round -> needs 6 rounds; maxIters=3 must throw loudly
+    val chain = (1L to 11L).map(i => (i, i + 1))
+    assert(Graphs.kCore(edges(chain: _*), k = 2, maxIters = 20).count() === 0L)
+    val e = intercept[IllegalStateException](
+      Graphs.kCore(edges(chain: _*), k = 2, maxIters = 3).count())
+    assert(e.getMessage.contains("kCore"))
+  }
+
   test("hub orientation: high-degree node generates no apex wedges") {
     // star with hub 1 (degree 100) + one closing edge (2,3): exactly
     // one triangle; the degree orientation makes the LOW-degree
