@@ -2124,6 +2124,33 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "q_markov_attribution" -> ((s, dir) => {
+      // data-driven attribution capstone (removal effect, Anderl et
+      // al. 2014) beside the positional rules: journeys = 30-minute
+      // SESSIONS (whole-history journeys all convert here — a
+      // degenerate p=1 baseline), truncated at first purchase (one
+      // keyed window); transitions count in one grouped agg; the
+      // ≤|event-types|-state chain solves on the driver in EXACT
+      // BigInt rationals — no float anywhere, bit-deterministic.
+      // rows-only by design (no SQL form for the rational solve);
+      // MarkovAttributionSpec proves the solver against double power
+      // iteration and order-invariance.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sessions = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .withColumn("__gap",
+          when(col("ts").cast("long") -
+            lag(col("ts").cast("long"), 1).over(w) > 1800L, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("journey_id",
+          concat(col("user_id").cast("string"), lit("#"),
+            sum(col("__gap")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)).cast("string")))
+      MarkovAttribution.removalEffects(sessions,
+          "journey_id", "event_type", "ts", "event_id", "purchase")
+        .orderBy(col("channel"))
+    }),
+
     "q_kcore" -> ((s, dir) => {
       // cohesive-core filter (k-core, Seidman 1983) on the REPEAT
       // co-purchase graph (pairs bought together in ≥2 distinct orders
