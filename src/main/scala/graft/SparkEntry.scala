@@ -2124,6 +2124,105 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "q_quantile_normalize" -> ((s, dir) => {
+      // quantile normalization (Bolstad 2003, the batch-effect
+      // remover): each document's length maps to the POOLED
+      // distribution's value at its within-source percentile — one
+      // step past q_score_calibrate (which stops at the percentile).
+      // All arithmetic is exact integer rank selection: within-source
+      // pct by the ((rk−1)·10⁴) div (n−1) rule, pooled value by the
+      // range-partitioned global rank + ONE equi-join on the selected
+      // rank — element selection, no interpolation to split engines.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      val bySrc = Window.partitionBy(col("source"))
+      val withPct = d
+        .withColumn("__rk", row_number().over(
+          bySrc.orderBy(col("n_chars"), col("doc_id"))))
+        .withColumn("__n", count(lit(1)).over(bySrc))
+        .withColumn("pct_bp",
+          when(col("__n") === 1, lit(5000L))
+            .otherwise(expr("((__rk - 1) * 10000) DIV (__n - 1)")))
+      val pooled = RunningTotals.globalRank(
+        d.select(col("n_chars").as("pool_chars"), col("doc_id").as("pool_id")),
+        Seq(col("pool_chars").asc, col("pool_id").asc), "grk")
+        .select(col("grk"), col("pool_chars"))
+      val total = d.agg(count(lit(1)).as("nn"))
+      withPct.crossJoin(broadcast(total))
+        .withColumn("grk", expr("(pct_bp * (nn - 1)) DIV 10000 + 1"))
+        .join(pooled, Seq("grk"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("pct_bp"), col("pool_chars").as("norm_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_seasonal_anomaly" -> ((s, dir) => {
+      // the decomposition's consumer: days whose residual is a robust
+      // outlier — |resid − median(resid)| > 3·MAD, DISCRETE lower
+      // medians (the q_mad_outliers element-selection rule), over the
+      // exact-integer residuals of q_seasonal's decomposition. The
+      // full-window days only; all compares exact BIGINT.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+        .withColumn("dow",
+          (datediff(col("d"), to_date(lit("1970-01-01"))) % 7).cast("long"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d")))
+          .cast("long"))
+      val resid = Stats.decomposeAdditive(daily, "rn", "dow", "rev_c", window = 7)
+        .filter(col("resid").isNotNull)
+        .select(col("d"), col("rev_c"), col("resid"))
+      val n = resid.agg(count(lit(1)).as("n"))
+      val med = resid.crossJoin(broadcast(n))
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("resid"), col("d"))))
+        .filter(col("__rk") === expr("(n + 1) DIV 2"))
+        .select(col("resid").as("med"))
+      val withDev = resid.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("resid") - col("med")))
+      val mad = withDev.crossJoin(broadcast(n))
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("dev"), col("d"))))
+        .filter(col("__rk") === expr("(n + 1) DIV 2"))
+        .select(col("dev").as("mad"))
+      withDev.crossJoin(broadcast(mad))
+        .filter(col("dev") > lit(3L) * col("mad"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("rev_c"),
+          col("resid"), col("dev"), col("mad"))
+        .orderBy(col("d"))
+    }),
+
+    "q_feature_matrix" -> ((s, dir) => {
+      // one-pass feature engineering: the per-customer model-input row
+      // (order counts, exact spend stats, recency, active-month span,
+      // priority mix) from ONE grouped aggregate over orders — the
+      // feature-store extraction pattern; a reference date rides a
+      // broadcast 1-row frame, never a driver-side constant pulled
+      // from data.
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
+        col("o_orderpriority"))
+      val ref = o.agg(max(col("d")).as("ref_d"))
+      o.crossJoin(broadcast(ref))
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("total_c"),
+          min(col("cents")).as("min_c"),
+          max(col("cents")).as("max_c"),
+          expr("CAST(sum(cents) DIV count(1) AS BIGINT)").as("avg_c"),
+          min(datediff(col("ref_d"), col("d"))).cast("long").as("recency_d"),
+          countDistinct(trunc(col("d"), "mon")).as("active_months"),
+          sum(when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L))
+            .as("n_urgent"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "q_markov_attribution" -> ((s, dir) => {
       // data-driven attribution capstone (removal effect, Anderl et
       // al. 2014) beside the positional rules: journeys = 30-minute
@@ -6609,6 +6708,80 @@ object SparkEntry {
         |      * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE)))
         |    * 10000 + 0.5) AS BIGINT) AS z_bp
         |FROM m""".stripMargin,
+
+    "q_quantile_normalize" ->
+      // exact integer rank selection on both the within-source pct and
+      // the pooled lookup — element selection, no interpolation
+      """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        |           FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM d),
+        |p AS (SELECT doc_id, source, n_chars,
+        |        CASE WHEN n = 1 THEN 5000
+        |             ELSE ((rk - 1) * 10000) // (n - 1) END AS pct_bp
+        |      FROM r),
+        |g AS (SELECT n_chars AS pool_chars,
+        |        row_number() OVER (ORDER BY n_chars, doc_id) AS grk FROM d),
+        |t AS (SELECT count(*) AS nn FROM d)
+        |SELECT p.doc_id, p.source, p.n_chars,
+        |  CAST(p.pct_bp AS BIGINT) AS pct_bp, g.pool_chars AS norm_chars
+        |FROM p CROSS JOIN t
+        |JOIN g ON g.grk = (p.pct_bp * (t.nn - 1)) // 10000 + 1
+        |ORDER BY p.doc_id""".stripMargin,
+
+    "q_seasonal_anomaly" ->
+      // q_seasonal's decomposition + discrete-median MAD flags — the
+      // same pmod-subtract floor division and element-selection rules
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT d, rev_c, (d - DATE '1970-01-01') % 7 AS dow,
+        |        row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |tr AS (SELECT d, rev_c, dow,
+        |         CASE WHEN count(*) OVER w = 7 THEN
+        |           CAST((sum(rev_c) OVER w
+        |             - (((sum(rev_c) OVER w) % 7) + 7) % 7) // 7 AS BIGINT)
+        |         END AS trend_c
+        |       FROM s WINDOW w AS (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (SELECT dow,
+        |         CAST((sum(rev_c - trend_c)
+        |           - (((sum(rev_c - trend_c)) % count(*)) + count(*)) % count(*))
+        |           // count(*) AS BIGINT) AS seasonal_c
+        |       FROM tr WHERE trend_c IS NOT NULL GROUP BY dow),
+        |res AS (SELECT tr.d, tr.rev_c,
+        |          tr.rev_c - tr.trend_c - se.seasonal_c AS resid
+        |        FROM tr LEFT JOIN se USING (dow) WHERE tr.trend_c IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM res),
+        |med AS (SELECT resid AS med FROM
+        |          (SELECT resid, d, row_number() OVER (ORDER BY resid, d) AS rk
+        |           FROM res) x, n WHERE rk = (n + 1) // 2),
+        |dev AS (SELECT res.d, res.rev_c, res.resid,
+        |          abs(res.resid - med.med) AS dev FROM res, med),
+        |mad AS (SELECT dev AS mad FROM
+        |          (SELECT dev, d, row_number() OVER (ORDER BY dev, d) AS rk
+        |           FROM dev) x, n WHERE rk = (n + 1) // 2)
+        |SELECT strftime(dev.d, '%Y-%m-%d') AS d, dev.rev_c, dev.resid,
+        |  dev.dev, mad.mad
+        |FROM dev, mad WHERE dev.dev > 3 * mad.mad ORDER BY dev.d""".stripMargin,
+
+    "q_feature_matrix" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+        |    o_orderpriority
+        |  FROM orders),
+        |ref AS (SELECT max(d) AS ref_d FROM o)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS total_c,
+        |  min(cents) AS min_c, max(cents) AS max_c,
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_c,
+        |  CAST(min(ref_d - d) AS BIGINT) AS recency_d,
+        |  count(DISTINCT date_trunc('month', d)) AS active_months,
+        |  CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_urgent
+        |FROM o, ref GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_reorder_point" ->
       """WITH li AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
