@@ -3294,9 +3294,11 @@ object SparkEntry {
       // constant series must not reach sqrt as a negative).
       val li = t(s, dir, "lineitem").select(col("l_partkey"),
         to_date(col("l_shipdate")).as("d"), col("l_quantity").cast("long").as("q"))
+      // ONE fact scan: the horizon count re-aggregates the pinned
+      // part-day frame (every sales day appears there by construction)
       val perDay = li.groupBy(col("l_partkey"), col("d"))
-        .agg(sum(col("q")).as("qd"))
-      val days = li.agg(countDistinct(col("d")).as("nd"))
+        .agg(sum(col("q")).as("qd")).localCheckpoint(true)
+      val days = perDay.agg(countDistinct(col("d")).as("nd"))
       val m = perDay.groupBy(col("l_partkey")).agg(
         count(lit(1)).as("days_sold"),
         sum(col("qd")).as("total_qty"),

@@ -49,10 +49,15 @@ object Stats {
     * deterministic end to end.
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // ONE scan of the input: margins, the grand total, and the grid
+    // dimensions all re-aggregate the CELL frame (|a|·|b| rows), which
+    // is pinned because four consumers re-read it — at 100 TB the
+    // alternative is five full passes
     val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__o"))
-    val aMar = df.groupBy(col(aCol)).agg(count(lit(1)).as("__na"))
-    val bMar = df.groupBy(col(bCol)).agg(count(lit(1)).as("__nb"))
-    val tot = df.agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val aMar = cells.groupBy(col(aCol)).agg(sum(col("__o")).as("__na"))
+    val bMar = cells.groupBy(col(bCol)).agg(sum(col("__o")).as("__nb"))
+    val tot = cells.agg(sum(col("__o")).as("__n"))
     val aCnt = aMar.agg(count(lit(1)).as("__ka"))
     val bCnt = bMar.agg(count(lit(1)).as("__kb"))
     val grid = aMar.crossJoin(broadcast(bMar)).crossJoin(broadcast(tot))
