@@ -2223,6 +2223,53 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "q_ppr" -> ((s, dir) => {
+      // personalized PageRank (random walk with restart): teleport mass
+      // lands ONLY on the seed parts (one brand), so scores measure
+      // graph proximity to the brand — the "related items" recommender
+      // primitive. Same part-transition edges and pinned BIGINT
+      // recurrence as q_pagerank; only rows the walk reached.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("dst", lead(col("l_partkey"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("l_partkey").as("src"), col("dst"))
+        .agg(count(lit(1)).as("weight"))
+      val seeds = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey").as("node"))
+      PageRank.personalizedRank(edges, seeds, iters = 3)
+        .filter(col("pr") > 0L)
+        .orderBy(col("node"))
+    }),
+
+    "q_changepoints" -> ((s, dir) => {
+      // offline structural-break detection: binary segmentation over
+      // the daily revenue series — EXACT BigInt prefix sums + rational
+      // SSE compares on the driver, over a post-aggregation frame
+      // bounded by the calendar, not data volume. Always returns the
+      // best candidate (flagged insignificant on a stationary series)
+      // so the answer is never vacuous. rows-only (no SQL form for
+      // the recursive greedy); ChangePointsSpec plants mean shifts.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d")))
+          .cast("long"))
+      val cps = ChangePoints.binarySegmentation(daily, "rn", "rev_c",
+        minSeg = 30, maxPoints = 5, minGainPermille = 100L)
+      cps.join(daily, cps("cp_ord") === daily("rn"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("cp_date"),
+          col("left_mean_q"), col("right_mean_q"), col("gain_permille"),
+          col("significant"))
+        .orderBy(col("cp_date"))
+    }),
+
     "q_markov_attribution" -> ((s, dir) => {
       // data-driven attribution capstone (removal effect, Anderl et
       // al. 2014) beside the positional rules: journeys = 30-minute
@@ -6105,6 +6152,35 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_ppr" ->
+      // q_pagerank's unrolled rounds with a seed-restricted restart
+      // vector: p0 and the teleport term are zero off-seed
+      """WITH tr AS (
+        |  SELECT l_partkey AS src,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+        |seeds AS (SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#11'),
+        |nb AS (SELECT n.node,
+        |         CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END AS BIGINT) AS base,
+        |         CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT) AS pr0
+        |       FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+        |i1 AS (SELECT e.dst AS node, CAST(sum((((p.pr0 * e.w) // o.ow) * 85) // 100) AS BIGINT) AS infl
+        |       FROM e JOIN nb p ON e.src = p.node JOIN o ON e.src = o.src GROUP BY e.dst),
+        |p1 AS (SELECT n.node, n.base, CAST(n.base + coalesce(i.infl, 0) AS BIGINT) AS pr
+        |       FROM nb n LEFT JOIN i1 i ON n.node = i.node),
+        |i2 AS (SELECT e.dst AS node, CAST(sum((((p.pr * e.w) // o.ow) * 85) // 100) AS BIGINT) AS infl
+        |       FROM e JOIN p1 p ON e.src = p.node JOIN o ON e.src = o.src GROUP BY e.dst),
+        |p2 AS (SELECT n.node, n.base, CAST(n.base + coalesce(i.infl, 0) AS BIGINT) AS pr
+        |       FROM p1 n LEFT JOIN i2 i ON n.node = i.node),
+        |i3 AS (SELECT e.dst AS node, CAST(sum((((p.pr * e.w) // o.ow) * 85) // 100) AS BIGINT) AS infl
+        |       FROM e JOIN p2 p ON e.src = p.node JOIN o ON e.src = o.src GROUP BY e.dst),
+        |p3 AS (SELECT n.node, CAST(n.base + coalesce(i.infl, 0) AS BIGINT) AS pr
+        |       FROM p2 n LEFT JOIN i3 i ON n.node = i.node)
+        |SELECT node, pr FROM p3 WHERE pr > 0 ORDER BY node""".stripMargin,
 
     "q_boilerplate" ->
       """WITH toks AS (

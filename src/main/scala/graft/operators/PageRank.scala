@@ -49,17 +49,49 @@ object PageRank {
     * bounded plans, short walks get fused ones.
     */
   def rank(edges: DataFrame, iters: Int = 3, scale: Long = 1000000L,
-           checkpointInterval: Int = 4): DataFrame = {
+           checkpointInterval: Int = 4): DataFrame =
+    run(edges, None, iters, scale, checkpointInterval)
+
+  /** Personalized PageRank (random walk with restart to the SEED set):
+    * the teleport mass lands only on `seeds` ("node" column) instead of
+    * everywhere, so scores measure proximity TO the seeds — the graph
+    * recommender primitive ("parts related to this brand"). Same exact
+    * integer recurrence and lineage policy; the walk starts at the
+    * seeds (non-seeds at 0) and non-seed teleport is 0.
+    */
+  def personalizedRank(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+                       scale: Long = 1000000L,
+                       checkpointInterval: Int = 4): DataFrame =
+    run(edges, Some(seeds), iters, scale, checkpointInterval)
+
+  private def run(edges: DataFrame, seeds: Option[DataFrame], iters: Int,
+                  scale: Long, checkpointInterval: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("weight").cast("long"))
     val outW = e.groupBy(col("src")).agg(sum(col("weight")).as("__ow"))
     val ew = e.join(outW, Seq("src"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
     val base = scale - (scale * 85L) / 100L // (1-d)·scale in micro-units
-    var pr = nodes.withColumn("pr", lit(scale))
+    val allNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // per-node teleport: uniform for global PR, seed-only for PPR —
+    // the nodes frame rides every round, so the seed flag joins once
+    val nodes = seeds match {
+      case None => allNodes.withColumn("__base", lit(base))
+      case Some(sd) =>
+        allNodes.join(
+          sd.select(col("node").cast("long")).distinct()
+            .withColumn("__seed", lit(1L)),
+          Seq("node"), "left")
+          .withColumn("__base",
+            when(col("__seed") === 1L, lit(base)).otherwise(lit(0L)))
+          .drop("__seed")
+    }
+    var pr = nodes.withColumn("pr",
+      if (seeds.isEmpty) lit(scale)
+      else when(col("__base") > 0L, lit(scale)).otherwise(lit(0L)))
+      .select(col("node"), col("pr"))
     var lastCkpt: DataFrame = null
     for (i <- 1 to iters) {
       val inflow = ew.join(pr.withColumnRenamed("node", "src"), Seq("src"))
@@ -67,7 +99,8 @@ object PageRank {
           expr("(((pr * weight) div __ow) * 85) div 100").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
       val next = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"), (lit(base) + coalesce(col("__in"), lit(0L))).as("pr"))
+        .select(col("node"),
+          (col("__base") + coalesce(col("__in"), lit(0L))).as("pr"))
       pr = if (i < iters && i % checkpointInterval == 0) {
         val cut = next.localCheckpoint(true)
         if (lastCkpt != null)

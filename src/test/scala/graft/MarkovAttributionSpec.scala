@@ -2,8 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.operators.MarkovAttribution
-import graft.operators.MarkovAttribution.Frac
+import graft.operators.{Frac, MarkovAttribution}
 
 class MarkovAttributionSpec extends SparkSuite {
   import spark.implicits._
