@@ -2223,6 +2223,51 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "q_mann_whitney" -> ((s, dir) => {
+      // nonparametric A/B: Wilcoxon rank-sum on order value between
+      // the hash variants — the distribution-free sibling of
+      // q_ab_test's Welch t (heavy-tailed revenue is exactly where a
+      // t-test misleads). u2 = 2·U1 stays an exact integer through
+      // tied ranks; tie-corrected normal z.
+      val o = t(s, dir, "orders").select(
+        when((col("o_custkey") % 1048573L) * 2654435761L % 1000000L < 500000L,
+          lit(0L)).otherwise(lit(1L)).as("variant"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      Stats.mannWhitney(o, "variant", "cents")
+    }),
+
+    "q_forecast_backtest" -> ((s, dir) => {
+      // forecast evaluation: one-step-ahead MAPE of Holt vs the naive
+      // last-value forecast per nation — the backtest that justifies
+      // (or rejects) the fancier model. Errors quantize per row
+      // ((10⁴·|e|) div actual — exact integers), means are floor
+      // divisions; everything rides q_holt's exact recurrence.
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val mon = t(s, dir, "orders")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          trunc(to_date(col("o_orderdate")), "mon").as("month"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+      val fitted = Recurrences.holt(mon, Seq("nation"), Seq("month"), "rev_c",
+        aNum = 1L, aDen = 4L, bNum = 1L, bDen = 4L)
+      val w = Window.partitionBy(col("nation")).orderBy(col("month"))
+      val evals = fitted
+        .withColumn("fc_holt", lag(col("holt_q"), 1).over(w))
+        .withColumn("fc_naive", lag(col("rev_c"), 1).over(w))
+        .filter(col("fc_holt").isNotNull && col("rev_c") > 0L)
+        .withColumn("ape_holt",
+          expr("(10000 * abs(rev_c - fc_holt)) DIV rev_c"))
+        .withColumn("ape_naive",
+          expr("(10000 * abs(rev_c - fc_naive)) DIV rev_c"))
+      evals.groupBy(col("nation")).agg(
+          count(lit(1)).as("n_evals"),
+          expr("CAST(sum(ape_holt) DIV count(1) AS BIGINT)").as("mape_holt_bp"),
+          expr("CAST(sum(ape_naive) DIV count(1) AS BIGINT)").as("mape_naive_bp"))
+        .orderBy(col("nation"))
+    }),
+
     "q_ppr" -> ((s, dir) => {
       // personalized PageRank (random walk with restart): teleport mass
       // lands ONLY on the seed parts (one brand), so scores measure
@@ -6152,6 +6197,74 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_mann_whitney" ->
+      // value-level tied ranks from one cumulative sum; u2 = 2·U1
+      // exact integer; tie-corrected z mirrors the Spark parens
+      """WITH o AS (
+        |  SELECT CASE WHEN (o_custkey % 1048573) * 2654435761 % 1000000 < 500000
+        |           THEN 0 ELSE 1 END AS v,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |byv AS (SELECT cents AS val, count(*) AS cnt,
+        |          sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS cnt1
+        |        FROM o GROUP BY 1),
+        |c AS (SELECT val, cnt, cnt1,
+        |        CAST(sum(cnt) OVER (ORDER BY val
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM byv),
+        |m AS (SELECT sum(cnt - cnt1) AS n0, sum(cnt1) AS n1,
+        |        sum(cnt1 * (2*(cum - cnt) + cnt + 1)) AS r12,
+        |        sum(cnt*cnt*cnt - cnt) AS t
+        |      FROM c)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(r12 - n1*(n1 + 1) AS BIGINT) AS u2,
+        |  CAST(floor(
+        |    (CAST(r12 - n1*(n1 + 1) AS DOUBLE)/2.0
+        |      - CAST(n0 AS DOUBLE)*CAST(n1 AS DOUBLE)/2.0)
+        |    / sqrt((CAST(n0 AS DOUBLE)*CAST(n1 AS DOUBLE)/12.0) *
+        |        ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) + 1.0)
+        |          - CAST(t AS DOUBLE) / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+        |            * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 1.0))))
+        |    * 10000 + 0.5) AS BIGINT) AS z_bp
+        |FROM m""".stripMargin,
+
+    "q_forecast_backtest" ->
+      // q_holt's recursive CTE + lagged one-step-ahead errors; all
+      // ratios and means are floor divisions on non-negative BIGINTs
+      """WITH RECURSIVE mon AS (
+        |  SELECT c_nationkey AS nation,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |s AS (SELECT nation, month, rev_c,
+        |        row_number() OVER (PARTITION BY nation ORDER BY month) AS rn
+        |      FROM mon),
+        |r AS (
+        |  SELECT nation, month, rev_c, rn, rev_c AS l, CAST(0 AS BIGINT) AS b
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.nation, s.month, s.rev_c, s.rn,
+        |    ((s.rev_c + 3*(r.l + r.b))
+        |      - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4,
+        |    ((((s.rev_c + 3*(r.l + r.b))
+        |        - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4 - r.l + 3*r.b)
+        |      - (((((s.rev_c + 3*(r.l + r.b))
+        |        - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4 - r.l + 3*r.b) % 4) + 4) % 4) // 4
+        |  FROM s JOIN r ON s.nation = r.nation AND s.rn = r.rn + 1),
+        |f AS (SELECT nation, month, rev_c,
+        |        lag(l + b) OVER (PARTITION BY nation ORDER BY month) AS fc_holt,
+        |        lag(rev_c) OVER (PARTITION BY nation ORDER BY month) AS fc_naive
+        |      FROM r),
+        |e AS (SELECT nation,
+        |        (10000 * abs(rev_c - fc_holt)) // rev_c AS ape_holt,
+        |        (10000 * abs(rev_c - fc_naive)) // rev_c AS ape_naive
+        |      FROM f WHERE fc_holt IS NOT NULL AND rev_c > 0)
+        |SELECT nation, count(*) AS n_evals,
+        |  CAST(sum(ape_holt) // count(*) AS BIGINT) AS mape_holt_bp,
+        |  CAST(sum(ape_naive) // count(*) AS BIGINT) AS mape_naive_bp
+        |FROM e GROUP BY 1 ORDER BY nation""".stripMargin,
 
     "q_ppr" ->
       // q_pagerank's unrolled rounds with a seed-restricted restart

@@ -202,6 +202,45 @@ object Stats {
       bp(vr).as("vr_bp"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test — the
+    * nonparametric sibling of [[welchAb]]: compares the DISTRIBUTIONS
+    * of `xCol` between variant 0 and 1 without a normality assumption.
+    * Output one row: (n0, n1, u2, z_bp) where `u2` = 2·U₁ (doubled so
+    * the tied-rank half-units stay EXACT integers) and z is the
+    * normal approximation WITH the standard tie correction.
+    *
+    * Scale shape: rows collapse to one row per DISTINCT VALUE first
+    * (map-side combinable); tied ranks come from ONE ranged global
+    * running sum over that value frame ([[RunningTotals]] — no
+    * single-task window over raw rows); rank/tie moments are exact
+    * DECIMAL sums; the z finish is one pinned double expression.
+    */
+  def mannWhitney(df: DataFrame, variantCol: String, xCol: String): DataFrame = {
+    val byV = df.groupBy(col(xCol).as("__mwv"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col(variantCol) === 1, 1L).otherwise(0L)).as("__cnt1"))
+    val cum = RunningTotals.globalRunningSum(byV,
+      Seq(col("__mwv").asc), "__cnt", "__cum") // inclusive
+    // doubled average rank of the tie group at this value:
+    // 2·(cumBefore + 1) + (cnt − 1) = 2·cumBefore + cnt + 1
+    val r2 = lit(2L) * (col("__cum") - col("__cnt")) + col("__cnt") + lit(1L)
+    def S(c: Column) = sum(c.cast("decimal(38,0)"))
+    val m = cum.agg(
+      S(col("__cnt") - col("__cnt1")).as("__n0"),
+      S(col("__cnt1")).as("__n1"),
+      S(col("__cnt1") * r2).as("__r12"), // 2·(rank sum of group 1)
+      S(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt")).as("__t"))
+    val (n0, n1) = (D(col("__n0")), D(col("__n1")))
+    val n = n0 + n1
+    val u2 = col("__r12") - col("__n1") * (col("__n1") + lit(1)) // exact 2·U1
+    val z = (D(u2) / lit(2.0) - n0 * n1 / lit(2.0)) /
+      sqrt((n0 * n1 / lit(12.0)) *
+        ((n + lit(1.0)) - D(col("__t")) / (n * (n - lit(1.0)))))
+    m.select(col("__n0").cast("long").as("n0"),
+      col("__n1").cast("long").as("n1"),
+      u2.cast("long").as("u2"), bp(z).as("z_bp"))
+  }
+
   /** Kaplan-Meier product-limit survival estimator, exact in fixed
     * point. Input: one row per subject with a LongType `durationCol`
     * (≥ 0) and a 0/1 LongType `eventCol` (1 = event observed, 0 =

@@ -81,6 +81,26 @@ class StatsSpec extends SparkSuite {
     assert(r.getAs[Long]("adj_diff_q") == 0L)
   }
 
+  test("mannWhitney reproduces textbook rank sums, with and without ties") {
+    // no ties: g0 = {1,2,3}, g1 = {4,5} -> R1 = 9, U1 = 6, z = sqrt(3)
+    val a = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("variant", "x")
+    val ra = Stats.mannWhitney(a, "variant", "x").head()
+    assert(ra.getAs[Long]("n0") == 3L && ra.getAs[Long]("n1") == 2L)
+    assert(ra.getAs[Long]("u2") == 12L) // 2*U1
+    assert(ra.getAs[Long]("z_bp") ==
+      math.floor(math.sqrt(3.0) * 10000.0 + 0.5).toLong)
+    // ties across groups: g0 = {1,2,2}, g1 = {2,3} -> avg rank of the
+    // three 2s is 3 -> R1 = 3 + 5 = 8, U1 = 5, tie term = 2^3... = 24
+    val b = Seq((0L, 1L), (0L, 2L), (0L, 2L), (1L, 2L), (1L, 3L))
+      .toDF("variant", "x")
+    val rb = Stats.mannWhitney(b, "variant", "x").head()
+    assert(rb.getAs[Long]("u2") == 10L)
+    val z = (5.0 - 3.0) /
+      math.sqrt(6.0 / 12.0 * ((5.0 + 1.0) - 24.0 / (5.0 * 4.0)))
+    assert(rb.getAs[Long]("z_bp") == math.floor(z * 10000.0 + 0.5).toLong)
+  }
+
   test("kaplanMeier matches the product-limit definition on a textbook frame") {
     // durations: events at t=2 (2 of 5 at risk), t=4 (1 of 2); censored at 3
     val df = Seq((2L, 1L), (2L, 1L), (3L, 0L), (4L, 1L), (5L, 0L))
