@@ -2223,6 +2223,55 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "q_voptimal_hist" -> ((s, dir) => {
+      // v-optimal histogram of document lengths (Jagadish VLDB'98):
+      // the 8-bucket partition minimizing total within-bucket SSE —
+      // equal-width wastes resolution, quantile buckets ignore
+      // variance; this is the principled layout a stats catalog wants.
+      // Facts collapse to one row per distinct value (map-side); the
+      // exact-BigInt DP runs on the driver over that bounded frame.
+      // rows-only (no SQL form for the DP); BinningSpec proves the DP
+      // against brute-force enumeration.
+      Binning.vOptimal(t(s, dir, "documents"), "n_chars", nBuckets = 8)
+        .orderBy(col("bucket"))
+    }),
+
+    "q_neyman_sample" -> ((s, dir) => {
+      // stratified sampling with NEYMAN allocation (Neyman 1934): a
+      // 500-doc budget split across sources ∝ Nh·σh — high-variance
+      // strata earn more samples than proportional allocation gives
+      // them; the optimal-variance design. σh quantizes through one
+      // sqrt+floor (deterministic); the split is EXACT largest
+      // remainder; each stratum takes its quota by the portable hash
+      // order. Composes the q_mixture_alloc machinery with
+      // variance-aware weights.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("x"))
+      def S(c: Column) = sum(c.cast("decimal(38,0)"))
+      def D(c: Column) = c.cast("double")
+      val m = d.groupBy(col("source")).agg(count(lit(1)).as("nh"),
+        S(col("x")).as("sx"), S(col("x") * col("x")).as("sxx"))
+      val varh = when(col("nh") > 1,
+        (D(col("nh")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))) /
+          (D(col("nh")) * (D(col("nh")) - lit(1.0)))).otherwise(lit(0.0))
+      val wts = m
+        .withColumn("sh_q",
+          floor(sqrt(greatest(varh, lit(0.0))) * 100.0 + 0.5).cast("long"))
+        .withColumn("w", col("nh") * col("sh_q"))
+        .withColumn("k", lit(1)).withColumn("amt", lit(500L))
+      val quota = Allocate.largestRemainder(wts, Seq("k"), "w", "amt",
+          tiebreak = Seq("source"), outCol = "n_take")
+        .select(col("source"), col("n_take"))
+      val h = (col("doc_id") % 1048573L) * 2654435761L % 1000000L
+      val rankW = Window.partitionBy(col("source"))
+        .orderBy(h.asc, col("doc_id").asc)
+      d.withColumn("__r", row_number().over(rankW))
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("__r") <= col("n_take"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_mann_whitney" -> ((s, dir) => {
       // nonparametric A/B: Wilcoxon rank-sum on order value between
       // the hash variants — the distribution-free sibling of
@@ -6197,6 +6246,36 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_neyman_sample" ->
+      // replicates Allocate.largestRemainder's arithmetic (the
+      // q_allocate oracle pattern) with variance-aware weights
+      """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x
+        |           FROM documents),
+        |m AS (SELECT source, count(*) AS nh, sum(x) AS sx, sum(x*x) AS sxx
+        |      FROM d GROUP BY 1),
+        |w AS (SELECT source, nh,
+        |        CAST(floor(sqrt(greatest(CASE WHEN nh > 1 THEN
+        |          (CAST(nh AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |          / (CAST(nh AS DOUBLE)*(CAST(nh AS DOUBLE) - 1.0))
+        |          ELSE 0.0 END, 0.0)) * 100 + 0.5) AS BIGINT) AS sh_q
+        |      FROM m),
+        |wt AS (SELECT source, nh * sh_q AS wgt FROM w),
+        |tot AS (SELECT sum(wgt) AS t FROM wt),
+        |b AS (SELECT source, wgt, (500 * wgt) // t AS base,
+        |        (500 * wgt) % t AS rem
+        |      FROM wt, tot),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rnk,
+        |        500 - sum(base) OVER () AS deficit FROM b),
+        |q AS (SELECT source,
+        |        CAST(base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS n_take
+        |      FROM r),
+        |p AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY (doc_id % 1048573) * 2654435761 % 1000000, doc_id) AS rk
+        |      FROM d)
+        |SELECT p.doc_id, p.source FROM p JOIN q USING (source)
+        |WHERE p.rk <= q.n_take ORDER BY p.doc_id""".stripMargin,
 
     "q_mann_whitney" ->
       // value-level tied ranks from one cumulative sum; u2 = 2·U1
