@@ -2223,6 +2223,52 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "q_holt_winters" -> ((s, dir) => {
+      // the forecasting trio's capstone (ewma → holt → Holt-Winters):
+      // level + trend + a 12-slot seasonal ring per nation, exact
+      // floor-division recurrence, O(period) state in the same
+      // one-keyed-shuffle machine. rows-only: the seasonal reference
+      // reaches 12 rows back — beyond a recursive CTE's one-row arm;
+      // RecurrencesSpec replays the sequential definition exactly.
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val mon = t(s, dir, "orders")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          trunc(to_date(col("o_orderdate")), "mon").as("month"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+      Recurrences.holtWinters(mon, Seq("nation"), Seq("month"), "rev_c",
+          period = 12, 1L, 4L, 1L, 4L, 1L, 4L)
+        .select(col("nation"), date_format(col("month"), "yyyy-MM").as("month"),
+          col("rev_c"), col("hw_q"))
+        .orderBy(col("nation"), col("month"))
+    }),
+
+    "q_theilsen" -> ((s, dir) => {
+      // robust trend: Theil-Sen median-of-pairwise-slopes per nation —
+      // the 29%-breakdown alternative to q_trend_slope's OLS (one
+      // contaminated month cannot drag it). Facts reduce to the
+      // monthly series first; exact-rational pair slopes and the
+      // lower-median selection run on the driver over that
+      // calendar-bounded frame. rows-only (rational median has no SQL
+      // form); StatsSpec proves outlier immunity and exact recovery.
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val mon = t(s, dir, "orders")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          trunc(to_date(col("o_orderdate")), "mon").as("month"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("nation")).orderBy(col("month")))
+          .cast("long"))
+      Stats.theilSen(mon, "nation", "rn", "rev_c")
+        .withColumnRenamed("grp", "nation")
+        .orderBy(col("nation"))
+    }),
+
     "q_voptimal_hist" -> ((s, dir) => {
       // v-optimal histogram of document lengths (Jagadish VLDB'98):
       // the 8-bucket partition minimizing total within-bucket SSE —

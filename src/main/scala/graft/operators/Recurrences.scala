@@ -138,6 +138,51 @@ object Recurrences {
     }
   }
 
+  /** Holt-Winters additive triple exponential smoothing, exact: level,
+    * trend, AND a `period`-slot seasonal array, all updated with floor
+    * division —
+    *   l_i = ⌊(aNum·(x−s_old) + (aDen−aNum)·(l+b)) / aDen⌋
+    *   b_i = ⌊(bNum·(l_i−l_{i−1}) + (bDen−bNum)·b) / bDen⌋
+    *   s_i = ⌊(gNum·(x−l_i) + (gDen−gNum)·s_old) / gDen⌋
+    * Warm-up convention (pinned, spec-replayed): the first `period`
+    * rows initialize l = x, b = 0, s = 0 and emit x. Appends `outCol`
+    * = the fitted value l + b + s_i. State = period + 2 longs per key
+    * (the seasonal ring buffer) — still O(period), never O(history).
+    * No recursive-CTE oracle exists (the seasonal reference reaches
+    * `period` rows back, beyond a recursive arm's one-row reach), so
+    * queries over this register rows-only with the sequential-replay
+    * spec as the oracle.
+    */
+  def holtWinters(df: DataFrame, keys: Seq[String], sortCols: Seq[String],
+                  xCol: String, period: Int,
+                  aNum: Long, aDen: Long, bNum: Long, bDen: Long,
+                  gNum: Long, gDen: Long,
+                  outCol: String = "hw_q"): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(aNum > 0 && aDen > aNum, s"need 0 < aNum < aDen")
+    require(bNum > 0 && bDen > bNum, s"need 0 < bNum < bDen")
+    require(gNum > 0 && gDen > gNum, s"need 0 < gNum < gDen")
+    scanAppend(df, keys, sortCols, xCol, outCol) { () =>
+      val season = new Array[Long](period)
+      var l = 0L; var b = 0L; var i = 0
+      x => {
+        val slot = i % period
+        val out =
+          if (i < period) { l = x; b = 0L; season(slot) = 0L; x }
+          else {
+            val sOld = season(slot)
+            val lPrev = l
+            l = Math.floorDiv(aNum * (x - sOld) + (aDen - aNum) * (l + b), aDen)
+            b = Math.floorDiv(bNum * (l - lPrev) + (bDen - bNum) * b, bDen)
+            season(slot) = Math.floorDiv(gNum * (x - l) + (gDen - gNum) * sOld, gDen)
+            l + b + season(slot)
+          }
+        i += 1
+        Some(out)
+      }
+    }
+  }
+
   /** The shared machine: one keyed shuffle + secondary sort, an O(1)
     * long state per group, rows emitted with `outCol` appended when the
     * step function fires. `mkStep` builds a FRESH step closure per group

@@ -241,6 +241,49 @@ object Stats {
       u2.cast("long").as("u2"), bp(z).as("z_bp"))
   }
 
+  /** Theil-Sen robust slope per group (Theil 1950 / Sen 1968): the
+    * MEDIAN of all pairwise slopes — breakdown point 29%, where one
+    * contaminated month drags an OLS slope (`q_trend_slope`) anywhere.
+    * Input: (group, LongType index, LongType value), POST-AGGREGATION
+    * by contract (points per group bounded by the calendar). Output one
+    * row per group: (group, n_points, n_pairs, slope_q) with slope_q =
+    * ⌊median · 100⌋.
+    *
+    * The pairwise slopes are EXACT RATIONALS ((x_j−x_i)/(j−i)) sorted
+    * by cross-multiplication compare and lower-median selected on the
+    * DRIVER — bit-deterministic, no float until the final quantize.
+    */
+  def theilSen(series: DataFrame, groupCol: String, rnCol: String,
+               xCol: String): DataFrame = {
+    val spark = series.sparkSession
+    val pts = series.select(col(groupCol).cast("string"),
+        col(rnCol).cast("long"), col(xCol).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = pts.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
+      val s = rs.map(p => (p._2, p._3)).sortBy(_._1)
+      val slopes = for {
+        i <- s.indices; j <- (i + 1) until s.length
+        if s(j)._1 != s(i)._1
+      } yield Frac.mk(s(j)._2 - s(i)._2, s(j)._1 - s(i)._1)
+      require(slopes.nonEmpty, s"theilSen: group $g has no index spread")
+      val sorted = slopes.sortWith((a, b) => (a - b).num.signum < 0)
+      val med = sorted((sorted.length - 1) / 2) // lower median
+      org.apache.spark.sql.Row(g, s.length.toLong, slopes.length.toLong,
+        med.floorScaled(100L))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_points",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_pairs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("slope_q",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Kaplan-Meier product-limit survival estimator, exact in fixed
     * point. Input: one row per subject with a LongType `durationCol`
     * (≥ 0) and a 0/1 LongType `eventCol` (1 = event observed, 0 =

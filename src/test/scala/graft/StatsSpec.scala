@@ -147,6 +147,42 @@ class StatsSpec extends SparkSuite {
     assert(out.count(r => r.isNullAt(r.fieldIndex("trend"))) == 6)
   }
 
+  test("theilSen recovers a clean slope exactly and shrugs off an outlier OLS cannot") {
+    // y = 50x + 7 with ONE wild outlier at x=10
+    val pts = (1L to 20L).map(i => ("g", i, 50L * i + 7L + (if (i == 10) 100000L else 0L)))
+    val r = Stats.theilSen(pts.toDF("g", "rn", "x"), "g", "rn", "x").head()
+    assert(r.getAs[Long]("n_points") == 20L && r.getAs[Long]("n_pairs") == 190L)
+    assert(r.getAs[Long]("slope_q") == 5000L) // median slope still exactly 50.00
+    // determinism under row order
+    val shuffled = Stats.theilSen(
+      pts.toDF("g", "rn", "x").orderBy(rand(9)), "g", "rn", "x").head()
+    assert(shuffled == r)
+  }
+
+  test("holtWinters replays its sequential definition, seasonal ring included") {
+    val period = 3
+    val xs = Seq(100L, 200L, 300L, 120L, 230L, 290L, 105L, 220L, 310L, 90L)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, x) }
+      .toDF("k", "ord", "x")
+    val got = graft.operators.Recurrences.holtWinters(df, Seq("k"), Seq("ord"),
+        "x", period, 1L, 4L, 1L, 4L, 1L, 4L)
+      .orderBy("ord").collect().map(_.getAs[Long]("hw_q")).toSeq
+    val season = new Array[Long](period)
+    var l = 0L; var b = 0L
+    val want = xs.zipWithIndex.map { case (x, i) =>
+      val slot = i % period
+      if (i < period) { l = x; b = 0L; season(slot) = 0L; x }
+      else {
+        val sOld = season(slot); val lp = l
+        l = Math.floorDiv(1L * (x - sOld) + 3L * (l + b), 4L)
+        b = Math.floorDiv(1L * (l - lp) + 3L * b, 4L)
+        season(slot) = Math.floorDiv(1L * (x - l) + 3L * sOld, 4L)
+        l + b + season(slot)
+      }
+    }
+    assert(got == want)
+  }
+
   test("holt replays a sequential simulation exactly, including negative trend states") {
     // a collapsing series forces l to fall and b negative — the
     // floor-division (not truncation) branch must match
