@@ -2223,6 +2223,124 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "q_did" -> ((s, dir) => {
+      // difference-in-differences: BUILDING-segment customers
+      // (treatment) vs the rest, pre/post 1998 — the causal-inference
+      // workhorse when randomization isn't available (ab/cuped's
+      // observational sibling). Eight conditional moments in ONE
+      // aggregation pass; exact floored cell means; the DiD estimate
+      // is one pinned double expression.
+      val o = t(s, dir, "orders")
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(
+          when(col("c_mktsegment") === "BUILDING", lit(1L)).otherwise(lit(0L))
+            .as("treat"),
+          when(to_date(col("o_orderdate")) >= lit("1998-01-01"), lit(1L))
+            .otherwise(lit(0L)).as("post"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      def cell(tr: Int, po: Int, c: Column) =
+        sum(when(col("treat") === tr && col("post") === po, c).otherwise(lit(0L))
+          .cast("decimal(38,0)"))
+      val m = o.agg(
+        cell(1, 0, lit(1L)).as("nt0"), cell(1, 1, lit(1L)).as("nt1"),
+        cell(0, 0, lit(1L)).as("nc0"), cell(0, 1, lit(1L)).as("nc1"),
+        cell(1, 0, col("cents")).as("st0"), cell(1, 1, col("cents")).as("st1"),
+        cell(0, 0, col("cents")).as("sc0"), cell(0, 1, col("cents")).as("sc1"))
+      def D(c: Column) = c.cast("double")
+      def meanQ(sc: Column, n: Column) = ((sc - pmod(sc, n)) / n).cast("long")
+      val did = (D(col("st1")) / D(col("nt1")) - D(col("st0")) / D(col("nt0"))) -
+        (D(col("sc1")) / D(col("nc1")) - D(col("sc0")) / D(col("nc0")))
+      m.select(
+        col("nt0").cast("long").as("nt0"), col("nt1").cast("long").as("nt1"),
+        col("nc0").cast("long").as("nc0"), col("nc1").cast("long").as("nc1"),
+        meanQ(col("st0"), col("nt0")).as("mean_t_pre_q"),
+        meanQ(col("st1"), col("nt1")).as("mean_t_post_q"),
+        meanQ(col("sc0"), col("nc0")).as("mean_c_pre_q"),
+        meanQ(col("sc1"), col("nc1")).as("mean_c_post_q"),
+        floor(did * 100.0 + 0.5).cast("long").as("did_q"))
+    }),
+
+    "q_nelson_aalen" -> ((s, dir) => {
+      // cumulative-hazard sibling of q_survival_km (Nelson-Aalen):
+      // H(t) = Σ d/n over event times — per-step hazards quantize as
+      // (10⁶·d) div n (exact integers), the cumulative sum is plain
+      // BIGINT; no recursion anywhere, so the oracle is one window.
+      val byCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+          max(to_date(col("o_orderdate"))).as("last_d"))
+      val mx = byCust.agg(max(col("last_d")).as("__mx"))
+      val subj = byCust.crossJoin(broadcast(mx)).select(
+        datediff(col("last_d"), col("first_d")).cast("long").as("duration"),
+        when(datediff(col("__mx"), col("last_d")) >= 365, lit(1L))
+          .otherwise(lit(0L)).as("event"))
+      val byT = subj.groupBy(col("duration"))
+        .agg(sum(col("event")).cast("long").as("d"),
+          sum(lit(1L) - col("event")).cast("long").as("c"))
+      val tot = subj.agg(count(lit(1)).cast("long").as("__total"))
+      val w = Window.partitionBy(lit(1)).orderBy(col("duration"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("__total") - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+        .filter(col("d") > 0)
+        .withColumn("h_step", expr("(1000000 * d) DIV n_risk"))
+        .withColumn("hazard_q", sum(col("h_step")).over(
+          Window.partitionBy(lit(1)).orderBy(col("duration"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("duration"), col("n_risk"), col("d").as("n_events"),
+          col("hazard_q"))
+        .orderBy(col("duration"))
+    }),
+
+    "q_isotonic" -> ((s, dir) => {
+      // isotonic calibration curve (PAV): monotone fit of the
+      // high-value-order rate on the customer's account-balance band —
+      // the calibration step every score pipeline runs before
+      // thresholding. Rows collapse to one (band, n, Σy) level first;
+      // the O(m) PAV stack pools on the driver with EXACT rational
+      // means. rows-only (the pooling recursion has no SQL form);
+      // StatsSpec proves monotonicity, mean preservation, and the
+      // textbook pooling case.
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        floor(col("c_acctbal") / 100).cast("long").as("band"))
+      val hv = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(when(col("o_totalprice") > 300000.0, 1L).otherwise(0L))
+          .as("y"))
+      Stats.isotonic(
+          cust.join(hv, col("c_custkey") === col("o_custkey"))
+            .select(col("band"), col("y")),
+          "band", "y")
+        .orderBy(col("x_lo"))
+    }),
+
+    "q_mde" -> ((s, dir) => {
+      // experiment power pre-flight: the minimum detectable effect at
+      // alpha=0.05 / power=0.8 for the CURRENT arm sizes and pooled
+      // variance — the "is this test even worth running" one-rower.
+      // Normal quantiles are pinned literals on both engines.
+      val o = t(s, dir, "orders").select(
+        when((col("o_custkey") % 1048573L) * 2654435761L % 1000000L < 500000L,
+          lit(0L)).otherwise(lit(1L)).as("variant"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      def S(c: Column) = sum(c.cast("decimal(38,0)"))
+      val m = o.agg(
+        S(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        S(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        S(col("cents")).as("sx"), S(col("cents") * col("cents")).as("sxx"))
+      def D(c: Column) = c.cast("double")
+      val n = D(col("n0")) + D(col("n1"))
+      val varP = (n * D(col("sxx")) - D(col("sx")) * D(col("sx"))) /
+        (n * (n - lit(1.0)))
+      val mde = lit(1.959963984540054 + 0.8416212335729143) *
+        sqrt(varP * (lit(1.0) / D(col("n0")) + lit(1.0) / D(col("n1"))))
+      m.select(col("n0").cast("long").as("n0"), col("n1").cast("long").as("n1"),
+        floor(sqrt(varP) * 100.0 + 0.5).cast("long").as("sigma_q"),
+        floor(mde * 100.0 + 0.5).cast("long").as("mde_q"))
+    }),
+
     "q_holt_winters" -> ((s, dir) => {
       // the forecasting trio's capstone (ewma → holt → Holt-Winters):
       // level + trend + a 12-slot seasonal ring per nation, exact
@@ -6292,6 +6410,88 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_did" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treat,
+        |    CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+        |      THEN 1 ELSE 0 END AS post,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT
+        |    sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS nt0,
+        |    sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS nt1,
+        |    sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS nc0,
+        |    sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS nc1,
+        |    sum(CASE WHEN treat = 1 AND post = 0 THEN cents ELSE 0 END) AS st0,
+        |    sum(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0 END) AS st1,
+        |    sum(CASE WHEN treat = 0 AND post = 0 THEN cents ELSE 0 END) AS sc0,
+        |    sum(CASE WHEN treat = 0 AND post = 1 THEN cents ELSE 0 END) AS sc1
+        |  FROM o)
+        |SELECT CAST(nt0 AS BIGINT) AS nt0, CAST(nt1 AS BIGINT) AS nt1,
+        |  CAST(nc0 AS BIGINT) AS nc0, CAST(nc1 AS BIGINT) AS nc1,
+        |  CAST(st0 // nt0 AS BIGINT) AS mean_t_pre_q,
+        |  CAST(st1 // nt1 AS BIGINT) AS mean_t_post_q,
+        |  CAST(sc0 // nc0 AS BIGINT) AS mean_c_pre_q,
+        |  CAST(sc1 // nc1 AS BIGINT) AS mean_c_post_q,
+        |  CAST(floor(
+        |    ((CAST(st1 AS DOUBLE)/CAST(nt1 AS DOUBLE) - CAST(st0 AS DOUBLE)/CAST(nt0 AS DOUBLE))
+        |      - (CAST(sc1 AS DOUBLE)/CAST(nc1 AS DOUBLE) - CAST(sc0 AS DOUBLE)/CAST(nc0 AS DOUBLE)))
+        |    * 100 + 0.5) AS BIGINT) AS did_q
+        |FROM m""".stripMargin,
+
+    "q_nelson_aalen" ->
+      // the additive-hazard twin of q_survival_km's product: per-step
+      // quantized hazards sum in BIGINT under one window — no recursion
+      """WITH ev AS (
+        |  SELECT o_custkey,
+        |    CAST(min(o_orderdate) AS DATE) AS first_d,
+        |    CAST(max(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS mxd FROM ev),
+        |subj AS (SELECT CAST(last_d - first_d AS BIGINT) AS duration,
+        |           CASE WHEN mxd - last_d >= 365 THEN 1 ELSE 0 END AS event
+        |         FROM ev, mx),
+        |byt AS (SELECT duration, CAST(sum(event) AS BIGINT) AS d,
+        |          CAST(sum(1 - event) AS BIGINT) AS c
+        |        FROM subj GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM subj),
+        |r0 AS (SELECT duration, d,
+        |         CAST(total - COALESCE(sum(d + c) OVER (ORDER BY duration
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |       FROM byt, tot),
+        |st AS (SELECT duration, n_risk, d,
+        |         (1000000 * d) // n_risk AS h_step
+        |       FROM r0 WHERE d > 0)
+        |SELECT duration, n_risk, d AS n_events,
+        |  CAST(sum(h_step) OVER (ORDER BY duration
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hazard_q
+        |FROM st ORDER BY duration""".stripMargin,
+
+    "q_mde" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN (o_custkey % 1048573) * 2654435761 % 1000000 < 500000
+        |           THEN 0 ELSE 1 END AS v,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT
+        |    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(cents) AS sx, sum(cents*cents) AS sxx
+        |  FROM o),
+        |d AS (SELECT n0, n1,
+        |    (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS nn,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd
+        |  FROM m),
+        |f AS (SELECT n0, n1,
+        |    (nn*sxxd - sxd*sxd) / (nn*(nn - 1.0)) AS varp
+        |  FROM d)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(floor(sqrt(varp) * 100 + 0.5) AS BIGINT) AS sigma_q,
+        |  CAST(floor((1.959963984540054 + 0.8416212335729143)
+        |    * sqrt(varp * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE)))
+        |    * 100 + 0.5) AS BIGINT) AS mde_q
+        |FROM f""".stripMargin,
 
     "q_neyman_sample" ->
       // replicates Allocate.largestRemainder's arithmetic (the

@@ -284,6 +284,50 @@ object Stats {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Isotonic regression by pool-adjacent-violators (Ayer et al. 1955;
+    * the calibration-curve fitter behind Platt/isotonic score
+    * calibration): fit the best monotone-nondecreasing step function
+    * of `yCol` on `xCol` under squared loss. Input rows aggregate to
+    * one (x level, n, Σy) row per DISTINCT x first (map-side); the
+    * O(m) PAV stack runs on the DRIVER with EXACT rational pool means,
+    * so pooling decisions are bit-deterministic. Output one row per
+    * final pool: (x_lo, x_hi, n_rows, rate_bp).
+    */
+  def isotonic(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val levels = df.groupBy(col(xCol).cast("long").as("__x"))
+      .agg(count(lit(1)).as("__n"), sum(col(yCol)).cast("long").as("__sy"))
+      .orderBy(col("__x")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // PAV stack: each pool (xLo, xHi, n, sy); merge while the mean
+    // would decrease (rational compare: syA·nB >= syB·nA)
+    val stack = scala.collection.mutable.ArrayBuffer[(Long, Long, BigInt, BigInt)]()
+    levels.foreach { case (x, n, sy) =>
+      var cur = (x, x, BigInt(n), BigInt(sy))
+      while (stack.nonEmpty &&
+        stack.last._4 * cur._3 >= cur._4 * stack.last._3) {
+        val p = stack.remove(stack.length - 1)
+        cur = (p._1, cur._2, p._3 + cur._3, p._4 + cur._4)
+      }
+      stack += cur
+    }
+    val rows = stack.toSeq.map { case (lo, hi, n, sy) =>
+      org.apache.spark.sql.Row(lo, hi, n.toLong,
+        Frac.mk(sy, n).floorScaled(10000L))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x_lo",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("x_hi",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rate_bp",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Kaplan-Meier product-limit survival estimator, exact in fixed
     * point. Input: one row per subject with a LongType `durationCol`
     * (≥ 0) and a 0/1 LongType `eventCol` (1 = event observed, 0 =

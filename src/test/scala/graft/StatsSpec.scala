@@ -159,6 +159,29 @@ class StatsSpec extends SparkSuite {
     assert(shuffled == r)
   }
 
+  test("isotonic PAV pools violators, preserves pool means, and ends monotone") {
+    // textbook: rates 0.2, 0.8, 0.4 at x=1,2,3 -> levels 2 and 3 pool
+    // to (0.8·5 + 0.4·5)/10 = 0.6
+    val rows =
+      (1 to 5).map(i => (1L, if (i == 1) 1L else 0L)) ++     // 1/5
+      (1 to 5).map(i => (2L, if (i <= 4) 1L else 0L)) ++     // 4/5
+      (1 to 5).map(i => (3L, if (i <= 2) 1L else 0L))        // 2/5
+    val out = Stats.isotonic(rows.toDF("x", "y"), "x", "y")
+      .orderBy("x_lo").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("x_lo") == 1L && out(0).getAs[Long]("rate_bp") == 2000L)
+    assert(out(1).getAs[Long]("x_lo") == 2L && out(1).getAs[Long]("x_hi") == 3L)
+    assert(out(1).getAs[Long]("rate_bp") == 6000L)
+    // monotone and mass-preserving on random data
+    val rnd = new scala.util.Random(17)
+    val rand = (1 to 500).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(2).toLong))
+    val fit = Stats.isotonic(rand.toDF("x", "y"), "x", "y")
+      .orderBy("x_lo").collect()
+    val rates = fit.map(_.getAs[Long]("rate_bp"))
+    assert(rates.sameElements(rates.sorted), "fit must be nondecreasing")
+    assert(fit.map(_.getAs[Long]("n_rows")).sum == 500L)
+  }
+
   test("holtWinters replays its sequential definition, seasonal ring included") {
     val period = 3
     val xs = Seq(100L, 200L, 300L, 120L, 230L, 290L, 105L, 220L, 310L, 90L)
