@@ -1926,9 +1926,13 @@ object SparkEntry {
       // registered against q_item_neighbors' VERBATIM oracle.
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      // the fact⨝header join feeds base, changed-user discovery, AND the
+      // changed-user recompute — pin it once instead of replaying the
+      // join per consumer (bench: the query's dominant cost)
       val full = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("user"), col("l_partkey").as("item"),
           col("o_orderkey"))
+        .localCheckpoint(true)
       def inter(df: DataFrame) = df.groupBy(col("user"), col("item"))
         .agg(countDistinct(col("o_orderkey")).as("strength"))
       val base = full.filter(col("o_orderkey") % 7 =!= 0)
