@@ -2227,6 +2227,75 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "q_assoc_rules" -> ((s, dir) => {
+      // association rules a→b from the basket pair supports:
+      // confidence = (10⁴·n_ab) div n_a and lift = (10⁴·n_ab·N) div
+      // (n_a·n_b) — BOTH exact integer floor divisions, no float
+      // anywhere; rules emitted in both directions, pruned at
+      // support ≥ 3 and confidence ≥ 5%. Same single basket shuffle
+      // as q_basket_affinity; the rule finish is per-pair arithmetic.
+      val baskets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .localCheckpoint(true) // pairs + supports + N read it
+      val pairs = baskets.select(explode(expr(
+          "flatten(transform(parts, (a, i) -> " +
+            "transform(slice(parts, i + 2, size(parts)), " +
+            "b -> named_struct('part_a', a, 'part_b', b))))")).as("p"))
+        .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3L)
+      val supp = baskets.select(explode(col("parts")).as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("n"))
+      val nb = baskets.agg(count(lit(1)).as("nbask"))
+      val both = pairs
+        .unionByName(pairs.select(col("part_b").as("part_a"),
+          col("part_a").as("part_b"), col("n_ab")))
+      both
+        .join(supp.withColumnRenamed("part", "part_a")
+          .withColumnRenamed("n", "n_a"), Seq("part_a"))
+        .join(supp.withColumnRenamed("part", "part_b")
+          .withColumnRenamed("n", "n_b"), Seq("part_b"))
+        .crossJoin(broadcast(nb))
+        .withColumn("conf_bp", expr("(10000 * n_ab) DIV n_a"))
+        .filter(col("conf_bp") >= 500L)
+        .withColumn("lift_bp", expr("(10000 * n_ab * nbask) DIV (n_a * n_b)"))
+        .select(col("part_a"), col("part_b"), col("n_ab"),
+          col("conf_bp"), col("lift_bp"))
+        .orderBy(col("part_a"), col("part_b"))
+    }),
+
+    "q_price_index" -> ((s, dir) => {
+      // Laspeyres / Paasche / Fisher price indices, 1996 base → 1997:
+      // per-part-year unit prices floor to exact cents (rev div qty),
+      // index numerators/denominators are exact BIGINT basket sums,
+      // Fisher is ONE sqrt over the two quantized indices — the
+      // econ-staple report with no float before the final quantize.
+      val li = t(s, dir, "lineitem")
+        .withColumn("yr", year(to_date(col("l_shipdate"))))
+        .filter(col("yr").isin(1996, 1997))
+        .groupBy(col("l_partkey"), col("yr"))
+        .agg(sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"), sum(col("l_quantity").cast("long")).as("qty"))
+        .withColumn("price_q", expr("rev_c DIV qty"))
+      val y0 = li.filter(col("yr") === 1996)
+        .select(col("l_partkey"), col("price_q").as("p0"), col("qty").as("q0"))
+      val y1 = li.filter(col("yr") === 1997)
+        .select(col("l_partkey"), col("price_q").as("p1"), col("qty").as("q1"))
+      val j = y0.join(y1, Seq("l_partkey"))
+      val m = j.agg(count(lit(1)).as("n_parts"),
+        sum(col("p1") * col("q0")).as("l_num"),
+        sum(col("p0") * col("q0")).as("l_den"),
+        sum(col("p1") * col("q1")).as("p_num"),
+        sum(col("p0") * col("q1")).as("p_den"))
+      m.select(col("n_parts"),
+        expr("(10000 * l_num) DIV l_den").as("laspeyres_bp"),
+        expr("(10000 * p_num) DIV p_den").as("paasche_bp"),
+        floor(sqrt(expr("CAST((10000 * l_num) DIV l_den AS DOUBLE)") *
+          expr("CAST((10000 * p_num) DIV p_den AS DOUBLE)")) + 0.5)
+          .cast("long").as("fisher_bp"))
+    }),
+
     "q_anova" -> ((s, dir) => {
       // one-way ANOVA F across order priorities — does mean order
       // value differ by priority class? Per-group exact moments in one
@@ -6468,6 +6537,53 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |bi AS (SELECT part_a, part_b, n_ab FROM pairs
+        |       UNION ALL
+        |       SELECT part_b, part_a, n_ab FROM pairs),
+        |supp AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT l_orderkey) AS nbask FROM li),
+        |r AS (SELECT part_a, part_b, n_ab,
+        |        (10000 * n_ab) // sa.n AS conf_bp,
+        |        CAST((10000 * n_ab * nbask) // (sa.n * sb.n) AS BIGINT) AS lift_bp
+        |      FROM bi
+        |      JOIN supp sa ON part_a = sa.l_partkey
+        |      JOIN supp sb ON part_b = sb.l_partkey
+        |      CROSS JOIN nb)
+        |SELECT part_a, part_b, n_ab, CAST(conf_bp AS BIGINT) AS conf_bp, lift_bp
+        |FROM r WHERE conf_bp >= 500
+        |ORDER BY part_a, part_b""".stripMargin,
+
+    "q_price_index" ->
+      """WITH li AS (
+        |  SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS yr,
+        |    CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |p AS (SELECT l_partkey, yr, rev_c // qty AS price_q, qty FROM li),
+        |j AS (SELECT y0.l_partkey, y0.price_q AS p0, y0.qty AS q0,
+        |        y1.price_q AS p1, y1.qty AS q1
+        |      FROM (SELECT * FROM p WHERE yr = 1996) y0
+        |      JOIN (SELECT * FROM p WHERE yr = 1997) y1 USING (l_partkey)),
+        |m AS (SELECT count(*) AS n_parts,
+        |        sum(p1*q0) AS l_num, sum(p0*q0) AS l_den,
+        |        sum(p1*q1) AS p_num, sum(p0*q1) AS p_den
+        |      FROM j)
+        |SELECT CAST(n_parts AS BIGINT) AS n_parts,
+        |  CAST((10000 * l_num) // l_den AS BIGINT) AS laspeyres_bp,
+        |  CAST((10000 * p_num) // p_den AS BIGINT) AS paasche_bp,
+        |  CAST(floor(sqrt(CAST((10000 * l_num) // l_den AS DOUBLE)
+        |    * CAST((10000 * p_num) // p_den AS DOUBLE)) + 0.5) AS BIGINT) AS fisher_bp
+        |FROM m""".stripMargin,
 
     "q_anova" ->
       // every division before the final F is an exact HUGEINT floor
