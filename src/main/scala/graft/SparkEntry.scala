@@ -2139,11 +2139,14 @@ object SparkEntry {
       // rank — element selection, no interpolation to split engines.
       val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
         col("n_chars").cast("long").as("n_chars"))
-      val bySrc = Window.partitionBy(col("source"))
-      val withPct = d
-        .withColumn("__rk", row_number().over(
-          bySrc.orderBy(col("n_chars"), col("doc_id"))))
-        .withColumn("__n", count(lit(1)).over(bySrc))
+      // per-source rank via the RANGED grouped machine (source
+      // cardinality is LOW — a plain per-source window funnels n/|src|
+      // rows through one task at 100 TB), counts from one keyed agg
+      val srcN = d.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      val withPct = RunningTotals.groupedRunningSum(
+          d.withColumn("__one", lit(1L)), Seq("source"),
+          Seq(col("n_chars").asc, col("doc_id").asc), "__one", "__rk")
+        .join(broadcast(srcN), Seq("source"))
         .withColumn("pct_bp",
           when(col("__n") === 1, lit(5000L))
             .otherwise(expr("((__rk - 1) * 10000) DIV (__n - 1)")))
