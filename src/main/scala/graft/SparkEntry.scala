@@ -2685,6 +2685,25 @@ object SparkEntry {
         .orderBy(col("channel"))
     }),
 
+    "q_communities" -> ((s, dir) => {
+      // community detection on the repeat co-purchase graph:
+      // deterministic synchronous LPA (min-label ties, fixed 5
+      // rounds) — the cohesion VIEW next to q_kcore's cohesion FILTER
+      // and q_dedup_clusters' exact components. rows-only (iterative
+      // heuristic, no SQL form); GraphsSpec plants two cliques joined
+      // by a bridge and proves the split + order-invariance.
+      val li = t(s, dir, "lineitem")
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(countDistinct(col("a.l_orderkey")).as("c"))
+        .filter(col("c") >= 2)
+      Graphs.labelPropagation(Graphs.canonicalEdges(pairs, "pa", "pb"),
+          iters = 5)
+        .orderBy(col("node"))
+    }),
+
     "q_kcore" -> ((s, dir) => {
       // cohesive-core filter (k-core, Seidman 1983) on the REPEAT
       // co-purchase graph (pairs bought together in ≥2 distinct orders

@@ -81,6 +81,51 @@ object Graphs {
       .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007), DETERMINISTIC variant: every node starts
+    * as its own label; each round it adopts the label most frequent
+    * among its neighbors, ties broken by SMALLEST label — no
+    * randomness, so the result is a pure function of the edge set.
+    * Runs `iters` fixed rounds (synchronous LPA can oscillate on
+    * bipartite structures; a fixed-round contract keeps the operator
+    * deterministic rather than convergence-dependent — callers wanting
+    * guaranteed-stable components use [[graft.dedup.Clusters]]).
+    * Returns (node, community).
+    *
+    * Shape per round: one neighbor-label join + one (node, label)
+    * count + one per-node top-1 rank — keyed shuffles only, label
+    * frame localCheckpoint'ed per round (bounded plans, superseded
+    * checkpoints freed).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val bidir = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node"))).distinct()
+      .withColumn("community", col("node")).localCheckpoint(true)
+    var last = labels
+    for (_ <- 1 to iters) {
+      val counts = bidir
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"), col("community"))
+        .agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("__c").desc, col("community").asc)
+      val next = counts
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("node"), col("community"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(last)
+      last = next
+      labels = next
+    }
+    labels
+  }
+
   /** Per-node triangle participation counts: one row per node that
     * closes at least one triangle, `(node, n_tri)`. Input must be a
     * canonical edge list from [[canonicalEdges]].

@@ -84,6 +84,25 @@ class GraphsSpec extends SparkSuite {
     assert(e.getMessage.contains("kCore"))
   }
 
+  test("labelPropagation splits two cliques joined by a bridge; deterministic") {
+    // cliques {1..5} and {11..15}, one bridge 5-11
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val pairs = clique(1L to 5L) ++ clique(11L to 15L) :+ (5L, 11L)
+    val out = Graphs.labelPropagation(edges(pairs: _*), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    // each clique converges to one community; the two differ
+    val c1 = (1L to 5L).map(out).toSet
+    val c2 = (11L to 15L).map(out).toSet
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2)
+    // determinism under input order
+    val shuffledEdges = Graphs.canonicalEdges(
+      scala.util.Random.shuffle(pairs.toList).toDF("a", "b"), "a", "b")
+    val out2 = Graphs.labelPropagation(shuffledEdges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(out2 == out)
+  }
+
   test("hub orientation: high-degree node generates no apex wedges") {
     // star with hub 1 (degree 100) + one closing edge (2,3): exactly
     // one triangle; the degree orientation makes the LOW-degree
