@@ -2685,6 +2685,34 @@ object SparkEntry {
         .orderBy(col("channel"))
     }),
 
+    "q_rec_eval" -> ((s, dir) => {
+      // the recommender loop CLOSED: order-level holdout (1 in 7
+      // orders), CF neighbors trained on the rest, top-10 scored per
+      // user (exact integer sim sums — a double sum would make
+      // re-runs hash-unstable), hit-rate@10 + NDCG@10 against the
+      // STRICTLY-NEW held-out items. rows-only (the whole pipeline has
+      // no SQL form); RecEvalSpec proves the scorer and metrics on
+      // planted fixtures.
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val inter = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("item"),
+          col("o_orderkey"))
+        .localCheckpoint(true) // train/test/strength all read it
+      val trainRaw = inter.filter(col("o_orderkey") % 7 =!= 0)
+      val train = trainRaw.groupBy(col("user"), col("item"))
+        .agg(countDistinct(col("o_orderkey")).as("strength"))
+        .localCheckpoint(true)
+      val test = inter.filter(col("o_orderkey") % 7 === 0)
+        .select(col("user"), col("item")).distinct()
+        .join(train.select(col("user"), col("item")), Seq("user", "item"),
+          "left_anti") // strictly new items only
+      val nbrs = graft.similarity.ItemSim.neighbors(train,
+        "user", "item", "strength", k = 10, maxUserItems = 50)
+      val recs = graft.similarity.RecEval.topK(train, nbrs, k = 10)
+      graft.similarity.RecEval.evaluate(recs, test, k = 10)
+    }),
+
     "q_communities" -> ((s, dir) => {
       // community detection on the repeat co-purchase graph:
       // deterministic synchronous LPA (min-label ties, fixed 5
