@@ -611,6 +611,19 @@ object ScaleSmoke {
       time("holt 1M-row hot key")(
         graft.operators.Recurrences.holt(hot, Seq("k"), Seq("ord"), "x",
           1L, 4L, 1L, 4L).count())
+      // iterative graph tier: per-round cost on a 2M-edge degree-4
+      // ring (shallow peel — the deep-chain case is a failing-test
+      // invariant in GraphsSpec, not a wall-clock ramp)
+      import graft.operators.Graphs
+      val gn = 1000000L
+      val ringEdges = Graphs.canonicalEdges(
+        spark.range(gn).select(col("id").as("u"), ((col("id") + 1) % gn).as("v"))
+          .unionAll(spark.range(gn)
+            .select(col("id").as("u"), ((col("id") + 17) % gn).as("v"))),
+        "u", "v")
+      time("kcore 2M edges (k=3)")(Graphs.kCore(ringEdges, 3).count())
+      time("lpa 2M edges (5 rounds)")(
+        Graphs.labelPropagation(ringEdges, 5).count())
     }
 
     spark.stop()
