@@ -49,11 +49,17 @@ object Stats {
     * deterministic end to end.
     */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // NULL CATEGORIES ARE DROPPED, loudly by contract: a null key would
+    // count in the margins yet never match the grid's equi-join (NULL
+    // != NULL), silently vanishing observations from the statistic —
+    // callers wanting missingness as a level fillna() an explicit
+    // sentinel first. (Audit catch on this round's own first cut.)
+    val dfNN = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
     // ONE scan of the input: margins, the grand total, and the grid
     // dimensions all re-aggregate the CELL frame (|a|·|b| rows), which
     // is pinned because four consumers re-read it — at 100 TB the
     // alternative is five full passes
-    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__o"))
+    val cells = dfNN.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__o"))
       .localCheckpoint(true)
     val aMar = cells.groupBy(col(aCol)).agg(sum(col("__o")).as("__na"))
     val bMar = cells.groupBy(col(bCol)).agg(sum(col("__o")).as("__nb"))
@@ -106,7 +112,11 @@ object Stats {
     def arm(v: Int, c: Column) = sum((when(col(variantCol) === v, c)
       .otherwise(lit(0L)) * sign).cast("decimal(38,0)"))
     val x = col(xCol)
-    df.agg(
+    // a null metric/variant/flag row would enter n but not the sums —
+    // inconsistent moments; excluded wholesale (subjects WITH a metric)
+    val df2 = df.filter(col(variantCol).isNotNull && x.isNotNull &&
+      col(convCol).isNotNull)
+    df2.agg(
       arm(0, lit(1L)).as("__n0"), arm(1, lit(1L)).as("__n1"),
       arm(0, x).as("__s0"), arm(1, x).as("__s1"),
       arm(0, x * x).as("__ss0"), arm(1, x * x).as("__ss1"),
@@ -170,11 +180,13 @@ object Stats {
     */
   def cuped(df: DataFrame, variantCol: String, xCol: String,
             yCol: String): DataFrame = {
+    val dfNN = df.filter(col(variantCol).isNotNull && col(xCol).isNotNull &&
+      col(yCol).isNotNull)
     def arm(v: Int, c: Column) = sum(when(col(variantCol) === v, c)
       .otherwise(lit(0L)).cast("decimal(38,0)"))
     def S(c: Column) = sum(c.cast("decimal(38,0)"))
     val (x, y) = (col(xCol), col(yCol))
-    val m = df.agg(
+    val m = dfNN.agg(
       arm(0, lit(1L)).as("__n0"), arm(1, lit(1L)).as("__n1"),
       arm(0, x).as("__sx0"), arm(1, x).as("__sx1"),
       arm(0, y).as("__sy0"), arm(1, y).as("__sy1"),
@@ -216,7 +228,8 @@ object Stats {
     * DECIMAL sums; the z finish is one pinned double expression.
     */
   def mannWhitney(df: DataFrame, variantCol: String, xCol: String): DataFrame = {
-    val byV = df.groupBy(col(xCol).as("__mwv"))
+    val df2 = df.filter(col(variantCol).isNotNull && col(xCol).isNotNull)
+    val byV = df2.groupBy(col(xCol).as("__mwv"))
       .agg(count(lit(1)).as("__cnt"),
         sum(when(col(variantCol) === 1, 1L).otherwise(0L)).as("__cnt1"))
     val cum = RunningTotals.globalRunningSum(byV,
@@ -260,10 +273,11 @@ object Stats {
     * never leaving integer arithmetic.
     */
   def anovaF(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val dfNN = df.filter(col(groupCol).isNotNull && col(xCol).isNotNull)
     def S(c: Column) = sum(c.cast("decimal(38,0)"))
     // exact floor division of non-negative decimals
     def fdiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("decimal(38,0)")
-    val g = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"),
+    val g = dfNN.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"),
       S(col(xCol)).as("__sg"), S(col(xCol) * col(xCol)).as("__ssg"))
     val term = fdiv(col("__sg") * col("__sg"), col("__ng").cast("decimal(38,0)"))
     val m = g.agg(count(lit(1)).as("__k"), sum(col("__ng")).as("__n"),
@@ -293,7 +307,8 @@ object Stats {
     * before the final H ratio).
     */
   def kruskalWallis(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
-    val byVG = df.groupBy(col(xCol).as("__kwv"), col(groupCol).as("__g"))
+    val df2 = df.filter(col(groupCol).isNotNull && col(xCol).isNotNull)
+    val byVG = df2.groupBy(col(xCol).as("__kwv"), col(groupCol).as("__g"))
       .agg(count(lit(1)).as("__cvg"))
     val byV = byVG.groupBy(col("__kwv")).agg(sum(col("__cvg")).as("__cnt"))
     val cum = RunningTotals.globalRunningSum(byV,
@@ -376,7 +391,7 @@ object Stats {
     */
   def isotonic(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val spark = df.sparkSession
-    val levels = df.groupBy(col(xCol).cast("long").as("__x"))
+    val levels = df.filter(col(xCol).isNotNull && col(yCol).isNotNull).groupBy(col(xCol).cast("long").as("__x"))
       .agg(count(lit(1)).as("__n"), sum(col(yCol)).cast("long").as("__sy"))
       .orderBy(col("__x")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -428,10 +443,11 @@ object Stats {
   def kaplanMeier(df: DataFrame, durationCol: String, eventCol: String,
                   scale: Long = 1000000000L): DataFrame = {
     require(scale > 0)
-    val byT = df.groupBy(col(durationCol).as("duration"))
+    val dfNN = df.filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+    val byT = dfNN.groupBy(col(durationCol).as("duration"))
       .agg(sum(col(eventCol)).cast("long").as("d"),
         sum(lit(1L) - col(eventCol)).cast("long").as("c"))
-    val tot = df.agg(count(lit(1)).cast("long").as("__total"))
+    val tot = dfNN.agg(count(lit(1)).cast("long").as("__total"))
     // exclusive running sum over the per-duration frame (tiny by the
     // distinct-durations contract — a plain ordered window is fine)
     val w = Window.partitionBy(lit(1)).orderBy(col("duration"))

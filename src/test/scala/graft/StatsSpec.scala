@@ -159,6 +159,25 @@ class StatsSpec extends SparkSuite {
     assert(shuffled == r)
   }
 
+  test("null rows are excluded wholesale, never half-counted") {
+    // chiSquare: a null category would inflate margins but miss the
+    // grid join — with the guard, nulls change NOTHING
+    val clean = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+    val dirty = clean ++ Seq((null, "x"), ("a", null))
+    val c1 = Stats.chiSquare(clean.toDF("a", "b"), "a", "b").collect().toSeq
+    val c2 = Stats.chiSquare(dirty.toDF("a", "b"), "a", "b").collect().toSeq
+    assert(c1 == c2)
+    // welchAb: a null metric row must not enter n while missing the sums
+    val base = Seq((0L, 10L, 0L), (0L, 30L, 0L), (1L, 20L, 1L), (1L, 40L, 0L))
+    val w1 = Stats.welchAb(base.toDF("variant", "x", "conv"),
+      "variant", "x", "conv").head()
+    val w2 = Stats.welchAb(
+      (base.map { case (v, x, c) => (Option(v), Option(x), Option(c)) } :+
+        ((Option(0L), Option.empty[Long], Option(0L))))
+        .toDF("variant", "x", "conv"), "variant", "x", "conv").head()
+    assert(w1 == w2)
+  }
+
   test("anovaF matches the textbook computation on a three-group frame") {
     // g1 = {1,2,3}, g2 = {4,5,6}, g3 = {7,8,9}: grand mean 5,
     // SSB = 3*(2-5)^2 + 3*(5-5)^2 + 3*(8-5)^2 = 54, SSW = 6
