@@ -2685,6 +2685,79 @@ object SparkEntry {
         .orderBy(col("channel"))
     }),
 
+    "q_mcnemar" -> ((s, dir) => {
+      // paired binary comparison (McNemar 1947): did high-value
+      // purchasing CHANGE between 1996 and 1997 for the SAME
+      // customers? The paired design two independent proportions
+      // can't give. Population = customers ordering in both years;
+      // statistic = (b−c)²/(b+c) over the discordant counts — exact
+      // integer ratio, quantized by floor division.
+      val o = t(s, dir, "orders")
+        .withColumn("yr", year(to_date(col("o_orderdate"))))
+        .filter(col("yr").isin(1996, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(when(col("yr") === 1996, 1L).otherwise(0L)).as("in96"),
+          max(when(col("yr") === 1997, 1L).otherwise(0L)).as("in97"),
+          max(when(col("yr") === 1996 && col("o_totalprice") > 300000.0, 1L)
+            .otherwise(0L)).as("hv96"),
+          max(when(col("yr") === 1997 && col("o_totalprice") > 300000.0, 1L)
+            .otherwise(0L)).as("hv97"))
+        .filter(col("in96") === 1L && col("in97") === 1L)
+      o.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("hv96") === 1L && col("hv97") === 0L, 1L).otherwise(0L))
+            .as("b"),
+          sum(when(col("hv96") === 0L && col("hv97") === 1L, 1L).otherwise(0L))
+            .as("c"))
+        .select(col("n_pairs"), col("b"), col("c"),
+          expr("CAST(CASE WHEN b + c = 0 THEN 0 ELSE " +
+            "(10000 * (b - c) * (b - c)) DIV (b + c) END AS BIGINT)")
+            .as("mcnemar_bp"))
+    }),
+
+    "q_srm" -> ((s, dir) => {
+      // sample-ratio-mismatch guard (the first experiment-hygiene
+      // check): chi-square goodness-of-fit of the observed variant
+      // split vs the designed 50/50 — (n0−n1)²/n, exact integers.
+      val o = t(s, dir, "orders").select(
+        when((col("o_custkey") % 1048573L) * 2654435761L % 1000000L < 500000L,
+          lit(0L)).otherwise(lit(1L)).as("variant"))
+      o.agg(
+          sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n1"))
+        .select(col("n0"), col("n1"),
+          expr("CAST((10000 * (n0 - n1) * (n0 - n1)) DIV (n0 + n1) AS BIGINT)")
+            .as("srm_bp"))
+    }),
+
+    "q_lsh_recall" -> ((s, dir) => {
+      // dedup-quality CANARY: inject tracer duplicates (1 in 17 docs
+      // copied under a shifted id) and measure the LSH pipeline's
+      // recall of the KNOWN (original, copy) pairs — identical text ⇒
+      // identical signature ⇒ same buckets, so recall must be 10000;
+      // anything lower is the regression alarm (the dedup sibling of
+      // q_ann_recall; tracer injection keeps the gate non-vacuous at
+      // every SF, unlike mining natural dups — the q_churn lesson).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val offset = lit(10000000L)
+      val tracers = docs.filter(col("doc_id") % 17 === 0)
+        .filter(length(trim(col("text"))) > 0)
+      val corpus = docs.unionByName(
+        tracers.select((col("doc_id") + offset).as("doc_id"), col("text")))
+      val truth = tracers.select(col("doc_id").as("lo"),
+        (col("doc_id") + offset).as("hi"))
+      val found = graft.dedup.NearDup.minhashPairs(corpus, "doc_id", "text",
+          threshold = 0.6)
+        .select(least(col("id_a"), col("id_b")).as("lo"),
+          greatest(col("id_a"), col("id_b")).as("hi"))
+      val hit = truth.join(found, Seq("lo", "hi"), "left_semi")
+      val nT = truth.count(); val nH = hit.count()
+      docs.sparkSession.range(1).select(
+        lit(nT).as("n_truth_pairs"), lit(nH).as("n_found"),
+        lit(if (nT == 0) 10000L else (10000L * nH) / nT).as("recall_bp"))
+    }),
+
     "q_rec_eval" -> ((s, dir) => {
       // the recommender loop CLOSED: order-level holdout (1 in 7
       // orders), CF neighbors trained on the rest, top-10 scored per
@@ -6587,6 +6660,40 @@ object SparkEntry {
         |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
         |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
+
+    "q_mcnemar" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996 THEN 1 ELSE 0 END) AS in96,
+        |    max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997 THEN 1 ELSE 0 END) AS in97,
+        |    max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+        |             AND o_totalprice > 300000 THEN 1 ELSE 0 END) AS hv96,
+        |    max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+        |             AND o_totalprice > 300000 THEN 1 ELSE 0 END) AS hv97
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+        |  GROUP BY 1),
+        |p AS (SELECT * FROM o WHERE in96 = 1 AND in97 = 1),
+        |m AS (SELECT count(*) AS n_pairs,
+        |        CAST(sum(CASE WHEN hv96 = 1 AND hv97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |        CAST(sum(CASE WHEN hv96 = 0 AND hv97 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |      FROM p)
+        |SELECT CAST(n_pairs AS BIGINT) AS n_pairs, b, c,
+        |  CAST(CASE WHEN b + c = 0 THEN 0
+        |       ELSE (10000 * (b - c) * (b - c)) // (b + c) END AS BIGINT) AS mcnemar_bp
+        |FROM m""".stripMargin,
+
+    "q_srm" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN (o_custkey % 1048573) * 2654435761 % 1000000 < 500000
+        |           THEN 0 ELSE 1 END AS v
+        |  FROM orders),
+        |m AS (SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |        CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |      FROM o)
+        |SELECT n0, n1,
+        |  CAST((10000 * (n0 - n1) * (n0 - n1)) // (n0 + n1) AS BIGINT) AS srm_bp
+        |FROM m""".stripMargin,
 
     "q_assoc_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
