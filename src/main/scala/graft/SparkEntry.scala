@@ -3934,6 +3934,142 @@ object SparkEntry {
       Diagnostics.lDiversityViolations(c,
         Seq("c_nationkey", "c_mktsegment", "balance_band"), "balance_c", l = 3)
         .orderBy(col("c_nationkey"), col("c_mktsegment"), col("balance_band"))
+    }),
+
+    "q_propensity_match" -> ((s, dir) => {
+      // observational effect of the BUILDING segment on customer spend:
+      // 1-NN propensity-style matching WITH replacement, stratified by
+      // nation (exact block) + nearest account balance (score), caliper
+      // $300. Matching is an AS-OF NEAREST join on the score axis —
+      // the single-shuffle two-frame machine, never treated×control.
+      val cents = floor(col("c_acctbal") * 100.0 + 0.5).cast("long")
+      val outcome = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("__oc"))
+      val pop = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("score"),
+          (col("c_mktsegment") === "BUILDING").as("__tr"))
+        .join(outcome, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"), col("score"),
+          col("__tr"), coalesce(col("__oc"), lit(0L)).as("outcome"))
+      Causal.propensityMatch(pop, "c_custkey", "c_nationkey",
+          "score", "__tr", "outcome", caliper = 30000L)
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_conformal" -> ((s, dir) => {
+      // split-conformal prediction interval per source for document
+      // token counts: a portable-HASH half calibrates, the other half
+      // measures empirical coverage of the 90% interval (doc_id parity
+      // is CONFOUNDED with source in this data — the driver assigns
+      // source by doc_id residue; the multiplicative hash decorrelates,
+      // caught by the zero-row sf0.001 gate). Residual ranks and the
+      // coverage test are INTEGER compares (|y·n − S| in decimal) —
+      // exact end to end, one group-keyed exchange.
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("y"),
+          (col("doc_id") % 1048573L * 2654435761L % 1000000L < 500000L)
+            .as("__cal"))
+      Stats.conformalSplit(d, "source", "doc_id", "y", "__cal",
+          alphaBp = 1000L)
+        .orderBy(col("source"))
+    }),
+
+    "q_bootstrap_ci" -> ((s, dir) => {
+      // 95% CI on mean order value per priority via the POISSON
+      // bootstrap (Chamandy 2012) — the bootstrap that scales: weights
+      // from the portable hash, per-replicate sums combine map-side,
+      // only B·|groups| rows ever shuffle. B=100 replicates,
+      // reproducible across runs, partitionings, and engines.
+      val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          cents.as("v"))
+      val point = o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          ((sum(col("v").cast("decimal(38,0)")) -
+            pmod(sum(col("v").cast("decimal(38,0)")), count(lit(1)))) /
+            count(lit(1))).cast("long").as("mean_cents"))
+      Stats.poissonBootstrap(o, "o_orderpriority", "o_orderkey", "v",
+          b = 100)
+        .join(broadcast(point), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_rows"), col("mean_cents"),
+          col("n_reps"), col("ci_lo"), col("ci_hi"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q_hhi" -> ((s, dir) => {
+      // market-concentration report per segment: HHI and CR4 over
+      // customer revenue shares — entity revenues, squared-share sum,
+      // and top-4 rank all on ONE group-keyed exchange; quantization by
+      // exact decimal floor division (hhi·10⁸, cr4·10⁴).
+      val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+      val df = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("c_custkey"), cents.as("v"))
+      Stats.concentration(df, "c_mktsegment", "c_custkey", "v")
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_fd_discovery" -> ((s, dir) => {
+      // schema recovery over the denormalized sales feed: which
+      // candidate dependencies actually hold? l_partkey→p_brand is
+      // join lineage (g₃=0 certifies it); the others fail with exact
+      // TANE g₃ deletion counts. Per candidate: grouped counts only,
+      // state ∝ (lhs,rhs) cardinality, map-side combinable.
+      val denorm = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      Diagnostics.fdProfile(denorm, Seq(
+          "l_partkey" -> "p_brand",
+          "p_brand" -> "p_type",
+          "l_orderkey" -> "l_shipdate",
+          "l_partkey" -> "l_suppkey"))
+        .orderBy(col("lhs"), col("rhs"))
+    }),
+
+    "q_twa" -> ((s, dir) => {
+      // time-weighted average event value per user over the sample-and-
+      // hold stream — the metering staple a plain mean gets wrong when
+      // sampling is bursty. Integer cents × integer seconds, one keyed
+      // window + one grouped sum on the same exchange.
+      val e = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("v"))
+      Resample.timeWeightedAvg(e, "user_id", "ts", "event_id", "v")
+        .orderBy(col("user_id"))
+    }),
+
+    "q_shapley" -> ((s, dir) => {
+      // game-theoretic attribution closing the set beside positional
+      // (q_attribution_linear) and Markov removal-effect
+      // (q_markov_attribution): channels=players, v(S)=conversions
+      // reachable with subset S, credit=Shapley value. Journeys are the
+      // SAME 30-minute sessions as the Markov query; distributed work
+      // is one keyed window + a ≤2^k-row mask count; the lattice solve
+      // is driver-side EXACT BigInt rationals. Unlike Markov (rational
+      // solve has no SQL form) the Shapley sum over k=4 channels IS
+      // SQL-expressible — the oracle replays the full lattice.
+      // ORDER ON TRUNCATED SECONDS everywhere: the oracle's only time
+      // grain is floor(epoch(ts)) — ordering by raw microseconds here
+      // could split a same-second purchase/click pair differently
+      val wE = Window.partitionBy(col("user_id"))
+        .orderBy(col("__ep"), col("event_id"))
+      val sessions = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .withColumn("__ep", col("ts").cast("long"))
+        .withColumn("__gap",
+          when(col("__ep") - lag(col("__ep"), 1).over(wE) > 1800L, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("journey_id",
+          concat(col("user_id").cast("string"), lit("#"),
+            sum(col("__gap")).over(
+              wE.rowsBetween(Window.unboundedPreceding, 0)).cast("string")))
+      ShapleyAttribution.shapley(sessions, "journey_id", "event_type",
+          "__ep", "event_id", "purchase",
+          Seq("click", "error", "signup", "view"))
+        .orderBy(col("channel"))
     })
   )
 
@@ -7754,6 +7890,242 @@ object SparkEntry {
         |  count(DISTINCT balance_c) AS n_sensitive_values
         |FROM c GROUP BY 1, 2, 3
         |HAVING count(DISTINCT balance_c) < 3
-        |ORDER BY c_nationkey, c_mktsegment, balance_band""".stripMargin
+        |ORDER BY c_nationkey, c_mktsegment, balance_band""".stripMargin,
+
+    "q_propensity_match" ->
+      // nearest-control replay: controls dedup to min id per (stratum,
+      // score); rank by |Δscore| with the as-of tie rule (at-or-below
+      // control wins an exact distance tie)
+      """WITH cust AS (SELECT c_custkey AS id, c_nationkey AS nat,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS s,
+        |    (c_mktsegment = 'BUILDING') AS tr
+        |  FROM customer),
+        |outc AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS oc
+        |  FROM orders GROUP BY 1),
+        |pop AS (SELECT c.id, c.nat, c.s, c.tr, coalesce(o.oc, 0) AS y
+        |  FROM cust c LEFT JOIN outc o ON o.o_custkey = c.id),
+        |ctl AS (SELECT nat, s, min(id) AS mid FROM pop WHERE NOT tr GROUP BY 1, 2),
+        |ctl2 AS (SELECT c.nat, c.s, c.mid, p.y AS my
+        |  FROM ctl c JOIN pop p ON p.id = c.mid),
+        |m AS (SELECT t.id, t.nat, t.s, t.y, c.mid, c.s AS ms, c.my,
+        |    row_number() OVER (PARTITION BY t.id
+        |      ORDER BY abs(t.s - c.s),
+        |               CASE WHEN c.s <= t.s THEN 0 ELSE 1 END) AS rk
+        |  FROM pop t JOIN ctl2 c ON c.nat = t.nat WHERE t.tr)
+        |SELECT id AS c_custkey, nat AS c_nationkey, s AS score,
+        |  y AS outcome, mid AS match_id, ms AS match_score,
+        |  my AS match_outcome, y - my AS effect
+        |FROM m WHERE rk = 1 AND abs(s - ms) <= 30000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_conformal" ->
+      // residual ranks and coverage compare |y·n − S| as integers —
+      // the mean never materializes; quantized readouts floor-divide
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '[ \t\n\r\f]+')) END AS BIGINT) AS y,
+        |    (((doc_id % 1048573) * 2654435761) % 1000000 < 500000) AS cal
+        |  FROM documents),
+        |st AS (SELECT source, count(*) AS n_cal,
+        |    CAST(sum(y) AS BIGINT) AS s
+        |  FROM d WHERE cal GROUP BY 1),
+        |r AS (SELECT d.source, d.doc_id, abs(d.y * st.n_cal - st.s) AS r,
+        |    st.n_cal, st.s,
+        |    least((9000 * (st.n_cal + 1) + 9999) // 10000, st.n_cal) AS k
+        |  FROM d JOIN st ON st.source = d.source WHERE d.cal),
+        |q AS (SELECT source, r AS qhat FROM (
+        |    SELECT source, r, k,
+        |      row_number() OVER (PARTITION BY source ORDER BY r, doc_id) AS rk
+        |    FROM r) WHERE rk = k),
+        |t AS (SELECT d.source, st.n_cal, st.s, q.qhat,
+        |    CASE WHEN abs(d.y * st.n_cal - st.s) <= q.qhat THEN 1 ELSE 0 END AS cov
+        |  FROM d JOIN st ON st.source = d.source
+        |         JOIN q ON q.source = d.source
+        |  WHERE NOT d.cal)
+        |SELECT source, CAST(any_value(n_cal) AS BIGINT) AS n_cal,
+        |  CAST((any_value(s) * 10000) // any_value(n_cal) AS BIGINT) AS mu_e4,
+        |  CAST((any_value(qhat) * 10000) // any_value(n_cal) AS BIGINT) AS q_e4,
+        |  count(*) AS n_test,
+        |  CAST(sum(cov) AS BIGINT) AS covered,
+        |  CAST((sum(cov) * 10000) // count(*) AS BIGINT) AS cover_bp
+        |FROM t GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      // Poisson bootstrap replay: identical portable hash, identical
+      // pinned inverse-CDF double literals, identical floor divisions
+      // and rank selections (lo=ceil(.025B)=3, hi=ceil(.975B)=98)
+      """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey AS id,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |x AS (SELECT o.*, r.range AS b,
+        |    (((o.id * 131 + r.range) % 1048573) * 2654435761 % 1000000)
+        |      / 1000000.0 AS u
+        |  FROM o CROSS JOIN range(0, 100) r),
+        |wt AS (SELECT pri, b, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         WHEN u < 0.999998874797402 THEN 8
+        |         ELSE 9 END AS w
+        |  FROM x),
+        |reps AS (SELECT pri, b,
+        |    CAST(sum(w * v) AS BIGINT) // CAST(sum(w) AS BIGINT) AS mean
+        |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
+        |rk AS (SELECT pri, b, mean,
+        |    row_number() OVER (PARTITION BY pri ORDER BY mean, b) AS rk
+        |  FROM reps),
+        |ci AS (SELECT pri, count(*) AS n_reps,
+        |    max(CASE WHEN rk = 3 THEN mean END) AS ci_lo,
+        |    max(CASE WHEN rk = 98 THEN mean END) AS ci_hi
+        |  FROM rk GROUP BY 1),
+        |pt AS (SELECT pri, count(*) AS n_rows,
+        |    CAST(sum(v) AS BIGINT) // count(*) AS mean_cents
+        |  FROM o GROUP BY 1)
+        |SELECT ci.pri AS o_orderpriority, pt.n_rows,
+        |  CAST(pt.mean_cents AS BIGINT) AS mean_cents, ci.n_reps,
+        |  CAST(ci.ci_lo AS BIGINT) AS ci_lo, CAST(ci.ci_hi AS BIGINT) AS ci_hi
+        |FROM ci JOIN pt ON pt.pri = ci.pri
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_hhi" ->
+      """WITH rev AS (SELECT c.c_mktsegment AS seg, c.c_custkey AS ck,
+        |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT seg, ck, r,
+        |    row_number() OVER (PARTITION BY seg ORDER BY r DESC, ck) AS rk
+        |  FROM rev)
+        |SELECT seg AS c_mktsegment, count(*) AS n_entities,
+        |  CAST(sum(r) AS BIGINT) AS total,
+        |  CAST((sum(r * r) * 100000000) // (sum(r) * sum(r)) AS BIGINT) AS hhi_e8,
+        |  CAST((sum(CASE WHEN rk <= 4 THEN r ELSE 0 END) * 10000) // sum(r)
+        |    AS BIGINT) AS cr4_bp
+        |FROM rk GROUP BY seg
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_fd_discovery" ->
+      // TANE g3 per candidate: rows − Σ max single-rhs count; NULL lhs
+      // dropped, NULL rhs a regular value (GROUP BY null-equality)
+      """WITH d AS (SELECT l.*, p.p_brand, p.p_type
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |pair1 AS (SELECT l_partkey AS lhs_v, p_brand AS rhs_v, count(*) AS n
+        |  FROM d WHERE l_partkey IS NOT NULL GROUP BY 1, 2),
+        |pair2 AS (SELECT p_brand AS lhs_v, p_type AS rhs_v, count(*) AS n
+        |  FROM d WHERE p_brand IS NOT NULL GROUP BY 1, 2),
+        |pair3 AS (SELECT l_orderkey AS lhs_v, l_shipdate AS rhs_v, count(*) AS n
+        |  FROM d WHERE l_orderkey IS NOT NULL GROUP BY 1, 2),
+        |pair4 AS (SELECT l_partkey AS lhs_v, l_suppkey AS rhs_v, count(*) AS n
+        |  FROM d WHERE l_partkey IS NOT NULL GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT 'l_partkey' AS lhs, 'p_brand' AS rhs, * FROM (
+        |    SELECT count(*) AS n_lhs,
+        |      CAST(sum(CASE WHEN kr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |      CAST(sum(rows_) AS BIGINT) AS n_rows,
+        |      CAST(sum(rows_ - keep) AS BIGINT) AS g3_remove
+        |    FROM (SELECT lhs_v, count(*) AS kr, sum(n) AS rows_, max(n) AS keep
+        |          FROM pair1 GROUP BY 1))
+        |  UNION ALL
+        |  SELECT 'p_brand', 'p_type', * FROM (
+        |    SELECT count(*),
+        |      CAST(sum(CASE WHEN kr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |      CAST(sum(rows_) AS BIGINT), CAST(sum(rows_ - keep) AS BIGINT)
+        |    FROM (SELECT lhs_v, count(*) AS kr, sum(n) AS rows_, max(n) AS keep
+        |          FROM pair2 GROUP BY 1))
+        |  UNION ALL
+        |  SELECT 'l_orderkey', 'l_shipdate', * FROM (
+        |    SELECT count(*),
+        |      CAST(sum(CASE WHEN kr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |      CAST(sum(rows_) AS BIGINT), CAST(sum(rows_ - keep) AS BIGINT)
+        |    FROM (SELECT lhs_v, count(*) AS kr, sum(n) AS rows_, max(n) AS keep
+        |          FROM pair3 GROUP BY 1))
+        |  UNION ALL
+        |  SELECT 'l_partkey', 'l_suppkey', * FROM (
+        |    SELECT count(*),
+        |      CAST(sum(CASE WHEN kr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |      CAST(sum(rows_) AS BIGINT), CAST(sum(rows_ - keep) AS BIGINT)
+        |    FROM (SELECT lhs_v, count(*) AS kr, sum(n) AS rows_, max(n) AS keep
+        |          FROM pair4 GROUP BY 1)))
+        |SELECT lhs, rhs, n_lhs, n_violating, n_rows, g3_remove,
+        |  (n_violating = 0) AS fd_holds
+        |FROM agg ORDER BY lhs, rhs""".stripMargin,
+
+    "q_twa" ->
+      // sample-and-hold durations on truncated epoch seconds; exact
+      // integer numerator, one floor division per key
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |seg AS (SELECT user_id, v,
+        |    lead(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) - ep AS dur
+        |  FROM e)
+        |SELECT user_id, count(*) + 1 AS n_obs,
+        |  CAST(sum(dur) AS BIGINT) AS span_s,
+        |  CAST(CAST(sum(v * dur) AS BIGINT) // CAST(sum(dur) AS BIGINT)
+        |    AS BIGINT) AS twa
+        |FROM seg WHERE dur IS NOT NULL
+        |GROUP BY user_id HAVING sum(dur) > 0
+        |ORDER BY user_id""".stripMargin,
+
+    "q_shapley" ->
+      // full lattice replay over k=4 channels: exposure-mask counts,
+      // v(S) by subset join, Shapley sum with integer factorial
+      // weights, one floor quantization — every step integer-exact
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT *, CASE WHEN ep - lag(ep) OVER
+        |      (PARTITION BY user_id ORDER BY ep, event_id) > 1800
+        |    THEN 1 ELSE 0 END AS gap FROM e),
+        |s AS (SELECT *, user_id || '#' || CAST(sum(gap) OVER
+        |      (PARTITION BY user_id ORDER BY ep, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS jid FROM g),
+        |p AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY jid
+        |      ORDER BY ep, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM s),
+        |j AS (SELECT jid,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    sum(DISTINCT CASE event_type WHEN 'click' THEN 1
+        |      WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+        |      WHEN 'view' THEN 8 ELSE 0 END) AS mask
+        |  FROM p WHERE cb = 0 GROUP BY jid),
+        |m AS (SELECT CAST(mask AS INTEGER) AS mask, count(*) AS n
+        |  FROM j WHERE conv = 1 GROUP BY 1),
+        |masks AS (SELECT CAST(r.range AS INTEGER) AS s FROM range(0, 16) r),
+        |vs AS (SELECT ms.s, CAST(coalesce(sum(m.n), 0) AS BIGINT) AS v
+        |  FROM masks ms LEFT JOIN m ON (m.mask & ms.s) = m.mask
+        |  GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+        |    ('signup', 4), ('view', 8)) AS t(channel, b)),
+        |ph AS (SELECT ch.channel,
+        |    CAST(sum(
+        |      (CASE ((v1.s & 1) + ((v1.s >> 1) & 1) + ((v1.s >> 2) & 1)
+        |            + ((v1.s >> 3) & 1))
+        |         WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 6 END) *
+        |      (CASE (3 - ((v1.s & 1) + ((v1.s >> 1) & 1) + ((v1.s >> 2) & 1)
+        |            + ((v1.s >> 3) & 1)))
+        |         WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 6 END) *
+        |      (v2.v - v1.v)) AS BIGINT) AS num
+        |  FROM ch
+        |  JOIN vs v1 ON (v1.s & ch.b) = 0
+        |  JOIN vs v2 ON v2.s = (v1.s | ch.b)
+        |  GROUP BY 1),
+        |tc AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM m)
+        |SELECT ph.channel,
+        |  CAST((ph.num * 1000000) // 24 AS BIGINT) AS phi_e6,
+        |  CAST(coalesce((SELECT sum(m.n) FROM m WHERE (m.mask & ch.b) <> 0), 0)
+        |    AS BIGINT) AS n_conv_touching,
+        |  tc.total AS total_conv
+        |FROM ph JOIN ch ON ch.channel = ph.channel CROSS JOIN tc
+        |ORDER BY ph.channel""".stripMargin
   )
 }

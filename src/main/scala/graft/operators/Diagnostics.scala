@@ -189,4 +189,41 @@ object Diagnostics {
       .crossJoin(b.agg(count(lit(1)).as("rows_b")))
     prod.crossJoin(broadcast(counts))
   }
+
+  /** Functional-dependency audit over candidate column pairs: for each
+    * lhs → rhs candidate, does lhs determine rhs, and if not, how
+    * badly? Reports the TANE g₃ error (Huhtala et al. 1999) — the
+    * minimum number of rows to delete for the FD to hold, i.e.
+    * Σ_lhs (group size − max single-rhs count) — alongside the
+    * violating-lhs count. The workhorse of schema recovery over
+    * denormalized feeds: a g₃ of 0 certifies a join-lineage column, a
+    * small g₃ flags dirty rows, a large one disproves the dependency.
+    *
+    * Shape per candidate: one (lhs, rhs) grouped count, re-aggregated
+    * per lhs, then to one row — each stage map-side combinable, state
+    * bounded by the (lhs, rhs) cardinality, never raw rows. Candidates
+    * union AFTER aggregation (p tiny frames, not p full scans of
+    * unioned raw data). Rows with NULL lhs are dropped (a null
+    * determinant determines nothing); NULL rhs counts as a regular
+    * value (GROUP BY null-equality, identical in Spark and ANSI SQL).
+    */
+  def fdProfile(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one lhs -> rhs candidate")
+    val perPair = candidates.map { case (lhs, rhs) =>
+      val pairCounts = df.filter(col(lhs).isNotNull)
+        .groupBy(col(lhs), col(rhs)).agg(count(lit(1)).as("__n"))
+      val perLhs = pairCounts.groupBy(col(lhs))
+        .agg(count(lit(1)).as("__kr"), sum(col("__n")).as("__rows"),
+          max(col("__n")).as("__keep"))
+      perLhs.agg(
+        count(lit(1)).as("n_lhs"),
+        sum(when(col("__kr") > 1, 1L).otherwise(0L)).as("n_violating"),
+        sum(col("__rows")).as("n_rows"),
+        sum(col("__rows") - col("__keep")).as("g3_remove"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_lhs"), col("n_violating"), col("n_rows"), col("g3_remove"),
+          (col("n_violating") === 0L).as("fd_holds"))
+    }
+    perPair.reduce(_ unionByName _)
+  }
 }

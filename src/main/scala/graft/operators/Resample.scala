@@ -115,4 +115,45 @@ object Resample {
     bounds.select(col("key"),
       explode(sequence(col("gstart"), gendGuarded, lit(stepSeconds))).as("t"))
   }
+
+  /** Time-weighted average per key over an irregular sample-and-hold
+    * stream — the metering/IoT/finance staple where a plain mean
+    * overweights busy periods: each observation's value holds until the
+    * next observation, so it contributes value × holding-duration, and
+    * the TWA is Σ v·Δt / Σ Δt over [first, last] observation.
+    *
+    * Exactness: `valueCol` is LONG units (quantize first), durations
+    * are integer epoch seconds, so the numerator is an exact BIGINT sum
+    * and the average a single floor division — hash-stable under any
+    * row order. The last observation (no successor) bounds the window;
+    * keys with fewer than two observations have no time extent and are
+    * excluded by definition. Equal-timestamp ties order by `idCol`:
+    * the earlier-id value holds for zero seconds — harmless, but the
+    * ORDER must be total or `lead` is nondeterministic.
+    *
+    * Shape: one keyed window (lead) + one grouped sum on the SAME key —
+    * a single exchange end to end, partial aggregation map-side.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // decimal floor division — Σ v·Δt can clear double's 2^53 integer
+    // ceiling long before 100 TB does anything else wrong
+    def fdiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val ad = a.cast("decimal(38,0)"); val bd = b.cast("decimal(38,0)")
+      ((ad - pmod(ad, bd)) / bd).cast("long")
+    }
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val ep = col(tsCol).cast("long")
+    val seg = df.filter(col(tsCol).isNotNull)
+      .withColumn("__dur", lead(ep, 1).over(w) - ep)
+      .filter(col("__dur").isNotNull)
+    seg.groupBy(col(keyCol))
+      .agg((count(lit(1)) + 1).as("n_obs"),
+        sum(col("__dur")).as("span_s"),
+        sum(col(valueCol) * col("__dur")).as("__vs"))
+      .filter(col("span_s") > 0)
+      .withColumn("twa", fdiv(col("__vs"), col("span_s")))
+      .drop("__vs")
+  }
 }

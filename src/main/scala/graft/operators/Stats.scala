@@ -537,4 +537,162 @@ object Stats {
         col(xCol) - col("trend") - col("seasonal"))
       .drop("__detr")
   }
+
+  /** Market-concentration report per group: Herfindahl–Hirschman index
+    * and the 4-entity concentration ratio over an entity-level value
+    * (both standard antitrust/assortment diagnostics). One grouped sum
+    * per (group, entity), one rank window, one final group agg — all on
+    * the same group key, so the entity frame's exchange is reused.
+    *
+    * Exactness: values are LONG units (cents); HHI·10⁸ =
+    * floor(Σ revᵢ² · 10⁸ / total²) and CR4·10⁴ = floor(top4 · 10⁴ /
+    * total) both compute in DECIMAL(38,0) with the pmod-subtract floor
+    * division (exact, engine-independent). Integer-window contract:
+    * Σ revᵢ²·10⁸ must fit 38 digits — holds through total ≈ 10¹⁵ value
+    * units per group (revᵢ² ≤ total², ×10⁸ → 10³⁸); above that,
+    * pre-scale the unit.
+    *
+    * Entities with zero rows simply don't appear — the caller decides
+    * whether absent entities are zero-share members (they change
+    * nothing but `n_entities`). Values must be non-negative.
+    */
+  def concentration(df: DataFrame, groupCol: String, entityCol: String,
+                    valueCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    val rev = df.groupBy(col(groupCol), col(entityCol))
+      .agg(sum(col(valueCol)).as("__rev"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__rev").desc, col(entityCol))
+    val ranked = rev.withColumn("__rk", row_number().over(w))
+    ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_entities"),
+      sum(col("__rev")).as("total"),
+      sum(dec(col("__rev")) * dec(col("__rev"))).as("__sq"),
+      sum(when(col("__rk") <= 4, col("__rev")).otherwise(0L)).as("__t4"))
+      .select(col(groupCol), col("n_entities"), col("total"),
+        fdiv(col("__sq") * lit(100000000L),
+          dec(col("total")) * dec(col("total"))).as("hhi_e8"),
+        fdiv(dec(col("__t4")) * lit(10000L), dec(col("total"))).as("cr4_bp"))
+  }
+
+  /** Split-conformal prediction intervals per group (Vovk et al.;
+    * Lei et al. 2018): the calibration half fits the "model" (here the
+    * group mean), the conformal quantile of absolute residuals at level
+    * 1−α gives a finite-sample-valid interval, and the held-out half
+    * measures empirical coverage.
+    *
+    * Exactness: with y LONG and the group mean S/n kept as the exact
+    * rational pair, every residual compares as |y·n − S| in
+    * DECIMAL(38,0) — rank selection and the coverage test are integer
+    * compares, no division anywhere until the final quantized readout.
+    * The conformal rank k = ⌈(1−α)(n+1)⌉ (α in basis points), clamped
+    * to n (k > n means the interval is the whole line; the clamp keeps
+    * the row finite and the coverage column tells the truth).
+    *
+    * Shape: one grouped moment pass, one in-group rank window on the
+    * calibration rows, one final grouped count — group-keyed
+    * throughout, residual frames never leave their exchange.
+    */
+  def conformalSplit(df: DataFrame, groupCol: String, idCol: String,
+                     yCol: String, calibCol: String,
+                     alphaBp: Long = 1000L): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000, s"alphaBp in (0,10000), got $alphaBp")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    val cal = df.filter(col(calibCol))
+    val stats = cal.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_cal"), sum(dec(col(yCol))).as("__s"))
+    val resid = cal.join(broadcast(stats), Seq(groupCol))
+      .withColumn("__r", abs(dec(col(yCol)) * dec(col("n_cal")) - col("__s")))
+    // k = ceil((1-a)(n+1)) with a = alphaBp/1e4: ceil(m/1e4) via the
+    // add-(denom-1) floor identity, all in BIGINT
+    val k = least(
+      fdiv((lit(10000L) - lit(alphaBp)) * (col("n_cal") + 1) + lit(9999L),
+        lit(10000L)),
+      col("n_cal"))
+    val wR = Window.partitionBy(col(groupCol))
+      .orderBy(col("__r"), col(idCol))
+    val qhat = resid.withColumn("__k", k)
+      .withColumn("__rk", row_number().over(wR))
+      .filter(col("__rk") === col("__k"))
+      .select(col(groupCol), col("__r").as("__q"))
+    val test = df.filter(!col(calibCol))
+      .join(broadcast(stats), Seq(groupCol))
+      .join(broadcast(qhat), Seq(groupCol))
+      .withColumn("__cov",
+        when(abs(dec(col(yCol)) * dec(col("n_cal")) - col("__s")) <= col("__q"),
+          1L).otherwise(0L))
+    test.groupBy(col(groupCol)).agg(
+      first(col("n_cal")).as("n_cal"),
+      fdiv(first(col("__s")) * lit(10000L), dec(first(col("n_cal"))))
+        .as("mu_e4"),
+      fdiv(first(col("__q")) * lit(10000L), dec(first(col("n_cal"))))
+        .as("q_e4"),
+      count(lit(1)).as("n_test"),
+      sum(col("__cov")).as("covered"))
+      .withColumn("cover_bp",
+        fdiv(dec(col("covered")) * lit(10000L), dec(col("n_test"))))
+  }
+
+  /** Percentile-bootstrap confidence interval for the per-group mean via
+    * the POISSON bootstrap (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", Google 2012): instead of resampling n
+    * slots with replacement (which needs a global row index — a full
+    * shuffle just to set up), each row independently enters replicate b
+    * with multiplicity w ~ Poisson(1). That keeps the whole bootstrap
+    * ONE map-side pass: explode ×B, weight from a portable hash, and
+    * the per-(group, replicate) sums combine map-side; only B·|groups|
+    * tiny rows ever shuffle. The classic resampler is O(n·B) SHUFFLED
+    * rows — this is O(n·B) mapped, O(B·G) shuffled, the difference
+    * between impossible and cheap at 100 TB.
+    *
+    * Determinism: the multiplicity is the quantized inverse Poisson(1)
+    * CDF (thresholds pinned as double literals — both engines parse the
+    * identical IEEE values) applied to the repo's portable
+    * multiplicative hash of (id·131 + b), so every replicate is
+    * reproducible across runs, partitionings, AND engines. Replicate
+    * means are exact integer floor divisions; the CI bounds are exact
+    * rank selections (lo = ⌈0.025B⌉-th, hi = ⌈0.975B⌉-th smallest,
+    * replicate id breaking ties).
+    */
+  def poissonBootstrap(df: DataFrame, groupCol: String, idCol: String,
+                      valueCol: String, b: Int = 100): DataFrame = {
+    require(b >= 20 && b <= 10000, s"replicates in [20,10000], got $b")
+    // decimal floor division: the long/long path goes through double,
+    // whose 2^53 integer ceiling a 100 TB weighted sum can clear
+    def fdiv(a: Column, c: Column) = {
+      val ad = a.cast("decimal(38,0)"); val cd = c.cast("decimal(38,0)")
+      ((ad - pmod(ad, cd)) / cd).cast("long")
+    }
+    val loRk = math.ceil(0.025 * b).toLong
+    val hiRk = math.ceil(0.975 * b).toLong
+    val u = (pmod(col(idCol) * lit(131L) + col("__b"), lit(1048573L)) *
+      lit(2654435761L) % lit(1000000L)).cast("double") / lit(1000000.0)
+    val wgt = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .when(u < 0.999916758850712, 6L)
+      .when(u < 0.9999897508033253, 7L)
+      .when(u < 0.999998874797402, 8L)
+      .otherwise(9L)
+    val reps = df.select(col(groupCol), col(idCol), col(valueCol))
+      .withColumn("__b", explode(sequence(lit(0L), lit(b - 1L))))
+      .withColumn("__w", wgt)
+      .groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__w") * col(valueCol)).as("__ws"),
+        sum(col("__w")).as("__n"))
+      .filter(col("__n") > 0) // P(empty replicate) = e^-n: a guard, not a path
+      .withColumn("__mean", fdiv(col("__ws"), col("__n")))
+    val wRk = Window.partitionBy(col(groupCol))
+      .orderBy(col("__mean"), col("__b"))
+    reps.withColumn("__rk", row_number().over(wRk))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_reps"),
+        max(when(col("__rk") === loRk, col("__mean"))).as("ci_lo"),
+        max(when(col("__rk") === hiRk, col("__mean"))).as("ci_hi"))
+  }
 }

@@ -91,4 +91,31 @@ class DiagnosticsSpec extends SparkSuite {
       .as[(Long, Long, Long, Long)].head()
     assert(quiet._1 === 0L && quiet._2 === 0L)
   }
+
+  test("fdProfile: exact g3, held FDs certified, null semantics pinned") {
+    // lhs=1 -> rhs always "a" (holds); lhs=2 -> {a:3, b:1} (g3=1);
+    // lhs=3 -> {a:1, b:1} (g3=1); null lhs dropped; null rhs is a value
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("a")),
+      (Some(2L), Some("a")), (Some(2L), Some("a")), (Some(2L), Some("a")),
+      (Some(2L), Some("b")),
+      (Some(3L), Some("a")), (Some(3L), Some("b")),
+      (None: Option[Long], Some("zzz")),
+      (Some(4L), None: Option[String]), (Some(4L), None: Option[String]))
+      .toDF("l", "r")
+    val out = Diagnostics.fdProfile(df, Seq("l" -> "r")).head()
+    assert(out.getAs[Long]("n_lhs") == 4L)        // 1,2,3,4 (null dropped)
+    assert(out.getAs[Long]("n_violating") == 2L)  // 2 and 3
+    assert(out.getAs[Long]("n_rows") == 10L)      // null-lhs row gone
+    assert(out.getAs[Long]("g3_remove") == 2L)
+    assert(!out.getAs[Boolean]("fd_holds"))
+
+    // a real FD over two candidates unions to two rows, one certified
+    val df2 = Seq((1L, "x", "p"), (2L, "x", "p"), (3L, "y", "q"))
+      .toDF("id", "a", "b")
+    val rows = Diagnostics.fdProfile(df2, Seq("a" -> "b", "b" -> "a"))
+      .collect().map(r => (r.getString(0), r.getAs[Boolean]("fd_holds"),
+        r.getAs[Long]("g3_remove"))).toSet
+    assert(rows == Set(("a", true, 0L), ("b", true, 0L)))
+  }
 }

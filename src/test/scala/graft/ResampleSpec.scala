@@ -123,4 +123,23 @@ class ResampleSpec extends SparkSuite {
     assert(out.map(_._3) === Seq(1.0, 1.0))
     assert(out.size == 2)
   }
+
+  test("timeWeightedAvg: sample-and-hold weighting, singletons excluded") {
+    // key 1: 100 for 10s then 200 for 30s -> (1000+6000)/40 = 175
+    // key 2: single observation -> no extent -> absent
+    // key 3: same-second tie holds the later-id value for the whole span
+    val rows = Seq(
+      (1L, 100L, 1L, 100L), (1L, 110L, 2L, 200L), (1L, 140L, 3L, 999L),
+      (2L, 100L, 4L, 50L),
+      (3L, 100L, 5L, 10L), (3L, 100L, 6L, 30L), (3L, 200L, 7L, 70L))
+    val df = rows.toDF("k", "ep", "id", "v")
+    val out = Resample.timeWeightedAvg(df, "k", "ep", "id", "v")
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_obs"), r.getAs[Long]("span_s"), r.getAs[Long]("twa")))
+      .toMap
+    assert(out(1L) == (3L, 40L, 175L))
+    assert(!out.contains(2L))
+    // id5 holds 0s, id6 holds 100s: twa = 30
+    assert(out(3L) == (3L, 100L, 30L))
+  }
 }

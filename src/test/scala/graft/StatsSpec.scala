@@ -269,4 +269,65 @@ class StatsSpec extends SparkSuite {
     assert(got == want)
     assert(want.exists(_ < 0) || b < 0, "test data should exercise a negative state")
   }
+
+  test("concentration: monopoly, even split, and a hand-computed mix") {
+    val df = Seq(
+      ("mono", "e1", 100L),
+      ("even4", "a", 25L), ("even4", "b", 25L), ("even4", "c", 25L), ("even4", "d", 25L),
+      // shares 50/30/20: HHI = .25+.09+.04 = .38 ; CR4 = 100%
+      ("mix", "x", 30L), ("mix", "x", 20L), ("mix", "y", 30L), ("mix", "z", 20L))
+      .toDF("g", "e", "v")
+    val out = Stats.concentration(df, "g", "e", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("mono").getAs[Long]("hhi_e8") == 100000000L)
+    assert(out("mono").getAs[Long]("cr4_bp") == 10000L)
+    assert(out("even4").getAs[Long]("hhi_e8") == 25000000L)
+    assert(out("even4").getAs[Long]("cr4_bp") == 10000L)
+    assert(out("mix").getAs[Long]("hhi_e8") == 38000000L)
+    assert(out("mix").getAs[Long]("n_entities") == 3L)
+    assert(out("mix").getAs[Long]("total") == 100L)
+  }
+
+  test("conformalSplit: hand-checked quantile rank and interval coverage") {
+    // cal y: {10, 10, 10, 20} -> n=4, S=50, residuals |4y-50| = {10,10,10,30}
+    // k = min(ceil(0.9*5), 4) = 4 -> qhat_scaled = 30 (q_e4 = 30*1e4/4 = 75000)
+    // test y in [50/4 - 7.5, 20] -> covered iff |4y-50| <= 30 iff 5 <= y <= 20
+    val df = Seq(
+      (1L, 10L, true), (2L, 10L, true), (3L, 10L, true), (4L, 20L, true),
+      (5L, 5L, false), (6L, 20L, false), (7L, 21L, false), (8L, 4L, false))
+      .map { case (id, y, c) => ("g", id, y, c) }.toDF("g", "id", "y", "cal")
+    val r = Stats.conformalSplit(df, "g", "id", "y", "cal", alphaBp = 1000L).head()
+    assert(r.getAs[Long]("n_cal") == 4L)
+    assert(r.getAs[Long]("mu_e4") == 125000L)
+    assert(r.getAs[Long]("q_e4") == 75000L)
+    assert(r.getAs[Long]("n_test") == 4L)
+    assert(r.getAs[Long]("covered") == 2L)
+    assert(r.getAs[Long]("cover_bp") == 5000L)
+  }
+
+  test("conformalSplit: finite-sample coverage holds on exchangeable data") {
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 2000L).map(i => ("g", i, rnd.nextInt(1000).toLong,
+      rnd.nextBoolean())).toDF("g", "id", "y", "cal")
+    val r = Stats.conformalSplit(df, "g", "id", "y", "cal", alphaBp = 1000L).head()
+    // guarantee is P(cover) >= 90%; on ~1000 test points allow 3 sigma
+    assert(r.getAs[Long]("cover_bp") >= 8700L)
+  }
+
+  test("poissonBootstrap: deterministic, CI brackets the point mean") {
+    val rnd = new scala.util.Random(5)
+    val df = (1L to 3000L).map(i => ("g", i, 1000L + rnd.nextInt(500)))
+      .toDF("g", "id", "v")
+    val a = Stats.poissonBootstrap(df, "g", "id", "v", b = 100).head()
+    val b2 = Stats.poissonBootstrap(
+      df.repartition(7), "g", "id", "v", b = 100).head()
+    assert(a.getAs[Long]("n_reps") == 100L)
+    // bit-identical under any partitioning — the portable-hash contract
+    assert(a.getAs[Long]("ci_lo") == b2.getAs[Long]("ci_lo"))
+    assert(a.getAs[Long]("ci_hi") == b2.getAs[Long]("ci_hi"))
+    val mean = df.agg(sum($"v") / count(lit(1))).head().getDouble(0)
+    assert(a.getAs[Long]("ci_lo") <= mean && mean <= a.getAs[Long]("ci_hi"))
+    // a ~1250 +/- ~145/sqrt(3000) mean: the CI must be tight, not vacuous
+    assert(a.getAs[Long]("ci_hi") - a.getAs[Long]("ci_lo") < 30L)
+  }
 }
