@@ -4070,6 +4070,66 @@ object SparkEntry {
           "__ep", "event_id", "purchase",
           Seq("click", "error", "signup", "view"))
         .orderBy(col("channel"))
+    }),
+
+    "q_sprt" -> ((s, dir) => {
+      // Wald SPRT per arm over the date-ordered order stream: is the
+      // high-value rate 0.50 (H0) or 0.60 (H1)? The always-valid
+      // sequential answer to "can I stop the experiment yet". LLR =
+      // c·l1 + (n−c)·l0 with integer cumulative counts through the
+      // RANGED running-sum machine (a hot arm never funnels one task)
+      // and two pinned double constants the oracle re-embeds verbatim.
+      val o = t(s, dir, "orders")
+        .withColumn("arm", col("o_orderkey") % 2)
+        .withColumn("x",
+          when(col("o_totalprice") > 200000.0, 1L).otherwise(0L))
+      Stats.sprt(o, "arm", Seq(col("o_orderdate"), col("o_orderkey")),
+          "x", p0Bp = 5000L, p1Bp = 6000L)
+        .orderBy(col("arm"))
+    }),
+
+    "q_logrank" -> ((s, dir) => {
+      // the inference step after the KM curve: do BUILDING customers'
+      // order lifetimes differ from everyone else's? Same subject
+      // derivation as q_survival_km, split by segment; O−E and the
+      // hypergeometric variance quantize to e8 per event time and sum
+      // in BIGINT — one self-contained χ² row.
+      val byCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+          max(to_date(col("o_orderdate"))).as("last_d"))
+      val mx = byCust.agg(max(col("last_d")).as("__mx"))
+      val subj = byCust.crossJoin(broadcast(mx))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(
+          datediff(col("last_d"), col("first_d")).cast("long").as("duration"),
+          when(datediff(col("__mx"), col("last_d")) >= 365, 1L)
+            .otherwise(0L).as("event"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("g"))
+      Stats.logRank(subj, "g", "duration", "event")
+    }),
+
+    "q_rake" -> ((s, dir) => {
+      // survey raking (IPF): customers ACTIVE IN 1997 are a biased
+      // subsample — re-weight its (nation × segment) cells so both
+      // margins match the full customer base. Distributed work = three
+      // grouped counts; the 3-round fit runs driver-side over the
+      // ≤125-cell table in exact BigInt with e6 weight quantization —
+      // the oracle replays the unrolled iterations in SQL.
+      val cust = t(s, dir, "customer")
+      val active = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_custkey")).distinct()
+      val sample = cust.join(active, col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").cast("string").as("nation"),
+          col("c_mktsegment").as("segment"))
+      val rowT = cust.groupBy(col("c_nationkey").cast("string").as("nation"))
+        .agg(count(lit(1)).as("t"))
+      val colT = cust.groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("t"))
+      Raking.rake(sample, "nation", "segment", rowT, colT, iters = 3)
+        .orderBy(col("nation"), col("segment"))
     })
   )
 
@@ -8126,6 +8186,147 @@ object SparkEntry {
         |    AS BIGINT) AS n_conv_touching,
         |  tc.total AS total_conv
         |FROM ph JOIN ch ON ch.channel = ph.channel CROSS JOIN tc
-        |ORDER BY ph.channel""".stripMargin
+        |ORDER BY ph.channel""".stripMargin,
+
+    "q_sprt" ->
+      // the four constants are .toString of the EXACT doubles the Spark
+      // side uses (shortest round-trip repr parses to the same IEEE
+      // value); LLR replays the identical two-flop expression
+      s"""WITH o AS (SELECT o_orderkey % 2 AS arm,
+        |    CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS x,
+        |    o_orderdate, o_orderkey FROM orders),
+        |c AS (SELECT arm,
+        |    CAST(sum(x) OVER w AS BIGINT) AS cx,
+        |    CAST(count(*) OVER w AS BIGINT) AS cn
+        |  FROM o WINDOW w AS (PARTITION BY arm
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)),
+        |d AS (SELECT arm, cn,
+        |    (cx * ${sprtC._1}) + ((cn - cx) * ${sprtC._2}) AS llr
+        |  FROM c),
+        |e AS (SELECT arm, cn, llr,
+        |    CASE WHEN llr >= ${sprtC._3} THEN 1
+        |         WHEN llr <= ${sprtC._4} THEN -1 ELSE 0 END AS dec
+        |  FROM d),
+        |hit AS (SELECT arm, min(cn) AS hn FROM e WHERE dec <> 0 GROUP BY 1),
+        |fin AS (SELECT arm, max(cn) AS n_total FROM e GROUP BY 1),
+        |pick AS (SELECT f.arm, coalesce(h.hn, f.n_total) AS n_decide,
+        |    f.n_total
+        |  FROM fin f LEFT JOIN hit h ON h.arm = f.arm)
+        |SELECT p.arm, p.n_decide,
+        |  CASE e.dec WHEN 1 THEN 'accept_h1' WHEN -1 THEN 'accept_h0'
+        |    ELSE 'undecided' END AS decision,
+        |  CAST(floor(e.llr * 10000 + 0.5) AS BIGINT) AS llr_bp,
+        |  p.n_total
+        |FROM pick p JOIN e ON e.arm = p.arm AND e.cn = p.n_decide
+        |ORDER BY p.arm""".stripMargin,
+
+    "q_logrank" ->
+      // q_survival_km's subject derivation split by segment; per-time
+      // O−E and variance replay the pinned double parenthesization
+      """WITH ev AS (
+        |  SELECT o_custkey,
+        |    CAST(min(o_orderdate) AS DATE) AS first_d,
+        |    CAST(max(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_d) AS mxd FROM ev),
+        |subj AS (SELECT CAST(last_d - first_d AS BIGINT) AS duration,
+        |    CASE WHEN mxd - last_d >= 365 THEN 1 ELSE 0 END AS event,
+        |    CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+        |  FROM ev CROSS JOIN mx
+        |  JOIN customer c ON c.c_custkey = ev.o_custkey),
+        |byt AS (SELECT duration AS t,
+        |    CAST(sum(event * g) AS BIGINT) AS d1,
+        |    CAST(sum(event) AS BIGINT) AS d,
+        |    CAST(sum(g) AS BIGINT) AS r1,
+        |    count(*) AS r
+        |  FROM subj GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, CAST(sum(g) AS BIGINT) AS n1 FROM subj),
+        |risk0 AS (SELECT t, d1, d,
+        |    CAST(n - coalesce(sum(r) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nr,
+        |    CAST(n1 - coalesce(sum(r1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nr1
+        |  FROM byt, tot),
+        |-- the d>0 filter must come AFTER the cumulative at-risk counts:
+        |-- a WHERE on the windowed CTE would drop censored-only times
+        |-- from the risk-set arithmetic (caught by the sf0.001 gate)
+        |risk AS (SELECT * FROM risk0 WHERE d > 0),
+        |terms AS (SELECT
+        |    CAST(floor((CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) *
+        |      (CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))) * 100000000 + 0.5)
+        |      AS BIGINT) AS oe8,
+        |    CAST(floor((CASE WHEN nr > 1 THEN
+        |      CAST(d AS DOUBLE) * (CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE)) *
+        |      (1.0 - (CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))) *
+        |      CAST(nr - d AS DOUBLE) / CAST(nr - 1 AS DOUBLE)
+        |      ELSE 0.0 END) * 100000000 + 0.5) AS BIGINT) AS vr8,
+        |    d1, d
+        |  FROM risk),
+        |sums AS (SELECT CAST(sum(oe8) AS BIGINT) AS oe_e8,
+        |    CAST(sum(vr8) AS BIGINT) AS var_e8,
+        |    CAST(sum(d1) AS BIGINT) AS deaths_1,
+        |    CAST(sum(d) AS BIGINT) AS deaths
+        |  FROM terms)
+        |SELECT tot.n1 AS n_1, CAST(tot.n - tot.n1 AS BIGINT) AS n_0,
+        |  s.deaths_1, s.deaths, s.oe_e8, s.var_e8,
+        |  CAST(floor((CAST(s.oe_e8 AS DOUBLE) / 100000000) *
+        |    (CAST(s.oe_e8 AS DOUBLE) / 100000000) /
+        |    (CAST(s.var_e8 AS DOUBLE) / 100000000) * 10000 + 0.5)
+        |    AS BIGINT) AS chi2_bp
+        |FROM sums s, tot""".stripMargin,
+
+    "q_rake" ->
+      // IPF unrolled: 3 rounds x (row update, column update), weights
+      // e6-quantized by floor division after every update — integer
+      // arithmetic end to end, bit-equal to the driver-side BigInt fit
+      """WITH samp AS (SELECT CAST(c.c_nationkey AS VARCHAR) AS nation,
+        |    c.c_mktsegment AS segment
+        |  FROM customer c JOIN (SELECT DISTINCT o_custkey FROM orders
+        |    WHERE year(o_orderdate) = 1997) o ON o.o_custkey = c.c_custkey),
+        |cells AS (SELECT nation, segment, count(*) AS n FROM samp GROUP BY 1, 2),
+        |tr AS (SELECT CAST(c_nationkey AS VARCHAR) AS nation, count(*) AS t
+        |  FROM customer GROUP BY 1),
+        |tc AS (SELECT c_mktsegment AS segment, count(*) AS t
+        |  FROM customer GROUP BY 1),
+        |w0 AS (SELECT nation, segment, n, CAST(1000000 AS HUGEINT) AS w FROM cells),
+        |r1 AS (SELECT nation, sum(w * n) AS m FROM w0 GROUP BY 1),
+        |w1 AS (SELECT w0.nation, w0.segment, w0.n,
+        |    (w0.w * tr.t * 1000000) // r1.m AS w
+        |  FROM w0 JOIN tr ON tr.nation = w0.nation
+        |          JOIN r1 ON r1.nation = w0.nation),
+        |c1 AS (SELECT segment, sum(w * n) AS m FROM w1 GROUP BY 1),
+        |w2 AS (SELECT w1.nation, w1.segment, w1.n,
+        |    (w1.w * tc.t * 1000000) // c1.m AS w
+        |  FROM w1 JOIN tc ON tc.segment = w1.segment
+        |          JOIN c1 ON c1.segment = w1.segment),
+        |r2 AS (SELECT nation, sum(w * n) AS m FROM w2 GROUP BY 1),
+        |w3 AS (SELECT w2.nation, w2.segment, w2.n,
+        |    (w2.w * tr.t * 1000000) // r2.m AS w
+        |  FROM w2 JOIN tr ON tr.nation = w2.nation
+        |          JOIN r2 ON r2.nation = w2.nation),
+        |c2 AS (SELECT segment, sum(w * n) AS m FROM w3 GROUP BY 1),
+        |w4 AS (SELECT w3.nation, w3.segment, w3.n,
+        |    (w3.w * tc.t * 1000000) // c2.m AS w
+        |  FROM w3 JOIN tc ON tc.segment = w3.segment
+        |          JOIN c2 ON c2.segment = w3.segment),
+        |r3 AS (SELECT nation, sum(w * n) AS m FROM w4 GROUP BY 1),
+        |w5 AS (SELECT w4.nation, w4.segment, w4.n,
+        |    (w4.w * tr.t * 1000000) // r3.m AS w
+        |  FROM w4 JOIN tr ON tr.nation = w4.nation
+        |          JOIN r3 ON r3.nation = w4.nation),
+        |c3 AS (SELECT segment, sum(w * n) AS m FROM w5 GROUP BY 1),
+        |w6 AS (SELECT w5.nation, w5.segment, w5.n,
+        |    (w5.w * tc.t * 1000000) // c3.m AS w
+        |  FROM w5 JOIN tc ON tc.segment = w5.segment
+        |          JOIN c3 ON c3.segment = w5.segment)
+        |SELECT nation, segment, CAST(n AS BIGINT) AS n,
+        |  CAST(w AS BIGINT) AS weight_e6
+        |FROM w6 ORDER BY nation, segment""".stripMargin
   )
+
+  /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between
+    * the Spark query and the oracle literal embedding above.
+    */
+  private val sprtC =
+    graft.operators.Stats.sprtConstants(5000L, 6000L, 500L, 500L)
 }

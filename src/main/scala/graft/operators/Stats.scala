@@ -695,4 +695,121 @@ object Stats {
         max(when(col("__rk") === loRk, col("__mean"))).as("ci_lo"),
         max(when(col("__rk") === hiRk, col("__mean"))).as("ci_hi"))
   }
+
+  /** Wald sequential probability ratio test (SPRT, Wald 1945) per arm
+    * over an ordered Bernoulli stream: H0 p=p0 vs H1 p=p1, stop at the
+    * first observation where the log-likelihood ratio crosses
+    * ln((1−β)/α) (accept H1) or ln(β/(1−α)) (accept H0) — the
+    * always-valid alternative to fixed-n tests that peeking invalidates.
+    *
+    * Determinism: the LLR is cₙ·l1 + (n−cₙ)·l0 with INTEGER cumulative
+    * counts and two pinned double constants — two flops in a fixed
+    * order, bit-identical cross-engine (`constants` exposes the exact
+    * values so an oracle can embed the same literals). Cumulative
+    * counts run through [[RunningTotals.groupedRunningSum]] — the
+    * range-partitioned two-pass machine, so a hot arm NEVER funnels
+    * through one task the way a per-arm window would.
+    *
+    * Output per arm: (arm, n_decide, decision
+    * 'accept_h1'|'accept_h0'|'undecided', llr_bp at that row, n_total).
+    * Undecided arms report their final row.
+    */
+  def sprt(df: DataFrame, armCol: String, orderBys: Seq[Column],
+           xCol: String, p0Bp: Long, p1Bp: Long,
+           alphaBp: Long = 500L, betaBp: Long = 500L): DataFrame = {
+    val (l1, l0, up, lo) = sprtConstants(p0Bp, p1Bp, alphaBp, betaBp)
+    val base = df.withColumn("__x", col(xCol).cast("long"))
+      .withColumn("__one", lit(1L))
+    val cum = RunningTotals.groupedRunningSum(
+      RunningTotals.groupedRunningSum(base, Seq(armCol), orderBys,
+        "__x", "__cx"),
+      Seq(armCol), orderBys, "__one", "__cn")
+    val llr = (col("__cx") * lit(l1)) + ((col("__cn") - col("__cx")) * lit(l0))
+    val scored = cum.select(col(armCol), col("__cn"),
+      llr.as("__llr"),
+      when(llr >= lit(up), 1L).when(llr <= lit(lo), -1L)
+        .otherwise(0L).as("__dec"))
+    val firstCross = scored.filter(col("__dec") =!= 0L)
+      .groupBy(col(armCol))
+      .agg(min(struct(col("__cn"), col("__dec"), col("__llr"))).as("__hit"))
+    val lastRow = scored.groupBy(col(armCol))
+      .agg(max(struct(col("__cn"), col("__dec"), col("__llr"))).as("__end"),
+        max(col("__cn")).as("n_total"))
+    lastRow.join(firstCross, Seq(armCol), "left")
+      .withColumn("__pick", coalesce(col("__hit"), col("__end")))
+      .select(col(armCol),
+        col("__pick.__cn").as("n_decide"),
+        when(col("__pick.__dec") === 1L, "accept_h1")
+          .when(col("__pick.__dec") === -1L, "accept_h0")
+          .otherwise("undecided").as("decision"),
+        floor(col("__pick.__llr") * lit(10000.0) + lit(0.5)).cast("long")
+          .as("llr_bp"),
+        col("n_total"))
+  }
+
+  /** The four SPRT constants (l1, l0, upper, lower) exactly as [[sprt]]
+    * pins them — an oracle embeds `.toString` of these (shortest
+    * round-trip repr parses back to the identical IEEE double).
+    */
+  def sprtConstants(p0Bp: Long, p1Bp: Long, alphaBp: Long,
+                    betaBp: Long): (Double, Double, Double, Double) = {
+    require(0 < p0Bp && p0Bp < p1Bp && p1Bp < 10000, s"need 0<p0<p1<1")
+    require(0 < alphaBp && alphaBp < 10000 && 0 < betaBp && betaBp < 10000)
+    (math.log(p1Bp.toDouble / p0Bp.toDouble),
+      math.log((10000.0 - p1Bp) / (10000.0 - p0Bp)),
+      math.log((10000.0 - betaBp) / alphaBp.toDouble),
+      math.log(betaBp.toDouble / (10000.0 - alphaBp)))
+  }
+
+  /** Two-sample log-rank test (Mantel 1966) — "do these two survival
+    * curves differ?", the inference step after [[kaplanMeier]] draws
+    * them. At every event time: observed group-1 deaths vs expected
+    * under the null (d·n1/n), plus the hypergeometric variance; the
+    * statistic is (ΣO−E)²/ΣV ~ χ²(1).
+    *
+    * Shape: subjects collapse to one row per (duration) with per-group
+    * death/censor counts (map-side combinable), at-risk counts are an
+    * exclusive cumsum over that tiny frame (distinct-durations
+    * contract), and the per-time O−E / variance terms quantize to e8
+    * from pinned-parenthesization doubles before summing in BIGINT —
+    * hash-stable in any order. One row out, self-contained.
+    */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+              eventCol: String): DataFrame = {
+    def D(c: Column) = c.cast("double")
+    val dfNN = df.filter(col(durationCol).isNotNull &&
+      col(eventCol).isNotNull && col(groupCol).isNotNull)
+    val g1 = col(groupCol).cast("long")
+    val byT = dfNN.groupBy(col(durationCol).as("t"))
+      .agg(sum(col(eventCol) * g1).cast("long").as("d1"),
+        sum(col(eventCol)).cast("long").as("d"),
+        sum(g1).cast("long").as("r1"),
+        count(lit(1)).cast("long").as("r"))
+    val tot = dfNN.agg(count(lit(1)).cast("long").as("__n"),
+      sum(g1).cast("long").as("__n1"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT.crossJoin(broadcast(tot))
+      .withColumn("n", col("__n") - coalesce(sum(col("r")).over(w), lit(0L)))
+      .withColumn("n1", col("__n1") - coalesce(sum(col("r1")).over(w), lit(0L)))
+      .filter(col("d") > 0)
+    // per-time terms in ONE pinned double expression each, quantized to
+    // e8 — the oracle replays the identical parenthesization
+    val p1 = D(col("n1")) / D(col("n"))
+    val oe = D(col("d1")) - D(col("d")) * p1
+    val vr = when(col("n") > 1,
+      D(col("d")) * p1 * (lit(1.0) - p1) *
+        D(col("n") - col("d")) / D(col("n") - 1)).otherwise(lit(0.0))
+    val sums = risk.agg(
+      sum(floor(oe * lit(100000000.0) + lit(0.5)).cast("long")).as("oe_e8"),
+      sum(floor(vr * lit(100000000.0) + lit(0.5)).cast("long")).as("var_e8"),
+      sum(col("d1")).as("deaths_1"), sum(col("d")).as("deaths"))
+    sums.crossJoin(broadcast(tot))
+      .select(col("__n1").as("n_1"), (col("__n") - col("__n1")).as("n_0"),
+        col("deaths_1"), col("deaths"), col("oe_e8"), col("var_e8"),
+        floor((D(col("oe_e8")) / lit(100000000.0)) *
+            (D(col("oe_e8")) / lit(100000000.0)) /
+            (D(col("var_e8")) / lit(100000000.0)) * lit(10000.0) + lit(0.5))
+          .cast("long").as("chi2_bp"))
+  }
 }

@@ -314,6 +314,67 @@ class StatsSpec extends SparkSuite {
     assert(r.getAs[Long]("cover_bp") >= 8700L)
   }
 
+  test("sprt replays a naive sequential walk; short streams stay undecided") {
+    val (l1, l0, up, lo) = Stats.sprtConstants(4000L, 6000L, 500L, 500L)
+    val rnd = new scala.util.Random(9)
+    // arm 0: p ~ 0.6 (should accept H1); arm 1: 5 rows (undecided)
+    val a0 = (1L to 500L).map(i => (0L, i, if (rnd.nextDouble() < 0.6) 1L else 0L))
+    val a1 = (1L to 5L).map(i => (1L, i, 1L))
+    val df = (a0 ++ a1).toDF("arm", "i", "x")
+    val out = Stats.sprt(df, "arm", Seq(col("i")), "x", 4000L, 6000L)
+      .collect().map(r => r.getAs[Long]("arm") -> r).toMap
+    // naive replay for arm 0
+    var c = 0L; var n = 0L; var hit = Option.empty[(Long, Long)]
+    a0.foreach { case (_, _, x) =>
+      if (hit.isEmpty) {
+        c += x; n += 1
+        val llr = c * l1 + (n - c) * l0
+        if (llr >= up) hit = Some((n, 1L))
+        else if (llr <= lo) hit = Some((n, -1L))
+      }
+    }
+    assert(out(0L).getAs[String]("decision") ==
+      (if (hit.get._2 == 1L) "accept_h1" else "accept_h0"))
+    assert(out(0L).getAs[Long]("n_decide") == hit.get._1)
+    assert(out(0L).getAs[Long]("n_total") == 500L)
+    assert(out(1L).getAs[String]("decision") == "undecided")
+    assert(out(1L).getAs[Long]("n_decide") == 5L)
+  }
+
+  test("logRank: zero on identical curves, naive-formula parity on random data") {
+    // two identical groups -> O-E = 0 at every time -> chi2 = 0
+    val same = (1 to 50).flatMap(i =>
+      Seq((0L, (i % 7).toLong, (i % 2).toLong), (1L, (i % 7).toLong, (i % 2).toLong)))
+      .toDF("g", "dur", "ev")
+    val z = Stats.logRank(same, "g", "dur", "ev").head()
+    assert(z.getAs[Long]("oe_e8") == 0L && z.getAs[Long]("chi2_bp") == 0L)
+
+    // naive replay on a random frame
+    val rnd = new scala.util.Random(21)
+    val subj = (1 to 300).map(_ => (rnd.nextInt(2).toLong,
+      rnd.nextInt(20).toLong, rnd.nextInt(2).toLong))
+    val r = Stats.logRank(subj.toDF("g", "dur", "ev"), "g", "dur", "ev").head()
+    val times = subj.map(_._2).distinct.sorted
+    var oeS = 0L; var vrS = 0L
+    times.foreach { t =>
+      val atRisk = subj.filter(_._2 >= t)
+      val nr = atRisk.size.toLong
+      val nr1 = atRisk.count(_._1 == 1L).toLong
+      val d = subj.count(s => s._2 == t && s._3 == 1L).toLong
+      val d1 = subj.count(s => s._2 == t && s._3 == 1L && s._1 == 1L).toLong
+      if (d > 0) {
+        val p1 = nr1.toDouble / nr.toDouble
+        oeS += math.floor((d1.toDouble - d.toDouble * p1) * 1e8 + 0.5).toLong
+        if (nr > 1)
+          vrS += math.floor(d.toDouble * p1 * (1.0 - p1) *
+            (nr - d).toDouble / (nr - 1).toDouble * 1e8 + 0.5).toLong
+      }
+    }
+    assert(r.getAs[Long]("oe_e8") == oeS)
+    assert(r.getAs[Long]("var_e8") == vrS)
+    assert(r.getAs[Long]("n_1") == subj.count(_._1 == 1L))
+  }
+
   test("poissonBootstrap: deterministic, CI brackets the point mean") {
     val rnd = new scala.util.Random(5)
     val df = (1L to 3000L).map(i => ("g", i, 1000L + rnd.nextInt(500)))
