@@ -626,6 +626,59 @@ object ScaleSmoke {
         Graphs.labelPropagation(ringEdges, 5).count())
     }
 
+    if (section == "all" || section == "causal") {
+      import graft.operators.{Causal, Stats}
+      // causal/uncertainty tier claims: matching is sort-shaped per
+      // stratum (the as-of machine, never treated x control), the
+      // bootstrap is one mapped pass x B with only B x groups rows
+      // shuffled, conformal is group-keyed aggregation, and SPRT's
+      // cumulative counts survive a single hot arm via the ranged
+      // running-sum machine.
+      val popN = (n: Long) => spark.range(n).select(
+        col("id"),
+        // one HOT stratum holds half the population; 19 share the rest
+        when(pmod(col("id"), lit(2L)) === 0, lit("hot"))
+          .otherwise(concat(lit("s"), pmod(col("id"), lit(19L)))).as("st"),
+        pmod(col("id") * 2654435761L, lit(10000000L)).as("score"),
+        (pmod(col("id") * 48271L, lit(100L)) < 20L).as("tr"),
+        pmod(col("id") * 1103515245L, lit(1000000L)).as("y"))
+      time("propensity match 1M pop (hot stratum)")(
+        Causal.propensityMatch(popN(1000000L), "id", "st", "score",
+          "tr", "y", caliper = 1000L).count())
+      time(s"propensity match ${mult}M pop")(
+        Causal.propensityMatch(popN(1000000L * mult), "id", "st", "score",
+          "tr", "y", caliper = 1000L).count())
+      val vals = (n: Long) => spark.range(n).select(
+        concat(lit("g"), pmod(col("id"), lit(5L))).as("g"), col("id"),
+        pmod(col("id") * 16807L, lit(100000L)).as("v"))
+      time("poisson bootstrap 200k rows x B=50")(
+        Stats.poissonBootstrap(vals(200000L), "g", "id", "v", b = 50).count())
+      time(s"poisson bootstrap ${mult / 5}M rows x B=50")(
+        Stats.poissonBootstrap(vals(200000L * mult), "g", "id", "v",
+          b = 50).count())
+      val conf = (n: Long) => vals(n)
+        .withColumn("cal", pmod(col("id"), lit(2L)) === 0)
+      time("conformal 2M rows / 5 groups")(
+        Stats.conformalSplit(conf(2000000L), "g", "id", "v", "cal").count())
+      time(s"conformal ${mult * 2}M rows")(
+        Stats.conformalSplit(conf(2000000L * mult), "g", "id", "v",
+          "cal").count())
+      // SPRT over ONE hot arm: the ranged machine must stream it, a
+      // per-arm window would funnel 2M rows through one task
+      val arm = spark.range(2000000L).select(lit(0L).as("arm"),
+        col("id").as("ord"),
+        (pmod(col("id") * 69621L, lit(100L)) < 52L).cast("long").as("x"))
+      time("sprt 2M-row single hot arm")(
+        Stats.sprt(arm, "arm", Seq(col("ord")), "x", 5000L, 5200L).count())
+      // TWA hot key: irreducibly sequential per key, must stream
+      val twaHot = spark.range(1000000L).select(lit(1L).as("k"),
+        (col("id") * 7L).as("ep"), col("id").as("eid"),
+        pmod(col("id") * 16807L, lit(10000L)).as("v"))
+      time("twa 1M-row hot key")(
+        graft.operators.Resample.timeWeightedAvg(twaHot, "k", "ep",
+          "eid", "v").count())
+    }
+
     spark.stop()
   }
 }
