@@ -4130,6 +4130,55 @@ object SparkEntry {
         .agg(count(lit(1)).as("t"))
       Raking.rake(sample, "nation", "segment", rowT, colT, iters = 3)
         .orderBy(col("nation"), col("segment"))
+    }),
+
+    "q_bfs_reach" -> ((s, dir) => {
+      // bounded-hop reachability on the repeat co-purchase graph (the
+      // q_communities edge set): distances ≤ 3 from the 5 smallest
+      // nodes — the "what does this recall touch" impact query. Each
+      // hop is one keyed join + one grouped min (map-side
+      // combinable), checkpointed; the oracle replays it as a
+      // depth-bounded recursive CTE with a min-dist rollup.
+      val li = t(s, dir, "lineitem")
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(countDistinct(col("a.l_orderkey")).as("c"))
+        .filter(col("c") >= 2)
+      val edges = Graphs.canonicalEdges(pairs, "pa", "pb")
+      val seeds = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .distinct().orderBy(col("node")).limit(5)
+      Graphs.bfsDistances(edges, seeds, maxHops = 3)
+        .orderBy(col("node"))
+    }),
+
+    "q_mutual_info" -> ((s, dir) => {
+      // model-free dependence screen: how much does order priority
+      // tell you about order status? MI + marginal entropies + the
+      // √(Ha·Hb)-normalized MI; one cell scan, margins re-aggregated
+      // from the pinned cell frame (the chi-square one-scan rule),
+      // e8-quantized ln terms summed in BIGINT.
+      Stats.mutualInfo(t(s, dir, "orders"),
+        "o_orderpriority", "o_orderstatus")
+    }),
+
+    "q_dtw" -> ((s, dir) => {
+      // elastic similarity between event-type daily-volume profiles:
+      // Sakoe-Chiba banded DTW (radius 7 days) on exact integer
+      // counts — the alignment Euclidean distance gets wrong when one
+      // series leads another. Series are post-aggregation (one row
+      // per type-day); the k²/2 pairs distribute one-per-task with an
+      // O(n·band) two-row DP. rows-only (data-dependent DP has no SQL
+      // form); DtwSpec proves the banded DP against the full matrix
+      // and a hand-computed alignment.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("k"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("i", datediff(col("d"), to_date(lit("1970-01-01"))))
+      Dtw.pairDistances(daily, "k", "i", "c", band = 7)
+        .orderBy(col("k1"), col("k2"))
     })
   )
 
@@ -8321,7 +8370,59 @@ object SparkEntry {
         |          JOIN c3 ON c3.segment = w5.segment)
         |SELECT nation, segment, CAST(n AS BIGINT) AS n,
         |  CAST(w AS BIGINT) AS weight_e6
-        |FROM w6 ORDER BY nation, segment""".stripMargin
+        |FROM w6 ORDER BY nation, segment""".stripMargin,
+
+    "q_bfs_reach" ->
+      // depth-bounded recursive frontier walk; the min-dist rollup at
+      // the end collapses duplicate paths exactly as the per-round
+      // grouped min does on the Spark side
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(DISTINCT a.l_orderkey) AS c
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |ed AS (SELECT least(pa, pb) AS u, greatest(pa, pb) AS v
+        |  FROM pr WHERE pa <> pb GROUP BY 1, 2),
+        |bi AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+        |seeds AS (SELECT node FROM (SELECT DISTINCT u AS node FROM bi)
+        |  ORDER BY node LIMIT 5),
+        |r AS (
+        |  SELECT node, 0 AS dist FROM seeds
+        |  UNION ALL
+        |  SELECT bi.v AS node, r.dist + 1 AS dist
+        |  FROM r JOIN bi ON bi.u = r.node WHERE r.dist < 3)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM r GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_mutual_info" ->
+      // observed cells only (zero cells contribute exactly 0 to MI);
+      // each ln term quantizes to e8 from the identical pinned double
+      """WITH d AS (SELECT o_orderpriority AS a, o_orderstatus AS b
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS o FROM d GROUP BY 1, 2),
+        |am AS (SELECT a, CAST(sum(o) AS BIGINT) AS na FROM cells GROUP BY 1),
+        |bm AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |mi AS (SELECT
+        |    CAST(sum(CAST(floor((CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |         (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 100000000 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS mi_e8,
+        |    count(*) AS cells
+        |  FROM cells JOIN am USING (a) JOIN bm USING (b) CROSS JOIN tot),
+        |ha AS (SELECT CAST(sum(CAST(floor((CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(n AS DOUBLE) / CAST(na AS DOUBLE)) * 100000000 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS h_a_e8 FROM am CROSS JOIN tot),
+        |hb AS (SELECT CAST(sum(CAST(floor((CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(n AS DOUBLE) / CAST(nb AS DOUBLE)) * 100000000 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS h_b_e8 FROM bm CROSS JOIN tot)
+        |SELECT tot.n, mi.cells, mi.mi_e8, ha.h_a_e8, hb.h_b_e8,
+        |  CAST(floor(CAST(mi.mi_e8 AS DOUBLE) /
+        |    sqrt(CAST(ha.h_a_e8 AS DOUBLE) * CAST(hb.h_b_e8 AS DOUBLE)) *
+        |    10000 + 0.5) AS BIGINT) AS nmi_bp
+        |FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot""".stripMargin
   )
 
   /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between

@@ -174,4 +174,39 @@ object Graphs {
       .select(element_at(col("s"), 1).as("a"), element_at(col("s"), 2).as("b"),
         element_at(col("s"), 3).as("c"))
   }
+
+  /** Bounded-hop BFS shortest distances from a seed set over the
+    * canonical undirected edge list: (node, dist) for every node
+    * within `maxHops` of any seed — the reachability/impact query
+    * ("what does this recalled part touch within 3 links").
+    *
+    * Algorithm: `maxHops` rounds of frontier relaxation — extend every
+    * settled node by one edge, keep the per-node MIN. Each round is
+    * one keyed join + one grouped min (both map-side-combinable),
+    * localCheckpoint'ed so plan depth stays bounded; total work is
+    * O(edges × hops) worst-case, and because distances only ever
+    * shrink, the fixpoint needs no convergence test — the hop bound IS
+    * the contract (unlike kCore's peel, an early fixpoint just makes
+    * later rounds no-ops). Seeds not present in the edge list still
+    * report dist 0 (they are trivially reachable from themselves).
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 30, s"maxHops in [1,30], got $maxHops")
+    val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val ext = dist.join(adj, Seq("node"))
+        .select(col("nbr").as("node"), (col("dist") + 1L).as("dist"))
+      val next = dist.unionAll(ext)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(dist)
+      dist = next
+    }
+    dist
+  }
 }

@@ -761,6 +761,51 @@ object Stats {
       math.log(betaBp.toDouble / (10000.0 - alphaBp)))
   }
 
+  /** Mutual information between two categorical columns, with the
+    * marginal entropies and the normalized MI — the model-free
+    * dependence screen feature selection runs where [[chiSquare]]
+    * gives a yes/no: MI ranks how MUCH one column tells you about the
+    * other (Cover & Thomas; Strehl & Ghosh 2002 for the √(Ha·Hb)
+    * normalization).
+    *
+    * Shape mirrors chiSquare's one-scan rule: ONE (a,b) grouped count,
+    * margins re-aggregated from the pinned cell frame (broadcast
+    * post-aggregation joins). Unlike chi-square, zero cells contribute
+    * exactly 0 — no margin grid needed, only observed cells. Each
+    * cell/margin term is one pinned double expression quantized to e8
+    * then summed in BIGINT (the WOE-family ln rule); the nmi finish is
+    * one pinned double over the three quantized sums.
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def D(c: Column) = c.cast("double")
+    def e8(c: Column) = floor(c * lit(100000000.0) + lit(0.5)).cast("long")
+    val dfNN = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val cells = dfNN.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("__o")).localCheckpoint(true)
+    val aMar = cells.groupBy(col(aCol)).agg(sum(col("__o")).as("__na"))
+    val bMar = cells.groupBy(col(bCol)).agg(sum(col("__o")).as("__nb"))
+    val tot = cells.agg(sum(col("__o")).as("__n"))
+    val miTerm = (D(col("__o")) / D(col("__n"))) *
+      log((D(col("__o")) * D(col("__n"))) / (D(col("__na")) * D(col("__nb"))))
+    val mi = cells
+      .join(broadcast(aMar), Seq(aCol)).join(broadcast(bMar), Seq(bCol))
+      .crossJoin(broadcast(tot))
+      .agg(sum(e8(miTerm)).as("mi_e8"), count(lit(1)).as("cells"))
+    val ha = aMar.crossJoin(broadcast(tot))
+      .agg(sum(e8((D(col("__na")) / D(col("__n"))) *
+        log(D(col("__n")) / D(col("__na"))))).as("h_a_e8"))
+    val hb = bMar.crossJoin(broadcast(tot))
+      .agg(sum(e8((D(col("__nb")) / D(col("__n"))) *
+        log(D(col("__n")) / D(col("__nb"))))).as("h_b_e8"))
+    mi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .crossJoin(broadcast(tot))
+      .select(col("__n").as("n"), col("cells"), col("mi_e8"),
+        col("h_a_e8"), col("h_b_e8"),
+        floor(D(col("mi_e8")) /
+            sqrt(D(col("h_a_e8")) * D(col("h_b_e8"))) * lit(10000.0) +
+            lit(0.5)).cast("long").as("nmi_bp"))
+  }
+
   /** Two-sample log-rank test (Mantel 1966) — "do these two survival
     * curves differ?", the inference step after [[kaplanMeier]] draws
     * them. At every event time: observed group-1 deaths vs expected

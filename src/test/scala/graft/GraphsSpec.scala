@@ -112,4 +112,18 @@ class GraphsSpec extends SparkSuite {
       .orderBy("node").as[(Long, Long)].collect()
     assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L)))
   }
+
+  test("bfsDistances: hand-checked hops, min over paths, hop cap, off-graph seed") {
+    // path 1-2-3-4-5 plus shortcut 1-4: dist(4)=1 via shortcut, not 3
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val seeds = Seq(1L, 99L).toDF("node") // 99 is not in the graph
+    val got = Graphs.bfsDistances(e, seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L,
+      99L -> 0L))
+    // hop cap: maxHops=1 settles only direct neighbors
+    val capped = Graphs.bfsDistances(e, Seq(1L).toDF("node"), maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
 }

@@ -341,6 +341,24 @@ class StatsSpec extends SparkSuite {
     assert(out(1L).getAs[Long]("n_decide") == 5L)
   }
 
+  test("mutualInfo: zero for independence, equals entropy for a bijection") {
+    // independent 2x2 with equal counts: every cell term ln(1) = 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .flatMap(p => Seq.fill(10)(p)).toDF("a", "b")
+    val r0 = Stats.mutualInfo(ind, "a", "b").head()
+    assert(r0.getAs[Long]("mi_e8") == 0L)
+    // deterministic bijection: MI = Ha = Hb, nmi = 1
+    val dep = Seq(("x", "p"), ("y", "q"), ("z", "r"))
+      .flatMap(p => Seq.fill(5)(p)).toDF("a", "b")
+    val r1 = Stats.mutualInfo(dep, "a", "b").head()
+    assert(r1.getAs[Long]("mi_e8") == r1.getAs[Long]("h_a_e8"))
+    assert(r1.getAs[Long]("h_a_e8") == r1.getAs[Long]("h_b_e8"))
+    assert(r1.getAs[Long]("nmi_bp") == 10000L)
+    // ln(3) entropy for the uniform 3-way margin
+    assert(math.abs(r1.getAs[Long]("h_a_e8") -
+      math.floor(math.log(3.0) * 1e8 + 0.5).toLong) <= 3L)
+  }
+
   test("logRank: zero on identical curves, naive-formula parity on random data") {
     // two identical groups -> O-E = 0 at every time -> chi2 = 0
     val same = (1 to 50).flatMap(i =>
