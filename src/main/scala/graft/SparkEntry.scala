@@ -4179,6 +4179,64 @@ object SparkEntry {
         .withColumn("i", datediff(col("d"), to_date(lit("1970-01-01"))))
       Dtw.pairDistances(daily, "k", "i", "c", band = 7)
         .orderBy(col("k1"), col("k2"))
+    }),
+
+    "q_t_closeness" -> ((s, dir) => {
+      // the third privacy rung after q_k_anonymity (class size) and
+      // q_l_diversity (sensitive cardinality): a large, diverse class
+      // can still leak by DISTRIBUTION (all high-spenders in one
+      // quasi-class). Sensitive attribute = customer revenue decile
+      // (rank-based, via the ranged global-rank machine); classes =
+      // (nation, segment); ordered-EMD distance, integer-exact.
+      val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+      val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents).as("__rev"))
+      val pop = t(s, dir, "customer")
+        .join(rev, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          coalesce(col("__rev"), lit(0L)).as("rev"))
+      val n = pop.count()
+      val ranked = RunningTotals.globalRank(pop,
+        Seq(col("rev"), col("c_custkey")), "__rk")
+        .withColumn("bucket", expr(s"((__rk - 1) * 10) div ${n}L"))
+      Diagnostics.tCloseness(ranked,
+          Seq("c_nationkey", "c_mktsegment"), "bucket", nBuckets = 10)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
+    "q_qini" -> ((s, dir) => {
+      // uplift evaluation (Radcliffe 2007): walking customers best-
+      // balance-first, how many INCREMENTAL 1997 purchases does the
+      // BUILDING segment show over the scaled rest? Deciles assigned
+      // by the ranged global rank (never one sort task); curve counts
+      // exact, qini_e4 by the pmod-subtract floor (negatives exact).
+      val bal = floor(col("c_acctbal") * 100.0 + 0.5).cast("long")
+      val resp = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_custkey")).distinct()
+        .withColumn("__r", lit(1L))
+      val pop = t(s, dir, "customer")
+        .join(resp, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), bal.as("score"),
+          (col("c_mktsegment") === "BUILDING").as("tr"),
+          coalesce(col("__r"), lit(0L)).as("resp"))
+      val n = pop.count()
+      val ranked = RunningTotals.globalRank(pop,
+        Seq(col("score").desc, col("c_custkey")), "__rk")
+        .withColumn("decile", expr(s"((__rk - 1) * 10) div ${n}L"))
+      Stats.qiniCurve(ranked, "tr", "resp", "decile")
+        .orderBy(col("decile"))
+    }),
+
+    "q_keywords" -> ((s, dir) => {
+      // RAKE keyword extraction (Rose et al. 2010) over the corpus —
+      // the keyword-audit view beside TF-IDF's per-doc terms: phrases
+      // = maximal stopword-free runs, scored by Σ deg/freq of member
+      // words, all integer arithmetic; global top-20 via
+      // TakeOrderedAndProject, never a full-frame rank window.
+      graft.pipelines.Lexical.rakeKeywords(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("rank"))
     })
   )
 
@@ -8422,7 +8480,114 @@ object SparkEntry {
         |  CAST(floor(CAST(mi.mi_e8 AS DOUBLE) /
         |    sqrt(CAST(ha.h_a_e8 AS DOUBLE) * CAST(hb.h_b_e8 AS DOUBLE)) *
         |    10000 + 0.5) AS BIGINT) AS nmi_bp
-        |FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot""".stripMargin
+        |FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot""".stripMargin,
+
+    "q_t_closeness" ->
+      // ordered-EMD per class: integer cumulative differences, one
+      // decimal floor division; the last bucket's cum is 0 by
+      // construction so including it is harmless
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |pop AS (SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+        |    coalesce(rev.r, 0) AS rev
+        |  FROM customer c LEFT JOIN rev ON rev.o_custkey = c.c_custkey),
+        |nn AS (SELECT count(*) AS n FROM pop),
+        |rk AS (SELECT pop.*, row_number() OVER (ORDER BY rev, c_custkey) AS rk
+        |  FROM pop),
+        |bk AS (SELECT c_nationkey, c_mktsegment,
+        |    ((rk - 1) * 10) // n AS bucket FROM rk CROSS JOIN nn),
+        |cls AS (SELECT c_nationkey, c_mktsegment, bucket, count(*) AS c
+        |  FROM bk GROUP BY 1, 2, 3),
+        |gl AS (SELECT bucket, count(*) AS g FROM bk GROUP BY 1),
+        |csz AS (SELECT c_nationkey, c_mktsegment, CAST(sum(c) AS BIGINT) AS nc
+        |  FROM cls GROUP BY 1, 2),
+        |grid AS (SELECT z.c_nationkey, z.c_mktsegment, z.nc, gl.bucket, gl.g,
+        |    coalesce(cls.c, 0) AS c, nn.n
+        |  FROM csz z CROSS JOIN gl CROSS JOIN nn
+        |  LEFT JOIN cls ON cls.c_nationkey = z.c_nationkey
+        |    AND cls.c_mktsegment = z.c_mktsegment AND cls.bucket = gl.bucket),
+        |cum AS (SELECT c_nationkey, c_mktsegment, nc, n,
+        |    sum(c * n - g * nc) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cm
+        |  FROM grid)
+        |SELECT c_nationkey, c_mktsegment, nc AS n_class,
+        |  CAST((sum(abs(cm)) * 10000) // (nc * n * 9) AS BIGINT) AS t_bp
+        |FROM cum GROUP BY 1, 2, 3, n
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_qini" ->
+      // cumulative curve counts are exact; the qini numerator is
+      // exactly divisible by cum_nc after the posmod subtract, so //
+      // equals the true quotient even when negative
+      """WITH resp AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1997),
+        |pop AS (SELECT c.c_custkey,
+        |    CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS score,
+        |    (c.c_mktsegment = 'BUILDING') AS tr,
+        |    CASE WHEN resp.o_custkey IS NULL THEN 0 ELSE 1 END AS resp
+        |  FROM customer c LEFT JOIN resp ON resp.o_custkey = c.c_custkey),
+        |nn AS (SELECT count(*) AS n FROM pop),
+        |rk AS (SELECT pop.*, row_number() OVER (ORDER BY score DESC, c_custkey) AS rk
+        |  FROM pop),
+        |dec AS (SELECT tr, resp, ((rk - 1) * 10) // n AS decile
+        |  FROM rk CROSS JOIN nn),
+        |byd AS (SELECT decile,
+        |    CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN tr THEN resp ELSE 0 END) AS BIGINT) AS rt,
+        |    CAST(sum(CASE WHEN tr THEN 0 ELSE resp END) AS BIGINT) AS rc
+        |  FROM dec GROUP BY 1),
+        |cum AS (SELECT decile,
+        |    CAST(sum(nt) OVER w AS BIGINT) AS cum_nt,
+        |    CAST(sum(nc) OVER w AS BIGINT) AS cum_nc,
+        |    CAST(sum(rt) OVER w AS BIGINT) AS cum_rt,
+        |    CAST(sum(rc) OVER w AS BIGINT) AS cum_rc
+        |  FROM byd WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+        |SELECT decile, cum_nt, cum_nc, cum_rt, cum_rc,
+        |  CAST(((cum_rt * cum_nc - cum_rc * cum_nt) * 10000
+        |    - ((((cum_rt * cum_nc - cum_rc * cum_nt) * 10000) % cum_nc
+        |        + cum_nc) % cum_nc)) // cum_nc AS BIGINT) AS qini_e4
+        |FROM cum ORDER BY decile""".stripMargin,
+
+    "q_keywords" ->
+      // RAKE replay: same pinned whitespace class + stopword list,
+      // same integer deg/freq scoring, same (score desc, phrase) top-20
+      """WITH toks AS (SELECT doc_id, l[i] AS w, i AS p
+        |  FROM (SELECT doc_id,
+        |      string_split_regex(trim(text), '[ \t\n\r\f]+') AS l
+        |    FROM documents WHERE trim(text) <> '') d,
+        |  LATERAL unnest(generate_series(1, len(l))) AS t(i)),
+        |marked AS (SELECT doc_id, w, p,
+        |    CASE WHEN w IN ('the','a','of','and','in','to','is')
+        |      THEN 1 ELSE 0 END AS stop FROM toks),
+        |isl AS (SELECT doc_id, w, p,
+        |    sum(stop) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS UNBOUNDED PRECEDING) AS ph, stop
+        |  FROM marked),
+        |phrases AS (SELECT doc_id, ph,
+        |    string_agg(w, ' ' ORDER BY p) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM isl WHERE stop = 0 GROUP BY 1, 2
+        |  HAVING count(*) <= 4),
+        |pw AS (SELECT phrase, len, unnest(string_split(phrase, ' ')) AS w
+        |  FROM phrases),
+        |ws AS (SELECT w, CAST(sum(len) AS BIGINT) AS deg,
+        |    CAST(count(*) AS BIGINT) AS freq FROM pw GROUP BY 1),
+        |wsc AS (SELECT w, (deg * 10000) // freq AS score FROM ws),
+        |ps AS (SELECT pw.phrase, any_value(pw.len) AS n_words,
+        |    CAST(sum(wsc.score) AS BIGINT) AS pssum
+        |  FROM pw JOIN wsc ON wsc.w = pw.w GROUP BY 1),
+        |occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM phrases GROUP BY 1),
+        |sc AS (SELECT ps.phrase, ps.n_words, occ.n_occurrences,
+        |    CAST(ps.pssum // occ.n_occurrences AS BIGINT) AS score_e4
+        |  FROM ps JOIN occ ON occ.phrase = ps.phrase),
+        |top AS (SELECT * FROM sc ORDER BY score_e4 DESC, phrase LIMIT 20)
+        |SELECT phrase, n_words, n_occurrences, score_e4,
+        |  CAST(row_number() OVER (ORDER BY score_e4 DESC, phrase) AS BIGINT)
+        |    AS rank
+        |FROM top ORDER BY rank""".stripMargin
   )
 
   /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pre-flight diagnostics for joins and aggregations at scale: cheap
@@ -188,6 +189,58 @@ object Diagnostics {
     val counts = a.agg(count(lit(1)).as("rows_a"))
       .crossJoin(b.agg(count(lit(1)).as("rows_b")))
     prod.crossJoin(broadcast(counts))
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy ladder after k-anonymity (class size) and
+    * l-diversity (sensitive cardinality): a class can be large AND
+    * diverse yet still leak by having a sensitive DISTRIBUTION far
+    * from the global one (all-high-earners in one quasi-class). For an
+    * ORDERED sensitive attribute pre-bucketed into `bucketCol` ∈
+    * [0, nBuckets), the distance is the ordered-domain EMD — the mean
+    * |cumulative difference| between the class and global bucket
+    * distributions.
+    *
+    * Exactness: the cumulative difference at bucket j is
+    * C_j = Σ_{i≤j}(c_i·N − g_i·n_class) — INTEGER; t·10⁴ =
+    * Σ_j|C_j| · 10⁴ / (n_class·N·(nBuckets−1)) is one decimal floor
+    * division. No float anywhere, trivially oracle-replayable.
+    *
+    * Shape: one (class, bucket) grouped count + one global bucket
+    * count; the class×bucket grid joins two POST-aggregation frames
+    * (bucket side broadcast by construction); the cumsum windows over
+    * nBuckets rows per class.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], bucketCol: String,
+                 nBuckets: Int): DataFrame = {
+    require(quasiCols.nonEmpty && nBuckets >= 2)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val qs = quasiCols.map(col)
+    val cls = df.groupBy(qs :+ col(bucketCol).as("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val glob = df.groupBy(col(bucketCol).as("__b"))
+      .agg(count(lit(1)).as("__g"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    val classes = cls.groupBy(qs: _*).agg(sum(col("__c")).as("__nc"))
+    // full grid: every class × every observed bucket (absent cells = 0)
+    val grid = classes.crossJoin(broadcast(glob))
+      .join(cls, quasiCols :+ "__b", "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val w = Window.partitionBy(qs: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = grid.withColumn("__cum",
+      sum(dec(col("__c")) * dec(col("__n")) -
+        dec(col("__g")) * dec(col("__nc"))).over(w))
+    withCum.groupBy(qs :+ col("__nc").as("n_class") :+ col("__n").as("__nn"): _*)
+      .agg(sum(abs(col("__cum"))).as("__s"))
+      .withColumn("t_bp", {
+        val num = col("__s") * lit(10000L)
+        val den = dec(col("n_class")) * dec(col("__nn")) *
+          lit((nBuckets - 1).toLong)
+        ((num - pmod(num, den)) / den).cast("long")
+      })
+      .drop("__s", "__nn")
   }
 
   /** Functional-dependency audit over candidate column pairs: for each

@@ -761,6 +761,46 @@ object Stats {
       math.log(betaBp.toDouble / (10000.0 - alphaBp)))
   }
 
+  /** Qini uplift curve (Radcliffe 2007) over pre-assigned targeting
+    * deciles: walk the population best-score-first and ask, at each
+    * decile, how many INCREMENTAL responses the treatment bought vs a
+    * scaled control — q(k) = R_t(k) − R_c(k)·N_t(k)/N_c(k). The
+    * standard evaluation of "who should we target", the uplift twin of
+    * an ROC curve.
+    *
+    * Input: one row per unit with `treatedCol` (boolean),
+    * `responseCol` (0/1 long), `decileCol` (0-based bucket, assign via
+    * [[RunningTotals.globalRank]] so the global sort never funnels one
+    * task). Output: one row per decile with cumulative counts and
+    * `qini_e4` = floor(10⁴·q) via the pmod-subtract floor (q can be
+    * negative — a harmful treatment shows below zero). All counts
+    * exact; one decimal floor division per decile row.
+    */
+  def qiniCurve(df: DataFrame, treatedCol: String, responseCol: String,
+                decileCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val t1 = when(col(treatedCol), 1L).otherwise(0L)
+    val byDec = df.groupBy(col(decileCol).as("decile"))
+      .agg(sum(t1).as("__nt"), sum(lit(1L) - t1).as("__nc"),
+        sum(t1 * col(responseCol)).as("__rt"),
+        sum((lit(1L) - t1) * col(responseCol)).as("__rc"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec
+      .withColumn("cum_nt", sum(col("__nt")).over(w))
+      .withColumn("cum_nc", sum(col("__nc")).over(w))
+      .withColumn("cum_rt", sum(col("__rt")).over(w))
+      .withColumn("cum_rc", sum(col("__rc")).over(w))
+      .withColumn("qini_e4", {
+        val num = (dec(col("cum_rt")) * dec(col("cum_nc")) -
+          dec(col("cum_rc")) * dec(col("cum_nt"))) * lit(10000L)
+        val den = dec(col("cum_nc"))
+        ((num - pmod(num, den)) / den).cast("long")
+      })
+      .select(col("decile"), col("cum_nt"), col("cum_nc"),
+        col("cum_rt"), col("cum_rc"), col("qini_e4"))
+  }
+
   /** Mutual information between two categorical columns, with the
     * marginal entropies and the normalized MI — the model-free
     * dependence screen feature selection runs where [[chiSquare]]

@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -349,5 +350,75 @@ object Lexical {
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("__l")).as("surprisal_q"))
       .withColumn("mean_surprisal_q", expr("surprisal_q div n_tokens"))
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    * candidate phrases are maximal stopword-free token runs (capped at
+    * `maxPhraseLen` — longer runs are degenerate in keyword terms and
+    * dropped); a word's score is its co-occurrence degree over its
+    * frequency, a phrase's score the sum of its words'. Returns the
+    * corpus-level top-`k`: (phrase, n_words, n_occurrences, score_e4).
+    *
+    * Exactness: deg(w) = Σ_{phrase occurrences ∋ w} len(phrase) and
+    * freq(w) are integers; score_e4(w) = deg·10⁴ DIV freq (floor), the
+    * phrase score sums member scores — integer end to end, so the
+    * oracle replays it verbatim. Deterministic top-k order:
+    * (score desc, phrase asc).
+    *
+    * Shape: tokenize → per-doc island ids (one doc-keyed window) →
+    * phrase rows; word stats are ONE grouped agg over phrase-word rows
+    * (map-side combinable, state two longs per word); the phrase score
+    * join is word-keyed with the word-stats side vocabulary-sized;
+    * identical phrase texts merge in a final grouped count. Top-k via
+    * rank over the (small) distinct-phrase frame.
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = TextFunctions.Stopwords,
+                   maxPhraseLen: Int = 4, k: Int = 20): DataFrame = {
+    require(maxPhraseLen >= 1 && k >= 1)
+    val toks = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("__id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__p", "__w")))
+    val stop = col("__w").isInCollection(stopwords)
+    val w = Window.partitionBy(col("__id")).orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = toks
+      .withColumn("__ph", sum(when(stop, 1L).otherwise(0L)).over(w))
+      .filter(!stop)
+    val phrases = islands
+      .groupBy(col("__id"), col("__ph"))
+      .agg(array_join(collect_list(col("__w")), " ").as("phrase"),
+        count(lit(1)).as("__len"))
+      .filter(col("__len") <= maxPhraseLen)
+    // phrase-word rows re-derive from the phrase text (split on the
+    // single space the join put there) so word stats see EXACTLY the
+    // kept phrases
+    val pw = phrases.select(col("phrase"), col("__len"),
+      explode(split(col("phrase"), " ")).as("__w"))
+    val wordStats = pw.groupBy(col("__w"))
+      .agg(sum(col("__len")).as("__deg"), count(lit(1)).as("__freq"))
+      .withColumn("__score",
+        ((col("__deg") * 10000L - pmod(col("__deg") * 10000L, col("__freq"))) /
+          col("__freq")).cast("long"))
+    val phraseScores = pw.join(wordStats.select(col("__w"), col("__score")), Seq("__w"))
+      .groupBy(col("phrase"))
+      .agg(first(col("__len")).as("n_words"), sum(col("__score")).as("__ps"))
+    // __ps summed PER OCCURRENCE row set of one phrase text: each
+    // occurrence contributes its words once — normalize by occurrences
+    val occ = phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
+    val scored = phraseScores.join(occ, Seq("phrase"))
+      .withColumn("score_e4", {
+        val d = col("n_occurrences")
+        ((col("__ps") - pmod(col("__ps"), d)) / d).cast("long")
+      })
+    // global top-k via orderBy+limit => TakeOrderedAndProject (per-
+    // partition heaps, never a single-partition rank window over the
+    // full distinct-phrase frame); the rank window then runs on k rows
+    val top = scored.orderBy(col("score_e4").desc, col("phrase")).limit(k)
+    val rk = Window.partitionBy(lit(1))
+      .orderBy(col("score_e4").desc, col("phrase"))
+    top.withColumn("rank", row_number().over(rk).cast("long"))
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        col("score_e4"), col("rank"))
   }
 }

@@ -92,6 +92,40 @@ class DiagnosticsSpec extends SparkSuite {
     assert(quiet._1 === 0L && quiet._2 === 0L)
   }
 
+  test("tCloseness: zero for global-mirroring classes, max for a point mass") {
+    // two classes, two buckets; class A mirrors the global 50/50 ->
+    // t = 0; class B is a point mass in bucket 0 ->
+    // cum_0 = |1/2 - 0/2... hand: EMD over m=2 buckets, divide by m-1=1
+    val df = Seq(
+      ("A", 0L), ("A", 1L), ("B", 0L), ("B", 0L))
+      .toDF("cls", "b")
+    val out = Diagnostics.tCloseness(df, Seq("cls"), "b", nBuckets = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("t_bp")).toMap
+    // global: bucket0=3, bucket1=1 (N=4)
+    // A (n=2): cum0 = |1*4 - 3*2| = 2 -> plus cum1 = 0; t = 2/(2*4*1) = .25
+    // B (n=2): cum0 = |2*4 - 3*2| = 2 -> t = .25... recompute:
+    // A: c0=1: C0 = 1*4 - 3*2 = -2; |C0|=2; t = 2*1e4 / (2*4*1) = 2500
+    // B: c0=2: C0 = 8-6 = 2; t = 2500
+    assert(out == Map("A" -> 2500L, "B" -> 2500L))
+
+    // a class identical to the global distribution scores exactly 0
+    val mirror = Seq(
+      ("M", 0L), ("M", 0L), ("M", 1L),
+      ("O", 0L), ("O", 0L), ("O", 1L))
+      .toDF("cls", "b")
+    val m = Diagnostics.tCloseness(mirror, Seq("cls"), "b", nBuckets = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("t_bp")).toMap
+    assert(m == Map("M" -> 0L, "O" -> 0L))
+
+    // extreme separation: each class a point mass in its own bucket
+    val split = Seq(("P", 0L), ("P", 0L), ("Q", 1L), ("Q", 1L))
+      .toDF("cls", "b")
+    val s2 = Diagnostics.tCloseness(split, Seq("cls"), "b", nBuckets = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("t_bp")).toMap
+    // P: C0 = 2*4 - 2*2 = 4 -> t = 4e4/(2*4) = 5000 (= 0.5, the true EMD)
+    assert(s2 == Map("P" -> 5000L, "Q" -> 5000L))
+  }
+
   test("fdProfile: exact g3, held FDs certified, null semantics pinned") {
     // lhs=1 -> rhs always "a" (holds); lhs=2 -> {a:3, b:1} (g3=1);
     // lhs=3 -> {a:1, b:1} (g3=1); null lhs dropped; null rhs is a value

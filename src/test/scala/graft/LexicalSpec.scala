@@ -216,4 +216,38 @@ class LexicalSpec extends SparkSuite {
       .select("doc_id", "mean_surprisal2_q").as[(Long, Long)].collect().toMap
     assert(out(31L) > out(1L))
   }
+
+  test("rakeKeywords: hand-computed degree/frequency scoring") {
+    import spark.implicits._
+    // doc: "red apple the red apple pie a pie"
+    // phrases: [red apple], [red apple pie], [pie]
+    // freq: red 2, apple 2, pie 2 ; deg: red 2+3=5, apple 5, pie 3+1=4
+    // scores_e4: red 25000, apple 25000, pie 20000
+    // phrase scores: "red apple" 50000 (1 occ), "red apple pie" 70000,
+    // "pie" 20000
+    val docs = Seq((1L, "red apple the red apple pie a pie"))
+      .toDF("doc_id", "text")
+    val out = graft.pipelines.Lexical.rakeKeywords(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("score_e4"), r.getAs[Long]("n_occurrences"),
+          r.getAs[Long]("rank"))).toMap
+    assert(out("red apple pie") == (70000L, 1L, 1L))
+    assert(out("red apple") == (50000L, 1L, 2L))
+    assert(out("pie") == (20000L, 1L, 3L))
+
+    // phrases over maxPhraseLen are dropped entirely
+    val long = Seq((1L, "w1 w2 w3 w4 w5 the ok"))
+      .toDF("doc_id", "text")
+    val o2 = graft.pipelines.Lexical.rakeKeywords(long, "doc_id", "text",
+      maxPhraseLen = 4).collect().map(_.getString(0)).toSet
+    assert(o2 == Set("ok"))
+
+    // identical phrase texts across docs merge, occurrences counted
+    val multi = Seq((1L, "big data"), (2L, "big data"))
+      .toDF("doc_id", "text")
+    val o3 = graft.pipelines.Lexical.rakeKeywords(multi, "doc_id", "text")
+      .head()
+    assert(o3.getString(0) == "big data")
+    assert(o3.getAs[Long]("n_occurrences") == 2L)
+  }
 }

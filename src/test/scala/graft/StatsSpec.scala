@@ -341,6 +341,24 @@ class StatsSpec extends SparkSuite {
     assert(out(1L).getAs[Long]("n_decide") == 5L)
   }
 
+  test("qiniCurve: hand-computed curve, negative uplift goes below zero") {
+    // decile 0: 2 treated (2 resp), 2 control (0 resp) -> q = 2
+    // decile 1 cumulative: +2t(0r) +2c(2r) -> cum: rt=2 nt=4 rc=2 nc=4
+    //   q = 2 - 2*4/4 = 0
+    val df = Seq(
+      (true, 1L, 0L), (true, 1L, 0L), (false, 0L, 0L), (false, 0L, 0L),
+      (true, 0L, 1L), (true, 0L, 1L), (false, 1L, 1L), (false, 1L, 1L))
+      .toDF("tr", "resp", "dec")
+    val out = Stats.qiniCurve(df, "tr", "resp", "dec").collect()
+      .map(r => r.getAs[Long]("decile") -> r.getAs[Long]("qini_e4")).toMap
+    assert(out == Map(0L -> 20000L, 1L -> 0L))
+
+    // harmful targeting: controls respond, treated don't -> negative
+    val bad = Seq((true, 0L, 0L), (false, 1L, 0L)).toDF("tr", "resp", "dec")
+    val q = Stats.qiniCurve(bad, "tr", "resp", "dec").head()
+    assert(q.getAs[Long]("qini_e4") == -10000L)
+  }
+
   test("mutualInfo: zero for independence, equals entropy for a bijection") {
     // independent 2x2 with equal counts: every cell term ln(1) = 0
     val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
