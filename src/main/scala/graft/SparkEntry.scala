@@ -4237,6 +4237,41 @@ object SparkEntry {
       graft.pipelines.Lexical.rakeKeywords(
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("rank"))
+    }),
+
+    "q_price_volume_mix" -> ((s, dir) => {
+      // the FP&A bridge: WHY did each brand's revenue move 1996→1997 —
+      // price, volume, mix/cross, new items, discontinued items. Unit
+      // prices never materialize (integer cross products + one floor
+      // division per item); the cross term absorbs quantization so the
+      // bridge identity holds to the cent at every brand.
+      val li = t(s, dir, "lineitem")
+        .withColumn("yr", year(col("l_shipdate")))
+        .filter(col("yr").isin(1996, 1997))
+        .select(col("l_partkey"),
+          (col("yr") === 1997).cast("int").as("period"),
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("rev"),
+          floor(col("l_quantity") + 0.5).cast("long").as("qty"))
+      val withBrand = li.join(t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_partkey"), col("period"),
+          col("rev"), col("qty"))
+      Bridge.revenueBridge(withBrand, "p_brand", "l_partkey", "period",
+          "rev", "qty")
+        .orderBy(col("p_brand"))
+    }),
+
+    "q_eb_rates" -> ((s, dir) => {
+      // empirical-Bayes discount-rate smoothing per part: small-n
+      // parts' raw rates shrink toward the method-of-moments Beta
+      // prior — the CTR/ratings shrinkage recipe. Rates quantize to
+      // e6 integers, the MoM finish is one pinned double per
+      // parameter, every smoothed rate an integer floor division.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          (col("l_discount") > 0.05).cast("long").as("hit"))
+      Stats.ebSmoothRates(li, "l_partkey", "hit")
+        .orderBy(col("l_partkey"))
     })
   )
 
@@ -8587,7 +8622,73 @@ object SparkEntry {
         |SELECT phrase, n_words, n_occurrences, score_e4,
         |  CAST(row_number() OVER (ORDER BY score_e4 DESC, phrase) AS BIGINT)
         |    AS rank
-        |FROM top ORDER BY rank""".stripMargin
+        |FROM top ORDER BY rank""".stripMargin,
+
+    "q_price_volume_mix" ->
+      // per-item effects: the posmod-subtract leaves an exactly
+      // divisible numerator, so // equals the true floor even for the
+      // negative effects a price cut produces
+      """WITH li AS (SELECT l_partkey,
+        |    CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END AS period,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS rev,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+        |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)),
+        |wb AS (SELECT p.p_brand, li.* FROM li
+        |  JOIN part p ON p.p_partkey = li.l_partkey),
+        |items AS (SELECT p_brand, l_partkey,
+        |    CAST(sum(CASE WHEN period = 0 THEN rev ELSE 0 END) AS BIGINT) AS r0,
+        |    CAST(sum(CASE WHEN period = 1 THEN rev ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(sum(CASE WHEN period = 0 THEN qty ELSE 0 END) AS BIGINT) AS q0,
+        |    CAST(sum(CASE WHEN period = 1 THEN qty ELSE 0 END) AS BIGINT) AS q1
+        |  FROM wb GROUP BY 1, 2),
+        |eff AS (SELECT p_brand, r0, r1,
+        |    CASE WHEN q0 > 0 AND q1 > 0 THEN
+        |      ((r1 * q0 - r0 * q1)
+        |        - (((r1 * q0 - r0 * q1) % q1 + q1) % q1)) // q1
+        |      ELSE 0 END AS pe,
+        |    CASE WHEN q0 > 0 AND q1 > 0 THEN
+        |      ((r0 * (q1 - q0))
+        |        - ((r0 * (q1 - q0)) % q0 + q0) % q0) // q0
+        |      ELSE 0 END AS ve,
+        |    CASE WHEN q0 = 0 AND q1 > 0 THEN r1 ELSE 0 END AS ne,
+        |    CASE WHEN q1 = 0 AND q0 > 0 THEN r0 ELSE 0 END AS de,
+        |    CASE WHEN q0 > 0 AND q1 > 0 THEN r1 - r0 ELSE 0 END AS bd
+        |  FROM items)
+        |SELECT p_brand,
+        |  CAST(sum(r0) AS BIGINT) AS rev0, CAST(sum(r1) AS BIGINT) AS rev1,
+        |  CAST(sum(r1) - sum(r0) AS BIGINT) AS delta,
+        |  CAST(sum(pe) AS BIGINT) AS price_eff,
+        |  CAST(sum(ve) AS BIGINT) AS vol_eff,
+        |  CAST(sum(bd) - sum(pe) - sum(ve) AS BIGINT) AS cross_eff,
+        |  CAST(sum(ne) AS BIGINT) AS new_eff,
+        |  CAST(sum(de) AS BIGINT) AS disc_eff
+        |FROM eff GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q_eb_rates" ->
+      // MoM Beta prior from exact e6 rate moments; both engines see the
+      // identical pinned double expressions for (alpha, beta)
+      """WITH pk AS (SELECT l_partkey, count(*) AS n,
+        |    CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT *, (k * 1000000) // n AS r6 FROM pk),
+        |mom AS (SELECT count(*) AS kk, sum(r6) AS s, sum(r6 * r6) AS ss FROM r),
+        |pr AS (SELECT (CAST(s AS DOUBLE) / CAST(kk AS DOUBLE)) AS m,
+        |    (CAST(ss AS DOUBLE) / CAST(kk AS DOUBLE) -
+        |     (CAST(s AS DOUBLE) / CAST(kk AS DOUBLE)) *
+        |     (CAST(s AS DOUBLE) / CAST(kk AS DOUBLE))) AS v
+        |  FROM mom),
+        |ab AS (SELECT m, (m * (1000000 - m) / v - 1.0) AS ab FROM pr),
+        |alf AS (SELECT CAST(floor(ab * m) AS BIGINT) AS alpha_e6,
+        |    CAST(floor(ab * (1000000 - m)) AS BIGINT) AS beta_e6
+        |  FROM ab)
+        |SELECT l_partkey, n, k,
+        |  CAST((k * 10000) // n AS BIGINT) AS raw_bp,
+        |  CAST(((k * 1000000 + alpha_e6) * 10000) //
+        |    (n * 1000000 + alpha_e6 + beta_e6) AS BIGINT) AS smoothed_bp,
+        |  alpha_e6, beta_e6
+        |FROM r CROSS JOIN alf ORDER BY l_partkey""".stripMargin
   )
 
   /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between

@@ -761,6 +761,70 @@ object Stats {
       math.log(betaBp.toDouble / (10000.0 - alphaBp)))
   }
 
+  /** Empirical-Bayes rate smoothing with a method-of-moments Beta prior
+    * (Robbins 1956; the standard CTR/ratings shrinkage): small-n keys'
+    * raw success rates are noise — shrink each toward the population
+    * prior by the evidence it carries: smoothed = (k+α)/(n+α+β) with
+    * (α, β) fitted from the across-key rate distribution.
+    *
+    * Determinism: per-key rates quantize to e6 integers (k·10⁶ DIV n),
+    * the moment sums over those are exact decimals, the MoM finish
+    * (α, β) is ONE pinned double expression each — floored to e6 — and
+    * every smoothed rate is then an integer floor division again. The
+    * across-key variance must be positive (all-equal rates leave the
+    * prior strength undefined); the operator raises a named error
+    * rather than silently dividing by zero.
+    *
+    * Shape: one keyed (n, k) aggregate, one tiny moment aggregate over
+    * the key frame, prior broadcast back — two keyed exchanges.
+    */
+  def ebSmoothRates(df: DataFrame, keyCol: String,
+                    successCol: String): DataFrame = {
+    def D(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column) =
+      ((dec(a) - pmod(dec(a), dec(b))) / dec(b)).cast("long")
+    val perKey = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(successCol)).as("k"))
+      .withColumn("__r6", fdiv(col("k") * lit(1000000L), col("n")))
+    val mom = perKey.agg(count(lit(1)).as("__kk"),
+      sum(dec(col("__r6"))).as("__s"),
+      sum(dec(col("__r6")) * dec(col("__r6"))).as("__ss"))
+    // m, v in e6/e12 units: m = S/kk ; v = SS/kk − m². The UNIT-scale
+    // prior strength is ab = α+β = m(1−m)/v − 1 = m·(10⁶−m)/v − 1
+    // (the e6 factors cancel: 10⁻⁶·10⁻⁶·10¹² = 1); then α·10⁶ = ab·m.
+    // The first cut subtracted 10⁶ instead of 1 — a NEGATIVE prior the
+    // cross-engine gate can't catch (the oracle mirrored the same pin);
+    // the shrinkage-direction spec did.
+    val prior = mom.select(
+      (D(col("__s")) / D(col("__kk"))).as("__m"),
+      (D(col("__ss")) / D(col("__kk")) -
+        (D(col("__s")) / D(col("__kk"))) * (D(col("__s")) / D(col("__kk"))))
+        .as("__v"))
+      .select(col("__m"), col("__v"),
+        when(col("__v") > 0 &&
+          col("__m") * (lit(1000000.0) - col("__m")) / col("__v") -
+            lit(1.0) > 0,
+          col("__m") * (lit(1000000.0) - col("__m")) / col("__v") -
+            lit(1.0))
+          .otherwise(raise_error(
+            lit("ebSmoothRates: across-key rate variance is zero or " +
+              "exceeds the Bernoulli limit m(1-m) — the Beta prior " +
+              "is undefined for this rate distribution"))
+            .cast("double")).as("__ab"))
+      .select(
+        floor(col("__ab") * col("__m")).cast("long").as("alpha_e6"),
+        floor(col("__ab") * (lit(1000000.0) - col("__m"))).cast("long")
+          .as("beta_e6"))
+    perKey.crossJoin(broadcast(prior))
+      .select(col(keyCol), col("n"), col("k"),
+        fdiv(col("k") * lit(10000L), col("n")).as("raw_bp"),
+        fdiv((col("k") * lit(1000000L) + col("alpha_e6")) * lit(10000L),
+          col("n") * lit(1000000L) + col("alpha_e6") + col("beta_e6"))
+          .as("smoothed_bp"),
+        col("alpha_e6"), col("beta_e6"))
+  }
+
   /** Qini uplift curve (Radcliffe 2007) over pre-assigned targeting
     * deciles: walk the population best-score-first and ask, at each
     * decile, how many INCREMENTAL responses the treatment bought vs a

@@ -341,6 +341,29 @@ class StatsSpec extends SparkSuite {
     assert(out(1L).getAs[Long]("n_decide") == 5L)
   }
 
+  test("ebSmoothRates: shrinkage toward the prior, more for small n") {
+    val rnd = new scala.util.Random(23)
+    // 300 keys with true rate ~0.3 and binomial noise; one tiny-n key
+    // at an extreme raw rate and one huge-n key at the same raw rate
+    val base = (1 to 300).flatMap { k =>
+      (1 to 30).map(_ => (s"k$k", if (rnd.nextDouble() < 0.3) 1L else 0L)) }
+    val tiny = (1 to 2).map(_ => ("tiny", 1L))       // raw rate 1.0, n=2
+    val huge = (1 to 5000).map(_ => ("huge", 1L))    // raw rate 1.0, n=5000
+    val df = (base ++ tiny ++ huge).toDF("key", "hit")
+    val out = Stats.ebSmoothRates(df, "key", "hit").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("raw_bp"), r.getAs[Long]("smoothed_bp"))).toMap
+    assert(out("tiny")._1 == 10000L && out("huge")._1 == 10000L)
+    // both shrink toward the prior mean, the tiny key MUCH further
+    assert(out("tiny")._2 < out("huge")._2)
+    assert(out("huge")._2 > 9000L, "evidence-heavy key barely moves")
+    assert(out("tiny")._2 < 9000L, "evidence-light key shrinks hard")
+    // deterministic under repartition
+    val out2 = Stats.ebSmoothRates(df.repartition(13), "key", "hit")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("smoothed_bp")).toMap
+    assert(out.map { case (k, v) => k -> v._2 } == out2)
+  }
+
   test("qiniCurve: hand-computed curve, negative uplift goes below zero") {
     // decile 0: 2 treated (2 resp), 2 control (0 resp) -> q = 2
     // decile 1 cumulative: +2t(0r) +2c(2r) -> cum: rt=2 nt=4 rc=2 nc=4
