@@ -157,6 +157,40 @@ class PlansSpec extends SparkSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("propensity matching rides the as-of carry: never treated x control") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 200L).map(i => (i, s"s${i % 4}", (i * 7 % 997),
+      i % 3 == 0, i * 11 % 1000)).toDF("id", "st", "s", "tr", "y")
+    val out = graft.operators.Causal.propensityMatch(df, "id", "st", "s",
+      "tr", "y", caliper = 100L)
+    val plan = out.queryExecution.executedPlan.toString
+    // the match itself is the union-sort carry — no join operator may
+    // touch anything row-sized (a nested loop here is the O(n·m) cliff)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // exchanges: the controls dedup (st, s) + the as-of carry (st)
+    val keys = shuffleKeys(out)
+    assert(keys.length <= 2, keys)
+    assert(keys.exists(_.contains("st")), keys)
+  }
+
+  test("poisson bootstrap: replicate sums combine map-side, tiny shuffles only") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 500L).map(i => (s"g${i % 3}", i, i % 100))
+      .toDF("g", "id", "v")
+    val out = graft.operators.Stats.poissonBootstrap(df, "g", "id", "v", b = 30)
+    val plan = out.queryExecution.executedPlan.toString
+    // the explode happens BEFORE the first exchange and the per-
+    // (group, replicate) aggregate is partial — only B·|groups| rows
+    // ever shuffle
+    assert(plan.contains("Generate"), plan)
+    val keys = shuffleKeys(out)
+    assert(keys.exists(k => k.contains("g") && k.contains("__b")), keys)
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      plan)
+  }
+
   test("IVF centroid assignment is a pure map: zero exchanges") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("vec_id", "embedding")
