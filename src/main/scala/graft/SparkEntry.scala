@@ -4272,6 +4272,53 @@ object SparkEntry {
           (col("l_discount") > 0.05).cast("long").as("hit"))
       Stats.ebSmoothRates(li, "l_partkey", "hit")
         .orderBy(col("l_partkey"))
+    }),
+
+    "q_encoding_audit" -> ((s, dir) => {
+      // corpus encoding-health audit: replacement chars (U+FFFD),
+      // stray C0 controls, zero-width chars, and latin1-decoded-UTF8
+      // mojibake pairs — the ingest QA pass before any text filter.
+      // The synthetic corpus is clean, so deterministic contamination
+      // is CONSTRUCTED per doc (both engines build the identical
+      // string — the q_pii_redact recipe); patterns use \x{...}
+      // escapes valid in BOTH Java regex and RE2. The chars embed as
+      // UNICODE LITERALS here while the oracle uses chr(): Spark's
+      // chr() is mod-256 ASCII (chr(8203) = \x0B — a control char!),
+      // DuckDB's is the code point — the gate caught the divergence.
+      val contaminated = t(s, dir, "documents")
+        .withColumn("t2", when(col("doc_id") < 120, concat(col("text"),
+          lit(" "),
+          expr("repeat('�', cast(doc_id % 3 as int))"),
+          expr("repeat('​', cast(doc_id % 2 as int))"),
+          when(col("doc_id") % 5 === 0, lit("Ã©"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("\u0007")).otherwise(lit(""))))
+          .otherwise(col("text")))
+      contaminated.select(col("doc_id"),
+          regexp_count(col("t2"), lit("\\x{FFFD}")).cast("long")
+            .as("n_replacement"),
+          regexp_count(col("t2"),
+            lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")).cast("long")
+            .as("n_control"),
+          regexp_count(col("t2"), lit("[\\x{200B}-\\x{200D}\\x{FEFF}]"))
+            .cast("long").as("n_zerowidth"),
+          regexp_count(col("t2"), lit("\\x{00C3}[\\x{0080}-\\x{00BF}]"))
+            .cast("long").as("n_mojibake"))
+        .withColumn("clean",
+          col("n_replacement") + col("n_control") + col("n_zerowidth") +
+            col("n_mojibake") === 0L)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_compress_ratio" -> ((s, dir) => {
+      // Gopher-style compressibility signal (Rae et al. 2021):
+      // boilerplate compresses implausibly hard, noise barely at all.
+      // Deflate is an opaque codec => mapPartitions boundary (one
+      // Deflater per partition), pinned level; rows-only by nature
+      // (no SQL zlib) — CompressionSpec pins the semantic invariants.
+      graft.functions.Compression.ratios(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -8688,7 +8735,35 @@ object SparkEntry {
         |  CAST(((k * 1000000 + alpha_e6) * 10000) //
         |    (n * 1000000 + alpha_e6 + beta_e6) AS BIGINT) AS smoothed_bp,
         |  alpha_e6, beta_e6
-        |FROM r CROSS JOIN alf ORDER BY l_partkey""".stripMargin
+        |FROM r CROSS JOIN alf ORDER BY l_partkey""".stripMargin,
+
+    "q_encoding_audit" ->
+      // identical constructed contamination; \x{...} escapes are valid
+      // in both Java regex and RE2
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id < 120 THEN text || ' '
+        |      || repeat(chr(65533), CAST(doc_id % 3 AS INT))
+        |      || repeat(chr(8203), CAST(doc_id % 2 AS INT))
+        |      || CASE WHEN doc_id % 5 = 0 THEN chr(195) || chr(169)
+        |           ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN chr(7) ELSE '' END
+        |    ELSE text END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '\x{FFFD}')) AS BIGINT)
+        |    AS n_replacement,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT) AS n_control,
+        |  CAST(len(regexp_extract_all(t2, '[\x{200B}-\x{200D}\x{FEFF}]'))
+        |    AS BIGINT) AS n_zerowidth,
+        |  CAST(len(regexp_extract_all(t2, '\x{00C3}[\x{0080}-\x{00BF}]'))
+        |    AS BIGINT) AS n_mojibake,
+        |  (len(regexp_extract_all(t2, '\x{FFFD}'))
+        |    + len(regexp_extract_all(t2, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]'))
+        |    + len(regexp_extract_all(t2, '[\x{200B}-\x{200D}\x{FEFF}]'))
+        |    + len(regexp_extract_all(t2, '\x{00C3}[\x{0080}-\x{00BF}]')) = 0)
+        |    AS clean
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 
   /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between

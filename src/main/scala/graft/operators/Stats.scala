@@ -592,7 +592,11 @@ object Stats {
     *
     * Shape: one grouped moment pass, one in-group rank window on the
     * calibration rows, one final grouped count — group-keyed
-    * throughout, residual frames never leave their exchange.
+    * throughout, residual frames never leave their exchange. GROUP
+    * CARDINALITY IS BOUNDED BY CONTRACT (sources, segments — the
+    * per-group stats and conformal quantiles broadcast back to the
+    * row side); per-entity conformal over millions of keys would need
+    * the broadcast hints replaced with keyed joins.
     */
   def conformalSplit(df: DataFrame, groupCol: String, idCol: String,
                      yCol: String, calibCol: String,

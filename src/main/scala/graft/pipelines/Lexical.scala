@@ -385,11 +385,24 @@ object Lexical {
     val islands = toks
       .withColumn("__ph", sum(when(stop, 1L).otherwise(0L)).over(w))
       .filter(!stop)
+    // drop over-long runs BEFORE any aggregation buffers them: a
+    // pathological stopword-free document is ONE island — collect_list
+    // over it would buffer the whole document; the run-length window
+    // shares the (id, ph) exchange with the phrase aggregate, so the
+    // guard costs no extra shuffle
+    val runLen = Window.partitionBy(col("__id"), col("__ph"))
     val phrases = islands
-      .groupBy(col("__id"), col("__ph"))
-      .agg(array_join(collect_list(col("__w")), " ").as("phrase"),
-        count(lit(1)).as("__len"))
+      .withColumn("__len", count(lit(1)).over(runLen))
       .filter(col("__len") <= maxPhraseLen)
+      .groupBy(col("__id"), col("__ph"))
+      // explicit (position, word) sort — collect_list order is an
+      // implementation accident of the preceding window sort, not a
+      // contract
+      .agg(sort_array(collect_list(struct(col("__p"), col("__w"))))
+        .as("__sw"), first(col("__len")).as("__len"))
+      .withColumn("phrase",
+        array_join(col("__sw").getField("__w"), " "))
+      .drop("__sw")
     // phrase-word rows re-derive from the phrase text (split on the
     // single space the join put there) so word stats see EXACTLY the
     // kept phrases
