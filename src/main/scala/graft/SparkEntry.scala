@@ -4319,6 +4319,47 @@ object SparkEntry {
       graft.functions.Compression.ratios(
           t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    "q_forecast_reconcile" -> ((s, dir) => {
+      // hierarchical forecast reconciliation (top-down forecast
+      // proportions, Hyndman et al.): nation-level Holt forecasts and
+      // the region-level Holt forecast disagree by construction —
+      // reconcile by allocating each region's forecast across its
+      // nations ∝ their base forecasts, EXACTLY, via largest
+      // remainder. Σ reconciled == region forecast to the cent at
+      // every region (the coherence property that makes hierarchical
+      // reports add up). Pure composition: two Holt runs + one
+      // Allocate — both existing exact machines.
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val mon = t(s, dir, "orders")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          trunc(to_date(col("o_orderdate")), "mon").as("month"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+      def lastFc(h: DataFrame, key: String, out: String) =
+        h.groupBy(col(key))
+          .agg(greatest(lit(0L),
+            max(struct(col("month"), col("holt_q"))).getField("holt_q"))
+            .as(out))
+      val natFc = lastFc(Recurrences.holt(mon, Seq("nation"), Seq("month"),
+        "rev_c", 1L, 4L, 1L, 4L), "nation", "base_fc")
+      val natReg = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nation"),
+          col("n_regionkey").as("region"))
+      val regMon = mon.join(broadcast(natReg), Seq("nation"))
+        .groupBy(col("region"), col("month"))
+        .agg(sum(col("rev_c")).as("rev_c"))
+      val regFc = lastFc(Recurrences.holt(regMon, Seq("region"),
+        Seq("month"), "rev_c", 1L, 4L, 1L, 4L), "region", "region_fc")
+      val joined = natFc.join(broadcast(natReg), Seq("nation"))
+        .join(broadcast(regFc), Seq("region"))
+      Allocate.largestRemainder(joined, Seq("region"), "base_fc",
+          "region_fc", Seq("nation"), "reconciled_fc")
+        .select(col("nation"), col("region"), col("base_fc"),
+          col("region_fc"), col("reconciled_fc"))
+        .orderBy(col("nation"))
     })
   )
 
@@ -8763,7 +8804,83 @@ object SparkEntry {
         |    + len(regexp_extract_all(t2, '[\x{200B}-\x{200D}\x{FEFF}]'))
         |    + len(regexp_extract_all(t2, '\x{00C3}[\x{0080}-\x{00BF}]')) = 0)
         |    AS clean
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_forecast_reconcile" ->
+      // q_holt's recursion replayed at BOTH hierarchy levels (arg_max
+      // picks each key's final state), then the q_allocate
+      // largest-remainder replay including the operator's
+      // all-zero-weights equal-split branch
+      """WITH RECURSIVE mon AS (
+        |  SELECT c_nationkey AS nation,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |s AS (SELECT nation, month, rev_c,
+        |        row_number() OVER (PARTITION BY nation ORDER BY month) AS rn
+        |      FROM mon),
+        |r AS (
+        |  SELECT nation, month, rev_c, rn, rev_c AS l, CAST(0 AS BIGINT) AS b
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.nation, s.month, s.rev_c, s.rn,
+        |    ((s.rev_c + 3*(r.l + r.b))
+        |      - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4,
+        |    ((((s.rev_c + 3*(r.l + r.b))
+        |        - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4 - r.l + 3*r.b)
+        |      - (((((s.rev_c + 3*(r.l + r.b))
+        |        - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4 - r.l + 3*r.b) % 4) + 4) % 4) // 4
+        |  FROM s JOIN r ON s.nation = r.nation AND s.rn = r.rn + 1),
+        |natfc AS (SELECT nation,
+        |    greatest(CAST(0 AS BIGINT), arg_max(l + b, rn)) AS base_fc
+        |  FROM r GROUP BY 1),
+        |natreg AS (SELECT n_nationkey AS nation, n_regionkey AS region
+        |  FROM nation),
+        |regmon AS (SELECT nr.region, m.month,
+        |    CAST(sum(m.rev_c) AS BIGINT) AS rev_c
+        |  FROM mon m JOIN natreg nr ON nr.nation = m.nation
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT region, month, rev_c,
+        |        row_number() OVER (PARTITION BY region ORDER BY month) AS rn
+        |      FROM regmon),
+        |r2 AS (
+        |  SELECT region, month, rev_c, rn, rev_c AS l, CAST(0 AS BIGINT) AS b
+        |  FROM s2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s2.region, s2.month, s2.rev_c, s2.rn,
+        |    ((s2.rev_c + 3*(r2.l + r2.b))
+        |      - (((s2.rev_c + 3*(r2.l + r2.b)) % 4) + 4) % 4) // 4,
+        |    ((((s2.rev_c + 3*(r2.l + r2.b))
+        |        - (((s2.rev_c + 3*(r2.l + r2.b)) % 4) + 4) % 4) // 4 - r2.l + 3*r2.b)
+        |      - (((((s2.rev_c + 3*(r2.l + r2.b))
+        |        - (((s2.rev_c + 3*(r2.l + r2.b)) % 4) + 4) % 4) // 4 - r2.l + 3*r2.b) % 4) + 4) % 4) // 4
+        |  FROM s2 JOIN r2 ON s2.region = r2.region AND s2.rn = r2.rn + 1),
+        |regfc AS (SELECT region,
+        |    greatest(CAST(0 AS BIGINT), arg_max(l + b, rn)) AS region_fc
+        |  FROM r2 GROUP BY 1),
+        |j AS (SELECT nf.nation, nr.region, nf.base_fc, rf.region_fc
+        |  FROM natfc nf JOIN natreg nr ON nr.nation = nf.nation
+        |  JOIN regfc rf ON rf.region = nr.region),
+        |t AS (SELECT *, sum(base_fc) OVER (PARTITION BY region) AS tot,
+        |    count(*) OVER (PARTITION BY region) AS nn
+        |  FROM j),
+        |w1 AS (SELECT nation, region, base_fc, region_fc,
+        |    CASE WHEN tot = 0 THEN 1 ELSE base_fc END AS wgt,
+        |    CASE WHEN tot = 0 THEN nn ELSE tot END AS t1
+        |  FROM t),
+        |b1 AS (SELECT *,
+        |    CAST(CAST(region_fc AS HUGEINT) * wgt // t1 AS BIGINT) AS base,
+        |    (CAST(region_fc AS HUGEINT) * wgt) % t1 AS rem
+        |  FROM w1),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY region
+        |      ORDER BY rem DESC, nation) AS rnk,
+        |    region_fc - sum(base) OVER (PARTITION BY region) AS deficit
+        |  FROM b1)
+        |SELECT nation, region, base_fc, region_fc,
+        |  CAST(base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+        |    AS reconciled_fc
+        |FROM rk ORDER BY nation""".stripMargin
   )
 
   /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between

@@ -48,14 +48,17 @@ object Allocate {
       raise_error(concat(lit(s"Allocate: $amountCol is not constant within a key "),
         lit("(it must be the key-level amount on every row)"))))
       .otherwise(col(amountCol))
-    // FLOOR division in pure BIGINT: subtract the non-negative pmod so
-    // integral `div` is exact (no double/decimal round-trip; `/` on
-    // longs is double division and loses exactness past 2^53). Floor
-    // semantics keep negative amounts (refunds) correct: bases round
-    // DOWN, so the deficit stays in [0, n).
-    val prod = amt * w1
-    val rem = pmod(prod, t1)
-    val base = call_function("div", prod - rem, t1)
+    // FLOOR division with the amount×weight product in DECIMAL(38,0):
+    // the pure-BIGINT product overflows exactly in the 100 TB regime
+    // (a 10¹¹-cent region amount × a 10¹⁰ weight is 10²¹ — caught by
+    // the forecast-reconciliation sf0.1 gate). Subtracting the
+    // non-negative pmod keeps the division exact; floor semantics keep
+    // negative amounts (refunds) correct: bases round DOWN, so the
+    // deficit stays in [0, n).
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val prod = dec(amt) * dec(w1)
+    val rem = pmod(prod, dec(t1))
+    val base = ((prod - rem) / dec(t1)).cast("long")
     val rankW = Window.partitionBy(keys.map(col): _*)
       .orderBy(rem.desc +: tiebreak.map(col(_).asc): _*)
     val deficit = (amt - sum(base).over(w)).cast("long")

@@ -85,4 +85,23 @@ class AllocateSpec extends SparkSuite {
       .findAllIn(df.queryExecution.executedPlan.toString).size
     assert(shuffles === 1, df.queryExecution.executedPlan.toString)
   }
+
+  test("100 TB regime: amount x weight beyond 2^63 allocates exactly") {
+    // 10^11-cent amount split over 10^10-scale weights: the product is
+    // 10^21 — the old pure-BIGINT path overflowed here (caught by the
+    // forecast-reconciliation sf0.1 gate); the decimal product is exact
+    val amt = 100000000000L // 10^11
+    val w = Seq(10000000000L, 20000000000L, 30000000001L)
+    val df = lines(
+      (1L, 1L, w(0), amt), (1L, 2L, w(1), amt), (1L, 3L, w(2), amt))
+    val out = Allocate.largestRemainder(df, Seq("k"), "w", "amt", Seq("ln"))
+      .select("ln", "alloc_q").as[(Long, Long)].collect().toMap
+    assert(out.values.sum == amt, "allocation must sum to the amount")
+    // shares track weights to within the 1-unit remainder adjustment
+    val tot = w.sum.toDouble
+    w.zipWithIndex.foreach { case (wi, i) =>
+      val expect = amt * (wi / tot)
+      assert(math.abs(out(i + 1L) - expect) <= 1.0, s"line ${i + 1}")
+    }
+  }
 }
