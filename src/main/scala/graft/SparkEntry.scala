@@ -4360,6 +4360,103 @@ object SparkEntry {
         .select(col("nation"), col("region"), col("base_fc"),
           col("region_fc"), col("reconciled_fc"))
         .orderBy(col("nation"))
+    }),
+
+    "q_croston" -> ((s, dir) => {
+      // Croston's method (1972) — THE forecast for intermittent
+      // demand, where Holt/EWMA on the raw series just decays to zero
+      // between orders: smooth demand SIZES and inter-demand INTERVALS
+      // separately over demand occurrences only, forecast rate = z/p.
+      // Pure composition: absent months never materialize (the grouped
+      // frame holds only demand months; intervals are index gaps), and
+      // BOTH smoothers are the existing exact-integer ewma scan — z
+      // initializes to the first size, p to the first interval,
+      // exactly Croston's convention.
+      val li = t(s, dir, "lineitem")
+        .withColumn("mn",
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+            .cast("long"))
+        .groupBy(col("l_partkey"), col("mn"))
+        .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("q"))
+      val w = Window.partitionBy(col("l_partkey")).orderBy(col("mn"))
+      val withIv = li
+        .withColumn("iv", col("mn") - lag(col("mn"), 1).over(w))
+      val z = Recurrences.ewma(withIv, Seq("l_partkey"), Seq("mn"), "q",
+        1L, 4L, "z_q")
+      val zp = Recurrences.ewma(
+        z.filter(col("iv").isNotNull), Seq("l_partkey"), Seq("mn"), "iv",
+        1L, 4L, "p_q")
+      // final state per part: parts need >= 2 demand months (no
+      // interval exists otherwise — Croston is undefined)
+      zp.groupBy(col("l_partkey"))
+        .agg((count(lit(1)) + 1).as("n_periods"),
+          max(struct(col("mn"), col("z_q"))).getField("z_q").as("z_q"),
+          max(struct(col("mn"), col("p_q"))).getField("p_q").as("p_q"))
+        .withColumn("rate_bp", {
+          val n = col("z_q") * lit(10000L)
+          ((n - pmod(n, col("p_q"))) / col("p_q")).cast("long")
+        })
+        .orderBy(col("l_partkey"))
+    }),
+
+    "q_fano" -> ((s, dir) => {
+      // burstiness screen per event type: the Fano factor (index of
+      // dispersion) of hourly counts — var/mean = 1 for a Poisson
+      // stream, > 1 bursty, < 1 regular; the point-process QA beside
+      // ACF/seasonality. Empty hours NEVER materialize: with H total
+      // hours, var = Σc²/H − mean² needs only the observed slots
+      // (zeros add zero) — one grouped count + exact moments + a
+      // pinned double finish.
+      val e = t(s, dir, "events")
+        .withColumn("__ep", col("ts").cast("long"))
+        // integral div, NOT /: long/long plans a double division whose
+        // quotient can land one ulp under an exact hour boundary
+        .select(col("event_type"), expr("__ep div 3600").as("hr"))
+      val span = e.agg((max(col("hr")) - min(col("hr")) + 1).as("__h"))
+      val slots = e.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("c"))
+      def D(c: Column) = c.cast("double")
+      slots.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_active_hours"),
+          sum(col("c") * col("c")).as("__ss"))
+        .crossJoin(broadcast(span))
+        .select(col("event_type"), col("n_events"), col("__h").as("n_hours"),
+          col("n_active_hours"),
+          floor(((D(col("__ss")) / D(col("__h")) -
+            (D(col("n_events")) / D(col("__h"))) *
+              (D(col("n_events")) / D(col("__h")))) /
+            (D(col("n_events")) / D(col("__h")))) * lit(10000.0) + lit(0.5))
+            .cast("long").as("fano_bp"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_zipf_fit" -> ((s, dir) => {
+      // Zipf slope of the token rank-frequency curve — the corpus
+      // shape check (natural text ≈ −1; template spam and synthetic
+      // filler bend it): OLS on (ln rank, ln freq) over the top 1000
+      // terms, each ln quantized to e4 (the elasticity recipe), exact
+      // decimal moments, one pinned double slope. Ranks by the RANGED
+      // global-rank machine — the vocabulary never funnels one sort
+      // task.
+      val tf = graft.pipelines.Lexical.termFrequencies(
+          t(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("term")).agg(sum(col("tf")).as("freq"))
+      val ranked = RunningTotals.globalRank(tf,
+          Seq(col("freq").desc, col("term")), "rk")
+        .filter(col("rk") <= 1000)
+      def q4(c: Column) =
+        floor(log(c.cast("double")) * 10000.0 + 0.5).cast("long")
+      val pts = ranked.select(q4(col("rk")).as("x"), q4(col("freq")).as("y"))
+      def S(c: Column) = sum(c.cast("decimal(38,0)"))
+      def D(c: Column) = c.cast("double")
+      val m = pts.agg(count(lit(1)).as("n"), S(col("x")).as("sx"),
+        S(col("y")).as("sy"), S(col("x") * col("y")).as("sxy"),
+        S(col("x") * col("x")).as("sxx"))
+      m.select(col("n").cast("long").as("n_terms"),
+        floor((D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))) /
+          (D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx")))
+          * 10000.0 + 0.5).cast("long").as("slope_bp"))
     })
   )
 
@@ -8880,7 +8977,80 @@ object SparkEntry {
         |SELECT nation, region, base_fc, region_fc,
         |  CAST(base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS BIGINT)
         |    AS reconciled_fc
-        |FROM rk ORDER BY nation""".stripMargin
+        |FROM rk ORDER BY nation""".stripMargin,
+
+    "q_croston" ->
+      // two independent ewma recursions (sizes over all demand months,
+      // intervals over the 2nd onward); everything positive, so //
+      // replays the operator's floorDiv
+      """WITH RECURSIVE dm AS (
+        |  SELECT l_partkey,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS mn,
+        |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (SELECT l_partkey, mn, q,
+        |    mn - lag(mn) OVER (PARTITION BY l_partkey ORDER BY mn) AS iv,
+        |    row_number() OVER (PARTITION BY l_partkey ORDER BY mn) AS rn
+        |  FROM dm),
+        |rz AS (
+        |  SELECT l_partkey, rn, q AS z FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.l_partkey, s.rn, (s.q + 3 * rz.z) // 4
+        |  FROM s JOIN rz ON s.l_partkey = rz.l_partkey AND s.rn = rz.rn + 1),
+        |rp AS (
+        |  SELECT l_partkey, rn, iv AS p FROM s WHERE rn = 2
+        |  UNION ALL
+        |  SELECT s.l_partkey, s.rn, (s.iv + 3 * rp.p) // 4
+        |  FROM s JOIN rp ON s.l_partkey = rp.l_partkey AND s.rn = rp.rn + 1),
+        |zf AS (SELECT l_partkey, CAST(max(rn) AS BIGINT) AS n_periods,
+        |    CAST(arg_max(z, rn) AS BIGINT) AS z_q
+        |  FROM rz GROUP BY 1),
+        |pf AS (SELECT l_partkey, CAST(arg_max(p, rn) AS BIGINT) AS p_q
+        |  FROM rp GROUP BY 1)
+        |SELECT zf.l_partkey, zf.n_periods, zf.z_q, pf.p_q,
+        |  CAST((zf.z_q * 10000) // pf.p_q AS BIGINT) AS rate_bp
+        |FROM zf JOIN pf ON pf.l_partkey = zf.l_partkey
+        |ORDER BY zf.l_partkey""".stripMargin,
+
+    "q_fano" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr FROM events),
+        |span AS (SELECT CAST(max(hr) - min(hr) + 1 AS BIGINT) AS h FROM e),
+        |slots AS (SELECT event_type, hr, count(*) AS c FROM e GROUP BY 1, 2),
+        |agg AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        |    count(*) AS n_active_hours,
+        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM slots GROUP BY 1)
+        |SELECT event_type, n_events, span.h AS n_hours, n_active_hours,
+        |  CAST(floor(((CAST(ss AS DOUBLE) / CAST(span.h AS DOUBLE) -
+        |    (CAST(n_events AS DOUBLE) / CAST(span.h AS DOUBLE)) *
+        |    (CAST(n_events AS DOUBLE) / CAST(span.h AS DOUBLE))) /
+        |    (CAST(n_events AS DOUBLE) / CAST(span.h AS DOUBLE))) * 10000 + 0.5)
+        |    AS BIGINT) AS fano_bp
+        |FROM agg CROSS JOIN span
+        |ORDER BY event_type""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(text),
+        |    '[ \t\n\r\f]+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+        |  FROM toks GROUP BY 1),
+        |rk AS (SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, term) AS rk FROM tf),
+        |pts AS (SELECT
+        |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
+        |  FROM rk WHERE rk <= 1000),
+        |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 10000 + 0.5)
+        |    AS BIGINT) AS slope_bp
+        |FROM m""".stripMargin
   )
 
   /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between
