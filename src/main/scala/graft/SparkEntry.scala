@@ -4457,6 +4457,154 @@ object SparkEntry {
         floor((D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))) /
           (D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx")))
           * 10000.0 + 0.5).cast("long").as("slope_bp"))
+    }),
+
+    "q_xyz_class" -> ((s, dir) => {
+      // XYZ demand-variability classes per part (the planning axis
+      // beside q_abc_class's value axis): CV of monthly demand over
+      // the FULL calendar span — zero months count but never
+      // materialize (Σq and Σq² over demand months only, H global).
+      // Class thresholds are a REGIME PARAMETER (the textbook 0.5/1.0
+      // assume continuous daily demand; this sparse monthly regime
+      // sits at cv 1.56-2.36 across all SFs — the 0.5/1.0 cut labels
+      // everything Z, a constant column the vacuity rule forbids):
+      // X: cv < 1.75 (steady for this regime), Y: < 2.05, Z: erratic.
+      val dm = t(s, dir, "lineitem")
+        .withColumn("mn",
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+            .cast("long"))
+        .groupBy(col("l_partkey"), col("mn"))
+        .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("q"))
+      val span = dm.agg((max(col("mn")) - min(col("mn")) + 1).as("__h"))
+      def D(c: Column) = c.cast("double")
+      val mean = D(col("__t")) / D(col("__h"))
+      val cv = sqrt(D(col("__ss")) / D(col("__h")) - mean * mean) / mean
+      dm.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_active_months"),
+          sum(col("q")).as("total_qty"),
+          sum(col("q") * col("q")).as("__ss"))
+        .withColumnRenamed("total_qty", "__t")
+        .crossJoin(broadcast(span))
+        .select(col("l_partkey"), col("n_active_months"),
+          col("__t").as("total_qty"),
+          floor(cv * lit(10000.0) + lit(0.5)).cast("long").as("cv_bp"))
+        .withColumn("xyz",
+          when(col("cv_bp") < 17500L, "X")
+            .when(col("cv_bp") < 20500L, "Y").otherwise("Z"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    "q_seasonality_strength" -> ((s, dir) => {
+      // Hyndman's strength-of-components diagnostics over the SAME
+      // exact decomposition as q_seasonal: seasonal strength =
+      // max(0, 1 − var(resid)/var(seasonal+resid)), trend strength
+      // likewise vs (trend+resid) — the one-number answers to "is
+      // there seasonality worth modeling". Integer components, exact
+      // decimal moments, two pinned double finishes.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+        .withColumn("dow",
+          (datediff(col("d"), to_date(lit("1970-01-01"))) % 7).cast("long"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d")))
+          .cast("long"))
+      val dec = Stats.decomposeAdditive(daily, "rn", "dow", "rev_c",
+          window = 7)
+        .filter(col("resid").isNotNull)
+        .select(col("resid").as("r"),
+          (col("seasonal") + col("resid")).as("sr"),
+          (col("trend") + col("resid")).as("tr2"))
+      def S(c: Column) = sum(c.cast("decimal(38,0)"))
+      def D(c: Column) = c.cast("double")
+      val m = dec.agg(count(lit(1)).as("n"),
+        S(col("r")).as("s1"), S(col("r") * col("r")).as("ss1"),
+        S(col("sr")).as("s2"), S(col("sr") * col("sr")).as("ss2"),
+        S(col("tr2")).as("s3"), S(col("tr2") * col("tr2")).as("ss3"))
+      def v(ss: Column, s1: Column) = D(ss) / D(col("n")) -
+        (D(s1) / D(col("n"))) * (D(s1) / D(col("n")))
+      m.select(col("n").cast("long").as("n_days"),
+        floor(greatest(lit(0.0),
+          lit(1.0) - v(col("ss1"), col("s1")) / v(col("ss2"), col("s2")))
+          * 10000.0 + 0.5).cast("long").as("seasonal_strength_bp"),
+        floor(greatest(lit(0.0),
+          lit(1.0) - v(col("ss1"), col("s1")) / v(col("ss3"), col("s3")))
+          * 10000.0 + 0.5).cast("long").as("trend_strength_bp"))
+    }),
+
+    "q_runs_test" -> ((s, dir) => {
+      // Wald–Wolfowitz runs test on daily revenue around its median —
+      // "are the ups and downs random?", the residual-randomness check
+      // the trend/seasonal fits assume. Runs and counts exact; the
+      // normal approximation z is one pinned double finish.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev_c"), col("d"))
+      val n = daily.count()
+      val med = daily.withColumn("__vr", row_number().over(wv))
+        .filter(col("__vr") === (n + 1) / 2)
+        .select(col("rev_c").as("__med"))
+      val signed = daily.crossJoin(broadcast(med))
+        .withColumn("sgn", (col("rev_c") > col("__med")).cast("long"))
+        .withColumn("__chg",
+          when(lag(col("sgn"), 1).over(w).isNull, 0L)
+            .when(lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L)
+            .otherwise(0L))
+      def D(c: Column) = c.cast("double")
+      val agg = signed.agg(count(lit(1)).as("n_days"),
+        sum(col("sgn")).as("n_above"),
+        (count(lit(1)) - sum(col("sgn"))).as("n_below"),
+        (sum(col("__chg")) + 1).as("runs"))
+      val mu = lit(2.0) * D(col("n_above")) * D(col("n_below")) /
+        D(col("n_days")) + lit(1.0)
+      val sig2 = (lit(2.0) * D(col("n_above")) * D(col("n_below")) *
+        (lit(2.0) * D(col("n_above")) * D(col("n_below")) -
+          D(col("n_days")))) /
+        (D(col("n_days")) * D(col("n_days")) * (D(col("n_days")) - lit(1.0)))
+      agg.select(col("n_days"), col("n_above"), col("n_below"), col("runs"),
+        floor((D(col("runs")) - mu) / sqrt(sig2) * 10000.0 + 0.5)
+          .cast("long").as("z_bp"))
+    }),
+
+    "q_cohort_ltv" -> ((s, dir) => {
+      // cumulative lifetime value per acquisition cohort — the money
+      // twin of q_cohort_retention: revenue per cohort-age accumulated
+      // down the age axis, divided by cohort size (exact cents floor).
+      // Two keyed aggregates + one tiny cohort-sized window.
+      val first = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("__c0"))
+      val sized = first.groupBy(col("__c0"))
+        .agg(count(lit(1)).as("n_customers"))
+      val rev = t(s, dir, "orders")
+        .join(first, Seq("o_custkey"))
+        .groupBy(col("__c0"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1 -
+            col("__c0")).cast("long").as("age"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__c0")).orderBy(col("age"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      rev.join(broadcast(sized), Seq("__c0"))
+        .withColumn("cum_rev_c", sum(col("rev_c")).over(wc))
+        .select(
+          concat(expr("__c0 div 12").cast("string"), lit("-"),
+            lpad((pmod(col("__c0"), lit(12)) + 1).cast("string"), 2, "0"))
+            .as("cohort"),
+          col("age"), col("n_customers"), col("cum_rev_c"))
+        .withColumn("ltv_c", {
+          val a = col("cum_rev_c"); val b = col("n_customers")
+          ((a - pmod(a, b)) / b).cast("long")
+        })
+        .orderBy(col("cohort"), col("age"))
     })
   )
 
@@ -9050,7 +9198,129 @@ object SparkEntry {
         |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
         |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 10000 + 0.5)
         |    AS BIGINT) AS slope_bp
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q_xyz_class" ->
+      """WITH dm AS (SELECT l_partkey,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS mn,
+        |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |span AS (SELECT CAST(max(mn) - min(mn) + 1 AS BIGINT) AS h FROM dm),
+        |agg AS (SELECT l_partkey, count(*) AS n_active_months,
+        |    CAST(sum(q) AS BIGINT) AS t, CAST(sum(q * q) AS BIGINT) AS ss
+        |  FROM dm GROUP BY 1),
+        |cvx AS (SELECT l_partkey, n_active_months, t,
+        |    CAST(floor(sqrt(CAST(ss AS DOUBLE) / CAST(h AS DOUBLE) -
+        |      (CAST(t AS DOUBLE) / CAST(h AS DOUBLE)) *
+        |      (CAST(t AS DOUBLE) / CAST(h AS DOUBLE))) /
+        |      (CAST(t AS DOUBLE) / CAST(h AS DOUBLE)) * 10000 + 0.5)
+        |      AS BIGINT) AS cv_bp
+        |  FROM agg CROSS JOIN span)
+        |SELECT l_partkey, n_active_months, t AS total_qty, cv_bp,
+        |  CASE WHEN cv_bp < 17500 THEN 'X'
+        |       WHEN cv_bp < 20500 THEN 'Y' ELSE 'Z' END AS xyz
+        |FROM cvx ORDER BY l_partkey""".stripMargin,
+
+    "q_seasonality_strength" ->
+      // the q_seasonal decomposition CTE + exact moments of the
+      // defined rows; identical pinned variance/ratio expressions
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT d, rev_c, (d - DATE '1970-01-01') % 7 AS dow,
+        |        row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |tr AS (SELECT d, rev_c, dow,
+        |         CASE WHEN count(*) OVER w = 7 THEN
+        |           CAST((sum(rev_c) OVER w
+        |             - (((sum(rev_c) OVER w) % 7) + 7) % 7) // 7 AS BIGINT)
+        |         END AS trend_c
+        |       FROM s WINDOW w AS (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (SELECT dow,
+        |         CAST((sum(rev_c - trend_c)
+        |           - (((sum(rev_c - trend_c)) % count(*)) + count(*)) % count(*))
+        |           // count(*) AS BIGINT) AS seasonal_c
+        |       FROM tr WHERE trend_c IS NOT NULL GROUP BY dow),
+        |comp AS (SELECT tr.rev_c - tr.trend_c - se.seasonal_c AS r,
+        |    (se.seasonal_c + tr.rev_c - tr.trend_c - se.seasonal_c) AS sr,
+        |    (tr.trend_c + tr.rev_c - tr.trend_c - se.seasonal_c) AS tr2
+        |  FROM tr JOIN se USING (dow) WHERE tr.trend_c IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |    sum(r) AS s1, sum(r * r) AS ss1,
+        |    sum(sr) AS s2, sum(sr * sr) AS ss2,
+        |    sum(tr2) AS s3, sum(tr2 * tr2) AS ss3
+        |  FROM comp)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  CAST(floor(greatest(0.0, 1.0 -
+        |    (CAST(ss1 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |     (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |     (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) /
+        |    (CAST(ss2 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |     (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |     (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))) * 10000 + 0.5)
+        |    AS BIGINT) AS seasonal_strength_bp,
+        |  CAST(floor(greatest(0.0, 1.0 -
+        |    (CAST(ss1 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |     (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |     (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) /
+        |    (CAST(ss3 AS DOUBLE) / CAST(n AS DOUBLE) -
+        |     (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |     (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)))) * 10000 + 0.5)
+        |    AS BIGINT) AS trend_strength_bp
+        |FROM m""".stripMargin,
+
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM daily),
+        |med AS (SELECT rev_c AS m FROM (
+        |    SELECT rev_c, row_number() OVER (ORDER BY rev_c, d) AS vr
+        |    FROM daily) x CROSS JOIN nn WHERE vr = (n + 1) // 2),
+        |sg AS (SELECT d, CASE WHEN rev_c > m THEN 1 ELSE 0 END AS sgn
+        |  FROM daily CROSS JOIN med),
+        |ch AS (SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY d) IS NULL THEN 0
+        |    WHEN lag(sgn) OVER (ORDER BY d) <> sgn THEN 1 ELSE 0 END AS chg
+        |  FROM sg),
+        |agg AS (SELECT count(*) AS n_days,
+        |    CAST(sum(sgn) AS BIGINT) AS n_above,
+        |    CAST(count(*) - sum(sgn) AS BIGINT) AS n_below,
+        |    CAST(sum(chg) + 1 AS BIGINT) AS runs
+        |  FROM ch)
+        |SELECT n_days, n_above, n_below, runs,
+        |  CAST(floor((CAST(runs AS DOUBLE) -
+        |    (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) /
+        |     CAST(n_days AS DOUBLE) + 1.0)) /
+        |    sqrt((2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) *
+        |      (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) -
+        |       CAST(n_days AS DOUBLE))) /
+        |      (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) *
+        |       (CAST(n_days AS DOUBLE) - 1.0))) * 10000 + 0.5)
+        |    AS BIGINT) AS z_bp
+        |FROM agg""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH f AS (SELECT o_custkey,
+        |    min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS c0
+        |  FROM orders GROUP BY 1),
+        |sized AS (SELECT c0, count(*) AS n_customers FROM f GROUP BY 1),
+        |rev AS (SELECT f.c0,
+        |    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 - f.c0
+        |      AS BIGINT) AS age,
+        |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev_c
+        |  FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT rev.c0, rev.age, s.n_customers,
+        |    CAST(sum(rev.rev_c) OVER (PARTITION BY rev.c0 ORDER BY rev.age
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c
+        |  FROM rev JOIN sized s ON s.c0 = rev.c0)
+        |SELECT CAST(c0 // 12 AS VARCHAR) || '-' ||
+        |    lpad(CAST((c0 % 12) + 1 AS VARCHAR), 2, '0') AS cohort,
+        |  age, n_customers, cum_rev_c,
+        |  CAST(cum_rev_c // n_customers AS BIGINT) AS ltv_c
+        |FROM cum ORDER BY cohort, age""".stripMargin
   )
 
   /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between
