@@ -4605,6 +4605,61 @@ object SparkEntry {
           ((a - pmod(a, b)) / b).cast("long")
         })
         .orderBy(col("cohort"), col("age"))
+    }),
+
+    "q_levene" -> ((s, dir) => {
+      // Brown–Forsythe (median-centered Levene) homogeneity-of-variance
+      // test — the PRECONDITION check q_anova assumes: one-way F over
+      // the absolute median deviations. Pure composition: exact
+      // per-group lower medians by rank selection, |x − med| integer,
+      // then the existing exact-moment anovaF.
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("x"))
+      val sizes = o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("__ng"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("x"), col("o_orderkey"))
+      val med = o.join(broadcast(sizes), Seq("o_orderpriority"))
+        .withColumn("__vr", row_number().over(wv))
+        .filter(col("__vr") === expr("(__ng + 1) div 2"))
+        .select(col("o_orderpriority"), col("x").as("__med"))
+      val z = o.join(broadcast(med), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"),
+          abs(col("x") - col("__med")).as("z"))
+      Stats.anovaF(z, "o_orderpriority", "z")
+    }),
+
+    "q_durbin_watson" -> ((s, dir) => {
+      // Durbin–Watson statistic over the q_seasonal decomposition
+      // residuals — lag-1 autocorrelation of what the fit left behind
+      // (≈2 = none; the runs test's parametric sibling). Exact decimal
+      // sums of integer squares (they clear 2⁵³), one pinned double
+      // ratio.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .as("rev_c"))
+        .withColumn("dow",
+          (datediff(col("d"), to_date(lit("1970-01-01"))) % 7).cast("long"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("d")))
+          .cast("long"))
+      val resid = Stats.decomposeAdditive(daily, "rn", "dow", "rev_c",
+          window = 7)
+        .filter(col("resid").isNotNull)
+        .select(col("rn"), col("resid").as("e"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("rn"))
+      val withLag = resid.withColumn("__de", col("e") - lag(col("e"), 1).over(w))
+      def S(c: Column) = sum(c.cast("decimal(38,0)"))
+      def D(c: Column) = c.cast("double")
+      withLag.agg(count(lit(1)).as("__n"),
+          S(col("e") * col("e")).as("__den"),
+          S(col("__de") * col("__de")).as("__num"))
+        .select(col("__n").cast("long").as("n_resid"),
+          floor(D(col("__num")) / D(col("__den")) * 10000.0 + 0.5)
+            .cast("long").as("dw_e4"))
     })
   )
 
@@ -9320,7 +9375,66 @@ object SparkEntry {
         |    lpad(CAST((c0 % 12) + 1 AS VARCHAR), 2, '0') AS cohort,
         |  age, n_customers, cum_rev_c,
         |  CAST(cum_rev_c // n_customers AS BIGINT) AS ltv_c
-        |FROM cum ORDER BY cohort, age""".stripMargin
+        |FROM cum ORDER BY cohort, age""".stripMargin,
+
+    "q_levene" ->
+      // group medians by exact rank selection, then the q_anova
+      // arithmetic over |x - med|
+      """WITH o AS (SELECT o_orderpriority AS grp, o_orderkey,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS x
+        |  FROM orders),
+        |sz AS (SELECT grp, count(*) AS ng FROM o GROUP BY 1),
+        |md AS (SELECT grp, x AS med FROM (
+        |    SELECT o.grp, o.x, sz.ng,
+        |      row_number() OVER (PARTITION BY o.grp
+        |        ORDER BY o.x, o.o_orderkey) AS vr
+        |    FROM o JOIN sz ON sz.grp = o.grp) t
+        |  WHERE vr = (ng + 1) // 2),
+        |z AS (SELECT o.grp, abs(o.x - md.med) AS x
+        |  FROM o JOIN md ON md.grp = o.grp),
+        |g AS (SELECT grp, count(*) AS ng, sum(x) AS sg, sum(x*x) AS ssg
+        |      FROM z GROUP BY 1),
+        |q AS (SELECT grp, ng, sg, ssg, (sg * sg) // ng AS term FROM g),
+        |m AS (SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s,
+        |        sum(ssg) AS ss, sum(term) AS bq FROM q),
+        |d AS (SELECT k, n, bq - (s * s) // n AS ssb, ss - bq AS ssw FROM m)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(
+        |    (CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+        |    / (CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |    * 10000 + 0.5) AS BIGINT) AS f_bp
+        |FROM d""".stripMargin,
+
+    "q_durbin_watson" ->
+      // the q_seasonal residual CTE + lag-1 squared differences;
+      // HUGEINT sums cast to double only at the final pinned ratio
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT d, rev_c, (d - DATE '1970-01-01') % 7 AS dow,
+        |        row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |tr AS (SELECT d, rev_c, dow, rn,
+        |         CASE WHEN count(*) OVER w = 7 THEN
+        |           CAST((sum(rev_c) OVER w
+        |             - (((sum(rev_c) OVER w) % 7) + 7) % 7) // 7 AS BIGINT)
+        |         END AS trend_c
+        |       FROM s WINDOW w AS (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (SELECT dow,
+        |         CAST((sum(rev_c - trend_c)
+        |           - (((sum(rev_c - trend_c)) % count(*)) + count(*)) % count(*))
+        |           // count(*) AS BIGINT) AS seasonal_c
+        |       FROM tr WHERE trend_c IS NOT NULL GROUP BY dow),
+        |resid AS (SELECT tr.rn,
+        |    tr.rev_c - tr.trend_c - se.seasonal_c AS e
+        |  FROM tr JOIN se USING (dow) WHERE tr.trend_c IS NOT NULL),
+        |lg AS (SELECT e, e - lag(e) OVER (ORDER BY rn) AS de FROM resid),
+        |m AS (SELECT count(*) AS n, sum(e * e) AS den,
+        |    sum(de * de) AS num FROM lg)
+        |SELECT CAST(n AS BIGINT) AS n_resid,
+        |  CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 10000 + 0.5)
+        |    AS BIGINT) AS dw_e4
+        |FROM m""".stripMargin
   )
 
   /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between
