@@ -39,8 +39,12 @@ object Raking {
     require(cells.length <= maxCells,
       s"rake: > $maxCells cells — the axes are not low-cardinality; " +
         "pre-bucket them")
-    def margin(df: DataFrame) = df.collect()
-      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    def margin(df: DataFrame) = {
+      val rows = df.limit(maxCells + 1).collect()
+      require(rows.length <= maxCells,
+        s"rake: > $maxCells target rows — margins must be low-cardinality")
+      rows.map(r => r.get(0).toString -> r.getLong(1)).toMap
+    }
     val tr = margin(rowTargets)
     val tc = margin(colTargets)
     cells.foreach { case (r, c, _) =>

@@ -722,6 +722,8 @@ object Stats {
            xCol: String, p0Bp: Long, p1Bp: Long,
            alphaBp: Long = 500L, betaBp: Long = 500L): DataFrame = {
     val (l1, l0, up, lo) = sprtConstants(p0Bp, p1Bp, alphaBp, betaBp)
+    require(!df.columns.exists(Set("__x", "__one", "__cx", "__cn")),
+      "sprt: temp columns __x/__one/__cx/__cn collide with the input")
     val base = df.withColumn("__x", col(xCol).cast("long"))
       .withColumn("__one", lit(1L))
     val cum = RunningTotals.groupedRunningSum(

@@ -42,7 +42,12 @@ object StreamingTwa {
     val out = Seq.newBuilder[TwaRow]
     events.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
       val t = micros(e.ts)
-      if (t >= wmMicros) {
+      // the second guard: an ABOVE-watermark event can still arrive
+      // behind this key's last processed event when batches interleave
+      // under a lagging watermark — applying it would close a NEGATIVE
+      // segment and corrupt the integral; it drops like a straggler
+      // (the documented in-order trade every sequential twin makes)
+      if (t >= wmMicros && (cur == null || t / 1000000L >= cur.lastSec)) {
         val sec = t / 1000000L // truncated epoch seconds, the batch grain
         if (cur == null) cur = St(sec, e.vq, 0L, 0L, 1L)
         else {

@@ -84,6 +84,35 @@ class StreamingTwaSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("above-watermark but behind-state events drop: no negative segment") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_stwa_ooo")
+    val stream = MemoryStream[VEv]
+    // 3-hour watermark lag leaves room for an event that is above the
+    // watermark yet OLDER than the key's last processed event
+    val out = StreamingTwa.running(
+      stream.toDS().withWatermark("ts", "3 hours").as[VEv],
+      idleTtlMicros = DayMicros)
+    val q = out.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      stream.addData(VEv(1, 1, ts(10), 100L), VEv(1, 2, ts(20), 100L))
+      q.processAllAvailable()
+      // older than ts(20) but above the lagging watermark: applying it
+      // would close a negative segment — it must drop instead
+      stream.addData(VEv(1, 3, ts(15), 999L))
+      q.processAllAvailable()
+      stream.addData(VEv(1, 4, ts(30), 0L))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/out")
+        .select("event_id", "span_s", "twa")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // e2: 100 held 600s; e4: +100 held another 600s — e3 never applied
+      assert(rows.toSeq == Seq((2L, 600L, 100L), (4L, 1200L, 100L)))
+    } finally q.stop()
+  }
+
   test("sub-watermark stragglers never re-open a closed segment") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_stwa_late")
