@@ -4660,6 +4660,30 @@ object SparkEntry {
         .select(col("__n").cast("long").as("n_resid"),
           floor(D(col("__num")) / D(col("__den")) * 10000.0 + 0.5)
             .cast("long").as("dw_e4"))
+    }),
+
+    "q_embedding_drift" -> ((s, dir) => {
+      // SEMANTIC drift monitor for the embedding corpus — the
+      // distribution checks (q_drift_psi family) ported to vector
+      // space: train IVF centroids on a reference slice, score the
+      // PSI of the centroid-ASSIGNMENT distribution on the comparison
+      // slice. The standard embedding-drift recipe (cluster-histogram
+      // PSI) every feature-store monitor runs; assignment is the same
+      // zero-shuffle map as IVF search, counts are two nCentroids-row
+      // frames. rows-only (trained centroids are structurally
+      // non-replayable — the q_ann_ivf tier); DriftSpec's twin test
+      // proves identical slices score ≈0 and a shifted slice alarms.
+      val emb = t(s, dir, "embeddings")
+      val half = col("vec_id") % 1048573L * 2654435761L % 1000000L
+      val ref = emb.filter(half < 500000L)
+      val cur = emb.filter(half >= 500000L)
+      val cents = graft.similarity.Knn.trainCentroids(ref, 16, iters = 2)
+      def counts(d: DataFrame, n: String) =
+        graft.similarity.Knn.assign(d, cents)
+          .groupBy(col("centroid_id").cast("long").as("bucket"))
+          .agg(count(lit(1)).as(n))
+      Drift.psiFromCounts(counts(ref, "n_old"), counts(cur, "n_new"), 16)
+        .orderBy(col("bucket"))
     })
   )
 

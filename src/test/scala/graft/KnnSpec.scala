@@ -93,4 +93,28 @@ class KnnSpec extends SparkSuite {
       sampleFraction = 0.3)
     assert(sampled.map(_._2.toSeq) === again.map(_._2.toSeq))
   }
+
+  test("embedding drift: twin slices score near zero, a shifted slice alarms") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(19)
+    def cloud(n: Int, offset: Float, base: Long) = (1 to n).map { i =>
+      (base + i.toLong, Array.fill(8)(rnd.nextFloat() + offset))
+    }.toDF("vec_id", "embedding")
+    val ref = cloud(400, 0f, 0L)
+    val same = cloud(400, 0f, 10000L)   // fresh draw, same distribution
+    val moved = cloud(400, 3f, 20000L)  // shifted cloud
+    val cents = Knn.trainCentroids(ref, nCentroids = 8, iters = 2)
+    def counts(d: org.apache.spark.sql.DataFrame, nm: String) =
+      Knn.assign(d, cents)
+        .groupBy(col("centroid_id").cast("long").as("bucket"))
+        .agg(count(lit(1)).as(nm))
+    def psi(cur: org.apache.spark.sql.DataFrame) =
+      graft.operators.Drift.psiFromCounts(
+          counts(ref, "n_old"), counts(cur, "n_new"), 8)
+        .agg(sum("psi_ppm")).head().getLong(0)
+    val twin = psi(same)
+    val alarm = psi(moved)
+    assert(twin < 100000L, s"twin slices drifted: $twin ppm")
+    assert(alarm > 500000L, s"shifted cloud should alarm: $alarm ppm")
+  }
 }
