@@ -4684,6 +4684,32 @@ object SparkEntry {
           .agg(count(lit(1)).as(n))
       Drift.psiFromCounts(counts(ref, "n_old"), counts(cur, "n_new"), 16)
         .orderBy(col("bucket"))
+    }),
+
+    "q_granger" -> ((s, dir) => {
+      // Granger causality at lag 1, BOTH directions: does the BUILDING
+      // segment's daily revenue help predict the rest's tomorrow (and
+      // vice versa)? F compares the AR(1) fit with and without the
+      // other series' lag — restricted/unrestricted SSEs in closed
+      // form from EXACT decimal moments, the 2-regressor normal
+      // equations solved by determinant, one pinned double chain per
+      // direction. Output: (direction, n, f_bp).
+      val daily = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(
+          sum(when(col("c_mktsegment") === "BUILDING",
+            floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .otherwise(0L)).as("yb"),
+          sum(when(col("c_mktsegment") =!= "BUILDING",
+            floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .otherwise(0L)).as("yr"))
+      val dirs = daily.select(lit("building->rest").as("direction"),
+          col("d"), col("yr").as("y"), col("yb").as("x"))
+        .unionByName(daily.select(lit("rest->building").as("direction"),
+          col("d"), col("yb").as("y"), col("yr").as("x")))
+      Stats.grangerLag1(dirs, "direction", "d", "y", "x")
+        .orderBy(col("direction"))
     })
   )
 
@@ -9458,7 +9484,51 @@ object SparkEntry {
         |SELECT CAST(n AS BIGINT) AS n_resid,
         |  CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 10000 + 0.5)
         |    AS BIGINT) AS dw_e4
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q_granger" ->
+      // centered moments staged as named columns; every double
+      // expression keeps the Spark side's parenthesization verbatim
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS yb,
+        |    CAST(sum(CASE WHEN c_mktsegment <> 'BUILDING'
+        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS yr
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |dirs AS (
+        |  SELECT 'building->rest' AS direction, d, yr AS y, yb AS x FROM daily
+        |  UNION ALL
+        |  SELECT 'rest->building' AS direction, d, yb AS y, yr AS x FROM daily),
+        |lg AS (SELECT direction, y, x,
+        |    lag(y) OVER (PARTITION BY direction ORDER BY d) AS y1,
+        |    lag(x) OVER (PARTITION BY direction ORDER BY d) AS x1
+        |  FROM dirs),
+        |m AS (SELECT direction, count(*) AS n,
+        |    sum(y) AS sy, sum(y1) AS sy1, sum(x1) AS sx1,
+        |    sum(y * y) AS syy, sum(y * y1) AS syy1, sum(y * x1) AS syx1,
+        |    sum(y1 * y1) AS sy1y1, sum(x1 * x1) AS sx1x1,
+        |    sum(y1 * x1) AS sy1x1
+        |  FROM lg WHERE y1 IS NOT NULL GROUP BY 1),
+        |c AS (SELECT direction, n,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+        |    CAST(syy1 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n AS DOUBLE) AS cyy1,
+        |    CAST(syx1 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cyx1,
+        |    CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n AS DOUBLE) AS cy1y1,
+        |    CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cx1x1,
+        |    CAST(sy1x1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cy1x1
+        |  FROM m),
+        |f AS (SELECT direction, n,
+        |    (cyy - cyy1 * cyy1 / cy1y1) AS sser,
+        |    (cyy - ((cyy1 * cx1x1 - cyx1 * cy1x1) / (cy1y1 * cx1x1 - cy1x1 * cy1x1) * cyy1
+        |      + (cyx1 * cy1y1 - cyy1 * cy1x1) / (cy1y1 * cx1x1 - cy1x1 * cy1x1) * cyx1)) AS sseu
+        |  FROM c)
+        |SELECT direction, CAST(n AS BIGINT) AS n,
+        |  CAST(floor((sser - sseu) / (sseu / (CAST(n AS DOUBLE) - 3.0))
+        |    * 10000 + 0.5) AS BIGINT) AS f_bp
+        |FROM f ORDER BY direction""".stripMargin
   )
 
   /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between

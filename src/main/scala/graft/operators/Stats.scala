@@ -871,6 +871,53 @@ object Stats {
         col("cum_rt"), col("cum_rc"), col("qini_e4"))
   }
 
+  /** Lag-1 Granger causality F per key: does `xCol` yesterday help
+    * predict `yCol` today beyond `yCol`'s own lag (Granger 1969)?
+    * Restricted (AR(1)) vs unrestricted (AR(1) + x₁) SSEs in CLOSED
+    * FORM from exact decimal moments — the 2-regressor normal
+    * equations solve by determinant, so the whole finish is one pinned
+    * double chain, no iterative fit. Series are post-aggregation by
+    * contract (one row per (key, ord)); one keyed window for the lags,
+    * one grouped moment pass. Output: (key, n, f_bp) with
+    * F ~ F(1, n−3) under the null. Deterministically collinear series
+    * (y ≡ a·x₁ exactly) zero the unrestricted SSE and make F infinite
+    * — outside the contract, like a zero-variance t-test.
+    */
+  def grangerLag1(series: DataFrame, keyCol: String, ordCol: String,
+                  yCol: String, xCol: String): DataFrame = {
+    def S(c: Column) = sum(c.cast("decimal(38,0)"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+    val lagged = series
+      .withColumn("__y1", lag(col(yCol), 1).over(w))
+      .withColumn("__x1", lag(col(xCol), 1).over(w))
+      .filter(col("__y1").isNotNull)
+    val m = lagged.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      S(col(yCol)).as("sy"), S(col("__y1")).as("sy1"), S(col("__x1")).as("sx1"),
+      S(col(yCol) * col(yCol)).as("syy"),
+      S(col(yCol) * col("__y1")).as("syy1"),
+      S(col(yCol) * col("__x1")).as("syx1"),
+      S(col("__y1") * col("__y1")).as("sy1y1"),
+      S(col("__x1") * col("__x1")).as("sx1x1"),
+      S(col("__y1") * col("__x1")).as("sy1x1"))
+    def cm(sab: Column, sa: Column, sb: Column) =
+      D(sab) - D(sa) * D(sb) / D(col("n"))
+    val cyy = cm(col("syy"), col("sy"), col("sy"))
+    val cyy1 = cm(col("syy1"), col("sy"), col("sy1"))
+    val cyx1 = cm(col("syx1"), col("sy"), col("sx1"))
+    val cy1y1 = cm(col("sy1y1"), col("sy1"), col("sy1"))
+    val cx1x1 = cm(col("sx1x1"), col("sx1"), col("sx1"))
+    val cy1x1 = cm(col("sy1x1"), col("sy1"), col("sx1"))
+    val sseR = cyy - cyy1 * cyy1 / cy1y1
+    val det = cy1y1 * cx1x1 - cy1x1 * cy1x1
+    val b1 = (cyy1 * cx1x1 - cyx1 * cy1x1) / det
+    val b2 = (cyx1 * cy1y1 - cyy1 * cy1x1) / det
+    val sseU = cyy - (b1 * cyy1 + b2 * cyx1)
+    val f = (sseR - sseU) / (sseU / (D(col("n")) - lit(3.0)))
+    m.select(col(keyCol), col("n").cast("long").as("n"),
+      floor(f * lit(10000.0) + lit(0.5)).cast("long").as("f_bp"))
+  }
+
   /** Mutual information between two categorical columns, with the
     * marginal entropies and the normalized MI — the model-free
     * dependence screen feature selection runs where [[chiSquare]]

@@ -341,6 +341,36 @@ class StatsSpec extends SparkSuite {
     assert(out(1L).getAs[Long]("n_decide") == 5L)
   }
 
+  test("grangerLag1: a strict lead alarms one direction, noise neither") {
+    val rnd = new scala.util.Random(29)
+    // x is noise; y_t = x_{t-1} + small noise -> x Granger-causes y,
+    // never the reverse. (An EXACT lead makes the unrestricted SSE
+    // literally zero and F infinite — deterministically collinear
+    // series are outside the test's domain, like a zero-variance
+    // t-test; the noise keeps the edge away.)
+    val xs = (1 to 300).map(_ => rnd.nextInt(1000).toLong)
+    val ys = (1 until 300).map(t => xs(t - 1) + rnd.nextInt(20))
+    val rows =
+      (1 until 300).map(t => ("x_causes_y", t.toLong, ys(t - 1), xs(t))) ++
+        (1 until 300).map(t => ("y_causes_x", t.toLong, xs(t), ys(t - 1)))
+    val df = rows.toDF("k", "ord", "y", "x")
+    val out = Stats.grangerLag1(df, "k", "ord", "y", "x").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("f_bp")).toMap
+    assert(out("x_causes_y") > 1000L * 10000L,
+      s"perfect lead must give an enormous F: ${out("x_causes_y")}")
+    assert(out("y_causes_x") < 7 * 10000L,
+      s"no reverse causality: ${out("y_causes_x")}")
+
+    // two independent noise series: both directions small
+    val na = (1 to 300).map(_ => rnd.nextInt(1000).toLong)
+    val nb = (1 to 300).map(_ => rnd.nextInt(1000).toLong)
+    val ind = (0 until 300).map(t => ("ind", t.toLong, na(t), nb(t)))
+      .toDF("k", "ord", "y", "x")
+    val f0 = Stats.grangerLag1(ind, "k", "ord", "y", "x").head()
+      .getAs[Long]("f_bp")
+    assert(f0 < 7 * 10000L, s"independent noise: $f0")
+  }
+
   test("ebSmoothRates: shrinkage toward the prior, more for small n") {
     val rnd = new scala.util.Random(23)
     // 300 keys with true rate ~0.3 and binomial noise; one tiny-n key
