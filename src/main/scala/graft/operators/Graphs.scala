@@ -68,6 +68,11 @@ object Graphs {
       // fixpoint when no edge peeled this round (edge count is the
       // cheap monotone invariant — it strictly decreases until done)
       done = next.count() == cur.count()
+      // free the superseded generation (the LPA/Clusters discipline —
+      // a 50-round peel would otherwise hold 50 edge-list-sized
+      // checkpoint generations until session end)
+      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(cur)
+      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(keep)
       cur = next
       iter += 1
     }
