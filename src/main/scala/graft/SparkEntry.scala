@@ -4478,7 +4478,11 @@ object SparkEntry {
       val span = dm.agg((max(col("mn")) - min(col("mn")) + 1).as("__h"))
       def D(c: Column) = c.cast("double")
       val mean = D(col("__t")) / D(col("__h"))
-      val cv = sqrt(D(col("__ss")) / D(col("__h")) - mean * mean) / mean
+      // greatest(0, var): a constant full-span demand makes the true
+      // variance 0 and round-off can land -1e-12 — sqrt(NaN) would die
+      // at the ANSI long cast; identical guard in the oracle
+      val cv = sqrt(greatest(lit(0.0),
+        D(col("__ss")) / D(col("__h")) - mean * mean)) / mean
       dm.groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("n_active_months"),
           sum(col("q")).as("total_qty"),
@@ -9315,9 +9319,9 @@ object SparkEntry {
         |    CAST(sum(q) AS BIGINT) AS t, CAST(sum(q * q) AS BIGINT) AS ss
         |  FROM dm GROUP BY 1),
         |cvx AS (SELECT l_partkey, n_active_months, t,
-        |    CAST(floor(sqrt(CAST(ss AS DOUBLE) / CAST(h AS DOUBLE) -
+        |    CAST(floor(sqrt(greatest(0.0, CAST(ss AS DOUBLE) / CAST(h AS DOUBLE) -
         |      (CAST(t AS DOUBLE) / CAST(h AS DOUBLE)) *
-        |      (CAST(t AS DOUBLE) / CAST(h AS DOUBLE))) /
+        |      (CAST(t AS DOUBLE) / CAST(h AS DOUBLE)))) /
         |      (CAST(t AS DOUBLE) / CAST(h AS DOUBLE)) * 10000 + 0.5)
         |      AS BIGINT) AS cv_bp
         |  FROM agg CROSS JOIN span)
