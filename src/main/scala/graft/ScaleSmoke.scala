@@ -677,6 +677,19 @@ object ScaleSmoke {
       time("twa 1M-row hot key")(
         graft.operators.Resample.timeWeightedAvg(twaHot, "k", "ep",
           "eid", "v").count())
+      // FD profiling: 3 candidates over one scan (the fan) — 10x input
+      // must cost ~one aggregation pass more, never 3x10 scans
+      import graft.operators.Diagnostics
+      val fdDf = (n: Long) => spark.range(n).select(
+        pmod(col("id"), lit(100000L)).as("a"),
+        pmod(col("id"), lit(1000L)).as("b"),
+        pmod(col("id") * 48271L, lit(500L)).as("c"))
+      time("fdProfile 2M rows x 3 candidates")(
+        Diagnostics.fdProfile(fdDf(2000000L),
+          Seq("a" -> "b", "b" -> "c", "a" -> "c")).count())
+      time(s"fdProfile ${mult * 2}M rows x 3 candidates")(
+        Diagnostics.fdProfile(fdDf(2000000L * mult),
+          Seq("a" -> "b", "b" -> "c", "a" -> "c")).count())
     }
 
     spark.stop()
