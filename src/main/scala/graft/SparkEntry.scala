@@ -4714,6 +4714,67 @@ object SparkEntry {
           col("d"), col("yb").as("y"), col("yr").as("x")))
       Stats.grangerLag1(dirs, "direction", "d", "y", "x")
         .orderBy(col("direction"))
+    }),
+
+    "q_retention_fit" -> ((s, dir) => {
+      // exponential retention-decay fit: ln(retention) ~ age pooled
+      // across cohorts (ages ≥ 1) — the one-number churn model the
+      // q_cohort_retention matrix feeds; slope < 0, monthly churn ≈
+      // 1 − e^slope. Per-point ln quantized to e4 (the elasticity
+      // recipe), exact decimal moments, one pinned double slope.
+      val first = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("__c0"))
+      val sized = first.groupBy(col("__c0"))
+        .agg(count(lit(1)).as("__nc"))
+      val active = t(s, dir, "orders")
+        .join(first, Seq("o_custkey"))
+        .groupBy(col("__c0"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1 -
+            col("__c0")).cast("long").as("age"))
+        .agg(countDistinct(col("o_custkey")).as("__na"))
+        .filter(col("age") >= 1)
+      val pts = active.join(broadcast(sized), Seq("__c0"))
+        .select(col("age").as("x"),
+          floor(log(col("__na").cast("double") / col("__nc").cast("double"))
+            * 10000.0 + 0.5).cast("long").as("y"))
+      def S(c: Column) = sum(c.cast("decimal(38,0)"))
+      def D(c: Column) = c.cast("double")
+      val m = pts.agg(count(lit(1)).as("n"), S(col("x")).as("sx"),
+        S(col("y")).as("sy"), S(col("x") * col("y")).as("sxy"),
+        S(col("x") * col("x")).as("sxx"))
+      m.select(col("n").cast("long").as("n_points"),
+        floor((D(col("n")) * D(col("sxy")) - D(col("sx")) * D(col("sy"))) /
+          (D(col("n")) * D(col("sxx")) - D(col("sx")) * D(col("sx")))
+          + 0.5).cast("long").as("slope_bp"))
+    }),
+
+    "q_newsvendor" -> ((s, dir) => {
+      // newsvendor stock level per brand at critical ratio 0.8: the
+      // smallest monthly-demand quantity covering 80% of months —
+      // exact rank selection over the per-brand demand distribution
+      // (the stocking answer q_reorder_point's normal approximation
+      // assumes away when demand is skewed).
+      val dm = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .withColumn("mn",
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+            .cast("long"))
+        .groupBy(col("p_brand"), col("mn"))
+        .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("q"))
+      val sizes = dm.groupBy(col("p_brand")).agg(count(lit(1)).as("__nm"),
+        ((sum(col("q")) - pmod(sum(col("q")), count(lit(1)))) /
+          count(lit(1))).cast("long").as("mean_q"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand")).orderBy(col("q"), col("mn"))
+      dm.join(broadcast(sizes), Seq("p_brand"))
+        .withColumn("__vr", row_number().over(wv))
+        // rank ⌈0.8·n⌉ = (8n + 9) div 10 floor-identity
+        .filter(col("__vr") === expr("(8 * __nm + 9) div 10"))
+        .select(col("p_brand"), col("__nm").as("n_months"),
+          col("mean_q"), col("q").as("q_star"))
+        .orderBy(col("p_brand"))
     })
   )
 
@@ -9532,7 +9593,50 @@ object SparkEntry {
         |SELECT direction, CAST(n AS BIGINT) AS n,
         |  CAST(floor((sser - sseu) / (sseu / (CAST(n AS DOUBLE) - 3.0))
         |    * 10000 + 0.5) AS BIGINT) AS f_bp
-        |FROM f ORDER BY direction""".stripMargin
+        |FROM f ORDER BY direction""".stripMargin,
+
+    "q_retention_fit" ->
+      """WITH f AS (SELECT o_custkey,
+        |    min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS c0
+        |  FROM orders GROUP BY 1),
+        |sized AS (SELECT c0, count(*) AS nc FROM f GROUP BY 1),
+        |act AS (SELECT f.c0,
+        |    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 - f.c0
+        |      AS BIGINT) AS age,
+        |    count(DISTINCT o.o_custkey) AS na
+        |  FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+        |  GROUP BY 1, 2 HAVING age >= 1),
+        |pts AS (SELECT act.age AS x,
+        |    CAST(floor(ln(CAST(act.na AS DOUBLE) / CAST(s.nc AS DOUBLE))
+        |      * 10000 + 0.5) AS BIGINT) AS y
+        |  FROM act JOIN sized s ON s.c0 = act.c0),
+        |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) + 0.5)
+        |    AS BIGINT) AS slope_bp
+        |FROM m""".stripMargin,
+
+    "q_newsvendor" ->
+      """WITH dm AS (SELECT p.p_brand,
+        |    CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1 AS BIGINT) AS mn,
+        |    CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT p_brand, count(*) AS nm,
+        |    CAST(sum(q) // count(*) AS BIGINT) AS mean_q
+        |  FROM dm GROUP BY 1),
+        |rk AS (SELECT dm.p_brand, dm.q, s.nm, s.mean_q,
+        |    row_number() OVER (PARTITION BY dm.p_brand
+        |      ORDER BY dm.q, dm.mn) AS vr
+        |  FROM dm JOIN sizes s ON s.p_brand = dm.p_brand)
+        |SELECT p_brand, CAST(nm AS BIGINT) AS n_months, mean_q,
+        |  q AS q_star
+        |FROM rk WHERE vr = (8 * nm + 9) // 10
+        |ORDER BY p_brand""".stripMargin
   )
 
   /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between

@@ -27,6 +27,36 @@ class ForecastQueriesSpec extends SparkSuite {
     assert(out.exists(r => r._3 > 1L && r._5 < r._4 * 10000L))
   }
 
+  test("newsvendor: the rank-selected level covers >= 80% of months") {
+    val q = SparkEntry.queries("q_newsvendor")(spark, sf)
+      .select("p_brand", "q_star").as[(String, Long)].collect().toMap
+    // recompute coverage from the raw per-brand monthly demand
+    val dm = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/part.parquet"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).as("mn"))
+      .agg(sum(floor(col("l_quantity") + 0.5).cast("long")).as("q"))
+      .select("p_brand", "q").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2))
+    dm.foreach { case (b, qs) =>
+      val cover = qs.count(_ <= q(b)).toDouble / qs.size
+      assert(cover >= 0.8, s"brand $b covers only $cover")
+      // and the NEXT-smaller level would not suffice (minimality)
+      val below = qs.filter(_ < q(b))
+      if (below.nonEmpty)
+        assert(below.count(_ <= below.max).toDouble / qs.size < 0.8 ||
+          qs.count(_ <= below.max).toDouble / qs.size < 0.8,
+          s"brand $b level not minimal")
+    }
+  }
+
+  test("retention fit: decay slope is negative on this corpus") {
+    val r = SparkEntry.queries("q_retention_fit")(spark, sf).head()
+    assert(r.getAs[Long]("slope_bp") < 0L)
+    assert(r.getAs[Long]("n_points") > 100L)
+  }
+
   test("forecast reconciliation: regions add up exactly; weights respected") {
     val out = SparkEntry.queries("q_forecast_reconcile")(spark, sf)
       .select("region", "base_fc", "region_fc", "reconciled_fc")
