@@ -62,7 +62,22 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filter(_._3 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_warm_runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_warm_runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line gets tail-truncated by capture tooling once the
+    // suite exceeds ~30 queries, which makes per-query numbers
+    // unauditable round-over-round. Persist the FULL table to a repo
+    // file as well (override with SPARK_GRAFT_BENCH_OUT) so every
+    // per-query median is machine-diffable against the previous round.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/full_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+      System.err.println(s"bench: full per-query table written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

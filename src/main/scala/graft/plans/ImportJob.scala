@@ -19,6 +19,29 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
   * Here "temp table → merge" becomes a declarative dataframe merge per
   * table; the caller persists results wherever they live (parquet/
   * iceberg/delta writers all consume the returned frames).
+  *
+  * Several mappings may stage into the SAME destination table (the
+  * reference's multi-language feeds all targeting EcomProducts —
+  * `job.Mappings` keyed by destination table, EcomProvider.cs:1095):
+  * give each [[TableSpec]] its own `sourceName` and they merge into the
+  * table in the given spec order.
+  *
+  * Missing-row removal has the reference's two modes:
+  *  - inline (default): each table's delete-excess anti-join applies as
+  *    the table merges (`DeleteExcessFromMainTable` per mapping,
+  *    EcomDestinationWriter.cs:3067);
+  *  - deferred (`removeMissing = true`): NO per-mapping delete; after
+  *    every table of the job has staged and merged, each table with
+  *    `deleteExcess` anti-joins against the UNION of all its mappings'
+  *    batches (`RemoveMissingRowsAcrossAllTables`, EcomProvider.cs:1090,
+  *    which passes ALL same-destination temp tables to one
+  *    `DeleteExcessFromMainTable(mappings)` call, :3056). The difference
+  *    is observable whenever two mappings feed one table: inline, the
+  *    second mapping's delete would drop rows only the first mapping
+  *    carried; deferred, a row survives if ANY mapping of the job
+  *    carried it. Deletes run children-before-parents (reverse
+  *    dependency order) so a parent row is never removed while a
+  *    just-merged child still referenced it mid-pass.
   */
 object ImportJob {
 
@@ -51,13 +74,21 @@ object ImportJob {
   case class DriftCheck(column: String, boundaries: Seq[Double],
                         alarmPpm: Long = 250000L, failOnAlarm: Boolean = false)
 
-  /** One table's import spec.
+  /** One mapping's import spec (one staged temp table in the reference).
     *
+    * @param table         destination table name; several specs may share
+    *                      it (multi-mapping feeds) — they merge in spec
+    *                      order and delete-excess unions their batches in
+    *                      deferred mode
+    * @param sourceName    name passed to the job's `incoming` lookup;
+    *                      defaults to `table`. Lets two mappings of one
+    *                      destination read different sources
     * @param dedupKeys     discard in-batch duplicates on these keys
     *                      (keep-first under `dedupOrder`), like
     *                      discardDuplicates
     * @param deleteExcess  full-sync: drop destination rows missing from
-    *                      the incoming batch
+    *                      the incoming batch (all batches of the table in
+    *                      deferred mode)
     * @param deleteExcessScope scope columns for deleteExcess: only rows
     *                      whose scope value appears in the batch are
     *                      dropped, so a partial (one-language/one-shop)
@@ -86,6 +117,16 @@ object ImportJob {
     *                      to main tables; incoming-only columns like a
     *                      business-key name exist only here, the merge
     *                      keeps destination columns)
+    * @param preResolve    like `pre` but ALSO receives a lookup of the
+    *                      job's current table states — the merged (but
+    *                      not yet excess-deleted, not yet post-hooked)
+    *                      frame for tables already processed, the
+    *                      original destination otherwise. This is WHY
+    *                      the reference orders tables (OrderTablesInJob,
+    *                      EcomProvider.cs:819): a product feed resolves
+    *                      its group NAME against the groups table as
+    *                      updated BY THIS JOB, not last night's state.
+    *                      Runs after `pre`
     * @param driftChecks   post-merge [[DriftCheck]]s comparing the
     *                      pre-merge destination against the final table
     *                      (after `post`); emitted as `<table>__drift`
@@ -93,7 +134,9 @@ object ImportJob {
     *                      UpdateProductRelatedProducts /
     *                      UpdateVariantFieldsInProducts pass,
     *                      EcomProvider.cs:1013-1016 — compose
-    *                      graft.operators.Propagate here)
+    *                      graft.operators.Propagate here). With several
+    *                      mappings per table, hooks apply in spec order
+    *                      after the LAST mapping merges
     */
   case class TableSpec(
       table: String,
@@ -109,78 +152,112 @@ object ImportJob {
       rowRules: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       pre: DataFrame => DataFrame = identity,
       post: DataFrame => DataFrame = identity,
-      driftChecks: Seq[DriftCheck] = Nil)
+      driftChecks: Seq[DriftCheck] = Nil,
+      sourceName: Option[String] = None,
+      preResolve: (DataFrame, String => DataFrame) => DataFrame = (df, _) => df)
 
-  /** Run the job: for each spec (in dependency order), merge `incoming`
-    * into `dest` and return the resulting frames keyed by table name.
+  /** Run the job: for each spec (tables in dependency order, same-table
+    * mappings in spec order), merge `incoming` into `dest` and return
+    * the resulting frames keyed by table name.
+    *
+    * @param removeMissing deferred cross-mapping delete-excess
+    *                      (RemoveMissingRowsAcrossAllTables,
+    *                      EcomProvider.cs:1090) — see the object doc
     */
   def run(specs: Seq[TableSpec],
           dest: String => DataFrame,
           incoming: String => DataFrame,
-          deps: Map[String, Set[String]] = TableOrder.StarSchemaDeps): Map[String, DataFrame] = {
-    val ordered = TableOrder.order(specs.map(_.table), deps)
-    val byName = specs.map(s => s.table -> s).toMap
+          deps: Map[String, Set[String]] = TableOrder.StarSchemaDeps,
+          removeMissing: Boolean = false): Map[String, DataFrame] = {
+    val tables = specs.map(_.table).distinct
+    val ordered = TableOrder.order(tables, deps)
+    val byTable = specs.groupBy(_.table)
+
+    // ── stage + merge every mapping, tables in dependency order ──────
+    // merged-but-not-deleted states, visible to later specs' preResolve
+    val state = scala.collection.mutable.Map[String, DataFrame]()
+    val lookup: String => DataFrame = name => state.getOrElse(name, dest(name))
+    // per table: the staged batches (post-quarantine/pre/dedup) — the
+    // deferred delete and flagMissing compare against their union
+    val staged = scala.collection.mutable.Map[String, Seq[DataFrame]]()
+    val quarantines = scala.collection.mutable.Map[String, Seq[DataFrame]]()
+    val preMergeDest = scala.collection.mutable.Map[String, DataFrame]()
+
+    ordered.foreach { table =>
+      preMergeDest(table) = dest(table)
+      byTable(table).foreach { spec =>
+        val raw = incoming(spec.sourceName.getOrElse(table))
+        val withConsts = spec.constants.foldLeft(raw) { case (df, (c, v)) =>
+          if (df.columns.map(_.toLowerCase).contains(c.toLowerCase)) df
+          else df.withColumn(c, org.apache.spark.sql.functions.lit(v))
+        }
+        val checked = spec.expectSchema
+          .map(SchemaCheck.validate(withConsts, _))
+          .getOrElse(withConsts)
+        val in0 =
+          if (spec.rowRules.nonEmpty) {
+            val (v, q) = Quarantine.split(checked, spec.rowRules)
+            quarantines(table) = quarantines.getOrElse(table, Nil) :+ q
+            v
+          } else checked
+        val in1 = spec.preResolve(spec.pre(in0), lookup)
+        val in = if (spec.dedupKeys.nonEmpty)
+          Dedup.keepFirst(in1, spec.dedupKeys,
+            (if (spec.dedupOrder.nonEmpty) spec.dedupOrder else spec.dedupKeys).map(col))
+        else in1
+        staged(table) = staged.getOrElse(table, Nil) :+ in
+        val d = lookup(table)
+        var out = spec.mode match {
+          case Upsert => Merge.upsert(d, in, spec.keys)
+          case UpdateOnly => Merge.updateExisting(d, in, spec.keys)
+          case InsertOnly => d.unionByName(Merge.insertMissing(d, in, spec.keys), allowMissingColumns = true)
+          case DeleteIncoming => Merge.deleteExcess(d, in, spec.keys)
+        }
+        if (spec.deleteExcess && !removeMissing)
+          out = applyDeleteExcess(out, Seq(in), spec)
+        state(table) = out
+      }
+    }
+
+    // ── deferred delete-excess: after EVERY table of the job staged,
+    // against the union of each table's batches, children first ───────
+    if (removeMissing) ordered.reverse.foreach { table =>
+      byTable(table).find(_.deleteExcess).foreach { spec =>
+        state(table) = applyDeleteExcess(state(table), staged(table), spec)
+      }
+    }
+
+    // ── flagMissing / post hooks / drift checks on the final states ──
     ordered.flatMap { table =>
-      val spec = byName(table)
-      val withConsts = spec.constants.foldLeft(incoming(table)) { case (df, (c, v)) =>
-        if (df.columns.map(_.toLowerCase).contains(c.toLowerCase)) df
-        else df.withColumn(c, org.apache.spark.sql.functions.lit(v))
+      var out = state(table)
+      val batches = staged(table)
+      byTable(table).foreach { spec =>
+        spec.flagMissing.foreach { flag =>
+          // soft-sync parity with deferred deletes: present in ANY batch
+          val union = batches.map(_.select(spec.keys.map(col): _*))
+            .reduce(_ unionByName _)
+          out = Merge.flagMissing(out, union, spec.keys, flag)
+        }
+        out = spec.post(out)
       }
-      val checked = spec.expectSchema
-        .map(SchemaCheck.validate(withConsts, _))
-        .getOrElse(withConsts)
-      val (in0, quarantined) =
-        if (spec.rowRules.nonEmpty) {
-          val (v, q) = Quarantine.split(checked, spec.rowRules)
-          (v, Some(q))
-        } else (checked, None)
-      val in1 = spec.pre(in0)
-      val in = if (spec.dedupKeys.nonEmpty)
-        Dedup.keepFirst(in1, spec.dedupKeys,
-          (if (spec.dedupOrder.nonEmpty) spec.dedupOrder else spec.dedupKeys).map(col))
-      else in1
-      val d = dest(table)
-      var out = spec.mode match {
-        case Upsert => Merge.upsert(d, in, spec.keys)
-        case UpdateOnly => Merge.updateExisting(d, in, spec.keys)
-        case InsertOnly => d.unionByName(Merge.insertMissing(d, in, spec.keys), allowMissingColumns = true)
-        case DeleteIncoming => Merge.deleteExcess(d, in, spec.keys)
-      }
-      if (spec.deleteExcess)
-        out =
-          if (spec.deleteExcessScope.nonEmpty) {
-            // scoped: rows outside the batch's scopes survive untouched;
-            // in-scope rows survive only if their key is in the batch.
-            // The anti-join must carry key AND scope columns: a key that
-            // exists in several scopes (one product row per language) may
-            // be deletable in the imported scope while its siblings in
-            // untouched scopes must survive.
-            val deleteSet = Merge.deleteExcessScoped(out, in, spec.keys, spec.deleteExcessScope)
-            val delCols = (spec.keys ++ spec.deleteExcessScope).distinct
-            out.join(deleteSet.select(delCols.map(col): _*).distinct(), delCols, "left_anti")
-          } else
-            out.join(in.select(spec.keys.map(col): _*).distinct(), spec.keys, "left_semi")
-      spec.flagMissing.foreach { flag =>
-        out = Merge.flagMissing(out, in, spec.keys, flag)
-      }
-      val outBeforeChecks = spec.post(out)
+      val d = preMergeDest(table)
+      val driftChecks = byTable(table).flatMap(_.driftChecks)
       // a first import has no distribution to drift FROM: smoothed PSI
       // against an empty destination compares the incoming data to a
       // uniform prior and alarms on any real-world (non-uniform) column,
       // so drift checks only apply once the destination has rows
-      val doDrift = spec.driftChecks.nonEmpty && !d.isEmpty
+      val doDrift = driftChecks.nonEmpty && !d.isEmpty
       // gating forces materialization anyway — checkpoint ONCE so the
       // merge pipeline doesn't re-execute per check (and again when the
       // caller reads the returned frames)
-      val finalOut =
-        if (doDrift) outBeforeChecks.localCheckpoint(true) else outBeforeChecks
+      val finalOut = if (doDrift) out.localCheckpoint(true) else out
       val driftFrame = if (!doDrift) None else {
-        val all = spec.driftChecks.map { c =>
+        val all = driftChecks.map { c =>
           Drift.psi(d, finalOut, col(c.column), c.boundaries)
             .select(lit(c.column).as("column"), col("bucket"),
               col("n_old"), col("n_new"), col("psi_ppm"))
         }.reduce(_ unionByName _)
-        val gated = spec.driftChecks.filter(_.failOnAlarm)
+        val gated = driftChecks.filter(_.failOnAlarm)
         if (gated.nonEmpty) {
           // ONE action computes every gate total from the unioned frame
           val totals = all.groupBy(col("column"))
@@ -195,8 +272,29 @@ object ImportJob {
         }
         Some(s"${table}__drift" -> all)
       }
-      Seq(table -> finalOut) ++
-        quarantined.map(q => s"${table}__quarantined" -> q) ++ driftFrame
+      val quarantined = quarantines.get(table)
+        .map(qs => s"${table}__quarantined" -> qs.reduce(_ unionByName _))
+      Seq(table -> finalOut) ++ quarantined ++ driftFrame
     }.toMap
+  }
+
+  /** Excess-row removal against one or several staged batches: rows
+    * survive when their key appears in ANY batch — scoped so rows
+    * outside the batches' scopes survive untouched. The anti-join must
+    * carry key AND scope columns: a key that exists in several scopes
+    * (one product row per language) may be deletable in the imported
+    * scope while its siblings in untouched scopes must survive.
+    */
+  private def applyDeleteExcess(out: DataFrame, batches: Seq[DataFrame],
+                                spec: TableSpec): DataFrame = {
+    if (spec.deleteExcessScope.nonEmpty) {
+      val delCols = (spec.keys ++ spec.deleteExcessScope).distinct
+      val union = batches.map(_.select(delCols.map(col): _*)).reduce(_ unionByName _)
+      val deleteSet = Merge.deleteExcessScoped(out, union, spec.keys, spec.deleteExcessScope)
+      out.join(deleteSet.select(delCols.map(col): _*).distinct(), delCols, "left_anti")
+    } else {
+      val union = batches.map(_.select(spec.keys.map(col): _*)).reduce(_ unionByName _)
+      out.join(union.distinct(), spec.keys, "left_semi")
+    }
   }
 }

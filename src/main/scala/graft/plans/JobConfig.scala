@@ -47,7 +47,11 @@ case class TableConfig(
     flagMissing: Option[String] = None,
     constants: Map[String, String] = Map.empty,
     expectSchema: Option[String] = None, // StructType.json snapshot
-    driftChecks: Seq[DriftCheckConfig] = Nil) {
+    driftChecks: Seq[DriftCheckConfig] = Nil,
+    // several mappings may target one destination table (the reference's
+    // multi-language feeds, EcomProvider.cs:1095) — sourceName names the
+    // mapping's own source when it differs from the table
+    sourceName: Option[String] = None) {
 
   def toSpec: ImportJob.TableSpec = ImportJob.TableSpec(
     table = table,
@@ -66,10 +70,18 @@ case class TableConfig(
     flagMissing = flagMissing,
     expectSchema = expectSchema.map(DataType.fromJson(_).asInstanceOf[StructType]),
     constants = constants,
-    driftChecks = driftChecks.map(_.toCheck))
+    driftChecks = driftChecks.map(_.toCheck),
+    sourceName = sourceName)
 }
 
-case class JobConfig(tables: Seq[TableConfig])
+/** @param removeMissing defer every table's delete-excess until the whole
+  *                      job has staged, then anti-join each table against
+  *                      the union of ALL its mappings' batches, children
+  *                      before parents (RemoveMissingRowsAcrossAllTables,
+  *                      EcomProvider.cs:1090) — a job-level switch in the
+  *                      reference's settings XML, so it serializes here
+  */
+case class JobConfig(tables: Seq[TableConfig], removeMissing: Boolean = false)
 
 object JobConfig {
 

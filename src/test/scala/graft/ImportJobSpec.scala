@@ -90,6 +90,66 @@ class ImportJobSpec extends SparkSuite {
     assert(withConst === Array((1, "a"), (2, "b"), (3, "SHOP1")))
   }
 
+  test("deferred removeMissing: inline per-mapping delete orphans FK children, " +
+    "RemoveMissingRowsAcrossAllTables does not") {
+    // Two partial feeds (the reference's per-language/per-shop mappings,
+    // EcomProvider.cs:1095) both target `part`; `rel` references part ids
+    // from BOTH feeds. Inline, each mapping's delete-excess runs against
+    // its OWN batch (DeleteExcessFromMainTable per mapping,
+    // EcomDestinationWriter.cs:3067), so mapping B's delete drops the
+    // rows only mapping A carried → rel rows orphan. Deferred
+    // (RemoveMissingRowsAcrossAllTables, EcomProvider.cs:1090), the
+    // delete waits until every table staged and anti-joins the UNION of
+    // the table's batches → a row survives if ANY mapping carried it.
+    val destPart = Seq((1, "a"), (2, "b"), (3, "c"), (4, "stale")).toDF("id", "v")
+    val destRel = Seq((10, 1), (11, 3)).toDF("rel_id", "part_id")
+    val feedA = Seq((1, "A1"), (2, "A2")).toDF("id", "v")
+    val feedB = Seq((3, "B3")).toDF("id", "v")
+    val inRel = Seq((12, 2)).toDF("rel_id", "part_id")
+    val specs = Seq(
+      TableSpec("part", keys = Seq("id"), deleteExcess = true,
+        sourceName = Some("part_a")),
+      TableSpec("part", keys = Seq("id"), deleteExcess = true,
+        sourceName = Some("part_b")),
+      TableSpec("rel", keys = Seq("rel_id")))
+    val dest = Map("part" -> destPart, "rel" -> destRel)
+    val inc = Map("part_a" -> feedA, "part_b" -> feedB, "rel" -> inRel)
+    val deps = Map("rel" -> Set("part"))
+
+    def orphans(out: Map[String, org.apache.spark.sql.DataFrame]): Long =
+      out("rel").join(out("part"),
+        out("rel")("part_id") === out("part")("id"), "left_anti").count()
+
+    val inline = ImportJob.run(specs, dest, inc, deps)
+    // mapping B's delete wiped feed A's rows → only {3} survives, and
+    // rel rows 10 (→1) and 12 (→2) dangle
+    assert(inline("part").orderBy("id").as[(Int, String)].collect() ===
+      Array((3, "B3")))
+    assert(orphans(inline) === 2L)
+
+    val deferred = ImportJob.run(specs, dest, inc, deps, removeMissing = true)
+    // union of both feeds {1,2,3} survives; only the stale id 4 dies;
+    // every rel parent exists
+    assert(deferred("part").orderBy("id").as[(Int, String)].collect() ===
+      Array((1, "A1"), (2, "A2"), (3, "B3")))
+    assert(orphans(deferred) === 0L)
+  }
+
+  test("multi-mapping flagMissing: present in ANY batch flags active") {
+    val d = Seq((1, "a", false), (2, "b", false), (3, "c", true))
+      .toDF("id", "v", "active")
+    val out = ImportJob.run(
+      Seq(
+        TableSpec("part", keys = Seq("id"), sourceName = Some("s1"),
+          flagMissing = Some("active")),
+        TableSpec("part", keys = Seq("id"), sourceName = Some("s2"))),
+      _ => d,
+      Map("s1" -> Seq((1, "A")).toDF("id", "v"),
+          "s2" -> Seq((2, "B")).toDF("id", "v")))("part")
+      .orderBy("id").select("id", "active").as[(Int, Boolean)].collect()
+    assert(out === Array((1, true), (2, true), (3, false)))
+  }
+
   test("rowRules divert failing rows to <table>__quarantined, job keeps going") {
     import org.apache.spark.sql.functions.col
     val d = Seq((1, Option(10.0), Option("a"))).toDF("id", "price", "v")

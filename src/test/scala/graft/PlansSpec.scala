@@ -52,16 +52,21 @@ class PlansSpec extends SparkSuite {
         expectSchema = Some(schema.json),
         driftChecks = Seq(graft.plans.DriftCheckConfig(
           "bal", Seq(100.0, 200.0), alarmPpm = 100000L, failOnAlarm = true))),
-      TableConfig("nation", keys = Seq("nid"), mode = "insertOnly")))
+      TableConfig("customer", keys = Seq("id"), mode = "upsert",
+        sourceName = Some("customer_feed_fr")),
+      TableConfig("nation", keys = Seq("nid"), mode = "insertOnly")),
+      removeMissing = true)
     val back = JobConfig.fromJson(JobConfig.toJson(cfg))
     assert(back === cfg)
+    assert(back.removeMissing)
     val specs = JobConfig.toSpecs(back)
     assert(specs.head.mode === graft.plans.ImportJob.Upsert)
     assert(specs.head.expectSchema === Some(schema))
     assert(specs.head.driftChecks === Seq(graft.plans.ImportJob.DriftCheck(
       "bal", Seq(100.0, 200.0), 100000L, failOnAlarm = true)))
-    assert(specs(1).mode === graft.plans.ImportJob.InsertOnly)
-    assert(specs(1).driftChecks.isEmpty)
+    assert(specs(1).sourceName === Some("customer_feed_fr"))
+    assert(specs(2).mode === graft.plans.ImportJob.InsertOnly)
+    assert(specs(2).driftChecks.isEmpty)
   }
 
   test("JobConfig.drift reports added/removed/retyped; overwriteToOriginal undoes drift") {
