@@ -692,6 +692,58 @@ object ScaleSmoke {
           Seq("a" -> "b", "b" -> "c", "a" -> "c")).count())
     }
 
+    if (section == "graph") {
+      // The co-purchase graph family at big multiples (run explicitly,
+      // e.g. `ScaleSmoke 100 graph` — not part of `all`): disjoint
+      // replicas of the sf0.1 co-purchase edges PLUS a planted 150k-
+      // degree hub wired into every replica. Disjoint replication means
+      // triangle/k-core/LPA OUTPUT grows exactly ∝ edges, so wall-clock
+      // exponents vs edges read directly off the printed pairs; the hub
+      // proves the degree-orientation/peel shapes stay hub-proof at
+      // scale (a naive wedge enumeration would explode on it). Edges
+      // are MATERIALIZED to parquet first so each algorithm times its
+      // own work, not the shared pair-join construction.
+      import graft.operators.Graphs
+      val li1 = Tables.load(spark, base, "lineitem")
+      def copurchase(li: DataFrame) = {
+        val p = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        Graphs.canonicalEdges(p, "pa", "pb")
+      }
+      // hub part 9e8 co-purchased with 150k distinct parts across ids
+      val hub = Graphs.canonicalEdges(
+        spark.range(150000L).select(lit(900000000L).as("pa"),
+          (col("id") * 7L + 2L).as("pb")), "pa", "pb")
+      val exps = Seq(1, math.max(mult / 10, 2), mult).distinct.map { m =>
+        val liM =
+          if (m == 1) li1
+          else (0 until m).map(i => li1
+              .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+              .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L)))
+            .reduce(_ unionByName _)
+        val path = s"$out/graph_edges_$m"
+        copurchase(liM).unionByName(hub)
+          .repartition(64).write.mode("overwrite").parquet(path)
+        val e = spark.read.parquet(path)
+        val ec = e.count()
+        println(s"[scale] graph ${m}x: $ec edges (+150k-degree hub)")
+        val tTri = time(s"triangles ${m}x+hub")(Graphs.triangles(e).count())
+        val tKc = time(s"kcore(3) ${m}x+hub")(Graphs.kCore(e, 3).count())
+        val tLpa = time(s"lpa(5) ${m}x+hub")(Graphs.labelPropagation(e, 5).count())
+        (m, ec, tTri, tKc, tLpa)
+      }
+      val (m1, e1, tri1, kc1, lpa1) = exps.head
+      exps.tail.foreach { case (m, ec, tri, kc, lpa) =>
+        val le = math.log(ec.toDouble / e1)
+        println(f"[scale] exponents ${m1}x->${m}x (vs edges): " +
+          f"triangles ${math.log(tri / tri1) / le}%.2f, " +
+          f"kcore ${math.log(kc / kc1) / le}%.2f, " +
+          f"lpa ${math.log(lpa / lpa1) / le}%.2f")
+      }
+    }
+
     spark.stop()
   }
 }

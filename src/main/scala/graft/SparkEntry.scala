@@ -2635,8 +2635,10 @@ object SparkEntry {
       // contaminated month cannot drag it). Facts reduce to the
       // monthly series first; exact-rational pair slopes and the
       // lower-median selection run on the driver over that
-      // calendar-bounded frame. rows-only (rational median has no SQL
-      // form); StatsSpec proves outlier immunity and exact recovery.
+      // calendar-bounded frame. The oracle replays the rational median
+      // with a two-part exact integer sort key (floor quotient +
+      // bounded-denominator remainder scale) — no float ordering;
+      // StatsSpec proves outlier immunity and exact recovery.
       val c = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
       val mon = t(s, dir, "orders")
@@ -2660,8 +2662,9 @@ object SparkEntry {
       // variance; this is the principled layout a stats catalog wants.
       // Facts collapse to one row per distinct value (map-side); the
       // exact-BigInt DP runs on the driver over that bounded frame.
-      // rows-only (no SQL form for the DP); BinningSpec proves the DP
-      // against brute-force enumeration.
+      // The oracle replays the DP as 8 unrolled argmin layers over a
+      // materialized pair-cost table (same smallest-cut tie-break);
+      // BinningSpec proves the DP against brute-force enumeration.
       Binning.vOptimal(t(s, dir, "documents"), "n_chars", nBuckets = 8)
         .orderBy(col("bucket"))
     }),
@@ -2776,8 +2779,10 @@ object SparkEntry {
       // SSE compares on the driver, over a post-aggregation frame
       // bounded by the calendar, not data volume. Always returns the
       // best candidate (flagged insignificant on a stationary series)
-      // so the answer is never vacuous. rows-only (no SQL form for
-      // the recursive greedy); ChangePointsSpec plants mean shifts.
+      // so the answer is never vacuous. The oracle replays the greedy
+      // with exact HUGEINT rational compares, three unrolled recursion
+      // levels (deeper trees mismatch loudly, never silently);
+      // ChangePointsSpec plants mean shifts.
       val daily = t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("d"))
         .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
@@ -8034,6 +8039,212 @@ object SparkEntry {
         |    * sqrt(varp * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE)))
         |    * 100 + 0.5) AS BIGINT) AS mde_q
         |FROM f""".stripMargin,
+
+    "q_theilsen" ->
+      // exact rational replay of the lower-median pairwise slope: fractions
+      // dy/dx order by the two-part integer key (floor quotient, then the
+      // remainder fraction scaled by 6162 = 79*78 > any dx1*dx2 product, so
+      // distinct rationals can never share a key) - no float ordering
+      // anywhere; the selected slope floors via the pmod trick
+      """WITH c AS (SELECT c_custkey, c_nationkey FROM customer),
+        |mon AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+        |         date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+        |  FROM orders JOIN c ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT nation, rev_c,
+        |         CAST(row_number() OVER (PARTITION BY nation ORDER BY month) AS BIGINT) AS rn
+        |  FROM mon),
+        |pairs AS (
+        |  SELECT a.nation, (b.rev_c - a.rev_c) AS dy, (b.rn - a.rn) AS dx
+        |  FROM ser a JOIN ser b ON a.nation = b.nation AND b.rn > a.rn),
+        |keyed AS (
+        |  SELECT nation, dy, dx,
+        |    (dy - ((dy % dx) + dx) % dx) // dx AS key1,
+        |    (((dy % dx) + dx) % dx) * 6162 // dx AS key2
+        |  FROM pairs),
+        |ranked AS (
+        |  SELECT nation, dy, dx,
+        |    row_number() OVER (PARTITION BY nation ORDER BY key1, key2) AS rk,
+        |    count(*) OVER (PARTITION BY nation) AS cnt
+        |  FROM keyed),
+        |med AS (
+        |  SELECT nation, dy, dx, cnt FROM ranked WHERE rk = (cnt + 1) // 2)
+        |SELECT m.nation,
+        |  (SELECT count(*) FROM ser s WHERE s.nation = m.nation) AS n_points,
+        |  CAST(m.cnt AS BIGINT) AS n_pairs,
+        |  CAST((100 * dy - (((100 * dy) % dx) + dx) % dx) // dx AS BIGINT) AS slope_q
+        |FROM med m
+        |ORDER BY nation""".stripMargin,
+
+    "q_voptimal_hist" ->
+      // the VLDB98 DP replayed layer by layer: per-pair floor-integer SSE
+      // costs once (m^2/2 rows over <=4096 distinct values), 8 unrolled
+      // argmin layers with the same smallest-cut tie-break as the Scala DP,
+      // then the boundary walk-back as chained scalar lookups - HUGEINT
+      // throughout, bit-identical to the driver-side BigInt program
+      """WITH lv AS (
+        |  SELECT v, c, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS i FROM (
+        |    SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c FROM documents GROUP BY 1)),
+        |mm AS (SELECT max(i) AS m FROM lv),
+        |pre AS (
+        |  SELECT i, v,
+        |    CAST(sum(c) OVER w AS HUGEINT) AS p0,
+        |    CAST(sum(CAST(v AS HUGEINT) * c) OVER w AS HUGEINT) AS p1,
+        |    CAST(sum(CAST(v AS HUGEINT) * v * c) OVER w AS HUGEINT) AS p2
+        |  FROM lv WINDOW w AS (ORDER BY i ROWS UNBOUNDED PRECEDING)),
+        |pre0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS HUGEINT) AS p0,
+        |         CAST(0 AS HUGEINT) AS p1, CAST(0 AS HUGEINT) AS p2
+        |  UNION ALL SELECT i, p0, p1, p2 FROM pre),
+        |costs AS MATERIALIZED (
+        |  SELECT l.i AS lo, h.i AS hi,
+        |    ((h.p0 - l.p0) * (h.p2 - l.p2) - (h.p1 - l.p1) * (h.p1 - l.p1))
+        |      // (h.p0 - l.p0) AS cost
+        |  FROM pre0 l JOIN pre0 h ON h.i > l.i),
+        |dp1 AS MATERIALIZED (SELECT hi AS j, cost AS dp, CAST(0 AS BIGINT) AS cut FROM costs WHERE lo = 0),
+        |dp2 AS MATERIALIZED (SELECT j, dp, cut FROM (
+        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
+        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
+        |  FROM dp1 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
+        |dp3 AS MATERIALIZED (SELECT j, dp, cut FROM (
+        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
+        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
+        |  FROM dp2 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
+        |dp4 AS MATERIALIZED (SELECT j, dp, cut FROM (
+        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
+        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
+        |  FROM dp3 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
+        |dp5 AS MATERIALIZED (SELECT j, dp, cut FROM (
+        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
+        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
+        |  FROM dp4 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
+        |dp6 AS MATERIALIZED (SELECT j, dp, cut FROM (
+        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
+        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
+        |  FROM dp5 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
+        |dp7 AS MATERIALIZED (SELECT j, dp, cut FROM (
+        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
+        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
+        |  FROM dp6 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
+        |dp8 AS MATERIALIZED (SELECT j, dp, cut FROM (
+        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
+        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
+        |  FROM dp7 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
+        |w8 AS (SELECT cut AS b FROM dp8 WHERE j = (SELECT m FROM mm)),
+        |w7 AS (SELECT cut AS b FROM dp7 WHERE j = (SELECT b FROM w8)),
+        |w6 AS (SELECT cut AS b FROM dp6 WHERE j = (SELECT b FROM w7)),
+        |w5 AS (SELECT cut AS b FROM dp5 WHERE j = (SELECT b FROM w6)),
+        |w4 AS (SELECT cut AS b FROM dp4 WHERE j = (SELECT b FROM w5)),
+        |w3 AS (SELECT cut AS b FROM dp3 WHERE j = (SELECT b FROM w4)),
+        |w2 AS (SELECT cut AS b FROM dp2 WHERE j = (SELECT b FROM w3)),
+        |segs AS (
+        |  SELECT 1 AS bucket, CAST(0 AS BIGINT) AS lo, (SELECT b FROM w2) AS hi
+        |  UNION ALL SELECT 2, (SELECT b FROM w2), (SELECT b FROM w3)
+        |  UNION ALL SELECT 3, (SELECT b FROM w3), (SELECT b FROM w4)
+        |  UNION ALL SELECT 4, (SELECT b FROM w4), (SELECT b FROM w5)
+        |  UNION ALL SELECT 5, (SELECT b FROM w5), (SELECT b FROM w6)
+        |  UNION ALL SELECT 6, (SELECT b FROM w6), (SELECT b FROM w7)
+        |  UNION ALL SELECT 7, (SELECT b FROM w7), (SELECT b FROM w8)
+        |  UNION ALL SELECT 8, (SELECT b FROM w8), (SELECT m FROM mm))
+        |SELECT CAST(s.bucket AS BIGINT) AS bucket,
+        |  (SELECT v FROM lv WHERE i = s.lo + 1) AS lo,
+        |  (SELECT v FROM lv WHERE i = s.hi) AS hi,
+        |  CAST(h.p0 - l.p0 AS BIGINT) AS n_rows,
+        |  CAST((100 * (h.p1 - l.p1)) // (h.p0 - l.p0) AS BIGINT) AS mean_q,
+        |  CAST(((h.p0 - l.p0) * (h.p2 - l.p2) - (h.p1 - l.p1) * (h.p1 - l.p1))
+        |    // (h.p0 - l.p0) AS BIGINT) AS sse_q
+        |FROM segs s JOIN pre0 l ON l.i = s.lo JOIN pre0 h ON h.i = s.hi
+        |ORDER BY bucket""".stripMargin,
+
+    "q_changepoints" ->
+      // greedy binary segmentation replayed with EXACT rational compares:
+      // per segment the argmin of sse_l+sse_r orders by the two-part key
+      // (floor(N/D), then the remainder scaled by 2e12 > max D1*D2) so no
+      // float can flip a pick; significance and permille are pure HUGEINT
+      // cross-multiplications. Three unrolled levels (> the observed depth;
+      // a deeper tree would mismatch loudly, not silently) and the
+      // root-candidate fallback row when nothing clears the gate
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |ser AS (SELECT d, rev_c, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM daily),
+        |nn AS (SELECT max(i) AS n FROM ser),
+        |pre0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS HUGEINT) AS p1, CAST(0 AS HUGEINT) AS p2
+        |  UNION ALL
+        |  SELECT i,
+        |    CAST(sum(CAST(rev_c AS HUGEINT)) OVER w AS HUGEINT),
+        |    CAST(sum(CAST(rev_c AS HUGEINT) * rev_c) OVER w AS HUGEINT)
+        |  FROM ser WINDOW w AS (ORDER BY i ROWS UNBOUNDED PRECEDING)),
+        |segs0 AS (SELECT CAST(0 AS BIGINT) AS lo, (SELECT n FROM nn) AS hi),
+        |cand0 AS (
+        |  SELECT s.lo, s.hi, kk.i AS k,
+        |    ((kk.i - s.lo) * (pk.p2 - pl.p2) - (pk.p1 - pl.p1) * (pk.p1 - pl.p1)) * (s.hi - kk.i)
+        |      + ((s.hi - kk.i) * (ph.p2 - pk.p2) - (ph.p1 - pk.p1) * (ph.p1 - pk.p1)) * (kk.i - s.lo) AS nm,
+        |    CAST((kk.i - s.lo) * (s.hi - kk.i) AS HUGEINT) AS dn,
+        |    ((s.hi - s.lo) * (ph.p2 - pl.p2) - (ph.p1 - pl.p1) * (ph.p1 - pl.p1)) AS nump,
+        |    CAST(s.hi - s.lo AS HUGEINT) AS lenp,
+        |    (pk.p1 - pl.p1) AS s1l, (ph.p1 - pk.p1) AS s1r
+        |  FROM segs0 s
+        |  JOIN pre0 kk ON kk.i >= s.lo + 30 AND kk.i <= s.hi - 30
+        |  JOIN pre0 pl ON pl.i = s.lo JOIN pre0 pk ON pk.i = kk.i JOIN pre0 ph ON ph.i = s.hi),
+        |best0 AS (
+        |  SELECT *, (1000 * (nump * dn - nm * lenp) > 100 * nump * dn) AS sig FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lo, hi
+        |      ORDER BY nm // dn, ((nm % dn) * 2000000000000) // dn, k) AS rn
+        |    FROM cand0) WHERE rn = 1),
+        |acc0 AS (SELECT * FROM best0 WHERE sig),
+        |segs1 AS (SELECT lo, k AS hi FROM acc0 UNION ALL SELECT k, hi FROM acc0),
+        |cand1 AS (
+        |  SELECT s.lo, s.hi, kk.i AS k,
+        |    ((kk.i - s.lo) * (pk.p2 - pl.p2) - (pk.p1 - pl.p1) * (pk.p1 - pl.p1)) * (s.hi - kk.i)
+        |      + ((s.hi - kk.i) * (ph.p2 - pk.p2) - (ph.p1 - pk.p1) * (ph.p1 - pk.p1)) * (kk.i - s.lo) AS nm,
+        |    CAST((kk.i - s.lo) * (s.hi - kk.i) AS HUGEINT) AS dn,
+        |    ((s.hi - s.lo) * (ph.p2 - pl.p2) - (ph.p1 - pl.p1) * (ph.p1 - pl.p1)) AS nump,
+        |    CAST(s.hi - s.lo AS HUGEINT) AS lenp,
+        |    (pk.p1 - pl.p1) AS s1l, (ph.p1 - pk.p1) AS s1r
+        |  FROM segs1 s
+        |  JOIN pre0 kk ON kk.i >= s.lo + 30 AND kk.i <= s.hi - 30
+        |  JOIN pre0 pl ON pl.i = s.lo JOIN pre0 pk ON pk.i = kk.i JOIN pre0 ph ON ph.i = s.hi),
+        |best1 AS (
+        |  SELECT *, (1000 * (nump * dn - nm * lenp) > 100 * nump * dn) AS sig FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lo, hi
+        |      ORDER BY nm // dn, ((nm % dn) * 2000000000000) // dn, k) AS rn
+        |    FROM cand1) WHERE rn = 1),
+        |acc1 AS (SELECT * FROM best1 WHERE sig),
+        |segs2 AS (SELECT lo, k AS hi FROM acc1 UNION ALL SELECT k, hi FROM acc1),
+        |cand2 AS (
+        |  SELECT s.lo, s.hi, kk.i AS k,
+        |    ((kk.i - s.lo) * (pk.p2 - pl.p2) - (pk.p1 - pl.p1) * (pk.p1 - pl.p1)) * (s.hi - kk.i)
+        |      + ((s.hi - kk.i) * (ph.p2 - pk.p2) - (ph.p1 - pk.p1) * (ph.p1 - pk.p1)) * (kk.i - s.lo) AS nm,
+        |    CAST((kk.i - s.lo) * (s.hi - kk.i) AS HUGEINT) AS dn,
+        |    ((s.hi - s.lo) * (ph.p2 - pl.p2) - (ph.p1 - pl.p1) * (ph.p1 - pl.p1)) AS nump,
+        |    CAST(s.hi - s.lo AS HUGEINT) AS lenp,
+        |    (pk.p1 - pl.p1) AS s1l, (ph.p1 - pk.p1) AS s1r
+        |  FROM segs2 s
+        |  JOIN pre0 kk ON kk.i >= s.lo + 30 AND kk.i <= s.hi - 30
+        |  JOIN pre0 pl ON pl.i = s.lo JOIN pre0 pk ON pk.i = kk.i JOIN pre0 ph ON ph.i = s.hi),
+        |best2 AS (
+        |  SELECT *, (1000 * (nump * dn - nm * lenp) > 100 * nump * dn) AS sig FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lo, hi
+        |      ORDER BY nm // dn, ((nm % dn) * 2000000000000) // dn, k) AS rn
+        |    FROM cand2) WHERE rn = 1),
+        |acc2 AS (SELECT * FROM best2 WHERE sig),
+        |chosen AS (
+        |  SELECT * FROM acc0 UNION ALL SELECT * FROM acc1 UNION ALL SELECT * FROM acc2
+        |  UNION ALL SELECT * FROM best0 WHERE NOT sig)
+        |SELECT strftime((SELECT d FROM ser WHERE i = c.k + 1), '%Y-%m-%d') AS cp_date,
+        |  CAST((100 * s1l) // (c.k - c.lo) AS BIGINT) AS left_mean_q,
+        |  CAST((100 * s1r) // (c.hi - c.k) AS BIGINT) AS right_mean_q,
+        |  CAST(CASE WHEN nump = 0 THEN 0
+        |       ELSE (1000 * (nump * dn - nm * lenp)) // (nump * dn) END AS BIGINT) AS gain_permille,
+        |  sig AS significant
+        |FROM chosen c
+        |ORDER BY cp_date""".stripMargin,
 
     "q_neyman_sample" ->
       // replicates Allocate.largestRemainder's arithmetic (the

@@ -117,6 +117,25 @@ class StreamingImportSpec extends SparkSuite {
       spark.read.parquet(dest), $"v", Seq(100.0, 200.0))
       .orderBy("bucket").as[(Long, Long)].collect().toSeq
     assert(afterReplay === rescanned)
+
+    // the window's OTHER exit: after the crash-skip-merge recovery, a
+    // SUBSEQUENT batch with a different id arrives. Its retract feed
+    // reads the destination that now INCLUDES batch 1's merge while the
+    // committed counts version is still v=1 from before the crash — the
+    // guard must let it fold (2 > 1), and the fold must land on the
+    // rescan of the post-batch-2 destination, proving the recovered
+    // state is not just internally consistent but FORWARD-consistent
+    val b2 = (50 to 260).map(i => (i.toLong, (i % 300) + 40.0)).toDF("id", "v")
+    StreamingImport.foldDriftCounts(b2, dest, Seq("id"), hook, batchId = 2L)
+    StreamingImport.upsertBatch(b2, dest, Seq("id"))
+    val afterB2 = counts()
+      .select($"bucket", $"n_rows").orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val rescan2 = graft.operators.Drift.bucketCounts(
+      spark.read.parquet(dest), $"v", Seq(100.0, 200.0))
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(afterB2 === rescan2)
+    // only the newest version survives (v=1 pruned on the v=2 commit)
+    assert(StreamingImport.readDriftCounts(spark, hook.countsPath).isDefined)
   }
 
   test("an all-null first batch neither crashes the fold nor commits an empty version") {
