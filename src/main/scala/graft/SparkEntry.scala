@@ -2566,9 +2566,10 @@ object SparkEntry {
       // the calibration step every score pipeline runs before
       // thresholding. Rows collapse to one (band, n, Σy) level first;
       // the O(m) PAV stack pools on the driver with EXACT rational
-      // means. rows-only (the pooling recursion has no SQL form);
-      // StatsSpec proves monotonicity, mean preservation, and the
-      // textbook pooling case.
+      // means. The oracle replays the fit through its min-max closed
+      // form (fitted = max-min segment mean, pools = equal-fitted
+      // runs) with one exact scaled fraction key; StatsSpec proves
+      // monotonicity, mean preservation, and the textbook pooling case.
       val cust = t(s, dir, "customer").select(col("c_custkey"),
         floor(col("c_acctbal") / 100).cast("long").as("band"))
       val hv = t(s, dir, "orders")
@@ -2931,9 +2932,11 @@ object SparkEntry {
       // community detection on the repeat co-purchase graph:
       // deterministic synchronous LPA (min-label ties, fixed 5
       // rounds) — the cohesion VIEW next to q_kcore's cohesion FILTER
-      // and q_dedup_clusters' exact components. rows-only (iterative
-      // heuristic, no SQL form); GraphsSpec plants two cliques joined
-      // by a bridge and proves the split + order-invariance.
+      // and q_dedup_clusters' exact components. The oracle replays the
+      // 5 synchronous rounds as a recursive CTE with the identical
+      // (count DESC, label ASC) tie-break; GraphsSpec plants two
+      // cliques joined by a bridge and proves the split +
+      // order-invariance.
       val li = t(s, dir, "lineitem")
       val pairs = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -2951,9 +2954,11 @@ object SparkEntry {
       // co-purchase graph (pairs bought together in ≥2 distinct orders
       // — the single-order graph is near-complete and peels nothing):
       // iterative peel to fixpoint, checkpointed rounds, loud
-      // non-convergence. rows-only: a shrinking fixpoint has no
-      // recursive-CTE form; GraphsSpec proves equality with a
-      // sequential brute-force peel.
+      // non-convergence. The oracle replays the peel as a 50-round
+      // (== maxIters) recursive CTE — converged rounds re-emit
+      // unchanged, so the last round is the fixpoint; GraphsSpec
+      // additionally proves equality with a sequential brute-force
+      // peel.
       val li = t(s, dir, "lineitem")
       val pairs = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -3694,11 +3699,13 @@ object SparkEntry {
       // BPE vocabulary induction (Sennrich et al. 2016): the subword
       // merge table trained on the corpus' word-frequency frame — all
       // corpus-scale work is ONE word count; the merge loop is
-      // vocabulary-sized. Rows-only: the loop is iterative and
-      // engine-specific; BpeSpec proves the merge sequence equals the
-      // published algorithm's reference implementation EXACTLY (total
-      // (count desc, pair asc) order makes it partitioning/engine
-      // independent).
+      // vocabulary-sized. The oracle replays all 30 merge rounds as a
+      // recursive CTE: word state as a per-symbol TAB+sym+NL string so
+      // one replace() IS the greedy left-to-right non-overlapping
+      // merge (matches can never share characters or start
+      // mid-symbol), best pair by a composite (count desc, pair asc)
+      // sortable key; BpeSpec additionally proves the merge sequence
+      // equals the published algorithm's reference implementation.
       graft.pipelines.Bpe.train(t(s, dir, "documents"), "text",
         numMerges = 30)
         .orderBy(col("rank"))
@@ -4311,9 +4318,11 @@ object SparkEntry {
       // counts — the alignment Euclidean distance gets wrong when one
       // series leads another. Series are post-aggregation (one row
       // per type-day); the k²/2 pairs distribute one-per-task with an
-      // O(n·band) two-row DP. rows-only (data-dependent DP has no SQL
-      // form); DtwSpec proves the banded DP against the full matrix
-      // and a hand-computed alignment.
+      // O(n·band) two-row DP. The oracle replays the DP by
+      // anti-diagonal waves in a recursive CTE (the working table
+      // carries diagonals d and d-1, so every cell sees all three
+      // predecessors); DtwSpec proves the banded DP against the full
+      // matrix and a hand-computed alignment.
       val daily = t(s, dir, "events")
         .groupBy(col("event_type").as("k"), to_date(col("ts")).as("d"))
         .agg(count(lit(1)).as("c"))
@@ -7141,6 +7150,66 @@ object SparkEntry {
         |FROM nodes GROUP BY node
         |ORDER BY node""".stripMargin,
 
+    "q_kcore" ->
+      // the peel fixpoint DOES have a recursive-CTE form: a fixed 50
+      // rounds (the operator's own maxIters) with the working table
+      // referenced ONCE via the endpoint-unnest trick — degree = a
+      // window count over unnested endpoints, an edge survives iff its
+      // min endpoint degree >= k; converged rounds re-emit unchanged,
+      // so round 50 IS the fixpoint whenever the Scala side converged
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |edges AS (
+        |  SELECT DISTINCT least(pa, pb) AS u, greatest(pa, pb) AS v
+        |  FROM pairs WHERE pa <> pb),
+        |peel(r, u, v) AS (
+        |  SELECT 0, u, v FROM edges
+        |  UNION ALL
+        |  SELECT r + 1, u, v FROM (
+        |    SELECT r, u, v, node, min(cnt) OVER (PARTITION BY r, u, v) AS mindeg
+        |    FROM (
+        |      SELECT e.r, e.u, e.v, t.node,
+        |        count(*) OVER (PARTITION BY e.r, t.node) AS cnt
+        |      FROM peel e, UNNEST([e.u, e.v]) AS t(node))
+        |  ) WHERE r < 50 AND mindeg >= 2 AND node = u)
+        |SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+        |  SELECT u AS node FROM peel WHERE r = 50
+        |  UNION ALL SELECT v FROM peel WHERE r = 50)
+        |GROUP BY node
+        |ORDER BY node""".stripMargin,
+
+    "q_communities" ->
+      // deterministic synchronous LPA replays round by round: the
+      // recursive label table joins the static bidirectional edge list,
+      // per-node top-1 by (count DESC, label ASC) via QUALIFY — the
+      // exact tie-break the Scala window uses, so 5 rounds land on the
+      // identical labeling
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |edges AS (
+        |  SELECT DISTINCT least(pa, pb) AS u, greatest(pa, pb) AS v
+        |  FROM pairs WHERE pa <> pb),
+        |bidir AS (
+        |  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+        |lab(r, node, community) AS (
+        |  SELECT 0, node, node FROM (
+        |    SELECT u AS node FROM edges UNION SELECT v FROM edges)
+        |  UNION ALL
+        |  SELECT r + 1, node, community FROM (
+        |    SELECT l.r, bd.a AS node, l.community, count(*) AS c
+        |    FROM bidir bd JOIN lab l ON l.node = bd.b WHERE l.r < 5
+        |    GROUP BY 1, 2, 3
+        |  ) QUALIFY row_number() OVER (
+        |      PARTITION BY node ORDER BY c DESC, community ASC) = 1)
+        |SELECT node, community FROM lab WHERE r = 5
+        |ORDER BY node""".stripMargin,
+
     "q_allocate" ->
       // all quantities non-negative here, so DuckDB's integral // and %
       // coincide with the operator's floor-division contract
@@ -8039,6 +8108,163 @@ object SparkEntry {
         |    * sqrt(varp * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE)))
         |    * 100 + 0.5) AS BIGINT) AS mde_q
         |FROM f""".stripMargin,
+
+    "q_dtw" ->
+      // the banded DP replayed by anti-diagonal waves: cells on
+      // diagonal i+j = d depend only on diagonals d-1 (left/up) and
+      // d-2 (diagonal), so each recursion round computes wave d+1 and
+      // RE-EMITS wave d — the working table always holds exactly the
+      // two live diagonals. Exact BIGINT |a-b| costs; pairs whose
+      // length gap exceeds the band never enter the DP and surface as
+      // the documented -1 sentinel via the outer LEFT JOIN
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS k, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT k, list(c ORDER BY d) AS xs FROM daily GROUP BY k),
+        |pr AS (
+        |  SELECT a.k AS k1, b.k AS k2, a.xs AS x1, b.xs AS x2,
+        |         len(a.xs) AS n, len(b.xs) AS m
+        |  FROM ser a JOIN ser b ON a.k < b.k),
+        |dp(d, k1, k2, i, j, v) AS (
+        |  SELECT 0, k1, k2, 0, 0, CAST(0 AS BIGINT) FROM pr
+        |  WHERE abs(n - m) <= 7
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT d + 1 AS d, k1, k2, i, j, min(v) AS v FROM (
+        |      SELECT d, k1, k2, i, j, v FROM dp WHERE i + j = d
+        |      UNION ALL
+        |      SELECT d, p.k1, p.k2, c.i, c.j,
+        |        abs(p.x1[c.i] - p.x2[c.j]) + t.v AS v
+        |      FROM dp t
+        |      JOIN pr p ON p.k1 = t.k1 AND p.k2 = t.k2,
+        |      LATERAL (VALUES (t.i + 1, t.j), (t.i, t.j + 1),
+        |                      (t.i + 1, t.j + 1)) AS c(i, j)
+        |      WHERE c.i + c.j = t.d + 1
+        |        AND c.i >= 1 AND c.j >= 1 AND c.i <= p.n AND c.j <= p.m
+        |        AND abs(c.i - c.j) <= 7
+        |    ) GROUP BY d, k1, k2, i, j
+        |  ) WHERE d <= (SELECT max(n + m) FROM pr)
+        |)
+        |SELECT p.k1, p.k2, CAST(p.n AS BIGINT) AS len1,
+        |  CAST(p.m AS BIGINT) AS len2,
+        |  coalesce(f.v, CAST(-1 AS BIGINT)) AS dtw
+        |FROM pr p LEFT JOIN (
+        |  SELECT k1, k2, i, j, v FROM dp QUALIFY row_number() OVER (
+        |    PARTITION BY k1, k2, i, j ORDER BY d DESC) = 1
+        |) f ON f.k1 = p.k1 AND f.k2 = p.k2 AND f.i = p.n AND f.j = p.m
+        |ORDER BY p.k1, p.k2""".stripMargin,
+
+    "q_bpe_train" ->
+      // all 30 merge rounds as ONE recursive CTE. Word state = each
+      // symbol wrapped TAB||sym||NL (symbols are whitespace-free, so
+      // the wrap is unambiguous): a match of TAB l NL TAB r NL consumes
+      // BOTH symbols whole and shares no character with the next
+      // match, so plain replace() — left-to-right, non-overlapping —
+      // is EXACTLY the trainer's greedy fold (adversarial runs like
+      // "aaaa" verified). Best pair per round = min over a composite
+      // key: zero-padded (1e15 - count) then left, chr(1), right —
+      // binary-collation lexicographic == (count desc, l asc, r asc)
+      """WITH RECURSIVE wc AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(str_split_regex(trim(text), '[ \t\n\r\f]+')) AS word
+        |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |  GROUP BY word HAVING length(word) <= 200),
+        |st(r, word, s, cnt, ml, mr, mn) AS (
+        |  SELECT 0, word,
+        |    chr(9) || array_to_string(
+        |      list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+        |      chr(10) || chr(9)) || chr(10) || chr(9) || '</w>' || chr(10),
+        |    cnt, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT r + 1, word,
+        |    replace(s, chr(9) || bl || chr(10) || chr(9) || br || chr(10),
+        |               chr(9) || bl || br || chr(10)),
+        |    cnt, bl, br, bn
+        |  FROM (
+        |    SELECT r, word, s, cnt,
+        |      split_part(substr(bk, 17), chr(1), 1) AS bl,
+        |      split_part(substr(bk, 17), chr(1), 2) AS br,
+        |      1000000000000000 - CAST(substr(bk, 1, 16) AS BIGINT) AS bn
+        |    FROM (
+        |      SELECT r, word, s, cnt,
+        |        min(CASE WHEN l IS NOT NULL THEN
+        |              lpad(CAST(1000000000000000 - n AS VARCHAR), 16, '0')
+        |                || l || chr(1) || r2 END) OVER () AS bk
+        |      FROM (
+        |        SELECT word, r, s, cnt, l, r2,
+        |          sum(CASE WHEN l IS NOT NULL THEN cnt END)
+        |            OVER (PARTITION BY l, r2) AS n
+        |        FROM (
+        |          SELECT word, r, s, cnt,
+        |            CASE WHEN i < len THEN syms[CAST(i AS INTEGER)] END AS l,
+        |            CASE WHEN i < len THEN syms[CAST(i AS INTEGER) + 1] END AS r2
+        |          FROM (
+        |            SELECT word, r, s, cnt, syms, len(syms) AS len,
+        |              unnest(range(1, greatest(len(syms), 2))) AS i
+        |            FROM (
+        |              SELECT word, r, s, cnt,
+        |                list_transform(
+        |                  str_split(rtrim(s, chr(10)), chr(10)),
+        |                  x -> ltrim(x, chr(9))) AS syms
+        |              FROM st WHERE r < 30))))
+        |    ) QUALIFY row_number() OVER (PARTITION BY word) = 1
+        |  ) WHERE bn >= 2
+        |)
+        |SELECT DISTINCT CAST(r AS INTEGER) AS rank, ml AS "left",
+        |  mr AS "right", CAST(mn AS BIGINT) AS pair_count
+        |FROM st WHERE r >= 1 ORDER BY rank""".stripMargin,
+
+    "q_isotonic" ->
+      // the PAV pooling recursion replays through its CLOSED FORM:
+      // fitted[i] = max_{j<=i} min_{l>=i} mean(y over levels j..l)
+      // (the min-max characterization of the L2 isotonic fit), and the
+      // >=-merge pools are exactly the maximal runs of equal fitted
+      // value. Fractions order/compare by one exact scaled key:
+      // floor(num*1e12/den) — distinct fractions differ by >=1/den^2 >
+      // 2/1e12 at this table's level counts, so the key is injective
+      // on the fraction order; O(levels^3) segment rows, bounded by
+      // the ~110 acctbal bands, not data volume
+      """WITH cust AS (
+        |  SELECT c_custkey, CAST(floor(c_acctbal / 100) AS BIGINT) AS band
+        |  FROM customer),
+        |hv AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS y
+        |  FROM orders GROUP BY 1),
+        |lv AS (
+        |  SELECT band, count(*) AS n, sum(y) AS sy,
+        |    row_number() OVER (ORDER BY band) AS i
+        |  FROM cust JOIN hv ON c_custkey = o_custkey GROUP BY band),
+        |pre AS (
+        |  SELECT i, band, n, sy,
+        |    sum(n) OVER (ORDER BY i) AS cn, sum(sy) OVER (ORDER BY i) AS cs
+        |  FROM lv),
+        |seg AS (
+        |  SELECT a.i AS j, b.i AS l,
+        |    (b.cs - a.cs + a.sy) AS num, (b.cn - a.cn + a.n) AS den
+        |  FROM pre a JOIN pre b ON b.i >= a.i),
+        |segk AS (
+        |  SELECT j, l, CAST(num AS HUGEINT) * 1000000000000 // den AS key
+        |  FROM seg),
+        |inner_min AS (
+        |  SELECT s.j, p.i, min(s.key) AS mn
+        |  FROM segk s JOIN pre p ON s.j <= p.i AND s.l >= p.i
+        |  GROUP BY s.j, p.i),
+        |fitted AS (SELECT i, max(mn) AS fk FROM inner_min GROUP BY i),
+        |runs AS (
+        |  SELECT p.i, p.band, p.n, p.sy, f.fk,
+        |    CASE WHEN lag(f.fk) OVER (ORDER BY p.i) = f.fk THEN 0 ELSE 1
+        |    END AS brk
+        |  FROM pre p JOIN fitted f ON p.i = f.i),
+        |grp AS (SELECT *, sum(brk) OVER (ORDER BY i) AS g FROM runs)
+        |SELECT min(band) AS x_lo, max(band) AS x_hi,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(sy) * 10000 // sum(n) AS BIGINT) AS rate_bp
+        |FROM grp GROUP BY g
+        |ORDER BY x_lo""".stripMargin,
 
     "q_theilsen" ->
       // exact rational replay of the lower-median pairwise slope: fractions
