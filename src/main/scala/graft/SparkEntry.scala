@@ -3727,11 +3727,15 @@ object SparkEntry {
 
     "q_mmr_rerank" -> ((s, dir) => {
       // diversified retrieval finalizer (MMR, Carbonell & Goldstein
-      // 1998): rows-only — the greedy runs driver-side over the BOUNDED
-      // top-40 candidate set (the Binning-boundaries collect tier);
-      // MmrSpec proves the selection against an independent replay and
-      // its order/partitioning invariance. Candidates come from the
-      // oracle-green brute-force cosine stage.
+      // 1998): the greedy runs driver-side over the BOUNDED top-40
+      // candidate set (the Binning-boundaries collect tier). The
+      // oracle replays the 10 greedy steps as a recursive CTE — the
+      // integer objective (rank-based RRF relevance, floored cosine
+      // bp, exact tie-break) makes each selection a pure argmax the
+      // SQL reproduces; MmrSpec additionally proves the selection
+      // against an independent replay and its order/partitioning
+      // invariance. Candidates come from the oracle-green brute-force
+      // cosine stage.
       val emb = t(s, dir, "embeddings")
       val topk = graft.similarity.Knn.bruteForceTopK(
         emb, emb.filter(col("vec_id") === 0), k = 40)
@@ -8216,6 +8220,67 @@ object SparkEntry {
         |SELECT DISTINCT CAST(r AS INTEGER) AS rank, ml AS "left",
         |  mr AS "right", CAST(mn AS BIGINT) AS pair_count
         |FROM st WHERE r >= 1 ORDER BY rank""".stripMargin,
+
+    "q_mmr_rerank" ->
+      // the greedy replayed one selection per recursion round: each
+      // round a single cross-joined LIMIT-1 subquery picks the argmax
+      // of the EXACT-INTEGER objective 7000·(10000//(60+rank)) −
+      // 3000·maxsim_bp with the (score desc, rank asc, id asc)
+      // tie-break, the winner freezes with its rank, and every
+      // remaining candidate folds the floored-cosine-bp similarity to
+      // the winner into its running max. maxsim seeds at a deep
+      // negative sentinel (cosines can be negative — a diversity
+      // REWARD, not a clamp-at-zero) and round one pins the penalty
+      // to 0 exactly as the operator's selected-empty branch does
+      """WITH RECURSIVE q0 AS (
+        |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id AS id, e.embedding AS vec,
+        |    round(list_aggregate(list_apply(list_zip(q.qe, e.embedding),
+        |       x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum')
+        |     / (sqrt(list_aggregate(list_apply(q.qe,
+        |          x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),'sum'))
+        |      * sqrt(list_aggregate(list_apply(e.embedding,
+        |          x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),'sum'))), 4) AS cs
+        |  FROM embeddings e CROSS JOIN q0 q WHERE e.vec_id <> 0),
+        |cands AS (
+        |  SELECT id, CAST(row_number() OVER (ORDER BY cs DESC, id) AS BIGINT) AS rank, vec
+        |  FROM scored QUALIFY row_number() OVER (ORDER BY cs DESC, id) <= 40),
+        |st(step, id, rank, vec, msim, selstep, selscore) AS (
+        |  SELECT 0, id, rank, vec, CAST(-4611686018427387904 AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM cands
+        |  UNION ALL
+        |  SELECT s.step + 1, s.id, s.rank, s.vec,
+        |    CASE WHEN s.selstep IS NOT NULL OR s.id = w.wid THEN s.msim
+        |         ELSE greatest(s.msim, CASE
+        |           WHEN list_aggregate(list_apply(s.vec,
+        |                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),'sum') = 0
+        |             OR list_aggregate(list_apply(w.wvec,
+        |                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),'sum') = 0
+        |           THEN 0
+        |           ELSE CAST(floor(
+        |             list_aggregate(list_apply(list_zip(s.vec, w.wvec),
+        |               x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum')
+        |             / sqrt(list_aggregate(list_apply(s.vec,
+        |                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),'sum')
+        |                  * list_aggregate(list_apply(w.wvec,
+        |                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),'sum'))
+        |             * 10000.0 + 0.5) AS BIGINT) END) END,
+        |    CASE WHEN s.id = w.wid AND s.selstep IS NULL
+        |         THEN s.step + 1 ELSE s.selstep END,
+        |    CASE WHEN s.id = w.wid AND s.selstep IS NULL
+        |         THEN w.wscore ELSE s.selscore END
+        |  FROM st s CROSS JOIN (
+        |    SELECT id AS wid, vec AS wvec,
+        |      7000*(10000//(60+rank))
+        |        - 3000*(CASE WHEN step = 0 THEN 0 ELSE msim END) AS wscore
+        |    FROM st WHERE selstep IS NULL
+        |    ORDER BY wscore DESC, rank, id LIMIT 1) w
+        |  WHERE s.step < 10)
+        |SELECT id AS id, CAST(selstep AS BIGINT) AS mmr_rank,
+        |  rank AS rel_rank, selscore AS mmr_q
+        |FROM st WHERE step = 10 AND selstep IS NOT NULL
+        |ORDER BY mmr_rank""".stripMargin,
 
     "q_isotonic" ->
       // the PAV pooling recursion replays through its CLOSED FORM:
