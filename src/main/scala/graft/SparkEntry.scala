@@ -1717,6 +1717,10 @@ object SparkEntry {
     }),
 
     "q_doc_fingerprint" -> ((s, dir) => {
+      // the codegen rolling hash (31·h + signed byte, 64-bit wrap) has
+      // an exact closed form h = seed·31^n + Σ bᵢ·31^(n-1-i) (mod 2^64)
+      // — a commutative sum the oracle replays in HUGEINT with an
+      // explicit mod and two's-complement finish, bytes via hex(encode)
       t(s, dir, "documents")
         .select(col("doc_id"), Fingerprint.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
@@ -8220,6 +8224,53 @@ object SparkEntry {
         |SELECT DISTINCT CAST(r AS INTEGER) AS rank, ml AS "left",
         |  mr AS "right", CAST(mn AS BIGINT) AS pair_count
         |FROM st WHERE r >= 1 ORDER BY rank""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      // polynomial rolling hash in closed form: h = seed·31^n +
+      // Σ bᵢ·31^(n-1-i) (mod 2^64). Every term is exact in HUGEINT
+      // (|term| < 2^72, sum < 2^83, seed term < 2^114 — all inside
+      // the 127-bit range), the single mod comes last, and the final
+      // value converts to the JVM's two's-complement signed long.
+      // Bytes come from hex(encode(text)) with the >127 → −256 signed
+      // cast (Java bytes are signed), so multi-byte UTF-8 would
+      // replay correctly too — not just this ASCII corpus
+      """WITH RECURSIVE mx AS (
+        |  SELECT max(octet_length(encode(text))) AS n FROM documents),
+        |pw(k, v) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1, (v * 31) % 18446744073709551616
+        |  FROM pw, mx WHERE k < mx.n),
+        |hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, n, i,
+        |    CASE WHEN b > 127 THEN b - 256 ELSE b END AS sb
+        |  FROM (
+        |    SELECT doc_id, n, i,
+        |      (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
+        |        + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS b
+        |    FROM hx, LATERAL unnest(generate_series(1, CAST(n AS BIGINT))) AS t(i))),
+        |seed AS (
+        |  SELECT x.doc_id,
+        |    (CAST(1125899906842597 AS HUGEINT) * p.v)
+        |      % 18446744073709551616 AS seedterm
+        |  FROM hx x JOIN pw p ON p.k = x.n),
+        |acc AS (
+        |  SELECT b.doc_id, sum(CAST(b.sb AS HUGEINT) * p.v) AS bsum
+        |  FROM bytes b JOIN pw p ON p.k = b.n - b.i
+        |  GROUP BY b.doc_id),
+        |fin AS (
+        |  SELECT s.doc_id,
+        |    ((s.seedterm + coalesce(a.bsum, 0)) % 18446744073709551616
+        |      + 18446744073709551616) % 18446744073709551616 AS u
+        |  FROM seed s LEFT JOIN acc a ON a.doc_id = s.doc_id)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN u >= 9223372036854775808
+        |       THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     "q_mmr_rerank" ->
       // the greedy replayed one selection per recursion round: each
