@@ -3323,6 +3323,17 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_ndcg" -> ((s, dir) => {
+      // retrieval-quality readout (nDCG@10, Järvelin & Kekäläinen
+      // 2002) of the BM25 ranking against corpus-derived graded labels
+      // (rel = min(3, Σ query-term tf), gain 2^rel − 1). Discounts are
+      // PINNED integer literals floor(1e6/log2(i+1)), so DCG / ideal
+      // DCG are exact BIGINT sums — no float log near the data; both
+      // top-k selections are TakeOrderedAndProject.
+      graft.pipelines.Lexical.ndcgAtK(t(s, dir, "documents"), "doc_id",
+        "text", Seq("spark", "merge", "vector", "dup"), k = 10)
+    }),
+
     "q_pit_join" -> ((s, dir) => {
       // point-in-time join: every order joins the customer-dimension
       // VERSION valid at its own order date (three deterministic
@@ -7761,6 +7772,55 @@ object SparkEntry {
         |  FROM sc ORDER BY score_q DESC, doc_id LIMIT 20)
         |SELECT doc_id, n_hit_terms, score_q, CAST(rnk AS INTEGER) AS "rank"
         |FROM r ORDER BY "rank"""".stripMargin,
+
+    "q_ndcg" ->
+      // same cleared-denominator BM25 integers as q_bm25_search; the
+      // discount table is the identical pinned-literal list, indexed
+      // 1-based on both engines
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
+        |tot AS (SELECT sum(dl) AS t_tokens, count(*) AS n_docs FROM dl),
+        |tf AS (SELECT * FROM tfall
+        |  WHERE term IN ('spark', 'merge', 'vector', 'dup')),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(
+        |      ((2 * tot.n_docs - 2 * d.df + 1) * 1000 // (2 * d.df + 1)) *
+        |      (22 * tot.t_tokens * t.tf * 10000 //
+        |       (10 * tot.t_tokens * t.tf + 3 * tot.t_tokens
+        |        + 9 * l.dl * tot.n_docs))
+        |    ) AS BIGINT) AS score_q
+        |  FROM tf t JOIN dfc d USING (term) JOIN dl l USING (doc_id)
+        |  CROSS JOIN tot
+        |  GROUP BY t.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+        |  FROM sc ORDER BY score_q DESC, doc_id LIMIT 10),
+        |disc AS (
+        |  SELECT * FROM (VALUES (1, 1000000), (2, 630929), (3, 500000),
+        |    (4, 430676), (5, 386852), (6, 356207), (7, 333333),
+        |    (8, 315464), (9, 301029), (10, 289064)) v(pos, d)),
+        |rel AS (
+        |  SELECT doc_id, least(sum(tf), 3) AS rel,
+        |    CAST(2 ** least(sum(tf), 3) - 1 AS BIGINT) AS gain
+        |  FROM tf GROUP BY doc_id),
+        |dcg AS (
+        |  SELECT CAST(sum(coalesce(rl.gain, 0) * dc.d) AS BIGINT) AS dcg_q
+        |  FROM ranked r LEFT JOIN rel rl USING (doc_id)
+        |  JOIN disc dc ON dc.pos = r.rnk),
+        |ideal AS (
+        |  SELECT CAST(sum(gain * dc.d) AS BIGINT) AS idcg_q FROM (
+        |    SELECT gain, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+        |    FROM rel ORDER BY rel DESC, doc_id LIMIT 10) i
+        |  JOIN disc dc ON dc.pos = i.pos),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel_docs FROM rel)
+        |SELECT nr.n_rel_docs, dcg.dcg_q, ideal.idcg_q,
+        |  CAST(dcg.dcg_q * 10000 // ideal.idcg_q AS BIGINT) AS ndcg_bp
+        |FROM nr, dcg, ideal""".stripMargin,
 
     "q_pit_join" ->
       // interval-containment LEFT JOIN is the transparent oracle form;

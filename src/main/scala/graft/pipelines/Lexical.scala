@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -244,6 +244,59 @@ object Lexical {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("rrf_q").desc, col(idCol).asc)))
       .select(col(idCol), col("n_lists"), col("rrf_q"), col("rank"))
+  }
+
+  /** Pinned integer position discounts floor(10⁶ / log2(i+1)) for
+    * nDCG@10 — literals on BOTH engines, so the discounted sum is a
+    * pure BIGINT aggregate with no float log anywhere near the data.
+    */
+  private[graft] val NdcgDiscounts: Seq[Long] = Seq(
+    1000000L, 630929L, 500000L, 430676L, 386852L,
+    356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** nDCG@k of the [[bm25TopK]] ranking against deterministic graded
+    * relevance labels — the retrieval-quality readout every search /
+    * RAG pipeline reports (Järvelin & Kekäläinen, TOIS 2002).
+    *
+    * Labels are a pure function of the corpus (no human judgments in
+    * a library test): rel(doc) = min(3, Σ tf over the query terms),
+    * gain = 2^rel − 1 ∈ {1, 3, 7}. Discounts are the PINNED integer
+    * literals [[NdcgDiscounts]] (floor(10⁶/log2(i+1))), so DCG and
+    * ideal-DCG are exact BIGINT sums — order-independent, no float
+    * accumulation to diverge cross-engine — and
+    * `ndcg_bp = (dcg·10⁴) div idcg`.
+    *
+    * Scale shape: ONE token explode feeds tf; the ranking reuses the
+    * bm25 integer scoring; both top-k selections are
+    * `TakeOrderedAndProject` (per-partition partial top-k, never a
+    * single-task global sort); the final join is k rows against k
+    * rows. Output: one row — (n_rel_docs, dcg_q, idcg_q, ndcg_bp).
+    */
+  def ndcgAtK(docs: DataFrame, idCol: String, textCol: String,
+              queryTerms: Seq[String], k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgDiscounts.length,
+      s"k must be in [1, ${NdcgDiscounts.length}], got $k")
+    val ranked = bm25TopK(docs, idCol, textCol, queryTerms, k)
+    val rel = termFrequencies(docs, idCol, textCol)
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol))
+      .agg(least(sum(col("tf")), lit(3L)).as("rel"))
+      .withColumn("gain", expr("shiftleft(1L, CAST(rel AS INT)) - 1L"))
+    val disc = (r: Column) =>
+      element_at(typedlit(NdcgDiscounts), r.cast("int"))
+    val dcg = ranked.join(rel, Seq(idCol), "left")
+      .agg(sum(coalesce(col("gain"), lit(0L)) * disc(col("rank")))
+        .as("dcg_q"))
+    val idealW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rel").desc, col(idCol).asc)
+    val ideal = rel.orderBy(col("rel").desc, col(idCol).asc).limit(k)
+      .withColumn("__pos", row_number().over(idealW))
+      .agg(sum(col("gain") * disc(col("__pos"))).as("idcg_q"),
+        count(lit(1)).as("__k_used"))
+    val nRel = rel.agg(count(lit(1)).as("n_rel_docs"))
+    nRel.crossJoin(broadcast(dcg)).crossJoin(broadcast(ideal))
+      .select(col("n_rel_docs"), col("dcg_q"), col("idcg_q"),
+        expr("dcg_q * 10000L div idcg_q").as("ndcg_bp"))
   }
 
   /** Vocabulary coverage / OOV audit — the tokenizer-and-corpus QA pass

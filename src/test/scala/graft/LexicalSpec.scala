@@ -250,4 +250,46 @@ class LexicalSpec extends SparkSuite {
     assert(o3.getString(0) == "big data")
     assert(o3.getAs[Long]("n_occurrences") == 2L)
   }
+
+  test("ndcgAtK: method invariants — perfect ranking scores 10000 bp, " +
+    "displacing a high-gain doc lowers it, labels are graded") {
+    import spark.implicits._
+    // Corpus where BM25's ranking IS the ideal ranking: one query term,
+    // higher tf ⇒ higher bm25 AND higher gain (doc length constant, so
+    // score is monotone in tf).
+    val aligned = Seq(
+      (1L, "hit hit hit pad pad pad pad pad"),   // tf 3 → gain 7
+      (2L, "hit hit pad pad pad pad pad pad"),   // tf 2 → gain 3
+      (3L, "hit pad pad pad pad pad pad pad"),   // tf 1 → gain 1
+      (4L, "pad pad pad pad pad pad pad pad"))   // irrelevant
+      .toDF("doc_id", "text")
+    val perfect = graft.pipelines.Lexical.ndcgAtK(
+      aligned, "doc_id", "text", Seq("hit"), k = 3).head()
+    assert(perfect.getAs[Long]("n_rel_docs") == 3L)
+    assert(perfect.getAs[Long]("ndcg_bp") == 10000L,
+      "a ranking identical to the ideal ordering must score exactly 1.0")
+    // dcg uses the pinned discounts: 7·1000000 + 3·630929 + 1·500000
+    assert(perfect.getAs[Long]("dcg_q") == 7L*1000000L + 3L*630929L + 500000L)
+
+    // Break the alignment: the gain-7 doc is PADDED so long that bm25's
+    // length normalization ranks it below the short gain-1 doc — the
+    // metric must punish the displacement (ndcg strictly < 10000).
+    val displaced = Seq(
+      (1L, ("hit hit hit " + "pad " * 60).trim),
+      (2L, "hit pad"),
+      (3L, "pad pad"))
+      .toDF("doc_id", "text")
+    val worse = graft.pipelines.Lexical.ndcgAtK(
+      displaced, "doc_id", "text", Seq("hit"), k = 2).head()
+    assert(worse.getAs[Long]("ndcg_bp") < 10000L,
+      "ranking a low-gain doc above a high-gain one must cost ndcg")
+    assert(worse.getAs[Long]("idcg_q") > worse.getAs[Long]("dcg_q"))
+
+    // gain caps at rel 3: tf 50 and tf 3 carry the same gain
+    val capped = Seq((1L, ("hit " * 50).trim), (2L, "hit hit hit"))
+      .toDF("doc_id", "text")
+    val c = graft.pipelines.Lexical.ndcgAtK(
+      capped, "doc_id", "text", Seq("hit"), k = 2).head()
+    assert(c.getAs[Long]("idcg_q") == 7L*1000000L + 7L*630929L)
+  }
 }

@@ -142,6 +142,16 @@ class PlansSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)     // V-row vocab side
   }
 
+  test("ndcg: both top-k selections distribute, label side joins broadcast") {
+    val df = graft.pipelines.Lexical.ndcgAtK(docsDf, "doc_id", "text",
+      Seq("the"), k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // ranked top-k AND ideal top-k: per-partition partial top-k, never
+    // a single-task global sort of the corpus
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort [rel"), plan)
+  }
+
   test("rolling-active: bounded offset explode, never a data-sized range window") {
     val df = SparkEntry.queries("q_rolling_active")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
