@@ -29,6 +29,45 @@ class ImportJobSpec extends SparkSuite {
     assert(custs === Array((10L, 1, 100.0), (11L, 2, 75.0), (12L, 3, 10.0)))
   }
 
+  test("rerunning the same feed against the synced destination is a no-op " +
+    "(the nightly-sync contract), surrogate ids included") {
+    import org.apache.spark.sql.functions._
+    val dest = Map("product" ->
+      Seq((1, "keep", 100L), (2, "old", 200L)).toDF("pid", "pname", "uid"))
+    val incoming = Map("product" ->
+      Seq((2, "renamed"), (3, "new-a"), (4, "new-b")).toDF("pid", "pname"))
+    def specs(maxUid: Long) = Seq(TableSpec("product", keys = Seq("pid"),
+      deleteExcess = true,
+      post = out => {
+        val fresh = graft.operators.SurrogateKeys.assign(
+          out.filter(col("uid").isNull).drop("uid"),
+          Seq(col("pid")), "uid", startAt = maxUid + 1)
+        out.filter(col("uid").isNotNull)
+          .unionByName(fresh.select(out.columns.map(col): _*))
+      }))
+    def maxUid(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(max(col("uid"))).collect()(0).getLong(0)
+
+    val once = ImportJob.run(specs(maxUid(dest("product"))),
+      dest = dest, incoming = incoming)
+    val first = once("product").orderBy("pid")
+      .as[(Int, String, Long)].collect()
+    // row 1 deleted (missing from the feed), row 2 renamed keeps uid 200,
+    // rows 3/4 got fresh uids continuing from the destination max
+    assert(first.map(r => (r._1, r._2)) ===
+      Array((2, "renamed"), (3, "new-a"), (4, "new-b")))
+    assert(first.find(_._1 == 2).get._3 === 200L)
+    assert(first.filter(_._1 >= 3).map(_._3).sorted === Array(201L, 202L))
+
+    val again = ImportJob.run(specs(maxUid(once("product"))),
+      dest = Map("product" -> once("product")), incoming = incoming)
+    val second = again("product").orderBy("pid")
+      .as[(Int, String, Long)].collect()
+    assert(second === first,
+      "a second run of the identical feed must change nothing — " +
+        "including previously assigned surrogate ids")
+  }
+
   test("deleteExcess + flagMissing shape the synced output") {
     val d = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
     val in = Seq((2, "B")).toDF("id", "v")
