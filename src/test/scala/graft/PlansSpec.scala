@@ -339,6 +339,36 @@ class PlansSpec extends SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("composed ecom job executes within its shuffle budget") {
+    // q_ecom_job composes the whole RunJob loop (4 staged merges with
+    // quarantine, FK resolution, scoped deletes, surrogate ids,
+    // relation cleanup, assortment rebuild, 5 checksums). Its cost
+    // model is "sum of the audited parts": this pins the end-to-end
+    // distinct-shuffle count so a composition regression (a lost
+    // broadcast, a re-sort per table) surfaces as a failing invariant,
+    // exactly like the TrainingData capstone above.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    val shuffles = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        org.apache.spark.sql.graftbridge.bridge.shuffleDepId(s.stageInfo)
+          .foreach(id => shuffles.add(id))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("q_ecom_job")(spark, sf)
+        .write.mode("overwrite").format("noop").save()
+      org.apache.spark.sql.graftbridge.bridge.waitListenerBusEmpty(spark.sparkContext)
+      info(s"ecom job distinct shuffles: ${shuffles.size}")
+      // measured 47 on introduction (round 8): ~12 per staged table —
+      // incoming dedup, merge join, scoped anti-join delete, FK
+      // resolution, checksum agg — plus the assortment rebuild and the
+      // surrogate range exchange; the ceiling catches growth, the
+      // measurement documents the composition cost
+      assert(shuffles.size <= 50, s"ecom job shuffle count grew: ${shuffles.size}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("basket affinity executes within its shuffle budget (baskets, pairs, supports)") {
     // the in-basket shape's claim: ONE keyed shuffle for baskets, one
     // per aggregate downstream, support joins broadcast — a regression
