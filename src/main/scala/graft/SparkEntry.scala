@@ -2909,9 +2909,11 @@ object SparkEntry {
       // orders), CF neighbors trained on the rest, top-10 scored per
       // user (exact integer sim sums — a double sum would make
       // re-runs hash-unstable), hit-rate@10 + NDCG@10 against the
-      // STRICTLY-NEW held-out items. rows-only (the whole pipeline has
-      // no SQL form); RecEvalSpec proves the scorer and metrics on
-      // planted fixtures.
+      // STRICTLY-NEW held-out items. The whole pipeline replays in
+      // SQL: split + cap + cosine neighbors (the q_item_neighbors
+      // oracle machinery over the train slice), integer candidate
+      // scoring, and the pinned-gain NDCG finish; RecEvalSpec proves
+      // the scorer and metrics on planted fixtures.
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       val inter = li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -7148,6 +7150,86 @@ object SparkEntry {
         |SELECT item, neighbor, n_both, sim_q, CAST(rnk AS INTEGER) AS "rank"
         |FROM r WHERE rnk <= 10
         |ORDER BY item, "rank"""".stripMargin,
+
+    "q_rec_eval" ->
+      // the full offline-eval pipeline: train/test split by order
+      // residue, the q_item_neighbors cap/cosine machinery over the
+      // TRAIN slice, exact-integer candidate scoring with the
+      // seen-item anti-join, and the NDCG finish on the same pinned
+      // gain literals as q_ndcg (idcg = prefix sums over
+      // min(n_test, 10))
+      """WITH inter0 AS (
+        |  SELECT o_custkey AS u, l_partkey AS i, o_orderkey AS ok
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |train AS (
+        |  SELECT u, i, count(DISTINCT ok) AS s FROM inter0 WHERE ok % 7 <> 0
+        |  GROUP BY 1, 2),
+        |test AS (
+        |  SELECT DISTINCT t.u, t.i FROM inter0 t
+        |  WHERE t.ok % 7 = 0
+        |    AND NOT EXISTS (SELECT 1 FROM train tr
+        |      WHERE tr.u = t.u AND tr.i = t.i)),
+        |cap AS (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, row_number() OVER (
+        |      PARTITION BY u ORDER BY s DESC, i) AS r
+        |    FROM train) WHERE r <= 50),
+        |ni AS (SELECT i, count(*) AS n_i FROM cap GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS lo, b.i AS hi, count(*) AS n_both
+        |  FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT lo AS item, hi AS neighbor, n_both FROM p
+        |  UNION ALL SELECT hi AS item, lo AS neighbor, n_both FROM p),
+        |sc AS (
+        |  SELECT item, neighbor,
+        |    CAST(floor(n_both * 10000.0
+        |      / sqrt(CAST(na.n_i AS DOUBLE) * CAST(nb.n_i AS DOUBLE)) + 0.5)
+        |      AS BIGINT) AS sim_q
+        |  FROM sym JOIN ni na ON sym.item = na.i
+        |    JOIN ni nb ON sym.neighbor = nb.i),
+        |nbrs AS (
+        |  SELECT item, neighbor, sim_q FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item
+        |        ORDER BY sim_q DESC, neighbor) AS rnk FROM sc)
+        |  WHERE rnk <= 10),
+        |cands AS (
+        |  SELECT t.u AS "user", n.neighbor AS rec_item, sum(n.sim_q) AS score
+        |  FROM train t JOIN nbrs n ON t.i = n.item
+        |  GROUP BY 1, 2),
+        |unseen AS (
+        |  SELECT c.* FROM cands c
+        |  WHERE NOT EXISTS (SELECT 1 FROM train tr
+        |    WHERE tr.u = c."user" AND tr.i = c.rec_item)),
+        |recs AS (
+        |  SELECT "user", rec_item,
+        |    row_number() OVER (PARTITION BY "user"
+        |      ORDER BY score DESC, rec_item) AS rnk
+        |  FROM unseen QUALIFY rnk <= 10),
+        |gains AS (
+        |  SELECT * FROM (VALUES (1, 1000000), (2, 630929), (3, 500000),
+        |    (4, 430676), (5, 386852), (6, 356207), (7, 333333),
+        |    (8, 315464), (9, 301029), (10, 289064)) v(pos, g)),
+        |idcg AS (
+        |  SELECT pos, sum(g) OVER (ORDER BY pos) AS pre FROM gains),
+        |put AS (SELECT u AS "user", count(*) AS n_test FROM test GROUP BY u),
+        |hits AS (
+        |  SELECT r."user", count(*) AS n_hits, sum(g.g) AS dcg_q
+        |  FROM recs r JOIN test t ON t.u = r."user" AND t.i = r.rec_item
+        |  JOIN gains g ON g.pos = r.rnk
+        |  GROUP BY 1),
+        |per AS (
+        |  SELECT p."user",
+        |    coalesce((10000 * h.dcg_q) // (SELECT pre FROM idcg
+        |      WHERE pos = least(p.n_test, 10)), 0) AS ndcg_bp,
+        |    CASE WHEN h.n_hits IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM put p LEFT JOIN hits h ON h."user" = p."user")
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(hit) AS BIGINT) AS n_hit_users,
+        |  CAST((10000 * sum(hit)) // count(*) AS BIGINT) AS hit_rate_bp,
+        |  CAST(sum(ndcg_bp) // count(*) AS BIGINT) AS mean_ndcg_bp
+        |FROM per""".stripMargin,
 
     "q_triangle_count" ->
       // independent formulation: id-ordered triple join (no degree
