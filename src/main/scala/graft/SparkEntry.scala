@@ -8313,9 +8313,11 @@ object SparkEntry {
       // BOTH symbols whole and shares no character with the next
       // match, so plain replace() — left-to-right, non-overlapping —
       // is EXACTLY the trainer's greedy fold (adversarial runs like
-      // "aaaa" verified). Best pair per round = min over a composite
-      // key: zero-padded (1e15 - count) then left, chr(1), right —
-      // binary-collation lexicographic == (count desc, l asc, r asc)
+      // "aaaa" verified). Best pair per round = min over the STRUCT
+      // key (-count, l, r) — positional lexicographic == (count desc,
+      // l asc, r asc) with NO delimiter encoding, so symbols that
+      // contain control bytes (U+0000/U+0001) order identically to
+      // the trainer's tuple orderBy
       """WITH RECURSIVE wc AS (
         |  SELECT word, count(*) AS cnt FROM (
         |    SELECT unnest(str_split_regex(trim(text), '[ \t\n\r\f]+')) AS word
@@ -8335,14 +8337,11 @@ object SparkEntry {
         |    cnt, bl, br, bn
         |  FROM (
         |    SELECT r, word, s, cnt,
-        |      split_part(substr(bk, 17), chr(1), 1) AS bl,
-        |      split_part(substr(bk, 17), chr(1), 2) AS br,
-        |      1000000000000000 - CAST(substr(bk, 1, 16) AS BIGINT) AS bn
+        |      bw['l'] AS bl, bw['r'] AS br, CAST(-bw['mn'] AS BIGINT) AS bn
         |    FROM (
         |      SELECT r, word, s, cnt,
         |        min(CASE WHEN l IS NOT NULL THEN
-        |              lpad(CAST(1000000000000000 - n AS VARCHAR), 16, '0')
-        |                || l || chr(1) || r2 END) OVER () AS bk
+        |              {'mn': -n, 'l': l, 'r': r2} END) OVER () AS bw
         |      FROM (
         |        SELECT word, r, s, cnt, l, r2,
         |          sum(CASE WHEN l IS NOT NULL THEN cnt END)
@@ -8409,10 +8408,14 @@ object SparkEntry {
         |    ((s.seedterm + coalesce(a.bsum, 0)) % 18446744073709551616
         |      + 18446744073709551616) % 18446744073709551616 AS u
         |  FROM seed s LEFT JOIN acc a ON a.doc_id = s.doc_id)
-        |SELECT doc_id,
-        |  CAST(CASE WHEN u >= 9223372036854775808
-        |       THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS fp
-        |FROM fin ORDER BY doc_id""".stripMargin,
+        |-- driven from documents so a NULL-text doc (encode(NULL) → no hx
+        |-- row) still surfaces as (doc_id, NULL fp), matching the Spark side
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN f.u IS NULL THEN NULL
+        |       WHEN f.u >= 9223372036854775808
+        |       THEN f.u - 18446744073709551616 ELSE f.u END AS BIGINT) AS fp
+        |FROM documents d LEFT JOIN fin f ON f.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_mmr_rerank" ->
       // the greedy replayed one selection per recursion round: each
@@ -8472,7 +8475,8 @@ object SparkEntry {
         |  WHERE s.step < 10)
         |SELECT id AS id, CAST(selstep AS BIGINT) AS mmr_rank,
         |  rank AS rel_rank, selscore AS mmr_q
-        |FROM st WHERE step = 10 AND selstep IS NOT NULL
+        |FROM st WHERE selstep IS NOT NULL
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY step DESC) = 1
         |ORDER BY mmr_rank""".stripMargin,
 
     "q_isotonic" ->
@@ -8481,9 +8485,10 @@ object SparkEntry {
       // (the min-max characterization of the L2 isotonic fit), and the
       // >=-merge pools are exactly the maximal runs of equal fitted
       // value. Fractions order/compare by one exact scaled key:
-      // floor(num*1e12/den) — distinct fractions differ by >=1/den^2 >
-      // 2/1e12 at this table's level counts, so the key is injective
-      // on the fraction order; O(levels^3) segment rows, bounded by
+      // floor(num*1e24/den) in HUGEINT — distinct fractions differ by
+      // >= 1/(den1*den2), so the key is injective while total rows
+      // stay under 1e12 (any realistic SF; num*1e24 <= 1e36 < the
+      // 1.7e38 HUGEINT ceiling); O(levels^3) segment rows, bounded by
       // the ~110 acctbal bands, not data volume
       """WITH cust AS (
         |  SELECT c_custkey, CAST(floor(c_acctbal / 100) AS BIGINT) AS band
@@ -8505,7 +8510,9 @@ object SparkEntry {
         |    (b.cs - a.cs + a.sy) AS num, (b.cn - a.cn + a.n) AS den
         |  FROM pre a JOIN pre b ON b.i >= a.i),
         |segk AS (
-        |  SELECT j, l, CAST(num AS HUGEINT) * 1000000000000 // den AS key
+        |  SELECT j, l,
+        |    CAST(num AS HUGEINT) * CAST('1000000000000000000000000' AS HUGEINT)
+        |      // den AS key
         |  FROM seg),
         |inner_min AS (
         |  SELECT s.j, p.i, min(s.key) AS mn

@@ -271,6 +271,12 @@ object Lexical {
     * `TakeOrderedAndProject` (per-partition partial top-k, never a
     * single-task global sort); the final join is k rows against k
     * rows. Output: one row — (n_rel_docs, dcg_q, idcg_q, ndcg_bp).
+    *
+    * Degenerate contract (pinned by LexicalSpec and matched by the
+    * q_ndcg oracle): when NO document contains any query term, the
+    * output is the single row (0, NULL, NULL, NULL) — sums over the
+    * empty relevance frame are NULL, and ndcg_bp inherits the NULL
+    * rather than inventing a 0 score for an undefined ideal ranking.
     */
   def ndcgAtK(docs: DataFrame, idCol: String, textCol: String,
               queryTerms: Seq[String], k: Int): DataFrame = {
@@ -291,8 +297,7 @@ object Lexical {
       .orderBy(col("rel").desc, col(idCol).asc)
     val ideal = rel.orderBy(col("rel").desc, col(idCol).asc).limit(k)
       .withColumn("__pos", row_number().over(idealW))
-      .agg(sum(col("gain") * disc(col("__pos"))).as("idcg_q"),
-        count(lit(1)).as("__k_used"))
+      .agg(sum(col("gain") * disc(col("__pos"))).as("idcg_q"))
     val nRel = rel.agg(count(lit(1)).as("n_rel_docs"))
     nRel.crossJoin(broadcast(dcg)).crossJoin(broadcast(ideal))
       .select(col("n_rel_docs"), col("dcg_q"), col("idcg_q"),

@@ -292,4 +292,21 @@ class LexicalSpec extends SparkSuite {
       capped, "doc_id", "text", Seq("hit"), k = 2).head()
     assert(c.getAs[Long]("idcg_q") == 7L*1000000L + 7L*630929L)
   }
+
+  test("ndcgAtK: no-relevant-docs degenerate contract is the pinned " +
+    "(0, NULL, NULL, NULL) row") {
+    import spark.implicits._
+    // no document contains the query term: the relevance frame is
+    // empty, both discounted sums are NULL (sum over nothing), and
+    // ndcg_bp inherits the NULL — the q_ndcg oracle produces the same
+    // single row, so a corpus/query mismatch can't flip the gate
+    val none = Seq((1L, "pad pad"), (2L, "pad")).toDF("doc_id", "text")
+    val r = graft.pipelines.Lexical.ndcgAtK(
+      none, "doc_id", "text", Seq("absent"), k = 3).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_rel_docs") == 0L)
+    assert(r(0).isNullAt(r(0).fieldIndex("dcg_q")))
+    assert(r(0).isNullAt(r(0).fieldIndex("idcg_q")))
+    assert(r(0).isNullAt(r(0).fieldIndex("ndcg_bp")))
+  }
 }
