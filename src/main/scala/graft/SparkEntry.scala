@@ -70,6 +70,157 @@ object SparkEntry {
   private def destOrders(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
 
+  /** The composed RunJob loop (see the q_ecom_job registration) with an
+    * optional strict-FK arm: `strictFk` puts an [[ImportJob.FkGate]]
+    * (FkFail) on the products table's freshly-resolved group_id — the
+    * reference's FailOnMissingGroups check (EcomDestinationWriter.cs:4566,
+    * fired from RunJob when CreateMissingGroups is off,
+    * EcomProvider.cs:1004). Every group reference in this feed resolves
+    * against the merged groups table, so the gated run must be
+    * byte-identical to the ungated one — both registered queries
+    * hash-check against the SAME DuckDB oracle; the failing arm (a
+    * dangling name aborts with the violating rows) is pinned by
+    * ImportJobSpec.
+    */
+  private def ecomJobChecksums(s: SparkSession, dir: String,
+                               strictFk: Boolean): DataFrame = {
+      // The reference's WHOLE RunJob loop as ONE composed, hash-checked
+      // query (EcomProvider.cs:934 RunJob → :819 OrderTablesInJob →
+      // EcomDestinationWriter.cs:3165 MoveDataToMainTables): an
+      // ecom-shaped 4-table feed staged from the star schema and run
+      // through ImportJob in dependency order — groups upsert first; then
+      // products with a constant-injected language scope, SkipFailingRows
+      // quarantine (EcomProvider.cs:247), FK-BY-NAME resolution against
+      // the freshly MERGED groups (renamed and brand-new group names
+      // resolve only if the parent table merged first — the
+      // dependency-order proof), in-batch dedup keep-first, SCOPED
+      // delete-excess (the fr language survives an en feed,
+      // EcomDestinationWriter.cs:3067/3091), and surrogate uids for
+      // inserted rows continuing from the destination max (GetLastId,
+      // EcomDestinationWriter.cs:657); then relations with orphan cleanup
+      // against the SYNCED product table (:4218) plus full-sync delete;
+      // then the assortment rebuild (AssortmentHandler.cs:116). Result:
+      // per-table order-independent content checksums (incl. the
+      // quarantine side channel) — the DuckDB oracle replays the entire
+      // job in SQL and must land on the same five digests.
+      val nation = t(s, dir, "nation"); val region = t(s, dir, "region")
+      val part = t(s, dir, "part"); val lineitem = t(s, dir, "lineitem")
+      val customer = t(s, dir, "customer"); val orders = t(s, dir, "orders")
+      val priceD = col("p_retailprice").cast("decimal(18,2)")
+
+      val destGroups = nation
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").cast("int").as("group_id"),
+          col("n_name").as("group_name"), col("r_name").as("region"))
+      val destProducts = part.select(
+        col("p_partkey").as("product_id"), col("p_name").as("product_name"),
+        (col("p_partkey") % 25).cast("int").as("group_id"),
+        priceD.as("price"), lit("en").as("lang"),
+        (col("p_partkey") * 10).as("uid"))
+        .unionByName(part.filter(col("p_partkey") % 5 === 0).select(
+          col("p_partkey").as("product_id"), col("p_name").as("product_name"),
+          (col("p_partkey") % 25).cast("int").as("group_id"),
+          priceD.as("price"), lit("fr").as("lang"),
+          (col("p_partkey") * 10 + 1).as("uid")))
+      def relsOf(line: Int) = lineitem.filter(col("l_linenumber") === line)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("bigint").as("qty"))
+        .select(col("l_partkey").as("product_id"),
+          col("l_suppkey").as("related_id"), col("qty"))
+      val destRelations = relsOf(1)
+      val users = customer.filter(col("c_acctbal") > 9500)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("seg"))
+      val sold = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val existingPairs = users.join(sold, col("o_custkey") === col("user_id"))
+        .select(col("user_id"), col("l_partkey").as("part_key")).distinct()
+      val destAssort = existingPairs.withColumn("is_active", lit(1))
+
+      val inGroups = destGroups.filter(col("group_id") < 10)
+        .select(col("group_id"),
+          concat(col("group_name"), lit("*")).as("group_name"), col("region"))
+        .unionByName(region.select(
+          (col("r_regionkey") + 100).cast("int").as("group_id"),
+          concat(lit("NEW-"), col("r_name")).as("group_name"),
+          col("r_name").as("region")))
+      // the product batch references groups BY their POST-merge names
+      val pNames = part
+        .join(broadcast(nation), (col("p_partkey") % 25) === col("n_nationkey"))
+        .join(broadcast(region), (col("p_partkey") % 5) === col("r_regionkey"))
+      val gref = when(col("p_partkey") % 7 === 0, concat(lit("NEW-"), col("r_name")))
+        .when(col("p_partkey") % 25 < 10, concat(col("n_name"), lit("*")))
+        .otherwise(col("n_name"))
+      def batchArm(mod: Int, shift: Long, prefix: String, bump: String) =
+        pNames.filter(col("p_partkey") % mod === 0).select(
+          (col("p_partkey") + shift).as("product_id"),
+          concat(lit(prefix), col("p_name")).as("product_name"),
+          gref.as("group_name_ref"),
+          (priceD + lit(new java.math.BigDecimal(bump)))
+            .cast("decimal(18,2)").as("price"))
+      val inProducts = batchArm(3, 0L, "", "1.00")
+        .unionByName(batchArm(13, 1000000L, "NP ", "2.00"))
+        .unionByName(batchArm(33, 0L, "", "5.00")) // in-batch dups of the %3 arm
+      val inAssort = Assortments.rebuildWithFlag(existingPairs, users,
+        sold.filter(col("l_quantity") === 50)
+          .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), col("l_partkey").as("part_key")),
+        "seg", Seq("user_id", "part_key"), "__active")
+        .select(col("user_id"), col("part_key"),
+          col("__active").cast("int").as("is_active"))
+
+      // GetLastId: the surrogate sequence continues from the destination
+      // max — a bounded 1-row aggregate, like the reference's max-id read
+      val maxUid = destProducts.agg(max(col("uid"))).collect()(0).getLong(0)
+      val specs = Seq(
+        ImportJob.TableSpec("groups", keys = Seq("group_id")),
+        ImportJob.TableSpec("products", keys = Seq("product_id", "lang"),
+          dedupKeys = Seq("product_id"), dedupOrder = Seq("price"),
+          deleteExcess = true, deleteExcessScope = Seq("lang"),
+          constants = Map("lang" -> "en"),
+          fkGate = if (strictFk) Some(ImportJob.FkGate(Seq("group_id")))
+                   else None,
+          rowRules = Seq("name_ok" -> !col("product_name").contains("cold")),
+          preResolve = (df, lookup) => Denormalize.resolve(df, lookup("groups"),
+            Seq("group_name_ref" -> "group_name"), Seq("group_id" -> "group_id"))
+            .drop("group_name_ref"),
+          post = out => {
+            val fresh = SurrogateKeys.assign(
+              out.filter(col("uid").isNull).drop("uid"),
+              Seq(col("product_id"), col("lang")), "uid", startAt = maxUid + 1)
+            out.filter(col("uid").isNotNull)
+              .unionByName(fresh.select(out.columns.map(col): _*))
+          }),
+        ImportJob.TableSpec("relations", keys = Seq("product_id", "related_id"),
+          deleteExcess = true,
+          preResolve = (df, lookup) => df.join(
+            lookup("products").filter(col("lang") === "en")
+              .select(col("product_id")).distinct(),
+            Seq("product_id"), "left_semi")),
+        ImportJob.TableSpec("assortments", keys = Seq("user_id", "part_key")))
+
+      val outT = ImportJob.run(specs,
+        dest = Map("groups" -> destGroups, "products" -> destProducts,
+          "relations" -> destRelations, "assortments" -> destAssort),
+        incoming = Map("groups" -> inGroups, "products" -> inProducts,
+          "relations" -> relsOf(2), "assortments" -> inAssort),
+        deps = Map("products" -> Set("groups"), "relations" -> Set("products"),
+          "assortments" -> Set("products")))
+
+      def ck(nm: String, df: DataFrame, cols: Seq[String]) =
+        Profile.groupChecksum(df.withColumn("table_name", lit(nm)),
+          Seq("table_name"), cols)
+      ck("groups", outT("groups"), Seq("group_id", "group_name", "region"))
+        .unionByName(ck("products", outT("products"),
+          Seq("product_id", "product_name", "group_id", "price", "lang", "uid")))
+        .unionByName(ck("products_quarantined", outT("products__quarantined"),
+          Seq("product_id", "product_name", "group_name_ref", "price", "lang",
+            "quarantine_reason")))
+        .unionByName(ck("relations", outT("relations"),
+          Seq("product_id", "related_id", "qty")))
+        .unionByName(ck("assortments", outT("assortments"),
+          Seq("user_id", "part_key", "is_active")))
+        .orderBy(col("table_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── §2A Relational ETL core ────────────────────────────────────────
@@ -556,141 +707,12 @@ object SparkEntry {
         .orderBy(col("position"))
     }),
 
-    "q_ecom_job" -> ((s, dir) => {
-      // The reference's WHOLE RunJob loop as ONE composed, hash-checked
-      // query (EcomProvider.cs:934 RunJob → :819 OrderTablesInJob →
-      // EcomDestinationWriter.cs:3165 MoveDataToMainTables): an
-      // ecom-shaped 4-table feed staged from the star schema and run
-      // through ImportJob in dependency order — groups upsert first; then
-      // products with a constant-injected language scope, SkipFailingRows
-      // quarantine (EcomProvider.cs:247), FK-BY-NAME resolution against
-      // the freshly MERGED groups (renamed and brand-new group names
-      // resolve only if the parent table merged first — the
-      // dependency-order proof), in-batch dedup keep-first, SCOPED
-      // delete-excess (the fr language survives an en feed,
-      // EcomDestinationWriter.cs:3067/3091), and surrogate uids for
-      // inserted rows continuing from the destination max (GetLastId,
-      // EcomDestinationWriter.cs:657); then relations with orphan cleanup
-      // against the SYNCED product table (:4218) plus full-sync delete;
-      // then the assortment rebuild (AssortmentHandler.cs:116). Result:
-      // per-table order-independent content checksums (incl. the
-      // quarantine side channel) — the DuckDB oracle replays the entire
-      // job in SQL and must land on the same five digests.
-      val nation = t(s, dir, "nation"); val region = t(s, dir, "region")
-      val part = t(s, dir, "part"); val lineitem = t(s, dir, "lineitem")
-      val customer = t(s, dir, "customer"); val orders = t(s, dir, "orders")
-      val priceD = col("p_retailprice").cast("decimal(18,2)")
+    "q_ecom_job" -> ((s, dir) => ecomJobChecksums(s, dir, strictFk = false)),
 
-      val destGroups = nation
-        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_nationkey").cast("int").as("group_id"),
-          col("n_name").as("group_name"), col("r_name").as("region"))
-      val destProducts = part.select(
-        col("p_partkey").as("product_id"), col("p_name").as("product_name"),
-        (col("p_partkey") % 25).cast("int").as("group_id"),
-        priceD.as("price"), lit("en").as("lang"),
-        (col("p_partkey") * 10).as("uid"))
-        .unionByName(part.filter(col("p_partkey") % 5 === 0).select(
-          col("p_partkey").as("product_id"), col("p_name").as("product_name"),
-          (col("p_partkey") % 25).cast("int").as("group_id"),
-          priceD.as("price"), lit("fr").as("lang"),
-          (col("p_partkey") * 10 + 1).as("uid")))
-      def relsOf(line: Int) = lineitem.filter(col("l_linenumber") === line)
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("bigint").as("qty"))
-        .select(col("l_partkey").as("product_id"),
-          col("l_suppkey").as("related_id"), col("qty"))
-      val destRelations = relsOf(1)
-      val users = customer.filter(col("c_acctbal") > 9500)
-        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("seg"))
-      val sold = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
-      val existingPairs = users.join(sold, col("o_custkey") === col("user_id"))
-        .select(col("user_id"), col("l_partkey").as("part_key")).distinct()
-      val destAssort = existingPairs.withColumn("is_active", lit(1))
-
-      val inGroups = destGroups.filter(col("group_id") < 10)
-        .select(col("group_id"),
-          concat(col("group_name"), lit("*")).as("group_name"), col("region"))
-        .unionByName(region.select(
-          (col("r_regionkey") + 100).cast("int").as("group_id"),
-          concat(lit("NEW-"), col("r_name")).as("group_name"),
-          col("r_name").as("region")))
-      // the product batch references groups BY their POST-merge names
-      val pNames = part
-        .join(broadcast(nation), (col("p_partkey") % 25) === col("n_nationkey"))
-        .join(broadcast(region), (col("p_partkey") % 5) === col("r_regionkey"))
-      val gref = when(col("p_partkey") % 7 === 0, concat(lit("NEW-"), col("r_name")))
-        .when(col("p_partkey") % 25 < 10, concat(col("n_name"), lit("*")))
-        .otherwise(col("n_name"))
-      def batchArm(mod: Int, shift: Long, prefix: String, bump: String) =
-        pNames.filter(col("p_partkey") % mod === 0).select(
-          (col("p_partkey") + shift).as("product_id"),
-          concat(lit(prefix), col("p_name")).as("product_name"),
-          gref.as("group_name_ref"),
-          (priceD + lit(new java.math.BigDecimal(bump)))
-            .cast("decimal(18,2)").as("price"))
-      val inProducts = batchArm(3, 0L, "", "1.00")
-        .unionByName(batchArm(13, 1000000L, "NP ", "2.00"))
-        .unionByName(batchArm(33, 0L, "", "5.00")) // in-batch dups of the %3 arm
-      val inAssort = Assortments.rebuildWithFlag(existingPairs, users,
-        sold.filter(col("l_quantity") === 50)
-          .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-          .select(col("c_mktsegment").as("seg"), col("l_partkey").as("part_key")),
-        "seg", Seq("user_id", "part_key"), "__active")
-        .select(col("user_id"), col("part_key"),
-          col("__active").cast("int").as("is_active"))
-
-      // GetLastId: the surrogate sequence continues from the destination
-      // max — a bounded 1-row aggregate, like the reference's max-id read
-      val maxUid = destProducts.agg(max(col("uid"))).collect()(0).getLong(0)
-      val specs = Seq(
-        ImportJob.TableSpec("groups", keys = Seq("group_id")),
-        ImportJob.TableSpec("products", keys = Seq("product_id", "lang"),
-          dedupKeys = Seq("product_id"), dedupOrder = Seq("price"),
-          deleteExcess = true, deleteExcessScope = Seq("lang"),
-          constants = Map("lang" -> "en"),
-          rowRules = Seq("name_ok" -> !col("product_name").contains("cold")),
-          preResolve = (df, lookup) => Denormalize.resolve(df, lookup("groups"),
-            Seq("group_name_ref" -> "group_name"), Seq("group_id" -> "group_id"))
-            .drop("group_name_ref"),
-          post = out => {
-            val fresh = SurrogateKeys.assign(
-              out.filter(col("uid").isNull).drop("uid"),
-              Seq(col("product_id"), col("lang")), "uid", startAt = maxUid + 1)
-            out.filter(col("uid").isNotNull)
-              .unionByName(fresh.select(out.columns.map(col): _*))
-          }),
-        ImportJob.TableSpec("relations", keys = Seq("product_id", "related_id"),
-          deleteExcess = true,
-          preResolve = (df, lookup) => df.join(
-            lookup("products").filter(col("lang") === "en")
-              .select(col("product_id")).distinct(),
-            Seq("product_id"), "left_semi")),
-        ImportJob.TableSpec("assortments", keys = Seq("user_id", "part_key")))
-
-      val outT = ImportJob.run(specs,
-        dest = Map("groups" -> destGroups, "products" -> destProducts,
-          "relations" -> destRelations, "assortments" -> destAssort),
-        incoming = Map("groups" -> inGroups, "products" -> inProducts,
-          "relations" -> relsOf(2), "assortments" -> inAssort),
-        deps = Map("products" -> Set("groups"), "relations" -> Set("products"),
-          "assortments" -> Set("products")))
-
-      def ck(nm: String, df: DataFrame, cols: Seq[String]) =
-        Profile.groupChecksum(df.withColumn("table_name", lit(nm)),
-          Seq("table_name"), cols)
-      ck("groups", outT("groups"), Seq("group_id", "group_name", "region"))
-        .unionByName(ck("products", outT("products"),
-          Seq("product_id", "product_name", "group_id", "price", "lang", "uid")))
-        .unionByName(ck("products_quarantined", outT("products__quarantined"),
-          Seq("product_id", "product_name", "group_name_ref", "price", "lang",
-            "quarantine_reason")))
-        .unionByName(ck("relations", outT("relations"),
-          Seq("product_id", "related_id", "qty")))
-        .unionByName(ck("assortments", outT("assortments"),
-          Seq("user_id", "part_key", "is_active")))
-        .orderBy(col("table_name"))
-    }),
+    // FailOnMissingGroups (EcomDestinationWriter.cs:4566): same job, with
+    // the strict FkFail gate armed on the resolved group_id — passing
+    // path proven byte-identical by sharing q_ecom_job's oracle
+    "q_ecom_job_strict" -> ((s, dir) => ecomJobChecksums(s, dir, strictFk = true)),
 
     // ── §2B Analytics / bench headliners ───────────────────────────────
 
@@ -4952,6 +4974,173 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
     */
+  // shared by q_ecom_job and q_ecom_job_strict: the strict arm arms the
+  // FkFail gate on a fully-resolving feed, so the replay is identical
+  private val EcomJobOracle: String =
+    """WITH dest_groups AS (
+      |  SELECT CAST(n_nationkey AS INTEGER) AS group_id, n_name AS group_name,
+      |         r_name AS region
+      |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+      |in_groups AS (
+      |  SELECT group_id, group_name || '*' AS group_name, region
+      |  FROM dest_groups WHERE group_id < 10
+      |  UNION ALL
+      |  SELECT CAST(r_regionkey + 100 AS INTEGER), 'NEW-' || r_name, r_name
+      |  FROM region),
+      |merged_groups AS (
+      |  SELECT COALESCE(i.group_id, d.group_id) AS group_id,
+      |         COALESCE(i.group_name, d.group_name) AS group_name,
+      |         COALESCE(i.region, d.region) AS region
+      |  FROM dest_groups d FULL OUTER JOIN in_groups i ON d.group_id = i.group_id),
+      |dest_products AS (
+      |  SELECT p_partkey AS product_id, p_name AS product_name,
+      |         CAST(p_partkey % 25 AS INTEGER) AS group_id,
+      |         CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+      |         'en' AS lang, p_partkey * 10 AS uid
+      |  FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, p_name, CAST(p_partkey % 25 AS INTEGER),
+      |         CAST(p_retailprice AS DECIMAL(18,2)), 'fr', p_partkey * 10 + 1
+      |  FROM part WHERE p_partkey % 5 = 0),
+      |pnames AS (
+      |  SELECT p_partkey, p_name, p_retailprice,
+      |         CASE WHEN p_partkey % 7 = 0 THEN 'NEW-' || r_name
+      |              WHEN p_partkey % 25 < 10 THEN n_name || '*'
+      |              ELSE n_name END AS group_name_ref
+      |  FROM part
+      |  JOIN nation ON p_partkey % 25 = n_nationkey
+      |  JOIN region ON p_partkey % 5 = r_regionkey),
+      |raw_batch AS (
+      |  SELECT p_partkey AS product_id, p_name AS product_name, group_name_ref,
+      |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) + 1.00
+      |           AS DECIMAL(18,2)) AS price,
+      |         'en' AS lang
+      |  FROM pnames WHERE p_partkey % 3 = 0
+      |  UNION ALL
+      |  SELECT p_partkey + 1000000, 'NP ' || p_name, group_name_ref,
+      |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) + 2.00 AS DECIMAL(18,2)),
+      |         'en'
+      |  FROM pnames WHERE p_partkey % 13 = 0
+      |  UNION ALL
+      |  SELECT p_partkey, p_name, group_name_ref,
+      |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) + 5.00 AS DECIMAL(18,2)),
+      |         'en'
+      |  FROM pnames WHERE p_partkey % 33 = 0),
+      |quarantined AS (
+      |  SELECT *, 'name_ok' AS quarantine_reason FROM raw_batch
+      |  WHERE product_name LIKE '%cold%'),
+      |resolved AS (
+      |  SELECT b.product_id, b.product_name, g.group_id, b.price, b.lang
+      |  FROM raw_batch b LEFT JOIN merged_groups g ON b.group_name_ref = g.group_name
+      |  WHERE b.product_name NOT LIKE '%cold%'),
+      |deduped AS (
+      |  SELECT product_id, product_name, group_id, price, lang FROM (
+      |    SELECT r.*, row_number() OVER (PARTITION BY product_id ORDER BY price) AS rn
+      |    FROM resolved r) WHERE rn = 1),
+      |upserted_products AS (
+      |  SELECT COALESCE(b.product_id, d.product_id) AS product_id,
+      |         COALESCE(b.lang, d.lang) AS lang,
+      |         COALESCE(b.product_name, d.product_name) AS product_name,
+      |         COALESCE(b.group_id, d.group_id) AS group_id,
+      |         COALESCE(b.price, d.price) AS price,
+      |         d.uid AS uid
+      |  FROM dest_products d FULL OUTER JOIN deduped b
+      |    ON d.product_id = b.product_id AND d.lang = b.lang),
+      |synced_products AS (
+      |  SELECT * FROM upserted_products u
+      |  WHERE u.lang NOT IN (SELECT DISTINCT lang FROM deduped)
+      |     OR EXISTS (SELECT 1 FROM deduped b
+      |                WHERE b.product_id = u.product_id AND b.lang = u.lang)),
+      |new_products AS (
+      |  SELECT product_id, lang, product_name, group_id, price,
+      |         (SELECT max(uid) FROM dest_products)
+      |           + row_number() OVER (ORDER BY product_id, lang) AS uid
+      |  FROM synced_products WHERE uid IS NULL),
+      |final_products AS (
+      |  SELECT * FROM synced_products WHERE uid IS NOT NULL
+      |  UNION ALL SELECT * FROM new_products),
+      |dest_relations AS (
+      |  SELECT l_partkey AS product_id, l_suppkey AS related_id,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1, 2),
+      |in_relations AS (
+      |  SELECT l_partkey AS product_id, l_suppkey AS related_id,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty
+      |  FROM lineitem WHERE l_linenumber = 2 GROUP BY 1, 2),
+      |in_relations_clean AS (
+      |  SELECT r.* FROM in_relations r
+      |  WHERE EXISTS (SELECT 1 FROM final_products p
+      |                WHERE p.lang = 'en' AND p.product_id = r.product_id)),
+      |merged_relations AS (
+      |  SELECT COALESCE(b.product_id, d.product_id) AS product_id,
+      |         COALESCE(b.related_id, d.related_id) AS related_id,
+      |         COALESCE(b.qty, d.qty) AS qty
+      |  FROM dest_relations d FULL OUTER JOIN in_relations_clean b
+      |    ON d.product_id = b.product_id AND d.related_id = b.related_id),
+      |final_relations AS (
+      |  SELECT m.* FROM merged_relations m
+      |  WHERE EXISTS (SELECT 1 FROM in_relations_clean b
+      |    WHERE b.product_id = m.product_id AND b.related_id = m.related_id)),
+      |users AS (
+      |  SELECT c_custkey AS user_id, c_mktsegment AS seg
+      |  FROM customer WHERE c_acctbal > 9500),
+      |perm AS (
+      |  SELECT DISTINCT c_mktsegment AS seg, l_partkey AS part_key
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE l_quantity = 50),
+      |rebuilt AS (
+      |  SELECT DISTINCT u.user_id, p.part_key
+      |  FROM users u JOIN perm p ON u.seg = p.seg),
+      |existing AS (
+      |  SELECT DISTINCT u.user_id, l_partkey AS part_key
+      |  FROM users u
+      |  JOIN orders ON o_custkey = u.user_id
+      |  JOIN lineitem ON l_orderkey = o_orderkey),
+      |final_assort AS (
+      |  SELECT a.user_id, a.part_key,
+      |    CAST(CASE WHEN EXISTS (SELECT 1 FROM rebuilt r
+      |      WHERE r.user_id = a.user_id AND r.part_key = a.part_key)
+      |    THEN 1 ELSE 0 END AS INTEGER) AS is_active
+      |  FROM (SELECT user_id, part_key FROM existing
+      |        UNION SELECT user_id, part_key FROM rebuilt) a)
+      |SELECT * FROM (
+      |  SELECT 'groups' AS table_name, count(*) AS n_rows,
+      |    CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
+      |      CAST(group_id AS VARCHAR), group_name, region)), 1, 15) AS BIGINT)
+      |      AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT) AS content_checksum
+      |  FROM merged_groups HAVING count(*) > 0
+      |  UNION ALL
+      |  SELECT 'products', count(*),
+      |    CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
+      |      CAST(product_id AS VARCHAR), product_name, CAST(group_id AS VARCHAR),
+      |      CAST(price AS VARCHAR), lang, CAST(uid AS VARCHAR))), 1, 15) AS BIGINT)
+      |      AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)
+      |  FROM final_products HAVING count(*) > 0
+      |  UNION ALL
+      |  SELECT 'products_quarantined', count(*),
+      |    CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
+      |      CAST(product_id AS VARCHAR), product_name, group_name_ref,
+      |      CAST(price AS VARCHAR), lang, quarantine_reason)), 1, 15) AS BIGINT)
+      |      AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)
+      |  FROM quarantined HAVING count(*) > 0
+      |  UNION ALL
+      |  SELECT 'relations', count(*),
+      |    CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
+      |      CAST(product_id AS VARCHAR), CAST(related_id AS VARCHAR),
+      |      CAST(qty AS VARCHAR))), 1, 15) AS BIGINT)
+      |      AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)
+      |  FROM final_relations HAVING count(*) > 0
+      |  UNION ALL
+      |  SELECT 'assortments', count(*),
+      |    CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
+      |      CAST(user_id AS VARCHAR), CAST(part_key AS VARCHAR),
+      |      CAST(is_active AS VARCHAR))), 1, 15) AS BIGINT)
+      |      AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)
+      |  FROM final_assort HAVING count(*) > 0)
+      |ORDER BY table_name""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q_filtered_read" ->
@@ -5774,170 +5963,8 @@ object SparkEntry {
     // reference loop (merge, quarantine, name-resolve vs MERGED parents,
     // dedup, scoped delete, surrogate uids, relation cleanup, assortment
     // rebuild) as CTEs, finished by the same 60-bit digest sums.
-    "q_ecom_job" ->
-      """WITH dest_groups AS (
-        |  SELECT CAST(n_nationkey AS INTEGER) AS group_id, n_name AS group_name,
-        |         r_name AS region
-        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
-        |in_groups AS (
-        |  SELECT group_id, group_name || '*' AS group_name, region
-        |  FROM dest_groups WHERE group_id < 10
-        |  UNION ALL
-        |  SELECT CAST(r_regionkey + 100 AS INTEGER), 'NEW-' || r_name, r_name
-        |  FROM region),
-        |merged_groups AS (
-        |  SELECT COALESCE(i.group_id, d.group_id) AS group_id,
-        |         COALESCE(i.group_name, d.group_name) AS group_name,
-        |         COALESCE(i.region, d.region) AS region
-        |  FROM dest_groups d FULL OUTER JOIN in_groups i ON d.group_id = i.group_id),
-        |dest_products AS (
-        |  SELECT p_partkey AS product_id, p_name AS product_name,
-        |         CAST(p_partkey % 25 AS INTEGER) AS group_id,
-        |         CAST(p_retailprice AS DECIMAL(18,2)) AS price,
-        |         'en' AS lang, p_partkey * 10 AS uid
-        |  FROM part
-        |  UNION ALL
-        |  SELECT p_partkey, p_name, CAST(p_partkey % 25 AS INTEGER),
-        |         CAST(p_retailprice AS DECIMAL(18,2)), 'fr', p_partkey * 10 + 1
-        |  FROM part WHERE p_partkey % 5 = 0),
-        |pnames AS (
-        |  SELECT p_partkey, p_name, p_retailprice,
-        |         CASE WHEN p_partkey % 7 = 0 THEN 'NEW-' || r_name
-        |              WHEN p_partkey % 25 < 10 THEN n_name || '*'
-        |              ELSE n_name END AS group_name_ref
-        |  FROM part
-        |  JOIN nation ON p_partkey % 25 = n_nationkey
-        |  JOIN region ON p_partkey % 5 = r_regionkey),
-        |raw_batch AS (
-        |  SELECT p_partkey AS product_id, p_name AS product_name, group_name_ref,
-        |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) + 1.00
-        |           AS DECIMAL(18,2)) AS price,
-        |         'en' AS lang
-        |  FROM pnames WHERE p_partkey % 3 = 0
-        |  UNION ALL
-        |  SELECT p_partkey + 1000000, 'NP ' || p_name, group_name_ref,
-        |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) + 2.00 AS DECIMAL(18,2)),
-        |         'en'
-        |  FROM pnames WHERE p_partkey % 13 = 0
-        |  UNION ALL
-        |  SELECT p_partkey, p_name, group_name_ref,
-        |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) + 5.00 AS DECIMAL(18,2)),
-        |         'en'
-        |  FROM pnames WHERE p_partkey % 33 = 0),
-        |quarantined AS (
-        |  SELECT *, 'name_ok' AS quarantine_reason FROM raw_batch
-        |  WHERE product_name LIKE '%cold%'),
-        |resolved AS (
-        |  SELECT b.product_id, b.product_name, g.group_id, b.price, b.lang
-        |  FROM raw_batch b LEFT JOIN merged_groups g ON b.group_name_ref = g.group_name
-        |  WHERE b.product_name NOT LIKE '%cold%'),
-        |deduped AS (
-        |  SELECT product_id, product_name, group_id, price, lang FROM (
-        |    SELECT r.*, row_number() OVER (PARTITION BY product_id ORDER BY price) AS rn
-        |    FROM resolved r) WHERE rn = 1),
-        |upserted_products AS (
-        |  SELECT COALESCE(b.product_id, d.product_id) AS product_id,
-        |         COALESCE(b.lang, d.lang) AS lang,
-        |         COALESCE(b.product_name, d.product_name) AS product_name,
-        |         COALESCE(b.group_id, d.group_id) AS group_id,
-        |         COALESCE(b.price, d.price) AS price,
-        |         d.uid AS uid
-        |  FROM dest_products d FULL OUTER JOIN deduped b
-        |    ON d.product_id = b.product_id AND d.lang = b.lang),
-        |synced_products AS (
-        |  SELECT * FROM upserted_products u
-        |  WHERE u.lang NOT IN (SELECT DISTINCT lang FROM deduped)
-        |     OR EXISTS (SELECT 1 FROM deduped b
-        |                WHERE b.product_id = u.product_id AND b.lang = u.lang)),
-        |new_products AS (
-        |  SELECT product_id, lang, product_name, group_id, price,
-        |         (SELECT max(uid) FROM dest_products)
-        |           + row_number() OVER (ORDER BY product_id, lang) AS uid
-        |  FROM synced_products WHERE uid IS NULL),
-        |final_products AS (
-        |  SELECT * FROM synced_products WHERE uid IS NOT NULL
-        |  UNION ALL SELECT * FROM new_products),
-        |dest_relations AS (
-        |  SELECT l_partkey AS product_id, l_suppkey AS related_id,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty
-        |  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1, 2),
-        |in_relations AS (
-        |  SELECT l_partkey AS product_id, l_suppkey AS related_id,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty
-        |  FROM lineitem WHERE l_linenumber = 2 GROUP BY 1, 2),
-        |in_relations_clean AS (
-        |  SELECT r.* FROM in_relations r
-        |  WHERE EXISTS (SELECT 1 FROM final_products p
-        |                WHERE p.lang = 'en' AND p.product_id = r.product_id)),
-        |merged_relations AS (
-        |  SELECT COALESCE(b.product_id, d.product_id) AS product_id,
-        |         COALESCE(b.related_id, d.related_id) AS related_id,
-        |         COALESCE(b.qty, d.qty) AS qty
-        |  FROM dest_relations d FULL OUTER JOIN in_relations_clean b
-        |    ON d.product_id = b.product_id AND d.related_id = b.related_id),
-        |final_relations AS (
-        |  SELECT m.* FROM merged_relations m
-        |  WHERE EXISTS (SELECT 1 FROM in_relations_clean b
-        |    WHERE b.product_id = m.product_id AND b.related_id = m.related_id)),
-        |users AS (
-        |  SELECT c_custkey AS user_id, c_mktsegment AS seg
-        |  FROM customer WHERE c_acctbal > 9500),
-        |perm AS (
-        |  SELECT DISTINCT c_mktsegment AS seg, l_partkey AS part_key
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  WHERE l_quantity = 50),
-        |rebuilt AS (
-        |  SELECT DISTINCT u.user_id, p.part_key
-        |  FROM users u JOIN perm p ON u.seg = p.seg),
-        |existing AS (
-        |  SELECT DISTINCT u.user_id, l_partkey AS part_key
-        |  FROM users u
-        |  JOIN orders ON o_custkey = u.user_id
-        |  JOIN lineitem ON l_orderkey = o_orderkey),
-        |final_assort AS (
-        |  SELECT a.user_id, a.part_key,
-        |    CAST(CASE WHEN EXISTS (SELECT 1 FROM rebuilt r
-        |      WHERE r.user_id = a.user_id AND r.part_key = a.part_key)
-        |    THEN 1 ELSE 0 END AS INTEGER) AS is_active
-        |  FROM (SELECT user_id, part_key FROM existing
-        |        UNION SELECT user_id, part_key FROM rebuilt) a)
-        |SELECT * FROM (
-        |  SELECT 'groups' AS table_name, count(*) AS n_rows,
-        |    CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
-        |      CAST(group_id AS VARCHAR), group_name, region)), 1, 15) AS BIGINT)
-        |      AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT) AS content_checksum
-        |  FROM merged_groups HAVING count(*) > 0
-        |  UNION ALL
-        |  SELECT 'products', count(*),
-        |    CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
-        |      CAST(product_id AS VARCHAR), product_name, CAST(group_id AS VARCHAR),
-        |      CAST(price AS VARCHAR), lang, CAST(uid AS VARCHAR))), 1, 15) AS BIGINT)
-        |      AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)
-        |  FROM final_products HAVING count(*) > 0
-        |  UNION ALL
-        |  SELECT 'products_quarantined', count(*),
-        |    CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
-        |      CAST(product_id AS VARCHAR), product_name, group_name_ref,
-        |      CAST(price AS VARCHAR), lang, quarantine_reason)), 1, 15) AS BIGINT)
-        |      AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)
-        |  FROM quarantined HAVING count(*) > 0
-        |  UNION ALL
-        |  SELECT 'relations', count(*),
-        |    CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
-        |      CAST(product_id AS VARCHAR), CAST(related_id AS VARCHAR),
-        |      CAST(qty AS VARCHAR))), 1, 15) AS BIGINT)
-        |      AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)
-        |  FROM final_relations HAVING count(*) > 0
-        |  UNION ALL
-        |  SELECT 'assortments', count(*),
-        |    CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
-        |      CAST(user_id AS VARCHAR), CAST(part_key AS VARCHAR),
-        |      CAST(is_active AS VARCHAR))), 1, 15) AS BIGINT)
-        |      AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)
-        |  FROM final_assort HAVING count(*) > 0)
-        |ORDER BY table_name""".stripMargin,
+    "q_ecom_job" -> EcomJobOracle,
+    "q_ecom_job_strict" -> EcomJobOracle,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k

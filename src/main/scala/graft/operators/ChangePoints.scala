@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructTyp
   * Scale shape: the fact table reduces to one row per period FIRST
   * (the q_acf contract — the collected series is bounded by time
   * resolution, not data volume); the O(len²-ish) greedy runs on the
-  * driver over that tiny frame.
+  * driver over that tiny frame. `maxLen` makes the contract a GUARD:
+  * the collect itself is capped at maxLen+1 rows (limit before
+  * collect, never an unbounded pull) and a longer series fails loudly
+  * naming the fix instead of silently melting the driver.
   *
   * If NO split clears the threshold, the single best candidate is
   * still returned with `significant = false` — "where would the break
@@ -30,12 +33,18 @@ object ChangePoints {
 
   def binarySegmentation(series: DataFrame, ordCol: String, xCol: String,
                          minSeg: Int = 7, maxPoints: Int = 10,
-                         minGainPermille: Long = 50L): DataFrame = {
+                         minGainPermille: Long = 50L,
+                         maxLen: Int = 65536): DataFrame = {
     require(minSeg >= 2, s"minSeg must be >= 2, got $minSeg")
-    require(maxPoints >= 1 && minGainPermille >= 1)
+    require(maxPoints >= 1 && minGainPermille >= 1 && maxLen >= 2 * minSeg)
     val spark = series.sparkSession
-    val pts = series.select(col(ordCol).cast("long"), col(xCol).cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val capped = series.select(col(ordCol).cast("long"), col(xCol).cast("long"))
+      .limit(maxLen + 1).collect()
+    require(capped.length <= maxLen,
+      s"binarySegmentation: series has more than maxLen=$maxLen rows — " +
+        s"aggregate $ordCol to a coarser period first (one row per period " +
+        s"is the contract) or raise maxLen")
+    val pts = capped.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val xs = pts.map(p => BigInt(p._2))
     val n = xs.length
     val p1 = new Array[BigInt](n + 1); val p2 = new Array[BigInt](n + 1)

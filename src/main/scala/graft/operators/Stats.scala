@@ -348,13 +348,24 @@ object Stats {
     * The pairwise slopes are EXACT RATIONALS ((x_j−x_i)/(j−i)) sorted
     * by cross-multiplication compare and lower-median selected on the
     * DRIVER — bit-deterministic, no float until the final quantize.
+    * `maxPoints` turns the post-aggregation contract into a GUARD: the
+    * collect is capped at maxPoints+1 rows (limit before collect) and
+    * a bigger input fails loudly naming the fix — pairwise slopes are
+    * O(n²) per group, so an unaggregated fact table here would melt
+    * the driver long before the math finished.
     */
   def theilSen(series: DataFrame, groupCol: String, rnCol: String,
-               xCol: String): DataFrame = {
+               xCol: String, maxPoints: Int = 65536): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
     val spark = series.sparkSession
-    val pts = series.select(col(groupCol).cast("string"),
+    val capped = series.select(col(groupCol).cast("string"),
         col(rnCol).cast("long"), col(xCol).cast("long"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .limit(maxPoints + 1).collect()
+    require(capped.length <= maxPoints,
+      s"theilSen: input has more than maxPoints=$maxPoints rows across " +
+        s"groups — aggregate to a bounded calendar grid first (one row " +
+        s"per $groupCol x $rnCol period is the contract) or raise maxPoints")
+    val pts = capped.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val rows = pts.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
       val s = rs.map(p => (p._2, p._3)).sortBy(_._1)
       val slopes = for {

@@ -74,6 +74,55 @@ object ImportJob {
   case class DriftCheck(column: String, boundaries: Seq[Double],
                         alarmPpm: Long = 250000L, failOnAlarm: Boolean = false)
 
+  /** What to do with rows whose FK lookup came back empty. */
+  sealed trait FkPolicy
+  /** Abort the whole job with [[FkViolationException]] — the reference's
+    * `FailOnMissingGroups` (EcomDestinationWriter.cs:4566, invoked from
+    * RunJob when CreateMissingGroups is off, EcomProvider.cs:1004).
+    */
+  case object FkFail extends FkPolicy
+  /** Divert the rows to `<table>__quarantined` with reason
+    * `unresolved:<col>` and merge the rest — the SkipFailingRows
+    * treatment applied to dangling references.
+    */
+  case object FkQuarantine extends FkPolicy
+
+  /** Strict-FK gate, checked AFTER `pre`/`preResolve` have run their
+    * lookup ladders and BEFORE in-batch dedup: any staged row still
+    * carrying a NULL in one of `columns` is a dangling reference
+    * (every resolver in this library leaves NULL where the ladder
+    * exhausts — Merge/FkResolve/coalesce rungs). The reference's third
+    * option — CREATE the missing parent — is not a policy here because
+    * it IS the preResolve hook (q_create_missing_refs): a spec that
+    * wants create-missing resolves-and-creates in preResolve and the
+    * gate then has nothing to catch.
+    *
+    * Scale shape of the fail arm: the batch is localCheckpoint'ed ONCE
+    * (the materialization serves both the gate scan and the merge — the
+    * resolve joins never run twice) and the violation probe is a
+    * `limit(maxLogRows+1).collect()` — bounded driver pull, never the
+    * full violating set. The full violating FRAME (lazy, distributed)
+    * rides on the exception for callers that want to persist it, like
+    * LogFailedRows dumps the reference's `_rowsWithMissingGroups`
+    * (EcomDestinationWriter.cs:4574).
+    */
+  case class FkGate(columns: Seq[String], policy: FkPolicy = FkFail,
+                    maxLogRows: Int = 20) {
+    require(columns.nonEmpty, "FkGate needs at least one column")
+    require(maxLogRows >= 1, "maxLogRows must be >= 1")
+  }
+
+  /** Thrown by a [[FkFail]] gate. `rows` is the full violating frame
+    * (distributed, lazy); the message embeds a LogFailedRows-style
+    * rendering of the first `maxLogRows` rows.
+    */
+  final class FkViolationException(
+      val table: String, val columns: Seq[String], val rows: DataFrame,
+      sample: Seq[String], atLeast: Int)
+    extends RuntimeException(
+      s"Failed at importing $table rows with missing ${columns.mkString(", ")}" +
+        s" ($atLeast+ rows):\n" + sample.mkString("\n"))
+
   /** One mapping's import spec (one staged temp table in the reference).
     *
     * @param table         destination table name; several specs may share
@@ -127,6 +176,11 @@ object ImportJob {
     *                      its group NAME against the groups table as
     *                      updated BY THIS JOB, not last night's state.
     *                      Runs after `pre`
+    * @param fkGate        strict-FK gate ([[FkGate]]) applied after
+    *                      pre/preResolve and before dedup: rows with a
+    *                      NULL in a gated column either abort the job
+    *                      ([[FkFail]], FailOnMissingGroups) or divert to
+    *                      `<table>__quarantined` ([[FkQuarantine]])
     * @param driftChecks   post-merge [[DriftCheck]]s comparing the
     *                      pre-merge destination against the final table
     *                      (after `post`); emitted as `<table>__drift`
@@ -154,7 +208,8 @@ object ImportJob {
       post: DataFrame => DataFrame = identity,
       driftChecks: Seq[DriftCheck] = Nil,
       sourceName: Option[String] = None,
-      preResolve: (DataFrame, String => DataFrame) => DataFrame = (df, _) => df)
+      preResolve: (DataFrame, String => DataFrame) => DataFrame = (df, _) => df,
+      fkGate: Option[FkGate] = None)
 
   /** Run the job: for each spec (tables in dependency order, same-table
     * mappings in spec order), merge `incoming` into `dest` and return
@@ -200,7 +255,39 @@ object ImportJob {
             quarantines(table) = quarantines.getOrElse(table, Nil) :+ q
             v
           } else checked
-        val in1 = spec.preResolve(spec.pre(in0), lookup)
+        val in1 = spec.fkGate match {
+          case None => spec.preResolve(spec.pre(in0), lookup)
+          case Some(g) =>
+            val resolved = spec.preResolve(spec.pre(in0), lookup)
+            g.policy match {
+              case FkQuarantine =>
+                // same split machinery as rowRules, reasons
+                // "unresolved:<col>" — diverted rows join the table's
+                // quarantine union
+                val (ok, bad) = Quarantine.split(resolved,
+                  g.columns.map(c => s"unresolved:$c" -> col(c).isNotNull))
+                quarantines(table) = quarantines.getOrElse(table, Nil) :+ bad
+                ok
+              case FkFail =>
+                // ONE materialization serves the gate scan and the
+                // merge — the resolve ladder never executes twice
+                val pinned = resolved.localCheckpoint(true)
+                val violating = pinned
+                  .filter(g.columns.map(c => col(c).isNull).reduce(_ || _))
+                val sample = violating.limit(g.maxLogRows + 1).collect()
+                if (sample.nonEmpty) {
+                  val cols = violating.columns
+                  val rendered = sample.take(g.maxLogRows).map { r =>
+                    "Failed row: " + cols.zipWithIndex.map { case (c, i) =>
+                      s"""[$c: "${r.get(i)}"]"""
+                    }.mkString(", ")
+                  }.toSeq
+                  throw new FkViolationException(
+                    table, g.columns, violating, rendered, sample.length)
+                }
+                pinned
+            }
+        }
         val in = if (spec.dedupKeys.nonEmpty)
           Dedup.keepFirst(in1, spec.dedupKeys,
             (if (spec.dedupOrder.nonEmpty) spec.dedupOrder else spec.dedupKeys).map(col))
@@ -272,8 +359,12 @@ object ImportJob {
         }
         Some(s"${table}__drift" -> all)
       }
+      // rowRules quarantine pre-transform rows; an FkQuarantine gate
+      // diverts POST-resolve rows (extra resolver columns) — align by
+      // name, missing columns null
       val quarantined = quarantines.get(table)
-        .map(qs => s"${table}__quarantined" -> qs.reduce(_ unionByName _))
+        .map(qs => s"${table}__quarantined" ->
+          qs.reduce(_.unionByName(_, allowMissingColumns = true)))
       Seq(table -> finalOut) ++ quarantined ++ driftFrame
     }.toMap
   }

@@ -50,4 +50,19 @@ class ChangePointsSpec extends SparkSuite {
     assert(a == b)
     assert(a.head.getAs[Long]("cp_ord") == 31L)
   }
+
+  test("maxLen guard fails loudly on an over-long series, naming the fix") {
+    val xs = (0 until 50).map(_.toLong)
+    val e = intercept[IllegalArgumentException] {
+      ChangePoints.binarySegmentation(series(xs), "rn", "x",
+        minSeg = 5, maxPoints = 5, minGainPermille = 100L, maxLen = 49)
+    }
+    assert(e.getMessage.contains("maxLen=49"))
+    assert(e.getMessage.contains("coarser period"))
+    // at the bound it still runs (the limit cap collects maxLen+1 to
+    // DETECT overflow, not to truncate silently)
+    val ok = ChangePoints.binarySegmentation(series(xs), "rn", "x",
+      minSeg = 5, maxPoints = 5, minGainPermille = 100L, maxLen = 50)
+    assert(ok.count() >= 1)
+  }
 }

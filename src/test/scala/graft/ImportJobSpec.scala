@@ -210,6 +210,87 @@ class ImportJobSpec extends SparkSuite {
     assert(quarantined === Array((3, "price_pos,v_present"), (5, "price_pos")))
   }
 
+  test("fkGate FkFail: the strict import gate — a dangling reference " +
+    "aborts the job with the violating rows; a fully-resolved feed is " +
+    "identical to the ungated run") {
+    import org.apache.spark.sql.functions.col
+    // product feed carries group NAMES; preResolve resolves them against
+    // the grp table AS MERGED BY THIS JOB ("tools" only exists in the
+    // incoming grp batch — the FailOnMissingGroups scenario exactly:
+    // EcomProvider resolves products against groups imported earlier in
+    // the same run, and CreateMissingGroups=off turns leftovers fatal)
+    val dest = Map(
+      "grp" -> Seq((1, "toys"), (2, "food")).toDF("gid", "gname"),
+      "product" -> Seq((10L, 1)).toDF("pid", "gid"))
+    def incoming(withGhost: Boolean) = Map(
+      "grp" -> Seq((3, "tools")).toDF("gid", "gname"),
+      "product" -> (Seq((11L, "tools"), (12L, "food")) ++
+        (if (withGhost) Seq((13L, "ghost")) else Nil)).toDF("pid", "gname"))
+    val deps = Map("product" -> Set("grp"))
+    def specs(gate: Option[FkGate]) = Seq(
+      TableSpec("grp", keys = Seq("gid")),
+      TableSpec("product", keys = Seq("pid"),
+        // gname stays on the staged frame (the merge keeps destination
+        // columns) so a gate failure logs the unresolved NAME, like the
+        // reference's cloned row carries the missing Groups value
+        preResolve = (df, lookup) => df
+          .join(lookup("grp"), Seq("gname"), "left")
+          .select("pid", "gid", "gname"),
+        fkGate = gate))
+
+    // passing path: gated output == ungated output, row for row
+    val gated = ImportJob.run(specs(Some(FkGate(Seq("gid")))),
+      dest, incoming(false), deps)("product")
+      .orderBy("pid").as[(Long, Int)].collect()
+    val ungated = ImportJob.run(specs(None),
+      dest, incoming(false), deps)("product")
+      .orderBy("pid").as[(Long, Int)].collect()
+    assert(gated === ungated)
+    assert(gated === Array((10L, 1), (11L, 3), (12L, 2)))
+
+    // failing path: the job aborts, the exception carries exactly the
+    // violating rows and a LogFailedRows-style sample in the message
+    val ex = intercept[FkViolationException] {
+      ImportJob.run(specs(Some(FkGate(Seq("gid")))),
+        dest, incoming(true), deps)
+    }
+    assert(ex.table === "product" && ex.columns === Seq("gid"))
+    assert(ex.rows.select("pid").as[Long].collect() === Array(13L))
+    assert(ex.getMessage.contains("missing gid"))
+    assert(ex.getMessage.contains("Failed row:"))
+    assert(ex.getMessage.contains("\"ghost\""))
+  }
+
+  test("fkGate FkQuarantine diverts unresolved rows to " +
+    "<table>__quarantined and merges the rest; unions with rowRules " +
+    "quarantine across differing schemas") {
+    import org.apache.spark.sql.functions.col
+    val dest = Map(
+      "grp" -> Seq((1, "toys")).toDF("gid", "gname"),
+      "product" -> Seq((10L, 1, "k")).toDF("pid", "gid", "sku"))
+    val incoming = Map(
+      "grp" -> Seq((2, "food")).toDF("gid", "gname"),
+      "product" -> Seq((11L, "food", "a"), (13L, "ghost", "b"),
+        (14L, "toys", null)).toDF("pid", "gname", "sku"))
+    val out = ImportJob.run(
+      Seq(
+        TableSpec("grp", keys = Seq("gid")),
+        TableSpec("product", keys = Seq("pid"),
+          // a rowRules reject (null sku) quarantines BEFORE resolve;
+          // the fk gate quarantines AFTER — both land in one frame
+          rowRules = Seq("sku_present" -> col("sku").isNotNull),
+          preResolve = (df, lookup) => df
+            .join(lookup("grp"), Seq("gname"), "left")
+            .select("pid", "gid", "sku"),
+          fkGate = Some(FkGate(Seq("gid"), FkQuarantine)))),
+      dest, incoming, Map("product" -> Set("grp")))
+    assert(out("product").orderBy("pid").select("pid").as[Long].collect()
+      === Array(10L, 11L))
+    val q = out("product__quarantined").orderBy("pid")
+      .select("pid", "quarantine_reason").as[(Long, String)].collect()
+    assert(q === Array((13L, "unresolved:gid"), (14L, "sku_present")))
+  }
+
   test("insertOnly keeps destination rows untouched and appends new keys") {
     val d = Seq((1, "a")).toDF("id", "v")
     val in = Seq((1, "CHANGED"), (2, "new")).toDF("id", "v")

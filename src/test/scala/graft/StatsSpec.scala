@@ -159,6 +159,22 @@ class StatsSpec extends SparkSuite {
     assert(shuffled == r)
   }
 
+  test("theilSen maxPoints guard fails loudly on unaggregated input, " +
+    "naming the fix") {
+    val pts = (1L to 30L).map(i => ("g", i, 50L * i))
+    val e = intercept[IllegalArgumentException] {
+      Stats.theilSen(pts.toDF("g", "rn", "x"), "g", "rn", "x",
+        maxPoints = 29)
+    }
+    assert(e.getMessage.contains("maxPoints=29"))
+    assert(e.getMessage.contains("calendar grid"))
+    // exactly at the bound it runs: the cap detects overflow, it does
+    // not silently truncate the series
+    val ok = Stats.theilSen(pts.toDF("g", "rn", "x"), "g", "rn", "x",
+      maxPoints = 30).head()
+    assert(ok.getAs[Long]("n_points") == 30L)
+  }
+
   test("null rows are excluded wholesale, never half-counted") {
     // chiSquare: a null category would inflate margins but miss the
     // grid join — with the guard, nulls change NOTHING
