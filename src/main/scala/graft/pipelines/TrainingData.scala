@@ -51,7 +51,15 @@ object TrainingData {
         "epoch into 4 bits of the packing order")
     val input = docs.count()
 
-    val cleaned = CorpusClean.run(docs, cfg.clean) // materialized by contract
+    // pin the post-clean intermediate ONCE (the q_item_neighbors
+    // pattern): it feeds the decontaminate sketch AND the keep-join, so
+    // a cache-evicted persist would silently replay the whole
+    // clean/dedup pipeline per consumer — the bench-variance source.
+    // localCheckpoint truncates that lineage; the clean's own persist
+    // is released immediately after.
+    val cleanedRaw = CorpusClean.run(docs, cfg.clean) // materialized by contract
+    val cleaned = cleanedRaw.localCheckpoint(true)
+    cleanedRaw.unpersist()
     val nCleaned = cleaned.count()
 
     val dirty = Decontaminate.contaminatedIds(cleaned, benchmark,
@@ -59,7 +67,13 @@ object TrainingData {
     val decon = cleaned.join(dirty.withColumnRenamed("corpus_id", "doc_id"),
       Seq("doc_id"), "left_anti").persist()
     val nDecon = decon.count()
-    cleaned.unpersist()
+    // the pinned blocks stay alive for the query's lifetime (the SE
+    // q_item_neighbors precedent): downstream stages MAY re-read the
+    // checkpoint past this point (measured — an eager free here turned
+    // the silent decon re-read into CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND),
+    // and the ContextCleaner reclaims the blocks once the frame is
+    // unreachable. Explicit freeing is for per-round loops (Graphs LPA),
+    // not single-pin pipelines.
 
     val sampled = (if (cfg.rates.isEmpty) decon.withColumn("epoch", lit(0))
       else Mixture.sample(decon, "source", "doc_id", cfg.rates))
