@@ -1967,16 +1967,19 @@ object SparkEntry {
     }),
 
     "q_multimodal_features" -> ((s, dir) => {
-      // project driver-comparable SCALARS: the raw byte_histogram/feat
-      // arrays are kept for library users, but the verification row is
-      // (checksum, hashed histogram, quantized feature mass) so the
-      // driver's column-sorting comparator never sees an array column
+      // the STUB decode is deterministic integer arithmetic over the
+      // UTF-8 payload bytes, so the whole feature row replays in SQL:
+      // verify checksum + EVERY histogram bin + EVERY float feature
+      // (float32 division is IEEE-identical cross-engine — REAL/REAL in
+      // DuckDB, Float/Int on the JVM — and every float32 converts to
+      // double exactly). Sentinel rows (null/empty payload) carry
+      // checksum 0 and empty arrays → NULL bins via try_element_at.
       Multimodal.decodeFeatures(Multimodal.withPayload(t(s, dir, "documents")))
-        .select(col("doc_id"), col("checksum"),
-          xxhash64(col("byte_histogram")).as("hist_hash"),
-          floor(aggregate(col("feat"), lit(0.0d),
-            (acc, x) => acc + x.cast("double")) * 10000.0 + 0.5).cast("long")
-            .as("feat_mass_bp"))
+        .select(Seq(col("doc_id"), col("checksum")) ++
+          (0 until 8).map(j =>
+            try_element_at(col("byte_histogram"), lit(j + 1)).as(s"h$j")) ++
+          (0 until 8).map(j =>
+            try_element_at(col("feat"), lit(j + 1)).cast("double").as(s"f$j")): _*)
         .orderBy(col("doc_id"))
     }),
 
@@ -3658,11 +3661,25 @@ object SparkEntry {
       // (anchor, positive, negative) triplets for retrieval-encoder
       // training (SimCSE/DPR shape): positives = verified near-dups in
       // a Jaccard band, negatives = hash-picked docs PROVEN not
-      // near-dup. Rows-only: rides the LSH sketches; ContrastivePairsSpec
-      // proves planted-family anchoring, non-dup negatives, determinism.
+      // near-dup. Fully hash-checked: the negative assignment injects a
+      // PORTABLE multiplicative hash (the round-7 rule — an
+      // engine-private hash must never decide driver-checked output;
+      // xxhash64 stays the production default), and the positive set
+      // replays as the exact-Jaccard pair set — equality holds because
+      // this corpus has NO pair in (0.30, 0.80) (measured at all three
+      // SFs), so every qualifying pair sits where the 16x4 banding's
+      // per-pair recall is >= 1 - 2.3e-4 and the LSH candidate set is
+      // verified complete by the gate itself. jaccard projects as
+      // HALF_UP basis points (floor(j*1e4+0.5) of the 4-digit rounded
+      // double == exact-rational HALF_UP — never a raw double compare).
+      val ph = (c: Column, s2: Long) =>
+        pmod(pmod(c, lit(1000003L)) * 2654435761L + lit(s2 * 40503L),
+          lit(1000000007L))
       graft.pipelines.ContrastivePairs.mine(
         t(s, dir, "documents"), "doc_id", "text",
-        minJbp = 5000, maxJbp = 9900)
+        minJbp = 5000, maxJbp = 9900, hashFn = ph)
+        .select(col("anchor_id"), col("positive_id"), col("negative_id"),
+          floor(col("jaccard") * 10000.0 + 0.5).cast("long").as("jaccard_bp"))
         .orderBy(col("anchor_id"), col("positive_id"))
     }),
 
@@ -6227,6 +6244,234 @@ object SparkEntry {
         |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |  ' +', ' ', 'g'))
         |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_clean" ->
+      // the COMPOSED cleaning pipeline replayed end to end: quality +
+      // langid signals (integer-exact, same derivations as
+      // q_text_quality/q_lang_id), the >=3000 quality floor, normalized
+      // exact dedup (min doc_id per canonical form), then near-dup
+      // cluster canonicals. The cluster stage replays as the
+      // EXACT-Jaccard pair set + recursive-CTE components (canonical =
+      // min id): equality with the Spark side's LSH-verified pairs
+      // holds because this corpus has NO pair with Jaccard in
+      // (0.30, 0.80) - measured at all three SFs - so every qualifying
+      // pair is >= 0.80 where 16x4 banding recall is >= 1 - 2.3e-4 per
+      // pair, and the hash gate itself verifies no pair was missed.
+      // Threshold compare is the integer form of round(j,4) >= 0.8
+      // (100000*inter >= 79995*union).
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, text, tk,
+        |    CAST(least(len(tk), 200) * 25
+        |      + least(floor(CAST(len(list_filter(tk,
+        |          x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+        |          * 15000.0 / greatest(CAST(len(tk) AS DOUBLE), 1.0)), 3000.0)
+        |      + (CASE WHEN len(text) BETWEEN 100 AND 2000 THEN 2000 ELSE 0 END)
+        |      AS INTEGER) AS quality_bp,
+        |    CASE WHEN greatest(
+        |           len(list_filter(tk, x -> x IN ('the','a','and','of','is'))),
+        |           len(list_filter(tk, x -> x IN ('el','la','los','de','y'))),
+        |           len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))),
+        |           len(list_filter(tk, x -> x IN ('le','la','les','et','est')))) = 0
+        |         THEN 'unknown'
+        |         WHEN len(list_filter(tk, x -> x IN ('the','a','and','of','is'))) = greatest(
+        |           len(list_filter(tk, x -> x IN ('the','a','and','of','is'))),
+        |           len(list_filter(tk, x -> x IN ('el','la','los','de','y'))),
+        |           len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))),
+        |           len(list_filter(tk, x -> x IN ('le','la','les','et','est')))) THEN 'en'
+        |         WHEN len(list_filter(tk, x -> x IN ('el','la','los','de','y'))) = greatest(
+        |           len(list_filter(tk, x -> x IN ('the','a','and','of','is'))),
+        |           len(list_filter(tk, x -> x IN ('el','la','los','de','y'))),
+        |           len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))),
+        |           len(list_filter(tk, x -> x IN ('le','la','les','et','est')))) THEN 'es'
+        |         WHEN len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) = greatest(
+        |           len(list_filter(tk, x -> x IN ('the','a','and','of','is'))),
+        |           len(list_filter(tk, x -> x IN ('el','la','los','de','y'))),
+        |           len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))),
+        |           len(list_filter(tk, x -> x IN ('le','la','les','et','est')))) THEN 'de'
+        |         ELSE 'fr' END AS pred_lang
+        |  FROM base),
+        |keep1 AS (SELECT * FROM sig WHERE quality_bp >= 3000),
+        |surv AS (
+        |  SELECT doc_id, quality_bp, pred_lang, tk
+        |  FROM keep1
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+        |    ORDER BY doc_id) = 1),
+        |sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |        i -> array_to_string(tk[i:i+2], ' ')) END) AS s
+        |  FROM surv),
+        |sh AS (SELECT doc_id, unnest(s) AS g FROM sets),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sets),
+        |edges0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges1 AS (
+        |  SELECT id_a, id_b
+        |  FROM edges0
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE 100000 * inter >= 79995 * (sa.n + sb.n - inter)),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM edges1
+        |  UNION SELECT id_b, id_a FROM edges1),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT re.id, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
+        |),
+        |canon AS (
+        |  SELECT s.doc_id
+        |  FROM surv s LEFT JOIN reach r ON r.id = s.doc_id
+        |  GROUP BY s.doc_id
+        |  HAVING s.doc_id <= coalesce(min(r.r), s.doc_id))
+        |SELECT s.doc_id, s.quality_bp, s.pred_lang
+        |FROM surv s JOIN canon USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "q_contrastive_pairs" ->
+      // full triplet replay: positives = exact-Jaccard pair set in the
+      // (round(j,4) >= 0.5, round(j,4) <= 0.99) band (integer compares;
+      // equality with the LSH pipeline per the q_corpus_clean corpus
+      // argument - no pair lives in (0.30, 0.80)); negatives = the
+      // injected PORTABLE hash ((id % 1000003)*2654435761 + salt*40503
+      // mod 1e9+7), bucket representative = min (secondary hash, id);
+      // exclusion = anti-join against the FULL >= 0.5 pair set, both
+      // orientations. jaccard_bp = exact-rational HALF_UP basis points.
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |        i -> array_to_string(tk[i:i+2], ' ')) END) AS s
+        |  FROM base),
+        |sh AS (SELECT doc_id, unnest(s) AS g FROM sets),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sets),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id_a, id_b, inter, sa.n + sb.n - inter AS u
+        |  FROM cand
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE 100000 * inter >= 49995 * (sa.n + sb.n - inter)),
+        |banded AS (
+        |  SELECT id_a, id_b, (20000 * inter + u) // (2 * u) AS jbp
+        |  FROM jp WHERE 100000 * inter < 99005 * u),
+        |anchors AS (
+        |  SELECT id_a AS anchor_id, id_b AS positive_id, jbp FROM banded
+        |  UNION ALL
+        |  SELECT id_b, id_a, jbp FROM banded),
+        |negcand AS (
+        |  SELECT ((doc_id % 1000003) * 2654435761 + 7 * 40503)
+        |           % 1000000007 % 64 AS nb,
+        |         doc_id AS negative_id
+        |  FROM documents
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY nb
+        |    ORDER BY ((doc_id % 1000003) * 2654435761 + 8 * 40503)
+        |      % 1000000007, doc_id) = 1),
+        |trip AS (
+        |  SELECT a.anchor_id, a.positive_id, n.negative_id, a.jbp
+        |  FROM anchors a JOIN negcand n
+        |    ON n.nb = (((a.anchor_id % 1000003) * 2654435761 + 7 * 40503)
+        |                 % 1000000007 + 1) % 64
+        |  WHERE n.negative_id <> a.anchor_id
+        |    AND n.negative_id <> a.positive_id),
+        |excl AS (
+        |  SELECT id_a AS x, id_b AS y FROM jp
+        |  UNION ALL SELECT id_b, id_a FROM jp)
+        |SELECT t.anchor_id, t.positive_id, t.negative_id,
+        |  CAST(t.jbp AS BIGINT) AS jaccard_bp
+        |FROM trip t
+        |LEFT JOIN excl e ON e.x = t.anchor_id AND e.y = t.negative_id
+        |WHERE e.x IS NULL
+        |ORDER BY anchor_id, positive_id""".stripMargin,
+
+    "q_multimodal_features" ->
+      // the stub codec replayed byte for byte: checksum = the unsigned
+      // 31-polynomial rolling hash mod 2^64 (two's-complement signed at
+      // the end - same HUGEINT machinery as q_doc_fingerprint, but
+      // UNSIGNED bytes: decodeStub reads b & 0xff), histogram bins =
+      // b // 32 counts, features = IEEE float32 division REAL/REAL (==
+      // the JVM's Float/Int, converts to double exactly). Sentinel rows
+      // (null/zero-byte payload) carry checksum 0 and NULL bins.
+      """WITH RECURSIVE mx AS (
+        |  SELECT coalesce(max(octet_length(encode(text))), 0) AS n FROM documents),
+        |pw(k, v) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1, (v * 31) % 18446744073709551616
+        |  FROM pw, mx WHERE k < mx.n),
+        |hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, n, i,
+        |    (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
+        |      + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS b
+        |  FROM hx, LATERAL unnest(generate_series(1, CAST(n AS BIGINT))) AS t(i)),
+        |acc AS (
+        |  SELECT b.doc_id, sum(CAST(b.b AS HUGEINT) * p.v) AS bsum
+        |  FROM bytes b JOIN pw p ON p.k = b.n - b.i
+        |  GROUP BY b.doc_id),
+        |chk AS (
+        |  SELECT x.doc_id,
+        |    (CAST(1125899906842597 AS HUGEINT) * p.v + a.bsum)
+        |      % 18446744073709551616 AS u
+        |  FROM hx x JOIN pw p ON p.k = x.n JOIN acc a ON a.doc_id = x.doc_id
+        |  WHERE x.n >= 1),
+        |hist AS (
+        |  SELECT doc_id, b // 32 AS bin, count(*) AS c
+        |  FROM bytes GROUP BY 1, 2),
+        |hw AS (
+        |  SELECT doc_id,
+        |    coalesce(sum(CASE WHEN bin = 0 THEN c END), 0) AS h0,
+        |    coalesce(sum(CASE WHEN bin = 1 THEN c END), 0) AS h1,
+        |    coalesce(sum(CASE WHEN bin = 2 THEN c END), 0) AS h2,
+        |    coalesce(sum(CASE WHEN bin = 3 THEN c END), 0) AS h3,
+        |    coalesce(sum(CASE WHEN bin = 4 THEN c END), 0) AS h4,
+        |    coalesce(sum(CASE WHEN bin = 5 THEN c END), 0) AS h5,
+        |    coalesce(sum(CASE WHEN bin = 6 THEN c END), 0) AS h6,
+        |    coalesce(sum(CASE WHEN bin = 7 THEN c END), 0) AS h7
+        |  FROM hist GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(CASE WHEN c.u >= 9223372036854775808
+        |       THEN c.u - 18446744073709551616 ELSE c.u END, 0) AS BIGINT)
+        |    AS checksum,
+        |  CAST(hw.h0 AS BIGINT) AS h0, CAST(hw.h1 AS BIGINT) AS h1,
+        |  CAST(hw.h2 AS BIGINT) AS h2, CAST(hw.h3 AS BIGINT) AS h3,
+        |  CAST(hw.h4 AS BIGINT) AS h4, CAST(hw.h5 AS BIGINT) AS h5,
+        |  CAST(hw.h6 AS BIGINT) AS h6, CAST(hw.h7 AS BIGINT) AS h7,
+        |  CAST(CAST(hw.h0 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f0,
+        |  CAST(CAST(hw.h1 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f1,
+        |  CAST(CAST(hw.h2 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f2,
+        |  CAST(CAST(hw.h3 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f3,
+        |  CAST(CAST(hw.h4 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f4,
+        |  CAST(CAST(hw.h5 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f5,
+        |  CAST(CAST(hw.h6 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f6,
+        |  CAST(CAST(hw.h7 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f7
+        |FROM documents d
+        |LEFT JOIN hx x ON x.doc_id = d.doc_id AND x.n >= 1
+        |LEFT JOIN chk c ON c.doc_id = d.doc_id
+        |LEFT JOIN hw ON hw.doc_id = d.doc_id AND x.n >= 1
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_percentiles" ->
       """SELECT source,

@@ -29,11 +29,22 @@ object ContrastivePairs {
     * `negBuckets` controls negative diversity (one candidate per
     * bucket); `salt` decorrelates the negative assignment from the
     * corpus ids.
+    *
+    * `hashFn` is the id→bucket hash behind the negative assignment —
+    * any salted integer hash works because the choice of negative only
+    * needs determinism and decorrelation, not avalanche quality.
+    * Default is xxhash64 (production). The registered driver query
+    * injects a portable multiplicative hash instead so the WHOLE
+    * triplet pipeline replays in the DuckDB oracle (the round-7
+    * portable-hash rule: never let an engine-private hash decide
+    * driver-checked output).
     */
   def mine(docs: DataFrame, idCol: String, textCol: String,
            minJbp: Int = 5000, maxJbp: Int = 9900,
            numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 3,
-           negBuckets: Int = 64, salt: Long = 7L): DataFrame = {
+           negBuckets: Int = 64, salt: Long = 7L,
+           hashFn: (org.apache.spark.sql.Column, Long) => org.apache.spark.sql.Column =
+             (c, s) => xxhash64(c, lit(s))): DataFrame = {
     require(minJbp >= 0 && maxJbp <= 10000 && minJbp < maxJbp,
       "need 0 <= minJbp < maxJbp <= 10000")
     val pairs = graft.dedup.NearDup.minhashPairs(docs, idCol, textCol,
@@ -48,15 +59,15 @@ object ContrastivePairs {
     // secondary hash, id tiebreak) — a negBuckets-row broadcast table
     val negCand = docs
       .select(col(idCol).as("__nid"),
-        pmod(xxhash64(col(idCol), lit(salt)), lit(negBuckets.toLong)).as("__nb"))
+        pmod(hashFn(col(idCol), salt), lit(negBuckets.toLong)).as("__nb"))
       .groupBy(col("__nb"))
-      .agg(min(struct(xxhash64(col("__nid"), lit(salt + 1)).as("h"),
+      .agg(min(struct(hashFn(col("__nid"), salt + 1).as("h"),
         col("__nid").as("id"))).as("__w"))
       .select(col("__nb"), col("__w.id").as("negative_id"))
     // the anchor's negative bucket: shifted off its own bucket so the
     // candidate is almost always a different doc; exact exclusions below
     val withNeg = anchors
-      .withColumn("__nb", pmod(xxhash64(col("anchor_id"), lit(salt)) + 1L,
+      .withColumn("__nb", pmod(hashFn(col("anchor_id"), salt) + 1L,
         lit(negBuckets.toLong)))
       .join(broadcast(negCand), Seq("__nb"))
       .drop("__nb")
