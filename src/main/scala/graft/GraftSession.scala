@@ -43,6 +43,15 @@ object GraftSession {
   def create(cpus: Int): SparkSession = {
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Silence WindowExec's "No Partition Defined" warning: every
+    // unpartitioned window in this library sits on a BOUNDED summary
+    // frame by construction (bucket/centroid/stat rows — audited per
+    // round; see Drift/RunningTotals/Sequencing comments), so the
+    // warning is pure noise here and drowning the log in hundreds of
+    // copies trains readers to ignore the one warning that matters.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

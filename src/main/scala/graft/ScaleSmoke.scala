@@ -692,6 +692,111 @@ object ScaleSmoke {
           Seq("a" -> "b", "b" -> "c", "a" -> "c")).count())
     }
 
+    if (section == "similarity") {
+      // The similarity tier at big multiples (run explicitly, e.g.
+      // `ScaleSmoke 100 similarity` — not part of `all`), with planted
+      // adversaries that target each operator's bounding contract:
+      //  - ItemSim: ONE power user with 300k interactions — the
+      //    maxUserItems cap must bound their pair work to cap²/2, or
+      //    the self-join explodes quadratically on that single user.
+      //  - NearDup (simhash AND minhash buckets): ONE family of 30k
+      //    IDENTICAL documents — every member lands in the same
+      //    bucket(s); maxBucket must bound the per-bucket quadratic
+      //    enumeration to maxBucket²/2 regardless of family size.
+      // Users/docs replicate disjointly, so output grows ∝ input and
+      // wall-clock exponents read directly off the printed counts.
+      import graft.similarity.ItemSim
+      def interactions(users: Long): DataFrame = {
+        // 24-item histories drawn from a 100k catalog by a mixed hash
+        // (co-occurrence without user dominance) + the power user
+        val normal = spark.range(users).select(col("id").as("u"))
+          .crossJoin(spark.range(24).select(col("id").as("k")))
+          .select(col("u"),
+            pmod(col("u") * 7919L + col("k") * 104729L, lit(100000L)).as("i"),
+            (pmod(col("u") + col("k"), lit(97L)) + 1L).as("strength"))
+        val power = spark.range(300000L).select(lit(-1L).as("u"),
+          col("id").as("i"), lit(1L).as("strength"))
+        normal.unionByName(power)
+      }
+      // untimed JIT/codegen warmup — without it the 1x pass absorbs
+      // first-touch compilation and every exponent reads negative
+      def itemsimOnce(inter: DataFrame): Long =
+        ItemSim.neighbors(inter, "u", "i", "strength",
+          k = 10, maxUserItems = 32).count()
+      val warm1 = s"$out/sim_inter_1"
+      interactions(10000L).repartition(64).write.mode("overwrite").parquet(warm1)
+      itemsimOnce(spark.read.parquet(warm1))
+      val itemExps = Seq(1, math.max(mult / 10, 2), mult).distinct.map { m =>
+        val path = s"$out/sim_inter_$m"
+        if (m != 1) interactions(10000L * m).repartition(64)
+          .write.mode("overwrite").parquet(path)
+        val inter = spark.read.parquet(path)
+        val n = inter.count()
+        println(s"[scale] itemsim ${m}x: $n interactions (+300k power user)")
+        val t = time(s"itemsim ${m}x+power")(itemsimOnce(inter))
+        (m, n, t)
+      }
+      val (_, n1, t1) = itemExps.head
+      itemExps.tail.foreach { case (m, n, t) =>
+        println(f"[scale] itemsim exponent 1x->${m}x (vs interactions): " +
+          f"${math.log(t / t1) / math.log(n.toDouble / n1)}%.2f")
+      }
+
+      val docs1 = Tables.load(spark, base, "documents")
+      val family = spark.range(30000L).select(
+        (col("id") + 50000000L).as("doc_id"),
+        lit("identical planted family text the quick brown fox jumps " +
+          "over the lazy dog again and again and again").as("text"))
+      def docsAt(m: Int): String = {
+        val nd = docs1.count()
+        val path = s"$out/sim_docs_$m"
+        // replicas must be SHINGLE-disjoint or every unique text forms
+        // an m-member identical family and pair output grows ∝ m² —
+        // suffix every token with the replica id so only the planted
+        // family (and each replica's own internal near-dups) pair up,
+        // and output grows ∝ m
+        (0 until m).map(i =>
+            docs1.select((col("doc_id") + lit(i * (nd + 1))).as("doc_id"),
+              regexp_replace(col("text"), "([^ \\t\\n\\r\\f]+)", "$1" + i)
+                .as("text")))
+          .reduce(_ unionByName _)
+          .unionByName(family)
+          .repartition(64).write.mode("overwrite").parquet(path)
+        path
+      }
+      // untimed warmup at 1x (JIT + codegen for both kernels); clear
+      // the cache after — minhashPairs RETURNS a persisted frame, and
+      // a timed pass with the identical plan would otherwise cache-hit
+      // the warmup's blocks and read as a phantom 0.5 s
+      val dwarm = spark.read.parquet(docsAt(1))
+      NearDup.simhashPairs(dwarm, "doc_id", "text", maxBucket = 2000).count()
+      NearDup.minhashPairs(dwarm, "doc_id", "text", threshold = 0.8,
+        maxBucket = 2000).count()
+      spark.catalog.clearCache()
+      val dupExps = Seq(1, math.max(mult / 10, 2), mult).distinct.map { m =>
+        val d = spark.read.parquet(if (m == 1) s"$out/sim_docs_1" else docsAt(m))
+        val n = d.count()
+        println(s"[scale] neardup ${m}x: $n docs (+30k identical family)")
+        val tSim = time(s"simhash ${m}x+megabucket") {
+          NearDup.simhashPairs(d, "doc_id", "text", maxBucket = 2000).count()
+        }
+        spark.catalog.clearCache()
+        val tMin = time(s"minhash ${m}x+megabucket") {
+          NearDup.minhashPairs(d, "doc_id", "text", threshold = 0.8,
+            maxBucket = 2000).count()
+        }
+        spark.catalog.clearCache()
+        (m, n, tSim, tMin)
+      }
+      val (_, d1, ts1, tm1) = dupExps.head
+      dupExps.tail.foreach { case (m, n, ts, tm) =>
+        val ln = math.log(n.toDouble / d1)
+        println(f"[scale] neardup exponents 1x->${m}x (vs docs): " +
+          f"simhash ${math.log(ts / ts1) / ln}%.2f, " +
+          f"minhash ${math.log(tm / tm1) / ln}%.2f")
+      }
+    }
+
     if (section == "graph") {
       // The co-purchase graph family at big multiples (run explicitly,
       // e.g. `ScaleSmoke 100 graph` — not part of `all`): disjoint

@@ -1,0 +1,40 @@
+#!/usr/bin/env python3
+"""Merge graft.Bench output with oracle_bench timings into one artifact.
+
+Usage: tools/merge_bench.py BENCH_JSON ORACLE_JSON OUT_JSON
+
+Adds per-query `oracle_sec` and `spark_vs_oracle` (spark warm median /
+DuckDB warm median) to the bench table, prints the queries slower than
+2x the oracle sorted by ratio, and writes the merged JSON (the round's
+bench/full_r<k>.json).
+"""
+import json
+import sys
+
+
+def main(bench_path, oracle_path, out_path):
+    bench = json.load(open(bench_path))
+    oracle = json.load(open(oracle_path))["oracle_sec"]
+    ratios = {}
+    for q, s in bench.get("queries", {}).items():
+        o = oracle.get(q)
+        if o and o > 0 and s and s > 0:
+            ratios[q] = round(s / o, 3)
+    bench["oracle_sec"] = oracle
+    bench["spark_vs_oracle"] = ratios
+    json.dump(bench, open(out_path, "w"))
+    over = sorted(((r, q) for q, r in ratios.items() if r > 2.0), reverse=True)
+    n = len(ratios)
+    within = n - len(over)
+    print(f"{n} oracle-paired queries timed; {within} within 2x of DuckDB")
+    if over:
+        print(f"slower than 2x ({len(over)}):")
+        for r, q in over:
+            print(f"  {q}: spark {bench['queries'][q]:.2f}s vs "
+                  f"duckdb {oracle[q]:.2f}s ({r}x)")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 4:
+        sys.exit(__doc__)
+    main(sys.argv[1], sys.argv[2], sys.argv[3])
