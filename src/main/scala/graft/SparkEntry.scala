@@ -1891,12 +1891,22 @@ object SparkEntry {
 
     "q_training_pipeline" -> ((s, dir) => {
       // the capstone composition: clean → decontaminate → sample →
-      // split → pack, end-to-end (TrainingDataSpec holds the invariants;
-      // rows-only: the composition inherits each stage's oracle)
+      // split → pack, end-to-end. Hash-checked since round 9: the
+      // split hash is the injected PORTABLE multiplicative hash (the
+      // ContrastivePairs move — xxhash64 stays the library default),
+      // the clean stage replays per the q_corpus_clean corpus-gap
+      // argument, decontamination replays as 13-gram-string joins, and
+      // the pack is the q_pack_sequences running-sum replay. The DuckDB
+      // oracle runs the ENTIRE pipeline as one CTE chain;
+      // TrainingDataSpec still holds the method invariants.
       val docs = t(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id"), col("text"))
-      val (out, _) = graft.pipelines.TrainingData.prepare(docs, bench)
+      val portableU = (c: Column) =>
+        pmod(pmod(pmod(c, lit(1000003L)) * 2654435761L + lit(7L * 40503L),
+          lit(1000000007L)), lit(1000000L)).cast("double") / 1000000.0
+      val (out, _) = graft.pipelines.TrainingData.prepare(docs, bench,
+        graft.pipelines.TrainingData.Config(splitHash = portableU))
       out.orderBy(col("doc_id"), col("epoch"))
     }),
 
@@ -6472,6 +6482,151 @@ object SparkEntry {
         |LEFT JOIN chk c ON c.doc_id = d.doc_id
         |LEFT JOIN hw ON hw.doc_id = d.doc_id AND x.n >= 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_clusters" ->
+      // minhash-LSH near-dup components replayed as the exact-Jaccard pair
+      // set (threshold 0.6 in its integer round(j,4) form: 100000*i >=
+      // 59995*u) + recursive-CTE closure with min-id canonicals — the
+      // q_corpus_clean corpus-gap argument (no pair in (0.30, 0.80) at any
+      // SF) makes LSH == exact here too; singletons map to themselves
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |        i -> array_to_string(tk[i:i+2], ' ')) END) AS s
+        |  FROM base),
+        |sh AS (SELECT doc_id, unnest(s) AS g FROM sets),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sets),
+        |edges0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges1 AS (
+        |  SELECT id_a, id_b
+        |  FROM edges0
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE 100000 * inter >= 59995 * (sa.n + sb.n - inter)),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM edges1
+        |  UNION SELECT id_b, id_a FROM edges1),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT re.id, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
+        |)
+        |SELECT d.doc_id AS id,
+        |  least(d.doc_id, coalesce(min(r.r), d.doc_id)) AS canonical_id
+        |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+        |GROUP BY d.doc_id
+        |ORDER BY id""".stripMargin,
+
+    "q_training_pipeline" ->
+      // the CAPSTONE composition replayed end to end as one CTE chain:
+      // clean (quality floor, normalized dedup, exact-Jaccard cluster
+      // canonicals per the corpus-gap argument) -> decontaminate (distinct
+      // 13-gram-string joins vs the %25 benchmark slice, the q_decontaminate
+      // equivalence) -> epoch-0 token counts -> split by the INJECTED
+      // portable hash (u = h % 1e6 / 1e6, boundaries 0.9/0.95 as exact
+      // doubles both engines) -> per-source running-sum packing at budget
+      // 2048 (the q_pack_sequences replay); val/test rows carry NULL seq
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, source, text, tk,
+        |    CAST(least(len(tk), 200) * 25
+        |      + least(floor(CAST(len(list_filter(tk,
+        |          x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+        |          * 15000.0 / greatest(CAST(len(tk) AS DOUBLE), 1.0)), 3000.0)
+        |      + (CASE WHEN len(text) BETWEEN 100 AND 2000 THEN 2000 ELSE 0 END)
+        |      AS INTEGER) AS quality_bp
+        |  FROM base),
+        |keep1 AS (SELECT * FROM sig WHERE quality_bp >= 3000),
+        |surv AS (
+        |  SELECT doc_id, source, text, tk
+        |  FROM keep1
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+        |    ORDER BY doc_id) = 1),
+        |sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+        |        i -> array_to_string(tk[i:i+2], ' ')) END) AS s
+        |  FROM surv),
+        |sh AS (SELECT doc_id, unnest(s) AS g FROM sets),
+        |sz AS (SELECT doc_id, len(s) AS n FROM sets),
+        |edges0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges1 AS (
+        |  SELECT id_a, id_b
+        |  FROM edges0
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE 100000 * inter >= 79995 * (sa.n + sb.n - inter)),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM edges1
+        |  UNION SELECT id_b, id_a FROM edges1),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT re.id, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
+        |),
+        |canon AS (
+        |  SELECT s.doc_id
+        |  FROM surv s LEFT JOIN reach r ON r.id = s.doc_id
+        |  GROUP BY s.doc_id
+        |  HAVING s.doc_id <= coalesce(min(r.r), s.doc_id)),
+        |cleaned AS (
+        |  SELECT s.doc_id, s.source, s.tk
+        |  FROM surv s JOIN canon USING (doc_id)),
+        |bgrams AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(tk) - 11),
+        |    i -> array_to_string(tk[i:i+12], ' '))) AS g
+        |  FROM base WHERE doc_id % 25 = 0 AND len(tk) >= 13),
+        |cgrams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 11),
+        |    i -> array_to_string(tk[i:i+12], ' ')))) AS g
+        |  FROM cleaned WHERE len(tk) >= 13),
+        |dirty AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b ON c.g = b.g),
+        |decon AS (
+        |  SELECT c.doc_id, c.source, CAST(0 AS INTEGER) AS epoch,
+        |    CAST(len(c.tk) AS BIGINT) AS n_tokens,
+        |    ((c.doc_id % 1000003) * 2654435761 + 7 * 40503)
+        |      % 1000000007 % 1000000 / 1000000.0 AS u
+        |  FROM cleaned c LEFT JOIN dirty d ON d.doc_id = c.doc_id
+        |  WHERE d.doc_id IS NULL),
+        |spl AS (
+        |  SELECT doc_id, source, epoch, n_tokens,
+        |    CASE WHEN u < 0.9 THEN 'train'
+        |         WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+        |  FROM decon),
+        |packtrain AS (
+        |  SELECT doc_id, source, epoch, n_tokens, split,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id * 16 + epoch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM spl WHERE split = 'train')
+        |SELECT doc_id, source, epoch, n_tokens, split,
+        |  CAST(floor(tok_before / 2048) AS INTEGER) AS seq_id,
+        |  CAST(tok_before % 2048 AS INTEGER) AS seq_pos
+        |FROM packtrain
+        |UNION ALL
+        |SELECT doc_id, source, epoch, n_tokens, split,
+        |  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
+        |FROM spl WHERE split <> 'train'
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "q_percentiles" ->
       """SELECT source,

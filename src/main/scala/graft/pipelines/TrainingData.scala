@@ -34,7 +34,17 @@ object TrainingData {
       // Some(salt): pack in deterministic HASH order (document mixing —
       // neighbors in a sequence come from across the corpus) instead of
       // doc_id order; None keeps corpus order
-      packShuffleSalt: Option[Long] = None)
+      packShuffleSalt: Option[Long] = None,
+      // id → uniform [0,1) for the split assignment. Default = xxhash64
+      // at salt 7 (DISTINCT from Mixture.sample's 0 — with the same
+      // hash a fractional-rate source's keep-decision and the split
+      // would be fully correlated and val/test would never see it).
+      // Pluggable for the same reason as ContrastivePairs.hashFn: the
+      // registered driver query injects a portable multiplicative hash
+      // so the WHOLE pipeline replays in the DuckDB oracle; any
+      // deterministic uniform hash preserves the split contract
+      splitHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => Mixture.uniformHash(c, salt = 7L))
 
   case class Metrics(input: Long, cleaned: Long, decontaminated: Long,
                      sampled: Long, trainPacked: Long)
@@ -79,12 +89,8 @@ object TrainingData {
       else Mixture.sample(decon, "source", "doc_id", cfg.rates))
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
       .select(col("doc_id"), col("source"), col("epoch"), col("n_tokens"))
-    // DISTINCT salt from Mixture.sample's (0): with the same hash, a
-    // fractional-rate source's keep-decision (u < rate) and the split
-    // assignment (u < 0.9 → train) would be fully correlated and val/test
-    // would never see that source
     val split = Mixture.split(sampled,
-      Mixture.uniformHash(col("doc_id"), salt = 7L), cfg.fractions).persist()
+      cfg.splitHash(col("doc_id")), cfg.fractions).persist()
     val nSampled = split.count()
     decon.unpersist()
 
