@@ -2651,9 +2651,10 @@ object SparkEntry {
       // the forecasting trio's capstone (ewma → holt → Holt-Winters):
       // level + trend + a 12-slot seasonal ring per nation, exact
       // floor-division recurrence, O(period) state in the same
-      // one-keyed-shuffle machine. rows-only: the seasonal reference
-      // reaches 12 rows back — beyond a recursive CTE's one-row arm;
-      // RecurrencesSpec replays the sequential definition exactly.
+      // one-keyed-shuffle machine. Hash-checked since round 9: the
+      // seasonal ring rides the recursive CTE as a LIST column (slice
+      // surgery per step), so the full triple recurrence replays;
+      // RecurrencesSpec still replays the sequential definition.
       val c = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
       val mon = t(s, dir, "orders")
@@ -9747,6 +9748,70 @@ object SparkEntry {
         |SELECT nation, strftime(month, '%Y-%m') AS month, rev_c,
         |  CAST(l + b AS BIGINT) AS holt_q
         |FROM r ORDER BY nation, month""".stripMargin,
+
+    "q_holt_winters" ->
+      // the triple recurrence WITH its 12-slot seasonal ring, replayed by a
+      // LIST-carrying recursive CTE: state per step = (l, b, season BIGINT[12]),
+      // the ring updates by slice surgery (season[1:k-1] || [new] || [k+1:12]),
+      // and intermediates (l_new feeds b_new AND s_new) get NAMES through
+      // nested derived tables in the recursive arm — the one-row-arm
+      // limitation only binds scalar state, not a list; floor division is the
+      // pmod-subtract form throughout (numerators go negative). Warm-up: the
+      // first 12 rows per key emit x with l=x, b=0, season slot zeroed
+      """WITH RECURSIVE mon AS (
+        |  SELECT c_nationkey AS nation,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |s AS (SELECT nation, month, rev_c,
+        |        row_number() OVER (PARTITION BY nation ORDER BY month) AS rn
+        |      FROM mon),
+        |r AS (
+        |  SELECT nation, CAST(0 AS BIGINT) AS rn, CAST(NULL AS DATE) AS month,
+        |         CAST(NULL AS BIGINT) AS rev_c,
+        |         CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+        |         list_transform(range(1, 13), i -> CAST(0 AS BIGINT)) AS season,
+        |         CAST(NULL AS BIGINT) AS hw
+        |  FROM (SELECT DISTINCT nation FROM s)
+        |  UNION ALL
+        |  SELECT q4.nation, q4.rn, q4.month, q4.rev_c,
+        |    CASE WHEN q4.warm THEN q4.x ELSE q4.lnew END,
+        |    CASE WHEN q4.warm THEN 0 ELSE q4.bnew END,
+        |    q4.season[1:q4.slot-1]
+        |      || [CASE WHEN q4.warm THEN CAST(0 AS BIGINT) ELSE q4.snew END]
+        |      || q4.season[q4.slot+1:12],
+        |    CASE WHEN q4.warm THEN q4.x ELSE q4.lnew + q4.bnew + q4.snew END
+        |  FROM (
+        |    SELECT q3.*,
+        |      (q3.bnum - ((q3.bnum % 4) + 4) % 4) // 4 AS bnew,
+        |      (q3.snum - ((q3.snum % 4) + 4) % 4) // 4 AS snew
+        |    FROM (
+        |      SELECT q2.*,
+        |        (q2.lnew - q2.l0) + 3*q2.b0 AS bnum,
+        |        (q2.x - q2.lnew) + 3*q2.sold AS snum
+        |      FROM (
+        |        SELECT q1.*,
+        |          CASE WHEN q1.warm THEN q1.x
+        |               ELSE (q1.lnum - ((q1.lnum % 4) + 4) % 4) // 4 END AS lnew
+        |        FROM (
+        |          SELECT p.*, (p.x - p.sold) + 3*(p.l0 + p.b0) AS lnum
+        |          FROM (
+        |            SELECT s.nation, s.rn, s.month, s.rev_c, s.rev_c AS x,
+        |              s.rn <= 12 AS warm,
+        |              CAST((s.rn - 1) % 12 + 1 AS INTEGER) AS slot,
+        |              r.l AS l0, r.b AS b0,
+        |              r.season[CAST((s.rn - 1) % 12 + 1 AS INTEGER)] AS sold,
+        |              r.season
+        |            FROM r JOIN s ON s.nation = r.nation AND s.rn = r.rn + 1
+        |          ) p
+        |        ) q1
+        |      ) q2
+        |    ) q3
+        |  ) q4)
+        |SELECT nation, strftime(month, '%Y-%m') AS month, rev_c,
+        |  CAST(hw AS BIGINT) AS hw_q
+        |FROM r WHERE rn >= 1 ORDER BY nation, month""".stripMargin,
 
     "q_sorted_neighborhood" ->
       // DuckDB's native jaro_winkler_similarity (cross-checks the

@@ -148,10 +148,11 @@ object Recurrences {
     * rows initialize l = x, b = 0, s = 0 and emit x. Appends `outCol`
     * = the fitted value l + b + s_i. State = period + 2 longs per key
     * (the seasonal ring buffer) — still O(period), never O(history).
-    * No recursive-CTE oracle exists (the seasonal reference reaches
-    * `period` rows back, beyond a recursive arm's one-row reach), so
-    * queries over this register rows-only with the sequential-replay
-    * spec as the oracle.
+    * Oracle-replayable (round 9): the seasonal ring rides a DuckDB
+    * recursive CTE as a LIST column updated by slice surgery, with
+    * intermediates named through nested derived tables in the
+    * recursive arm — the one-row-arm limitation binds scalar state
+    * only; q_holt_winters hash-matches that replay at all three SFs.
     */
   def holtWinters(df: DataFrame, keys: Seq[String], sortCols: Seq[String],
                   xCol: String, period: Int,
