@@ -1917,6 +1917,9 @@ object SparkEntry {
     }),
 
     "q_multimodal_frames" -> ((s, dir) => {
+      // hash-checked since round 9: the chunk plumbing is pure byte
+      // arithmetic (frame count, index, tail truncation) — the oracle
+      // replays it from octet_length alone
       Multimodal.sampleFrames(
         Multimodal.withPayload(t(s, dir, "documents").filter(col("doc_id") < 100)))
         .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
@@ -9812,6 +9815,25 @@ object SparkEntry {
         |SELECT nation, strftime(month, '%Y-%m') AS month, rev_c,
         |  CAST(hw AS BIGINT) AS hw_q
         |FROM r WHERE rn >= 1 ORDER BY nation, month""".stripMargin,
+
+    "q_multimodal_frames" ->
+      // the frame chunker is pure byte arithmetic over the payload length:
+      // every stride-th 64-byte chunk (stride 4 => step 256), capped at 16
+      // frames, with a short payload still emitting its single partial
+      // frame (the sequence bound clamps at 0, substr truncates at the
+      // tail) and a NULL payload emitting nothing; frame_bytes replays as
+      // greatest(least(64, n - i*256), 0)
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |    CAST(greatest(least(64, n - i*256), 0) AS INTEGER) AS frame_bytes
+        |  FROM d, LATERAL unnest(generate_series(0,
+        |    greatest(least(n // 256, 16) - 1, 0))) AS t(i)
+        |  WHERE n IS NOT NULL)
+        |SELECT doc_id, frame_idx, frame_bytes FROM f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_sorted_neighborhood" ->
       // DuckDB's native jaro_winkler_similarity (cross-checks the
