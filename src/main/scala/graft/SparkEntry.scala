@@ -1932,6 +1932,9 @@ object SparkEntry {
       // verify). The 8-bin histogram features are deliberately coarse,
       // so the query bounds itself to a doc subset and a tight cosine —
       // a real encoder swaps into decodeStub and widens both.
+      // Hash-checked since round 9: nonnegative features make every
+      // sign chunk agree, so the LSH candidate set IS all pairs and the
+      // oracle's brute-force cosine replay is exact.
       val feats = Multimodal.decodeFeatures(
         Multimodal.withPayload(t(s, dir, "documents").filter(col("doc_id") < 100)))
       graft.dedup.NearDup.embeddingPairs(
@@ -9834,6 +9837,60 @@ object SparkEntry {
         |  WHERE n IS NOT NULL)
         |SELECT doc_id, frame_idx, frame_bytes FROM f
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_multimodal_neardup" ->
+      // brute-force replay is EXACT here, not recall-dependent: every stub
+      // feature is a nonnegative histogram fraction, so all sign bits are 1,
+      // all four sign chunks agree for every doc pair, and the LSH candidate
+      // set IS the full pair set (murmur collisions could only ADD pairs the
+      // cosine verify already keeps). Features replay per the
+      // q_multimodal_features machinery; the cosine finish is the explicit
+      // left-associated 8-term chain == the sequential kernel accumulation,
+      // with per-doc norms (same order, same doubles)
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |bytes AS (
+        |  SELECT doc_id, n, i,
+        |    (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
+        |      + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS b
+        |  FROM hx, LATERAL unnest(generate_series(1, CAST(n AS BIGINT))) AS t(i)),
+        |hist AS (SELECT doc_id, b // 32 AS bin, count(*) AS c FROM bytes GROUP BY 1, 2),
+        |hw AS (
+        |  SELECT doc_id,
+        |    coalesce(sum(CASE WHEN bin = 0 THEN c END), 0) AS h0,
+        |    coalesce(sum(CASE WHEN bin = 1 THEN c END), 0) AS h1,
+        |    coalesce(sum(CASE WHEN bin = 2 THEN c END), 0) AS h2,
+        |    coalesce(sum(CASE WHEN bin = 3 THEN c END), 0) AS h3,
+        |    coalesce(sum(CASE WHEN bin = 4 THEN c END), 0) AS h4,
+        |    coalesce(sum(CASE WHEN bin = 5 THEN c END), 0) AS h5,
+        |    coalesce(sum(CASE WHEN bin = 6 THEN c END), 0) AS h6,
+        |    coalesce(sum(CASE WHEN bin = 7 THEN c END), 0) AS h7
+        |  FROM hist GROUP BY doc_id),
+        |fe AS (
+        |  SELECT x.doc_id,
+        |    CAST(CAST(hw.h0 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f0,
+        |    CAST(CAST(hw.h1 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f1,
+        |    CAST(CAST(hw.h2 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f2,
+        |    CAST(CAST(hw.h3 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f3,
+        |    CAST(CAST(hw.h4 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f4,
+        |    CAST(CAST(hw.h5 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f5,
+        |    CAST(CAST(hw.h6 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f6,
+        |    CAST(CAST(hw.h7 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f7
+        |  FROM hx x JOIN hw ON hw.doc_id = x.doc_id
+        |  WHERE x.n >= 1),
+        |nm AS (
+        |  SELECT doc_id, f0,f1,f2,f3,f4,f5,f6,f7,
+        |    f0*f0 + f1*f1 + f2*f2 + f3*f3 + f4*f4 + f5*f5 + f6*f6 + f7*f7 AS nn
+        |  FROM fe),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round((a.f0*b.f0 + a.f1*b.f1 + a.f2*b.f2 + a.f3*b.f3
+        |         + a.f4*b.f4 + a.f5*b.f5 + a.f6*b.f6 + a.f7*b.f7)
+        |      / (sqrt(a.nn) * sqrt(b.nn)), 4) AS cos_sim
+        |  FROM nm a JOIN nm b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9999
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_sorted_neighborhood" ->
       // DuckDB's native jaro_winkler_similarity (cross-checks the
