@@ -9892,6 +9892,39 @@ object SparkEntry {
         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9999
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_embed_neardup" ->
+      // the sign-bit LSH replays EXACTLY, no hash needed: a pair is a
+      // candidate iff some 8-bit sign chunk of the leading 32 dims matches
+      // VERBATIM (equal chunks => equal murmur buckets; a murmur COLLISION
+      // could only add a pair the cosine verify then keeps, ~2^-32/pair and
+      // gate-checked), so the oracle joins on the sign-chunk LIST VALUES and
+      // verifies with the q_embed_cosine_topk cosine replay
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding[1:32],
+        |      v -> CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS signs
+        |  FROM embeddings),
+        |ch AS (
+        |  SELECT vec_id, embedding, c, signs[c*8+1:c*8+8] AS chunk
+        |  FROM s, LATERAL unnest(generate_series(0, 3)) AS t(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.embedding AS ea, b.embedding AS eb
+        |  FROM ch a JOIN ch b
+        |    ON a.c = b.c AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
+        |v AS (
+        |  SELECT id_a, id_b,
+        |    round(
+        |      list_aggregate(list_apply(list_zip(ea, eb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      / (sqrt(list_aggregate(list_apply(ea,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_apply(eb,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cos_sim
+        |  FROM cand)
+        |SELECT id_a, id_b, cos_sim FROM v WHERE cos_sim >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_sorted_neighborhood" ->
       // DuckDB's native jaro_winkler_similarity (cross-checks the
       // codegen Expression, as in q_name_match); the window join is
