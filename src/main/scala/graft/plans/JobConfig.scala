@@ -36,6 +36,28 @@ case class DriftCheckConfig(
     ImportJob.DriftCheck(column, boundaries, alarmPpm, failOnAlarm)
 }
 
+/** Declarative form of [[ImportJob.FkGate]] — the strict-FK switch is
+  * configuration like the reference's CreateMissingGroups toggle (a
+  * settings-XML field deciding whether unresolved groups create or
+  * FAIL, EcomProvider.cs:1004), so it serializes with the job.
+  * `policy` is "fail" (abort with the violating rows) or "quarantine"
+  * (divert to `<table>__quarantined`).
+  */
+case class FkGateConfig(
+    columns: Seq[String],
+    policy: String = "fail",
+    maxLogRows: Int = 20) {
+  def toGate: ImportJob.FkGate = ImportJob.FkGate(
+    columns,
+    policy match {
+      case "fail" => ImportJob.FkFail
+      case "quarantine" => ImportJob.FkQuarantine
+      case other => throw new IllegalArgumentException(
+        s"unknown fk policy: $other (want fail|quarantine)")
+    },
+    maxLogRows)
+}
+
 case class TableConfig(
     table: String,
     keys: Seq[String],
@@ -48,6 +70,7 @@ case class TableConfig(
     constants: Map[String, String] = Map.empty,
     expectSchema: Option[String] = None, // StructType.json snapshot
     driftChecks: Seq[DriftCheckConfig] = Nil,
+    fkGate: Option[FkGateConfig] = None,
     // several mappings may target one destination table (the reference's
     // multi-language feeds, EcomProvider.cs:1095) — sourceName names the
     // mapping's own source when it differs from the table
@@ -71,6 +94,7 @@ case class TableConfig(
     expectSchema = expectSchema.map(DataType.fromJson(_).asInstanceOf[StructType]),
     constants = constants,
     driftChecks = driftChecks.map(_.toCheck),
+    fkGate = fkGate.map(_.toGate),
     sourceName = sourceName)
 }
 

@@ -51,9 +51,11 @@ class PlansSpec extends SparkSuite {
         flagMissing = Some("active"), constants = Map("shop" -> "S1"),
         expectSchema = Some(schema.json),
         driftChecks = Seq(graft.plans.DriftCheckConfig(
-          "bal", Seq(100.0, 200.0), alarmPpm = 100000L, failOnAlarm = true))),
+          "bal", Seq(100.0, 200.0), alarmPpm = 100000L, failOnAlarm = true)),
+        fkGate = Some(graft.plans.FkGateConfig(Seq("nid"), "fail", 5))),
       TableConfig("customer", keys = Seq("id"), mode = "upsert",
-        sourceName = Some("customer_feed_fr")),
+        sourceName = Some("customer_feed_fr"),
+        fkGate = Some(graft.plans.FkGateConfig(Seq("gid"), "quarantine"))),
       TableConfig("nation", keys = Seq("nid"), mode = "insertOnly")),
       removeMissing = true)
     val back = JobConfig.fromJson(JobConfig.toJson(cfg))
@@ -67,6 +69,16 @@ class PlansSpec extends SparkSuite {
     assert(specs(1).sourceName === Some("customer_feed_fr"))
     assert(specs(2).mode === graft.plans.ImportJob.InsertOnly)
     assert(specs(2).driftChecks.isEmpty)
+    // the strict-FK switch is settings, not code — it survives the trip
+    assert(specs.head.fkGate === Some(graft.plans.ImportJob.FkGate(
+      Seq("nid"), graft.plans.ImportJob.FkFail, 5)))
+    assert(specs(1).fkGate === Some(graft.plans.ImportJob.FkGate(
+      Seq("gid"), graft.plans.ImportJob.FkQuarantine, 20)))
+    assert(specs(2).fkGate.isEmpty)
+    // an unknown policy string fails loudly at lowering time
+    val bad = graft.plans.FkGateConfig(Seq("x"), "create")
+    val e = intercept[IllegalArgumentException](bad.toGate)
+    assert(e.getMessage.contains("unknown fk policy"))
   }
 
   test("JobConfig.drift reports added/removed/retyped; overwriteToOriginal undoes drift") {
