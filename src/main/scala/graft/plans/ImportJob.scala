@@ -268,24 +268,7 @@ object ImportJob {
                   g.columns.map(c => s"unresolved:$c" -> col(c).isNotNull))
                 quarantines(table) = quarantines.getOrElse(table, Nil) :+ bad
                 ok
-              case FkFail =>
-                // ONE materialization serves the gate scan and the
-                // merge — the resolve ladder never executes twice
-                val pinned = resolved.localCheckpoint(true)
-                val violating = pinned
-                  .filter(g.columns.map(c => col(c).isNull).reduce(_ || _))
-                val sample = violating.limit(g.maxLogRows + 1).collect()
-                if (sample.nonEmpty) {
-                  val cols = violating.columns
-                  val rendered = sample.take(g.maxLogRows).map { r =>
-                    "Failed row: " + cols.zipWithIndex.map { case (c, i) =>
-                      s"""[$c: "${r.get(i)}"]"""
-                    }.mkString(", ")
-                  }.toSeq
-                  throw new FkViolationException(
-                    table, g.columns, violating, rendered, sample.length)
-                }
-                pinned
+              case FkFail => enforceFkFail(table, g, resolved)
             }
         }
         val in = if (spec.dedupKeys.nonEmpty)
@@ -367,6 +350,33 @@ object ImportJob {
           qs.reduce(_.unionByName(_, allowMissingColumns = true)))
       Seq(table -> finalOut) ++ quarantined ++ driftFrame
     }.toMap
+  }
+
+  /** The FkFail arm, shared with the streaming twin
+    * ([[graft.streaming.StreamingImport.startWithFkGate]]): pin the
+    * resolved batch ONCE (the materialization serves both the gate scan
+    * and the downstream merge — the resolve ladder never executes
+    * twice), probe violations with a bounded limit-collect, and either
+    * throw [[FkViolationException]] with the LogFailedRows-style sample
+    * or return the pinned frame for the merge.
+    */
+  private[graft] def enforceFkFail(table: String, g: FkGate,
+                                   resolved: DataFrame): DataFrame = {
+    val pinned = resolved.localCheckpoint(true)
+    val violating = pinned
+      .filter(g.columns.map(c => col(c).isNull).reduce(_ || _))
+    val sample = violating.limit(g.maxLogRows + 1).collect()
+    if (sample.nonEmpty) {
+      val cols = violating.columns
+      val rendered = sample.take(g.maxLogRows).map { r =>
+        "Failed row: " + cols.zipWithIndex.map { case (c, i) =>
+          s"""[$c: "${r.get(i)}"]"""
+        }.mkString(", ")
+      }.toSeq
+      throw new FkViolationException(
+        table, g.columns, violating, rendered, sample.length)
+    }
+    pinned
   }
 
   /** Excess-row removal against one or several staged batches: rows

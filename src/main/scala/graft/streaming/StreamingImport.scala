@@ -359,4 +359,48 @@ object StreamingImport {
         ()
       }
       .start()
+
+  /** Continuous import with the strict-FK gate — FailOnMissingGroups on
+    * a stream (EcomDestinationWriter.cs:4566 / EcomProvider.cs:1004):
+    * each micro-batch first runs `resolve` (the FK lookup ladder —
+    * broadcast business-key joins against reference tables), then rows
+    * still NULL in the gated columns either FAIL THE QUERY
+    * ([[graft.plans.ImportJob.FkFail]] — the thrown
+    * [[graft.plans.ImportJob.FkViolationException]] carries the bounded
+    * LogFailedRows-style sample, and a checkpoint restart re-fails
+    * deterministically until the feed or the reference data is fixed —
+    * the streaming analog of the reference's job abort) or divert to
+    * `quarantinePath` with `unresolved:<col>` reasons
+    * ([[graft.plans.ImportJob.FkQuarantine]]) while resolved rows
+    * upsert. The fail arm reuses [[graft.plans.ImportJob.enforceFkFail]]
+    * — one pinned materialization per batch serves gate scan + upsert;
+    * the pinned blocks are freed after the batch commits.
+    */
+  def startWithFkGate(stream: DataFrame, destPath: String, keys: Seq[String],
+                      resolve: DataFrame => DataFrame,
+                      gate: graft.plans.ImportJob.FkGate,
+                      quarantinePath: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val resolved = resolve(batch)
+        gate.policy match {
+          case graft.plans.ImportJob.FkQuarantine =>
+            val (ok, bad) = graft.plans.Quarantine.split(resolved,
+              gate.columns.map(c => s"unresolved:$c" -> col(c).isNotNull))
+            upsertBatch(ok, destPath, keys)
+            // batch-scoped OVERWRITE (replay-idempotent, like
+            // startWithQuarantine — an append would duplicate on replay)
+            bad.write.mode("overwrite").parquet(s"$quarantinePath/batch=$batchId")
+          case graft.plans.ImportJob.FkFail =>
+            val pinned = graft.plans.ImportJob.enforceFkFail(
+              destPath, gate, resolved)
+            try upsertBatch(pinned, destPath, keys)
+            finally org.apache.spark.sql.graftbridge.bridge
+              .freeLocalCheckpoint(pinned)
+        }
+        ()
+      }
+      .start()
 }

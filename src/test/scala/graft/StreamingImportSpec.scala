@@ -374,6 +374,74 @@ class StreamingImportSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("startWithFkGate: quarantine policy diverts unresolved rows per " +
+    "batch; resolved rows keep importing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_simport7")
+    val (dest, quar) = (s"$dir/dest", s"$dir/quarantine")
+    // the FK reference table: only names a/c resolve
+    val ref = Seq(("a", 10L), ("c", 30L)).toDF("v", "gid")
+    val stream = MemoryStream[KV]
+    val q = StreamingImport.startWithFkGate(stream.toDF(), dest, Seq("id"),
+      resolve = b => b.join(broadcast(ref), Seq("v"), "left")
+        .select("id", "v", "gid"),
+      gate = graft.plans.ImportJob.FkGate(Seq("gid"),
+        graft.plans.ImportJob.FkQuarantine),
+      quar, s"$dir/ckpt")
+    try {
+      stream.addData(KV(1, "a"), KV(2, "ghost"))
+      q.processAllAvailable()
+      stream.addData(KV(3, "c"))
+      q.processAllAvailable()
+      val ok = spark.read.parquet(dest).orderBy("id")
+        .select("id", "gid").as[(Long, Long)].collect()
+      assert(ok === Array((1L, 10L), (3L, 30L)))
+      val bad = spark.read.parquet(quar).orderBy("id")
+        .select("id", "quarantine_reason").as[(Long, String)].collect()
+      assert(bad === Array((2L, "unresolved:gid")))
+    } finally q.stop()
+  }
+
+  test("startWithFkGate: fail policy aborts the query on a dangling " +
+    "reference, with the violating rows in the cause chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_simport8")
+    val dest = s"$dir/dest"
+    val ref = Seq(("a", 10L)).toDF("v", "gid")
+    val stream = MemoryStream[KV]
+    val q = StreamingImport.startWithFkGate(stream.toDF(), dest, Seq("id"),
+      resolve = b => b.join(broadcast(ref), Seq("v"), "left")
+        .select("id", "v", "gid"),
+      gate = graft.plans.ImportJob.FkGate(Seq("gid"),
+        graft.plans.ImportJob.FkFail),
+      s"$dir/quarantine", s"$dir/ckpt")
+    try {
+      // batch 1 resolves fully and lands
+      stream.addData(KV(1, "a"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(dest).count() === 1)
+      // batch 2 carries a dangling name: the QUERY fails (the streaming
+      // analog of the reference's job abort), message names the rows
+      stream.addData(KV(2, "ghost"))
+      val ex = intercept[Exception](q.processAllAvailable())
+      def causes(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      val fk = causes(ex).collectFirst {
+        case e: graft.plans.ImportJob.FkViolationException => e }
+        .orElse(causes(ex).find(
+          _.getMessage.contains("rows with missing gid")))
+      assert(fk.nonEmpty, s"expected an FK violation in the cause chain: $ex")
+      assert(fk.get.getMessage.contains("Failed row:"))
+      assert(fk.get.getMessage.contains("\"ghost\""))
+      // the resolved batch stayed; the failing batch never landed
+      assert(spark.read.parquet(dest).count() === 1)
+    } finally q.stop()
+  }
+
   test("upsertBatch doubles as batch backfill") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_simport2")
