@@ -1749,12 +1749,32 @@ object SparkEntry {
     }),
 
     "q_minhash_lsh" -> ((s, dir) => {
+      // HASH-CHECKED (round 9): the whole sketch replays — FNV-1a and
+      // the splitmix64 finalizer are public, engine-neutral integer
+      // recurrences the oracle reruns in HUGEINT mod-2^64 (split-
+      // constant multiply keeps every product inside INT128), so
+      // signatures, band candidates, and the exact-Jaccard verify are
+      // all driver-checked. est/jaccard project as HALF_UP basis
+      // points per the q_contrastive_pairs rule (floor(r4·1e4+0.5) of
+      // the 4-digit round == exact-rational HALF_UP; never a raw
+      // double compare). The signature min is over SIGNED longs — the
+      // oracle mirrors that two's-complement compare explicitly.
       NearDup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         numHashes = 64, bands = 16, shingleLen = 3, threshold = 0.6)
+        .select(col("id_a"), col("id_b"),
+          floor(col("est_jaccard") * 10000.0 + 0.5).cast("long").as("est_bp"),
+          floor(col("jaccard") * 10000.0 + 0.5).cast("long").as("jaccard_bp"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "q_simhash" -> ((s, dir) => {
+      // HASH-CHECKED (round 9): the 64-bit sketch is a public integer
+      // recurrence (FNV-1a token hash + splitmix64 finalizer + sign
+      // tally) the oracle replays in HUGEINT mod-2^64, and the 4×16-bit
+      // chunk pigeonhole makes candidate generation COMPLETE for
+      // hamming ≤ 3 — so the driver-checked output is simply ALL pairs
+      // within the radius, no recall caveat at all (the maxBucket cap
+      // never binds at gate SFs; a capped bucket would flip the gate).
       NearDup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -7085,6 +7105,209 @@ object SparkEntry {
         |JOIN sets sb ON sb.doc_id = b.doc_id
         |WHERE a.doc_id % 2 = 0
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_simhash" ->
+      // the sketch replays exactly: FNV-1a (64-bit wrapping multiply via
+      // the same HUGEINT mod-2^64 machinery as q_doc_fingerprint, with
+      // the CONSTANT multiplier split into 32-bit halves so no product
+      // leaves INT128) + splitmix64 finalizer + per-bit sign tally; the
+      // 4x16-bit chunk pigeonhole is COMPLETE for hamming <= 3, so the
+      // output is all pairs within the radius — no LSH recall caveat.
+      // Corpus contract (measured, all SFs): ASCII single-space text, so
+      // ord(char) == the UTF-8 byte and string_split(' ') == the pinned
+      // whitespace tokenizer; the tok <> '' guard keeps multi-space text
+      // aligned with the kernel should the corpus ever gain it.
+      """WITH tw AS (
+        |  SELECT doc_id, t.tok, count(*) AS w
+        |  FROM documents, LATERAL unnest(string_split(trim(text), ' ')) AS t(tok)
+        |  WHERE text IS NOT NULL AND t.tok <> ''
+        |  GROUP BY doc_id, t.tok),
+        |gt AS (SELECT DISTINCT tok FROM tw),
+        |fv AS (
+        |  SELECT tok,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(tok)+1),
+        |          i -> CAST(ord(substr(tok, CAST(i AS INT), 1)) AS HUGEINT))),
+        |      (h, b) -> ((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))*435 + ((((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))%4294967296)*256) % 4294967296) * 4294967296) % 18446744073709551616) AS base
+        |  FROM gt),
+        |m1 AS (SELECT tok, (base + 11400714819323198485) % 18446744073709551616 AS z FROM fv),
+        |m2 AS (SELECT tok, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM m1),
+        |m3 AS (SELECT tok, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM m2),
+        |th AS (SELECT tok, CAST(CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS UBIGINT) AS h FROM m3),
+        |bits AS (
+        |  SELECT tw.doc_id, g.b,
+        |    sum(tw.w * (CASE WHEN (th.h >> CAST(g.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) AS tally
+        |  FROM tw JOIN th ON th.tok = tw.tok,
+        |    LATERAL unnest(generate_series(0, 63)) AS g(b)
+        |  GROUP BY tw.doc_id, g.b),
+        |shu AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN tally > 0 THEN CAST(CAST(1 AS UBIGINT) << CAST(b AS INT) AS HUGEINT)
+        |        ELSE CAST(0 AS HUGEINT) END) AS u
+        |  FROM bits GROUP BY doc_id),
+        |sh AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(CASE WHEN s.u >= 9223372036854775808
+        |                       THEN s.u - 18446744073709551616 ELSE s.u END, 0) AS BIGINT) AS sh
+        |  FROM documents d LEFT JOIN shu s ON s.doc_id = d.doc_id
+        |  WHERE d.text IS NOT NULL)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_minhash_lsh" ->
+      // full-sketch replay, same machinery: per-shingle FNV-1a base
+      // (hashed once per GLOBALLY distinct shingle — the corpus is
+      // template-heavy, a 10x saving), 64 per-function minima over
+      // mix(base ^ mix(i)) taken over SIGNED two's-complement longs
+      // (the kernel compares Scala Longs — an unsigned min diverges),
+      // band candidates = equal 4-slot signature slices (equal slices
+      // imply equal murmur buckets; a murmur COLLISION could only add
+      // a pair the exact-Jaccard filter then keeps, ~2^-32/pair and
+      // gate-checked — the q_embed_neardup argument), exact Jaccard
+      // over distinct shingle STRINGS (== hashed-shingle Jaccard modulo
+      // negligible collisions, the q_ngram_jaccard argument). The
+      // jaccard >= 0.6 filter replays as the exact-rational inequality
+      // 20000*ni >= 11999*nu (round4(r) >= 0.6 iff r >= 0.59995); est/
+      // jaccard project as exact-rational HALF_UP basis points.
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(toks[s : least(s + 2, len(toks))], ' ') AS shingle
+        |  FROM docs, LATERAL unnest(generate_series(1, greatest(1, len(toks) - 2))) AS t(s)),
+        |gsh AS (SELECT DISTINCT shingle FROM sh),
+        |fv AS (
+        |  SELECT shingle,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(shingle)+1),
+        |          i -> CAST(ord(substr(shingle, CAST(i AS INT), 1)) AS HUGEINT))),
+        |      (h, b) -> ((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))*435 + ((((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))%4294967296)*256) % 4294967296) * 4294967296) % 18446744073709551616) AS base
+        |  FROM gsh),
+        |s0 AS (SELECT i, CAST(i AS HUGEINT) AS z FROM unnest(generate_series(0, 63)) AS t(i)),
+        |s1 AS (SELECT i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM s0),
+        |s2 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s1),
+        |s3 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s2),
+        |seeds AS (SELECT i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS seed FROM s3),
+        |h0 AS (SELECT f.shingle, s.i, CAST(xor(CAST(f.base AS UBIGINT), CAST(s.seed AS UBIGINT)) AS HUGEINT) AS z FROM fv f CROSS JOIN seeds s),
+        |h1 AS (SELECT shingle, i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM h0),
+        |h2 AS (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h1),
+        |h3 AS (SELECT shingle, i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS zu FROM
+        |       (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h2)),
+        |hh AS (SELECT shingle, i,
+        |    CAST(CASE WHEN zu >= 9223372036854775808 THEN zu - 18446744073709551616 ELSE zu END AS BIGINT) AS hs
+        |  FROM h3),
+        |hv AS (SELECT s.doc_id, h.i, min(h.hs) AS sig
+        |  FROM sh s JOIN hh h ON h.shingle = s.shingle GROUP BY s.doc_id, h.i),
+        |sig AS (SELECT doc_id, list(sig ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bslice
+        |  FROM sig, LATERAL unnest(generate_series(0, 15)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bslice = b.bslice AND a.doc_id < b.doc_id),
+        |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY c.id_a, c.id_b),
+        |jac AS (
+        |  SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS ni,
+        |    na.n + nb.n - coalesce(i.n_inter, 0) AS nu
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        |  JOIN nsh na ON na.doc_id = c.id_a JOIN nsh nb ON nb.doc_id = c.id_b),
+        |est AS (
+        |  SELECT c.id_a, c.id_b,
+        |    len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) AS n_match
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b)
+        |SELECT j.id_a, j.id_b,
+        |  CAST((625 * e.n_match + 2) // 4 AS BIGINT) AS est_bp,
+        |  CAST((20000 * j.ni + j.nu) // (2 * j.nu) AS BIGINT) AS jaccard_bp
+        |FROM jac j JOIN est e ON e.id_a = j.id_a AND e.id_b = j.id_b
+        |WHERE 20000 * j.ni >= 11999 * j.nu
+        |ORDER BY j.id_a, j.id_b""".stripMargin,
+
+    "q_lsh_recall" ->
+      // the canary replays END-TO-END: the q_minhash_lsh signature/band/
+      // exact-Jaccard machinery runs over the tracer-doubled corpus
+      // (documents UNION copies at doc_id+1e7 for doc_id % 17 = 0), the
+      // verified pair set is semi-joined against the known tracer pairs,
+      // and the recall quotient is integer-exact — so the oracle derives
+      // recall = 10000 the same way the engine does instead of assuming
+      // it (identical text => identical signature => same bands), and a
+      // capped bucket or sketch regression flips the gate on BOTH sides.
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents
+        |  WHERE doc_id % 17 = 0 AND trim(coalesce(text,'')) <> ''),
+        |docs AS (
+        |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+        |  FROM corpus WHERE text IS NOT NULL AND trim(text) <> ''),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(toks[s : least(s + 2, len(toks))], ' ') AS shingle
+        |  FROM docs, LATERAL unnest(generate_series(1, greatest(1, len(toks) - 2))) AS t(s)),
+        |gsh AS (SELECT DISTINCT shingle FROM sh),
+        |fv AS (
+        |  SELECT shingle,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(shingle)+1),
+        |          i -> CAST(ord(substr(shingle, CAST(i AS INT), 1)) AS HUGEINT))),
+        |      (h, b) -> ((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))*435 + ((((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))%4294967296)*256) % 4294967296) * 4294967296) % 18446744073709551616) AS base
+        |  FROM gsh),
+        |s0 AS (SELECT i, CAST(i AS HUGEINT) AS z FROM unnest(generate_series(0, 63)) AS t(i)),
+        |s1 AS (SELECT i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM s0),
+        |s2 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s1),
+        |s3 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s2),
+        |seeds AS (SELECT i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS seed FROM s3),
+        |h0 AS (SELECT f.shingle, s.i, CAST(xor(CAST(f.base AS UBIGINT), CAST(s.seed AS UBIGINT)) AS HUGEINT) AS z FROM fv f CROSS JOIN seeds s),
+        |h1 AS (SELECT shingle, i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM h0),
+        |h2 AS (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h1),
+        |h3 AS (SELECT shingle, i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS zu FROM
+        |       (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h2)),
+        |hh AS (SELECT shingle, i,
+        |    CAST(CASE WHEN zu >= 9223372036854775808 THEN zu - 18446744073709551616 ELSE zu END AS BIGINT) AS hs
+        |  FROM h3),
+        |hv AS (SELECT s.doc_id, h.i, min(h.hs) AS sig
+        |  FROM sh s JOIN hh h ON h.shingle = s.shingle GROUP BY s.doc_id, h.i),
+        |sig AS (SELECT doc_id, list(sig ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bslice
+        |  FROM sig, LATERAL unnest(generate_series(0, 15)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bslice = b.bslice AND a.doc_id < b.doc_id),
+        |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY c.id_a, c.id_b),
+        |jac AS (
+        |  SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS ni,
+        |    na.n + nb.n - coalesce(i.n_inter, 0) AS nu
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        |  JOIN nsh na ON na.doc_id = c.id_a JOIN nsh nb ON nb.doc_id = c.id_b),
+        |pairs AS (
+        |  SELECT j.id_a, j.id_b FROM jac j WHERE 20000 * j.ni >= 11999 * j.nu),
+        |truth AS (
+        |  SELECT doc_id AS lo, doc_id + 10000000 AS hi FROM documents
+        |  WHERE doc_id % 17 = 0 AND text IS NOT NULL AND trim(text) <> ''),
+        |hit AS (SELECT t.lo FROM truth t JOIN pairs p ON p.id_a = t.lo AND p.id_b = t.hi),
+        |c AS (SELECT (SELECT count(*) FROM truth) AS nt, (SELECT count(*) FROM hit) AS nh)
+        |SELECT CAST(nt AS BIGINT) AS n_truth_pairs, CAST(nh AS BIGINT) AS n_found,
+        |  CAST(CASE WHEN nt = 0 THEN 10000 ELSE (10000 * nh) // nt END AS BIGINT) AS recall_bp
+        |FROM c""".stripMargin,
 
     "q_decontaminate" ->
       // 8-token gram STRINGS vs the Spark side's rolling 64-bit gram
