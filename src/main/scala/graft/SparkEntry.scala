@@ -1800,6 +1800,15 @@ object SparkEntry {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
+      // HASH-CHECKED (round 9): quantized Lloyd made the TRAINED
+      // centroids replayable — the mean update sums exact fixed-point
+      // longs (order-independent) and emits one IEEE division per dim
+      // (Knn.trainCentroids), so the oracle replays seeds → assignment
+      // → the Lloyd round (unnest + BIGINT sums + REAL narrowing) →
+      // probes → top-k, the FULL trained-IVF pipeline. Until round 9
+      // this was the named rows-only reason for the whole centroid tier
+      // (a distributed avg() re-associates per run — unreplayable AND
+      // unreproducible at 1000 executors).
       val emb = t(s, dir, "embeddings")
       val centroids = Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
       Knn.ivfTopK(emb, emb.filter(col("vec_id") < 10), centroids, k = 5, nProbe = 2)
@@ -1982,8 +1991,13 @@ object SparkEntry {
     "q_audio_segments" -> ((s, dir) => {
       // audio VAD primitive end-to-end: REAL WAV containers decode to
       // windowed EXACT-integer energy rows, then gaps-and-islands over
-      // non-silent windows yields speech/tone segments. Rows-only
-      // (binary payload path); AudioSpec pins the planted layout.
+      // non-silent windows yields speech/tone segments. HASH-CHECKED
+      // (round 9): the planted layout is a PURE FUNCTION of doc_id
+      // (silence 2+id%3 → tone 3+id%2 → silence 2 → tone 4 → silence 1,
+      // every segment 256-aligned, ±12000 square wave ⇒ 36,864,000,000
+      // energy per tone window), so the oracle recomputes the exact
+      // island set closed-form — a break ANYWHERE in the RIFF container
+      // → javax.sound decode → windowing → islands chain flips the gate.
       val payloads = Multimodal.syntheticWavPayloads(
         t(s, dir, "documents").filter(col("doc_id") < 60).select(col("doc_id")))
       val prof = Multimodal.audioEnergyProfile(payloads)
@@ -3285,13 +3299,11 @@ object SparkEntry {
 
     "q_semantic_dedup" -> ((s, dir) => {
       // SemDeDup: trained-centroid cells, within-cell cosine pairs,
-      // transitive closure. Trained centroids are structurally
-      // non-replayable in SQL (a Lloyd round's distributed avg is
-      // summation-order-dependent — same reason q_ann_ivf is rows-only),
-      // so this stays rows-only: SemDedupSpec proves equality with the
-      // brute-force formulation on separated clusters, and the shared
-      // closure/cosine kernels are oracle-green via q_dedup_clusters and
-      // q_embed_cosine_topk.
+      // transitive closure. HASH-CHECKED (round 9): quantized Lloyd
+      // (see q_ann_ivf) made the trained cells replayable, so the
+      // oracle replays seeds → Lloyd round → cell assignment →
+      // within-cell cosine pairs → recursive-CTE closure with min-id
+      // canonicals — the whole SemDeDup recipe, not just its kernels.
       val emb = t(s, dir, "embeddings")
       val cents = Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
       graft.similarity.SemDedup.dedup(emb, cents, minCosine = 0.25)
@@ -4921,9 +4933,12 @@ object SparkEntry {
       // slice. The standard embedding-drift recipe (cluster-histogram
       // PSI) every feature-store monitor runs; assignment is the same
       // zero-shuffle map as IVF search, counts are two nCentroids-row
-      // frames. rows-only (trained centroids are structurally
-      // non-replayable — the q_ann_ivf tier); DriftSpec's twin test
-      // proves identical slices score ≈0 and a shifted slice alarms.
+      // frames. HASH-CHECKED (round 9): quantized Lloyd (see q_ann_ivf)
+      // replays the TWO training rounds on the ref slice exactly, so
+      // the oracle re-derives the trained cells, both assignment
+      // histograms, and the same floored psi_ppm (the q_drift_psi
+      // formula at nBuckets=16). DriftSpec's twin test still proves
+      // identical slices score ≈0 and a shifted slice alarms.
       val emb = t(s, dir, "embeddings")
       val half = col("vec_id") % 1048573L * 2654435761L % 1000000L
       val ref = emb.filter(half < 500000L)
@@ -6990,6 +7005,237 @@ object SparkEntry {
         |FROM brute b LEFT JOIN ivf i USING (query_id, neighbor_id)
         |GROUP BY b.query_id
         |ORDER BY query_id""".stripMargin,
+
+    "q_ann_ivf" ->
+      // the TRAINED-centroid IVF pipeline replayed end to end: seeds →
+      // seed assignment → ONE quantized-Lloyd round (floor(v·2^16)
+      // BIGINT sums are order-free; the centroid dim is one IEEE
+      // division narrowed to REAL — exactly Knn.trainCentroids) →
+      // trained assignment → 2-probe routing → per-query top-5 cosine
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+        |cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+        |         embedding AS c_emb
+        |  FROM embeddings, n
+        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  ORDER BY vec_id LIMIT 8),
+        |scores0 AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM embeddings e CROSS JOIN cents0 c),
+        |assign0 AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores0) WHERE rk = 1),
+        |expl1 AS (
+        |  SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
+        |         unnest(embedding) AS v
+        |  FROM assign0),
+        |sums1 AS (
+        |  SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+        |         count(*) AS nv
+        |  FROM expl1 GROUP BY cid, d),
+        |cents AS (
+        |  SELECT cid,
+        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
+        |  FROM sums1 GROUP BY cid),
+        |scores AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, embedding, cid AS centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores) WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, cid AS centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores WHERE vec_id < 10) WHERE rk <= 2)
+        |SELECT query_id, neighbor_id, cos_sim FROM (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |  FROM (
+        |    SELECT p.query_id, a.vec_id AS neighbor_id,
+        |      round(
+        |        list_aggregate(list_apply(list_zip(p.q_emb, a.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |        / (sqrt(list_aggregate(list_apply(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |           * sqrt(list_aggregate(list_apply(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+        |        4) AS cos_sim
+        |    FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+        |    WHERE a.vec_id <> p.query_id))
+        |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_semantic_dedup" ->
+      // the full SemDeDup recipe replayed: quantized-Lloyd trained cells
+      // (the q_ann_ivf replay), within-cell round-4 cosine pairs at
+      // >= 0.25, symmetric-edge recursive closure with min-id canonicals
+      // (the q_dedup_clusters pattern); singletons map to themselves
+      """WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM embeddings),
+        |cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+        |         embedding AS c_emb
+        |  FROM embeddings, n
+        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  ORDER BY vec_id LIMIT 8),
+        |scores0 AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM embeddings e CROSS JOIN cents0 c),
+        |assign0 AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores0) WHERE rk = 1),
+        |expl1 AS (
+        |  SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
+        |         unnest(embedding) AS v
+        |  FROM assign0),
+        |sums1 AS (
+        |  SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+        |         count(*) AS nv
+        |  FROM expl1 GROUP BY cid, d),
+        |cents AS (
+        |  SELECT cid,
+        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
+        |  FROM sums1 GROUP BY cid),
+        |scores AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, embedding, cid AS centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores) WHERE rk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assign a JOIN assign b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_aggregate(list_apply(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      / (sqrt(list_aggregate(list_apply(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |         * sqrt(list_aggregate(list_apply(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+        |      4) >= 0.25),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM edges
+        |  UNION
+        |  SELECT re.id, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
+        |)
+        |SELECT v.vec_id AS id,
+        |  least(v.vec_id, coalesce(min(r.r), v.vec_id)) AS canonical_id
+        |FROM embeddings v LEFT JOIN reach r ON r.id = v.vec_id
+        |GROUP BY v.vec_id
+        |ORDER BY id""".stripMargin,
+
+    "q_embedding_drift" ->
+      // centroid-histogram PSI with the centroids TRAINED in-oracle: the
+      // hash-split ref slice seeds 16 cells, TWO quantized-Lloyd rounds
+      // replay exactly (order-free BIGINT sums, one IEEE division per
+      // dim), both slices' assignment histograms full-outer join, and
+      // psi_ppm is the q_drift_psi floored formula at nBuckets=16
+      """WITH eh AS (
+        |  SELECT vec_id, embedding,
+        |    ((vec_id % 1048573) * 2654435761) % 1000000 AS h
+        |  FROM embeddings),
+        |ref AS (SELECT vec_id, embedding FROM eh WHERE h < 500000),
+        |cur AS (SELECT vec_id, embedding FROM eh WHERE h >= 500000),
+        |n AS (SELECT count(*) AS cnt FROM ref),
+        |cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+        |         embedding AS c_emb
+        |  FROM ref, n
+        |  WHERE vec_id % greatest(1, cnt // 16) = 0
+        |  ORDER BY vec_id LIMIT 16),
+        |scores0 AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM ref e CROSS JOIN cents0 c),
+        |assign0 AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores0) WHERE rk = 1),
+        |cents1 AS (
+        |  SELECT cid,
+        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
+        |  FROM (
+        |    SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+        |           count(*) AS nv
+        |    FROM (SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
+        |                 unnest(embedding) AS v FROM assign0)
+        |    GROUP BY cid, d)
+        |  GROUP BY cid),
+        |scores1 AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM ref e CROSS JOIN cents1 c),
+        |assign1 AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores1) WHERE rk = 1),
+        |cents AS (
+        |  SELECT cid,
+        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
+        |  FROM (
+        |    SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+        |           count(*) AS nv
+        |    FROM (SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
+        |                 unnest(embedding) AS v FROM assign1)
+        |    GROUP BY cid, d)
+        |  GROUP BY cid),
+        |oc AS (
+        |  SELECT cid AS bucket, count(*) AS n_old FROM (
+        |    SELECT vec_id, cid FROM (
+        |      SELECT e.vec_id, c.cid,
+        |        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |          -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |            + list_aggregate(list_apply(c.c_emb,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), c.cid) AS rk
+        |      FROM ref e CROSS JOIN cents c) WHERE rk = 1)
+        |  GROUP BY cid),
+        |nc AS (
+        |  SELECT cid AS bucket, count(*) AS n_new FROM (
+        |    SELECT vec_id, cid FROM (
+        |      SELECT e.vec_id, c.cid,
+        |        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |          -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |            + list_aggregate(list_apply(c.c_emb,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), c.cid) AS rk
+        |      FROM cur e CROSS JOIN cents c) WHERE rk = 1)
+        |  GROUP BY cid),
+        |j AS (
+        |  SELECT CAST(coalesce(oc.bucket, nc.bucket) AS BIGINT) AS bucket,
+        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        |  FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket),
+        |t AS (SELECT sum(n_old) AS to_, sum(n_new) AS tn FROM j)
+        |SELECT bucket, n_old, n_new,
+        |  CAST(floor(((n_new + 0.5) / (tn + 8.0) - (n_old + 0.5) / (to_ + 8.0))
+        |    * ln(((n_new + 0.5) / (tn + 8.0)) / ((n_old + 0.5) / (to_ + 8.0)))
+        |    * 1000000 + 0.5) AS BIGINT) AS psi_ppm
+        |FROM j, t ORDER BY bucket""".stripMargin,
 
     "q_table_order" ->
       """WITH RECURSIVE edges(child, parent) AS (
@@ -10060,6 +10306,26 @@ object SparkEntry {
         |  WHERE n IS NOT NULL)
         |SELECT doc_id, frame_idx, frame_bytes FROM f
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_audio_segments" ->
+      // closed-form replay of the planted WAV layout: per doc the segment
+      // plan is silence(2+id%3) → tone(3+id%2) → silence(2) → tone(4) →
+      // silence(1), all in 256-sample windows, ±12000 square-wave tone ⇒
+      // each tone window carries energy 256·12000² = 36,864,000,000 and
+      // every silence window peak 0 — so the two non-silent islands and
+      // their exact integer energies derive from doc_id arithmetic alone,
+      // independently of the JVM's RIFF encode → javax.sound decode →
+      // window-stats → gaps-and-islands chain being verified
+      """WITH seg AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS s0, 3 + doc_id % 2 AS t1
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT doc_id, seg_start, seg_end, n_windows, energy_q FROM (
+        |  SELECT doc_id, s0 AS seg_start, s0 + t1 - 1 AS seg_end,
+        |    t1 AS n_windows, t1 * 36864000000 AS energy_q FROM seg
+        |  UNION ALL
+        |  SELECT doc_id, s0 + t1 + 2, s0 + t1 + 5,
+        |    CAST(4 AS BIGINT), CAST(4 * 36864000000 AS BIGINT) FROM seg)
+        |ORDER BY doc_id, seg_start""".stripMargin,
 
     "q_multimodal_neardup" ->
       // brute-force replay is EXACT here, not recall-dependent: every stub

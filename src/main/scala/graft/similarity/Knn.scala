@@ -66,6 +66,20 @@ object Knn {
     * map-side expression above; the mean update is one shuffle of
     * (centroid, dim) partial sums; the tiny result is collected per round.
     *
+    * The mean update is BIT-DETERMINISTIC: each value is quantized to
+    * 1/65536 fixed point (`floor(v·2^16)` — exact, the float→double
+    * scaling is a power of two) and summed as exact longs, so the sum
+    * is independent of partition count and task-completion order; the
+    * centroid dim is then ONE correctly-rounded IEEE division
+    * (sum/(2^16·n)) narrowed to float. A plain `avg(v)` double sum
+    * re-associates per run — on a 1000-executor retrain the trained
+    * centroids (and every downstream bucket assignment) would drift
+    * run-to-run on identical data; quantized Lloyd pins them, at a
+    * centroid perturbation ≤ 2⁻¹⁶ per dim that a COARSE quantizer
+    * cannot observe (KnnSpec's recall bound is unchanged). It is also
+    * what makes the trained-centroid queries exactly replayable by the
+    * DuckDB oracle (q_ann_ivf / q_semantic_dedup / q_embedding_drift).
+    *
     * `sampleFraction` < 1 trains on a deterministic hash-sample of the
     * corpus — at 100 TB the centroids converge on ~1% of the data for
     * ~1% of the cost (coarse quantizers only need the density shape;
@@ -101,11 +115,13 @@ object Knn {
           col("embedding"))
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("centroid_id"), col("dim"))
-        .agg(avg(col("v")).as("m"))
+        .agg(sum(floor(col("v") * lit(65536.0)).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getInt(0)).toArray
         .map { case (cid, rows) =>
-          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat))
+          (cid, rows.sortBy(_.getInt(1))
+            .map(r => (r.getLong(2).toDouble / (65536.0 * r.getLong(3))).toFloat))
         }.sortBy(_._1)
     }
     centroids

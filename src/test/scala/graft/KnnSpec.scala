@@ -117,4 +117,21 @@ class KnnSpec extends SparkSuite {
     assert(twin < 100000L, s"twin slices drifted: $twin ppm")
     assert(alarm > 500000L, s"shifted cloud should alarm: $alarm ppm")
   }
+
+  test("trained centroids are bit-identical across partitionings") {
+    // the quantized-Lloyd contract: the mean update sums exact
+    // fixed-point longs, so task order / partition count cannot move a
+    // single bit — a plain avg() double sum fails this on a wide input
+    // (and DID fail it: this was the trio's rows-only reason through
+    // round 8). Float bits compared exactly, not approximately.
+    val a = Knn.trainCentroids(emb.repartition(1), nCentroids = 8, iters = 2)
+    val b = Knn.trainCentroids(emb.repartition(17, col("vec_id")), nCentroids = 8, iters = 2)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case ((ca, va), (cb, vb)) =>
+      assert(ca === cb)
+      assert(va.map(java.lang.Float.floatToIntBits)
+        .sameElements(vb.map(java.lang.Float.floatToIntBits)),
+        s"centroid $ca drifted across partitionings")
+    }
+  }
 }
