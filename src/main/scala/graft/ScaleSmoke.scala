@@ -797,6 +797,84 @@ object ScaleSmoke {
       }
     }
 
+    if (section == "importjob") {
+      // The reference-fidelity ETL core at big multiples (run explicitly,
+      // e.g. `ScaleSmoke 100 importjob` — not part of `all`): a 2-table
+      // ImportJob (orders parent upsert, lineitem child upsert with
+      // FK-resolve ladder + strict-FK quarantine gate + in-batch dedup)
+      // where the BATCH grows ×m against a FIXED destination — the
+      // nightly-sync shape. Planted adversaries target the machinery's
+      // bounding contracts directly: ~30% of child rows redirect to ONE
+      // hot existing parent (the resolve join and the keyed dedup window
+      // must survive a single mega-key: dedup partitions by FULL key
+      // (orderkey, linenumber), so the hot parent splits across the
+      // replica-shifted linenumbers instead of one window partition);
+      // ~1% redirect to an invalid parent (the FkQuarantine arm must
+      // stay batch-proportional). Batches are MATERIALIZED to parquet
+      // first so the job times its own work, not the union construction.
+      import graft.plans.ImportJob
+      import graft.plans.ImportJob._
+      val ord = Tables.load(spark, base, "orders")
+      val li1 = Tables.load(spark, base, "lineitem")
+      val maxOk = ord.agg(max(col("o_orderkey"))).head.getLong(0)
+      val hotKey = maxOk / 2
+      def liBatch(m: Int): DataFrame = (0 until m).map { i =>
+        val h = pmod(col("l_orderkey") + lit(i.toLong), lit(100L))
+        li1.withColumn("l_linenumber", col("l_linenumber") + lit(i * 8L))
+          .withColumn("l_orderkey",
+            when(h < 1, -(col("l_orderkey") + lit(1L)))            // orphan (negative: can never collide with a replica-shifted new parent)
+              .when(h < 31, lit(hotKey))                           // hot parent
+              .otherwise(col("l_orderkey")))
+      }.reduce(_ unionByName _)
+      def ordBatch(m: Int): DataFrame = (0 until m).map { i =>
+        // ~10% slice per replica as NEW parents (insert path) plus the
+        // original keys re-sent (update path)
+        ord.filter(col("o_orderkey") % 10 === i % 10)
+          .withColumn("o_orderkey",
+            if (i == 0) col("o_orderkey")
+            else col("o_orderkey") + lit(i * (maxOk + 1)))
+      }.reduce(_ unionByName _)
+      val specs = Seq(
+        TableSpec("orders", keys = Seq("o_orderkey")),
+        TableSpec("lineitem", keys = Seq("l_orderkey", "l_linenumber"),
+          dedupKeys = Seq("l_orderkey", "l_linenumber"),
+          dedupOrder = Seq("l_extendedprice"),
+          preResolve = (df, lookup) => {
+            // FK ladder vs the job-fresh parent state: unresolved → NULL
+            val parents = lookup("orders").select(col("o_orderkey").as("__ok"))
+            df.join(parents, df("l_orderkey") === col("__ok"), "left")
+              .withColumn("l_orderkey",
+                when(col("__ok").isNull, lit(null)).otherwise(col("l_orderkey")))
+              .drop("__ok")
+          },
+          fkGate = Some(FkGate(Seq("l_orderkey"), FkQuarantine))))
+      def runJob(incoming: Map[String, DataFrame]): Long = {
+        val res = ImportJob.run(specs,
+          dest = Map("orders" -> ord, "lineitem" -> li1),
+          incoming = incoming)
+        res("lineitem").count() + res("lineitem__quarantined").count()
+      }
+      val exps = Seq(1, math.max(mult / 10, 2), mult).distinct.map { m =>
+        val liPath = s"$out/importjob_li_$m"
+        val ordPath = s"$out/importjob_ord_$m"
+        liBatch(m).repartition(64).write.mode("overwrite").parquet(liPath)
+        ordBatch(m).repartition(16).write.mode("overwrite").parquet(ordPath)
+        val incoming = Map(
+          "orders" -> spark.read.parquet(ordPath),
+          "lineitem" -> spark.read.parquet(liPath))
+        val nBatch = incoming("lineitem").count() + incoming("orders").count()
+        println(s"[scale] importjob ${m}x: $nBatch batch rows (hot parent $hotKey)")
+        if (m == 1) runJob(incoming) // untimed warmup: absorb JIT/codegen
+        val t = time(s"importjob ${m}x")(runJob(incoming))
+        (m, nBatch, t)
+      }
+      val (m1, n1, t1) = exps.head
+      exps.tail.foreach { case (m, n, tm) =>
+        println(f"[scale] exponent ${m1}x->${m}x (vs batch rows): " +
+          f"importjob ${math.log(tm / t1) / math.log(n.toDouble / n1)}%.2f")
+      }
+    }
+
     if (section == "graph") {
       // The co-purchase graph family at big multiples (run explicitly,
       // e.g. `ScaleSmoke 100 graph` — not part of `all`): disjoint
