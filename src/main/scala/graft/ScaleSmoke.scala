@@ -797,6 +797,86 @@ object ScaleSmoke {
       }
     }
 
+    if (section == "streaming") {
+      // Structured-Streaming tier ramp (run explicitly, e.g.
+      // `ScaleSmoke 100 streaming` — not part of `all`): the sf0.1
+      // events feed replicated ×m as ONE PARQUET FILE PER REPLICA with
+      // ids shifted and event-time TILED 31 days per replica (the feed
+      // spans 30 days, so replicas are contiguous, never late) — a
+      // file-source stream (maxFilesPerTrigger=1 ⇒ one micro-batch per
+      // replica) is then a genuinely m×-LONGER timeline: the watermark
+      // moves as the stream drains, so state EVICTION is exercised, not
+      // just state growth (an overlapping shift instead makes later
+      // batches mostly LATE data the session agg silently discards —
+      // measured before this design). Sink is
+      // noop (nothing accumulates on the driver). Two claims measured:
+      // wall-clock ∝ events (exponent vs events), and the state store
+      // BOUNDED by the watermark horizon — final numRowsTotal must stay
+      // ~flat at ~2 replicas' keys while the stream grows 100×, because
+      // dropDuplicatesWithinWatermark / session_window evict state the
+      // moment the watermark passes it. A planted hot user carries ~5%
+      // of every replica's events (the per-key session state must stay
+      // one in-flight row regardless).
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.EventPipeline
+      val ev1 = Tables.load(spark, base, "events")
+      val n1 = ev1.count()
+      val evCols = ev1.columns
+      val exps = Seq(1, math.max(mult / 10, 2), mult).distinct.map { m =>
+        val path = s"$out/stream_events_$m"
+        (0 until m).foreach { i =>
+          ev1.withColumn("event_id", col("event_id") + lit(i * (n1 + 1)))
+            .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))
+            .withColumn("user_id",
+              when(col("event_id") % 20 === 0, lit(9000000000L)) // hot user
+                .otherwise(col("user_id")))
+            .select(evCols.map(col): _*)
+            .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(path)
+        }
+        val schema = spark.read.parquet(path).schema
+        def drain(name: String, quiet: Boolean = false)
+                 (build: DataFrame => DataFrame): (Double, Long) = {
+          // a LEFTOVER checkpoint makes AvailableNow resume-and-skip —
+          // a phantom-fast pass processing zero rows — so start clean
+          val ckpt = s"$out/ckpt_${name}_$m"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+          val src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(path)
+          val q = build(src).writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          val t0 = System.nanoTime()
+          q.awaitTermination()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val state = Option(q.lastProgress)
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+          if (!quiet)
+            println(f"[scale] $name ${m}x: $secs%.2f s, final state rows $state")
+          (secs, state)
+        }
+        if (m == 1) { // untimed warmup: absorb JIT/codegen/state-store init
+          drain("stream_dedup", quiet = true)(df =>
+            EventPipeline.dedupedStream(df, Seq("event_id"), watermark = "90 minutes"))
+          drain("stream_session", quiet = true)(df =>
+            EventPipeline.sessionAgg(df.withWatermark("ts", "90 minutes")))
+        }
+        val (tDedup, sDedup) = drain("stream_dedup")(df =>
+          EventPipeline.dedupedStream(df, Seq("event_id"), watermark = "90 minutes"))
+        val (tSess, sSess) = drain("stream_session")(df =>
+          EventPipeline.sessionAgg(df.withWatermark("ts", "90 minutes")))
+        (m, m.toLong * n1, tDedup, sDedup, tSess, sSess)
+      }
+      val (m1, e1, td1, _, ts1, _) = exps.head
+      exps.tail.foreach { case (m, e, td, sd, tsx, ss) =>
+        val le = math.log(e.toDouble / e1)
+        println(f"[scale] exponents ${m1}x->${m}x (vs events): " +
+          f"dedup ${math.log(td / td1) / le}%.2f (state $sd), " +
+          f"session ${math.log(tsx / ts1) / le}%.2f (state $ss)")
+      }
+    }
+
     if (section == "importjob") {
       // The reference-fidelity ETL core at big multiples (run explicitly,
       // e.g. `ScaleSmoke 100 importjob` — not part of `all`): a 2-table
