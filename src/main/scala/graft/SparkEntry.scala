@@ -3310,6 +3310,25 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_prototype_prune" -> ((s, dir) => {
+      // data pruning by prototypicality (Sorscher et al. NeurIPS 2022):
+      // rank every vector by squared distance to its TRAINED k-means
+      // centroid, keep the hardest 30% per cell (the abundant-data
+      // regime). HASH-CHECKED: quantized Lloyd (q_ann_ivf) replays the
+      // trained cells, dist² = ‖v‖² + (−2·v·c + ‖c‖²) is the proven
+      // q_ann_recall fold arithmetic, and the keep floor is integer
+      // n·bp DIV 10⁴ — the whole selection replays in SQL. dist²
+      // projects as HALF_UP basis points per the cross-engine rule.
+      val emb = t(s, dir, "embeddings")
+      val cents = Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
+      graft.similarity.Prune.byPrototypicality(emb, "embedding", cents,
+        keepBp = 3000, keepHardest = true)
+        .select(col("vec_id"), col("centroid_id"),
+          floor(col("dist2") * 10000.0 + 0.5).cast("long").as("dist2_bp"),
+          col("cell_n"), col("drank"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_join_explosion" -> ((s, dir) => {
       // the join pre-flight, driver-gated: lower-bounds a self-join's
       // blowup from the heavy keys of both sides. The MG candidate
@@ -7142,6 +7161,69 @@ object SparkEntry {
         |FROM embeddings v LEFT JOIN reach r ON r.id = v.vec_id
         |GROUP BY v.vec_id
         |ORDER BY id""".stripMargin,
+
+    "q_prototype_prune" ->
+      // the Sorscher et al. pruning rule replayed end to end: quantized-
+      // Lloyd trained cells (the q_ann_ivf replay), dist² = ‖v‖² + score
+      // via the proven sequential folds, per-cell (dist² DESC, id) ranks,
+      // keep floor n·3000 DIV 10⁴ (min 1)
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+        |cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+        |         embedding AS c_emb
+        |  FROM embeddings, n
+        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  ORDER BY vec_id LIMIT 8),
+        |scores0 AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM embeddings e CROSS JOIN cents0 c),
+        |assign0 AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores0) WHERE rk = 1),
+        |expl1 AS (
+        |  SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
+        |         unnest(embedding) AS v
+        |  FROM assign0),
+        |sums1 AS (
+        |  SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+        |         count(*) AS nv
+        |  FROM expl1 GROUP BY cid, d),
+        |cents AS (
+        |  SELECT cid,
+        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
+        |  FROM sums1 GROUP BY cid),
+        |scores AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, embedding, cid, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores) WHERE rk = 1),
+        |d AS (
+        |  SELECT vec_id, cid,
+        |    list_aggregate(list_apply(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') + score AS dist2
+        |  FROM assign),
+        |r AS (
+        |  SELECT vec_id, cid, dist2,
+        |    count(*) OVER (PARTITION BY cid) AS cell_n,
+        |    CAST(row_number() OVER (PARTITION BY cid ORDER BY dist2 DESC, vec_id)
+        |      AS BIGINT) AS drank
+        |  FROM d)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id,
+        |  CAST(floor(dist2 * 10000 + 0.5) AS BIGINT) AS dist2_bp,
+        |  cell_n, drank,
+        |  drank <= greatest(1, cell_n * 3000 // 10000) AS kept
+        |FROM r ORDER BY vec_id""".stripMargin,
 
     "q_embedding_drift" ->
       // centroid-histogram PSI with the centroids TRAINED in-oracle: the

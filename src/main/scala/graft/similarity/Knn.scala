@@ -47,7 +47,7 @@ object Knn {
     * per-centroid expression took seconds of janino compilation per
     * action at 8×64 already).
     */
-  private def centroidScores(vec: Column, cents: Centroids): Column = {
+  private[similarity] def centroidScores(vec: Column, cents: Centroids): Column = {
     val cVecs = typedlit(cents.map(_._2.toSeq).toSeq)
     val cIds = typedlit(cents.map(_._1).toSeq)
     val cNorm2 = typedlit(cents.map(_._2.map(x => x.toDouble * x.toDouble).sum).toSeq)
@@ -79,6 +79,9 @@ object Knn {
     * cannot observe (KnnSpec's recall bound is unchanged). It is also
     * what makes the trained-centroid queries exactly replayable by the
     * DuckDB oracle (q_ann_ivf / q_semantic_dedup / q_embedding_drift).
+    * Overflow headroom: |floor(v·2^16)| ≤ 2^16·|v|, so for unit-scale
+    * embeddings the per-(centroid,dim) long sum is safe past 10^13
+    * assigned vectors — no realistic cell size approaches it.
     *
     * `sampleFraction` < 1 trains on a deterministic hash-sample of the
     * corpus — at 100 TB the centroids converge on ~1% of the data for
