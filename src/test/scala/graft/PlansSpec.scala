@@ -131,6 +131,24 @@ class PlansSpec extends SparkSuite {
     assert(keys.length === 1 && keys.head.contains("corpus_id"), plan)
   }
 
+  test("prototype pruning: the ONLY exchange is the per-cell window key") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val emb = spark.range(0, 200).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.array(
+        (col("id") % 7).cast("float"), lit(1f)).as("embedding"))
+    val cents: graft.similarity.Knn.Centroids =
+      Array(1 -> Array(0f, 1f), 2 -> Array(6f, 1f))
+    val out = graft.similarity.Prune.byPrototypicality(
+      emb, "embedding", cents, keepBp = 3000, keepHardest = true)
+    // assignment + dist² are a literal-folded pure map: everything up
+    // to the rank must ride ONE hash exchange on centroid_id (the IVF
+    // layout key) — a join against the centroid table or a second
+    // shuffle would break the 100 TB shape
+    val keys = shuffleKeys(out)
+    assert(keys.length === 1 && keys.head.contains("centroid_id"),
+      out.queryExecution.executedPlan.toString)
+  }
+
   test("DSIR scoring pass is shuffle-free (row-local folds + literal weights)") {
     val target = docsDf.filter($"doc_id" % 10 === 0)
     val scored = graft.pipelines.Dsir.importanceScores(
