@@ -3310,6 +3310,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_temperature_sample" -> ((s, dir) => {
+      // temperature-based language sampling (the mBERT/XLM-R/mT5 p^α
+      // convention, α pinned at 0.5 — sqrt is the one IEEE-exact
+      // power): quotas = largest-remainder apportionment of the budget
+      // over floor(sqrt(n)·2^20) fixed-point weights (ALL-INTEGER after
+      // the sqrt, so order-free and HUGEINT-replayable), keep = each
+      // language's portable-hash top-quota. Upweights low-resource
+      // langs vs proportional; hash-checked from birth.
+      val docs = t(s, dir, "documents")
+      val h = (col("doc_id") % 1048573L) * 2654435761L % 1000000L
+      graft.pipelines.Mixture.temperatureSample(docs, "lang", "doc_id",
+        budget = 200L, h)
+        .select(col("doc_id"), col("lang"), col("srank"), col("quota"),
+          col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_prototype_prune" -> ((s, dir) => {
       // data pruning by prototypicality (Sorscher et al. NeurIPS 2022):
       // rank every vector by squared distance to its TRAINED k-means
@@ -7161,6 +7178,37 @@ object SparkEntry {
         |FROM embeddings v LEFT JOIN reach r ON r.id = v.vec_id
         |GROUP BY v.vec_id
         |ORDER BY id""".stripMargin,
+
+    "q_temperature_sample" ->
+      // α=0.5 temperature quotas replayed exactly: fixed-point sqrt
+      // weights, HUGEINT largest-remainder apportionment (remainder
+      // ties by lang), per-lang portable-hash ranks
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq
+        |  FROM counts),
+        |tot AS (SELECT CAST(sum(wq) AS HUGEINT) AS tw FROM w),
+        |q0 AS (
+        |  SELECT lang, wq,
+        |    CAST(200 AS HUGEINT) * wq // tw AS base,
+        |    CAST(200 AS HUGEINT) * wq % tw AS rem
+        |  FROM w, tot),
+        |d AS (SELECT 200 - CAST(sum(base) AS BIGINT) AS deficit FROM q0),
+        |quota AS (
+        |  SELECT lang, CAST(base AS BIGINT) +
+        |    CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= deficit
+        |         THEN 1 ELSE 0 END AS quota
+        |  FROM q0, d),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id % 1048573) * 2654435761 % 1000000, doc_id)
+        |      AS BIGINT) AS srank
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.srank, q.quota, r.srank <= q.quota AS kept
+        |FROM ranked r JOIN quota q USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_prototype_prune" ->
       // the Sorscher et al. pruning rule replayed end to end: quantized-

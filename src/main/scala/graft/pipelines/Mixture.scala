@@ -93,6 +93,75 @@ object Mixture {
       .withColumnRenamed("__prio", "priority_q")
   }
 
+  /** Temperature-based group quotas — the multilingual-LLM sampling
+    * convention (mBERT / XLM-R / mT5): sample groups ∝ p^α with
+    * α = 0.5, upweighting low-resource languages relative to
+    * proportional sampling. α is PINNED at 0.5 because sqrt is the one
+    * power with a correctly-rounded IEEE contract — any engine
+    * reproduces it bit-exactly (a general pow is a libm hazard, the
+    * SURVEY §6 rule).
+    *
+    * All the arithmetic after the sqrt is INTEGER, so the apportionment
+    * is order-independent and exactly replayable: each group's weight
+    * quantizes to wq = floor(sqrt(n)·2^20), W = Σ wq is an exact long
+    * sum, and `budget` splits by largest remainder over DECIMAL(38,0)
+    * products (budget·wq never overflows; remainders tie-break by
+    * group) — Σ quota == budget exactly, every nonempty group keeps
+    * its floor (which may be 0 for a tiny group: the apportionment is
+    * exact, not a minimum guarantee).
+    *
+    * Scale shape: the counts frame is #groups rows (bounded BY CONTRACT
+    * — languages/sources, the centroid-table tier; `maxGroups` guards
+    * the collect), quotas fold back as a literal CASE, and the keep
+    * decision is ONE keyed window per group ordered by (hash6, id).
+    */
+  def temperatureQuotas(counts: Seq[(String, Long)], budget: Long): Map[String, Long] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(counts.nonEmpty, "temperatureQuotas over no groups")
+    require(counts.map(_._1).distinct.size == counts.size, "duplicate groups")
+    val wq = counts.sortBy(_._1).map { case (g, n) =>
+      require(n > 0, s"group $g has non-positive count $n")
+      (g, math.floor(math.sqrt(n.toDouble) * 1048576.0).toLong)
+    }
+    val W = wq.map(w => BigInt(w._2)).sum
+    val base = wq.map { case (g, w) =>
+      val prod = BigInt(budget) * w
+      (g, (prod / W).toLong, prod % W)
+    }
+    val deficit = budget - base.map(_._2).sum
+    val bump = base.sortBy { case (g, _, rem) => (-rem, g) }
+      .take(deficit.toInt).map(_._1).toSet
+    base.map { case (g, b, _) => g -> (b + (if (bump(g)) 1L else 0L)) }.toMap
+  }
+
+  /** Keep each group's portable-hash top-quota rows (rank by
+    * (hash6, id)); output carries (srank, quota, kept) for auditing —
+    * filter on `kept` to materialize. See [[temperatureQuotas]].
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        budget: Long, hash6: Column,
+                        maxGroups: Int = 10000): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).count()
+      .limit(maxGroups + 1).collect()
+    require(counts.length <= maxGroups,
+      s"temperatureSample: more than $maxGroups groups — temperature " +
+        s"sampling is a per-language/per-source recipe; bucket the group " +
+        s"column first or raise maxGroups")
+    require(counts.forall(!_.isNullAt(0)),
+      s"temperatureSample: NULL $groupCol — impute or filter the group " +
+        "column first (a null language has no sampling temperature)")
+    val quotas = temperatureQuotas(
+      counts.map(r => (r.getString(0), r.getLong(1))).toSeq, budget)
+    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (g, q)) =>
+      when(col(groupCol) === g, lit(q)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(hash6.asc, col(idCol).asc)
+    df.withColumn("srank", row_number().over(w).cast("long"))
+      .withColumn("quota", quotaCol)
+      .withColumn("kept", col("srank") <= col("quota"))
+  }
+
   /** Deterministic dataset split (train/val/test): ordered
     * (label, fraction) buckets over a uniform hash — every row gets the
     * first label whose cumulative fraction exceeds its `u`, so the

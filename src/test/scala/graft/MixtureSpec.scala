@@ -113,4 +113,47 @@ class MixtureSpec extends SparkSuite {
       .select("id").as[Long].collect()
     assert(again.sorted === picked.sorted)
   }
+
+  test("temperatureQuotas: exact sqrt apportionment, largest-remainder bump") {
+    // counts 100 vs 400: sqrt weights 10:20 split a budget of 30
+    // EXACTLY 10:20 (all remainders zero — hand-checkable)
+    assert(Mixture.temperatureQuotas(Seq("a" -> 100L, "b" -> 400L), 30L)
+      === Map("a" -> 10L, "b" -> 20L))
+    // counts 2 vs 3, budget 3: both floors are 1; b's remainder is
+    // larger, so b takes the bump — sum is exactly the budget
+    assert(Mixture.temperatureQuotas(Seq("a" -> 2L, "b" -> 3L), 3L)
+      === Map("a" -> 1L, "b" -> 2L))
+  }
+
+  test("temperatureSample upweights low-resource groups and is partition-stable") {
+    // 1600 docs in src0, 100 in each of src1..3: proportional sampling
+    // gives src0 84%; sqrt temperature must pull it down toward 57%
+    val skewed = ((0L until 1600L).map(i => (i, "big")) ++
+      (0L until 300L).map(i => (2000L + i, s"small${i % 3}")))
+      .toDF("doc_id", "lang")
+    val h = (col("doc_id") % 1048573L) * 2654435761L % 1000000L
+    val out = Mixture.temperatureSample(skewed, "lang", "doc_id", 100L, h)
+    val quotas = out.filter(col("kept")).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(quotas.values.sum === 100L)
+    // sqrt weights: 40 vs 10+10+10 -> big gets 40/70 ≈ 57, each small ≈ 14
+    assert(quotas("big") >= 55L && quotas("big") <= 59L, quotas.toString)
+    assert(quotas("small0") >= 13L && quotas("small0") <= 16L)
+    // proportional would have been 84 — the temperature bites
+    // partition-stability: the kept SET is identical after a reshuffle
+    val kept1 = out.filter(col("kept")).select("doc_id").as[Long].collect().sorted
+    val kept2 = Mixture.temperatureSample(skewed.repartition(17), "lang",
+        "doc_id", 100L, h)
+      .filter(col("kept")).select("doc_id").as[Long].collect().sorted
+    assert(kept1 === kept2)
+  }
+
+  test("temperatureSample fails loudly on a NULL group") {
+    val withNull = Seq((1L, "en"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "lang")
+    val err = intercept[IllegalArgumentException] {
+      Mixture.temperatureSample(withNull, "lang", "doc_id", 1L, col("doc_id"))
+    }
+    assert(err.getMessage.contains("NULL lang"))
+  }
 }
