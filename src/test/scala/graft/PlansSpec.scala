@@ -149,6 +149,22 @@ class PlansSpec extends SparkSuite {
       out.queryExecution.executedPlan.toString)
   }
 
+  test("temperature sampling: quotas ride a literal CASE, one window exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.range(0, 500).selectExpr("id AS doc_id",
+      "CASE WHEN id % 5 = 0 THEN 'fr' ELSE 'en' END AS lang")
+    val out = graft.pipelines.Mixture.temperatureSample(
+      docs, "lang", "doc_id", budget = 50L,
+      (col("doc_id") % 1048573L) * 2654435761L % 1000000L)
+    // the quota table folds back as a literal CASE — the keep pass must
+    // NOT join against the counts frame; its one exchange is the
+    // per-group rank window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    val keys = shuffleKeys(out)
+    assert(keys.length === 1 && keys.head.contains("lang"), plan)
+  }
+
   test("DSIR scoring pass is shuffle-free (row-local folds + literal weights)") {
     val target = docsDf.filter($"doc_id" % 10 === 0)
     val scored = graft.pipelines.Dsir.importanceScores(
