@@ -148,6 +148,21 @@ class MixtureSpec extends SparkSuite {
     assert(kept1 === kept2)
   }
 
+  test("temperatureSample: a budget beyond the corpus keeps whole groups") {
+    // the apportionment is exact, not capacity-aware: a group whose
+    // quota exceeds its size simply keeps every row (srank never
+    // reaches the quota), so total kept is the corpus, not the budget
+    val tiny = ((0L until 8L).map(i => (i, "en")) ++
+      (100L until 103L).map(i => (i, "fr"))).toDF("doc_id", "lang")
+    val out = Mixture.temperatureSample(tiny, "lang", "doc_id", 1000L,
+      (col("doc_id") % 1048573L) * 2654435761L % 1000000L)
+    assert(out.filter(col("kept")).count() === 11L)
+    val quotas = out.select("lang", "quota").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(quotas.values.sum === 1000L) // quotas still sum to the budget
+    assert(quotas("en") > 8L && quotas("fr") > 3L)
+  }
+
   test("temperatureSample fails loudly on a NULL group") {
     val withNull = Seq((1L, "en"), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "lang")
