@@ -1978,8 +1978,14 @@ object SparkEntry {
       // gradients (the corpus has no binary media), decoded and hashed
       // by the all-integer 8×8 luma average-hash, paired through the
       // same hammingPairs64 bucket machinery text SimHash rides.
-      // Rows-only: engine-specific sketch; MultimodalSpec pins the
-      // kernel (identical collide, edits stay near, inversion far).
+      // HASH-CHECKED (round 9, the q_audio_segments move): PNG is
+      // LOSSLESS, so the decoded pixels equal the synthesized ones and
+      // the aHash is a pure integer function of doc_id (gray gradient ⇒
+      // luma == v exactly; patch ⇒ 255; bit c set iff cellSum·64 >
+      // totalSum) — the oracle derives every hash closed-form and takes
+      // ALL pairs within hamming 3 (the 4×16-bit pigeonhole is complete
+      // there), verifying the PNG encode → ImageIO decode → aHash →
+      // bucket chain from outside. MultimodalSpec still pins the kernel.
       val payloads = Multimodal.syntheticPngPayloads(
         t(s, dir, "documents").filter(col("doc_id") < 120).select(col("doc_id")))
       val hashed = Multimodal.perceptualHashes(payloads,
@@ -10436,6 +10442,49 @@ object SparkEntry {
         |  WHERE n IS NOT NULL)
         |SELECT doc_id, frame_idx, frame_bytes FROM f
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_multimodal_phash" ->
+      // closed-form replay of the synthesized-image aHash: PNG is
+      // lossless, so decoded luma == the synthesized gray value v (luma
+      // of (v,v,v) is exactly v; the planted 4×4 patch is 255), the 8×8
+      // cells are exact 4×4 tiles of the 32×32 grid, bit c sets iff
+      // cellSum·64 > totalSum, and the signed-64 hash assembles via the
+      // q_simhash HUGEINT two's-complement pattern; pairs = ALL pairs
+      // within hamming 3 (the chunk pigeonhole is complete there)
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |lum AS (
+        |  SELECT i.doc_id, gx.x, gy.y,
+        |    CASE WHEN gy.y < 4 AND gx.x >= (i.doc_id % 8) * 4
+        |              AND gx.x < (i.doc_id % 8) * 4 + 4 THEN 255
+        |         ELSE (gx.x * (1 + (i.doc_id // 3) % 5)
+        |               + gy.y * ((i.doc_id // 3) % 7)) * 255
+        |              // greatest(31 * (1 + (i.doc_id // 3) % 5)
+        |                         + 31 * ((i.doc_id // 3) % 7), 1)
+        |    END AS v
+        |  FROM ids i,
+        |    LATERAL unnest(generate_series(0, 31)) AS gx(x),
+        |    LATERAL unnest(generate_series(0, 31)) AS gy(y)),
+        |cells AS (
+        |  SELECT doc_id, (y // 4) * 8 + (x // 4) AS c, sum(v) AS cs
+        |  FROM lum GROUP BY 1, 2),
+        |tots AS (SELECT doc_id, sum(cs) AS ts FROM cells GROUP BY 1),
+        |shu AS (
+        |  SELECT c.doc_id,
+        |    sum(CASE WHEN c.cs * 64 > t.ts
+        |        THEN CAST(CAST(1 AS UBIGINT) << CAST(c.c AS INT) AS HUGEINT)
+        |        ELSE CAST(0 AS HUGEINT) END) AS u
+        |  FROM cells c JOIN tots t USING (doc_id)
+        |  GROUP BY c.doc_id),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN u >= 9223372036854775808
+        |              THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS sh
+        |  FROM shu)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_audio_segments" ->
       // closed-form replay of the planted WAV layout: per doc the segment
