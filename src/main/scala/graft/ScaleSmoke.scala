@@ -22,9 +22,12 @@ object ScaleSmoke {
 
     def replicate(name: String, idCol: String): String = {
       val df = Tables.load(spark, base, name)
-      val n = df.count()
+      // shift by max(id)+1, not count+1: sparse or non-zero-based ids
+      // would otherwise collide across copies, breaking the
+      // "unique keys, same distribution" premise of the ramp
+      val shift = df.agg(max(col(idCol))).head().getLong(0) + 1L
       val copies = (0 until mult).map(i =>
-        df.withColumn(idCol, col(idCol) + lit(i * (n + 1))))
+        df.withColumn(idCol, col(idCol) + lit(i * shift)))
       val path = s"$out/$name"
       copies.reduce(_ unionByName _).write.mode("overwrite").parquet(path)
       path
@@ -794,6 +797,60 @@ object ScaleSmoke {
         println(f"[scale] neardup exponents 1x->${m}x (vs docs): " +
           f"simhash ${math.log(ts / ts1) / ln}%.2f, " +
           f"minhash ${math.log(tm / tm1) / ln}%.2f")
+      }
+    }
+
+    if (section == "pq") {
+      // The IVF-PQ memory claim, measured (run explicitly, e.g.
+      // `ScaleSmoke 100 pq`): the persisted ANN index must grow with
+      // CODES (m bytes/row), not floats (4·dim bytes/row) — at 100 TB of
+      // embeddings that ratio is the difference between an index that
+      // fits the cluster's memory/disk budget and one that doesn't.
+      // Three measurements per multiple: encode wall-clock (must stay
+      // linear — it's a pure map), both index byte sizes, and the ratio
+      // (should hold ~constant ≈ 4·dim/m across multiples).
+      import graft.similarity.Pq
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+          else if (f.getName.endsWith(".parquet")) f.length() else 0L
+        walk(new java.io.File(p))
+      }
+      val emb1 = Tables.load(spark, base, "embeddings")
+      val shift = emb1.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      // untimed warmup (JIT + codegen for the encode kernel)
+      locally {
+        val co = Knn.trainCentroids(emb1, 16, 1)
+        val bk = Pq.trainCodebooks(Pq.residualFrame(emb1, co), 8, 8, 16, iters = 1)
+        Pq.encodeCorpus(emb1, co, bk, 8).count()
+      }
+      val exps = Seq(1, math.max(mult / 10, 2), mult).distinct.map { mu =>
+        val path = s"$out/pq_emb_$mu"
+        (0 until mu).map(i => emb1.withColumn("vec_id", col("vec_id") + lit(i * shift)))
+          .reduce(_ unionByName _).repartition(64)
+          .write.mode("overwrite").parquet(path)
+        val corpus = spark.read.parquet(path)
+        val n = corpus.count()
+        // codebooks train on a hash-sample at big multiples — the 100 TB
+        // path; the full corpus is only touched by the encode map
+        val frac = if (mu > 10) 0.1 else 1.0
+        val coarse = Knn.trainCentroids(corpus, 16, 1, sampleFraction = frac)
+        val books = Pq.trainCodebooks(Pq.residualFrame(corpus, coarse),
+          m = 8, subDim = 8, k = 16, iters = 1, sampleFraction = frac)
+        val t = time(s"pq encode ${mu}x")(
+          Pq.encodeCorpus(corpus, coarse, books, subDim = 8).count())
+        Knn.writeIndex(corpus, coarse, s"$out/pq_float_$mu")
+        Pq.writeIndex(corpus, coarse, books, subDim = 8, s"$out/pq_codes_$mu")
+        val fb = dirBytes(s"$out/pq_float_$mu")
+        val pb = dirBytes(s"$out/pq_codes_$mu")
+        println(f"[scale] pq index ${mu}x: $n rows, float $fb bytes, " +
+          f"pq $pb bytes, ratio ${fb.toDouble / pb}%.1f")
+        (mu, n, t)
+      }
+      val (_, n1, t1) = exps.head
+      exps.tail.foreach { case (mu, n, t) =>
+        println(f"[scale] pq encode exponent 1x->${mu}x: " +
+          f"${math.log(t / t1) / math.log(n.toDouble / n1)}%.2f")
       }
     }
 

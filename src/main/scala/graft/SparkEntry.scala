@@ -8,7 +8,7 @@ import graft.operators._
 import graft.functions.{Fingerprint, GramHash, TextFunctions, VectorFunctions}
 import graft.plans.{ImportJob, Quarantine, TableOrder}
 import graft.dedup.{Clusters, NearDup}
-import graft.similarity.Knn
+import graft.similarity.{Knn, Pq}
 import graft.multimodal.Multimodal
 import graft.streaming.EventPipeline
 
@@ -1837,6 +1837,25 @@ object SparkEntry {
         .select(col("query_id"),
           (coalesce(col("n_hit"), lit(0L)) * 10000L / k).cast("long").as("recall_bp"))
         .orderBy(col("query_id"))
+    }),
+
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // HASH-CHECKED from birth: IVFADC (Jégou et al. TPAMI 2011) with
+      // every trained stage bit-deterministic — coarse centroids AND the
+      // four per-subspace codebooks come from the quantized Lloyd
+      // (order-free fixed-point sums, one IEEE division per dim), the
+      // residuals are exact float narrowings, and the ADC lookup table
+      // is floor(2^16·d²) longs so the reported distance is an exact
+      // integer sum. The oracle replays the WHOLE pipeline: coarse
+      // seeds → Lloyd → assignment → residuals → per-subspace seeds →
+      // Lloyd → codes → probes → query residual → LUT → integer top-k.
+      val emb = t(s, dir, "embeddings")
+      val coarse = Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
+      val books = Pq.trainCodebooks(Pq.residualFrame(emb, coarse),
+        m = 4, subDim = 16, k = 8, iters = 1)
+      Pq.ivfpqTopK(emb, emb.filter(col("vec_id") < 10), coarse, books,
+        subDim = 16, k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
     "q_dedup_clusters" -> ((s, dir) => {
@@ -7113,6 +7132,133 @@ object SparkEntry {
         |    FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
         |    WHERE a.vec_id <> p.query_id))
         |WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_ann_ivfpq" ->
+      // IVFADC replayed end to end: the q_ann_ivf coarse replay (seeds →
+      // one quantized-Lloyd round → trained assignment → 2-probe routing)
+      // extended with exact-float residuals, per-subspace codebook
+      // training (the SAME fixed-point Lloyd on 16-dim slices, the same
+      // seed vec_ids by construction), PQ code assignment, the
+      // floor(2^16·d²) BIGINT lookup table per (query, probed bucket),
+      // and the exact-integer ADC top-5.
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+        |cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+        |         embedding AS c_emb
+        |  FROM embeddings, n
+        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  ORDER BY vec_id LIMIT 8),
+        |scores0 AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM embeddings e CROSS JOIN cents0 c),
+        |assign0 AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores0) WHERE rk = 1),
+        |expl1 AS (
+        |  SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
+        |         unnest(embedding) AS v
+        |  FROM assign0),
+        |sums1 AS (
+        |  SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+        |         count(*) AS nv
+        |  FROM expl1 GROUP BY cid, d),
+        |cents AS (
+        |  SELECT cid,
+        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
+        |  FROM sums1 GROUP BY cid),
+        |scores AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, embedding, cid AS centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores) WHERE rk = 1),
+        |resid AS (
+        |  SELECT a.vec_id, a.centroid_id,
+        |    list_apply(list_zip(a.embedding, c.c_emb),
+        |      x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS REAL)) AS r_emb
+        |  FROM assign a JOIN cents c ON a.centroid_id = c.cid),
+        |ms AS (SELECT unnest(range(1, 5)) AS m),
+        |rsub AS (
+        |  SELECT r.vec_id, r.centroid_id, ms.m,
+        |    list_slice(r.r_emb, (ms.m - 1) * 16 + 1, ms.m * 16) AS sv
+        |  FROM resid r CROSS JOIN ms),
+        |bseed_ids AS (
+        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS bid
+        |  FROM (SELECT vec_id FROM resid, n WHERE vec_id % greatest(1, cnt // 8) = 0
+        |        ORDER BY vec_id LIMIT 8)),
+        |bseeds AS (
+        |  SELECT s.bid, r.m, r.sv AS b_emb
+        |  FROM bseed_ids s JOIN rsub r ON r.vec_id = s.vec_id),
+        |bscores0 AS (
+        |  SELECT r.vec_id, r.m, r.sv, b.bid,
+        |    -2 * list_aggregate(list_apply(list_zip(r.sv, b.b_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(b.b_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM rsub r JOIN bseeds b ON b.m = r.m),
+        |bassign0 AS (
+        |  SELECT vec_id, m, sv, bid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY score, bid) AS rk
+        |    FROM bscores0) WHERE rk = 1),
+        |bexpl AS (
+        |  SELECT m, bid, unnest(range(1, len(sv) + 1)) AS d, unnest(sv) AS v
+        |  FROM bassign0),
+        |bsums AS (
+        |  SELECT m, bid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+        |         count(*) AS nv
+        |  FROM bexpl GROUP BY m, bid, d),
+        |books AS (
+        |  SELECT m, bid,
+        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS b_emb
+        |  FROM bsums GROUP BY m, bid),
+        |bscores AS (
+        |  SELECT r.vec_id, r.centroid_id, r.m, b.bid,
+        |    -2 * list_aggregate(list_apply(list_zip(r.sv, b.b_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(b.b_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM rsub r JOIN books b ON b.m = r.m),
+        |codes AS (
+        |  SELECT vec_id, centroid_id, m, bid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY score, bid) AS rk
+        |    FROM bscores) WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, cid AS centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores WHERE vec_id < 10) WHERE rk <= 2),
+        |qres AS (
+        |  SELECT p.query_id, p.centroid_id,
+        |    list_apply(list_zip(p.q_emb, c.c_emb),
+        |      x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS REAL)) AS qr
+        |  FROM probes p JOIN cents c ON p.centroid_id = c.cid),
+        |lut AS (
+        |  SELECT q.query_id, q.centroid_id, b.m, b.bid,
+        |    CAST(floor(65536.0 * list_aggregate(
+        |      list_apply(list_zip(list_slice(q.qr, (b.m - 1) * 16 + 1, b.m * 16), b.b_emb),
+        |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')) AS BIGINT) AS d_q
+        |  FROM qres q CROSS JOIN books b),
+        |scored AS (
+        |  SELECT l.query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(l.d_q) AS BIGINT) AS adc_dist
+        |  FROM codes c
+        |  JOIN lut l ON l.centroid_id = c.centroid_id AND l.m = c.m AND l.bid = c.bid
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adc_dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+        |  FROM scored) WHERE rk <= 5
         |ORDER BY query_id, neighbor_id""".stripMargin,
 
     "q_semantic_dedup" ->

@@ -1,0 +1,184 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: product quantization with asymmetric-distance (ADC) search
+  * (Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011 — public knowledge).
+  *
+  * The memory rung the float32 IVF index lacks: a dim-64 float vector is
+  * 256 bytes; its PQ form is `m` single-byte codes (4 bytes at m=4) — the
+  * difference between an embedding index that fits executor memory at
+  * 100 TB and one that does not. The recipe:
+  *
+  *   - split each vector into `m` contiguous subspaces of `subDim` dims;
+  *   - train an independent K-entry codebook per subspace with the
+  *     EXISTING quantized Lloyd ([[Knn.trainCentroids]] on a sliced
+  *     projection) — bit-deterministic, so the trained codebooks are
+  *     DuckDB-replayable exactly like the coarse IVF centroids;
+  *   - encode: per subspace, argmin codebook entry — a pure map
+  *     expression over the corpus, zero shuffle (the [[Knn]] scoring
+  *     kernel on the subvector);
+  *   - search (IVFADC): corpus vectors are encoded as RESIDUALS from
+  *     their coarse centroid; a query probes `nProbe` coarse buckets,
+  *     takes its own residual against each probed centroid, builds one
+  *     m×K lookup table of QUANTIZED squared distances (`floor(d·2^16)`
+  *     longs), and scores every candidate code with `m` array lookups
+  *     and an exact integer sum — no float math per candidate, and the
+  *     integer ADC distance is hash-stable across engines by
+  *     construction.
+  *
+  * Reference tie-in: the reference has no ANN tier; this extends the
+  * brief-mandated similarity-search family (SURVEY §2C) to the published
+  * corpus-scale memory shape.
+  */
+object Pq {
+
+  /** One codebook per subspace, each a [[Knn.Centroids]] (ids 1..k). */
+  type Codebooks = Array[Knn.Centroids]
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** Train `books.length = m` codebooks of `k` entries each on the
+    * `subDim`-wide slices of `vecCol`. One [[Knn.trainCentroids]] run per
+    * subspace (m is small — 4..16); the frame is persisted across them so
+    * the corpus is scanned once per Lloyd round, not once per subspace
+    * read. `sampleFraction` rides through: at 100 TB codebooks train on a
+    * deterministic hash-sample like the coarse quantizer does.
+    */
+  def trainCodebooks(frame: DataFrame, m: Int, subDim: Int, k: Int,
+                     iters: Int = 1, sampleFraction: Double = 1.0): Codebooks = {
+    require(m > 0 && subDim > 0, "m and subDim must be positive")
+    val cached = frame.select(col("vec_id"), col("embedding")).persist()
+    try (0 until m).map { i =>
+      Knn.trainCentroids(
+        cached.select(col("vec_id"),
+          slice(col("embedding"), i * subDim + 1, subDim).as("embedding")),
+        nCentroids = k, iters = iters, sampleFraction = sampleFraction)
+    }.toArray
+    finally cached.unpersist()
+  }
+
+  /** Residual of `vec` against the coarse centroid `cid` points at:
+    * `float(double(v_d) − double(c_d))` per dim. The double difference of
+    * two floats is EXACT (no rounding), and the float narrowing is one
+    * correctly-rounded IEEE op — so the residual is engine-portable and
+    * the DuckDB oracle reproduces it bit-for-bit.
+    */
+  private[similarity] def residualExpr(vec: Column, cid: Column,
+                                       coarse: Knn.Centroids): Column = {
+    // keyed by id, not position: a Lloyd round can drop an emptied
+    // centroid, leaving non-contiguous ids
+    val byId = typedlit(coarse.map { case (id, v) => id -> v.toSeq }.toMap)
+    zip_with(vec, element_at(byId, cid),
+      (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+  }
+
+  /** PQ codes for a (residual) vector: per subspace, the argmin codebook
+    * entry id — `array<int>` of length m, ids 1-based. Pure map: the
+    * codebooks travel as literals, scoring is the [[Knn.centroidScores]]
+    * kernel on each slice, zero shuffle.
+    */
+  def encodeExpr(vec: Column, books: Codebooks, subDim: Int): Column =
+    array(books.zipWithIndex.map { case (book, i) =>
+      array_min(Knn.centroidScores(slice(vec, i * subDim + 1, subDim), book))
+        .getField("col2")
+    }: _*)
+
+  /** The ADC lookup table for one query (residual) vector: per subspace a
+    * map from codebook-entry ID to `floor(2^16 · ‖q_i − c‖²)` as a long.
+    * Keyed by id, not position — a Lloyd round can drop an emptied
+    * centroid, and codes carry ids. Built once per (query, probed
+    * bucket) — a handful of rows — then broadcast; per candidate the
+    * scorer does m map reads and an integer sum.
+    */
+  def lutExpr(vec: Column, books: Codebooks, subDim: Int): Column =
+    array(books.zipWithIndex.map { case (book, i) =>
+      val sub = slice(vec, i * subDim + 1, subDim)
+      val bVecs = typedlit(book.map(_._2.toSeq).toSeq)
+      val bIds = typedlit(book.map(_._1).toSeq)
+      map_from_arrays(bIds,
+        transform(sequence(lit(1), lit(book.length)), j =>
+          floor(lit(65536.0) * sqDist(sub, element_at(bVecs, j))).cast("long")))
+    }: _*)
+
+  /** Asymmetric distance: Σ_i lut[i][code_i] — m lookups, exact long sum. */
+  def adcDistExpr(codes: Column, lut: Column, m: Int): Column =
+    aggregate(sequence(lit(1), lit(m)), lit(0L),
+      (acc, i) => acc + element_at(element_at(lut, i), element_at(codes, i)))
+
+  /** The corpus encoded for the IVF-PQ index: coarse bucket + residual PQ
+    * codes, `(vec_id, centroid_id, codes)`. One narrow projection — the
+    * float embedding column is DROPPED, which is the whole point: the
+    * index row is a bucket id plus m small ints.
+    */
+  def encodeCorpus(corpus: DataFrame, coarse: Knn.Centroids,
+                   books: Codebooks, subDim: Int): DataFrame = {
+    val assigned = Knn.withAssignment(corpus, coarse)
+    assigned.select(col("vec_id"), col("centroid_id"),
+      encodeExpr(residualExpr(col("embedding"), col("centroid_id"), coarse),
+        books, subDim).as("codes"))
+  }
+
+  /** Residual frame for codebook training: `(vec_id, embedding)` where
+    * embedding is the residual from the assigned trained coarse centroid.
+    */
+  def residualFrame(corpus: DataFrame, coarse: Knn.Centroids): DataFrame =
+    Knn.withAssignment(corpus, coarse)
+      .select(col("vec_id"),
+        residualExpr(col("embedding"), col("centroid_id"), coarse).as("embedding"))
+
+  /** IVFADC top-k: probe `nProbe` coarse buckets per query, score every
+    * candidate's PQ codes against the per-(query,bucket) lookup table,
+    * keep the k smallest integer distances (ties by vec_id).
+    *
+    * Scale shape: the corpus side is assign→residual→encode — pure
+    * codegen map, zero shuffle, and the scored payload per candidate is
+    * m ints, not dim floats. The probe side is queries×nProbe rows
+    * carrying m×K longs each — broadcast. One window per query id caps
+    * the result; candidate count per query is bounded by the probed
+    * buckets, the same contract as [[Knn.ivfTopK]].
+    */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, coarse: Knn.Centroids,
+                books: Codebooks, subDim: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val m = books.length
+    val encoded = encodeCorpus(corpus, coarse, books, subDim)
+
+    val probeIds = (vec: Column) =>
+      slice(transform(array_sort(Knn.centroidScores(vec, coarse)),
+        s => s.getField("col2")), 1, nProbe)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probeIds(col("embedding"))).as("centroid_id"))
+      .select(col("query_id"), col("centroid_id"),
+        lutExpr(residualExpr(col("q_emb"), col("centroid_id"), coarse),
+          books, subDim).as("lut"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))
+    encoded.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", adcDistExpr(col("codes"), col("lut"), m))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
+
+  /** Persist the PQ index: bucket-partitioned parquet of
+    * `(vec_id, codes: array<tinyint>)` — codes fit a byte each (K ≤ 127),
+    * so the stored row is m bytes of payload vs 4·dim for floats. Probing
+    * reads only the probed buckets' directories, same layout contract as
+    * [[Knn.writeIndex]].
+    */
+  def writeIndex(corpus: DataFrame, coarse: Knn.Centroids, books: Codebooks,
+                 subDim: Int, path: String): Unit =
+    graft.sources.Sink.writePartitioned(
+      encodeCorpus(corpus, coarse, books, subDim)
+        .withColumn("codes", transform(col("codes"), _.cast("byte"))),
+      path, Seq("centroid_id"))
+}
