@@ -3861,6 +3861,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_kneser_ney" -> ((s, dir) => {
+      // order-3 interpolated Kneser-Ney — the published CCNet/KenLM
+      // perplexity-filter rung above the logloss pair: continuation
+      // counts as plain grouped counts over the trigram table, the
+      // D=0.75 absolute-discount chain in pinned doubles, surprisal
+      // quantized once per distinct trigram, exact BIGINT doc sums
+      graft.pipelines.Lexical.kneserNeyLogloss(
+        t(s, dir, "documents"), "doc_id", "text", discountBp = 7500)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_bpe_train" -> ((s, dir) => {
       // BPE vocabulary induction (Sennrich et al. 2016): the subword
       // merge table trained on the corpus' word-frequency frame — all
@@ -10284,6 +10295,51 @@ object SparkEntry {
         |  CAST(sum(tf.tf * l.l) AS BIGINT) AS surprisal2_q,
         |  CAST(sum(tf.tf * l.l) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS mean_surprisal2_q
         |FROM tf JOIN l ON tf.w1 = l.w1 AND tf.w2 = l.w2
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+
+    "q_kneser_ney" ->
+      // interpolated KN replayed verbatim: all five smoothing statistics
+      // are grouped counts over the distinct-trigram table; the D=0.75
+      // discount chain is written in the SAME operation order as the
+      // Spark expression (IEEE +,·,÷,greatest are correctly rounded both
+      // engines); one ln per distinct trigram at the 10^4 floor grain
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (
+        |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |          i -> {'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]})) AS g
+        |        FROM toks WHERE len(t) >= 3) q
+        |  GROUP BY 1, 2, 3, 4),
+        |c3 AS (SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS c3 FROM tf GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12, count(*) AS n12dot
+        |        FROM c3 GROUP BY 1, 2),
+        |cont23 AS (SELECT w2, w3, count(*) AS n23 FROM c3 GROUP BY 1, 2),
+        |mid AS (SELECT w2, count(*) AS nmid FROM c3 GROUP BY 1),
+        |w2dot AS (SELECT w2, count(*) AS nw2dot FROM cont23 GROUP BY 1),
+        |cont3 AS (SELECT w3, count(*) AS n3 FROM cont23 GROUP BY 1),
+        |nall AS (SELECT count(*) AS nall FROM cont23),
+        |l AS (
+        |  SELECT c3.w1, c3.w2, c3.w3,
+        |    CAST(floor(-10000.0 * ln(
+        |      (greatest(CAST(c3.c3 AS DOUBLE) - 0.75, 0.0)
+        |        + 0.75 * CAST(c12.n12dot AS DOUBLE) *
+        |          ((greatest(CAST(cont23.n23 AS DOUBLE) - 0.75, 0.0)
+        |            + 0.75 * CAST(w2dot.nw2dot AS DOUBLE) *
+        |              (CAST(cont3.n3 AS DOUBLE) / CAST(nall.nall AS DOUBLE)))
+        |           / CAST(mid.nmid AS DOUBLE)))
+        |      / CAST(c12.c12 AS DOUBLE)) + 0.5) AS BIGINT) AS l
+        |  FROM c3 JOIN c12 ON c3.w1 = c12.w1 AND c3.w2 = c12.w2
+        |  JOIN cont23 ON c3.w2 = cont23.w2 AND c3.w3 = cont23.w3
+        |  JOIN mid ON c3.w2 = mid.w2
+        |  JOIN w2dot ON c3.w2 = w2dot.w2
+        |  JOIN cont3 ON c3.w3 = cont3.w3
+        |  CROSS JOIN nall)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(tf.tf * l.l) AS BIGINT) AS surprisal3_q,
+        |  CAST(sum(tf.tf * l.l) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS mean_surprisal3_q
+        |FROM tf JOIN l ON tf.w1 = l.w1 AND tf.w2 = l.w2 AND tf.w3 = l.w3
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
 
     "q_sample_norepl" ->

@@ -391,6 +391,89 @@ object Lexical {
       .withColumn("mean_surprisal2_q", expr("surprisal2_q div n_bigrams"))
   }
 
+  /** Order-3 interpolated Kneser-Ney surprisal — the published
+    * CCNet/KenLM-style perplexity filter the logloss pair approximates
+    * (Kneser & Ney 1995; Chen & Goodman 1998 — public knowledge).
+    * Absolute discounting with a fixed discount `D = discountBp/10⁴`
+    * interpolating three orders, every count derived from the corpus
+    * trigram table:
+    *
+    *   P(w₃|w₁w₂) = (max(c(w₁w₂w₃)−D,0) + D·N₁₊(w₁w₂·)·P(w₃|w₂)) / c(w₁w₂·)
+    *   P(w₃|w₂)   = (max(N₁₊(·w₂w₃)−D,0) + D·N₁₊(w₂·)·P(w₃)) / N₁₊(·w₂·)
+    *   P(w₃)      = N₁₊(·w₃) / N₁₊(··)          (continuation unigram)
+    *
+    * Catches scrambled-but-locally-plausible text: a document whose
+    * bigrams are each common but whose trigram continuations are novel
+    * scores high, where [[bigramLogloss]] reads it as normal (spec'd in
+    * LexicalSpec).
+    *
+    * Cross-engine determinism (SURVEY §6): every count is an exact
+    * BIGINT from plain grouped counts over the distinct-trigram frame
+    * (continuation counts = counts of distinct rows — no
+    * count_distinct); the probability chain is pinned doubles in ONE
+    * written order (greatest/+/·/÷ are correctly-rounded IEEE ops both
+    * engines replay bit-identically), quantized ONCE per DISTINCT
+    * trigram — `l = floor(−10⁴·ln(P) + 0.5)` at the psi family's ppm
+    * floor-risk (a single ln, like the unigram/bigram rungs); the doc
+    * score is the exact BIGINT Σ tf·l with `mean = total div n`.
+    *
+    * Shape: doc trigram tf from one keyed aggregate; the corpus trigram
+    * table reduces FROM tf (hot trigrams one long of state); all five
+    * smoothing statistics are grouped counts over that table
+    * (vocabulary-bounded); the scoring joins key on subsets of the
+    * trigram key; one doc aggregate. The 1-row N₁₊(··) total rides a
+    * broadcast scalar join.
+    */
+  def kneserNeyLogloss(docs: DataFrame, idCol: String, textCol: String,
+                       discountBp: Int = 7500): DataFrame = {
+    require(discountBp > 0 && discountBp < 10000,
+      s"kneserNeyLogloss: discountBp must be in (0, 10000), got $discountBp")
+    val d = discountBp / 10000.0
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 3)
+    val tf = toks.select(col(idCol),
+      explode(transform(sequence(lit(0), size(col("__t")) - 3),
+        i => struct(element_at(col("__t"), i.cast("int") + 1).as("w1"),
+          element_at(col("__t"), i.cast("int") + 2).as("w2"),
+          element_at(col("__t"), i.cast("int") + 3).as("w3")))).as("__g"))
+      .groupBy(col(idCol), col("__g.w1"), col("__g.w2"), col("__g.w3"))
+      .agg(count(lit(1)).as("tf"))
+    val c3 = tf.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("tf")).as("__c3"))
+    // c(w₁w₂·) and N₁₊(w₁w₂·): total and distinct successors per context
+    val c12 = c3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("__c3")).as("__c12"), count(lit(1)).as("__n12dot"))
+    // N₁₊(·w₂w₃): distinct predecessors — c3 is distinct per triple
+    val cont23 = c3.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("__n23"))
+    // N₁₊(·w₂·): distinct (w₁,w₃) around w₂;  N₁₊(w₂·): distinct w₃ after w₂
+    val mid = c3.groupBy(col("w2")).agg(count(lit(1)).as("__nmid"))
+    val w2dot = cont23.groupBy(col("w2")).agg(count(lit(1)).as("__nw2dot"))
+    // continuation unigram: N₁₊(·w₃) per word, N₁₊(··) total
+    val cont3 = cont23.groupBy(col("w3")).agg(count(lit(1)).as("__n3"))
+    val nAll = cont23.agg(count(lit(1)).as("__nall"))
+    val l = c3.join(c12, Seq("w1", "w2")).join(cont23, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(w2dot, Seq("w2")).join(cont3, Seq("w3"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("__p1", col("__n3").cast("double") / col("__nall").cast("double"))
+      .withColumn("__p2",
+        (greatest(col("__n23").cast("double") - lit(d), lit(0.0))
+          + lit(d) * col("__nw2dot").cast("double") * col("__p1"))
+          / col("__nmid").cast("double"))
+      .withColumn("__p3",
+        (greatest(col("__c3").cast("double") - lit(d), lit(0.0))
+          + lit(d) * col("__n12dot").cast("double") * col("__p2"))
+          / col("__c12").cast("double"))
+      .withColumn("__l",
+        floor(lit(-10000.0) * log(col("__p3")) + lit(0.5)).cast("long"))
+      .select(col("w1"), col("w2"), col("w3"), col("__l"))
+    tf.join(l, Seq("w1", "w2", "w3"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(col("tf") * col("__l")).as("surprisal3_q"))
+      .withColumn("mean_surprisal3_q", expr("surprisal3_q div n_trigrams"))
+  }
+
   def unigramLogloss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("__c"))

@@ -217,6 +217,42 @@ class LexicalSpec extends SparkSuite {
     assert(out(31L) > out(1L))
   }
 
+  test("kneserNeyLogloss: closed-form interpolated chain on a hand corpus") {
+    import spark.implicits._
+    // trigrams (a,b,c):1 and (a,b,d):1 — every statistic is tiny enough
+    // to chase through the three-order interpolation by hand:
+    //   p1(c) = N1+(.c)/N1+(..) = 1/2
+    //   p2(b,c) = (max(1-.75,0) + .75*N1+(b.)*p1)/N1+(.b.) = (0.25+0.75)/2 = 0.5
+    //   p3(a,b,c) = (max(1-.75,0) + .75*N1+(ab.)*p2)/c(ab.) = (0.25+0.75)/2 = 0.5
+    //   l = floor(-1e4*ln(0.5)+0.5) = 6931, symmetric for d
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = graft.pipelines.Lexical.kneserNeyLogloss(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_trigrams", "surprisal3_q", "mean_surprisal3_q")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Array((1L, 1L, 6931L, 6931L), (2L, 1L, 6931L, 6931L)))
+  }
+
+  test("kneserNeyLogloss separates scrambled-but-locally-plausible text the bigram misses") {
+    import spark.implicits._
+    // every bigram of the probe is corpus-common ((red,fish) and
+    // (fish,jump) both appear 30+ times), so the BIGRAM filter scores it
+    // exactly like the natural probe — but the trigram continuation
+    // (red fish JUMP) is novel, and only the order-3 model sees that
+    val docsA = (1L to 30L).map(i => (i, "red fish swim"))
+    val docsB = (31L to 60L).map(i => (i, "big fish jump"))
+    val probes = Seq((61L, "red fish swim"), (62L, "red fish jump"))
+    val docs = (docsA ++ docsB ++ probes).toDF("doc_id", "text")
+    val bi = graft.pipelines.Lexical.bigramLogloss(docs, "doc_id", "text")
+      .select("doc_id", "mean_surprisal2_q").as[(Long, Long)].collect().toMap
+    assert(bi(62L) === bi(61L),
+      s"bigram should read the recombined probe as normal: ${bi(62L)} vs ${bi(61L)}")
+    val kn = graft.pipelines.Lexical.kneserNeyLogloss(docs, "doc_id", "text")
+      .select("doc_id", "mean_surprisal3_q").as[(Long, Long)].collect().toMap
+    assert(kn(62L) > 2L * kn(61L),
+      s"KN should flag the novel continuation: ${kn(62L)} vs ${kn(61L)}")
+  }
+
   test("rakeKeywords: hand-computed degree/frequency scoring") {
     import spark.implicits._
     // doc: "red apple the red apple pie a pie"
