@@ -141,7 +141,11 @@ object Mixture {
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
                         budget: Long, hash6: Column,
                         maxGroups: Int = 10000): DataFrame = {
-    val counts = df.groupBy(col(groupCol)).count()
+    // group keys travel as strings on both sides of the collect (an
+    // integer-typed group column would otherwise ClassCastException
+    // without naming the contract)
+    val gstr = col(groupCol).cast("string")
+    val counts = df.groupBy(gstr.as("__g")).count()
       .limit(maxGroups + 1).collect()
     require(counts.length <= maxGroups,
       s"temperatureSample: more than $maxGroups groups — temperature " +
@@ -152,8 +156,14 @@ object Mixture {
         "column first (a null language has no sampling temperature)")
     val quotas = temperatureQuotas(
       counts.map(r => (r.getString(0), r.getLong(1))).toSeq, budget)
-    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (g, q)) =>
-      when(col(groupCol) === g, lit(q)).otherwise(acc)
+    // the source is evaluated twice (counts collect, then the window);
+    // a group materializing only in the second evaluation of a
+    // non-deterministic source must FAIL loudly, not vanish at quota 0
+    val quotaCol = quotas.foldLeft(
+      raise_error(concat(lit("temperatureSample: group unseen when " +
+        "quotas were drawn (non-deterministic source?): "), gstr))
+        .cast("long")) { case (acc, (g, q)) =>
+      when(gstr === g, lit(q)).otherwise(acc)
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(hash6.asc, col(idCol).asc)

@@ -42,10 +42,11 @@ object Prune {
     * @param keepHardest true = keep the farthest-from-prototype rows
     *                    (the abundant-data regime in the paper);
     *                    false = keep the most prototypical
+    * @param idCol       the example id column (rank tie-break + output)
     */
   def byPrototypicality(emb: DataFrame, vecCol: String,
                         centroids: Knn.Centroids, keepBp: Int,
-                        keepHardest: Boolean): DataFrame = {
+                        keepHardest: Boolean, idCol: String = "vec_id"): DataFrame = {
     require(keepBp > 0 && keepBp <= 10000, s"keepBp in (0,10000], got $keepBp")
     require(centroids.nonEmpty, "byPrototypicality needs trained centroids")
     // assignment keeps its score: (−2·v·c + ‖c‖², cid) min-struct — the
@@ -59,8 +60,8 @@ object Prune {
       .drop("__best")
     val cellW = Window.partitionBy(col("centroid_id"))
     val rankOrder: Seq[Column] =
-      if (keepHardest) Seq(col("dist2").desc, col("vec_id"))
-      else Seq(col("dist2").asc, col("vec_id"))
+      if (keepHardest) Seq(col("dist2").desc, col(idCol))
+      else Seq(col("dist2").asc, col(idCol))
     withCell
       .withColumn("cell_n", count(lit(1)).over(cellW))
       .withColumn("drank",
@@ -68,7 +69,7 @@ object Prune {
       .withColumn("kept",
         col("drank") <= greatest(lit(1L),
           expr(s"cell_n * $keepBp DIV 10000")))
-      .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),
+      .select(col(idCol), col("centroid_id").cast("long").as("centroid_id"),
         col("dist2"), col("cell_n"), col("drank"), col("kept"))
   }
 }

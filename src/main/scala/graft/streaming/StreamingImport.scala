@@ -394,8 +394,10 @@ object StreamingImport {
             // startWithQuarantine — an append would duplicate on replay)
             bad.write.mode("overwrite").parquet(s"$quarantinePath/batch=$batchId")
           case graft.plans.ImportJob.FkFail =>
+            // the abort message's "Failed at importing <table>" slot
+            // wants a logical name, not a filesystem path
             val pinned = graft.plans.ImportJob.enforceFkFail(
-              destPath, gate, resolved)
+              new java.io.File(destPath).getName, gate, resolved)
             try upsertBatch(pinned, destPath, keys)
             finally org.apache.spark.sql.graftbridge.bridge
               .freeLocalCheckpoint(pinned)
