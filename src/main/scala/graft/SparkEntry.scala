@@ -3437,11 +3437,15 @@ object SparkEntry {
     "q_embed_whiten" -> ((s, dir) => {
       // PCA-whitening of the embedding corpus (Jégou & Chum '12) — the
       // retrieval-quality conditioner ahead of ANN/quantization. One
-      // dense moments pass + driver-side Jacobi eigen (dim×dim, tiny by
-      // construction) + literal-folded pure-map projection. Rows-only:
-      // the eigendecomposition is driver-side numerics SQL can't
-      // replay; WhiteningSpec proves identity covariance, orthonormal
-      // basis, eigen-equation residuals, and bit-determinism.
+      // dense QUANTIZED moments pass (exact fixed-point sums, the Lloyd
+      // recipe) + driver-side Jacobi eigen (dim×dim, tiny by
+      // construction) + literal-folded pure-map projection.
+      // HASH-CHECKED (round 10, the pinned-constant rule): the trained
+      // basis rides the oracle as literals; the SQL recomputes the
+      // moments from parquet, gates the basis on exact-mean equality,
+      // eigen-residuals, orthonormality, and eigenvalue order, then
+      // replays the projection — everything except the Jacobi
+      // iteration itself, which WhiteningSpec pins bit-stable.
       val t8 = graft.similarity.Whitening.fit(
         t(s, dir, "embeddings"), "embedding", k = 8)
       t(s, dir, "embeddings")
@@ -5282,7 +5286,115 @@ object SparkEntry {
       |  FROM final_assort HAVING count(*) > 0)
       |ORDER BY table_name""".stripMargin
 
+  /** The SF dir trained-constant oracles derive their literals from —
+    * set by [[Verify]] to the dir the queries just ran against, so the
+    * dumped oracle_sql.json replays the SAME training data.
+    */
+  @volatile var oracleTrainDir: String = "/root/testdata/sf0.01"
+
+  /** q_embed_whiten's oracle, built at dump time (the pinned-constant
+    * rule): the TRAINED basis — mean, top-8 components, eigenvalues —
+    * is embedded as double literals (shortest-repr round-trips exactly
+    * in both engines), and the SQL then verifies everything EXCEPT the
+    * Jacobi iteration itself: it recomputes the quantized moments from
+    * the parquet (exact BIGINT sums — the Whitening.moments recipe),
+    * gates the literal mean on EXACT equality with its own, gates the
+    * literal (λ, v) pairs on eigen-residuals ‖Σv − λv‖∞ ≤ 1e-5 against
+    * ITS covariance plus orthonormality and descending order, and only
+    * then emits the zero-exchange projection of every row through the
+    * literal basis (scales re-derived in SQL as 1/√(max(λ,0)+1e-6) —
+    * sqrt and ÷ are correctly-rounded IEEE ops). A wrong basis, wrong
+    * mean, or wrong projection all surface as a gate-emptied result.
+    */
+  private def whitenOracleSql: String = {
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "whitenOracleSql needs an active SparkSession to train the basis"))
+    val t8 = graft.similarity.Whitening.fit(
+      t(spark, oracleTrainDir, "embeddings"), "embedding", k = 8)
+    // exponent form forces DOUBLE typing in DuckDB — a bare decimal
+    // literal is DECIMAL there, and the list coercion would shave the
+    // literal to fewer bits than the double it must round-trip
+    def d(x: Double): String = {
+      val s = java.lang.Double.toString(x)
+      if (s.contains('E')) s else s + "e0"
+    }
+    val mu = t8.mean.map(d).mkString("[", ", ", "]")
+    val comp = t8.components.map(_.map(d).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val lam = t8.eigenvalues.map(d).mkString("[", ", ", "]")
+    s"""WITH lits AS (SELECT $mu AS mu, $comp AS comp, $lam AS lam),
+      |nrow AS (SELECT count(*) AS n FROM embeddings),
+      |msum AS (
+      |  SELECT t1.i AS i,
+      |    sum(CAST(floor(CAST(e.embedding[t1.i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS s
+      |  FROM embeddings e, LATERAL unnest(generate_series(1, 64)) AS t1(i)
+      |  GROUP BY 1),
+      |mean AS (SELECT i, (CAST(s AS DOUBLE) / 1048576.0) / n AS mu FROM msum, nrow),
+      |mom AS (
+      |  SELECT t1.i AS i, t2.j AS j,
+      |    sum(CAST(floor(CAST(e.embedding[t1.i] AS DOUBLE)
+      |      * CAST(e.embedding[t2.j] AS DOUBLE) * 1048576.0) AS BIGINT)) AS sq
+      |  FROM embeddings e,
+      |    LATERAL unnest(generate_series(1, 64)) AS t1(i),
+      |    LATERAL unnest(generate_series(1, 64)) AS t2(j)
+      |  WHERE t2.j >= t1.i
+      |  GROUP BY 1, 2),
+      |cov AS (
+      |  SELECT m.i, m.j,
+      |    (CAST(m.sq AS DOUBLE) / 1048576.0) / nrow.n - mi.mu * mj.mu AS c
+      |  FROM mom m, nrow
+      |  JOIN mean mi ON mi.i = m.i
+      |  JOIN mean mj ON mj.i = m.j),
+      |covfull AS (
+      |  SELECT i, j, c FROM cov
+      |  UNION ALL SELECT j, i, c FROM cov WHERE i <> j),
+      |mgate AS (
+      |  SELECT count(*) AS bad FROM mean, lits WHERE lits.mu[mean.i] <> mean.mu),
+      |sv AS (
+      |  SELECT ks.k AS k, cf.i AS r, sum(cf.c * lits.comp[ks.k][cf.j]) AS av
+      |  FROM covfull cf CROSS JOIN lits
+      |  CROSS JOIN LATERAL unnest(generate_series(1, 8)) AS ks(k)
+      |  GROUP BY 1, 2),
+      |rgate AS (
+      |  SELECT count(*) AS bad FROM sv, lits
+      |  WHERE abs(sv.av - lits.lam[sv.k] * lits.comp[sv.k][sv.r]) > 1e-5),
+      |ogate AS (
+      |  SELECT count(*) AS bad FROM (
+      |    SELECT k1.a AS a, k2.b AS b,
+      |      sum(lits.comp[k1.a][t.d] * lits.comp[k2.b][t.d]) AS dp
+      |    FROM lits,
+      |      LATERAL unnest(generate_series(1, 8)) AS k1(a),
+      |      LATERAL unnest(generate_series(1, 8)) AS k2(b),
+      |      LATERAL unnest(generate_series(1, 64)) AS t(d)
+      |    GROUP BY 1, 2)
+      |  WHERE abs(dp - (CASE WHEN a = b THEN 1.0 ELSE 0.0 END)) > 1e-9),
+      |dgate AS (
+      |  SELECT count(*) AS bad FROM lits,
+      |    LATERAL unnest(generate_series(1, 7)) AS ks(k)
+      |  WHERE lits.lam[ks.k] < lits.lam[ks.k + 1]),
+      |proj AS (
+      |  SELECT e.vec_id,
+      |    (1.0 / sqrt(greatest(lits.lam[1], 0.0) + 1e-6)) *
+      |      list_aggregate(list_apply(list_zip(e.embedding, lits.mu, lits.comp[1]),
+      |        x -> (CAST(x[1] AS DOUBLE) - x[2]) * x[3]), 'sum') AS w1,
+      |    (1.0 / sqrt(greatest(lits.lam[2], 0.0) + 1e-6)) *
+      |      list_aggregate(list_apply(list_zip(e.embedding, lits.mu, lits.comp[2]),
+      |        x -> (CAST(x[1] AS DOUBLE) - x[2]) * x[3]), 'sum') AS w2,
+      |    (1.0 / sqrt(greatest(lits.lam[3], 0.0) + 1e-6)) *
+      |      list_aggregate(list_apply(list_zip(e.embedding, lits.mu, lits.comp[3]),
+      |        x -> (CAST(x[1] AS DOUBLE) - x[2]) * x[3]), 'sum') AS w3
+      |  FROM embeddings e CROSS JOIN lits)
+      |SELECT p.vec_id, p.w1, p.w2, p.w3
+      |FROM proj p, mgate, rgate, ogate, dgate
+      |WHERE mgate.bad = 0 AND rgate.bad = 0 AND ogate.bad = 0 AND dgate.bad = 0
+      |ORDER BY p.vec_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_embed_whiten" -> whitenOracleSql,
 
     "q_filtered_read" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity

@@ -14,6 +14,9 @@ object Verify {
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.create(cpus)
+    // trained-constant oracles (q_embed_whiten) embed literals derived
+    // from the SAME dir the queries run against
+    SparkEntry.oracleTrainDir = sfDir
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

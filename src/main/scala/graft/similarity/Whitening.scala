@@ -31,24 +31,30 @@ object Whitening {
   /** (count, mean, covariance) of an `array<float>` column in one pass.
     * Covariance is the population covariance (divide by n, not n−1) —
     * the whitening convention; at corpus scale the distinction is noise.
+    *
+    * BIT-DETERMINISTIC, the quantized-Lloyd recipe: every value and
+    * pairwise product is quantized to 1/2²⁰ fixed point
+    * (`floor(x·2^20)` longs) and summed EXACTLY, so the moments — and
+    * the eigenbasis trained from them — are independent of partition
+    * count and task order, and a SQL engine replays the sums verbatim
+    * (q_embed_whiten's oracle recomputes them in DuckDB and gates the
+    * pinned basis on eigen-residuals against ITS covariance). The
+    * quantization perturbs each raw moment by ≤ 2⁻²⁰ — invisible at
+    * whitening precision (WhiteningSpec keeps the naive-equality bound).
+    * Overflow headroom: per-row quantized product ≤ B²·2²⁰ for values
+    * bounded by B, so the long sums are safe past 10¹² rows of
+    * unit-scale embeddings.
     */
   def moments(emb: DataFrame, vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val packed = dim * (dim + 1) / 2
-    // state: [n, sum_0..sum_{d-1}, upper-triangle raw moments]
-    val zero = new Array[Double](1 + dim + packed)
-    // per-partition accumulators come back WITH their partition index and
-    // fold in index order: a treeReduce would combine in task-finish
-    // order, and float addition is order-sensitive — the transform (and
-    // everything projected through it) must be bit-deterministic across
-    // runs. Driver memory = numPartitions × dim(dim+3)/2 doubles (17 KB
-    // at dim 64) — coalesce a very-wide input first if that ever binds.
+    // state: [n, qsum_0..qsum_{d-1}, upper-triangle quantized raw moments]
     // null VECTORS are excluded (a missing embedding contributes no
     // moment); null ELEMENTS inside a vector are a schema violation the
     // ragged-length require below surfaces loudly enough
     val parts = emb.select(col(vecCol)).filter(col(vecCol).isNotNull).rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val acc = zero.clone()
+      .mapPartitions { it =>
+        val acc = new Array[Long](1 + dim + packed)
         var any = false
         it.foreach { row =>
           val v = row.getSeq[Float](0)
@@ -58,15 +64,18 @@ object Whitening {
           var i = 0; var p = 1 + dim
           while (i < dim) {
             val vi = v(i).toDouble
-            acc(1 + i) += vi
+            acc(1 + i) += math.floor(vi * 1048576.0).toLong
             var j = i
-            while (j < dim) { acc(p) += vi * v(j).toDouble; p += 1; j += 1 }
+            while (j < dim) {
+              acc(p) += math.floor(vi * v(j).toDouble * 1048576.0).toLong
+              p += 1; j += 1
+            }
             i += 1
           }
         }
-        if (any) Iterator.single((pid, acc)) else Iterator.empty
+        if (any) Iterator.single(acc) else Iterator.empty
       }
-      .collect().sortBy(_._1).map(_._2)
+      .collect() // long sums are order-free: no partition-index fold needed
     require(parts.nonEmpty, "moments over an empty corpus")
     val reduced = parts.reduce { (a, b) =>
       val out = a.clone()
@@ -74,15 +83,17 @@ object Whitening {
       while (i < out.length) { out(i) += b(i); i += 1 }
       out
     }
-    val n = reduced(0).toLong
+    val n = reduced(0)
     require(n > 0, "moments over an empty corpus")
-    val mean = Array.tabulate(dim)(i => reduced(1 + i) / n)
+    // pinned op order, replayed verbatim by the oracle:
+    // mean = (Σq/2^20)/n ; cov = (Σq/2^20)/n − mean_i·mean_j
+    val mean = Array.tabulate(dim)(i => (reduced(1 + i).toDouble / 1048576.0) / n)
     val cov = Array.ofDim[Double](dim, dim)
     var i = 0; var p = 1 + dim
     while (i < dim) {
       var j = i
       while (j < dim) {
-        val c = reduced(p) / n - mean(i) * mean(j)
+        val c = (reduced(p).toDouble / 1048576.0) / n - mean(i) * mean(j)
         cov(i)(j) = c; cov(j)(i) = c
         p += 1; j += 1
       }

@@ -19,18 +19,34 @@ class WhiteningSpec extends SparkSuite {
     }.toDF("vec_id", "embedding")
   }
 
-  test("moments equals the naive mean/covariance") {
+  test("moments equals the naive mean/covariance within the 2^-20 grain") {
     val df = corpus(500)
     val rows = df.as[(Long, Seq[Float])].collect().map(_._2.map(_.toDouble))
     val n = rows.length
     val naiveMean = (0 until 4).map(d => rows.map(_(d)).sum / n)
     val (cnt, mean, cov) = Whitening.moments(df, "embedding")
     assert(cnt === n.toLong)
-    (0 until 4).foreach(d => assert(math.abs(mean(d) - naiveMean(d)) < 1e-9))
+    // fixed-point accumulation perturbs each raw moment by <= 2^-20;
+    // means by the same bound, covariances by ~3x it (three quantized
+    // terms enter) — far below whitening precision
+    (0 until 4).foreach(d => assert(math.abs(mean(d) - naiveMean(d)) < 2e-6))
     for (i <- 0 until 4; j <- 0 until 4) {
       val naive = rows.map(r => (r(i) - naiveMean(i)) * (r(j) - naiveMean(j))).sum / n
-      assert(math.abs(cov(i)(j) - naive) < 1e-7, s"cov($i,$j)")
+      assert(math.abs(cov(i)(j) - naive) < 1e-4, s"cov($i,$j)")
     }
+  }
+
+  test("moments are bit-identical across partitionings") {
+    // the quantized-Lloyd contract extended to the moments pass: exact
+    // long sums make the covariance — and the basis trained from it —
+    // independent of partition count and task order
+    val df = corpus(500)
+    val (_, m1, c1) = Whitening.moments(df.repartition(1), "embedding")
+    val (_, m17, c17) = Whitening.moments(df.repartition(17), "embedding")
+    assert(m1.map(java.lang.Double.doubleToLongBits).toSeq ===
+      m17.map(java.lang.Double.doubleToLongBits).toSeq)
+    assert(c1.flatten.map(java.lang.Double.doubleToLongBits).toSeq ===
+      c17.flatten.map(java.lang.Double.doubleToLongBits).toSeq)
   }
 
   test("eigenSym reconstructs the matrix and returns an orthonormal basis") {
