@@ -37,7 +37,14 @@ object Bench {
     // pressure from real regressions)
     val only = if (args.isEmpty) None else Some(args.toSet)
     val queryIdx = new java.util.concurrent.atomic.AtomicInteger(0)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // q_noop: the measured per-query session floor (planning + codegen +
+    // job scheduling for a 1-row local frame, no table reads). Ratios vs
+    // the single-process oracle engine are only meaningful above this
+    // floor — merge_bench.py prints (spark − floor)/oracle next to the
+    // raw ratio. Bench-only: not a registry query, not an operator.
+    val noop: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.range(1).select(org.apache.spark.sql.functions.lit(1).as("one"))
+    val results = (SparkEntry.queries.toSeq :+ ("q_noop" -> noop)).sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       // flush the context cleaner's weak-ref backlog periodically: over
@@ -61,7 +68,9 @@ object Bench {
       .map(r => "\"" + r._1 + "\":[" + r._4.mkString(",") + "]")
       .mkString("{", ",", "}")
     val failed = results.filter(_._3 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.map(_._3).filter(_ >= 0).sum
+    // the floor instrument rides in `queries` but not in the headline
+    // total (round-over-round totals stay comparable)
+    val total = results.filter(_._1 != "q_noop").map(_._3).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_warm_runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The stdout line gets tail-truncated by capture tooling once the
