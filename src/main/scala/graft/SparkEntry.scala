@@ -4479,7 +4479,9 @@ object SparkEntry {
         .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
         .agg(countDistinct(col("a.l_orderkey")).as("c"))
         .filter(col("c") >= 2)
-      val edges = Graphs.canonicalEdges(pairs, "pa", "pb")
+      // pin the edge build once: seeds AND the BFS adjacency read it —
+      // unpinned, the co-purchase self-join would run per reference
+      val edges = Graphs.canonicalEdges(pairs, "pa", "pb").localCheckpoint(true)
       val seeds = edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
         .distinct().orderBy(col("node")).limit(5)
