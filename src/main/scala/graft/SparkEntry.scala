@@ -9963,9 +9963,14 @@ object SparkEntry {
     "q_changepoints" ->
       // greedy binary segmentation replayed with EXACT rational compares:
       // per segment the argmin of sse_l+sse_r orders by the two-part key
-      // (floor(N/D), then the remainder scaled by 2e12 > max D1*D2) so no
-      // float can flip a pick; significance and permille are pure HUGEINT
-      // cross-multiplications. Three unrolled levels (> the observed depth;
+      // (floor(N/D), then the remainder scaled by 1e27 in HUGEINT) so no
+      // float can flip a pick. INJECTIVITY BOUND (round-10 sweep): two
+      // distinct candidate rationals differ by >= 1/(D1*D2) with
+      // D = (k-lo)(hi-k) <= L^2/4, so the old 2e12 scale was MARGINAL at
+      // the ~2400-day series (min gap 4.8e-13 vs 5e-13 resolution); 1e27
+      // is injective up to L ~ 8e5 periods (overflow-bound: D*1e27 <
+      // HUGEINT max), far past the maxLen=65536 collect guard.
+      // Significance and permille are pure HUGEINT cross-multiplications. Three unrolled levels (> the observed depth;
       // a deeper tree would mismatch loudly, not silently) and the
       // root-candidate fallback row when nothing clears the gate
       """WITH daily AS (
@@ -9996,7 +10001,7 @@ object SparkEntry {
         |best0 AS (
         |  SELECT *, (1000 * (nump * dn - nm * lenp) > 100 * nump * dn) AS sig FROM (
         |    SELECT *, row_number() OVER (PARTITION BY lo, hi
-        |      ORDER BY nm // dn, ((nm % dn) * 2000000000000) // dn, k) AS rn
+        |      ORDER BY nm // dn, ((nm % dn) * CAST('1000000000000000000000000000' AS HUGEINT)) // dn, k) AS rn
         |    FROM cand0) WHERE rn = 1),
         |acc0 AS (SELECT * FROM best0 WHERE sig),
         |segs1 AS (SELECT lo, k AS hi FROM acc0 UNION ALL SELECT k, hi FROM acc0),
@@ -10014,7 +10019,7 @@ object SparkEntry {
         |best1 AS (
         |  SELECT *, (1000 * (nump * dn - nm * lenp) > 100 * nump * dn) AS sig FROM (
         |    SELECT *, row_number() OVER (PARTITION BY lo, hi
-        |      ORDER BY nm // dn, ((nm % dn) * 2000000000000) // dn, k) AS rn
+        |      ORDER BY nm // dn, ((nm % dn) * CAST('1000000000000000000000000000' AS HUGEINT)) // dn, k) AS rn
         |    FROM cand1) WHERE rn = 1),
         |acc1 AS (SELECT * FROM best1 WHERE sig),
         |segs2 AS (SELECT lo, k AS hi FROM acc1 UNION ALL SELECT k, hi FROM acc1),
@@ -10032,7 +10037,7 @@ object SparkEntry {
         |best2 AS (
         |  SELECT *, (1000 * (nump * dn - nm * lenp) > 100 * nump * dn) AS sig FROM (
         |    SELECT *, row_number() OVER (PARTITION BY lo, hi
-        |      ORDER BY nm // dn, ((nm % dn) * 2000000000000) // dn, k) AS rn
+        |      ORDER BY nm // dn, ((nm % dn) * CAST('1000000000000000000000000000' AS HUGEINT)) // dn, k) AS rn
         |    FROM cand2) WHERE rn = 1),
         |acc2 AS (SELECT * FROM best2 WHERE sig),
         |chosen AS (
