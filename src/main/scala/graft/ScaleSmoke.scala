@@ -854,6 +854,69 @@ object ScaleSmoke {
       }
     }
 
+    if (section == "textgen") {
+      // The lexical tier at big multiples (run explicitly, e.g.
+      // `ScaleSmoke 100 textgen`) — the one §2C family without its own
+      // ramp until round 10. Replicas are VOCAB-DISJOINT (every token
+      // suffixed with its replica id) so df statistics and the
+      // query-filtered joins grow ∝ corpus with no cross-replica
+      // merging, PLUS one planted stopword-tier hot term ("zzhot")
+      // appended to EVERY document: the df aggregate must hold exactly
+      // one long for it, invertedIndex's df band must keep its
+      // corpus-sized posting list from ever materializing, and a
+      // bm25 query containing it must stay top-k-bounded.
+      import graft.pipelines.Lexical
+      val docs1 = Tables.load(spark, base, "documents")
+      val nd = docs1.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def docsAt(m: Int): String = {
+        val path = s"$out/textgen_docs_$m"
+        (0 until m).map(i =>
+            docs1.select((col("doc_id") + lit(i * nd)).as("doc_id"),
+              concat(regexp_replace(col("text"), "([^ \\t\\n\\r\\f]+)", "$1" + i),
+                lit(" zzhot")).as("text")))
+          .reduce(_ unionByName _)
+          .repartition(64).write.mode("overwrite").parquet(path)
+        path
+      }
+      def runAll(d: DataFrame, tag: String): Seq[Double] = Seq(
+        time(s"tfidf $tag")(Lexical.tfIdfTopK(d, "doc_id", "text", k = 20).count()),
+        time(s"inverted $tag")(
+          Lexical.invertedIndex(d, "doc_id", "text", minDf = 2, maxDf = 2000).count()),
+        time(s"bm25+hot $tag")(Lexical.bm25TopK(d, "doc_id", "text",
+          Seq("merge0", "vector0", "zzhot"), k = 20).count()),
+        time(s"vocab $tag")(Lexical.vocabCoverage(d, "doc_id", "text",
+          vocabSize = 30).count()),
+        time(s"unigram $tag")(Lexical.unigramLogloss(d, "doc_id", "text").count()),
+        time(s"kneser_ney $tag")(Lexical.kneserNeyLogloss(d, "doc_id", "text").count()))
+      // untimed 1x warmup (JIT + codegen across all six kernels)
+      val dwarm = spark.read.parquet(docsAt(1))
+      runAll(dwarm, "warmup")
+      spark.catalog.clearCache()
+      val exps = Seq(1, math.max(mult / 10, 2), mult).distinct.map { m =>
+        val d = spark.read.parquet(if (m == 1) s"$out/textgen_docs_1" else docsAt(m))
+        val n = d.count()
+        println(s"[scale] textgen ${m}x: $n docs (+zzhot in every doc)")
+        val ts = runAll(d, s"${m}x")
+        spark.catalog.clearCache()
+        // hot-term contract, MEASURED: zzhot (df = corpus) must fall
+        // outside the df band, so the widest retained posting stays
+        // <= maxDf ids regardless of corpus size
+        val maxDf = Lexical.invertedIndex(d, "doc_id", "text", 2, 2000)
+          .agg(max(col("df"))).head().getLong(0)
+        println(s"[scale] textgen ${m}x max banded df: $maxDf (bound 2000)")
+        (m, n, ts)
+      }
+      val names = Seq("tfidf", "inverted", "bm25+hot", "vocab", "unigram", "kneser_ney")
+      val (_, n1, t1) = exps.head
+      exps.tail.foreach { case (m, n, ts) =>
+        val ln = math.log(n.toDouble / n1)
+        val line = names.zip(ts.zip(t1)).map { case (nm, (t, b)) =>
+          f"$nm ${math.log(t / b) / ln}%.2f"
+        }.mkString(", ")
+        println(s"[scale] textgen exponents 1x->${m}x (vs docs): $line")
+      }
+    }
+
     if (section == "streaming") {
       // Structured-Streaming tier ramp (run explicitly, e.g.
       // `ScaleSmoke 100 streaming` — not part of `all`): the sf0.1
