@@ -130,17 +130,22 @@ object Knn {
     centroids
   }
 
-  /** (vec_id, centroid_id) assignment — pure map, no shuffle. */
+  /** (vec_id, centroid_id) assignment — pure map, no shuffle. A null
+    * embedding has no bucket and is EXCLUDED (unfiltered, its null
+    * scores make `array_min` pick centroid 1 — a garbage assignment
+    * that pollutes bucket counts and the persisted index).
+    */
   def assign(corpus: DataFrame, centroids: Centroids): DataFrame =
-    corpus.select(col("vec_id"),
+    corpus.filter(col("embedding").isNotNull).select(col("vec_id"),
       nearestCentroid(col("embedding"), centroids).as("centroid_id"))
 
   /** The corpus with a `centroid_id` column appended — [[assign]] keeping
     * every caller column (SemDedup needs the vector riding along with its
-    * bucket). Still a pure map: no shuffle, no join.
+    * bucket). Still a pure map: no shuffle, no join. Null embeddings
+    * excluded, as in [[assign]].
     */
   def withAssignment(corpus: DataFrame, centroids: Centroids): DataFrame =
-    corpus.withColumn("centroid_id",
+    corpus.filter(col("embedding").isNotNull).withColumn("centroid_id",
       nearestCentroid(col("embedding"), centroids))
 
   /** Persist the IVF index: corpus written as parquet partitioned by
@@ -151,8 +156,7 @@ object Knn {
     */
   def writeIndex(corpus: DataFrame, centroids: Centroids, path: String): Unit =
     graft.sources.Sink.writePartitioned(
-      corpus.withColumn("centroid_id", nearestCentroid(col("embedding"), centroids)),
-      path, Seq("centroid_id"))
+      withAssignment(corpus, centroids), path, Seq("centroid_id"))
 
   /** Top-k against a persisted index: bucket filter prunes partitions. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,

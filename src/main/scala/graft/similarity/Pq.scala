@@ -165,7 +165,11 @@ object Pq {
     */
   def encodeCorpus(corpus: DataFrame, coarse: Knn.Centroids,
                    books: Codebooks, subDim: Int): DataFrame = {
-    val assigned = Knn.withAssignment(corpus, coarse)
+    // a null embedding has no bucket and no codes — excluded, like
+    // Whitening.moments (unfiltered, the null scores make array_min
+    // pick centroid 1 and emit GARBAGE codes that pollute the index)
+    val assigned = Knn.withAssignment(
+      corpus.filter(col("embedding").isNotNull), coarse)
     assigned.select(col("vec_id"), col("centroid_id"),
       encodeExpr(residualExpr(col("embedding"), col("centroid_id"), coarse),
         books, subDim).as("codes"))
@@ -175,7 +179,7 @@ object Pq {
     * embedding is the residual from the assigned trained coarse centroid.
     */
   def residualFrame(corpus: DataFrame, coarse: Knn.Centroids): DataFrame =
-    Knn.withAssignment(corpus, coarse)
+    Knn.withAssignment(corpus.filter(col("embedding").isNotNull), coarse)
       .select(col("vec_id"),
         residualExpr(col("embedding"), col("centroid_id"), coarse).as("embedding"))
 

@@ -98,6 +98,39 @@ class NullRobustnessSpec extends SparkSuite {
       (Some(9L), Some(50), None)))
   }
 
+  test("kneserNeyLogloss: null/empty/short docs drop out, long docs still score") {
+    import graft.pipelines.Lexical
+    val docs = Seq(
+      (1L, Some("alpha beta gamma alpha beta gamma")),
+      (2L, Some("alpha beta gamma")),
+      (3L, None),          // null text
+      (4L, Some("")),      // empty
+      (5L, Some("one two")) // < 3 tokens
+    ).toDF("doc_id", "text")
+    val out = Lexical.kneserNeyLogloss(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L))
+  }
+
+  test("PQ index excludes null embeddings instead of minting garbage codes") {
+    import graft.similarity.{Knn, Pq}
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Long, Option[Seq[Float]])] =
+      (0L until 40L).map(i => (i, Some(Seq.fill(8)(rnd.nextFloat())))) :+
+        (99L, Option.empty[Seq[Float]])
+    val df = rows.toDF("vec_id", "embedding")
+    val co = Knn.trainCentroids(df.filter(col("embedding").isNotNull), 2, 1)
+    val bk = Pq.trainCodebooks(Pq.residualFrame(df, co), 2, 4, 4, 1)
+    // unfixed, the null row was silently assigned bucket 1 with codes
+    // [1, 1] — an index row that can surface as a bogus ADC neighbor
+    assert(Pq.encodeCorpus(df, co, bk, 4).filter(col("vec_id") === 99L).count() === 0)
+    assert(Knn.assign(df, co).filter(col("vec_id") === 99L).count() === 0)
+    val neighbors = Pq.ivfpqTopK(df, df.filter(col("vec_id") < 2), co, bk,
+      subDim = 4, k = 50, nProbe = 2)
+      .select("neighbor_id").as[Long].collect()
+    assert(!neighbors.contains(99L))
+  }
+
   test("text functions return null/zero on null input, not exceptions") {
     val out = docsWithNull.select(
       TextFunctions.tokenCount(col("text")).as("tc"),
