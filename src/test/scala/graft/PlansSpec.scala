@@ -149,6 +149,42 @@ class PlansSpec extends SparkSuite {
       out.queryExecution.executedPlan.toString)
   }
 
+  test("PQ encode is a pure map; ADC search broadcasts probes, one window key") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 64L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val co = graft.similarity.Knn.trainCentroids(emb, 4, 1)
+    val bk = graft.similarity.Pq.trainCodebooks(
+      graft.similarity.Pq.residualFrame(emb, co), m = 2, subDim = 4, k = 4, iters = 1)
+    // the index build (assign + residual + codes) must never shuffle —
+    // at 100 TB it is the only full-corpus pass
+    val enc = graft.similarity.Pq.encodeCorpus(emb, co, bk, subDim = 4)
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"),
+      enc.queryExecution.executedPlan.toString)
+    // search: probes (queries × nProbe, carrying the LUT) broadcast to
+    // the codes; the only hash exchange is the per-query top-k window
+    val top = graft.similarity.Pq.ivfpqTopK(emb, emb.filter(col("vec_id") < 2),
+      co, bk, subDim = 4, k = 3, nProbe = 2)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val keys = shuffleKeys(top)
+    assert(keys.length === 1 && keys.head.contains("query_id"), plan)
+  }
+
+  test("kneser-ney: every exchange keys on a trigram subset or the doc") {
+    val out = graft.pipelines.Lexical.kneserNeyLogloss(docsDf, "doc_id", "text")
+    val keys = shuffleKeys(out)
+    // all smoothing statistics are grouped counts over trigram-key
+    // subsets; a key outside {doc_id, w1, w2, w3} (or an unbounded
+    // count_distinct expand) would be a new scale liability
+    assert(keys.nonEmpty && keys.forall(k =>
+      Seq("doc_id", "w1", "w2", "w3").exists(k.contains)), keys)
+    assert(keys.length <= 16, s"${keys.length} exchanges: $keys")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "count_distinct expand crept in")
+  }
+
   test("temperature sampling: quotas ride a literal CASE, one window exchange") {
     import org.apache.spark.sql.functions.col
     val docs = spark.range(0, 500).selectExpr("id AS doc_id",
