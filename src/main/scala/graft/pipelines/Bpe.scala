@@ -23,12 +23,21 @@ import org.apache.spark.sql.types._
   * non-overlapping scan, expressed as a per-row `aggregate` fold (no
   * shuffle; O(len²) per word on short words).
   *
-  * Per round: one pair explode over the vocab frame + one keyed count +
-  * one driver-collected argmax row (`TakeOrderedAndProject`), then a
-  * narrow map applying the merge; the symbol frame is
-  * lineage-checkpointed every `checkpointEvery` rounds (Hierarchy
-  * idiom). Word boundary carries the published `</w>` end-of-word
-  * symbol.
+  * The merge loop runs ON THE DRIVER over the collected word table —
+  * the Lloyd-centroid/binning-boundary collect tier: the table is
+  * vocabulary-bounded BY CONSTRUCTION and the collect is
+  * limit(maxVocab+1)-guarded with a loud fix-naming error (prune rare
+  * words with `minWordCount`, the published trainers' frequency floor,
+  * or raise `maxVocab`). Until round 10 each round was a separate
+  * Spark job (pair explode + keyed count + TakeOrdered + a merge map
+  * over the cluster) — 30 driver-sequenced jobs whose per-job floor
+  * dominated; the driver loop is the published reference shape
+  * (BpeSpec holds an independent implementation it must equal) and
+  * leaves exactly ONE corpus-scale Spark job: the word count.
+  * Word boundary carries the published `</w>` end-of-word symbol.
+  * Symbol iteration is by CODE POINT and tie-breaks compare UTF-8
+  * bytes — the same total order Spark SQL and DuckDB use for strings,
+  * so the merge sequence stays engine-replayable beyond ASCII.
   */
 object Bpe {
 
@@ -54,58 +63,111 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
+  /** UTF-8 byte order — the total order Spark SQL's string sort and
+    * DuckDB's string compare share (≡ code-point order); Java's
+    * String.compareTo diverges on supplementary characters.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Train `numMerges` BPE merges; returns (rank, left, right,
     * pair_count) in merge order. Stops early when no pair reaches
-    * `minCount` (the published frequency floor).
+    * `minCount` (the published frequency floor). `minWordCount` prunes
+    * the word table BEFORE the guarded collect — at web scale the raw
+    * whitespace vocabulary exceeds any driver budget, and dropping
+    * hapax words is what the published trainers do.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 2L, checkpointEvery: Int = 5,
-            maxWordChars: Int = 200): DataFrame = {
+            minCount: Long = 2L, maxWordChars: Int = 200,
+            minWordCount: Long = 1L, maxVocab: Int = 2000000): DataFrame = {
     require(numMerges >= 1 && numMerges <= 5000, "numMerges in [1, 5000]")
     val spark = docs.sparkSession
-    var syms = wordCounts(docs, textCol)
-      // merge application is O(len²) per word: a pathological megabyte
-      // "word" (base64 spill, minified JS) would hang a round — the
-      // published trainers cap word length the same way; real words are
-      // orders of magnitude under the cap, so the vocabulary is intact
+    val rows = wordCounts(docs, textCol)
+      // merge application scans every word per round: a pathological
+      // megabyte "word" (base64 spill, minified JS) would dominate —
+      // the published trainers cap word length the same way; real words
+      // are orders of magnitude under the cap, so the vocabulary is
+      // intact
       .filter(length(col("word")) <= maxWordChars)
-      .select(charSymbols(col("word")).as("s"), col("cnt"))
-      .localCheckpoint(true)
+      .filter(col("cnt") >= minWordCount)
+      .limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"Bpe.train: word table exceeds maxVocab=$maxVocab — raise " +
+        s"minWordCount (prune rare words, the published frequency floor) " +
+        s"or maxVocab")
+    // symbol state per word, split by CODE POINT (matches Spark SQL's
+    // substring/length semantics the distributed form used)
+    val words: Array[(Array[String], Long)] = rows.map { r =>
+      val w = r.getString(0)
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        syms += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      syms += EndOfWord
+      (syms.toArray, r.getLong(1))
+    }
+    val state = words.map { case (s, c) =>
+      (scala.collection.mutable.ArrayBuffer.from(s), c)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var done = false
-    var lastCkpt = syms
     while (rank <= numMerges && !done) {
-      val best = syms.filter(size(col("s")) >= 2)
-        .select(explode(transform(sequence(lit(0), size(col("s")) - 2),
-          i => struct(element_at(col("s"), i.cast("int") + 1).as("l"),
-            element_at(col("s"), i.cast("int") + 2).as("r")))).as("p"),
-          col("cnt"))
-        .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("n"))
-        .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getLong(2) < minCount) done = true
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      state.foreach { case (s, c) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      // argmax by (count desc, left utf8 asc, right utf8 asc) — the
+      // identical total order the distributed orderBy used
+      var best: ((String, String), Long) = null
+      counts.foreach { kv =>
+        if (best == null || kv._2 > best._2 ||
+          (kv._2 == best._2 && (utf8Lt(kv._1._1, best._1._1) ||
+            (kv._1._1 == best._1._1 && utf8Lt(kv._1._2, best._1._2)))))
+          best = kv
+      }
+      if (best == null || best._2 < minCount) done = true
       else {
-        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val ((l, r), n) = best
         merges += ((rank, l, r, n))
-        val next = syms.select(applyMerge(col("s"), l, r).as("s"), col("cnt"))
-        syms = if (rank % checkpointEvery == 0) {
-          val cut = next.localCheckpoint(true)
-          org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(lastCkpt)
-          lastCkpt = cut
-          cut
-        } else next
+        // greedy left-to-right non-overlapping — the applyMerge fold
+        val lr = l + r
+        state.foreach { case (s, _) =>
+          if (s.length >= 2) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            s.foreach { x =>
+              if (out.nonEmpty && out.last == l && x == r)
+                out(out.length - 1) = lr
+              else out += x
+            }
+            if (out.length != s.length) { s.clear(); s ++= out }
+          }
+        }
         rank += 1
       }
     }
-    val out = spark.createDataFrame(
+    spark.createDataFrame(
       spark.sparkContext.parallelize(
         merges.toSeq.map(m => Row(m._1, m._2, m._3, m._4)), 1),
       StructType(Seq(StructField("rank", IntegerType),
         StructField("left", StringType), StructField("right", StringType),
         StructField("pair_count", LongType))))
-    org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(lastCkpt)
-    out
   }
 
   /** Segment a text column under a trained merge list: the merges apply
