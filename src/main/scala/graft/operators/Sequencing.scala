@@ -115,14 +115,14 @@ object Sequencing {
       val e2 = ends.withColumn("r", row_number().over(we))
       val islandsDf = s2.join(e2, "r")
         .select(col("island_start"), col("island_end"))
-      // distinct-key count per island: one broadcast range join of the
-      // (already deduped) keys against the tiny island frame, then a
-      // keyed count — materialized before the finally releases the cache.
-      val out = keys
-        .join(broadcast(islandsDf),
-          col("k").between(col("island_start"), col("island_end")))
-        .groupBy(col("island_start"), col("island_end"))
-        .agg(count(lit(1)).as("n_keys"))
+      // distinct-key count per island is CLOSED FORM: a gap is a maximal
+      // missing run, so every integer inside an island is a present
+      // (deduped) key — n_keys = end − start + 1. Round 10 replaced a
+      // keys-×-islands broadcast range join (the one nested-loop join in
+      // the engine, key-count × island-count work) with the arithmetic;
+      // materialized before the finally releases the cache.
+      val out = islandsDf
+        .withColumn("n_keys", col("island_end") - col("island_start") + 1)
         .orderBy(col("island_start"))
         .localCheckpoint(true)
       out
