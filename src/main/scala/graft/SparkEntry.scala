@@ -1858,6 +1858,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    "q_ann_wpq" -> ((s, dir) => {
+      // whitened PQ — the published retrieval conditioning ahead of
+      // quantization (Jégou & Chum ECCV'12; the PCA step OPQ learns a
+      // rotation for): project through the trained k=16 whitening
+      // basis (bit-deterministic quantized moments + pinned Jacobi),
+      // narrow to float, then run the FULL IVFADC machine on the
+      // conditioned vectors. Every stage is the composition of two
+      // already-hash-checked machines, and the oracle composes their
+      // replays: gated whitening literals → REAL projection → coarse
+      // Lloyd → residual codebooks → integer ADC top-k.
+      val emb = t(s, dir, "embeddings")
+      val t16 = graft.similarity.Whitening.fit(emb, "embedding", k = 16)
+      val unit = emb.select(col("vec_id"),
+        transform(t16(col("embedding")), x => x.cast("float")).as("embedding"))
+      val coarse = Knn.trainCentroids(unit, nCentroids = 8, iters = 1)
+      val books = Pq.trainCodebooks(Pq.residualFrame(unit, coarse),
+        m = 4, subDim = 4, k = 8, iters = 1)
+      Pq.ivfpqTopK(unit, unit.filter(col("vec_id") < 10), coarse, books,
+        subDim = 4, k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = NearDup.minhashPairs(docs, "doc_id", "text", threshold = 0.6)
@@ -5308,13 +5330,19 @@ object SparkEntry {
     * sqrt and ÷ are correctly-rounded IEEE ops). A wrong basis, wrong
     * mean, or wrong projection all surface as a gate-emptied result.
     */
-  private def whitenOracleSql: String = {
+  /** Shared trained-whitening CTE prefix (lits + recomputed quantized
+    * moments + the four basis gates), parameterized by the component
+    * count `k` — used by q_embed_whiten (k=8) and the whitened-PQ
+    * pipeline (k=16). Returns SQL ending after `dgate` (no trailing
+    * comma).
+    */
+  private def whitenLitsAndGates(k: Int): String = {
     val spark = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
       .getOrElse(throw new IllegalStateException(
-        "whitenOracleSql needs an active SparkSession to train the basis"))
-    val t8 = graft.similarity.Whitening.fit(
-      t(spark, oracleTrainDir, "embeddings"), "embedding", k = 8)
+        "whitenLitsAndGates needs an active SparkSession to train the basis"))
+    val tk = graft.similarity.Whitening.fit(
+      t(spark, oracleTrainDir, "embeddings"), "embedding", k = k)
     // exponent form forces DOUBLE typing in DuckDB — a bare decimal
     // literal is DECIMAL there, and the list coercion would shave the
     // literal to fewer bits than the double it must round-trip
@@ -5322,11 +5350,11 @@ object SparkEntry {
       val s = java.lang.Double.toString(x)
       if (s.contains('E')) s else s + "e0"
     }
-    val mu = t8.mean.map(d).mkString("[", ", ", "]")
-    val comp = t8.components.map(_.map(d).mkString("[", ", ", "]"))
+    val mu = tk.mean.map(d).mkString("[", ", ", "]")
+    val comp = tk.components.map(_.map(d).mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
-    val lam = t8.eigenvalues.map(d).mkString("[", ", ", "]")
-    s"""WITH lits AS (SELECT $mu AS mu, $comp AS comp, $lam AS lam),
+    val lam = tk.eigenvalues.map(d).mkString("[", ", ", "]")
+    s"""lits AS (SELECT $mu AS mu, $comp AS comp, $lam AS lam),
       |nrow AS (SELECT count(*) AS n FROM embeddings),
       |msum AS (
       |  SELECT t1.i AS i,
@@ -5357,7 +5385,7 @@ object SparkEntry {
       |sv AS (
       |  SELECT ks.k AS k, cf.i AS r, sum(cf.c * lits.comp[ks.k][cf.j]) AS av
       |  FROM covfull cf CROSS JOIN lits
-      |  CROSS JOIN LATERAL unnest(generate_series(1, 8)) AS ks(k)
+      |  CROSS JOIN LATERAL unnest(generate_series(1, $k)) AS ks(k)
       |  GROUP BY 1, 2),
       |rgate AS (
       |  SELECT count(*) AS bad FROM sv, lits
@@ -5367,15 +5395,19 @@ object SparkEntry {
       |    SELECT k1.a AS a, k2.b AS b,
       |      sum(lits.comp[k1.a][t.d] * lits.comp[k2.b][t.d]) AS dp
       |    FROM lits,
-      |      LATERAL unnest(generate_series(1, 8)) AS k1(a),
-      |      LATERAL unnest(generate_series(1, 8)) AS k2(b),
+      |      LATERAL unnest(generate_series(1, $k)) AS k1(a),
+      |      LATERAL unnest(generate_series(1, $k)) AS k2(b),
       |      LATERAL unnest(generate_series(1, 64)) AS t(d)
       |    GROUP BY 1, 2)
       |  WHERE abs(dp - (CASE WHEN a = b THEN 1.0 ELSE 0.0 END)) > 1e-9),
       |dgate AS (
       |  SELECT count(*) AS bad FROM lits,
-      |    LATERAL unnest(generate_series(1, 7)) AS ks(k)
-      |  WHERE lits.lam[ks.k] < lits.lam[ks.k + 1]),
+      |    LATERAL unnest(generate_series(1, ${k - 1})) AS ks(k)
+      |  WHERE lits.lam[ks.k] < lits.lam[ks.k + 1])""".stripMargin
+  }
+
+  private def whitenOracleSql: String = {
+    s"""WITH ${whitenLitsAndGates(8)},
       |proj AS (
       |  SELECT e.vec_id,
       |    (1.0 / sqrt(greatest(lits.lam[1], 0.0) + 1e-6)) *
@@ -5394,9 +5426,153 @@ object SparkEntry {
       |ORDER BY p.vec_id""".stripMargin
   }
 
+  /** q_ann_wpq's oracle: the whitened-PQ pipeline composed from the two
+    * verified machines — the k=16 trained-whitening prefix (literals
+    * gated in-SQL exactly as q_embed_whiten's) projects every row to a
+    * 16-dim REAL vector, and the FULL IVFADC replay (coarse seeds →
+    * quantized Lloyd → residuals → per-subspace codebooks → integer
+    * ADC top-k, the q_ann_ivfpq structure at dim 16 / m 4 / subDim 4)
+    * then runs FROM that projected frame. The final select rides the
+    * whitening gates, so a wrong basis empties the result.
+    */
+  private def wpqOracleSql: String = {
+    val projEntries = (1 to 16).map { kk =>
+      s"CAST((1.0 / sqrt(greatest(lits.lam[$kk], 0.0) + 1e-6)) * " +
+        s"list_aggregate(list_apply(list_zip(e.embedding, lits.mu, lits.comp[$kk]), " +
+        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * x[3]), 'sum') AS REAL)"
+    }.mkString(",\n      |    ")
+    s"""WITH ${whitenLitsAndGates(16)},
+      |pvec AS (
+      |  SELECT e.vec_id, [
+      |    $projEntries] AS embedding
+      |  FROM embeddings e CROSS JOIN lits),
+      |pn AS (SELECT count(*) AS cnt FROM pvec),
+      |cents0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+      |         embedding AS c_emb
+      |  FROM pvec, pn
+      |  WHERE vec_id % greatest(1, cnt // 8) = 0
+      |  ORDER BY vec_id LIMIT 8),
+      |scores0 AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |      + list_aggregate(list_apply(c.c_emb,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+      |  FROM pvec e CROSS JOIN cents0 c),
+      |assign0 AS (
+      |  SELECT vec_id, embedding, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+      |    FROM scores0) WHERE rk = 1),
+      |expl1 AS (
+      |  SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
+      |         unnest(embedding) AS v
+      |  FROM assign0),
+      |sums1 AS (
+      |  SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+      |         count(*) AS nv
+      |  FROM expl1 GROUP BY cid, d),
+      |cents AS (
+      |  SELECT cid,
+      |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
+      |  FROM sums1 GROUP BY cid),
+      |scores AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |      + list_aggregate(list_apply(c.c_emb,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+      |  FROM pvec e CROSS JOIN cents c),
+      |assign AS (
+      |  SELECT vec_id, embedding, cid AS centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+      |    FROM scores) WHERE rk = 1),
+      |resid AS (
+      |  SELECT a.vec_id, a.centroid_id,
+      |    list_apply(list_zip(a.embedding, c.c_emb),
+      |      x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS REAL)) AS r_emb
+      |  FROM assign a JOIN cents c ON a.centroid_id = c.cid),
+      |ms AS (SELECT unnest(range(1, 5)) AS m),
+      |rsub AS (
+      |  SELECT r.vec_id, r.centroid_id, ms.m,
+      |    list_slice(r.r_emb, (ms.m - 1) * 4 + 1, ms.m * 4) AS sv
+      |  FROM resid r CROSS JOIN ms),
+      |bseed_ids AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS bid
+      |  FROM (SELECT vec_id FROM resid, pn WHERE vec_id % greatest(1, cnt // 8) = 0
+      |        ORDER BY vec_id LIMIT 8)),
+      |bseeds AS (
+      |  SELECT s.bid, r.m, r.sv AS b_emb
+      |  FROM bseed_ids s JOIN rsub r ON r.vec_id = s.vec_id),
+      |bscores0 AS (
+      |  SELECT r.vec_id, r.m, r.sv, b.bid,
+      |    -2 * list_aggregate(list_apply(list_zip(r.sv, b.b_emb),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |      + list_aggregate(list_apply(b.b_emb,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+      |  FROM rsub r JOIN bseeds b ON b.m = r.m),
+      |bassign0 AS (
+      |  SELECT vec_id, m, sv, bid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY score, bid) AS rk
+      |    FROM bscores0) WHERE rk = 1),
+      |bexpl AS (
+      |  SELECT m, bid, unnest(range(1, len(sv) + 1)) AS d, unnest(sv) AS v
+      |  FROM bassign0),
+      |bsums AS (
+      |  SELECT m, bid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+      |         count(*) AS nv
+      |  FROM bexpl GROUP BY m, bid, d),
+      |books AS (
+      |  SELECT m, bid,
+      |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS b_emb
+      |  FROM bsums GROUP BY m, bid),
+      |bscores AS (
+      |  SELECT r.vec_id, r.centroid_id, r.m, b.bid,
+      |    -2 * list_aggregate(list_apply(list_zip(r.sv, b.b_emb),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |      + list_aggregate(list_apply(b.b_emb,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+      |  FROM rsub r JOIN books b ON b.m = r.m),
+      |codes AS (
+      |  SELECT vec_id, centroid_id, m, bid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY score, bid) AS rk
+      |    FROM bscores) WHERE rk = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb, cid AS centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+      |    FROM scores WHERE vec_id < 10) WHERE rk <= 2),
+      |qres AS (
+      |  SELECT p.query_id, p.centroid_id,
+      |    list_apply(list_zip(p.q_emb, c.c_emb),
+      |      x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS REAL)) AS qr
+      |  FROM probes p JOIN cents c ON p.centroid_id = c.cid),
+      |lut AS (
+      |  SELECT q.query_id, q.centroid_id, b.m, b.bid,
+      |    CAST(floor(65536.0 * list_aggregate(
+      |      list_apply(list_zip(list_slice(q.qr, (b.m - 1) * 4 + 1, b.m * 4), b.b_emb),
+      |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')) AS BIGINT) AS d_q
+      |  FROM qres q CROSS JOIN books b),
+      |scored AS (
+      |  SELECT l.query_id, c.vec_id AS neighbor_id,
+      |    CAST(sum(l.d_q) AS BIGINT) AS adc_dist
+      |  FROM codes c
+      |  JOIN lut l ON l.centroid_id = c.centroid_id AND l.m = c.m AND l.bid = c.bid
+      |  WHERE c.vec_id <> l.query_id
+      |  GROUP BY 1, 2)
+      |SELECT s.query_id, s.neighbor_id, s.adc_dist FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+      |  FROM scored) s, mgate, rgate, ogate, dgate
+      |WHERE s.rk <= 5
+      |  AND mgate.bad = 0 AND rgate.bad = 0 AND ogate.bad = 0 AND dgate.bad = 0
+      |ORDER BY s.query_id, s.neighbor_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_embed_whiten" -> whitenOracleSql,
+
+    "q_ann_wpq" -> wpqOracleSql,
 
     "q_filtered_read" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity

@@ -59,6 +59,29 @@ class PqSpec extends SparkSuite {
     assert(recall >= 0.5, s"full-probe ADC recall $recall")
   }
 
+  test("whitened PQ finds planted twins through the composed pipeline") {
+    // the q_ann_wpq composition end-to-end: project through a trained
+    // whitening basis, narrow to float, IVFADC on the conditioned
+    // vectors — the planted-twin retrieval contract must survive the
+    // extra stage
+    val rnd = new scala.util.Random(43)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val twins = base.map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }
+    val cloud = (base ++ twins).toDF("vec_id", "embedding")
+    val t16 = graft.similarity.Whitening.fit(cloud, "embedding", k = 16)
+    val unit = cloud.select(col("vec_id"),
+      transform(t16(col("embedding")), x => x.cast("float")).as("embedding"))
+    val co = Knn.trainCentroids(unit, nCentroids = 8, iters = 1)
+    val bk = Pq.trainCodebooks(Pq.residualFrame(unit, co), m = 4, subDim = 4, k = 8, iters = 1)
+    val top1 = Pq.ivfpqTopK(unit, unit.filter(col("vec_id") < 20), co, bk,
+      subDim = 4, k = 1, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val hits = top1.count { case (q, n) => n == q + 1000L }
+    assert(hits >= 18, s"whitened planted-twin recall ${hits / 20.0}")
+  }
+
   test("codebooks and codes are bit-identical across partitionings") {
     // the PQ extension inherits quantized Lloyd's determinism contract:
     // codebooks, and therefore every code, are partition-order-free
