@@ -92,8 +92,12 @@ object Knn {
   def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 2,
                      sampleFraction: Double = 1.0): Centroids = {
     require(sampleFraction > 0 && sampleFraction <= 1)
-    val train = (if (sampleFraction >= 1.0) corpus
-      else corpus.filter(
+    // null embeddings are excluded from training like every other
+    // assignment surface: an unfiltered count() would skew the seed
+    // stride and a null seed row would NPE at collect
+    val nonNull = corpus.filter(col("embedding").isNotNull)
+    val train = (if (sampleFraction >= 1.0) nonNull
+      else nonNull.filter(
         pmod(xxhash64(col("vec_id")), lit(1000000L)) < (sampleFraction * 1000000L).toLong))
       .persist()
     try trainCentroidsImpl(train, nCentroids, iters)
@@ -174,9 +178,12 @@ object Knn {
 
   private def ivfTopKImpl(corpus: DataFrame, queries: DataFrame, centroids: Centroids,
                           k: Int, nProbe: Int, preBucketed: Boolean): DataFrame = {
+    // withAssignment (not a bare withColumn) so null embeddings are
+    // excluded here too — unfiltered, the null centroid scores make
+    // array_min pick bucket 1 and a null-cos_sim row can surface as a
+    // neighbor (the contract NullRobustnessSpec pins for the PQ path).
     val bucketed = if (preBucketed) corpus
-      else corpus.withColumn("centroid_id",
-        nearestCentroid(col("embedding"), centroids))
+      else withAssignment(corpus, centroids)
 
     // nProbe nearest centroids per query — computed the same map-side way,
     // one exploded row per probed bucket.

@@ -39,6 +39,24 @@ object Pq {
   /** One codebook per subspace, each a [[Knn.Centroids]] (ids 1..k). */
   type Codebooks = Array[Knn.Centroids]
 
+  /** Fail loudly when `m·subDim` does not cover the frame's embedding
+    * width. Without this the slice/zip_with kernels silently produce
+    * null sub-scores and `array_min` emits a FIXED garbage code for
+    * every vector — a corrupt index, not an error. Reads the width once
+    * from the first non-null row (a limit-1 scan); a frame with no
+    * non-null embeddings passes vacuously.
+    */
+  private def requireDim(frame: DataFrame, m: Int, subDim: Int,
+                         what: String): Unit =
+    frame.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+      .headOption.foreach { r =>
+        val dim = r.getInt(0)
+        require(m * subDim == dim,
+          s"$what: m*subDim = ${m * subDim} (m=$m, subDim=$subDim) must " +
+            s"equal the embedding dimension $dim")
+      }
+
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double")
@@ -68,6 +86,7 @@ object Pq {
         < (sampleFraction * 1000000L).toLong))
       .select(col("vec_id"), col("embedding")).persist()
     try {
+      requireDim(cached, m, subDim, "trainCodebooks")
       val n = cached.count()
       val step = math.max(1L, n / k)
       // one seed collect; slice per subspace locally (same floats the
@@ -168,6 +187,7 @@ object Pq {
     // a null embedding has no bucket and no codes — excluded, like
     // Whitening.moments (unfiltered, the null scores make array_min
     // pick centroid 1 and emit GARBAGE codes that pollute the index)
+    requireDim(corpus, books.length, subDim, "encodeCorpus")
     val assigned = Knn.withAssignment(
       corpus.filter(col("embedding").isNotNull), coarse)
     assigned.select(col("vec_id"), col("centroid_id"),
@@ -197,6 +217,7 @@ object Pq {
   def ivfpqTopK(corpus: DataFrame, queries: DataFrame, coarse: Knn.Centroids,
                 books: Codebooks, subDim: Int, k: Int, nProbe: Int = 2): DataFrame = {
     val m = books.length
+    requireDim(queries, m, subDim, "ivfpqTopK(queries)")
     val encoded = encodeCorpus(corpus, coarse, books, subDim)
 
     val probeIds = (vec: Column) =>
@@ -225,9 +246,16 @@ object Pq {
     * [[Knn.writeIndex]].
     */
   def writeIndex(corpus: DataFrame, coarse: Knn.Centroids, books: Codebooks,
-                 subDim: Int, path: String): Unit =
+                 subDim: Int, path: String): Unit = {
+    // With ANSI off a codebook id >= 128 would silently WRAP to a
+    // negative byte (id 128 -> -128), corrupting the persisted index.
+    // Enforce the byte contract instead of documenting it.
+    require(books.forall(_.forall(_._1 <= 127)),
+      "writeIndex stores codes as bytes: every codebook entry id must " +
+        "be <= 127 (store as smallint for larger K)")
     graft.sources.Sink.writePartitioned(
       encodeCorpus(corpus, coarse, books, subDim)
         .withColumn("codes", transform(col("codes"), _.cast("byte"))),
       path, Seq("centroid_id"))
+  }
 }

@@ -131,6 +131,46 @@ class NullRobustnessSpec extends SparkSuite {
     assert(!neighbors.contains(99L))
   }
 
+  test("ivfTopK excludes null embeddings on the unbucketed path too") {
+    import graft.similarity.Knn
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(Long, Option[Seq[Float]])] =
+      (0L until 40L).map(i => (i, Some(Seq.fill(8)(rnd.nextFloat())))) :+
+        (99L, Option.empty[Seq[Float]])
+    val df = rows.toDF("vec_id", "embedding")
+    val co = Knn.trainCentroids(df, 2, 1)
+    // unfixed, preBucketed=false inlined nearestCentroid unfiltered: the
+    // null row got bucket 1 and surfaced as a null-cos_sim neighbor
+    val neighbors = Knn.ivfTopK(df, df.filter(col("vec_id") < 2), co,
+      k = 50, nProbe = 2).select("neighbor_id").as[Long].collect()
+    assert(!neighbors.contains(99L))
+  }
+
+  test("PQ fails loudly when m*subDim does not match the embedding width") {
+    import graft.similarity.{Knn, Pq}
+    val rnd = new scala.util.Random(13)
+    val df = (0L until 20L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val co = Knn.trainCentroids(df, 2, 1)
+    // m=2, subDim=3 covers 6 of 8 dims — silently truncated before, now an error
+    assertThrows[IllegalArgumentException] {
+      Pq.trainCodebooks(df, m = 2, subDim = 3, k = 4)
+    }
+    val books = Pq.trainCodebooks(Pq.residualFrame(df, co), 2, 4, 4, 1)
+    assertThrows[IllegalArgumentException] {
+      Pq.encodeCorpus(df, co, books, subDim = 3).collect()
+    }
+  }
+
+  test("PQ writeIndex refuses codebook ids that overflow a byte") {
+    import graft.similarity.Pq
+    val big: Pq.Codebooks = Array(Array((1, Array(0f)), (128, Array(1f))))
+    val df = Seq((1L, Seq(0.5f))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException] {
+      Pq.writeIndex(df, Array((1, Array(0f))), big, subDim = 1, "/tmp/never")
+    }
+  }
+
   test("text functions return null/zero on null input, not exceptions") {
     val out = docsWithNull.select(
       TextFunctions.tokenCount(col("text")).as("tc"),
