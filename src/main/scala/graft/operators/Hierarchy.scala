@@ -20,6 +20,37 @@ import org.apache.spark.sql.functions._
   */
 object Hierarchy {
 
+  /** Closure with a caller-PINNED depth bound: exactly ⌈log₂ d⌉ doubling
+    * joins, NO per-round convergence stats and NO trailing check round —
+    * zero driver actions, the whole closure pipelines into the consumer.
+    * The pin is a contract: paths longer than `knownDepth` edges are NOT
+    * found (a star schema's category tree has a schema-fixed depth; use
+    * [[closure]] when the depth is data-dependent). Rounds are cut from
+    * lineage with LAZY checkpoints, so no round schedules its own job.
+    */
+  def closureKnownDepth(edges: DataFrame, childCol: String, parentCol: String,
+                        knownDepth: Int): DataFrame = {
+    require(knownDepth >= 1, "knownDepth must be >= 1")
+    var paths = edges.select(col(childCol).cast("long").as("child"),
+      col(parentCol).cast("long").as("ancestor"))
+      .filter(col("child") =!= col("ancestor"))
+      .withColumn("depth", lit(1))
+    var reach = 1
+    while (reach < knownDepth) {
+      val hops = paths.select(col("ancestor").as("__mid"), col("child"),
+          col("depth").as("__d1"))
+        .join(paths.select(col("child").as("__mid"), col("ancestor"),
+          col("depth").as("__d2")), Seq("__mid"))
+        .select(col("child"), col("ancestor"), (col("__d1") + col("__d2")).as("depth"))
+      paths = paths.unionByName(hops)
+        .groupBy(col("child"), col("ancestor"))
+        .agg(min(col("depth")).as("depth"))
+        .localCheckpoint(false)
+      reach *= 2
+    }
+    paths
+  }
+
   def closure(edges: DataFrame, childCol: String, parentCol: String,
               maxDepth: Int = 64): DataFrame = {
     // localCheckpoint per round, NOT persist: the doubling recurrence
@@ -89,22 +120,35 @@ object Hierarchy {
     */
   def subtreeAgg(nodes: DataFrame, edges: DataFrame, idCol: String,
                  valueCol: String, childCol: String, parentCol: String,
-                 as: String = "subtree_total", maxDepth: Int = 64): DataFrame = {
-    val cl = closure(edges, childCol, parentCol, maxDepth)
+                 as: String = "subtree_total", maxDepth: Int = 64,
+                 knownDepth: Option[Int] = None): DataFrame = {
+    knownDepth match {
+      case Some(d) =>
+        // pinned depth: the closure pipelines straight into the rollup —
+        // no checkpoint actions, nothing to free
+        val cl = closureKnownDepth(edges, childCol, parentCol, d)
+        subtreeAggOver(cl, nodes, idCol, valueCol, as)
+      case None =>
+        val cl = closure(edges, childCol, parentCol, maxDepth)
+        val out = subtreeAggOver(cl, nodes, idCol, valueCol, as).persist()
+        out.count() // materialize BEFORE releasing the closure it reads
+        // cl is a localCheckpoint'ed frame: Dataset.unpersist would clear
+        // CacheManager entries only, leaking the checkpoint RDD blocks
+        // until driver GC — free them the way the closure loop itself does
+        org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(cl)
+        out
+    }
+  }
+
+  private def subtreeAggOver(cl: DataFrame, nodes: DataFrame, idCol: String,
+                             valueCol: String, as: String): DataFrame = {
     val contrib = nodes.select(col(idCol).cast("long").as("node"),
       col(valueCol).as("__v"))
     val descendants = cl.select(col("ancestor").as("node"), col("child").as("member"))
       .unionByName(contrib.select(col("node"), col("node").as("member")))
-    val out = descendants
+    descendants
       .join(contrib.select(col("node").as("member"), col("__v")), Seq("member"))
       .groupBy(col("node"))
       .agg(sum(col("__v")).as(as))
-      .persist()
-    out.count() // materialize BEFORE releasing the closure it reads
-    // cl is a localCheckpoint'ed frame: Dataset.unpersist would clear
-    // CacheManager entries only, leaking the checkpoint RDD blocks until
-    // driver GC — free them the way the closure loop itself does
-    org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(cl)
-    out
   }
 }

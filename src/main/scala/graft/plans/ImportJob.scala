@@ -255,6 +255,7 @@ object ImportJob {
             quarantines(table) = quarantines.getOrElse(table, Nil) :+ q
             v
           } else checked
+        var gatePinned = false
         val in1 = spec.fkGate match {
           case None => spec.preResolve(spec.pre(in0), lookup)
           case Some(g) =>
@@ -268,13 +269,26 @@ object ImportJob {
                   g.columns.map(c => s"unresolved:$c" -> col(c).isNotNull))
                 quarantines(table) = quarantines.getOrElse(table, Nil) :+ bad
                 ok
-              case FkFail => enforceFkFail(table, g, resolved)
+              case FkFail =>
+                gatePinned = true
+                enforceFkFail(table, g, resolved)
             }
         }
-        val in = if (spec.dedupKeys.nonEmpty)
+        val in2 = if (spec.dedupKeys.nonEmpty)
           Dedup.keepFirst(in1, spec.dedupKeys,
             (if (spec.dedupOrder.nonEmpty) spec.dedupOrder else spec.dedupKeys).map(col))
         else in1
+        // a batch that also feeds delete-excess / flagMissing is read
+        // twice (merge + key union) — pin it LAZILY so the staging
+        // ladder (quarantine/resolve/dedup) executes once, inside the
+        // first consumer's job, with no extra scheduled action. A
+        // merge-only batch stays pipelined; a batch an FkFail gate
+        // already materialized is NOT pinned again (the dedup window on
+        // top of pinned blocks is cheaper than a second materialization
+        // — measured on q_ecom_job_strict).
+        val in = if ((spec.deleteExcess || spec.flagMissing.isDefined) && !gatePinned)
+          in2.localCheckpoint(false)
+        else in2
         staged(table) = staged.getOrElse(table, Nil) :+ in
         val d = lookup(table)
         var out = spec.mode match {
@@ -287,6 +301,18 @@ object ImportJob {
           out = applyDeleteExcess(out, Seq(in), spec)
         state(table) = out
       }
+      // pin tables the job's OTHER tables depend on: every dependent
+      // spec's preResolve re-reads this merged state through `lookup`,
+      // and the caller reads it again in the returned map — unpinned,
+      // each reader re-executes the whole merge chain (and transitively
+      // its parents': the products checksum re-ran the groups merge,
+      // the relations checksum re-ran both). Lazy localCheckpoint
+      // materializes inside the first consumer's job — lineage is cut
+      // without scheduling a per-table action, which is what kept the
+      // reference-job replay at a per-table fixed floor.
+      if (deps.exists { case (t2, ds) =>
+            ds.contains(table) && t2 != table && byTable.contains(t2) })
+        state(table) = state(table).localCheckpoint(false)
     }
 
     // ── deferred delete-excess: after EVERY table of the job staged,

@@ -41,6 +41,34 @@ class HierarchySpec extends SparkSuite {
     full.unpersist()
   }
 
+  test("closureKnownDepth equals the fixpoint closure when the pin covers the tree") {
+    val edges = (1L until 10L).map(i => (i + 1, i)).toDF("c", "p")
+    val full = Hierarchy.closure(edges, "c", "p")
+    val want = full.as[(Long, Long, Int)].collect().toSet
+    full.unpersist()
+    // exact pin, and a generous pin — both must land on the same closure
+    for (d <- Seq(9, 16)) {
+      val got = Hierarchy.closureKnownDepth(edges, "c", "p", d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === want, s"knownDepth=$d")
+    }
+    // the pin is a CONTRACT: an under-pin truncates (documented), so
+    // callers must pin from schema/construction knowledge
+    val short = Hierarchy.closureKnownDepth(edges, "c", "p", 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(short === want.filter(_._3 <= 4))
+    assert(short !== want)
+  }
+
+  test("subtreeAgg with a pinned depth matches the fixpoint rollup") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L)).toDF("c", "p")
+    val nodes = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("id", "v")
+    val got = Hierarchy.subtreeAgg(nodes, edges, "id", "v", "c", "p",
+        knownDepth = Some(2))
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 100.0, 2L -> 60.0, 3L -> 30.0, 4L -> 40.0))
+  }
+
   test("subtreeAgg sums every node's full subtree including itself") {
     //      1
     //    2   3
