@@ -46,7 +46,7 @@ object Dsir {
     * built row-locally: O(tokens·B) per doc, zero shuffle. Blank docs
     * are dropped (they carry no evidence either way).
     */
-  private def withBucketCounts(df: DataFrame, idCols: Seq[Column],
+  private[pipelines] def withBucketCounts(df: DataFrame, idCols: Seq[Column],
                                textCol: String, nBuckets: Int): DataFrame =
     df.filter(trim(col(textCol)) =!= "" && col(textCol).isNotNull)
       .select(idCols :+
@@ -57,7 +57,7 @@ object Dsir {
             when(i.cast("long") === x, v + 1L).otherwise(v))).as("__bc"): _*)
 
   /** One wide aggregate → the corpus-wide bucket totals (B longs). */
-  private def bucketTotals(bc: DataFrame, nBuckets: Int): Array[Long] = {
+  private[pipelines] def bucketTotals(bc: DataFrame, nBuckets: Int): Array[Long] = {
     val sums = (0 until nBuckets).map(i =>
       coalesce(sum(element_at(col("__bc"), i + 1)), lit(0L)).as(s"b$i"))
     val row = bc.agg(sums.head, sums.tail: _*).head()
@@ -68,7 +68,7 @@ object Dsir {
     * engine expression stack the queries run (Spark SQL ln — matching
     * the oracle's DuckDB ln at the PSI family's established risk floor).
     */
-  private def weights(spark: SparkSession, ct: Array[Long], cq: Array[Long],
+  private[pipelines] def weights(spark: SparkSession, ct: Array[Long], cq: Array[Long],
                       nBuckets: Int): Array[Long] = {
     val nt = ct.sum; val nq = cq.sum
     val num = ct.map(c => (c + 1L) * (nq + nBuckets))
@@ -85,7 +85,7 @@ object Dsir {
   /** The scoring pass: exact BIGINT dot product of each doc's bucket
     * counts with the quantized weights — narrow, zero shuffle.
     */
-  private def scoreWith(corpus: DataFrame, idCol: String, textCol: String,
+  private[pipelines] def scoreWith(corpus: DataFrame, idCol: String, textCol: String,
                         w: Array[Long], nBuckets: Int): DataFrame =
     withBucketCounts(corpus, Seq(col(idCol)), textCol, nBuckets)
       .select(col(idCol),

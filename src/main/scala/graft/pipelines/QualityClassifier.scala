@@ -1,0 +1,61 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Trained quality-filter classifier — the "looks like the curated
+  * corpus" selection signal of the published LLM pipelines (GPT-3
+  * appendix A trains a classifier with curated corpora as positives and
+  * raw Common Crawl as negatives; LLaMA's filter classifies pages
+  * Wikipedia references as positives). Where [[Dsir]] scores
+  * target-LIKENESS as an importance ratio, this is the 2-class
+  * Naive-Bayes POSTERIOR log-odds:
+  *
+  *   score(x) = ln P(pos)/P(neg) + Σ_b c_x[b]·(ln p̂_pos[b] − ln p̂_neg[b])
+  *
+  * over the same hashed bag-of-words buckets — classify quality via
+  * `score > 0` (posterior > 1/2), or keep the raw log-odds for the
+  * GPT-3-style stochastic keep (`keep if score exceeds a Pareto draw`).
+  *
+  * Reuses the DSIR machinery verbatim: the per-bucket log-ratio IS
+  * [[Dsir.weights]] with (positive, negative) in the (target, corpus)
+  * slots — add-one smoothing included — and scoring is the same exact
+  * BIGINT dot product of row-local bucket counts, plus the quantized
+  * prior. Cross-engine determinism, quantization (`floor(10⁴·ln + 0.5)`)
+  * and the scale shape (two wide aggregates to train, one narrow
+  * zero-shuffle scoring pass) are inherited unchanged; the DuckDB oracle
+  * replays training AND scoring end-to-end, so the trained model is
+  * hash-verified, not trusted.
+  */
+object QualityClassifier {
+
+  /** (idCol, nb_score, is_quality): quantized Naive-Bayes posterior
+    * log-odds (units of 10⁻⁴ nats) of every corpus document under hashed
+    * unigram class models trained on `positives` vs `negatives`, and the
+    * MAP decision `nb_score > 0`. Blank/null docs carry no evidence and
+    * are dropped, in training and scoring alike (the [[Dsir]] contract).
+    */
+  def scores(corpus: DataFrame, positives: DataFrame, negatives: DataFrame,
+             idCol: String, textCol: String, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, "need at least two hash buckets")
+    val spark = corpus.sparkSession
+    def nonBlank(df: DataFrame) =
+      df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    val cp = Dsir.bucketTotals(
+      Dsir.withBucketCounts(positives, Seq(col(idCol)), textCol, nBuckets), nBuckets)
+    val cn = Dsir.bucketTotals(
+      Dsir.withBucketCounts(negatives, Seq(col(idCol)), textCol, nBuckets), nBuckets)
+    val nPos = nonBlank(positives).count()
+    val nNeg = nonBlank(negatives).count()
+    require(nPos > 0 && nNeg > 0,
+      s"both classes need non-blank training docs (pos=$nPos, neg=$nNeg)")
+    // same engine-expression ln as Dsir.weights, same quantization
+    val prior = spark.range(1).select(
+      floor(lit(10000.0) * log(lit(nPos).cast("double") / lit(nNeg).cast("double"))
+        + lit(0.5)).cast("long")).head().getLong(0)
+    val w = Dsir.weights(spark, cp, cn, nBuckets)
+    Dsir.scoreWith(corpus, idCol, textCol, w, nBuckets)
+      .select(col(idCol), (col("dsir_score") + lit(prior)).as("nb_score"))
+      .withColumn("is_quality", col("nb_score") > 0L)
+  }
+}
