@@ -1606,7 +1606,14 @@ object SparkEntry {
         .select(col("doc_id").as("child"),
           floor(col("doc_id") / 2).cast("long").as("parent"))
         .filter(col("child") > 0)
-      Hierarchy.closure(edges, "child", "parent")
+      // the tree depth is KNOWN from the construction: parent = id/2
+      // means the longest chain is floor(log2(maxId)) edges down to 1
+      // PLUS the 1 -> 0 hop — pin it (one 1-row max read) and the
+      // closure runs its ⌈log₂ d⌉ joins with no convergence probes or
+      // per-round checkpoint actions
+      val maxId = t(s, dir, "documents").agg(max(col("doc_id"))).head.getLong(0)
+      val depth = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(maxId))
+      Hierarchy.closureKnownDepth(edges, "child", "parent", depth)
         .orderBy(col("child"), col("ancestor"))
     }),
 
@@ -1680,6 +1687,33 @@ object SparkEntry {
           col("seq_id"), col("seq_pos"))
         .orderBy(col("doc_id"))
       packed
+    }),
+
+    "q_pack_bestfit" -> ((s, dir) => {
+      // the published fewer-truncations packing (best-fit-decreasing,
+      // Ding et al. 2024): whole docs into 256-token bins, chunk-wise
+      // per (source, doc_id div 2000) shard — only docs over the budget
+      // itself are pre-chopped into budget-sized pieces. Deterministic
+      // placement => the DuckDB oracle replays every step
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+        .filter(col("n") > 0)
+      val pieces = base
+        .select(col("doc_id"), col("source"), col("n"),
+          explode(expr("sequence(CAST(1 AS BIGINT), ((n - 1) div 256) + 1)"))
+            .as("piece"))
+        .select(col("doc_id"), col("source"), col("piece"),
+          least(lit(256L), col("n") - (col("piece") - 1) * 256L).as("len"),
+          expr("doc_id div 2000").as("shard"))
+      graft.pipelines.Pack.bestFit(pieces, Seq("source", "shard"), "len",
+          Seq(col("doc_id"), col("piece")), budget = 256L)
+        .select(col("doc_id"), col("piece"), col("source"),
+          col("len").as("n_tokens"),
+          concat_ws("#", col("source"), col("shard"), col("bin_id"))
+            .as("seq_key"),
+          col("bin_pos").as("seq_pos"))
+        .orderBy(col("doc_id"), col("piece"))
     }),
 
     "q_token_budget_ranged" -> ((s, dir) => {
@@ -3425,8 +3459,10 @@ object SparkEntry {
         .unionByName(t(s, dir, "customer")
           .select((col("c_custkey") + 1000000L).as("child"),
             (col("c_nationkey") + 100).cast("long").as("parent")))
+      // depth is SCHEMA-fixed (customer → nation → region = 2 edges):
+      // pin it so the closure is one doubling join, no fixpoint probe
       Hierarchy.subtreeAgg(nodes, edges, "node", "v_cents", "child", "parent",
-          as = "subtree_cents")
+          as = "subtree_cents", knownDepth = Some(2))
         .orderBy(col("node"))
     }),
 
@@ -3556,6 +3592,21 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       graft.pipelines.Dsir.importanceScores(
         docs, docs.filter(col("source") === "src0"), "doc_id", "text",
+        nBuckets = 64)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality_classifier" -> ((s, dir) => {
+      // the TRAINED quality-filter rung (GPT-3 appendix A / LLaMA
+      // looks-like-Wikipedia): 2-class hashed-BoW Naive-Bayes posterior
+      // log-odds, positives = the curated src0 slice, negatives = the
+      // rest of the crawl; classification is the MAP decision score>0.
+      // Training and scoring both replay end-to-end in the oracle —
+      // the model is hash-verified, not trusted
+      val docs = t(s, dir, "documents")
+      graft.pipelines.QualityClassifier.scores(
+        docs, docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
         nBuckets = 64)
         .orderBy(col("doc_id"))
     }),
@@ -5145,7 +5196,7 @@ object SparkEntry {
     */
   // shared by q_ecom_job and q_ecom_job_strict: the strict arm arms the
   // FkFail gate on a fully-resolving feed, so the replay is identical
-  private val EcomJobOracle: String =
+  private[graft] val EcomJobOracle: String =
     """WITH dest_groups AS (
       |  SELECT CAST(n_nationkey AS INTEGER) AS group_id, n_name AS group_name,
       |         r_name AS region
@@ -5354,12 +5405,17 @@ object SparkEntry {
     val comp = tk.components.map(_.map(d).mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
     val lam = tk.eigenvalues.map(d).mkString("[", ", ", "]")
+    // embedding IS NOT NULL in nrow/msum/mom: Whitening.moments skips
+    // null vectors, so the replayed counts and sums must too — an
+    // unfiltered count(*) would empty the exact-mean gate on any
+    // dataset with a null embedding and flag a correct result
     s"""lits AS (SELECT $mu AS mu, $comp AS comp, $lam AS lam),
-      |nrow AS (SELECT count(*) AS n FROM embeddings),
+      |nrow AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
       |msum AS (
       |  SELECT t1.i AS i,
       |    sum(CAST(floor(CAST(e.embedding[t1.i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS s
       |  FROM embeddings e, LATERAL unnest(generate_series(1, 64)) AS t1(i)
+      |  WHERE e.embedding IS NOT NULL
       |  GROUP BY 1),
       |mean AS (SELECT i, (CAST(s AS DOUBLE) / 1048576.0) / n AS mu FROM msum, nrow),
       |mom AS (
@@ -5369,7 +5425,7 @@ object SparkEntry {
       |  FROM embeddings e,
       |    LATERAL unnest(generate_series(1, 64)) AS t1(i),
       |    LATERAL unnest(generate_series(1, 64)) AS t2(j)
-      |  WHERE t2.j >= t1.i
+      |  WHERE t2.j >= t1.i AND e.embedding IS NOT NULL
       |  GROUP BY 1, 2),
       |cov AS (
       |  SELECT m.i, m.j,
@@ -5568,6856 +5624,13 @@ object SparkEntry {
       |ORDER BY s.query_id, s.neighbor_id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
-
-    "q_embed_whiten" -> whitenOracleSql,
-
-    "q_ann_wpq" -> wpqOracleSql,
-
-    "q_filtered_read" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
-        |FROM lineitem
-        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
-        |  AND l_quantity < 25
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q_conditional_mapping" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
-        |FROM orders
-        |WHERE o_orderstatus <> 'F' AND o_totalprice >= 200000
-        |  AND o_orderpriority LIKE '%URGENT%'
-        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q_denorm_join" ->
-      """SELECT s_suppkey, s_name, n_name AS nation_name, r_name AS region_name
-        |FROM supplier
-        |LEFT JOIN nation ON s_nationkey = n_nationkey
-        |LEFT JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY s_suppkey""".stripMargin,
-
-    "q_string_agg" ->
-      """SELECT n_name,
-        |  string_agg('"' || c_name || '"', ',' ORDER BY '"' || c_name || '"') AS customer_list,
-        |  count(*) AS n_customers
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin,
-
-    "q_pivot" ->
-      """SELECT user_id,
-        |  CAST(round(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(30,6))), 2) AS DOUBLE) AS v_click,
-        |  CAST(round(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(30,6))), 2) AS DOUBLE) AS v_error,
-        |  CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(30,6))), 2) AS DOUBLE) AS v_purchase,
-        |  CAST(round(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(30,6))), 2) AS DOUBLE) AS v_signup,
-        |  CAST(round(sum(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(30,6))), 2) AS DOUBLE) AS v_view
-        |FROM events
-        |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin,
-
-    "q_quantile_binning" ->
-      """WITH b AS (SELECT
-        |  CAST(floor(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25)) AS BIGINT) AS b1,
-        |  CAST(floor(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50)) AS BIGINT) AS b2,
-        |  CAST(floor(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75)) AS BIGINT) AS b3
-        |  FROM orders)
-        |SELECT CAST(CASE WHEN o_totalprice < b1 THEN 0
-        |            WHEN o_totalprice < b2 THEN 1
-        |            WHEN o_totalprice < b3 THEN 2 ELSE 3 END AS BIGINT) AS price_band,
-        |  count(*) AS n_orders,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS revenue
-        |FROM orders, b
-        |GROUP BY price_band
-        |ORDER BY price_band""".stripMargin,
-
-    "q_moving_window" ->
-      """SELECT event_id, user_id,
-        |  CAST(round(sum(CAST(value AS DECIMAL(30,6))) OVER w, 2) AS DOUBLE)
-        |    AS spend_7d,
-        |  count(*) OVER w AS n_7d
-        |FROM events
-        |WHERE event_type = 'purchase'
-        |WINDOW w AS (PARTITION BY user_id
-        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-
-    "q_funnel_steps" ->
-      """WITH v AS (
-        |  SELECT user_id,
-        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
-        |  FROM events GROUP BY user_id),
-        |c AS (
-        |  SELECT e.user_id, v.t_view,
-        |    min(CASE WHEN e.event_type = 'click' AND e.ts >= v.t_view
-        |      AND e.ts <= v.t_view + INTERVAL 6 HOUR
-        |      THEN e.ts END) AS t_click
-        |  FROM events e JOIN v USING (user_id)
-        |  GROUP BY e.user_id, v.t_view),
-        |p AS (
-        |  SELECT e.user_id, c.t_view, c.t_click,
-        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t_click
-        |      AND e.ts <= c.t_click + INTERVAL 6 HOUR
-        |      THEN e.ts END) AS t_purchase
-        |  FROM events e JOIN c USING (user_id)
-        |  GROUP BY e.user_id, c.t_view, c.t_click)
-        |SELECT CASE WHEN t_purchase IS NOT NULL THEN 'purchased'
-        |            WHEN t_click IS NOT NULL THEN 'clicked'
-        |            WHEN t_view IS NOT NULL THEN 'viewed'
-        |            ELSE 'none' END AS stage,
-        |  count(*) AS n_users
-        |FROM p
-        |GROUP BY stage
-        |ORDER BY stage""".stripMargin,
-
-    "q_window_ranks" ->
-      """SELECT c_nationkey, c_custkey, c_acctbal,
-        |  percent_rank() OVER w AS pr,
-        |  cume_dist() OVER w AS cd,
-        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
-        |FROM customer
-        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
-        |ORDER BY c_nationkey, c_custkey""".stripMargin,
-
-    "q_stratified_sample" ->
-      """WITH h AS (SELECT doc_id, source,
-        |  doc_id % 1048573 * 2654435761 % 1000000 AS hh FROM documents),
-        |r AS (SELECT source, doc_id,
-        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id)
-        |    AS rank_in_group
-        |  FROM h)
-        |SELECT source, doc_id, rank_in_group FROM r
-        |WHERE rank_in_group <= 10
-        |ORDER BY source, rank_in_group""".stripMargin,
-
-    "q_except_intersect" ->
-      """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
-        |  WHERE year(o_orderdate) = 1996),
-        |y97 AS (SELECT DISTINCT o_custkey FROM orders
-        |  WHERE year(o_orderdate) = 1997)
-        |SELECT o_custkey, 'retained' AS cohort
-        |FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
-        |UNION ALL
-        |SELECT o_custkey, 'churned' AS cohort
-        |FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
-        |ORDER BY cohort, o_custkey""".stripMargin,
-
-    "q_fuzzy_match" ->
-      """WITH feed AS (SELECT n_nationkey AS feed_key,
-        |  substr(n_name, 1, 2) || substr(n_name, 4) AS feed_name FROM nation)
-        |SELECT f.feed_key, f.feed_name, n.n_nationkey, n.n_name,
-        |  CAST(levenshtein(f.feed_name, n.n_name) AS INT) AS edit_dist
-        |FROM feed f JOIN nation n ON levenshtein(f.feed_name, n.n_name) <= 1
-        |ORDER BY feed_key, n_nationkey""".stripMargin,
-
-    "q_incremental_agg" ->
-      """WITH dest AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        |incoming AS (
-        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 5 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'N', o_totalprice - 500.0
-        |  FROM orders WHERE o_orderkey % 7 = 0),
-        |merged AS (
-        |  SELECT coalesce(d.o_orderkey, i.o_orderkey) AS o_orderkey,
-        |    coalesce(i.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
-        |    coalesce(i.o_totalprice, d.o_totalprice) AS o_totalprice
-        |  FROM dest d FULL OUTER JOIN incoming i ON d.o_orderkey = i.o_orderkey)
-        |SELECT o_orderstatus, count(*) AS n_rows,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
-        |FROM merged
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
-
-    "q_change_feed" ->
-      """WITH src AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        |dst AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
-        |         ELSE o_totalprice END AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 97 <> 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 30000000, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderkey % 101 = 0)
-        |SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice, 'D' AS op
-        |FROM src s LEFT JOIN dst d ON s.o_orderkey = d.o_orderkey
-        |WHERE d.o_orderkey IS NULL
-        |  OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
-        |  OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
-        |UNION ALL
-        |SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice, 'I'
-        |FROM dst d LEFT JOIN src s ON d.o_orderkey = s.o_orderkey
-        |WHERE s.o_orderkey IS NULL
-        |  OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
-        |  OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
-        |ORDER BY o_orderkey, op""".stripMargin,
-
-    "q_drift_psi" ->
-      """WITH ob AS (
-        |  SELECT CASE WHEN l_extendedprice < 20000 THEN 0
-        |              WHEN l_extendedprice < 40000 THEN 1
-        |              WHEN l_extendedprice < 60000 THEN 2
-        |              WHEN l_extendedprice < 80000 THEN 3
-        |              ELSE 4 END AS bucket
-        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'),
-        |nb AS (
-        |  SELECT CASE WHEN l_extendedprice < 20000 THEN 0
-        |              WHEN l_extendedprice < 40000 THEN 1
-        |              WHEN l_extendedprice < 60000 THEN 2
-        |              WHEN l_extendedprice < 80000 THEN 3
-        |              ELSE 4 END AS bucket
-        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'),
-        |oc AS (SELECT bucket, count(*) AS n_old FROM ob GROUP BY bucket),
-        |nc AS (SELECT bucket, count(*) AS n_new FROM nb GROUP BY bucket),
-        |j AS (
-        |  SELECT coalesce(oc.bucket, nc.bucket) AS bucket,
-        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
-        |  FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket),
-        |t AS (SELECT sum(n_old) AS to_, sum(n_new) AS tn FROM j)
-        |SELECT bucket, n_old, n_new,
-        |  CAST(floor(((n_new + 0.5) / (tn + 2.5) - (n_old + 0.5) / (to_ + 2.5))
-        |    * ln(((n_new + 0.5) / (tn + 2.5)) / ((n_old + 0.5) / (to_ + 2.5)))
-        |    * 1000000 + 0.5) AS BIGINT) AS psi_ppm
-        |FROM j, t ORDER BY bucket""".stripMargin,
-
-    // q_drift_profile: independent full-SQL replay, one block per column
-    // (each block is the q_drift_psi oracle specialized to that column's
-    // boundaries), UNION ALL'd — DuckDB recomputes every count and PSI
-    // term from the raw table, sharing nothing with the Spark one-pass
-    // stack formulation
-    "q_drift_profile" -> Seq(
-      ("l_extendedprice", Seq("20000", "40000", "60000", "80000")),
-      ("l_quantity", Seq("10", "20", "30", "40")),
-      ("l_discount", Seq("0.02", "0.04", "0.06", "0.08"))
-    ).map { case (c, bs) =>
-      val caseExpr = bs.zipWithIndex
-        .map { case (b, i) => s"WHEN $c < $b THEN $i" }
-        .mkString("CASE ", " ", s" ELSE ${bs.size} END")
-      val k = bs.size + 1
-      s"""SELECT '$c' AS col_name, bucket, n_old, n_new,
-         |  CAST(floor(((n_new + 0.5) / (tn + 0.5 * $k) - (n_old + 0.5) / (to_ + 0.5 * $k))
-         |    * ln(((n_new + 0.5) / (tn + 0.5 * $k)) / ((n_old + 0.5) / (to_ + 0.5 * $k)))
-         |    * 1000000 + 0.5) AS BIGINT) AS psi_ppm
-         |FROM (
-         |  SELECT coalesce(oc.bucket, nc.bucket) AS bucket,
-         |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
-         |  FROM (SELECT $caseExpr AS bucket, count(*) AS n_old FROM lineitem
-         |        WHERE l_shipdate < TIMESTAMP '1997-01-01' AND $c IS NOT NULL
-         |        GROUP BY 1) oc
-         |  FULL OUTER JOIN (SELECT $caseExpr AS bucket, count(*) AS n_new FROM lineitem
-         |        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND $c IS NOT NULL
-         |        GROUP BY 1) nc ON oc.bucket = nc.bucket) j,
-         |  (SELECT sum(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS to_,
-         |          sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END) AS tn
-         |   FROM lineitem WHERE $c IS NOT NULL) t""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bucket"),
-
-    "q_drift_ks" ->
-      """WITH ob AS (
-        |  SELECT CASE WHEN l_extendedprice < 20000 THEN 0
-        |              WHEN l_extendedprice < 40000 THEN 1
-        |              WHEN l_extendedprice < 60000 THEN 2
-        |              WHEN l_extendedprice < 80000 THEN 3
-        |              ELSE 4 END AS bucket
-        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
-        |    AND l_extendedprice IS NOT NULL),
-        |nb AS (
-        |  SELECT CASE WHEN l_extendedprice < 20000 THEN 0
-        |              WHEN l_extendedprice < 40000 THEN 1
-        |              WHEN l_extendedprice < 60000 THEN 2
-        |              WHEN l_extendedprice < 80000 THEN 3
-        |              ELSE 4 END AS bucket
-        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        |    AND l_extendedprice IS NOT NULL),
-        |oc AS (SELECT bucket, count(*) AS n_old FROM ob GROUP BY bucket),
-        |nc AS (SELECT bucket, count(*) AS n_new FROM nb GROUP BY bucket),
-        |j AS (
-        |  SELECT coalesce(oc.bucket, nc.bucket) AS bucket,
-        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
-        |  FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket),
-        |c AS (
-        |  SELECT bucket,
-        |    sum(n_old) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_old,
-        |    sum(n_new) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_new
-        |  FROM j),
-        |t AS (SELECT sum(n_old) AS to_, sum(n_new) AS tn FROM j)
-        |SELECT bucket, CAST(cum_old AS BIGINT) AS cum_old,
-        |  CAST(cum_new AS BIGINT) AS cum_new,
-        |  CAST(floor(abs(CAST(cum_new AS DOUBLE) / CAST(greatest(tn, 1) AS DOUBLE)
-        |    - CAST(cum_old AS DOUBLE) / CAST(greatest(to_, 1) AS DOUBLE)) * 10000 + 0.5)
-        |    AS BIGINT) AS diff_bp
-        |FROM c, t ORDER BY bucket""".stripMargin,
-
-    // q_drift_corpus: same independent per-signal replay as
-    // q_drift_profile, with the signals derived in SQL from the raw text
-    "q_drift_corpus" -> Seq(
-      ("n_chars_sig", "length(text)", Seq("175", "300", "420")),
-      ("n_tokens_sig",
-        "length(regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f]+'))",
-        Seq("32", "56", "76"))
-    ).map { case (name, expr, bs) =>
-      val caseExpr = bs.zipWithIndex
-        .map { case (b, i) => s"WHEN $expr < $b THEN $i" }
-        .mkString("CASE ", " ", s" ELSE ${bs.size} END")
-      val k = bs.size + 1
-      s"""SELECT '$name' AS col_name, bucket, n_old, n_new,
-         |  CAST(floor(((n_new + 0.5) / (tn + 0.5 * $k) - (n_old + 0.5) / (to_ + 0.5 * $k))
-         |    * ln(((n_new + 0.5) / (tn + 0.5 * $k)) / ((n_old + 0.5) / (to_ + 0.5 * $k)))
-         |    * 1000000 + 0.5) AS BIGINT) AS psi_ppm
-         |FROM (
-         |  SELECT coalesce(oc.bucket, nc.bucket) AS bucket,
-         |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
-         |  FROM (SELECT $caseExpr AS bucket, count(*) AS n_old FROM documents
-         |        WHERE doc_id % 2 = 0 AND $expr IS NOT NULL
-         |        GROUP BY 1) oc
-         |  FULL OUTER JOIN (SELECT $caseExpr AS bucket, count(*) AS n_new FROM documents
-         |        WHERE doc_id % 2 = 1 AND $expr IS NOT NULL
-         |        GROUP BY 1) nc ON oc.bucket = nc.bucket) j,
-         |  (SELECT sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS to_,
-         |          sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS tn
-         |   FROM documents WHERE $expr IS NOT NULL) t""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bucket"),
-
-    "q_drift_categorical" ->
-      """WITH oldc AS (
-        |  SELECT o_orderpriority AS category, count(*) AS n
-        |  FROM orders
-        |  WHERE o_orderdate < TIMESTAMP '1997-01-01'
-        |    AND o_orderpriority IS NOT NULL
-        |  GROUP BY 1),
-        |top AS (SELECT category FROM oldc ORDER BY n DESC, category LIMIT 3),
-        |ob AS (
-        |  SELECT CASE WHEN o_orderpriority IN (SELECT category FROM top)
-        |              THEN o_orderpriority ELSE '__OTHER__' END AS category
-        |  FROM orders
-        |  WHERE o_orderdate < TIMESTAMP '1997-01-01'
-        |    AND o_orderpriority IS NOT NULL),
-        |nb AS (
-        |  SELECT CASE WHEN o_orderpriority IN (SELECT category FROM top)
-        |              THEN o_orderpriority ELSE '__OTHER__' END AS category
-        |  FROM orders
-        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-        |    AND o_orderpriority IS NOT NULL),
-        |oc AS (SELECT category, count(*) AS n_old FROM ob GROUP BY 1),
-        |nc AS (SELECT category, count(*) AS n_new FROM nb GROUP BY 1),
-        |j AS (
-        |  SELECT coalesce(oc.category, nc.category) AS category,
-        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
-        |  FROM oc FULL OUTER JOIN nc ON oc.category = nc.category),
-        |t AS (SELECT sum(n_old) AS to_, sum(n_new) AS tn FROM j)
-        |SELECT category, n_old, n_new,
-        |  CAST(floor(((n_new + 0.5) / (tn + 2.0) - (n_old + 0.5) / (to_ + 2.0))
-        |    * ln(((n_new + 0.5) / (tn + 2.0)) / ((n_old + 0.5) / (to_ + 2.0)))
-        |    * 1000000 + 0.5) AS BIGINT) AS psi_ppm
-        |FROM j, t ORDER BY category""".stripMargin,
-
-    "q_sync_diff" ->
-      """WITH src AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        |dst AS (
-        |  SELECT o_orderkey, o_orderstatus,
-        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
-        |         ELSE o_totalprice END AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 97 <> 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 30000000, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderkey % 101 = 0)
-        |SELECT coalesce(s.o_orderkey, d.o_orderkey) AS o_orderkey,
-        |  CASE WHEN d.o_orderkey IS NULL THEN 'missing'
-        |       WHEN s.o_orderkey IS NULL THEN 'extra'
-        |       WHEN s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
-        |         OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
-        |         THEN 'differs' END AS status
-        |FROM src s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey
-        |WHERE CASE WHEN d.o_orderkey IS NULL THEN 'missing'
-        |       WHEN s.o_orderkey IS NULL THEN 'extra'
-        |       WHEN s.o_orderstatus IS DISTINCT FROM d.o_orderstatus
-        |         OR s.o_totalprice IS DISTINCT FROM d.o_totalprice
-        |         THEN 'differs' END IS NOT NULL
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q_incremental_join" ->
-      """SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_name, c_acctbal
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q_minmax_maintain" ->
-      """WITH dest AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        |incoming AS (
-        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 5 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'N', o_totalprice - 500.0
-        |  FROM orders WHERE o_orderkey % 7 = 0),
-        |merged AS (
-        |  SELECT coalesce(d.o_orderkey, i.o_orderkey) AS o_orderkey,
-        |    coalesce(i.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
-        |    coalesce(i.o_totalprice, d.o_totalprice) AS o_totalprice
-        |  FROM dest d FULL OUTER JOIN incoming i ON d.o_orderkey = i.o_orderkey)
-        |SELECT o_orderstatus, count(*) AS n_rows, max(o_totalprice) AS max_price
-        |FROM merged
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
-
-    "q_profile" ->
-      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
-        |  count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_null,
-        |  count(DISTINCT o_orderkey) AS n_distinct FROM orders
-        |UNION ALL
-        |SELECT 'o_custkey', count(*),
-        |  count(CASE WHEN o_custkey IS NULL THEN 1 END),
-        |  count(DISTINCT o_custkey) FROM orders
-        |UNION ALL
-        |SELECT 'o_orderstatus', count(*),
-        |  count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
-        |  count(DISTINCT o_orderstatus) FROM orders
-        |UNION ALL
-        |SELECT 'o_orderpriority', count(*),
-        |  count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
-        |  count(DISTINCT o_orderpriority) FROM orders
-        |ORDER BY col_name""".stripMargin,
-
-    "q_interval_join" ->
-      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
-        |  p.value AS purchase_value
-        |FROM (SELECT * FROM events WHERE event_type = 'view') v
-        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON v.user_id = p.user_id
-        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
-        |ORDER BY view_id, purchase_id""".stripMargin,
-
-    "q_topk_per_group" ->
-      """WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal,
-        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey
-        |    ORDER BY c_acctbal DESC, c_custkey) AS rank_in_group
-        |  FROM customer)
-        |SELECT c_nationkey, rank_in_group, c_custkey, c_acctbal FROM r
-        |WHERE rank_in_group <= 5
-        |ORDER BY c_nationkey, rank_in_group""".stripMargin,
-
-    "q_heavy_hitters" ->
-      """WITH k AS (SELECT CAST(CASE WHEN l_orderkey % 10 < 3
-        |    THEN l_orderkey % 7 ELSE l_orderkey END AS VARCHAR) AS hh_key
-        |  FROM lineitem),
-        |n AS (SELECT count(*) AS total FROM k)
-        |SELECT hh_key, count(*) AS n_rows
-        |FROM k, n
-        |GROUP BY hh_key, n.total
-        |HAVING count(*) >= ceil(0.001 * n.total)
-        |ORDER BY hh_key""".stripMargin,
-
-    "q_event_outliers" ->
-      """WITH s AS (
-        |  SELECT user_id, count(*) AS n,
-        |    sum(CAST(value AS DECIMAL(18,6))) AS sv,
-        |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sv2
-        |  FROM events GROUP BY user_id),
-        |m AS (
-        |  SELECT user_id, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-        |    CAST(sv2 AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) AS var
-        |  FROM s),
-        |z AS (
-        |  SELECT e.event_id, e.user_id, e.value,
-        |    floor((e.value - m.mean) / sqrt(m.var) * 10000.0 + 0.5) / 10000.0 AS z
-        |  FROM events e JOIN m USING (user_id)
-        |  WHERE m.var > 1e-12)
-        |SELECT event_id, user_id, value, z FROM z
-        |WHERE abs(z) > 2.0
-        |ORDER BY event_id""".stripMargin,
-
-    "q_pivot_dynamic" ->
-      """WITH p AS (SELECT user_id, event_type, CAST(value AS DECIMAL(30,6)) AS v FROM events),
-        |w AS (SELECT * FROM (PIVOT p ON event_type USING sum(v)))
-        |SELECT user_id, CAST(round(COLUMNS(c -> c <> 'user_id'), 2) AS DOUBLE)
-        |FROM w ORDER BY user_id""".stripMargin,
-
-    "q_range_join" ->
-      """WITH bands(lo, hi, tier) AS (VALUES
-        |  (0, 99999, 'low'), (100000, 299999, 'mid'),
-        |  (300000, 999999, 'high'), (250000, 350000, 'promo')),
-        |l AS (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price_l FROM orders)
-        |SELECT l.o_orderkey, l.price_l, b.tier
-        |FROM l JOIN bands b ON l.price_l BETWEEN b.lo AND b.hi
-        |ORDER BY o_orderkey, tier""".stripMargin,
-
-    "q_asof_join" ->
-      """WITH r AS (SELECT user_id, ts, max(value) AS pval FROM events
-        |           WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |l AS (SELECT event_id, user_id, ts, value FROM events)
-        |SELECT l.event_id, l.user_id,
-        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
-        |  CAST(round(CAST(r.pval AS DECIMAL(30,6)), 2) AS DOUBLE) AS last_purchase
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-        |ORDER BY l.event_id""".stripMargin,
-
-    // nearest = the closer of DuckDB's native backward (>=) and forward
-    // (<=) ASOF joins; exact ties prefer backward. Distances in epoch
-    // seconds (doubles) — ts values carry no sub-microsecond component
-    // (verified), so both engines compare identical doubles.
-    "q_asof_nearest" ->
-      """WITH r AS (SELECT user_id, ts, max(value) AS pval FROM events
-        |           WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |l AS (SELECT event_id, user_id, ts FROM events),
-        |b AS (SELECT l.event_id, r.ts AS bts, r.pval AS bval
-        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
-        |f AS (SELECT l.event_id, r.ts AS fts, r.pval AS fval
-        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
-        |SELECT l.event_id, l.user_id,
-        |  CASE WHEN l.ts IS NULL THEN NULL
-        |       WHEN b.bts IS NULL THEN f.fval
-        |       WHEN f.fts IS NULL THEN b.bval
-        |       WHEN (epoch(f.fts) - epoch(l.ts)) < (epoch(l.ts) - epoch(b.bts))
-        |         THEN f.fval
-        |       ELSE b.bval END AS asof_pval
-        |FROM l LEFT JOIN b ON l.event_id = b.event_id
-        |       LEFT JOIN f ON l.event_id = f.event_id
-        |ORDER BY l.event_id""".stripMargin,
-
-    "q_correlated_lookup" ->
-      """SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_totalprice
-        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
-        |        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders)
-        |WHERE rn = 1
-        |ORDER BY o_custkey""".stripMargin,
-
-    // CASE guard: an empty/whitespace-only doc yields [''] from
-    // string_split_regex but [] from TextFunctions.tokens — guard like
-    // the other token oracles so parity doesn't depend on the corpus
-    // happening to contain no empty doc in range
-    "q_explode_relations" ->
-      """SELECT doc_id, unnest(
-        |    CASE WHEN len(trim(text)) = 0 THEN []
-        |         ELSE string_split_regex(trim(text), '\s+') END) AS token
-        |FROM documents
-        |WHERE doc_id < 200
-        |ORDER BY doc_id, token""".stripMargin,
-
-    "q_merge_upsert" ->
-      """WITH dest AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
-        |incoming AS (
-        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 5 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'N', o_totalprice - 500.0
-        |  FROM orders WHERE o_orderkey % 7 = 0)
-        |SELECT coalesce(d.o_orderkey, i.o_orderkey) AS o_orderkey,
-        |  d.o_custkey AS o_custkey,
-        |  coalesce(i.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
-        |  coalesce(i.o_totalprice, d.o_totalprice) AS o_totalprice
-        |FROM dest d FULL OUTER JOIN incoming i ON d.o_orderkey = i.o_orderkey
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q_update_existing" ->
-      """WITH dest AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
-        |incoming AS (
-        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 5 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'N', o_totalprice - 500.0
-        |  FROM orders WHERE o_orderkey % 7 = 0)
-        |SELECT d.o_orderkey AS o_orderkey, d.o_custkey AS o_custkey,
-        |  coalesce(i.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
-        |  coalesce(i.o_totalprice, d.o_totalprice) AS o_totalprice
-        |FROM dest d LEFT JOIN incoming i ON d.o_orderkey = i.o_orderkey
-        |ORDER BY 1""".stripMargin,
-
-    "q_scd2_snapshot" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q_scd2_feed" ->
-      """WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        |changes AS (
-        |  SELECT o_orderkey, 'U1' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
-        |         '2024-01-01' AS ts, 'U' AS op FROM orders WHERE o_orderkey % 5 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, 'U2', o_totalprice + 2000.0, '2024-02-01', 'U'
-        |  FROM orders WHERE o_orderkey % 10 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, NULL, NULL, '2024-03-01', 'D'
-        |  FROM orders WHERE o_orderkey % 20 = 0),
-        |v AS (SELECT *, lead(ts) OVER (PARTITION BY o_orderkey ORDER BY ts) AS next_ts
-        |      FROM changes),
-        |f AS (SELECT o_orderkey, min(ts) AS first_ts FROM changes GROUP BY 1)
-        |SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice,
-        |       '2020-01-01' AS valid_from, f.first_ts AS valid_to,
-        |       f.first_ts IS NULL AS is_current
-        |FROM snap s LEFT JOIN f USING (o_orderkey)
-        |UNION ALL
-        |SELECT o_orderkey, o_orderstatus, o_totalprice, ts, next_ts, next_ts IS NULL
-        |FROM v WHERE op <> 'D'
-        |ORDER BY o_orderkey, valid_from""".stripMargin,
-
-    "q_scd2" ->
-      """WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-        |incoming AS (
-        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 5 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |  WHERE o_orderkey % 5 <> 0 AND o_orderkey % 3 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'N', o_totalprice - 500.0
-        |  FROM orders WHERE o_orderkey % 7 = 0),
-        |j AS (SELECT s.o_orderkey AS sk, s.o_orderstatus AS ss, s.o_totalprice AS sp,
-        |             i.o_orderkey AS ik, i.o_orderstatus AS ist, i.o_totalprice AS ip
-        |      FROM snap s FULL OUTER JOIN incoming i ON s.o_orderkey = i.o_orderkey)
-        |SELECT sk AS o_orderkey, ss AS o_orderstatus, sp AS o_totalprice,
-        |       '2020-01-01' AS valid_from, NULL AS valid_to, TRUE AS is_current
-        |FROM j WHERE sk IS NOT NULL AND (ik IS NULL OR
-        |  (ss IS NOT DISTINCT FROM ist AND sp IS NOT DISTINCT FROM ip))
-        |UNION ALL
-        |SELECT sk, ss, sp, '2020-01-01', '2024-06-01', FALSE
-        |FROM j WHERE sk IS NOT NULL AND ik IS NOT NULL
-        |  AND (ss IS DISTINCT FROM ist OR sp IS DISTINCT FROM ip)
-        |UNION ALL
-        |SELECT ik, ist, ip, '2024-06-01', NULL, TRUE
-        |FROM j WHERE ik IS NOT NULL AND (sk IS NULL OR
-        |  (ss IS DISTINCT FROM ist OR sp IS DISTINCT FROM ip))
-        |ORDER BY o_orderkey, valid_from""".stripMargin,
-
-    "q_cdc_apply" ->
-      """WITH dest AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
-        |changes AS (
-        |  SELECT o_orderkey, 'U1' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
-        |         1 AS version, 'U' AS op FROM orders WHERE o_orderkey % 5 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, 'U2', o_totalprice + 2000.0, 2, 'U' FROM orders WHERE o_orderkey % 10 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, NULL, NULL, 3, 'D' FROM orders WHERE o_orderkey % 7 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 20000000, 'N', o_totalprice - 500.0, 1, 'I'
-        |  FROM orders WHERE o_orderkey % 13 = 0),
-        |latest AS (SELECT * FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
-        |  FROM changes) WHERE rn = 1),
-        |ups AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest WHERE op <> 'D'),
-        |merged AS (
-        |  SELECT coalesce(d.o_orderkey, u.o_orderkey) AS o_orderkey,
-        |    d.o_custkey AS o_custkey,
-        |    coalesce(u.o_orderstatus, d.o_orderstatus) AS o_orderstatus,
-        |    coalesce(u.o_totalprice, d.o_totalprice) AS o_totalprice
-        |  FROM dest d FULL OUTER JOIN ups u ON d.o_orderkey = u.o_orderkey)
-        |SELECT m.o_orderkey, m.o_custkey, m.o_orderstatus, m.o_totalprice
-        |FROM merged m
-        |LEFT JOIN (SELECT o_orderkey FROM latest WHERE op = 'D') t
-        |  ON m.o_orderkey = t.o_orderkey
-        |WHERE t.o_orderkey IS NULL
-        |ORDER BY m.o_orderkey""".stripMargin,
-
-    "q_insert_missing" ->
-      """WITH incoming AS (
-        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 5 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'N', o_totalprice - 500.0
-        |  FROM orders WHERE o_orderkey % 7 = 0)
-        |SELECT i.o_orderkey, i.o_orderstatus, i.o_totalprice
-        |FROM incoming i
-        |WHERE NOT EXISTS (SELECT 1 FROM orders d WHERE d.o_orderkey = i.o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q_dedup_exact" ->
-      """SELECT l_orderkey, l_partkey, l_quantity
-        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
-        |        ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn FROM lineitem)
-        |WHERE rn = 1
-        |ORDER BY l_orderkey""".stripMargin,
-
-    "q_delete_excess" ->
-      """SELECT c_custkey, c_name, c_mktsegment
-        |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |  WHERE o_totalprice > 350000 AND o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q_delete_excess_scoped" ->
-      """WITH incoming AS (
-        |  SELECT c_custkey, c_nationkey FROM customer
-        |  WHERE c_acctbal > 5000 AND c_nationkey < 10)
-        |SELECT c_custkey, c_name, c_nationkey
-        |FROM customer c
-        |WHERE c_nationkey IN (SELECT c_nationkey FROM incoming)
-        |  AND NOT EXISTS (SELECT 1 FROM incoming i WHERE i.c_custkey = c.c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q_assortment_rebuild" ->
-      """WITH users AS (
-        |  SELECT c_custkey AS user_id, c_mktsegment AS seg
-        |  FROM customer WHERE c_acctbal > 9950),
-        |perm AS (
-        |  SELECT DISTINCT c_mktsegment AS seg, l_partkey AS part_key
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  WHERE l_quantity = 50),
-        |rebuilt AS (
-        |  SELECT DISTINCT u.user_id, p.part_key
-        |  FROM users u JOIN perm p ON u.seg = p.seg),
-        |existing AS (
-        |  SELECT DISTINCT u.user_id, l_partkey AS part_key
-        |  FROM users u
-        |  JOIN orders ON o_custkey = u.user_id
-        |  JOIN lineitem ON l_orderkey = o_orderkey),
-        |alls AS (
-        |  SELECT user_id, part_key FROM existing
-        |  UNION
-        |  SELECT user_id, part_key FROM rebuilt)
-        |SELECT a.user_id, a.part_key,
-        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM rebuilt r
-        |    WHERE r.user_id = a.user_id AND r.part_key = a.part_key)
-        |  THEN 1 ELSE 0 END AS INTEGER) AS is_active
-        |FROM alls a
-        |ORDER BY user_id, part_key""".stripMargin,
-
-    "q_salted_distinct" ->
-      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
-        |FROM lineitem
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-
-    "q_flag_missing" ->
-      """SELECT c_custkey,
-        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM orders
-        |    WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
-        |  THEN 1 ELSE 0 END AS INTEGER) AS is_active
-        |FROM customer
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q_surrogate_ids" ->
-      """SELECT doc_id,
-        |  CAST(1000 + row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS new_id
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_name_match" ->
-      """SELECT c.c_custkey,
-        |  CAST(floor(jaro_winkler_similarity(c.c_name, d.c_name) * 10000 + 0.5)
-        |    AS BIGINT) AS sim_bp
-        |FROM customer c JOIN customer d ON d.c_custkey = c.c_custkey + 1
-        |ORDER BY c.c_custkey""".stripMargin,
-
-    "q_fk_by_name" ->
-      """SELECT c_custkey, n_name AS nation_name, n_nationkey AS resolved_key
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q_create_missing_refs" ->
-      """SELECT DISTINCT c_custkey, 'REF-' || c_custkey AS new_ref_id
-        |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |  WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q_fk_fallback" ->
-      """SELECT o_orderkey, coalesce(c1.c_custkey, c2.c_custkey) AS resolved_key
-        |FROM (SELECT o_orderkey,
-        |        CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END AS k,
-        |        'Customer#' || lpad(CAST(o_custkey AS VARCHAR), 9, '0') AS nm
-        |      FROM orders) o
-        |LEFT JOIN customer c1 ON o.k = c1.c_custkey
-        |LEFT JOIN customer c2 ON o.nm = c2.c_name
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q_default_values" ->
-      """SELECT c_custkey,
-        |  coalesce(nullif(c_name, ''), 'UNKNOWN') AS name_filled,
-        |  CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS segment,
-        |  'CUST-' || c_custkey AS ext_id
-        |FROM customer
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q_quarantine" ->
-      """SELECT o_orderkey, o_totalprice, o_orderpriority,
-        |  concat_ws(',',
-        |    CASE WHEN NOT coalesce(o_totalprice < 300000, FALSE) THEN 'price_high' END,
-        |    CASE WHEN NOT coalesce(o_orderpriority NOT LIKE '%LOW%', FALSE) THEN 'low_prio' END
-        |  ) AS quarantine_reason
-        |FROM orders
-        |WHERE NOT coalesce(o_totalprice < 300000, FALSE)
-        |   OR NOT coalesce(o_orderpriority NOT LIKE '%LOW%', FALSE)
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q_propagate_variants" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  coalesce(nullif(l_returnflag, 'N'),
-        |    max(CASE WHEN l_linenumber = 1 THEN nullif(l_returnflag, 'N') END)
-        |      OVER (PARTITION BY l_orderkey)) AS ship_note
-        |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q_distinct_count" ->
-      """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_lines
-        |FROM lineitem
-        |GROUP BY l_partkey
-        |ORDER BY l_partkey""".stripMargin,
-
-    "q_assortment_pairs" ->
-      """SELECT DISTINCT user_id, event_type, c_mktsegment
-        |FROM events JOIN customer ON user_id = c_custkey
-        |WHERE event_type IN ('purchase', 'signup')
-        |ORDER BY user_id, event_type""".stripMargin,
-
-    "q_rollup_hierarchy" ->
-      """SELECT r_name, n_name,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS revenue,
-        |  count(*) AS n_orders
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP(r_name, n_name)
-        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
-
-    "q_grouping_sets" ->
-      """SELECT n_name, o_orderpriority,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS revenue,
-        |  count(*) AS n_orders
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
-        |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
-
-    "q_sql_api" ->
-      """SELECT c_custkey, c_mktsegment,
-        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
-        |FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
-        |ORDER BY c_custkey""".stripMargin,
-
-    // Full SQL replay of the composed ImportJob run: every stage of the
-    // reference loop (merge, quarantine, name-resolve vs MERGED parents,
-    // dedup, scoped delete, surrogate uids, relation cleanup, assortment
-    // rebuild) as CTEs, finished by the same 60-bit digest sums.
-    "q_ecom_job" -> EcomJobOracle,
-    "q_ecom_job_strict" -> EcomJobOracle,
-
-    "q_json_extract" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
-        |FROM events
-        |ORDER BY event_id""".stripMargin,
-
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_qty,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS sum_base_price,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_disc_price,
-        |  floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q3_top_orders" ->
-      """SELECT o_orderkey, o_orderpriority,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-03-15'
-        |  AND l_shipdate > TIMESTAMP '1998-03-15'
-        |GROUP BY o_orderkey, o_orderpriority
-        |ORDER BY revenue DESC, o_orderkey
-        |LIMIT 10""".stripMargin,
-
-    "q5_join5" ->
-      """SELECT n_name,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin,
-
-    "q_trend_slope" ->
-      """WITH monthly AS (
-        |  SELECT r_name,
-        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
-        |    sum(CAST(o_totalprice AS DECIMAL(30,2))) AS y
-        |  FROM orders
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
-        |  GROUP BY 1, 2),
-        |m AS (
-        |  SELECT r_name, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-        |    sum(x * y) AS sxy, sum(x * x) AS sxx
-        |  FROM monthly GROUP BY r_name)
-        |SELECT r_name,
-        |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 10000 + 0.5) AS BIGINT)
-        |    AS slope_bp
-        |FROM m ORDER BY r_name""".stripMargin,
-
-    "q_basket_affinity" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (
-        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2),
-        |supp AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1)
-        |SELECT part_a, part_b, n_ab, sa.n AS n_a, sb.n AS n_b
-        |FROM pairs
-        |JOIN supp sa ON part_a = sa.l_partkey
-        |JOIN supp sb ON part_b = sb.l_partkey
-        |WHERE n_ab >= 2
-        |ORDER BY n_ab DESC, part_a, part_b
-        |LIMIT 100""".stripMargin,
-
-    "q_cohort_retention" ->
-      """WITH o AS (SELECT o_custkey,
-        |    year(o_orderdate) * 12 + month(o_orderdate) AS mi,
-        |    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS m FROM orders),
-        |f AS (SELECT o_custkey, min(mi) AS cmi, min(m) AS cohort
-        |      FROM o GROUP BY o_custkey)
-        |SELECT cohort, CAST(mi - cmi AS BIGINT) AS month_offset,
-        |  count(DISTINCT o.o_custkey) AS n_customers
-        |FROM o JOIN f USING (o_custkey)
-        |GROUP BY cohort, month_offset
-        |ORDER BY cohort, month_offset""".stripMargin,
-
-    "q_growth_mom" ->
-      """WITH monthly AS (
-        |  SELECT r_name, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS revenue
-        |  FROM orders
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
-        |  GROUP BY 1, 2)
-        |SELECT r_name, month, revenue,
-        |  CAST(CASE WHEN lag(revenue) OVER w IS NULL THEN NULL
-        |    ELSE floor((revenue - lag(revenue) OVER w) / lag(revenue) OVER w
-        |      * 10000.0 + 0.5) END AS BIGINT) AS growth_bp
-        |FROM monthly
-        |WINDOW w AS (PARTITION BY r_name ORDER BY month)
-        |ORDER BY r_name, month""".stripMargin,
-
-    "q_window_running" ->
-      """SELECT l_suppkey,
-        |  CAST(row_number() OVER w AS INTEGER) AS rn,
-        |  l_orderkey, l_linenumber,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) OVER
-        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
-        |FROM lineitem
-        |WHERE l_suppkey <= 10
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
-        |ORDER BY l_suppkey, rn""".stripMargin,
-
-    "q_window_tumbling" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
-        |  event_type, count(*) AS n_events,
-        |  CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
-        |FROM events
-        |GROUP BY 1, 2
-        |ORDER BY hour_bucket, event_type""".stripMargin,
-
-    "q_salted_join" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderpriority
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q_salted_agg" ->
-      """SELECT l_returnflag,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-
-    "q_clean_relations" ->
-      """SELECT l_orderkey, l_linenumber
-        |FROM lineitem
-        |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |  WHERE o_totalprice <= 400000 AND o_orderkey = l_orderkey)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q_rate_limit" ->
-      """WITH r AS (
-        |  SELECT event_id, user_id, event_type,
-        |    row_number() OVER (PARTITION BY user_id, event_type,
-        |        date_trunc('hour', ts) ORDER BY ts, event_id) AS rn
-        |  FROM events)
-        |SELECT event_id, user_id, event_type FROM r WHERE rn <= 3
-        |ORDER BY event_id""".stripMargin,
-
-    "q_debounce" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, event_type, event_id, ts,
-        |    row_number() OVER (PARTITION BY user_id, event_type
-        |                       ORDER BY ts, event_id) AS rn
-        |  FROM events),
-        |keep AS (
-        |  SELECT user_id, event_type, event_id, ts, rn,
-        |    ts AS last_kept, TRUE AS kept
-        |  FROM ev WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.event_type, e.event_id, e.ts, e.rn,
-        |    CASE WHEN e.ts >= k.last_kept + INTERVAL 30 MINUTE
-        |         THEN e.ts ELSE k.last_kept END,
-        |    e.ts >= k.last_kept + INTERVAL 30 MINUTE
-        |  FROM ev e JOIN keep k
-        |    ON e.user_id = k.user_id AND e.event_type = k.event_type
-        |   AND e.rn = k.rn + 1)
-        |SELECT event_id, user_id, event_type FROM keep WHERE kept
-        |ORDER BY event_id""".stripMargin,
-
-    "q_debounce_chunked" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, event_type, event_id, ts,
-        |    row_number() OVER (PARTITION BY user_id, event_type
-        |                       ORDER BY ts, event_id) AS rn
-        |  FROM events),
-        |keep AS (
-        |  SELECT user_id, event_type, event_id, ts, rn,
-        |    ts AS last_kept, TRUE AS kept
-        |  FROM ev WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.event_type, e.event_id, e.ts, e.rn,
-        |    CASE WHEN e.ts >= k.last_kept + INTERVAL 30 MINUTE
-        |         THEN e.ts ELSE k.last_kept END,
-        |    e.ts >= k.last_kept + INTERVAL 30 MINUTE
-        |  FROM ev e JOIN keep k
-        |    ON e.user_id = k.user_id AND e.event_type = k.event_type
-        |   AND e.rn = k.rn + 1)
-        |SELECT event_id, user_id, event_type FROM keep WHERE kept
-        |ORDER BY event_id""".stripMargin,
-
-    "q_sessionize" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM flagged)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
-        |FROM sess
-        |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
-
-    "q_session_window" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0 THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM flagged)
-        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  count(*) AS n_events
-        |FROM sess
-        |GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
-
-    "q_dedup_exact_docs" ->
-      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-        |FROM documents
-        |GROUP BY text
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_chunk_docs" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |           FROM documents),
-        |c AS (SELECT doc_id,
-        |  unnest(list_transform(
-        |    range(CAST(CASE WHEN len(toks) <= 64 THEN 1
-        |      ELSE ceil((len(toks) - 64) / 48.0) + 1 END AS BIGINT)),
-        |    i -> array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' '))) AS chunk
-        |  FROM t)
-        |SELECT doc_id, chunk,
-        |  CAST(CASE WHEN len(trim(chunk)) = 0 THEN 0
-        |    ELSE len(string_split_regex(trim(chunk), '\s+')) END AS INTEGER) AS n_chunk_tokens
-        |FROM c
-        |ORDER BY doc_id, chunk""".stripMargin,
-
-    "q_dedup_normalized" ->
-      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-        |FROM documents
-        |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-        |  ' +', ' ', 'g'))
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_corpus_clean" ->
-      // the COMPOSED cleaning pipeline replayed end to end: quality +
-      // langid signals (integer-exact, same derivations as
-      // q_text_quality/q_lang_id), the >=3000 quality floor, normalized
-      // exact dedup (min doc_id per canonical form), then near-dup
-      // cluster canonicals. The cluster stage replays as the
-      // EXACT-Jaccard pair set + recursive-CTE components (canonical =
-      // min id): equality with the Spark side's LSH-verified pairs
-      // holds because this corpus has NO pair with Jaccard in
-      // (0.30, 0.80) - measured at all three SFs - so every qualifying
-      // pair is >= 0.80 where 16x4 banding recall is >= 1 - 2.3e-4 per
-      // pair, and the hash gate itself verifies no pair was missed.
-      // Threshold compare is the integer form of round(j,4) >= 0.8
-      // (100000*inter >= 79995*union).
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
-        |  FROM documents),
-        |sig AS (
-        |  SELECT doc_id, text, tk,
-        |    CAST(least(len(tk), 200) * 25
-        |      + least(floor(CAST(len(list_filter(tk,
-        |          x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
-        |          * 15000.0 / greatest(CAST(len(tk) AS DOUBLE), 1.0)), 3000.0)
-        |      + (CASE WHEN len(text) BETWEEN 100 AND 2000 THEN 2000 ELSE 0 END)
-        |      AS INTEGER) AS quality_bp,
-        |    CASE WHEN greatest(
-        |           len(list_filter(tk, x -> x IN ('the','a','and','of','is'))),
-        |           len(list_filter(tk, x -> x IN ('el','la','los','de','y'))),
-        |           len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))),
-        |           len(list_filter(tk, x -> x IN ('le','la','les','et','est')))) = 0
-        |         THEN 'unknown'
-        |         WHEN len(list_filter(tk, x -> x IN ('the','a','and','of','is'))) = greatest(
-        |           len(list_filter(tk, x -> x IN ('the','a','and','of','is'))),
-        |           len(list_filter(tk, x -> x IN ('el','la','los','de','y'))),
-        |           len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))),
-        |           len(list_filter(tk, x -> x IN ('le','la','les','et','est')))) THEN 'en'
-        |         WHEN len(list_filter(tk, x -> x IN ('el','la','los','de','y'))) = greatest(
-        |           len(list_filter(tk, x -> x IN ('the','a','and','of','is'))),
-        |           len(list_filter(tk, x -> x IN ('el','la','los','de','y'))),
-        |           len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))),
-        |           len(list_filter(tk, x -> x IN ('le','la','les','et','est')))) THEN 'es'
-        |         WHEN len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) = greatest(
-        |           len(list_filter(tk, x -> x IN ('the','a','and','of','is'))),
-        |           len(list_filter(tk, x -> x IN ('el','la','los','de','y'))),
-        |           len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))),
-        |           len(list_filter(tk, x -> x IN ('le','la','les','et','est')))) THEN 'de'
-        |         ELSE 'fr' END AS pred_lang
-        |  FROM base),
-        |keep1 AS (SELECT * FROM sig WHERE quality_bp >= 3000),
-        |surv AS (
-        |  SELECT doc_id, quality_bp, pred_lang, tk
-        |  FROM keep1
-        |  QUALIFY row_number() OVER (
-        |    PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
-        |    ORDER BY doc_id) = 1),
-        |sets AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
-        |        i -> array_to_string(tk[i:i+2], ' ')) END) AS s
-        |  FROM surv),
-        |sh AS (SELECT doc_id, unnest(s) AS g FROM sets),
-        |sz AS (SELECT doc_id, len(s) AS n FROM sets),
-        |edges0 AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |edges1 AS (
-        |  SELECT id_a, id_b
-        |  FROM edges0
-        |  JOIN sz sa ON sa.doc_id = id_a
-        |  JOIN sz sb ON sb.doc_id = id_b
-        |  WHERE 100000 * inter >= 79995 * (sa.n + sb.n - inter)),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM edges1
-        |  UNION SELECT id_b, id_a FROM edges1),
-        |reach AS (
-        |  SELECT a AS id, b AS r FROM edges
-        |  UNION
-        |  SELECT re.id, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
-        |),
-        |canon AS (
-        |  SELECT s.doc_id
-        |  FROM surv s LEFT JOIN reach r ON r.id = s.doc_id
-        |  GROUP BY s.doc_id
-        |  HAVING s.doc_id <= coalesce(min(r.r), s.doc_id))
-        |SELECT s.doc_id, s.quality_bp, s.pred_lang
-        |FROM surv s JOIN canon USING (doc_id)
-        |ORDER BY s.doc_id""".stripMargin,
-
-    "q_contrastive_pairs" ->
-      // full triplet replay: positives = exact-Jaccard pair set in the
-      // (round(j,4) >= 0.5, round(j,4) <= 0.99) band (integer compares;
-      // equality with the LSH pipeline per the q_corpus_clean corpus
-      // argument - no pair lives in (0.30, 0.80)); negatives = the
-      // injected PORTABLE hash ((id % 1000003)*2654435761 + salt*40503
-      // mod 1e9+7), bucket representative = min (secondary hash, id);
-      // exclusion = anti-join against the FULL >= 0.5 pair set, both
-      // orientations. jaccard_bp = exact-rational HALF_UP basis points.
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
-        |  FROM documents),
-        |sets AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
-        |        i -> array_to_string(tk[i:i+2], ' ')) END) AS s
-        |  FROM base),
-        |sh AS (SELECT doc_id, unnest(s) AS g FROM sets),
-        |sz AS (SELECT doc_id, len(s) AS n FROM sets),
-        |cand AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jp AS (
-        |  SELECT id_a, id_b, inter, sa.n + sb.n - inter AS u
-        |  FROM cand
-        |  JOIN sz sa ON sa.doc_id = id_a
-        |  JOIN sz sb ON sb.doc_id = id_b
-        |  WHERE 100000 * inter >= 49995 * (sa.n + sb.n - inter)),
-        |banded AS (
-        |  SELECT id_a, id_b, (20000 * inter + u) // (2 * u) AS jbp
-        |  FROM jp WHERE 100000 * inter < 99005 * u),
-        |anchors AS (
-        |  SELECT id_a AS anchor_id, id_b AS positive_id, jbp FROM banded
-        |  UNION ALL
-        |  SELECT id_b, id_a, jbp FROM banded),
-        |negcand AS (
-        |  SELECT ((doc_id % 1000003) * 2654435761 + 7 * 40503)
-        |           % 1000000007 % 64 AS nb,
-        |         doc_id AS negative_id
-        |  FROM documents
-        |  QUALIFY row_number() OVER (
-        |    PARTITION BY nb
-        |    ORDER BY ((doc_id % 1000003) * 2654435761 + 8 * 40503)
-        |      % 1000000007, doc_id) = 1),
-        |trip AS (
-        |  SELECT a.anchor_id, a.positive_id, n.negative_id, a.jbp
-        |  FROM anchors a JOIN negcand n
-        |    ON n.nb = (((a.anchor_id % 1000003) * 2654435761 + 7 * 40503)
-        |                 % 1000000007 + 1) % 64
-        |  WHERE n.negative_id <> a.anchor_id
-        |    AND n.negative_id <> a.positive_id),
-        |excl AS (
-        |  SELECT id_a AS x, id_b AS y FROM jp
-        |  UNION ALL SELECT id_b, id_a FROM jp)
-        |SELECT t.anchor_id, t.positive_id, t.negative_id,
-        |  CAST(t.jbp AS BIGINT) AS jaccard_bp
-        |FROM trip t
-        |LEFT JOIN excl e ON e.x = t.anchor_id AND e.y = t.negative_id
-        |WHERE e.x IS NULL
-        |ORDER BY anchor_id, positive_id""".stripMargin,
-
-    "q_multimodal_features" ->
-      // the stub codec replayed byte for byte: checksum = the unsigned
-      // 31-polynomial rolling hash mod 2^64 (two's-complement signed at
-      // the end - same HUGEINT machinery as q_doc_fingerprint, but
-      // UNSIGNED bytes: decodeStub reads b & 0xff), histogram bins =
-      // b // 32 counts, features = IEEE float32 division REAL/REAL (==
-      // the JVM's Float/Int, converts to double exactly). Sentinel rows
-      // (null/zero-byte payload) carry checksum 0 and NULL bins.
-      """WITH RECURSIVE mx AS (
-        |  SELECT coalesce(max(octet_length(encode(text))), 0) AS n FROM documents),
-        |pw(k, v) AS (
-        |  SELECT 0, CAST(1 AS HUGEINT)
-        |  UNION ALL
-        |  SELECT k + 1, (v * 31) % 18446744073709551616
-        |  FROM pw, mx WHERE k < mx.n),
-        |hx AS (
-        |  SELECT doc_id, hex(encode(text)) AS h,
-        |    octet_length(encode(text)) AS n
-        |  FROM documents),
-        |bytes AS (
-        |  SELECT doc_id, n, i,
-        |    (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
-        |      + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS b
-        |  FROM hx, LATERAL unnest(generate_series(1, CAST(n AS BIGINT))) AS t(i)),
-        |acc AS (
-        |  SELECT b.doc_id, sum(CAST(b.b AS HUGEINT) * p.v) AS bsum
-        |  FROM bytes b JOIN pw p ON p.k = b.n - b.i
-        |  GROUP BY b.doc_id),
-        |chk AS (
-        |  SELECT x.doc_id,
-        |    (CAST(1125899906842597 AS HUGEINT) * p.v + a.bsum)
-        |      % 18446744073709551616 AS u
-        |  FROM hx x JOIN pw p ON p.k = x.n JOIN acc a ON a.doc_id = x.doc_id
-        |  WHERE x.n >= 1),
-        |hist AS (
-        |  SELECT doc_id, b // 32 AS bin, count(*) AS c
-        |  FROM bytes GROUP BY 1, 2),
-        |hw AS (
-        |  SELECT doc_id,
-        |    coalesce(sum(CASE WHEN bin = 0 THEN c END), 0) AS h0,
-        |    coalesce(sum(CASE WHEN bin = 1 THEN c END), 0) AS h1,
-        |    coalesce(sum(CASE WHEN bin = 2 THEN c END), 0) AS h2,
-        |    coalesce(sum(CASE WHEN bin = 3 THEN c END), 0) AS h3,
-        |    coalesce(sum(CASE WHEN bin = 4 THEN c END), 0) AS h4,
-        |    coalesce(sum(CASE WHEN bin = 5 THEN c END), 0) AS h5,
-        |    coalesce(sum(CASE WHEN bin = 6 THEN c END), 0) AS h6,
-        |    coalesce(sum(CASE WHEN bin = 7 THEN c END), 0) AS h7
-        |  FROM hist GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(CASE WHEN c.u >= 9223372036854775808
-        |       THEN c.u - 18446744073709551616 ELSE c.u END, 0) AS BIGINT)
-        |    AS checksum,
-        |  CAST(hw.h0 AS BIGINT) AS h0, CAST(hw.h1 AS BIGINT) AS h1,
-        |  CAST(hw.h2 AS BIGINT) AS h2, CAST(hw.h3 AS BIGINT) AS h3,
-        |  CAST(hw.h4 AS BIGINT) AS h4, CAST(hw.h5 AS BIGINT) AS h5,
-        |  CAST(hw.h6 AS BIGINT) AS h6, CAST(hw.h7 AS BIGINT) AS h7,
-        |  CAST(CAST(hw.h0 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f0,
-        |  CAST(CAST(hw.h1 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f1,
-        |  CAST(CAST(hw.h2 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f2,
-        |  CAST(CAST(hw.h3 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f3,
-        |  CAST(CAST(hw.h4 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f4,
-        |  CAST(CAST(hw.h5 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f5,
-        |  CAST(CAST(hw.h6 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f6,
-        |  CAST(CAST(hw.h7 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f7
-        |FROM documents d
-        |LEFT JOIN hx x ON x.doc_id = d.doc_id AND x.n >= 1
-        |LEFT JOIN chk c ON c.doc_id = d.doc_id
-        |LEFT JOIN hw ON hw.doc_id = d.doc_id AND x.n >= 1
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "q_dedup_clusters" ->
-      // minhash-LSH near-dup components replayed as the exact-Jaccard pair
-      // set (threshold 0.6 in its integer round(j,4) form: 100000*i >=
-      // 59995*u) + recursive-CTE closure with min-id canonicals — the
-      // q_corpus_clean corpus-gap argument (no pair in (0.30, 0.80) at any
-      // SF) makes LSH == exact here too; singletons map to themselves
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
-        |  FROM documents),
-        |sets AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
-        |        i -> array_to_string(tk[i:i+2], ' ')) END) AS s
-        |  FROM base),
-        |sh AS (SELECT doc_id, unnest(s) AS g FROM sets),
-        |sz AS (SELECT doc_id, len(s) AS n FROM sets),
-        |edges0 AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |edges1 AS (
-        |  SELECT id_a, id_b
-        |  FROM edges0
-        |  JOIN sz sa ON sa.doc_id = id_a
-        |  JOIN sz sb ON sb.doc_id = id_b
-        |  WHERE 100000 * inter >= 59995 * (sa.n + sb.n - inter)),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM edges1
-        |  UNION SELECT id_b, id_a FROM edges1),
-        |reach AS (
-        |  SELECT a AS id, b AS r FROM edges
-        |  UNION
-        |  SELECT re.id, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
-        |)
-        |SELECT d.doc_id AS id,
-        |  least(d.doc_id, coalesce(min(r.r), d.doc_id)) AS canonical_id
-        |FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
-        |GROUP BY d.doc_id
-        |ORDER BY id""".stripMargin,
-
-    "q_training_pipeline" ->
-      // the CAPSTONE composition replayed end to end as one CTE chain:
-      // clean (quality floor, normalized dedup, exact-Jaccard cluster
-      // canonicals per the corpus-gap argument) -> decontaminate (distinct
-      // 13-gram-string joins vs the %25 benchmark slice, the q_decontaminate
-      // equivalence) -> epoch-0 token counts -> split by the INJECTED
-      // portable hash (u = h % 1e6 / 1e6, boundaries 0.9/0.95 as exact
-      // doubles both engines) -> per-source running-sum packing at budget
-      // 2048 (the q_pack_sequences replay); val/test rows carry NULL seq
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, source, text,
-        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(text), '\s+') END AS tk
-        |  FROM documents),
-        |sig AS (
-        |  SELECT doc_id, source, text, tk,
-        |    CAST(least(len(tk), 200) * 25
-        |      + least(floor(CAST(len(list_filter(tk,
-        |          x -> x IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
-        |          * 15000.0 / greatest(CAST(len(tk) AS DOUBLE), 1.0)), 3000.0)
-        |      + (CASE WHEN len(text) BETWEEN 100 AND 2000 THEN 2000 ELSE 0 END)
-        |      AS INTEGER) AS quality_bp
-        |  FROM base),
-        |keep1 AS (SELECT * FROM sig WHERE quality_bp >= 3000),
-        |surv AS (
-        |  SELECT doc_id, source, text, tk
-        |  FROM keep1
-        |  QUALIFY row_number() OVER (
-        |    PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
-        |    ORDER BY doc_id) = 1),
-        |sets AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
-        |        i -> array_to_string(tk[i:i+2], ' ')) END) AS s
-        |  FROM surv),
-        |sh AS (SELECT doc_id, unnest(s) AS g FROM sets),
-        |sz AS (SELECT doc_id, len(s) AS n FROM sets),
-        |edges0 AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |edges1 AS (
-        |  SELECT id_a, id_b
-        |  FROM edges0
-        |  JOIN sz sa ON sa.doc_id = id_a
-        |  JOIN sz sb ON sb.doc_id = id_b
-        |  WHERE 100000 * inter >= 79995 * (sa.n + sb.n - inter)),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM edges1
-        |  UNION SELECT id_b, id_a FROM edges1),
-        |reach AS (
-        |  SELECT a AS id, b AS r FROM edges
-        |  UNION
-        |  SELECT re.id, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
-        |),
-        |canon AS (
-        |  SELECT s.doc_id
-        |  FROM surv s LEFT JOIN reach r ON r.id = s.doc_id
-        |  GROUP BY s.doc_id
-        |  HAVING s.doc_id <= coalesce(min(r.r), s.doc_id)),
-        |cleaned AS (
-        |  SELECT s.doc_id, s.source, s.tk
-        |  FROM surv s JOIN canon USING (doc_id)),
-        |bgrams AS (
-        |  SELECT DISTINCT unnest(list_transform(range(1, len(tk) - 11),
-        |    i -> array_to_string(tk[i:i+12], ' '))) AS g
-        |  FROM base WHERE doc_id % 25 = 0 AND len(tk) >= 13),
-        |cgrams AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 11),
-        |    i -> array_to_string(tk[i:i+12], ' ')))) AS g
-        |  FROM cleaned WHERE len(tk) >= 13),
-        |dirty AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b ON c.g = b.g),
-        |decon AS (
-        |  SELECT c.doc_id, c.source, CAST(0 AS INTEGER) AS epoch,
-        |    CAST(len(c.tk) AS BIGINT) AS n_tokens,
-        |    ((c.doc_id % 1000003) * 2654435761 + 7 * 40503)
-        |      % 1000000007 % 1000000 / 1000000.0 AS u
-        |  FROM cleaned c LEFT JOIN dirty d ON d.doc_id = c.doc_id
-        |  WHERE d.doc_id IS NULL),
-        |spl AS (
-        |  SELECT doc_id, source, epoch, n_tokens,
-        |    CASE WHEN u < 0.9 THEN 'train'
-        |         WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
-        |  FROM decon),
-        |packtrain AS (
-        |  SELECT doc_id, source, epoch, n_tokens, split,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
-        |      ORDER BY doc_id * 16 + epoch
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
-        |  FROM spl WHERE split = 'train')
-        |SELECT doc_id, source, epoch, n_tokens, split,
-        |  CAST(floor(tok_before / 2048) AS INTEGER) AS seq_id,
-        |  CAST(tok_before % 2048 AS INTEGER) AS seq_pos
-        |FROM packtrain
-        |UNION ALL
-        |SELECT doc_id, source, epoch, n_tokens, split,
-        |  CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
-        |FROM spl WHERE split <> 'train'
-        |ORDER BY doc_id, epoch""".stripMargin,
-
-    "q_percentiles" ->
-      """SELECT source,
-        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 2) AS median_chars,
-        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 2) AS p90_chars,
-        |  count(*) AS n_docs
-        |FROM documents
-        |GROUP BY source
-        |ORDER BY source""".stripMargin,
-
-    "q_hierarchy_closure" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT doc_id AS child, doc_id // 2 AS parent FROM documents WHERE doc_id > 0),
-        |c AS (
-        |  SELECT child, parent AS ancestor, 1 AS depth FROM e
-        |  UNION ALL
-        |  SELECT c.child, e.parent, c.depth + 1 FROM c JOIN e ON c.ancestor = e.child)
-        |SELECT child, ancestor, depth FROM c
-        |ORDER BY child, ancestor""".stripMargin,
-
-    "q_token_histogram" ->
-      """WITH t AS (SELECT source,
-        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
-        |  FROM documents)
-        |SELECT source, CAST(floor(n / 10) AS BIGINT) AS bucket,
-        |       count(*) AS n_docs
-        |FROM t GROUP BY source, bucket
-        |ORDER BY source, bucket""".stripMargin,
-
-    "q_token_budget" ->
-      """WITH t AS (SELECT doc_id, source,
-        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |w AS (SELECT doc_id, source, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM t)
-        |SELECT doc_id, source, n_tokens FROM w
-        |WHERE cum <= 500
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_cooccurrence" ->
-      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents WHERE len(trim(text)) > 0),
-        |tt AS (SELECT toks FROM t WHERE len(toks) >= 2),
-        |uni AS (SELECT w, count(*) AS n_w
-        |  FROM (SELECT unnest(toks) AS w FROM tt) GROUP BY w),
-        |n AS (SELECT sum(n_w) AS n_total FROM uni),
-        |bi AS (SELECT unnest(list_transform(range(len(toks) - 1),
-        |    i -> toks[i + 1] || ' ' || toks[i + 2])) AS bg FROM tt),
-        |bic AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
-        |    count(*) AS n_ab
-        |  FROM bi GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT b.w1, b.w2, b.n_ab,
-        |  floor(CAST(b.n_ab AS DOUBLE) * CAST(n.n_total AS DOUBLE) /
-        |    (CAST(a.n_w AS DOUBLE) * CAST(c.n_w AS DOUBLE)) * 10000.0
-        |    + 0.5) / 10000.0 AS pmi_ratio
-        |FROM bic b
-        |JOIN uni a ON b.w1 = a.w
-        |JOIN uni c ON b.w2 = c.w
-        |CROSS JOIN n
-        |ORDER BY b.w1, b.w2""".stripMargin,
-
-    "q_sample_weighted" ->
-      """WITH d AS (
-        |  SELECT doc_id, least(2.0, n_chars / 500.0) AS rate,
-        |    (doc_id % 1048573 * 2654435761 % 1000000) / 1000000.0 AS u
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id, rate, u, CAST(floor(rate) AS INT) AS fullep,
-        |    unnest(range(CAST(floor(rate) AS INT) + 1)) AS epoch
-        |  FROM d)
-        |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch
-        |FROM e
-        |WHERE epoch < fullep OR u < rate - fullep
-        |ORDER BY doc_id, epoch""".stripMargin,
-
-    "q_pack_sequences" ->
-      """WITH t AS (SELECT doc_id, source,
-        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |w AS (SELECT doc_id, source, n_tokens,
-        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
-        |  FROM t)
-        |SELECT doc_id, source, n_tokens,
-        |  CAST(floor(tok_before / 256) AS INT) AS seq_id,
-        |  CAST(tok_before % 256 AS INT) AS seq_pos
-        |FROM w ORDER BY doc_id""".stripMargin,
-
-    // INTENTIONALLY the q_pack_sequences / q_token_budget SQL verbatim:
-    // the ranged twins must hash-match the window forms' own oracles
-    "q_pack_ranged" ->
-      """WITH t AS (SELECT doc_id, source,
-        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |w AS (SELECT doc_id, source, n_tokens,
-        |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
-        |  FROM t)
-        |SELECT doc_id, source, n_tokens,
-        |  CAST(floor(tok_before / 256) AS INT) AS seq_id,
-        |  CAST(tok_before % 256 AS INT) AS seq_pos
-        |FROM w ORDER BY doc_id""".stripMargin,
-
-    "q_token_budget_ranged" ->
-      """WITH t AS (SELECT doc_id, source,
-        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |w AS (SELECT doc_id, source, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM t)
-        |SELECT doc_id, source, n_tokens FROM w
-        |WHERE cum <= 500
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_dataset_split" ->
-      """WITH d AS (SELECT doc_id,
-        |  (((doc_id % 1048573) * 2654435761) % 1000000) / 1000000.0 AS u
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN u < 0.8 THEN 'train'
-        |       WHEN u < 0.9 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM d ORDER BY doc_id""".stripMargin,
-
-    "q_mixture_sample" ->
-      """WITH d AS (SELECT doc_id, source,
-        |  (((doc_id % 1048573) * 2654435761) % 1000000) / 1000000.0 AS u,
-        |  CAST(CASE source WHEN 'src0' THEN 2.25 WHEN 'src1' THEN 0.5
-        |       WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.25 ELSE 0.0 END AS DOUBLE) AS rate
-        |  FROM documents),
-        |e AS (SELECT doc_id, source, u, rate, CAST(floor(rate) AS INT) AS nfull FROM d),
-        |x AS (SELECT doc_id, source, nfull, u, rate,
-        |        unnest(range(0, nfull + 1)) AS epoch FROM e)
-        |SELECT doc_id, source, CAST(epoch AS INT) AS epoch
-        |FROM x WHERE epoch < nfull OR u < rate - nfull
-        |ORDER BY doc_id, epoch""".stripMargin,
-
-    "q_pii_redact" ->
-      """WITH p AS (SELECT doc_id,
-        |  text || ' contact user' || doc_id || '@example.com or 10.0.'
-        |       || (doc_id % 256) || '.7 tel 555-123-4567' AS text_pii
-        |  FROM documents WHERE doc_id < 200)
-        |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(text_pii,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g') AS redacted
-        |FROM p ORDER BY doc_id""".stripMargin,
-
-    "q_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |b AS (SELECT doc_id, len(toks) AS n,
-        |        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
-        |      FROM t WHERE len(toks) >= 2),
-        |c AS (SELECT doc_id, n, bg, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
-        |a AS (SELECT doc_id,
-        |        CAST(floor(max(cnt) * 10000.0 / (max(n) - 1) + 0.5) AS BIGINT) AS top_bigram_bp
-        |      FROM c GROUP BY 1)
-        |SELECT doc_id, top_bigram_bp
-        |FROM documents LEFT JOIN a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_token_gini" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-        |  FROM documents WHERE trim(text) <> ''),
-        |c AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
-        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-        |  CAST(sum(c * c) AS BIGINT) AS ssq_tokens
-        |FROM c GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_token_count" ->
-      """SELECT doc_id,
-        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]'))
-        |    AS INTEGER) AS n_bpe_tokens
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_word_stats" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(trim(text)) = 0 THEN []
-        |      ELSE string_split_regex(trim(text), '\s+') END AS tk
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(tk) AS INTEGER) AS n_words,
-        |  CAST(coalesce(list_aggregate(list_apply(tk, t -> len(t)), 'sum'), 0)
-        |    AS INTEGER) AS word_chars,
-        |  CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
-        |    AS INTEGER) AS alpha_words
-        |FROM toks ORDER BY doc_id""".stripMargin,
-
-    "q_char_entropy" ->
-      """WITH chars AS (
-        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
-        |  FROM documents WHERE length(text) > 0),
-        |counts AS (
-        |  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
-        |tot AS (
-        |  SELECT doc_id, sum(c) AS n, sum(c * (ln(c) / ln(2))) AS s
-        |  FROM counts GROUP BY doc_id)
-        |SELECT doc_id,
-        |  CAST(floor((ln(n) / ln(2) - s / n) * 10000 + 0.5) AS BIGINT) AS entropy_bp
-        |FROM tot ORDER BY doc_id""".stripMargin,
-
-    "q_text_quality" ->
-      """WITH base AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN len(trim(text)) = 0 THEN 0
-        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-        |    CASE WHEN len(trim(text)) = 0 THEN 0
-        |      ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> x IN ('the','a','of','and','in','to','is'))) END AS stop_hits
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(n_tokens AS INTEGER) AS n_tokens,
-        |  CAST(stop_hits AS INTEGER) AS stop_hits,
-        |  floor(CAST(stop_hits AS DOUBLE) * 10000.0 / greatest(CAST(n_tokens AS DOUBLE), 1.0) + 0.5) / 10000.0 AS stop_ratio,
-        |  CAST(least(n_tokens, 200) * 25
-        |    + least(floor(CAST(stop_hits AS DOUBLE) * 15000.0
-        |        / greatest(CAST(n_tokens AS DOUBLE), 1.0)), 3000.0)
-        |    + (CASE WHEN len(text) BETWEEN 100 AND 2000 THEN 2000 ELSE 0 END)
-        |    AS INTEGER) AS quality
-        |FROM base
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_lang_id" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS tk FROM documents),
-        |hits AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(tk, x -> x IN ('the','a','and','of','is'))) AS h_en,
-        |    len(list_filter(tk, x -> x IN ('el','la','los','de','y'))) AS h_es,
-        |    len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS h_de,
-        |    len(list_filter(tk, x -> x IN ('le','la','les','et','est'))) AS h_fr
-        |  FROM toks),
-        |pred AS (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'unknown'
-        |      WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
-        |      WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
-        |      WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
-        |      ELSE 'fr' END AS pred_lang
-        |  FROM hits)
-        |SELECT doc_id, pred_lang,
-        |  CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS INTEGER) AS is_match
-        |FROM pred
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_embed_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
-        |pairs AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    round(
-        |      list_aggregate(list_apply(list_zip(q.q_emb, e.embedding),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      / (sqrt(list_aggregate(list_apply(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-        |         * sqrt(list_aggregate(list_apply(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
-        |      4) AS cos_sim
-        |  FROM embeddings e CROSS JOIN q
-        |  WHERE e.vec_id <> q.query_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, vec_id) AS rk FROM pairs)
-        |SELECT query_id, vec_id AS neighbor_id, cos_sim
-        |FROM ranked WHERE rk <= 5
-        |ORDER BY query_id, neighbor_id""".stripMargin,
-
-    "q_ann_recall" ->
-      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
-        |cents AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
-        |         embedding AS c_emb
-        |  FROM embeddings, n
-        |  WHERE vec_id % greatest(1, cnt // 8) = 0
-        |  ORDER BY vec_id LIMIT 8),
-        |scores AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(c.c_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents c),
-        |assign AS (
-        |  SELECT vec_id, embedding, cid AS centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores) WHERE rk = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, embedding AS q_emb, cid AS centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores WHERE vec_id < 10) WHERE rk <= 2),
-        |ivf AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
-        |    FROM (
-        |      SELECT p.query_id, a.vec_id AS neighbor_id,
-        |        round(
-        |          list_aggregate(list_apply(list_zip(p.q_emb, a.embedding),
-        |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |          / (sqrt(list_aggregate(list_apply(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-        |             * sqrt(list_aggregate(list_apply(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
-        |          4) AS cos_sim
-        |      FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
-        |      WHERE a.vec_id <> p.query_id)) WHERE rk <= 5),
-        |brute AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
-        |    FROM (
-        |      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |        round(
-        |          list_aggregate(list_apply(list_zip(q.embedding, e.embedding),
-        |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |          / (sqrt(list_aggregate(list_apply(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-        |             * sqrt(list_aggregate(list_apply(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
-        |          4) AS cos_sim
-        |      FROM embeddings e
-        |      CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
-        |      WHERE e.vec_id <> q.vec_id)) WHERE rk <= 5)
-        |SELECT b.query_id,
-        |  CAST(count(i.neighbor_id) * 10000 / 5 AS BIGINT) AS recall_bp
-        |FROM brute b LEFT JOIN ivf i USING (query_id, neighbor_id)
-        |GROUP BY b.query_id
-        |ORDER BY query_id""".stripMargin,
-
-    "q_ann_ivf" ->
-      // the TRAINED-centroid IVF pipeline replayed end to end: seeds →
-      // seed assignment → ONE quantized-Lloyd round (floor(v·2^16)
-      // BIGINT sums are order-free; the centroid dim is one IEEE
-      // division narrowed to REAL — exactly Knn.trainCentroids) →
-      // trained assignment → 2-probe routing → per-query top-5 cosine
-      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
-        |cents0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
-        |         embedding AS c_emb
-        |  FROM embeddings, n
-        |  WHERE vec_id % greatest(1, cnt // 8) = 0
-        |  ORDER BY vec_id LIMIT 8),
-        |scores0 AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(c.c_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents0 c),
-        |assign0 AS (
-        |  SELECT vec_id, embedding, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores0) WHERE rk = 1),
-        |expl1 AS (
-        |  SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
-        |         unnest(embedding) AS v
-        |  FROM assign0),
-        |sums1 AS (
-        |  SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
-        |         count(*) AS nv
-        |  FROM expl1 GROUP BY cid, d),
-        |cents AS (
-        |  SELECT cid,
-        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
-        |  FROM sums1 GROUP BY cid),
-        |scores AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(c.c_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents c),
-        |assign AS (
-        |  SELECT vec_id, embedding, cid AS centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores) WHERE rk = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, embedding AS q_emb, cid AS centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores WHERE vec_id < 10) WHERE rk <= 2)
-        |SELECT query_id, neighbor_id, cos_sim FROM (
-        |  SELECT query_id, neighbor_id, cos_sim,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
-        |  FROM (
-        |    SELECT p.query_id, a.vec_id AS neighbor_id,
-        |      round(
-        |        list_aggregate(list_apply(list_zip(p.q_emb, a.embedding),
-        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |        / (sqrt(list_aggregate(list_apply(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-        |           * sqrt(list_aggregate(list_apply(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
-        |        4) AS cos_sim
-        |    FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
-        |    WHERE a.vec_id <> p.query_id))
-        |WHERE rk <= 5
-        |ORDER BY query_id, neighbor_id""".stripMargin,
-
-    "q_ann_ivfpq" ->
-      // IVFADC replayed end to end: the q_ann_ivf coarse replay (seeds →
-      // one quantized-Lloyd round → trained assignment → 2-probe routing)
-      // extended with exact-float residuals, per-subspace codebook
-      // training (the SAME fixed-point Lloyd on 16-dim slices, the same
-      // seed vec_ids by construction), PQ code assignment, the
-      // floor(2^16·d²) BIGINT lookup table per (query, probed bucket),
-      // and the exact-integer ADC top-5.
-      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
-        |cents0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
-        |         embedding AS c_emb
-        |  FROM embeddings, n
-        |  WHERE vec_id % greatest(1, cnt // 8) = 0
-        |  ORDER BY vec_id LIMIT 8),
-        |scores0 AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(c.c_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents0 c),
-        |assign0 AS (
-        |  SELECT vec_id, embedding, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores0) WHERE rk = 1),
-        |expl1 AS (
-        |  SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
-        |         unnest(embedding) AS v
-        |  FROM assign0),
-        |sums1 AS (
-        |  SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
-        |         count(*) AS nv
-        |  FROM expl1 GROUP BY cid, d),
-        |cents AS (
-        |  SELECT cid,
-        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
-        |  FROM sums1 GROUP BY cid),
-        |scores AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(c.c_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents c),
-        |assign AS (
-        |  SELECT vec_id, embedding, cid AS centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores) WHERE rk = 1),
-        |resid AS (
-        |  SELECT a.vec_id, a.centroid_id,
-        |    list_apply(list_zip(a.embedding, c.c_emb),
-        |      x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS REAL)) AS r_emb
-        |  FROM assign a JOIN cents c ON a.centroid_id = c.cid),
-        |ms AS (SELECT unnest(range(1, 5)) AS m),
-        |rsub AS (
-        |  SELECT r.vec_id, r.centroid_id, ms.m,
-        |    list_slice(r.r_emb, (ms.m - 1) * 16 + 1, ms.m * 16) AS sv
-        |  FROM resid r CROSS JOIN ms),
-        |bseed_ids AS (
-        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS bid
-        |  FROM (SELECT vec_id FROM resid, n WHERE vec_id % greatest(1, cnt // 8) = 0
-        |        ORDER BY vec_id LIMIT 8)),
-        |bseeds AS (
-        |  SELECT s.bid, r.m, r.sv AS b_emb
-        |  FROM bseed_ids s JOIN rsub r ON r.vec_id = s.vec_id),
-        |bscores0 AS (
-        |  SELECT r.vec_id, r.m, r.sv, b.bid,
-        |    -2 * list_aggregate(list_apply(list_zip(r.sv, b.b_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(b.b_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM rsub r JOIN bseeds b ON b.m = r.m),
-        |bassign0 AS (
-        |  SELECT vec_id, m, sv, bid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY score, bid) AS rk
-        |    FROM bscores0) WHERE rk = 1),
-        |bexpl AS (
-        |  SELECT m, bid, unnest(range(1, len(sv) + 1)) AS d, unnest(sv) AS v
-        |  FROM bassign0),
-        |bsums AS (
-        |  SELECT m, bid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
-        |         count(*) AS nv
-        |  FROM bexpl GROUP BY m, bid, d),
-        |books AS (
-        |  SELECT m, bid,
-        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS b_emb
-        |  FROM bsums GROUP BY m, bid),
-        |bscores AS (
-        |  SELECT r.vec_id, r.centroid_id, r.m, b.bid,
-        |    -2 * list_aggregate(list_apply(list_zip(r.sv, b.b_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(b.b_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM rsub r JOIN books b ON b.m = r.m),
-        |codes AS (
-        |  SELECT vec_id, centroid_id, m, bid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY score, bid) AS rk
-        |    FROM bscores) WHERE rk = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, embedding AS q_emb, cid AS centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores WHERE vec_id < 10) WHERE rk <= 2),
-        |qres AS (
-        |  SELECT p.query_id, p.centroid_id,
-        |    list_apply(list_zip(p.q_emb, c.c_emb),
-        |      x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS REAL)) AS qr
-        |  FROM probes p JOIN cents c ON p.centroid_id = c.cid),
-        |lut AS (
-        |  SELECT q.query_id, q.centroid_id, b.m, b.bid,
-        |    CAST(floor(65536.0 * list_aggregate(
-        |      list_apply(list_zip(list_slice(q.qr, (b.m - 1) * 16 + 1, b.m * 16), b.b_emb),
-        |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
-        |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')) AS BIGINT) AS d_q
-        |  FROM qres q CROSS JOIN books b),
-        |scored AS (
-        |  SELECT l.query_id, c.vec_id AS neighbor_id,
-        |    CAST(sum(l.d_q) AS BIGINT) AS adc_dist
-        |  FROM codes c
-        |  JOIN lut l ON l.centroid_id = c.centroid_id AND l.m = c.m AND l.bid = c.bid
-        |  WHERE c.vec_id <> l.query_id
-        |  GROUP BY 1, 2)
-        |SELECT query_id, neighbor_id, adc_dist FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
-        |  FROM scored) WHERE rk <= 5
-        |ORDER BY query_id, neighbor_id""".stripMargin,
-
-    "q_semantic_dedup" ->
-      // the full SemDeDup recipe replayed: quantized-Lloyd trained cells
-      // (the q_ann_ivf replay), within-cell round-4 cosine pairs at
-      // >= 0.25, symmetric-edge recursive closure with min-id canonicals
-      // (the q_dedup_clusters pattern); singletons map to themselves
-      """WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM embeddings),
-        |cents0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
-        |         embedding AS c_emb
-        |  FROM embeddings, n
-        |  WHERE vec_id % greatest(1, cnt // 8) = 0
-        |  ORDER BY vec_id LIMIT 8),
-        |scores0 AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(c.c_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents0 c),
-        |assign0 AS (
-        |  SELECT vec_id, embedding, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores0) WHERE rk = 1),
-        |expl1 AS (
-        |  SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
-        |         unnest(embedding) AS v
-        |  FROM assign0),
-        |sums1 AS (
-        |  SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
-        |         count(*) AS nv
-        |  FROM expl1 GROUP BY cid, d),
-        |cents AS (
-        |  SELECT cid,
-        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
-        |  FROM sums1 GROUP BY cid),
-        |scores AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(c.c_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents c),
-        |assign AS (
-        |  SELECT vec_id, embedding, cid AS centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores) WHERE rk = 1),
-        |pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM assign a JOIN assign b
-        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-        |  WHERE round(
-        |      list_aggregate(list_apply(list_zip(a.embedding, b.embedding),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      / (sqrt(list_aggregate(list_apply(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-        |         * sqrt(list_aggregate(list_apply(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
-        |      4) >= 0.25),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT a AS id, b AS r FROM edges
-        |  UNION
-        |  SELECT re.id, e.b AS r FROM reach re JOIN edges e ON re.r = e.a
-        |)
-        |SELECT v.vec_id AS id,
-        |  least(v.vec_id, coalesce(min(r.r), v.vec_id)) AS canonical_id
-        |FROM embeddings v LEFT JOIN reach r ON r.id = v.vec_id
-        |GROUP BY v.vec_id
-        |ORDER BY id""".stripMargin,
-
-    "q_temperature_sample" ->
-      // α=0.5 temperature quotas replayed exactly: fixed-point sqrt
-      // weights, HUGEINT largest-remainder apportionment (remainder
-      // ties by lang), per-lang portable-hash ranks
-      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-        |w AS (
-        |  SELECT lang, n,
-        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq
-        |  FROM counts),
-        |tot AS (SELECT CAST(sum(wq) AS HUGEINT) AS tw FROM w),
-        |q0 AS (
-        |  SELECT lang, wq,
-        |    CAST(200 AS HUGEINT) * wq // tw AS base,
-        |    CAST(200 AS HUGEINT) * wq % tw AS rem
-        |  FROM w, tot),
-        |d AS (SELECT 200 - CAST(sum(base) AS BIGINT) AS deficit FROM q0),
-        |quota AS (
-        |  SELECT lang, CAST(base AS BIGINT) +
-        |    CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= deficit
-        |         THEN 1 ELSE 0 END AS quota
-        |  FROM q0, d),
-        |ranked AS (
-        |  SELECT doc_id, lang,
-        |    CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id % 1048573) * 2654435761 % 1000000, doc_id)
-        |      AS BIGINT) AS srank
-        |  FROM documents)
-        |SELECT r.doc_id, r.lang, r.srank, q.quota, r.srank <= q.quota AS kept
-        |FROM ranked r JOIN quota q USING (lang)
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_prototype_prune" ->
-      // the Sorscher et al. pruning rule replayed end to end: quantized-
-      // Lloyd trained cells (the q_ann_ivf replay), dist² = ‖v‖² + score
-      // via the proven sequential folds, per-cell (dist² DESC, id) ranks,
-      // keep floor n·3000 DIV 10⁴ (min 1)
-      """WITH n AS (SELECT count(*) AS cnt FROM embeddings),
-        |cents0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
-        |         embedding AS c_emb
-        |  FROM embeddings, n
-        |  WHERE vec_id % greatest(1, cnt // 8) = 0
-        |  ORDER BY vec_id LIMIT 8),
-        |scores0 AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(c.c_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents0 c),
-        |assign0 AS (
-        |  SELECT vec_id, embedding, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores0) WHERE rk = 1),
-        |expl1 AS (
-        |  SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
-        |         unnest(embedding) AS v
-        |  FROM assign0),
-        |sums1 AS (
-        |  SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
-        |         count(*) AS nv
-        |  FROM expl1 GROUP BY cid, d),
-        |cents AS (
-        |  SELECT cid,
-        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
-        |  FROM sums1 GROUP BY cid),
-        |scores AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(c.c_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents c),
-        |assign AS (
-        |  SELECT vec_id, embedding, cid, score FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores) WHERE rk = 1),
-        |d AS (
-        |  SELECT vec_id, cid,
-        |    list_aggregate(list_apply(embedding,
-        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') + score AS dist2
-        |  FROM assign),
-        |r AS (
-        |  SELECT vec_id, cid, dist2,
-        |    count(*) OVER (PARTITION BY cid) AS cell_n,
-        |    CAST(row_number() OVER (PARTITION BY cid ORDER BY dist2 DESC, vec_id)
-        |      AS BIGINT) AS drank
-        |  FROM d)
-        |SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id,
-        |  CAST(floor(dist2 * 10000 + 0.5) AS BIGINT) AS dist2_bp,
-        |  cell_n, drank,
-        |  drank <= greatest(1, cell_n * 3000 // 10000) AS kept
-        |FROM r ORDER BY vec_id""".stripMargin,
-
-    "q_embedding_drift" ->
-      // centroid-histogram PSI with the centroids TRAINED in-oracle: the
-      // hash-split ref slice seeds 16 cells, TWO quantized-Lloyd rounds
-      // replay exactly (order-free BIGINT sums, one IEEE division per
-      // dim), both slices' assignment histograms full-outer join, and
-      // psi_ppm is the q_drift_psi floored formula at nBuckets=16
-      """WITH eh AS (
-        |  SELECT vec_id, embedding,
-        |    ((vec_id % 1048573) * 2654435761) % 1000000 AS h
-        |  FROM embeddings),
-        |ref AS (SELECT vec_id, embedding FROM eh WHERE h < 500000),
-        |cur AS (SELECT vec_id, embedding FROM eh WHERE h >= 500000),
-        |n AS (SELECT count(*) AS cnt FROM ref),
-        |cents0 AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
-        |         embedding AS c_emb
-        |  FROM ref, n
-        |  WHERE vec_id % greatest(1, cnt // 16) = 0
-        |  ORDER BY vec_id LIMIT 16),
-        |scores0 AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(c.c_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM ref e CROSS JOIN cents0 c),
-        |assign0 AS (
-        |  SELECT vec_id, embedding, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores0) WHERE rk = 1),
-        |cents1 AS (
-        |  SELECT cid,
-        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
-        |  FROM (
-        |    SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
-        |           count(*) AS nv
-        |    FROM (SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
-        |                 unnest(embedding) AS v FROM assign0)
-        |    GROUP BY cid, d)
-        |  GROUP BY cid),
-        |scores1 AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      + list_aggregate(list_apply(c.c_emb,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM ref e CROSS JOIN cents1 c),
-        |assign1 AS (
-        |  SELECT vec_id, embedding, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
-        |    FROM scores1) WHERE rk = 1),
-        |cents AS (
-        |  SELECT cid,
-        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
-        |  FROM (
-        |    SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
-        |           count(*) AS nv
-        |    FROM (SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
-        |                 unnest(embedding) AS v FROM assign1)
-        |    GROUP BY cid, d)
-        |  GROUP BY cid),
-        |oc AS (
-        |  SELECT cid AS bucket, count(*) AS n_old FROM (
-        |    SELECT vec_id, cid FROM (
-        |      SELECT e.vec_id, c.cid,
-        |        row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |          -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |            + list_aggregate(list_apply(c.c_emb,
-        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), c.cid) AS rk
-        |      FROM ref e CROSS JOIN cents c) WHERE rk = 1)
-        |  GROUP BY cid),
-        |nc AS (
-        |  SELECT cid AS bucket, count(*) AS n_new FROM (
-        |    SELECT vec_id, cid FROM (
-        |      SELECT e.vec_id, c.cid,
-        |        row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |          -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
-        |              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |            + list_aggregate(list_apply(c.c_emb,
-        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), c.cid) AS rk
-        |      FROM cur e CROSS JOIN cents c) WHERE rk = 1)
-        |  GROUP BY cid),
-        |j AS (
-        |  SELECT CAST(coalesce(oc.bucket, nc.bucket) AS BIGINT) AS bucket,
-        |    coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
-        |  FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket),
-        |t AS (SELECT sum(n_old) AS to_, sum(n_new) AS tn FROM j)
-        |SELECT bucket, n_old, n_new,
-        |  CAST(floor(((n_new + 0.5) / (tn + 8.0) - (n_old + 0.5) / (to_ + 8.0))
-        |    * ln(((n_new + 0.5) / (tn + 8.0)) / ((n_old + 0.5) / (to_ + 8.0)))
-        |    * 1000000 + 0.5) AS BIGINT) AS psi_ppm
-        |FROM j, t ORDER BY bucket""".stripMargin,
-
-    "q_table_order" ->
-      """WITH RECURSIVE edges(child, parent) AS (
-        |  SELECT * FROM (VALUES ('nation','region'), ('customer','nation'),
-        |    ('supplier','nation'), ('orders','customer'), ('lineitem','orders'),
-        |    ('lineitem','part'), ('lineitem','supplier'), ('events','customer'),
-        |    ('embeddings','documents')) v(child, parent)
-        |), tabs(t) AS (
-        |  SELECT * FROM (VALUES ('region'),('nation'),('customer'),('supplier'),
-        |    ('part'),('orders'),('lineitem'),('events'),('documents'),('embeddings')) v(t)
-        |), depths AS (
-        |  SELECT t AS tn, 0 AS lvl FROM tabs WHERE t NOT IN (SELECT child FROM edges)
-        |  UNION ALL
-        |  SELECT e.child, d.lvl + 1 FROM depths d JOIN edges e ON e.parent = d.tn
-        |)
-        |SELECT CAST(row_number() OVER (ORDER BY level, table_name) AS BIGINT) AS position,
-        |       table_name, level
-        |FROM (SELECT tn AS table_name, CAST(max(lvl) AS BIGINT) AS level
-        |      FROM depths GROUP BY tn)
-        |ORDER BY position""".stripMargin,
-
-    "q_table_checksum" ->
-      """SELECT l_returnflag, count(*) AS n_rows,
-        |  CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws('|',
-        |    CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR))),
-        |    1, 15) AS BIGINT) AS DECIMAL(38,0)))
-        |    % 4611686018427387904 AS BIGINT) AS content_checksum
-        |FROM lineitem
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-
-    "q_unpivot" ->
-      """WITH src AS (
-        |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
-        |  FROM lineitem WHERE l_orderkey <= 2000)
-        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS amount FROM src
-        |UNION ALL
-        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
-        |UNION ALL
-        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
-
-    "q_cube" ->
-      """SELECT n_name, o_orderpriority,
-        |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
-        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,2))), 2) AS DOUBLE) AS revenue,
-        |  count(*) AS n_orders
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY CUBE (n_name, o_orderpriority)
-        |ORDER BY g_nation, g_priority, n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
-
-    "q_window_count_distinct" ->
-      // DuckDB's NATIVE distinct window aggregate — an independent
-      // algorithm for the semantics the Spark side composes from a
-      // first-occurrence flag + running sum
-      """SELECT event_id, event_type,
-        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
-        |  count(DISTINCT user_id) OVER (PARTITION BY event_type
-        |    ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS distinct_users
-        |FROM events WHERE user_id % 7 = 0
-        |ORDER BY event_type, ts_str, event_id""".stripMargin,
-
-    "q_dedup_incremental" ->
-      """SELECT d.doc_id, d.source, d.n_chars
-        |FROM documents d
-        |WHERE NOT EXISTS (SELECT 1 FROM documents h
-        |  WHERE h.doc_id % 2 = 0 AND h.text = d.text)
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "q_vector_quantize" ->
-      """WITH s AS (
-        |  SELECT vec_id, embedding,
-        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
-        |  FROM embeddings),
-        |q AS (
-        |  SELECT vec_id,
-        |    CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs / 127.0 END AS scale,
-        |    list_transform(embedding, x -> CAST(floor(
-        |      CAST(x AS DOUBLE) / (CASE WHEN maxabs = 0 THEN 1.0 ELSE maxabs / 127.0 END)
-        |      + 0.5) AS BIGINT)) AS qv
-        |  FROM s)
-        |SELECT vec_id,
-        |  CAST(floor(scale * 10000.0 + 0.5) AS BIGINT) AS scale_e4,
-        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
-        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2
-        |FROM q ORDER BY vec_id""".stripMargin,
-
-    "q_ngram_jaccard" ->
-      // shingle STRINGS here vs 64-bit shingle hashes on the Spark side:
-      // set sizes agree modulo negligible hash collisions
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(text), '\s+') END AS t
-        |  FROM documents),
-        |sets AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-        |        i -> array_to_string(t[i:i+2], ' ')) END) AS s
-        |  FROM toks)
-        |SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b,
-        |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
-        |  CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT) AS n_union
-        |FROM documents a
-        |JOIN documents b ON b.doc_id = a.doc_id + 1
-        |JOIN sets sa ON sa.doc_id = a.doc_id
-        |JOIN sets sb ON sb.doc_id = b.doc_id
-        |WHERE a.doc_id % 2 = 0
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_simhash" ->
-      // the sketch replays exactly: FNV-1a (64-bit wrapping multiply via
-      // the same HUGEINT mod-2^64 machinery as q_doc_fingerprint, with
-      // the CONSTANT multiplier split into 32-bit halves so no product
-      // leaves INT128) + splitmix64 finalizer + per-bit sign tally; the
-      // 4x16-bit chunk pigeonhole is COMPLETE for hamming <= 3, so the
-      // output is all pairs within the radius — no LSH recall caveat.
-      // Corpus contract (measured, all SFs): ASCII single-space text, so
-      // ord(char) == the UTF-8 byte and string_split(' ') == the pinned
-      // whitespace tokenizer; the tok <> '' guard keeps multi-space text
-      // aligned with the kernel should the corpus ever gain it.
-      """WITH tw AS (
-        |  SELECT doc_id, t.tok, count(*) AS w
-        |  FROM documents, LATERAL unnest(string_split(trim(text), ' ')) AS t(tok)
-        |  WHERE text IS NOT NULL AND t.tok <> ''
-        |  GROUP BY doc_id, t.tok),
-        |gt AS (SELECT DISTINCT tok FROM tw),
-        |fv AS (
-        |  SELECT tok,
-        |    list_reduce(
-        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |        list_transform(range(1, length(tok)+1),
-        |          i -> CAST(ord(substr(tok, CAST(i AS INT), 1)) AS HUGEINT))),
-        |      (h, b) -> ((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))*435 + ((((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))%4294967296)*256) % 4294967296) * 4294967296) % 18446744073709551616) AS base
-        |  FROM gt),
-        |m1 AS (SELECT tok, (base + 11400714819323198485) % 18446744073709551616 AS z FROM fv),
-        |m2 AS (SELECT tok, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM m1),
-        |m3 AS (SELECT tok, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM m2),
-        |th AS (SELECT tok, CAST(CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS UBIGINT) AS h FROM m3),
-        |bits AS (
-        |  SELECT tw.doc_id, g.b,
-        |    sum(tw.w * (CASE WHEN (th.h >> CAST(g.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) AS tally
-        |  FROM tw JOIN th ON th.tok = tw.tok,
-        |    LATERAL unnest(generate_series(0, 63)) AS g(b)
-        |  GROUP BY tw.doc_id, g.b),
-        |shu AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN tally > 0 THEN CAST(CAST(1 AS UBIGINT) << CAST(b AS INT) AS HUGEINT)
-        |        ELSE CAST(0 AS HUGEINT) END) AS u
-        |  FROM bits GROUP BY doc_id),
-        |sh AS (
-        |  SELECT d.doc_id,
-        |    CAST(coalesce(CASE WHEN s.u >= 9223372036854775808
-        |                       THEN s.u - 18446744073709551616 ELSE s.u END, 0) AS BIGINT) AS sh
-        |  FROM documents d LEFT JOIN shu s ON s.doc_id = d.doc_id
-        |  WHERE d.text IS NOT NULL)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_minhash_lsh" ->
-      // full-sketch replay, same machinery: per-shingle FNV-1a base
-      // (hashed once per GLOBALLY distinct shingle — the corpus is
-      // template-heavy, a 10x saving), 64 per-function minima over
-      // mix(base ^ mix(i)) taken over SIGNED two's-complement longs
-      // (the kernel compares Scala Longs — an unsigned min diverges),
-      // band candidates = equal 4-slot signature slices (equal slices
-      // imply equal murmur buckets; a murmur COLLISION could only add
-      // a pair the exact-Jaccard filter then keeps, ~2^-32/pair and
-      // gate-checked — the q_embed_neardup argument), exact Jaccard
-      // over distinct shingle STRINGS (== hashed-shingle Jaccard modulo
-      // negligible collisions, the q_ngram_jaccard argument). The
-      // jaccard >= 0.6 filter replays as the exact-rational inequality
-      // 20000*ni >= 11999*nu (round4(r) >= 0.6 iff r >= 0.59995); est/
-      // jaccard project as exact-rational HALF_UP basis points.
-      """WITH docs AS (
-        |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
-        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    array_to_string(toks[s : least(s + 2, len(toks))], ' ') AS shingle
-        |  FROM docs, LATERAL unnest(generate_series(1, greatest(1, len(toks) - 2))) AS t(s)),
-        |gsh AS (SELECT DISTINCT shingle FROM sh),
-        |fv AS (
-        |  SELECT shingle,
-        |    list_reduce(
-        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |        list_transform(range(1, length(shingle)+1),
-        |          i -> CAST(ord(substr(shingle, CAST(i AS INT), 1)) AS HUGEINT))),
-        |      (h, b) -> ((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))*435 + ((((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))%4294967296)*256) % 4294967296) * 4294967296) % 18446744073709551616) AS base
-        |  FROM gsh),
-        |s0 AS (SELECT i, CAST(i AS HUGEINT) AS z FROM unnest(generate_series(0, 63)) AS t(i)),
-        |s1 AS (SELECT i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM s0),
-        |s2 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s1),
-        |s3 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s2),
-        |seeds AS (SELECT i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS seed FROM s3),
-        |h0 AS (SELECT f.shingle, s.i, CAST(xor(CAST(f.base AS UBIGINT), CAST(s.seed AS UBIGINT)) AS HUGEINT) AS z FROM fv f CROSS JOIN seeds s),
-        |h1 AS (SELECT shingle, i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM h0),
-        |h2 AS (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h1),
-        |h3 AS (SELECT shingle, i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS zu FROM
-        |       (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h2)),
-        |hh AS (SELECT shingle, i,
-        |    CAST(CASE WHEN zu >= 9223372036854775808 THEN zu - 18446744073709551616 ELSE zu END AS BIGINT) AS hs
-        |  FROM h3),
-        |hv AS (SELECT s.doc_id, h.i, min(h.hs) AS sig
-        |  FROM sh s JOIN hh h ON h.shingle = s.shingle GROUP BY s.doc_id, h.i),
-        |sig AS (SELECT doc_id, list(sig ORDER BY i) AS sig FROM hv GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bslice
-        |  FROM sig, LATERAL unnest(generate_series(0, 15)) AS t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bslice = b.bslice AND a.doc_id < b.doc_id),
-        |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
-        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-        |  GROUP BY c.id_a, c.id_b),
-        |jac AS (
-        |  SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS ni,
-        |    na.n + nb.n - coalesce(i.n_inter, 0) AS nu
-        |  FROM cand c
-        |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-        |  JOIN nsh na ON na.doc_id = c.id_a JOIN nsh nb ON nb.doc_id = c.id_b),
-        |est AS (
-        |  SELECT c.id_a, c.id_b,
-        |    len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) AS n_match
-        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b)
-        |SELECT j.id_a, j.id_b,
-        |  CAST((625 * e.n_match + 2) // 4 AS BIGINT) AS est_bp,
-        |  CAST((20000 * j.ni + j.nu) // (2 * j.nu) AS BIGINT) AS jaccard_bp
-        |FROM jac j JOIN est e ON e.id_a = j.id_a AND e.id_b = j.id_b
-        |WHERE 20000 * j.ni >= 11999 * j.nu
-        |ORDER BY j.id_a, j.id_b""".stripMargin,
-
-    "q_lsh_recall" ->
-      // the canary replays END-TO-END: the q_minhash_lsh signature/band/
-      // exact-Jaccard machinery runs over the tracer-doubled corpus
-      // (documents UNION copies at doc_id+1e7 for doc_id % 17 = 0), the
-      // verified pair set is semi-joined against the known tracer pairs,
-      // and the recall quotient is integer-exact — so the oracle derives
-      // recall = 10000 the same way the engine does instead of assuming
-      // it (identical text => identical signature => same bands), and a
-      // capped bucket or sketch regression flips the gate on BOTH sides.
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000000, text FROM documents
-        |  WHERE doc_id % 17 = 0 AND trim(coalesce(text,'')) <> ''),
-        |docs AS (
-        |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
-        |  FROM corpus WHERE text IS NOT NULL AND trim(text) <> ''),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    array_to_string(toks[s : least(s + 2, len(toks))], ' ') AS shingle
-        |  FROM docs, LATERAL unnest(generate_series(1, greatest(1, len(toks) - 2))) AS t(s)),
-        |gsh AS (SELECT DISTINCT shingle FROM sh),
-        |fv AS (
-        |  SELECT shingle,
-        |    list_reduce(
-        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |        list_transform(range(1, length(shingle)+1),
-        |          i -> CAST(ord(substr(shingle, CAST(i AS INT), 1)) AS HUGEINT))),
-        |      (h, b) -> ((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))*435 + ((((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))%4294967296)*256) % 4294967296) * 4294967296) % 18446744073709551616) AS base
-        |  FROM gsh),
-        |s0 AS (SELECT i, CAST(i AS HUGEINT) AS z FROM unnest(generate_series(0, 63)) AS t(i)),
-        |s1 AS (SELECT i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM s0),
-        |s2 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s1),
-        |s3 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s2),
-        |seeds AS (SELECT i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS seed FROM s3),
-        |h0 AS (SELECT f.shingle, s.i, CAST(xor(CAST(f.base AS UBIGINT), CAST(s.seed AS UBIGINT)) AS HUGEINT) AS z FROM fv f CROSS JOIN seeds s),
-        |h1 AS (SELECT shingle, i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM h0),
-        |h2 AS (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h1),
-        |h3 AS (SELECT shingle, i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS zu FROM
-        |       (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h2)),
-        |hh AS (SELECT shingle, i,
-        |    CAST(CASE WHEN zu >= 9223372036854775808 THEN zu - 18446744073709551616 ELSE zu END AS BIGINT) AS hs
-        |  FROM h3),
-        |hv AS (SELECT s.doc_id, h.i, min(h.hs) AS sig
-        |  FROM sh s JOIN hh h ON h.shingle = s.shingle GROUP BY s.doc_id, h.i),
-        |sig AS (SELECT doc_id, list(sig ORDER BY i) AS sig FROM hv GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bslice
-        |  FROM sig, LATERAL unnest(generate_series(0, 15)) AS t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bslice = b.bslice AND a.doc_id < b.doc_id),
-        |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.id_a, c.id_b, count(*) AS n_inter
-        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
-        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-        |  GROUP BY c.id_a, c.id_b),
-        |jac AS (
-        |  SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS ni,
-        |    na.n + nb.n - coalesce(i.n_inter, 0) AS nu
-        |  FROM cand c
-        |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-        |  JOIN nsh na ON na.doc_id = c.id_a JOIN nsh nb ON nb.doc_id = c.id_b),
-        |pairs AS (
-        |  SELECT j.id_a, j.id_b FROM jac j WHERE 20000 * j.ni >= 11999 * j.nu),
-        |truth AS (
-        |  SELECT doc_id AS lo, doc_id + 10000000 AS hi FROM documents
-        |  WHERE doc_id % 17 = 0 AND text IS NOT NULL AND trim(text) <> ''),
-        |hit AS (SELECT t.lo FROM truth t JOIN pairs p ON p.id_a = t.lo AND p.id_b = t.hi),
-        |c AS (SELECT (SELECT count(*) FROM truth) AS nt, (SELECT count(*) FROM hit) AS nh)
-        |SELECT CAST(nt AS BIGINT) AS n_truth_pairs, CAST(nh AS BIGINT) AS n_found,
-        |  CAST(CASE WHEN nt = 0 THEN 10000 ELSE (10000 * nh) // nt END AS BIGINT) AS recall_bp
-        |FROM c""".stripMargin,
-
-    "q_decontaminate" ->
-      // 8-token gram STRINGS vs the Spark side's rolling 64-bit gram
-      // hashes; distinct-gram join semantics are identical
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE trim(text) <> ''),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(t) - 6),
-        |      i -> array_to_string(t[i:i+7], ' ')))) AS g
-        |  FROM toks WHERE len(t) >= 8)
-        |SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
-        |  count(*) AS n_shared_grams
-        |FROM grams c JOIN grams b ON c.g = b.g
-        |WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
-        |GROUP BY corpus_id, bench_id
-        |ORDER BY corpus_id, bench_id""".stripMargin,
-
-    "q_gram_novelty" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE trim(text) <> ''),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(t) - 6),
-        |      i -> array_to_string(t[i:i+7], ' ')))) AS g
-        |  FROM toks WHERE len(t) >= 8),
-        |df AS (SELECT g, count(*) AS gram_df FROM grams GROUP BY g)
-        |SELECT doc_id, count(*) AS n_grams,
-        |  CAST(sum(CASE WHEN gram_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
-        |FROM grams JOIN df USING (g)
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_shared_passages_char" ->
-      // the char-granular twin: DuckDB normalizes the same way the
-      // kernel does (lowercase, whitespace runs → one space, trimmed)
-      // and joins 40-char gram STRINGS vs the kernel's rolling hashes
-      """WITH norm AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(s) - 38), i -> substr(s, i, 40)))) AS g
-        |  FROM norm WHERE len(s) >= 40)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_grams
-        |FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |GROUP BY id_a, id_b
-        |HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_shared_extents" ->
-      // positional 8-token gram self-join + the SAME gaps-and-islands
-      // merge (pos_a - row_number() constant within an aligned run),
-      // written over gram strings and explicit positions
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE trim(text) <> ''),
-        |pg AS (
-        |  SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
-        |  FROM toks WHERE len(t) >= 8),
-        |grams AS (
-        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g FROM pg),
-        |hits AS (
-        |  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
-        |runs AS (
-        |  SELECT id_a, id_b, pos_b - pos_a AS delta, pos_a, pos_b,
-        |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_b - pos_a
-        |      ORDER BY pos_a) AS island
-        |  FROM hits),
-        |ext AS (
-        |  SELECT id_a, id_b,
-        |    CAST(min(pos_a) AS INTEGER) AS start_a,
-        |    CAST(min(pos_b) AS INTEGER) AS start_b,
-        |    CAST(max(pos_a) - min(pos_a) + 8 AS INTEGER) AS length
-        |  FROM runs GROUP BY id_a, id_b, delta, island)
-        |SELECT id_a, id_b, start_a, start_b, length
-        |FROM ext WHERE length >= 10
-        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
-
-    "q_shared_passages" ->
-      // maxBucket = 1000 cannot bind at oracle scale (500 docs), so the
-      // capped Spark output equals this uncapped self-join exactly
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE trim(text) <> ''),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(t) - 6),
-        |      i -> array_to_string(t[i:i+7], ' ')))) AS g
-        |  FROM toks WHERE len(t) >= 8)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_grams
-        |FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |GROUP BY id_a, id_b
-        |HAVING count(*) >= 2
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_tfidf" ->
-      // identical quantized-ratio scoring: tf·10⁴·N DIV df over BIGINTs —
-      // no ln(), so both engines agree bit-for-bit
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents WHERE trim(text) <> ''),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
-        |scored AS (
-        |  SELECT t.doc_id, t.term, t.tf, d.df,
-        |    (t.tf * 10000 * n.n_docs) // d.df AS tfidf_q
-        |  FROM tf t JOIN dfc d USING (term) CROSS JOIN n),
-        |r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY tfidf_q DESC, term) AS rk
-        |  FROM scored)
-        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-        |  CAST(tfidf_q AS BIGINT) AS tfidf_q, CAST(rk AS INTEGER) AS rank_in_group
-        |FROM r WHERE rk <= 3
-        |ORDER BY doc_id, rank_in_group""".stripMargin,
-
-    "q_inverted_index" ->
-      // 10·df ≤ 8·N is the integer form of df ≤ 0.8N (the Spark side's
-      // n*8/10 band — equivalent for integer df)
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
-        |  FROM documents WHERE trim(text) <> ''),
-        |dfc AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
-        |n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
-        |banded AS (
-        |  SELECT t.doc_id, t.term, d.df
-        |  FROM toks t JOIN dfc d USING (term) CROSS JOIN n
-        |  WHERE d.df >= 1 AND 10 * d.df <= 8 * n.n_docs)
-        |SELECT term, CAST(df AS BIGINT) AS df,
-        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-        |FROM banded GROUP BY term, df
-        |ORDER BY term""".stripMargin,
-
-    "q_lexical_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents WHERE trim(text) <> ''),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks
-        |  WHERE term IN ('spark', 'merge', 'vector', 'dup')
-        |  GROUP BY 1, 2),
-        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
-        |sc AS (
-        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
-        |    CAST(sum((t.tf * 10000 * n.n_docs) // d.df) AS BIGINT) AS score_q
-        |  FROM tf t JOIN dfc d USING (term) CROSS JOIN n
-        |  GROUP BY t.doc_id),
-        |r AS (
-        |  SELECT doc_id, n_hit_terms, score_q,
-        |    row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
-        |  FROM sc)
-        |SELECT doc_id, n_hit_terms, score_q, CAST(rnk AS INTEGER) AS "rank"
-        |FROM r WHERE rnk <= 20
-        |ORDER BY "rank"""".stripMargin,
-
-    "q_sequence_gaps" ->
-      // the textbook single-window form IS the oracle; the Spark side
-      // must reproduce it from bucketed distributed windows
-      """WITH k AS (
-        |  SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL),
-        |l AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM k)
-        |SELECT CAST(pk + 1 AS BIGINT) AS gap_start, CAST(k - 1 AS BIGINT) AS gap_end,
-        |  CAST(k - pk - 1 AS BIGINT) AS gap_len
-        |FROM l WHERE pk IS NOT NULL AND k > pk + 1
-        |ORDER BY gap_start""".stripMargin,
-
-    "q_sequence_islands" ->
-      """WITH k AS (
-        |  SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL),
-        |l AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM k),
-        |brk AS (SELECT k, CASE WHEN pk IS NULL OR k > pk + 1 THEN 1 ELSE 0 END AS ni
-        |  FROM l),
-        |grp AS (SELECT k, sum(ni) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS gid
-        |  FROM brk)
-        |SELECT CAST(min(k) AS BIGINT) AS island_start,
-        |  CAST(max(k) AS BIGINT) AS island_end,
-        |  CAST(count(*) AS BIGINT) AS n_keys
-        |FROM grp GROUP BY gid
-        |ORDER BY island_start""".stripMargin,
-
-    "q_mixture_alloc" ->
-      // largest-remainder quota replayed in plain SQL over the
-      // source-count table, then the same portable-hash pick
-      """WITH wts AS (
-        |  SELECT source, count(*) AS w FROM documents GROUP BY 1),
-        |t AS (
-        |  SELECT source, w, sum(w) OVER () AS tot FROM wts),
-        |b AS (
-        |  SELECT source, w,
-        |    300 * w // tot AS base, (300 * w) % tot AS rem
-        |  FROM t),
-        |q AS (
-        |  SELECT source,
-        |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
-        |      <= 300 - sum(base) OVER () THEN 1 ELSE 0 END AS n_take
-        |  FROM b),
-        |r AS (
-        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
-        |    ORDER BY (doc_id % 1048573) * 2654435761 % 1000000, doc_id) AS rn
-        |  FROM documents)
-        |SELECT r.doc_id, r.source
-        |FROM r JOIN q ON r.source = q.source
-        |WHERE r.rn <= q.n_take
-        |ORDER BY r.doc_id""".stripMargin,
-
-    "q_langmix" ->
-      // marker sets and CASE order mirror TextFunctions.LangMarkers (the
-      // q_lang_id oracle's heuristic) applied per 25-token chunk
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-        |  FROM documents WHERE trim(text) <> ''),
-        |nc AS (
-        |  SELECT doc_id, tk,
-        |    CASE WHEN len(tk) <= 25 THEN 1
-        |         ELSE CAST(ceil((len(tk) - 25) / 25.0) AS INT) + 1 END AS n
-        |  FROM toks),
-        |ix AS (
-        |  SELECT doc_id, tk, unnest(range(0, n)) AS chunk_idx FROM nc),
-        |ch AS (
-        |  SELECT doc_id, chunk_idx,
-        |    tk[(chunk_idx*25+1):(chunk_idx*25+25)] AS c
-        |  FROM ix),
-        |hits AS (
-        |  SELECT doc_id, chunk_idx,
-        |    len(list_filter(c, x -> x IN ('the','a','and','of','is'))) AS h_en,
-        |    len(list_filter(c, x -> x IN ('el','la','los','de','y'))) AS h_es,
-        |    len(list_filter(c, x -> x IN ('der','die','das','und','ist'))) AS h_de,
-        |    len(list_filter(c, x -> x IN ('le','la','les','et','est'))) AS h_fr
-        |  FROM ch),
-        |pred AS (
-        |  SELECT doc_id, chunk_idx,
-        |    CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'unknown'
-        |      WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
-        |      WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
-        |      WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
-        |      ELSE 'fr' END AS cl
-        |  FROM hits),
-        |lagged AS (
-        |  SELECT doc_id, cl,
-        |    lag(cl) OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS prev
-        |  FROM pred)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-        |  CAST(sum(CASE WHEN prev IS NOT NULL AND cl <> prev THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_switches,
-        |  CAST(count(DISTINCT cl) AS BIGINT) AS n_langs
-        |FROM lagged GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_skyline" ->
-      // INDEPENDENT formulation: the quadratic dominance anti-join
-      // (DuckDB's IEJoin makes it feasible at oracle scale) vs the
-      // sort-based level scan on the Spark side
-      """WITH p AS (
-        |  SELECT p_partkey, CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)
-        |      AS price_q,
-        |    CAST(p_size AS BIGINT) AS p_size
-        |  FROM part)
-        |SELECT p_partkey, price_q, p_size FROM p
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM p o
-        |  WHERE o.price_q <= p.price_q AND o.p_size >= p.p_size
-        |    AND (o.price_q < p.price_q OR o.p_size > p.p_size))
-        |ORDER BY p_partkey""".stripMargin,
-
-    "q_fifo_layers" ->
-      """WITH r AS (
-        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
-        |    sum(CAST(l_quantity AS BIGINT)) OVER w AS hi,
-        |    row_number() OVER w AS seq
-        |  FROM lineitem WHERE l_returnflag = 'R'
-        |  WINDOW w AS (PARTITION BY l_partkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS UNBOUNDED PRECEDING)),
-        |i AS (
-        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
-        |    sum(CAST(l_quantity AS BIGINT)) OVER w AS hi,
-        |    row_number() OVER w AS seq
-        |  FROM lineitem WHERE l_returnflag <> 'R'
-        |  WINDOW w AS (PARTITION BY l_partkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS UNBOUNDED PRECEDING))
-        |SELECT r.l_partkey, CAST(r.seq AS BIGINT) AS r_seq,
-        |  CAST(i.seq AS BIGINT) AS i_seq,
-        |  CAST(least(r.hi, i.hi) - greatest(r.hi - r.q, i.hi - i.q) AS BIGINT)
-        |    AS matched_q
-        |FROM r JOIN i ON r.l_partkey = i.l_partkey
-        | AND r.hi > i.hi - i.q AND i.hi > r.hi - r.q
-        |ORDER BY r.l_partkey, r_seq, i_seq""".stripMargin,
-
-    "q_rfm" ->
-      // scores by the arithmetic bin rule floor((rank-1)*5/n)+1 in BOTH
-      // engines — SQL ntile's uneven-bucket convention differs and is
-      // deliberately not used; plain window ranks here vs the ranged
-      // two-pass rank machine on the Spark side
-      """WITH base AS (
-        |  SELECT o_custkey, max(o_orderdate) AS last_o,
-        |    CAST(count(*) AS BIGINT) AS frequency,
-        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
-        |      AS monetary_q
-        |  FROM orders GROUP BY 1),
-        |ref AS (SELECT max(last_o) AS ref_d, count(*) AS n FROM base),
-        |b2 AS (
-        |  SELECT o_custkey, frequency, monetary_q, n,
-        |    CAST(date_diff('day', CAST(last_o AS DATE), CAST(ref_d AS DATE))
-        |      AS BIGINT) AS recency_days
-        |  FROM base, ref),
-        |r AS (
-        |  SELECT *,
-        |    row_number() OVER (ORDER BY recency_days ASC, o_custkey) AS rr,
-        |    row_number() OVER (ORDER BY frequency DESC, o_custkey) AS rf,
-        |    row_number() OVER (ORDER BY monetary_q DESC, o_custkey) AS rm
-        |  FROM b2),
-        |s AS (
-        |  SELECT o_custkey, recency_days, frequency, monetary_q,
-        |    CAST(5 - ((rr-1)*5) // n AS INTEGER) AS r_score,
-        |    CAST(5 - ((rf-1)*5) // n AS INTEGER) AS f_score,
-        |    CAST(5 - ((rm-1)*5) // n AS INTEGER) AS m_score
-        |  FROM r)
-        |SELECT o_custkey, recency_days, frequency, monetary_q,
-        |  r_score, f_score, m_score,
-        |  CAST(r_score*100 + f_score*10 + m_score AS INTEGER) AS rfm
-        |FROM s ORDER BY o_custkey""".stripMargin,
-
-    "q_abc_class" ->
-      """WITH rev AS (
-        |  SELECT l_partkey,
-        |    CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
-        |      AS cents
-        |  FROM lineitem GROUP BY 1),
-        |c AS (
-        |  SELECT l_partkey, cents,
-        |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
-        |      ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(cents) OVER () AS tot
-        |  FROM rev)
-        |SELECT l_partkey, cents, CAST(cum AS BIGINT) AS cum_cents,
-        |  CASE WHEN cum*100 <= tot*80 THEN 'A'
-        |       WHEN cum*100 <= tot*95 THEN 'B' ELSE 'C' END AS abc
-        |FROM c ORDER BY l_partkey""".stripMargin,
-
-    "q_churn" ->
-      // both engines truncate to Monday-start ISO weeks
-      """WITH act AS (
-        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
-        |  FROM events WHERE user_id IS NOT NULL),
-        |churn AS (
-        |  SELECT a.wk, count(*) AS n_churned
-        |  FROM act a LEFT JOIN act b
-        |    ON b.user_id = a.user_id
-        |   AND b.wk = CAST(a.wk + INTERVAL 7 DAY AS DATE)
-        |  WHERE b.user_id IS NULL GROUP BY 1),
-        |mx AS (SELECT max(wk) AS wmax FROM act),
-        |a2 AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_active FROM act GROUP BY 1)
-        |SELECT strftime(a2.wk, '%Y-%m-%d') AS week, n_active,
-        |  CAST(coalesce(churn.n_churned, 0) AS BIGINT) AS n_churned,
-        |  CAST((coalesce(churn.n_churned, 0) * 10000) // n_active AS BIGINT)
-        |    AS churn_bp
-        |FROM a2 LEFT JOIN churn ON a2.wk = churn.wk, mx
-        |WHERE a2.wk < wmax
-        |ORDER BY week""".stripMargin,
-
-    "q_weighted_percentile" ->
-      // plain windows here (3 groups are nothing for a single engine) vs
-      // the per-group RANGED cumsum on the Spark side
-      """WITH v AS (
-        |  SELECT l_returnflag, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
-        |      AS cents,
-        |    sum(CAST(l_quantity AS BIGINT)) AS w
-        |  FROM lineitem GROUP BY 1, 2),
-        |c AS (
-        |  SELECT l_returnflag, cents, w,
-        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
-        |      ROWS UNBOUNDED PRECEDING) AS cw,
-        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
-        |  FROM v)
-        |SELECT l_returnflag,
-        |  CAST(min(CASE WHEN cw*100 >= tw*50 THEN cents END) AS BIGINT)
-        |    AS wp50_cents,
-        |  CAST(min(CASE WHEN cw*100 >= tw*90 THEN cents END) AS BIGINT)
-        |    AS wp90_cents
-        |FROM c GROUP BY 1
-        |ORDER BY 1""".stripMargin,
-
-    "q_corr_matrix" -> {
-      // the helper expands the SAME pinned-parenthesization finish per
-      // pair — a computed oracle string, still one SQL text
-      def ce(a: String, b: String) =
-        s"CAST(floor((CAST(n AS DOUBLE)*CAST(s_$a$b AS DOUBLE) " +
-          s"- CAST(s_$a AS DOUBLE)*CAST(s_$b AS DOUBLE)) " +
-          s"/ sqrt((CAST(n AS DOUBLE)*CAST(s_$a$a AS DOUBLE) " +
-          s"- CAST(s_$a AS DOUBLE)*CAST(s_$a AS DOUBLE)) " +
-          s"* (CAST(n AS DOUBLE)*CAST(s_$b$b AS DOUBLE) " +
-          s"- CAST(s_$b AS DOUBLE)*CAST(s_$b AS DOUBLE))) " +
-          s"* 10000.0 + 0.5) AS BIGINT)"
-      val pairs = for (a <- Seq("q", "p", "d", "x"); b <- Seq("q", "p", "d", "x")
-                       if a < b)
-        yield s"SELECT '$a' AS var_x, '$b' AS var_y, ${ce(a, b)} AS corr_bp FROM m"
-      """WITH base AS (
-        |  SELECT CAST(l_quantity AS BIGINT) AS q,
-        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS p,
-        |    CAST(floor(l_discount*10000 + 0.5) AS BIGINT) AS d,
-        |    CAST(floor(l_tax*10000 + 0.5) AS BIGINT) AS x
-        |  FROM lineitem),
-        |m AS (
-        |  SELECT count(*) AS n,
-        |    sum(CAST(q AS DECIMAL(38,0))) AS s_q,
-        |    sum(CAST(p AS DECIMAL(38,0))) AS s_p,
-        |    sum(CAST(d AS DECIMAL(38,0))) AS s_d,
-        |    sum(CAST(x AS DECIMAL(38,0))) AS s_x,
-        |    sum(CAST(q*q AS DECIMAL(38,0))) AS s_qq,
-        |    sum(CAST(p*p AS DECIMAL(38,0))) AS s_pp,
-        |    sum(CAST(d*d AS DECIMAL(38,0))) AS s_dd,
-        |    sum(CAST(x*x AS DECIMAL(38,0))) AS s_xx,
-        |    sum(CAST(p*q AS DECIMAL(38,0))) AS s_pq,
-        |    sum(CAST(d*p AS DECIMAL(38,0))) AS s_dp,
-        |    sum(CAST(d*q AS DECIMAL(38,0))) AS s_dq,
-        |    sum(CAST(d*x AS DECIMAL(38,0))) AS s_dx,
-        |    sum(CAST(p*x AS DECIMAL(38,0))) AS s_px,
-        |    sum(CAST(q*x AS DECIMAL(38,0))) AS s_qx
-        |  FROM base)
-        |""".stripMargin +
-        pairs.mkString("", "\nUNION ALL\n", "\nORDER BY var_x, var_y")
-    },
-
-    "q_item_neighbors_maintained" ->
-      // VERBATIM the q_item_neighbors oracle: maintenance must land on
-      // the identical full-rebuild state, so the incremental path hash-
-      // matches the one-shot oracle
-      """WITH inter AS (
-        |  SELECT o_custkey AS u, l_partkey AS i, count(DISTINCT l_orderkey) AS s
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  GROUP BY 1, 2),
-        |cap AS (
-        |  SELECT u, i FROM (
-        |    SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY s DESC, i) AS r
-        |    FROM inter) WHERE r <= 50),
-        |ni AS (SELECT i, count(*) AS n_i FROM cap GROUP BY i),
-        |p AS (
-        |  SELECT a.i AS lo, b.i AS hi, count(*) AS n_both
-        |  FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
-        |  GROUP BY 1, 2),
-        |sym AS (
-        |  SELECT lo AS item, hi AS neighbor, n_both FROM p
-        |  UNION ALL SELECT hi AS item, lo AS neighbor, n_both FROM p),
-        |sc AS (
-        |  SELECT item, neighbor, CAST(n_both AS BIGINT) AS n_both,
-        |    CAST(floor(n_both * 10000.0
-        |      / sqrt(CAST(na.n_i AS DOUBLE) * CAST(nb.n_i AS DOUBLE)) + 0.5)
-        |      AS BIGINT) AS sim_q
-        |  FROM sym JOIN ni na ON sym.item = na.i
-        |    JOIN ni nb ON sym.neighbor = nb.i),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY item
-        |      ORDER BY sim_q DESC, neighbor) AS rnk
-        |  FROM sc)
-        |SELECT item, neighbor, n_both, sim_q, CAST(rnk AS INTEGER) AS "rank"
-        |FROM r WHERE rnk <= 10
-        |ORDER BY item, "rank"""".stripMargin,
-
-    "q_item_neighbors" ->
-      // every step exact integers until the one pinned-parenthesization
-      // cosine (sqrt/divide are single correctly-rounded IEEE ops)
-      """WITH inter AS (
-        |  SELECT o_custkey AS u, l_partkey AS i, count(DISTINCT l_orderkey) AS s
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  GROUP BY 1, 2),
-        |cap AS (
-        |  SELECT u, i FROM (
-        |    SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY s DESC, i) AS r
-        |    FROM inter) WHERE r <= 50),
-        |ni AS (SELECT i, count(*) AS n_i FROM cap GROUP BY i),
-        |p AS (
-        |  SELECT a.i AS lo, b.i AS hi, count(*) AS n_both
-        |  FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
-        |  GROUP BY 1, 2),
-        |sym AS (
-        |  SELECT lo AS item, hi AS neighbor, n_both FROM p
-        |  UNION ALL SELECT hi AS item, lo AS neighbor, n_both FROM p),
-        |sc AS (
-        |  SELECT item, neighbor, CAST(n_both AS BIGINT) AS n_both,
-        |    CAST(floor(n_both * 10000.0
-        |      / sqrt(CAST(na.n_i AS DOUBLE) * CAST(nb.n_i AS DOUBLE)) + 0.5)
-        |      AS BIGINT) AS sim_q
-        |  FROM sym JOIN ni na ON sym.item = na.i
-        |    JOIN ni nb ON sym.neighbor = nb.i),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY item
-        |      ORDER BY sim_q DESC, neighbor) AS rnk
-        |  FROM sc)
-        |SELECT item, neighbor, n_both, sim_q, CAST(rnk AS INTEGER) AS "rank"
-        |FROM r WHERE rnk <= 10
-        |ORDER BY item, "rank"""".stripMargin,
-
-    "q_rec_eval" ->
-      // the full offline-eval pipeline: train/test split by order
-      // residue, the q_item_neighbors cap/cosine machinery over the
-      // TRAIN slice, exact-integer candidate scoring with the
-      // seen-item anti-join, and the NDCG finish on the same pinned
-      // gain literals as q_ndcg (idcg = prefix sums over
-      // min(n_test, 10))
-      """WITH inter0 AS (
-        |  SELECT o_custkey AS u, l_partkey AS i, o_orderkey AS ok
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |train AS (
-        |  SELECT u, i, count(DISTINCT ok) AS s FROM inter0 WHERE ok % 7 <> 0
-        |  GROUP BY 1, 2),
-        |test AS (
-        |  SELECT DISTINCT t.u, t.i FROM inter0 t
-        |  WHERE t.ok % 7 = 0
-        |    AND NOT EXISTS (SELECT 1 FROM train tr
-        |      WHERE tr.u = t.u AND tr.i = t.i)),
-        |cap AS (
-        |  SELECT u, i FROM (
-        |    SELECT u, i, row_number() OVER (
-        |      PARTITION BY u ORDER BY s DESC, i) AS r
-        |    FROM train) WHERE r <= 50),
-        |ni AS (SELECT i, count(*) AS n_i FROM cap GROUP BY i),
-        |p AS (
-        |  SELECT a.i AS lo, b.i AS hi, count(*) AS n_both
-        |  FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i
-        |  GROUP BY 1, 2),
-        |sym AS (
-        |  SELECT lo AS item, hi AS neighbor, n_both FROM p
-        |  UNION ALL SELECT hi AS item, lo AS neighbor, n_both FROM p),
-        |sc AS (
-        |  SELECT item, neighbor,
-        |    CAST(floor(n_both * 10000.0
-        |      / sqrt(CAST(na.n_i AS DOUBLE) * CAST(nb.n_i AS DOUBLE)) + 0.5)
-        |      AS BIGINT) AS sim_q
-        |  FROM sym JOIN ni na ON sym.item = na.i
-        |    JOIN ni nb ON sym.neighbor = nb.i),
-        |nbrs AS (
-        |  SELECT item, neighbor, sim_q FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY item
-        |        ORDER BY sim_q DESC, neighbor) AS rnk FROM sc)
-        |  WHERE rnk <= 10),
-        |cands AS (
-        |  SELECT t.u AS "user", n.neighbor AS rec_item, sum(n.sim_q) AS score
-        |  FROM train t JOIN nbrs n ON t.i = n.item
-        |  GROUP BY 1, 2),
-        |unseen AS (
-        |  SELECT c.* FROM cands c
-        |  WHERE NOT EXISTS (SELECT 1 FROM train tr
-        |    WHERE tr.u = c."user" AND tr.i = c.rec_item)),
-        |recs AS (
-        |  SELECT "user", rec_item,
-        |    row_number() OVER (PARTITION BY "user"
-        |      ORDER BY score DESC, rec_item) AS rnk
-        |  FROM unseen QUALIFY rnk <= 10),
-        |gains AS (
-        |  SELECT * FROM (VALUES (1, 1000000), (2, 630929), (3, 500000),
-        |    (4, 430676), (5, 386852), (6, 356207), (7, 333333),
-        |    (8, 315464), (9, 301029), (10, 289064)) v(pos, g)),
-        |idcg AS (
-        |  SELECT pos, sum(g) OVER (ORDER BY pos) AS pre FROM gains),
-        |put AS (SELECT u AS "user", count(*) AS n_test FROM test GROUP BY u),
-        |hits AS (
-        |  SELECT r."user", count(*) AS n_hits, sum(g.g) AS dcg_q
-        |  FROM recs r JOIN test t ON t.u = r."user" AND t.i = r.rec_item
-        |  JOIN gains g ON g.pos = r.rnk
-        |  GROUP BY 1),
-        |per AS (
-        |  SELECT p."user",
-        |    coalesce((10000 * h.dcg_q) // (SELECT pre FROM idcg
-        |      WHERE pos = least(p.n_test, 10)), 0) AS ndcg_bp,
-        |    CASE WHEN h.n_hits IS NOT NULL THEN 1 ELSE 0 END AS hit
-        |  FROM put p LEFT JOIN hits h ON h."user" = p."user")
-        |SELECT CAST(count(*) AS BIGINT) AS n_users,
-        |  CAST(sum(hit) AS BIGINT) AS n_hit_users,
-        |  CAST((10000 * sum(hit)) // count(*) AS BIGINT) AS hit_rate_bp,
-        |  CAST(sum(ndcg_bp) // count(*) AS BIGINT) AS mean_ndcg_bp
-        |FROM per""".stripMargin,
-
-    "q_triangle_count" ->
-      // independent formulation: id-ordered triple join (no degree
-      // orientation) — triangles as undirected node sets are
-      // orientation-invariant, so agreement checks the whole machine
-      """WITH e AS (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |tri AS (
-        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
-        |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-        |nodes AS (
-        |  SELECT a AS node FROM tri
-        |  UNION ALL SELECT b FROM tri
-        |  UNION ALL SELECT c FROM tri)
-        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
-        |FROM nodes GROUP BY node
-        |ORDER BY node""".stripMargin,
-
-    "q_kcore" ->
-      // the peel fixpoint DOES have a recursive-CTE form: a fixed 50
-      // rounds (the operator's own maxIters) with the working table
-      // referenced ONCE via the endpoint-unnest trick — degree = a
-      // window count over unnested endpoints, an edge survives iff its
-      // min endpoint degree >= k; converged rounds re-emit unchanged,
-      // so round 50 IS the fixpoint whenever the Scala side converged
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
-        |edges AS (
-        |  SELECT DISTINCT least(pa, pb) AS u, greatest(pa, pb) AS v
-        |  FROM pairs WHERE pa <> pb),
-        |peel(r, u, v) AS (
-        |  SELECT 0, u, v FROM edges
-        |  UNION ALL
-        |  SELECT r + 1, u, v FROM (
-        |    SELECT r, u, v, node, min(cnt) OVER (PARTITION BY r, u, v) AS mindeg
-        |    FROM (
-        |      SELECT e.r, e.u, e.v, t.node,
-        |        count(*) OVER (PARTITION BY e.r, t.node) AS cnt
-        |      FROM peel e, UNNEST([e.u, e.v]) AS t(node))
-        |  ) WHERE r < 50 AND mindeg >= 2 AND node = u)
-        |SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
-        |  SELECT u AS node FROM peel WHERE r = 50
-        |  UNION ALL SELECT v FROM peel WHERE r = 50)
-        |GROUP BY node
-        |ORDER BY node""".stripMargin,
-
-    "q_communities" ->
-      // deterministic synchronous LPA replays round by round: the
-      // recursive label table joins the static bidirectional edge list,
-      // per-node top-1 by (count DESC, label ASC) via QUALIFY — the
-      // exact tie-break the Scala window uses, so 5 rounds land on the
-      // identical labeling
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
-        |edges AS (
-        |  SELECT DISTINCT least(pa, pb) AS u, greatest(pa, pb) AS v
-        |  FROM pairs WHERE pa <> pb),
-        |bidir AS (
-        |  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
-        |lab(r, node, community) AS (
-        |  SELECT 0, node, node FROM (
-        |    SELECT u AS node FROM edges UNION SELECT v FROM edges)
-        |  UNION ALL
-        |  SELECT r + 1, node, community FROM (
-        |    SELECT l.r, bd.a AS node, l.community, count(*) AS c
-        |    FROM bidir bd JOIN lab l ON l.node = bd.b WHERE l.r < 5
-        |    GROUP BY 1, 2, 3
-        |  ) QUALIFY row_number() OVER (
-        |      PARTITION BY node ORDER BY c DESC, community ASC) = 1)
-        |SELECT node, community FROM lab WHERE r = 5
-        |ORDER BY node""".stripMargin,
-
-    "q_allocate" ->
-      // all quantities non-negative here, so DuckDB's integral // and %
-      // coincide with the operator's floor-division contract
-      """WITH c AS (
-        |  SELECT l_orderkey, l_linenumber,
-        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS cents
-        |  FROM lineitem),
-        |t AS (
-        |  SELECT l_orderkey, l_linenumber, cents,
-        |    sum(cents) OVER (PARTITION BY l_orderkey) AS tot
-        |  FROM c),
-        |b AS (
-        |  SELECT l_orderkey, l_linenumber, cents,
-        |    CAST(tot // 10 AS BIGINT) AS rebate_q,
-        |    (tot // 10) * cents // tot AS base,
-        |    ((tot // 10) * cents) % tot AS rem
-        |  FROM t),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
-        |      ORDER BY rem DESC, l_linenumber) AS rnk,
-        |    rebate_q - sum(base) OVER (PARTITION BY l_orderkey) AS deficit
-        |  FROM b)
-        |SELECT l_orderkey, l_linenumber, cents, rebate_q,
-        |  CAST(base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc_q
-        |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q_ewma" ->
-      // the recurrence unrolled as a recursive CTE: integer floor
-      // division (// on non-negative BIGINTs) replays Math.floorDiv
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS xq,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events
-        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND value IS NOT NULL),
-        |r AS (
-        |  SELECT user_id, event_id, xq, rn, xq AS ewma_q FROM ev WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.event_id, e.xq, e.rn,
-        |    CAST((e.xq + 3*r.ewma_q) // 4 AS BIGINT) AS ewma_q
-        |  FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
-        |SELECT user_id, event_id, xq, ewma_q FROM r
-        |ORDER BY event_id""".stripMargin,
-
-    "q_cusum" ->
-      // state carried as s_next (post-reset) so each recursion step is
-      // one CASE; fired rows surface the pre-reset statistic
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id, event_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS xq,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
-        |r AS (
-        |  SELECT user_id, event_id, rn,
-        |    CASE WHEN greatest(0, xq - 4000) >= 20000
-        |         THEN greatest(0, xq - 4000) ELSE NULL END AS fired,
-        |    CASE WHEN greatest(0, xq - 4000) >= 20000
-        |         THEN 0 ELSE greatest(0, xq - 4000) END AS s_next
-        |  FROM ev WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.event_id, e.rn,
-        |    CASE WHEN greatest(0, r.s_next + e.xq - 4000) >= 20000
-        |         THEN greatest(0, r.s_next + e.xq - 4000) ELSE NULL END,
-        |    CASE WHEN greatest(0, r.s_next + e.xq - 4000) >= 20000
-        |         THEN 0 ELSE greatest(0, r.s_next + e.xq - 4000) END
-        |  FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
-        |SELECT user_id, event_id, CAST(fired AS BIGINT) AS cusum_q
-        |FROM r WHERE fired IS NOT NULL
-        |ORDER BY event_id""".stripMargin,
-
-    "q_running_balance" ->
-      """WITH RECURSIVE mv AS (
-        |  SELECT l_partkey,
-        |    CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
-        |              ELSE -l_quantity END AS BIGINT) AS dq,
-        |    row_number() OVER (PARTITION BY l_partkey
-        |                       ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
-        |  FROM lineitem),
-        |r AS (
-        |  SELECT l_partkey, rn, greatest(0, 500 + dq) AS b FROM mv WHERE rn = 1
-        |  UNION ALL
-        |  SELECT m.l_partkey, m.rn, greatest(0, r.b + m.dq)
-        |  FROM mv m JOIN r ON m.l_partkey = r.l_partkey AND m.rn = r.rn + 1)
-        |SELECT l_partkey, CAST(max(rn) AS BIGINT) AS n_moves,
-        |  CAST(max_by(b, rn) AS BIGINT) AS balance_q
-        |FROM r GROUP BY l_partkey
-        |ORDER BY l_partkey""".stripMargin,
-
-    "q_dup_ngrams" ->
-      // gram STRINGS + a per-gram count here vs the Spark side's sorted-
-      // array run-length fold; Σc, Σ_{c>1}c and Σ_{c>1}c·len(g) agree
-      // exactly (same join-with-spaces gram text both sides)
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE trim(text) <> ''),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        |    i -> array_to_string(t[i:i+2], ' '))) AS g
-        |  FROM toks WHERE len(t) >= 3),
-        |c AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
-        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
-        |  CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup_chars
-        |FROM c GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_gopher_filter" ->
-      // every flag is an exact integer comparison (ratios cross-multiplied)
-      """WITH toks AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |      ELSE string_split_regex(trim(text), '\s+') END AS tk
-        |  FROM documents),
-        |base AS (
-        |  SELECT doc_id,
-        |    CAST(len(tk) AS BIGINT) AS n_words,
-        |    CAST(coalesce(list_aggregate(list_apply(tk, t -> len(t)), 'sum'), 0)
-        |      AS BIGINT) AS word_chars,
-        |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
-        |      AS BIGINT) AS alpha_words,
-        |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','in','to','is')))
-        |      AS BIGINT) AS stop_hits,
-        |    CAST(length(text) - length(replace(text, '#', ''))
-        |      + (length(text) - length(replace(text, '...', ''))) // 3
-        |      AS BIGINT) AS sym_hits,
-        |    CAST(length(text) AS BIGINT) AS n_chars
-        |  FROM toks),
-        |f AS (
-        |  SELECT *,
-        |    CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS f_words,
-        |    CASE WHEN word_chars >= n_words * 3 AND word_chars <= n_words * 10
-        |      THEN 1 ELSE 0 END AS f_mean_len,
-        |    CASE WHEN alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END AS f_alpha,
-        |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS f_stop,
-        |    CASE WHEN sym_hits * 10 <= n_chars THEN 1 ELSE 0 END AS f_sym
-        |  FROM base)
-        |SELECT doc_id, n_words, word_chars, alpha_words, stop_hits, sym_hits,
-        |  CAST(f_words AS INTEGER) AS f_words,
-        |  CAST(f_mean_len AS INTEGER) AS f_mean_len,
-        |  CAST(f_alpha AS INTEGER) AS f_alpha,
-        |  CAST(f_stop AS INTEGER) AS f_stop,
-        |  CAST(f_sym AS INTEGER) AS f_sym,
-        |  CAST(CASE WHEN f_words + f_mean_len + f_alpha + f_stop + f_sym = 5
-        |    THEN 1 ELSE 0 END AS INTEGER) AS keep
-        |FROM f
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_golden_record" ->
-      // with fixed per-source priorities, survivorship IS a coalesce in
-      // priority order — the oracle states it that way; the Spark side
-      // runs the generic one-aggregate max_by operator
-      """WITH a AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 3 <> 0 THEN 'A:' || o_orderstatus END AS status,
-        |    CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice + 3 END AS price
-        |  FROM orders),
-        |b AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 4 <> 0 THEN 'B:' || o_orderstatus END AS status,
-        |    CASE WHEN o_orderkey % 3 <> 0 THEN o_totalprice + 2 END AS price
-        |  FROM orders),
-        |c AS (
-        |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 9999991 <> 0 THEN 'C:' || o_orderstatus END AS status,
-        |    CASE WHEN o_orderkey % 9999993 <> 0 THEN o_totalprice + 1 END AS price
-        |  FROM orders)
-        |SELECT a.o_orderkey,
-        |  coalesce(a.status, b.status, c.status) AS status,
-        |  coalesce(a.price, b.price, c.price) AS price
-        |FROM a JOIN b USING (o_orderkey) JOIN c USING (o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q_benford" ->
-      // expected shares are PINNED published basis points in both engines
-      // (runtime log10 would hang the compare on libm's last ulp)
-      """WITH v AS (
-        |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
-        |  WHERE floor(o_totalprice) > 0),
-        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM v),
-        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
-        |tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM c),
-        |e(digit, expected_bp) AS (VALUES
-        |  (1, 3010), (2, 1761), (3, 1249), (4, 969), (5, 792),
-        |  (6, 669), (7, 580), (8, 512), (9, 458))
-        |SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
-        |  CAST(floor(coalesce(c.n, 0) * 10000.0 / greatest(t, 1) + 0.5) AS BIGINT)
-        |    AS share_bp,
-        |  CAST(e.expected_bp AS BIGINT) AS expected_bp,
-        |  CAST(floor(coalesce(c.n, 0) * 10000.0 / greatest(t, 1) + 0.5)
-        |    - e.expected_bp AS BIGINT) AS delta_bp
-        |FROM e LEFT JOIN c USING (digit) CROSS JOIN tot
-        |ORDER BY e.digit""".stripMargin,
-
-    "q_fk_orphan_report" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, l_suppkey,
-        |    CASE WHEN l_orderkey % 97 = 0 THEN l_partkey + 1000000
-        |      ELSE l_partkey END AS l_partkey
-        |  FROM lineitem),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM li),
-        |r AS (
-        |  SELECT 'orders' AS fk_name, CAST(count(*) AS BIGINT) AS n_orphans
-        |  FROM li WHERE l_orderkey IS NOT NULL
-        |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)
-        |  UNION ALL
-        |  SELECT 'part', CAST(count(*) AS BIGINT)
-        |  FROM li WHERE l_partkey IS NOT NULL
-        |    AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = li.l_partkey)
-        |  UNION ALL
-        |  SELECT 'supplier', CAST(count(*) AS BIGINT)
-        |  FROM li WHERE l_suppkey IS NOT NULL
-        |    AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = li.l_suppkey))
-        |SELECT fk_name, n_orphans, n_rows,
-        |  CAST(floor(n_orphans * 10000.0 / greatest(n_rows, 1) + 0.5) AS BIGINT)
-        |    AS orphan_bp
-        |FROM r CROSS JOIN tot
-        |ORDER BY fk_name""".stripMargin,
-
-    "q_mad_outliers" ->
-      // DISCRETE lower medians (rank-selected data values, no
-      // interpolation arithmetic) — med, mad, and the 3·mad compare are
-      // bit-exact in both engines
-      """WITH ev AS (
-        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
-        |r AS (
-        |  SELECT event_type, value,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM ev),
-        |m AS (
-        |  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
-        |  FROM r GROUP BY event_type),
-        |a AS (
-        |  SELECT r.event_type, r.n, abs(r.value - m.med) AS adev, m.med AS med
-        |  FROM r JOIN m USING (event_type)),
-        |r2 AS (
-        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rna
-        |  FROM a),
-        |mm AS (
-        |  SELECT event_type, max(CASE WHEN rna = (n + 1) // 2 THEN adev END) AS mad
-        |  FROM r2 GROUP BY event_type)
-        |SELECT r2.event_type, CAST(count(*) AS BIGINT) AS n,
-        |  max(r2.med) AS med, max(mm.mad) AS mad,
-        |  CAST(sum(CASE WHEN r2.adev > mm.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_outliers
-        |FROM r2 JOIN mm USING (event_type)
-        |GROUP BY r2.event_type
-        |ORDER BY r2.event_type""".stripMargin,
-
-    "q_resample_ffill" ->
-      // DuckDB epoch() is DOUBLE (fractional seconds) — floor+cast
-      // mirrors Spark's truncating timestamp→long cast. ASOF LEFT JOIN
-      // is the fill; grid bounds replay the same ceil/floor alignment.
-      """WITH obs AS (
-        |  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS t,
-        |    max(value) AS v
-        |  FROM events WHERE event_type = 'purchase'
-        |    AND user_id IS NOT NULL AND ts IS NOT NULL
-        |  GROUP BY 1, 2),
-        |b AS (SELECT key, min(t) AS mn, max(t) AS mx FROM obs GROUP BY 1),
-        |grid AS (
-        |  SELECT key, unnest(generate_series(
-        |    mn + (21600 - mn % 21600) % 21600, mx - mx % 21600, 21600)) AS t
-        |  FROM b
-        |  WHERE mx - mx % 21600 >= mn + (21600 - mn % 21600) % 21600),
-        |j AS (
-        |  SELECT g.key, g.t, o.v
-        |  FROM grid g ASOF LEFT JOIN obs o ON g.key = o.key AND g.t >= o.t)
-        |SELECT key AS user_id, CAST(t AS BIGINT) AS grid_epoch, v AS value_ff
-        |FROM j ORDER BY user_id, grid_epoch""".stripMargin,
-
-    "q_quantiles_maintained" ->
-      // replays bucket assignment, the cum window, and the SAME fixed
-      // interpolation parenthesization; integer window sums cast to
-      // BIGINT per §6
-      """WITH v AS (
-        |  SELECT l_extendedprice AS x FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL),
-        |bk AS (
-        |  SELECT CASE WHEN x < 20000.0 THEN 0 WHEN x < 40000.0 THEN 1
-        |    WHEN x < 60000.0 THEN 2 WHEN x < 80000.0 THEN 3 ELSE 4 END
-        |    AS bucket
-        |  FROM v),
-        |c AS (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket),
-        |cm AS (
-        |  SELECT bucket, n,
-        |    CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
-        |      AS BIGINT) AS cum
-        |  FROM c),
-        |cm2 AS (
-        |  SELECT bucket, n, cum, cum - n AS cum_before FROM cm),
-        |tot AS (SELECT max(cum) AS total FROM cm2),
-        |qs AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp),
-        |j AS (
-        |  SELECT q.q_bp, c2.bucket,
-        |    CASE WHEN c2.bucket = 0 THEN 20000.0
-        |      WHEN c2.bucket = 1 THEN 20000.0
-        |      WHEN c2.bucket = 2 THEN 40000.0
-        |      WHEN c2.bucket = 3 THEN 60000.0
-        |      ELSE 80000.0 END AS lo,
-        |    CASE WHEN c2.bucket = 0 THEN 20000.0
-        |      WHEN c2.bucket = 1 THEN 40000.0
-        |      WHEN c2.bucket = 2 THEN 60000.0
-        |      WHEN c2.bucket = 3 THEN 80000.0
-        |      ELSE 80000.0 END AS hi,
-        |    c2.n, c2.cum, c2.cum_before, t.total
-        |  FROM qs q CROSS JOIN cm2 c2 CROSS JOIN tot t
-        |  WHERE c2.n > 0 AND c2.cum_before < q.q_bp * t.total / 10000.0
-        |    AND q.q_bp * t.total / 10000.0 <= c2.cum)
-        |SELECT q_bp, CAST(bucket AS BIGINT) AS bucket,
-        |  lo + (hi - lo) * (q_bp * total / 10000.0 - cum_before) / n AS est
-        |FROM j ORDER BY q_bp""".stripMargin,
-
-    "q_resample_interp" ->
-      // ASOF (backward) + reversed-sign ASOF (forward) recover the
-      // surrounding pair; the interpolation expression keeps the
-      // IDENTICAL parenthesization so every double matches bit-for-bit
-      """WITH obs AS (
-        |  SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS t,
-        |    max(value) AS v
-        |  FROM events WHERE event_type = 'purchase'
-        |    AND user_id IS NOT NULL AND ts IS NOT NULL
-        |  GROUP BY 1, 2),
-        |b AS (SELECT key, min(t) AS mn, max(t) AS mx FROM obs GROUP BY 1),
-        |grid AS (
-        |  SELECT key, unnest(generate_series(
-        |    mn + (21600 - mn % 21600) % 21600, mx - mx % 21600, 21600)) AS t
-        |  FROM b
-        |  WHERE mx - mx % 21600 >= mn + (21600 - mn % 21600) % 21600),
-        |bk AS (
-        |  SELECT g.key, g.t, o.t AS t0, o.v AS v0
-        |  FROM grid g ASOF LEFT JOIN obs o ON g.key = o.key AND g.t >= o.t),
-        |fw AS (
-        |  SELECT g.key, g.t, o.t AS t1, o.v AS v1
-        |  FROM grid g ASOF LEFT JOIN obs o
-        |    ON g.key = o.key AND g.t <= o.t),
-        |j AS (
-        |  SELECT bk.key, bk.t, bk.t0, bk.v0, fw.t1, fw.v1
-        |  FROM bk JOIN fw ON bk.key = fw.key AND bk.t = fw.t)
-        |SELECT key AS user_id, CAST(t AS BIGINT) AS grid_epoch,
-        |  CASE WHEN t1 = t0 THEN v0
-        |    ELSE v0 + (v1 - v0) * (t - t0) / (t1 - t0) END AS value_lerp
-        |FROM j ORDER BY user_id, grid_epoch""".stripMargin,
-
-    "q_k_anonymity" ->
-      """WITH c AS (
-        |  SELECT c_nationkey, c_mktsegment,
-        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band
-        |  FROM customer)
-        |SELECT c_nationkey, c_mktsegment, balance_band,
-        |  CAST(count(*) AS BIGINT) AS class_size
-        |FROM c GROUP BY 1, 2, 3
-        |HAVING count(*) < 5
-        |ORDER BY c_nationkey, c_mktsegment, balance_band""".stripMargin,
-
-    "q_k_anonymity_stats" ->
-      """WITH cls AS (
-        |  SELECT c_nationkey, c_mktsegment,
-        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bb, count(*) AS n
-        |  FROM customer GROUP BY 1, 2, 3)
-        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
-        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_violating_classes,
-        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
-        |    AS rows_at_risk,
-        |  CAST(floor(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000.0
-        |    / greatest(sum(n), 1) + 0.5) AS BIGINT) AS risk_bp
-        |FROM cls""".stripMargin,
-
-    "q_hybrid_search" ->
-      // both branches replay their own oracle-green formulations
-      // (q_lexical_search / q_embed_cosine_topk) and fuse in integer
-      // RRF; integer sums cast to BIGINT per SURVEY §6
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents WHERE trim(text) <> ''),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks
-        |  WHERE term IN ('spark', 'merge', 'vector', 'dup') GROUP BY 1, 2),
-        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> ''),
-        |sc AS (
-        |  SELECT t.doc_id, sum((t.tf * 10000 * n.n_docs) // d.df) AS score_q
-        |  FROM tf t JOIN dfc d USING (term) CROSS JOIN n GROUP BY t.doc_id),
-        |lex AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rk
-        |  FROM sc ORDER BY score_q DESC, doc_id LIMIT 20),
-        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-        |pairs AS (
-        |  SELECT e.vec_id,
-        |    round(
-        |      list_aggregate(list_apply(list_zip(q.q_emb, e.embedding),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      / (sqrt(list_aggregate(list_apply(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-        |         * sqrt(list_aggregate(list_apply(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
-        |      4) AS cos_sim
-        |  FROM embeddings e CROSS JOIN q
-        |  WHERE e.vec_id <> 0),
-        |dense AS (
-        |  SELECT vec_id AS doc_id,
-        |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
-        |  FROM pairs ORDER BY cos_sim DESC, vec_id LIMIT 20),
-        |u AS (SELECT doc_id, rk FROM lex UNION ALL SELECT doc_id, rk FROM dense),
-        |f AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
-        |    CAST(sum(10000 // (60 + rk)) AS BIGINT) AS rrf_q
-        |  FROM u GROUP BY doc_id),
-        |r AS (
-        |  SELECT doc_id, n_lists, rrf_q,
-        |    row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rnk
-        |  FROM f ORDER BY rrf_q DESC, doc_id LIMIT 10)
-        |SELECT doc_id, n_lists, rrf_q, CAST(rnk AS INTEGER) AS "rank"
-        |FROM r ORDER BY "rank"""".stripMargin,
-
-    "q_join_explosion" ->
-      """WITH n AS (
-        |  SELECT count(*) AS total FROM events WHERE event_type IS NOT NULL),
-        |heavy AS (
-        |  SELECT event_type, count(*) AS cnt
-        |  FROM events, n WHERE event_type IS NOT NULL
-        |  GROUP BY event_type, n.total
-        |  HAVING count(*) >= ceil(0.1 * n.total)),
-        |prod AS (
-        |  SELECT CAST(coalesce(sum(a.cnt * b.cnt), 0) AS BIGINT)
-        |      AS heavy_product_rows,
-        |    CAST(count(*) AS BIGINT) AS shared_heavy_keys
-        |  FROM heavy a JOIN heavy b USING (event_type))
-        |SELECT p.heavy_product_rows, p.shared_heavy_keys,
-        |  CAST(c.cnt AS BIGINT) AS rows_a, CAST(c.cnt AS BIGINT) AS rows_b
-        |FROM prod p CROSS JOIN (SELECT count(*) AS cnt FROM events) c""".stripMargin,
-
-    "q_subtree_rollup" ->
-      // recursive-CTE closure + member expansion is the transparent
-      // rollup form; cents keep the sums integer-exact
-      """WITH RECURSIVE nodes AS (
-        |  SELECT CAST(r_regionkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS v
-        |  FROM region
-        |  UNION ALL
-        |  SELECT CAST(100 + n_nationkey AS BIGINT), 0 FROM nation
-        |  UNION ALL
-        |  SELECT 1000000 + c_custkey,
-        |    CAST(round(c_acctbal * 100) AS BIGINT) FROM customer),
-        |edges AS (
-        |  SELECT CAST(100 + n_nationkey AS BIGINT) AS child,
-        |    CAST(n_regionkey AS BIGINT) AS parent FROM nation
-        |  UNION ALL
-        |  SELECT 1000000 + c_custkey, CAST(100 + c_nationkey AS BIGINT)
-        |  FROM customer),
-        |cl AS (
-        |  SELECT child, parent AS anc FROM edges
-        |  UNION
-        |  SELECT c.child, e.parent FROM cl c JOIN edges e ON c.anc = e.child),
-        |member AS (
-        |  SELECT anc AS node, child AS member FROM cl
-        |  UNION ALL SELECT node, node FROM nodes)
-        |SELECT m.node, CAST(sum(n.v) AS BIGINT) AS subtree_cents
-        |FROM member m JOIN nodes n ON n.node = m.member
-        |GROUP BY m.node ORDER BY m.node""".stripMargin,
-
-    "q_entity_resolution" ->
-      // half-prefix blocking is EXACT for equal-length distance ≤ 1
-      // (one substitution leaves one half identical); the closure is
-      // the transparent recursive-CTE transitive reach; survivorship
-      // replays max_by's (non-null, src_rank, id) order per attribute
-      """WITH RECURSIVE base AS (
-        |  SELECT c_custkey AS ent_id, md5(CAST(c_custkey AS VARCHAR)) AS name,
-        |    c_mktsegment AS segment, c_acctbal AS acctbal, 1 AS src_rank
-        |  FROM customer),
-        |var AS (
-        |  SELECT c_custkey + 1000000 AS ent_id,
-        |    substring(md5(CAST(c_custkey AS VARCHAR)), 1, 31) || 'z' AS name,
-        |    CAST(NULL AS VARCHAR) AS segment, c_acctbal + 1 AS acctbal,
-        |    2 AS src_rank
-        |  FROM customer WHERE c_custkey % 50 = 0),
-        |e AS (SELECT * FROM base UNION ALL SELECT * FROM var),
-        |cand AS (
-        |  SELECT a.ent_id AS id_a, b.ent_id AS id_b, a.name AS na, b.name AS nb
-        |  FROM e a JOIN e b
-        |    ON a.ent_id < b.ent_id
-        |   AND (substring(a.name, 1, 16) = substring(b.name, 1, 16)
-        |     OR substring(a.name, 17, 16) = substring(b.name, 17, 16))),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM cand WHERE levenshtein(na, nb) <= 1),
-        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT a, b FROM und
-        |  UNION
-        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-        |  WHERE u.b <> r.a),
-        |canon AS (
-        |  SELECT e.ent_id,
-        |    least(e.ent_id, coalesce(min(r.b), e.ent_id)) AS canonical_id
-        |  FROM e LEFT JOIN reach r ON r.a = e.ent_id
-        |  GROUP BY e.ent_id),
-        |t AS (
-        |  SELECT c.canonical_id, e.* FROM e JOIN canon c USING (ent_id)),
-        |sv AS (
-        |  SELECT canonical_id,
-        |    first_value(name) OVER (PARTITION BY canonical_id
-        |      ORDER BY (name IS NOT NULL) DESC, src_rank DESC, ent_id DESC)
-        |      AS name,
-        |    first_value(segment) OVER (PARTITION BY canonical_id
-        |      ORDER BY (segment IS NOT NULL) DESC, src_rank DESC, ent_id DESC)
-        |      AS segment,
-        |    first_value(acctbal) OVER (PARTITION BY canonical_id
-        |      ORDER BY (acctbal IS NOT NULL) DESC, src_rank DESC, ent_id DESC)
-        |      AS acctbal
-        |  FROM t),
-        |g AS (SELECT DISTINCT canonical_id, name, segment, acctbal FROM sv),
-        |sz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members
-        |  FROM t GROUP BY 1)
-        |SELECT g.canonical_id, g.name, g.segment, g.acctbal, sz.n_members
-        |FROM g JOIN sz USING (canonical_id)
-        |ORDER BY canonical_id""".stripMargin,
-
-    "q_bm25_search" ->
-      // same cleared-denominator integers: DuckDB's intermediates go
-      // HUGEINT, the final sum casts to BIGINT per §6
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents WHERE trim(text) <> ''),
-        |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
-        |tot AS (SELECT sum(dl) AS t_tokens, count(*) AS n_docs FROM dl),
-        |tf AS (SELECT * FROM tfall
-        |  WHERE term IN ('spark', 'merge', 'vector', 'dup')),
-        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |sc AS (
-        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
-        |    CAST(sum(
-        |      ((2 * tot.n_docs - 2 * d.df + 1) * 1000 // (2 * d.df + 1)) *
-        |      (22 * tot.t_tokens * t.tf * 10000 //
-        |       (10 * tot.t_tokens * t.tf + 3 * tot.t_tokens
-        |        + 9 * l.dl * tot.n_docs))
-        |    ) AS BIGINT) AS score_q
-        |  FROM tf t JOIN dfc d USING (term) JOIN dl l USING (doc_id)
-        |  CROSS JOIN tot
-        |  GROUP BY t.doc_id),
-        |r AS (
-        |  SELECT doc_id, n_hit_terms, score_q,
-        |    row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
-        |  FROM sc ORDER BY score_q DESC, doc_id LIMIT 20)
-        |SELECT doc_id, n_hit_terms, score_q, CAST(rnk AS INTEGER) AS "rank"
-        |FROM r ORDER BY "rank"""".stripMargin,
-
-    "q_ndcg" ->
-      // same cleared-denominator BM25 integers as q_bm25_search; the
-      // discount table is the identical pinned-literal list, indexed
-      // 1-based on both engines
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents WHERE trim(text) <> ''),
-        |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tfall GROUP BY 1),
-        |tot AS (SELECT sum(dl) AS t_tokens, count(*) AS n_docs FROM dl),
-        |tf AS (SELECT * FROM tfall
-        |  WHERE term IN ('spark', 'merge', 'vector', 'dup')),
-        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |sc AS (
-        |  SELECT t.doc_id,
-        |    CAST(sum(
-        |      ((2 * tot.n_docs - 2 * d.df + 1) * 1000 // (2 * d.df + 1)) *
-        |      (22 * tot.t_tokens * t.tf * 10000 //
-        |       (10 * tot.t_tokens * t.tf + 3 * tot.t_tokens
-        |        + 9 * l.dl * tot.n_docs))
-        |    ) AS BIGINT) AS score_q
-        |  FROM tf t JOIN dfc d USING (term) JOIN dl l USING (doc_id)
-        |  CROSS JOIN tot
-        |  GROUP BY t.doc_id),
-        |ranked AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
-        |  FROM sc ORDER BY score_q DESC, doc_id LIMIT 10),
-        |disc AS (
-        |  SELECT * FROM (VALUES (1, 1000000), (2, 630929), (3, 500000),
-        |    (4, 430676), (5, 386852), (6, 356207), (7, 333333),
-        |    (8, 315464), (9, 301029), (10, 289064)) v(pos, d)),
-        |rel AS (
-        |  SELECT doc_id, least(sum(tf), 3) AS rel,
-        |    CAST(2 ** least(sum(tf), 3) - 1 AS BIGINT) AS gain
-        |  FROM tf GROUP BY doc_id),
-        |dcg AS (
-        |  SELECT CAST(sum(coalesce(rl.gain, 0) * dc.d) AS BIGINT) AS dcg_q
-        |  FROM ranked r LEFT JOIN rel rl USING (doc_id)
-        |  JOIN disc dc ON dc.pos = r.rnk),
-        |ideal AS (
-        |  SELECT CAST(sum(gain * dc.d) AS BIGINT) AS idcg_q FROM (
-        |    SELECT gain, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
-        |    FROM rel ORDER BY rel DESC, doc_id LIMIT 10) i
-        |  JOIN disc dc ON dc.pos = i.pos),
-        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel_docs FROM rel)
-        |SELECT nr.n_rel_docs, dcg.dcg_q, ideal.idcg_q,
-        |  CAST(dcg.dcg_q * 10000 // ideal.idcg_q AS BIGINT) AS ndcg_bp
-        |FROM nr, dcg, ideal""".stripMargin,
-
-    "q_pit_join" ->
-      // interval-containment LEFT JOIN is the transparent oracle form;
-      // the Spark side must reproduce it from one backward as-of join
-      """WITH dim AS (
-        |  SELECT c_custkey, TIMESTAMP '1995-01-01' AS vf,
-        |    TIMESTAMP '1997-01-01' AS vt, c_mktsegment AS segment
-        |  FROM customer
-        |  UNION ALL
-        |  SELECT c_custkey, TIMESTAMP '1997-01-01', TIMESTAMP '2000-01-01',
-        |    c_mktsegment || '_V2' FROM customer
-        |  UNION ALL
-        |  SELECT c_custkey, TIMESTAMP '2000-01-01', NULL,
-        |    c_mktsegment || '_V3' FROM customer WHERE c_custkey % 10 <> 0)
-        |SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS od,
-        |  d.segment AS dim_segment
-        |FROM orders o LEFT JOIN dim d
-        |  ON o.o_custkey = d.c_custkey AND d.vf <= o.o_orderdate
-        |  AND (d.vt IS NULL OR d.vt > o.o_orderdate)
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q_span_dedup" ->
-      // independent replay: window row_number picks the corpus-wide
-      // winner per span text, string_agg reassembles in position order
-      """WITH toks AS (
-        |  SELECT doc_id, CASE WHEN trim(text) = '' THEN []
-        |    ELSE string_split_regex(trim(text), '[ \t\n\r\f]+') END AS t
-        |  FROM documents),
-        |spans AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    range(0, CAST(ceil(len(t)/10.0) AS BIGINT)),
-        |    i -> {'idx': i, 'span': array_to_string(t[(i*10+1):(i*10+10)], ' ')})) AS sp
-        |  FROM toks),
-        |flagged AS (
-        |  SELECT doc_id, CAST(sp.idx AS BIGINT) AS idx, sp.span AS span,
-        |    row_number() OVER (PARTITION BY sp.span ORDER BY doc_id, sp.idx) = 1 AS kept
-        |  FROM spans),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS n_spans,
-        |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |    coalesce(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY idx), '') AS clean_text
-        |  FROM flagged GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
-        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
-        |  coalesce(a.clean_text, '') AS clean_text
-        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "q_decontaminate_bloom" ->
-      // VERBATIM the q_decontaminate oracle: the bloom gate must not
-      // change the answer, only the shuffle shape
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE trim(text) <> ''),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(t) - 6),
-        |      i -> array_to_string(t[i:i+7], ' ')))) AS g
-        |  FROM toks WHERE len(t) >= 8)
-        |SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
-        |  count(*) AS n_shared_grams
-        |FROM grams c JOIN grams b ON c.g = b.g
-        |WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
-        |GROUP BY corpus_id, bench_id
-        |ORDER BY corpus_id, bench_id""".stripMargin,
-
-    "q_dsir_weights" ->
-      // hashed-unigram DSIR replay: portable md5-prefix buckets, add-one
-      // smoothed log-ratio weights floor-quantized at 10^4, exact BIGINT
-      // per-doc dot product (SURVEY §6: single ln per bucket, psi-family
-      // floor rule)
-      """WITH toks AS (
-        |  SELECT doc_id, source,
-        |    unnest(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS tk
-        |  FROM documents WHERE trim(text) <> ''),
-        |tb AS (SELECT doc_id, source,
-        |    ('0x' || substr(md5(tk), 1, 6))::BIGINT % 64 AS b FROM toks),
-        |cq AS (SELECT b, count(*) AS cq FROM tb GROUP BY b),
-        |ct AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src0' GROUP BY b),
-        |tot AS (SELECT CAST((SELECT count(*) FROM tb) AS BIGINT) AS nq,
-        |               CAST((SELECT count(*) FROM tb WHERE source = 'src0') AS BIGINT) AS nt),
-        |w AS (SELECT cq.b,
-        |        CAST(floor(10000.0 * ln(
-        |          CAST((coalesce(ct.ct, 0) + 1) * (tot.nq + 64) AS DOUBLE) /
-        |          CAST((coalesce(cq.cq, 0) + 1) * (tot.nt + 64) AS DOUBLE)) + 0.5) AS BIGINT) AS w
-        |      FROM cq LEFT JOIN ct ON cq.b = ct.b, tot),
-        |dc AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b)
-        |SELECT dc.doc_id, CAST(sum(dc.c * w.w) AS BIGINT) AS dsir_score
-        |FROM dc JOIN w ON dc.b = w.b
-        |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin,
-
-    "q_event_transitions" ->
-      """WITH tr AS (
-        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
-        |         event_type AS to_type
-        |  FROM events),
-        |c AS (SELECT from_type, to_type, count(*) AS n FROM tr
-        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
-        |SELECT c.from_type, c.to_type, c.n, (c.n * 10000) // t.n_from AS share_bp
-        |FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin,
-
-    "q_pagerank" ->
-      // the pinned integer recurrence unrolled: 3 damped rounds of
-      // (((pr*w) // ow) * 85) // 100 — integer sums are associative, so
-      // both engines agree bit-for-bit regardless of evaluation order
-      """WITH tr AS (
-        |  SELECT l_partkey AS src,
-        |         lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
-        |  FROM lineitem),
-        |e AS (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
-        |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
-        |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
-        |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
-        |i1 AS (SELECT e.dst AS node, CAST(sum((((p.pr * e.w) // o.ow) * 85) // 100) AS BIGINT) AS infl
-        |       FROM e JOIN p0 p ON e.src = p.node JOIN o ON e.src = o.src GROUP BY e.dst),
-        |p1 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
-        |       FROM nodes n LEFT JOIN i1 i ON n.node = i.node),
-        |i2 AS (SELECT e.dst AS node, CAST(sum((((p.pr * e.w) // o.ow) * 85) // 100) AS BIGINT) AS infl
-        |       FROM e JOIN p1 p ON e.src = p.node JOIN o ON e.src = o.src GROUP BY e.dst),
-        |p2 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
-        |       FROM nodes n LEFT JOIN i2 i ON n.node = i.node),
-        |i3 AS (SELECT e.dst AS node, CAST(sum((((p.pr * e.w) // o.ow) * 85) // 100) AS BIGINT) AS infl
-        |       FROM e JOIN p2 p ON e.src = p.node JOIN o ON e.src = o.src GROUP BY e.dst),
-        |p3 AS (SELECT n.node, CAST(150000 + coalesce(i.infl, 0) AS BIGINT) AS pr
-        |       FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
-        |SELECT node, pr FROM p3 ORDER BY node""".stripMargin,
-
-    "q_mcnemar" ->
-      """WITH o AS (
-        |  SELECT o_custkey,
-        |    max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996 THEN 1 ELSE 0 END) AS in96,
-        |    max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997 THEN 1 ELSE 0 END) AS in97,
-        |    max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
-        |             AND o_totalprice > 300000 THEN 1 ELSE 0 END) AS hv96,
-        |    max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
-        |             AND o_totalprice > 300000 THEN 1 ELSE 0 END) AS hv97
-        |  FROM orders
-        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
-        |  GROUP BY 1),
-        |p AS (SELECT * FROM o WHERE in96 = 1 AND in97 = 1),
-        |m AS (SELECT count(*) AS n_pairs,
-        |        CAST(sum(CASE WHEN hv96 = 1 AND hv97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
-        |        CAST(sum(CASE WHEN hv96 = 0 AND hv97 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
-        |      FROM p)
-        |SELECT CAST(n_pairs AS BIGINT) AS n_pairs, b, c,
-        |  CAST(CASE WHEN b + c = 0 THEN 0
-        |       ELSE (10000 * (b - c) * (b - c)) // (b + c) END AS BIGINT) AS mcnemar_bp
-        |FROM m""".stripMargin,
-
-    "q_srm" ->
-      """WITH o AS (
-        |  SELECT CASE WHEN (o_custkey % 1048573) * 2654435761 % 1000000 < 500000
-        |           THEN 0 ELSE 1 END AS v
-        |  FROM orders),
-        |m AS (SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-        |        CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
-        |      FROM o)
-        |SELECT n0, n1,
-        |  CAST((10000 * (n0 - n1) * (n0 - n1)) // (n0 + n1) AS BIGINT) AS srm_bp
-        |FROM m""".stripMargin,
-
-    "q_assoc_rules" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (
-        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 3),
-        |bi AS (SELECT part_a, part_b, n_ab FROM pairs
-        |       UNION ALL
-        |       SELECT part_b, part_a, n_ab FROM pairs),
-        |supp AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
-        |nb AS (SELECT count(DISTINCT l_orderkey) AS nbask FROM li),
-        |r AS (SELECT part_a, part_b, n_ab,
-        |        (10000 * n_ab) // sa.n AS conf_bp,
-        |        CAST((10000 * n_ab * nbask) // (sa.n * sb.n) AS BIGINT) AS lift_bp
-        |      FROM bi
-        |      JOIN supp sa ON part_a = sa.l_partkey
-        |      JOIN supp sb ON part_b = sb.l_partkey
-        |      CROSS JOIN nb)
-        |SELECT part_a, part_b, n_ab, CAST(conf_bp AS BIGINT) AS conf_bp, lift_bp
-        |FROM r WHERE conf_bp >= 500
-        |ORDER BY part_a, part_b""".stripMargin,
-
-    "q_price_index" ->
-      """WITH li AS (
-        |  SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS yr,
-        |    CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
-        |  FROM lineitem
-        |  WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997)
-        |  GROUP BY 1, 2),
-        |p AS (SELECT l_partkey, yr, rev_c // qty AS price_q, qty FROM li),
-        |j AS (SELECT y0.l_partkey, y0.price_q AS p0, y0.qty AS q0,
-        |        y1.price_q AS p1, y1.qty AS q1
-        |      FROM (SELECT * FROM p WHERE yr = 1996) y0
-        |      JOIN (SELECT * FROM p WHERE yr = 1997) y1 USING (l_partkey)),
-        |m AS (SELECT count(*) AS n_parts,
-        |        sum(p1*q0) AS l_num, sum(p0*q0) AS l_den,
-        |        sum(p1*q1) AS p_num, sum(p0*q1) AS p_den
-        |      FROM j)
-        |SELECT CAST(n_parts AS BIGINT) AS n_parts,
-        |  CAST((10000 * l_num) // l_den AS BIGINT) AS laspeyres_bp,
-        |  CAST((10000 * p_num) // p_den AS BIGINT) AS paasche_bp,
-        |  CAST(floor(sqrt(CAST((10000 * l_num) // l_den AS DOUBLE)
-        |    * CAST((10000 * p_num) // p_den AS DOUBLE)) + 0.5) AS BIGINT) AS fisher_bp
-        |FROM m""".stripMargin,
-
-    "q_anova" ->
-      // every division before the final F is an exact HUGEINT floor
-      // division (s² fits HUGEINT) — cancellation-free integer SSB/SSW
-      """WITH o AS (SELECT o_orderpriority AS grp,
-        |            CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS x
-        |          FROM orders),
-        |g AS (SELECT grp, count(*) AS ng, sum(x) AS sg, sum(x*x) AS ssg
-        |      FROM o GROUP BY 1),
-        |q AS (SELECT grp, ng, sg, ssg, (sg * sg) // ng AS term FROM g),
-        |m AS (SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s,
-        |        sum(ssg) AS ss, sum(term) AS bq FROM q),
-        |d AS (SELECT k, n, bq - (s * s) // n AS ssb, ss - bq AS ssw FROM m)
-        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
-        |  CAST(floor(
-        |    (CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
-        |    / (CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
-        |    * 10000 + 0.5) AS BIGINT) AS f_bp
-        |FROM d""".stripMargin,
-
-    "q_kruskal" ->
-      """WITH o AS (SELECT o_orderpriority AS grp,
-        |            CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS x
-        |          FROM orders),
-        |bvg AS (SELECT x AS val, grp, count(*) AS cvg FROM o GROUP BY 1, 2),
-        |bv AS (SELECT val, CAST(sum(cvg) AS BIGINT) AS cnt FROM bvg GROUP BY 1),
-        |c AS (SELECT val, cnt, CAST(sum(cnt) OVER (ORDER BY val
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-        |      FROM bv),
-        |r AS (SELECT val, 2*(cum - cnt) + cnt + 1 AS r2 FROM c),
-        |pg AS (SELECT grp, CAST(sum(cvg) AS BIGINT) AS ng, sum(cvg * r.r2) AS rg2
-        |       FROM bvg JOIN r ON bvg.val = r.val GROUP BY 1),
-        |q AS (SELECT grp, ng, (rg2 * rg2) // (4 * ng) AS term FROM pg),
-        |t AS (SELECT sum(cnt*cnt*cnt - cnt) AS tt FROM c),
-        |m AS (SELECT count(*) AS k, sum(ng) AS n, sum(term) AS rq FROM q)
-        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
-        |  CAST(floor(
-        |    (12.0/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) + 1.0))
-        |        * CAST(rq AS DOUBLE)
-        |      - 3.0*(CAST(n AS DOUBLE) + 1.0))
-        |    / (1.0 - CAST(tt AS DOUBLE)
-        |        /(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
-        |    * 10000 + 0.5) AS BIGINT) AS h_bp
-        |FROM m, t""".stripMargin,
-
-    "q_woe" ->
-      // one ln per category over exact doubled-integer halves (+0.5
-      // smoothing); IV sums quantized terms in BIGINT
-      """WITH hv AS (SELECT o_custkey,
-        |             max(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS y
-        |           FROM orders GROUP BY 1),
-        |j AS (SELECT c_mktsegment, CAST(sum(y) AS BIGINT) AS g,
-        |        CAST(sum(1 - y) AS BIGINT) AS b
-        |      FROM customer JOIN hv ON c_custkey = o_custkey GROUP BY 1),
-        |t AS (SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt
-        |      FROM j),
-        |w AS (SELECT c_mktsegment, g, b,
-        |        CAST(floor(ln(CAST(2*g + 1 AS DOUBLE) * CAST(bt AS DOUBLE)
-        |          / (CAST(2*b + 1 AS DOUBLE) * CAST(gt AS DOUBLE)))
-        |          * 10000 + 0.5) AS BIGINT) AS woe_bp,
-        |        (10000 * g) // gt AS pg_bp, (10000 * b) // bt AS pb_bp
-        |      FROM j, t)
-        |SELECT c_mktsegment, g AS n_good, b AS n_bad, woe_bp,
-        |  CAST(sum((pg_bp - pb_bp) * woe_bp) OVER () AS BIGINT) AS iv_q
-        |FROM w ORDER BY c_mktsegment""".stripMargin,
-
-    "q_did" ->
-      """WITH o AS (
-        |  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treat,
-        |    CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
-        |      THEN 1 ELSE 0 END AS post,
-        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders JOIN customer ON o_custkey = c_custkey),
-        |m AS (SELECT
-        |    sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS nt0,
-        |    sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS nt1,
-        |    sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS nc0,
-        |    sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS nc1,
-        |    sum(CASE WHEN treat = 1 AND post = 0 THEN cents ELSE 0 END) AS st0,
-        |    sum(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0 END) AS st1,
-        |    sum(CASE WHEN treat = 0 AND post = 0 THEN cents ELSE 0 END) AS sc0,
-        |    sum(CASE WHEN treat = 0 AND post = 1 THEN cents ELSE 0 END) AS sc1
-        |  FROM o)
-        |SELECT CAST(nt0 AS BIGINT) AS nt0, CAST(nt1 AS BIGINT) AS nt1,
-        |  CAST(nc0 AS BIGINT) AS nc0, CAST(nc1 AS BIGINT) AS nc1,
-        |  CAST(st0 // nt0 AS BIGINT) AS mean_t_pre_q,
-        |  CAST(st1 // nt1 AS BIGINT) AS mean_t_post_q,
-        |  CAST(sc0 // nc0 AS BIGINT) AS mean_c_pre_q,
-        |  CAST(sc1 // nc1 AS BIGINT) AS mean_c_post_q,
-        |  CAST(floor(
-        |    ((CAST(st1 AS DOUBLE)/CAST(nt1 AS DOUBLE) - CAST(st0 AS DOUBLE)/CAST(nt0 AS DOUBLE))
-        |      - (CAST(sc1 AS DOUBLE)/CAST(nc1 AS DOUBLE) - CAST(sc0 AS DOUBLE)/CAST(nc0 AS DOUBLE)))
-        |    * 100 + 0.5) AS BIGINT) AS did_q
-        |FROM m""".stripMargin,
-
-    "q_nelson_aalen" ->
-      // the additive-hazard twin of q_survival_km's product: per-step
-      // quantized hazards sum in BIGINT under one window — no recursion
-      """WITH ev AS (
-        |  SELECT o_custkey,
-        |    CAST(min(o_orderdate) AS DATE) AS first_d,
-        |    CAST(max(o_orderdate) AS DATE) AS last_d
-        |  FROM orders GROUP BY 1),
-        |mx AS (SELECT max(last_d) AS mxd FROM ev),
-        |subj AS (SELECT CAST(last_d - first_d AS BIGINT) AS duration,
-        |           CASE WHEN mxd - last_d >= 365 THEN 1 ELSE 0 END AS event
-        |         FROM ev, mx),
-        |byt AS (SELECT duration, CAST(sum(event) AS BIGINT) AS d,
-        |          CAST(sum(1 - event) AS BIGINT) AS c
-        |        FROM subj GROUP BY 1),
-        |tot AS (SELECT count(*) AS total FROM subj),
-        |r0 AS (SELECT duration, d,
-        |         CAST(total - COALESCE(sum(d + c) OVER (ORDER BY duration
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
-        |       FROM byt, tot),
-        |st AS (SELECT duration, n_risk, d,
-        |         (1000000 * d) // n_risk AS h_step
-        |       FROM r0 WHERE d > 0)
-        |SELECT duration, n_risk, d AS n_events,
-        |  CAST(sum(h_step) OVER (ORDER BY duration
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hazard_q
-        |FROM st ORDER BY duration""".stripMargin,
-
-    "q_mde" ->
-      """WITH o AS (
-        |  SELECT CASE WHEN (o_custkey % 1048573) * 2654435761 % 1000000 < 500000
-        |           THEN 0 ELSE 1 END AS v,
-        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders),
-        |m AS (SELECT
-        |    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n0,
-        |    sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n1,
-        |    sum(cents) AS sx, sum(cents*cents) AS sxx
-        |  FROM o),
-        |d AS (SELECT n0, n1,
-        |    (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS nn,
-        |    CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd
-        |  FROM m),
-        |f AS (SELECT n0, n1,
-        |    (nn*sxxd - sxd*sxd) / (nn*(nn - 1.0)) AS varp
-        |  FROM d)
-        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
-        |  CAST(floor(sqrt(varp) * 100 + 0.5) AS BIGINT) AS sigma_q,
-        |  CAST(floor((1.959963984540054 + 0.8416212335729143)
-        |    * sqrt(varp * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE)))
-        |    * 100 + 0.5) AS BIGINT) AS mde_q
-        |FROM f""".stripMargin,
-
-    "q_dtw" ->
-      // the banded DP replayed by anti-diagonal waves: cells on
-      // diagonal i+j = d depend only on diagonals d-1 (left/up) and
-      // d-2 (diagonal), so each recursion round computes wave d+1 and
-      // RE-EMITS wave d — the working table always holds exactly the
-      // two live diagonals. Exact BIGINT |a-b| costs; pairs whose
-      // length gap exceeds the band never enter the DP and surface as
-      // the documented -1 sentinel via the outer LEFT JOIN
-      """WITH RECURSIVE daily AS (
-        |  SELECT event_type AS k, CAST(ts AS DATE) AS d,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM events GROUP BY 1, 2),
-        |ser AS (
-        |  SELECT k, list(c ORDER BY d) AS xs FROM daily GROUP BY k),
-        |pr AS (
-        |  SELECT a.k AS k1, b.k AS k2, a.xs AS x1, b.xs AS x2,
-        |         len(a.xs) AS n, len(b.xs) AS m
-        |  FROM ser a JOIN ser b ON a.k < b.k),
-        |dp(d, k1, k2, i, j, v) AS (
-        |  SELECT 0, k1, k2, 0, 0, CAST(0 AS BIGINT) FROM pr
-        |  WHERE abs(n - m) <= 7
-        |  UNION ALL
-        |  SELECT * FROM (
-        |    SELECT d + 1 AS d, k1, k2, i, j, min(v) AS v FROM (
-        |      SELECT d, k1, k2, i, j, v FROM dp WHERE i + j = d
-        |      UNION ALL
-        |      SELECT d, p.k1, p.k2, c.i, c.j,
-        |        abs(p.x1[c.i] - p.x2[c.j]) + t.v AS v
-        |      FROM dp t
-        |      JOIN pr p ON p.k1 = t.k1 AND p.k2 = t.k2,
-        |      LATERAL (VALUES (t.i + 1, t.j), (t.i, t.j + 1),
-        |                      (t.i + 1, t.j + 1)) AS c(i, j)
-        |      WHERE c.i + c.j = t.d + 1
-        |        AND c.i >= 1 AND c.j >= 1 AND c.i <= p.n AND c.j <= p.m
-        |        AND abs(c.i - c.j) <= 7
-        |    ) GROUP BY d, k1, k2, i, j
-        |  ) WHERE d <= (SELECT max(n + m) FROM pr)
-        |)
-        |SELECT p.k1, p.k2, CAST(p.n AS BIGINT) AS len1,
-        |  CAST(p.m AS BIGINT) AS len2,
-        |  coalesce(f.v, CAST(-1 AS BIGINT)) AS dtw
-        |FROM pr p LEFT JOIN (
-        |  SELECT k1, k2, i, j, v FROM dp QUALIFY row_number() OVER (
-        |    PARTITION BY k1, k2, i, j ORDER BY d DESC) = 1
-        |) f ON f.k1 = p.k1 AND f.k2 = p.k2 AND f.i = p.n AND f.j = p.m
-        |ORDER BY p.k1, p.k2""".stripMargin,
-
-    "q_bpe_train" ->
-      // all 30 merge rounds as ONE recursive CTE. Word state = each
-      // symbol wrapped TAB||sym||NL (symbols are whitespace-free, so
-      // the wrap is unambiguous): a match of TAB l NL TAB r NL consumes
-      // BOTH symbols whole and shares no character with the next
-      // match, so plain replace() — left-to-right, non-overlapping —
-      // is EXACTLY the trainer's greedy fold (adversarial runs like
-      // "aaaa" verified). Best pair per round = min over the STRUCT
-      // key (-count, l, r) — positional lexicographic == (count desc,
-      // l asc, r asc) with NO delimiter encoding, so symbols that
-      // contain control bytes (U+0000/U+0001) order identically to
-      // the trainer's tuple orderBy
-      """WITH RECURSIVE wc AS (
-        |  SELECT word, count(*) AS cnt FROM (
-        |    SELECT unnest(str_split_regex(trim(text), '[ \t\n\r\f]+')) AS word
-        |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
-        |  GROUP BY word HAVING length(word) <= 200),
-        |st(r, word, s, cnt, ml, mr, mn) AS (
-        |  SELECT 0, word,
-        |    chr(9) || array_to_string(
-        |      list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
-        |      chr(10) || chr(9)) || chr(10) || chr(9) || '</w>' || chr(10),
-        |    cnt, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
-        |  FROM wc
-        |  UNION ALL
-        |  SELECT r + 1, word,
-        |    replace(s, chr(9) || bl || chr(10) || chr(9) || br || chr(10),
-        |               chr(9) || bl || br || chr(10)),
-        |    cnt, bl, br, bn
-        |  FROM (
-        |    SELECT r, word, s, cnt,
-        |      bw['l'] AS bl, bw['r'] AS br, CAST(-bw['mn'] AS BIGINT) AS bn
-        |    FROM (
-        |      SELECT r, word, s, cnt,
-        |        min(CASE WHEN l IS NOT NULL THEN
-        |              {'mn': -n, 'l': l, 'r': r2} END) OVER () AS bw
-        |      FROM (
-        |        SELECT word, r, s, cnt, l, r2,
-        |          sum(CASE WHEN l IS NOT NULL THEN cnt END)
-        |            OVER (PARTITION BY l, r2) AS n
-        |        FROM (
-        |          SELECT word, r, s, cnt,
-        |            CASE WHEN i < len THEN syms[CAST(i AS INTEGER)] END AS l,
-        |            CASE WHEN i < len THEN syms[CAST(i AS INTEGER) + 1] END AS r2
-        |          FROM (
-        |            SELECT word, r, s, cnt, syms, len(syms) AS len,
-        |              unnest(range(1, greatest(len(syms), 2))) AS i
-        |            FROM (
-        |              SELECT word, r, s, cnt,
-        |                list_transform(
-        |                  str_split(rtrim(s, chr(10)), chr(10)),
-        |                  x -> ltrim(x, chr(9))) AS syms
-        |              FROM st WHERE r < 30))))
-        |    ) QUALIFY row_number() OVER (PARTITION BY word) = 1
-        |  ) WHERE bn >= 2
-        |)
-        |SELECT DISTINCT CAST(r AS INTEGER) AS rank, ml AS "left",
-        |  mr AS "right", CAST(mn AS BIGINT) AS pair_count
-        |FROM st WHERE r >= 1 ORDER BY rank""".stripMargin,
-
-    "q_doc_fingerprint" ->
-      // polynomial rolling hash in closed form: h = seed·31^n +
-      // Σ bᵢ·31^(n-1-i) (mod 2^64). Every term is exact in HUGEINT
-      // (|term| < 2^72, sum < 2^83, seed term < 2^114 — all inside
-      // the 127-bit range), the single mod comes last, and the final
-      // value converts to the JVM's two's-complement signed long.
-      // Bytes come from hex(encode(text)) with the >127 → −256 signed
-      // cast (Java bytes are signed), so multi-byte UTF-8 would
-      // replay correctly too — not just this ASCII corpus
-      """WITH RECURSIVE mx AS (
-        |  SELECT max(octet_length(encode(text))) AS n FROM documents),
-        |pw(k, v) AS (
-        |  SELECT 0, CAST(1 AS HUGEINT)
-        |  UNION ALL
-        |  SELECT k + 1, (v * 31) % 18446744073709551616
-        |  FROM pw, mx WHERE k < mx.n),
-        |hx AS (
-        |  SELECT doc_id, hex(encode(text)) AS h,
-        |    octet_length(encode(text)) AS n
-        |  FROM documents),
-        |bytes AS (
-        |  SELECT doc_id, n, i,
-        |    CASE WHEN b > 127 THEN b - 256 ELSE b END AS sb
-        |  FROM (
-        |    SELECT doc_id, n, i,
-        |      (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
-        |        + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS b
-        |    FROM hx, LATERAL unnest(generate_series(1, CAST(n AS BIGINT))) AS t(i))),
-        |seed AS (
-        |  SELECT x.doc_id,
-        |    (CAST(1125899906842597 AS HUGEINT) * p.v)
-        |      % 18446744073709551616 AS seedterm
-        |  FROM hx x JOIN pw p ON p.k = x.n),
-        |acc AS (
-        |  SELECT b.doc_id, sum(CAST(b.sb AS HUGEINT) * p.v) AS bsum
-        |  FROM bytes b JOIN pw p ON p.k = b.n - b.i
-        |  GROUP BY b.doc_id),
-        |fin AS (
-        |  SELECT s.doc_id,
-        |    ((s.seedterm + coalesce(a.bsum, 0)) % 18446744073709551616
-        |      + 18446744073709551616) % 18446744073709551616 AS u
-        |  FROM seed s LEFT JOIN acc a ON a.doc_id = s.doc_id)
-        |-- driven from documents so a NULL-text doc (encode(NULL) → no hx
-        |-- row) still surfaces as (doc_id, NULL fp), matching the Spark side
-        |SELECT d.doc_id,
-        |  CAST(CASE WHEN f.u IS NULL THEN NULL
-        |       WHEN f.u >= 9223372036854775808
-        |       THEN f.u - 18446744073709551616 ELSE f.u END AS BIGINT) AS fp
-        |FROM documents d LEFT JOIN fin f ON f.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "q_mmr_rerank" ->
-      // the greedy replayed one selection per recursion round: each
-      // round a single cross-joined LIMIT-1 subquery picks the argmax
-      // of the EXACT-INTEGER objective 7000·(10000//(60+rank)) −
-      // 3000·maxsim_bp with the (score desc, rank asc, id asc)
-      // tie-break, the winner freezes with its rank, and every
-      // remaining candidate folds the floored-cosine-bp similarity to
-      // the winner into its running max. maxsim seeds at a deep
-      // negative sentinel (cosines can be negative — a diversity
-      // REWARD, not a clamp-at-zero) and round one pins the penalty
-      // to 0 exactly as the operator's selected-empty branch does
-      """WITH RECURSIVE q0 AS (
-        |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |scored AS (
-        |  SELECT e.vec_id AS id, e.embedding AS vec,
-        |    round(list_aggregate(list_apply(list_zip(q.qe, e.embedding),
-        |       x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum')
-        |     / (sqrt(list_aggregate(list_apply(q.qe,
-        |          x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),'sum'))
-        |      * sqrt(list_aggregate(list_apply(e.embedding,
-        |          x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),'sum'))), 4) AS cs
-        |  FROM embeddings e CROSS JOIN q0 q WHERE e.vec_id <> 0),
-        |cands AS (
-        |  SELECT id, CAST(row_number() OVER (ORDER BY cs DESC, id) AS BIGINT) AS rank, vec
-        |  FROM scored QUALIFY row_number() OVER (ORDER BY cs DESC, id) <= 40),
-        |st(step, id, rank, vec, msim, selstep, selscore) AS (
-        |  SELECT 0, id, rank, vec, CAST(-4611686018427387904 AS BIGINT),
-        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM cands
-        |  UNION ALL
-        |  SELECT s.step + 1, s.id, s.rank, s.vec,
-        |    CASE WHEN s.selstep IS NOT NULL OR s.id = w.wid THEN s.msim
-        |         ELSE greatest(s.msim, CASE
-        |           WHEN list_aggregate(list_apply(s.vec,
-        |                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),'sum') = 0
-        |             OR list_aggregate(list_apply(w.wvec,
-        |                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),'sum') = 0
-        |           THEN 0
-        |           ELSE CAST(floor(
-        |             list_aggregate(list_apply(list_zip(s.vec, w.wvec),
-        |               x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)),'sum')
-        |             / sqrt(list_aggregate(list_apply(s.vec,
-        |                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),'sum')
-        |                  * list_aggregate(list_apply(w.wvec,
-        |                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),'sum'))
-        |             * 10000.0 + 0.5) AS BIGINT) END) END,
-        |    CASE WHEN s.id = w.wid AND s.selstep IS NULL
-        |         THEN s.step + 1 ELSE s.selstep END,
-        |    CASE WHEN s.id = w.wid AND s.selstep IS NULL
-        |         THEN w.wscore ELSE s.selscore END
-        |  FROM st s CROSS JOIN (
-        |    SELECT id AS wid, vec AS wvec,
-        |      7000*(10000//(60+rank))
-        |        - 3000*(CASE WHEN step = 0 THEN 0 ELSE msim END) AS wscore
-        |    FROM st WHERE selstep IS NULL
-        |    ORDER BY wscore DESC, rank, id LIMIT 1) w
-        |  WHERE s.step < 10)
-        |SELECT id AS id, CAST(selstep AS BIGINT) AS mmr_rank,
-        |  rank AS rel_rank, selscore AS mmr_q
-        |FROM st WHERE selstep IS NOT NULL
-        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY step DESC) = 1
-        |ORDER BY mmr_rank""".stripMargin,
-
-    "q_isotonic" ->
-      // the PAV pooling recursion replays through its CLOSED FORM:
-      // fitted[i] = max_{j<=i} min_{l>=i} mean(y over levels j..l)
-      // (the min-max characterization of the L2 isotonic fit), and the
-      // >=-merge pools are exactly the maximal runs of equal fitted
-      // value. Fractions order/compare by one exact scaled key:
-      // floor(num*1e24/den) in HUGEINT — distinct fractions differ by
-      // >= 1/(den1*den2), so the key is injective while total rows
-      // stay under 1e12 (any realistic SF; num*1e24 <= 1e36 < the
-      // 1.7e38 HUGEINT ceiling); O(levels^3) segment rows, bounded by
-      // the ~110 acctbal bands, not data volume
-      """WITH cust AS (
-        |  SELECT c_custkey, CAST(floor(c_acctbal / 100) AS BIGINT) AS band
-        |  FROM customer),
-        |hv AS (
-        |  SELECT o_custkey,
-        |    max(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS y
-        |  FROM orders GROUP BY 1),
-        |lv AS (
-        |  SELECT band, count(*) AS n, sum(y) AS sy,
-        |    row_number() OVER (ORDER BY band) AS i
-        |  FROM cust JOIN hv ON c_custkey = o_custkey GROUP BY band),
-        |pre AS (
-        |  SELECT i, band, n, sy,
-        |    sum(n) OVER (ORDER BY i) AS cn, sum(sy) OVER (ORDER BY i) AS cs
-        |  FROM lv),
-        |seg AS (
-        |  SELECT a.i AS j, b.i AS l,
-        |    (b.cs - a.cs + a.sy) AS num, (b.cn - a.cn + a.n) AS den
-        |  FROM pre a JOIN pre b ON b.i >= a.i),
-        |segk AS (
-        |  SELECT j, l,
-        |    CAST(num AS HUGEINT) * CAST('1000000000000000000000000' AS HUGEINT)
-        |      // den AS key
-        |  FROM seg),
-        |inner_min AS (
-        |  SELECT s.j, p.i, min(s.key) AS mn
-        |  FROM segk s JOIN pre p ON s.j <= p.i AND s.l >= p.i
-        |  GROUP BY s.j, p.i),
-        |fitted AS (SELECT i, max(mn) AS fk FROM inner_min GROUP BY i),
-        |runs AS (
-        |  SELECT p.i, p.band, p.n, p.sy, f.fk,
-        |    CASE WHEN lag(f.fk) OVER (ORDER BY p.i) = f.fk THEN 0 ELSE 1
-        |    END AS brk
-        |  FROM pre p JOIN fitted f ON p.i = f.i),
-        |grp AS (SELECT *, sum(brk) OVER (ORDER BY i) AS g FROM runs)
-        |SELECT min(band) AS x_lo, max(band) AS x_hi,
-        |  CAST(sum(n) AS BIGINT) AS n_rows,
-        |  CAST(sum(sy) * 10000 // sum(n) AS BIGINT) AS rate_bp
-        |FROM grp GROUP BY g
-        |ORDER BY x_lo""".stripMargin,
-
-    "q_theilsen" ->
-      // exact rational replay of the lower-median pairwise slope: fractions
-      // dy/dx order by the two-part integer key (floor quotient, then the
-      // remainder fraction scaled by 6162 = 79*78 > any dx1*dx2 product, so
-      // distinct rationals can never share a key) - no float ordering
-      // anywhere; the selected slope floors via the pmod trick
-      """WITH c AS (SELECT c_custkey, c_nationkey FROM customer),
-        |mon AS (
-        |  SELECT CAST(c_nationkey AS VARCHAR) AS nation,
-        |         date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
-        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
-        |  FROM orders JOIN c ON o_custkey = c_custkey
-        |  GROUP BY 1, 2),
-        |ser AS (
-        |  SELECT nation, rev_c,
-        |         CAST(row_number() OVER (PARTITION BY nation ORDER BY month) AS BIGINT) AS rn
-        |  FROM mon),
-        |pairs AS (
-        |  SELECT a.nation, (b.rev_c - a.rev_c) AS dy, (b.rn - a.rn) AS dx
-        |  FROM ser a JOIN ser b ON a.nation = b.nation AND b.rn > a.rn),
-        |keyed AS (
-        |  SELECT nation, dy, dx,
-        |    (dy - ((dy % dx) + dx) % dx) // dx AS key1,
-        |    (((dy % dx) + dx) % dx) * 6162 // dx AS key2
-        |  FROM pairs),
-        |ranked AS (
-        |  SELECT nation, dy, dx,
-        |    row_number() OVER (PARTITION BY nation ORDER BY key1, key2) AS rk,
-        |    count(*) OVER (PARTITION BY nation) AS cnt
-        |  FROM keyed),
-        |med AS (
-        |  SELECT nation, dy, dx, cnt FROM ranked WHERE rk = (cnt + 1) // 2)
-        |SELECT m.nation,
-        |  (SELECT count(*) FROM ser s WHERE s.nation = m.nation) AS n_points,
-        |  CAST(m.cnt AS BIGINT) AS n_pairs,
-        |  CAST((100 * dy - (((100 * dy) % dx) + dx) % dx) // dx AS BIGINT) AS slope_q
-        |FROM med m
-        |ORDER BY nation""".stripMargin,
-
-    "q_voptimal_hist" ->
-      // the VLDB98 DP replayed layer by layer: per-pair floor-integer SSE
-      // costs once (m^2/2 rows over <=4096 distinct values), 8 unrolled
-      // argmin layers with the same smallest-cut tie-break as the Scala DP,
-      // then the boundary walk-back as chained scalar lookups - HUGEINT
-      // throughout, bit-identical to the driver-side BigInt program
-      """WITH lv AS (
-        |  SELECT v, c, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS i FROM (
-        |    SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c FROM documents GROUP BY 1)),
-        |mm AS (SELECT max(i) AS m FROM lv),
-        |pre AS (
-        |  SELECT i, v,
-        |    CAST(sum(c) OVER w AS HUGEINT) AS p0,
-        |    CAST(sum(CAST(v AS HUGEINT) * c) OVER w AS HUGEINT) AS p1,
-        |    CAST(sum(CAST(v AS HUGEINT) * v * c) OVER w AS HUGEINT) AS p2
-        |  FROM lv WINDOW w AS (ORDER BY i ROWS UNBOUNDED PRECEDING)),
-        |pre0 AS (
-        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS HUGEINT) AS p0,
-        |         CAST(0 AS HUGEINT) AS p1, CAST(0 AS HUGEINT) AS p2
-        |  UNION ALL SELECT i, p0, p1, p2 FROM pre),
-        |costs AS MATERIALIZED (
-        |  SELECT l.i AS lo, h.i AS hi,
-        |    ((h.p0 - l.p0) * (h.p2 - l.p2) - (h.p1 - l.p1) * (h.p1 - l.p1))
-        |      // (h.p0 - l.p0) AS cost
-        |  FROM pre0 l JOIN pre0 h ON h.i > l.i),
-        |dp1 AS MATERIALIZED (SELECT hi AS j, cost AS dp, CAST(0 AS BIGINT) AS cut FROM costs WHERE lo = 0),
-        |dp2 AS MATERIALIZED (SELECT j, dp, cut FROM (
-        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
-        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
-        |  FROM dp1 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
-        |dp3 AS MATERIALIZED (SELECT j, dp, cut FROM (
-        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
-        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
-        |  FROM dp2 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
-        |dp4 AS MATERIALIZED (SELECT j, dp, cut FROM (
-        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
-        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
-        |  FROM dp3 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
-        |dp5 AS MATERIALIZED (SELECT j, dp, cut FROM (
-        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
-        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
-        |  FROM dp4 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
-        |dp6 AS MATERIALIZED (SELECT j, dp, cut FROM (
-        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
-        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
-        |  FROM dp5 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
-        |dp7 AS MATERIALIZED (SELECT j, dp, cut FROM (
-        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
-        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
-        |  FROM dp6 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
-        |dp8 AS MATERIALIZED (SELECT j, dp, cut FROM (
-        |  SELECT c.hi AS j, a.dp + c.cost AS dp, a.j AS cut,
-        |    row_number() OVER (PARTITION BY c.hi ORDER BY a.dp + c.cost, a.j) AS rn
-        |  FROM dp7 a JOIN costs c ON c.lo = a.j) WHERE rn = 1),
-        |w8 AS (SELECT cut AS b FROM dp8 WHERE j = (SELECT m FROM mm)),
-        |w7 AS (SELECT cut AS b FROM dp7 WHERE j = (SELECT b FROM w8)),
-        |w6 AS (SELECT cut AS b FROM dp6 WHERE j = (SELECT b FROM w7)),
-        |w5 AS (SELECT cut AS b FROM dp5 WHERE j = (SELECT b FROM w6)),
-        |w4 AS (SELECT cut AS b FROM dp4 WHERE j = (SELECT b FROM w5)),
-        |w3 AS (SELECT cut AS b FROM dp3 WHERE j = (SELECT b FROM w4)),
-        |w2 AS (SELECT cut AS b FROM dp2 WHERE j = (SELECT b FROM w3)),
-        |segs AS (
-        |  SELECT 1 AS bucket, CAST(0 AS BIGINT) AS lo, (SELECT b FROM w2) AS hi
-        |  UNION ALL SELECT 2, (SELECT b FROM w2), (SELECT b FROM w3)
-        |  UNION ALL SELECT 3, (SELECT b FROM w3), (SELECT b FROM w4)
-        |  UNION ALL SELECT 4, (SELECT b FROM w4), (SELECT b FROM w5)
-        |  UNION ALL SELECT 5, (SELECT b FROM w5), (SELECT b FROM w6)
-        |  UNION ALL SELECT 6, (SELECT b FROM w6), (SELECT b FROM w7)
-        |  UNION ALL SELECT 7, (SELECT b FROM w7), (SELECT b FROM w8)
-        |  UNION ALL SELECT 8, (SELECT b FROM w8), (SELECT m FROM mm))
-        |SELECT CAST(s.bucket AS BIGINT) AS bucket,
-        |  (SELECT v FROM lv WHERE i = s.lo + 1) AS lo,
-        |  (SELECT v FROM lv WHERE i = s.hi) AS hi,
-        |  CAST(h.p0 - l.p0 AS BIGINT) AS n_rows,
-        |  CAST((100 * (h.p1 - l.p1)) // (h.p0 - l.p0) AS BIGINT) AS mean_q,
-        |  CAST(((h.p0 - l.p0) * (h.p2 - l.p2) - (h.p1 - l.p1) * (h.p1 - l.p1))
-        |    // (h.p0 - l.p0) AS BIGINT) AS sse_q
-        |FROM segs s JOIN pre0 l ON l.i = s.lo JOIN pre0 h ON h.i = s.hi
-        |ORDER BY bucket""".stripMargin,
-
-    "q_changepoints" ->
-      // greedy binary segmentation replayed with EXACT rational compares:
-      // per segment the argmin of sse_l+sse_r orders by the two-part key
-      // (floor(N/D), then the remainder scaled by 1e27 in HUGEINT) so no
-      // float can flip a pick. INJECTIVITY BOUND (round-10 sweep): two
-      // distinct candidate rationals differ by >= 1/(D1*D2) with
-      // D = (k-lo)(hi-k) <= L^2/4, so the old 2e12 scale was MARGINAL at
-      // the ~2400-day series (min gap 4.8e-13 vs 5e-13 resolution); 1e27
-      // is injective up to L ~ 8e5 periods (overflow-bound: D*1e27 <
-      // HUGEINT max), far past the maxLen=65536 collect guard.
-      // Significance and permille are pure HUGEINT cross-multiplications. Three unrolled levels (> the observed depth;
-      // a deeper tree would mismatch loudly, not silently) and the
-      // root-candidate fallback row when nothing clears the gate
-      """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
-        |  FROM orders GROUP BY 1),
-        |ser AS (SELECT d, rev_c, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM daily),
-        |nn AS (SELECT max(i) AS n FROM ser),
-        |pre0 AS (
-        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS HUGEINT) AS p1, CAST(0 AS HUGEINT) AS p2
-        |  UNION ALL
-        |  SELECT i,
-        |    CAST(sum(CAST(rev_c AS HUGEINT)) OVER w AS HUGEINT),
-        |    CAST(sum(CAST(rev_c AS HUGEINT) * rev_c) OVER w AS HUGEINT)
-        |  FROM ser WINDOW w AS (ORDER BY i ROWS UNBOUNDED PRECEDING)),
-        |segs0 AS (SELECT CAST(0 AS BIGINT) AS lo, (SELECT n FROM nn) AS hi),
-        |cand0 AS (
-        |  SELECT s.lo, s.hi, kk.i AS k,
-        |    ((kk.i - s.lo) * (pk.p2 - pl.p2) - (pk.p1 - pl.p1) * (pk.p1 - pl.p1)) * (s.hi - kk.i)
-        |      + ((s.hi - kk.i) * (ph.p2 - pk.p2) - (ph.p1 - pk.p1) * (ph.p1 - pk.p1)) * (kk.i - s.lo) AS nm,
-        |    CAST((kk.i - s.lo) * (s.hi - kk.i) AS HUGEINT) AS dn,
-        |    ((s.hi - s.lo) * (ph.p2 - pl.p2) - (ph.p1 - pl.p1) * (ph.p1 - pl.p1)) AS nump,
-        |    CAST(s.hi - s.lo AS HUGEINT) AS lenp,
-        |    (pk.p1 - pl.p1) AS s1l, (ph.p1 - pk.p1) AS s1r
-        |  FROM segs0 s
-        |  JOIN pre0 kk ON kk.i >= s.lo + 30 AND kk.i <= s.hi - 30
-        |  JOIN pre0 pl ON pl.i = s.lo JOIN pre0 pk ON pk.i = kk.i JOIN pre0 ph ON ph.i = s.hi),
-        |best0 AS (
-        |  SELECT *, (1000 * (nump * dn - nm * lenp) > 100 * nump * dn) AS sig FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY lo, hi
-        |      ORDER BY nm // dn, ((nm % dn) * CAST('1000000000000000000000000000' AS HUGEINT)) // dn, k) AS rn
-        |    FROM cand0) WHERE rn = 1),
-        |acc0 AS (SELECT * FROM best0 WHERE sig),
-        |segs1 AS (SELECT lo, k AS hi FROM acc0 UNION ALL SELECT k, hi FROM acc0),
-        |cand1 AS (
-        |  SELECT s.lo, s.hi, kk.i AS k,
-        |    ((kk.i - s.lo) * (pk.p2 - pl.p2) - (pk.p1 - pl.p1) * (pk.p1 - pl.p1)) * (s.hi - kk.i)
-        |      + ((s.hi - kk.i) * (ph.p2 - pk.p2) - (ph.p1 - pk.p1) * (ph.p1 - pk.p1)) * (kk.i - s.lo) AS nm,
-        |    CAST((kk.i - s.lo) * (s.hi - kk.i) AS HUGEINT) AS dn,
-        |    ((s.hi - s.lo) * (ph.p2 - pl.p2) - (ph.p1 - pl.p1) * (ph.p1 - pl.p1)) AS nump,
-        |    CAST(s.hi - s.lo AS HUGEINT) AS lenp,
-        |    (pk.p1 - pl.p1) AS s1l, (ph.p1 - pk.p1) AS s1r
-        |  FROM segs1 s
-        |  JOIN pre0 kk ON kk.i >= s.lo + 30 AND kk.i <= s.hi - 30
-        |  JOIN pre0 pl ON pl.i = s.lo JOIN pre0 pk ON pk.i = kk.i JOIN pre0 ph ON ph.i = s.hi),
-        |best1 AS (
-        |  SELECT *, (1000 * (nump * dn - nm * lenp) > 100 * nump * dn) AS sig FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY lo, hi
-        |      ORDER BY nm // dn, ((nm % dn) * CAST('1000000000000000000000000000' AS HUGEINT)) // dn, k) AS rn
-        |    FROM cand1) WHERE rn = 1),
-        |acc1 AS (SELECT * FROM best1 WHERE sig),
-        |segs2 AS (SELECT lo, k AS hi FROM acc1 UNION ALL SELECT k, hi FROM acc1),
-        |cand2 AS (
-        |  SELECT s.lo, s.hi, kk.i AS k,
-        |    ((kk.i - s.lo) * (pk.p2 - pl.p2) - (pk.p1 - pl.p1) * (pk.p1 - pl.p1)) * (s.hi - kk.i)
-        |      + ((s.hi - kk.i) * (ph.p2 - pk.p2) - (ph.p1 - pk.p1) * (ph.p1 - pk.p1)) * (kk.i - s.lo) AS nm,
-        |    CAST((kk.i - s.lo) * (s.hi - kk.i) AS HUGEINT) AS dn,
-        |    ((s.hi - s.lo) * (ph.p2 - pl.p2) - (ph.p1 - pl.p1) * (ph.p1 - pl.p1)) AS nump,
-        |    CAST(s.hi - s.lo AS HUGEINT) AS lenp,
-        |    (pk.p1 - pl.p1) AS s1l, (ph.p1 - pk.p1) AS s1r
-        |  FROM segs2 s
-        |  JOIN pre0 kk ON kk.i >= s.lo + 30 AND kk.i <= s.hi - 30
-        |  JOIN pre0 pl ON pl.i = s.lo JOIN pre0 pk ON pk.i = kk.i JOIN pre0 ph ON ph.i = s.hi),
-        |best2 AS (
-        |  SELECT *, (1000 * (nump * dn - nm * lenp) > 100 * nump * dn) AS sig FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY lo, hi
-        |      ORDER BY nm // dn, ((nm % dn) * CAST('1000000000000000000000000000' AS HUGEINT)) // dn, k) AS rn
-        |    FROM cand2) WHERE rn = 1),
-        |acc2 AS (SELECT * FROM best2 WHERE sig),
-        |chosen AS (
-        |  SELECT * FROM acc0 UNION ALL SELECT * FROM acc1 UNION ALL SELECT * FROM acc2
-        |  UNION ALL SELECT * FROM best0 WHERE NOT sig)
-        |SELECT strftime((SELECT d FROM ser WHERE i = c.k + 1), '%Y-%m-%d') AS cp_date,
-        |  CAST((100 * s1l) // (c.k - c.lo) AS BIGINT) AS left_mean_q,
-        |  CAST((100 * s1r) // (c.hi - c.k) AS BIGINT) AS right_mean_q,
-        |  CAST(CASE WHEN nump = 0 THEN 0
-        |       ELSE (1000 * (nump * dn - nm * lenp)) // (nump * dn) END AS BIGINT) AS gain_permille,
-        |  sig AS significant
-        |FROM chosen c
-        |ORDER BY cp_date""".stripMargin,
-
-    "q_neyman_sample" ->
-      // replicates Allocate.largestRemainder's arithmetic (the
-      // q_allocate oracle pattern) with variance-aware weights
-      """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x
-        |           FROM documents),
-        |m AS (SELECT source, count(*) AS nh, sum(x) AS sx, sum(x*x) AS sxx
-        |      FROM d GROUP BY 1),
-        |w AS (SELECT source, nh,
-        |        CAST(floor(sqrt(greatest(CASE WHEN nh > 1 THEN
-        |          (CAST(nh AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
-        |          / (CAST(nh AS DOUBLE)*(CAST(nh AS DOUBLE) - 1.0))
-        |          ELSE 0.0 END, 0.0)) * 100 + 0.5) AS BIGINT) AS sh_q
-        |      FROM m),
-        |wt AS (SELECT source, nh * sh_q AS wgt FROM w),
-        |tot AS (SELECT sum(wgt) AS t FROM wt),
-        |b AS (SELECT source, wgt, (500 * wgt) // t AS base,
-        |        (500 * wgt) % t AS rem
-        |      FROM wt, tot),
-        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rnk,
-        |        500 - sum(base) OVER () AS deficit FROM b),
-        |q AS (SELECT source,
-        |        CAST(base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS n_take
-        |      FROM r),
-        |p AS (SELECT doc_id, source,
-        |        row_number() OVER (PARTITION BY source
-        |          ORDER BY (doc_id % 1048573) * 2654435761 % 1000000, doc_id) AS rk
-        |      FROM d)
-        |SELECT p.doc_id, p.source FROM p JOIN q USING (source)
-        |WHERE p.rk <= q.n_take ORDER BY p.doc_id""".stripMargin,
-
-    "q_mann_whitney" ->
-      // value-level tied ranks from one cumulative sum; u2 = 2·U1
-      // exact integer; tie-corrected z mirrors the Spark parens
-      """WITH o AS (
-        |  SELECT CASE WHEN (o_custkey % 1048573) * 2654435761 % 1000000 < 500000
-        |           THEN 0 ELSE 1 END AS v,
-        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders),
-        |byv AS (SELECT cents AS val, count(*) AS cnt,
-        |          sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS cnt1
-        |        FROM o GROUP BY 1),
-        |c AS (SELECT val, cnt, cnt1,
-        |        CAST(sum(cnt) OVER (ORDER BY val
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-        |      FROM byv),
-        |m AS (SELECT sum(cnt - cnt1) AS n0, sum(cnt1) AS n1,
-        |        sum(cnt1 * (2*(cum - cnt) + cnt + 1)) AS r12,
-        |        sum(cnt*cnt*cnt - cnt) AS t
-        |      FROM c)
-        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
-        |  CAST(r12 - n1*(n1 + 1) AS BIGINT) AS u2,
-        |  CAST(floor(
-        |    (CAST(r12 - n1*(n1 + 1) AS DOUBLE)/2.0
-        |      - CAST(n0 AS DOUBLE)*CAST(n1 AS DOUBLE)/2.0)
-        |    / sqrt((CAST(n0 AS DOUBLE)*CAST(n1 AS DOUBLE)/12.0) *
-        |        ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) + 1.0)
-        |          - CAST(t AS DOUBLE) / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
-        |            * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 1.0))))
-        |    * 10000 + 0.5) AS BIGINT) AS z_bp
-        |FROM m""".stripMargin,
-
-    "q_forecast_backtest" ->
-      // q_holt's recursive CTE + lagged one-step-ahead errors; all
-      // ratios and means are floor divisions on non-negative BIGINTs
-      """WITH RECURSIVE mon AS (
-        |  SELECT c_nationkey AS nation,
-        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
-        |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  GROUP BY 1, 2),
-        |s AS (SELECT nation, month, rev_c,
-        |        row_number() OVER (PARTITION BY nation ORDER BY month) AS rn
-        |      FROM mon),
-        |r AS (
-        |  SELECT nation, month, rev_c, rn, rev_c AS l, CAST(0 AS BIGINT) AS b
-        |  FROM s WHERE rn = 1
-        |  UNION ALL
-        |  SELECT s.nation, s.month, s.rev_c, s.rn,
-        |    ((s.rev_c + 3*(r.l + r.b))
-        |      - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4,
-        |    ((((s.rev_c + 3*(r.l + r.b))
-        |        - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4 - r.l + 3*r.b)
-        |      - (((((s.rev_c + 3*(r.l + r.b))
-        |        - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4 - r.l + 3*r.b) % 4) + 4) % 4) // 4
-        |  FROM s JOIN r ON s.nation = r.nation AND s.rn = r.rn + 1),
-        |f AS (SELECT nation, month, rev_c,
-        |        lag(l + b) OVER (PARTITION BY nation ORDER BY month) AS fc_holt,
-        |        lag(rev_c) OVER (PARTITION BY nation ORDER BY month) AS fc_naive
-        |      FROM r),
-        |e AS (SELECT nation,
-        |        (10000 * abs(rev_c - fc_holt)) // rev_c AS ape_holt,
-        |        (10000 * abs(rev_c - fc_naive)) // rev_c AS ape_naive
-        |      FROM f WHERE fc_holt IS NOT NULL AND rev_c > 0)
-        |SELECT nation, count(*) AS n_evals,
-        |  CAST(sum(ape_holt) // count(*) AS BIGINT) AS mape_holt_bp,
-        |  CAST(sum(ape_naive) // count(*) AS BIGINT) AS mape_naive_bp
-        |FROM e GROUP BY 1 ORDER BY nation""".stripMargin,
-
-    "q_ppr" ->
-      // q_pagerank's unrolled rounds with a seed-restricted restart
-      // vector: p0 and the teleport term are zero off-seed
-      """WITH tr AS (
-        |  SELECT l_partkey AS src,
-        |         lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst
-        |  FROM lineitem),
-        |e AS (SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2),
-        |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
-        |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
-        |seeds AS (SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#11'),
-        |nb AS (SELECT n.node,
-        |         CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END AS BIGINT) AS base,
-        |         CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT) AS pr0
-        |       FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
-        |i1 AS (SELECT e.dst AS node, CAST(sum((((p.pr0 * e.w) // o.ow) * 85) // 100) AS BIGINT) AS infl
-        |       FROM e JOIN nb p ON e.src = p.node JOIN o ON e.src = o.src GROUP BY e.dst),
-        |p1 AS (SELECT n.node, n.base, CAST(n.base + coalesce(i.infl, 0) AS BIGINT) AS pr
-        |       FROM nb n LEFT JOIN i1 i ON n.node = i.node),
-        |i2 AS (SELECT e.dst AS node, CAST(sum((((p.pr * e.w) // o.ow) * 85) // 100) AS BIGINT) AS infl
-        |       FROM e JOIN p1 p ON e.src = p.node JOIN o ON e.src = o.src GROUP BY e.dst),
-        |p2 AS (SELECT n.node, n.base, CAST(n.base + coalesce(i.infl, 0) AS BIGINT) AS pr
-        |       FROM p1 n LEFT JOIN i2 i ON n.node = i.node),
-        |i3 AS (SELECT e.dst AS node, CAST(sum((((p.pr * e.w) // o.ow) * 85) // 100) AS BIGINT) AS infl
-        |       FROM e JOIN p2 p ON e.src = p.node JOIN o ON e.src = o.src GROUP BY e.dst),
-        |p3 AS (SELECT n.node, CAST(n.base + coalesce(i.infl, 0) AS BIGINT) AS pr
-        |       FROM p2 n LEFT JOIN i3 i ON n.node = i.node)
-        |SELECT node, pr FROM p3 WHERE pr > 0 ORDER BY node""".stripMargin,
-
-    "q_boilerplate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS t
-        |  FROM documents WHERE trim(text) <> ''),
-        |spans AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(t) - 3),
-        |      i -> array_to_string(t[i:i+4], ' ')))) AS span
-        |  FROM toks WHERE len(t) >= 5)
-        |SELECT span, count(*) AS df
-        |FROM spans GROUP BY span
-        |ORDER BY df DESC, span ASC LIMIT 20""".stripMargin,
-
-    "q_pseudonymize" ->
-      """SELECT event_id,
-        |  'u_' || substr(md5('graft:' || user_id), 1, 12) AS user_token,
-        |  event_type, value
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q_event_paths" ->
-      """WITH p AS (
-        |  SELECT lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
-        |         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
-        |         event_type AS t3
-        |  FROM events)
-        |SELECT t1, t2, t3, count(*) AS n
-        |FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-        |GROUP BY 1, 2, 3
-        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
-
-    "q_rolling_active" ->
-      """WITH du AS (
-        |  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
-        |  FROM events),
-        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
-        |f AS (SELECT du.day + o.off AS asof_day, du.user_id
-        |      FROM du CROSS JOIN range(0, 7) o(off))
-        |SELECT asof_day, count(DISTINCT user_id) AS wau
-        |FROM f, b WHERE asof_day >= b.d0 + 6 AND asof_day <= b.d1
-        |GROUP BY asof_day ORDER BY asof_day""".stripMargin,
-
-    "q_latency_profile" ->
-      // discrete rank-selected p50/p90 (element selection, bit-exact)
-      """WITH lat AS (
-        |  SELECT o.o_orderpriority,
-        |    date_diff('day', CAST(o.o_orderdate AS DATE),
-        |      CAST(l.l_shipdate AS DATE)) AS lat
-        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |r AS (
-        |  SELECT o_orderpriority, lat,
-        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY lat) AS rn,
-        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
-        |  FROM lat WHERE lat IS NOT NULL)
-        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
-        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat END) AS BIGINT) AS p50_days,
-        |  CAST(max(CASE WHEN rn = greatest((n * 9000 + 9999) // 10000, 1) THEN lat END) AS BIGINT) AS p90_days
-        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-
-    "q_attribution_last_touch" ->
-      // DuckDB's native ASOF LEFT JOIN (backward, inclusive) + the same
-      // 24h lookback null-out
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
-        |           WHERE event_type = 'purchase'),
-        |t AS (SELECT user_id, ts, max(event_id) AS touch_id FROM events
-        |      WHERE event_type IN ('view', 'click') GROUP BY 1, 2)
-        |SELECT p.event_id, p.user_id,
-        |  CASE WHEN t.ts IS NOT NULL AND
-        |    CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(t.ts)) AS BIGINT) <= 86400
-        |    THEN t.touch_id END AS credited_touch_id
-        |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts
-        |ORDER BY p.event_id""".stripMargin,
-
-    "q_score_calibrate" ->
-      """WITH r AS (
-        |  SELECT doc_id, source, n_chars,
-        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
-        |    count(*) OVER (PARTITION BY source) AS n
-        |  FROM documents)
-        |SELECT doc_id, source, n_chars,
-        |  CASE WHEN n = 1 THEN 5000
-        |       ELSE ((rk - 1) * 10000) // (n - 1) END AS pct_bp
-        |FROM r ORDER BY doc_id""".stripMargin,
-
-    "q_dataset_card" ->
-      """WITH base AS (
-        |  SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
-        |      ELSE len(string_split_regex(trim(text), '[ \t\n\r\f]+')) END) AS BIGINT) AS total_tokens,
-        |    CAST(min(n_chars) AS BIGINT) AS min_chars,
-        |    CAST(max(n_chars) AS BIGINT) AS max_chars
-        |  FROM documents),
-        |cards AS (
-        |  SELECT count(DISTINCT source) AS n_sources,
-        |    count(DISTINCT lang) AS n_langs FROM documents),
-        |uniq AS (
-        |  SELECT count(*) AS n_unique FROM (
-        |    SELECT DISTINCT trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) FROM documents))
-        |SELECT n_docs, total_chars, total_tokens, min_chars, max_chars,
-        |  n_sources, n_langs, n_unique,
-        |  10000 - (n_unique * 10000) // n_docs AS dup_bp
-        |FROM base, cards, uniq""".stripMargin,
-
-    "q_drift_timeline" ->
-      // identical po/pn subexpressions and term parenthesization as the
-      // Spark side; per-bucket terms floored THEN summed (exact BIGINT)
-      """WITH b AS (
-        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS period,
-        |    CASE WHEN value < 50 THEN 0 WHEN value < 100 THEN 1
-        |         WHEN value < 200 THEN 2 WHEN value < 350 THEN 3
-        |         ELSE 4 END AS bucket
-        |  FROM events WHERE value IS NOT NULL),
-        |c AS (SELECT period, bucket, count(*) AS n FROM b GROUP BY 1, 2),
-        |j AS (
-        |  SELECT coalesce(n2.period, o2.period) AS period,
-        |    coalesce(n2.bucket, o2.bucket) AS bucket,
-        |    coalesce(o2.n, 0) AS n_old, coalesce(n2.n, 0) AS n_new
-        |  FROM c n2 FULL OUTER JOIN
-        |    (SELECT period + 1 AS period, bucket, n FROM c) o2
-        |    ON n2.period = o2.period AND n2.bucket = o2.bucket),
-        |t AS (SELECT period, sum(n_old) AS to_, sum(n_new) AS tn FROM j
-        |      GROUP BY period HAVING sum(n_old) > 0 AND sum(n_new) > 0)
-        |SELECT j.period, CAST(t.to_ AS BIGINT) AS n_old,
-        |  CAST(t.tn AS BIGINT) AS n_new,
-        |  CAST(sum(CAST(floor(
-        |    ((j.n_new + 0.5) / (t.tn + 2.5) - (j.n_old + 0.5) / (t.to_ + 2.5))
-        |    * ln(((j.n_new + 0.5) / (t.tn + 2.5)) / ((j.n_old + 0.5) / (t.to_ + 2.5)))
-        |    * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS psi_ppm
-        |FROM j JOIN t ON j.period = t.period
-        |GROUP BY j.period, t.to_, t.tn
-        |ORDER BY j.period""".stripMargin,
-
-    "q_dedup_keep_best" ->
-      """WITH g AS (
-        |  SELECT doc_id, n_chars,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-        |      ' +', ' ', 'g')) AS norm
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, n_chars,
-        |    count(*) OVER (PARTITION BY norm) AS n_copies,
-        |    row_number() OVER (PARTITION BY norm ORDER BY n_chars DESC, doc_id ASC) AS rn
-        |  FROM g)
-        |SELECT doc_id, n_chars, CAST(n_copies AS BIGINT) AS n_copies
-        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    "q_source_overlap" ->
-      // same uncapped gram self-join as the q_shared_passages oracle,
-      // rolled up to (source, source) cells with least/greatest
-      // canonicalization
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE trim(text) <> ''),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(t) - 6),
-        |      i -> array_to_string(t[i:i+7], ' ')))) AS g
-        |  FROM toks WHERE len(t) >= 8),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |s AS (
-        |  SELECT least(da.source, db.source) AS source_x,
-        |    greatest(da.source, db.source) AS source_y, p.ns
-        |  FROM p JOIN documents da ON p.id_a = da.doc_id
-        |         JOIN documents db ON p.id_b = db.doc_id)
-        |SELECT source_x, source_y, count(*) AS n_pairs,
-        |  CAST(sum(ns) AS BIGINT) AS n_shared_grams
-        |FROM s GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
-
-    "q_winsorize" ->
-      // unconditional row_number with NULLS LAST is equivalent to the
-      // Spark side's non-null-gated rank: nulls sort past every real
-      // row, so they can never occupy a cut rank (cut rank <= n)
-      """WITH r AS (
-        |  SELECT event_id, event_type, value,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY value NULLS LAST) AS rn,
-        |    count(value) OVER (PARTITION BY event_type) AS n
-        |  FROM events),
-        |c AS (
-        |  SELECT *,
-        |    max(CASE WHEN rn = greatest((n * 500 + 9999) // 10000, 1) THEN value END)
-        |      OVER (PARTITION BY event_type) AS lo,
-        |    max(CASE WHEN rn = greatest((n * 9500 + 9999) // 10000, 1) THEN value END)
-        |      OVER (PARTITION BY event_type) AS hi
-        |  FROM r)
-        |SELECT event_id, event_type, value,
-        |  CASE WHEN value IS NULL THEN NULL
-        |       ELSE least(greatest(value, lo), hi) END AS value_w,
-        |  value IS NOT NULL AND value < lo AS clamped_lo,
-        |  value IS NOT NULL AND value > hi AS clamped_hi
-        |FROM c ORDER BY event_id""".stripMargin,
-
-    "q_impute_median" ->
-      """WITH e AS (
-        |  SELECT event_id, event_type,
-        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
-        |  FROM events),
-        |r AS (
-        |  SELECT *,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY value NULLS LAST) AS rn,
-        |    count(value) OVER (PARTITION BY event_type) AS n
-        |  FROM e),
-        |m AS (
-        |  SELECT *,
-        |    max(CASE WHEN rn = (n + 1) // 2 THEN value END)
-        |      OVER (PARTITION BY event_type) AS med
-        |  FROM r)
-        |SELECT event_id, event_type, value,
-        |  coalesce(value, med) AS value_f,
-        |  value IS NULL AND med IS NOT NULL AS imputed
-        |FROM m ORDER BY event_id""".stripMargin,
-
-    "q_bigram_logloss" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS t
-        |  FROM documents WHERE trim(text) <> ''),
-        |tf AS (
-        |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
-        |          i -> {'w1': t[i], 'w2': t[i+1]})) AS p
-        |        FROM toks WHERE len(t) >= 2) q
-        |  GROUP BY 1, 2, 3),
-        |c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2),
-        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS s1
-        |        FROM c12 GROUP BY 1),
-        |l AS (SELECT c12.w1, c12.w2,
-        |        CAST(floor(10000.0 * ln(
-        |          CAST(ctx.c1 + ctx.s1 AS DOUBLE) / CAST(c12.c12 + 1 AS DOUBLE)) + 0.5) AS BIGINT) AS l
-        |      FROM c12 JOIN ctx ON c12.w1 = ctx.w1)
-        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(tf.tf * l.l) AS BIGINT) AS surprisal2_q,
-        |  CAST(sum(tf.tf * l.l) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS mean_surprisal2_q
-        |FROM tf JOIN l ON tf.w1 = l.w1 AND tf.w2 = l.w2
-        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
-
-    "q_kneser_ney" ->
-      // interpolated KN replayed verbatim: all five smoothing statistics
-      // are grouped counts over the distinct-trigram table; the D=0.75
-      // discount chain is written in the SAME operation order as the
-      // Spark expression (IEEE +,·,÷,greatest are correctly rounded both
-      // engines); one ln per distinct trigram at the 10^4 floor grain
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS t
-        |  FROM documents WHERE trim(text) <> ''),
-        |tf AS (
-        |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        |          i -> {'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]})) AS g
-        |        FROM toks WHERE len(t) >= 3) q
-        |  GROUP BY 1, 2, 3, 4),
-        |c3 AS (SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS c3 FROM tf GROUP BY 1, 2, 3),
-        |c12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12, count(*) AS n12dot
-        |        FROM c3 GROUP BY 1, 2),
-        |cont23 AS (SELECT w2, w3, count(*) AS n23 FROM c3 GROUP BY 1, 2),
-        |mid AS (SELECT w2, count(*) AS nmid FROM c3 GROUP BY 1),
-        |w2dot AS (SELECT w2, count(*) AS nw2dot FROM cont23 GROUP BY 1),
-        |cont3 AS (SELECT w3, count(*) AS n3 FROM cont23 GROUP BY 1),
-        |nall AS (SELECT count(*) AS nall FROM cont23),
-        |l AS (
-        |  SELECT c3.w1, c3.w2, c3.w3,
-        |    CAST(floor(-10000.0 * ln(
-        |      (greatest(CAST(c3.c3 AS DOUBLE) - 0.75, 0.0)
-        |        + 0.75 * CAST(c12.n12dot AS DOUBLE) *
-        |          ((greatest(CAST(cont23.n23 AS DOUBLE) - 0.75, 0.0)
-        |            + 0.75 * CAST(w2dot.nw2dot AS DOUBLE) *
-        |              (CAST(cont3.n3 AS DOUBLE) / CAST(nall.nall AS DOUBLE)))
-        |           / CAST(mid.nmid AS DOUBLE)))
-        |      / CAST(c12.c12 AS DOUBLE)) + 0.5) AS BIGINT) AS l
-        |  FROM c3 JOIN c12 ON c3.w1 = c12.w1 AND c3.w2 = c12.w2
-        |  JOIN cont23 ON c3.w2 = cont23.w2 AND c3.w3 = cont23.w3
-        |  JOIN mid ON c3.w2 = mid.w2
-        |  JOIN w2dot ON c3.w2 = w2dot.w2
-        |  JOIN cont3 ON c3.w3 = cont3.w3
-        |  CROSS JOIN nall)
-        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_trigrams,
-        |  CAST(sum(tf.tf * l.l) AS BIGINT) AS surprisal3_q,
-        |  CAST(sum(tf.tf * l.l) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS mean_surprisal3_q
-        |FROM tf JOIN l ON tf.w1 = l.w1 AND tf.w2 = l.w2 AND tf.w3 = l.w3
-        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
-
-    "q_sample_norepl" ->
-      // the A-Res priority replayed verbatim: one ln per row at a 10^4
-      // floor grain (engine ulp flip risk ~1e-11/row — see Mixture doc)
-      """WITH d AS (SELECT doc_id, n_chars,
-        |  ((doc_id % 1048573) * 2654435761) % 1000000 AS h,
-        |  greatest(n_chars, 1) AS w FROM documents)
-        |SELECT doc_id, n_chars,
-        |  CAST(floor(ln(1000000.0 / (h + 1.0)) * 10000.0 / w + 0.5) AS BIGINT) AS priority_q
-        |FROM d
-        |ORDER BY priority_q, doc_id LIMIT 100""".stripMargin,
-
-    "q_vocab_coverage" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS term
-        |  FROM documents WHERE trim(text) <> ''),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |tot AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
-        |vocab AS (SELECT term FROM tot ORDER BY n DESC, term ASC LIMIT 30)
-        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-        |  CAST(sum(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS BIGINT) AS n_oov,
-        |  (CAST(sum(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS BIGINT) * 10000)
-        |    // CAST(sum(tf.tf) AS BIGINT) AS oov_bp
-        |FROM tf LEFT JOIN vocab v USING (term)
-        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
-
-    "q_unigram_logloss" ->
-      // per-distinct-term surprisal floor-quantized at 10^4 (single ln —
-      // SURVEY §6 psi-family floor rule), then exact BIGINT sums
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS term
-        |  FROM documents WHERE trim(text) <> ''),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |c AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS d FROM c),
-        |l AS (SELECT term, CAST(floor(10000.0 * ln(
-        |        CAST(tot.n + tot.d AS DOUBLE) / CAST(c.c + 1 AS DOUBLE)) + 0.5) AS BIGINT) AS l
-        |      FROM c, tot)
-        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-        |  CAST(sum(tf.tf * l.l) AS BIGINT) AS surprisal_q,
-        |  CAST(sum(tf.tf * l.l) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS mean_surprisal_q
-        |FROM tf JOIN l USING (term)
-        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
-
-    "q_chi_square" ->
-      // exact BIGINT inner term (obs·n − na·nb), one pinned double
-      // division per cell, quantized terms sum in BIGINT (CAST per
-      // SURVEY §6 — DuckDB window sums of BIGINT go HUGEINT)
-      """WITH cells AS (SELECT c_nationkey, c_mktsegment, count(*) AS o
-        |               FROM customer GROUP BY 1, 2),
-        |a AS (SELECT c_nationkey, count(*) AS na FROM customer GROUP BY 1),
-        |b AS (SELECT c_mktsegment, count(*) AS nb FROM customer GROUP BY 1),
-        |t AS (SELECT count(*) AS n FROM customer),
-        |k AS (SELECT (SELECT count(*) FROM a) AS ka, (SELECT count(*) FROM b) AS kb),
-        |g AS (SELECT a.c_nationkey, b.c_mktsegment,
-        |        COALESCE(cells.o, 0) AS obs, a.na, b.nb, t.n, k.ka, k.kb
-        |      FROM a CROSS JOIN b CROSS JOIN t CROSS JOIN k
-        |      LEFT JOIN cells ON cells.c_nationkey = a.c_nationkey
-        |        AND cells.c_mktsegment = b.c_mktsegment),
-        |u AS (SELECT c_nationkey, c_mktsegment, obs,
-        |        CAST(floor((CAST(obs*n - na*nb AS DOUBLE) * CAST(obs*n - na*nb AS DOUBLE))
-        |          / (CAST(n AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-        |          * 10000 + 0.5) AS BIGINT) AS term_bp,
-        |        CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof
-        |      FROM g)
-        |SELECT c_nationkey, c_mktsegment, obs, term_bp, dof,
-        |  CAST(sum(term_bp) OVER () AS BIGINT) AS chi2_bp
-        |FROM u ORDER BY c_nationkey, c_mktsegment""".stripMargin,
-
-    "q_ab_test" ->
-      // moments exact (cents² fits BIGINT, sums exact in HUGEINT =
-      // Spark's DECIMAL(38,0)); means exact floor-divided integers;
-      // t and z finishes mirror the Spark parenthesization exactly
-      """WITH o AS (
-        |  SELECT CASE WHEN (o_custkey % 1048573) * 2654435761 % 1000000 < 500000
-        |           THEN 0 ELSE 1 END AS v,
-        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders),
-        |m AS (SELECT
-        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |    sum(CASE WHEN v = 0 THEN cents ELSE 0 END) AS s0,
-        |    sum(CASE WHEN v = 1 THEN cents ELSE 0 END) AS s1,
-        |    sum(CASE WHEN v = 0 THEN cents*cents ELSE 0 END) AS ss0,
-        |    sum(CASE WHEN v = 1 THEN cents*cents ELSE 0 END) AS ss1,
-        |    CAST(sum(CASE WHEN v = 0 AND cents > 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-        |    CAST(sum(CASE WHEN v = 1 AND cents > 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS c1
-        |  FROM o)
-        |SELECT n0, n1,
-        |  CAST(s0 // n0 AS BIGINT) AS mean0_q,
-        |  CAST(s1 // n1 AS BIGINT) AS mean1_q,
-        |  CAST(floor(
-        |    (CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE))
-        |    / sqrt(
-        |      ((CAST(n1 AS DOUBLE)*CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
-        |        / (CAST(n1 AS DOUBLE)*(CAST(n1 AS DOUBLE) - 1.0))) / CAST(n1 AS DOUBLE)
-        |      + ((CAST(n0 AS DOUBLE)*CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE))
-        |        / (CAST(n0 AS DOUBLE)*(CAST(n0 AS DOUBLE) - 1.0))) / CAST(n0 AS DOUBLE))
-        |    * 10000 + 0.5) AS BIGINT) AS t_bp,
-        |  c0 AS conv0, c1 AS conv1,
-        |  CAST(floor(
-        |    (CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE)/CAST(n0 AS DOUBLE))
-        |    / sqrt(
-        |      ((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
-        |      * (1.0 - (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
-        |      * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE)))
-        |    * 10000 + 0.5) AS BIGINT) AS z_bp
-        |FROM m""".stripMargin,
-
-    "q_survival_km" ->
-      // the product-limit fold unrolled as a recursive CTE over EVENT
-      // times; every quantity non-negative, so // replays floorDiv
-      """WITH RECURSIVE ev AS (
-        |  SELECT o_custkey,
-        |    CAST(min(o_orderdate) AS DATE) AS first_d,
-        |    CAST(max(o_orderdate) AS DATE) AS last_d
-        |  FROM orders GROUP BY 1),
-        |mx AS (SELECT max(last_d) AS mxd FROM ev),
-        |subj AS (SELECT CAST(last_d - first_d AS BIGINT) AS duration,
-        |           CASE WHEN mxd - last_d >= 365 THEN 1 ELSE 0 END AS event
-        |         FROM ev, mx),
-        |byt AS (SELECT duration, CAST(sum(event) AS BIGINT) AS d,
-        |          CAST(sum(1 - event) AS BIGINT) AS c
-        |        FROM subj GROUP BY 1),
-        |tot AS (SELECT count(*) AS total FROM subj),
-        |r0 AS (SELECT duration, d,
-        |         CAST(total - COALESCE(sum(d + c) OVER (ORDER BY duration
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
-        |       FROM byt, tot),
-        |step AS (SELECT duration, n_risk, d,
-        |           row_number() OVER (ORDER BY duration) AS rn
-        |         FROM r0 WHERE d > 0),
-        |r AS (
-        |  SELECT duration, n_risk, d, rn,
-        |    (1000000000 * (n_risk - d)) // n_risk AS surv FROM step WHERE rn = 1
-        |  UNION ALL
-        |  SELECT s.duration, s.n_risk, s.d, s.rn,
-        |    (r.surv * (s.n_risk - s.d)) // s.n_risk
-        |  FROM step s JOIN r ON s.rn = r.rn + 1)
-        |SELECT duration, n_risk, d AS n_events, CAST(surv AS BIGINT) AS surv_q
-        |FROM r ORDER BY duration""".stripMargin,
-
-    "q_acf" ->
-      // per-lag Pearson from exact sums; the correlation finish
-      // mirrors the Spark parenthesization exactly
-      """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS x
-        |  FROM orders GROUP BY 1),
-        |s AS (SELECT x, row_number() OVER (ORDER BY d) AS rn FROM daily),
-        |lags AS (SELECT unnest(range(1, 8)) AS lag),
-        |pairs AS (SELECT lags.lag, a.x AS xv, b.x AS yv
-        |          FROM s a CROSS JOIN lags
-        |          JOIN s b ON b.rn = a.rn + lags.lag),
-        |m AS (SELECT lag, count(*) AS n_pairs,
-        |        sum(xv) AS sx, sum(yv) AS sy, sum(xv*xv) AS sxx,
-        |        sum(yv*yv) AS syy, sum(xv*yv) AS sxy
-        |      FROM pairs GROUP BY 1)
-        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-        |  CAST(floor(
-        |    (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-        |    / sqrt((CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
-        |      * (CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
-        |    * 10000 + 0.5) AS BIGINT) AS acf_bp
-        |FROM m ORDER BY lag""".stripMargin,
-
-    "q_seasonal" ->
-      // floor division via pmod-subtract on BOTH engines (DuckDB's //
-      // truncates on negatives — probed, not assumed); the numerators
-      // are exactly divisible so the engine convention cancels out
-      """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
-        |  FROM orders GROUP BY 1),
-        |s AS (SELECT d, rev_c, (d - DATE '1970-01-01') % 7 AS dow,
-        |        row_number() OVER (ORDER BY d) AS rn FROM daily),
-        |tr AS (SELECT d, rev_c, dow,
-        |         CASE WHEN count(*) OVER w = 7 THEN
-        |           CAST((sum(rev_c) OVER w
-        |             - (((sum(rev_c) OVER w) % 7) + 7) % 7) // 7 AS BIGINT)
-        |         END AS trend_c
-        |       FROM s WINDOW w AS (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |se AS (SELECT dow,
-        |         CAST((sum(rev_c - trend_c)
-        |           - (((sum(rev_c - trend_c)) % count(*)) + count(*)) % count(*))
-        |           // count(*) AS BIGINT) AS seasonal_c
-        |       FROM tr WHERE trend_c IS NOT NULL GROUP BY dow)
-        |SELECT strftime(tr.d, '%Y-%m-%d') AS d, tr.rev_c, tr.trend_c,
-        |  se.seasonal_c, tr.rev_c - tr.trend_c - se.seasonal_c AS resid_c
-        |FROM tr LEFT JOIN se USING (dow) ORDER BY tr.d""".stripMargin,
-
-    "q_holt" ->
-      // the two-state recurrence unrolled; the level feeds the trend
-      // update within one step, so its floor expression repeats
-      // textually (recursive arms cannot name intermediates); floor
-      // via pmod-subtract — the numerators can go negative
-      """WITH RECURSIVE mon AS (
-        |  SELECT c_nationkey AS nation,
-        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
-        |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  GROUP BY 1, 2),
-        |s AS (SELECT nation, month, rev_c,
-        |        row_number() OVER (PARTITION BY nation ORDER BY month) AS rn
-        |      FROM mon),
-        |r AS (
-        |  SELECT nation, month, rev_c, rn, rev_c AS l, CAST(0 AS BIGINT) AS b
-        |  FROM s WHERE rn = 1
-        |  UNION ALL
-        |  SELECT s.nation, s.month, s.rev_c, s.rn,
-        |    ((s.rev_c + 3*(r.l + r.b))
-        |      - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4,
-        |    ((((s.rev_c + 3*(r.l + r.b))
-        |        - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4 - r.l + 3*r.b)
-        |      - (((((s.rev_c + 3*(r.l + r.b))
-        |        - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4 - r.l + 3*r.b) % 4) + 4) % 4) // 4
-        |  FROM s JOIN r ON s.nation = r.nation AND s.rn = r.rn + 1)
-        |SELECT nation, strftime(month, '%Y-%m') AS month, rev_c,
-        |  CAST(l + b AS BIGINT) AS holt_q
-        |FROM r ORDER BY nation, month""".stripMargin,
-
-    "q_holt_winters" ->
-      // the triple recurrence WITH its 12-slot seasonal ring, replayed by a
-      // LIST-carrying recursive CTE: state per step = (l, b, season BIGINT[12]),
-      // the ring updates by slice surgery (season[1:k-1] || [new] || [k+1:12]),
-      // and intermediates (l_new feeds b_new AND s_new) get NAMES through
-      // nested derived tables in the recursive arm — the one-row-arm
-      // limitation only binds scalar state, not a list; floor division is the
-      // pmod-subtract form throughout (numerators go negative). Warm-up: the
-      // first 12 rows per key emit x with l=x, b=0, season slot zeroed
-      """WITH RECURSIVE mon AS (
-        |  SELECT c_nationkey AS nation,
-        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
-        |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  GROUP BY 1, 2),
-        |s AS (SELECT nation, month, rev_c,
-        |        row_number() OVER (PARTITION BY nation ORDER BY month) AS rn
-        |      FROM mon),
-        |r AS (
-        |  SELECT nation, CAST(0 AS BIGINT) AS rn, CAST(NULL AS DATE) AS month,
-        |         CAST(NULL AS BIGINT) AS rev_c,
-        |         CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
-        |         list_transform(range(1, 13), i -> CAST(0 AS BIGINT)) AS season,
-        |         CAST(NULL AS BIGINT) AS hw
-        |  FROM (SELECT DISTINCT nation FROM s)
-        |  UNION ALL
-        |  SELECT q4.nation, q4.rn, q4.month, q4.rev_c,
-        |    CASE WHEN q4.warm THEN q4.x ELSE q4.lnew END,
-        |    CASE WHEN q4.warm THEN 0 ELSE q4.bnew END,
-        |    q4.season[1:q4.slot-1]
-        |      || [CASE WHEN q4.warm THEN CAST(0 AS BIGINT) ELSE q4.snew END]
-        |      || q4.season[q4.slot+1:12],
-        |    CASE WHEN q4.warm THEN q4.x ELSE q4.lnew + q4.bnew + q4.snew END
-        |  FROM (
-        |    SELECT q3.*,
-        |      (q3.bnum - ((q3.bnum % 4) + 4) % 4) // 4 AS bnew,
-        |      (q3.snum - ((q3.snum % 4) + 4) % 4) // 4 AS snew
-        |    FROM (
-        |      SELECT q2.*,
-        |        (q2.lnew - q2.l0) + 3*q2.b0 AS bnum,
-        |        (q2.x - q2.lnew) + 3*q2.sold AS snum
-        |      FROM (
-        |        SELECT q1.*,
-        |          CASE WHEN q1.warm THEN q1.x
-        |               ELSE (q1.lnum - ((q1.lnum % 4) + 4) % 4) // 4 END AS lnew
-        |        FROM (
-        |          SELECT p.*, (p.x - p.sold) + 3*(p.l0 + p.b0) AS lnum
-        |          FROM (
-        |            SELECT s.nation, s.rn, s.month, s.rev_c, s.rev_c AS x,
-        |              s.rn <= 12 AS warm,
-        |              CAST((s.rn - 1) % 12 + 1 AS INTEGER) AS slot,
-        |              r.l AS l0, r.b AS b0,
-        |              r.season[CAST((s.rn - 1) % 12 + 1 AS INTEGER)] AS sold,
-        |              r.season
-        |            FROM r JOIN s ON s.nation = r.nation AND s.rn = r.rn + 1
-        |          ) p
-        |        ) q1
-        |      ) q2
-        |    ) q3
-        |  ) q4)
-        |SELECT nation, strftime(month, '%Y-%m') AS month, rev_c,
-        |  CAST(hw AS BIGINT) AS hw_q
-        |FROM r WHERE rn >= 1 ORDER BY nation, month""".stripMargin,
-
-    "q_multimodal_frames" ->
-      // the frame chunker is pure byte arithmetic over the payload length:
-      // every stride-th 64-byte chunk (stride 4 => step 256), capped at 16
-      // frames, with a short payload still emitting its single partial
-      // frame (the sequence bound clamps at 0, substr truncates at the
-      // tail) and a NULL payload emitting nothing; frame_bytes replays as
-      // greatest(least(64, n - i*256), 0)
-      """WITH d AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS n
-        |  FROM documents WHERE doc_id < 100),
-        |f AS (
-        |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-        |    CAST(greatest(least(64, n - i*256), 0) AS INTEGER) AS frame_bytes
-        |  FROM d, LATERAL unnest(generate_series(0,
-        |    greatest(least(n // 256, 16) - 1, 0))) AS t(i)
-        |  WHERE n IS NOT NULL)
-        |SELECT doc_id, frame_idx, frame_bytes FROM f
-        |ORDER BY doc_id, frame_idx""".stripMargin,
-
-    "q_multimodal_phash" ->
-      // closed-form replay of the synthesized-image aHash: PNG is
-      // lossless, so decoded luma == the synthesized gray value v (luma
-      // of (v,v,v) is exactly v; the planted 4×4 patch is 255), the 8×8
-      // cells are exact 4×4 tiles of the 32×32 grid, bit c sets iff
-      // cellSum·64 > totalSum, and the signed-64 hash assembles via the
-      // q_simhash HUGEINT two's-complement pattern; pairs = ALL pairs
-      // within hamming 3 (the chunk pigeonhole is complete there)
-      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
-        |lum AS (
-        |  SELECT i.doc_id, gx.x, gy.y,
-        |    CASE WHEN gy.y < 4 AND gx.x >= (i.doc_id % 8) * 4
-        |              AND gx.x < (i.doc_id % 8) * 4 + 4 THEN 255
-        |         ELSE (gx.x * (1 + (i.doc_id // 3) % 5)
-        |               + gy.y * ((i.doc_id // 3) % 7)) * 255
-        |              // greatest(31 * (1 + (i.doc_id // 3) % 5)
-        |                         + 31 * ((i.doc_id // 3) % 7), 1)
-        |    END AS v
-        |  FROM ids i,
-        |    LATERAL unnest(generate_series(0, 31)) AS gx(x),
-        |    LATERAL unnest(generate_series(0, 31)) AS gy(y)),
-        |cells AS (
-        |  SELECT doc_id, (y // 4) * 8 + (x // 4) AS c, sum(v) AS cs
-        |  FROM lum GROUP BY 1, 2),
-        |tots AS (SELECT doc_id, sum(cs) AS ts FROM cells GROUP BY 1),
-        |shu AS (
-        |  SELECT c.doc_id,
-        |    sum(CASE WHEN c.cs * 64 > t.ts
-        |        THEN CAST(CAST(1 AS UBIGINT) << CAST(c.c AS INT) AS HUGEINT)
-        |        ELSE CAST(0 AS HUGEINT) END) AS u
-        |  FROM cells c JOIN tots t USING (doc_id)
-        |  GROUP BY c.doc_id),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN u >= 9223372036854775808
-        |              THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS sh
-        |  FROM shu)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_audio_segments" ->
-      // closed-form replay of the planted WAV layout: per doc the segment
-      // plan is silence(2+id%3) → tone(3+id%2) → silence(2) → tone(4) →
-      // silence(1), all in 256-sample windows, ±12000 square-wave tone ⇒
-      // each tone window carries energy 256·12000² = 36,864,000,000 and
-      // every silence window peak 0 — so the two non-silent islands and
-      // their exact integer energies derive from doc_id arithmetic alone,
-      // independently of the JVM's RIFF encode → javax.sound decode →
-      // window-stats → gaps-and-islands chain being verified
-      """WITH seg AS (
-        |  SELECT doc_id, 2 + doc_id % 3 AS s0, 3 + doc_id % 2 AS t1
-        |  FROM documents WHERE doc_id < 60)
-        |SELECT doc_id, seg_start, seg_end, n_windows, energy_q FROM (
-        |  SELECT doc_id, s0 AS seg_start, s0 + t1 - 1 AS seg_end,
-        |    t1 AS n_windows, t1 * 36864000000 AS energy_q FROM seg
-        |  UNION ALL
-        |  SELECT doc_id, s0 + t1 + 2, s0 + t1 + 5,
-        |    CAST(4 AS BIGINT), CAST(4 * 36864000000 AS BIGINT) FROM seg)
-        |ORDER BY doc_id, seg_start""".stripMargin,
-
-    "q_multimodal_neardup" ->
-      // brute-force replay is EXACT here, not recall-dependent: every stub
-      // feature is a nonnegative histogram fraction, so all sign bits are 1,
-      // all four sign chunks agree for every doc pair, and the LSH candidate
-      // set IS the full pair set (murmur collisions could only ADD pairs the
-      // cosine verify already keeps). Features replay per the
-      // q_multimodal_features machinery; the cosine finish is the explicit
-      // left-associated 8-term chain == the sequential kernel accumulation,
-      // with per-doc norms (same order, same doubles)
-      """WITH hx AS (
-        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
-        |  FROM documents WHERE doc_id < 100),
-        |bytes AS (
-        |  SELECT doc_id, n, i,
-        |    (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16
-        |      + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS b
-        |  FROM hx, LATERAL unnest(generate_series(1, CAST(n AS BIGINT))) AS t(i)),
-        |hist AS (SELECT doc_id, b // 32 AS bin, count(*) AS c FROM bytes GROUP BY 1, 2),
-        |hw AS (
-        |  SELECT doc_id,
-        |    coalesce(sum(CASE WHEN bin = 0 THEN c END), 0) AS h0,
-        |    coalesce(sum(CASE WHEN bin = 1 THEN c END), 0) AS h1,
-        |    coalesce(sum(CASE WHEN bin = 2 THEN c END), 0) AS h2,
-        |    coalesce(sum(CASE WHEN bin = 3 THEN c END), 0) AS h3,
-        |    coalesce(sum(CASE WHEN bin = 4 THEN c END), 0) AS h4,
-        |    coalesce(sum(CASE WHEN bin = 5 THEN c END), 0) AS h5,
-        |    coalesce(sum(CASE WHEN bin = 6 THEN c END), 0) AS h6,
-        |    coalesce(sum(CASE WHEN bin = 7 THEN c END), 0) AS h7
-        |  FROM hist GROUP BY doc_id),
-        |fe AS (
-        |  SELECT x.doc_id,
-        |    CAST(CAST(hw.h0 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f0,
-        |    CAST(CAST(hw.h1 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f1,
-        |    CAST(CAST(hw.h2 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f2,
-        |    CAST(CAST(hw.h3 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f3,
-        |    CAST(CAST(hw.h4 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f4,
-        |    CAST(CAST(hw.h5 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f5,
-        |    CAST(CAST(hw.h6 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f6,
-        |    CAST(CAST(hw.h7 AS REAL) / CAST(x.n AS REAL) AS DOUBLE) AS f7
-        |  FROM hx x JOIN hw ON hw.doc_id = x.doc_id
-        |  WHERE x.n >= 1),
-        |nm AS (
-        |  SELECT doc_id, f0,f1,f2,f3,f4,f5,f6,f7,
-        |    f0*f0 + f1*f1 + f2*f2 + f3*f3 + f4*f4 + f5*f5 + f6*f6 + f7*f7 AS nn
-        |  FROM fe),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round((a.f0*b.f0 + a.f1*b.f1 + a.f2*b.f2 + a.f3*b.f3
-        |         + a.f4*b.f4 + a.f5*b.f5 + a.f6*b.f6 + a.f7*b.f7)
-        |      / (sqrt(a.nn) * sqrt(b.nn)), 4) AS cos_sim
-        |  FROM nm a JOIN nm b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9999
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_embed_neardup" ->
-      // the sign-bit LSH replays EXACTLY, no hash needed: a pair is a
-      // candidate iff some 8-bit sign chunk of the leading 32 dims matches
-      // VERBATIM (equal chunks => equal murmur buckets; a murmur COLLISION
-      // could only add a pair the cosine verify then keeps, ~2^-32/pair and
-      // gate-checked), so the oracle joins on the sign-chunk LIST VALUES and
-      // verifies with the q_embed_cosine_topk cosine replay
-      """WITH s AS (
-        |  SELECT vec_id, embedding,
-        |    list_transform(embedding[1:32],
-        |      v -> CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS signs
-        |  FROM embeddings),
-        |ch AS (
-        |  SELECT vec_id, embedding, c, signs[c*8+1:c*8+8] AS chunk
-        |  FROM s, LATERAL unnest(generate_series(0, 3)) AS t(c)),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    a.embedding AS ea, b.embedding AS eb
-        |  FROM ch a JOIN ch b
-        |    ON a.c = b.c AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
-        |v AS (
-        |  SELECT id_a, id_b,
-        |    round(
-        |      list_aggregate(list_apply(list_zip(ea, eb),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
-        |      / (sqrt(list_aggregate(list_apply(ea,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-        |       * sqrt(list_aggregate(list_apply(eb,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cos_sim
-        |  FROM cand)
-        |SELECT id_a, id_b, cos_sim FROM v WHERE cos_sim >= 0.25
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q_sorted_neighborhood" ->
-      // DuckDB's native jaro_winkler_similarity (cross-checks the
-      // codegen Expression, as in q_name_match); the window join is
-      // expressed directly as the rank-difference predicate
-      """WITH r AS (SELECT p_partkey, p_name,
-        |             row_number() OVER (ORDER BY p_name, p_partkey) AS rk
-        |           FROM part),
-        |pairs AS (SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-        |    CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name) * 10000 + 0.5)
-        |      AS BIGINT) AS sim_bp
-        |  FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3)
-        |SELECT a_key, b_key, sim_bp FROM pairs
-        |WHERE sim_bp >= 8800 ORDER BY a_key, b_key""".stripMargin,
-
-    "q_attribution_linear" ->
-      // integer credit split: base = 10000 // n, remainder to the most
-      // recent touches — sums to exactly 10000 per purchase
-      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
-        |           FROM events WHERE event_type = 'purchase'),
-        |tch AS (SELECT event_id AS touch_id, user_id, ts AS t_ts
-        |        FROM events WHERE event_type IN ('view', 'click')),
-        |j AS (SELECT p.purchase_id, tch.touch_id, tch.t_ts
-        |      FROM p JOIN tch ON p.user_id = tch.user_id
-        |        AND tch.t_ts < p.p_ts
-        |        AND tch.t_ts >= p.p_ts - INTERVAL 24 HOUR),
-        |r AS (SELECT purchase_id, touch_id,
-        |        count(*) OVER (PARTITION BY purchase_id) AS n,
-        |        row_number() OVER (PARTITION BY purchase_id
-        |          ORDER BY t_ts DESC, touch_id DESC) AS rk
-        |      FROM j)
-        |SELECT purchase_id, touch_id,
-        |  CAST(10000 // n + CASE WHEN rk <= 10000 % n THEN 1 ELSE 0 END
-        |    AS BIGINT) AS credit_bp
-        |FROM r ORDER BY purchase_id, touch_id""".stripMargin,
-
-    "q_funnel_time" ->
-      // discrete rank-selected percentiles (element selection, not
-      // interpolation); delays from floored epoch seconds on BOTH
-      // sides (floor-then-subtract, mirroring Spark's timestamp→long)
-      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
-        |           WHERE user_id IS NOT NULL AND event_type = 'view'
-        |           GROUP BY 1),
-        |pu AS (SELECT user_id, ts AS p_ts FROM events
-        |       WHERE user_id IS NOT NULL AND event_type = 'purchase'),
-        |d AS (SELECT pu.user_id,
-        |        CAST(floor(epoch(min(pu.p_ts))) AS BIGINT)
-        |          - CAST(floor(epoch(min(v.v_ts))) AS BIGINT) AS delay_s
-        |      FROM pu JOIN v ON pu.user_id = v.user_id
-        |      WHERE pu.p_ts >= v.v_ts GROUP BY 1),
-        |r AS (SELECT delay_s,
-        |        row_number() OVER (ORDER BY delay_s, user_id) AS rk
-        |      FROM d),
-        |n AS (SELECT count(*) AS n FROM d)
-        |SELECT max(n.n) AS n_converted,
-        |  max(CASE WHEN rk = ((n.n - 1) * 25) // 100 + 1 THEN delay_s END) AS p25_s,
-        |  max(CASE WHEN rk = ((n.n - 1) * 50) // 100 + 1 THEN delay_s END) AS p50_s,
-        |  max(CASE WHEN rk = ((n.n - 1) * 75) // 100 + 1 THEN delay_s END) AS p75_s,
-        |  max(CASE WHEN rk = ((n.n - 1) * 90) // 100 + 1 THEN delay_s END) AS p90_s
-        |FROM r, n""".stripMargin,
-
-    "q_cuped" ->
-      // intermediates named in CTEs (naming does not change the IEEE
-      // values — engines do not reassociate floats); parenthesization
-      // mirrors the Spark expressions exactly
-      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
-        |            CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
-        |          FROM orders),
-        |pre AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS x
-        |        FROM o WHERE d < DATE '1998-01-01' GROUP BY 1),
-        |ex AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS y
-        |       FROM o WHERE d >= DATE '1998-01-01' GROUP BY 1),
-        |subj AS (SELECT
-        |    CASE WHEN (ex.o_custkey % 1048573) * 2654435761 % 1000000 < 500000
-        |      THEN 0 ELSE 1 END AS v,
-        |    COALESCE(pre.x, 0) AS x, ex.y AS y
-        |  FROM ex LEFT JOIN pre ON ex.o_custkey = pre.o_custkey),
-        |m AS (SELECT
-        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |    sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS sx0,
-        |    sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS sx1,
-        |    sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS sy0,
-        |    sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS sy1,
-        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
-        |  FROM subj),
-        |d AS (SELECT n0, n1, sx0, sx1, sy0, sy1,
-        |    (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS nn,
-        |    (CAST(sx0 AS DOUBLE) + CAST(sx1 AS DOUBLE)) AS sxd,
-        |    (CAST(sy0 AS DOUBLE) + CAST(sy1 AS DOUBLE)) AS syd,
-        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
-        |    CAST(sxy AS DOUBLE) AS sxyd
-        |  FROM m),
-        |c AS (SELECT *, nn*sxxd - sxd*sxd AS sxxc,
-        |    nn*syyd - syd*syd AS syyc, nn*sxyd - sxd*syd AS sxyc
-        |  FROM d),
-        |f AS (SELECT *, sxyc/sxxc AS theta, sxd/nn AS meanx FROM c)
-        |SELECT n0, n1,
-        |  CAST(floor(theta * 10000 + 0.5) AS BIGINT) AS theta_bp,
-        |  CAST(floor((CAST(sy1 AS DOUBLE)/CAST(n1 AS DOUBLE)
-        |      - CAST(sy0 AS DOUBLE)/CAST(n0 AS DOUBLE)) * 100 + 0.5)
-        |    AS BIGINT) AS raw_diff_q,
-        |  CAST(floor(((CAST(sy1 AS DOUBLE)/CAST(n1 AS DOUBLE)
-        |        - theta*(CAST(sx1 AS DOUBLE)/CAST(n1 AS DOUBLE) - meanx))
-        |      - (CAST(sy0 AS DOUBLE)/CAST(n0 AS DOUBLE)
-        |        - theta*(CAST(sx0 AS DOUBLE)/CAST(n0 AS DOUBLE) - meanx)))
-        |      * 100 + 0.5) AS BIGINT) AS adj_diff_q,
-        |  CAST(floor((sxyc*sxyc)/(sxxc*syyc) * 10000 + 0.5) AS BIGINT) AS vr_bp
-        |FROM f""".stripMargin,
-
-    "q_ab_test_maintained" ->
-      // VERBATIM copy of q_ab_test's oracle: the maintained moment
-      // state must reproduce the one-shot readout exactly
-      """WITH o AS (
-        |  SELECT CASE WHEN (o_custkey % 1048573) * 2654435761 % 1000000 < 500000
-        |           THEN 0 ELSE 1 END AS v,
-        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders),
-        |m AS (SELECT
-        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |    sum(CASE WHEN v = 0 THEN cents ELSE 0 END) AS s0,
-        |    sum(CASE WHEN v = 1 THEN cents ELSE 0 END) AS s1,
-        |    sum(CASE WHEN v = 0 THEN cents*cents ELSE 0 END) AS ss0,
-        |    sum(CASE WHEN v = 1 THEN cents*cents ELSE 0 END) AS ss1,
-        |    CAST(sum(CASE WHEN v = 0 AND cents > 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-        |    CAST(sum(CASE WHEN v = 1 AND cents > 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS c1
-        |  FROM o)
-        |SELECT n0, n1,
-        |  CAST(s0 // n0 AS BIGINT) AS mean0_q,
-        |  CAST(s1 // n1 AS BIGINT) AS mean1_q,
-        |  CAST(floor(
-        |    (CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE))
-        |    / sqrt(
-        |      ((CAST(n1 AS DOUBLE)*CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
-        |        / (CAST(n1 AS DOUBLE)*(CAST(n1 AS DOUBLE) - 1.0))) / CAST(n1 AS DOUBLE)
-        |      + ((CAST(n0 AS DOUBLE)*CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE))
-        |        / (CAST(n0 AS DOUBLE)*(CAST(n0 AS DOUBLE) - 1.0))) / CAST(n0 AS DOUBLE))
-        |    * 10000 + 0.5) AS BIGINT) AS t_bp,
-        |  c0 AS conv0, c1 AS conv1,
-        |  CAST(floor(
-        |    (CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE)/CAST(n0 AS DOUBLE))
-        |    / sqrt(
-        |      ((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
-        |      * (1.0 - (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
-        |      * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE)))
-        |    * 10000 + 0.5) AS BIGINT) AS z_bp
-        |FROM m""".stripMargin,
-
-    "q_quantile_normalize" ->
-      // exact integer rank selection on both the within-source pct and
-      // the pooled lookup — element selection, no interpolation
-      """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
-        |           FROM documents),
-        |r AS (SELECT doc_id, source, n_chars,
-        |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
-        |        count(*) OVER (PARTITION BY source) AS n
-        |      FROM d),
-        |p AS (SELECT doc_id, source, n_chars,
-        |        CASE WHEN n = 1 THEN 5000
-        |             ELSE ((rk - 1) * 10000) // (n - 1) END AS pct_bp
-        |      FROM r),
-        |g AS (SELECT n_chars AS pool_chars,
-        |        row_number() OVER (ORDER BY n_chars, doc_id) AS grk FROM d),
-        |t AS (SELECT count(*) AS nn FROM d)
-        |SELECT p.doc_id, p.source, p.n_chars,
-        |  CAST(p.pct_bp AS BIGINT) AS pct_bp, g.pool_chars AS norm_chars
-        |FROM p CROSS JOIN t
-        |JOIN g ON g.grk = (p.pct_bp * (t.nn - 1)) // 10000 + 1
-        |ORDER BY p.doc_id""".stripMargin,
-
-    "q_seasonal_anomaly" ->
-      // q_seasonal's decomposition + discrete-median MAD flags — the
-      // same pmod-subtract floor division and element-selection rules
-      """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
-        |  FROM orders GROUP BY 1),
-        |s AS (SELECT d, rev_c, (d - DATE '1970-01-01') % 7 AS dow,
-        |        row_number() OVER (ORDER BY d) AS rn FROM daily),
-        |tr AS (SELECT d, rev_c, dow,
-        |         CASE WHEN count(*) OVER w = 7 THEN
-        |           CAST((sum(rev_c) OVER w
-        |             - (((sum(rev_c) OVER w) % 7) + 7) % 7) // 7 AS BIGINT)
-        |         END AS trend_c
-        |       FROM s WINDOW w AS (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |se AS (SELECT dow,
-        |         CAST((sum(rev_c - trend_c)
-        |           - (((sum(rev_c - trend_c)) % count(*)) + count(*)) % count(*))
-        |           // count(*) AS BIGINT) AS seasonal_c
-        |       FROM tr WHERE trend_c IS NOT NULL GROUP BY dow),
-        |res AS (SELECT tr.d, tr.rev_c,
-        |          tr.rev_c - tr.trend_c - se.seasonal_c AS resid
-        |        FROM tr LEFT JOIN se USING (dow) WHERE tr.trend_c IS NOT NULL),
-        |n AS (SELECT count(*) AS n FROM res),
-        |med AS (SELECT resid AS med FROM
-        |          (SELECT resid, d, row_number() OVER (ORDER BY resid, d) AS rk
-        |           FROM res) x, n WHERE rk = (n + 1) // 2),
-        |dev AS (SELECT res.d, res.rev_c, res.resid,
-        |          abs(res.resid - med.med) AS dev FROM res, med),
-        |mad AS (SELECT dev AS mad FROM
-        |          (SELECT dev, d, row_number() OVER (ORDER BY dev, d) AS rk
-        |           FROM dev) x, n WHERE rk = (n + 1) // 2)
-        |SELECT strftime(dev.d, '%Y-%m-%d') AS d, dev.rev_c, dev.resid,
-        |  dev.dev, mad.mad
-        |FROM dev, mad WHERE dev.dev > 3 * mad.mad ORDER BY dev.d""".stripMargin,
-
-    "q_feature_matrix" ->
-      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
-        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
-        |    o_orderpriority
-        |  FROM orders),
-        |ref AS (SELECT max(d) AS ref_d FROM o)
-        |SELECT o_custkey, count(*) AS n_orders,
-        |  CAST(sum(cents) AS BIGINT) AS total_c,
-        |  min(cents) AS min_c, max(cents) AS max_c,
-        |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_c,
-        |  CAST(min(ref_d - d) AS BIGINT) AS recency_d,
-        |  count(DISTINCT date_trunc('month', d)) AS active_months,
-        |  CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_urgent
-        |FROM o, ref GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_reorder_point" ->
-      """WITH li AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
-        |             CAST(l_quantity AS BIGINT) AS q FROM lineitem),
-        |pd AS (SELECT l_partkey, d, CAST(sum(q) AS BIGINT) AS qd
-        |       FROM li GROUP BY 1, 2),
-        |days AS (SELECT count(DISTINCT d) AS nd FROM li),
-        |m AS (SELECT l_partkey, count(*) AS days_sold,
-        |        CAST(sum(qd) AS BIGINT) AS total_qty,
-        |        CAST(sum(qd*qd) AS BIGINT) AS sqq
-        |      FROM pd GROUP BY 1)
-        |SELECT l_partkey, days_sold, total_qty,
-        |  CAST(floor((CAST(total_qty AS DOUBLE)/CAST(nd AS DOUBLE) * 7.0
-        |    + 1.65 * sqrt(greatest(
-        |        (CAST(sqq AS DOUBLE)
-        |          - CAST(total_qty AS DOUBLE)*CAST(total_qty AS DOUBLE)/CAST(nd AS DOUBLE))
-        |        / CAST(nd AS DOUBLE), 0.0)) * sqrt(7.0))
-        |    * 100 + 0.5) AS BIGINT) AS rop_q
-        |FROM m, days ORDER BY l_partkey""".stripMargin,
-
-    "q_price_elasticity" ->
-      """WITH j AS (
-        |  SELECT p_brand,
-        |    CAST(floor(ln(CAST(p_retailprice AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
-        |    CAST(floor(ln(CAST(l_quantity AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-        |m AS (SELECT p_brand, count(*) AS n_items,
-        |        sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
-        |      FROM j GROUP BY 1)
-        |SELECT p_brand, n_items,
-        |  CAST(floor(
-        |    (CAST(n_items AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-        |    / (CAST(n_items AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
-        |    * 10000 + 0.5) AS BIGINT) AS elasticity_bp
-        |FROM m ORDER BY p_brand""".stripMargin,
-
-    "q_concordance" ->
-      // same pinned whitespace class; DuckDB 1-based list slicing
-      // mirrors Spark's 1-based slice(start, length) exactly
-      """WITH toks AS (SELECT doc_id,
-        |    string_split_regex(trim(text), '[ \t\n\r\f]+') AS l
-        |  FROM documents WHERE trim(text) <> ''),
-        |occ AS (SELECT doc_id, i, len(l) AS n, l
-        |        FROM toks, LATERAL unnest(generate_series(1, len(l))) AS t(i)
-        |        WHERE l[i] = 'scan')
-        |SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |  COALESCE(array_to_string(l[greatest(i-2, 1): i-1], ' '), '') AS left_ctx,
-        |  COALESCE(array_to_string(l[i+1 : least(i+2, n)], ' '), '') AS right_ctx
-        |FROM occ ORDER BY doc_id, pos""".stripMargin,
-
-    "q_l_diversity" ->
-      """WITH c AS (SELECT c_nationkey, c_mktsegment,
-        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,
-        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS balance_c
-        |  FROM customer)
-        |SELECT c_nationkey, c_mktsegment, balance_band,
-        |  count(*) AS class_size,
-        |  count(DISTINCT balance_c) AS n_sensitive_values
-        |FROM c GROUP BY 1, 2, 3
-        |HAVING count(DISTINCT balance_c) < 3
-        |ORDER BY c_nationkey, c_mktsegment, balance_band""".stripMargin,
-
-    "q_propensity_match" ->
-      // nearest-control replay: controls dedup to min id per (stratum,
-      // score); rank by |Δscore| with the as-of tie rule (at-or-below
-      // control wins an exact distance tie)
-      """WITH cust AS (SELECT c_custkey AS id, c_nationkey AS nat,
-        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS s,
-        |    (c_mktsegment = 'BUILDING') AS tr
-        |  FROM customer),
-        |outc AS (SELECT o_custkey,
-        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS oc
-        |  FROM orders GROUP BY 1),
-        |pop AS (SELECT c.id, c.nat, c.s, c.tr, coalesce(o.oc, 0) AS y
-        |  FROM cust c LEFT JOIN outc o ON o.o_custkey = c.id),
-        |ctl AS (SELECT nat, s, min(id) AS mid FROM pop WHERE NOT tr GROUP BY 1, 2),
-        |ctl2 AS (SELECT c.nat, c.s, c.mid, p.y AS my
-        |  FROM ctl c JOIN pop p ON p.id = c.mid),
-        |m AS (SELECT t.id, t.nat, t.s, t.y, c.mid, c.s AS ms, c.my,
-        |    row_number() OVER (PARTITION BY t.id
-        |      ORDER BY abs(t.s - c.s),
-        |               CASE WHEN c.s <= t.s THEN 0 ELSE 1 END) AS rk
-        |  FROM pop t JOIN ctl2 c ON c.nat = t.nat WHERE t.tr)
-        |SELECT id AS c_custkey, nat AS c_nationkey, s AS score,
-        |  y AS outcome, mid AS match_id, ms AS match_score,
-        |  my AS match_outcome, y - my AS effect
-        |FROM m WHERE rk = 1 AND abs(s - ms) <= 30000
-        |ORDER BY c_custkey""".stripMargin,
-
-    "q_conformal" ->
-      // residual ranks and coverage compare |y·n − S| as integers —
-      // the mean never materializes; quantized readouts floor-divide
-      """WITH d AS (SELECT source, doc_id,
-        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-        |      ELSE len(string_split_regex(trim(text), '[ \t\n\r\f]+')) END AS BIGINT) AS y,
-        |    (((doc_id % 1048573) * 2654435761) % 1000000 < 500000) AS cal
-        |  FROM documents),
-        |st AS (SELECT source, count(*) AS n_cal,
-        |    CAST(sum(y) AS BIGINT) AS s
-        |  FROM d WHERE cal GROUP BY 1),
-        |r AS (SELECT d.source, d.doc_id, abs(d.y * st.n_cal - st.s) AS r,
-        |    st.n_cal, st.s,
-        |    least((9000 * (st.n_cal + 1) + 9999) // 10000, st.n_cal) AS k
-        |  FROM d JOIN st ON st.source = d.source WHERE d.cal),
-        |q AS (SELECT source, r AS qhat FROM (
-        |    SELECT source, r, k,
-        |      row_number() OVER (PARTITION BY source ORDER BY r, doc_id) AS rk
-        |    FROM r) WHERE rk = k),
-        |t AS (SELECT d.source, st.n_cal, st.s, q.qhat,
-        |    CASE WHEN abs(d.y * st.n_cal - st.s) <= q.qhat THEN 1 ELSE 0 END AS cov
-        |  FROM d JOIN st ON st.source = d.source
-        |         JOIN q ON q.source = d.source
-        |  WHERE NOT d.cal)
-        |SELECT source, CAST(any_value(n_cal) AS BIGINT) AS n_cal,
-        |  CAST((any_value(s) * 10000) // any_value(n_cal) AS BIGINT) AS mu_e4,
-        |  CAST((any_value(qhat) * 10000) // any_value(n_cal) AS BIGINT) AS q_e4,
-        |  count(*) AS n_test,
-        |  CAST(sum(cov) AS BIGINT) AS covered,
-        |  CAST((sum(cov) * 10000) // count(*) AS BIGINT) AS cover_bp
-        |FROM t GROUP BY source
-        |ORDER BY source""".stripMargin,
-
-    "q_bootstrap_ci" ->
-      // Poisson bootstrap replay: identical portable hash, identical
-      // pinned inverse-CDF double literals, identical floor divisions
-      // and rank selections (lo=ceil(.025B)=3, hi=ceil(.975B)=98)
-      """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey AS id,
-        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
-        |  FROM orders),
-        |x AS (SELECT o.*, r.range AS b,
-        |    (((o.id * 131 + r.range) % 1048573) * 2654435761 % 1000000)
-        |      / 1000000.0 AS u
-        |  FROM o CROSS JOIN range(0, 100) r),
-        |wt AS (SELECT pri, b, v,
-        |    CASE WHEN u < 0.36787944117144233 THEN 0
-        |         WHEN u < 0.7357588823428847 THEN 1
-        |         WHEN u < 0.9196986029286058 THEN 2
-        |         WHEN u < 0.9810118431238463 THEN 3
-        |         WHEN u < 0.9963401531726563 THEN 4
-        |         WHEN u < 0.9994058151824183 THEN 5
-        |         WHEN u < 0.999916758850712 THEN 6
-        |         WHEN u < 0.9999897508033253 THEN 7
-        |         WHEN u < 0.999998874797402 THEN 8
-        |         ELSE 9 END AS w
-        |  FROM x),
-        |reps AS (SELECT pri, b,
-        |    CAST(sum(w * v) AS BIGINT) // CAST(sum(w) AS BIGINT) AS mean
-        |  FROM wt GROUP BY 1, 2 HAVING sum(w) > 0),
-        |rk AS (SELECT pri, b, mean,
-        |    row_number() OVER (PARTITION BY pri ORDER BY mean, b) AS rk
-        |  FROM reps),
-        |ci AS (SELECT pri, count(*) AS n_reps,
-        |    max(CASE WHEN rk = 3 THEN mean END) AS ci_lo,
-        |    max(CASE WHEN rk = 98 THEN mean END) AS ci_hi
-        |  FROM rk GROUP BY 1),
-        |pt AS (SELECT pri, count(*) AS n_rows,
-        |    CAST(sum(v) AS BIGINT) // count(*) AS mean_cents
-        |  FROM o GROUP BY 1)
-        |SELECT ci.pri AS o_orderpriority, pt.n_rows,
-        |  CAST(pt.mean_cents AS BIGINT) AS mean_cents, ci.n_reps,
-        |  CAST(ci.ci_lo AS BIGINT) AS ci_lo, CAST(ci.ci_hi AS BIGINT) AS ci_hi
-        |FROM ci JOIN pt ON pt.pri = ci.pri
-        |ORDER BY o_orderpriority""".stripMargin,
-
-    "q_hhi" ->
-      """WITH rev AS (SELECT c.c_mktsegment AS seg, c.c_custkey AS ck,
-        |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT seg, ck, r,
-        |    row_number() OVER (PARTITION BY seg ORDER BY r DESC, ck) AS rk
-        |  FROM rev)
-        |SELECT seg AS c_mktsegment, count(*) AS n_entities,
-        |  CAST(sum(r) AS BIGINT) AS total,
-        |  CAST((sum(r * r) * 100000000) // (sum(r) * sum(r)) AS BIGINT) AS hhi_e8,
-        |  CAST((sum(CASE WHEN rk <= 4 THEN r ELSE 0 END) * 10000) // sum(r)
-        |    AS BIGINT) AS cr4_bp
-        |FROM rk GROUP BY seg
-        |ORDER BY c_mktsegment""".stripMargin,
-
-    "q_fd_discovery" ->
-      // TANE g3 per candidate: rows − Σ max single-rhs count; NULL lhs
-      // dropped, NULL rhs a regular value (GROUP BY null-equality)
-      """WITH d AS (SELECT l.*, p.p_brand, p.p_type
-        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
-        |pair1 AS (SELECT l_partkey AS lhs_v, p_brand AS rhs_v, count(*) AS n
-        |  FROM d WHERE l_partkey IS NOT NULL GROUP BY 1, 2),
-        |pair2 AS (SELECT p_brand AS lhs_v, p_type AS rhs_v, count(*) AS n
-        |  FROM d WHERE p_brand IS NOT NULL GROUP BY 1, 2),
-        |pair3 AS (SELECT l_orderkey AS lhs_v, l_shipdate AS rhs_v, count(*) AS n
-        |  FROM d WHERE l_orderkey IS NOT NULL GROUP BY 1, 2),
-        |pair4 AS (SELECT l_partkey AS lhs_v, l_suppkey AS rhs_v, count(*) AS n
-        |  FROM d WHERE l_partkey IS NOT NULL GROUP BY 1, 2),
-        |agg AS (
-        |  SELECT 'l_partkey' AS lhs, 'p_brand' AS rhs, * FROM (
-        |    SELECT count(*) AS n_lhs,
-        |      CAST(sum(CASE WHEN kr > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
-        |      CAST(sum(rows_) AS BIGINT) AS n_rows,
-        |      CAST(sum(rows_ - keep) AS BIGINT) AS g3_remove
-        |    FROM (SELECT lhs_v, count(*) AS kr, sum(n) AS rows_, max(n) AS keep
-        |          FROM pair1 GROUP BY 1))
-        |  UNION ALL
-        |  SELECT 'p_brand', 'p_type', * FROM (
-        |    SELECT count(*),
-        |      CAST(sum(CASE WHEN kr > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |      CAST(sum(rows_) AS BIGINT), CAST(sum(rows_ - keep) AS BIGINT)
-        |    FROM (SELECT lhs_v, count(*) AS kr, sum(n) AS rows_, max(n) AS keep
-        |          FROM pair2 GROUP BY 1))
-        |  UNION ALL
-        |  SELECT 'l_orderkey', 'l_shipdate', * FROM (
-        |    SELECT count(*),
-        |      CAST(sum(CASE WHEN kr > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |      CAST(sum(rows_) AS BIGINT), CAST(sum(rows_ - keep) AS BIGINT)
-        |    FROM (SELECT lhs_v, count(*) AS kr, sum(n) AS rows_, max(n) AS keep
-        |          FROM pair3 GROUP BY 1))
-        |  UNION ALL
-        |  SELECT 'l_partkey', 'l_suppkey', * FROM (
-        |    SELECT count(*),
-        |      CAST(sum(CASE WHEN kr > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |      CAST(sum(rows_) AS BIGINT), CAST(sum(rows_ - keep) AS BIGINT)
-        |    FROM (SELECT lhs_v, count(*) AS kr, sum(n) AS rows_, max(n) AS keep
-        |          FROM pair4 GROUP BY 1)))
-        |SELECT lhs, rhs, n_lhs, n_violating, n_rows, g3_remove,
-        |  (n_violating = 0) AS fd_holds
-        |FROM agg ORDER BY lhs, rhs""".stripMargin,
-
-    "q_twa" ->
-      // sample-and-hold durations on truncated epoch seconds; exact
-      // integer numerator, one floor division per key
-      """WITH e AS (SELECT user_id, event_id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |seg AS (SELECT user_id, v,
-        |    lead(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) - ep AS dur
-        |  FROM e)
-        |SELECT user_id, count(*) + 1 AS n_obs,
-        |  CAST(sum(dur) AS BIGINT) AS span_s,
-        |  CAST(CAST(sum(v * dur) AS BIGINT) // CAST(sum(dur) AS BIGINT)
-        |    AS BIGINT) AS twa
-        |FROM seg WHERE dur IS NOT NULL
-        |GROUP BY user_id HAVING sum(dur) > 0
-        |ORDER BY user_id""".stripMargin,
-
-    "q_shapley" ->
-      // full lattice replay over k=4 channels: exposure-mask counts,
-      // v(S) by subset join, Shapley sum with integer factorial
-      // weights, one floor quantization — every step integer-exact
-      """WITH e AS (SELECT user_id, event_id, event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep
-        |  FROM events WHERE user_id IS NOT NULL),
-        |g AS (SELECT *, CASE WHEN ep - lag(ep) OVER
-        |      (PARTITION BY user_id ORDER BY ep, event_id) > 1800
-        |    THEN 1 ELSE 0 END AS gap FROM e),
-        |s AS (SELECT *, user_id || '#' || CAST(sum(gap) OVER
-        |      (PARTITION BY user_id ORDER BY ep, event_id
-        |       ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS jid FROM g),
-        |p AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase'
-        |      THEN 1 ELSE 0 END) OVER (PARTITION BY jid
-        |      ORDER BY ep, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-        |  FROM s),
-        |j AS (SELECT jid,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
-        |    sum(DISTINCT CASE event_type WHEN 'click' THEN 1
-        |      WHEN 'error' THEN 2 WHEN 'signup' THEN 4
-        |      WHEN 'view' THEN 8 ELSE 0 END) AS mask
-        |  FROM p WHERE cb = 0 GROUP BY jid),
-        |m AS (SELECT CAST(mask AS INTEGER) AS mask, count(*) AS n
-        |  FROM j WHERE conv = 1 GROUP BY 1),
-        |masks AS (SELECT CAST(r.range AS INTEGER) AS s FROM range(0, 16) r),
-        |vs AS (SELECT ms.s, CAST(coalesce(sum(m.n), 0) AS BIGINT) AS v
-        |  FROM masks ms LEFT JOIN m ON (m.mask & ms.s) = m.mask
-        |  GROUP BY 1),
-        |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
-        |    ('signup', 4), ('view', 8)) AS t(channel, b)),
-        |ph AS (SELECT ch.channel,
-        |    CAST(sum(
-        |      (CASE ((v1.s & 1) + ((v1.s >> 1) & 1) + ((v1.s >> 2) & 1)
-        |            + ((v1.s >> 3) & 1))
-        |         WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 6 END) *
-        |      (CASE (3 - ((v1.s & 1) + ((v1.s >> 1) & 1) + ((v1.s >> 2) & 1)
-        |            + ((v1.s >> 3) & 1)))
-        |         WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 6 END) *
-        |      (v2.v - v1.v)) AS BIGINT) AS num
-        |  FROM ch
-        |  JOIN vs v1 ON (v1.s & ch.b) = 0
-        |  JOIN vs v2 ON v2.s = (v1.s | ch.b)
-        |  GROUP BY 1),
-        |tc AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM m)
-        |SELECT ph.channel,
-        |  CAST((ph.num * 1000000) // 24 AS BIGINT) AS phi_e6,
-        |  CAST(coalesce((SELECT sum(m.n) FROM m WHERE (m.mask & ch.b) <> 0), 0)
-        |    AS BIGINT) AS n_conv_touching,
-        |  tc.total AS total_conv
-        |FROM ph JOIN ch ON ch.channel = ph.channel CROSS JOIN tc
-        |ORDER BY ph.channel""".stripMargin,
-
-    "q_sprt" ->
-      // the four constants are .toString of the EXACT doubles the Spark
-      // side uses (shortest round-trip repr parses to the same IEEE
-      // value); LLR replays the identical two-flop expression
-      s"""WITH o AS (SELECT o_orderkey % 2 AS arm,
-        |    CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS x,
-        |    o_orderdate, o_orderkey FROM orders),
-        |c AS (SELECT arm,
-        |    CAST(sum(x) OVER w AS BIGINT) AS cx,
-        |    CAST(count(*) OVER w AS BIGINT) AS cn
-        |  FROM o WINDOW w AS (PARTITION BY arm
-        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)),
-        |d AS (SELECT arm, cn,
-        |    (cx * ${sprtC._1}) + ((cn - cx) * ${sprtC._2}) AS llr
-        |  FROM c),
-        |e AS (SELECT arm, cn, llr,
-        |    CASE WHEN llr >= ${sprtC._3} THEN 1
-        |         WHEN llr <= ${sprtC._4} THEN -1 ELSE 0 END AS dec
-        |  FROM d),
-        |hit AS (SELECT arm, min(cn) AS hn FROM e WHERE dec <> 0 GROUP BY 1),
-        |fin AS (SELECT arm, max(cn) AS n_total FROM e GROUP BY 1),
-        |pick AS (SELECT f.arm, coalesce(h.hn, f.n_total) AS n_decide,
-        |    f.n_total
-        |  FROM fin f LEFT JOIN hit h ON h.arm = f.arm)
-        |SELECT p.arm, p.n_decide,
-        |  CASE e.dec WHEN 1 THEN 'accept_h1' WHEN -1 THEN 'accept_h0'
-        |    ELSE 'undecided' END AS decision,
-        |  CAST(floor(e.llr * 10000 + 0.5) AS BIGINT) AS llr_bp,
-        |  p.n_total
-        |FROM pick p JOIN e ON e.arm = p.arm AND e.cn = p.n_decide
-        |ORDER BY p.arm""".stripMargin,
-
-    "q_logrank" ->
-      // q_survival_km's subject derivation split by segment; per-time
-      // O−E and variance replay the pinned double parenthesization
-      """WITH ev AS (
-        |  SELECT o_custkey,
-        |    CAST(min(o_orderdate) AS DATE) AS first_d,
-        |    CAST(max(o_orderdate) AS DATE) AS last_d
-        |  FROM orders GROUP BY 1),
-        |mx AS (SELECT max(last_d) AS mxd FROM ev),
-        |subj AS (SELECT CAST(last_d - first_d AS BIGINT) AS duration,
-        |    CASE WHEN mxd - last_d >= 365 THEN 1 ELSE 0 END AS event,
-        |    CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
-        |  FROM ev CROSS JOIN mx
-        |  JOIN customer c ON c.c_custkey = ev.o_custkey),
-        |byt AS (SELECT duration AS t,
-        |    CAST(sum(event * g) AS BIGINT) AS d1,
-        |    CAST(sum(event) AS BIGINT) AS d,
-        |    CAST(sum(g) AS BIGINT) AS r1,
-        |    count(*) AS r
-        |  FROM subj GROUP BY 1),
-        |tot AS (SELECT count(*) AS n, CAST(sum(g) AS BIGINT) AS n1 FROM subj),
-        |risk0 AS (SELECT t, d1, d,
-        |    CAST(n - coalesce(sum(r) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nr,
-        |    CAST(n1 - coalesce(sum(r1) OVER (ORDER BY t
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nr1
-        |  FROM byt, tot),
-        |-- the d>0 filter must come AFTER the cumulative at-risk counts:
-        |-- a WHERE on the windowed CTE would drop censored-only times
-        |-- from the risk-set arithmetic (caught by the sf0.001 gate)
-        |risk AS (SELECT * FROM risk0 WHERE d > 0),
-        |terms AS (SELECT
-        |    CAST(floor((CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) *
-        |      (CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))) * 100000000 + 0.5)
-        |      AS BIGINT) AS oe8,
-        |    CAST(floor((CASE WHEN nr > 1 THEN
-        |      CAST(d AS DOUBLE) * (CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE)) *
-        |      (1.0 - (CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))) *
-        |      CAST(nr - d AS DOUBLE) / CAST(nr - 1 AS DOUBLE)
-        |      ELSE 0.0 END) * 100000000 + 0.5) AS BIGINT) AS vr8,
-        |    d1, d
-        |  FROM risk),
-        |sums AS (SELECT CAST(sum(oe8) AS BIGINT) AS oe_e8,
-        |    CAST(sum(vr8) AS BIGINT) AS var_e8,
-        |    CAST(sum(d1) AS BIGINT) AS deaths_1,
-        |    CAST(sum(d) AS BIGINT) AS deaths
-        |  FROM terms)
-        |SELECT tot.n1 AS n_1, CAST(tot.n - tot.n1 AS BIGINT) AS n_0,
-        |  s.deaths_1, s.deaths, s.oe_e8, s.var_e8,
-        |  CAST(floor((CAST(s.oe_e8 AS DOUBLE) / 100000000) *
-        |    (CAST(s.oe_e8 AS DOUBLE) / 100000000) /
-        |    (CAST(s.var_e8 AS DOUBLE) / 100000000) * 10000 + 0.5)
-        |    AS BIGINT) AS chi2_bp
-        |FROM sums s, tot""".stripMargin,
-
-    "q_rake" ->
-      // IPF unrolled: 3 rounds x (row update, column update), weights
-      // e6-quantized by floor division after every update — integer
-      // arithmetic end to end, bit-equal to the driver-side BigInt fit
-      """WITH samp AS (SELECT CAST(c.c_nationkey AS VARCHAR) AS nation,
-        |    c.c_mktsegment AS segment
-        |  FROM customer c JOIN (SELECT DISTINCT o_custkey FROM orders
-        |    WHERE year(o_orderdate) = 1997) o ON o.o_custkey = c.c_custkey),
-        |cells AS (SELECT nation, segment, count(*) AS n FROM samp GROUP BY 1, 2),
-        |tr AS (SELECT CAST(c_nationkey AS VARCHAR) AS nation, count(*) AS t
-        |  FROM customer GROUP BY 1),
-        |tc AS (SELECT c_mktsegment AS segment, count(*) AS t
-        |  FROM customer GROUP BY 1),
-        |w0 AS (SELECT nation, segment, n, CAST(1000000 AS HUGEINT) AS w FROM cells),
-        |r1 AS (SELECT nation, sum(w * n) AS m FROM w0 GROUP BY 1),
-        |w1 AS (SELECT w0.nation, w0.segment, w0.n,
-        |    (w0.w * tr.t * 1000000) // r1.m AS w
-        |  FROM w0 JOIN tr ON tr.nation = w0.nation
-        |          JOIN r1 ON r1.nation = w0.nation),
-        |c1 AS (SELECT segment, sum(w * n) AS m FROM w1 GROUP BY 1),
-        |w2 AS (SELECT w1.nation, w1.segment, w1.n,
-        |    (w1.w * tc.t * 1000000) // c1.m AS w
-        |  FROM w1 JOIN tc ON tc.segment = w1.segment
-        |          JOIN c1 ON c1.segment = w1.segment),
-        |r2 AS (SELECT nation, sum(w * n) AS m FROM w2 GROUP BY 1),
-        |w3 AS (SELECT w2.nation, w2.segment, w2.n,
-        |    (w2.w * tr.t * 1000000) // r2.m AS w
-        |  FROM w2 JOIN tr ON tr.nation = w2.nation
-        |          JOIN r2 ON r2.nation = w2.nation),
-        |c2 AS (SELECT segment, sum(w * n) AS m FROM w3 GROUP BY 1),
-        |w4 AS (SELECT w3.nation, w3.segment, w3.n,
-        |    (w3.w * tc.t * 1000000) // c2.m AS w
-        |  FROM w3 JOIN tc ON tc.segment = w3.segment
-        |          JOIN c2 ON c2.segment = w3.segment),
-        |r3 AS (SELECT nation, sum(w * n) AS m FROM w4 GROUP BY 1),
-        |w5 AS (SELECT w4.nation, w4.segment, w4.n,
-        |    (w4.w * tr.t * 1000000) // r3.m AS w
-        |  FROM w4 JOIN tr ON tr.nation = w4.nation
-        |          JOIN r3 ON r3.nation = w4.nation),
-        |c3 AS (SELECT segment, sum(w * n) AS m FROM w5 GROUP BY 1),
-        |w6 AS (SELECT w5.nation, w5.segment, w5.n,
-        |    (w5.w * tc.t * 1000000) // c3.m AS w
-        |  FROM w5 JOIN tc ON tc.segment = w5.segment
-        |          JOIN c3 ON c3.segment = w5.segment)
-        |SELECT nation, segment, CAST(n AS BIGINT) AS n,
-        |  CAST(w AS BIGINT) AS weight_e6
-        |FROM w6 ORDER BY nation, segment""".stripMargin,
-
-    "q_bfs_reach" ->
-      // depth-bounded recursive frontier walk; the min-dist rollup at
-      // the end collapses duplicate paths exactly as the per-round
-      // grouped min does on the Spark side
-      """WITH RECURSIVE pr AS (
-        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-        |    count(DISTINCT a.l_orderkey) AS c
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
-        |ed AS (SELECT least(pa, pb) AS u, greatest(pa, pb) AS v
-        |  FROM pr WHERE pa <> pb GROUP BY 1, 2),
-        |bi AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
-        |seeds AS (SELECT node FROM (SELECT DISTINCT u AS node FROM bi)
-        |  ORDER BY node LIMIT 5),
-        |r AS (
-        |  SELECT node, 0 AS dist FROM seeds
-        |  UNION ALL
-        |  SELECT bi.v AS node, r.dist + 1 AS dist
-        |  FROM r JOIN bi ON bi.u = r.node WHERE r.dist < 3)
-        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
-        |FROM r GROUP BY node ORDER BY node""".stripMargin,
-
-    "q_mutual_info" ->
-      // observed cells only (zero cells contribute exactly 0 to MI);
-      // each ln term quantizes to e8 from the identical pinned double
-      """WITH d AS (SELECT o_orderpriority AS a, o_orderstatus AS b
-        |  FROM orders
-        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
-        |cells AS (SELECT a, b, count(*) AS o FROM d GROUP BY 1, 2),
-        |am AS (SELECT a, CAST(sum(o) AS BIGINT) AS na FROM cells GROUP BY 1),
-        |bm AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb FROM cells GROUP BY 1),
-        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
-        |mi AS (SELECT
-        |    CAST(sum(CAST(floor((CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |      ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)) /
-        |         (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 100000000 + 0.5)
-        |      AS BIGINT)) AS BIGINT) AS mi_e8,
-        |    count(*) AS cells
-        |  FROM cells JOIN am USING (a) JOIN bm USING (b) CROSS JOIN tot),
-        |ha AS (SELECT CAST(sum(CAST(floor((CAST(na AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |    ln(CAST(n AS DOUBLE) / CAST(na AS DOUBLE)) * 100000000 + 0.5)
-        |    AS BIGINT)) AS BIGINT) AS h_a_e8 FROM am CROSS JOIN tot),
-        |hb AS (SELECT CAST(sum(CAST(floor((CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |    ln(CAST(n AS DOUBLE) / CAST(nb AS DOUBLE)) * 100000000 + 0.5)
-        |    AS BIGINT)) AS BIGINT) AS h_b_e8 FROM bm CROSS JOIN tot)
-        |SELECT tot.n, mi.cells, mi.mi_e8, ha.h_a_e8, hb.h_b_e8,
-        |  CAST(floor(CAST(mi.mi_e8 AS DOUBLE) /
-        |    sqrt(CAST(ha.h_a_e8 AS DOUBLE) * CAST(hb.h_b_e8 AS DOUBLE)) *
-        |    10000 + 0.5) AS BIGINT) AS nmi_bp
-        |FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN tot""".stripMargin,
-
-    "q_t_closeness" ->
-      // ordered-EMD per class: integer cumulative differences, one
-      // decimal floor division; the last bucket's cum is 0 by
-      // construction so including it is harmless
-      """WITH rev AS (SELECT o_custkey,
-        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
-        |  FROM orders GROUP BY 1),
-        |pop AS (SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
-        |    coalesce(rev.r, 0) AS rev
-        |  FROM customer c LEFT JOIN rev ON rev.o_custkey = c.c_custkey),
-        |nn AS (SELECT count(*) AS n FROM pop),
-        |rk AS (SELECT pop.*, row_number() OVER (ORDER BY rev, c_custkey) AS rk
-        |  FROM pop),
-        |bk AS (SELECT c_nationkey, c_mktsegment,
-        |    ((rk - 1) * 10) // n AS bucket FROM rk CROSS JOIN nn),
-        |cls AS (SELECT c_nationkey, c_mktsegment, bucket, count(*) AS c
-        |  FROM bk GROUP BY 1, 2, 3),
-        |gl AS (SELECT bucket, count(*) AS g FROM bk GROUP BY 1),
-        |csz AS (SELECT c_nationkey, c_mktsegment, CAST(sum(c) AS BIGINT) AS nc
-        |  FROM cls GROUP BY 1, 2),
-        |grid AS (SELECT z.c_nationkey, z.c_mktsegment, z.nc, gl.bucket, gl.g,
-        |    coalesce(cls.c, 0) AS c, nn.n
-        |  FROM csz z CROSS JOIN gl CROSS JOIN nn
-        |  LEFT JOIN cls ON cls.c_nationkey = z.c_nationkey
-        |    AND cls.c_mktsegment = z.c_mktsegment AND cls.bucket = gl.bucket),
-        |cum AS (SELECT c_nationkey, c_mktsegment, nc, n,
-        |    sum(c * n - g * nc) OVER (PARTITION BY c_nationkey, c_mktsegment
-        |      ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cm
-        |  FROM grid)
-        |SELECT c_nationkey, c_mktsegment, nc AS n_class,
-        |  CAST((sum(abs(cm)) * 10000) // (nc * n * 9) AS BIGINT) AS t_bp
-        |FROM cum GROUP BY 1, 2, 3, n
-        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
-
-    "q_qini" ->
-      // cumulative curve counts are exact; the qini numerator is
-      // exactly divisible by cum_nc after the posmod subtract, so //
-      // equals the true quotient even when negative
-      """WITH resp AS (SELECT DISTINCT o_custkey FROM orders
-        |  WHERE year(o_orderdate) = 1997),
-        |pop AS (SELECT c.c_custkey,
-        |    CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS score,
-        |    (c.c_mktsegment = 'BUILDING') AS tr,
-        |    CASE WHEN resp.o_custkey IS NULL THEN 0 ELSE 1 END AS resp
-        |  FROM customer c LEFT JOIN resp ON resp.o_custkey = c.c_custkey),
-        |nn AS (SELECT count(*) AS n FROM pop),
-        |rk AS (SELECT pop.*, row_number() OVER (ORDER BY score DESC, c_custkey) AS rk
-        |  FROM pop),
-        |dec AS (SELECT tr, resp, ((rk - 1) * 10) // n AS decile
-        |  FROM rk CROSS JOIN nn),
-        |byd AS (SELECT decile,
-        |    CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS nt,
-        |    CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS nc,
-        |    CAST(sum(CASE WHEN tr THEN resp ELSE 0 END) AS BIGINT) AS rt,
-        |    CAST(sum(CASE WHEN tr THEN 0 ELSE resp END) AS BIGINT) AS rc
-        |  FROM dec GROUP BY 1),
-        |cum AS (SELECT decile,
-        |    CAST(sum(nt) OVER w AS BIGINT) AS cum_nt,
-        |    CAST(sum(nc) OVER w AS BIGINT) AS cum_nc,
-        |    CAST(sum(rt) OVER w AS BIGINT) AS cum_rt,
-        |    CAST(sum(rc) OVER w AS BIGINT) AS cum_rc
-        |  FROM byd WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
-        |SELECT decile, cum_nt, cum_nc, cum_rt, cum_rc,
-        |  CAST(((cum_rt * cum_nc - cum_rc * cum_nt) * 10000
-        |    - ((((cum_rt * cum_nc - cum_rc * cum_nt) * 10000) % cum_nc
-        |        + cum_nc) % cum_nc)) // cum_nc AS BIGINT) AS qini_e4
-        |FROM cum ORDER BY decile""".stripMargin,
-
-    "q_keywords" ->
-      // RAKE replay: same pinned whitespace class + stopword list,
-      // same integer deg/freq scoring, same (score desc, phrase) top-20
-      """WITH toks AS (SELECT doc_id, l[i] AS w, i AS p
-        |  FROM (SELECT doc_id,
-        |      string_split_regex(trim(text), '[ \t\n\r\f]+') AS l
-        |    FROM documents WHERE trim(text) <> '') d,
-        |  LATERAL unnest(generate_series(1, len(l))) AS t(i)),
-        |marked AS (SELECT doc_id, w, p,
-        |    CASE WHEN w IN ('the','a','of','and','in','to','is')
-        |      THEN 1 ELSE 0 END AS stop FROM toks),
-        |isl AS (SELECT doc_id, w, p,
-        |    sum(stop) OVER (PARTITION BY doc_id ORDER BY p
-        |      ROWS UNBOUNDED PRECEDING) AS ph, stop
-        |  FROM marked),
-        |phrases AS (SELECT doc_id, ph,
-        |    string_agg(w, ' ' ORDER BY p) AS phrase,
-        |    CAST(count(*) AS BIGINT) AS len
-        |  FROM isl WHERE stop = 0 GROUP BY 1, 2
-        |  HAVING count(*) <= 4),
-        |pw AS (SELECT phrase, len, unnest(string_split(phrase, ' ')) AS w
-        |  FROM phrases),
-        |ws AS (SELECT w, CAST(sum(len) AS BIGINT) AS deg,
-        |    CAST(count(*) AS BIGINT) AS freq FROM pw GROUP BY 1),
-        |wsc AS (SELECT w, (deg * 10000) // freq AS score FROM ws),
-        |ps AS (SELECT pw.phrase, any_value(pw.len) AS n_words,
-        |    CAST(sum(wsc.score) AS BIGINT) AS pssum
-        |  FROM pw JOIN wsc ON wsc.w = pw.w GROUP BY 1),
-        |occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
-        |  FROM phrases GROUP BY 1),
-        |sc AS (SELECT ps.phrase, ps.n_words, occ.n_occurrences,
-        |    CAST(ps.pssum // occ.n_occurrences AS BIGINT) AS score_e4
-        |  FROM ps JOIN occ ON occ.phrase = ps.phrase),
-        |top AS (SELECT * FROM sc ORDER BY score_e4 DESC, phrase LIMIT 20)
-        |SELECT phrase, n_words, n_occurrences, score_e4,
-        |  CAST(row_number() OVER (ORDER BY score_e4 DESC, phrase) AS BIGINT)
-        |    AS rank
-        |FROM top ORDER BY rank""".stripMargin,
-
-    "q_price_volume_mix" ->
-      // per-item effects: the posmod-subtract leaves an exactly
-      // divisible numerator, so // equals the true floor even for the
-      // negative effects a price cut produces
-      """WITH li AS (SELECT l_partkey,
-        |    CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END AS period,
-        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS rev,
-        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
-        |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)),
-        |wb AS (SELECT p.p_brand, li.* FROM li
-        |  JOIN part p ON p.p_partkey = li.l_partkey),
-        |items AS (SELECT p_brand, l_partkey,
-        |    CAST(sum(CASE WHEN period = 0 THEN rev ELSE 0 END) AS BIGINT) AS r0,
-        |    CAST(sum(CASE WHEN period = 1 THEN rev ELSE 0 END) AS BIGINT) AS r1,
-        |    CAST(sum(CASE WHEN period = 0 THEN qty ELSE 0 END) AS BIGINT) AS q0,
-        |    CAST(sum(CASE WHEN period = 1 THEN qty ELSE 0 END) AS BIGINT) AS q1
-        |  FROM wb GROUP BY 1, 2),
-        |eff AS (SELECT p_brand, r0, r1,
-        |    CASE WHEN q0 > 0 AND q1 > 0 THEN
-        |      ((r1 * q0 - r0 * q1)
-        |        - (((r1 * q0 - r0 * q1) % q1 + q1) % q1)) // q1
-        |      ELSE 0 END AS pe,
-        |    CASE WHEN q0 > 0 AND q1 > 0 THEN
-        |      ((r0 * (q1 - q0))
-        |        - ((r0 * (q1 - q0)) % q0 + q0) % q0) // q0
-        |      ELSE 0 END AS ve,
-        |    CASE WHEN q0 = 0 AND q1 > 0 THEN r1 ELSE 0 END AS ne,
-        |    CASE WHEN q1 = 0 AND q0 > 0 THEN r0 ELSE 0 END AS de,
-        |    CASE WHEN q0 > 0 AND q1 > 0 THEN r1 - r0 ELSE 0 END AS bd
-        |  FROM items)
-        |SELECT p_brand,
-        |  CAST(sum(r0) AS BIGINT) AS rev0, CAST(sum(r1) AS BIGINT) AS rev1,
-        |  CAST(sum(r1) - sum(r0) AS BIGINT) AS delta,
-        |  CAST(sum(pe) AS BIGINT) AS price_eff,
-        |  CAST(sum(ve) AS BIGINT) AS vol_eff,
-        |  CAST(sum(bd) - sum(pe) - sum(ve) AS BIGINT) AS cross_eff,
-        |  CAST(sum(ne) AS BIGINT) AS new_eff,
-        |  CAST(sum(de) AS BIGINT) AS disc_eff
-        |FROM eff GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin,
-
-    "q_eb_rates" ->
-      // MoM Beta prior from exact e6 rate moments; both engines see the
-      // identical pinned double expressions for (alpha, beta)
-      """WITH pk AS (SELECT l_partkey, count(*) AS n,
-        |    CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS k
-        |  FROM lineitem GROUP BY 1),
-        |r AS (SELECT *, (k * 1000000) // n AS r6 FROM pk),
-        |mom AS (SELECT count(*) AS kk, sum(r6) AS s, sum(r6 * r6) AS ss FROM r),
-        |pr AS (SELECT (CAST(s AS DOUBLE) / CAST(kk AS DOUBLE)) AS m,
-        |    (CAST(ss AS DOUBLE) / CAST(kk AS DOUBLE) -
-        |     (CAST(s AS DOUBLE) / CAST(kk AS DOUBLE)) *
-        |     (CAST(s AS DOUBLE) / CAST(kk AS DOUBLE))) AS v
-        |  FROM mom),
-        |ab AS (SELECT m, (m * (1000000 - m) / v - 1.0) AS ab FROM pr),
-        |alf AS (SELECT CAST(floor(ab * m) AS BIGINT) AS alpha_e6,
-        |    CAST(floor(ab * (1000000 - m)) AS BIGINT) AS beta_e6
-        |  FROM ab)
-        |SELECT l_partkey, n, k,
-        |  CAST((k * 10000) // n AS BIGINT) AS raw_bp,
-        |  CAST(((k * 1000000 + alpha_e6) * 10000) //
-        |    (n * 1000000 + alpha_e6 + beta_e6) AS BIGINT) AS smoothed_bp,
-        |  alpha_e6, beta_e6
-        |FROM r CROSS JOIN alf ORDER BY l_partkey""".stripMargin,
-
-    "q_encoding_audit" ->
-      // identical constructed contamination; \x{...} escapes are valid
-      // in both Java regex and RE2
-      """WITH c AS (SELECT doc_id,
-        |    CASE WHEN doc_id < 120 THEN text || ' '
-        |      || repeat(chr(65533), CAST(doc_id % 3 AS INT))
-        |      || repeat(chr(8203), CAST(doc_id % 2 AS INT))
-        |      || CASE WHEN doc_id % 5 = 0 THEN chr(195) || chr(169)
-        |           ELSE '' END
-        |      || CASE WHEN doc_id % 7 = 0 THEN chr(7) ELSE '' END
-        |    ELSE text END AS t2
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t2, '\x{FFFD}')) AS BIGINT)
-        |    AS n_replacement,
-        |  CAST(len(regexp_extract_all(t2,
-        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT) AS n_control,
-        |  CAST(len(regexp_extract_all(t2, '[\x{200B}-\x{200D}\x{FEFF}]'))
-        |    AS BIGINT) AS n_zerowidth,
-        |  CAST(len(regexp_extract_all(t2, '\x{00C3}[\x{0080}-\x{00BF}]'))
-        |    AS BIGINT) AS n_mojibake,
-        |  (len(regexp_extract_all(t2, '\x{FFFD}'))
-        |    + len(regexp_extract_all(t2, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]'))
-        |    + len(regexp_extract_all(t2, '[\x{200B}-\x{200D}\x{FEFF}]'))
-        |    + len(regexp_extract_all(t2, '\x{00C3}[\x{0080}-\x{00BF}]')) = 0)
-        |    AS clean
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    "q_forecast_reconcile" ->
-      // q_holt's recursion replayed at BOTH hierarchy levels (arg_max
-      // picks each key's final state), then the q_allocate
-      // largest-remainder replay including the operator's
-      // all-zero-weights equal-split branch
-      """WITH RECURSIVE mon AS (
-        |  SELECT c_nationkey AS nation,
-        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
-        |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  GROUP BY 1, 2),
-        |s AS (SELECT nation, month, rev_c,
-        |        row_number() OVER (PARTITION BY nation ORDER BY month) AS rn
-        |      FROM mon),
-        |r AS (
-        |  SELECT nation, month, rev_c, rn, rev_c AS l, CAST(0 AS BIGINT) AS b
-        |  FROM s WHERE rn = 1
-        |  UNION ALL
-        |  SELECT s.nation, s.month, s.rev_c, s.rn,
-        |    ((s.rev_c + 3*(r.l + r.b))
-        |      - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4,
-        |    ((((s.rev_c + 3*(r.l + r.b))
-        |        - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4 - r.l + 3*r.b)
-        |      - (((((s.rev_c + 3*(r.l + r.b))
-        |        - (((s.rev_c + 3*(r.l + r.b)) % 4) + 4) % 4) // 4 - r.l + 3*r.b) % 4) + 4) % 4) // 4
-        |  FROM s JOIN r ON s.nation = r.nation AND s.rn = r.rn + 1),
-        |natfc AS (SELECT nation,
-        |    greatest(CAST(0 AS BIGINT), arg_max(l + b, rn)) AS base_fc
-        |  FROM r GROUP BY 1),
-        |natreg AS (SELECT n_nationkey AS nation, n_regionkey AS region
-        |  FROM nation),
-        |regmon AS (SELECT nr.region, m.month,
-        |    CAST(sum(m.rev_c) AS BIGINT) AS rev_c
-        |  FROM mon m JOIN natreg nr ON nr.nation = m.nation
-        |  GROUP BY 1, 2),
-        |s2 AS (SELECT region, month, rev_c,
-        |        row_number() OVER (PARTITION BY region ORDER BY month) AS rn
-        |      FROM regmon),
-        |r2 AS (
-        |  SELECT region, month, rev_c, rn, rev_c AS l, CAST(0 AS BIGINT) AS b
-        |  FROM s2 WHERE rn = 1
-        |  UNION ALL
-        |  SELECT s2.region, s2.month, s2.rev_c, s2.rn,
-        |    ((s2.rev_c + 3*(r2.l + r2.b))
-        |      - (((s2.rev_c + 3*(r2.l + r2.b)) % 4) + 4) % 4) // 4,
-        |    ((((s2.rev_c + 3*(r2.l + r2.b))
-        |        - (((s2.rev_c + 3*(r2.l + r2.b)) % 4) + 4) % 4) // 4 - r2.l + 3*r2.b)
-        |      - (((((s2.rev_c + 3*(r2.l + r2.b))
-        |        - (((s2.rev_c + 3*(r2.l + r2.b)) % 4) + 4) % 4) // 4 - r2.l + 3*r2.b) % 4) + 4) % 4) // 4
-        |  FROM s2 JOIN r2 ON s2.region = r2.region AND s2.rn = r2.rn + 1),
-        |regfc AS (SELECT region,
-        |    greatest(CAST(0 AS BIGINT), arg_max(l + b, rn)) AS region_fc
-        |  FROM r2 GROUP BY 1),
-        |j AS (SELECT nf.nation, nr.region, nf.base_fc, rf.region_fc
-        |  FROM natfc nf JOIN natreg nr ON nr.nation = nf.nation
-        |  JOIN regfc rf ON rf.region = nr.region),
-        |t AS (SELECT *, sum(base_fc) OVER (PARTITION BY region) AS tot,
-        |    count(*) OVER (PARTITION BY region) AS nn
-        |  FROM j),
-        |w1 AS (SELECT nation, region, base_fc, region_fc,
-        |    CASE WHEN tot = 0 THEN 1 ELSE base_fc END AS wgt,
-        |    CASE WHEN tot = 0 THEN nn ELSE tot END AS t1
-        |  FROM t),
-        |b1 AS (SELECT *,
-        |    CAST(CAST(region_fc AS HUGEINT) * wgt // t1 AS BIGINT) AS base,
-        |    (CAST(region_fc AS HUGEINT) * wgt) % t1 AS rem
-        |  FROM w1),
-        |rk AS (SELECT *, row_number() OVER (PARTITION BY region
-        |      ORDER BY rem DESC, nation) AS rnk,
-        |    region_fc - sum(base) OVER (PARTITION BY region) AS deficit
-        |  FROM b1)
-        |SELECT nation, region, base_fc, region_fc,
-        |  CAST(base + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END AS BIGINT)
-        |    AS reconciled_fc
-        |FROM rk ORDER BY nation""".stripMargin,
-
-    "q_croston" ->
-      // two independent ewma recursions (sizes over all demand months,
-      // intervals over the 2nd onward); everything positive, so //
-      // replays the operator's floorDiv
-      """WITH RECURSIVE dm AS (
-        |  SELECT l_partkey,
-        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS mn,
-        |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
-        |  FROM lineitem GROUP BY 1, 2),
-        |s AS (SELECT l_partkey, mn, q,
-        |    mn - lag(mn) OVER (PARTITION BY l_partkey ORDER BY mn) AS iv,
-        |    row_number() OVER (PARTITION BY l_partkey ORDER BY mn) AS rn
-        |  FROM dm),
-        |rz AS (
-        |  SELECT l_partkey, rn, q AS z FROM s WHERE rn = 1
-        |  UNION ALL
-        |  SELECT s.l_partkey, s.rn, (s.q + 3 * rz.z) // 4
-        |  FROM s JOIN rz ON s.l_partkey = rz.l_partkey AND s.rn = rz.rn + 1),
-        |rp AS (
-        |  SELECT l_partkey, rn, iv AS p FROM s WHERE rn = 2
-        |  UNION ALL
-        |  SELECT s.l_partkey, s.rn, (s.iv + 3 * rp.p) // 4
-        |  FROM s JOIN rp ON s.l_partkey = rp.l_partkey AND s.rn = rp.rn + 1),
-        |zf AS (SELECT l_partkey, CAST(max(rn) AS BIGINT) AS n_periods,
-        |    CAST(arg_max(z, rn) AS BIGINT) AS z_q
-        |  FROM rz GROUP BY 1),
-        |pf AS (SELECT l_partkey, CAST(arg_max(p, rn) AS BIGINT) AS p_q
-        |  FROM rp GROUP BY 1)
-        |SELECT zf.l_partkey, zf.n_periods, zf.z_q, pf.p_q,
-        |  CAST((zf.z_q * 10000) // pf.p_q AS BIGINT) AS rate_bp
-        |FROM zf JOIN pf ON pf.l_partkey = zf.l_partkey
-        |ORDER BY zf.l_partkey""".stripMargin,
-
-    "q_fano" ->
-      """WITH e AS (SELECT event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr FROM events),
-        |span AS (SELECT CAST(max(hr) - min(hr) + 1 AS BIGINT) AS h FROM e),
-        |slots AS (SELECT event_type, hr, count(*) AS c FROM e GROUP BY 1, 2),
-        |agg AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
-        |    count(*) AS n_active_hours,
-        |    CAST(sum(c * c) AS BIGINT) AS ss
-        |  FROM slots GROUP BY 1)
-        |SELECT event_type, n_events, span.h AS n_hours, n_active_hours,
-        |  CAST(floor(((CAST(ss AS DOUBLE) / CAST(span.h AS DOUBLE) -
-        |    (CAST(n_events AS DOUBLE) / CAST(span.h AS DOUBLE)) *
-        |    (CAST(n_events AS DOUBLE) / CAST(span.h AS DOUBLE))) /
-        |    (CAST(n_events AS DOUBLE) / CAST(span.h AS DOUBLE))) * 10000 + 0.5)
-        |    AS BIGINT) AS fano_bp
-        |FROM agg CROSS JOIN span
-        |ORDER BY event_type""".stripMargin,
-
-    "q_zipf_fit" ->
-      """WITH toks AS (SELECT unnest(string_split_regex(trim(text),
-        |    '[ \t\n\r\f]+')) AS term
-        |  FROM documents WHERE trim(text) <> ''),
-        |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
-        |  FROM toks GROUP BY 1),
-        |rk AS (SELECT freq,
-        |    row_number() OVER (ORDER BY freq DESC, term) AS rk FROM tf),
-        |pts AS (SELECT
-        |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
-        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
-        |  FROM rk WHERE rk <= 1000),
-        |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
-        |SELECT CAST(n AS BIGINT) AS n_terms,
-        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 10000 + 0.5)
-        |    AS BIGINT) AS slope_bp
-        |FROM m""".stripMargin,
-
-    "q_xyz_class" ->
-      """WITH dm AS (SELECT l_partkey,
-        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS mn,
-        |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
-        |  FROM lineitem GROUP BY 1, 2),
-        |span AS (SELECT CAST(max(mn) - min(mn) + 1 AS BIGINT) AS h FROM dm),
-        |agg AS (SELECT l_partkey, count(*) AS n_active_months,
-        |    CAST(sum(q) AS BIGINT) AS t, CAST(sum(q * q) AS BIGINT) AS ss
-        |  FROM dm GROUP BY 1),
-        |cvx AS (SELECT l_partkey, n_active_months, t,
-        |    CAST(floor(sqrt(greatest(0.0, CAST(ss AS DOUBLE) / CAST(h AS DOUBLE) -
-        |      (CAST(t AS DOUBLE) / CAST(h AS DOUBLE)) *
-        |      (CAST(t AS DOUBLE) / CAST(h AS DOUBLE)))) /
-        |      (CAST(t AS DOUBLE) / CAST(h AS DOUBLE)) * 10000 + 0.5)
-        |      AS BIGINT) AS cv_bp
-        |  FROM agg CROSS JOIN span)
-        |SELECT l_partkey, n_active_months, t AS total_qty, cv_bp,
-        |  CASE WHEN cv_bp < 17500 THEN 'X'
-        |       WHEN cv_bp < 20500 THEN 'Y' ELSE 'Z' END AS xyz
-        |FROM cvx ORDER BY l_partkey""".stripMargin,
-
-    "q_seasonality_strength" ->
-      // the q_seasonal decomposition CTE + exact moments of the
-      // defined rows; identical pinned variance/ratio expressions
-      """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
-        |  FROM orders GROUP BY 1),
-        |s AS (SELECT d, rev_c, (d - DATE '1970-01-01') % 7 AS dow,
-        |        row_number() OVER (ORDER BY d) AS rn FROM daily),
-        |tr AS (SELECT d, rev_c, dow,
-        |         CASE WHEN count(*) OVER w = 7 THEN
-        |           CAST((sum(rev_c) OVER w
-        |             - (((sum(rev_c) OVER w) % 7) + 7) % 7) // 7 AS BIGINT)
-        |         END AS trend_c
-        |       FROM s WINDOW w AS (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |se AS (SELECT dow,
-        |         CAST((sum(rev_c - trend_c)
-        |           - (((sum(rev_c - trend_c)) % count(*)) + count(*)) % count(*))
-        |           // count(*) AS BIGINT) AS seasonal_c
-        |       FROM tr WHERE trend_c IS NOT NULL GROUP BY dow),
-        |comp AS (SELECT tr.rev_c - tr.trend_c - se.seasonal_c AS r,
-        |    (se.seasonal_c + tr.rev_c - tr.trend_c - se.seasonal_c) AS sr,
-        |    (tr.trend_c + tr.rev_c - tr.trend_c - se.seasonal_c) AS tr2
-        |  FROM tr JOIN se USING (dow) WHERE tr.trend_c IS NOT NULL),
-        |m AS (SELECT count(*) AS n,
-        |    sum(r) AS s1, sum(r * r) AS ss1,
-        |    sum(sr) AS s2, sum(sr * sr) AS ss2,
-        |    sum(tr2) AS s3, sum(tr2 * tr2) AS ss3
-        |  FROM comp)
-        |SELECT CAST(n AS BIGINT) AS n_days,
-        |  CAST(floor(greatest(0.0, 1.0 -
-        |    (CAST(ss1 AS DOUBLE) / CAST(n AS DOUBLE) -
-        |     (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |     (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) /
-        |    (CAST(ss2 AS DOUBLE) / CAST(n AS DOUBLE) -
-        |     (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |     (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))) * 10000 + 0.5)
-        |    AS BIGINT) AS seasonal_strength_bp,
-        |  CAST(floor(greatest(0.0, 1.0 -
-        |    (CAST(ss1 AS DOUBLE) / CAST(n AS DOUBLE) -
-        |     (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |     (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) /
-        |    (CAST(ss3 AS DOUBLE) / CAST(n AS DOUBLE) -
-        |     (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) *
-        |     (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)))) * 10000 + 0.5)
-        |    AS BIGINT) AS trend_strength_bp
-        |FROM m""".stripMargin,
-
-    "q_runs_test" ->
-      """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
-        |  FROM orders GROUP BY 1),
-        |nn AS (SELECT count(*) AS n FROM daily),
-        |med AS (SELECT rev_c AS m FROM (
-        |    SELECT rev_c, row_number() OVER (ORDER BY rev_c, d) AS vr
-        |    FROM daily) x CROSS JOIN nn WHERE vr = (n + 1) // 2),
-        |sg AS (SELECT d, CASE WHEN rev_c > m THEN 1 ELSE 0 END AS sgn
-        |  FROM daily CROSS JOIN med),
-        |ch AS (SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY d) IS NULL THEN 0
-        |    WHEN lag(sgn) OVER (ORDER BY d) <> sgn THEN 1 ELSE 0 END AS chg
-        |  FROM sg),
-        |agg AS (SELECT count(*) AS n_days,
-        |    CAST(sum(sgn) AS BIGINT) AS n_above,
-        |    CAST(count(*) - sum(sgn) AS BIGINT) AS n_below,
-        |    CAST(sum(chg) + 1 AS BIGINT) AS runs
-        |  FROM ch)
-        |SELECT n_days, n_above, n_below, runs,
-        |  CAST(floor((CAST(runs AS DOUBLE) -
-        |    (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) /
-        |     CAST(n_days AS DOUBLE) + 1.0)) /
-        |    sqrt((2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) *
-        |      (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) -
-        |       CAST(n_days AS DOUBLE))) /
-        |      (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) *
-        |       (CAST(n_days AS DOUBLE) - 1.0))) * 10000 + 0.5)
-        |    AS BIGINT) AS z_bp
-        |FROM agg""".stripMargin,
-
-    "q_cohort_ltv" ->
-      """WITH f AS (SELECT o_custkey,
-        |    min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS c0
-        |  FROM orders GROUP BY 1),
-        |sized AS (SELECT c0, count(*) AS n_customers FROM f GROUP BY 1),
-        |rev AS (SELECT f.c0,
-        |    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 - f.c0
-        |      AS BIGINT) AS age,
-        |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
-        |      AS BIGINT) AS rev_c
-        |  FROM orders o JOIN f ON f.o_custkey = o.o_custkey
-        |  GROUP BY 1, 2),
-        |cum AS (SELECT rev.c0, rev.age, s.n_customers,
-        |    CAST(sum(rev.rev_c) OVER (PARTITION BY rev.c0 ORDER BY rev.age
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c
-        |  FROM rev JOIN sized s ON s.c0 = rev.c0)
-        |SELECT CAST(c0 // 12 AS VARCHAR) || '-' ||
-        |    lpad(CAST((c0 % 12) + 1 AS VARCHAR), 2, '0') AS cohort,
-        |  age, n_customers, cum_rev_c,
-        |  CAST(cum_rev_c // n_customers AS BIGINT) AS ltv_c
-        |FROM cum ORDER BY cohort, age""".stripMargin,
-
-    "q_levene" ->
-      // group medians by exact rank selection, then the q_anova
-      // arithmetic over |x - med|
-      """WITH o AS (SELECT o_orderpriority AS grp, o_orderkey,
-        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS x
-        |  FROM orders),
-        |sz AS (SELECT grp, count(*) AS ng FROM o GROUP BY 1),
-        |md AS (SELECT grp, x AS med FROM (
-        |    SELECT o.grp, o.x, sz.ng,
-        |      row_number() OVER (PARTITION BY o.grp
-        |        ORDER BY o.x, o.o_orderkey) AS vr
-        |    FROM o JOIN sz ON sz.grp = o.grp) t
-        |  WHERE vr = (ng + 1) // 2),
-        |z AS (SELECT o.grp, abs(o.x - md.med) AS x
-        |  FROM o JOIN md ON md.grp = o.grp),
-        |g AS (SELECT grp, count(*) AS ng, sum(x) AS sg, sum(x*x) AS ssg
-        |      FROM z GROUP BY 1),
-        |q AS (SELECT grp, ng, sg, ssg, (sg * sg) // ng AS term FROM g),
-        |m AS (SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s,
-        |        sum(ssg) AS ss, sum(term) AS bq FROM q),
-        |d AS (SELECT k, n, bq - (s * s) // n AS ssb, ss - bq AS ssw FROM m)
-        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
-        |  CAST(floor(
-        |    (CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
-        |    / (CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
-        |    * 10000 + 0.5) AS BIGINT) AS f_bp
-        |FROM d""".stripMargin,
-
-    "q_durbin_watson" ->
-      // the q_seasonal residual CTE + lag-1 squared differences;
-      // HUGEINT sums cast to double only at the final pinned ratio
-      """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
-        |  FROM orders GROUP BY 1),
-        |s AS (SELECT d, rev_c, (d - DATE '1970-01-01') % 7 AS dow,
-        |        row_number() OVER (ORDER BY d) AS rn FROM daily),
-        |tr AS (SELECT d, rev_c, dow, rn,
-        |         CASE WHEN count(*) OVER w = 7 THEN
-        |           CAST((sum(rev_c) OVER w
-        |             - (((sum(rev_c) OVER w) % 7) + 7) % 7) // 7 AS BIGINT)
-        |         END AS trend_c
-        |       FROM s WINDOW w AS (ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |se AS (SELECT dow,
-        |         CAST((sum(rev_c - trend_c)
-        |           - (((sum(rev_c - trend_c)) % count(*)) + count(*)) % count(*))
-        |           // count(*) AS BIGINT) AS seasonal_c
-        |       FROM tr WHERE trend_c IS NOT NULL GROUP BY dow),
-        |resid AS (SELECT tr.rn,
-        |    tr.rev_c - tr.trend_c - se.seasonal_c AS e
-        |  FROM tr JOIN se USING (dow) WHERE tr.trend_c IS NOT NULL),
-        |lg AS (SELECT e, e - lag(e) OVER (ORDER BY rn) AS de FROM resid),
-        |m AS (SELECT count(*) AS n, sum(e * e) AS den,
-        |    sum(de * de) AS num FROM lg)
-        |SELECT CAST(n AS BIGINT) AS n_resid,
-        |  CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 10000 + 0.5)
-        |    AS BIGINT) AS dw_e4
-        |FROM m""".stripMargin,
-
-    "q_granger" ->
-      // centered moments staged as named columns; every double
-      // expression keeps the Spark side's parenthesization verbatim
-      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
-        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS yb,
-        |    CAST(sum(CASE WHEN c_mktsegment <> 'BUILDING'
-        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-        |      ELSE 0 END) AS BIGINT) AS yr
-        |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  GROUP BY 1),
-        |dirs AS (
-        |  SELECT 'building->rest' AS direction, d, yr AS y, yb AS x FROM daily
-        |  UNION ALL
-        |  SELECT 'rest->building' AS direction, d, yb AS y, yr AS x FROM daily),
-        |lg AS (SELECT direction, y, x,
-        |    lag(y) OVER (PARTITION BY direction ORDER BY d) AS y1,
-        |    lag(x) OVER (PARTITION BY direction ORDER BY d) AS x1
-        |  FROM dirs),
-        |m AS (SELECT direction, count(*) AS n,
-        |    sum(y) AS sy, sum(y1) AS sy1, sum(x1) AS sx1,
-        |    sum(y * y) AS syy, sum(y * y1) AS syy1, sum(y * x1) AS syx1,
-        |    sum(y1 * y1) AS sy1y1, sum(x1 * x1) AS sx1x1,
-        |    sum(y1 * x1) AS sy1x1
-        |  FROM lg WHERE y1 IS NOT NULL GROUP BY 1),
-        |c AS (SELECT direction, n,
-        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
-        |    CAST(syy1 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n AS DOUBLE) AS cyy1,
-        |    CAST(syx1 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cyx1,
-        |    CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / CAST(n AS DOUBLE) AS cy1y1,
-        |    CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cx1x1,
-        |    CAST(sy1x1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS cy1x1
-        |  FROM m),
-        |f AS (SELECT direction, n,
-        |    (cyy - cyy1 * cyy1 / cy1y1) AS sser,
-        |    (cyy - ((cyy1 * cx1x1 - cyx1 * cy1x1) / (cy1y1 * cx1x1 - cy1x1 * cy1x1) * cyy1
-        |      + (cyx1 * cy1y1 - cyy1 * cy1x1) / (cy1y1 * cx1x1 - cy1x1 * cy1x1) * cyx1)) AS sseu
-        |  FROM c)
-        |SELECT direction, CAST(n AS BIGINT) AS n,
-        |  CAST(floor((sser - sseu) / (sseu / (CAST(n AS DOUBLE) - 3.0))
-        |    * 10000 + 0.5) AS BIGINT) AS f_bp
-        |FROM f ORDER BY direction""".stripMargin,
-
-    "q_retention_fit" ->
-      """WITH f AS (SELECT o_custkey,
-        |    min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS c0
-        |  FROM orders GROUP BY 1),
-        |sized AS (SELECT c0, count(*) AS nc FROM f GROUP BY 1),
-        |act AS (SELECT f.c0,
-        |    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 - f.c0
-        |      AS BIGINT) AS age,
-        |    count(DISTINCT o.o_custkey) AS na
-        |  FROM orders o JOIN f ON f.o_custkey = o.o_custkey
-        |  GROUP BY 1, 2 HAVING age >= 1),
-        |pts AS (SELECT act.age AS x,
-        |    CAST(floor(ln(CAST(act.na AS DOUBLE) / CAST(s.nc AS DOUBLE))
-        |      * 10000 + 0.5) AS BIGINT) AS y
-        |  FROM act JOIN sized s ON s.c0 = act.c0),
-        |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
-        |SELECT CAST(n AS BIGINT) AS n_points,
-        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
-        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) + 0.5)
-        |    AS BIGINT) AS slope_bp
-        |FROM m""".stripMargin,
-
-    "q_newsvendor" ->
-      """WITH dm AS (SELECT p.p_brand,
-        |    CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1 AS BIGINT) AS mn,
-        |    CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
-        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        |  GROUP BY 1, 2),
-        |sizes AS (SELECT p_brand, count(*) AS nm,
-        |    CAST(sum(q) // count(*) AS BIGINT) AS mean_q
-        |  FROM dm GROUP BY 1),
-        |rk AS (SELECT dm.p_brand, dm.q, s.nm, s.mean_q,
-        |    row_number() OVER (PARTITION BY dm.p_brand
-        |      ORDER BY dm.q, dm.mn) AS vr
-        |  FROM dm JOIN sizes s ON s.p_brand = dm.p_brand)
-        |SELECT p_brand, CAST(nm AS BIGINT) AS n_months, mean_q,
-        |  q AS q_star
-        |FROM rk WHERE vr = (8 * nm + 9) // 10
-        |ORDER BY p_brand""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    Map("q_embed_whiten" -> whitenOracleSql, "q_ann_wpq" -> wpqOracleSql) ++
+      OracleRelationalSql.sql ++ OracleAnalyticsSql.sql ++ OracleTextSql.sql
 
   /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between
     * the Spark query and the oracle literal embedding above.
     */
-  private val sprtC =
+  private[graft] val sprtC =
     graft.operators.Stats.sprtConstants(5000L, 6000L, 500L, 500L)
 }
