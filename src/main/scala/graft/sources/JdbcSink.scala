@@ -129,6 +129,27 @@ object JdbcSink {
       }
   }
 
+  /** The COMPLETE database-side statement sequence of one staged sync,
+    * in execution order: first load = create-like + promote-insert +
+    * stage drop; subsequent loads = MERGE + stage drop. This is the
+    * single source of truth — [[upsert]] executes exactly this list, and
+    * JdbcDialectGoldenSpec pins the rendered text per dialect verbatim,
+    * so every dialect's protocol is snapshot-verified even where the
+    * target engine itself is not installable in this environment.
+    */
+  private[graft] def protocolSql(d: JdbcSinkDialect, table: String,
+                                 stage: String, cols: Seq[String],
+                                 keys: Seq[String],
+                                 firstLoad: Boolean): Seq[String] = {
+    val body =
+      if (firstLoad) Seq(
+        d.createLikeSql(table, stage),
+        s"INSERT INTO $table (${cols.map(d.quote).mkString(", ")}) " +
+          s"SELECT ${cols.map(d.quote).mkString(", ")} FROM $stage")
+      else Seq(d.mergeSql(table, stage, cols, keys))
+    body :+ s"DROP TABLE $stage"
+  }
+
   /** Stage + merge `df` into `table` on `keys`: matched rows get the
     * incoming values, unmatched rows are inserted. Creates the table on
     * first load. The staging table lives only for the call.
@@ -162,17 +183,10 @@ object JdbcSink {
 
     withConnection(url, props) { conn =>
       val st = conn.createStatement()
-      try {
-        if (!tableExists(conn, table, d)) {
-          st.executeUpdate(d.createLikeSql(table, stage))
-          st.executeUpdate(
-            s"INSERT INTO $table (${cols.map(d.quote).mkString(", ")}) " +
-              s"SELECT ${cols.map(d.quote).mkString(", ")} FROM $stage")
-        } else {
-          st.executeUpdate(d.mergeSql(table, stage, cols, keys))
-        }
-        st.executeUpdate(s"DROP TABLE $stage")
-      } finally st.close()
+      try protocolSql(d, table, stage, cols, keys,
+          firstLoad = !tableExists(conn, table, d))
+        .foreach(st.executeUpdate)
+      finally st.close()
     }
   }
 }
