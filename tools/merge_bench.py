@@ -1,20 +1,25 @@
 #!/usr/bin/env python3
 """Merge graft.Bench output with oracle_bench timings into one artifact.
 
-Usage: tools/merge_bench.py BENCH_JSON ORACLE_JSON OUT_JSON
+Usage: tools/merge_bench.py BENCH_JSON ORACLE_JSON OUT_JSON [FRESH_JSON]
 
 Adds per-query `oracle_sec` and `spark_vs_oracle` (spark warm median /
 DuckDB warm median) to the bench table, prints the queries slower than
 2x the oracle sorted by ratio, and writes the merged JSON (the round's
-bench/full_r<k>.json).
+bench/full_r<k>.json). FRESH_JSON (tools/fresh_bench.py output) embeds
+`fresh_jvm_sec` so watch-list drift on untouched queries is adjudicated
+by artifact: full-run slow + fresh fast = JVM pressure, not a
+regression.
 """
 import json
 import sys
 
 
-def main(bench_path, oracle_path, out_path):
+def main(bench_path, oracle_path, out_path, fresh_path=None):
     bench = json.load(open(bench_path))
     oracle = json.load(open(oracle_path))["oracle_sec"]
+    if fresh_path:
+        bench["fresh_jvm_sec"] = json.load(open(fresh_path))["fresh_jvm_sec"]
     # q_noop is the measured per-query session floor (planning + codegen
     # + scheduling with no table reads); a ratio is a PLAN property only
     # for the time spent above it
@@ -48,6 +53,7 @@ def main(bench_path, oracle_path, out_path):
 
 
 if __name__ == "__main__":
-    if len(sys.argv) != 4:
+    if len(sys.argv) not in (4, 5):
         sys.exit(__doc__)
-    main(sys.argv[1], sys.argv[2], sys.argv[3])
+    main(sys.argv[1], sys.argv[2], sys.argv[3],
+         sys.argv[4] if len(sys.argv) == 5 else None)
