@@ -3589,9 +3589,8 @@ object SparkEntry {
       // against the src0 target slice under hashed unigram models —
       // exact BIGINT dot product of row-local bucket counts with
       // floor-quantized log-ratio weights (portable md5-prefix buckets)
-      val docs = t(s, dir, "documents")
-      graft.pipelines.Dsir.importanceScores(
-        docs, docs.filter(col("source") === "src0"), "doc_id", "text",
+      graft.pipelines.Dsir.importanceScoresByFlag(
+        t(s, dir, "documents"), col("source") === "src0", "doc_id", "text",
         nBuckets = 64)
         .orderBy(col("doc_id"))
     }),
@@ -3603,10 +3602,8 @@ object SparkEntry {
       // rest of the crawl; classification is the MAP decision score>0.
       // Training and scoring both replay end-to-end in the oracle —
       // the model is hash-verified, not trusted
-      val docs = t(s, dir, "documents")
-      graft.pipelines.QualityClassifier.scores(
-        docs, docs.filter(col("source") === "src0"),
-        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+      graft.pipelines.QualityClassifier.scoresByFlag(
+        t(s, dir, "documents"), col("source") === "src0", "doc_id", "text",
         nBuckets = 64)
         .orderBy(col("doc_id"))
     }),

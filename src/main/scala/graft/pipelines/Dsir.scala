@@ -108,6 +108,42 @@ object Dsir {
     scoreWith(corpus, idCol, textCol, weights(spark, ct, cq, nBuckets), nBuckets)
   }
 
+  /** Both distributions of a flag-split corpus in ONE wide aggregate:
+    * (flagged bucket totals, all-rows bucket totals, flagged non-blank
+    * doc count, all non-blank doc count). The common pipeline shape —
+    * target/positives marked by a predicate over the same corpus —
+    * pays one scan instead of two scans plus two counts.
+    */
+  private[pipelines] def splitTotals(corpus: DataFrame, flag: Column,
+                                     textCol: String, nBuckets: Int)
+      : (Array[Long], Array[Long], Long, Long) = {
+    val bc = withBucketCounts(corpus, Seq(flag.as("__t")), textCol, nBuckets)
+    val sums = (0 until nBuckets).flatMap(i => Seq(
+      coalesce(sum(when(col("__t"), element_at(col("__bc"), i + 1))), lit(0L))
+        .as(s"t$i"),
+      coalesce(sum(element_at(col("__bc"), i + 1)), lit(0L)).as(s"a$i"))) ++
+      Seq(count(when(col("__t"), lit(1))).as("td"),
+        count(lit(1)).as("ad"))
+    val row = bc.agg(sums.head, sums.tail: _*).head()
+    (Array.tabulate(nBuckets)(i => row.getLong(2 * i)),
+      Array.tabulate(nBuckets)(i => row.getLong(2 * i + 1)),
+      row.getLong(2 * nBuckets), row.getLong(2 * nBuckets + 1))
+  }
+
+  /** [[importanceScores]] when the target is a FLAG over the corpus
+    * itself (the registered-pipeline shape): identical output, but both
+    * distributions come from one wide aggregate — one training scan
+    * instead of two, one driver action instead of two.
+    */
+  def importanceScoresByFlag(corpus: DataFrame, targetFlag: Column,
+                             idCol: String, textCol: String,
+                             nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, "need at least two hash buckets")
+    val (ct, cq, _, _) = splitTotals(corpus, targetFlag, textCol, nBuckets)
+    scoreWith(corpus, idCol, textCol,
+      weights(corpus.sparkSession, ct, cq, nBuckets), nBuckets)
+  }
+
   /** The FOLDABLE form of a distribution: a (b, n) bucket-count table —
     * plain grouped counts, exactly the state shape the engine's
     * incremental machinery maintains (a document CDC feed folds as

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Trained quality-filter classifier — the "looks like the curated
@@ -50,6 +50,31 @@ object QualityClassifier {
     require(nPos > 0 && nNeg > 0,
       s"both classes need non-blank training docs (pos=$nPos, neg=$nNeg)")
     // same engine-expression ln as Dsir.weights, same quantization
+    val prior = spark.range(1).select(
+      floor(lit(10000.0) * log(lit(nPos).cast("double") / lit(nNeg).cast("double"))
+        + lit(0.5)).cast("long")).head().getLong(0)
+    val w = Dsir.weights(spark, cp, cn, nBuckets)
+    Dsir.scoreWith(corpus, idCol, textCol, w, nBuckets)
+      .select(col(idCol), (col("dsir_score") + lit(prior)).as("nb_score"))
+      .withColumn("is_quality", col("nb_score") > 0L)
+  }
+
+  /** [[scores]] when the classes are a FLAG over the corpus itself
+    * (positives = flagged, negatives = the rest — the registered
+    * pipeline shape): identical output, but the whole training pass is
+    * ONE wide aggregate (both class distributions AND both doc counts),
+    * so the query is two corpus scans total — train + score.
+    */
+  def scoresByFlag(corpus: DataFrame, positiveFlag: Column, idCol: String,
+                   textCol: String, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, "need at least two hash buckets")
+    val spark = corpus.sparkSession
+    val (cp, call, dPos, dAll) =
+      Dsir.splitTotals(corpus, positiveFlag, textCol, nBuckets)
+    val cn = cp.indices.map(i => call(i) - cp(i)).toArray
+    val (nPos, nNeg) = (dPos, dAll - dPos)
+    require(nPos > 0 && nNeg > 0,
+      s"both classes need non-blank training docs (pos=$nPos, neg=$nNeg)")
     val prior = spark.range(1).select(
       floor(lit(10000.0) * log(lit(nPos).cast("double") / lit(nNeg).cast("double"))
         + lit(0.5)).cast("long")).head().getLong(0)

@@ -42,6 +42,17 @@ class DsirSpec extends SparkSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("importanceScoresByFlag equals the two-frame form on real docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val twoFrame = Dsir.importanceScores(
+        docs, docs.filter(col("source") === "src0"), "doc_id", "text", B)
+      .as[(Long, Long)].collect().toSet
+    val byFlag = Dsir.importanceScoresByFlag(
+        docs, col("source") === "src0", "doc_id", "text", B)
+      .as[(Long, Long)].collect().toSet
+    assert(byFlag === twoFrame)
+  }
+
   test("target-like documents outscore off-target ones") {
     val common = (1L to 60L).map(i => (i, "the quick brown fox jumps over dog"))
     val rare = (61L to 70L).map(i =>

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.pipelines.QualityClassifier
 
 /** Semantic contract for the trained quality filter (the q_eb_rates
@@ -50,6 +51,19 @@ class QualityClassifierSpec extends SparkSuite {
     // the 4-doc positive class differs in its token distribution too, so
     // only assert the DIRECTION: more positive mass -> higher score
     assert(s42 > sBal)
+  }
+
+  test("scoresByFlag equals the two-frame form (single-pass training)") {
+    val corpus = docs(
+      1L -> "alpha beta gamma", 2L -> "beta alpha alpha", 3L -> "gamma beta",
+      11L -> "zork quux", 12L -> "quux blorp zork", 13L -> "blorp blorp")
+    val flag = col("doc_id") < 10L
+    val a = QualityClassifier.scoresByFlag(corpus, flag, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val b = QualityClassifier.scores(corpus, corpus.filter(flag),
+        corpus.filter(!flag), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(a === b)
   }
 
   test("blank and null docs drop out of scoring") {
