@@ -491,6 +491,41 @@ object ScaleSmoke {
       time(s"unigram logloss ${mult}x")(
         Lexical.unigramLogloss(docsN, "doc_id", "text").count())
 
+      // the trained quality filter rides the same scans as DSIR (one
+      // wide conditional aggregate + one scoring pass)
+      import graft.pipelines.QualityClassifier
+      time("quality classifier 1x")(
+        QualityClassifier.scoresByFlag(docs1, col("source") === "src0",
+          "doc_id", "text").count())
+      time(s"quality classifier ${mult}x")(
+        QualityClassifier.scoresByFlag(docsN, col("source") === "src0",
+          "doc_id", "text").count())
+
+      // best-fit packing: chunk-wise by construction (doc_id div 2000
+      // bounds every (source, shard) task regardless of corpus size) —
+      // ramp must be ~linear in docs, and the hot-shard bound holds by
+      // the shard arithmetic, asserted on the replicated corpus
+      import graft.pipelines.Pack
+      def packPieces(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("source"),
+          expr("least(CAST(256 AS BIGINT), n)").as("len"),
+          expr("doc_id div 2000").as("shard"))
+      def packCount(d: org.apache.spark.sql.DataFrame) =
+        Pack.bestFit(packPieces(d), Seq("source", "shard"), "len",
+          Seq(col("doc_id")), 256L).count()
+      time("pack bestfit 1x")(packCount(docs1))
+      time(s"pack bestfit ${mult}x")(packCount(docsN))
+      val maxShard = packPieces(docsN)
+        .groupBy(col("source"), col("shard")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      println(s"[scale] pack bestfit ${mult}x max shard size: $maxShard (bound 2000)")
+      require(maxShard <= 2000L,
+        s"pack shard bound violated: $maxShard docs in one (source, shard)")
+
       val li1 = Tables.load(spark, base, "lineitem")
       val liN = spark.read.parquet(replicate("lineitem", "l_orderkey"))
       def edgesOf(li: org.apache.spark.sql.DataFrame) = {

@@ -59,6 +59,42 @@ object QualityClassifier {
       .withColumn("is_quality", col("nb_score") > 0L)
   }
 
+  /** Scores against PERSISTED/MAINTAINED class-count tables (the
+    * [[Dsir.importanceScoresFromCounts]] twin): each class is a
+    * `(b, n)` token-bucket count table ([[Dsir.tokenBucketCounts]],
+    * CDC-foldable as counts(inserts) − counts(deletes)) plus its
+    * non-blank doc count — the classifier refreshes per sync with
+    * delta-sized folds, and the only corpus pass is the scoring scan.
+    * Missing buckets read as zero, like the DSIR twin.
+    */
+  def scoresFromCounts(corpus: DataFrame, posCounts: DataFrame,
+                       negCounts: DataFrame, nPosDocs: Long, nNegDocs: Long,
+                       idCol: String, textCol: String,
+                       nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, "need at least two hash buckets")
+    require(nPosDocs > 0 && nNegDocs > 0,
+      s"both classes need training docs (pos=$nPosDocs, neg=$nNegDocs)")
+    val spark = corpus.sparkSession
+    def toArr(counts: DataFrame): Array[Long] = {
+      val rows = counts.select(col("b").cast("int"), col("n").cast("long"))
+        .limit(nBuckets + 1).collect()
+      require(rows.length <= nBuckets,
+        s"count table has more than $nBuckets rows — not a bucket-count table?")
+      val m = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      require(m.keys.forall(b => b >= 0 && b < nBuckets),
+        s"bucket id outside [0, $nBuckets) — counts built with a different nBuckets?")
+      Array.tabulate(nBuckets)(i => m.getOrElse(i, 0L))
+    }
+    val prior = spark.range(1).select(
+      floor(lit(10000.0) *
+        log(lit(nPosDocs).cast("double") / lit(nNegDocs).cast("double"))
+        + lit(0.5)).cast("long")).head().getLong(0)
+    val w = Dsir.weights(spark, toArr(posCounts), toArr(negCounts), nBuckets)
+    Dsir.scoreWith(corpus, idCol, textCol, w, nBuckets)
+      .select(col(idCol), (col("dsir_score") + lit(prior)).as("nb_score"))
+      .withColumn("is_quality", col("nb_score") > 0L)
+  }
+
   /** [[scores]] when the classes are a FLAG over the corpus itself
     * (positives = flagged, negatives = the rest — the registered
     * pipeline shape): identical output, but the whole training pass is

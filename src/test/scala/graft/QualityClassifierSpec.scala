@@ -66,6 +66,26 @@ class QualityClassifierSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("count-table scoring == direct form; CDC fold == rescan") {
+    import graft.pipelines.Dsir
+    val pos0 = docs(1L -> "alpha beta", 2L -> "beta gamma alpha")
+    val neg = docs(11L -> "zork quux", 12L -> "quux blorp")
+    val held = docs(21L -> "alpha zork beta")
+    // a CDC feed lands one more positive doc: fold = counts(old) + counts(delta)
+    val delta = docs(3L -> "gamma gamma alpha")
+    val pos1 = pos0.unionByName(delta)
+    val folded = Dsir.tokenBucketCounts(pos0, "text")
+      .unionByName(Dsir.tokenBucketCounts(delta, "text"))
+      .groupBy("b").agg(sum("n").as("n"))
+    val direct = QualityClassifier.scores(held, pos1, neg, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val fromCounts = QualityClassifier.scoresFromCounts(held, folded,
+        Dsir.tokenBucketCounts(neg, "text"), nPosDocs = 3, nNegDocs = 2,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(fromCounts === direct)
+  }
+
   test("blank and null docs drop out of scoring") {
     val pos = docs(1L -> "alpha beta gamma")
     val neg = docs(11L -> "zork quux blorp")
