@@ -39,23 +39,21 @@ object Pq {
   /** One codebook per subspace, each a [[Knn.Centroids]] (ids 1..k). */
   type Codebooks = Array[Knn.Centroids]
 
-  /** Fail loudly when `m·subDim` does not cover the frame's embedding
-    * width. Without this the slice/zip_with kernels silently produce
-    * null sub-scores and `array_min` emits a FIXED garbage code for
-    * every vector — a corrupt index, not an error. Reads the width once
-    * from the first non-null row (a limit-1 scan); a frame with no
-    * non-null embeddings passes vacuously.
+  /** Fail loudly when `m·subDim` does not cover a vector's width.
+    * Without this the slice/zip_with kernels silently produce null
+    * sub-scores and `array_min` emits a FIXED garbage code for every
+    * vector — a corrupt index, not an error. An EXPRESSION guard (one
+    * per-row size comparison, `raise_error` on mismatch) rather than a
+    * probe scan: validation costs zero extra Spark actions, and a
+    * mixed-width corpus fails on the offending ROW, not just the first.
     */
-  private def requireDim(frame: DataFrame, m: Int, subDim: Int,
-                         what: String): Unit =
-    frame.filter(col("embedding").isNotNull)
-      .select(size(col("embedding"))).limit(1).collect()
-      .headOption.foreach { r =>
-        val dim = r.getInt(0)
-        require(m * subDim == dim,
-          s"$what: m*subDim = ${m * subDim} (m=$m, subDim=$subDim) must " +
-            s"equal the embedding dimension $dim")
-      }
+  private def guardDim(vec: Column, m: Int, subDim: Int,
+                       what: String): Column =
+    when(size(vec) === lit(m * subDim), vec)
+      .otherwise(raise_error(concat(
+        lit(s"$what: m*subDim = ${m * subDim} (m=$m, subDim=$subDim) " +
+          "must equal the embedding dimension "),
+        size(vec).cast("string"))))
 
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => {
@@ -84,9 +82,10 @@ object Pq {
     val cached = (if (sampleFraction >= 1.0) frame
       else frame.filter(pmod(xxhash64(col("vec_id")), lit(1000000L))
         < (sampleFraction * 1000000L).toLong))
-      .select(col("vec_id"), col("embedding")).persist()
+      .select(col("vec_id"),
+        guardDim(col("embedding"), m, subDim, "trainCodebooks").as("embedding"))
+      .persist()
     try {
-      requireDim(cached, m, subDim, "trainCodebooks")
       val n = cached.count()
       val step = math.max(1L, n / k)
       // one seed collect; slice per subspace locally (same floats the
@@ -187,11 +186,12 @@ object Pq {
     // a null embedding has no bucket and no codes — excluded, like
     // Whitening.moments (unfiltered, the null scores make array_min
     // pick centroid 1 and emit GARBAGE codes that pollute the index)
-    requireDim(corpus, books.length, subDim, "encodeCorpus")
     val assigned = Knn.withAssignment(
       corpus.filter(col("embedding").isNotNull), coarse)
     assigned.select(col("vec_id"), col("centroid_id"),
-      encodeExpr(residualExpr(col("embedding"), col("centroid_id"), coarse),
+      encodeExpr(residualExpr(
+          guardDim(col("embedding"), books.length, subDim, "encodeCorpus"),
+          col("centroid_id"), coarse),
         books, subDim).as("codes"))
   }
 
@@ -217,7 +217,6 @@ object Pq {
   def ivfpqTopK(corpus: DataFrame, queries: DataFrame, coarse: Knn.Centroids,
                 books: Codebooks, subDim: Int, k: Int, nProbe: Int = 2): DataFrame = {
     val m = books.length
-    requireDim(queries, m, subDim, "ivfpqTopK(queries)")
     val encoded = encodeCorpus(corpus, coarse, books, subDim)
 
     val probeIds = (vec: Column) =>
@@ -227,7 +226,9 @@ object Pq {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(probeIds(col("embedding"))).as("centroid_id"))
       .select(col("query_id"), col("centroid_id"),
-        lutExpr(residualExpr(col("q_emb"), col("centroid_id"), coarse),
+        lutExpr(residualExpr(
+            guardDim(col("q_emb"), m, subDim, "ivfpqTopK(queries)"),
+            col("centroid_id"), coarse),
           books, subDim).as("lut"))
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))

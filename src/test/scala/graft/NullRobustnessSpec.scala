@@ -152,14 +152,18 @@ class NullRobustnessSpec extends SparkSuite {
     val df = (0L until 20L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
       .toDF("vec_id", "embedding")
     val co = Knn.trainCentroids(df, 2, 1)
-    // m=2, subDim=3 covers 6 of 8 dims — silently truncated before, now an error
-    assertThrows[IllegalArgumentException] {
-      Pq.trainCodebooks(df, m = 2, subDim = 3, k = 4)
+    // m=2, subDim=3 covers 6 of 8 dims — silently truncated before, now
+    // a per-row raise_error (SparkRuntimeException / SparkException)
+    def failsLoudly(body: => Any): Unit = {
+      val e = intercept[Exception](body)
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("must equal the embedding dimension")),
+        s"unexpected failure: $e")
     }
+    failsLoudly(Pq.trainCodebooks(df, m = 2, subDim = 3, k = 4))
     val books = Pq.trainCodebooks(Pq.residualFrame(df, co), 2, 4, 4, 1)
-    assertThrows[IllegalArgumentException] {
-      Pq.encodeCorpus(df, co, books, subDim = 3).collect()
-    }
+    failsLoudly(Pq.encodeCorpus(df, co, books, subDim = 3).collect())
   }
 
   test("PQ writeIndex refuses codebook ids that overflow a byte") {
