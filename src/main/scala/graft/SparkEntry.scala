@@ -3962,6 +3962,23 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_bpe_encode" -> ((s, dir) => {
+      // the tokenizer APPLICATION rung: segment the corpus under the
+      // 30 trained merges (each applied per word in rank order by the
+      // same greedy left-to-right fold training used) and count
+      // subwords per doc — train -> encode -> count, the published
+      // pipeline's tokenization step. The oracle reuses the training
+      // CTE's final per-word symbol state (segmenting the training
+      // corpus reproduces it exactly, BpeSpec-proven) and joins doc
+      // words to it
+      val docs = t(s, dir, "documents")
+      val trained = graft.pipelines.Bpe.train(docs, "text", numMerges = 30)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.pipelines.Bpe.tokenCount(docs, "doc_id", "text", trained)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sample_norepl" -> ((s, dir) => {
       // fixed-budget quality-weighted sampling (A-Res, Efraimidis &
       // Spirakis 2006): exactly 100 docs, inclusion ∝ length weight,
