@@ -209,6 +209,34 @@ class PlansSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("quality classifier scoring pass is shuffle-free like DSIR's") {
+    import org.apache.spark.sql.functions.col
+    val scored = graft.pipelines.QualityClassifier.scoresByFlag(
+      docsDf, col("doc_id") % 10 === 0, "doc_id", "text", nBuckets = 16)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("best-fit packing: ONE exchange, keyed on the pack group") {
+    import org.apache.spark.sql.functions.{col, length}
+    val df = docsDf.select(col("doc_id"),
+      (col("doc_id") % 3).as("grp"), length(col("text")).cast("long").as("len"))
+    val out = graft.pipelines.Pack.bestFit(df, Seq("grp"), "len",
+      Seq(col("doc_id")), 10000L)
+    val plan = out.queryExecution.executedPlan.toString
+    // the typed machine shuffles once on the group key (groupByKey's
+    // serialized key column) and nothing else
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 1, plan)
+  }
+
+  test("bpe segmenting the corpus is a pure map over the doc scan") {
+    val out = graft.pipelines.Bpe.tokenCount(docsDf, "doc_id", "text",
+      Seq("w" -> "1", "w1" -> "</w>"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("span dedup: every exchange is keyed on the span text or the doc id") {
     val out = graft.dedup.SpanDedup.dedupSpans(docsDf, "doc_id", "text", n = 4)
     val keys = shuffleKeys(out)
