@@ -38,7 +38,26 @@ object Pack {
     */
   def bestFit(df: DataFrame, groupCols: Seq[String], lenCol: String,
               sortCols: Seq[Column], budget: Long,
-              binCol: String = "bin_id", posCol: String = "bin_pos"): DataFrame = {
+              binCol: String = "bin_id", posCol: String = "bin_pos"): DataFrame =
+    run(df, groupCols, lenCol, col(lenCol).desc +: sortCols, budget,
+      binCol, posCol)
+
+  /** Best-fit in the caller's `sortCols` order WITHOUT the
+    * largest-first sort — the shape a STREAM can maintain (docs arrive,
+    * they cannot be globally sorted by length first). Utilization is
+    * below BFD's but every doc still packs whole;
+    * [[graft.streaming.StreamingPack]] is proven equal to this form
+    * when arrival order matches `sortCols`.
+    */
+  def bestFitArrival(df: DataFrame, groupCols: Seq[String], lenCol: String,
+                     sortCols: Seq[Column], budget: Long,
+                     binCol: String = "bin_id",
+                     posCol: String = "bin_pos"): DataFrame =
+    run(df, groupCols, lenCol, sortCols, budget, binCol, posCol)
+
+  private def run(df: DataFrame, groupCols: Seq[String], lenCol: String,
+                  sort: Seq[Column], budget: Long,
+                  binCol: String, posCol: String): DataFrame = {
     require(budget > 0, "budget must be positive")
     val schema = df.schema
     Seq(binCol, posCol).foreach(c => require(!schema.fieldNames.contains(c),
@@ -52,7 +71,7 @@ object Pack {
     val grouped = df.groupByKey { r: Row =>
       keyIdx.map(i => String.valueOf(r.get(i))).mkString("\u0000")
     }(Encoders.STRING)
-    grouped.flatMapSortedGroups(col(lenCol).desc +: sortCols: _*) {
+    grouped.flatMapSortedGroups(sort: _*) {
       (_, it: Iterator[Row]) =>
         // remaining capacity -> open bin ids at that capacity; best fit
         // is one ceiling probe, ties resolved to the lowest bin id
