@@ -56,6 +56,27 @@ class StreamingPackSpec extends SparkSuite {
       (4L, 1L, 100L)))
   }
 
+  test("restart from checkpoint resumes bin state (crash between batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_spack_rs")
+    val stream = MemoryStream[Doc]
+    def start() = StreamingPack.pack(stream.toDS(), 256L)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    val q1 = start()
+    try { stream.addData(Doc("g", 1, 200L)); q1.processAllAvailable() }
+    finally q1.stop()
+    // a fresh query on the same checkpoint — the crash-restart window:
+    // bin 0's 56-token slack must survive into the new instance
+    val q2 = start()
+    try { stream.addData(Doc("g", 2, 56L)); q2.processAllAvailable() }
+    finally q2.stop()
+    val out = spark.read.parquet(s"$dir/out").as[Placed]
+      .collect().map(p => (p.doc_id, p.bin_id, p.bin_pos)).toSet
+    assert(out === Set((1L, 0L, 0L), (2L, 0L, 200L)))
+  }
+
   test("overlong docs fail loudly on the stream too") {
     val e = intercept[Exception] {
       drain(Seq(Seq(Doc("g", 1, 300L))), budget = 256L)
