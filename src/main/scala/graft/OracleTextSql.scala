@@ -1858,6 +1858,51 @@ private[graft] object OracleTextSql {
         |FROM dc JOIN w ON dc.b = w.b
         |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin,
 
+    "q_anneal_schedule" ->
+      // the DSIR oracle's training CTEs verbatim (prior-free evidence
+      // scores), then the token timeline: portable-hash order, window
+      // cumsum, exact integer 90% boundary, anneal tail kept only where
+      // the trained log-ratio evidence is positive
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |tb AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(tk), 1, 6))::BIGINT % 64 AS b FROM toks),
+        |cq AS (SELECT b, count(*) AS cq FROM tb GROUP BY b),
+        |ct AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src0' GROUP BY b),
+        |tot AS (SELECT CAST((SELECT count(*) FROM tb) AS BIGINT) AS nq,
+        |               CAST((SELECT count(*) FROM tb WHERE source = 'src0') AS BIGINT) AS nt),
+        |w AS (SELECT cq.b,
+        |        CAST(floor(10000.0 * ln(
+        |          CAST((coalesce(ct.ct, 0) + 1) * (tot.nq + 64) AS DOUBLE) /
+        |          CAST((coalesce(cq.cq, 0) + 1) * (tot.nt + 64) AS DOUBLE)) + 0.5) AS BIGINT) AS w
+        |      FROM cq LEFT JOIN ct ON cq.b = ct.b, tot),
+        |dc AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b),
+        |ds AS (
+        |  SELECT dc.doc_id, CAST(sum(dc.c * w.w) AS BIGINT) AS dsir_score
+        |  FROM dc JOIN w ON dc.b = w.b GROUP BY dc.doc_id),
+        |tk AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |base AS (
+        |  SELECT t.doc_id, t.n_tokens, ds.dsir_score,
+        |    ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM tk t JOIN ds USING (doc_id) WHERE t.n_tokens > 0),
+        |cum AS (
+        |  SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM base),
+        |ttl AS (SELECT (10000 - 1000) * max(tok_offset + n_tokens) // 10000 AS mainb FROM cum)
+        |SELECT doc_id, n_tokens, dsir_score,
+        |  CASE WHEN tok_offset < ttl.mainb THEN 'main' ELSE 'anneal' END AS phase,
+        |  CAST(tok_offset AS BIGINT) AS tok_offset
+        |FROM cum, ttl
+        |WHERE tok_offset < ttl.mainb OR dsir_score > 0
+        |ORDER BY doc_id""".stripMargin,
+
     "q_quality_classifier" ->
       // 2-class NB posterior replay: the DSIR bucket machinery with
       // (positive, negative) class models plus the quantized doc-count

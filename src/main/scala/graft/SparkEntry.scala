@@ -3962,6 +3962,18 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_anneal_schedule" -> ((s, dir) => {
+      // the published two-phase data schedule (LLaMA-3 anneal /
+      // MiniCPM decay-phase mixture): deterministic token timeline
+      // (portable-hash order, ranged two-pass cumsum — no global
+      // sort), tail 10% of tokens = the anneal phase, occupied only by
+      // docs the TRAINED quality filter passes. Train -> score ->
+      // schedule, all replayed end-to-end by the oracle
+      graft.pipelines.Curriculum.annealSchedule(
+        t(s, dir, "documents"), "doc_id", "text", col("source") === "src0")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_bpe_encode" -> ((s, dir) => {
       // the tokenizer APPLICATION rung: segment the corpus under the
       // 30 trained merges (each applied per word in rank order by the

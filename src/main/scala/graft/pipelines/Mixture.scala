@@ -260,12 +260,21 @@ object Mixture {
     * exchange so both passes see identical partitioning (the
     * SurrogateKeys determinism argument).
     */
-  private def withRunningBefore(df: DataFrame, groupCol: String,
+  private[pipelines] def withRunningBefore(df: DataFrame, groupCol: String,
                                 orderCol: String,
+                                tokenCountCol: String): (DataFrame, DataFrame) =
+    withRunningBeforeCols(df, groupCol, Seq(orderCol), tokenCountCol)
+
+  /** Multi-column order variant (e.g. a hash order with an id
+    * tiebreak — a single 48-bit hash column collides at corpus scale).
+    */
+  private[pipelines] def withRunningBeforeCols(df: DataFrame, groupCol: String,
+                                orderCols: Seq[String],
                                 tokenCountCol: String): (DataFrame, DataFrame) = {
     val W = org.apache.spark.sql.expressions.Window
-    val sorted = df.repartitionByRange(col(groupCol), col(orderCol))
-      .sortWithinPartitions(col(groupCol), col(orderCol))
+    val ord = orderCols.map(col)
+    val sorted = df.repartitionByRange(col(groupCol) +: ord: _*)
+      .sortWithinPartitions(col(groupCol) +: ord: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val statsW = W.partitionBy(col(groupCol)).orderBy(col("__pid"))
@@ -274,7 +283,7 @@ object Mixture {
       .agg(sum(col(tokenCountCol)).as("__psum"))
       .withColumn("__off", coalesce(sum(col("__psum")).over(statsW), lit(0L)))
       .drop("__psum")
-    val localW = W.partitionBy(col("__pid"), col(groupCol)).orderBy(col(orderCol))
+    val localW = W.partitionBy(col("__pid"), col(groupCol)).orderBy(ord: _*)
       .rowsBetween(W.unboundedPreceding, -1)
     val withBefore = sorted.join(broadcast(offsets), Seq("__pid", groupCol))
       .withColumn("__before",
