@@ -2001,6 +2001,71 @@ private[graft] object OracleTextSql {
         |FROM st WHERE r >= 1 ORDER BY rank""".stripMargin,
 
 
+    "q_bpe_fertility" ->
+      // the bpe-encode oracle's CTEs through the final per-word symbol
+      // state, then words joined with language and rolled up to the
+      // per-lang fertility (basis points, exact BIGINT floor division)
+      """WITH RECURSIVE wc AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(str_split_regex(trim(text), '[ \t\n\r\f]+')) AS word
+        |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |  GROUP BY word HAVING length(word) <= 200),
+        |st(r, word, s, cnt, ml, mr, mn) AS (
+        |  SELECT 0, word,
+        |    chr(9) || array_to_string(
+        |      list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+        |      chr(10) || chr(9)) || chr(10) || chr(9) || '</w>' || chr(10),
+        |    cnt, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT r + 1, word,
+        |    replace(s, chr(9) || bl || chr(10) || chr(9) || br || chr(10),
+        |               chr(9) || bl || br || chr(10)),
+        |    cnt, bl, br, bn
+        |  FROM (
+        |    SELECT r, word, s, cnt,
+        |      bw['l'] AS bl, bw['r'] AS br, CAST(-bw['mn'] AS BIGINT) AS bn
+        |    FROM (
+        |      SELECT r, word, s, cnt,
+        |        min(CASE WHEN l IS NOT NULL THEN
+        |              {'mn': -n, 'l': l, 'r': r2} END) OVER () AS bw
+        |      FROM (
+        |        SELECT word, r, s, cnt, l, r2,
+        |          sum(CASE WHEN l IS NOT NULL THEN cnt END)
+        |            OVER (PARTITION BY l, r2) AS n
+        |        FROM (
+        |          SELECT word, r, s, cnt,
+        |            CASE WHEN i < len THEN syms[CAST(i AS INTEGER)] END AS l,
+        |            CASE WHEN i < len THEN syms[CAST(i AS INTEGER) + 1] END AS r2
+        |          FROM (
+        |            SELECT word, r, s, cnt, syms, len(syms) AS len,
+        |              unnest(range(1, greatest(len(syms), 2))) AS i
+        |            FROM (
+        |              SELECT word, r, s, cnt,
+        |                list_transform(
+        |                  str_split(rtrim(s, chr(10)), chr(10)),
+        |                  x -> ltrim(x, chr(9))) AS syms
+        |              FROM st WHERE r < 30))))
+        |    ) QUALIFY row_number() OVER (PARTITION BY word) = 1
+        |  ) WHERE bn >= 2
+        |),
+        |fin AS (
+        |  SELECT word, s FROM st
+        |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY r DESC) = 1),
+        |wsym AS (
+        |  SELECT word,
+        |    CAST(len(s) - len(replace(s, chr(9), '')) AS BIGINT) AS nsym
+        |  FROM fin),
+        |dw AS (
+        |  SELECT doc_id, lang,
+        |    unnest(str_split_regex(trim(text), '[ \t\n\r\f]+')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |SELECT dw.lang, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(w.nsym) AS BIGINT) AS n_subwords,
+        |  CAST((10000 * sum(w.nsym)) // count(*) AS BIGINT) AS fertility_bp
+        |FROM dw JOIN wsym w USING (word)
+        |GROUP BY dw.lang ORDER BY dw.lang""".stripMargin,
+
     "q_bpe_encode" ->
       // the training CTE verbatim through the 30 rounds, then the FINAL
       // per-word symbol state (max r per word) gives each word's subword

@@ -3991,6 +3991,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_bpe_fertility" -> ((s, dir) => {
+      // tokenizer fertility — subword tokens per whitespace word, per
+      // language: the standard multilingual tokenizer-quality metric (a
+      // vocabulary trained on one language's corpus over-segments the
+      // others; fertility quantifies the tax). Exact integers: basis
+      // points via BIGINT div, the trained merges shared with
+      // q_bpe_train/q_bpe_encode
+      val docs = t(s, dir, "documents")
+      val trained = graft.pipelines.Bpe.train(docs, "text", numMerges = 30)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val sub = graft.pipelines.Bpe.tokenCount(docs, "doc_id", "text", trained)
+      val words = docs.select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_w"))
+        .filter(col("n_w") > 0)
+      words.join(sub, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_w")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .withColumn("fertility_bp",
+          expr("(10000 * n_subwords) div n_words"))
+        .orderBy(col("lang"))
+    }),
+
     "q_sample_norepl" -> ((s, dir) => {
       // fixed-budget quality-weighted sampling (A-Res, Efraimidis &
       // Spirakis 2006): exactly 100 docs, inclusion ∝ length weight,
