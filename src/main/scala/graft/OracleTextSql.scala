@@ -2489,6 +2489,33 @@ private[graft] object OracleTextSql {
         |SELECT doc_id, frame_idx, frame_bytes FROM f
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    "q_multimodal_jpeg" ->
+      // closed-form aHash of the LOSSY round trip: cell c of doc_id's
+      // pattern is white iff ((c·a + 7) mod 64) < 32 (a = 2·(g mod
+      // 16)+1, g = id/3) XOR the per-id flip (c = id mod 64); DCT-block
+      // alignment keeps every decoded cell within a couple luma units
+      // of 0/255, so hash bit c == white(c). HUGEINT bit sum, then the
+      // signed two's-complement conversion to match the JVM long
+      """WITH RECURSIVE pw(k, v) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT)
+        |  UNION ALL SELECT k + 1, v * 2 FROM pw WHERE k < 63),
+        |ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |cells AS (
+        |  SELECT doc_id, t.c,
+        |    ((((t.c * (2 * ((doc_id // 3) % 16) + 1) + 7) % 64) < 32)
+        |      <> (t.c = doc_id % 64)) AS white
+        |  FROM ids, LATERAL unnest(generate_series(0, 63)) AS t(c)),
+        |hv AS (
+        |  SELECT cells.doc_id,
+        |    sum(CASE WHEN cells.white THEN pw.v ELSE CAST(0 AS HUGEINT) END) AS v
+        |  FROM cells JOIN pw ON pw.k = cells.c
+        |  GROUP BY cells.doc_id)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+        |       THEN v - CAST(18446744073709551616 AS HUGEINT) ELSE v END
+        |    AS BIGINT) AS ahash
+        |FROM hv ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_phash" ->
       // closed-form replay of the synthesized-image aHash: PNG is
       // lossless, so decoded luma == the synthesized gray value v (luma

@@ -2069,6 +2069,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_multimodal_jpeg" -> ((s, dir) => {
+      // the LOSSY image rung, hash-checked: real JPEG encodes (the
+      // JDK's built-in codec) of DCT-block-aligned black/white cell
+      // patterns, decoded and aHashed — uniform 8x8 cells survive the
+      // lossy round trip within a couple luma units, so the hash of
+      // the DECODED image is a pure integer function of doc_id and the
+      // oracle derives every 64-bit hash closed-form (HUGEINT bit sum,
+      // signed two's-complement conversion). Verifies JPEG encode ->
+      // ImageIO decode -> integer aHash end-to-end from outside
+      val payloads = Multimodal.syntheticJpegPayloads(
+        t(s, dir, "documents").filter(col("doc_id") < 200).select(col("doc_id")))
+      Multimodal.perceptualHashes(payloads, kernel = Multimodal.imageAverageHash)
+        .select(col("id").as("doc_id"), col("sh").as("ahash"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_audio_segments" -> ((s, dir) => {
       // audio VAD primitive end-to-end: REAL WAV containers decode to
       // windowed EXACT-integer energy rows, then gaps-and-islands over

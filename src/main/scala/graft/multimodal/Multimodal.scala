@@ -387,6 +387,57 @@ object Multimodal {
       StructField("payload", org.apache.spark.sql.types.BinaryType, nullable = false))))
   }
 
+  /** Deterministic synthetic JPEG payloads (doc_id, payload): REAL lossy
+    * encodes through the JDK's built-in JPEG codec (javax.imageio ships
+    * a JPEG reader+writer — measured available in this environment, so
+    * the lossy-image rung is NOT codec-blocked the way MP3/H.264 are).
+    * The pattern makes the LOSSY chain exactly verifiable: a 64×64
+    * image of 8×8-pixel cells, each uniformly black (0) or white (255),
+    * aligned 1:1 with JPEG's 8×8 DCT blocks — a uniform block encodes
+    * as a DC-only coefficient whose quantization error is a couple of
+    * luma units, so every decoded cell average stays within a few units
+    * of 0 or 255 and the aHash threshold (cell vs global mean ≈ 127)
+    * has a ~125-unit margin: the hash of the DECODED lossy image is a
+    * pure integer function of the id. Cell c is white iff
+    * ((c·a + 7) mod 64) < 32 with a = 2·(g mod 16)+1 (odd ⇒ a
+    * permutation ⇒ exactly 32 white cells), g = id/groupSize; the
+    * per-id edit flips cell (id mod 64).
+    */
+  def syntheticJpegPayloads(ids: DataFrame, groupSize: Int = 3): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col("doc_id")).rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      val g = (id / groupSize).toInt
+      val a = 2 * (g % 16) + 1
+      val flip = (id % 64).toInt
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val c = cy * 8 + cx
+          val white = (((c * a + 7) % 64) < 32) ^ (c == flip)
+          val v = if (white) 0xffffff else 0x000000
+          var y = cy * 8
+          while (y < cy * 8 + 8) {
+            var x = cx * 8
+            while (x < cx * 8 + 8) { img.setRGB(x, y, v); x += 1 }
+            y += 1
+          }
+          cx += 1
+        }
+        cy += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      Row(id, baos.toByteArray)
+    })
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", org.apache.spark.sql.types.BinaryType, nullable = false))))
+  }
+
   /** (doc_id, sh) perceptual hashes for a payload frame — the same
     * batched mapPartitions plumbing as [[decodeFeatures]] ([[byteAverageHash]]
     * by default; [[imageAverageHash]] for real image payloads). Null or

@@ -212,6 +212,36 @@ class MultimodalSpec extends SparkSuite {
     assert(java.lang.Long.bitCount(a ^ inverted) > 20)
   }
 
+  test("JPEG round trip: decoded cell means keep the aHash margin; hash is closed-form") {
+    import spark.implicits._
+    val ids = (0L until 24L).toDF("doc_id")
+    val payloads = Multimodal.syntheticJpegPayloads(ids).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    payloads.foreach { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth === 64 && img.getHeight === 64)
+      val g = (id / 3).toInt; val a = 2 * (g % 16) + 1; val flip = (id % 64).toInt
+      var expected = 0L
+      for (c <- 0 until 64) {
+        val white = (((c * a + 7) % 64) < 32) ^ (c == flip)
+        if (white) expected |= (1L << c)
+        // measure the lossy margin the oracle's closed form RELIES on:
+        // every decoded 8x8 cell mean within a few luma units of 0/255
+        val (cy, cx) = (c / 8, c % 8)
+        var sum = 0L
+        for (y <- cy * 8 until cy * 8 + 8; x <- cx * 8 until cx * 8 + 8) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >>> 16) & 0xff) * 299 + ((rgb >>> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        }
+        val mean = sum / 64.0
+        assert(if (white) mean > 225 else mean < 30,
+          s"doc $id cell $c lossy margin violated: mean $mean white=$white")
+      }
+      assert(Multimodal.imageAverageHash(bytes) === expected, s"doc $id hash")
+    }
+  }
+
   test("perceptual-hash near-dup closes end-to-end through hammingPairs64") {
     import spark.implicits._
     // identical payload pair + a perturbed copy + unrelated filler
