@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
   *
   * Design (brief-mandated): media travels as a `binary` column with a
   * typed metadata struct; decode/feature-extract runs per-partition in
-  * bounded batches (the JVM mirror of Arrow-batched pandas UDFs). The
-  * actual image/audio codecs are NOT in this environment, so the decode
-  * kernel is a clearly-marked deterministic STUB — everything around it
-  * (schema, batching, partitioning, null handling) is the real plumbing
-  * a codec would drop into.
+  * bounded batches (the JVM mirror of Arrow-batched pandas UDFs).
+  *
+  * Codec status (measured, round 11): PNG and JPEG decode/encode are
+  * REAL via `javax.imageio` (this JDK ships both readers and writers —
+  * see `decodePngGray` / the JPEG path around `jpegBytesGray`), and
+  * WAV/AIFF decode is REAL via `javax.sound.sampled`. Only MP3 and
+  * H.264 lack a JVM SPI in a stock JDK, so `decodeStub` below remains a
+  * clearly-marked deterministic stand-in for THOSE formats only;
+  * everything around it (schema, batching, partitioning, null handling)
+  * is the real plumbing a JNI/FFI codec binding would drop into.
   */
 object Multimodal {
 

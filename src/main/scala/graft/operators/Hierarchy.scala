@@ -25,11 +25,16 @@ object Hierarchy {
     * zero driver actions, the whole closure pipelines into the consumer.
     * The pin is a contract: paths longer than `knownDepth` edges are NOT
     * found (a star schema's category tree has a schema-fixed depth; use
-    * [[closure]] when the depth is data-dependent). Rounds are cut from
-    * lineage with LAZY checkpoints, so no round schedules its own job.
+    * [[closure]] when the depth is data-dependent) — a mis-pinned depth
+    * would otherwise ship a silently PARTIAL closure. `verify = true`
+    * buys insurance against that: one extra doubling round plus one
+    * count action asserting it finds no new pair (throws if the data
+    * outgrew the pin). The default stays action-free; callers own
+    * revalidating the pin when schema depth can change, or pay the one
+    * verify action when it can.
     */
   def closureKnownDepth(edges: DataFrame, childCol: String, parentCol: String,
-                        knownDepth: Int): DataFrame = {
+                        knownDepth: Int, verify: Boolean = false): DataFrame = {
     require(knownDepth >= 1, "knownDepth must be >= 1")
     var paths = edges.select(col(childCol).cast("long").as("child"),
       col(parentCol).cast("long").as("ancestor"))
@@ -47,6 +52,20 @@ object Hierarchy {
         .agg(min(col("depth")).as("depth"))
         .localCheckpoint(false)
       reach *= 2
+    }
+    if (verify) {
+      // one extra doubling round, anti-joined back: any pair it finds
+      // that the pinned closure missed means the data outgrew the pin
+      val extra = paths.select(col("ancestor").as("__mid"), col("child"))
+        .join(paths.select(col("child").as("__mid"), col("ancestor")), Seq("__mid"))
+        .select(col("child"), col("ancestor"))
+        .join(paths.select(col("child"), col("ancestor")),
+          Seq("child", "ancestor"), "left_anti")
+        .count()
+      if (extra > 0) throw new IllegalStateException(
+        s"closureKnownDepth(knownDepth=$knownDepth): data depth exceeds the pin — " +
+          s"$extra reachable pairs lie beyond $knownDepth edges; " +
+          "raise knownDepth or use closure() for data-dependent depth")
     }
     paths
   }

@@ -93,8 +93,13 @@ object Pack {
               (b, e.getKey)
             }
           val capAfter = capBefore - len
-          byCap.computeIfAbsent(capAfter,
-            _ => new java.util.TreeSet[Long]).add(bin)
+          // full bins (capAfter == 0) are evicted, not re-inserted:
+          // len >= 1 can never match cap 0, and keeping them would grow
+          // per-task state to bins-ever-opened instead of open bins
+          // (mirrors StreamingPack.updateKey's eviction)
+          if (capAfter > 0)
+            byCap.computeIfAbsent(capAfter,
+              _ => new java.util.TreeSet[Long]).add(bin)
           Row.fromSeq(r.toSeq :+ bin :+ (budget - capBefore))
         }
     }(Encoders.row(outSchema))

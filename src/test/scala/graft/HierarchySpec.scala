@@ -60,6 +60,18 @@ class HierarchySpec extends SparkSuite {
     assert(short !== want)
   }
 
+  test("closureKnownDepth verify mode: covering pin passes, under-pin throws") {
+    val edges = (1L until 10L).map(i => (i + 1, i)).toDF("c", "p")
+    // pin covers the depth-9 chain: verify is silent and the result is full
+    val ok = Hierarchy.closureKnownDepth(edges, "c", "p", 9, verify = true)
+    assert(ok.count() === (9L * 10L) / 2)
+    // under-pin: verify round finds the missed longer paths and throws
+    val e = intercept[IllegalStateException] {
+      Hierarchy.closureKnownDepth(edges, "c", "p", 4, verify = true).count()
+    }
+    assert(e.getMessage.contains("exceeds the pin"))
+  }
+
   test("subtreeAgg with a pinned depth matches the fixpoint rollup") {
     val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L)).toDF("c", "p")
     val nodes = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("id", "v")

@@ -34,7 +34,11 @@ def main(bench_path, out_path, n=10, sf_dir="/root/testdata/sf0.1"):
             print(f"  {q}: NO OUTPUT", file=sys.stderr)
             continue
         j = json.loads(m.group(0))
-        fresh[q] = j["queries"].get(q)
+        if q not in j.get("queries", {}) or j["queries"][q] is None:
+            print(f"  {q}: key missing from single-query run — skipped",
+                  file=sys.stderr)
+            continue
+        fresh[q] = j["queries"][q]
         print(f"  {q}: full {full_sec:.2f}s fresh {fresh[q]:.2f}s")
     json.dump({"fresh_jvm_sec": fresh}, open(out_path, "w"))
 
