@@ -172,9 +172,31 @@ object Graphs {
   /** All triangles, each ONCE, as (a, b, c) with a < b < c by node id.
     * Input: canonical edges.
     *
-    * The edge list is referenced FOUR times (degrees, both wedge
-    * sides, the closing probe), so it is localCheckpoint'ed eagerly on
-    * entry — without that, a derived edge list (a distinct over a
+    * Formulation: the EDGE-ITERATOR over oriented sorted adjacency
+    * arrays (still Schank & Wagner's (deg, id) orientation, so the
+    * same O(m^1.5) work bound) — each low-rank node's out-neighbors
+    * are packed ONCE into an array, and a triangle is an oriented edge
+    * (lo, hi) plus a node in N⁺(lo) ∩ N⁺(hi). This replaces the
+    * wedge-generation self-join + wedge⋈edge verify (which shuffled
+    * Σd⁺² ≈ m^1.5 three-column ROWS across two exchanges) with ONE
+    * m-row join whose payload is the packed arrays: the bytes moved
+    * are the same order, but Spark shuffle cost is row-dominated
+    * (per-row serialize + hash/sort), and the intersection itself runs
+    * in-memory per edge instead of as a shuffled join probe. The array
+    * side is bounded: orientation caps every out-neighbor array at
+    * √(2m) entries (only nodes ranked above can be out-neighbors, and
+    * at most √(2m) nodes have degree ≥ √(2m)).
+    *
+    * Exchange inventory: degree agg, two degree-attach joins, the
+    * adjacency agg (keyed on lo), and the pairs⋈adjacency join — whose
+    * RIGHT side reuses the adjacency agg's own hash(node) partitioning
+    * (node == hi join key), so only the exploded pairs move. A skewed
+    * high-rank hub (large IN-degree under orientation) is a plain
+    * equi-join key, splittable by AQE skew handling.
+    *
+    * The edge list is referenced THREE times (degrees twice, the
+    * orientation join), so it is localCheckpoint'ed eagerly on entry —
+    * without that, a derived edge list (a distinct over a
     * pair-enumeration join) would replay its whole upstream per
     * reference. The pinned artifact is #edges rows, the bounded thing.
     */
@@ -193,15 +215,21 @@ object Graphs {
           col("u")).otherwise(col("v")).as("lo"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("hi"))
-    // wedges at the apex: two out-edges of the same low-rank node; the
-    // (x < y) id order dedups the unordered out-pair
-    val wedges = e.as("e1").join(e.as("e2"),
-        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
-      .select(col("e1.lo").as("apex"), col("e1.hi").as("x"), col("e2.hi").as("y"))
-    // close the wedge against the UNDIRECTED canonical edge (x < y holds)
-    // apex relates to x,y by RANK, not id — re-sort the node ids
-    wedges.join(e0, col("x") === col("u") && col("y") === col("v"))
-      .select(array_sort(array(col("apex"), col("x"), col("y"))).as("s"))
+    // per low-rank node: packed sorted out-neighbor array (≤ √(2m) long)
+    val adj = e.groupBy(col("lo").as("node"))
+      .agg(sort_array(collect_list(col("hi"))).as("nbrs"))
+    // re-derive the oriented edges from the adjacency itself (no second
+    // edge-frame reference): each (lo, hi) carries N⁺(lo) for free
+    val pairs = adj.select(col("node").as("lo"), col("nbrs").as("lo_nbrs"),
+      explode(col("nbrs")).as("hi"))
+    // close: w ∈ N⁺(lo) ∩ N⁺(hi) — hi's rank exceeds lo's, so hi's array
+    // is also bounded; edges whose hi has NO out-edges close nothing
+    // (inner join drops them). apex relates to (hi, w) by RANK, not id —
+    // re-sort the node ids for the (a < b < c) contract.
+    pairs.join(adj.select(col("node").as("hi"), col("nbrs").as("hi_nbrs")), Seq("hi"))
+      .select(col("lo"), col("hi"),
+        explode(array_intersect(col("lo_nbrs"), col("hi_nbrs"))).as("w"))
+      .select(array_sort(array(col("lo"), col("hi"), col("w"))).as("s"))
       .select(element_at(col("s"), 1).as("a"), element_at(col("s"), 2).as("b"),
         element_at(col("s"), 3).as("c"))
   }

@@ -67,7 +67,7 @@ object Bpe {
     * DuckDB's string compare share (≡ code-point order); Java's
     * String.compareTo diverges on supplementary characters.
     */
-  private def utf8Lt(a: String, b: String): Boolean = {
+  private[pipelines] def utf8Lt(a: String, b: String): Boolean = {
     val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
     var i = 0
     while (i < x.length && i < y.length) {
