@@ -501,6 +501,21 @@ object ScaleSmoke {
         QualityClassifier.scoresByFlag(docsN, col("source") === "src0",
           "doc_id", "text").count())
 
+      // anneal schedule: DSIR training + the ranged two-pass cumsum +
+      // one 1-row total agg + the eager manifest pin — every stage is
+      // scan- or cumsum-shaped, so the ramp must stay ~linear in docs
+      // (the sf0.1 gap vs the oracle is job-count floor, not growth)
+      import graft.pipelines.Curriculum
+      def annealCount(d: org.apache.spark.sql.DataFrame): Long = {
+        val out = Curriculum.annealSchedule(d, "doc_id", "text",
+          col("source") === "src0")
+        val n = out.count()
+        org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(out)
+        n
+      }
+      time("anneal schedule 1x")(annealCount(docs1))
+      time(s"anneal schedule ${mult}x")(annealCount(docsN))
+
       // best-fit packing: chunk-wise by construction (doc_id div 2000
       // bounds every (source, shard) task regardless of corpus size) —
       // ramp must be ~linear in docs, and the hot-shard bound holds by

@@ -47,8 +47,12 @@ object Curriculum {
         conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
           .cast("long"))
       .withColumn("__g", lit(0))
+    // LAZY pin (r11 technique): the range exchange materializes inside
+    // the total agg's own job instead of a dedicated checkpoint job —
+    // one less scheduled action on a query that is job-count-floor
+    // bound; the free below still runs after every consumer action
     val (sorted, withBefore) = Mixture.withRunningBeforeCols(
-      base, "__g", Seq("__h", idCol), "n_tokens")
+      base, "__g", Seq("__h", idCol), "n_tokens", eagerPin = false)
     try {
       // the timeline's token total: every row's end offset is ≤ it, the
       // LAST row's equals it — one 1-row aggregate over the pinned pass

@@ -268,15 +268,23 @@ object Mixture {
   /** Multi-column order variant (e.g. a hash order with an id
     * tiebreak — a single 48-bit hash column collides at corpus scale).
     */
+  /** `eagerPin = false` pins the range exchange LAZILY (the r11 cheap
+    * pin): the blocks still materialize exactly once — inside the first
+    * consumer's action, typically the offsets broadcast — so both
+    * passes still read the identical partitioning; it just saves the
+    * dedicated checkpoint job. Callers that FREE `sorted` must order
+    * the free after every consumer action (Curriculum does).
+    */
   private[pipelines] def withRunningBeforeCols(df: DataFrame, groupCol: String,
                                 orderCols: Seq[String],
-                                tokenCountCol: String): (DataFrame, DataFrame) = {
+                                tokenCountCol: String,
+                                eagerPin: Boolean = true): (DataFrame, DataFrame) = {
     val W = org.apache.spark.sql.expressions.Window
     val ord = orderCols.map(col)
     val sorted = df.repartitionByRange(col(groupCol) +: ord: _*)
       .sortWithinPartitions(col(groupCol) +: ord: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(eagerPin)
     val statsW = W.partitionBy(col(groupCol)).orderBy(col("__pid"))
       .rowsBetween(W.unboundedPreceding, -1)
     val offsets = sorted.groupBy(col("__pid"), col(groupCol))
