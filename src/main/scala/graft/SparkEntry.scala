@@ -1914,6 +1914,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    "q_ann_opq" -> ((s, dir) => {
+      // OPQ — the LEARNED rotation one step past q_ann_wpq's PCA
+      // conditioning (Ge et al. CVPR'13, non-parametric, one
+      // alternation): fit codebooks on the whitened frame, solve the
+      // orthogonal Procrustes toward their reconstructions (polar
+      // factor of the quantized cross-moment, driver-side Jacobi),
+      // rotate, then the FULL verified IVFADC machine on the rotated
+      // vectors. Oracle: gated whitening literals -> projection ->
+      // codebook replay -> independent cross-moment -> R gated on
+      // orthonormality + Procrustes symmetry + no-worse-than-identity
+      // trace -> rotation -> the wpq IVFADC replay
+      val emb = t(s, dir, "embeddings")
+      val t16 = graft.similarity.Whitening.fit(emb, "embedding", k = 16)
+      val unit = emb.select(col("vec_id"),
+        transform(t16(col("embedding")), x => x.cast("float")).as("embedding"))
+      val rot = graft.similarity.Opq.trainRotation(unit, m = 4, subDim = 4, k = 8)
+      val rimg = unit.select(col("vec_id"),
+        graft.similarity.Opq.rotateExpr(col("embedding"), rot).as("embedding"))
+      val coarse = Knn.trainCentroids(rimg, nCentroids = 8, iters = 1)
+      val books = Pq.trainCodebooks(Pq.residualFrame(rimg, coarse),
+        m = 4, subDim = 4, k = 8, iters = 1)
+      Pq.ivfpqTopK(rimg, rimg.filter(col("vec_id") < 10), coarse, books,
+        subDim = 4, k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = NearDup.minhashPairs(docs, "doc_id", "text", threshold = 0.6)
@@ -5592,22 +5618,19 @@ object SparkEntry {
     * then runs FROM that projected frame. The final select rides the
     * whitening gates, so a wrong basis empties the result.
     */
-  private def wpqOracleSql: String = {
-    val projEntries = (1 to 16).map { kk =>
-      s"CAST((1.0 / sqrt(greatest(lits.lam[$kk], 0.0) + 1e-6)) * " +
-        s"list_aggregate(list_apply(list_zip(e.embedding, lits.mu, lits.comp[$kk]), " +
-        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * x[3]), 'sum') AS REAL)"
-    }.mkString(",\n      |    ")
-    s"""WITH ${whitenLitsAndGates(16)},
-      |pvec AS (
-      |  SELECT e.vec_id, [
-      |    $projEntries] AS embedding
-      |  FROM embeddings e CROSS JOIN lits),
-      |pn AS (SELECT count(*) AS cnt FROM pvec),
+  /** The IVFADC replay chain (coarse seeds -> one quantized Lloyd
+    * round -> residuals -> per-subspace codebooks -> integer ADC
+    * scoring) over a 16-dim REAL source CTE `src` -- the q_ann_ivfpq
+    * structure at dim 16 / m 4 / subDim 4, shared VERBATIM by the wpq
+    * and opq oracles (extracted unchanged from the r11 wpq oracle).
+    * Starts at `pn`, ends after `scored` (no trailing comma).
+    */
+  private def ivfadcReplaySql(src: String): String =
+    s"""pn AS (SELECT count(*) AS cnt FROM ${src}),
       |cents0 AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
       |         embedding AS c_emb
-      |  FROM pvec, pn
+      |  FROM ${src}, pn
       |  WHERE vec_id % greatest(1, cnt // 8) = 0
       |  ORDER BY vec_id LIMIT 8),
       |scores0 AS (
@@ -5616,7 +5639,7 @@ object SparkEntry {
       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
       |      + list_aggregate(list_apply(c.c_emb,
       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-      |  FROM pvec e CROSS JOIN cents0 c),
+      |  FROM ${src} e CROSS JOIN cents0 c),
       |assign0 AS (
       |  SELECT vec_id, embedding, cid FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -5639,7 +5662,7 @@ object SparkEntry {
       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
       |      + list_aggregate(list_apply(c.c_emb,
       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-      |  FROM pvec e CROSS JOIN cents c),
+      |  FROM ${src} e CROSS JOIN cents c),
       |assign AS (
       |  SELECT vec_id, embedding, cid AS centroid_id FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -5716,12 +5739,168 @@ object SparkEntry {
       |  FROM codes c
       |  JOIN lut l ON l.centroid_id = c.centroid_id AND l.m = c.m AND l.bid = c.bid
       |  WHERE c.vec_id <> l.query_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def wpqOracleSql: String = {
+    val projEntries = (1 to 16).map { kk =>
+      s"CAST((1.0 / sqrt(greatest(lits.lam[$kk], 0.0) + 1e-6)) * " +
+        s"list_aggregate(list_apply(list_zip(e.embedding, lits.mu, lits.comp[$kk]), " +
+        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * x[3]), 'sum') AS REAL)"
+    }.mkString(",\n      |    ")
+    s"""WITH ${whitenLitsAndGates(16)},
+      |pvec AS (
+      |  SELECT e.vec_id, [
+      |    $projEntries] AS embedding
+      |  FROM embeddings e CROSS JOIN lits),
+      |${ivfadcReplaySql("pvec")}
       |SELECT s.query_id, s.neighbor_id, s.adc_dist FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
       |  FROM scored) s, mgate, rgate, ogate, dgate
       |WHERE s.rk <= 5
       |  AND mgate.bad = 0 AND rgate.bad = 0 AND ogate.bad = 0 AND dgate.bad = 0
+      |ORDER BY s.query_id, s.neighbor_id""".stripMargin
+  }
+
+  /** q_ann_opq's oracle: the wpq replay with the LEARNED rotation
+    * between the whitening projection and the IVFADC machine. The
+    * trained 16×16 rotation R is the ONLY new pin, and it is verified
+    * from outside rather than trusted: the B₀ codebooks R was trained
+    * toward are RE-DERIVED in SQL from the projected frame (the same
+    * quantized-Lloyd replay as every codebook oracle), the quantized
+    * cross-moment M = Σ floor(2²⁰·y·xᵀ) is recomputed independently
+    * from those replayed codes, and R must pass (1) row orthonormality
+    * ≤ 1e-9, (2) the Procrustes critical-point condition — RᵀM
+    * symmetric to 1e-4 relative (M is quantization-exact, so asymmetry
+    * measures only the driver Jacobi's residual), and (3)
+    * tr(RᵀM) ≥ tr(M): no worse than the identity rotation, ruling out
+    * descent branches of the critical-point family. The rotated frame
+    * then feeds the VERBATIM wpq IVFADC replay.
+    */
+  private def opqOracleSql: String = {
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "opq oracle needs an active SparkSession to train the rotation"))
+    val emb = t(spark, oracleTrainDir, "embeddings")
+    val t16 = graft.similarity.Whitening.fit(emb, "embedding", k = 16)
+    val unit = emb.select(col("vec_id"),
+      transform(t16(col("embedding")), x => x.cast("float")).as("embedding"))
+    val rot = graft.similarity.Opq.trainRotation(unit, m = 4, subDim = 4, k = 8)
+    def d(x: Double): String = {
+      val s = java.lang.Double.toString(x)
+      if (s.contains('E')) s else s + "e0"
+    }
+    val rLit = rot.map(_.map(d).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val projEntries = (1 to 16).map { kk =>
+      s"CAST((1.0 / sqrt(greatest(lits.lam[$kk], 0.0) + 1e-6)) * " +
+        s"list_aggregate(list_apply(list_zip(e.embedding, lits.mu, lits.comp[$kk]), " +
+        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * x[3]), 'sum') AS REAL)"
+    }.mkString(",\n      |    ")
+    val rotEntries = (1 to 16).map { kk =>
+      s"CAST(list_aggregate(list_apply(list_zip(p.embedding, r.rr[$kk]), " +
+        "x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum') AS REAL)"
+    }.mkString(",\n      |    ")
+    s"""WITH ${whitenLitsAndGates(16)},
+      |pvec AS (
+      |  SELECT e.vec_id, [
+      |    $projEntries] AS embedding
+      |  FROM embeddings e CROSS JOIN lits),
+      |zms AS (SELECT unnest(range(1, 5)) AS m),
+      |zsub AS (
+      |  SELECT p.vec_id, zms.m,
+      |         list_slice(p.embedding, (zms.m - 1) * 4 + 1, zms.m * 4) AS sv
+      |  FROM pvec p CROSS JOIN zms),
+      |zpn AS (SELECT count(*) AS cnt FROM pvec),
+      |zseed_ids AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS bid
+      |  FROM (SELECT vec_id FROM pvec, zpn WHERE vec_id % greatest(1, cnt // 8) = 0
+      |        ORDER BY vec_id LIMIT 8)),
+      |zseeds AS (
+      |  SELECT s.bid, q.m, q.sv AS b_emb
+      |  FROM zseed_ids s JOIN zsub q ON q.vec_id = s.vec_id),
+      |zscores0 AS (
+      |  SELECT q.vec_id, q.m, q.sv, b.bid,
+      |    -2 * list_aggregate(list_apply(list_zip(q.sv, b.b_emb),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |      + list_aggregate(list_apply(b.b_emb,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+      |  FROM zsub q JOIN zseeds b ON b.m = q.m),
+      |zassign0 AS (
+      |  SELECT vec_id, m, sv, bid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY score, bid) AS rk
+      |    FROM zscores0) WHERE rk = 1),
+      |zexpl AS (
+      |  SELECT m, bid, unnest(range(1, len(sv) + 1)) AS d, unnest(sv) AS v
+      |  FROM zassign0),
+      |zsums AS (
+      |  SELECT m, bid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+      |         count(*) AS nv
+      |  FROM zexpl GROUP BY m, bid, d),
+      |zbooks AS (
+      |  SELECT m, bid,
+      |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS b_emb
+      |  FROM zsums GROUP BY m, bid),
+      |zscores AS (
+      |  SELECT q.vec_id, q.m, b.bid,
+      |    -2 * list_aggregate(list_apply(list_zip(q.sv, b.b_emb),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |      + list_aggregate(list_apply(b.b_emb,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+      |  FROM zsub q JOIN zbooks b ON b.m = q.m),
+      |zcodes AS (
+      |  SELECT vec_id, m, bid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY score, bid) AS rk
+      |    FROM zscores) WHERE rk = 1),
+      |ym AS (
+      |  SELECT c.vec_id, CAST((c.m - 1) * 4 + t.d AS INTEGER) AS r,
+      |         b.b_emb[CAST(t.d AS INTEGER)] AS yv
+      |  FROM zcodes c JOIN zbooks b ON b.m = c.m AND b.bid = c.bid,
+      |    LATERAL unnest(generate_series(1, 4)) AS t(d)),
+      |xm AS (
+      |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS c,
+      |         unnest(embedding) AS xv
+      |  FROM pvec),
+      |mmat AS (
+      |  SELECT y.r, x.c,
+      |    CAST(sum(CAST(floor(CAST(y.yv AS DOUBLE) * CAST(x.xv AS DOUBLE)
+      |      * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0 AS v
+      |  FROM ym y JOIN xm x USING (vec_id) GROUP BY 1, 2),
+      |rlits AS (SELECT $rLit AS rr),
+      |r_ogate AS (
+      |  SELECT count(*) AS bad FROM (
+      |    SELECT a.a AS a, b.b AS b,
+      |      list_aggregate(list_apply(list_zip(r.rr[CAST(a.a AS INTEGER)],
+      |        r.rr[CAST(b.b AS INTEGER)]), x -> x[1] * x[2]), 'sum') AS dp
+      |    FROM rlits r,
+      |      LATERAL unnest(generate_series(1, 16)) AS a(a),
+      |      LATERAL unnest(generate_series(1, 16)) AS b(b))
+      |  WHERE abs(dp - (CASE WHEN a = b THEN 1.0 ELSE 0.0 END)) > 1e-9),
+      |tm AS (
+      |  SELECT t.i AS i, m.c AS j,
+      |    sum(r.rr[CAST(m.r AS INTEGER)][CAST(t.i AS INTEGER)] * m.v) AS v
+      |  FROM mmat m CROSS JOIN rlits r,
+      |    LATERAL unnest(generate_series(1, 16)) AS t(i)
+      |  GROUP BY 1, 2),
+      |r_sgate AS (
+      |  SELECT count(*) AS bad FROM tm a JOIN tm b ON a.i = b.j AND a.j = b.i AND a.i < a.j
+      |  WHERE abs(a.v - b.v) > 1e-4 * (1.0 + abs(a.v) + abs(b.v))),
+      |r_tgate AS (
+      |  SELECT count(*) AS bad
+      |  FROM (SELECT sum(v) AS t1 FROM tm WHERE i = j) q1,
+      |       (SELECT sum(v) AS t0 FROM mmat WHERE r = c) q0
+      |  WHERE q1.t1 < q0.t0 - 1e-6 * (1.0 + abs(q0.t0))),
+      |rvec AS (
+      |  SELECT p.vec_id, [
+      |    $rotEntries] AS embedding
+      |  FROM pvec p CROSS JOIN rlits r),
+      |${ivfadcReplaySql("rvec")}
+      |SELECT s.query_id, s.neighbor_id, s.adc_dist FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+      |  FROM scored) s, mgate, rgate, ogate, dgate, r_ogate, r_sgate, r_tgate
+      |WHERE s.rk <= 5
+      |  AND mgate.bad = 0 AND rgate.bad = 0 AND ogate.bad = 0 AND dgate.bad = 0
+      |  AND r_ogate.bad = 0 AND r_sgate.bad = 0 AND r_tgate.bad = 0
       |ORDER BY s.query_id, s.neighbor_id""".stripMargin
   }
 
@@ -5861,6 +6040,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Map("q_embed_whiten" -> whitenOracleSql, "q_ann_wpq" -> wpqOracleSql,
+      "q_ann_opq" -> opqOracleSql,
       "q_unigram_train" -> unigramOracleSql,
       "q_unigram_fertility" -> unigramFertilityOracleSql) ++
       OracleRelationalSql.sql ++ OracleAnalyticsSql.sql ++ OracleTextSql.sql
