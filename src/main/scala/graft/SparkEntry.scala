@@ -4071,6 +4071,24 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    "q_unigram_encode" -> ((s, dir) => {
+      // the unigram APPLICATION rung (parity with q_bpe_encode):
+      // per-doc subword counts under the trained model. Words were
+      // Viterbi-segmented ONCE on the vocabulary-sized word table;
+      // the corpus-scale step is one explode + one broadcast join —
+      // no distributed DP, no shuffle of the text
+      val docs = t(s, dir, "documents")
+      val m = graft.pipelines.Unigram.fit(docs, "text", vocabSize = 50)
+      val wt = graft.pipelines.Unigram.wordTokenCounts(s, m)
+      docs.filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "[ \\t\\n\\r\\f]+")).as("word"))
+        .join(broadcast(wt), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_toks")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_unigram_fertility" -> ((s, dir) => {
       // fertility comparison row vs q_bpe_fertility (same rollup, same
       // corpus, same basis points): subword tokens per whitespace word
@@ -6038,10 +6056,29 @@ object SparkEntry {
       |GROUP BY dw.lang ORDER BY dw.lang""".stripMargin
   }
 
+  /** Per-doc subword counts over the SAME gated Viterbi replay. */
+  private def unigramEncodeOracleSql: String = {
+    val m = unigramModel()
+    s"""WITH RECURSIVE ${unigramLitsAndGates(m)},
+      |wsym AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS ntoks
+      |  FROM bt WHERE tok IS NOT NULL GROUP BY word),
+      |dw AS (
+      |  SELECT doc_id,
+      |    unnest(str_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS word
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+      |SELECT dw.doc_id, CAST(sum(w.ntoks) AS BIGINT) AS n_subwords
+      |FROM dw JOIN wsym w USING (word), cover_gate, cost_gate, fix_gate, stray_gate
+      |WHERE cover_gate.bad = 0 AND cost_gate.bad = 0
+      |  AND fix_gate.bad = 0 AND stray_gate.bad = 0
+      |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     Map("q_embed_whiten" -> whitenOracleSql, "q_ann_wpq" -> wpqOracleSql,
       "q_ann_opq" -> opqOracleSql,
       "q_unigram_train" -> unigramOracleSql,
+      "q_unigram_encode" -> unigramEncodeOracleSql,
       "q_unigram_fertility" -> unigramFertilityOracleSql) ++
       OracleRelationalSql.sql ++ OracleAnalyticsSql.sql ++ OracleTextSql.sql
 
