@@ -1927,11 +1927,22 @@ object SparkEntry {
       // trace -> rotation -> the wpq IVFADC replay
       val emb = t(s, dir, "embeddings")
       val t16 = graft.similarity.Whitening.fit(emb, "embedding", k = 16)
+      // PIN the projected frame, and below it the rotated frame: OPQ
+      // runs ~2× the actions of wpq over these frames (B₀ training,
+      // the cross-moment pass, the rotation, then the whole IVFADC
+      // machine), and the 16-aggregate projection / rotation EXPRESSION
+      // trees inlined into every consumer make per-action janino
+      // codegen the dominant cost (measured 49 s full-run at sf0.1
+      // unpinned vs 3.4 s for wpq; 11.7 s with only the rotated frame
+      // pinned). Materialized they are n rows × 16 floats — the
+      // consumers read plain scans.
       val unit = emb.select(col("vec_id"),
         transform(t16(col("embedding")), x => x.cast("float")).as("embedding"))
+        .localCheckpoint(true)
       val rot = graft.similarity.Opq.trainRotation(unit, m = 4, subDim = 4, k = 8)
       val rimg = unit.select(col("vec_id"),
         graft.similarity.Opq.rotateExpr(col("embedding"), rot).as("embedding"))
+        .localCheckpoint(true)
       val coarse = Knn.trainCentroids(rimg, nCentroids = 8, iters = 1)
       val books = Pq.trainCodebooks(Pq.residualFrame(rimg, coarse),
         m = 4, subDim = 4, k = 8, iters = 1)
