@@ -1904,8 +1904,12 @@ object SparkEntry {
       // Lloyd → residual codebooks → integer ADC top-k.
       val emb = t(s, dir, "embeddings")
       val t16 = graft.similarity.Whitening.fit(emb, "embedding", k = 16)
+      // janino-pin rule (measured on q_ann_opq this round): the
+      // 16-aggregate projection tree otherwise inlines into every
+      // training/search action's codegen
       val unit = emb.select(col("vec_id"),
         transform(t16(col("embedding")), x => x.cast("float")).as("embedding"))
+        .localCheckpoint(true)
       val coarse = Knn.trainCentroids(unit, nCentroids = 8, iters = 1)
       val books = Pq.trainCodebooks(Pq.residualFrame(unit, coarse),
         m = 4, subDim = 4, k = 8, iters = 1)
@@ -2284,8 +2288,16 @@ object SparkEntry {
         .localCheckpoint(true)
       def inter(df: DataFrame) = df.groupBy(col("user"), col("item"))
         .agg(countDistinct(col("o_orderkey")).as("strength"))
-      val base = full.filter(col("o_orderkey") % 7 =!= 0)
-      val changedUsers = full.filter(col("o_orderkey") % 7 === 0)
+      // delta = orders divisible by 101 (~1% of orders → ~10% of users
+      // changed): a REALISTIC sync batch, so the maintenance path does
+      // delta-sized work on top of the base build. (r11 used %7, which
+      // marked ~78% of users changed — the "incremental" demo then did
+      // ~3 near-full pair explosions, costing more than a rebuild. The
+      // oracle is the full rebuild and is split-invariant: maintained
+      // state == rebuild holds for ANY base/delta split, so the hash
+      // is unchanged; ItemSimSpec proves the equality exhaustively.)
+      val base = full.filter(col("o_orderkey") % 101 =!= 0)
+      val changedUsers = full.filter(col("o_orderkey") % 101 === 0)
         .select(col("user")).distinct()
       val oldChanged = inter(base.join(changedUsers, Seq("user"), "left_semi"))
       val newChanged = inter(full.join(changedUsers, Seq("user"), "left_semi"))
