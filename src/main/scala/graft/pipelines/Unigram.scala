@@ -119,10 +119,27 @@ object Unigram {
   def fit(docs: DataFrame, textCol: String, vocabSize: Int,
           seedMaxLen: Int = 6, seedFactor: Int = 4, minSubCount: Long = 2L,
           maxIters: Int = 30, maxWordChars: Int = 200,
-          minWordCount: Long = 1L, maxVocab: Int = 2000000): Model = {
+          minWordCount: Long = 1L, maxVocab: Int = 2000000): Model =
+    fitFromCounts(Bpe.wordCounts(docs, textCol), vocabSize, seedMaxLen,
+      seedFactor, minSubCount, maxIters, maxWordChars, minWordCount, maxVocab)
+
+  /** Train from a PERSISTED/MAINTAINED (word, cnt) table — the
+    * incremental-refresh form: the trainer's only corpus-scale input
+    * is the word-count frame, which is ADDITIVELY MAINTAINABLE under
+    * document CDC (counts(inserts) − counts(deletes), the
+    * Dsir/IncrementalAgg/ItemSim state pattern) — so a 100 TB corpus
+    * retrains its tokenizer per sync from delta-sized folds with no
+    * corpus rescan. UnigramSpec proves fold == rescan end-to-end
+    * (identical Model from the folded table and the full re-count).
+    */
+  def fitFromCounts(wordCnt: DataFrame, vocabSize: Int,
+                    seedMaxLen: Int = 6, seedFactor: Int = 4,
+                    minSubCount: Long = 2L, maxIters: Int = 30,
+                    maxWordChars: Int = 200, minWordCount: Long = 1L,
+                    maxVocab: Int = 2000000): Model = {
     require(vocabSize >= 1 && vocabSize <= 1000000, "vocabSize in [1, 1e6]")
     require(seedMaxLen >= 2 && seedMaxLen <= 16, "seedMaxLen in [2, 16]")
-    val rows = Bpe.wordCounts(docs, textCol)
+    val rows = wordCnt
       .filter(length(col("word")) <= maxWordChars)
       .filter(col("cnt") >= minWordCount)
       .limit(maxVocab + 1).collect()

@@ -81,6 +81,27 @@ class UnigramSpec extends SparkSuite {
     assert(wt.values.forall(_ >= 1L))
   }
 
+  test("fitFromCounts over folded CDC counts equals the rescan training") {
+    // the incremental-refresh contract: word counts fold additively
+    // (counts(base) + counts(delta)), and training from the folded
+    // table is IDENTICAL to retraining on the full re-count
+    val base = docs("spark park spark", "the park of spark")
+    val delta = docs("sparkly parking spark", "park the spark")
+    val all = docs(
+      "spark park spark", "the park of spark",
+      "sparkly parking spark", "park the spark")
+    val folded = graft.pipelines.Bpe.wordCounts(base, "text")
+      .unionAll(graft.pipelines.Bpe.wordCounts(delta, "text"))
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+    val m1 = Unigram.fitFromCounts(folded, vocabSize = 10)
+    val m2 = Unigram.fit(all, "text", vocabSize = 10)
+    assert(m1.tokens.toSeq === m2.tokens.toSeq)
+    assert(m1.counts.toSeq === m2.counts.toSeq)
+    assert(m1.costs.toSeq === m2.costs.toSeq)
+    assert(m1.wordTokens.map(w => (w._1, w._2, w._3.toSeq)).sortBy(_._1).toSeq ===
+      m2.wordTokens.map(w => (w._1, w._2, w._3.toSeq)).sortBy(_._1).toSeq)
+  }
+
   test("empty corpus yields an empty model") {
     val d = docs()
     val m = Unigram.fit(d, "text", vocabSize = 5)
