@@ -516,6 +516,15 @@ object ScaleSmoke {
       time("anneal schedule 1x")(annealCount(docs1))
       time(s"anneal schedule ${mult}x")(annealCount(docsN))
 
+      // unigram tokenizer training: the only corpus-scale stage is the
+      // word count (the trainer itself is vocabulary-bounded driver
+      // work), so the ramp must be ~flat — the claim the 50d row makes
+      import graft.pipelines.Unigram
+      time("unigram train 1x")(
+        Unigram.fit(docs1, "text", vocabSize = 50).tokens.length)
+      time(s"unigram train ${mult}x")(
+        Unigram.fit(docsN, "text", vocabSize = 50).tokens.length)
+
       // best-fit packing: chunk-wise by construction (doc_id div 2000
       // bounds every (source, shard) task regardless of corpus size) —
       // ramp must be ~linear in docs, and the hot-shard bound holds by
@@ -901,6 +910,26 @@ object ScaleSmoke {
       exps.tail.foreach { case (mu, n, t) =>
         println(f"[scale] pq encode exponent 1x->${mu}x: " +
           f"${math.log(t / t1) / math.log(n.toDouble / n1)}%.2f")
+      }
+
+      // OPQ rotation training rides the same replicas: corpus-scale
+      // work = one codebook fit + one cross-moment pass, both on the
+      // 100 TB hash-sample path at big multiples — the wall-clock must
+      // track the SAMPLE, and the rotated encode stays a linear map
+      import graft.similarity.Opq
+      val rexps = Seq(1, mult).distinct.map { mu =>
+        val corpus = spark.read.parquet(s"$out/pq_emb_$mu")
+        val n = corpus.count()
+        val frac = if (mu > 10) 0.1 else 1.0
+        val tR = time(s"opq rotation ${mu}x")(
+          Opq.trainRotation(corpus, m = 8, subDim = 8, k = 16,
+            sampleFraction = frac).length)
+        (mu, n, tR)
+      }
+      val (_, rn1, rt1) = rexps.head
+      rexps.tail.foreach { case (mu, n, t) =>
+        println(f"[scale] opq rotation exponent 1x->${mu}x: " +
+          f"${math.log(t / rt1) / math.log(n.toDouble / rn1)}%.2f")
       }
     }
 

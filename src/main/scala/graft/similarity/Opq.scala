@@ -158,12 +158,21 @@ object Opq {
     * with [[rotateExpr]]; rotated_k = R_k · x).
     */
   def trainRotation(frame: DataFrame, m: Int, subDim: Int, k: Int,
-                    iters: Int = 1): Array[Array[Double]] = {
+                    iters: Int = 1,
+                    sampleFraction: Double = 1.0): Array[Array[Double]] = {
     require(iters == 1,
       "one alternation is the library's pinned shape (each further round " +
         "re-runs the same two machines; re-compose externally if needed)")
-    val books0 = Pq.trainCodebooks(frame, m, subDim, k, iters = 1)
-    polar(crossMoment(frame, books0, m, subDim))
+    require(sampleFraction > 0 && sampleFraction <= 1)
+    // at 100 TB the rotation trains on a deterministic hash-sample like
+    // the codebooks do (rotations need the density shape, not the
+    // corpus); ONE sample frame feeds both halves so the cross-moment
+    // measures exactly the codebooks' training distribution
+    val f = if (sampleFraction >= 1.0) frame
+      else frame.filter(pmod(xxhash64(col("vec_id")), lit(1000000L))
+        < (sampleFraction * 1000000L).toLong)
+    val books0 = Pq.trainCodebooks(f, m, subDim, k, iters = 1)
+    polar(crossMoment(f, books0, m, subDim))
   }
 
   /** y = R·x as a zero-shuffle map expression, narrowed to float (the
