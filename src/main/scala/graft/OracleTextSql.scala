@@ -9,6 +9,123 @@ package graft
   */
 private[graft] object OracleTextSql {
 
+  /** Shared WordPiece training replay (q_wordpiece_train/encode/
+    * fertility): word table → ##-prefixed symbol states → 30 merge
+    * rounds in one recursive CTE. Each round derives weighted PAIR
+    * counts (window over (l, r2)) and SYMBOL counts (window over l;
+    * the right symbol's count fetched as lead(nl) within the word —
+    * position i+1's own symbol IS the pair's right side), then picks
+    * the argmax of p/(n_l·n_r) as a min over the struct key
+    * (−floor(p·2^100/(n_l·n_r)), l, r) — the floor key provably equals
+    * the trainer's exact BigInt cross-multiplication order whenever
+    * every symbol count ≤ 2^25−1 (distinct rationals with denominators
+    * ≤ C² differ by ≥ C⁻⁴ > 2⁻¹⁰⁰), which bound_gate CHECKS against
+    * the corpus (total weighted chars bounds any symbol count) instead
+    * of assuming. Merge application is the BPE oracle's TAB/NL-wrapped
+    * replace (left-to-right non-overlapping == the trainer's greedy
+    * fold); the merged symbol strips the right side's ## prefix.
+    * Ends after the recursive CTE (no trailing comma).
+    */
+  private val wpReplaySql: String =
+    """wc AS (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT unnest(str_split_regex(trim(text), '[ \t\n\r\f]+')) AS word
+      |    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+      |  GROUP BY word HAVING length(word) <= 200),
+      |bound_gate AS (
+      |  SELECT count(*) AS bad FROM (
+      |    SELECT sum(cnt * length(word)) AS c FROM wc) t
+      |  WHERE t.c > 33554431),
+      |st(r, word, s, cnt, ml, mr, mn, mnl, mnr) AS (
+      |  SELECT 0, word,
+      |    chr(9) || substr(word, 1, 1) || chr(10) ||
+      |    CASE WHEN length(word) > 1 THEN
+      |      chr(9) || '##' || array_to_string(
+      |        list_transform(range(2, length(word) + 1), i -> substr(word, i, 1)),
+      |        chr(10) || chr(9) || '##') || chr(10)
+      |    ELSE '' END,
+      |    cnt, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |  FROM wc
+      |  UNION ALL
+      |  SELECT r + 1, word,
+      |    replace(s, chr(9) || bl || chr(10) || chr(9) || br || chr(10),
+      |               chr(9) || bl || substr(br, 3) || chr(10)),
+      |    cnt, bl, br, bp, bnl, bnr
+      |  FROM (
+      |    SELECT r, word, s, cnt,
+      |      bw['l'] AS bl, bw['r'] AS br, CAST(bw['p'] AS BIGINT) AS bp,
+      |      CAST(bw['nl'] AS BIGINT) AS bnl, CAST(bw['nr'] AS BIGINT) AS bnr
+      |    FROM (
+      |      SELECT r, word, s, cnt,
+      |        min(CASE WHEN r2 IS NOT NULL AND p >= 2 THEN
+      |          {'k': -((CAST(p AS HUGEINT) * 1267650600228229401496703205376)
+      |                  // (CAST(nl AS HUGEINT) * CAST(nr AS HUGEINT))),
+      |           'l': l, 'r': r2, 'p': p, 'nl': nl, 'nr': nr} END)
+      |          OVER () AS bw
+      |      FROM (
+      |        SELECT word, r, s, cnt, i, l, r2, nl,
+      |          lead(nl) OVER (PARTITION BY word ORDER BY i) AS nr,
+      |          sum(CASE WHEN r2 IS NOT NULL THEN cnt END)
+      |            OVER (PARTITION BY l, r2) AS p
+      |        FROM (
+      |          SELECT word, r, s, cnt, i, l, r2,
+      |            sum(cnt) OVER (PARTITION BY l) AS nl
+      |          FROM (
+      |            SELECT word, r, s, cnt, i,
+      |              syms[CAST(i AS INTEGER)] AS l,
+      |              CASE WHEN i < len THEN syms[CAST(i AS INTEGER) + 1] END AS r2
+      |            FROM (
+      |              SELECT word, r, s, cnt, syms, len(syms) AS len,
+      |                unnest(range(1, len(syms) + 1)) AS i
+      |              FROM (
+      |                SELECT word, r, s, cnt,
+      |                  list_transform(
+      |                    str_split(rtrim(s, chr(10)), chr(10)),
+      |                    x -> ltrim(x, chr(9))) AS syms
+      |                FROM st WHERE r < 30)))))
+      |    ) QUALIFY row_number() OVER (PARTITION BY word) = 1
+      |  ) WHERE bp IS NOT NULL
+      |)""".stripMargin
+
+  /** Vocabulary (alphabet + merge outputs) and the maximal-munch walk
+    * as a second recursive CTE over the SAME word table: per word, the
+    * longest vocab match at each position advances the cursor; no
+    * match → the whole word terminates as one UNK token. Ends after
+    * `wtok` (word, n_toks, is_unk) — no trailing comma.
+    */
+  private val wpEncodeSql: String =
+    """alpha AS (
+      |  SELECT DISTINCT substr(word, 1, 1) AS tok FROM wc
+      |  UNION
+      |  SELECT DISTINCT '##' || substr(word, CAST(i AS INTEGER), 1) AS tok
+      |  FROM wc, LATERAL unnest(range(2, length(word) + 1)) AS t(i)),
+      |vocab AS (
+      |  SELECT tok FROM alpha
+      |  UNION
+      |  SELECT DISTINCT ml || substr(mr, 3) AS tok FROM st WHERE r >= 1),
+      |vset AS (SELECT list(tok) AS toks,
+      |                max(length(tok)) AS maxl FROM vocab),
+      |ge(word, pos, ntok, ok) AS (
+      |  SELECT word, 1, CAST(0 AS BIGINT), true FROM wc
+      |  UNION ALL
+      |  SELECT word,
+      |    CASE WHEN m IS NULL THEN length(word) + 1 ELSE pos + m END,
+      |    CASE WHEN m IS NULL THEN CAST(1 AS BIGINT) ELSE ntok + 1 END,
+      |    m IS NOT NULL AND ok
+      |  FROM (
+      |    SELECT word, pos, ntok, ok,
+      |      list_max([CAST(L AS INTEGER)
+      |        FOR L IN range(1, least(CAST(vset.maxl AS BIGINT),
+      |                         CAST(length(word) - pos + 1 AS BIGINT)) + 1)
+      |        IF list_contains(vset.toks,
+      |             CASE WHEN pos = 1 THEN substr(word, pos, CAST(L AS INTEGER))
+      |                  ELSE '##' || substr(word, pos, CAST(L AS INTEGER)) END)]) AS m
+      |    FROM ge, vset WHERE pos <= length(word))),
+      |wtok AS (
+      |  SELECT word, ntok AS n_toks, NOT ok AS is_unk FROM ge
+      |  WHERE pos = length(word) + 1)""".stripMargin
+
   def sql: Map[String, String] = Map(
 
     "q_stratified_sample" ->
@@ -982,6 +1099,126 @@ private[graft] object OracleTextSql {
         |  GROUP BY 1, 2)
         |SELECT query_id, neighbor_id, adc_dist FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+        |  FROM scored) WHERE rk <= 5
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_ann_rq" ->
+      // residual quantization replayed end to end: the q_ann_ivfpq
+      // coarse replay (seeds → one quantized-Lloyd round → trained
+      // assignment → exact-float residuals) continued with a FULL-DIM
+      // stage-2 Lloyd on the residuals (same seed stride, same
+      // fixed-point sums), code assignment, the per-(query, probed
+      // bucket) floor(2^16·‖qr − c₂‖²) BIGINT table over the 8
+      // stage-2 entries, and ONE lookup per candidate for the
+      // exact-integer top-5
+      """WITH n AS (SELECT count(*) AS cnt FROM embeddings WHERE embedding IS NOT NULL),
+        |cents0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+        |         embedding AS c_emb
+        |  FROM embeddings, n
+        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  ORDER BY vec_id LIMIT 8),
+        |scores0 AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM embeddings e CROSS JOIN cents0 c),
+        |assign0 AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores0) WHERE rk = 1),
+        |expl1 AS (
+        |  SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
+        |         unnest(embedding) AS v
+        |  FROM assign0),
+        |sums1 AS (
+        |  SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+        |         count(*) AS nv
+        |  FROM expl1 GROUP BY cid, d),
+        |cents AS (
+        |  SELECT cid,
+        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
+        |  FROM sums1 GROUP BY cid),
+        |scores AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(c.c_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, embedding, cid AS centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores) WHERE rk = 1),
+        |resid AS (
+        |  SELECT a.vec_id, a.centroid_id,
+        |    list_apply(list_zip(a.embedding, c.c_emb),
+        |      x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS REAL)) AS r_emb
+        |  FROM assign a JOIN cents c ON a.centroid_id = c.cid),
+        |rseeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS bid,
+        |         r_emb AS b_emb
+        |  FROM resid, n
+        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  ORDER BY vec_id LIMIT 8),
+        |rscores0 AS (
+        |  SELECT r.vec_id, r.r_emb, b.bid,
+        |    -2 * list_aggregate(list_apply(list_zip(r.r_emb, b.b_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(b.b_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM resid r CROSS JOIN rseeds b),
+        |rassign0 AS (
+        |  SELECT vec_id, r_emb, bid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, bid) AS rk
+        |    FROM rscores0) WHERE rk = 1),
+        |rexpl AS (
+        |  SELECT bid, unnest(range(1, len(r_emb) + 1)) AS d, unnest(r_emb) AS v
+        |  FROM rassign0),
+        |rsums AS (
+        |  SELECT bid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+        |         count(*) AS nv
+        |  FROM rexpl GROUP BY bid, d),
+        |book AS (
+        |  SELECT bid,
+        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS b_emb
+        |  FROM rsums GROUP BY bid),
+        |rscores AS (
+        |  SELECT r.vec_id, r.centroid_id, b.bid,
+        |    -2 * list_aggregate(list_apply(list_zip(r.r_emb, b.b_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(b.b_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM resid r CROSS JOIN book b),
+        |codes AS (
+        |  SELECT vec_id, centroid_id, bid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, bid) AS rk
+        |    FROM rscores) WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, cid AS centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        |    FROM scores WHERE vec_id < 10) WHERE rk <= 2),
+        |qres AS (
+        |  SELECT p.query_id, p.centroid_id,
+        |    list_apply(list_zip(p.q_emb, c.c_emb),
+        |      x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS REAL)) AS qr
+        |  FROM probes p JOIN cents c ON p.centroid_id = c.cid),
+        |lut AS (
+        |  SELECT q.query_id, q.centroid_id, b.bid,
+        |    CAST(floor(65536.0 * list_aggregate(
+        |      list_apply(list_zip(q.qr, b.b_emb),
+        |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')) AS BIGINT) AS d_q
+        |  FROM qres q CROSS JOIN book b),
+        |scored AS (
+        |  SELECT l.query_id, c.vec_id AS neighbor_id, l.d_q AS rq_dist
+        |  FROM codes c
+        |  JOIN lut l ON l.centroid_id = c.centroid_id AND l.bid = c.bid
+        |  WHERE c.vec_id <> l.query_id)
+        |SELECT query_id, neighbor_id, rq_dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rq_dist, neighbor_id) AS rk
         |  FROM scored) WHERE rk <= 5
         |ORDER BY query_id, neighbor_id""".stripMargin,
 
@@ -2131,6 +2368,53 @@ private[graft] object OracleTextSql {
         |FROM dw JOIN wsym w USING (word)
         |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin,
 
+    "q_wordpiece_train" ->
+      // WordPiece merge replay (see wpReplaySql): all 30 rounds in one
+      // recursive CTE; the likelihood-ratio argmax uses a 2^100-scaled
+      // HUGEINT floor key whose agreement with the trainer's exact
+      // rational order is GATED on the data (bound_gate), not assumed
+      s"""WITH RECURSIVE $wpReplaySql
+        |SELECT DISTINCT CAST(r AS INTEGER) AS rank, ml AS "left",
+        |  mr AS "right", CAST(mn AS BIGINT) AS pair_count,
+        |  CAST(mnl AS BIGINT) AS left_count, CAST(mnr AS BIGINT) AS right_count
+        |FROM st, bound_gate
+        |WHERE r >= 1 AND bound_gate.bad = 0 ORDER BY rank""".stripMargin,
+
+    "q_wordpiece_encode" ->
+      // the replay CTE through the 30 rounds gives the VOCABULARY
+      // (initial alphabet + each merge's output); encode is then
+      // BERT's maximal munch as a SECOND recursive CTE — per distinct
+      // word, longest vocab match at each position (##-prefixed after
+      // the word start), whole-word UNK when nothing matches
+      s"""WITH RECURSIVE $wpReplaySql,
+        |$wpEncodeSql,
+        |dw AS (
+        |  SELECT doc_id,
+        |    unnest(str_split_regex(trim(text), '[ \t\n\r\f]+')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |SELECT dw.doc_id, CAST(sum(w.n_toks) AS BIGINT) AS n_subwords,
+        |  CAST(sum(CASE WHEN w.is_unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+        |FROM dw JOIN wtok w USING (word), bound_gate
+        |WHERE bound_gate.bad = 0
+        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin,
+
+    "q_wordpiece_fertility" ->
+      // the same gated maximal-munch walk rolled up per language —
+      // the third row of the published BPE/unigram/WordPiece
+      // fertility comparison, exact basis points
+      s"""WITH RECURSIVE $wpReplaySql,
+        |$wpEncodeSql,
+        |dw AS (
+        |  SELECT doc_id, lang,
+        |    unnest(str_split_regex(trim(text), '[ \t\n\r\f]+')) AS word
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |SELECT dw.lang, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(w.n_toks) AS BIGINT) AS n_subwords,
+        |  CAST((10000 * sum(w.n_toks)) // count(*) AS BIGINT) AS fertility_bp
+        |FROM dw JOIN wtok w USING (word), bound_gate
+        |WHERE bound_gate.bad = 0
+        |GROUP BY dw.lang ORDER BY dw.lang""".stripMargin,
+
     "q_doc_fingerprint" ->
       // polynomial rolling hash in closed form: h = seed·31^n +
       // Σ bᵢ·31^(n-1-i) (mod 2^64). Every term is exact in HUGEINT
@@ -2387,7 +2671,9 @@ private[graft] object OracleTextSql {
       // are grouped counts over the distinct-trigram table; the D=0.75
       // discount chain is written in the SAME operation order as the
       // Spark expression (IEEE +,·,÷,greatest are correctly rounded both
-      // engines); one ln per distinct trigram at the 10^4 floor grain
+      // engines); one ln per distinct trigram at the 10^4 floor grain.
+      // The CTE chain through `l` is shared verbatim with
+      // q_ccnet_buckets (knCtesSql) — keep them in lockstep
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS t
         |  FROM documents WHERE trim(text) <> ''),
@@ -2426,6 +2712,65 @@ private[graft] object OracleTextSql {
         |  CAST(sum(tf.tf * l.l) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS mean_surprisal3_q
         |FROM tf JOIN l ON tf.w1 = l.w1 AND tf.w2 = l.w2 AND tf.w3 = l.w3
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+
+    "q_ccnet_buckets" ->
+      // the q_kneser_ney CTE chain verbatim (toks → l → the per-doc
+      // aggregate), then CCNet's head/middle/tail split: per-language
+      // EXACT tercile ranks over (mean surprisal asc, doc_id) — the
+      // oracle can afford the per-lang window; the Spark side runs the
+      // ranged two-pass rank machine instead — and the summary rollup
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (
+        |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |          i -> {'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]})) AS g
+        |        FROM toks WHERE len(t) >= 3) q
+        |  GROUP BY 1, 2, 3, 4),
+        |c3 AS (SELECT w1, w2, w3, CAST(sum(tf) AS BIGINT) AS c3 FROM tf GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12, count(*) AS n12dot
+        |        FROM c3 GROUP BY 1, 2),
+        |cont23 AS (SELECT w2, w3, count(*) AS n23 FROM c3 GROUP BY 1, 2),
+        |mid AS (SELECT w2, count(*) AS nmid FROM c3 GROUP BY 1),
+        |w2dot AS (SELECT w2, count(*) AS nw2dot FROM cont23 GROUP BY 1),
+        |cont3 AS (SELECT w3, count(*) AS n3 FROM cont23 GROUP BY 1),
+        |nall AS (SELECT count(*) AS nall FROM cont23),
+        |l AS (
+        |  SELECT c3.w1, c3.w2, c3.w3,
+        |    CAST(floor(-10000.0 * ln(
+        |      (greatest(CAST(c3.c3 AS DOUBLE) - 0.75, 0.0)
+        |        + 0.75 * CAST(c12.n12dot AS DOUBLE) *
+        |          ((greatest(CAST(cont23.n23 AS DOUBLE) - 0.75, 0.0)
+        |            + 0.75 * CAST(w2dot.nw2dot AS DOUBLE) *
+        |              (CAST(cont3.n3 AS DOUBLE) / CAST(nall.nall AS DOUBLE)))
+        |           / CAST(mid.nmid AS DOUBLE)))
+        |      / CAST(c12.c12 AS DOUBLE)) + 0.5) AS BIGINT) AS l
+        |  FROM c3 JOIN c12 ON c3.w1 = c12.w1 AND c3.w2 = c12.w2
+        |  JOIN cont23 ON c3.w2 = cont23.w2 AND c3.w3 = cont23.w3
+        |  JOIN mid ON c3.w2 = mid.w2
+        |  JOIN w2dot ON c3.w2 = w2dot.w2
+        |  JOIN cont3 ON c3.w3 = cont3.w3
+        |  CROSS JOIN nall),
+        |kn AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_trigrams,
+        |    CAST(sum(tf.tf * l.l) AS BIGINT) // CAST(sum(tf.tf) AS BIGINT) AS msq
+        |  FROM tf JOIN l ON tf.w1 = l.w1 AND tf.w2 = l.w2 AND tf.w3 = l.w3
+        |  GROUP BY tf.doc_id),
+        |r AS (
+        |  SELECT d.lang, kn.doc_id, kn.n_trigrams, kn.msq,
+        |    row_number() OVER (PARTITION BY d.lang ORDER BY kn.msq, kn.doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM kn JOIN documents d USING (doc_id))
+        |SELECT lang,
+        |  CASE WHEN rk * 3 <= n THEN 'head'
+        |       WHEN rk * 3 <= 2 * n THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_trigrams) AS BIGINT) AS n_trigrams,
+        |  CAST(min(msq) AS BIGINT) AS min_msq,
+        |  CAST(max(msq) AS BIGINT) AS max_msq
+        |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
     "q_sample_norepl" ->
       // the A-Res priority replayed verbatim: one ln per row at a 10^4

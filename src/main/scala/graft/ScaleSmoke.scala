@@ -525,6 +525,50 @@ object ScaleSmoke {
       time(s"unigram train ${mult}x")(
         Unigram.fit(docsN, "text", vocabSize = 50).tokens.length)
 
+      // wordpiece training rides the same claim (one corpus word count,
+      // vocabulary-bounded driver merges) — ramp must be ~flat like
+      // unigram's; encode is one explode + broadcast join — ~linear
+      import graft.pipelines.WordPiece
+      val wp1 = WordPiece.fit(docs1, "text", numMerges = 30) // untimed JIT warmup
+      time("wordpiece train 1x")(
+        WordPiece.fit(docs1, "text", numMerges = 30).merges.length)
+      var wpN: WordPiece.Model = wp1
+      time(s"wordpiece train ${mult}x") {
+        wpN = WordPiece.fit(docsN, "text", numMerges = 30)
+        wpN.merges.length
+      }
+      def wpEncodeCount(d: org.apache.spark.sql.DataFrame,
+                        m: WordPiece.Model): Long =
+        d.filter(col("text").isNotNull && trim(col("text")) =!= "")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "[ \\t\\n\\r\\f]+")).as("word"))
+          .join(broadcast(WordPiece.wordPieceCounts(spark, m)), Seq("word"))
+          .groupBy(col("doc_id")).agg(sum(col("n_toks"))).count()
+      time("wordpiece encode 1x")(wpEncodeCount(docs1, wp1))
+      time(s"wordpiece encode ${mult}x")(wpEncodeCount(docsN, wpN))
+
+      // ccnet terciles: the KN scoring pass + the ranged two-pass rank
+      // (range-partitioned on (lang, score) — a corpus-sized language
+      // never funnels through one task) — ramp must track kneser_ney's
+      import graft.operators.RunningTotals
+      def ccnetCount(d: org.apache.spark.sql.DataFrame): Long = {
+        val kn = Lexical.kneserNeyLogloss(d, "doc_id", "text", 7500)
+        val scored = d.select(col("doc_id"), col("lang")).join(kn, Seq("doc_id"))
+          .withColumn("__one", lit(1L))
+        val ranked = RunningTotals.groupedRunningSum(scored, Seq("lang"),
+          Seq(col("mean_surprisal3_q").asc, col("doc_id").asc), "__one", "__rk")
+        val langN = ranked.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+        ranked.join(broadcast(langN), Seq("lang"))
+          .withColumn("bucket",
+            when(col("__rk") * 3 <= col("__n"), lit("head"))
+              .when(col("__rk") * 3 <= col("__n") * 2, lit("middle"))
+              .otherwise(lit("tail")))
+          .groupBy(col("lang"), col("bucket")).agg(count(lit(1)))
+          .count()
+      }
+      time("ccnet buckets 1x")(ccnetCount(docs1))
+      time(s"ccnet buckets ${mult}x")(ccnetCount(docsN))
+
       // best-fit packing: chunk-wise by construction (doc_id div 2000
       // bounds every (source, shard) task regardless of corpus size) —
       // ramp must be ~linear in docs, and the hot-shard bound holds by
@@ -930,6 +974,28 @@ object ScaleSmoke {
       rexps.tail.foreach { case (mu, n, t) =>
         println(f"[scale] opq rotation exponent 1x->${mu}x: " +
           f"${math.log(t / rt1) / math.log(n.toDouble / rn1)}%.2f")
+      }
+
+      // RQ rides the same replicas: stage-2 training is one more
+      // quantized Lloyd on the residual frame (hash-sample path at big
+      // multiples) and the encode is the same zero-shuffle map shape as
+      // PQ's, so the encode exponent must stay ~linear
+      import graft.similarity.Rq
+      val qexps = Seq(1, mult).distinct.map { mu =>
+        val corpus = spark.read.parquet(s"$out/pq_emb_$mu")
+        val n = corpus.count()
+        val frac = if (mu > 10) 0.1 else 1.0
+        val coarse = Knn.trainCentroids(corpus, 16, 1, sampleFraction = frac)
+        val book = Rq.trainBook(corpus, coarse, k = 16, iters = 1,
+          sampleFraction = frac)
+        val t = time(s"rq encode ${mu}x")(
+          Rq.encodeCorpus(corpus, coarse, book).count())
+        (mu, n, t)
+      }
+      val (_, qn1, qt1) = qexps.head
+      qexps.tail.foreach { case (mu, n, t) =>
+        println(f"[scale] rq encode exponent 1x->${mu}x: " +
+          f"${math.log(t / qt1) / math.log(n.toDouble / qn1)}%.2f")
       }
     }
 

@@ -8,7 +8,7 @@ import graft.operators._
 import graft.functions.{Fingerprint, GramHash, TextFunctions, VectorFunctions}
 import graft.plans.{ImportJob, Quarantine, TableOrder}
 import graft.dedup.{Clusters, NearDup}
-import graft.similarity.{Knn, Pq}
+import graft.similarity.{Knn, Pq, Rq}
 import graft.multimodal.Multimodal
 import graft.streaming.EventPipeline
 
@@ -1889,6 +1889,23 @@ object SparkEntry {
         m = 4, subDim = 16, k = 8, iters = 1)
       Pq.ivfpqTopK(emb, emb.filter(col("vec_id") < 10), coarse, books,
         subDim = 16, k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    "q_ann_rq" -> ((s, dir) => {
+      // residual vector quantization (Chen et al. 2010 / the additive
+      // family of Babenko & Lempitsky CVPR'14): the rung between float
+      // IVF and IVF-PQ — ONE full-dimension stage-2 codebook on the
+      // coarse residuals (sees the residual's full covariance, PQ's
+      // critique), index row = two small ints, per-candidate cost =
+      // ONE LUT lookup. Both Lloyd stages bit-deterministic; the
+      // oracle replays coarse → residual → stage-2 → codes → LUT →
+      // integer top-k end to end
+      val emb = t(s, dir, "embeddings")
+      val coarse = Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
+      val book = Rq.trainBook(emb, coarse, k = 8, iters = 1)
+      Rq.rqTopK(emb, emb.filter(col("vec_id") < 10), coarse, book,
+        k = 5, nProbe = 2)
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
@@ -4011,6 +4028,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_ccnet_buckets" -> ((s, dir) => {
+      // CCNet's head/middle/tail corpus split (Wenzek et al., LREC
+      // 2020): per-LANGUAGE perplexity terciles under the KN language
+      // model — the published curation step between scoring (q_kneser
+      // _ney) and mixture sampling. EXACT rank terciles (rk·3 ≤ n /
+      // ≤ 2n on integers), and the per-lang rank runs the ranged
+      // two-pass machine (groupedRunningSum of 1) — never a one-task
+      // per-language window: a 100 TB corpus has corpus-sized language
+      // partitions but the machine range-partitions on (lang, score)
+      val docs = t(s, dir, "documents")
+      val kn = graft.pipelines.Lexical.kneserNeyLogloss(
+        docs, "doc_id", "text", discountBp = 7500)
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(kn, Seq("doc_id"))
+        .withColumn("__one", lit(1L))
+      val ranked = RunningTotals.groupedRunningSum(scored, Seq("lang"),
+        Seq(col("mean_surprisal3_q").asc, col("doc_id").asc), "__one", "__rk")
+      val langN = ranked.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+      ranked.join(broadcast(langN), Seq("lang"))
+        .withColumn("bucket",
+          when(col("__rk") * 3 <= col("__n"), lit("head"))
+            .when(col("__rk") * 3 <= col("__n") * 2, lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_trigrams")).as("n_trigrams"),
+          min(col("mean_surprisal3_q")).as("min_msq"),
+          max(col("mean_surprisal3_q")).as("max_msq"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     "q_bpe_train" -> ((s, dir) => {
       // BPE vocabulary induction (Sennrich et al. 2016): the subword
       // merge table trained on the corpus' word-frequency frame — all
@@ -4126,6 +4174,59 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           explode(split(trim(col("text")), "[ \\t\\n\\r\\f]+")).as("word"))
       dw.join(broadcast(wt), Seq("word"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_subwords"))
+        .withColumn("fertility_bp",
+          expr("(10000 * n_subwords) div n_words"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_wordpiece_train" -> ((s, dir) => {
+      // the THIRD published tokenizer family (Schuster & Nakajima 2012;
+      // BERT/GNMT): BPE-style merges picked by the LIKELIHOOD-RATIO
+      // score p/(n_l·n_r) instead of raw frequency, ##-prefixed
+      // continuations, exact-rational argmax (BigInt cross-multiply).
+      // One corpus-scale word count; the merge loop is
+      // vocabulary-sized driver work (the BPE collect tier). The
+      // oracle replays all 30 rounds in one recursive CTE with a
+      // 2^100-scaled HUGEINT floor key, exactness gated on the data
+      val docs = t(s, dir, "documents")
+      graft.pipelines.WordPiece.train(docs, "text", numMerges = 30)
+        .orderBy(col("rank"))
+    }),
+
+    "q_wordpiece_encode" -> ((s, dir) => {
+      // the WordPiece APPLICATION rung: BERT's greedy
+      // longest-match-first (maximal munch) walk over the trained
+      // vocabulary — NOT a merge replay — with whole-word [UNK] on any
+      // unmatched position. Encoding ran ONCE per distinct word on the
+      // vocabulary-sized frame; corpus-scale work is one explode + one
+      // broadcast join (parity with q_bpe_encode / q_unigram_encode)
+      val docs = t(s, dir, "documents")
+      val m = graft.pipelines.WordPiece.fit(docs, "text", numMerges = 30)
+      val wp = graft.pipelines.WordPiece.wordPieceCounts(s, m)
+      docs.filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "[ \\t\\n\\r\\f]+")).as("word"))
+        .join(broadcast(wp), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_toks")).as("n_subwords"),
+          sum(when(col("is_unk"), 1L).otherwise(0L)).as("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_wordpiece_fertility" -> ((s, dir) => {
+      // fertility comparison row completing the three-family table
+      // (q_bpe_fertility / q_unigram_fertility / this): subword tokens
+      // per whitespace word per language under maximal munch, exact
+      // basis points via BIGINT floor division
+      val docs = t(s, dir, "documents")
+      val m = graft.pipelines.WordPiece.fit(docs, "text", numMerges = 30)
+      val wp = graft.pipelines.WordPiece.wordPieceCounts(s, m)
+      docs.filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), col("lang"),
+          explode(split(trim(col("text")), "[ \\t\\n\\r\\f]+")).as("word"))
+        .join(broadcast(wp), Seq("word"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_subwords"))
         .withColumn("fertility_bp",

@@ -345,4 +345,42 @@ class LexicalSpec extends SparkSuite {
     assert(r(0).isNullAt(r(0).fieldIndex("idcg_q")))
     assert(r(0).isNullAt(r(0).fieldIndex("ndcg_bp")))
   }
+
+  test("ccnet terciles: exact rank split per language, buckets ordered by surprisal") {
+    // METHOD invariants of the CCNet head/middle/tail split (the
+    // replay-equality rule: the gate proves both engines agree, this
+    // proves the SPLIT is a tercile at all): with n scored docs per
+    // lang, head gets floor(n/3), middle floor(2n/3)−floor(n/3), tail
+    // the rest; and the surprisal ranges are ordered head ≤ middle ≤
+    // tail with no overlap beyond ties
+    val docs = (0 until 30).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      // vary repetition so KN surprisal differs across docs
+      val w = Seq("x", "y", "z", "p", "q")(i % 5)
+      (i.toLong, s"$w $w the quick brown fox jumps over the lazy dog " * (1 + i % 4), lang)
+    }.toDF("doc_id", "text", "lang")
+    val kn = Lexical.kneserNeyLogloss(docs, "doc_id", "text", discountBp = 7500)
+    val scored = docs.select(col("doc_id"), col("lang")).join(kn, Seq("doc_id"))
+      .withColumn("__one", lit(1L))
+    val ranked = graft.operators.RunningTotals.groupedRunningSum(scored,
+      Seq("lang"), Seq(col("mean_surprisal3_q").asc, col("doc_id").asc),
+      "__one", "__rk")
+    val n = ranked.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+    val rows = ranked.join(broadcast(n), Seq("lang"))
+      .withColumn("bucket",
+        when(col("__rk") * 3 <= col("__n"), lit("head"))
+          .when(col("__rk") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select("lang", "bucket", "mean_surprisal3_q")
+      .as[(String, String, Long)].collect()
+    Seq("aa", "bb").foreach { lang =>
+      val byB = rows.filter(_._1 == lang).groupBy(_._2)
+      val total = rows.count(_._1 == lang)
+      assert(byB("head").length === total / 3)
+      assert(byB("middle").length === 2 * total / 3 - total / 3)
+      assert(byB("tail").length === total - 2 * total / 3)
+      assert(byB("head").map(_._3).max <= byB("middle").map(_._3).min)
+      assert(byB("middle").map(_._3).max <= byB("tail").map(_._3).min)
+    }
+  }
 }
