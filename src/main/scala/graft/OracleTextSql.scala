@@ -126,6 +126,33 @@ private[graft] object OracleTextSql {
       |  SELECT word, ntok AS n_toks, NOT ok AS is_unk FROM ge
       |  WHERE pos = length(word) + 1)""".stripMargin
 
+  /** Quantized squared distance — the floor(2¹⁶·Σ(aᵢ−bᵢ)²) BIGINT the
+    * whole ANN tier shares; summation order = list order, matching the
+    * Spark `aggregate(zip_with(...))` fold exactly.
+    */
+  private def kmQd(a: String, b: String): String =
+    s"""CAST(floor(65536.0 * list_aggregate(list_apply(list_zip($a, $b),
+       |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')) AS BIGINT)""".stripMargin
+
+  /** One k-means|| sampling round (q_kmeanspar_seed): min quantized d²
+    * against the previous candidate frame, the corpus potential φ, the
+    * exact integer selection inequality, and the candidate union.
+    */
+  private def kmeansParRound(r: Int): String =
+    s"""qd$r AS (
+       |  SELECT b.vec_id, b.h, min(${kmQd("b.embedding", "c.embedding")}) AS qd
+       |  FROM base b CROSS JOIN cand${r - 1} c GROUP BY b.vec_id, b.h),
+       |phi$r AS (SELECT sum(qd) AS phi FROM qd$r),
+       |sel$r AS (
+       |  SELECT q.vec_id FROM qd$r q, phi$r
+       |  WHERE q.qd > 0
+       |    AND CAST(q.h AS HUGEINT) * phi$r.phi < 16 * CAST(q.qd AS HUGEINT) * 1048576),
+       |cand$r AS (
+       |  SELECT * FROM cand${r - 1}
+       |  UNION
+       |  SELECT b.vec_id, b.embedding FROM base b JOIN sel$r USING (vec_id))""".stripMargin
+
   def sql: Map[String, String] = Map(
 
     "q_stratified_sample" ->
@@ -1101,6 +1128,57 @@ private[graft] object OracleTextSql {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
         |  FROM scored) WHERE rk <= 5
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_kmeanspar_seed" ->
+      // k-means|| replayed end to end: first center = argmin (portable
+      // hash, vec_id); three unrolled rounds of (min quantized d² vs
+      // the candidate frame → corpus sum φ → the exact HUGEINT
+      // selection inequality h·φ < 16·qd·2^20 → candidate union);
+      // weights = nearest-candidate counts (min-struct (qd, cid) ties
+      // to the smaller id); greedy weighted re-cluster as a recursive
+      // CTE — step 1 takes max weight (tie min cid), each next step
+      // the correlated argmax of weight · min-qd-to-chosen over the
+      // candidate pair table. Every comparison is an exact integer
+      s"""WITH RECURSIVE base AS (
+        |  SELECT vec_id, embedding, vec_id % 1048573 * 2654435761 % 1048576 AS h
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |cand0 AS (
+        |  SELECT vec_id, embedding FROM base ORDER BY h, vec_id LIMIT 1),
+        |${kmeansParRound(1)},
+        |${kmeansParRound(2)},
+        |${kmeansParRound(3)},
+        |near AS (
+        |  SELECT b.vec_id,
+        |    min({'qd': ${kmQd("b.embedding", "c.embedding")}, 'cid': c.vec_id}) AS m
+        |  FROM base b CROSS JOIN cand3 c GROUP BY b.vec_id),
+        |wall AS (
+        |  SELECT c.vec_id AS cid, coalesce(w.w, 0) AS w
+        |  FROM cand3 c LEFT JOIN
+        |    (SELECT m['cid'] AS cid, count(*) AS w FROM near GROUP BY 1) w
+        |  ON w.cid = c.vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |    ${kmQd("a.embedding", "b.embedding")} AS qd
+        |  FROM cand3 a CROSS JOIN cand3 b),
+        |g(step, chosen) AS (
+        |  SELECT 1, [cid] FROM (SELECT cid FROM wall ORDER BY w DESC, cid LIMIT 1)
+        |  UNION ALL
+        |  SELECT step + 1, list_append(chosen,
+        |    (SELECT x.cid FROM (
+        |       SELECT w2.cid AS cid,
+        |         CAST(w2.w AS HUGEINT) * CAST(min(p.qd) AS HUGEINT) AS score
+        |       FROM wall w2 JOIN pairs p ON p.ida = w2.cid
+        |       WHERE NOT list_contains(g.chosen, w2.cid)
+        |         AND list_contains(g.chosen, p.idb)
+        |       GROUP BY w2.cid, w2.w) x
+        |     ORDER BY x.score DESC, x.cid LIMIT 1))
+        |  FROM g WHERE step < 8)
+        |SELECT CAST(t.i AS INTEGER) AS rank,
+        |  fin.chosen[CAST(t.i AS INTEGER)] AS vec_id, wall.w AS weight
+        |FROM (SELECT chosen FROM g WHERE step = 8) fin,
+        |  LATERAL unnest(generate_series(1, 8)) AS t(i)
+        |  JOIN wall ON wall.cid = fin.chosen[CAST(t.i AS INTEGER)]
+        |ORDER BY rank""".stripMargin,
 
     "q_ann_rq" ->
       // residual quantization replayed end to end: the q_ann_ivfpq

@@ -997,6 +997,23 @@ object ScaleSmoke {
         println(f"[scale] rq encode exponent 1x->${mu}x: " +
           f"${math.log(t / qt1) / math.log(n.toDouble / qn1)}%.2f")
       }
+
+      // k-means|| seeding: corpus passes = rounds + 1 independent of
+      // k, each a zero-shuffle map + 1-row sum + ~oversample-row
+      // collect — the ramp must be ~linear in rows (scan-bound)
+      import graft.similarity.KmeansPar
+      val sexps = Seq(1, mult).distinct.map { mu =>
+        val corpus = spark.read.parquet(s"$out/pq_emb_$mu")
+        val n = corpus.count()
+        val t = time(s"kmeanspar seed ${mu}x")(
+          KmeansPar.seed(corpus, k = 16, rounds = 3, oversample = 32).rows.length)
+        (mu, n, t)
+      }
+      val (_, sn1, st1) = sexps.head
+      sexps.tail.foreach { case (mu, n, t) =>
+        println(f"[scale] kmeanspar seed exponent 1x->${mu}x: " +
+          f"${math.log(t / st1) / math.log(n.toDouble / sn1)}%.2f")
+      }
     }
 
     if (section == "textgen") {

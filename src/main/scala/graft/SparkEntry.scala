@@ -1892,6 +1892,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    "q_kmeanspar_seed" -> ((s, dir) => {
+      // k-means|| seeding (Bahmani et al. VLDB 2012) — the published
+      // cluster-scale replacement for k-means++'s k sequential passes,
+      // and the quality upgrade over this engine's stride seeds: 3
+      // rounds each sample ~16 points with probability ∝ quantized
+      // d² via the DERANDOMIZED portable-hash inequality h·φ <
+      // L·qd·2^20 (exact DECIMAL/HUGEINT integers — both engines make
+      // identical "random" choices), then greedy weighted re-cluster
+      // to k=8 on the driver (max weight, then max weight·min-qd,
+      // ties by id). Corpus passes = rounds + 1, independent of k
+      graft.similarity.KmeansPar.seedTable(
+        t(s, dir, "embeddings"), k = 8, rounds = 3, oversample = 16)
+        .orderBy(col("rank"))
+    }),
+
     "q_ann_rq" -> ((s, dir) => {
       // residual vector quantization (Chen et al. 2010 / the additive
       // family of Babenko & Lempitsky CVPR'14): the rung between float
@@ -4040,11 +4055,22 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val kn = graft.pipelines.Lexical.kneserNeyLogloss(
         docs, "doc_id", "text", discountBp = 7500)
+      // PIN the scored frame before the ranged machine: its range
+      // exchange SAMPLES the child for boundaries, so an unpinned
+      // input would execute the KN DAG's final stages twice. Measured
+      // at sf0.1 (per-action profile): KN ~3.6 s dominates, the rank
+      // machine is ~1.0 s of action floors, the pin saves ~0.3 s —
+      // kept because at 100 TB the resample of an unpinned multi-join
+      // LM frame is a full recompute, not a cached-shuffle read. The
+      // machine itself stays unpinned-input by design: the caller
+      // chooses compute-twice vs materialize-once
       val scored = docs.select(col("doc_id"), col("lang"))
         .join(kn, Seq("doc_id"))
         .withColumn("__one", lit(1L))
-      val ranked = RunningTotals.groupedRunningSum(scored, Seq("lang"),
+        .localCheckpoint(true)
+      val ranked = try RunningTotals.groupedRunningSum(scored, Seq("lang"),
         Seq(col("mean_surprisal3_q").asc, col("doc_id").asc), "__one", "__rk")
+      finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(scored)
       val langN = ranked.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
       ranked.join(broadcast(langN), Seq("lang"))
         .withColumn("bucket",
