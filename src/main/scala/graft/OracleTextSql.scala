@@ -3089,6 +3089,71 @@ private[graft] object OracleTextSql {
         |SELECT id_a, id_b, cos_sim FROM v WHERE cos_sim >= 0.25
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_embed_dbscan" ->
+      // the q_embed_neardup candidate+verify CTEs verbatim, then
+      // DBSCAN: degree over the symmetrized edges, core = deg+1 >= 3,
+      // components over core-core edges via the reach closure with
+      // min-id labels (the q_dedup_clusters pattern), borders take the
+      // smallest adjacent core label, everything else is noise
+      """WITH RECURSIVE s AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding[1:32],
+        |      v -> CASE WHEN v >= 0 THEN 1 ELSE 0 END) AS signs
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |ch AS (
+        |  SELECT vec_id, embedding, c, signs[c*8+1:c*8+8] AS chunk
+        |  FROM s, LATERAL unnest(generate_series(0, 3)) AS t(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    a.embedding AS ea, b.embedding AS eb
+        |  FROM ch a JOIN ch b
+        |    ON a.c = b.c AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
+        |e AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(
+        |        list_aggregate(list_apply(list_zip(ea, eb),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |        / (sqrt(list_aggregate(list_apply(ea,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |         * sqrt(list_aggregate(list_apply(eb,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cos_sim
+        |    FROM cand) WHERE cos_sim >= 0.25),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM e
+        |        UNION ALL SELECT id_b, id_a FROM e),
+        |core AS (
+        |  SELECT a AS id FROM sym GROUP BY a HAVING count(*) + 1 >= 3),
+        |ces AS (
+        |  SELECT e.id_a AS a, e.id_b AS b FROM e
+        |  JOIN core c1 ON c1.id = e.id_a JOIN core c2 ON c2.id = e.id_b
+        |  UNION
+        |  SELECT e.id_b, e.id_a FROM e
+        |  JOIN core c1 ON c1.id = e.id_a JOIN core c2 ON c2.id = e.id_b),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM ces
+        |  UNION
+        |  SELECT re.id, e2.b FROM reach re JOIN ces e2 ON re.r = e2.a),
+        |clab AS (
+        |  SELECT c.id, least(c.id, coalesce(min(r.r), c.id)) AS cluster_id
+        |  FROM core c LEFT JOIN reach r ON r.id = c.id GROUP BY c.id),
+        |blab AS (
+        |  SELECT sy.a AS id, min(cl.cluster_id) AS cluster_id
+        |  FROM sym sy
+        |  JOIN clab cl ON cl.id = sy.b
+        |  LEFT JOIN core ca ON ca.id = sy.a
+        |  WHERE ca.id IS NULL
+        |  GROUP BY sy.a)
+        |SELECT emb.vec_id AS id,
+        |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+        |       WHEN bl.id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  CAST(coalesce(cl.cluster_id, bl.cluster_id) AS BIGINT) AS cluster_id
+        |FROM embeddings emb
+        |LEFT JOIN clab cl ON cl.id = emb.vec_id
+        |LEFT JOIN blab bl ON bl.id = emb.vec_id
+        |WHERE emb.embedding IS NOT NULL
+        |ORDER BY id""".stripMargin,
+
     "q_concordance" ->
       // same pinned whitespace class; DuckDB 1-based list slicing
       // mirrors Spark's 1-based slice(start, length) exactly

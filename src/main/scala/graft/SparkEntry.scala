@@ -1833,6 +1833,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_embed_dbscan" -> ((s, dir) => {
+      // DBSCAN (Ester et al. KDD'96) over the q_embed_neardup graph:
+      // density-gated near-dup clusters — dense paraphrase families
+      // become clusters, chain-linked one-offs stay NOISE instead of
+      // being glued by transitive closure (the curation failure mode
+      // of plain components). Roles: core = degree+1 >= minPts;
+      // border = non-core adjacent to a core (smallest label); noise.
+      // Labels are component-minimum core ids — fully deterministic
+      graft.dedup.Dbscan.cluster(t(s, dir, "embeddings"), "vec_id",
+        "embedding", minCosine = 0.25, minPts = 3, nBits = 32)
+        .orderBy(col("id"))
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       // HASH-CHECKED (round 9): quantized Lloyd made the TRAINED
       // centroids replayable — the mean update sums exact fixed-point
