@@ -153,6 +153,42 @@ private[graft] object OracleTextSql {
        |  UNION
        |  SELECT b.vec_id, b.embedding FROM base b JOIN sel$r USING (vec_id))""".stripMargin
 
+  /** One NN-descent round (q_nn_descent): deterministic reverse top-k,
+    * symmetrized neighborhood, the B∘B hop join, round-4 cosine, and
+    * the per-node top-k (both the edge set `ee` and the scored form
+    * `sce` for the final round's output).
+    */
+  private def nnDescentRound(r: Int): String = {
+    val cos = """round(
+      |    list_aggregate(list_apply(list_zip(va.embedding, vb.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |    / (sqrt(list_aggregate(list_apply(va.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |     * sqrt(list_aggregate(list_apply(vb.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)""".stripMargin
+    s"""rev$r AS (
+       |  SELECT w AS v, v AS w FROM (
+       |    SELECT v, w, row_number() OVER (PARTITION BY w ORDER BY v) AS rn
+       |    FROM ee${r - 1}) WHERE rn <= 5),
+       |b$r AS (SELECT v, w FROM ee${r - 1} UNION SELECT v, w FROM rev$r),
+       |hop$r AS (
+       |  SELECT DISTINCT x.v, y.w FROM b$r x JOIN b$r y ON x.w = y.v
+       |  WHERE x.v <> y.w),
+       |cand$r AS (SELECT v, w FROM b$r UNION SELECT v, w FROM hop$r),
+       |sc$r AS (
+       |  SELECT c.v, c.w, $cos AS cos
+       |  FROM cand$r c JOIN embeddings va ON va.vec_id = c.v
+       |  JOIN embeddings vb ON vb.vec_id = c.w),
+       |ee$r AS (
+       |  SELECT v, w FROM (
+       |    SELECT v, w, row_number() OVER (PARTITION BY v ORDER BY cos DESC, w) AS rn
+       |    FROM sc$r) WHERE rn <= 5),
+       |sce$r AS (
+       |  SELECT v, w, cos FROM (
+       |    SELECT v, w, cos, row_number() OVER (PARTITION BY v ORDER BY cos DESC, w) AS rn
+       |    FROM sc$r) WHERE rn <= 5)""".stripMargin
+  }
+
   def sql: Map[String, String] = Map(
 
     "q_stratified_sample" ->
@@ -3088,6 +3124,30 @@ private[graft] object OracleTextSql {
         |  FROM cand)
         |SELECT id_a, id_b, cos_sim FROM v WHERE cos_sim >= 0.25
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_nn_descent" ->
+      // the three NN-descent rounds unrolled: pseudo-random ring init
+      // ((v·1048573 + j·40503) % 999983 % n, drop self/missing), per
+      // round the deterministic reverse top-k, the B∘B hop join, the
+      // shared round-4 cosine, and the per-node (cos desc, id) top-k.
+      // Candidate semantics replay verbatim — same init, same caps,
+      // same tie orders — so the graph is value-equal, not just
+      // statistically similar
+      s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings WHERE embedding IS NOT NULL),
+        |ee0 AS (
+        |  SELECT DISTINCT s.vec_id AS v,
+        |    (s.vec_id * 1048573 + t.j * 40503) % 999983 % n.cnt AS w
+        |  FROM embeddings s, n, LATERAL unnest(range(1, 6)) AS t(j)
+        |  WHERE s.embedding IS NOT NULL
+        |    AND s.vec_id <> (s.vec_id * 1048573 + t.j * 40503) % 999983 % n.cnt
+        |    AND EXISTS (SELECT 1 FROM embeddings e2
+        |      WHERE e2.vec_id = (s.vec_id * 1048573 + t.j * 40503) % 999983 % n.cnt
+        |        AND e2.embedding IS NOT NULL)),
+        |${nnDescentRound(1)},
+        |${nnDescentRound(2)},
+        |${nnDescentRound(3)}
+        |SELECT v AS id, w AS neighbor_id, cos AS cos_sim FROM sce3
+        |ORDER BY id, neighbor_id""".stripMargin,
 
     "q_embed_dbscan" ->
       // the q_embed_neardup candidate+verify CTEs verbatim, then

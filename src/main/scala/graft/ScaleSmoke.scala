@@ -1014,6 +1014,25 @@ object ScaleSmoke {
         println(f"[scale] kmeanspar seed exponent 1x->${mu}x: " +
           f"${math.log(t / st1) / math.log(n.toDouble / sn1)}%.2f")
       }
+
+      // NN-descent: per-node candidate sets are bounded at (2k)^2+2k
+      // by construction, so each round is join work ~linear in nodes —
+      // the ramp must confirm no super-linear blowup on a corpus with
+      // massive duplicate families (cos-1.0 ties everywhere)
+      import graft.similarity.NnDescent
+      val nexps = Seq(1, mult).distinct.map { mu =>
+        val corpus = spark.read.parquet(s"$out/pq_emb_$mu")
+        val n = corpus.count()
+        val t = time(s"nn_descent ${mu}x")(
+          NnDescent.knnGraph(corpus, "vec_id", "embedding",
+            k = 5, rounds = 2).count())
+        (mu, n, t)
+      }
+      val (_, nn1, nt1) = nexps.head
+      nexps.tail.foreach { case (mu, n, t) =>
+        println(f"[scale] nn_descent exponent 1x->${mu}x: " +
+          f"${math.log(t / nt1) / math.log(n.toDouble / nn1)}%.2f")
+      }
     }
 
     if (section == "textgen") {

@@ -1833,6 +1833,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_nn_descent" -> ((s, dir) => {
+      // NN-Descent k-NN graph construction (Dong et al. WWW 2011):
+      // the graph-based similarity rung — all-nodes k-NN graph via
+      // "neighbor of a neighbor is likely a neighbor" local joins,
+      // never all-pairs. Fully derandomized (pseudo-random ring init,
+      // deterministic reverse-sample top-k, round-4 cosine scores),
+      // so the oracle replays all 3 rounds verbatim. Per-node
+      // candidate sets bounded at (2k)^2 + 2k by construction
+      graft.similarity.NnDescent.knnGraph(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 5, rounds = 3)
+        .orderBy(col("id"), col("neighbor_id"))
+    }),
+
     "q_embed_dbscan" -> ((s, dir) => {
       // DBSCAN (Ester et al. KDD'96) over the q_embed_neardup graph:
       // density-gated near-dup clusters — dense paraphrase families
