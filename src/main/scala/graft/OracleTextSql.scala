@@ -919,7 +919,8 @@ private[graft] object OracleTextSql {
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
         |         embedding AS c_emb
         |  FROM embeddings, n
-        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  WHERE embedding IS NOT NULL
+        |    AND vec_id % greatest(1, cnt // 8) = 0
         |  ORDER BY vec_id LIMIT 8),
         |scores AS (
         |  SELECT e.vec_id, e.embedding, c.cid,
@@ -927,7 +928,8 @@ private[graft] object OracleTextSql {
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
         |      + list_aggregate(list_apply(c.c_emb,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents c),
+        |  FROM embeddings e CROSS JOIN cents c
+        |  WHERE e.embedding IS NOT NULL),
         |assign AS (
         |  SELECT vec_id, embedding, cid AS centroid_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -982,7 +984,8 @@ private[graft] object OracleTextSql {
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
         |         embedding AS c_emb
         |  FROM embeddings, n
-        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  WHERE embedding IS NOT NULL
+        |    AND vec_id % greatest(1, cnt // 8) = 0
         |  ORDER BY vec_id LIMIT 8),
         |scores0 AS (
         |  SELECT e.vec_id, e.embedding, c.cid,
@@ -990,7 +993,8 @@ private[graft] object OracleTextSql {
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
         |      + list_aggregate(list_apply(c.c_emb,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents0 c),
+        |  FROM embeddings e CROSS JOIN cents0 c
+        |  WHERE e.embedding IS NOT NULL),
         |assign0 AS (
         |  SELECT vec_id, embedding, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -1013,7 +1017,8 @@ private[graft] object OracleTextSql {
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
         |      + list_aggregate(list_apply(c.c_emb,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents c),
+        |  FROM embeddings e CROSS JOIN cents c
+        |  WHERE e.embedding IS NOT NULL),
         |assign AS (
         |  SELECT vec_id, embedding, cid AS centroid_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -1051,7 +1056,8 @@ private[graft] object OracleTextSql {
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
         |         embedding AS c_emb
         |  FROM embeddings, n
-        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  WHERE embedding IS NOT NULL
+        |    AND vec_id % greatest(1, cnt // 8) = 0
         |  ORDER BY vec_id LIMIT 8),
         |scores0 AS (
         |  SELECT e.vec_id, e.embedding, c.cid,
@@ -1059,7 +1065,8 @@ private[graft] object OracleTextSql {
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
         |      + list_aggregate(list_apply(c.c_emb,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents0 c),
+        |  FROM embeddings e CROSS JOIN cents0 c
+        |  WHERE e.embedding IS NOT NULL),
         |assign0 AS (
         |  SELECT vec_id, embedding, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -1082,7 +1089,8 @@ private[graft] object OracleTextSql {
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
         |      + list_aggregate(list_apply(c.c_emb,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents c),
+        |  FROM embeddings e CROSS JOIN cents c
+        |  WHERE e.embedding IS NOT NULL),
         |assign AS (
         |  SELECT vec_id, embedding, cid AS centroid_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -1230,7 +1238,8 @@ private[graft] object OracleTextSql {
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
         |         embedding AS c_emb
         |  FROM embeddings, n
-        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  WHERE embedding IS NOT NULL
+        |    AND vec_id % greatest(1, cnt // 8) = 0
         |  ORDER BY vec_id LIMIT 8),
         |scores0 AS (
         |  SELECT e.vec_id, e.embedding, c.cid,
@@ -1238,7 +1247,8 @@ private[graft] object OracleTextSql {
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
         |      + list_aggregate(list_apply(c.c_emb,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents0 c),
+        |  FROM embeddings e CROSS JOIN cents0 c
+        |  WHERE e.embedding IS NOT NULL),
         |assign0 AS (
         |  SELECT vec_id, embedding, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -1261,7 +1271,8 @@ private[graft] object OracleTextSql {
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
         |      + list_aggregate(list_apply(c.c_emb,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents c),
+        |  FROM embeddings e CROSS JOIN cents c
+        |  WHERE e.embedding IS NOT NULL),
         |assign AS (
         |  SELECT vec_id, embedding, cid AS centroid_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -1346,7 +1357,8 @@ private[graft] object OracleTextSql {
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
         |         embedding AS c_emb
         |  FROM embeddings, n
-        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  WHERE embedding IS NOT NULL
+        |    AND vec_id % greatest(1, cnt // 8) = 0
         |  ORDER BY vec_id LIMIT 8),
         |scores0 AS (
         |  SELECT e.vec_id, e.embedding, c.cid,
@@ -1354,7 +1366,8 @@ private[graft] object OracleTextSql {
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
         |      + list_aggregate(list_apply(c.c_emb,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents0 c),
+        |  FROM embeddings e CROSS JOIN cents0 c
+        |  WHERE e.embedding IS NOT NULL),
         |assign0 AS (
         |  SELECT vec_id, embedding, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -1377,7 +1390,8 @@ private[graft] object OracleTextSql {
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
         |      + list_aggregate(list_apply(c.c_emb,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents c),
+        |  FROM embeddings e CROSS JOIN cents c
+        |  WHERE e.embedding IS NOT NULL),
         |assign AS (
         |  SELECT vec_id, embedding, cid AS centroid_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -1447,7 +1461,8 @@ private[graft] object OracleTextSql {
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
         |         embedding AS c_emb
         |  FROM embeddings, n
-        |  WHERE vec_id % greatest(1, cnt // 8) = 0
+        |  WHERE embedding IS NOT NULL
+        |    AND vec_id % greatest(1, cnt // 8) = 0
         |  ORDER BY vec_id LIMIT 8),
         |scores0 AS (
         |  SELECT e.vec_id, e.embedding, c.cid,
@@ -1455,7 +1470,8 @@ private[graft] object OracleTextSql {
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
         |      + list_aggregate(list_apply(c.c_emb,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents0 c),
+        |  FROM embeddings e CROSS JOIN cents0 c
+        |  WHERE e.embedding IS NOT NULL),
         |assign0 AS (
         |  SELECT vec_id, embedding, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -1478,7 +1494,8 @@ private[graft] object OracleTextSql {
         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
         |      + list_aggregate(list_apply(c.c_emb,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
-        |  FROM embeddings e CROSS JOIN cents c),
+        |  FROM embeddings e CROSS JOIN cents c
+        |  WHERE e.embedding IS NOT NULL),
         |assign AS (
         |  SELECT vec_id, embedding, cid, score FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk

@@ -52,8 +52,11 @@ object Dbscan {
       val coreEdges = pairs
         .join(core.withColumnRenamed("id", "id_a"), Seq("id_a"))
         .join(core.withColumnRenamed("id", "id_b"), Seq("id_b"))
-      val labels = Clusters.canonicalize(core, coreEdges)
-        .withColumnRenamed("canonical_id", "cluster_id")
+      // canonicalize returns a persisted frame the caller must free
+      // (its Scaladoc contract) — keep the raw handle so unpersist
+      // matches the persisted plan, not the renamed one.
+      val canon = Clusters.canonicalize(core, coreEdges)
+      val labels = canon.withColumnRenamed("canonical_id", "cluster_id")
       // border: non-core adjacent to >= 1 core; smallest adjacent label
       val borders = sym
         .join(core.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
@@ -62,10 +65,14 @@ object Dbscan {
         .agg(min(col("cluster_id")).as("cluster_id"))
       val out = labels.withColumn("role", lit("core"))
         .unionByName(borders.withColumn("role", lit("border")))
-      ids.join(out, Seq("id"), "left_outer")
+      val result = ids.join(out, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("role"), lit("noise")).as("role"),
           col("cluster_id"))
         .localCheckpoint(true)
+      // the checkpointed result no longer depends on the labels mapping:
+      // free its cached blocks now instead of leaking them for the session
+      canon.unpersist()
+      result
     } finally pairs.unpersist()
   }
 }

@@ -101,13 +101,22 @@ object KmeansPar {
       for (_ <- 1 to rounds) {
         val candSeq = cands.toSeq.map { case (id, v) => (id, v) }
         val qd = qdExpr(col("embedding"), candSeq)
-        val phi = base.agg(sum(qd)).head().getLong(0)
-        if (phi > 0L) {
+        // φ summed in DECIMAL(38,0), not LongType: a long sum wraps
+        // silently at ~9.2e18, and at the 10^11-row tier (qd up to
+        // ~10^8 per row) the true φ passes that — a wrapped-negative φ
+        // would silently skip sampling rounds. The selection inequality
+        // below is decimal arithmetic anyway, so this also keeps one
+        // arithmetic domain end-to-end.
+        val phiRaw = base.agg(sum(qd.cast("decimal(38,0)"))).head().getDecimal(0)
+        val phi = if (phiRaw == null) BigDecimal(0) else BigDecimal(phiRaw)
+        require(phi >= 0,
+          s"KmeansPar.seed: negative φ ($phi) — quantized distances must be >= 0")
+        if (phi > 0) {
           // select x iff h·φ < L·qd·2²⁰ — exact DECIMAL(38,0) integers
           val sel = base
             .withColumn("__qd", qd)
             .filter(col("__qd") > 0L)
-            .filter(col("__h").cast("decimal(38,0)") * lit(phi) <
+            .filter(col("__h").cast("decimal(38,0)") * lit(phi.bigDecimal) <
               lit(oversample.toLong) * col("__qd").cast("decimal(38,0)") *
                 lit(1048576L))
             .select(col("vec_id"), col("embedding"))
@@ -161,10 +170,14 @@ object KmeansPar {
     } finally base.unpersist()
   }
 
-  /** Query form: (rank, vec_id, weight) of the k chosen seeds. */
+  /** Query form: (rank, vec_id, weight) of the k chosen seeds.
+    * `maxCandidates` forwards to [[seed]]'s driver-candidate cap so the
+    * query surface can raise it (with driver heap to spare) instead of
+    * hitting the loud guard with no recourse.
+    */
   def seedTable(corpus: DataFrame, k: Int, rounds: Int = 3,
-                oversample: Int = 16): DataFrame = {
-    val s = seed(corpus, k, rounds, oversample)
+                oversample: Int = 16, maxCandidates: Int = 4096): DataFrame = {
+    val s = seed(corpus, k, rounds, oversample, maxCandidates)
     val spark = corpus.sparkSession
     spark.createDataFrame(
       spark.sparkContext.parallelize(
