@@ -7,11 +7,13 @@ package graft
   * time is reported: ambient load on a shared box dominates single-shots
   * (observed 10x phantom "regressions" on identical code round-over-round),
   * and the median of three warm passes is robust to one contended pass in
-  * either direction. Cold times ride along in `queries_cold`, and the raw
-  * warm passes in `queries_warm_runs` so a noisy host is visible in the
-  * artifact itself. A query that throws is recorded as -1 in all maps and
-  * listed in `failed` — a regression must be visible in the JSON, not a
-  * suspiciously fast total.
+  * either direction. Cold times ride along in `queries_cold`, the raw
+  * warm passes in `queries_warm_runs`, and per-query GC seconds /
+  * peak retained block-manager MB in `queries_gc_sec` /
+  * `queries_retained_mb`, so both a noisy host AND in-JVM pressure
+  * (GC, block accumulation) are visible in the artifact itself. A query
+  * that throws is recorded as -1 in all maps and listed in `failed` — a
+  * regression must be visible in the JSON, not a suspiciously fast total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,12 +26,40 @@ object Bench {
     graft.sources.Tables.All.foreach(t =>
       graft.sources.Tables.load(spark, sfDir, t).count())
 
+    // r12 sweep signature under adjudication: late-sweep queries inflated
+    // (q_kneser_ney 41x sweep-vs-isolated) and warm runs ESCALATING within
+    // one query (q_triangle_count 7.4->17.4->57.8 s). clearCache() only
+    // drops CacheManager entries — localCheckpoint RDD blocks and
+    // not-yet-GC'd broadcasts survive it, and over a 297-query sweep the
+    // retained blocks turn into eviction churn + GC pressure. So: free
+    // EVERY persisted RDD still registered with the context after each
+    // timed run (queries are independent by contract), and carry a
+    // per-query GC-time and leftover-storage profile in the artifact so
+    // the next inflation is attributable from the JSON alone.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs: Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
+    def retainedBytes: Long =
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    val peakRetained = new java.util.concurrent.atomic.AtomicLong(0L)
+    def freeRetained(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
-      finally spark.catalog.clearCache() // queries are independent: no
-      // cross-query persisted blocks accumulating into eviction churn
+      finally {
+        val left = retainedBytes
+        peakRetained.getAndUpdate(cur => math.max(cur, left))
+        freeRetained() // queries are independent: no cross-query
+        // persisted/checkpointed blocks accumulating into eviction churn
+      }
     }
 
     // optional args: query names — bench only those (targeted A/B timing
@@ -52,13 +82,17 @@ object Bench {
       // inflates the LATE-alphabet queries (measured: q_table_order
       // 0.07 s fresh-JVM vs 0.75 s at position ~140 without this)
       if (queryIdx.getAndIncrement() % 20 == 19) System.gc()
+      val gc0 = gcMs
+      peakRetained.set(0L)
       val cold = timeOne(fn)
       val warmRuns =
         if (cold >= 0) Seq.fill(3)(timeOne(fn)).map(t => if (t < 0) -1.0 else t)
         else Seq(-1.0, -1.0, -1.0)
       val median =
         if (warmRuns.exists(_ < 0)) -1.0 else warmRuns.sorted.apply(1)
-      (name, cold, median, warmRuns)
+      val gcSec = (gcMs - gc0) / 1e3
+      val peakMb = peakRetained.get / 1048576.0
+      (name, cold, median, warmRuns, gcSec, peakMb)
     }
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -68,10 +102,12 @@ object Bench {
       .map(r => "\"" + r._1 + "\":[" + r._4.mkString(",") + "]")
       .mkString("{", ",", "}")
     val failed = results.filter(_._3 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val gc = jmap(results.map(r => r._1 -> (math.rint(r._5 * 1000) / 1000)))
+    val left = jmap(results.map(r => r._1 -> (math.rint(r._6 * 10) / 10)))
     // the floor instrument rides in `queries` but not in the headline
     // total (round-over-round totals stay comparable)
     val total = results.filter(_._1 != "q_noop").map(_._3).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_warm_runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_warm_runs":$runs,"queries_gc_sec":$gc,"queries_retained_mb":$left,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The stdout line gets tail-truncated by capture tooling once the
     // suite exceeds ~30 queries, which makes per-query numbers

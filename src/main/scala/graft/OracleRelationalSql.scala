@@ -674,6 +674,10 @@ private[graft] object OracleRelationalSql {
 
     "q_ecom_job_strict" -> EcomJobOracle,
 
+    // the PartialUpdate arm replays the scoped relation cleanup — one
+    // CTE differs (final_relations), everything else shared
+    "q_ecom_job_partial" -> SparkEntry.EcomJobOraclePartial,
+
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
         |FROM events

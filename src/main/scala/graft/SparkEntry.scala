@@ -83,7 +83,8 @@ object SparkEntry {
     * ImportJobSpec.
     */
   private def ecomJobChecksums(s: SparkSession, dir: String,
-                               strictFk: Boolean): DataFrame = {
+                               strictFk: Boolean,
+                               partial: Boolean = false): DataFrame = {
       // The reference's WHOLE RunJob loop as ONE composed, hash-checked
       // query (EcomProvider.cs:934 RunJob → :819 OrderTablesInJob →
       // EcomDestinationWriter.cs:3165 MoveDataToMainTables): an
@@ -191,6 +192,11 @@ object SparkEntry {
           }),
         ImportJob.TableSpec("relations", keys = Seq("product_id", "related_id"),
           deleteExcess = true,
+          // PartialUpdate (EcomProvider.cs:264): relation cleanup scoped
+          // to products staged by THIS import — relations of untouched
+          // products survive the sync (EcomDestinationWriter.cs:4285)
+          partialUpdate = if (partial) Some(ImportJob.ParentScope(
+            "products", Seq("product_id"), Seq("product_id"))) else None,
           preResolve = (df, lookup) => df.join(
             lookup("products").filter(col("lang") === "en")
               .select(col("product_id")).distinct(),
@@ -713,6 +719,15 @@ object SparkEntry {
     // the strict FkFail gate armed on the resolved group_id — passing
     // path proven byte-identical by sharing q_ecom_job's oracle
     "q_ecom_job_strict" -> ((s, dir) => ecomJobChecksums(s, dir, strictFk = true)),
+
+    // PartialUpdate (EcomProvider.cs:264): same job with the relation
+    // cleanup scoped to THIS import's products — relations of products
+    // the feed didn't touch survive where the full sync deletes them
+    // (EcomDestinationWriter.cs:4285; the guard at :3215). The oracle
+    // replays the partial delete rule, so the hash DIFFERS from
+    // q_ecom_job by exactly the surviving relations.
+    "q_ecom_job_partial" -> ((s, dir) =>
+      ecomJobChecksums(s, dir, strictFk = false, partial = true)),
 
     // ── §2B Analytics / bench headliners ───────────────────────────────
 
@@ -5516,9 +5531,28 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → rows-only check.
     */
   // shared by q_ecom_job and q_ecom_job_strict: the strict arm arms the
-  // FkFail gate on a fully-resolving feed, so the replay is identical
-  private[graft] val EcomJobOracle: String =
-    """WITH dest_groups AS (
+  // FkFail gate on a fully-resolving feed, so the replay is identical.
+  // q_ecom_job_partial differs in ONE CTE — final_relations applies the
+  // PartialUpdate rule (a relation also survives when its product is
+  // not part of the staged product batch, EcomDestinationWriter.cs:4285)
+  private[graft] val EcomJobOracle: String = ecomJobOracleSql(partial = false)
+  private[graft] val EcomJobOraclePartial: String = ecomJobOracleSql(partial = true)
+
+  private def ecomJobOracleSql(partial: Boolean): String = {
+    val finalRelations =
+      if (partial)
+        """final_relations AS (
+          |  SELECT m.* FROM merged_relations m
+          |  WHERE EXISTS (SELECT 1 FROM in_relations_clean b
+          |    WHERE b.product_id = m.product_id AND b.related_id = m.related_id)
+          |     OR NOT EXISTS (SELECT 1 FROM deduped p
+          |    WHERE p.product_id = m.product_id)),""".stripMargin
+      else
+        """final_relations AS (
+          |  SELECT m.* FROM merged_relations m
+          |  WHERE EXISTS (SELECT 1 FROM in_relations_clean b
+          |    WHERE b.product_id = m.product_id AND b.related_id = m.related_id)),""".stripMargin
+    s"""WITH dest_groups AS (
       |  SELECT CAST(n_nationkey AS INTEGER) AS group_id, n_name AS group_name,
       |         r_name AS region
       |  FROM nation JOIN region ON n_regionkey = r_regionkey),
@@ -5618,10 +5652,7 @@ object SparkEntry {
       |         COALESCE(b.qty, d.qty) AS qty
       |  FROM dest_relations d FULL OUTER JOIN in_relations_clean b
       |    ON d.product_id = b.product_id AND d.related_id = b.related_id),
-      |final_relations AS (
-      |  SELECT m.* FROM merged_relations m
-      |  WHERE EXISTS (SELECT 1 FROM in_relations_clean b
-      |    WHERE b.product_id = m.product_id AND b.related_id = m.related_id)),
+      |$finalRelations
       |users AS (
       |  SELECT c_custkey AS user_id, c_mktsegment AS seg
       |  FROM customer WHERE c_acctbal > 9500),
@@ -5681,6 +5712,7 @@ object SparkEntry {
       |      AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)
       |  FROM final_assort HAVING count(*) > 0)
       |ORDER BY table_name""".stripMargin
+  }
 
   /** The SF dir trained-constant oracles derive their literals from —
     * set by [[Verify]] to the dir the queries just ran against, so the

@@ -112,6 +112,54 @@ object ImportJob {
     require(maxLogRows >= 1, "maxLogRows must be >= 1")
   }
 
+  /** Declarative lookup ladder against another table of the job — the
+    * reference's existing-row resolution for business-key feeds
+    * (GetExistingProduct, EcomDestinationWriter.cs:3985: primary key
+    * first, then ProductNumber, then ProductName when
+    * `UseStrictPrimaryKeyMatching` is off). Each rung is
+    * (incomingCol -> dimCol); the first rung is the PRIMARY-KEY rung.
+    * The dim is read through the job's `lookup`, so it sees the state
+    * merged BY THIS JOB for tables already processed (the same
+    * visibility preResolve gets). Runs after `pre`, before
+    * `preResolve`; lowers to [[graft.operators.Denormalize
+    * .resolveWithFallback]]. Under [[TableSpec.strictKeyMatching]]
+    * (the default, like the reference's) the ladder is PRUNED to the
+    * primary-key rung — declaring the full ladder once and flipping
+    * the job flag reproduces both reference modes from one spec.
+    *
+    * @param dim   table name resolved through the job lookup
+    * @param rungs (incomingCol -> dimCol) pairs, primary key first
+    * @param take  (dimCol to carry over, output column name)
+    */
+  case class FkLadder(dim: String, rungs: Seq[(String, String)],
+                      take: (String, String)) {
+    require(rungs.nonEmpty, "FkLadder needs at least one rung")
+  }
+
+  /** The reference's `PartialUpdate` switch (EcomProvider.cs:264) as a
+    * named per-table option: restrict this table's delete-excess to
+    * rows whose `childCols` reference a parent row present in THIS
+    * import's `parentTable` batch. A full sync deletes every
+    * destination row missing from the batch; under partial update a
+    * row additionally SURVIVES when its parent was not part of the
+    * import (DeleteExcessFromGroupProductRelation,
+    * EcomDestinationWriter.cs:4285: the partial arm joins the staged
+    * products temp table so only imported products' relations are
+    * cleaned; :3214 arms the clean whenever PartialUpdate is on). If
+    * the parent staged nothing in this job, nothing is deleted — the
+    * reference's HasRowsToImport guard (:3215).
+    *
+    * @param parentTable job table whose staged batch scopes the delete
+    * @param childCols   FK columns in THIS table referencing the parent
+    * @param parentKeys  matching key columns in the parent batch (same
+    *                    order as childCols)
+    */
+  case class ParentScope(parentTable: String, childCols: Seq[String],
+                         parentKeys: Seq[String]) {
+    require(childCols.nonEmpty && childCols.length == parentKeys.length,
+      "ParentScope needs matching childCols/parentKeys")
+  }
+
   /** Thrown by a [[FkFail]] gate. `rows` is the full violating frame
     * (distributed, lazy); the message embeds a LogFailedRows-style
     * rendering of the first `maxLogRows` rows.
@@ -181,6 +229,20 @@ object ImportJob {
     *                      NULL in a gated column either abort the job
     *                      ([[FkFail]], FailOnMissingGroups) or divert to
     *                      `<table>__quarantined` ([[FkQuarantine]])
+    * @param resolve       declarative [[FkLadder]]s run between `pre`
+    *                      and `preResolve`, each against the job's
+    *                      current state of its dim table
+    * @param strictKeyMatching the reference's
+    *                      `UseStrictPrimaryKeyMatching`
+    *                      (EcomProvider.cs:180, default True): when
+    *                      true each [[FkLadder]] in `resolve` is pruned
+    *                      to its primary-key rung; when false the full
+    *                      ID → number → name fallthrough runs
+    *                      (EcomDestinationWriter.cs:3934/:3988)
+    * @param partialUpdate the reference's `PartialUpdate`
+    *                      (EcomProvider.cs:264) — [[ParentScope]]
+    *                      restricting delete-excess to rows whose
+    *                      parent is part of this import
     * @param driftChecks   post-merge [[DriftCheck]]s comparing the
     *                      pre-merge destination against the final table
     *                      (after `post`); emitted as `<table>__drift`
@@ -209,7 +271,10 @@ object ImportJob {
       driftChecks: Seq[DriftCheck] = Nil,
       sourceName: Option[String] = None,
       preResolve: (DataFrame, String => DataFrame) => DataFrame = (df, _) => df,
-      fkGate: Option[FkGate] = None)
+      fkGate: Option[FkGate] = None,
+      resolve: Seq[FkLadder] = Nil,
+      strictKeyMatching: Boolean = true,
+      partialUpdate: Option[ParentScope] = None)
 
   /** Run the job: for each spec (tables in dependency order, same-table
     * mappings in spec order), merge `incoming` into `dest` and return
@@ -255,11 +320,20 @@ object ImportJob {
             quarantines(table) = quarantines.getOrElse(table, Nil) :+ q
             v
           } else checked
+        // declarative ladders between pre and preResolve; strict mode
+        // prunes each to its primary-key rung (the reference's
+        // UseStrictPrimaryKeyMatching fallthrough switch)
+        def laddered(df: DataFrame): DataFrame =
+          spec.resolve.foldLeft(spec.pre(df)) { (acc, l) =>
+            val rungs = if (spec.strictKeyMatching) l.rungs.take(1) else l.rungs
+            graft.operators.Denormalize.resolveWithFallback(
+              acc, lookup(l.dim), rungs, l.take)
+          }
         var gatePinned = false
         val in1 = spec.fkGate match {
-          case None => spec.preResolve(spec.pre(in0), lookup)
+          case None => spec.preResolve(laddered(in0), lookup)
           case Some(g) =>
-            val resolved = spec.preResolve(spec.pre(in0), lookup)
+            val resolved = spec.preResolve(laddered(in0), lookup)
             g.policy match {
               case FkQuarantine =>
                 // same split machinery as rowRules, reasons
@@ -298,7 +372,8 @@ object ImportJob {
           case DeleteIncoming => Merge.deleteExcess(d, in, spec.keys)
         }
         if (spec.deleteExcess && !removeMissing)
-          out = applyDeleteExcess(out, Seq(in), spec)
+          out = applyDeleteExcess(out, Seq(in), spec,
+            t2 => staged.getOrElse(t2, Nil))
         state(table) = out
       }
       // pin tables the job's OTHER tables depend on: every dependent
@@ -319,7 +394,8 @@ object ImportJob {
     // against the union of each table's batches, children first ───────
     if (removeMissing) ordered.reverse.foreach { table =>
       byTable(table).find(_.deleteExcess).foreach { spec =>
-        state(table) = applyDeleteExcess(state(table), staged(table), spec)
+        state(table) = applyDeleteExcess(state(table), staged(table), spec,
+          t2 => staged.getOrElse(t2, Nil))
       }
     }
 
@@ -413,15 +489,45 @@ object ImportJob {
     * scope while its siblings in untouched scopes must survive.
     */
   private def applyDeleteExcess(out: DataFrame, batches: Seq[DataFrame],
-                                spec: TableSpec): DataFrame = {
+                                spec: TableSpec,
+                                stagedOf: String => Seq[DataFrame]): DataFrame = {
+    // PartialUpdate: the deletable set is first restricted to rows whose
+    // parent row is part of this import — distinct parent keys from the
+    // parent table's staged batches, renamed to this table's FK columns.
+    // Parent staged nothing => reference's HasRowsToImport guard: delete
+    // nothing at all.
+    val parentStaged = spec.partialUpdate.map(ps => stagedOf(ps.parentTable))
+    if (spec.partialUpdate.isDefined && parentStaged.exists(_.isEmpty)) out
+    else {
+    val parentKeys: Option[DataFrame] = spec.partialUpdate.map { ps =>
+      parentStaged.get.map(_.select(ps.parentKeys.map(col): _*))
+        .reduce(_ unionByName _).distinct().toDF(ps.childCols: _*)
+    }
     if (spec.deleteExcessScope.nonEmpty) {
       val delCols = (spec.keys ++ spec.deleteExcessScope).distinct
       val union = batches.map(_.select(delCols.map(col): _*)).reduce(_ unionByName _)
-      val deleteSet = Merge.deleteExcessScoped(out, union, spec.keys, spec.deleteExcessScope)
+      val deleteSet0 = Merge.deleteExcessScoped(out, union, spec.keys, spec.deleteExcessScope)
+      val deleteSet = parentKeys.map(p =>
+        deleteSet0.join(p, spec.partialUpdate.get.childCols, "left_semi"))
+        .getOrElse(deleteSet0)
       out.join(deleteSet.select(delCols.map(col): _*).distinct(), delCols, "left_anti")
     } else {
       val union = batches.map(_.select(spec.keys.map(col): _*)).reduce(_ unionByName _)
-      out.join(union.distinct(), spec.keys, "left_semi")
+      parentKeys match {
+        case None => out.join(union.distinct(), spec.keys, "left_semi")
+        case Some(p) =>
+          // doomed = missing from the batch AND referencing an imported
+          // parent; everything else survives (one bounded-key anti-join
+          // frame, never a full-table except)
+          val ps = spec.partialUpdate.get
+          val doomed = out
+            .select((spec.keys ++ ps.childCols).distinct.map(col): _*)
+            .join(union.distinct(), spec.keys, "left_anti")
+            .join(p, ps.childCols, "left_semi")
+            .select(spec.keys.map(col): _*).distinct()
+          out.join(doomed, spec.keys, "left_anti")
+      }
+    }
     }
   }
 }

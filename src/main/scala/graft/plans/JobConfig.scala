@@ -58,6 +58,32 @@ case class FkGateConfig(
     maxLogRows)
 }
 
+/** Declarative form of [[ImportJob.FkLadder]]. `rungs`/`take` are
+  * (from, to) pairs serialized as 2-element arrays.
+  */
+case class FkLadderConfig(
+    dim: String,
+    rungs: Seq[Seq[String]],
+    take: Seq[String]) {
+  def toLadder: ImportJob.FkLadder = {
+    require(rungs.forall(_.length == 2) && take.length == 2,
+      "FkLadderConfig rungs/take must be [from, to] pairs")
+    ImportJob.FkLadder(dim, rungs.map(r => r(0) -> r(1)), take(0) -> take(1))
+  }
+}
+
+/** Declarative form of [[ImportJob.ParentScope]] — the reference's
+  * `PartialUpdate` is a settings-XML switch (EcomProvider.cs:264), so
+  * it serializes with the job.
+  */
+case class ParentScopeConfig(
+    parentTable: String,
+    childCols: Seq[String],
+    parentKeys: Seq[String]) {
+  def toScope: ImportJob.ParentScope =
+    ImportJob.ParentScope(parentTable, childCols, parentKeys)
+}
+
 case class TableConfig(
     table: String,
     keys: Seq[String],
@@ -74,7 +100,13 @@ case class TableConfig(
     // several mappings may target one destination table (the reference's
     // multi-language feeds, EcomProvider.cs:1095) — sourceName names the
     // mapping's own source when it differs from the table
-    sourceName: Option[String] = None) {
+    sourceName: Option[String] = None,
+    // declarative lookup ladders + the reference's two mode switches
+    // (UseStrictPrimaryKeyMatching EcomProvider.cs:180 — settings-XML
+    // field :604/:720 — and PartialUpdate :264), all configuration
+    resolve: Seq[FkLadderConfig] = Nil,
+    strictKeyMatching: Boolean = true,
+    partialUpdate: Option[ParentScopeConfig] = None) {
 
   def toSpec: ImportJob.TableSpec = ImportJob.TableSpec(
     table = table,
@@ -95,7 +127,10 @@ case class TableConfig(
     constants = constants,
     driftChecks = driftChecks.map(_.toCheck),
     fkGate = fkGate.map(_.toGate),
-    sourceName = sourceName)
+    sourceName = sourceName,
+    resolve = resolve.map(_.toLadder),
+    strictKeyMatching = strictKeyMatching,
+    partialUpdate = partialUpdate.map(_.toScope))
 }
 
 /** @param removeMissing defer every table's delete-excess until the whole

@@ -343,4 +343,113 @@ class ImportJobSpec extends SparkSuite {
     assert(first("part").count() === 1000L)
     assert(!first.contains("part__drift")) // no check ran, no frame
   }
+
+  test("strictKeyMatching prunes the FkLadder to the primary-key rung; " +
+    "loose mode falls through ID -> number -> name (the reference's " +
+    "UseStrictPrimaryKeyMatching switch)") {
+    // products merged BY THIS JOB: dest P1/P2 plus an incoming P3 — the
+    // ladder must see the post-merge state (the OrderTablesInJob proof)
+    val destProducts = Seq(("P1", "N1", "Alpha"), ("P2", "N2", "Beta"))
+      .toDF("pid", "pnum", "pname")
+    val inProducts = Seq(("P3", "N3", "Gamma")).toDF("pid", "pnum", "pname")
+    // refs: one real pid, one number, one name (of the JUST-merged P3),
+    // one unresolvable
+    val inOrders = Seq((1L, "P1"), (2L, "N2"), (3L, "Gamma"), (4L, "nope"))
+      .toDF("oid", "ref")
+    // the destination carries the resolved column (the merge keeps
+    // destination columns; incoming-only columns die at the merge)
+    val destOrders = Seq.empty[(Long, String, String)]
+      .toDF("oid", "ref", "resolved_pid")
+    def specs(strict: Boolean) = Seq(
+      TableSpec("products", keys = Seq("pid")),
+      TableSpec("orders", keys = Seq("oid"), strictKeyMatching = strict,
+        resolve = Seq(FkLadder("products",
+          Seq("ref" -> "pid", "ref" -> "pnum", "ref" -> "pname"),
+          "pid" -> "resolved_pid"))))
+    def deps = Map("orders" -> Set("products"))
+
+    val loose = ImportJob.run(specs(strict = false),
+      dest = Map("products" -> destProducts, "orders" -> destOrders),
+      incoming = Map("products" -> inProducts, "orders" -> inOrders),
+      deps = deps)("orders")
+      .select("oid", "resolved_pid").orderBy("oid")
+      .as[(Long, Option[String])].collect()
+    assert(loose === Array((1L, Some("P1")), (2L, Some("P2")),
+      (3L, Some("P3")), (4L, None)))
+
+    val strict = ImportJob.run(specs(strict = true),
+      dest = Map("products" -> destProducts, "orders" -> destOrders),
+      incoming = Map("products" -> inProducts, "orders" -> inOrders),
+      deps = deps)("orders")
+      .select("oid", "resolved_pid").orderBy("oid")
+      .as[(Long, Option[String])].collect()
+    // strict (the reference default): ONLY the pid rung resolves
+    assert(strict === Array((1L, Some("P1")), (2L, None),
+      (3L, None), (4L, None)))
+  }
+
+  test("partialUpdate leaves non-imported parents' rows untouched where " +
+    "a full sync deletes them (the reference's PartialUpdate switch)") {
+    val destProducts = Seq(("P1", "a"), ("P2", "b"), ("P3", "c"))
+      .toDF("pid", "pname")
+    // import touches ONLY P1 and P2
+    val inProducts = Seq(("P1", "a2"), ("P2", "b2")).toDF("pid", "pname")
+    val destRels = Seq(("P1", 10L), ("P1", 11L), ("P2", 20L), ("P3", 30L))
+      .toDF("pid", "rid")
+    val inRels = Seq(("P1", 10L)).toDF("pid", "rid")
+    def run(partial: Boolean, removeMissing: Boolean = false) = ImportJob.run(
+      Seq(
+        TableSpec("products", keys = Seq("pid")),
+        TableSpec("rels", keys = Seq("pid", "rid"), deleteExcess = true,
+          partialUpdate = if (partial)
+            Some(ParentScope("products", Seq("pid"), Seq("pid")))
+          else None)),
+      dest = Map("products" -> destProducts, "rels" -> destRels),
+      incoming = Map("products" -> inProducts, "rels" -> inRels),
+      deps = Map("rels" -> Set("products")),
+      removeMissing = removeMissing)("rels")
+      .orderBy("pid", "rid").as[(String, Long)].collect()
+
+    // full sync: every relation missing from the batch dies — P3's too
+    assert(run(partial = false) === Array(("P1", 10L)))
+    // partial update: P3 was not imported, so its relation SURVIVES;
+    // P1/P2 were imported, so their stale relations still die
+    assert(run(partial = true) === Array(("P1", 10L), ("P3", 30L)))
+    // same contract through the deferred (removeMissing) path
+    assert(run(partial = true, removeMissing = true) ===
+      Array(("P1", 10L), ("P3", 30L)))
+  }
+
+  test("partialUpdate with nothing staged for the parent deletes nothing " +
+    "(the HasRowsToImport guard) and composes with deleteExcessScope") {
+    val destRels = Seq(("P1", 10L, "en"), ("P1", 11L, "en"), ("P1", 12L, "fr"),
+      ("P3", 30L, "en")).toDF("pid", "rid", "lang")
+    val inRels = Seq(("P1", 10L, "en")).toDF("pid", "rid", "lang")
+    // parent table absent from the job entirely -> parent staged nothing
+    val noParent = ImportJob.run(
+      Seq(TableSpec("rels", keys = Seq("pid", "rid"), deleteExcess = true,
+        partialUpdate = Some(ParentScope("products", Seq("pid"), Seq("pid"))))),
+      dest = Map("rels" -> destRels),
+      incoming = Map("rels" -> inRels),
+      deps = Map.empty[String, Set[String]])("rels")
+    assert(noParent.count() === 4L)
+
+    // scoped + partial: only the imported scope AND imported parents die
+    val destProducts = Seq(("P1", "a"), ("P3", "c")).toDF("pid", "pname")
+    val inProducts = Seq(("P1", "a2")).toDF("pid", "pname")
+    val out = ImportJob.run(
+      Seq(
+        TableSpec("products", keys = Seq("pid")),
+        TableSpec("rels", keys = Seq("pid", "rid"), deleteExcess = true,
+          deleteExcessScope = Seq("lang"),
+          partialUpdate = Some(ParentScope("products", Seq("pid"), Seq("pid"))))),
+      dest = Map("products" -> destProducts, "rels" -> destRels),
+      incoming = Map("products" -> inProducts, "rels" -> inRels),
+      deps = Map("rels" -> Set("products")))("rels")
+      .orderBy("pid", "rid").as[(String, Long, String)].collect()
+    // (P1,11,en): imported parent + imported scope -> dies.
+    // (P1,12,fr): scope fr not in the batch -> survives.
+    // (P3,30,en): parent P3 not imported -> survives under partialUpdate.
+    assert(out === Array(("P1", 10L, "en"), ("P1", 12L, "fr"), ("P3", 30L, "en")))
+  }
 }

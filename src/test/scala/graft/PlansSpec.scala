@@ -56,6 +56,16 @@ class PlansSpec extends SparkSuite {
       TableConfig("customer", keys = Seq("id"), mode = "upsert",
         sourceName = Some("customer_feed_fr"),
         fkGate = Some(graft.plans.FkGateConfig(Seq("gid"), "quarantine"))),
+      TableConfig("relations", keys = Seq("pid", "rid"), deleteExcess = true,
+        // the reference's two mode switches are settings-XML fields
+        // (UseStrictPrimaryKeyMatching EcomProvider.cs:604/:720,
+        // PartialUpdate :264) — they serialize with the job
+        resolve = Seq(graft.plans.FkLadderConfig("products",
+          Seq(Seq("ref", "pid"), Seq("ref", "pnum"), Seq("ref", "pname")),
+          Seq("pid", "resolved_pid"))),
+        strictKeyMatching = false,
+        partialUpdate = Some(graft.plans.ParentScopeConfig(
+          "products", Seq("pid"), Seq("pid")))),
       TableConfig("nation", keys = Seq("nid"), mode = "insertOnly")),
       removeMissing = true)
     val back = JobConfig.fromJson(JobConfig.toJson(cfg))
@@ -67,8 +77,20 @@ class PlansSpec extends SparkSuite {
     assert(specs.head.driftChecks === Seq(graft.plans.ImportJob.DriftCheck(
       "bal", Seq(100.0, 200.0), 100000L, failOnAlarm = true)))
     assert(specs(1).sourceName === Some("customer_feed_fr"))
-    assert(specs(2).mode === graft.plans.ImportJob.InsertOnly)
-    assert(specs(2).driftChecks.isEmpty)
+    assert(specs(2).resolve === Seq(graft.plans.ImportJob.FkLadder("products",
+      Seq("ref" -> "pid", "ref" -> "pnum", "ref" -> "pname"),
+      "pid" -> "resolved_pid")))
+    assert(!specs(2).strictKeyMatching)
+    assert(specs.head.strictKeyMatching) // reference default: strict ON
+    assert(specs(2).partialUpdate === Some(graft.plans.ImportJob.ParentScope(
+      "products", Seq("pid"), Seq("pid"))))
+    assert(specs.head.partialUpdate.isEmpty)
+    // a malformed rung fails loudly at lowering time
+    val badLadder = graft.plans.FkLadderConfig("d", Seq(Seq("only-one")),
+      Seq("a", "b"))
+    intercept[IllegalArgumentException](badLadder.toLadder)
+    assert(specs(3).mode === graft.plans.ImportJob.InsertOnly)
+    assert(specs(3).driftChecks.isEmpty)
     // the strict-FK switch is settings, not code — it survives the trip
     assert(specs.head.fkGate === Some(graft.plans.ImportJob.FkGate(
       Seq("nid"), graft.plans.ImportJob.FkFail, 5)))
