@@ -81,7 +81,8 @@ object Bench {
       // 150+ queries in one JVM, unreclaimed shuffle/broadcast state
       // inflates the LATE-alphabet queries (measured: q_table_order
       // 0.07 s fresh-JVM vs 0.75 s at position ~140 without this)
-      if (queryIdx.getAndIncrement() % 20 == 19) System.gc()
+      queryIdx.getAndIncrement()
+      System.gc()
       val gc0 = gcMs
       peakRetained.set(0L)
       val cold = timeOne(fn)

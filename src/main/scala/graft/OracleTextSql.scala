@@ -1173,6 +1173,11 @@ private[graft] object OracleTextSql {
         |  FROM scored) WHERE rk <= 5
         |ORDER BY query_id, neighbor_id""".stripMargin,
 
+    // the recall-vs-bytes frontier: the ivfpq coarse replay shared once,
+    // then the per-budget codebook Lloyd / codes / LUT / ADC top-5 for
+    // m ∈ {2,4,8}, scored against the exact quantized-L2 top-5
+    "q_ann_frontier" -> annFrontierOracle,
+
     "q_kmeanspar_seed" ->
       // k-means|| replayed end to end: first center = argmin (portable
       // hash, vec_id); three unrolled rounds of (min quantized d² vs
@@ -1633,38 +1638,10 @@ private[graft] object OracleTextSql {
       // jaccard >= 0.6 filter replays as the exact-rational inequality
       // 20000*ni >= 11999*nu (round4(r) >= 0.6 iff r >= 0.59995); est/
       // jaccard project as exact-rational HALF_UP basis points.
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    array_to_string(toks[s : least(s + 2, len(toks))], ' ') AS shingle
-        |  FROM docs, LATERAL unnest(generate_series(1, greatest(1, len(toks) - 2))) AS t(s)),
-        |gsh AS (SELECT DISTINCT shingle FROM sh),
-        |fv AS (
-        |  SELECT shingle,
-        |    list_reduce(
-        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |        list_transform(range(1, length(shingle)+1),
-        |          i -> CAST(ord(substr(shingle, CAST(i AS INT), 1)) AS HUGEINT))),
-        |      (h, b) -> ((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))*435 + ((((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))%4294967296)*256) % 4294967296) * 4294967296) % 18446744073709551616) AS base
-        |  FROM gsh),
-        |s0 AS (SELECT i, CAST(i AS HUGEINT) AS z FROM unnest(generate_series(0, 63)) AS t(i)),
-        |s1 AS (SELECT i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM s0),
-        |s2 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s1),
-        |s3 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s2),
-        |seeds AS (SELECT i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS seed FROM s3),
-        |h0 AS (SELECT f.shingle, s.i, CAST(xor(CAST(f.base AS UBIGINT), CAST(s.seed AS UBIGINT)) AS HUGEINT) AS z FROM fv f CROSS JOIN seeds s),
-        |h1 AS (SELECT shingle, i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM h0),
-        |h2 AS (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h1),
-        |h3 AS (SELECT shingle, i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS zu FROM
-        |       (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h2)),
-        |hh AS (SELECT shingle, i,
-        |    CAST(CASE WHEN zu >= 9223372036854775808 THEN zu - 18446744073709551616 ELSE zu END AS BIGINT) AS hs
-        |  FROM h3),
-        |hv AS (SELECT s.doc_id, h.i, min(h.hs) AS sig
-        |  FROM sh s JOIN hh h ON h.shingle = s.shingle GROUP BY s.doc_id, h.i),
-        |sig AS (SELECT doc_id, list(sig ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        |${minhashSigReplay("docs")},
         |bands AS (
         |  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bslice
         |  FROM sig, LATERAL unnest(generate_series(0, 15)) AS t(b)),
@@ -1694,6 +1671,10 @@ private[graft] object OracleTextSql {
         |WHERE 20000 * j.ni >= 11999 * j.nu
         |ORDER BY j.id_a, j.id_b""".stripMargin,
 
+    // the S-curve measurement: variant corpus + shared sketch replay +
+    // slice-equality collisions per (bands, rows) + exact-Jaccard deciles
+    "q_lsh_curve" -> lshCurveOracle,
+
     "q_lsh_recall" ->
       // the canary replays END-TO-END: the q_minhash_lsh signature/band/
       // exact-Jaccard machinery runs over the tracer-doubled corpus
@@ -1703,7 +1684,7 @@ private[graft] object OracleTextSql {
       // recall = 10000 the same way the engine does instead of assuming
       // it (identical text => identical signature => same bands), and a
       // capped bucket or sketch regression flips the gate on BOTH sides.
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 10000000, text FROM documents
@@ -1711,35 +1692,7 @@ private[graft] object OracleTextSql {
         |docs AS (
         |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
         |  FROM corpus WHERE text IS NOT NULL AND trim(text) <> ''),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    array_to_string(toks[s : least(s + 2, len(toks))], ' ') AS shingle
-        |  FROM docs, LATERAL unnest(generate_series(1, greatest(1, len(toks) - 2))) AS t(s)),
-        |gsh AS (SELECT DISTINCT shingle FROM sh),
-        |fv AS (
-        |  SELECT shingle,
-        |    list_reduce(
-        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |        list_transform(range(1, length(shingle)+1),
-        |          i -> CAST(ord(substr(shingle, CAST(i AS INT), 1)) AS HUGEINT))),
-        |      (h, b) -> ((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))*435 + ((((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))%4294967296)*256) % 4294967296) * 4294967296) % 18446744073709551616) AS base
-        |  FROM gsh),
-        |s0 AS (SELECT i, CAST(i AS HUGEINT) AS z FROM unnest(generate_series(0, 63)) AS t(i)),
-        |s1 AS (SELECT i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM s0),
-        |s2 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s1),
-        |s3 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s2),
-        |seeds AS (SELECT i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS seed FROM s3),
-        |h0 AS (SELECT f.shingle, s.i, CAST(xor(CAST(f.base AS UBIGINT), CAST(s.seed AS UBIGINT)) AS HUGEINT) AS z FROM fv f CROSS JOIN seeds s),
-        |h1 AS (SELECT shingle, i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM h0),
-        |h2 AS (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h1),
-        |h3 AS (SELECT shingle, i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS zu FROM
-        |       (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h2)),
-        |hh AS (SELECT shingle, i,
-        |    CAST(CASE WHEN zu >= 9223372036854775808 THEN zu - 18446744073709551616 ELSE zu END AS BIGINT) AS hs
-        |  FROM h3),
-        |hv AS (SELECT s.doc_id, h.i, min(h.hs) AS sig
-        |  FROM sh s JOIN hh h ON h.shingle = s.shingle GROUP BY s.doc_id, h.i),
-        |sig AS (SELECT doc_id, list(sig ORDER BY i) AS sig FROM hv GROUP BY doc_id),
+        |${minhashSigReplay("docs")},
         |bands AS (
         |  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS bslice
         |  FROM sig, LATERAL unnest(generate_series(0, 15)) AS t(b)),
@@ -3245,4 +3198,274 @@ private[graft] object OracleTextSql {
         |  COALESCE(array_to_string(l[i+1 : least(i+2, n)], ' '), '') AS right_ctx
         |FROM occ ORDER BY doc_id, pos""".stripMargin,
   )
+
+  /** Shared full minhash-sketch replay (the q_minhash_lsh machinery,
+    * extracted verbatim in round 13 so q_lsh_curve reuses it in
+    * lockstep): distinct word shingles of `docsCte` (doc_id, toks) →
+    * FNV-1a base per GLOBALLY distinct shingle → 64 per-function minima
+    * over mix(base ^ mix(i)) compared as SIGNED two's-complement longs
+    * → per-doc ordered signature list. Emits CTEs `sh`..`sig`; no
+    * trailing comma.
+    */
+  private def minhashSigReplay(docsCte: String): String =
+    s"""sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(toks[s : least(s + 2, len(toks))], ' ') AS shingle
+      |  FROM $docsCte, LATERAL unnest(generate_series(1, greatest(1, len(toks) - 2))) AS t(s)),
+      |gsh AS (SELECT DISTINCT shingle FROM sh),
+      |fv AS (
+      |  SELECT shingle,
+      |    list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |        list_transform(range(1, length(shingle)+1),
+      |          i -> CAST(ord(substr(shingle, CAST(i AS INT), 1)) AS HUGEINT))),
+      |      (h, b) -> ((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))*435 + ((((CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT))%4294967296)*256) % 4294967296) * 4294967296) % 18446744073709551616) AS base
+      |  FROM gsh),
+      |s0 AS (SELECT i, CAST(i AS HUGEINT) AS z FROM unnest(generate_series(0, 63)) AS t(i)),
+      |s1 AS (SELECT i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM s0),
+      |s2 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s1),
+      |s3 AS (SELECT i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM s2),
+      |seeds AS (SELECT i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS seed FROM s3),
+      |h0 AS (SELECT f.shingle, s.i, CAST(xor(CAST(f.base AS UBIGINT), CAST(s.seed AS UBIGINT)) AS HUGEINT) AS z FROM fv f CROSS JOIN seeds s),
+      |h1 AS (SELECT shingle, i, (z + 11400714819323198485) % 18446744073709551616 AS z FROM h0),
+      |h2 AS (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*484763065 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 30 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h1),
+      |h3 AS (SELECT shingle, i, CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 31 AS HUGEINT) AS UBIGINT)) AS HUGEINT) AS zu FROM
+      |       (SELECT shingle, i, ((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))*321982955 + ((((CAST(xor(CAST(z AS UBIGINT), CAST(CAST(CAST(z AS UBIGINT) >> 27 AS HUGEINT) AS UBIGINT)) AS HUGEINT))%4294967296)*2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM h2)),
+      |hh AS (SELECT shingle, i,
+      |    CAST(CASE WHEN zu >= 9223372036854775808 THEN zu - 18446744073709551616 ELSE zu END AS BIGINT) AS hs
+      |  FROM h3),
+      |hv AS (SELECT s.doc_id, h.i, min(h.hs) AS sig
+      |  FROM sh s JOIN hh h ON h.shingle = s.shingle GROUP BY s.doc_id, h.i),
+      |sig AS (SELECT doc_id, list(sig ORDER BY i) AS sig FROM hv GROUP BY doc_id)""".stripMargin
+
+  /** q_lsh_curve's oracle: the S-curve measurement replayed end to end —
+    * the variant corpus (every stride-th token replaced, stride by
+    * doc_id%5 arm), the SHARED minhash sketch replay over originals ∪
+    * variants, slice-equality collisions for each (bands, rows)
+    * setting, exact shingle-string Jaccard per pair, and the per-decile
+    * aggregate. All integers; no float leaves the replay.
+    */
+  private def lshCurveOracle: String = {
+    val settings = Seq((16, 4), (8, 8), (4, 16))
+    def collideCte(b: Int, r: Int): String =
+      s"""c$b AS (
+        |  SELECT s.id_a, s.id_b,
+        |    max(CASE WHEN s.sig_a[bb*$r+1 : bb*$r+$r] = s.sig_b[bb*$r+1 : bb*$r+$r]
+        |             THEN 1 ELSE 0 END) AS c
+        |  FROM sigp s, LATERAL unnest(generate_series(0, ${b - 1})) AS t(bb)
+        |  GROUP BY 1, 2)""".stripMargin
+    def armSelect(b: Int, r: Int): String =
+      s"""SELECT CAST($b AS INTEGER) AS bands, CAST($r AS INTEGER) AS rows_per_band,
+        |  j.s_bucket, count(*) AS n_pairs, CAST(sum(c.c) AS BIGINT) AS n_collided,
+        |  CAST(sum(j.jac_bp) AS BIGINT) AS sum_jac_bp
+        |FROM jac j JOIN c$b c ON c.id_a = j.id_a AND c.id_b = j.id_b
+        |GROUP BY j.s_bucket""".stripMargin
+    s"""WITH orig AS (
+      |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+      |vtoks AS (
+      |  SELECT o.doc_id + 100000000 AS doc_id,
+      |    list(CASE WHEN o.stride > 0 AND i % o.stride = 0
+      |              THEN 'zzq' || CAST(o.doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)
+      |              ELSE o.toks[i] END ORDER BY i) AS toks
+      |  FROM (SELECT doc_id, toks,
+      |          CASE doc_id % 5 WHEN 1 THEN 16 WHEN 2 THEN 9 WHEN 3 THEN 6
+      |               WHEN 4 THEN 4 ELSE 0 END AS stride
+      |        FROM orig) o,
+      |    LATERAL unnest(generate_series(1, len(o.toks))) AS t(i)
+      |  GROUP BY 1),
+      |docs2 AS (
+      |  SELECT doc_id, toks FROM orig
+      |  UNION ALL SELECT doc_id, toks FROM vtoks),
+      |${minhashSigReplay("docs2")},
+      |pairs AS (SELECT doc_id AS id_a, doc_id + 100000000 AS id_b FROM orig),
+      |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+      |  FROM pairs c JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT x.id_a, x.id_b,
+      |    CAST(CASE WHEN x.nu = 0 THEN 10 ELSE (10 * x.ni) // x.nu END AS BIGINT) AS s_bucket,
+      |    CAST(CASE WHEN x.nu = 0 THEN 10000 ELSE (10000 * x.ni) // x.nu END AS BIGINT) AS jac_bp
+      |  FROM (
+      |    SELECT c.id_a, c.id_b, coalesce(i.n_inter, 0) AS ni,
+      |      na.n + nb.n - coalesce(i.n_inter, 0) AS nu
+      |    FROM pairs c
+      |    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      |    JOIN nsh na ON na.doc_id = c.id_a
+      |    JOIN nsh nb ON nb.doc_id = c.id_b) x),
+      |sigp AS (
+      |  SELECT p.id_a, p.id_b, sa.sig AS sig_a, sb.sig AS sig_b
+      |  FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a
+      |  JOIN sig sb ON sb.doc_id = p.id_b),
+      |${settings.map { case (b, r) => collideCte(b, r) }.mkString(",\n")}
+      |${settings.map { case (b, r) => armSelect(b, r) }.mkString("\nUNION ALL ")}
+      |ORDER BY bands, s_bucket""".stripMargin
+  }
+
+  /** q_ann_frontier's oracle: recall-vs-bytes replayed end to end. The
+    * q_ann_ivfpq coarse replay is SHARED once (seeds → one
+    * quantized-Lloyd round → trained assignment → exact-float residuals
+    * → 2-probe routing → query residuals → codebook seed ids), then per
+    * budget m ∈ {2,4,8} (subDim 64/m) the per-subspace codebook Lloyd,
+    * code assignment, floor(2¹⁶·d²) BIGINT LUT, and the exact-integer
+    * ADC top-5 — each budget's CTEs prefixed `b<m>_`. Ground truth =
+    * floor(2¹⁶·‖q−v‖²) exact top-5 with (qd, vec_id) tie order (the
+    * same sequential fold both engines). recall_bp = 200·hits over the
+    * 50 truth pairs, so the quotient is exact in integers.
+    */
+  private def annFrontierOracle: String = {
+    def block(m: Int): String = {
+      val sub = 64 / m
+      val p = s"b$m"
+      s"""${p}_ms AS (SELECT unnest(range(1, ${m + 1})) AS m),
+        |${p}_rsub AS (
+        |  SELECT r.vec_id, r.centroid_id, ${p}_ms.m,
+        |    list_slice(r.r_emb, (${p}_ms.m - 1) * $sub + 1, ${p}_ms.m * $sub) AS sv
+        |  FROM resid r CROSS JOIN ${p}_ms),
+        |${p}_bseeds AS (
+        |  SELECT s.bid, r.m, r.sv AS b_emb
+        |  FROM bseed_ids s JOIN ${p}_rsub r ON r.vec_id = s.vec_id),
+        |${p}_bscores0 AS (
+        |  SELECT r.vec_id, r.m, r.sv, b.bid,
+        |    -2 * list_aggregate(list_apply(list_zip(r.sv, b.b_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(b.b_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM ${p}_rsub r JOIN ${p}_bseeds b ON b.m = r.m),
+        |${p}_bassign0 AS (
+        |  SELECT vec_id, m, sv, bid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY score, bid) AS rk
+        |    FROM ${p}_bscores0) WHERE rk = 1),
+        |${p}_bexpl AS (
+        |  SELECT m, bid, unnest(range(1, len(sv) + 1)) AS d, unnest(sv) AS v
+        |  FROM ${p}_bassign0),
+        |${p}_bsums AS (
+        |  SELECT m, bid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+        |         count(*) AS nv
+        |  FROM ${p}_bexpl GROUP BY m, bid, d),
+        |${p}_books AS (
+        |  SELECT m, bid,
+        |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS b_emb
+        |  FROM ${p}_bsums GROUP BY m, bid),
+        |${p}_bscores AS (
+        |  SELECT r.vec_id, r.centroid_id, r.m, b.bid,
+        |    -2 * list_aggregate(list_apply(list_zip(r.sv, b.b_emb),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+        |      + list_aggregate(list_apply(b.b_emb,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+        |  FROM ${p}_rsub r JOIN ${p}_books b ON b.m = r.m),
+        |${p}_codes AS (
+        |  SELECT vec_id, centroid_id, m, bid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY score, bid) AS rk
+        |    FROM ${p}_bscores) WHERE rk = 1),
+        |${p}_lut AS (
+        |  SELECT q.query_id, q.centroid_id, b.m, b.bid,
+        |    CAST(floor(65536.0 * list_aggregate(
+        |      list_apply(list_zip(list_slice(q.qr, (b.m - 1) * $sub + 1, b.m * $sub), b.b_emb),
+        |        x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+        |           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')) AS BIGINT) AS d_q
+        |  FROM qres q CROSS JOIN ${p}_books b),
+        |${p}_scored AS (
+        |  SELECT l.query_id, c.vec_id AS neighbor_id,
+        |    CAST(sum(l.d_q) AS BIGINT) AS adc_dist
+        |  FROM ${p}_codes c
+        |  JOIN ${p}_lut l ON l.centroid_id = c.centroid_id AND l.m = c.m AND l.bid = c.bid
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |${p}_topk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+        |    FROM ${p}_scored) WHERE rk <= 5),
+        |${p}_recall AS (
+        |  SELECT CAST($m AS INTEGER) AS m_subspaces,
+        |         CAST(${m + 1} AS INTEGER) AS bytes_per_vec,
+        |         CAST(count(*) * 200 AS BIGINT) AS recall_bp
+        |  FROM brute x JOIN ${p}_topk t
+        |    ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id)""".stripMargin
+    }
+    val budgets = Seq(2, 4, 8)
+    s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings WHERE embedding IS NOT NULL),
+      |cents0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
+      |         embedding AS c_emb
+      |  FROM embeddings, n
+      |  WHERE embedding IS NOT NULL
+      |    AND vec_id % greatest(1, cnt // 8) = 0
+      |  ORDER BY vec_id LIMIT 8),
+      |scores0 AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |      + list_aggregate(list_apply(c.c_emb,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+      |  FROM embeddings e CROSS JOIN cents0 c
+      |  WHERE e.embedding IS NOT NULL),
+      |assign0 AS (
+      |  SELECT vec_id, embedding, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+      |    FROM scores0) WHERE rk = 1),
+      |expl1 AS (
+      |  SELECT cid, unnest(range(1, len(embedding) + 1)) AS d,
+      |         unnest(embedding) AS v
+      |  FROM assign0),
+      |sums1 AS (
+      |  SELECT cid, d, sum(CAST(floor(CAST(v AS DOUBLE) * 65536.0) AS BIGINT)) AS sq,
+      |         count(*) AS nv
+      |  FROM expl1 GROUP BY cid, d),
+      |cents AS (
+      |  SELECT cid,
+      |    list(CAST(CAST(sq AS DOUBLE) / (65536.0 * nv) AS REAL) ORDER BY d) AS c_emb
+      |  FROM sums1 GROUP BY cid),
+      |scores AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    -2 * list_aggregate(list_apply(list_zip(e.embedding, c.c_emb),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |      + list_aggregate(list_apply(c.c_emb,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS score
+      |  FROM embeddings e CROSS JOIN cents c
+      |  WHERE e.embedding IS NOT NULL),
+      |assign AS (
+      |  SELECT vec_id, embedding, cid AS centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+      |    FROM scores) WHERE rk = 1),
+      |resid AS (
+      |  SELECT a.vec_id, a.centroid_id,
+      |    list_apply(list_zip(a.embedding, c.c_emb),
+      |      x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS REAL)) AS r_emb
+      |  FROM assign a JOIN cents c ON a.centroid_id = c.cid),
+      |bseed_ids AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS bid
+      |  FROM (SELECT vec_id FROM resid, n WHERE vec_id % greatest(1, cnt // 8) = 0
+      |        ORDER BY vec_id LIMIT 8)),
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb, cid AS centroid_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+      |    FROM scores WHERE vec_id < 10) WHERE rk <= 2),
+      |qres AS (
+      |  SELECT p.query_id, p.centroid_id,
+      |    list_apply(list_zip(p.q_emb, c.c_emb),
+      |      x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS REAL)) AS qr
+      |  FROM probes p JOIN cents c ON p.centroid_id = c.cid),
+      |brute AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY qd, neighbor_id) AS rk
+      |    FROM (
+      |      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |        CAST(floor(65536.0 * list_aggregate(
+      |          list_apply(list_zip(q.embedding, e.embedding),
+      |            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |               * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')) AS BIGINT) AS qd
+      |      FROM embeddings e
+      |      CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+      |                  WHERE vec_id < 10 AND embedding IS NOT NULL) q
+      |      WHERE e.vec_id <> q.vec_id AND e.embedding IS NOT NULL))
+      |  WHERE rk <= 5),
+      |${budgets.map(block).mkString(",\n")}
+      |${budgets.map(m => s"SELECT * FROM b${m}_recall").mkString("\nUNION ALL ")}
+      |ORDER BY m_subspaces""".stripMargin
+  }
 }

@@ -1948,6 +1948,55 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_ann_frontier" -> ((s, dir) => {
+      // The comparison every published ANN evaluation leads with, and
+      // the knob a 100 TB curator actually tunes: recall@k vs
+      // bytes-per-vector across PQ budgets on ONE corpus / query set /
+      // coarse index (Jégou et al. TPAMI 2011 §V's recall-vs-code-size
+      // curves). Shared: 8 trained coarse centroids (1 quantized-Lloyd
+      // round), 10 queries, k=5, nProbe=2, and the exact
+      // floor(2¹⁶·‖q−v‖²) integer ground truth. Grid: m ∈ {2,4,8}
+      // one-byte codes (+1 B coarse id) = 3/5/9 B/vec vs 256 B of raw
+      // floats. recall_bp = 200·|ADC top-5 ∩ exact top-5| (50 truth
+      // pairs, so the quotient is exact). HASH-CHECKED: the oracle
+      // replays the whole grid — shared coarse replay, per-budget
+      // codebook Lloyd → codes → LUT → integer ADC top-5 — plus the
+      // same exact-integer ground truth. PqSpec pins monotonicity
+      // (more bytes ⇒ no worse recall) on a separated synthetic corpus.
+      val emb = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      val queries = emb.filter(col("vec_id") < 10)
+      val coarse = Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      // exact ground truth: the established left-to-right quantized-L2
+      // fold (the KmeansPar/prototype-prune recipe), ties by vec_id
+      val sq = aggregate(zip_with(col("q_emb"), col("embedding"), (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }), lit(0.0), (acc, v) => acc + v)
+      val wB = Window.partitionBy(col("query_id"))
+        .orderBy(col("qd"), col("vec_id"))
+      val brute = emb
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("qd", floor(lit(65536.0) * sq).cast("long"))
+        .withColumn("__rk", row_number().over(wB)).filter(col("__rk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .localCheckpoint(false) // 50 rows, read once per budget
+      // shared across the three budget rungs — pin lazily or each
+      // trainCodebooks pass replays the coarse assignment
+      val resid = Pq.residualFrame(emb, coarse).localCheckpoint(false)
+      Seq(2, 4, 8).map { m =>
+        val books = Pq.trainCodebooks(resid,
+          m = m, subDim = 64 / m, k = 8, iters = 1)
+        Pq.ivfpqTopK(emb, queries, coarse, books,
+            subDim = 64 / m, k = 5, nProbe = 2)
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg((count(lit(1)) * 200L).as("recall_bp"))
+          .select(lit(m).as("m_subspaces"), lit(m + 1).as("bytes_per_vec"),
+            col("recall_bp"))
+      }.reduce(_ unionByName _).orderBy(col("m_subspaces"))
+    }),
+
     "q_ann_rq" -> ((s, dir) => {
       // residual vector quantization (Chen et al. 2010 / the additive
       // family of Babenko & Lempitsky CVPR'14): the rung between float
@@ -3197,6 +3246,61 @@ object SparkEntry {
       docs.sparkSession.range(1).select(
         lit(nT).as("n_truth_pairs"), lit(nH).as("n_found"),
         lit(if (nT == 0) 10000L else (10000L * nH) / nT).as("recall_bp"))
+    }),
+
+    "q_lsh_curve" -> ((s, dir) => {
+      // the LSH OPERATING CURVE measured (q_lsh_recall's sibling:
+      // recall pins s=1; this sweeps the s AXIS): build evaluation
+      // pairs with CONTROLLED similarity — each doc gets a variant
+      // whose every stride-th token is replaced by a junk token, arm
+      // stride ∈ {identical, 16, 9, 6, 4} by doc_id residue, giving
+      // shingle-Jaccard clusters near 1.0/0.68/0.5/0.33/0.14 — then
+      // for (bands, rows) ∈ {(16,4), (8,8), (4,16)} over the same 64
+      // minhashes count per exact-Jaccard decile how many pairs
+      // collide in >= 1 band. This is the S-curve 1−(1−s^r)^b that
+      // near-dup thresholds are chosen from (MMDS §3.4), measured
+      // instead of assumed; NearDupSpec pins it against the closed
+      // form per arm. HASH-CHECKED: the oracle replays the variant
+      // construction, the full minhash sketch, slice-equality
+      // collisions, and exact shingle Jaccard.
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("text"))
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val stride = when(col("doc_id") % 5 === 1, lit(16))
+        .when(col("doc_id") % 5 === 2, lit(9))
+        .when(col("doc_id") % 5 === 3, lit(6))
+        .when(col("doc_id") % 5 === 4, lit(4))
+        .otherwise(lit(0)) // arm 0: identical twin (s = 1)
+      val vtoks = transform(sequence(lit(1), size(toks)), i =>
+        when(stride > 0 && pmod(i, stride) === 0,
+          concat(lit("zzq"), col("doc_id").cast("string"), lit("x"),
+            i.cast("string")))
+          .otherwise(element_at(toks, i)))
+      val offset = lit(100000000L)
+      // build the variant text BEFORE shifting the id: an aliased
+      // doc_id in the same select would shadow the original inside the
+      // junk-token expression (measured: zzq100000001x16 where the
+      // oracle says zzq1x16 — same Jaccard counts, different strings,
+      // different signatures)
+      val corpus = docs.unionByName(docs
+        .withColumn("__vtext", array_join(vtoks, " "))
+        .select((col("doc_id") + offset).as("doc_id"),
+          col("__vtext").as("text")))
+        // the 64-hash sketch is CPU-bound per row and otherwise runs
+        // inside the scan stage — at sf0.1 that is TWO parquet splits
+        // (2/32 cores busy, measured 7.6 s per sketch job); one narrow
+        // id shuffle fans the sketch across the session's cores. The
+        // partition count is EXPLICIT: AQE's byte-targeted coalescing
+        // would fold these few MB back to ONE partition (measured 9.1 s
+        // single-task sketch jobs) — bytes are the wrong yardstick for
+        // a CPU-bound stage.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + offset).as("id_b"))
+      graft.dedup.NearDup.collisionCurve(corpus, pairs, "doc_id", "text",
+        settings = Seq((16, 4), (8, 8), (4, 16)))
+        .orderBy(col("bands"), col("s_bucket"))
     }),
 
     "q_rec_eval" -> ((s, dir) => {

@@ -90,43 +90,44 @@ object Sequencing {
   def islands(df: DataFrame, keyCol: String, nBuckets: Int = 256): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val spark = df.sparkSession
-    // distinct ONCE: gap detection is duplicate-insensitive (equal
-    // neighbours produce no gap) and the island counts need distinct keys
-    // anyway — deduping first shrinks every downstream scan, window, and
-    // the final range join to the key-domain size
+    // NO dedup, NO persist (round 13): gap detection is
+    // duplicate-insensitive (equal neighbours produce no gap) and the
+    // island key count is CLOSED FORM (below), so distinct keys are
+    // never needed — the round-10 dropDuplicates paid a full extra
+    // exchange of the key column for nothing once the count went
+    // arithmetic. Two projected scans (bounds + gaps) beat one scan +
+    // a persisted shuffle at every SF measured.
     val keys = df.select(col(keyCol).cast("long").as("k"))
-      .filter(col("k").isNotNull).dropDuplicates("k").persist()
-    try {
-      val bounds = keys.agg(min(col("k")), max(col("k"))).head()
-      if (bounds.isNullAt(0)) return emptyIslands(spark)
-      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
-      val g = gapsFromKeys(keys, mn, mx, nBuckets)
-        .select(col("gap_start"), col("gap_end"))
-      // Island starts: domain min + each gap_end + 1. Island ends: each
-      // gap_start - 1 + domain max. Both frames are gap-sized
-      // (audit-scale, not data-scale); zip them by rank.
-      val starts = g.select((col("gap_end") + 1).as("island_start"))
-        .unionByName(spark.range(1).select(lit(mn).as("island_start")))
-      val ends = g.select((col("gap_start") - 1).as("island_end"))
-        .unionByName(spark.range(1).select(lit(mx).as("island_end")))
-      val ws = Window.orderBy(col("island_start"))
-      val we = Window.orderBy(col("island_end"))
-      val s2 = starts.withColumn("r", row_number().over(ws))
-      val e2 = ends.withColumn("r", row_number().over(we))
-      val islandsDf = s2.join(e2, "r")
-        .select(col("island_start"), col("island_end"))
-      // distinct-key count per island is CLOSED FORM: a gap is a maximal
-      // missing run, so every integer inside an island is a present
-      // (deduped) key — n_keys = end − start + 1. Round 10 replaced a
-      // keys-×-islands broadcast range join (the one nested-loop join in
-      // the engine, key-count × island-count work) with the arithmetic;
-      // materialized before the finally releases the cache.
-      val out = islandsDf
-        .withColumn("n_keys", col("island_end") - col("island_start") + 1)
-        .orderBy(col("island_start"))
-        .localCheckpoint(true)
-      out
-    } finally keys.unpersist()
+      .filter(col("k").isNotNull)
+    val bounds = keys.agg(min(col("k")), max(col("k"))).head()
+    if (bounds.isNullAt(0)) return emptyIslands(spark)
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val g = gapsFromKeys(keys, mn, mx, nBuckets)
+      .select(col("gap_start"), col("gap_end"))
+    // Islands close the gaps' complement with ONE ordered pass over the
+    // gap-sized frame (audit-scale, not data-scale): append a SENTINEL
+    // gap at mx+1, then every island is
+    // (previous gap's end + 1 — or mn for the first, gap_start − 1) —
+    // the sentinel emits the tail island (last gap end + 1 .. mx), and
+    // with no real gaps it alone emits the whole domain. Round 13
+    // replaced the two rank windows + rank join with this single lag;
+    // the gap frame is consumed exactly once.
+    require(mx < Long.MaxValue, "islands: key domain max at Long.MaxValue" +
+      " leaves no room for the sentinel gap")
+    val sentinel = spark.range(1).select(
+      lit(mx + 1).as("gap_start"), lit(mx + 1).as("gap_end"))
+    val wg = Window.orderBy(col("gap_start"))
+    // distinct-key count per island is CLOSED FORM: a gap is a maximal
+    // missing run, so every integer inside an island is a present key —
+    // n_keys = end − start + 1 (round 10 replaced the keys×islands
+    // range join with the arithmetic).
+    g.unionByName(sentinel)
+      .withColumn("prev_end", lag(col("gap_end"), 1).over(wg))
+      .select(coalesce(col("prev_end") + 1, lit(mn)).as("island_start"),
+        (col("gap_start") - 1).as("island_end"))
+      .withColumn("n_keys", col("island_end") - col("island_start") + 1)
+      .orderBy(col("island_start"))
+      .localCheckpoint(true)
   }
 
   private def emptyGaps(spark: SparkSession): DataFrame = {

@@ -49,13 +49,10 @@ object QualityClassifier {
     val nNeg = nonBlank(negatives).count()
     require(nPos > 0 && nNeg > 0,
       s"both classes need non-blank training docs (pos=$nPos, neg=$nNeg)")
-    // same engine-expression ln as Dsir.weights, same quantization
-    val prior = spark.range(1).select(
-      floor(lit(10000.0) * log(lit(nPos).cast("double") / lit(nNeg).cast("double"))
-        + lit(0.5)).cast("long")).head().getLong(0)
     val w = Dsir.weights(spark, cp, cn, nBuckets)
     Dsir.scoreWith(corpus, idCol, textCol, w, nBuckets)
-      .select(col(idCol), (col("dsir_score") + lit(prior)).as("nb_score"))
+      .select(col(idCol),
+        (col("dsir_score") + priorCol(nPos, nNeg)).as("nb_score"))
       .withColumn("is_quality", col("nb_score") > 0L)
   }
 
@@ -85,13 +82,10 @@ object QualityClassifier {
         s"bucket id outside [0, $nBuckets) — counts built with a different nBuckets?")
       Array.tabulate(nBuckets)(i => m.getOrElse(i, 0L))
     }
-    val prior = spark.range(1).select(
-      floor(lit(10000.0) *
-        log(lit(nPosDocs).cast("double") / lit(nNegDocs).cast("double"))
-        + lit(0.5)).cast("long")).head().getLong(0)
     val w = Dsir.weights(spark, toArr(posCounts), toArr(negCounts), nBuckets)
     Dsir.scoreWith(corpus, idCol, textCol, w, nBuckets)
-      .select(col(idCol), (col("dsir_score") + lit(prior)).as("nb_score"))
+      .select(col(idCol),
+        (col("dsir_score") + priorCol(nPosDocs, nNegDocs)).as("nb_score"))
       .withColumn("is_quality", col("nb_score") > 0L)
   }
 
@@ -111,12 +105,21 @@ object QualityClassifier {
     val (nPos, nNeg) = (dPos, dAll - dPos)
     require(nPos > 0 && nNeg > 0,
       s"both classes need non-blank training docs (pos=$nPos, neg=$nNeg)")
-    val prior = spark.range(1).select(
-      floor(lit(10000.0) * log(lit(nPos).cast("double") / lit(nNeg).cast("double"))
-        + lit(0.5)).cast("long")).head().getLong(0)
     val w = Dsir.weights(spark, cp, cn, nBuckets)
     Dsir.scoreWith(corpus, idCol, textCol, w, nBuckets)
-      .select(col(idCol), (col("dsir_score") + lit(prior)).as("nb_score"))
+      .select(col(idCol),
+        (col("dsir_score") + priorCol(nPos, nNeg)).as("nb_score"))
       .withColumn("is_quality", col("nb_score") > 0L)
   }
+
+  /** The quantized class-prior log-odds floor(10⁴·ln(nPos/nNeg) + 0.5)
+    * as an engine EXPRESSION over literals: Catalyst's ConstantFolding
+    * evaluates it at plan time with the same Math.log the codegen path
+    * uses, so the value is identical to the former spark.range(1).head()
+    * round-trip — minus one scheduled job per call (round 13; the
+    * classifier was two corpus scans plus this stray 1-row job).
+    */
+  private def priorCol(nPos: Long, nNeg: Long): Column =
+    floor(lit(10000.0) * log(lit(nPos).cast("double") / lit(nNeg).cast("double"))
+      + lit(0.5)).cast("long")
 }

@@ -280,4 +280,64 @@ class NearDupSpec extends SparkSuite {
       .as[(Long, Long, Double)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
   }
+
+  test("collisionCurve matches the theoretical S-curve 1-(1-s^r)^b per arm") {
+    // controlled similarity: 600 docs of 64 distinct random tokens each
+    // (vocab huge, so cross-doc overlap ~ 0); each doc gets a variant
+    // with every stride-th token replaced — within an arm the shingle
+    // survival (and so the Jaccard) is essentially constant, so the
+    // binomial check against the closed form is tight. This pins the
+    // MEASUREMENT the q_lsh_curve registration ships: a banding or
+    // slice-equality regression moves whole arms off the curve.
+    val rnd = new scala.util.Random(47)
+    val docs = (0 until 600).map { d =>
+      (d.toLong, Array.fill(64)("w" + rnd.nextInt(100000000)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val strideOf = Map(0 -> 0, 1 -> 16, 2 -> 9, 3 -> 6, 4 -> 4)
+    val toks = split(col("text"), " ")
+    val strideCol = col("doc_id") % 5
+    val stride = strideOf.foldLeft(lit(0)) { case (acc, (arm, st)) =>
+      when(strideCol === arm, lit(st)).otherwise(acc)
+    }
+    val vtoks = transform(sequence(lit(1), size(toks)), i =>
+      when(stride > 0 && pmod(i, stride) === 0,
+        concat(lit("zzq"), col("doc_id").cast("string"), lit("x"),
+          i.cast("string"))).otherwise(element_at(toks, i)))
+    val corpus = docs.unionByName(docs.select(
+      (col("doc_id") + 100000L).as("doc_id"), array_join(vtoks, " ").as("text")))
+    val evalPairs = docs.select(col("doc_id").as("id_a"),
+      (col("doc_id") + 100000L).as("id_b"))
+    val settings = Seq((16, 4), (8, 8), (4, 16))
+    // per-pair observation (jac_bp + collided) via a 1-bucket-per-pair
+    // trick is unnecessary: the arms land in distinct deciles by
+    // construction, so the decile aggregate IS the per-arm aggregate
+    val curve = NearDup.collisionCurve(corpus, evalPairs, "doc_id", "text",
+      settings).collect()
+    assert(curve.nonEmpty)
+    var checked = 0
+    curve.foreach { row =>
+      val (b, r) = (row.getInt(0), row.getInt(1))
+      val n = row.getLong(3); val coll = row.getLong(4)
+      val sBar = row.getLong(5).toDouble / n / 10000.0
+      if (n >= 50) {
+        val p = 1.0 - math.pow(1.0 - math.pow(sBar, r.toDouble), b.toDouble)
+        val obs = coll.toDouble / n
+        // binomial 5 sigma + curve-evaluation slack for the within-arm
+        // Jaccard spread (token counts are fixed, so the spread is just
+        // the stride/boundary jitter)
+        val tol = 5.0 * math.sqrt(math.max(p * (1 - p), 0.002) / n) + 0.05
+        assert(math.abs(obs - p) <= tol,
+          s"(b=$b,r=$r) bucket s~$sBar: observed $obs vs theory $p (tol $tol)")
+        checked += 1
+      }
+    }
+    assert(checked >= 9, s"expected >= 9 populated buckets, checked $checked")
+    // the s=1 arm must collide everywhere at every setting (the
+    // q_lsh_recall identity, re-derived through the curve path)
+    settings.foreach { case (b, _) =>
+      val top = curve.find(r => r.getInt(0) == b && r.getLong(2) == 10L).get
+      assert(top.getLong(3) === top.getLong(4),
+        s"identical pairs must all collide at bands=$b")
+    }
+  }
 }

@@ -152,4 +152,40 @@ class PqSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"))
   }
+
+  test("recall-vs-bytes frontier is monotone: more code bytes, no worse recall") {
+    // the q_ann_frontier contract on a corpus with real neighbor
+    // structure (planted twins in a unit cloud): coarser codes (m=2,
+    // 32-dim subspaces with 16 cells) quantize the twin into the bulk;
+    // finer codes recover it. Monotonicity is the frontier's defining
+    // property — a budget rung that LOSES recall while spending more
+    // bytes is a pipeline bug, not a tradeoff.
+    val rnd = new scala.util.Random(43)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val twins = base.map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }
+    val cloud = (base ++ twins).toDF("vec_id", "embedding").cache()
+    val co = Knn.trainCentroids(cloud, nCentroids = 8, iters = 1)
+    val qs = cloud.filter(col("vec_id") < 40)
+    val recalls = Seq(2, 4, 8).map { m =>
+      val bk = Pq.trainCodebooks(Pq.residualFrame(cloud, co),
+        m = m, subDim = 64 / m, k = 16, iters = 1)
+      val top1 = Pq.ivfpqTopK(cloud, qs, co, bk, subDim = 64 / m,
+          k = 1, nProbe = 8)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      top1.count { case (q, n) => n == q + 1000L }
+    }
+    assert(recalls.zip(recalls.tail).forall { case (lo, hi) => lo <= hi },
+      s"frontier not monotone (twin hits of 40 at m=2,4,8): $recalls")
+    assert(recalls.last >= 36,
+      s"9-byte codes must find planted twins: ${recalls.last}/40")
+    // and the REGISTERED frontier query emits the documented grid
+    val rows = SparkEntry.queries("q_ann_frontier")(spark, sf)
+      .orderBy("m_subspaces").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(2, 4, 8))
+    assert(rows.map(_.getInt(1)).toSeq === Seq(3, 5, 9))
+    assert(rows.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 10000L))
+  }
 }
