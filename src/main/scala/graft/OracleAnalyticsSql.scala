@@ -3373,6 +3373,57 @@ private[graft] object OracleAnalyticsSql {
         |SELECT p_brand, CAST(nm AS BIGINT) AS n_months, mean_q,
         |  q AS q_star
         |FROM rk WHERE vr = (8 * nm + 9) // 10
-        |ORDER BY p_brand""".stripMargin
+        |ORDER BY p_brand""".stripMargin,
+
+    // k-truss edge peel, the fixed-round unrolled replay (the q_kcore
+    // contract: converged rounds re-emit unchanged, so the last round
+    // IS the fixpoint whenever the Scala side converged inside the
+    // same budget); per-round support = |N(u) ∩ N(v)| via one
+    // adjacency self-join
+    "q_ktruss" -> kTrussOracle,
   )
+
+  /** q_ktruss's oracle generator: 20 unrolled peel rounds over the
+    * repeat co-purchase graph, each round = symmetric adjacency +
+    * common-neighbor support + the support >= k−2 filter (k=4);
+    * triangle-free edges vanish at the inner support join, exactly like
+    * the engine's semi join. Final supports recomputed on the surviving
+    * set (the engine's lastSup IS that table at the fixpoint).
+    */
+  private def kTrussOracle: String = {
+    val rounds = 20
+    def roundCtes(i: Int): String = {
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""adj$i AS MATERIALIZED (SELECT u AS s, v AS d FROM $prev UNION ALL SELECT v, u FROM $prev),
+        |sup$i AS MATERIALIZED (
+        |  SELECT e.u, e.v, count(*) AS c
+        |  FROM $prev e
+        |  JOIN adj$i a1 ON a1.s = e.u
+        |  JOIN adj$i a2 ON a2.s = e.v AND a2.d = a1.d
+        |  GROUP BY e.u, e.v),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM $prev e
+        |  JOIN sup$i s ON s.u = e.u AND s.v = e.v
+        |  WHERE s.c >= 3)"""
+    }
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_orderkey % 9 = 0 AND b.l_orderkey % 9 = 0),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT least(pa, pb) AS u, greatest(pa, pb) AS v
+      |  FROM pairs WHERE pa <> pb),
+      |${(1 to rounds).map(roundCtes).mkString(",\n")},
+      |adjF AS (SELECT u AS s, v AS d FROM e$rounds UNION ALL SELECT v, u FROM e$rounds),
+      |supF AS (
+      |  SELECT e.u, e.v, count(*) AS c
+      |  FROM e$rounds e
+      |  JOIN adjF a1 ON a1.s = e.u
+      |  JOIN adjF a2 ON a2.s = e.v AND a2.d = a1.d
+      |  GROUP BY e.u, e.v)
+      |SELECT e.u, e.v, s.c AS support
+      |FROM e$rounds e JOIN supF s ON s.u = e.u AND s.v = e.v
+      |ORDER BY e.u, e.v""".stripMargin
+  }
 }

@@ -1139,5 +1139,97 @@ private[graft] object OracleRelationalSql {
         |  FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3)
         |SELECT a_key, b_key, sim_bp FROM pairs
         |WHERE sim_bp >= 8800 ORDER BY a_key, b_key""".stripMargin,
+
+    // Fellegi-Sunter EM replayed end to end: five unrolled iterations
+    // (weight CTE + 1-row parameter CTE each), exact-integer E-step
+    // quantization, Laplace-smoothed integer-space M-steps, quantized
+    // per-field log-ratio scoring
+    "q_record_linkage" -> recordLinkageOracle,
   )
+
+  /** q_record_linkage's oracle generator: the controlled dirty feed
+    * (copies/decoys), then EM unrolled — iteration i reads the
+    * agreement table cross-joined with parameter row p(i-1), quantizes
+    * the posterior weight to floor(2^30 w) BIGINT, and p(i) aggregates
+    * the exact integer sums into smoothed double parameters; scoring
+    * quantizes each field's log-likelihood ratio once and sums exact
+    * integers. Every double op is a pinned chain mirrored by
+    * [[graft.pipelines.FellegiSunter]] (product association included:
+    * lam * (c1*c2*c3*c4), never ((lam*c1)*c2)...).
+    */
+  private def recordLinkageOracle: String = {
+    val K = 4
+    val iters = 5
+    def like(p: String, arr: String): String =
+      (1 to K).map(k =>
+        s"(CASE WHEN a$k = 1 THEN $p.$arr$k ELSE 1e0 - $p.$arr$k END)")
+        .mkString(" * ")
+    def wCte(i: Int): String = {
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""w$i AS (
+        |  SELECT g.id_a, g.id_b, ${(1 to K).map(k => s"g.a$k").mkString(", ")},
+        |    CAST(floor($prev.lam * (${like(prev, "m")})
+        |      / ($prev.lam * (${like(prev, "m")})
+        |         + (1e0 - $prev.lam) * (${like(prev, "u")}))
+        |      * 1073741824e0) AS BIGINT) AS wq
+        |  FROM ag g CROSS JOIN $prev)"""
+    }
+    def pCte(i: Int): String = {
+      val ms = (1 to K).map(k =>
+        s"""    CAST(sum(wq * a$k) + 1073741824 AS DOUBLE)
+          |      / CAST(sum(wq) + 2147483648 AS DOUBLE) AS m$k""").mkString(",\n")
+      val us = (1 to K).map(k =>
+        s"""    CAST(sum((1073741824 - wq) * a$k) + 1073741824 AS DOUBLE)
+          |      / CAST(count(*) * 1073741824 - sum(wq) + 2147483648 AS DOUBLE) AS u$k""")
+        .mkString(",\n")
+      s"""p$i AS (
+        |  SELECT
+        |    CAST(sum(wq) + 1073741824 AS DOUBLE)
+        |      / CAST((count(*) + 2) * 1073741824 AS DOUBLE) AS lam,
+        |$ms,
+        |$us
+        |  FROM w$i)"""
+    }
+    val emCtes = (1 to iters).map(i => wCte(i) + ",\n" + pCte(i)).mkString(",\n")
+    val wts = (1 to K).map(k =>
+      s"""    CAST(floor(1e4 * ln(m$k / u$k) + 5e-1) AS BIGINT) AS wm$k,
+        |    CAST(floor(1e4 * ln((1e0 - m$k) / (1e0 - u$k)) + 5e-1) AS BIGINT) AS wn$k""")
+      .mkString(",\n")
+    val scoreSum = (1 to K).map(k =>
+      s"(CASE WHEN g.a$k = 1 THEN w.wm$k ELSE w.wn$k END)").mkString(" + ")
+    s"""WITH cust AS (
+      |  SELECT c_custkey AS id, c_name AS nm, c_acctbal AS bal,
+      |         c_mktsegment AS seg, c_nationkey AS nat
+      |  FROM customer),
+      |copies AS (
+      |  SELECT id + 10000000 AS cid,
+      |         CASE WHEN id % 5 = 0 THEN 'UNKNOWN' ELSE nm END AS nm,
+      |         CASE WHEN id % 2 = 0 THEN bal + 1e2 ELSE bal END AS bal,
+      |         seg, nat
+      |  FROM cust WHERE id % 3 = 0),
+      |ents AS (SELECT id, nm, bal, seg, nat FROM cust
+      |         UNION ALL SELECT cid, nm, bal, seg, nat FROM copies),
+      |mp AS (SELECT id AS id_a, id + 10000000 AS id_b FROM cust WHERE id % 3 = 0),
+      |dc AS (SELECT a.id AS id_a, b.id AS id_b
+      |       FROM cust a JOIN cust b ON b.id = a.id + 1),
+      |prs AS (SELECT * FROM mp UNION ALL SELECT * FROM dc),
+      |ag AS (SELECT p.id_a, p.id_b,
+      |  CASE WHEN a.nm = b.nm THEN 1 ELSE 0 END AS a1,
+      |  CASE WHEN a.bal = b.bal THEN 1 ELSE 0 END AS a2,
+      |  CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS a3,
+      |  CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS a4
+      |  FROM prs p JOIN ents a ON a.id = p.id_a JOIN ents b ON b.id = p.id_b),
+      |p0 AS (SELECT 5e-1 AS lam, ${(1 to K).map(k => s"9e-1 AS m$k").mkString(", ")},
+      |       ${(1 to K).map(k => s"1e-1 AS u$k").mkString(", ")}),
+      |$emCtes,
+      |wts AS (
+      |  SELECT
+      |$wts
+      |  FROM p$iters)
+      |SELECT g.id_a, g.id_b,
+      |  $scoreSum AS fs_score,
+      |  ($scoreSum) > 0 AS is_match
+      |FROM ag g CROSS JOIN wts w
+      |ORDER BY g.id_a, g.id_b""".stripMargin
+  }
 }

@@ -200,8 +200,14 @@ object Graphs {
     * pair-enumeration join) would replay its whole upstream per
     * reference. The pinned artifact is #edges rows, the bounded thing.
     */
-  def triangles(edges: DataFrame): DataFrame = {
-    val e0 = edges.localCheckpoint(true)
+  def triangles(edges: DataFrame): DataFrame =
+    trianglesOfPinned(edges.localCheckpoint(true))
+
+  /** [[triangles]] body over an ALREADY-PINNED edge frame — iterative
+    * callers ([[kTruss]]) pin per generation themselves and must not
+    * pay (or leak) a second eager checkpoint per round.
+    */
+  private def trianglesOfPinned(e0: DataFrame): DataFrame = {
     // total order (deg, id): rank nodes so orientation bounds out-degree
     val deg = e0.select(col("u").as("node"))
       .unionAll(e0.select(col("v").as("node")))
@@ -257,6 +263,68 @@ object Graphs {
     * materialization saves. kCore keeps per-round pins: its
     * convergence READ forces a materialization anyway.
     */
+  /** k-truss (Cohen 2008): the maximal subgraph in which every EDGE
+    * participates in ≥ k−2 triangles. One rung of cohesion above
+    * [[kCore]] (a k-truss is always inside the (k−1)-core): degree can
+    * be inflated by a star — a spam hub touches thousands of nodes but
+    * shares almost no triangles with them — while triangle support
+    * cannot, which is why truss decomposition is the standard
+    * community-backbone / spam-edge filter. Returns the surviving
+    * canonical edges with their within-truss support
+    * `(u, v, support)`.
+    *
+    * Algorithm: iterative EDGE peeling — per-edge support from the
+    * [[triangles]] edge-iterator (O(m^1.5) per round, never all-pairs),
+    * drop edges with support < k−2, repeat to fixpoint. The kCore
+    * lineage discipline applies: lazy per-round checkpoints
+    * materialized by the one convergence count, superseded generations
+    * freed, and a LOUD throw past `maxIters` (a partial peel would
+    * overstate the truss). Rounds needed = peel depth; the DuckDB
+    * oracle unrolls the same fixed round budget, so converged rounds
+    * re-emit unchanged on both sides.
+    */
+  def kTruss(edges: DataFrame, k: Int, maxIters: Int = 20): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(maxIters >= 1)
+    var cur = edges.select(col("u"), col("v")).localCheckpoint(true)
+    var curCount = cur.count()
+    var iter = 0
+    var done = false
+    var lastSup: DataFrame = null
+    while (!done && iter < maxIters) {
+      val tri = trianglesOfPinned(cur)
+      val sup = tri.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
+        .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+        .localCheckpoint(false)
+      // triangle-free edges never appear in sup — the semi join drops
+      // them with the under-supported ones (support 0 < k−2 for k ≥ 3)
+      val next = cur.join(sup.filter(col("support") >= k - 2),
+          Seq("u", "v"), "left_semi")
+        .select(col("u"), col("v")).localCheckpoint(false)
+      val nextCount = next.count()
+      done = nextCount == curCount
+      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(cur)
+      if (lastSup != null)
+        org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(lastSup)
+      lastSup = sup
+      cur = next
+      curCount = nextCount
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"Graphs.kTruss did not reach a fixpoint in $maxIters rounds — " +
+          "adversarially deep edge peel; raise maxIters (a partial peel " +
+          "would overstate the truss)")
+    // at the fixpoint the last support table was computed on exactly the
+    // surviving edge set — every survivor has support ≥ k−2, so the
+    // inner join is total
+    cur.join(lastSup, Seq("u", "v"))
+      .select(col("u"), col("v"), col("support"))
+  }
+
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
                    maxHops: Int, checkpointInterval: Int = 2): DataFrame = {
     require(maxHops >= 1 && maxHops <= 30, s"maxHops in [1,30], got $maxHops")

@@ -74,6 +74,60 @@ class GraphsSpec extends SparkSuite {
     }
   }
 
+  test("kTruss equals a sequential brute-force edge peel on random graphs") {
+    def bruteTruss(pairs: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
+      var es = pairs.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      def supports(s: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+        val adj = s.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        s.map(e => e -> (adj(e._1) intersect adj(e._2)).size.toLong).toMap
+      }
+      var changed = true
+      while (changed) {
+        val sup = supports(es)
+        val next = es.filter(e => sup(e) >= k - 2)
+        changed = next.size != es.size
+        es = next
+      }
+      supports(es).filter { case (e, _) => es(e) }
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3; k <- Seq(3, 4)) {
+      val pairs = Seq.fill(160)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      val got = Graphs.kTruss(edges(pairs: _*), k)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === bruteTruss(pairs, k), s"trial $trial k=$k")
+    }
+  }
+
+  test("kTruss keeps the clique, peels the star and the triangle chain; " +
+    "truss nodes sit inside the (k-1)-core") {
+    // K5 on 1..5 (every edge in 3 triangles), a chain of triangles
+    // 10-11-12, 11-12-13, 12-13-14 (supports <= 1 after one peel), and a
+    // star at 20 (support 0)
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val chain = Seq((10L, 11L), (10L, 12L), (11L, 12L), (11L, 13L),
+      (12L, 13L), (12L, 14L), (13L, 14L))
+    val star = (30L to 36L).map(x => (20L, x))
+    val e = edges((k5 ++ chain ++ star): _*)
+    val truss = Graphs.kTruss(e, k = 4).as[(Long, Long, Long)].collect()
+    assert(truss.map(t => (t._1, t._2)).toSet === k5.toSet,
+      "k=4 truss must be exactly the K5")
+    assert(truss.forall(_._3 === 3L), "every K5 edge sits in 3 triangles")
+    // containment: the k-truss nodes are a subgraph of the (k-1)-core
+    val core = Graphs.kCore(e, k = 3).as[(Long, Long)].collect().map(_._1).toSet
+    assert(truss.flatMap(t => Seq(t._1, t._2)).toSet.subsetOf(core))
+    // loud cap: a deep peel beyond maxIters throws rather than
+    // returning a partial (overstated) truss
+    val deepChain = (0L until 40L).flatMap(i =>
+      Seq((3 * i, 3 * i + 1), (3 * i, 3 * i + 2), (3 * i + 1, 3 * i + 2),
+        (3 * i + 1, 3 * i + 3), (3 * i + 2, 3 * i + 3)))
+    intercept[IllegalStateException](
+      Graphs.kTruss(edges(deepChain: _*), k = 4, maxIters = 2))
+  }
+
   test("kCore peels a chain entirely at k=2 and throws when rounds are capped") {
     // a 12-node path: every 2-core peel removes only the two endpoints
     // per round -> needs 6 rounds; maxIters=3 must throw loudly
