@@ -1308,6 +1308,112 @@ object ScaleSmoke {
       }
     }
 
+    if (section == "truss") {
+      // k-truss peel ramp on the 1-in-9 order-slice co-purchase graph
+      // (the q_ktruss registration shape): disjoint replicas + the
+      // 150k-degree hub wired in. Disjoint replication keeps the peel
+      // depth at the base graph's (each replica peels independently),
+      // so wall-clock exponents vs edges read directly; the hub's
+      // edges are triangle-poor and must vanish in round 1 — the
+      // star-immunity claim, demonstrated at scale.
+      import graft.operators.Graphs
+      val li1 = Tables.load(spark, base, "lineitem")
+        .filter(col("l_orderkey") % 9 === 0)
+      def copurchase(li: DataFrame) = {
+        val p = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        Graphs.canonicalEdges(p, "pa", "pb")
+      }
+      val hub = Graphs.canonicalEdges(
+        spark.range(150000L).select(lit(900000000L).as("pa"),
+          (col("id") * 7L + 2L).as("pb")), "pa", "pb")
+      val exps = Seq(1, math.max(mult / 10, 2), mult).distinct.map { m =>
+        val liM =
+          if (m == 1) li1
+          else (0 until m).map(i => li1
+              .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+              .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L)))
+            .reduce(_ unionByName _)
+        val path = s"$out/truss_edges_$m"
+        copurchase(liM).unionByName(hub)
+          .repartition(64).write.mode("overwrite").parquet(path)
+        val e = spark.read.parquet(path)
+        val ec = e.count()
+        println(s"[scale] truss ${m}x: $ec edges (+150k-degree hub)")
+        val t = time(s"ktruss(5) ${m}x+hub")(
+          Graphs.kTruss(e, 5).count())
+        (m, ec, t)
+      }
+      val (m1, e1, t1) = exps.head
+      exps.tail.foreach { case (m, ec, t) =>
+        val le = math.log(ec.toDouble / e1)
+        println(f"[scale] exponents ${m1}x->${m}x (vs edges): " +
+          f"ktruss ${math.log(t / t1) / le}%.2f")
+      }
+    }
+
+    if (section == "linkage") {
+      // Fellegi-Sunter EM ramp: the q_record_linkage dirty feed over a
+      // replicated customer table — pair count scales ∝ rows, EM stays
+      // `iters` wide aggregates + one scoring projection regardless of
+      // size, so the exponent should read ~linear-or-below (the driver
+      // holds 2K+2 longs at every multiple).
+      import graft.pipelines.FellegiSunter
+      val cust1 = Tables.load(spark, base, "customer")
+      val exps = Seq(1, math.max(mult / 10, 2), mult).distinct.map { m =>
+        val cm =
+          if (m == 1) cust1
+          else (0 until m).map(i => cust1
+              .withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L)))
+            .reduce(_ unionByName _)
+        val cust = cm.select(col("c_custkey").as("id"), col("c_name").as("nm"),
+          col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"),
+          col("c_nationkey").as("nat"))
+        val copies = cust.filter(col("id") % 3 === 0)
+          .withColumn("nm2",
+            when(col("id") % 5 === 0, lit("UNKNOWN")).otherwise(col("nm")))
+          .withColumn("bal2",
+            when(col("id") % 2 === 0, col("bal") + lit(100.0))
+              .otherwise(col("bal")))
+          .select((col("id") + 1000000000L).as("id"), col("nm2").as("nm"),
+            col("bal2").as("bal"), col("seg"), col("nat"))
+        val ents = cust.unionByName(copies)
+        val matchPairs = cust.filter(col("id") % 3 === 0)
+          .select(col("id").as("id_a"), (col("id") + 1000000000L).as("id_b"))
+        val decoys = cust.select(col("id").as("id_a"))
+          .join(cust.select(col("id").as("id_b")),
+            col("id_b") === col("id_a") + 1)
+        val pairs = matchPairs.unionByName(decoys)
+          .join(ents.select(col("id").as("id_a"), col("nm").as("nm_a"),
+            col("bal").as("bal_a"), col("seg").as("seg_a"),
+            col("nat").as("nat_a")), Seq("id_a"))
+          .join(ents.select(col("id").as("id_b"), col("nm").as("nm_b"),
+            col("bal").as("bal_b"), col("seg").as("seg_b"),
+            col("nat").as("nat_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (col("nm_a") === col("nm_b")).as("a_name"),
+            (col("bal_a") === col("bal_b")).as("a_bal"),
+            (col("nat_a") === col("nat_b")).as("a_nat"),
+            (col("seg_a") === col("seg_b")).as("a_seg"))
+          .localCheckpoint(true)
+        val np = pairs.count()
+        println(s"[scale] linkage ${m}x: $np pairs")
+        val t = time(s"fs link ${m}x")(
+          FellegiSunter.link(pairs,
+            Seq("a_name", "a_bal", "a_nat", "a_seg"), iters = 5).count())
+        org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(pairs)
+        (m, np, t)
+      }
+      val (m1, n1, t1) = exps.head
+      exps.tail.foreach { case (m, np, t) =>
+        val ln = math.log(np.toDouble / n1)
+        println(f"[scale] exponents ${m1}x->${m}x (vs pairs): " +
+          f"fs link ${math.log(t / t1) / ln}%.2f")
+      }
+    }
+
     spark.stop()
   }
 }
