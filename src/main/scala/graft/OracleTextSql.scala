@@ -158,6 +158,75 @@ private[graft] object OracleTextSql {
     * the per-node top-k (both the edge set `ee` and the scored form
     * `sce` for the final round's output).
     */
+  /** The full 3-round NN-descent graph replay (n, ring init, rounds
+    * 1..3 ending at `sce3`) — shared verbatim by q_nn_descent and
+    * q_graph_search so the two oracles cannot drift. No trailing comma.
+    */
+  private def nnDescentGraphSql: String =
+    s"""n AS (SELECT count(*) AS cnt FROM embeddings WHERE embedding IS NOT NULL),
+      |ee0 AS (
+      |  SELECT DISTINCT s.vec_id AS v,
+      |    (s.vec_id * 1048573 + t.j * 40503) % 999983 % n.cnt AS w
+      |  FROM embeddings s, n, LATERAL unnest(range(1, 6)) AS t(j)
+      |  WHERE s.embedding IS NOT NULL
+      |    AND s.vec_id <> (s.vec_id * 1048573 + t.j * 40503) % 999983 % n.cnt
+      |    AND EXISTS (SELECT 1 FROM embeddings e2
+      |      WHERE e2.vec_id = (s.vec_id * 1048573 + t.j * 40503) % 999983 % n.cnt
+      |        AND e2.embedding IS NOT NULL)),
+      |${nnDescentRound(1)},
+      |${nnDescentRound(2)},
+      |${nnDescentRound(3)}""".stripMargin
+
+  /** q_graph_search's oracle: the shared graph replay, then the beam
+    * search unrolled — symmetrized edges, 4 smallest-(portable hash,
+    * id) entries, per round candidates = beam ∪ neighbors(beam),
+    * round-4 cosine scores excluding the query node, beams = top-4 by
+    * (cos DESC, id); output = top-3 of the final round's scored pool
+    * (== top-3 of the final beam, k <= beamWidth).
+    */
+  private def graphSearchOracle: String = {
+    val qcos = """round(
+      |      list_aggregate(list_apply(list_zip(q.qe, ev.embedding),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      |      / (sqrt(list_aggregate(list_apply(q.qe,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      |       * sqrt(list_aggregate(list_apply(ev.embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4)"""
+      .stripMargin
+    def searchRound(r: Int): String =
+      s"""gcand$r AS (
+        |  SELECT query_id, node FROM gsb${r - 1}
+        |  UNION
+        |  SELECT s.query_id, g.w AS node FROM gsb${r - 1} s JOIN g ON g.v = s.node),
+        |gsc$r AS (
+        |  SELECT c.query_id, c.node,
+        |    $qcos AS cos
+        |  FROM gcand$r c
+        |  JOIN embeddings ev ON ev.vec_id = c.node AND ev.embedding IS NOT NULL
+        |  JOIN qq q ON q.query_id = c.query_id
+        |  WHERE c.node <> c.query_id),
+        |gsb$r AS (
+        |  SELECT query_id, node FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+        |    FROM gsc$r) WHERE rn <= 4)"""
+    s"""WITH $nnDescentGraphSql,
+      |g AS MATERIALIZED (SELECT v, w FROM sce3 UNION SELECT w, v FROM sce3),
+      |entry AS (
+      |  SELECT vec_id AS node FROM embeddings
+      |  WHERE embedding IS NOT NULL
+      |  ORDER BY vec_id % 1048573 * 2654435761 % 1048576, vec_id LIMIT 4),
+      |qq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      |       WHERE vec_id < 10 AND embedding IS NOT NULL),
+      |gsb0 AS (SELECT q.query_id, e.node FROM qq q CROSS JOIN entry e),
+      |${searchRound(1)},
+      |${searchRound(2)},
+      |${searchRound(3)}
+      |SELECT query_id, node AS neighbor_id, cos AS cos_sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+      |  FROM gsc3) WHERE rn <= 3
+      |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   private def nnDescentRound(r: Int): String = {
     val cos = """round(
       |    list_aggregate(list_apply(list_zip(va.embedding, vb.embedding),
@@ -3103,21 +3172,13 @@ private[graft] object OracleTextSql {
       // Candidate semantics replay verbatim — same init, same caps,
       // same tie orders — so the graph is value-equal, not just
       // statistically similar
-      s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings WHERE embedding IS NOT NULL),
-        |ee0 AS (
-        |  SELECT DISTINCT s.vec_id AS v,
-        |    (s.vec_id * 1048573 + t.j * 40503) % 999983 % n.cnt AS w
-        |  FROM embeddings s, n, LATERAL unnest(range(1, 6)) AS t(j)
-        |  WHERE s.embedding IS NOT NULL
-        |    AND s.vec_id <> (s.vec_id * 1048573 + t.j * 40503) % 999983 % n.cnt
-        |    AND EXISTS (SELECT 1 FROM embeddings e2
-        |      WHERE e2.vec_id = (s.vec_id * 1048573 + t.j * 40503) % 999983 % n.cnt
-        |        AND e2.embedding IS NOT NULL)),
-        |${nnDescentRound(1)},
-        |${nnDescentRound(2)},
-        |${nnDescentRound(3)}
+      s"""WITH $nnDescentGraphSql
         |SELECT v AS id, w AS neighbor_id, cos AS cos_sim FROM sce3
         |ORDER BY id, neighbor_id""".stripMargin,
+
+    // the GNNS beam search over the SAME replayed graph: 4 hash-order
+    // entries, 3 unrolled beam rounds, final top-3
+    "q_graph_search" -> graphSearchOracle,
 
     "q_embed_dbscan" ->
       // the q_embed_neardup candidate+verify CTEs verbatim, then

@@ -1861,6 +1861,24 @@ object SparkEntry {
         .orderBy(col("id"), col("neighbor_id"))
     }),
 
+    "q_graph_search" -> ((s, dir) => {
+      // the SEARCH half of graph-based ANN (GNNS, Hajebi et al. IJCAI
+      // 2011; the HNSW traversal primitive): greedy beam search over
+      // the q_nn_descent graph — 4 hash-order entry points, 3 beam
+      // expansions at width 4, final top-3 by the shared round-4
+      // cosine. Fully derandomized, so the oracle replays the ENTIRE
+      // pipeline: the 3-round graph build verbatim (the extracted
+      // q_nn_descent replay) + every search round's candidate set,
+      // scores, and (cos desc, id) beams.
+      val emb = t(s, dir, "embeddings")
+      val graph = graft.similarity.NnDescent.knnGraph(
+        emb, "vec_id", "embedding", k = 5, rounds = 3)
+      graft.similarity.GraphSearch.search(
+        graph, emb, emb.filter(col("vec_id") < 10),
+        beamWidth = 4, rounds = 3, k = 3, nEntry = 4)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     "q_embed_dbscan" -> ((s, dir) => {
       // DBSCAN (Ester et al. KDD'96) over the q_embed_neardup graph:
       // density-gated near-dup clusters — dense paraphrase families
