@@ -66,6 +66,34 @@ object Bench {
     // in a fresh JVM, the tool for separating host noise and in-run JVM
     // pressure from real regressions)
     val only = if (args.isEmpty) None else Some(args.toSet)
+
+    // Outlier guard (r13 adjudication: the driver's kept artifact was a
+    // contaminated host window — q_corpus_clean warm 188 s vs cold
+    // 17.5 s at 1.1 s GC, i.e. external contention, not code). Warm ≫
+    // own cold is that signature: the warm passes re-run the identical
+    // plan on identical data, so absent in-JVM pressure they can only
+    // read much slower than cold if the HOST was dirty during them.
+    // Rule: warm median > 2× own cold AND > 3× the previous sweep's
+    // median (when one exists) AND > 1 s absolute → re-run the whole
+    // cold+warm cycle once and keep the cycle with the lower median;
+    // flagged queries carry their first-cycle median in `rerun_guard`
+    // so the artifact itself shows what was re-measured.
+    val prevMedians: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/full_latest.json"))
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("").split(",").iterator
+          .flatMap { kv => kv.split(":") match {
+            case Array(k, v) =>
+              try Some(k.replace("\"", "") -> v.toDouble)
+              catch { case _: Throwable => None }
+            case _ => None
+          } }.toMap
+      } catch { case _: Throwable => Map.empty }
+    }
     val queryIdx = new java.util.concurrent.atomic.AtomicInteger(0)
     // q_noop: the measured per-query session floor (planning + codegen +
     // job scheduling for a 1-row local frame, no table reads). Ratios vs
@@ -82,18 +110,33 @@ object Bench {
       // inflates the LATE-alphabet queries (measured: q_table_order
       // 0.07 s fresh-JVM vs 0.75 s at position ~140 without this)
       queryIdx.getAndIncrement()
-      System.gc()
-      val gc0 = gcMs
-      peakRetained.set(0L)
-      val cold = timeOne(fn)
-      val warmRuns =
-        if (cold >= 0) Seq.fill(3)(timeOne(fn)).map(t => if (t < 0) -1.0 else t)
-        else Seq(-1.0, -1.0, -1.0)
-      val median =
-        if (warmRuns.exists(_ < 0)) -1.0 else warmRuns.sorted.apply(1)
-      val gcSec = (gcMs - gc0) / 1e3
-      val peakMb = peakRetained.get / 1048576.0
-      (name, cold, median, warmRuns, gcSec, peakMb)
+      def cycle(): (Double, Double, Seq[Double], Double, Double) = {
+        System.gc()
+        val gc0 = gcMs
+        peakRetained.set(0L)
+        val cold = timeOne(fn)
+        val warmRuns =
+          if (cold >= 0) Seq.fill(3)(timeOne(fn)).map(t => if (t < 0) -1.0 else t)
+          else Seq(-1.0, -1.0, -1.0)
+        val median =
+          if (warmRuns.exists(_ < 0)) -1.0 else warmRuns.sorted.apply(1)
+        val gcSec = (gcMs - gc0) / 1e3
+        val peakMb = peakRetained.get / 1048576.0
+        (cold, median, warmRuns, gcSec, peakMb)
+      }
+      val first = cycle()
+      val dirty = first._2 > 1.0 && first._1 > 0 &&
+        first._2 > 2 * first._1 &&
+        prevMedians.get(name).forall(p => first._2 > 3 * p)
+      val (kept, flagged) =
+        if (dirty) {
+          System.err.println(f"bench: outlier guard re-running $name " +
+            f"(warm median ${first._2}%.2f s vs cold ${first._1}%.2f s)")
+          val second = cycle()
+          (if (second._2 >= 0 && second._2 < first._2) second else first,
+            Some(name -> first._2))
+        } else (first, None)
+      (name, kept._1, kept._2, kept._3, kept._4, kept._5, flagged)
     }
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -105,10 +148,11 @@ object Bench {
     val failed = results.filter(_._3 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val gc = jmap(results.map(r => r._1 -> (math.rint(r._5 * 1000) / 1000)))
     val left = jmap(results.map(r => r._1 -> (math.rint(r._6 * 10) / 10)))
+    val rerun = jmap(results.flatMap(_._7.toSeq))
     // the floor instrument rides in `queries` but not in the headline
     // total (round-over-round totals stay comparable)
     val total = results.filter(_._1 != "q_noop").map(_._3).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_warm_runs":$runs,"queries_gc_sec":$gc,"queries_retained_mb":$left,"failed":$failed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$cold,"queries_warm_runs":$runs,"queries_gc_sec":$gc,"queries_retained_mb":$left,"rerun_guard":$rerun,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The stdout line gets tail-truncated by capture tooling once the
     // suite exceeds ~30 queries, which makes per-query numbers

@@ -3380,17 +3380,18 @@ private[graft] object OracleAnalyticsSql {
     // IS the fixpoint whenever the Scala side converged inside the
     // same budget); per-round support = |N(u) ∩ N(v)| via one
     // adjacency self-join
-    "q_ktruss" -> kTrussOracle,
+    "q_ktruss" -> kTrussOracle(k = 5),
   )
 
   /** q_ktruss's oracle generator: 20 unrolled peel rounds over the
-    * repeat co-purchase graph, each round = symmetric adjacency +
-    * common-neighbor support + the support >= k−2 filter (k=4);
+    * 1-in-9 order-slice co-purchase graph, each round = symmetric
+    * adjacency + common-neighbor support + the support >= k−2 filter
+    * (k matches the engine call in SparkEntry's q_ktruss);
     * triangle-free edges vanish at the inner support join, exactly like
     * the engine's semi join. Final supports recomputed on the surviving
     * set (the engine's lastSup IS that table at the fixpoint).
     */
-  private def kTrussOracle: String = {
+  private def kTrussOracle(k: Int): String = {
     val rounds = 20
     def roundCtes(i: Int): String = {
       val prev = if (i == 1) "e0" else s"e${i - 1}"
@@ -3404,7 +3405,7 @@ private[graft] object OracleAnalyticsSql {
         |e$i AS MATERIALIZED (
         |  SELECT e.u, e.v FROM $prev e
         |  JOIN sup$i s ON s.u = e.u AND s.v = e.v
-        |  WHERE s.c >= 3)"""
+        |  WHERE s.c >= ${k - 2})"""
     }
     s"""WITH pairs AS (
       |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb

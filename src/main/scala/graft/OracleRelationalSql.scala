@@ -800,6 +800,23 @@ private[graft] object OracleRelationalSql {
         |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
+    // IgnoreEmptyCategoryFieldValues ON: null-or-empty cells are not
+    // written (the engine's dropEmpty filter on the stacked rows)
+    "q_unpivot_dropempty" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN '' ELSE l_returnflag END AS flag,
+        |    l_linestatus AS status
+        |  FROM lineitem WHERE l_orderkey <= 2000),
+        |u AS (
+        |  SELECT l_orderkey, l_linenumber, 'flag' AS metric, flag AS amount
+        |  FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'status', status FROM src)
+        |SELECT l_orderkey, l_linenumber, metric, amount FROM u
+        |WHERE amount IS NOT NULL AND amount <> ''
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
     "q_cube" ->
       """SELECT n_name, o_orderpriority,
         |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
@@ -1202,14 +1219,14 @@ private[graft] object OracleRelationalSql {
       |         c_mktsegment AS seg, c_nationkey AS nat
       |  FROM customer),
       |copies AS (
-      |  SELECT id + 10000000 AS cid,
+      |  SELECT id + 1000000000 AS cid,
       |         CASE WHEN id % 5 = 0 THEN 'UNKNOWN' ELSE nm END AS nm,
       |         CASE WHEN id % 2 = 0 THEN bal + 1e2 ELSE bal END AS bal,
       |         seg, nat
       |  FROM cust WHERE id % 3 = 0),
       |ents AS (SELECT id, nm, bal, seg, nat FROM cust
       |         UNION ALL SELECT cid, nm, bal, seg, nat FROM copies),
-      |mp AS (SELECT id AS id_a, id + 10000000 AS id_b FROM cust WHERE id % 3 = 0),
+      |mp AS (SELECT id AS id_a, id + 1000000000 AS id_b FROM cust WHERE id % 3 = 0),
       |dc AS (SELECT a.id AS id_a, b.id AS id_b
       |       FROM cust a JOIN cust b ON b.id = a.id + 1),
       |prs AS (SELECT * FROM mp UNION ALL SELECT * FROM dc),

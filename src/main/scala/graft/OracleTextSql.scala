@@ -184,7 +184,13 @@ private[graft] object OracleTextSql {
     * (cos DESC, id); output = top-3 of the final round's scored pool
     * (== top-3 of the final beam, k <= beamWidth).
     */
-  private def graphSearchOracle: String = {
+  /** The GNNS beam-search CTE chain (symmetrized `g`, hash-order
+    * entries, qq, gsb0, `rounds` expand/score/beam rounds at width
+    * `beamWidth`) — shared by q_graph_search and q_ann_frontier's gnns
+    * arm so the two replays cannot drift. Assumes [[nnDescentGraphSql]]
+    * (ending at `sce3`) precedes it in the WITH list. No trailing comma.
+    */
+  private def gnnsSearchCtes(beamWidth: Int, rounds: Int): String = {
     val qcos = """round(
       |      list_aggregate(list_apply(list_zip(q.qe, ev.embedding),
       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
@@ -208,9 +214,8 @@ private[graft] object OracleTextSql {
         |gsb$r AS (
         |  SELECT query_id, node FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rn
-        |    FROM gsc$r) WHERE rn <= 4)"""
-    s"""WITH $nnDescentGraphSql,
-      |g AS MATERIALIZED (SELECT v, w FROM sce3 UNION SELECT w, v FROM sce3),
+        |    FROM gsc$r) WHERE rn <= $beamWidth)"""
+    s"""g AS MATERIALIZED (SELECT v, w FROM sce3 UNION SELECT w, v FROM sce3),
       |entry AS (
       |  SELECT vec_id AS node FROM embeddings
       |  WHERE embedding IS NOT NULL
@@ -218,14 +223,16 @@ private[graft] object OracleTextSql {
       |qq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
       |       WHERE vec_id < 10 AND embedding IS NOT NULL),
       |gsb0 AS (SELECT q.query_id, e.node FROM qq q CROSS JOIN entry e),
-      |${searchRound(1)},
-      |${searchRound(2)},
-      |${searchRound(3)}
+      |${(1 to rounds).map(searchRound).mkString(",\n")}""".stripMargin
+  }
+
+  private def graphSearchOracle: String =
+    s"""WITH $nnDescentGraphSql,
+      |${gnnsSearchCtes(beamWidth = 4, rounds = 3)}
       |SELECT query_id, node AS neighbor_id, cos AS cos_sim FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rn
       |  FROM gsc3) WHERE rn <= 3
       |ORDER BY query_id, neighbor_id""".stripMargin
-  }
 
   private def nnDescentRound(r: Int): String = {
     val cos = """round(
@@ -3375,7 +3382,10 @@ private[graft] object OracleTextSql {
     * ADC top-5 — each budget's CTEs prefixed `b<m>_`. Ground truth =
     * floor(2¹⁶·‖q−v‖²) exact top-5 with (qd, vec_id) tie order (the
     * same sequential fold both engines). recall_bp = 200·hits over the
-    * 50 truth pairs, so the quotient is exact in integers.
+    * 50 truth pairs, so the quotient is exact in integers. The `gnns`
+    * arm adds the graph paradigm on the same corpus/queries/truth: the
+    * shared [[nnDescentGraphSql]] replay + [[gnnsSearchCtes]] at beam
+    * 5 (top-5 of the final scored pool), 40 B/vec of neighbor ids.
     */
   private def annFrontierOracle: String = {
     def block(m: Int): String = {
@@ -3441,14 +3451,20 @@ private[graft] object OracleTextSql {
         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
         |    FROM ${p}_scored) WHERE rk <= 5),
         |${p}_recall AS (
-        |  SELECT CAST($m AS INTEGER) AS m_subspaces,
+        |  SELECT 'ivfpq' AS method,
+        |         CAST($m AS INTEGER) AS m_subspaces,
         |         CAST(${m + 1} AS INTEGER) AS bytes_per_vec,
         |         CAST(count(*) * 200 AS BIGINT) AS recall_bp
         |  FROM brute x JOIN ${p}_topk t
         |    ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id)""".stripMargin
     }
     val budgets = Seq(2, 4, 8)
-    s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings WHERE embedding IS NOT NULL),
+    s"""WITH $nnDescentGraphSql,
+      |${gnnsSearchCtes(beamWidth = 5, rounds = 3)},
+      |gnns_topk AS (
+      |  SELECT query_id, node AS neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+      |    FROM gsc3) WHERE rn <= 5),
       |cents0 AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cid,
       |         embedding AS c_emb
@@ -3525,8 +3541,16 @@ private[graft] object OracleTextSql {
       |                  WHERE vec_id < 10 AND embedding IS NOT NULL) q
       |      WHERE e.vec_id <> q.vec_id AND e.embedding IS NOT NULL))
       |  WHERE rk <= 5),
-      |${budgets.map(block).mkString(",\n")}
+      |${budgets.map(block).mkString(",\n")},
+      |gnns_recall AS (
+      |  SELECT 'gnns' AS method,
+      |         CAST(0 AS INTEGER) AS m_subspaces,
+      |         CAST(40 AS INTEGER) AS bytes_per_vec,
+      |         CAST(count(*) * 200 AS BIGINT) AS recall_bp
+      |  FROM brute x JOIN gnns_topk t
+      |    ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id)
       |${budgets.map(m => s"SELECT * FROM b${m}_recall").mkString("\nUNION ALL ")}
-      |ORDER BY m_subspaces""".stripMargin
+      |UNION ALL SELECT * FROM gnns_recall
+      |ORDER BY method, m_subspaces""".stripMargin
   }
 }

@@ -1414,6 +1414,72 @@ object ScaleSmoke {
       }
     }
 
+    if (section == "gnns") {
+      // GNNS ramp (the q_graph_search registration shape): corpus
+      // replicated ×m with shifted ids, the query set FIXED at the base
+      // 10 ids, plus a PLANTED 1000-vector near-duplicate cluster of
+      // query 0 (a dense attractor — the adversarial case for a greedy
+      // beam). Claims measured at scale: (a) graph BUILD is the ~linear
+      // part (NN-descent candidate sets bounded by (2k)²+2k per node);
+      // (b) SEARCH cost grows well below linearly in the corpus — the
+      // beam frame is |queries|·beamWidth rows at every multiple, so
+      // per-round cost is one broadcast-beam probe of the edge list,
+      // never corpus² — and the planted cluster must not blow the beam
+      // up (it is width-capped by the (cos DESC, id) top-B window);
+      // (c) entry coverage: avg top-1 cosine at a FIXED entry/round
+      // budget, reported per multiple, shows how far greedy routing
+      // degrades as the same 4 hash-order entries serve an m× corpus.
+      import graft.similarity.{GraphSearch, NnDescent}
+      val free = org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint _
+      val emb1 = Tables.load(spark, base, "embeddings")
+        .filter(col("embedding").isNotNull)
+      val queries = emb1.filter(col("vec_id") < 10).localCheckpoint(true)
+      val planted = spark.range(1000)
+        .crossJoin(broadcast(queries.filter(col("vec_id") === 0)
+          .select(col("embedding").as("__qe"))))
+        .select((col("id") + 900000000L).as("vec_id"),
+          transform(col("__qe"), x =>
+            (x.cast("double") * (lit(1.0) + col("id").cast("double") * lit(1e-5)))
+              .cast("float")).as("embedding"))
+      val exps = Seq(1, math.max(mult / 10, 2), mult).distinct.map { m =>
+        val em =
+          if (m == 1) emb1
+          else (0 until m).map(i => emb1
+              .withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+            .reduce(_ unionByName _)
+        val path = s"$out/gnns_emb_$m"
+        em.unionByName(planted).repartition(64)
+          .write.mode("overwrite").parquet(path)
+        val c = spark.read.parquet(path)
+        val n = c.count()
+        var graph: DataFrame = null
+        val tb = time(s"gnns build ${m}x") {
+          graph = NnDescent.knnGraph(c, "vec_id", "embedding",
+            k = 5, rounds = 3).localCheckpoint(true)
+          graph.count()
+        }
+        var res: DataFrame = null
+        val ts = time(s"gnns search ${m}x+planted") {
+          res = GraphSearch.search(graph, c, queries,
+            beamWidth = 4, rounds = 3, k = 3, nEntry = 4)
+          res.count()
+        }
+        val avgTop1 = res.groupBy(col("query_id"))
+          .agg(max(col("cos_sim")).as("c1"))
+          .agg(avg(col("c1"))).head().getDouble(0)
+        println(f"[scale] gnns ${m}x: $n vectors, avg top-1 cos $avgTop1%.4f")
+        free(res); free(graph)
+        (m, n, tb, ts)
+      }
+      val (m1, n1, tb1, ts1) = exps.head
+      exps.tail.foreach { case (m, n, tb, ts) =>
+        val ln = math.log(n.toDouble / n1)
+        println(f"[scale] exponents ${m1}x->${m}x (vs vectors): " +
+          f"gnns build ${math.log(tb / tb1) / ln}%.2f, " +
+          f"search ${math.log(ts / ts1) / ln}%.2f")
+      }
+    }
+
     spark.stop()
   }
 }

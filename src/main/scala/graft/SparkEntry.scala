@@ -211,19 +211,22 @@ object SparkEntry {
         deps = Map("products" -> Set("groups"), "relations" -> Set("products"),
           "assortments" -> Set("products")))
 
-      def ck(nm: String, df: DataFrame, cols: Seq[String]) =
-        Profile.groupChecksum(df.withColumn("table_name", lit(nm)),
-          Seq("table_name"), cols)
-      ck("groups", outT("groups"), Seq("group_id", "group_name", "region"))
-        .unionByName(ck("products", outT("products"),
-          Seq("product_id", "product_name", "group_id", "price", "lang", "uid")))
-        .unionByName(ck("products_quarantined", outT("products__quarantined"),
+      // ONE action for all five digests: per-leg row digests tagged by
+      // table name, one union, one aggregate — the five separate
+      // exchange+agg subtrees were the only >1 s stage-jobs of the whole
+      // job (JobProfile, round 13); values identical to per-table
+      // groupChecksum by construction
+      Profile.taggedChecksum(Seq(
+        ("groups", outT("groups"), Seq("group_id", "group_name", "region")),
+        ("products", outT("products"),
+          Seq("product_id", "product_name", "group_id", "price", "lang", "uid")),
+        ("products_quarantined", outT("products__quarantined"),
           Seq("product_id", "product_name", "group_name_ref", "price", "lang",
-            "quarantine_reason")))
-        .unionByName(ck("relations", outT("relations"),
-          Seq("product_id", "related_id", "qty")))
-        .unionByName(ck("assortments", outT("assortments"),
-          Seq("user_id", "part_key", "is_active")))
+            "quarantine_reason")),
+        ("relations", outT("relations"),
+          Seq("product_id", "related_id", "qty")),
+        ("assortments", outT("assortments"),
+          Seq("user_id", "part_key", "is_active"))))
         .orderBy(col("table_name"))
   }
 
@@ -316,6 +319,24 @@ object SparkEntry {
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"),
         Seq("l_orderkey", "l_linenumber"),
         Seq("l_quantity", "l_discount", "l_tax"), "metric", "amount")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+
+    "q_unpivot_dropempty" -> ((s, dir) => {
+      // the IgnoreEmptyCategoryFieldValues ON arm (EcomProvider.cs:257,
+      // EcomDestinationWriter.cs:1494): string-valued unpivot where
+      // every even line's flag cell is the EMPTY string — dropEmpty
+      // treats those as absent, so no key/value row is emitted and a
+      // destination value would survive the write-back
+      PivotOps.toLong(
+        t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            when(col("l_linenumber") % 2 === 0, lit(""))
+              .otherwise(col("l_returnflag")).as("flag"),
+            col("l_linestatus").as("status")),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("flag", "status"), "metric", "amount",
+        dropEmpty = true)
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
     }),
 
@@ -2003,16 +2024,32 @@ object SparkEntry {
       // shared across the three budget rungs — pin lazily or each
       // trainCodebooks pass replays the coarse assignment
       val resid = Pq.residualFrame(emb, coarse).localCheckpoint(false)
-      Seq(2, 4, 8).map { m =>
+      val pqArms = Seq(2, 4, 8).map { m =>
         val books = Pq.trainCodebooks(resid,
           m = m, subDim = 64 / m, k = 8, iters = 1)
         Pq.ivfpqTopK(emb, queries, coarse, books,
             subDim = 64 / m, k = 5, nProbe = 2)
           .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
           .agg((count(lit(1)) * 200L).as("recall_bp"))
-          .select(lit(m).as("m_subspaces"), lit(m + 1).as("bytes_per_vec"),
-            col("recall_bp"))
-      }.reduce(_ unionByName _).orderBy(col("m_subspaces"))
+          .select(lit("ivfpq").as("method"), lit(m).as("m_subspaces"),
+            lit(m + 1).as("bytes_per_vec"), col("recall_bp"))
+      }
+      // the GRAPH rung on the same corpus/queries/ground truth: GNNS
+      // over the q_nn_descent k=5 graph (index cost = 5 neighbor ids =
+      // 40 B/vec), beam 5 so the final beam can hold all of top-5 —
+      // with this arm all three ANN paradigms (cell-probed PQ budgets,
+      // graph traversal; brute force as truth) sit on ONE frontier
+      val graph = graft.similarity.NnDescent.knnGraph(
+        emb, "vec_id", "embedding", k = 5, rounds = 3)
+      val gnnsArm = graft.similarity.GraphSearch.search(
+          graph, emb, queries, beamWidth = 5, rounds = 3, k = 5, nEntry = 4)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg((count(lit(1)) * 200L).as("recall_bp"))
+        .select(lit("gnns").as("method"), lit(0).as("m_subspaces"),
+          lit(40).as("bytes_per_vec"), col("recall_bp"))
+      (pqArms :+ gnnsArm).reduce(_ unionByName _)
+        .orderBy(col("method"), col("m_subspaces"))
     }),
 
     "q_ann_rq" -> ((s, dir) => {
@@ -3780,8 +3817,8 @@ object SparkEntry {
       // weights learned unsupervised from a candidate-pair table, score
       // = exact integer sum of quantized log-likelihood ratios. The
       // evaluation feed is controlled: every third customer gets a
-      // dirty copy (name wiped for %5, last phone digit rewritten for
-      // %2, address/segment kept), candidate pairs = the copies plus a
+      // dirty copy (name wiped for %5, acctbal shifted +100 for %2,
+      // nation/segment kept), candidate pairs = the copies plus a
       // same-nation decoy per customer; EM must discover that address
       // agreement is strong evidence, segment agreement weak. The
       // oracle replays ALL FIVE EM iterations (weight CTE + 1-row
@@ -3799,11 +3836,11 @@ object SparkEntry {
         .withColumn("bal2",
           when(col("id") % 2 === 0, col("bal") + lit(100.0))
             .otherwise(col("bal")))
-        .select((col("id") + 10000000L).as("id"), col("nm2").as("nm"),
+        .select((col("id") + 1000000000L).as("id"), col("nm2").as("nm"),
           col("bal2").as("bal"), col("seg"), col("nat"))
       val ents = cust.unionByName(copies)
       val matchPairs = cust.filter(col("id") % 3 === 0)
-        .select(col("id").as("id_a"), (col("id") + 10000000L).as("id_b"))
+        .select(col("id").as("id_a"), (col("id") + 1000000000L).as("id_b"))
       // decoys: consecutive custkeys — one equi self-join, no window
       val decoys = cust.select(col("id").as("id_a"))
         .join(cust.select(col("id").as("id_b")),

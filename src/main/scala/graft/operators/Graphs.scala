@@ -320,9 +320,17 @@ object Graphs {
           "would overstate the truss)")
     // at the fixpoint the last support table was computed on exactly the
     // surviving edge set — every survivor has support ≥ k−2, so the
-    // inner join is total
-    cur.join(lastSup, Seq("u", "v"))
+    // inner join is total. Eagerly checkpoint the result and free the
+    // loop's cur/lastSup pins (the GraphSearch discipline): library
+    // callers outside Bench would otherwise leak two pinned block sets
+    // per call.
+    val result = cur.join(lastSup, Seq("u", "v"))
       .select(col("u"), col("v"), col("support"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(cur)
+    if (lastSup != null)
+      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(lastSup)
+    result
   }
 
   def bfsDistances(edges: DataFrame, seeds: DataFrame,

@@ -50,12 +50,23 @@ object PivotOps {
 
   /** Wide → key/value rows via stack(); null cells dropped, mirroring the
     * reference writing only present field values.
+    *
+    * `dropEmpty` is the reference's `IgnoreEmptyCategoryFieldValues`
+    * switch (EcomProvider.cs:257, acting at
+    * EcomDestinationWriter.cs:1494's IsNullOrEmpty guard): when ON, an
+    * empty-STRING cell is treated as absent too — the key/value row is
+    * not emitted, so a stale destination value survives instead of
+    * being overwritten with "". Non-string cells are unaffected (their
+    * string form is never empty).
     */
   def toLong(df: DataFrame, keys: Seq[String], valueCols: Seq[String],
-             keyOut: String, valueOut: String): DataFrame = {
+             keyOut: String, valueOut: String,
+             dropEmpty: Boolean = false): DataFrame = {
     val stackArgs = valueCols.map(c => s"'$c', `$c`").mkString(", ")
-    df.selectExpr(keys :+
+    val long = df.selectExpr(keys :+
       s"stack(${valueCols.size}, $stackArgs) as ($keyOut, $valueOut)": _*)
       .filter(col(valueOut).isNotNull)
+    if (dropEmpty) long.filter(col(valueOut).cast("string") =!= lit(""))
+    else long
   }
 }

@@ -89,4 +89,28 @@ object Profile {
         // downstream tooling; mod keeps it a plain BIGINT everywhere
         (sum(rowDigest(contentCols)) % lit(4611686018427387904L)).cast("long")
           .as("content_checksum"))
+
+  /** Multi-table checksum as ONE aggregate: each leg projects to
+    * (table_name, row digest) — digests over that leg's OWN content
+    * columns — the legs union, and a single groupBy(table_name) sums.
+    * Value-identical to unioning per-table [[groupChecksum]] outputs
+    * (same per-row digest, same count, same 62-bit fold), but N
+    * separate exchange+aggregate subtrees collapse to one exchange:
+    * with AQE each post-agg union leg is its own materialized query
+    * stage scheduled as a separate job, and the per-stage scheduling
+    * floor dominates a sync-validation checksum tail (measured on
+    * q_ecom_job: five checksum legs were the only >1 s actions of the
+    * job's 57 AQE stage-jobs).
+    */
+  def taggedChecksum(legs: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    require(legs.nonEmpty, "taggedChecksum needs at least one leg")
+    legs.map { case (nm, df, contentCols) =>
+      df.select(lit(nm).as("table_name"),
+        rowDigest(contentCols).as("__digest"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__digest")) % lit(4611686018427387904L)).cast("long")
+          .as("content_checksum"))
+  }
 }

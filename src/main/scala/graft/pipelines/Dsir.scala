@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   * the oracle-green PSI family carries. Token→bucket hashing is the
   * portable md5-prefix hash both engines compute identically.
   *
-  * Scale shape: bucket count vectors are built ROW-LOCALLY (one fold per
-  * document, state = B longs — never a token explode/shuffle); the two
-  * distributions are ONE wide aggregate each (B partial-agg sums, one
-  * row to the driver); weights are B literals; scoring is a second
-  * narrow corpus pass (zip_with dot product, zero shuffle). Total: two
-  * corpus scans + one target scan, no shuffle anywhere.
+  * Scale shape: training totals come from a token explode into a
+  * B-key grouped count — partial aggregation combines map-side, so the
+  * shuffle carries ≤ (B+1)·tasks rows regardless of corpus size, and
+  * per-row work is O(tokens) (the earlier row-local count-vector fold
+  * was O(tokens·B) array rebuilds per document — measured 9.2× vs the
+  * oracle before the round-14 rewrite); ≤ B+1 rows reach the driver.
+  * Weights are B literals; scoring is a narrow zero-shuffle corpus
+  * pass summing w[bucket(t)] per token. Total: two corpus scans + one
+  * target scan.
   *
   * Contract: (ct+1)·(Nq+B) must stay < 2⁵³ for the double conversion to
   * be exact — with B=64 that allows ~10⁸ target tokens per bucket
@@ -84,12 +87,19 @@ object Dsir {
 
   /** The scoring pass: exact BIGINT dot product of each doc's bucket
     * counts with the quantized weights — narrow, zero shuffle.
+    * Computed DIRECTLY as Σ_t w[bucket(t)] (identical by distributivity
+    * to Σ_b c[b]·w[b]; long addition is exact and order-free): O(tokens)
+    * per row, where materializing the count vector first was
+    * O(tokens·B) array rebuilds — measured 9.2× vs the oracle on
+    * q_quality_classifier before this rewrite (round 14).
     */
   private[pipelines] def scoreWith(corpus: DataFrame, idCol: String, textCol: String,
                         w: Array[Long], nBuckets: Int): DataFrame =
-    withBucketCounts(corpus, Seq(col(idCol)), textCol, nBuckets)
+    corpus.filter(trim(col(textCol)) =!= "" && col(textCol).isNotNull)
       .select(col(idCol),
-        aggregate(zip_with(col("__bc"), lit(w), (c, l) => c * l),
+        aggregate(
+          transform(split(trim(col(textCol)), WS), t =>
+            element_at(lit(w), bucketOf(t, nBuckets).cast("int") + 1)),
           lit(0L), (acc, x) => acc + x).as("dsir_score"))
 
   /** (idCol, dsir_score): quantized DSIR log-importance per corpus
@@ -117,17 +127,26 @@ object Dsir {
   private[pipelines] def splitTotals(corpus: DataFrame, flag: Column,
                                      textCol: String, nBuckets: Int)
       : (Array[Long], Array[Long], Long, Long) = {
-    val bc = withBucketCounts(corpus, Seq(flag.as("__t")), textCol, nBuckets)
-    val sums = (0 until nBuckets).flatMap(i => Seq(
-      coalesce(sum(when(col("__t"), element_at(col("__bc"), i + 1))), lit(0L))
-        .as(s"t$i"),
-      coalesce(sum(element_at(col("__bc"), i + 1)), lit(0L)).as(s"a$i"))) ++
-      Seq(count(when(col("__t"), lit(1))).as("td"),
-        count(lit(1)).as("ad"))
-    val row = bc.agg(sums.head, sums.tail: _*).head()
-    (Array.tabulate(nBuckets)(i => row.getLong(2 * i)),
-      Array.tabulate(nBuckets)(i => row.getLong(2 * i + 1)),
-      row.getLong(2 * nBuckets), row.getLong(2 * nBuckets + 1))
+    // token explode into a B-key grouped count (partial aggregation
+    // combines map-side, so shuffle volume is ≤ (B+1)·tasks rows, never
+    // token-sized) — O(tokens) per row where the row-local count-vector
+    // fold was O(tokens·B) array rebuilds. The -1 sentinel, one per
+    // non-blank doc, carries the two doc counts in the same single pass.
+    val rows = corpus
+      .filter(trim(col(textCol)) =!= "" && col(textCol).isNotNull)
+      .select(flag.as("__t"),
+        explode(concat(array(lit(-1L)),
+          transform(split(trim(col(textCol)), WS), t => bucketOf(t, nBuckets))))
+          .as("__b"))
+      .groupBy(col("__b"))
+      .agg(sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("t"),
+        count(lit(1)).as("a"))
+      .collect()
+    val tM = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aM = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (Array.tabulate(nBuckets)(i => tM.getOrElse(i.toLong, 0L)),
+      Array.tabulate(nBuckets)(i => aM.getOrElse(i.toLong, 0L)),
+      tM.getOrElse(-1L, 0L), aM.getOrElse(-1L, 0L))
   }
 
   /** [[importanceScores]] when the target is a FLAG over the corpus

@@ -242,7 +242,18 @@ object ImportJob {
     * @param partialUpdate the reference's `PartialUpdate`
     *                      (EcomProvider.cs:264) — [[ParentScope]]
     *                      restricting delete-excess to rows whose
-    *                      parent is part of this import
+    *                      parent is part of this import. Setting it
+    *                      ARMS the scoped delete on its own, with or
+    *                      without `deleteExcess` (the reference fires
+    *                      the relation cleanup whenever PartialUpdate
+    *                      is set, EcomDestinationWriter.cs:3214)
+    * @param ignoreEmptyIn the reference's
+    *                      `IgnoreEmptyCategoryFieldValues`
+    *                      (EcomProvider.cs:257): batch rows whose value
+    *                      in ANY listed column is NULL or the empty
+    *                      string are not written at all
+    *                      (EcomDestinationWriter.cs:1494) — the
+    *                      destination's existing value survives
     * @param driftChecks   post-merge [[DriftCheck]]s comparing the
     *                      pre-merge destination against the final table
     *                      (after `post`); emitted as `<table>__drift`
@@ -274,7 +285,8 @@ object ImportJob {
       fkGate: Option[FkGate] = None,
       resolve: Seq[FkLadder] = Nil,
       strictKeyMatching: Boolean = true,
-      partialUpdate: Option[ParentScope] = None)
+      partialUpdate: Option[ParentScope] = None,
+      ignoreEmptyIn: Seq[String] = Nil)
 
   /** Run the job: for each spec (tables in dependency order, same-table
     * mappings in spec order), merge `incoming` into `dest` and return
@@ -306,7 +318,18 @@ object ImportJob {
     ordered.foreach { table =>
       preMergeDest(table) = dest(table)
       byTable(table).foreach { spec =>
-        val raw = incoming(spec.sourceName.getOrElse(table))
+        val raw0 = incoming(spec.sourceName.getOrElse(table))
+        // IgnoreEmptyCategoryFieldValues (EcomProvider.cs:257, acting at
+        // EcomDestinationWriter.cs:1494): a row whose listed value
+        // column is NULL or the empty string is never written — it
+        // leaves the batch before staging, so the existing destination
+        // value survives instead of being overwritten with ""
+        val raw = if (spec.ignoreEmptyIn.nonEmpty)
+          raw0.filter(spec.ignoreEmptyIn.map(c =>
+            col(c).isNotNull &&
+              col(c).cast("string") =!= org.apache.spark.sql.functions.lit(""))
+            .reduce(_ && _))
+        else raw0
         val withConsts = spec.constants.foldLeft(raw) { case (df, (c, v)) =>
           if (df.columns.map(_.toLowerCase).contains(c.toLowerCase)) df
           else df.withColumn(c, org.apache.spark.sql.functions.lit(v))
@@ -360,7 +383,8 @@ object ImportJob {
         // already materialized is NOT pinned again (the dedup window on
         // top of pinned blocks is cheaper than a second materialization
         // — measured on q_ecom_job_strict).
-        val in = if ((spec.deleteExcess || spec.flagMissing.isDefined) && !gatePinned)
+        val in = if ((spec.deleteExcess || spec.partialUpdate.isDefined ||
+            spec.flagMissing.isDefined) && !gatePinned)
           in2.localCheckpoint(false)
         else in2
         staged(table) = staged.getOrElse(table, Nil) :+ in
@@ -371,7 +395,11 @@ object ImportJob {
           case InsertOnly => d.unionByName(Merge.insertMissing(d, in, spec.keys), allowMissingColumns = true)
           case DeleteIncoming => Merge.deleteExcess(d, in, spec.keys)
         }
-        if (spec.deleteExcess && !removeMissing)
+        // PartialUpdate ALONE arms the scoped cleanup — the reference
+        // fires DeleteExcessFromGroupProductRelation whenever
+        // partialUpdate is set (EcomDestinationWriter.cs:3214),
+        // independent of RemoveMissingAfterImport/deleteExcess
+        if ((spec.deleteExcess || spec.partialUpdate.isDefined) && !removeMissing)
           out = applyDeleteExcess(out, Seq(in), spec,
             t2 => staged.getOrElse(t2, Nil))
         state(table) = out
@@ -393,7 +421,8 @@ object ImportJob {
     // ── deferred delete-excess: after EVERY table of the job staged,
     // against the union of each table's batches, children first ───────
     if (removeMissing) ordered.reverse.foreach { table =>
-      byTable(table).find(_.deleteExcess).foreach { spec =>
+      byTable(table).find(s => s.deleteExcess || s.partialUpdate.isDefined)
+        .foreach { spec =>
         state(table) = applyDeleteExcess(state(table), staged(table), spec,
           t2 => staged.getOrElse(t2, Nil))
       }

@@ -106,7 +106,12 @@ case class TableConfig(
     // field :604/:720 — and PartialUpdate :264), all configuration
     resolve: Seq[FkLadderConfig] = Nil,
     strictKeyMatching: Boolean = true,
-    partialUpdate: Option[ParentScopeConfig] = None) {
+    partialUpdate: Option[ParentScopeConfig] = None,
+    // IgnoreEmptyCategoryFieldValues (EcomProvider.cs:257) — a
+    // settings-XML switch in the reference (:670/:729), so it
+    // serializes with the job: rows whose value in any listed column
+    // is null/empty are not written
+    ignoreEmptyIn: Seq[String] = Nil) {
 
   def toSpec: ImportJob.TableSpec = ImportJob.TableSpec(
     table = table,
@@ -130,7 +135,8 @@ case class TableConfig(
     sourceName = sourceName,
     resolve = resolve.map(_.toLadder),
     strictKeyMatching = strictKeyMatching,
-    partialUpdate = partialUpdate.map(_.toScope))
+    partialUpdate = partialUpdate.map(_.toScope),
+    ignoreEmptyIn = ignoreEmptyIn)
 }
 
 /** @param removeMissing defer every table's delete-excess until the whole

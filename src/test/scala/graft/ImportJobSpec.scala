@@ -420,6 +420,54 @@ class ImportJobSpec extends SparkSuite {
       Array(("P1", 10L), ("P3", 30L)))
   }
 
+  test("ignoreEmptyIn drops null/empty-valued batch rows so existing " +
+    "destination values survive (IgnoreEmptyCategoryFieldValues, " +
+    "EcomProvider.cs:257 / EcomDestinationWriter.cs:1494)") {
+    val destVals = Seq(("P1", "color", "red"), ("P2", "color", "blue"))
+      .toDF("pid", "field", "value")
+    // the feed wipes P1's color to "" and P2's to null, and adds P3
+    val inVals = Seq(("P1", "color", ""), ("P2", "color", null),
+      ("P3", "color", "green")).toDF("pid", "field", "value")
+    def run(ignore: Boolean) = ImportJob.run(
+      Seq(TableSpec("vals", keys = Seq("pid", "field"),
+        ignoreEmptyIn = if (ignore) Seq("value") else Nil)),
+      dest = Map("vals" -> destVals), incoming = Map("vals" -> inVals),
+      deps = Map.empty[String, Set[String]])("vals")
+      .orderBy("pid").as[(String, String, String)].collect()
+    // OFF (reference default): the empty string OVERWRITES (null never
+    // does — Merge.upsert's existing keep-on-null contract)
+    assert(run(ignore = false) === Array(("P1", "color", ""),
+      ("P2", "color", "blue"), ("P3", "color", "green")))
+    // ON: the empty/null rows never enter the batch — old values survive
+    assert(run(ignore = true) === Array(("P1", "color", "red"),
+      ("P2", "color", "blue"), ("P3", "color", "green")))
+  }
+
+  test("partialUpdate ALONE (deleteExcess=false) arms the scoped delete, " +
+    "like the reference firing DeleteExcessFromGroupProductRelation " +
+    "whenever PartialUpdate is set (EcomDestinationWriter.cs:3214)") {
+    val destProducts = Seq(("P1", "a"), ("P2", "b"), ("P3", "c"))
+      .toDF("pid", "pname")
+    val inProducts = Seq(("P1", "a2"), ("P2", "b2")).toDF("pid", "pname")
+    val destRels = Seq(("P1", 10L), ("P1", 11L), ("P2", 20L), ("P3", 30L))
+      .toDF("pid", "rid")
+    val inRels = Seq(("P1", 10L)).toDF("pid", "rid")
+    def run(removeMissing: Boolean) = ImportJob.run(
+      Seq(
+        TableSpec("products", keys = Seq("pid")),
+        TableSpec("rels", keys = Seq("pid", "rid"),
+          partialUpdate = Some(ParentScope("products", Seq("pid"), Seq("pid"))))),
+      dest = Map("products" -> destProducts, "rels" -> destRels),
+      incoming = Map("products" -> inProducts, "rels" -> inRels),
+      deps = Map("rels" -> Set("products")),
+      removeMissing = removeMissing)("rels")
+      .orderBy("pid", "rid").as[(String, Long)].collect()
+    // identical outcome to deleteExcess=true + partialUpdate: imported
+    // parents' stale relations die, non-imported P3's survives
+    assert(run(removeMissing = false) === Array(("P1", 10L), ("P3", 30L)))
+    assert(run(removeMissing = true) === Array(("P1", 10L), ("P3", 30L)))
+  }
+
   test("partialUpdate with nothing staged for the parent deletes nothing " +
     "(the HasRowsToImport guard) and composes with deleteExcessScope") {
     val destRels = Seq(("P1", 10L, "en"), ("P1", 11L, "en"), ("P1", 12L, "fr"),

@@ -285,6 +285,25 @@ class OperatorsSpec extends SparkSuite {
     assert(long === Array((1, "x", 5.0), (1, "y", 6.0), (2, "x", 7.0)))
   }
 
+  test("PivotOps.toLong dropEmpty treats empty-string cells as absent " +
+    "(IgnoreEmptyCategoryFieldValues ON, EcomDestinationWriter.cs:1494)") {
+    val wide = Seq((1, "red", ""), (2, "", "large"), (3, null, "small"))
+      .toDF("k", "color", "size")
+    val off = PivotOps.toLong(wide, Seq("k"), Seq("color", "size"), "f", "v")
+      .orderBy("k", "f").as[(Int, String, String)].collect()
+    // OFF: empty strings ARE emitted (only nulls drop)
+    assert(off === Array((1, "color", "red"), (1, "size", ""),
+      (2, "color", ""), (2, "size", "large"), (3, "size", "small")))
+    val on = PivotOps.toLong(wide, Seq("k"), Seq("color", "size"), "f", "v",
+      dropEmpty = true).orderBy("k", "f").as[(Int, String, String)].collect()
+    assert(on === Array((1, "color", "red"), (2, "size", "large"),
+      (3, "size", "small")))
+    // non-string values are unaffected by the toggle
+    val num = Seq((1, 0.0)).toDF("k", "x")
+    assert(PivotOps.toLong(num, Seq("k"), Seq("x"), "f", "v",
+      dropEmpty = true).count() === 1L)
+  }
+
   test("PivotOps.toWideDynamic discovers columns, ignores null keys, enforces cap") {
     val kv = Seq((1, Some("x"), 5.0), (1, Some("y"), 6.0), (2, Some("x"), 7.0),
       (2, None, 9.0)).toDF("k", "f", "v")

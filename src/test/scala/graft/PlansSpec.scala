@@ -65,7 +65,8 @@ class PlansSpec extends SparkSuite {
           Seq("pid", "resolved_pid"))),
         strictKeyMatching = false,
         partialUpdate = Some(graft.plans.ParentScopeConfig(
-          "products", Seq("pid"), Seq("pid")))),
+          "products", Seq("pid"), Seq("pid"))),
+        ignoreEmptyIn = Seq("field_value")),
       TableConfig("nation", keys = Seq("nid"), mode = "insertOnly")),
       removeMissing = true)
     val back = JobConfig.fromJson(JobConfig.toJson(cfg))
@@ -85,6 +86,10 @@ class PlansSpec extends SparkSuite {
     assert(specs(2).partialUpdate === Some(graft.plans.ImportJob.ParentScope(
       "products", Seq("pid"), Seq("pid"))))
     assert(specs.head.partialUpdate.isEmpty)
+    // IgnoreEmptyCategoryFieldValues is a settings-XML switch in the
+    // reference (EcomProvider.cs:670/:729) — it survives the trip
+    assert(specs(2).ignoreEmptyIn === Seq("field_value"))
+    assert(specs.head.ignoreEmptyIn.isEmpty)
     // a malformed rung fails loudly at lowering time
     val badLadder = graft.plans.FkLadderConfig("d", Seq(Seq("only-one")),
       Seq("a", "b"))

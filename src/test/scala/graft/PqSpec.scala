@@ -181,11 +181,12 @@ class PqSpec extends SparkSuite {
       s"frontier not monotone (twin hits of 40 at m=2,4,8): $recalls")
     assert(recalls.last >= 36,
       s"9-byte codes must find planted twins: ${recalls.last}/40")
-    // and the REGISTERED frontier query emits the documented grid
+    // and the REGISTERED frontier query emits the documented grid —
+    // three PQ budgets plus the gnns graph rung (method, m, bytes)
     val rows = SparkEntry.queries("q_ann_frontier")(spark, sf)
-      .orderBy("m_subspaces").collect()
-    assert(rows.map(_.getInt(0)).toSeq === Seq(2, 4, 8))
-    assert(rows.map(_.getInt(1)).toSeq === Seq(3, 5, 9))
-    assert(rows.forall(r => r.getLong(2) >= 0L && r.getLong(2) <= 10000L))
+      .orderBy("method", "m_subspaces").collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ===
+      Seq(("gnns", 0, 40), ("ivfpq", 2, 3), ("ivfpq", 4, 5), ("ivfpq", 8, 9)))
+    assert(rows.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 10000L))
   }
 }
