@@ -1963,7 +1963,10 @@ object SparkEntry {
       // integer sum. The oracle replays the WHOLE pipeline: coarse
       // seeds → Lloyd → assignment → residuals → per-subspace seeds →
       // Lloyd → codes → probes → query residual → LUT → integer top-k.
-      val emb = t(s, dir, "embeddings")
+      // spread: the single-row-group embeddings file is a 1-task scan,
+      // serializing the CPU-bound code assignment (measured 1.09 s on
+      // one core); the guard no-ops on an already-parallel 100 TB scan
+      val emb = graft.operators.Parallelism.spread(t(s, dir, "embeddings"))
       val coarse = Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
       val books = Pq.trainCodebooks(Pq.residualFrame(emb, coarse),
         m = 4, subDim = 16, k = 8, iters = 1)
@@ -2002,7 +2005,8 @@ object SparkEntry {
       // codebook Lloyd → codes → LUT → integer ADC top-5 — plus the
       // same exact-integer ground truth. PqSpec pins monotonicity
       // (more bytes ⇒ no worse recall) on a separated synthetic corpus.
-      val emb = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      val emb = graft.operators.Parallelism.spread(t(s, dir, "embeddings"))
+        .filter(col("embedding").isNotNull)
       val queries = emb.filter(col("vec_id") < 10)
       val coarse = Knn.trainCentroids(emb, nCentroids = 8, iters = 1)
       val q = queries.select(col("vec_id").as("query_id"),

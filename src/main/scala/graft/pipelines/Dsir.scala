@@ -95,7 +95,8 @@ object Dsir {
     */
   private[pipelines] def scoreWith(corpus: DataFrame, idCol: String, textCol: String,
                         w: Array[Long], nBuckets: Int): DataFrame =
-    corpus.filter(trim(col(textCol)) =!= "" && col(textCol).isNotNull)
+    graft.operators.Parallelism.spread(corpus)
+      .filter(trim(col(textCol)) =!= "" && col(textCol).isNotNull)
       .select(col(idCol),
         aggregate(
           transform(split(trim(col(textCol)), WS), t =>
@@ -132,7 +133,7 @@ object Dsir {
     // token-sized) — O(tokens) per row where the row-local count-vector
     // fold was O(tokens·B) array rebuilds. The -1 sentinel, one per
     // non-blank doc, carries the two doc counts in the same single pass.
-    val rows = corpus
+    val rows = graft.operators.Parallelism.spread(corpus)
       .filter(trim(col(textCol)) =!= "" && col(textCol).isNotNull)
       .select(flag.as("__t"),
         explode(concat(array(lit(-1L)),
