@@ -1433,11 +1433,20 @@ object ScaleSmoke {
       val free = org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint _
       val emb1 = Tables.load(spark, base, "embeddings")
         .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
       val queries = emb1.filter(col("vec_id") < 10).localCheckpoint(true)
-      val planted = spark.range(1000)
+      // NnDescent's derandomized ring init maps ids through `% n` — its
+      // documented contract is DENSE 0-based ids (the q_nn_descent
+      // corpus shape). Replicas therefore tile by max(id)+1 (the
+      // replicate() discipline) and the planted cluster continues the
+      // id space, or most init edges point at nonexistent ids and the
+      // graph silently starves (measured: 55k edges for 201k nodes
+      // with sparse 10^8 shifts).
+      val shift = emb1.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      def planted(at: Long) = spark.range(1000)
         .crossJoin(broadcast(queries.filter(col("vec_id") === 0)
           .select(col("embedding").as("__qe"))))
-        .select((col("id") + 900000000L).as("vec_id"),
+        .select((col("id") + at).as("vec_id"),
           transform(col("__qe"), x =>
             (x.cast("double") * (lit(1.0) + col("id").cast("double") * lit(1e-5)))
               .cast("float")).as("embedding"))
@@ -1445,10 +1454,10 @@ object ScaleSmoke {
         val em =
           if (m == 1) emb1
           else (0 until m).map(i => emb1
-              .withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+              .withColumn("vec_id", col("vec_id") + lit(i * shift)))
             .reduce(_ unionByName _)
         val path = s"$out/gnns_emb_$m"
-        em.unionByName(planted).repartition(64)
+        em.unionByName(planted(m * shift)).repartition(64)
           .write.mode("overwrite").parquet(path)
         val c = spark.read.parquet(path)
         val n = c.count()

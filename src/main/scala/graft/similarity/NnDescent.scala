@@ -18,7 +18,12 @@ import graft.functions.VectorFunctions
   *   - init: the j-th neighbor of v is ((v·1048573 + j·40503) mod
   *     999983) mod n — a pseudo-random ring with O(log n)-ish diameter
   *     (plain +j rings make local joins useless), identical in SQL;
-  *     self-loops and ids that don't exist drop;
+  *     self-loops and ids that don't exist drop. CONTRACT: ids should
+  *     be ~dense in [0, n) — the ring targets live in that range, so a
+  *     sparse id space (e.g. 10⁸-shifted shards) silently starves the
+  *     init and the graph degrades instead of failing (measured in the
+  *     round-14 GNNS ramp: 55k edges for 201k sparse-id nodes vs 1M
+  *     dense). Densify ids first (row_number or shard×(max+1) tiling);
   *   - each round r (the paper's local join, node-centric form):
   *     B(v) = out(v) ∪ topK-by-src incoming (the paper's reverse
   *     SAMPLE made a deterministic top-k — bounds hub in-degree),
