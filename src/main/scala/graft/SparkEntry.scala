@@ -4333,7 +4333,10 @@ object SparkEntry {
       // two-pass machine (groupedRunningSum of 1) — never a one-task
       // per-language window: a 100 TB corpus has corpus-sized language
       // partitions but the machine range-partitions on (lang, score)
-      val docs = t(s, dir, "documents")
+      // spread: the single-row-group documents file is a 1-task scan,
+      // serializing the KN tokenize/score passes (the q_quality_
+      // classifier lesson); no-op on an already-parallel 100 TB scan
+      val docs = graft.operators.Parallelism.spread(t(s, dir, "documents"))
       val kn = graft.pipelines.Lexical.kneserNeyLogloss(
         docs, "doc_id", "text", discountBp = 7500)
       // PIN the scored frame before the ranged machine: its range
@@ -4390,7 +4393,8 @@ object SparkEntry {
       // docs the TRAINED quality filter passes. Train -> score ->
       // schedule, all replayed end-to-end by the oracle
       graft.pipelines.Curriculum.annealSchedule(
-        t(s, dir, "documents"), "doc_id", "text", col("source") === "src0")
+        graft.operators.Parallelism.spread(t(s, dir, "documents")),
+        "doc_id", "text", col("source") === "src0")
         .orderBy(col("doc_id"))
     }),
 
