@@ -64,8 +64,13 @@ fi
 
 echo "=== [5/6] fresh-JVM A/B (top-10 + movers vs r$((R-1))) ==="
 if skip 5 /tmp/fresh_r${R}.json; then echo "(stamped — skipping)"; else
+  # movers baseline: the previous round's merged artifact, or (when a
+  # round shipped without one — r13 did) the newest committed sweep
+  PREV="bench/full_r$((R-1)).json"
+  [[ -s "$PREV" ]] || PREV=$(ls -t bench/full_r*.json 2>/dev/null | head -1)
+  echo "(movers baseline: $PREV)"
   python3 tools/fresh_bench.py /tmp/bench_r${R}.json /tmp/fresh_r${R}.json 10 \
-    /root/testdata/sf0.1 bench/full_r$((R-1)).json > /tmp/fresh_r${R}.log 2>&1 \
+    /root/testdata/sf0.1 "$PREV" > /tmp/fresh_r${R}.log 2>&1 \
     || { tail -20 /tmp/fresh_r${R}.log; fail 5 "fresh_bench"; }
   tail -25 /tmp/fresh_r${R}.log
   stamp 5
