@@ -2685,9 +2685,8 @@ object SparkEntry {
       // cardinality is LOW — a plain per-source window funnels n/|src|
       // rows through one task at 100 TB), counts from one keyed agg
       val srcN = d.groupBy(col("source")).agg(count(lit(1)).as("__n"))
-      val withPct = RunningTotals.groupedRunningSum(
-          d.withColumn("__one", lit(1L)), Seq("source"),
-          Seq(col("n_chars").asc, col("doc_id").asc), "__one", "__rk")
+      val withPct = RunningTotals.groupedRank(d, Seq("source"),
+          Seq(col("n_chars").asc, col("doc_id").asc), "__rk")
         .join(broadcast(srcN), Seq("source"))
         .withColumn("pct_bp",
           when(col("__n") === 1, lit(5000L))
@@ -4350,10 +4349,9 @@ object SparkEntry {
       // chooses compute-twice vs materialize-once
       val scored = docs.select(col("doc_id"), col("lang"))
         .join(kn, Seq("doc_id"))
-        .withColumn("__one", lit(1L))
         .localCheckpoint(true)
-      val ranked = try RunningTotals.groupedRunningSum(scored, Seq("lang"),
-        Seq(col("mean_surprisal3_q").asc, col("doc_id").asc), "__one", "__rk")
+      val ranked = try RunningTotals.groupedRank(scored, Seq("lang"),
+        Seq(col("mean_surprisal3_q").asc, col("doc_id").asc), "__rk")
       finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(scored)
       val langN = ranked.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
       ranked.join(broadcast(langN), Seq("lang"))

@@ -736,11 +736,11 @@ object Stats {
     require(!df.columns.exists(Set("__x", "__one", "__cx", "__cn")),
       "sprt: temp columns __x/__one/__cx/__cn collide with the input")
     val base = df.withColumn("__x", col(xCol).cast("long"))
-      .withColumn("__one", lit(1L))
-    val cum = RunningTotals.groupedRunningSum(
-      RunningTotals.groupedRunningSum(base, Seq(armCol), orderBys,
-        "__x", "__cx"),
-      Seq(armCol), orderBys, "__one", "__cn")
+    // ONE ranged pass for both cumulative series: __cn is the per-arm
+    // positional rank (count of ones), so it rides the machine's rank
+    // arithmetic instead of a second full machine (round 14)
+    val cum = RunningTotals.groupedSumAndRank(base, Seq(armCol), orderBys,
+      "__x", "__cx", "__cn")
     val llr = (col("__cx") * lit(l1)) + ((col("__cn") - col("__cx")) * lit(l0))
     val scored = cum.select(col(armCol), col("__cn"),
       llr.as("__llr"),

@@ -57,6 +57,42 @@ class RunningTotalsSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("groupedRank equals per-group row_number, hot group spanning partitions") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 4000L).map { i =>
+      val g = if (i % 4 != 0) "g0" else s"g${i % 3 + 1}"
+      (g, i, rnd.nextInt(90).toLong)
+    }
+    val got = RunningTotals.groupedRank(
+        rows.toDF("g", "id", "v").repartition(13),
+        Seq("g"), Seq(col("v").asc, col("id").asc), "rk")
+      .select("g", "id", "rk").as[(String, Long, Long)].collect()
+      .map { case (g, id, r) => (g, id) -> r }.toMap
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy { case (_, id, v) => (v, id) }.zipWithIndex
+        .map { case ((_, id, _), i) => (g, id) -> (i + 1L) }
+    }
+    assert(got === want)
+  }
+
+  test("groupedSumAndRank matches the two stacked machines it fuses") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1L to 3000L).map { i =>
+      (s"a${i % 2}", i, rnd.nextInt(2).toLong)
+    }
+    val df = rows.toDF("arm", "seq", "x").repartition(9)
+    val fused = RunningTotals.groupedSumAndRank(df, Seq("arm"),
+        Seq(col("seq").asc), "x", "cx", "cn")
+      .select("arm", "seq", "cx", "cn").as[(String, Long, Long, Long)]
+      .collect().map { case (a, s, cx, cn) => (a, s) -> ((cx, cn)) }.toMap
+    val want = rows.groupBy(_._1).flatMap { case (a, rs) =>
+      rs.sortBy(_._2).scanLeft(("", 0L, 0L, 0L)) {
+        case ((_, _, cx, cn), (_, s, x)) => (a, s, cx + x, cn + 1) }.tail
+        .map { case (_, s, cx, cn) => (a, s) -> ((cx, cn)) }
+    }
+    assert(fused === want)
+  }
+
   test("chained calls append independent rank columns") {
     val df = Seq((1L, 9L), (2L, 5L), (3L, 7L)).toDF("id", "v")
     val out = RunningTotals.globalRank(
