@@ -133,10 +133,22 @@ object Explain {
       else Seq("q_filtered_read", "q1_agg", "q3_top_orders", "q5_join5")
     names.foreach { n =>
       println(s"\n================ $n ================")
-      audits.get(n) match {
-        case Some(f) => f(spark).explain("formatted")
-        case None => SparkEntry.queries(n)(spark, dir).explain("formatted")
+      // "exec:<name>" runs the frame first (noop-style full
+      // materialization via collect-to-nothing) and then explains, so
+      // the printed plan is AQE's FINAL plan — ReusedExchange /
+      // AQEShuffleRead markers included. The lazy default shows the
+      // initial plan, which re-expands shared subtrees per consumer
+      // and cannot show runtime stage reuse (round 14).
+      val (exec, name) =
+        if (n.startsWith("exec:")) (true, n.stripPrefix("exec:")) else (false, n)
+      val df = audits.get(name) match {
+        case Some(f) => f(spark)
+        case None => SparkEntry.queries(name)(spark, dir)
       }
+      // collect() drives THIS Dataset's own QueryExecution (foreach/rdd
+      // would wrap a new one and leave this plan un-finalized)
+      if (exec) df.collect()
+      df.explain("formatted")
     }
     spark.stop()
   }

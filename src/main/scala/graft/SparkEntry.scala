@@ -4044,7 +4044,8 @@ object SparkEntry {
       // surprisal under the corpus unigram model, floor-quantized per
       // DISTINCT term, exact BIGINT sums per doc
       graft.pipelines.Lexical.unigramLogloss(
-        t(s, dir, "documents"), "doc_id", "text")
+        graft.operators.Parallelism.spread(t(s, dir, "documents")),
+        "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -4308,7 +4309,8 @@ object SparkEntry {
       // order-2 surprisal: catches locally-incoherent token ORDER that
       // unigram surprisal misses — the next rung toward KenLM filters
       graft.pipelines.Lexical.bigramLogloss(
-        t(s, dir, "documents"), "doc_id", "text")
+        graft.operators.Parallelism.spread(t(s, dir, "documents")),
+        "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -4319,7 +4321,8 @@ object SparkEntry {
       // D=0.75 absolute-discount chain in pinned doubles, surprisal
       // quantized once per distinct trigram, exact BIGINT doc sums
       graft.pipelines.Lexical.kneserNeyLogloss(
-        t(s, dir, "documents"), "doc_id", "text", discountBp = 7500)
+        graft.operators.Parallelism.spread(t(s, dir, "documents")),
+        "doc_id", "text", discountBp = 7500)
         .orderBy(col("doc_id"))
     }),
 

@@ -162,11 +162,20 @@ object Graphs {
     * canonical edge list from [[canonicalEdges]].
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val tri = triangles(edges)
-    tri.select(col("a").as("node"))
-      .unionAll(tri.select(col("b").as("node")))
-      .unionAll(tri.select(col("c").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    // Contribution form (round 14): each closed edge (lo, hi, ws)
+    // already KNOWS every triangle it bases — |ws| for lo and hi, one
+    // per apex w — so the counts need neither the (a, b, c) rows nor
+    // the 3-way union the triangle listing pays (3T shuffled rows +
+    // an array_sort per triangle became 2m + T rows and no per-
+    // triangle allocation; T = 1.88M at sf0.1).
+    closuresOfPinned(edges.localCheckpoint(true))
+      .select(explode(concat(
+        array(
+          struct(col("lo").as("node"), size(col("ws")).cast("long").as("n")),
+          struct(col("hi").as("node"), size(col("ws")).cast("long").as("n"))),
+        transform(col("ws"), w => struct(w.as("node"), lit(1L).as("n"))))).as("c"))
+      .select(col("c.node").as("node"), col("c.n").as("n"))
+      .groupBy("node").agg(sum(col("n")).as("n_tri"))
   }
 
   /** All triangles, each ONCE, as (a, b, c) with a < b < c by node id.
@@ -207,7 +216,21 @@ object Graphs {
     * callers ([[kTruss]]) pin per generation themselves and must not
     * pay (or leak) a second eager checkpoint per round.
     */
-  private def trianglesOfPinned(e0: DataFrame): DataFrame = {
+  private def trianglesOfPinned(e0: DataFrame): DataFrame =
+    // apex relates to (hi, w) by RANK, not id — re-sort the node ids
+    // for the (a < b < c) contract.
+    closuresOfPinned(e0)
+      .select(col("lo"), col("hi"), explode(col("ws")).as("w"))
+      .select(array_sort(array(col("lo"), col("hi"), col("w"))).as("s"))
+      .select(element_at(col("s"), 1).as("a"), element_at(col("s"), 2).as("b"),
+        element_at(col("s"), 3).as("c"))
+
+  /** Per ORIENTED edge, its triangle apexes: (lo, hi, ws) with
+    * ws = N⁺(lo) ∩ N⁺(hi), edges closing nothing dropped. The shared
+    * core of [[triangles]], [[triangleCounts]] and [[kTruss]]'s
+    * support pass.
+    */
+  private def closuresOfPinned(e0: DataFrame): DataFrame = {
     // total order (deg, id): rank nodes so orientation bounds out-degree
     val deg = e0.select(col("u").as("node"))
       .unionAll(e0.select(col("v").as("node")))
@@ -230,14 +253,11 @@ object Graphs {
       explode(col("nbrs")).as("hi"))
     // close: w ∈ N⁺(lo) ∩ N⁺(hi) — hi's rank exceeds lo's, so hi's array
     // is also bounded; edges whose hi has NO out-edges close nothing
-    // (inner join drops them). apex relates to (hi, w) by RANK, not id —
-    // re-sort the node ids for the (a < b < c) contract.
+    // (inner join drops them).
     pairs.join(adj.select(col("node").as("hi"), col("nbrs").as("hi_nbrs")), Seq("hi"))
       .select(col("lo"), col("hi"),
-        explode(array_intersect(col("lo_nbrs"), col("hi_nbrs"))).as("w"))
-      .select(array_sort(array(col("lo"), col("hi"), col("w"))).as("s"))
-      .select(element_at(col("s"), 1).as("a"), element_at(col("s"), 2).as("b"),
-        element_at(col("s"), 3).as("c"))
+        array_intersect(col("lo_nbrs"), col("hi_nbrs")).as("ws"))
+      .filter(size(col("ws")) > 0)
   }
 
   /** Bounded-hop BFS shortest distances from a seed set over the
@@ -292,11 +312,24 @@ object Graphs {
     var done = false
     var lastSup: DataFrame = null
     while (!done && iter < maxIters) {
-      val tri = trianglesOfPinned(cur)
-      val sup = tri.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
-        .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+      // support in contribution form (round 14, the triangleCounts
+      // restructure): the base edge takes |ws|, each apex pair takes 1
+      // — m + 2T rows into ONE grouped sum instead of 3T triangle rows
+      // through a 3-way union, and no per-triangle array_sort.
+      val sup = closuresOfPinned(cur)
+        .select(explode(concat(
+          array(struct(
+            least(col("lo"), col("hi")).as("eu"),
+            greatest(col("lo"), col("hi")).as("ev"),
+            size(col("ws")).cast("long").as("n"))),
+          transform(col("ws"), w => struct(
+            least(col("lo"), w).as("eu"),
+            greatest(col("lo"), w).as("ev"), lit(1L).as("n"))),
+          transform(col("ws"), w => struct(
+            least(col("hi"), w).as("eu"),
+            greatest(col("hi"), w).as("ev"), lit(1L).as("n"))))).as("c"))
+        .select(col("c.eu").as("u"), col("c.ev").as("v"), col("c.n").as("n"))
+        .groupBy(col("u"), col("v")).agg(sum(col("n")).as("support"))
         .localCheckpoint(false)
       // triangle-free edges never appear in sup — the semi join drops
       // them with the under-supported ones (support 0 < k−2 for k ≥ 3)

@@ -49,6 +49,14 @@ object Lexical {
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      // Reuse-shaping (round 14, the kneserNeyLogloss note): consumers
+      // that derive document frequencies need only this frame's KEYS,
+      // so column pruning used to strip the count aggregate from their
+      // copy of this subtree and AQE exchange reuse never fired — the
+      // df branch re-tokenized the corpus. The trivially-true filters
+      // pin both the key nullability and the aggregate into every copy,
+      // making the copies canonically identical (one tokenize per run).
+      .filter(col("term").isNotNull && col("tf") >= 1)
 
   /** Per-document top-`k` terms by quantized TF-IDF.
     *
@@ -56,15 +64,16 @@ object Lexical {
     * `tfidf_q = tf * 10000 * N DIV df` (N = docs with ≥1 token) and a
     * deterministic (score desc, term asc) rank.
     *
-    * Plan note (audited): the self-contained form tokenizes the corpus
-    * TWICE — the df branch cannot reuse the tf exchange (column pruning
-    * makes the two subtrees differ, so AQE's exchange reuse never fires).
-    * The alternative (df as `count() OVER (PARTITION BY term)`) is one
-    * scan but funnels a stopword-tier term's billions of rows into ONE
-    * window task — skew-fatal at corpus scale, while the agg+join form
-    * keeps every step partially aggregated and mergeable. A production
-    * pipeline materializes `termFrequencies` once as its own table and
-    * feeds [[tfIdfTopKFromTf]], which is both single-scan and skew-safe.
+    * Plan note (re-audited round 14): the df branch now reuses the tf
+    * exchange — [[termFrequencies]]'s reuse-shaping filters keep the
+    * two subtree copies canonically identical, so AQE exchange reuse
+    * tokenizes once (it previously never fired and this form paid two
+    * corpus scans). The alternative (df as `count() OVER (PARTITION BY
+    * term)`) is one scan but funnels a stopword-tier term's billions of
+    * rows into ONE window task — skew-fatal at corpus scale, while the
+    * agg+join form keeps every step partially aggregated and mergeable.
+    * A production pipeline can still materialize `termFrequencies` once
+    * as its own table and feed [[tfIdfTopKFromTf]].
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -377,6 +386,10 @@ object Lexical {
           element_at(col("__t"), i.cast("int") + 2).as("w2")))).as("__p"))
       .groupBy(col(idCol), col("__p.w1"), col("__p.w2"))
       .agg(count(lit(1)).as("tf"))
+      // unify the isnotnull sets the two joins below would push into
+      // their copies of this subtree, so AQE stage-reuse tokenizes once
+      // (the kneserNeyLogloss plan-shaping note)
+      .filter(col("w1").isNotNull && col("w2").isNotNull)
     val c12 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("__c12"))
     val ctx = c12.groupBy(col("w1"))
       .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__s1"))
@@ -439,13 +452,28 @@ object Lexical {
           element_at(col("__t"), i.cast("int") + 3).as("w3")))).as("__g"))
       .groupBy(col(idCol), col("__g.w1"), col("__g.w2"), col("__g.w3"))
       .agg(count(lit(1)).as("tf"))
+      // Plan-shaping, value-preserving filters (round 14): this frame
+      // is referenced by EIGHT subtrees below, and AQE stage-reuse only
+      // dedupes canonically IDENTICAL exchanges. Two optimizer rewrites
+      // were fragmenting the copies: (a) each join pushes its own
+      // isnotnull set into its copy — stated once here they unify; (b)
+      // branches that need only the KEYS (the N₁₊ continuation counts)
+      // get the count/sum AGGREGATE pruned from their copy, so the
+      // `>= 1` filters (trivially true for counts) force every branch
+      // to keep the aggregate expression. Before: 8 full
+      // scan+tokenize+explode pipelines per run; after: tf/c3/cont23
+      // each compute once behind ReusedExchange.
+      .filter(col("w1").isNotNull && col("w2").isNotNull &&
+        col("w3").isNotNull && col("tf") >= 1)
     val c3 = tf.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(sum(col("tf")).as("__c3"))
+      .filter(col("__c3") >= 1)
     // c(w₁w₂·) and N₁₊(w₁w₂·): total and distinct successors per context
     val c12 = c3.groupBy(col("w1"), col("w2"))
       .agg(sum(col("__c3")).as("__c12"), count(lit(1)).as("__n12dot"))
     // N₁₊(·w₂w₃): distinct predecessors — c3 is distinct per triple
     val cont23 = c3.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("__n23"))
+      .filter(col("__n23") >= 1) // same reuse-shaping as tf/c3 above
     // N₁₊(·w₂·): distinct (w₁,w₃) around w₂;  N₁₊(w₂·): distinct w₃ after w₂
     val mid = c3.groupBy(col("w2")).agg(count(lit(1)).as("__nmid"))
     val w2dot = cont23.groupBy(col("w2")).agg(count(lit(1)).as("__nw2dot"))
@@ -477,15 +505,17 @@ object Lexical {
   def unigramLogloss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("__c"))
+    // corpus totals ride a broadcast instead of a driver head(): the
+    // old two-action form tokenized the corpus once per action (round
+    // 14); an empty corpus now falls through lazily to an empty frame
+    // (join over zero tf rows), same schema, no special case
     val tot = counts.agg(sum(col("__c")).as("__N"),
-      count(lit(1)).as("__D")).head()
-    if (tot.isNullAt(0)) // empty/blank corpus: no tokens, no scores
-      return tf.select(col(idCol), lit(0L).as("n_tokens"),
-        lit(0L).as("surprisal_q"), lit(0L).as("mean_surprisal_q")).limit(0)
-    val n = tot.getLong(0); val d = tot.getLong(1)
+      count(lit(1)).as("__D"))
     val scored = tf.join(counts, Seq("term"))
+      .crossJoin(broadcast(tot))
       .withColumn("__l", floor(lit(10000.0) *
-        log(lit(n + d).cast("double") / (col("__c") + 1L).cast("double")) +
+        log((col("__N") + col("__D")).cast("double") /
+          (col("__c") + 1L).cast("double")) +
         lit(0.5)).cast("long"))
     scored.groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),

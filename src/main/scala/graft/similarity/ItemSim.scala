@@ -111,16 +111,35 @@ object ItemSim {
                      oldChanged: DataFrame, newChanged: DataFrame,
                      userCol: String, itemCol: String, strengthCol: String,
                      maxUserItems: Int): (DataFrame, DataFrame) = {
-    val oldSets = cappedSets(oldChanged, userCol, itemCol, strengthCol, maxUserItems)
-    val newSets = cappedSets(newChanged, userCol, itemCol, strengthCol, maxUserItems)
-    val pairDelta = pairCounts(newSets)
-      .select(col("lo"), col("hi"), col("n_both").as("__d"))
-      .unionAll(pairCounts(oldSets)
-        .select(col("lo"), col("hi"), (-col("n_both")).as("__d")))
-      .groupBy(col("lo"), col("hi")).agg(sum(col("__d")).as("__d"))
-    val itemDelta = newSets.groupBy(col("i")).agg(count(lit(1)).as("__d"))
-      .unionAll(oldSets.groupBy(col("i")).agg((-count(lit(1))).as("__d")))
-      .groupBy(col("i")).agg(sum(col("__d")).as("__d"))
+    require(maxUserItems > 1, "maxUserItems must be > 1")
+    // ONE tagged pass over both sides (round 14): the old and new
+    // histories used to build two separately-pinned capped sets and
+    // run two pair explosions whose counts were then union-diffed —
+    // two serialized eager materializations. A ±1 side tag makes the
+    // cap ONE window (partitioned by (side, user)), the explosion ONE
+    // self-join (side equality keeps pairs within their snapshot), and
+    // the delta a plain sum of the tag: every pair/item occurrence
+    // contributes its own ±1. Value-identical to the two-pass diff
+    // (ItemSimSpec proves maintained state == full rebuild).
+    val tagged = oldChanged
+      .select(col(userCol), col(itemCol), col(strengthCol), lit(-1L).as("__side"))
+      .unionAll(newChanged
+        .select(col(userCol), col(itemCol), col(strengthCol), lit(1L).as("__side")))
+    val capW = Window.partitionBy(col("__side"), col(userCol))
+      .orderBy(col(strengthCol).desc, col(itemCol).asc)
+    val sets = tagged
+      .withColumn("__r", row_number().over(capW))
+      .filter(col("__r") <= maxUserItems)
+      .select(col("__side"), col(userCol).as("u"), col(itemCol).as("i"))
+      .localCheckpoint(true)
+    val pairDelta = sets.as("a").join(sets.as("b"),
+        col("a.__side") === col("b.__side") &&
+          col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("lo"), col("b.i").as("hi"))
+      .agg(sum(col("a.__side")).as("__d"))
+      .filter(col("__d") =!= 0L)
+    val itemDelta = sets.groupBy(col("i")).agg(sum(col("__side")).as("__d"))
+      .filter(col("__d") =!= 0L)
     val newPairs = pairs.join(pairDelta, Seq("lo", "hi"), "full_outer")
       .select(col("lo"), col("hi"),
         (coalesce(col("n_both"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("n_both"))

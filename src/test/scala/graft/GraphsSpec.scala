@@ -34,6 +34,18 @@ class GraphsSpec extends SparkSuite {
     assert(Graphs.triangleCounts(star).count() === 0L)
   }
 
+  test("triangleCounts contribution form equals the triangle-listing fold") {
+    val rnd = new scala.util.Random(23)
+    val pairs = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val e = edges(pairs: _*)
+    val got = Graphs.triangleCounts(e).orderBy("node")
+      .as[(Long, Long)].collect().toMap
+    val want = Graphs.triangles(e).as[(Long, Long, Long)].collect()
+      .flatMap { case (a, b, c) => Seq(a, b, c) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    assert(got === want)
+  }
+
   test("randomized equality with a brute-force reference") {
     val rnd = new scala.util.Random(11)
     val pairs = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
