@@ -2719,9 +2719,16 @@ object SparkEntry {
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(col("d")))
           .cast("long"))
+      // PIN the residual frame: it is referenced four times below
+      // (count, median, deviations, MAD) and each reference re-expanded
+      // the whole daily-agg + decomposition DAG (14 scans in the r14
+      // before-plan). Day-level rows are bounded by the CALENDAR at any
+      // corpus size, so the pin is 100 TB-safe; the eager tail below
+      // frees it (the RunningTotals discipline).
       val resid = Stats.decomposeAdditive(daily, "rn", "dow", "rev_c", window = 7)
         .filter(col("resid").isNotNull)
         .select(col("d"), col("rev_c"), col("resid"))
+        .localCheckpoint(true)
       val n = resid.agg(count(lit(1)).as("n"))
       val med = resid.crossJoin(broadcast(n))
         .withColumn("__rk", row_number().over(
@@ -2737,11 +2744,13 @@ object SparkEntry {
             .orderBy(col("dev"), col("d"))))
         .filter(col("__rk") === expr("(n + 1) DIV 2"))
         .select(col("dev").as("mad"))
-      withDev.crossJoin(broadcast(mad))
+      val anomalies = withDev.crossJoin(broadcast(mad))
         .filter(col("dev") > lit(3L) * col("mad"))
         .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("rev_c"),
           col("resid"), col("dev"), col("mad"))
         .orderBy(col("d"))
+      try anomalies.localCheckpoint(true)
+      finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(resid)
     }),
 
     "q_feature_matrix" -> ((s, dir) => {
