@@ -153,4 +153,24 @@ object SketchKernels {
     }
     (inter.toLong << 32) | union.toLong
   }
+
+  /** Merge-intersection of two ALREADY-SORTED duplicate-free long
+    * arrays ([[graft.functions.SortedIntersect]]'s kernel): one
+    * two-pointer pass over primitive accessors, result packed as
+    * UnsafeArrayData — no per-call hash set, no boxing.
+    */
+  def intersectSortedDistinct(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements(); val nb = b.numElements()
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var k = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { out(k) = x; k += 1; i += 1; j += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(if (k == out.length) out
+        else java.util.Arrays.copyOf(out, k))
+  }
 }

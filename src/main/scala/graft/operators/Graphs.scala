@@ -254,9 +254,19 @@ object Graphs {
     // close: w ∈ N⁺(lo) ∩ N⁺(hi) — hi's rank exceeds lo's, so hi's array
     // is also bounded; edges whose hi has NO out-edges close nothing
     // (inner join drops them).
+    // the intersection is the per-edge hot loop: the adjacency arrays
+    // are sorted and duplicate-free by construction, so long-typed
+    // graphs take the primitive merge kernel (SortedIntersect) instead
+    // of array_intersect's per-row hash set (round 14); other id types
+    // keep the builtin
+    val intersect: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column =
+      if (e0.schema("u").dataType == org.apache.spark.sql.types.LongType)
+        graft.functions.SortedIntersect.of
+      else array_intersect
     pairs.join(adj.select(col("node").as("hi"), col("nbrs").as("hi_nbrs")), Seq("hi"))
       .select(col("lo"), col("hi"),
-        array_intersect(col("lo_nbrs"), col("hi_nbrs")).as("ws"))
+        intersect(col("lo_nbrs"), col("hi_nbrs")).as("ws"))
       .filter(size(col("ws")) > 0)
   }
 

@@ -7,6 +7,25 @@ import graft.plans.TableOrder
 class FunctionsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("SortedIntersect equals array_intersect on sorted distinct sets") {
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(200)((
+      rnd.shuffle((0L to 60L).toList).take(rnd.nextInt(20)).sorted,
+      rnd.shuffle((0L to 60L).toList).take(rnd.nextInt(20)).sorted))
+    val df = rows.toDF("a", "b")
+    val got = df.select(SortedIntersect.of(col("a"), col("b")))
+      .as[Seq[Long]].collect()
+    val want = df.select(array_intersect(col("a"), col("b")))
+      .as[Seq[Long]].collect()
+    // array_intersect keeps left order; both inputs sorted -> equal
+    assert(got.toSeq === want.toSeq)
+    // empty-result and full-overlap edges
+    val e = Seq((Seq(1L, 2L), Seq(3L, 4L)), (Seq(1L, 2L), Seq(1L, 2L)))
+      .toDF("a", "b")
+      .select(SortedIntersect.of(col("a"), col("b"))).as[Seq[Long]].collect()
+    assert(e(0) === Seq.empty[Long] && e(1) === Seq(1L, 2L))
+  }
+
   test("tokens handles empty / whitespace-only / multi-space text") {
     val df = Seq("", "   ", "a  b\tc", " x ").toDF("t")
     val out = df.select(TextFunctions.tokenCount(col("t"))).as[Int].collect()
