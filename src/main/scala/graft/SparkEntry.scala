@@ -132,9 +132,25 @@ object SparkEntry {
       val users = customer.filter(col("c_acctbal") > 9500)
         .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("seg"))
       val sold = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
-      val existingPairs = users.join(sold, col("o_custkey") === col("user_id"))
-        .select(col("user_id"), col("l_partkey").as("part_key")).distinct()
-      val destAssort = existingPairs.withColumn("is_active", lit(1))
+      // pinned: the destination-assortment pair set feeds BOTH the dest
+      // side of the merge and the rebuild's tagged union — unpinned,
+      // the lineitem⋈orders⋈customer chain (the job's biggest join)
+      // executes once per consumer (guide §2.4; the ItemSim `full` pin
+      // precedent). The pinned frame is the assortment table itself —
+      // the same rows the merge must shuffle anyway. The pin compiles
+      // (and under AQE, materializes its exchange ladder) on a FUTURE:
+      // it is independent of the groups→products→relations chain, so
+      // it overlaps the job's staging instead of serializing in front
+      // of it (guide §2.6); the assortments table awaits it through
+      // the dest/incoming lookups.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration.Inf
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val pairsF = Future {
+        users.join(sold, col("o_custkey") === col("user_id"))
+          .select(col("user_id"), col("l_partkey").as("part_key")).distinct()
+          .localCheckpoint(false)
+      }
 
       val inGroups = destGroups.filter(col("group_id") < 10)
         .select(col("group_id"),
@@ -160,7 +176,8 @@ object SparkEntry {
       val inProducts = batchArm(3, 0L, "", "1.00")
         .unionByName(batchArm(13, 1000000L, "NP ", "2.00"))
         .unionByName(batchArm(33, 0L, "", "5.00")) // in-batch dups of the %3 arm
-      val inAssort = Assortments.rebuildWithFlag(existingPairs, users,
+      def inAssort = Assortments.rebuildWithFlag(Await.result(pairsF, Inf),
+        users,
         sold.filter(col("l_quantity") === 50)
           .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
           .select(col("c_mktsegment").as("seg"), col("l_partkey").as("part_key")),
@@ -169,8 +186,10 @@ object SparkEntry {
           col("__active").cast("int").as("is_active"))
 
       // GetLastId: the surrogate sequence continues from the destination
-      // max — a bounded 1-row aggregate, like the reference's max-id read
-      val maxUid = destProducts.agg(max(col("uid"))).collect()(0).getLong(0)
+      // max — a bounded 1-row aggregate, like the reference's max-id
+      // read. On a future: independent of every staging ladder, awaited
+      // only inside the products post hook (guide §2.6).
+      val maxUidF = Future { destProducts.agg(max(col("uid"))).collect()(0).getLong(0) }
       val specs = Seq(
         ImportJob.TableSpec("groups", keys = Seq("group_id")),
         ImportJob.TableSpec("products", keys = Seq("product_id", "lang"),
@@ -186,7 +205,8 @@ object SparkEntry {
           post = out => {
             val fresh = SurrogateKeys.assign(
               out.filter(col("uid").isNull).drop("uid"),
-              Seq(col("product_id"), col("lang")), "uid", startAt = maxUid + 1)
+              Seq(col("product_id"), col("lang")), "uid",
+              startAt = Await.result(maxUidF, Inf) + 1)
             out.filter(col("uid").isNotNull)
               .unionByName(fresh.select(out.columns.map(col): _*))
           }),
@@ -203,11 +223,22 @@ object SparkEntry {
             Seq("product_id"), "left_semi")),
         ImportJob.TableSpec("assortments", keys = Seq("user_id", "part_key")))
 
+      // dest/incoming as lazy lookups: the assortment legs await the
+      // pair-set pin future only when the assortments table stages
       val outT = ImportJob.run(specs,
-        dest = Map("groups" -> destGroups, "products" -> destProducts,
-          "relations" -> destRelations, "assortments" -> destAssort),
-        incoming = Map("groups" -> inGroups, "products" -> inProducts,
-          "relations" -> relsOf(2), "assortments" -> inAssort),
+        dest = {
+          case "groups" => destGroups
+          case "products" => destProducts
+          case "relations" => destRelations
+          case "assortments" =>
+            Await.result(pairsF, Inf).withColumn("is_active", lit(1))
+        },
+        incoming = {
+          case "groups" => inGroups
+          case "products" => inProducts
+          case "relations" => relsOf(2)
+          case "assortments" => inAssort
+        },
         deps = Map("products" -> Set("groups"), "relations" -> Set("products"),
           "assortments" -> Set("products")))
 

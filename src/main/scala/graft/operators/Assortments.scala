@@ -38,13 +38,28 @@ object Assortments {
   /** Full setActive maintenance: every row of `existing` ∪ `rebuilt`,
     * with `flagCol` = true iff the row is in the rebuild (rebuilt rows
     * activate, stale existing rows deactivate — never deleted).
+    *
+    * Shape: ONE tagged union + grouped max — `flag = max(tag)` over
+    * (existing tagged 0) ∪ (rebuilt tagged 1) is exactly "key present
+    * in the rebuild", and the single keyed aggregate replaces the old
+    * union-distinct + second rebuilt reference + left-outer flag join
+    * (three keyed exchanges and a DUPLICATED rebuild subtree — the
+    * rebuild is a corpus-scale join, so its second evaluation was a
+    * full re-shuffle at scale; guide §2.4).
     */
   def rebuildWithFlag(existing: DataFrame, userPairs: DataFrame,
                       productPairs: DataFrame, assortmentCol: String,
                       keys: Seq[String], flagCol: String): DataFrame = {
-    val rebuilt = rebuild(userPairs, productPairs, assortmentCol)
+    // the rebuild WITHOUT its trailing distinct — the grouped max below
+    // dedupes for free, so the join's duplicate (user, product) rows
+    // never pay their own exchange
+    val rebuilt = userPairs.distinct()
+      .join(productPairs.distinct(), Seq(assortmentCol))
+      .drop(assortmentCol)
       .select(keys.map(col): _*)
-    val all = existing.select(keys.map(col): _*).unionByName(rebuilt).distinct()
-    Merge.flagMissing(all, rebuilt, keys, flagCol)
+    existing.select(keys.map(col): _*).withColumn("__tag", lit(0))
+      .unionByName(rebuilt.withColumn("__tag", lit(1)))
+      .groupBy(keys.map(col): _*)
+      .agg((max(col("__tag")) === 1).as(flagCol))
   }
 }
