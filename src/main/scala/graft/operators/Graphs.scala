@@ -316,44 +316,75 @@ object Graphs {
   def kTruss(edges: DataFrame, k: Int, maxIters: Int = 20): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(maxIters >= 1)
-    var cur = edges.select(col("u"), col("v")).localCheckpoint(true)
-    var curCount = cur.count()
-    var iter = 0
-    var done = false
-    var lastSup: DataFrame = null
+    val bridge = org.apache.spark.sql.graftbridge.bridge
+    val e0 = edges.select(col("u"), col("v")).localCheckpoint(true)
+    var curCount = e0.count()
+    // ── round 1: ONE full O(m^1.5) closure pass materializes the
+    // TRIANGLE LIST — each triangle once, stored as its three CANONICAL
+    // EDGES in six primitive columns (no arrays, no per-triangle sort;
+    // fully codegen). Incremental peel (round 15): rounds 2+ used to
+    // recompute closuresOfPinned on the survivor set from scratch —
+    // degree agg, two orientation joins, adjacency collect, per-edge
+    // intersection, O(m·√m) EVERY round. Peeling only ever REMOVES
+    // edges, so the survivor graph's triangles are exactly the kept
+    // triangles minus those touching a removed edge: three anti-joins
+    // against the (small) removed-edge set + one 3-edge explode-sum
+    // replace the whole closure pass per round (guide §1.2: fix the
+    // distributed algorithm; §2.3: shuffle T 6-column rows instead of
+    // re-deriving them). The pinned list is O(T) — the same order the
+    // per-round recompute materialized transiently anyway.
+    var tris = closuresOfPinned(e0)
+      .select(col("lo"), col("hi"), explode(col("ws")).as("w"))
+      .select(
+        least(col("lo"), col("hi")).as("e1u"),
+        greatest(col("lo"), col("hi")).as("e1v"),
+        least(col("lo"), col("w")).as("e2u"),
+        greatest(col("lo"), col("w")).as("e2v"),
+        least(col("hi"), col("w")).as("e3u"),
+        greatest(col("hi"), col("w")).as("e3v"))
+      .localCheckpoint(false)
+    // per-edge support = how many listed triangles carry the edge in
+    // any of the three slots. Triangle-free edges never appear — they
+    // peel with the under-supported ones (support 0 < k−2 for k ≥ 3).
+    def supportOf(t: DataFrame): DataFrame =
+      t.select(explode(array(
+          struct(col("e1u").as("u"), col("e1v").as("v")),
+          struct(col("e2u").as("u"), col("e2v").as("v")),
+          struct(col("e3u").as("u"), col("e3v").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    var sup = supportOf(tris).localCheckpoint(false)
+    // the one action per round: materializes the chained lazy pins and
+    // reads the survivor count (the monotone convergence invariant)
+    var nextCount = sup.filter(col("support") >= k - 2).count()
+    bridge.freeLocalCheckpoint(e0) // the triangle list supersedes it
+    var iter = 1
+    var done = nextCount == curCount
     while (!done && iter < maxIters) {
-      // support in contribution form (round 14, the triangleCounts
-      // restructure): the base edge takes |ws|, each apex pair takes 1
-      // — m + 2T rows into ONE grouped sum instead of 3T triangle rows
-      // through a 3-way union, and no per-triangle array_sort.
-      val sup = closuresOfPinned(cur)
-        .select(explode(concat(
-          array(struct(
-            least(col("lo"), col("hi")).as("eu"),
-            greatest(col("lo"), col("hi")).as("ev"),
-            size(col("ws")).cast("long").as("n"))),
-          transform(col("ws"), w => struct(
-            least(col("lo"), w).as("eu"),
-            greatest(col("lo"), w).as("ev"), lit(1L).as("n"))),
-          transform(col("ws"), w => struct(
-            least(col("hi"), w).as("eu"),
-            greatest(col("hi"), w).as("ev"), lit(1L).as("n"))))).as("c"))
-        .select(col("c.eu").as("u"), col("c.ev").as("v"), col("c.n").as("n"))
-        .groupBy(col("u"), col("v")).agg(sum(col("n")).as("support"))
-        .localCheckpoint(false)
-      // triangle-free edges never appear in sup — the semi join drops
-      // them with the under-supported ones (support 0 < k−2 for k ≥ 3)
-      val next = cur.join(sup.filter(col("support") >= k - 2),
-          Seq("u", "v"), "left_semi")
-        .select(col("u"), col("v")).localCheckpoint(false)
-      val nextCount = next.count()
-      done = nextCount == curCount
-      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(cur)
-      if (lastSup != null)
-        org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(lastSup)
-      lastSup = sup
-      cur = next
       curCount = nextCount
+      // this round's peel set: under-supported edges of the current
+      // graph (zero-support edges are in NO kept triangle, so they
+      // vanish from sup without needing triangle removal)
+      val removed = sup.filter(col("support") < k - 2)
+        .select(col("u"), col("v"))
+      // a triangle dies iff ANY of its three edges peeled — three
+      // anti-joins against the removed set (small per round; AQE
+      // broadcasts it), preserving each survivor exactly once
+      val trisNext = tris
+        .join(removed.withColumnRenamed("u", "e1u")
+          .withColumnRenamed("v", "e1v"), Seq("e1u", "e1v"), "left_anti")
+        .join(removed.withColumnRenamed("u", "e2u")
+          .withColumnRenamed("v", "e2v"), Seq("e2u", "e2v"), "left_anti")
+        .join(removed.withColumnRenamed("u", "e3u")
+          .withColumnRenamed("v", "e3v"), Seq("e3u", "e3v"), "left_anti")
+        .localCheckpoint(false)
+      val supNext = supportOf(trisNext).localCheckpoint(false)
+      nextCount = supNext.filter(col("support") >= k - 2).count()
+      done = nextCount == curCount
+      bridge.freeLocalCheckpoint(tris)
+      bridge.freeLocalCheckpoint(sup)
+      tris = trisNext
+      sup = supNext
       iter += 1
     }
     if (!done)
@@ -361,18 +392,16 @@ object Graphs {
         s"Graphs.kTruss did not reach a fixpoint in $maxIters rounds — " +
           "adversarially deep edge peel; raise maxIters (a partial peel " +
           "would overstate the truss)")
-    // at the fixpoint the last support table was computed on exactly the
-    // surviving edge set — every survivor has support ≥ k−2, so the
-    // inner join is total. Eagerly checkpoint the result and free the
-    // loop's cur/lastSup pins (the GraphSearch discipline): library
-    // callers outside Bench would otherwise leak two pinned block sets
-    // per call.
-    val result = cur.join(lastSup, Seq("u", "v"))
+    // at the fixpoint the support table was computed on exactly the
+    // surviving edge set, so the filter IS the truss with its
+    // within-truss supports. Eagerly checkpoint the result and free the
+    // loop pins (the GraphSearch discipline): library callers outside
+    // Bench would otherwise leak pinned block sets per call.
+    val result = sup.filter(col("support") >= k - 2)
       .select(col("u"), col("v"), col("support"))
       .localCheckpoint(true)
-    org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(cur)
-    if (lastSup != null)
-      org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(lastSup)
+    bridge.freeLocalCheckpoint(tris)
+    bridge.freeLocalCheckpoint(sup)
     result
   }
 

@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
   * persisted-state pattern as IncrementalAgg/Dsir/Drift. Scoring from
   * counts ([[neighborsFromCounts]]) is count-table-sized.
   *
-  * Shape: one window over user (the cap), one self-join + pair
-  * groupBy, two item-count equi-joins (AQE picks broadcast when the
-  * item dimension fits), one per-item rank window for top-k (map-side
+  * Shape: one window over user (the cap), one per-user packed-array
+  * aggregation whose double explode enumerates the pairs locally
+  * (round 15 — the former sets⋈sets self-join re-shuffled the capped
+  * corpus twice on `u` to probe a purely local enumeration), two
+  * item-count equi-joins (AQE picks broadcast when the item dimension
+  * fits), one per-item rank window for top-k (map-side
   * WindowGroupLimit prunes before the shuffle).
   */
 object ItemSim {
@@ -54,11 +57,34 @@ object ItemSim {
       .localCheckpoint(true)
   }
 
-  private def pairCounts(sets: DataFrame): DataFrame =
-    sets.as("a").join(sets.as("b"),
-        col("a.u") === col("b.u") && col("a.i") < col("b.i"))
-      .groupBy(col("a.i").as("lo"), col("b.i").as("hi"))
+  /** Pair co-occurrence by per-user packed arrays + double explode
+    * (round 15): the (sets ⋈ sets) self-join re-shuffled the capped
+    * sets twice on `u` and sort-merge-probed what is a purely LOCAL
+    * enumeration — a user's pairs come from that user's own ≤cap-sized
+    * array. One groupBy(u) (reusing the cap window's hash(u)
+    * partitioning), then explode × explode with the value filter
+    * `hi > lo`: pure whole-stage-codegen row emission, no join, no
+    * per-position array copies. Multiset-identical to the join — for
+    * occurrences x at p, y at q with x < y, exactly one of the two
+    * position orders passes the value filter, so each occurrence pair
+    * counts once, duplicates included (guide §2.4: remove shuffles;
+    * §4: codegen-friendly expressions). Arrays are cap-bounded, so no
+    * collect_list skew hazard.
+    */
+  private def pairCounts(sets: DataFrame): DataFrame = {
+    // explicit partition count: the user-array frame is BYTE-tiny but
+    // its explosion is the query's CPU-heaviest stage — AQE's byte-
+    // sized coalescing would run it on one task (the q_lsh_curve
+    // lesson). defaultParallelism scales with the cluster.
+    val p = sets.sparkSession.sparkContext.defaultParallelism
+    sets.repartition(p, col("u"))
+      .groupBy(col("u")).agg(collect_list(col("i")).as("__items"))
+      .select(explode(col("__items")).as("lo"), col("__items"))
+      .select(col("lo"), explode(col("__items")).as("hi"))
+      .filter(col("hi") > col("lo"))
+      .groupBy(col("lo"), col("hi"))
       .agg(count(lit(1)).as("n_both"))
+  }
 
   /** The model's state: (pair co-occurrence counts, item set sizes). */
   def counts(interactions: DataFrame, userCol: String, itemCol: String,
@@ -132,11 +158,20 @@ object ItemSim {
       .filter(col("__r") <= maxUserItems)
       .select(col("__side"), col(userCol).as("u"), col(itemCol).as("i"))
       .localCheckpoint(true)
-    val pairDelta = sets.as("a").join(sets.as("b"),
-        col("a.__side") === col("b.__side") &&
-          col("a.u") === col("b.u") && col("a.i") < col("b.i"))
-      .groupBy(col("a.i").as("lo"), col("b.i").as("hi"))
-      .agg(sum(col("a.__side")).as("__d"))
+    // pair deltas via the packed-array double explode (see pairCounts):
+    // one (side, user) aggregation instead of a two-sided self-join
+    // re-shuffle, each generated pair contributing its snapshot's ±1.
+    // Same explicit partition count — the explosion is CPU-bound on
+    // byte-tiny arrays, which AQE would coalesce onto one task.
+    val p = sets.sparkSession.sparkContext.defaultParallelism
+    val pairDelta = sets.repartition(p, col("__side"), col("u"))
+      .groupBy(col("__side"), col("u"))
+      .agg(collect_list(col("i")).as("__items"))
+      .select(col("__side"), explode(col("__items")).as("lo"), col("__items"))
+      .select(col("__side"), col("lo"), explode(col("__items")).as("hi"))
+      .filter(col("hi") > col("lo"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(sum(col("__side")).as("__d"))
       .filter(col("__d") =!= 0L)
     val itemDelta = sets.groupBy(col("i")).agg(sum(col("__side")).as("__d"))
       .filter(col("__d") =!= 0L)
