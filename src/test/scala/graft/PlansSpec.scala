@@ -215,6 +215,11 @@ class PlansSpec extends SparkSuite {
     val distinctLevels = keys.map(_.replaceAll("#\\d+", "")).distinct
     assert(distinctLevels.length <= 8,
       s"${distinctLevels.length} distinct exchange levels: $distinctLevels")
+    // loose ABSOLUTE cap too (round-14 advice): if a future change
+    // breaks canonical-subtree identity, AQE stage reuse stops firing
+    // and the raw copy count re-expands well past this bound — the
+    // distinct-level guard alone would not notice the 8x-scan return
+    assert(keys.length <= 40, s"${keys.length} raw exchanges: $keys")
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), "count_distinct expand crept in")
   }
