@@ -40,6 +40,42 @@ object ScaleSmoke {
       secs
     }
 
+    if (section == "makesf") {
+      // materialize a COMPLETE ×mult dataset directory (every table the
+      // registry reads) so graft.Bench can run the heavy queries at a
+      // scale where work, not the per-action scheduling floor,
+      // dominates — the round-15 core-scaling validation (32 vs 8
+      // cores on identical data). Facts replicate with a consistent
+      // key shift (orders/lineitem share the ORDERS shift so per-copy
+      // join cardinality is preserved); dimensions stay 1× (the 100 TB
+      // shape); documents/embeddings/events shift their own ids.
+      // Multi-file output also gives the scans real splits — the sf0.1
+      // single-row-group files are 1-task scans by construction.
+      val dir = s"/tmp/graft_sf_x$mult"
+      val ordersShift = Tables.load(spark, base, "orders")
+        .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+      def replicateWith(name: String, keyCol: String, shift: Long): Unit = {
+        val df = Tables.load(spark, base, name)
+        (0 until mult).map(i =>
+            df.withColumn(keyCol, col(keyCol) + lit(i * shift)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      }
+      replicateWith("orders", "o_orderkey", ordersShift)
+      replicateWith("lineitem", "l_orderkey", ordersShift)
+      Seq("documents" -> "doc_id", "embeddings" -> "vec_id",
+          "events" -> "event_id").foreach { case (nm, idc) =>
+        val shift = Tables.load(spark, base, nm)
+          .agg(max(col(idc))).head().getLong(0) + 1L
+        replicateWith(nm, idc, shift)
+      }
+      Seq("region", "nation", "customer", "supplier", "part").foreach { nm =>
+        Tables.load(spark, base, nm).write.mode("overwrite")
+          .parquet(s"$dir/$nm.parquet")
+      }
+      println(s"[scale] makesf: wrote ×$mult dataset to $dir")
+    }
+
     if (section == "all" || section == "dedup") {
       val docs1 = Tables.load(spark, base, "documents")
       val emb1 = Tables.load(spark, base, "embeddings")

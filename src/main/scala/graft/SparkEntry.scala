@@ -2059,7 +2059,17 @@ object SparkEntry {
       // shared across the three budget rungs — pin lazily or each
       // trainCodebooks pass replays the coarse assignment
       val resid = Pq.residualFrame(emb, coarse).localCheckpoint(false)
-      val pqArms = Seq(2, 4, 8).map { m =>
+      // the four frontier arms are INDEPENDENT given (emb, coarse,
+      // resid, brute): each PQ rung's codebook Lloyd and the GNNS
+      // rung's nn-descent/beam rounds are ladders of driver-side
+      // actions (per-iteration collects, per-round pins), previously
+      // serialized by construction order. Building each arm on its own
+      // driver thread overlaps the ladders (guide §2.6); the shared
+      // frames are pinned above, so the arms race nothing.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration.Inf
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val pqArmFs = Seq(2, 4, 8).map { m => Future {
         val books = Pq.trainCodebooks(resid,
           m = m, subDim = 64 / m, k = 8, iters = 1)
         Pq.ivfpqTopK(emb, queries, coarse, books,
@@ -2068,22 +2078,25 @@ object SparkEntry {
           .agg((count(lit(1)) * 200L).as("recall_bp"))
           .select(lit("ivfpq").as("method"), lit(m).as("m_subspaces"),
             lit(m + 1).as("bytes_per_vec"), col("recall_bp"))
-      }
+      } }
       // the GRAPH rung on the same corpus/queries/ground truth: GNNS
       // over the q_nn_descent k=5 graph (index cost = 5 neighbor ids =
       // 40 B/vec), beam 5 so the final beam can hold all of top-5 —
       // with this arm all three ANN paradigms (cell-probed PQ budgets,
       // graph traversal; brute force as truth) sit on ONE frontier
-      val graph = graft.similarity.NnDescent.knnGraph(
-        emb, "vec_id", "embedding", k = 5, rounds = 3)
-      val gnnsArm = graft.similarity.GraphSearch.search(
-          graph, emb, queries, beamWidth = 5, rounds = 3, k = 5, nEntry = 4)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg((count(lit(1)) * 200L).as("recall_bp"))
-        .select(lit("gnns").as("method"), lit(0).as("m_subspaces"),
-          lit(40).as("bytes_per_vec"), col("recall_bp"))
-      (pqArms :+ gnnsArm).reduce(_ unionByName _)
+      val gnnsArmF = Future {
+        val graph = graft.similarity.NnDescent.knnGraph(
+          emb, "vec_id", "embedding", k = 5, rounds = 3)
+        graft.similarity.GraphSearch.search(
+            graph, emb, queries, beamWidth = 5, rounds = 3, k = 5, nEntry = 4)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg((count(lit(1)) * 200L).as("recall_bp"))
+          .select(lit("gnns").as("method"), lit(0).as("m_subspaces"),
+            lit(40).as("bytes_per_vec"), col("recall_bp"))
+      }
+      (pqArmFs.map(Await.result(_, Inf)) :+ Await.result(gnnsArmF, Inf))
+        .reduce(_ unionByName _)
         .orderBy(col("method"), col("m_subspaces"))
     }),
 
