@@ -4406,10 +4406,20 @@ object SparkEntry {
       val scored = docs.select(col("doc_id"), col("lang"))
         .join(kn, Seq("doc_id"))
         .localCheckpoint(true)
-      val ranked = try RunningTotals.groupedRank(scored, Seq("lang"),
-        Seq(col("mean_surprisal3_q").asc, col("doc_id").asc), "__rk")
-      finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(scored)
-      val langN = ranked.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+      // fused tail (round 15): the language totals come from the PINNED
+      // scored frame (the rank machine is a 1:1 transform, so the
+      // per-lang counts are identical), leaving the ranked frame with
+      // ONE consumer — which lets the machine skip its eager output
+      // pin (pinOutput = false: one fewer full materialization +
+      // action; the bucket aggregate reads the machine's internal
+      // range-sorted pin directly)
+      // (no explicit free of `scored` here: the lazy language totals
+      // read its blocks in the final action; the ContextCleaner
+      // reclaims the pin when the frame becomes unreachable)
+      val langN = scored.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+      val ranked = RunningTotals.groupedRank(scored, Seq("lang"),
+        Seq(col("mean_surprisal3_q").asc, col("doc_id").asc), "__rk",
+        pinOutput = false)
       ranked.join(broadcast(langN), Seq("lang"))
         .withColumn("bucket",
           when(col("__rk") * 3 <= col("__n"), lit("head"))

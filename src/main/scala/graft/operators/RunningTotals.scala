@@ -77,9 +77,20 @@ object RunningTotals {
     * form pays (rank is pure offset arithmetic over the pinned sorted
     * frame).
     */
+  /** @param pinOutput false = return the result LAZY over the machine's
+    *        internal range-sorted pin instead of eagerly materializing
+    *        a second copy. For a SINGLE downstream consumer this saves
+    *        one full write+read of the frame (one action, one block
+    *        set); the internal pin is then reclaimed by the
+    *        ContextCleaner when the result becomes unreachable (the
+    *        single-pin-pipeline discipline — TrainingData note). With
+    *        several consumers keep the default: each lazy consumer
+    *        would replay the offsets join per reference.
+    */
   def groupedRank(df: DataFrame, groupCols: Seq[String],
-                  orderBys: Seq[Column], outCol: String): DataFrame =
-    machine(df, groupCols, orderBys, Nil, Seq(outCol))
+                  orderBys: Seq[Column], outCol: String,
+                  pinOutput: Boolean = true): DataFrame =
+    machine(df, groupCols, orderBys, Nil, Seq(outCol), pinOutput)
 
   /** One ranged pass computing BOTH a per-group running sum of
     * `valueCol` and the per-group positional rank ([[groupedRank]]) —
@@ -138,7 +149,8 @@ object RunningTotals {
   private def machine(df: DataFrame, groupCols: Seq[String],
                       orderBys: Seq[Column],
                       sums: Seq[(String, String)],
-                      ranks: Seq[String]): DataFrame = {
+                      ranks: Seq[String],
+                      pinOutput: Boolean = true): DataFrame = {
     require(sums.nonEmpty || ranks.nonEmpty, "machine needs at least one output")
     val outCols = sums.map(_._2) ++ ranks
     val reserved = Set("__pid", "__mid", "__m0", "__cntoff", "__ps__cnt") ++
@@ -184,7 +196,9 @@ object RunningTotals {
       out = out.withColumn(o, col("__cntoff") + (col("__mid") - col("__m0")) + 1L)
     out = out.drop(Seq("__pid", "__mid", "__m0", "__cntoff") ++
       sums.map(s => s"__off_${s._2}"): _*)
-    try out.localCheckpoint(true)
-    finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(sorted)
+    if (pinOutput)
+      try out.localCheckpoint(true)
+      finally org.apache.spark.sql.graftbridge.bridge.freeLocalCheckpoint(sorted)
+    else out // lazy over the `sorted` pin; ContextCleaner reclaims it
   }
 }
